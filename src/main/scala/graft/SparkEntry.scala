@@ -1,13 +1,712 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.lake.{Pipeline, SortSpec}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a DuckDB oracle. Determinism discipline (so hashes
+  * match bit-exactly):
+  *  - inexact double aggregates go through exact DECIMAL arithmetic with
+  *    identical casts on both sides;
+  *  - ratios are a single IEEE division over exact operands;
+  *  - vector math is a left fold in double on both sides (Spark
+  *    `aggregate` == DuckDB `list_reduce`);
+  *  - every result has a total ORDER BY.
+  */
 object SparkEntry {
+
+  // ---- helpers -------------------------------------------------------------
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** exact decimal images of the 2-dec double columns */
+  private def dec12(c: Column) = c.cast("decimal(12,2)")
+  private def dec3(c: Column) = c.cast("decimal(3,2)")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- queries -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // S1 scan + A-aggs + O1 sort: pricing summary (decimal-exact)
+    "q01_pricing_summary" -> ((s, d) => {
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec12(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(dec12(col("l_extendedprice"))).cast("decimal(18,2)")
+            .as("sum_base_price"),
+          sum(dec12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - dec3(col("l_discount"))))
+            .cast("decimal(20,4)").as("sum_disc_price"),
+          (sum(dec12(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(dec12(col("l_extendedprice"))).cast("double") / count(lit(1)))
+            .as("avg_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P2/P4: projection + predicate (pushed to parquet scan)
+    "q02_filter_project" -> ((s, d) => {
+      li(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // joins + agg + top-n (TakeOrderedAndProject)
+    "q03_join_revenue_topn" -> ((s, d) => {
+      cust(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+          sum(dec12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - dec3(col("l_discount"))))
+            .cast("decimal(20,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // O1: multi-column sort with per-column direction (engine Pipeline)
+    "q04_multi_sort" -> ((s, d) => {
+      Pipeline()
+        .sortBy(Seq("c_nationkey", "c_acctbal", "c_custkey"),
+          Seq(true, false, true))(
+          cust(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+    }),
+
+    // top-k
+    "q05_topk" -> ((s, d) => {
+      ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // A4: full-row distinct
+    "q06_distinct_full" -> ((s, d) => {
+      li(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A3: keyed dedup keep-last (engine Pipeline.distinctOn)
+    "q07_dedup_keep_last" -> ((s, d) => {
+      Pipeline()
+        .distinctOn(Seq("user_id", "event_type"), keepLast = true,
+          presort = Some(SortSpec(Seq("ts", "event_id"), Seq(true, true))))(
+          ev(s, d).select("user_id", "event_type", "event_id", "ts", "value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // J1/U1: full-row anti-diff (EXCEPT, distinct semantics)
+    "q08_delta_full_row" -> ((s, d) => {
+      val o = ord(s, d)
+      val batch =
+        o.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      val existing =
+        o.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      batch.except(existing).orderBy("o_orderkey")
+    }),
+
+    // J2: subset-key anti-diff (left_anti — the delta write-mode core)
+    "q09_delta_subset_anti" -> ((s, d) => {
+      val o = ord(s, d)
+      val batch =
+        o.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      val existing =
+        o.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      batch
+        .join(existing.select("o_orderkey").distinct(), Seq("o_orderkey"),
+          "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // A1: min/max bounds (delta-window computation)
+    "q10_min_max" -> ((s, d) => {
+      li(s, d).agg(
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+    }),
+
+    // A2: distinct partition-tuple enumeration
+    "q11_partition_enum" -> ((s, d) => {
+      ord(s, d)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // P3: cast keys to string and back (delta key normalization)
+    "q12_cast_keys" -> ((s, d) => {
+      cust(s, d)
+        .select(
+          col("c_custkey"),
+          col("c_custkey").cast("string").as("key_str"),
+          col("c_custkey").cast("string").cast("long").as("key_back"),
+          col("c_nationkey").cast("long").as("nation_long"))
+        .orderBy("c_custkey")
+    }),
+
+    // P5/K8: time-range predicate + monthly buckets (batching windows)
+    "q13_time_window_agg" -> ((s, d) => {
+      li(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(
+          sum(dec12(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("ship_month")
+    }),
+
+    // P7: subset-membership (semi-join)
+    "q14_semi_join" -> ((s, d) => {
+      cust(s, d)
+        .join(
+          ord(s, d).filter(col("o_totalprice") > 400000.0)
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // U2: INSERT-missing union (existing ∪ (batch EXCEPT existing))
+    "q15_union_insert" -> ((s, d) => {
+      val o = ord(s, d)
+      val existing =
+        o.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val batch =
+        o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      existing.unionByName(batch.except(existing))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // F-layer: JSON extraction from the events props column
+    "q16_json_extract" -> ((s, d) => {
+      ev(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+        .orderBy("event_id")
+    }),
+
+    // window function: running sum per key (exact: integral quantities)
+    "q17_window_running" -> ((s, d) => {
+      val w = Window
+        .partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li(s, d)
+        .filter(col("l_suppkey") <= 3)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"),
+          sum(dec12(col("l_quantity"))).over(w).cast("decimal(18,2)")
+            .as("running_qty"))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    }),
+
+    // grouping sets: rollup
+    "q18_rollup" -> ((s, d) => {
+      li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec12(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // scalar string functions
+    "q19_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_type"), 1, 6).as("type_prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    }),
+
+    // F3/K8: interval windows anchored at the epoch of the data
+    "q20_interval_windows" -> ((s, d) => {
+      ord(s, d)
+        .groupBy(
+          floor(
+            datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+              .cast("double") / 90.0).cast("long").as("window_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec12(col("o_totalprice"))).cast("decimal(18,2)").as("sum_price"))
+        .orderBy("window_id")
+    }),
+
+    // streaming-shaped batch: tumbling hourly window over events
+    "q21_event_hourly" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec12(col("value"))).cast("decimal(18,2)").as("total_value"))
+        .orderBy("hour_start")
+    }),
+
+    // range join: lineitems shipped within 30 days of their order date
+    "q22_range_join" -> ((s, d) => {
+      ord(s, d)
+        .join(
+          li(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_within_30d"))
+        .orderBy("o_orderkey")
+    }),
+
+    // as-of join: last click at-or-before each purchase, per user
+    "q23_asof_join" -> ((s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn(
+          "last_click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    }),
+
+    // ---- LLM-pipeline operators -------------------------------------------
+
+    // exact dedup on content
+    "d01_dedup_exact" -> ((s, d) => {
+      Dedup.exact(docs(s, d), "doc_id", Seq("text"))
+        .select("keep_id", "dup_cnt")
+        .orderBy("keep_id")
+    }),
+
+    // token counting
+    "d02_token_stats" -> ((s, d) => {
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(array_distinct(TextFunctions.tokens(col("text"))))
+            .cast("long").as("n_distinct_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring (ratios = single IEEE division over exact ints)
+    "d03_quality_score" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+      val withCols = TextFunctions
+        .qualityColumns(col("text"), col("n_chars"))
+        .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+      withCols
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("avg_token_len"), col("stopword_ratio"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs (exact)
+    "d04_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3,
+          threshold = 0.2)
+        .orderBy("id1", "id2")
+    }),
+
+    // language-ID heuristic: stopword-profile hits + argmax label
+    "d05_lang_id" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val withHits = TextFunctions.langHits(col("text")).foldLeft(base) {
+        case (df, (n, c)) => df.withColumn(n, c.cast("long"))
+      }
+      withHits
+        .withColumn("lang_pred", TextFunctions.langPredict(col("text")))
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH near-dup candidates (no SQL oracle: engine-specific
+    // hashes; verified in ScalaTest against exact Jaccard instead)
+    "d06_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.2)
+        .orderBy("id1", "id2")
+    }),
+
+    // SimHash near-dup pairs (no SQL oracle: engine-specific hashes)
+    "d07_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 6)
+        .orderBy("id1", "id2")
+    }),
+
+    // document fingerprints (no SQL oracle: xxhash64 is Spark-specific)
+    "d08_fingerprint" -> ((s, d) => {
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("rolling_fp"),
+          TextFunctions.bagFingerprint(col("text")).as("bag_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // exact cosine near-pairs over embeddings
+    "e01_cosine_pairs" -> ((s, d) => {
+      Similarity.cosinePairs(emb(s, d), threshold = 0.4, leftIdBound = 100L)
+        .orderBy("id1", "id2")
+    }),
+
+    // exact brute-force cosine top-k (queries = vec_id < 10)
+    "e02_knn_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
+    // LSH-bucketed ANN (no SQL oracle: approximate; recall vs e02 is
+    // checked in ScalaTest)
+    "e03_ann_srp" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.srpTopK(e, e.filter(col("vec_id") < 10), dim = 64, k = 5,
+          nBits = 6)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
+    // multimodal plumbing: binary payloads + metadata (decode stubbed)
+    "m01_media_meta" -> ((s, d) => {
+      Multimodal.attachMeta(
+          Multimodal.fromText(docs(s, d), "doc_id", "text"), "payload")
+        .select(
+          col("media_id"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("sniffed_mime"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ---- oracles -------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(20,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue_topn" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(20,4)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q04_multi_sort" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        |ORDER BY c_nationkey ASC NULLS FIRST, c_acctbal DESC NULLS LAST,
+        | c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q05_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q06_distinct_full" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q07_dedup_keep_last" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        | SELECT user_id, event_type, event_id, ts, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q08_delta_full_row" ->
+      """SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |EXCEPT
+        |SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q09_delta_subset_anti" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders b
+        |WHERE b.o_orderdate >= TIMESTAMP '1999-01-01' AND NOT EXISTS (
+        |  SELECT 1 FROM orders e
+        |  WHERE e.o_orderdate < TIMESTAMP '2000-01-01'
+        |    AND e.o_orderkey = b.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q10_min_max" ->
+      """SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        | COUNT(*) AS n
+        |FROM lineitem""".stripMargin,
+
+    "q11_partition_enum" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q12_cast_keys" ->
+      """SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS key_str,
+        | CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_back,
+        | CAST(c_nationkey AS BIGINT) AS nation_long
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q13_time_window_agg" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_union_insert" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM (
+        | SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        | UNION ALL
+        | (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  EXCEPT
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')
+        |) t ORDER BY o_orderkey""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS DECIMAL(18,2)) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q19_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substring(p_type, 1, 6) AS type_prefix,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q20_interval_windows" ->
+      """SELECT CAST(floor(CAST(date_diff('day', DATE '1995-01-01',
+        |   CAST(o_orderdate AS DATE)) AS DOUBLE) / 90.0) AS BIGINT) AS window_id,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_within_30d
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q23_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        | (SELECT max(l.ts) FROM events l
+        |  WHERE l.user_id = e.user_id AND l.event_type = 'click'
+        |    AND l.ts <= e.ts) AS last_click_ts
+        |FROM events e WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "d02_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |   AS n_distinct_tokens,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d03_quality_score" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','a','an','of','and','to','in','is','it','that')))
+        |   AS BIGINT) AS n_stop
+        | FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |   AS avg_token_len,
+        | CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        | (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5 +
+        |  (1.0 / (CAST(n_chars - (n_tokens - 1) AS DOUBLE) /
+        |          CAST(n_tokens AS DOUBLE))) * 0.5 AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d04_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_both
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2,
+        | CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
+        |   AS jaccard
+        |FROM inter
+        | JOIN cnt ca ON ca.doc_id = id1
+        | JOIN cnt cb ON cb.doc_id = id2
+        |WHERE CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
+        |  >= 0.2
+        |ORDER BY id1, id2""".stripMargin,
+
+    "d05_lang_id" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    x -> x IN ('el','la','de','y','es'))) AS BIGINT) AS es_hits,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS fr_hits
+        | FROM documents)
+        |SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+        | CASE
+        |  WHEN fr_hits > greatest(en_hits, de_hits, es_hits) THEN 'fr'
+        |  WHEN es_hits > greatest(en_hits, de_hits) THEN 'es'
+        |  WHEN de_hits > en_hits THEN 'de'
+        |  ELSE 'en' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "e01_cosine_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |   sqrt(list_reduce(list_transform(emb, x -> x * x),
+        |        (acc, x) -> acc + x)) AS nrm
+        |  FROM v)
+        |SELECT id1, id2, sim FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |   list_reduce(list_transform(range(1, 65),
+        |     i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x) /
+        |   (a.nrm * b.nrm) AS sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 100) t
+        |WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+
+    "e02_knn_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |   sqrt(list_reduce(list_transform(emb, x -> x * x),
+        |        (acc, x) -> acc + x)) AS nrm
+        |  FROM v),
+        |p AS (
+        |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+        |   list_reduce(list_transform(range(1, 65),
+        |     i -> q.emb[i] * c.emb[i]), (acc, x) -> acc + x) /
+        |   (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT id1, id2, sim, rank FROM (
+        |  SELECT id1, id2, sim,
+        |   CAST(row_number() OVER (PARTITION BY id1
+        |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 'application/octet-stream' AS sniffed_mime
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All built from codegen'd `org.apache.spark.sql.functions` (split /
+  * higher-order transform / filter / aggregate) — no UDFs, so every
+  * expression stays inside whole-stage codegen and scales linearly with
+  * executors. (The reference exposes no text ops of its own — these extend
+  * it per the north star.)
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space; the fixtures are space-joined
+    * word bags). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words + digit runs + punctuation as separate
+    * tokens, approximated by a regex split. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(t) > 0))
+
+  /** Word n-gram shingles (distinct), the unit of near-dup detection.
+    * Guarded so texts shorter than n tokens yield an empty array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tk = tokens(text)
+    array_distinct(
+      when(
+        size(tk) >= n,
+        transform(
+          sequence(lit(1), size(tk) - (n - 1)),
+          i =>
+            concat_ws(
+              " ",
+              (0 until n).map(o => element_at(tk, i + lit(o))): _*
+            )
+        )
+      ).otherwise(array().cast("array<string>"))
+    )
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords)
+      : Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  /** Heuristic quality signals: token count, average token length,
+    * stopword ratio, and a fixed-weight composite. Every ratio is a single
+    * IEEE division over exact integers — deterministic across engines. */
+  def qualityColumns(text: Column, nChars: Column): Seq[(String, Column)] = {
+    val ntok = tokenCount(text)
+    val stop = stopwordCount(text)
+    val avgTokLen =
+      (nChars - (ntok - lit(1))).cast("double") / ntok.cast("double")
+    val stopRatio = stop.cast("double") / ntok.cast("double")
+    Seq(
+      "n_tokens" -> ntok,
+      "avg_token_len" -> avgTokLen,
+      "stopword_ratio" -> stopRatio,
+      "quality_score" -> (stopRatio * lit(0.5) + (lit(1.0) / avgTokLen) * lit(0.5))
+    )
+  }
+
+  /** Stopword-profile language scoring: hit counts per language's stopword
+    * list; predicted label = argmax with a fixed precedence order on ties.
+    * (A real system swaps in fastText-style char n-gram profiles; the
+    * Spark plumbing — per-doc scoring without shuffles — is identical.) */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des")
+  )
+
+  def langHits(text: Column): Seq[(String, Column)] =
+    LangStopwords.map { case (lang, words) =>
+      s"${lang}_hits" -> stopwordCount(text, words)
+    }
+
+  def langPredict(text: Column): Column = {
+    val hits = LangStopwords.map { case (l, ws) => l -> stopwordCount(text, ws) }
+    // argmax with first-listed language winning ties
+    hits.tail.foldLeft((hits.head._2, lit(hits.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (
+          when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang)
+        )
+    }._2
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * tokens, h = (h*31 + xxhash64(token)) mod 2^40 — the modulus keeps the
+    * fold inside long range under ANSI arithmetic. */
+  def fingerprint(text: Column): Column = {
+    val M = 1L << 40
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (h, t) => pmod(h * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M))
+    )
+  }
+
+  /** Bag-of-words fingerprint: order-insensitive (sorted distinct tokens
+    * hashed as one string) — near-dup-stable under shuffling. */
+  def bagFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}

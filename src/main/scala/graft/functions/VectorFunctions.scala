@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns, built on Spark's
+  * higher-order functions (`zip_with`/`aggregate`) so the arithmetic is
+  * codegen'd and never leaves the JVM hot loop.
+  *
+  * Arithmetic is done in double with a left fold — the same sequential
+  * order DuckDB's `list_reduce` uses, which makes results bit-identical to
+  * the oracle (no rounding slop in correctness checks).
+  */
+object VectorFunctions {
+
+  /** Cast array<float> -> array<double> once, up front. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  def cosine(a: Column, b: Column): Column = cosine(a, b, norm(a), norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(
+      aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    )
+
+  /** Sign-random-projection bucket (LSH for cosine): `nBits` hyperplanes,
+    * deterministic from `seed`; returns a long bucket id. Planes are
+    * generated driver-side and inlined as literals — tiny (nBits x dim
+    * doubles) and broadcast with the plan. */
+  def srpBucket(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L)
+      : Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        val planeLit = array(p.map(lit(_)): _*)
+        val proj = aggregate(
+          zip_with(v, planeLit, (x, y) => x * y),
+          lit(0.0),
+          (acc, x) => acc + x
+        )
+        when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+}

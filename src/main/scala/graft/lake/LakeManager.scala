@@ -1,0 +1,104 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Multi-dataset catalog at a lake root — the reference's "datalake"
+  * manager (`/root/reference/src/pydala/datalake/manager.py:16-209`),
+  * backed by `_pydala.json` (TOML in the reference, `manager.py:48`).
+  */
+final class LakeManager(spark: SparkSession, root: String) {
+
+  import TimeFly.mapper
+
+  private val cfgPath = new Path(root, "_pydala.json")
+  private def fs =
+    cfgPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readCfg(): ObjectNode =
+    if (fs.exists(cfgPath)) {
+      val in = fs.open(cfgPath)
+      try mapper.readTree(in).asInstanceOf[ObjectNode]
+      finally in.close()
+    } else {
+      val n = mapper.createObjectNode()
+      n.putObject("pydala").put("name", new Path(root).getName)
+      n.putObject("dataset")
+      n
+    }
+
+  private def writeCfg(n: ObjectNode): Unit = {
+    val out = fs.create(cfgPath, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+  }
+
+  /** Init lake config (`manager.py:53-88`). */
+  def init(): LakeManager = {
+    fs.mkdirs(new Path(root))
+    writeCfg(readCfg())
+    this
+  }
+
+  /** Discover datasets by scanning for metadata files
+    * (`manager.py:90-114`, glob `**_dataset.toml`). */
+  def discover(): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: Path): Unit = {
+      if (!fs.exists(p)) return
+      fs.listStatus(p).foreach { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName == "_dataset.json")
+          buf += s.getPath.getParent.toString
+      }
+    }
+    walk(new Path(root))
+    buf.toSeq.sorted
+  }
+
+  /** Register a dataset (`manager.py:136-180`), creating its TimeFly
+    * metadata if absent. */
+  def addDataset(name: String, description: String = ""): TimeFly = {
+    val path = new Path(root, name).toString
+    val tf = TimeFly(spark, path)
+    if (!tf.exists()) tf.init(name, description)
+    val cfg = readCfg()
+    val ds = cfg.withObject("/dataset").putObject(name)
+    ds.put("name", name)
+    ds.put("path", path)
+    ds.put("description", description)
+    writeCfg(cfg)
+    tf
+  }
+
+  /** Deregister and optionally delete files (`manager.py:182-190`). */
+  def removeDataset(name: String, deleteFiles: Boolean = false): Unit = {
+    val cfg = readCfg()
+    cfg.withObject("/dataset").remove(name)
+    writeCfg(cfg)
+    if (deleteFiles) fs.delete(new Path(root, name), true)
+  }
+
+  /** Registered table names (`manager.py:192-196`). */
+  def tables: Seq[String] = {
+    val cfg = readCfg()
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    cfg.withObject("/dataset").fieldNames().forEachRemaining(buf += _)
+    buf.toSeq.sorted
+  }
+
+  def dataset(name: String): TimeFly =
+    TimeFly(spark, new Path(root, name).toString)
+
+  /** Reader over a catalog entry (`datalake/reader.py:12-80` — the
+    * reference file is partially broken; this is the evident intent). */
+  def reader(name: String, asOf: Option[String] = None): DataFrame =
+    dataset(name).read(asOf)
+}
+
+object LakeManager {
+  def apply(spark: SparkSession, root: String): LakeManager =
+    new LakeManager(spark, root)
+}

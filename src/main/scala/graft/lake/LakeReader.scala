@@ -1,0 +1,88 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lazy dataset reader with schema unification and the declarative
+  * drop/sort/distinct pipeline.
+  *
+  * Re-expresses `/root/reference/src/pydala/dataset/reader.py` Spark-first:
+  * the reference's four materialization tiers (pyarrow dataset / pa.Table /
+  * DuckDB relation / temp table, `reader.py:373-476`) collapse into one lazy
+  * DataFrame; `df.cache()` + temp views subsume its table tiers.
+  */
+final case class LakeReader(
+    spark: SparkSession,
+    path: String,
+    format: String = "parquet",
+    pipeline: Pipeline = Pipeline(),
+    filterExpr: Option[String] = None,
+    unifySchemas: Boolean = false
+) {
+
+  def drop(cols: String*): LakeReader =
+    copy(pipeline = pipeline.drop(cols: _*))
+
+  def distinct(): LakeReader = copy(pipeline = pipeline.distinctAll())
+
+  def distinctOn(
+      subset: Seq[String],
+      keepLast: Boolean = false,
+      presort: Option[SortSpec] = None
+  ): LakeReader =
+    copy(pipeline = pipeline.distinctOn(subset, keepLast, presort))
+
+  def sort(cols: Seq[String], ascending: Seq[Boolean] = Nil): LakeReader =
+    copy(pipeline = pipeline.sortBy(cols, ascending))
+
+  /** Arbitrary SQL predicate on read (`reader.py:336-337`). */
+  def filter(expr: String): LakeReader = copy(filterExpr = Some(expr))
+
+  /** Retry-with-unified-schema behavior of `reader.py:186-188,228-230`,
+    * made explicit: opt in when fragments are schema-heterogeneous. */
+  def unified(): LakeReader = copy(unifySchemas = true)
+
+  /** The lazy scan with the pipeline applied (drop -> distinct -> sort). */
+  def load(): DataFrame = {
+    val base = format match {
+      case "parquet" =>
+        if (unifySchemas) SchemaTools.readUnified(spark, path)
+        else spark.read.parquet(path)
+      case "csv" =>
+        spark.read
+          .option("header", "true")
+          .option("inferSchema", "true")
+          .csv(path)
+      case "json" => spark.read.json(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val filtered = filterExpr.map(base.filter).getOrElse(base)
+    pipeline(filtered)
+  }
+
+  /** Register for SQL, the Spark analog of DuckDB view registration
+    * (`reader.py:236-255`). */
+  def createView(name: String): DataFrame = {
+    val df = load()
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Eager materialization tier (`reader.py:292-353`): cache + temp view. */
+  def materialize(name: String): DataFrame = {
+    val df = load().cache()
+    df.createOrReplaceTempView(name)
+    df
+  }
+}
+
+object LakeReader {
+  /** Path-extension dispatch (`utils/table.py:81-89`). */
+  def fromPath(spark: SparkSession, path: String): LakeReader = {
+    val fmt =
+      if (path.endsWith(".csv")) "csv"
+      else if (path.endsWith(".json")) "json"
+      else "parquet"
+    LakeReader(spark, path, fmt)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Schema unification with rank-based type promotion.
+  *
+  * Re-expresses the reference's promotion ladder
+  * (`/root/reference/src/pydala/utils/dataset.py:8-50`): per-file physical
+  * schemas are unified by column-name union with numeric rank promotion
+  * (int8 < int16 < int32 < int64 < float < double) and string as the top
+  * element; unified column order is sorted by name
+  * (`utils/dataset.py:23`).
+  *
+  * Scale note: Spark's `mergeSchema` gives the name-union but not the rank
+  * promotion, and erroring on int32-vs-int64 fragments is exactly the
+  * failure the reference works around. We group fragments by physical
+  * schema (rarely more than a handful of distinct schemas in a real lake),
+  * scan each group once, cast to the unified schema, and `unionByName` —
+  * the plan stays O(#distinct-schemas), not O(#files).
+  */
+object SchemaTools {
+
+  private val numericRank: Map[DataType, Int] = Map(
+    BooleanType -> 0,
+    ByteType -> 1,
+    ShortType -> 2,
+    IntegerType -> 3,
+    LongType -> 4,
+    FloatType -> 5,
+    DoubleType -> 6
+  )
+
+  /** Promote two types to their common supertype per the reference ladder.
+    * Unmatchable combinations promote to string (the reference's top type,
+    * `utils/dataset.py:13-22`). */
+  def promote(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
+      if (numericRank(x) >= numericRank(y)) x else y
+    case (DateType, TimestampType) | (TimestampType, DateType) =>
+      TimestampType
+    case (d: DecimalType, y) if numericRank.contains(y) => d
+    case (x, d: DecimalType) if numericRank.contains(x) => d
+    case _ => StringType
+  }
+
+  /** Name-union + promotion over many schemas; columns sorted by name. */
+  def unifySchemas(schemas: Seq[StructType]): StructType = {
+    val merged = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    schemas.foreach { st =>
+      st.fields.foreach { f =>
+        merged(f.name) =
+          merged.get(f.name).map(promote(_, f.dataType)).getOrElse(f.dataType)
+      }
+    }
+    StructType(
+      merged.toSeq.sortBy(_._1).map { case (n, t) =>
+        StructField(n, t, nullable = true)
+      }
+    )
+  }
+
+  /** Recursively list data files under a path (parquet/csv/...). */
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    if (fs.getFileStatus(p).isFile) return Seq(path)
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        buf += f.getPath.toString
+    }
+    buf.toSeq
+  }
+
+  /** Read a (possibly schema-heterogeneous) parquet dataset, unified.
+    *
+    * Files are grouped by their physical schema; each group is scanned once
+    * with its native schema (so filter/column pushdown still applies per
+    * group), cast to the unified schema, and unioned by name.
+    */
+  def readUnified(spark: SparkSession, path: String): DataFrame = {
+    val files = listDataFiles(spark, path).filter(_.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $path")
+    // Footer-only reads: cheap, driver-side, no data scan.
+    val bySchema: Seq[(StructType, Seq[String])] = files
+      .map(f => (spark.read.parquet(f).schema, f))
+      .groupBy(_._1)
+      .map { case (s, fs) => (s, fs.map(_._2)) }
+      .toSeq
+    if (bySchema.size == 1) {
+      // Homogeneous: plain multi-file scan, nothing to unify.
+      return spark.read.parquet(path)
+    }
+    val unified = unifySchemas(bySchema.map(_._1))
+    bySchema
+      .map { case (schema, groupFiles) =>
+        val df = spark.read.schema(schema).parquet(groupFiles: _*)
+        val have = schema.fieldNames.toSet
+        df.select(unified.fields.toSeq.map { f =>
+          if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType)
+            .as(f.name)
+        }: _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Flat name->type-string codec for metadata files (the reference keeps
+    * schemas as flat dicts in TOML, `utils/dataset.py:142-170`). */
+  def schemaToMap(st: StructType): Map[String, String] =
+    st.fields.map(f => f.name -> f.dataType.simpleString).toMap
+
+  def schemaFromMap(m: Map[String, String]): StructType =
+    StructType(m.toSeq.sortBy(_._1).map { case (n, t) =>
+      StructField(n, parseType(t), nullable = true)
+    })
+
+  private def parseType(s: String): DataType = s match {
+    case "string" => StringType
+    case "boolean" => BooleanType
+    case "tinyint" => ByteType
+    case "smallint" => ShortType
+    case "int" => IntegerType
+    case "bigint" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case "binary" => BinaryType
+    case other => CatalystSqlParser.parse(other)
+  }
+
+  private object CatalystSqlParser {
+    def parse(s: String): DataType = DataType.fromDDL(s)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.lake
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+import org.apache.hadoop.fs.{FileStatus, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Time travel for a dataset directory — the reference's flagship
+  * "TimeFly" feature (`/root/reference/src/pydala/dataset/timefly.py`).
+  *
+  * Layout (`timefly.py:130-156,245-310`):
+  * {{{
+  * <root>/_dataset.json       // metadata (TOML in the reference)
+  * <root>/current/            // live data files
+  * <root>/snapshot/<YYYYmmdd_HHMMSS>/
+  * }}}
+  *
+  * Snapshot resolution (`timefly.py:337-352`): given time t, pick the
+  * FIRST snapshot with id > t; if none, `current`. (Deliberately "next
+  * snapshot after t", not "latest before t" — replicated exactly.)
+  *
+  * Scale note: the reference snapshots by copying data
+  * (`timefly.py:301-304`). We keep that observable behavior (tests run at
+  * toy scale) but `addSnapshot(manifestOnly = true)` records only the file
+  * list — the 100 TB path, where a snapshot is metadata, not a copy.
+  */
+final class TimeFly(spark: SparkSession, root: String) {
+
+  import TimeFly._
+
+  private val rootPath = new Path(root)
+  private def fs =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val metaPath = new Path(root, "_dataset.json")
+
+  def currentPath: String = new Path(root, "current").toString
+  def snapshotPath(id: String): String =
+    new Path(new Path(root, "snapshot"), id).toString
+
+  // ---- metadata codec -----------------------------------------------------
+
+  def readMeta(): ObjectNode = {
+    val in = fs.open(metaPath)
+    try mapper.readTree(in).asInstanceOf[ObjectNode]
+    finally in.close()
+  }
+
+  def writeMeta(node: JsonNode): Unit = {
+    val out = fs.create(metaPath, true)
+    try out.write(
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+  }
+
+  def exists(): Boolean = fs.exists(metaPath)
+
+  // ---- lifecycle ----------------------------------------------------------
+
+  /** Create `_dataset.json` + `current/` + `snapshot/`
+    * (`timefly.py:130-156`). Migrates loose data files at the root into
+    * `current/` like `create_current` (`timefly.py:158-217`). */
+  def init(name: String, description: String = ""): TimeFly = {
+    fs.mkdirs(new Path(root, "current"))
+    fs.mkdirs(new Path(root, "snapshot"))
+    // adopt loose files at the root
+    if (fs.exists(rootPath)) {
+      fs.listStatus(rootPath)
+        .filter(s => s.isFile && isDataFile(s))
+        .foreach { s =>
+          fs.rename(s.getPath, new Path(currentPath, s.getPath.getName))
+        }
+    }
+    val node = mapper.createObjectNode()
+    val ds = node.putObject("dataset")
+    ds.put("name", name)
+    ds.put("init", nowId())
+    ds.put("description", description)
+    ds.put("path", root)
+    val cur = node.putObject("current")
+    cur.put("created", nowId())
+    cur.put("format", "parquet")
+    val snap = node.putObject("snapshot")
+    snap.putArray("available")
+    snap.putArray("deleted")
+    writeMeta(node)
+    this
+  }
+
+  /** Record the latest write's config in the `current` section
+    * (`timefly.py:219-237`; invoked after each dataset write like
+    * `TimeFlyWriter.write_dataset`, `writer.py:646-687`). */
+  def updateCurrent(kv: (String, String)*): Unit = {
+    val node = readMeta()
+    val cur = node.withObject("/current")
+    kv.foreach { case (k, v) => cur.put(k, v) }
+    cur.put("latest_update", nowId())
+    writeMeta(node)
+  }
+
+  /** Copy `current/` to `snapshot/<id>/` and record it
+    * (`timefly.py:245-310`). With `manifestOnly`, record the file list
+    * instead of copying — the metadata-only variant for real scale. */
+  def addSnapshot(manifestOnly: Boolean = false): String = {
+    val id = nowId()
+    val node = readMeta()
+    val snap = node.withObject("/snapshot")
+    val entry = snap.putObject(id)
+    entry.put("created", id)
+    entry.put("manifest_only", manifestOnly)
+    if (manifestOnly) {
+      val files = entry.putArray("files")
+      SchemaTools.listDataFiles(spark, currentPath).foreach(files.add)
+    } else {
+      val dst = new Path(snapshotPath(id))
+      fs.mkdirs(dst.getParent)
+      FileUtil.copy(fs, new Path(currentPath), fs, dst, false, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    snap.withArray("available").add(id)
+    writeMeta(node)
+    id
+  }
+
+  /** Delete a snapshot's files and move its id available -> deleted
+    * (`timefly.py:312-325`). */
+  def deleteSnapshot(id: String): Unit = {
+    fs.delete(new Path(snapshotPath(id)), true)
+    val node = readMeta()
+    val snap = node.withObject("/snapshot")
+    val avail = snap.withArray("available")
+    val kept = mapper.createArrayNode()
+    avail.forEach(n => if (n.asText() != id) kept.add(n))
+    snap.set("available", kept)
+    snap.withArray("deleted").add(id)
+    snap.remove(id)
+    writeMeta(node)
+  }
+
+  /** Restore a snapshot into `current/` (`timefly.py:354-387`). */
+  def loadSnapshot(id: String): Unit = {
+    val src = new Path(snapshotPath(id))
+    require(fs.exists(src), s"snapshot $id does not exist")
+    fs.delete(new Path(currentPath), true)
+    FileUtil.copy(fs, src, fs, new Path(currentPath), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    updateCurrent("restored_from" -> id)
+  }
+
+  def availableSnapshots(): Seq[String] = {
+    if (!exists()) return Nil
+    val arr = readMeta().withObject("/snapshot").withArray("available")
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    arr.forEach(n => buf += n.asText())
+    buf.toSeq.sorted
+  }
+
+  /** Resolution rule T6 (`timefly.py:337-352`): first snapshot with
+    * id > t, else current. */
+  def resolveSubpath(asOf: Option[String]): String = asOf match {
+    case None => currentPath
+    case Some(t) =>
+      val tid = normalizeId(t)
+      availableSnapshots().find(_ > tid) match {
+        case Some(id) => snapshotPath(id)
+        case None => currentPath
+      }
+  }
+
+  /** Read the dataset as of a point in time. */
+  def read(asOf: Option[String] = None): DataFrame =
+    spark.read.parquet(resolveSubpath(asOf))
+
+  def reader(asOf: Option[String] = None): LakeReader =
+    LakeReader(spark, resolveSubpath(asOf))
+
+  def writer(mode: WriteMode = WriteMode.Append): LakeWriter =
+    LakeWriter(spark, currentPath, mode)
+}
+
+object TimeFly {
+  private[lake] val mapper = new ObjectMapper()
+  private val idFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+
+  /** Snapshot id format `%Y%m%d_%H%M%S` (`timefly.py:72-78`). */
+  def nowId(): String =
+    LocalDateTime.ofInstant(Instant.now(), ZoneOffset.UTC).format(idFmt)
+
+  /** Accept either a snapshot id or an ISO timestamp as the as-of point. */
+  def normalizeId(t: String): String =
+    if (t.matches("\\d{8}_\\d{6}")) t
+    else LocalDateTime.parse(t.replace(' ', 'T')).format(idFmt)
+
+  private def isDataFile(s: FileStatus): Boolean = {
+    val n = s.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  def apply(spark: SparkSession, root: String): TimeFly =
+    new TimeFly(spark, root)
+}

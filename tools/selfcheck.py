@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's t2 correctness gate.
+
+Runs DuckDB on each oracle_sql.json entry against the sf tables and
+compares with the Spark parquet dumps produced by graft.Verify:
+columns sorted by name, exact value equality (strictest possible —
+if this passes, any reasonable driver compare passes).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+with open(f"{OUT_DIR}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails, passes = [], []
+import glob
+for name, sql in sorted(oracles.items()):
+    try:
+        want = con.execute(sql).df()
+        got_files = glob.glob(f"{OUT_DIR}/{name}/*.parquet")
+        if not got_files:
+            fails.append((name, "no spark output"))
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({got_files!r})").df()
+        w, g = normalize(want), normalize(got)
+        if list(w.columns) != list(g.columns):
+            fails.append((name, f"columns differ: oracle={list(w.columns)} "
+                                f"spark={list(g.columns)}"))
+            continue
+        if len(w) != len(g):
+            fails.append((name, f"row count differs: oracle={len(w)} "
+                                f"spark={len(g)}"))
+            continue
+        # exact compare, column by column
+        bad = None
+        for c in w.columns:
+            wc, gc = w[c], g[c]
+            if str(wc.dtype) != str(gc.dtype):
+                bad = f"dtype[{c}]: oracle={wc.dtype} spark={gc.dtype}"
+                break
+            neq = ~((wc == gc) | (wc.isna() & gc.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                bad = (f"value[{c}] row {i}: oracle={wc[i]!r} "
+                       f"spark={gc[i]!r} ({int(neq.sum())} diffs)")
+                break
+        if bad:
+            fails.append((name, bad))
+        else:
+            passes.append(name)
+    except Exception as e:
+        fails.append((name, f"EXC: {e}"))
+
+# queries without oracle → rows-only check
+with_oracle = set(oracles)
+for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
+    name = d.rstrip("/").split("/")[-1]
+    if name in with_oracle:
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] \
+        if files else 0
+    status = "rows-only PASS" if n > 0 else "rows-only FAIL (0 rows)"
+    (passes if n > 0 else fails).append(
+        (name, status) if n == 0 else name)
+    print(f"  [{status}] {name} ({n} rows)")
+
+print(f"\n== {len(passes)} PASS, {len(fails)} FAIL ==")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+sys.exit(1 if fails else 0)
