@@ -105,10 +105,14 @@ final case class LakeWriter(
     val prepared = transform(pipeline(df))
     val (toWrite, saveMode) = mode match {
       case WriteMode.Raise =>
+        // Our emptiness check IS the raise semantics (the reference raises
+        // only when the dataset holds data, writer.py:113-124). Spark's
+        // ErrorIfExists would also fail on an existing-but-empty dir, so
+        // write with Append once the check has passed.
         if (targetHasData)
           throw new IllegalStateException(
             s"dataset at $path already exists (mode=raise)")
-        (prepared, SaveMode.ErrorIfExists)
+        (prepared, SaveMode.Append)
       case WriteMode.Overwrite => (prepared, SaveMode.Overwrite)
       case WriteMode.Append => (prepared, SaveMode.Append)
       case d: WriteMode.Delta => (deltaDiff(prepared, d), SaveMode.Append)

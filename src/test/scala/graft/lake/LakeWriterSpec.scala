@@ -1,0 +1,113 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LakeWriterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def df3 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+
+  test("raise mode fails when target has data") {
+    val dir = TestSpark.tempDir("raise")
+    LakeWriter(spark, dir, WriteMode.Raise).write(df3)
+    assertThrows[IllegalStateException] {
+      LakeWriter(spark, dir, WriteMode.Raise).write(df3)
+    }
+  }
+
+  test("overwrite replaces, append accumulates") {
+    val dir = TestSpark.tempDir("ow")
+    LakeWriter(spark, dir, WriteMode.Append).write(df3)
+    LakeWriter(spark, dir, WriteMode.Append).write(df3)
+    assert(spark.read.parquet(dir).count() == 6)
+    LakeWriter(spark, dir, WriteMode.Overwrite).write(df3)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("delta full-row writes only new rows; idempotent") {
+    val dir = TestSpark.tempDir("delta")
+    val delta = WriteMode.Delta()
+    LakeWriter(spark, dir, delta).write(df3)
+    assert(spark.read.parquet(dir).count() == 3)
+    // second write of same data: nothing new -> still 3
+    LakeWriter(spark, dir, delta).write(df3)
+    assert(spark.read.parquet(dir).count() == 3)
+    // overlapping batch: only id=4 is new
+    LakeWriter(spark, dir, delta)
+      .write(Seq((3, "c"), (4, "d")).toDF("id", "v"))
+    val rows = spark.read.parquet(dir).as[(Int, String)].collect().sorted
+    assert(rows.toSeq == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+  }
+
+  test("delta on subset key skips rows whose key exists even if payload differs") {
+    val dir = TestSpark.tempDir("deltak")
+    val delta = WriteMode.Delta(subset = Seq("id"))
+    LakeWriter(spark, dir, delta).write(df3)
+    LakeWriter(spark, dir, delta)
+      .write(Seq((3, "CHANGED"), (9, "z")).toDF("id", "v"))
+    val byId = spark.read.parquet(dir).as[(Int, String)].collect().toMap
+    assert(byId == Map(1 -> "a", 2 -> "b", 3 -> "c", 9 -> "z"))
+  }
+
+  test("delta bounded by timestamp window only diffs inside the window") {
+    val dir = TestSpark.tempDir("deltats")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val existing = Seq(
+      (1, t("2024-01-01 00:00:00")),
+      (2, t("2024-01-02 00:00:00"))
+    ).toDF("id", "ts")
+    LakeWriter(spark, dir, WriteMode.Append).write(existing)
+    // incoming window covers only 2024-01-02; id=2 dup is dropped, 5 kept
+    val incoming = Seq(
+      (2, t("2024-01-02 00:00:00")),
+      (5, t("2024-01-02 06:00:00"))
+    ).toDF("id", "ts")
+    LakeWriter(spark, dir, WriteMode.Delta(onColumn = Some("ts")))
+      .write(incoming)
+    val ids = spark.read.parquet(dir).select("id").as[Int].collect().sorted
+    assert(ids.toSeq == Seq(1, 2, 5))
+  }
+
+  test("hive-partitioned write round-trips with partition pruning") {
+    val dir = TestSpark.tempDir("part")
+    val df = Seq((1, "x", "p1"), (2, "y", "p2"), (3, "z", "p1"))
+      .toDF("id", "v", "p")
+    LakeWriter(spark, dir, WriteMode.Overwrite, partitionBy = Seq("p"))
+      .write(df)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    val pruned = back.filter($"p" === "p1")
+    assert(pruned.count() == 2)
+    // partition pruning visible in the plan: only p=p1 in PartitionFilters
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
+  test("pipeline + transform hooks run before write") {
+    val dir = TestSpark.tempDir("hook")
+    LakeWriter(
+      spark, dir, WriteMode.Overwrite,
+      pipeline = Pipeline().drop("v"),
+      transform = _.withColumn("doubled",
+        org.apache.spark.sql.functions.col("id") * 2)
+    ).write(df3)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSeq.sorted == Seq("doubled", "id"))
+  }
+
+  test("writeBatched splits by time interval, write-mode applied per window") {
+    val dir = TestSpark.tempDir("batched")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1, t("2024-01-01 00:00:00")),
+      (2, t("2024-01-15 00:00:00")),
+      (3, t("2024-02-10 00:00:00"))
+    ).toDF("id", "ts")
+    LakeWriter(spark, dir, WriteMode.Append).writeBatched(df, "ts", "1 month")
+    val ids = spark.read.parquet(dir).select("id").as[Int].collect().sorted
+    assert(ids.toSeq == Seq(1, 2, 3))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.lake
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SchemaToolsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("promotion ladder: numeric ranks") {
+    assert(SchemaTools.promote(IntegerType, LongType) == LongType)
+    assert(SchemaTools.promote(ByteType, ShortType) == ShortType)
+    assert(SchemaTools.promote(LongType, FloatType) == FloatType)
+    assert(SchemaTools.promote(FloatType, DoubleType) == DoubleType)
+    assert(SchemaTools.promote(DoubleType, DoubleType) == DoubleType)
+  }
+
+  test("promotion ladder: string is top") {
+    assert(SchemaTools.promote(LongType, StringType) == StringType)
+    assert(SchemaTools.promote(StringType, DoubleType) == StringType)
+    assert(SchemaTools.promote(TimestampType, StringType) == StringType)
+  }
+
+  test("promotion: date widens to timestamp") {
+    assert(SchemaTools.promote(DateType, TimestampType) == TimestampType)
+  }
+
+  test("promote is commutative") {
+    val types = Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
+      DoubleType, StringType, BooleanType)
+    for (a <- types; b <- types)
+      assert(SchemaTools.promote(a, b) == SchemaTools.promote(b, a),
+        s"promote($a,$b)")
+  }
+
+  test("unifySchemas: name union, sorted, promoted") {
+    val a = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", LongType)))
+    val b = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("extra", DoubleType)))
+    val u = SchemaTools.unifySchemas(Seq(a, b))
+    assert(u.fieldNames.toSeq == Seq("extra", "id", "v"))
+    assert(u("id").dataType == LongType)
+    assert(u("v").dataType == StringType)
+    assert(u("extra").dataType == DoubleType)
+  }
+
+  test("readUnified over heterogeneous fragments") {
+    val dir = TestSpark.tempDir("unify")
+    Seq((1, 10L)).toDF("id", "v")
+      .write.parquet(s"$dir/f1")
+    Seq((2L, "x", 1.5)).toDF("id", "v", "extra")
+      .write.parquet(s"$dir/f2")
+    // move the files into one flat dir
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val flat = new org.apache.hadoop.fs.Path(s"$dir/flat")
+    fs.mkdirs(flat)
+    var i = 0
+    for (sub <- Seq("f1", "f2")) {
+      SchemaTools.listDataFiles(spark, s"$dir/$sub").foreach { f =>
+        fs.rename(new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.fs.Path(flat, s"part-$i.parquet"))
+        i += 1
+      }
+    }
+    val df = SchemaTools.readUnified(spark, s"$dir/flat")
+    assert(df.columns.toSeq == Seq("extra", "id", "v"))
+    assert(df.schema("id").dataType == LongType)
+    assert(df.schema("v").dataType == StringType)
+    assert(df.count() == 2)
+    val ids = df.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("schema map codec round-trips") {
+    val st = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", TimestampType)))
+    val back = SchemaTools.schemaFromMap(SchemaTools.schemaToMap(st))
+    assert(back.fields.map(f => (f.name, f.dataType)).toSet ==
+      st.fields.map(f => (f.name, f.dataType)).toSet)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TimeFlySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("init creates metadata + dirs and adopts loose files") {
+    val dir = TestSpark.tempDir("tf")
+    // loose data at the root, like a pre-TimeFly dataset
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$dir/loose")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    SchemaTools.listDataFiles(spark, s"$dir/loose").zipWithIndex.foreach {
+      case (f, i) =>
+        fs.rename(new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.fs.Path(s"$dir/part-$i.parquet"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/loose"), true)
+
+    val tf = TimeFly(spark, dir).init("t1")
+    assert(tf.exists())
+    assert(tf.read().count() == 1) // loose file migrated into current/
+    val meta = tf.readMeta()
+    assert(meta.at("/dataset/name").asText() == "t1")
+  }
+
+  test("snapshot add / restore round-trip") {
+    val dir = TestSpark.tempDir("tfsnap")
+    val tf = TimeFly(spark, dir).init("t2")
+    tf.writer(WriteMode.Append).write(Seq((1, "a")).toDF("id", "v"))
+    val snap = tf.addSnapshot()
+    tf.writer(WriteMode.Append).write(Seq((2, "b")).toDF("id", "v"))
+    assert(tf.read().count() == 2)
+    tf.loadSnapshot(snap)
+    assert(tf.read().count() == 1) // restored to pre-append state
+    assert(tf.readMeta().at("/current/restored_from").asText() == snap)
+  }
+
+  test("resolution rule T6: first snapshot with id > t, else current") {
+    val dir = TestSpark.tempDir("tfres")
+    val tf = TimeFly(spark, dir).init("t3")
+    tf.writer(WriteMode.Append).write(Seq((1, "a")).toDF("id", "v"))
+    // fabricate two snapshots with known ids (bypass wall clock)
+    val node = tf.readMeta()
+    val snap = node.withObject("/snapshot")
+    for (id <- Seq("20240101_000000", "20240601_000000")) {
+      snap.putObject(id).put("created", id)
+      snap.withArray("available").add(id)
+    }
+    tf.writeMeta(node)
+
+    // t before both -> FIRST snapshot after t (the earliest one)
+    assert(tf.resolveSubpath(Some("20230101_000000"))
+      .endsWith("snapshot/20240101_000000"))
+    // t between -> the later snapshot
+    assert(tf.resolveSubpath(Some("2024-03-01T00:00:00"))
+      .endsWith("snapshot/20240601_000000"))
+    // t after all -> current
+    assert(tf.resolveSubpath(Some("20250101_000000")) == tf.currentPath)
+    // no as-of -> current
+    assert(tf.resolveSubpath(None) == tf.currentPath)
+  }
+
+  test("deleteSnapshot moves id to deleted and removes files") {
+    val dir = TestSpark.tempDir("tfdel")
+    val tf = TimeFly(spark, dir).init("t4")
+    tf.writer(WriteMode.Append).write(Seq((1, "a")).toDF("id", "v"))
+    val snap = tf.addSnapshot()
+    assert(tf.availableSnapshots() == Seq(snap))
+    tf.deleteSnapshot(snap)
+    assert(tf.availableSnapshots().isEmpty)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tf.snapshotPath(snap))))
+    val deleted = tf.readMeta().at("/snapshot/deleted")
+    assert(deleted.get(0).asText() == snap)
+  }
+
+  test("manifest-only snapshot records files without copying") {
+    val dir = TestSpark.tempDir("tfman")
+    val tf = TimeFly(spark, dir).init("t5")
+    tf.writer(WriteMode.Append).write(Seq((1, "a")).toDF("id", "v"))
+    val snap = tf.addSnapshot(manifestOnly = true)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // no copied data dir
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tf.snapshotPath(snap))))
+    val files = tf.readMeta().at(s"/snapshot/$snap/files")
+    assert(files.size() > 0)
+  }
+}

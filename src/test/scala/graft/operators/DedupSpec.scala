@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different text about spark and scala engines here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical keys, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("keep_id", "dup_cnt").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 3)
+    assert(out.head == ((1L, 2L))) // docs 1+2 collapse, keep id 1
+  }
+
+  test("exactKeepFirst keeps one full row per key") {
+    val out = Dedup.exactKeepFirst(docs, Seq("text"), Seq(col("doc_id").asc))
+    assert(out.count() == 3)
+    assert(out.filter($"doc_id" === 2L).isEmpty)
+  }
+
+  test("ngram Jaccard: identical docs score 1.0, near-dups high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.2)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH recovers the planted dup pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signature of identical text is identical") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+      .select("doc", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("simhash: identical text -> distance 0; near-dup within small distance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 16)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs(((1L, 2L))) == 0)
+    assert(pairs.get((1L, 3L)).forall(_ <= 16))
+  }
+}
