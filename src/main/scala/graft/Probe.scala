@@ -13,9 +13,14 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val e = SparkEntry.entry(spark)
-    println(s"entry rows: ${e.count()}")
-    e.show(5, truncate = false)
+    // warm up the session so JIT/session init doesn't pollute timings
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for (q <- Seq("d04_ngram_jaccard", "d06_minhash_lsh", "d07_simhash");
+         sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, sf).count()
+      println(f"$q%-20s $sf%-28s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
