@@ -96,20 +96,49 @@ object TextFunctions {
     }._2
   }
 
-  /** Document fingerprint: order-sensitive polynomial rolling hash over
-    * tokens, h = (h*31 + xxhash64(token)) mod 2^40 — the modulus keeps the
-    * fold inside long range under ANSI arithmetic. */
-  def fingerprint(text: Column): Column = {
-    val M = 1L << 40
-    aggregate(
-      tokens(text),
-      lit(0L),
-      (h, t) => pmod(h * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M))
-    )
-  }
+  /** Modulus for the portable polynomial hashes: Mersenne prime 2^31-1. */
+  val HashP: Long = 2147483647L
 
-  /** Bag-of-words fingerprint: order-insensitive (sorted distinct tokens
-    * hashed as one string) — near-dup-stable under shuffling. */
+  /** Portable polynomial character hash — identical arithmetic is
+    * expressible in any ANSI-ish SQL engine (the DuckDB oracles compute
+    * the same fold): left fold over codepoints,
+    * `h = (h*base + codepoint(i)) mod (2^31-1)`.
+    *
+    * Every intermediate stays < 2^39, safe under ANSI long arithmetic.
+    * Used instead of engine-specific hashes (xxhash64) wherever the result
+    * value itself must be oracle-verifiable across engines; for
+    * join-key-only hashing (where values never surface) prefer the faster
+    * codegen'd `xxhash64`. */
+  def charFold(s: Column, base: Int): Column =
+    when(
+      length(s) > 0,
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
+        lit(0L),
+        (h, c) => pmod(h * lit(base.toLong) + c, lit(HashP))
+      )
+    ).otherwise(lit(0L))
+
+  /** 62-bit portable token hash: two independent char folds packed as
+    * `f_131 + (f_137 << 31)`. */
+  def tokenHash62(t: Column): Column =
+    charFold(t, 131) + shiftleft(charFold(t, 137), 31)
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * the full character stream, `h = (h*131 + code) mod (2^31-1)` —
+    * portable, so the d08 DuckDB oracle verifies the exact values. */
+  def fingerprint(text: Column): Column = charFold(text, 131)
+
+  /** Bag-of-words fingerprint: order-insensitive sum of per-token char
+    * folds (base 137) over the distinct token set, mod 2^31-1 —
+    * near-dup-stable under token shuffling, portable across engines. */
   def bagFingerprint(text: Column): Column =
-    xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    pmod(
+      aggregate(
+        array_distinct(tokens(text)),
+        lit(0L),
+        (h, t) => h + charFold(t, 137)
+      ),
+      lit(HashP)
+    )
 }

@@ -36,15 +36,23 @@ object VectorFunctions {
       )
     )
 
+  /** Deterministic SRP hyperplanes (driver-side, tiny: nBits x dim
+    * doubles). Exposed so the e03 oracle SQL can embed the exact same
+    * plane values as literals — the Spark plan and the DuckDB oracle then
+    * compute identical projections. */
+  def srpPlanes(dim: Int, nBits: Int, seed: Long = 42L)
+      : Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Sign-random-projection bucket (LSH for cosine): `nBits` hyperplanes,
     * deterministic from `seed`; returns a long bucket id. Planes are
     * generated driver-side and inlined as literals — tiny (nBits x dim
     * doubles) and broadcast with the plan. */
   def srpBucket(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L)
       : Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = srpPlanes(dim, nBits, seed)
     planes.zipWithIndex
       .map { case (p, i) =>
         val planeLit = array(p.map(lit(_)): _*)

@@ -62,7 +62,13 @@ final case class LakeWriter(
   /** Rows of `df` not present in the existing dataset — the reference's
     * `get_tables_diff` (`utils/table.py:158-189`), one `left_anti` join
     * instead of its EXCEPT + semi-join dance. DuckDB EXCEPT is
-    * set-distinct, so the full-row variant dedups `df` first. */
+    * set-distinct, so the full-row variant dedups `df` first.
+    *
+    * Both branches join with null-safe equality (`<=>`): DuckDB EXCEPT and
+    * polars `struct.is_in` treat NULLs as equal, so a NULL-keyed row that
+    * already exists must NOT be re-appended (a plain equi-join would never
+    * match it, making delta appends non-idempotent for NULL-bearing data).
+    */
   private def deltaDiff(df: DataFrame, d: WriteMode.Delta): DataFrame = {
     if (!targetHasData) return df
     var existing = spark.read.parquet(path)
@@ -74,6 +80,18 @@ final case class LakeWriter(
       if (lo != null)
         existing = existing.filter(col(ts) >= lit(lo) && col(ts) <= lit(hi))
     }
+    def antiNullSafe(
+        left: DataFrame,
+        right: DataFrame,
+        on: Seq[String]
+    ): DataFrame = {
+      val l = left.as("__dl")
+      val r = right.as("__dr")
+      val cond = on
+        .map(c => col(s"__dl.`$c`") <=> col(s"__dr.`$c`"))
+        .reduce(_ && _)
+      l.join(r, cond, "left_anti")
+    }
     if (d.subset.nonEmpty) {
       val keyed =
         if (d.castKeysToString)
@@ -84,16 +102,17 @@ final case class LakeWriter(
           (x: DataFrame) =>
             d.subset.foldLeft(x)((acc, c) => acc.withColumn(s"__k_$c", col(c)))
       val keys = d.subset.map(c => s"__k_$c")
-      keyed(df)
-        .join(
-          broadcastIfSmall(keyed(existing).select(keys.map(col): _*).distinct()),
-          keys,
-          "left_anti"
-        )
-        .drop(keys: _*)
+      antiNullSafe(
+        keyed(df),
+        broadcastIfSmall(keyed(existing).select(keys.map(col): _*).distinct()),
+        keys
+      ).drop(keys: _*)
     } else {
-      df.dropDuplicates()
-        .join(existing.select(df.columns.map(col): _*), df.columns.toSeq, "left_anti")
+      antiNullSafe(
+        df.dropDuplicates(),
+        existing.select(df.columns.map(col): _*),
+        df.columns.toSeq
+      )
     }
   }
 

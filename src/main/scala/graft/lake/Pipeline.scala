@@ -75,8 +75,15 @@ final case class Pipeline(
       case Some(Left(_)) => d1.dropDuplicates()
       case Some(Right(spec)) =>
         // "keep last after sort" == "keep first after reversed sort":
-        // one window pass either way.
-        val base = spec.presort.getOrElse(SortSpec.asc(spec.subset: _*))
+        // one window pass either way. With no presort the reference keeps
+        // an arbitrary row (polars groupby order); we instead order by all
+        // non-key columns so keep-first/last is well-defined and stable
+        // across runs and partitionings. If every column is a key, the
+        // rows within a partition are identical and any pick is exact.
+        val base = spec.presort.getOrElse {
+          val rest = d1.columns.filterNot(spec.subset.contains).toSeq
+          SortSpec.asc((if (rest.nonEmpty) rest else spec.subset): _*)
+        }
         val order = if (spec.keepLast) base.reversed else base
         val w = Window
           .partitionBy(spec.subset.map(col): _*)

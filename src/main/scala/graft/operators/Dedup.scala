@@ -64,21 +64,31 @@ object Dedup {
       threshold: Double = 0.2,
       maxShingleDf: Int = 0
   ): DataFrame = {
+    // Hash each shingle to a 64-bit key up front: the self-join then
+    // shuffles and compares fixed-width longs instead of full n-gram
+    // strings (≈4× less shuffle IO, codegen'd long equality). Distinct
+    // shingles collide with probability ~ |shingles|²/2^64 — negligible
+    // even at 100 TB corpus scale.
     val sh = shingleRows(df, idCol, textCol, n)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
     val shPruned =
       if (maxShingleDf > 0) {
         val hot = sh
-          .groupBy("shingle")
+          .groupBy("sh")
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf)
-          .select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
       } else sh
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    // Sizes come from the SAME (pruned) universe as the intersections, so
+    // Jaccard is exactly |A∩B|/|A∪B| over the pruned shingle sets. (When
+    // maxShingleDf > 0 this redefines each doc's shingle set as the pruned
+    // one — unpruned denominators would systematically deflate Jaccard.)
+    val sizes = shPruned.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = shPruned
       .as("a")
       .join(shPruned.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
       .agg(count(lit(1)).as("n_both"))
     inter
@@ -95,9 +105,18 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signatures: `numHashes` seeded xxhash64 min-hashes over the
-    * shingle set, computed as one groupBy with `numHashes` min-aggregates
-    * (single shuffle on doc id). */
+  /** MinHash signatures: `numHashes` min-hashes over the shingle set,
+    * computed as one groupBy with `numHashes` min-aggregates (single
+    * shuffle on doc id).
+    *
+    * The hash family is the standard 2-universal combine (Broder):
+    * `h_i(s) = (f131(s) + i * f137(s)) mod (2^31-1)` over two portable
+    * char-fold base hashes — each shingle is hashed twice, not
+    * `numHashes` times, and the values are reproducible in the DuckDB
+    * oracle (d06). The mod-prime reduction is essential: without it the
+    * h_i orderings for large i all degenerate to the f137 ordering and
+    * the per-band decisions stop being independent. Intermediates stay
+    * < 2^38: ANSI-safe. */
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
@@ -106,8 +125,14 @@ object Dedup {
       shingleN: Int = 3
   ): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)
+      .select(
+        col("doc"),
+        TextFunctions.charFold(col("shingle"), 131).as("f1"),
+        TextFunctions.charFold(col("shingle"), 137).as("f2")
+      )
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      min(pmod(col("f1") + lit(i.toLong) * col("f2"),
+        lit(TextFunctions.HashP))).as(s"h$i"))
     sh.groupBy("doc")
       .agg(aggs.head, aggs.tail: _*)
       .select(
@@ -128,16 +153,21 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 32,
       shingleN: Int = 3,
       threshold: Double = 0.2
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    // Portable band hash: polynomial fold of the band's minhash values
+    // mod 2^31-1 (values < 2^38, fold intermediates < 2^40 — ANSI-safe).
     val bandHashes = (0 until bands).map(b =>
-      xxhash64(concat_ws(",",
-        slice(col("sig"), b * rows + 1, rows).cast("array<string>"))))
+      aggregate(
+        slice(col("sig"), b * rows + 1, rows),
+        lit(0L),
+        (a, m) => pmod(a * lit(131L) + m, lit(TextFunctions.HashP))
+      ))
     val banded = sigs.select(
       col("doc"),
       col("sig"),
@@ -169,13 +199,20 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
-  /** 64-bit SimHash over tokens: per bit, sum +1/-1 weighted by the bit of
-    * each token hash; sign -> bit. Computed per-doc with higher-order
-    * functions — no shuffle at all for signature computation. */
-  def simhash(text: Column): Column = {
-    val tk = TextFunctions.tokens(text)
-    val hashes = transform(tk, t => xxhash64(t))
-    (0 until 64)
+  /** SimHash signature width: 56 bits of the 62-bit portable token hash —
+    * divisible by the pigeonhole chunk counts for maxDist ∈ {1,3,6,7,13}
+    * and verifiable bit-for-bit by the DuckDB oracle (d07). */
+  val SimhashBits: Int = 56
+
+  /** SimHash over a precomputed array of token hashes: per bit, sum +1/-1
+    * by that bit of each token hash; sign -> bit. Computed per-doc with
+    * higher-order functions — no shuffle at all for signatures. Taking the
+    * hash array as input (rather than hashing inside) matters: the `bits`
+    * per-bit vote expressions each reference the array, and keeping the
+    * hashing in its own projection stops Catalyst's CollapseProject from
+    * inlining (and re-evaluating) the token hashing `bits` times. */
+  def simhashFromHashes(hashes: Column, bits: Int = SimhashBits): Column =
+    (0 until bits)
       .map { b =>
         val vote = aggregate(
           hashes,
@@ -186,12 +223,16 @@ object Dedup {
         when(vote > 0, lit(1L << b)).otherwise(lit(0L))
       }
       .reduce(_ + _)
-  }
+
+  /** SimHash of a text column (portable token hashes). */
+  def simhash(text: Column): Column =
+    simhashFromHashes(
+      transform(TextFunctions.tokens(text), t => TextFunctions.tokenHash62(t)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by the
-    * pigeonhole band trick: split the 64-bit signature into `maxDist + 1`
-    * chunks — any pair within distance shares at least one exact chunk, so
-    * the join is keyed on (chunk index, chunk value), never all-pairs. */
+    * pigeonhole band trick: split the signature into `maxDist + 1` chunks
+    * — any pair within distance shares at least one exact chunk, so the
+    * join is keyed on (chunk index, chunk value), never all-pairs. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -199,9 +240,15 @@ object Dedup {
       maxDist: Int = 3
   ): DataFrame = {
     val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
-    val sigs = df.select(col(idCol).as("doc"),
-      simhash(col(textCol)).as("sig"))
+    require(SimhashBits % chunks == 0,
+      s"maxDist+1 must divide $SimhashBits")
+    val bitsPer = SimhashBits / chunks
+    val sigs = df
+      .select(
+        col(idCol).as("doc"),
+        transform(TextFunctions.tokens(col(textCol)),
+          t => TextFunctions.tokenHash62(t)).as("__th"))
+      .select(col("doc"), simhashFromHashes(col("__th")).as("sig"))
     val chunkCols = (0 until chunks).map(c =>
       shiftright(col("sig"), c * bitsPer)
         .bitwiseAND(lit((1L << bitsPer) - 1)))
@@ -221,7 +268,8 @@ object Dedup {
       .select(
         col("a.doc").as("id1"),
         col("b.doc").as("id2"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming")
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming")
       )
       .dropDuplicates("id1", "id2")
       .filter(col("hamming") <= maxDist)

@@ -53,22 +53,30 @@ object EventStream {
       )
 
   /** Per-user session rollup with explicit state (gap timeout closes the
-    * session): the `mapGroupsWithState` pattern for custom state at scale
-    * — state is partitioned by key, never driver-side. */
+    * session): the `flatMapGroupsWithState` pattern for custom state at
+    * scale — state is partitioned by key, never driver-side.
+    *
+    * Uses an event-time timeout driven by the watermark: when no event for
+    * a user arrives within the gap, the timeout branch emits the open
+    * session and clears the state — so the trailing session per user is
+    * flushed and per-user state cannot grow without bound (with NoTimeout
+    * it would be retained forever and the last session never emitted). */
   def sessionize(
       spark: SparkSession,
       events: DataFrame,
-      gapMs: Long = 30 * 60 * 1000L
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"
   ): DataFrame = {
     import spark.implicits._
     val typed = events
       .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
       .as[Event]
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout
+        GroupStateTimeout.EventTimeTimeout
       )(updateSession(gapMs))
       .toDF()
   }
@@ -85,23 +93,40 @@ object EventStream {
       events: Iterator[Event],
       state: GroupState[SessionState]
   ): Iterator[SessionSummary] = {
-    val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
-    var cur = state.getOption
-    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case Some(s) if t - s.lastTs > gapMs =>
-          out += SessionSummary(userId, s.nEvents, s.totalValue,
-            new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs))
-          cur = Some(SessionState(1, e.value, t, t))
-        case Some(s) =>
-          cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
-            s.firstTs, t))
-        case None =>
-          cur = Some(SessionState(1, e.value, t, t))
+    def summary(s: SessionState) =
+      SessionSummary(userId, s.nEvents, s.totalValue,
+        new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs))
+    if (state.hasTimedOut) {
+      // Gap elapsed (watermark passed lastTs + gap): flush the open
+      // session and drop the state.
+      val out = state.getOption.map(summary).iterator
+      state.remove()
+      out
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+      var cur = state.getOption
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs > gapMs =>
+            out += summary(s)
+            cur = Some(SessionState(1, e.value, t, t))
+          case Some(s) =>
+            cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+              s.firstTs, t))
+          case None =>
+            cur = Some(SessionState(1, e.value, t, t))
+        }
       }
+      cur.foreach { s =>
+        state.update(s)
+        // Close the session once the watermark passes the gap boundary
+        // (timeout must be set beyond the current watermark).
+        val target = s.lastTs + gapMs
+        val floor = state.getCurrentWatermarkMs() + 1
+        state.setTimeoutTimestamp(math.max(target, floor))
+      }
+      out.iterator
     }
-    cur.foreach(state.update)
-    out.iterator
   }
 }

@@ -52,6 +52,28 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(byId == Map(1 -> "a", 2 -> "b", 3 -> "c", 9 -> "z"))
   }
 
+  test("delta is idempotent for NULL-bearing rows (null-safe anti-join)") {
+    // DuckDB EXCEPT / polars is_in treat NULLs as equal: re-writing the
+    // same NULL-keyed row must not duplicate it (r1 ADVICE).
+    val dir = TestSpark.tempDir("deltanull")
+    val withNulls = Seq[(Option[Int], String)](
+      (Some(1), "a"), (None, "n")
+    ).toDF("id", "v")
+    LakeWriter(spark, dir, WriteMode.Delta()).write(withNulls)
+    LakeWriter(spark, dir, WriteMode.Delta()).write(withNulls)
+    assert(spark.read.parquet(dir).count() == 2)
+    // subset-key variant, without the cast-to-string key normalization
+    val dir2 = TestSpark.tempDir("deltanullk")
+    val delta = WriteMode.Delta(subset = Seq("id"))
+    LakeWriter(spark, dir2, delta).write(withNulls)
+    LakeWriter(spark, dir2, delta)
+      .write(Seq[(Option[Int], String)]((None, "CHANGED"), (Some(2), "b"))
+        .toDF("id", "v"))
+    val byId = spark.read.parquet(dir2).as[(Option[Int], String)]
+      .collect().toMap
+    assert(byId == Map(Some(1) -> "a", None -> "n", Some(2) -> "b"))
+  }
+
   test("delta bounded by timestamp window only diffs inside the window") {
     val dir = TestSpark.tempDir("deltats")
     val t = (s: String) => java.sql.Timestamp.valueOf(s)

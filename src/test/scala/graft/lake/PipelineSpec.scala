@@ -61,6 +61,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(2, 1, 3, 4))
   }
 
+  test("distinctOn without presort is deterministic (orders by non-key cols)") {
+    // r1 ADVICE: with no presort the window used to order by the constant
+    // partition keys, so the kept row was arbitrary. Now it orders by all
+    // non-key columns ascending (in column order: id, v, d) — so the
+    // smallest id per key wins regardless of partitioning.
+    val expected = Map("a" -> 1, "b" -> 3)
+    for (_ <- 1 to 3) {
+      val out = Pipeline()
+        .distinctOn(Seq("k"))(sample.repartition(7))
+        .select("k", "id").as[(String, Int)].collect().toMap
+      assert(out == expected)
+    }
+  }
+
   test("subset row count never exceeds input (property)") {
     for (keys <- Seq(Seq("k"), Seq("k", "v"), Seq("id"))) {
       val n = Pipeline().distinctOn(keys)(sample).count()

@@ -40,7 +40,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash LSH recovers the planted dup pairs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.2)
+        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.2)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
@@ -55,10 +55,11 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: identical text -> distance 0; near-dup within small distance") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 16)
-      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    // maxDist+1 must divide the 56-bit signature: 13 -> 14 chunks of 4
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 13)
+      .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
       .map(p => ((p._1, p._2), p._3)).toMap
     assert(pairs(((1L, 2L))) == 0)
-    assert(pairs.get((1L, 3L)).forall(_ <= 16))
+    assert(pairs.get((1L, 3L)).forall(_ <= 13))
   }
 }
