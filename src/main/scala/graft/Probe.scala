@@ -13,13 +13,14 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up the session so JIT/session init doesn't pollute timings
     spark.range(1000).selectExpr("sum(id)").collect()
-    for (q <- Seq("d04_ngram_jaccard", "d06_minhash_lsh", "d07_simhash");
-         sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+
+    for (rep <- 1 to 2;
+         q <- Seq("d04_ngram_jaccard", "d06_minhash_lsh", "d07_simhash",
+                  "d08_fingerprint", "e01_cosine_pairs", "e03_ann_srp")) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, sf).count()
-      println(f"$q%-20s $sf%-28s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
+      println(f"[probe] rep$rep $q%-20s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

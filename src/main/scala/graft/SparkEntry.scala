@@ -380,9 +380,12 @@ object SparkEntry {
     }),
 
     // SimHash near-dup pairs — portable 56-bit signature, bit-for-bit
-    // reproduced by the generated DuckDB oracle (d07Oracle)
+    // reproduced by the generated DuckDB oracle (d07Oracle). maxDist=3:
+    // 4 pigeonhole chunks of 14 bits — 16k bucket values, so candidate
+    // pairs stay near-linear. (maxDist=6 would mean 8-bit chunks = 256
+    // buckets: ~17M candidate pairs at 5k docs, quadratic blowup.)
     "d07_simhash" -> ((s, d) => {
-      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 6)
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)
         .orderBy("id1", "id2")
     }),
 
@@ -493,7 +496,7 @@ object SparkEntry {
 
   private def d07Oracle: String = {
     val bits = Dedup.SimhashBits
-    val maxDist = 6
+    val maxDist = 3
     val chunks = maxDist + 1
     val bitsPer = bits / chunks
     val mask = (1 << bitsPer) - 1

@@ -25,24 +25,36 @@ object TextFunctions {
     size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
       t => length(t) > 0))
 
-  /** Word n-gram shingles (distinct), the unit of near-dup detection.
-    * Guarded so texts shorter than n tokens yield an empty array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tk = tokens(text)
+  /** Word n-gram shingles (distinct) over a *materialized* token-array
+    * column. Callers must pass an attribute (a column produced by a prior
+    * projection), NOT an inline `split(...)` expression: higher-order
+    * functions are interpreted, and every reference to an inline `tk`
+    * inside the lambda would re-evaluate the split per element (measured
+    * ~6× slower on the documents fixture).
+    *
+    * The empty guard is `slice(tk, 1, max(size-n+1, 0))`, not
+    * `when(size >= n, ...)`: a conditional with array branches measured
+    * ~7× slower per pass, and `sequence(1, m)` with m <= 0 would produce
+    * a *descending* sequence rather than an empty one. */
+  def shinglesFromTokens(tk: Column, n: Int = 3): Column = {
+    val m = greatest(size(tk) - (n - 1), lit(0))
     array_distinct(
-      when(
-        size(tk) >= n,
-        transform(
-          sequence(lit(1), size(tk) - (n - 1)),
-          i =>
-            concat_ws(
-              " ",
-              (0 until n).map(o => element_at(tk, i + lit(o))): _*
-            )
-        )
-      ).otherwise(array().cast("array<string>"))
+      transform(
+        slice(tk, lit(1), m),
+        (_, i) => // i is the 0-based position; element_at is 1-based
+          concat_ws(
+            " ",
+            (0 until n).map(o => element_at(tk, i + lit(o + 1))): _*
+          )
+      )
     )
   }
+
+  /** Shingles straight from a text column — convenience for tests/small
+    * inputs; hot paths should pre-project the token array and use
+    * [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
@@ -110,14 +122,8 @@ object TextFunctions {
     * join-key-only hashing (where values never surface) prefer the faster
     * codegen'd `xxhash64`. */
   def charFold(s: Column, base: Int): Column =
-    when(
-      length(s) > 0,
-      aggregate(
-        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
-        lit(0L),
-        (h, c) => pmod(h * lit(base.toLong) + c, lit(HashP))
-      )
-    ).otherwise(lit(0L))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      CharFoldExpr(org.apache.spark.sql.GraftSqlBridge.expression(s), base))
 
   /** 62-bit portable token hash: two independent char folds packed as
     * `f_131 + (f_137 << 31)`. */

@@ -16,11 +16,16 @@ object VectorFunctions {
   /** Cast array<float> -> array<double> once, up front. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Native left-fold dot product (DotProductExpr): same IEEE addition
+    * order as `aggregate(zip_with(...))` and DuckDB `list_reduce`, but a
+    * JIT-hot loop instead of an interpreted per-element lambda. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DotProductExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)

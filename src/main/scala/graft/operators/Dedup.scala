@@ -35,7 +35,10 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Per-doc distinct word-n-gram shingle set, exploded to rows. */
+  /** Per-doc distinct word-n-gram shingle set, exploded to rows. Tokens
+    * are materialized in their own projection first so the interpreted
+    * shingle lambda references an attribute, not a re-evaluated split
+    * (see TextFunctions.shinglesFromTokens). */
   private def shingleRows(
       df: DataFrame,
       idCol: String,
@@ -44,7 +47,10 @@ object Dedup {
   ): DataFrame =
     df.select(
       col(idCol).as("doc"),
-      explode(TextFunctions.shingles(col(textCol), n)).as("shingle")
+      TextFunctions.tokens(col(textCol)).as("__tk")
+    ).select(
+      col("doc"),
+      explode(TextFunctions.shinglesFromTokens(col("__tk"), n)).as("shingle")
     )
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
@@ -62,7 +68,8 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.2,
-      maxShingleDf: Int = 0
+      maxShingleDf: Int = 0,
+      pruneSingletons: Boolean = false
   ): DataFrame = {
     // Hash each shingle to a 64-bit key up front: the self-join then
     // shuffles and compares fixed-width longs instead of full n-gram
@@ -85,9 +92,24 @@ object Dedup {
     // maxShingleDf > 0 this redefines each doc's shingle set as the pruned
     // one — unpruned denominators would systematically deflate Jaccard.)
     val sizes = shPruned.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val inter = shPruned
+    // Optional: shingles appearing in exactly one doc can never intersect
+    // — dropping them from the join input (NOT from `sizes`) is
+    // exact-semantics preserving. In real web corpora singletons dominate
+    // the shingle universe and this shrinks the quadratic stage
+    // several-fold; on the dense synthetic fixture (0.8% singletons) the
+    // extra pass costs more than it saves, so it is opt-in.
+    val joinable =
+      if (pruneSingletons) {
+        val sharedKeys = shPruned
+          .groupBy("sh")
+          .agg(count(lit(1)).as("sh_df"))
+          .filter(col("sh_df") >= 2)
+          .select("sh")
+        shPruned.join(sharedKeys, Seq("sh"), "left_semi")
+      } else shPruned
+    val inter = joinable
       .as("a")
-      .join(shPruned.as("b"),
+      .join(joinable.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
       .agg(count(lit(1)).as("n_both"))
@@ -205,24 +227,15 @@ object Dedup {
   val SimhashBits: Int = 56
 
   /** SimHash over a precomputed array of token hashes: per bit, sum +1/-1
-    * by that bit of each token hash; sign -> bit. Computed per-doc with
-    * higher-order functions — no shuffle at all for signatures. Taking the
-    * hash array as input (rather than hashing inside) matters: the `bits`
-    * per-bit vote expressions each reference the array, and keeping the
-    * hashing in its own projection stops Catalyst's CollapseProject from
-    * inlining (and re-evaluating) the token hashing `bits` times. */
+    * by that bit of each token hash; sign -> bit. One native pass over
+    * the hash array (SimHashExpr) — no shuffle at all for signatures, and
+    * no interpreted per-bit lambda scans (the 56-aggregate formulation
+    * was the d07 bench bottleneck). The DuckDB oracle (d07Oracle)
+    * reproduces the same votes with list_reduce. */
   def simhashFromHashes(hashes: Column, bits: Int = SimhashBits): Column =
-    (0 until bits)
-      .map { b =>
-        val vote = aggregate(
-          hashes,
-          lit(0),
-          (v, h) =>
-            v + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)
-        )
-        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SimHashExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(hashes), bits))
 
   /** SimHash of a text column (portable token hashes). */
   def simhash(text: Column): Column =
