@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{Pipeline, SortSpec}
+import graft.lake.{LakeReader, LakeWriter, Pipeline, SortSpec, WriteMode}
 import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -40,6 +40,9 @@ object SparkEntry {
   /** exact decimal images of the 2-dec double columns */
   private def dec12(c: Column) = c.cast("decimal(12,2)")
   private def dec3(c: Column) = c.cast("decimal(3,2)")
+
+  /** unique memory-sink names for re-runs within one session (q35) */
+  private val streamEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -316,6 +319,173 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "last_click_ts")
         .orderBy("event_id")
+    }),
+
+    // left outer join + agg with null handling
+    "q24_left_outer_agg" -> ((s, d) => {
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec12(col("o_totalprice"))).cast("double"), lit(0.0))
+            .as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    // INTERSECT (distinct set semantics, like the EXCEPT family)
+    "q25_intersect" -> ((s, d) => {
+      val o = ord(s, d)
+      val y96 = o
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val y97 = o
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+      y96.intersect(y97).orderBy("o_custkey")
+    }),
+
+    // grouping sets: full cube
+    "q26_cube" -> ((s, d) => {
+      li(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec12(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // window lag/lead navigation
+    "q27_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d)
+        .filter(col("user_id") <= 50)
+        .select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // pivot (wide conditional aggregation)
+    "q28_pivot_status" -> ((s, d) => {
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // date/time scalar functions (dates surfaced as timestamps: the
+    // driver compare has proven timestamp handling, not DATE)
+    "q29_date_funcs" -> ((s, d) => {
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_add(to_date(col("o_orderdate")), 30).cast("timestamp")
+            .as("due_ts"),
+          last_day(col("o_orderdate")).cast("timestamp").as("eom_ts"))
+        .orderBy("o_orderkey")
+    }),
+
+    // posexplode / unnest-with-ordinality
+    "q30_explode_tokens" -> ((s, d) => {
+      docs(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // regexp scalar functions
+    "q31_regexp" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_type"), " ", "_").as("type_underscored"),
+          col("p_name").rlike("red|blue").as("has_color"))
+        .orderBy("p_partkey")
+    }),
+
+    // null-handling scalars: CASE / nullif / coalesce
+    "q32_null_funcs" -> ((s, d) => {
+      cust(s, d)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_band"),
+          coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("OTHER"))
+            .as("seg"))
+        .orderBy("c_custkey")
+    }),
+
+    // the reference's read path: LakeReader + declarative pipeline
+    // (filter -> drop -> distinctOn keep-first -> sort), under the oracle
+    "q33_lake_pipeline" -> ((s, d) => {
+      LakeReader(s, s"$d/customer.parquet")
+        .filter("c_acctbal > 0")
+        .drop("c_name")
+        .distinctOn(Seq("c_nationkey"), keepLast = false,
+          presort = Some(SortSpec(Seq("c_acctbal", "c_custkey"),
+            Seq(false, true))))
+        .sort(Seq("c_nationkey"), Seq(true))
+        .load()
+    }),
+
+    // the reference's write path: overwrite + delta(subset) roundtrip on a
+    // scratch dir, result read back — the writer itself under the oracle
+    "q34_delta_write_roundtrip" -> ((s, d) => {
+      val tmp = s"/tmp/graft_q34_${math.abs(d.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = ord(s, d)
+      val first =
+        o.filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      LakeWriter(s, tmp, WriteMode.Overwrite).write(first)
+      LakeWriter(s, tmp, WriteMode.Delta(subset = Seq("o_orderkey")))
+        .write(o)
+      s.read.parquet(tmp)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Structured Streaming under the oracle: AvailableNow file stream,
+    // watermarked tumbling hourly agg, append to memory sink. Append mode
+    // only emits windows whose end <= final watermark (= max ts with the
+    // 0s delay), which the oracle reproduces with a max(ts) bound.
+    "q35_stream_hourly" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val qname = s"graft_q35_${streamEpoch.incrementAndGet()}"
+      // file-stream sources require a directory or glob, not a bare file:
+      // the {…} glob scopes the stream to just the events table
+      val q = s.readStream.schema(rawSchema)
+        .parquet(s"$d/{events.parquet}")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec12(col("value"))).cast("double").as("total_value"))
+        .select(col("window.start").as("hour_start"), col("n"),
+          col("total_value"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy("hour_start")
     }),
 
     // ---- LLM-pipeline operators -------------------------------------------
@@ -716,6 +886,99 @@ object SparkEntry {
         |    AND l.ts <= e.ts) AS last_click_ts
         |FROM events e WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+
+    "q24_left_outer_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+        |          0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q25_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q27_lag_lead" ->
+      """SELECT event_id, user_id, ts, value,
+        | lag(value) OVER w AS prev_value,
+        | lead(value) OVER w AS next_value,
+        | CAST(row_number() OVER w AS BIGINT) AS rn
+        |FROM events WHERE user_id <= 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q28_pivot_status" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q29_date_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | day(o_orderdate) AS dom,
+        | CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_ts,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q30_explode_tokens" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        | WHERE doc_id < 200)
+        |SELECT doc_id, unnest(range(0, len(tk))) AS pos,
+        | unnest(tk) AS token
+        |FROM toks ORDER BY doc_id, pos""".stripMargin,
+
+    "q31_regexp" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        | regexp_replace(p_type, ' ', '_', 'g') AS type_underscored,
+        | regexp_matches(p_name, 'red|blue') AS has_color
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q32_null_funcs" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 'neg'
+        |      WHEN c_acctbal < 5000 THEN 'mid'
+        |      ELSE 'high' END AS bal_band,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q33_lake_pipeline" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM (
+        | SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        | FROM customer WHERE c_acctbal > 0) t
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q34_delta_write_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q35_stream_hourly" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |a AS (SELECT date_trunc('hour', ts) AS hour_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        | FROM events GROUP BY 1)
+        |SELECT hour_start, n, total_value FROM a, m
+        |WHERE hour_start + INTERVAL 1 HOUR <= mx
+        |ORDER BY hour_start""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
