@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{LakeReader, LakeWriter, Pipeline, SortSpec, WriteMode}
+import graft.lake.{LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,6 +43,16 @@ object SparkEntry {
 
   /** unique memory-sink names for re-runs within one session (q35) */
   private val streamEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Fresh scratch dir for queries that exercise the write path (q34,
+    * q36-q40): deterministic per (query, sf dir), deleted up front so
+    * repeated runs are idempotent. */
+  private def scratch(s: SparkSession, q: String, d: String): String = {
+    val tmp = s"/tmp/graft_${q}_${math.abs(d.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    tmp
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -446,9 +456,7 @@ object SparkEntry {
     // the reference's write path: overwrite + delta(subset) roundtrip on a
     // scratch dir, result read back — the writer itself under the oracle
     "q34_delta_write_roundtrip" -> ((s, d) => {
-      val tmp = s"/tmp/graft_q34_${math.abs(d.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val tmp = scratch(s, "q34", d)
       val o = ord(s, d)
       val first =
         o.filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
@@ -486,6 +494,89 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(qname).orderBy("hour_start")
+    }),
+
+    // schema-heterogeneous fragments (int/float vs long/double) read
+    // through the promotion-ladder unifier — the reference's signature
+    // read-path feature (utils/dataset.py:8-130), under the oracle
+    "q36_schema_unify" -> ((s, d) => {
+      val tmp = scratch(s, "q36", d)
+      val c = cust(s, d)
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(
+          col("c_custkey").cast("int").as("c_custkey"),
+          col("c_acctbal").cast("float").as("c_acctbal"))
+        .write.mode("append").parquet(tmp)
+      c.filter(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .write.mode("append").parquet(tmp)
+      SchemaTools.readUnified(s, tmp)
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // TimeFly: write v1 -> snapshot -> overwrite with v2 -> restore the
+    // snapshot -> read == v1 (snapshot/restore under the oracle)
+    "q37_timefly_restore" -> ((s, d) => {
+      val tmp = scratch(s, "q37", d)
+      val tf = TimeFly(s, tmp).init("orders_tf")
+      val v1 = ord(s, d)
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice")
+      tf.writer(WriteMode.Overwrite).write(v1)
+      val snap = tf.addSnapshot()
+      tf.writer(WriteMode.Overwrite)
+        .write(ord(s, d).select("o_orderkey", "o_totalprice"))
+      tf.loadSnapshot(snap)
+      tf.read(None).orderBy("o_orderkey")
+    }),
+
+    // Repartition: in-place rewrite with hive partitioning + sort; the
+    // swap is temp-dir + atomic rename (safer than the reference's
+    // cache-then-delete, repartition.py:72-84)
+    "q38_repartition" -> ((s, d) => {
+      val tmp = scratch(s, "q38", d)
+      ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(tmp)
+      Repartition.run(s, tmp,
+        pipeline = Pipeline().sortBy(Seq("o_orderkey")),
+        partitionBy = Seq("o_orderstatus"),
+        numFiles = 4)
+      s.read.parquet(tmp)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // CSV sink + source roundtrip (S5/K3); integer widths re-cast after
+    // inference, doubles round-trip via shortest representation
+    "q39_csv_roundtrip" -> ((s, d) => {
+      val tmp = scratch(s, "q39", d)
+      cust(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .write.option("header", "true").csv(tmp)
+      LakeReader(s, tmp, format = "csv").load()
+        .select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // LakeManager catalog: init lake, register two datasets, read both by
+    // name and join (manager.py:16-209 under the oracle)
+    "q40_lake_catalog" -> ((s, d) => {
+      val root = scratch(s, "q40", d)
+      val lm = LakeManager(s, root).init()
+      lm.addDataset("orders_ds").writer(WriteMode.Overwrite)
+        .write(ord(s, d).select("o_orderkey", "o_custkey"))
+      lm.addDataset("customer_ds").writer(WriteMode.Overwrite)
+        .write(cust(s, d).select("c_custkey", "c_name"))
+      lm.reader("orders_ds")
+        .join(lm.reader("customer_ds"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
     }),
 
     // ---- LLM-pipeline operators -------------------------------------------
@@ -979,6 +1070,32 @@ object SparkEntry {
         |SELECT hour_start, n, total_value FROM a, m
         |WHERE hour_start + INTERVAL 1 HOUR <= mx
         |ORDER BY hour_start""".stripMargin,
+
+    "q36_schema_unify" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 2 = 0
+        |   THEN CAST(CAST(c_acctbal AS REAL) AS DOUBLE)
+        |   ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q37_timefly_restore" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q38_repartition" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q39_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q40_lake_catalog" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
