@@ -681,7 +681,7 @@ object SparkEntry {
     "e03_ann_srp" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.srpTopK(e, e.filter(col("vec_id") < 10), dim = 64, k = 5,
-          nBits = 6)
+          nBits = 4, nTables = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("id1", "rank")
     }),
@@ -786,28 +786,40 @@ object SparkEntry {
   }
 
   private def e03Oracle: String = {
-    val planes = VectorFunctions.srpPlanes(64, 6, 42L)
+    val nTables = 4
+    val nBits = 4
     def planeList(p: Array[Double]): String =
       p.map(v => s"CAST($v AS DOUBLE)").mkString("list_value(", ", ", ")")
-    val bucketExpr = planes.zipWithIndex
-      .map { case (p, i) =>
-        s"(CASE WHEN list_reduce(list_transform(range(1, 65), " +
-          s"ii -> emb[ii] * list_extract(${planeList(p)}, ii)), " +
-          s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }
-      .mkString(" + ")
+    def bucketExpr(seed: Long): String =
+      VectorFunctions.srpPlanes(64, nBits, seed).zipWithIndex
+        .map { case (p, i) =>
+          s"(CASE WHEN list_reduce(list_transform(range(1, 65), " +
+            s"ii -> emb[ii] * list_extract(${planeList(p)}, ii)), " +
+            s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }
+        .mkString(" + ")
+    val tableCtes = (0 until nTables)
+      .map(t => s"bk$t AS (SELECT vec_id, emb, nrm, " +
+        s"${bucketExpr(42L + t)} AS bucket FROM n)")
+      .mkString(",\n")
+    val candUnion = (0 until nTables)
+      .map(t =>
+        s"SELECT q.vec_id AS id1, c.vec_id AS id2 FROM bk$t q " +
+          s"JOIN bk$t c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id " +
+          s"WHERE q.vec_id < 10")
+      .mkString(" UNION ")
     s"""WITH v AS (SELECT vec_id,
        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |n AS (SELECT vec_id, emb,
        |  sqrt(list_reduce(list_transform(emb, x -> x * x),
        |       (acc, x) -> acc + x)) AS nrm FROM v),
-       |bk AS (SELECT vec_id, emb, nrm, $bucketExpr AS bucket FROM n),
-       |p AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
-       |  list_reduce(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]),
-       |    (acc, x) -> acc + x) / (q.nrm * c.nrm) AS sim
-       |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 10)
+       |$tableCtes,
+       |cand AS ($candUnion),
+       |p AS (SELECT id1, id2,
+       |  list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
+       |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+       |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2)
        |SELECT id1, id2, sim, rank FROM (
        |  SELECT id1, id2, sim,
        |   CAST(row_number() OVER (PARTITION BY id1

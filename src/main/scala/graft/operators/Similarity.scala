@@ -75,9 +75,12 @@ object Similarity {
       .select("id1", "id2", "sim")
   }
 
-  /** LSH-bucketed ANN: corpus and queries hashed to SRP buckets; join is
-    * keyed on the bucket id. Recall < 1 by construction; raise `nBits`
-    * down or use multi-probe for higher recall. */
+  /** LSH-bucketed ANN: corpus and queries hashed into `nTables`
+    * independent SRP hash tables (seed + t); candidates are same-bucket
+    * pairs in ANY table, deduped, then exactly scored and ranked. The
+    * join is keyed on (table, bucket) — one shuffle, never all-pairs.
+    * Recall grows as 1-(1-p^nBits)^nTables; tune nBits (bucket
+    * selectivity) against nTables (probes) for the corpus. */
   def srpTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -86,20 +89,23 @@ object Similarity {
       vecCol: String = "embedding",
       k: Int = 5,
       nBits: Int = 8,
+      nTables: Int = 3,
       seed: Long = 42L
   ): DataFrame = {
-    val c = prep(corpus, idCol, vecCol)
-      .withColumn("bucket", srpBucket(col("emb"), dim, nBits, seed))
-      .select(col("vec_id").as("id2"), col("emb").as("emb2"),
-        col("nrm").as("n2"), col("bucket"))
-    val q = prep(queries, idCol, vecCol)
-      .withColumn("bucket", srpBucket(col("emb"), dim, nBits, seed))
-      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
-        col("nrm").as("n1"), col("bucket"))
+    def withBuckets(df: DataFrame, idAs: String, embAs: String, nAs: String) =
+      df.select(
+        col("vec_id").as(idAs), col("emb").as(embAs), col("nrm").as(nAs),
+        posexplode(array((0 until nTables).map(t =>
+          srpBucket(col("emb"), dim, nBits, seed + t)): _*))
+          .as(Seq("table", "bucket")))
+    val c = withBuckets(prep(corpus, idCol, vecCol), "id2", "emb2", "n2")
+    val q = withBuckets(prep(queries, idCol, vecCol), "id1", "emb1", "n1")
     val w = Window.partitionBy("id1")
       .orderBy(col("sim").desc, col("id2").asc)
-    q.join(c, Seq("bucket"))
+    q.join(c, Seq("table", "bucket"))
       .filter(col("id1") =!= col("id2"))
+      .select("id1", "emb1", "n1", "id2", "emb2", "n2")
+      .dropDuplicates("id1", "id2") // score each candidate pair once
       .withColumn("sim",
         cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
       .withColumn("rank", row_number().over(w))

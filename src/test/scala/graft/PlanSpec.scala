@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the properties that make these operators
+  * survive a 100 TB scale-up, checked against the actual Catalyst output
+  * so a regression in plan shape fails CI, not just a benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.01"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicate pushdown + column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"), "no pushed filters in scan")
+    assert(p.contains("l_shipdate"), "shipdate predicate not pushed")
+    // pruned read schema: none of the unused lineitem columns
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q03: small dimension side is broadcast, not shuffled") {
+    val p = plan("q03_join_revenue_topn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast join for the customer dim side:\n$p")
+  }
+
+  test("q05: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q05_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit should not be a full sort")
+  }
+
+  test("q01: aggregation is partial (map-side combine before shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "no map-side partial aggregation")
+  }
+
+  test("d01: exact dedup is a single shuffle") {
+    val df = SparkEntry.queries("d01_dedup_exact")(spark, sf)
+    val exchanges = "Exchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    // one hash-partition exchange for the groupBy + one range exchange
+    // for the final orderBy — no more
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+  }
+
+  test("q14: semi join broadcasts the filtered key side") {
+    val p = plan("q14_semi_join")
+    assert(p.contains("LeftSemi"), "not planned as a semi join")
+  }
+
+  test("q22: range join keeps the equi key (no cartesian)") {
+    val p = plan("q22_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to a cross product — equi key not used")
+  }
+
+  test("d06: LSH candidate join is keyed, not all-pairs") {
+    val p = plan("d06_minhash_lsh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "band join must shuffle on (band, band_hash), never cross join")
+  }
+}

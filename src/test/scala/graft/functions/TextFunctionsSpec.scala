@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val P = TextFunctions.HashP
+
+  /** reference implementation of the portable fold */
+  private def foldRef(s: String, base: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  test("charFold matches the reference fold, including edge cases") {
+    val inputs = Seq("", "a", "abc", "the quick brown fox", "ü ö 語")
+    val got = inputs.toDF("s")
+      .select(TextFunctions.charFold(col("s"), 131).as("h"))
+      .as[Long].collect().toSeq
+    assert(got == inputs.map(foldRef(_, 131L)))
+    // single ASCII char is its codepoint
+    assert(foldRef("a", 131) == 'a'.toLong)
+  }
+
+  test("charFold null propagates") {
+    val got = Seq(Option.empty[String], Some("x")).toDF("s")
+      .select(TextFunctions.charFold(col("s"), 131).as("h"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.head.isEmpty && got.last.contains(foldRef("x", 131)))
+  }
+
+  test("tokenHash62 packs two folds without overflow") {
+    val h = Seq("token").toDF("s")
+      .select(TextFunctions.tokenHash62(col("s")).as("h"))
+      .as[Long].head()
+    assert(h == foldRef("token", 131) + (foldRef("token", 137) << 31))
+    assert(h >= 0L)
+  }
+
+  test("shingles: short texts yield empty, distinct preserved") {
+    val rows = Seq("a b", "a b c", "a b c d", "x y x y x y x y")
+      .toDF("text")
+      .select(size(TextFunctions.shingles(col("text"), 3)).as("n"))
+      .as[Int].collect().toSeq
+    // "a b" -> 0; "a b c" -> 1; "a b c d" -> 2; repeated pattern dedups
+    assert(rows == Seq(0, 1, 2, 2))
+  }
+
+  test("fingerprint is order-sensitive, bagFingerprint is not") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    val r = df.select(
+      TextFunctions.fingerprint(col("t1")).as("f1"),
+      TextFunctions.fingerprint(col("t2")).as("f2"),
+      TextFunctions.bagFingerprint(col("t1")).as("b1"),
+      TextFunctions.bagFingerprint(col("t2")).as("b2")
+    ).head()
+    assert(r.getLong(0) != r.getLong(1))
+    assert(r.getLong(2) == r.getLong(3))
+  }
+
+  test("quality ratios are exact IEEE divisions") {
+    val r = Seq("the cat sat on the mat").toDF("text")
+      .withColumn("n_chars", length(col("text")))
+    val cols = TextFunctions.qualityColumns(col("text"), col("n_chars"))
+    val out = cols.foldLeft(r) { case (df, (n, c)) => df.withColumn(n, c) }
+      .select("n_tokens", "avg_token_len", "stopword_ratio").head()
+    assert(out.getInt(0) == 6)
+    // 22 chars - 5 separators = 17 letters over 6 tokens
+    assert(out.getDouble(1) == 17.0 / 6.0)
+    assert(out.getDouble(2) == 2.0 / 6.0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = graft.Tables.embeddings(spark, TestSpark.sfDir)
+
+  test("bruteForceTopK: ranks are 1..k per query, self excluded") {
+    val out = Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 3)
+      .select("id1", "id2", "rank").as[(Long, Long, Int)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1, 2, 3))
+      rows.foreach { case (id1, id2, _) => assert(id1 != id2) }
+    }
+  }
+
+  test("srpTopK recall vs exact top-k is nontrivial") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val approx = Similarity.srpTopK(emb, queries, dim = 64, k = 5,
+      nBits = 4, nTables = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"srp recall $recall too low")
+    // every approx hit must still be a real neighbor pair (id1 < 20)
+    assert(approx.forall(_._1 < 20))
+  }
+
+  test("ivfTopK returns valid ranked neighbors") {
+    val out = Similarity
+      .ivfTopK(emb, emb.filter($"vec_id" < 5), k = 3, nCells = 8, nProbe = 3)
+      .select("id1", "id2", "rank", "sim")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id1, id2, rank, sim) =>
+      assert(id1 != id2 && rank >= 1 && rank <= 3 && sim <= 1.0001)
+    }
+  }
+
+  test("cosinePairs is symmetric-free (id1 < id2) and thresholded") {
+    val out = Similarity.cosinePairs(emb, threshold = 0.3, leftIdBound = 50)
+      .as[(Long, Long, Double)].collect()
+    out.foreach { case (a, b, s) =>
+      assert(a < b)
+      assert(s >= 0.3)
+    }
+  }
+}
