@@ -686,6 +686,26 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // multimodal decode -> feature-extract -> explode to feature rows;
+    // the decode stub's pseudo-features are portable-hash-derived so the
+    // whole path is oracle-verified (a real codec swaps in per-row)
+    "m02_media_features" -> ((s, d) => {
+      val dim = 8
+      docs(s, d)
+        .select(
+          col("doc_id").as("media_id"),
+          TextFunctions.charFold(col("text"), 131).as("f1"),
+          TextFunctions.charFold(col("text"), 137).as("f2"))
+        .select(col("media_id"), col("f1"), col("f2"),
+          posexplode(sequence(lit(0L), lit(dim - 1L))).as(Seq("p", "i")))
+        .select(
+          col("media_id"),
+          col("i").as("feat_idx"),
+          Multimodal.portableFeature(col("f1"), col("f2"), col("i"))
+            .as("feat"))
+        .orderBy("media_id", "feat_idx")
+    }),
+
     // multimodal plumbing: binary payloads + metadata (decode stubbed)
     "m01_media_meta" -> ((s, d) => {
       Multimodal.attachMeta(
@@ -1229,6 +1249,16 @@ object SparkEntry {
         |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
         |  FROM p) t
         |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
+
+    "m02_media_features" ->
+      s"""WITH h AS (SELECT doc_id, ${sqlCharFold("text", 131)} AS f1,
+         |  ${sqlCharFold("text", 137)} AS f2 FROM documents),
+         |x AS (SELECT doc_id, f1, f2, unnest(range(0, 8)) AS feat_idx
+         |  FROM h)
+         |SELECT doc_id AS media_id, feat_idx,
+         | (CAST((f1 + feat_idx * f2) % 2000001 AS DOUBLE) - 1000000.0) /
+         |  1000000.0 AS feat
+         |FROM x ORDER BY media_id, feat_idx""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -78,4 +78,16 @@ object Multimodal {
       col(idCol).as("media_id"),
       col(textCol).cast("binary").as("payload")
     )
+
+  /** Portable variant of the decode stub: pseudo-feature i derived from
+    * two char-fold base hashes, `((f1 + i*f2) mod 2000001 - 1e6) / 1e6`
+    * — every arithmetic step is reproducible in the DuckDB oracle (m02),
+    * so even the stubbed decode path is hash-verified end to end. */
+  def portableFeature(
+      f1: org.apache.spark.sql.Column,
+      f2: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column =
+    (pmod(f1 + i * f2, lit(2000001L)).cast("double") - lit(1000000.0)) /
+      lit(1000000.0)
 }
