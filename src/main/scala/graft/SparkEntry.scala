@@ -579,6 +579,38 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // directory-flavor partitioning (the reference's non-hive flavor):
+    // bare <value>/ path segments, write + infer + read back
+    "q41_dir_partition" -> ((s, d) => {
+      val tmp = scratch(s, "q41", d)
+      LakeWriter(s, tmp, WriteMode.Overwrite).writeDirectoryPartitioned(
+        ord(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Seq("o_orderstatus"))
+      assert(SchemaTools.inferPartitioning(s, tmp) == "directory")
+      SchemaTools.readDirectoryPartitioned(s, tmp, Seq("o_orderstatus"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // physical schema-unifying rewrite (K10): after rewriteUnified a
+    // PLAIN spark.read sees one conformed schema — no mergeSchema needed
+    "q42_unify_rewrite" -> ((s, d) => {
+      val tmp = scratch(s, "q42", d)
+      val c = cust(s, d)
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(
+          col("c_custkey").cast("int").as("c_custkey"),
+          col("c_acctbal").cast("float").as("c_acctbal"))
+        .write.mode("append").parquet(tmp)
+      c.filter(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .write.mode("append").parquet(tmp)
+      SchemaTools.rewriteUnified(s, tmp)
+      s.read.parquet(tmp)
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1128,6 +1160,17 @@ object SparkEntry {
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q41_dir_partition" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q42_unify_rewrite" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 2 = 0
+        |   THEN CAST(CAST(c_acctbal AS REAL) AS DOUBLE)
+        |   ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt

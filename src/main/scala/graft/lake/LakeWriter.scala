@@ -145,6 +145,26 @@ final case class LakeWriter(
     w.parquet(path)
   }
 
+  /** Directory-flavor partitioned write (`writer.py:136-137`): path
+    * segments are bare `<value>/` (no `key=` prefix), so Spark's hive
+    * discovery can't read them — the reference's second partitioning
+    * flavor. One distributed write per partition tuple; the driver-side
+    * tuple enumeration is bounded by partition cardinality exactly like
+    * the reference's loop (`writer.py:149-162`). Null-safe tuple match. */
+  def writeDirectoryPartitioned(df: DataFrame, cols: Seq[String]): Unit = {
+    val prepared = transform(pipeline(df))
+    val tuples = prepared.select(cols.map(col): _*).distinct().collect()
+    tuples.foreach { row =>
+      val sub = cols.indices.map(i => String.valueOf(row.get(i))).mkString("/")
+      val cond = cols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(row.get(i)) }
+        .reduce(_ && _)
+      copy(path = s"$path/$sub", partitionBy = Nil,
+        pipeline = Pipeline(), transform = identity)
+        .write(prepared.filter(cond).drop(cols: _*))
+    }
+  }
+
   /** Time-interval batched write (`writer.py:292-385`): split the input
     * into `[w, w+interval)` windows from min to max of `tsCol`, applying
     * the write mode per window. Interval syntax: Spark INTERVAL literals

@@ -124,6 +124,83 @@ object SchemaTools {
       StructField(n, parseType(t), nullable = true)
     })
 
+  /** Physically rewrite schema-nonconforming parquet files to the unified
+    * (column-sorted, promotion-laddered) schema in place — the reference's
+    * `unify_schema` (`dataset/writer.py:529-571`). File-granular: each
+    * divergent file is re-read with its native schema, cast, written to a
+    * temp sibling, and swapped via rename. Returns the rewrite count. */
+  def rewriteUnified(spark: SparkSession, path: String): Int = {
+    val files = listDataFiles(spark, path).filter(_.endsWith(".parquet"))
+    if (files.isEmpty) return 0
+    val schemas = files.map(f => f -> spark.read.parquet(f).schema)
+    val unified = unifySchemas(schemas.map(_._2).distinct)
+    val bad = schemas.filter(_._2 != unified)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bad.foreach { case (f, sch) =>
+      val have = sch.fieldNames.toSet
+      val df = spark.read.schema(sch).parquet(f)
+        .select(unified.fields.toSeq.map { fl =>
+          if (have.contains(fl.name)) col(fl.name).cast(fl.dataType).as(fl.name)
+          else org.apache.spark.sql.functions.lit(null).cast(fl.dataType)
+            .as(fl.name)
+        }: _*)
+      val tmp = s"$f.__unify_tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val newFile = listDataFiles(spark, tmp)
+        .filter(_.endsWith(".parquet")).head
+      fs.delete(new Path(f), false)
+      fs.rename(new Path(newFile), new Path(f))
+      fs.delete(new Path(tmp), true)
+    }
+    bad.size
+  }
+
+  /** Partitioning-flavor inference (`timefly.py:105-112`): any `=` in a
+    * first-level subdirectory name means hive, bare subdirectories mean
+    * directory flavor, none means unpartitioned. */
+  def inferPartitioning(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.getFileStatus(p).isFile) return "none"
+    val dirs = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    if (dirs.isEmpty) "none"
+    else if (dirs.exists(_.contains("="))) "hive"
+    else "directory"
+  }
+
+  /** Directory-flavor partitioned read: one path level per column, bare
+    * `<value>/` segments (the reference's non-hive flavor). Partition
+    * values surface as string columns, like the reference's inferred
+    * directory partitioning; cast at the call site if needed. The leaf
+    * enumeration is driver-side and bounded by partition cardinality. */
+  def readDirectoryPartitioned(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path, depth: Int): Seq[(Path, Seq[String])] =
+      if (depth == 0) Seq((p, Nil))
+      else
+        fs.listStatus(p).toSeq
+          .filter(_.isDirectory)
+          .flatMap(st =>
+            leaves(st.getPath, depth - 1).map { case (lp, vs) =>
+              (lp, st.getPath.getName +: vs)
+            })
+    leaves(root, cols.length)
+      .map { case (leaf, values) =>
+        cols.zip(values).foldLeft(spark.read.parquet(leaf.toString)) {
+          case (df, (c, v)) => df.withColumn(c,
+            org.apache.spark.sql.functions.lit(v))
+        }
+      }
+      .reduce(_.unionByName(_))
+  }
+
   private def parseType(s: String): DataType = s match {
     case "string" => StringType
     case "boolean" => BooleanType

@@ -76,6 +76,39 @@ class SchemaToolsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("rewriteUnified makes heterogeneous files physically conform") {
+    val dir = graft.TestSpark.tempDir("unifyrw")
+    Seq((1, "a")).toDF("id", "v")
+      .selectExpr("CAST(id AS INT) AS id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
+    val n = SchemaTools.rewriteUnified(spark, dir)
+    assert(n == 1) // only the int file needed rewriting
+    // a PLAIN read (no mergeSchema, no unify) now sees one schema
+    val df = spark.read.parquet(dir)
+    assert(df.schema("id").dataType == LongType)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // second call is a no-op
+    assert(SchemaTools.rewriteUnified(spark, dir) == 0)
+  }
+
+  test("directory-flavor partitioning: write, infer, read back") {
+    val dir = graft.TestSpark.tempDir("dirpart")
+    val df = Seq((1, "x", "p1"), (2, "y", "p2"), (3, "z", "p1"))
+      .toDF("id", "v", "p")
+    LakeWriter(spark, dir, WriteMode.Overwrite)
+      .writeDirectoryPartitioned(df, Seq("p"))
+    assert(SchemaTools.inferPartitioning(spark, dir) == "directory")
+    val back = SchemaTools.readDirectoryPartitioned(spark, dir, Seq("p"))
+    assert(back.count() == 3)
+    assert(back.filter($"p" === "p1").count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("id", "p", "v"))
+    // hive flavor is inferred as hive
+    val hdir = graft.TestSpark.tempDir("hivepart")
+    df.write.mode("overwrite").partitionBy("p").parquet(hdir)
+    assert(SchemaTools.inferPartitioning(spark, hdir) == "hive")
+  }
+
   test("schema map codec round-trips") {
     val st = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType),
