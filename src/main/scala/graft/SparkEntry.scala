@@ -611,6 +611,19 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // exact distinct-count aggregate (expand-based in Spark; the scale
+    // path for approximate needs is approx_count_distinct, not oracled
+    // here because HLL implementations differ across engines)
+    "q43_count_distinct" -> ((s, d) => {
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1171,6 +1184,13 @@ object SparkEntry {
         |   THEN CAST(CAST(c_acctbal AS REAL) AS DOUBLE)
         |   ELSE c_acctbal END AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q43_count_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt

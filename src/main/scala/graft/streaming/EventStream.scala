@@ -52,6 +52,39 @@ object EventStream {
         col("total_value")
       )
 
+  /** Streaming exact dedup for ingestion pipelines: watermark-bounded
+    * `dropDuplicatesWithinWatermark` on the key columns — per-key state
+    * is dropped once the watermark passes it, so state stays bounded at
+    * any scale (duplicates arriving farther apart than the watermark can
+    * re-emit; that is the bounded-state tradeoff, and the lake-side delta
+    * write mode catches those). */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "1 hour"
+  ): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream -> lake sink: every micro-batch goes through LakeWriter with
+    * the configured write mode. With `WriteMode.Delta(subset=...)` this is
+    * idempotent streaming ingestion — replayed/overlapping batches only
+    * append genuinely-new rows, the streaming analog of the reference's
+    * delta batch writes. */
+  def writeLake(
+      events: DataFrame,
+      path: String,
+      mode: graft.lake.WriteMode,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.lake.LakeWriter(batch.sparkSession, path, mode).write(batch)
+      }
+      .start()
+
   /** Per-user session rollup with explicit state (gap timeout closes the
     * session): the `flatMapGroupsWithState` pattern for custom state at
     * scale — state is partitioned by key, never driver-side.

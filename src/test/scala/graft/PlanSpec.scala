@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
       "range join degenerated to a cross product — equi key not used")
   }
 
+  test("null-safe anti-join (delta core) stays a hash/merge join") {
+    import spark.implicits._
+    val a = Seq((Some(1), "x"), (None, "y")).toDF("k", "v")
+    val b = Seq(Tuple1(Option.empty[Int])).toDF("k")
+    val p = a.as("l")
+      .join(b.as("r"),
+        org.apache.spark.sql.functions.col("l.k") <=>
+          org.apache.spark.sql.functions.col("r.k"),
+        "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"<=> keys must still plan as equi-join:\n$p")
+  }
+
   test("d06: LSH candidate join is keyed, not all-pairs") {
     val p = plan("d06_minhash_lsh")
     assert(!p.contains("CartesianProduct") &&

@@ -39,6 +39,51 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-watermark duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.dedupStream(
+      input.toDF(), Seq("event_id"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts(1), 1L, "click", 1.0),
+        EventStream.Event(1, ts(2), 1L, "click", 1.0), // dup key
+        EventStream.Event(2, ts(3), 2L, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(1, ts(4), 1L, "click", 9.0)) // replay
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("writeLake with delta mode is idempotent streaming ingestion") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val dir = graft.TestSpark.tempDir("streamlake") + "/ds"
+    val ckpt = graft.TestSpark.tempDir("streamckpt")
+    val q = EventStream.writeLake(
+      input.toDF(), dir,
+      graft.lake.WriteMode.Delta(subset = Seq("event_id")), ckpt)
+    try {
+      input.addData(
+        EventStream.Event(1, ts(1), 1L, "click", 1.0),
+        EventStream.Event(2, ts(2), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // overlapping replay batch: only event 3 is new
+      input.addData(
+        EventStream.Event(2, ts(2), 1L, "view", 2.0),
+        EventStream.Event(3, ts(3), 2L, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(dir).select("event_id")
+        .as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates per tumbling window and type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
