@@ -624,6 +624,42 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // batch sessionization: the SQL-window analog of the streaming
+    // sessionize (gap > 30min starts a new session) — cumulative sum of
+    // gap flags per user, then grouped rollup
+    "q44_sessionize_batch" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapMs = 30L * 60 * 1000000 // micros
+      ev(s, d)
+        .withColumn("prev_us",
+          lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(byUser))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec12(col("value"))).cast("double").as("total_value"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // exact continuous quantiles (type-7 interpolation in both engines;
+    // restricted to the integral l_quantity so the interpolation
+    // arithmetic is exact in IEEE double on both sides)
+    "q45_quantiles" -> ((s, d) => {
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1190,6 +1226,32 @@ object SparkEntry {
         | COUNT(DISTINCT l_partkey) AS n_parts,
         | COUNT(DISTINCT l_suppkey) AS n_supps,
         | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_sessionize_batch" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        | SELECT user_id, ts, value,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS session_id
+        | FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        | min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM t GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q45_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.5) AS median,
+        | quantile_cont(l_quantity, 0.75) AS q75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d01_dedup_exact" ->

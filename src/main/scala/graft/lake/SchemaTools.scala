@@ -155,6 +155,25 @@ object SchemaTools {
     bad.size
   }
 
+  /** Compression-codec inference from the first data file's first column
+    * chunk (`timefly.py:121-128`): a footer-only read, no data scan. */
+  def inferCompression(spark: SparkSession, path: String): String = {
+    val files = listDataFiles(spark, path).filter(_.endsWith(".parquet"))
+    files.headOption
+      .map { f =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          if (blocks.isEmpty) "none"
+          else blocks.get(0).getColumns.get(0).getCodec.name().toLowerCase
+        } finally r.close()
+      }
+      .getOrElse("none")
+  }
+
   /** Partitioning-flavor inference (`timefly.py:105-112`): any `=` in a
     * first-level subdirectory name means hive, bare subdirectories mean
     * directory flavor, none means unpartitioned. */

@@ -109,6 +109,16 @@ class SchemaToolsSpec extends AnyFunSuite {
     assert(SchemaTools.inferPartitioning(spark, hdir) == "hive")
   }
 
+  test("compression inference reads the footer codec") {
+    val dir = graft.TestSpark.tempDir("codec")
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$dir/z")
+    assert(SchemaTools.inferCompression(spark, s"$dir/z") == "zstd")
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite")
+      .option("compression", "snappy").parquet(s"$dir/s")
+    assert(SchemaTools.inferCompression(spark, s"$dir/s") == "snappy")
+  }
+
   test("schema map codec round-trips") {
     val st = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType),
