@@ -741,6 +741,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // near-dup pairs -> connected components -> dedup clusters (the
+    // decision layer: keep min-id doc per cluster); oracle reproduces the
+    // closure with a recursive CTE
+    "d09_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.duplicateClusters(pairs.select("id1", "id2"))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine near-pairs over embeddings
     "e01_cosine_pairs" -> ((s, d) => {
       Similarity.cosinePairs(emb(s, d), threshold = 0.4, leftIdBound = 100L)
@@ -885,6 +895,40 @@ object SparkEntry {
        |SELECT id1, id2, hamming FROM cand WHERE hamming <= $maxDist
        |ORDER BY id1, id2""".stripMargin
   }
+
+  /** d09: the d04 Jaccard pairs (same CTE chain) closed transitively with
+    * a recursive CTE; cluster id = min reachable id (incl. self). */
+  private def d09Oracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+      |  FROM toks),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_both
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT id1, id2 FROM inter
+      |   JOIN cnt ca ON ca.doc_id = id1
+      |   JOIN cnt cb ON cb.doc_id = id2
+      |  WHERE CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
+      |    >= 0.2),
+      |sym AS (
+      |  SELECT id1 AS a, id2 AS b FROM pairs
+      |  UNION SELECT id2, id1 FROM pairs
+      |  UNION SELECT id1, id1 FROM pairs
+      |  UNION SELECT id2, id2 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+      |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+      |GROUP BY a ORDER BY doc_id""".stripMargin
 
   private def e03Oracle: String = {
     val nTables = 4
@@ -1328,6 +1372,7 @@ object SparkEntry {
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "d06_minhash_lsh" -> d06Oracle,
+    "d09_dup_clusters" -> d09Oracle,
     "d07_simhash" -> d07Oracle,
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,

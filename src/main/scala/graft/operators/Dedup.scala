@@ -221,6 +221,47 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** Connected components over near-dup pairs -> (doc_id, cluster_id =
+    * min doc id in the component). This is what turns pairwise candidates
+    * (Jaccard/MinHash/SimHash/cosine) into actual dedup decisions: keep
+    * one doc per cluster.
+    *
+    * Min-label propagation: each round every node takes the min label in
+    * its neighborhood; rounds = graph diameter (near-dup components are
+    * shallow in practice). Each round is one shuffle-join; lineage is
+    * truncated per round (localCheckpoint) so plans stay O(1) — swap for
+    * `checkpoint` on a real cluster with a checkpoint dir. Only ids that
+    * appear in some pair are returned (singletons need no dedup). */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "b2"),
+          col("b") === col("b2"))
+        .select(col("a").as("id"), col("lbl"))
+      val next = labels
+        .union(prop)
+        .groupBy("id")
+        .agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** SimHash signature width: 56 bits of the 62-bit portable token hash —
     * divisible by the pigeonhole chunk counts for maxDist ∈ {1,3,6,7,13}
     * and verifiable bit-for-bit by the DuckDB oracle (d07). */

@@ -54,6 +54,15 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("duplicateClusters: min-label connected components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
+      .toDF("id1", "id2")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("simhash: identical text -> distance 0; near-dup within small distance") {
     // maxDist+1 must divide the 56-bit signature: 13 -> 14 chunks of 4
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 13)
