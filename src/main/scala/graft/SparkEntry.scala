@@ -611,6 +611,15 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // bag-semantics anti-diff: EXCEPT ALL keeps multiplicity (the delta
+    // family's multiset variant)
+    "q46_except_all" -> ((s, d) => {
+      val l = li(s, d).select("l_orderkey", "l_partkey")
+      val batch = l.filter(col("l_partkey") <= 400)
+      val existing = l.filter(col("l_partkey") <= 200)
+      batch.exceptAll(existing).orderBy("l_orderkey", "l_partkey")
+    }),
+
     // exact distinct-count aggregate (expand-based in Spark; the scale
     // path for approximate needs is approx_count_distinct, not oracled
     // here because HLL implementations differ across engines)
@@ -777,6 +786,17 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // IVF-style ANN: deterministic pivots (lowest ids), nearest-cell
+    // assignment, nProbe query cells — coarse quantization, the other
+    // standard ANN scale path next to SRP LSH (e03); fully SQL-oracled
+    "e04_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          nCells = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // multimodal decode -> feature-extract -> explode to feature rows;
     // the decode stub's pseudo-features are portable-hash-derived so the
     // whole path is oracle-verified (a real codec swaps in per-row)
@@ -929,6 +949,48 @@ object SparkEntry {
       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
       |GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** e04: IVF with deterministic pivots — no literals needed, the whole
+    * assignment/probe/rank pipeline is plain SQL. */
+  private def e04Oracle: String = {
+    val nCells = 16
+    val nProbe = 4
+    val k = 5
+    def psim(embA: String, nrmA: String, embB: String, nrmB: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $embA[i] * $embB[i]), " +
+        s"(acc, x) -> acc + x) / ($nrmA * $nrmB)"
+    s"""WITH v AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+       |       (acc, x) -> acc + x)) AS nrm FROM v),
+       |piv AS (SELECT vec_id AS cell, emb AS pemb, nrm AS pnrm FROM n
+       |  WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT $nCells)),
+       |ca AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, p.cell,
+       |   row_number() OVER (PARTITION BY n.vec_id
+       |     ORDER BY ${psim("n.emb", "n.nrm", "p.pemb", "p.pnrm")} DESC,
+       |              p.cell ASC) AS pr
+       |  FROM n, piv p) t WHERE pr = 1),
+       |qa AS (SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, p.cell,
+       |   row_number() OVER (PARTITION BY n.vec_id
+       |     ORDER BY ${psim("n.emb", "n.nrm", "p.pemb", "p.pnrm")} DESC,
+       |              p.cell ASC) AS pr
+       |  FROM n, piv p WHERE n.vec_id < 10) t WHERE pr <= $nProbe),
+       |pp AS (SELECT qa.vec_id AS id1, ca.vec_id AS id2,
+       |  ${psim("a.emb", "a.nrm", "b.emb", "b.nrm")} AS sim
+       |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+       |   JOIN n a ON a.vec_id = qa.vec_id
+       |   JOIN n b ON b.vec_id = ca.vec_id)
+       |SELECT id1, id2, sim, rank FROM (
+       |  SELECT id1, id2, sim,
+       |   CAST(row_number() OVER (PARTITION BY id1
+       |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
+       |  FROM pp) t
+       |WHERE rank <= $k ORDER BY id1, rank""".stripMargin
+  }
 
   private def e03Oracle: String = {
     val nTables = 4
@@ -1376,6 +1438,13 @@ object SparkEntry {
     "d07_simhash" -> d07Oracle,
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,
+    "e04_ann_ivf" -> e04Oracle,
+
+    "q46_except_all" ->
+      """SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 400
+        |EXCEPT ALL
+        |SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 200
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
 
     "e01_cosine_pairs" ->
       """WITH v AS (
