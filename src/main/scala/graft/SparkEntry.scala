@@ -669,6 +669,62 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // math scalars restricted to IEEE-exact ops (sqrt is correctly
+    // rounded; ln/exp/pow differ across libm implementations and are
+    // deliberately excluded from the oracle surface)
+    "q47_math_funcs" -> ((s, d) => {
+      cust(s, d)
+        .select(
+          col("c_custkey"),
+          abs(col("c_acctbal")).as("abs_bal"),
+          floor(col("c_acctbal")).cast("double").as("floor_bal"),
+          ceil(col("c_acctbal")).cast("double").as("ceil_bal"),
+          sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+          signum(col("c_acctbal")).as("sign_bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // array functions over the token arrays
+    "q48_array_funcs" -> ((s, d) => {
+      docs(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(
+          col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          array_contains(col("tk"), "the").as("has_the"),
+          element_at(col("tk"), 1).as("first_tok"),
+          element_at(sort_array(col("tk")), 1).as("min_tok"),
+          concat_ws(" ", slice(col("tk"), 1, 3)).as("head3"))
+        .orderBy("doc_id")
+    }),
+
+    // ordered string aggregation (deterministic: sort before join)
+    "q49_string_agg" -> ((s, d) => {
+      ord(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // raw SQL passthrough (the reference's execute/query, §2.9): datasets
+    // registered as views via LakeReader.createView, then spark.sql —
+    // the same SQL text runs on both engines
+    "q50_sql_passthrough" -> ((s, d) => {
+      LakeReader(s, s"$d/orders.parquet").createView("orders_v")
+      LakeReader(s, s"$d/customer.parquet").createView("customer_v")
+      s.sql(
+        """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          |   AS total
+          |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment, o_orderstatus
+          |ORDER BY c_mktsegment, o_orderstatus""".stripMargin)
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1359,6 +1415,38 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.5) AS median,
         | quantile_cont(l_quantity, 0.75) AS q75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q47_math_funcs" ->
+      """SELECT c_custkey, abs(c_acctbal) AS abs_bal,
+        | CAST(floor(c_acctbal) AS DOUBLE) AS floor_bal,
+        | CAST(ceil(c_acctbal) AS DOUBLE) AS ceil_bal,
+        | sqrt(abs(c_acctbal)) AS sqrt_bal,
+        | CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q48_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        | FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        | list_contains(tk, 'the') AS has_the,
+        | tk[1] AS first_tok,
+        | list_sort(tk)[1] AS min_tok,
+        | array_to_string(tk[1:3], ' ') AS head3
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q49_string_agg" ->
+      """SELECT o_orderpriority,
+        | array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+        |   AS statuses,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q50_sql_passthrough" ->
+      """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
