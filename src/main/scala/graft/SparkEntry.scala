@@ -746,11 +746,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // quality scoring (ratios = single IEEE division over exact ints)
+    // quality scoring (ratios = single IEEE division over exact ints);
+    // token array materialized once, not re-split per interpreted lambda
     "d03_quality_score" -> ((s, d) => {
-      val base = docs(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+      val base = docs(s, d).select(col("doc_id"), col("n_chars"),
+        TextFunctions.tokens(col("text")).as("__tk"))
       val withCols = TextFunctions
-        .qualityColumns(col("text"), col("n_chars"))
+        .qualityColumnsFromTokens(col("__tk"), col("n_chars"))
         .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
       withCols
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -765,15 +767,19 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
-    // language-ID heuristic: stopword-profile hits + argmax label
+    // language-ID heuristic: stopword-profile hits + argmax label;
+    // token array materialized once across the 4 language profiles
     "d05_lang_id" -> ((s, d) => {
-      val base = docs(s, d).select(col("doc_id"), col("text"))
-      val withHits = TextFunctions.langHits(col("text")).foldLeft(base) {
-        case (df, (n, c)) => df.withColumn(n, c.cast("long"))
-      }
+      val base = docs(s, d).select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("__tk"))
+      val withHits = TextFunctions.langHitsFromTokens(col("__tk"))
+        .foldLeft(base) {
+          case (df, (n, c)) => df.withColumn(n, c.cast("long"))
+        }
       withHits
-        .withColumn("lang_pred", TextFunctions.langPredict(col("text")))
-        .drop("text")
+        .withColumn("lang_pred",
+          TextFunctions.langPredictFromTokens(col("__tk")))
+        .drop("__tk")
         .orderBy("doc_id")
     }),
 

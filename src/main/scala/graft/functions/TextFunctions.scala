@@ -60,15 +60,28 @@ object TextFunctions {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
   def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords)
-      : Column =
-    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+      : Column = stopwordCountFromTokens(tokens(text), stopwords)
+
+  /** Stopword count over a materialized token-array column — pass an
+    * attribute in hot paths (interpreted lambdas re-evaluate inline
+    * expressions per element, see shinglesFromTokens). */
+  def stopwordCountFromTokens(
+      tk: Column,
+      stopwords: Seq[String] = EnglishStopwords
+  ): Column =
+    size(filter(tk, t => t.isin(stopwords.map(lit(_)): _*)))
 
   /** Heuristic quality signals: token count, average token length,
     * stopword ratio, and a fixed-weight composite. Every ratio is a single
     * IEEE division over exact integers — deterministic across engines. */
-  def qualityColumns(text: Column, nChars: Column): Seq[(String, Column)] = {
-    val ntok = tokenCount(text)
-    val stop = stopwordCount(text)
+  def qualityColumns(text: Column, nChars: Column): Seq[(String, Column)] =
+    qualityColumnsFromTokens(tokens(text), nChars)
+
+  /** Quality signals over a materialized token array (hot-path form). */
+  def qualityColumnsFromTokens(tk: Column, nChars: Column)
+      : Seq[(String, Column)] = {
+    val ntok = size(tk)
+    val stop = stopwordCountFromTokens(tk)
     val avgTokLen =
       (nChars - (ntok - lit(1))).cast("double") / ntok.cast("double")
     val stopRatio = stop.cast("double") / ntok.cast("double")
@@ -92,12 +105,20 @@ object TextFunctions {
   )
 
   def langHits(text: Column): Seq[(String, Column)] =
+    langHitsFromTokens(tokens(text))
+
+  def langHitsFromTokens(tk: Column): Seq[(String, Column)] =
     LangStopwords.map { case (lang, words) =>
-      s"${lang}_hits" -> stopwordCount(text, words)
+      s"${lang}_hits" -> stopwordCountFromTokens(tk, words)
     }
 
-  def langPredict(text: Column): Column = {
-    val hits = LangStopwords.map { case (l, ws) => l -> stopwordCount(text, ws) }
+  def langPredict(text: Column): Column =
+    langPredictFromTokens(tokens(text))
+
+  def langPredictFromTokens(tk: Column): Column = {
+    val hits = LangStopwords.map { case (l, ws) =>
+      l -> stopwordCountFromTokens(tk, ws)
+    }
     // argmax with first-listed language winning ties
     hits.tail.foldLeft((hits.head._2, lit(hits.head._1))) {
       case ((bestScore, bestLang), (lang, score)) =>
