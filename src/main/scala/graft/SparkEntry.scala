@@ -725,6 +725,28 @@ object SparkEntry {
           |ORDER BY c_mktsegment, o_orderstatus""".stripMargin)
     }),
 
+    // 6-table join (TPC-H Q5 shape): region->nation->customer->orders->
+    // lineitem->supplier with the local-supplier condition; Catalyst
+    // broadcasts the small dims, AQE handles the rest
+    "q51_region_revenue" -> ((s, d) => {
+      Tables.region(s, d)
+        .join(Tables.nation(s, d),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(cust(s, d), col("n_nationkey") === col("c_nationkey"))
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(dec12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - dec3(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1453,6 +1475,21 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, o_orderstatus
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+
+    "q51_region_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |  AS DOUBLE) AS revenue,
+        | COUNT(*) AS n
+        |FROM region
+        | JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt

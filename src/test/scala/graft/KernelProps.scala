@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{CharFoldUtil, VectorKernels}
+import graft.lake.SchemaTools
+
+/** Pure-JVM property tests for the native kernels and the promotion
+  * ladder (no Spark session — runs 100 cases each in milliseconds). */
+object KernelProps extends Properties("graft-kernels") {
+
+  private val P = 2147483647L
+
+  private def refFold(s: String, base: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  private val asciiStr: Gen[String] =
+    Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+
+  property("charFold == reference fold") = forAll(asciiStr) { s =>
+    CharFoldUtil.fold(UTF8String.fromString(s), 131L) == refFold(s, 131L)
+  }
+
+  property("charFold lands in [0, P)") = forAll(asciiStr) { s =>
+    val h = CharFoldUtil.fold(UTF8String.fromString(s), 137L)
+    h >= 0L && h < P
+  }
+
+  property("charFold is prefix-sensitive") =
+    forAll(asciiStr, Gen.choose(33.toChar, 126.toChar)) { (s, c) =>
+      // appending a non-zero codepoint changes the fold unless it cancels
+      // mod P — astronomically unlikely for random input; just check the
+      // recurrence holds exactly
+      val h = CharFoldUtil.fold(UTF8String.fromString(s), 131L)
+      val h2 = CharFoldUtil.fold(UTF8String.fromString(s + c), 131L)
+      h2 == (h * 131L + c.toLong) % P
+    }
+
+  private val vec: Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](16, Gen.choose(-5.0, 5.0))
+
+  property("dot == sequential left fold, bit for bit") =
+    forAll(vec, vec) { (a, b) =>
+      val got = VectorKernels.dot(new GenericArrayData(a),
+        new GenericArrayData(b))
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(acc)
+    }
+
+  private val hashes: Gen[Array[Long]] =
+    Gen.nonEmptyContainerOf[Array, Long](Gen.choose(0L, (1L << 62) - 1))
+
+  property("simhash == per-bit vote reference") = forAll(hashes) { hs =>
+    val got = VectorKernels.simhash(new GenericArrayData(hs), 56)
+    val ref = (0 until 56).map { b =>
+      val vote = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+      if (vote > 0) 1L << b else 0L
+    }.sum
+    got == ref
+  }
+
+  property("simhash of identical arrays has hamming 0") = forAll(hashes) {
+    hs =>
+      val a = VectorKernels.simhash(new GenericArrayData(hs), 56)
+      val b = VectorKernels.simhash(new GenericArrayData(hs.clone()), 56)
+      java.lang.Long.bitCount(a ^ b) == 0
+  }
+
+  import org.apache.spark.sql.types._
+  private val scalarTypes: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    StringType, DateType, TimestampType, BooleanType)
+
+  property("promote is commutative") =
+    forAll(scalarTypes, scalarTypes) { (a, b) =>
+      SchemaTools.promote(a, b) == SchemaTools.promote(b, a)
+    }
+
+  property("promote is idempotent") = forAll(scalarTypes) { t =>
+    SchemaTools.promote(t, t) == t
+  }
+
+  property("promote is associative") =
+    forAll(scalarTypes, scalarTypes, scalarTypes) { (a, b, c) =>
+      SchemaTools.promote(SchemaTools.promote(a, b), c) ==
+        SchemaTools.promote(a, SchemaTools.promote(b, c))
+    }
+}
