@@ -145,6 +145,35 @@ final case class LakeWriter(
     w.parquet(path)
   }
 
+  /** Bucketed write (Spark-native co-location, no reference analog):
+    * hash-bucket on the join/aggregation keys so every later equi-join or
+    * groupBy on those keys between co-bucketed tables runs WITHOUT a
+    * shuffle — pre-partitioned storage, the single biggest lever for
+    * repeated 100 TB joins. Bucketing metadata lives in the session
+    * catalog (`saveAsTable`); optional per-bucket sort feeds sort-merge
+    * joins without a sort step. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val saveMode = mode match {
+      case WriteMode.Overwrite => SaveMode.Overwrite
+      case WriteMode.Raise => SaveMode.ErrorIfExists
+      case _ => SaveMode.Append
+    }
+    var w = transform(pipeline(df)).write
+      .mode(saveMode)
+      .format("parquet")
+      .option("compression", compression)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** Directory-flavor partitioned write (`writer.py:136-137`): path
     * segments are bare `<value>/` (no `key=` prefix), so Spark's hive
     * discovery can't read them — the reference's second partitioning
