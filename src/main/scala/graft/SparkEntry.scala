@@ -747,6 +747,21 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // JSON-lines sink + source roundtrip (LakeReader format dispatch);
+    // long/string columns only — JSON number/timestamp formatting is not
+    // part of the compat surface
+    "q52_json_roundtrip" -> ((s, d) => {
+      val tmp = scratch(s, "q52", d)
+      ev(s, d).select("event_id", "user_id", "event_type")
+        .write.json(tmp)
+      LakeReader(s, tmp, format = "json").load()
+        .select(
+          col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1490,6 +1505,10 @@ object SparkEntry {
         | JOIN supplier ON l_suppkey = s_suppkey
         |  AND s_nationkey = n_nationkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q52_json_roundtrip" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
