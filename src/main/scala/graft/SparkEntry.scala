@@ -762,6 +762,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // text normalization / cleaning: lowercase, punctuation strip,
+    // whitespace collapse, stopword removal — the standard pre-dedup
+    // cleanup pass of a training-data pipeline
+    "d10_text_normalize" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          TextFunctions.tokens(col("norm")).as("__tk"))
+        .select(
+          col("doc_id"),
+          col("norm"),
+          size(col("__tk")).cast("long").as("n_tokens_norm"),
+          TextFunctions.removeStopwords(col("__tk")).as("no_stop"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1509,6 +1526,20 @@ object SparkEntry {
     "q52_json_roundtrip" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "d10_text_normalize" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        | FROM documents),
+        |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS tk FROM n)
+        |SELECT doc_id, norm,
+        | CAST(len(tk) AS BIGINT) AS n_tokens_norm,
+        | array_to_string(list_filter(tk, x -> x NOT IN
+        |   ('the','a','an','of','and','to','in','is','it','that')), ' ')
+        |  AS no_stop
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt

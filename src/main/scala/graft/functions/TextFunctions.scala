@@ -56,6 +56,22 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Training-data text cleaning: lowercase, strip non-alphanumerics
+    * (keeping spaces), collapse whitespace runs, trim. Pure codegen'd
+    * string expressions — no UDFs. */
+  def normalizeText(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(lower(text), "[^a-z0-9 ]", ""),
+        " +", " "))
+
+  /** Remove stopwords from a materialized token array, back to a string. */
+  def removeStopwords(
+      tk: Column,
+      stopwords: Seq[String] = EnglishStopwords
+  ): Column =
+    concat_ws(" ", filter(tk, t => !t.isin(stopwords.map(lit(_)): _*)))
+
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
