@@ -152,15 +152,16 @@ object Dedup {
         TextFunctions.charFold(col("shingle"), 131).as("f1"),
         TextFunctions.charFold(col("shingle"), 137).as("f2")
       )
-    val aggs = (0 until numHashes).map(i =>
-      min(pmod(col("f1") + lit(i.toLong) * col("f2"),
-        lit(TextFunctions.HashP))).as(s"h$i"))
-    sh.groupBy("doc")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(
-        col("doc"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")
-      )
+    // One custom TypedImperativeAggregate with a single Array[Long]
+    // buffer, instead of numHashes separate min-aggregates (leaner agg
+    // hash map, incremental mod-P hashing) — values bit-identical.
+    val sigAgg = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MinHashAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("f1")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("f2")),
+        numHashes
+      ).toAggregateExpression())
+    sh.groupBy("doc").agg(sigAgg.as("sig"))
   }
 
   /** MinHash + LSH near-dup candidates, verified.
