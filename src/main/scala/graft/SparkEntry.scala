@@ -779,6 +779,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RANGE window frame over event time (q17 covers ROWS frames): per
+    // user, rolling 1-hour sum — frame bounds in epoch micros on both
+    // engines, well-defined under timestamp ties
+    "q53_range_frame" -> ((s, d) => {
+      val hourUs = 3600L * 1000000 - 1
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-hourUs, Window.currentRow)
+      ev(s, d)
+        .filter(col("user_id") <= 100)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("rolling_1h",
+          sum(dec12(col("value"))).over(w).cast("double"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1540,6 +1556,15 @@ object SparkEntry {
         |   ('the','a','an','of','and','to','in','is','it','that')), ' ')
         |  AS no_stop
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q53_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS rolling_1h
+        |FROM events WHERE user_id <= 100
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt

@@ -23,6 +23,18 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Approximate distinct-count of the key columns (HyperLogLog++): the
+    * scale path when exact expand-based distinct counting (q43) is too
+    * expensive. No cross-engine oracle (HLL implementations differ);
+    * DedupSpec bounds the relative error instead. */
+  def approxDistinct(
+      df: DataFrame,
+      keyCols: Seq[String],
+      rsd: Double = 0.05
+  ): DataFrame =
+    df.agg(approx_count_distinct(struct(keyCols.map(col): _*), rsd)
+      .as("approx_distinct"))
+
   /** Exact dedup keeping one full row per key (first by `orderBy`). */
   def exactKeepFirst(
       df: DataFrame,

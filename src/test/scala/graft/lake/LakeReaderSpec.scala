@@ -1,0 +1,47 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LakeReaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("createView registers for SQL, materialize caches") {
+    val dir = TestSpark.tempDir("lrv")
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    LakeReader(spark, dir).createView("lrv_view")
+    assert(spark.sql("SELECT count(*) FROM lrv_view").as[Long].head() == 2)
+    val m = LakeReader(spark, dir).materialize("lrv_mat")
+    assert(m.storageLevel.useMemory, "materialize must cache")
+    assert(spark.table("lrv_mat").count() == 2)
+    m.unpersist()
+  }
+
+  test("path-extension dispatch picks the right format") {
+    val dir = TestSpark.tempDir("lrd")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(s"$dir/t.parquet")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/t.csv")
+    val p = LakeReader.fromPath(spark, s"$dir/t.parquet").load()
+    assert(p.count() == 2)
+    val c = LakeReader.fromPath(spark, s"$dir/t.csv").load()
+    assert(c.count() == 2)
+    assert(c.columns.toSeq.sorted == Seq("id", "v"))
+  }
+
+  test("filter applies before the declarative pipeline") {
+    val dir = TestSpark.tempDir("lrf")
+    Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k")
+      .write.mode("overwrite").parquet(dir)
+    val out = LakeReader(spark, dir)
+      .filter("id >= 2")
+      .distinctOn(Seq("k"))
+      .load()
+      .select("id", "k").as[(Int, String)].collect().toMap
+    // id=1 filtered out first, so k=a keeps id=2
+    assert(out == Map(2 -> "a", 3 -> "b"))
+  }
+}

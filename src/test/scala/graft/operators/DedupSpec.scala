@@ -54,6 +54,14 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("approxDistinct lands within the HLL error bound") {
+    val df = (1 to 20000).map(i => (i % 7000).toLong).toDF("k")
+    val approx = Dedup.approxDistinct(df, Seq("k"), rsd = 0.05)
+      .as[Long].head()
+    assert(math.abs(approx - 7000.0) / 7000.0 < 0.15,
+      s"approx=$approx too far from 7000")
+  }
+
   test("duplicateClusters: min-label connected components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
       .toDF("id1", "id2")
