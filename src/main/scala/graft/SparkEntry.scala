@@ -892,6 +892,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic content-hash sampling + quality gate: the reproducible
+    // way to downsample a corpus (same rows selected on every run/engine,
+    // no RNG) — composed with a token-count quality floor
+    "d11_hash_sample" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("__tk"),
+          TextFunctions.charFold(col("text"), 131).as("__h"))
+        .filter(pmod(col("__h"), lit(20L)) === 0L && size(col("__tk")) >= 30)
+        .select(col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tokens"),
+          col("__h").as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test split by content hash — stable across
+    // engines and runs, leakage-free (identical texts land in the same
+    // split by construction)
+    "d12_hash_split" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          pmod(TextFunctions.charFold(col("text"), 137), lit(100L))
+            .as("__b"))
+        .select(col("doc_id"),
+          when(col("__b") < 80, "train")
+            .when(col("__b") < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
     // exact cosine near-pairs over embeddings
     "e01_cosine_pairs" -> ((s, d) => {
       Similarity.cosinePairs(emb(s, d), threshold = 0.4, leftIdBound = 100L)
@@ -1565,6 +1597,25 @@ object SparkEntry {
         |  AS DOUBLE) AS rolling_1h
         |FROM events WHERE user_id <= 100
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "d11_hash_sample" ->
+      s"""WITH h AS (SELECT doc_id, text,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ${sqlCharFold("text", 131)} AS content_hash
+         | FROM documents)
+         |SELECT doc_id, n_tokens, content_hash FROM h
+         |WHERE content_hash % 20 = 0 AND n_tokens >= 30
+         |ORDER BY doc_id""".stripMargin,
+
+    "d12_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  (${sqlCharFold("text", 137)}) % 100 AS bucket
+         | FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         | COUNT(*) AS n
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
