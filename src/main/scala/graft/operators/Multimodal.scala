@@ -67,9 +67,61 @@ object Multimodal {
       col("*"),
       posexplode(transform(
         sequence(lit(0), lit(nFrames - 1)),
-        i => fakeDecodeFeatures(concat(col(payloadCol), i.cast("binary")), 8)
+        // frame index mixed into the payload as UTF-8 bytes (an int
+        // cannot cast to binary under ANSI — caught by MultimodalSpec)
+        i => fakeDecodeFeatures(
+          concat(col(payloadCol), i.cast("string").cast("binary")), 8)
       )).as(Seq("frame_idx", "frame_features"))
     )
+
+  /** Deterministic stub decoder: payload bytes -> `dim` floats in [-1, 1]
+    * via a per-dimension byte fold. Stands in for a real image/audio
+    * codec (none in this container) with the same signature shape:
+    * bytes in, fixed-width feature vector out, pure per-row. */
+  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * (131 + d) + (bytes(i) & 0xff)) % 2000001L
+        i += 1
+      }
+      out(d) = ((h - 1000000L).toDouble / 1000000.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** Batched decode plumbing — the Scala analog of `mapInPandas`: a
+    * pluggable decoder applied partition-wise, iterator-in/iterator-out,
+    * so each task holds one row's payload at a time (constant memory) and
+    * the decoder can amortize any per-batch setup across its partition.
+    * Swap `decode` for a real codec; schema/partitioning/batch shape stay
+    * identical. */
+  def decodeBatched(
+      df: DataFrame,
+      payloadCol: String,
+      dim: Int = 8,
+      decode: Array[Byte] => Array[Float] = null
+  ): DataFrame = {
+    val dec: Array[Byte] => Array[Float] =
+      if (decode == null) stubDecode(_, dim) else decode
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        StructField("features", ArrayType(FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats = if (payload == null) new Array[Float](dim)
+                    else dec(payload)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
 
   /** Build a media table from any string column (test harness: the
     * container has no binary fixtures, so docs stand in for payloads). */
