@@ -924,6 +924,13 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // the WHOLE corpus-cleaning pipeline, end to end under one oracle:
+    // normalize -> quality gate -> exact dedup -> Jaccard near-dups ->
+    // connected components -> keep representatives -> hash split
+    "d13_corpus_pipeline" -> ((s, d) => {
+      operators.CorpusPipeline.run(docs(s, d)).orderBy("doc_id")
+    }),
+
     // exact cosine near-pairs over embeddings
     "e01_cosine_pairs" -> ((s, d) => {
       Similarity.cosinePairs(emb(s, d), threshold = 0.4, leftIdBound = 100L)
@@ -1154,6 +1161,48 @@ object SparkEntry {
        |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
        |  FROM pp) t
        |WHERE rank <= $k ORDER BY id1, rank""".stripMargin
+  }
+
+  /** d13: the full corpus pipeline as one oracle — normalize, gate,
+    * exact dedup, Jaccard pairs, recursive-CTE closure, split. */
+  private def d13Oracle: String = {
+    val normExpr = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    s"""WITH RECURSIVE nrm AS (
+       | SELECT doc_id, $normExpr AS norm FROM documents),
+       |q AS (SELECT doc_id, norm FROM nrm
+       |  WHERE len(string_split(norm, ' ')) >= 30),
+       |e AS (SELECT min(doc_id) AS doc_id, norm FROM q GROUP BY norm),
+       |toks AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM e),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |  FROM toks),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_both
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT id1, id2 FROM inter
+       |   JOIN cnt ca ON ca.doc_id = id1
+       |   JOIN cnt cb ON cb.doc_id = id2
+       |  WHERE CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
+       |    >= 0.6),
+       |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs
+       |  UNION SELECT id1, id1 FROM pairs
+       |  UNION SELECT id2, id2 FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |cl AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+       |kept AS (SELECT e.doc_id, e.norm FROM e
+       |  WHERE e.doc_id NOT IN (SELECT doc_id FROM cl WHERE rep <> doc_id))
+       |SELECT doc_id,
+       | CASE WHEN (${sqlCharFold("norm", 137)}) % 100 < 80 THEN 'train'
+       |      WHEN (${sqlCharFold("norm", 137)}) % 100 < 90 THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM kept ORDER BY doc_id""".stripMargin
   }
 
   private def e03Oracle: String = {
@@ -1692,6 +1741,7 @@ object SparkEntry {
 
     "d06_minhash_lsh" -> d06Oracle,
     "d09_dup_clusters" -> d09Oracle,
+    "d13_corpus_pipeline" -> d13Oracle,
     "d07_simhash" -> d07Oracle,
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The composed training-data cleaning pipeline — each stage is one of
+  * the library's operators, chained the way a production corpus build
+  * chains them:
+  *
+  *  1. normalize (lowercase, punctuation strip, whitespace collapse);
+  *  2. quality gate (minimum token count);
+  *  3. exact dedup on normalized content (keep min doc id);
+  *  4. near-dup detection (n-gram Jaccard) -> connected components ->
+  *     keep each cluster's min-id representative;
+  *  5. leakage-free train/val/test split by content hash.
+  *
+  * Everything is deterministic and engine-portable, so the WHOLE pipeline
+  * is verified against a DuckDB oracle end to end (d13). Scale shape: two
+  * keyed aggregations, one keyed candidate join, CC rounds bounded by
+  * cluster diameter — no stage is all-pairs or driver-side.
+  */
+object CorpusPipeline {
+
+  def run(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 30,
+      jaccardThreshold: Double = 0.6
+  ): DataFrame = {
+    val norm = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.normalizeText(col(textCol)).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        TextFunctions.tokens(col("norm")).as("__tk"))
+      .filter(size(col("__tk")) >= minTokens)
+    val survivors = norm
+      .groupBy("norm")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "norm")
+    val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "norm",
+      n = 3, threshold = jaccardThreshold)
+    val clusters = Dedup.duplicateClusters(pairs.select("id1", "id2"))
+    val dropIds = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val kept = survivors.join(dropIds, Seq("doc_id"), "left_anti")
+    kept.select(
+      col("doc_id"),
+      {
+        val b = pmod(TextFunctions.charFold(col("norm"), 137), lit(100L))
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      }.as("split"))
+  }
+}
