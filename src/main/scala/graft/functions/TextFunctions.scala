@@ -20,10 +20,11 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: words + digit runs + punctuation as separate
-    * tokens, approximated by a regex split. */
+    * tokens, approximated by a regex split. Whitespace runs are split
+    * boundaries, not tokens (r2 fix: they used to be counted). */
   def subwordCount(text: Column): Column =
     size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-      t => length(t) > 0))
+      t => length(trim(t)) > 0))
 
   /** Word n-gram shingles (distinct) over a *materialized* token-array
     * column. Callers must pass an attribute (a column produced by a prior

@@ -52,6 +52,38 @@ object EventStream {
         col("total_value")
       )
 
+  /** Watermarked stream-stream interval join: purchases attributed to
+    * the same user's clicks within `attributionWindow` before the
+    * purchase. Both sides carry watermarks and the join condition bounds
+    * the event-time gap, so each side's state is dropped once the
+    * watermark passes the window — bounded state, the canonical
+    * stream-stream join shape. */
+  def attributionJoin(
+      events: DataFrame,
+      attributionWindow: String = "1 hour",
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $attributionWindow"),
+      "inner")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
+  }
+
   /** Streaming exact dedup for ingestion pipelines: watermark-bounded
     * `dropDuplicatesWithinWatermark` on the key columns — per-key state
     * is dropped once the watermark passes it, so state stays bounded at

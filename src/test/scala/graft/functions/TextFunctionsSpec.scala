@@ -57,6 +57,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows == Seq(0, 1, 2, 2))
   }
 
+  test("subwordCount: words, digit runs, punctuation count separately") {
+    val got = Seq("hello, world 42!", "abc", "a-b").toDF("t")
+      .select(TextFunctions.subwordCount(col("t")).as("n"))
+      .as[Int].collect().toSeq
+    // "hello" "," "world" "42" "!" -> 5 ; "abc" -> 1 ; "a" "-" "b" -> 3
+    assert(got == Seq(5, 1, 3))
+  }
+
+  test("normalizeText lowers, strips punctuation, collapses whitespace") {
+    val got = Seq("  Hello,   WORLD!! 42 ").toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).as[String].head()
+    assert(got == "hello world 42")
+  }
+
   test("fingerprint is order-sensitive, bagFingerprint is not") {
     val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
     val r = df.select(

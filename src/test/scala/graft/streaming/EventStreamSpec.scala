@@ -84,6 +84,27 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributionJoin matches purchases to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val joined = EventStream.attributionJoin(
+      input.toDF(), attributionWindow = "30 minutes",
+      watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts(0), 1L, "click", 0.0), // 45 min before: out
+        EventStream.Event(2, ts(30), 1L, "click", 0.0), // 15 min before: in
+        EventStream.Event(3, ts(40), 2L, "click", 0.0), // other user
+        EventStream.Event(4, ts(45), 1L, "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((4L, 2L)))
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates per tumbling window and type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
