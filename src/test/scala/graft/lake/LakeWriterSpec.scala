@@ -74,6 +74,23 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(byId == Map(Some(1) -> "a", None -> "n", Some(2) -> "b"))
   }
 
+  test("delta castKeysToString matches keys across physical int widths") {
+    // the reference's cast-keys normalization (utils/table.py:159-181):
+    // an int-typed existing key must match a long-typed incoming key
+    val dir = TestSpark.tempDir("deltacast")
+    Seq((1, "a"), (2, "b")).toDF("id", "v") // int id
+      .write.mode("append").parquet(dir)
+    val incoming = Seq((2L, "CHANGED"), (3L, "c")).toDF("id", "v") // long id
+    LakeWriter(spark, dir,
+      WriteMode.Delta(subset = Seq("id"), castKeysToString = true))
+      .write(incoming)
+    // plain mergeSchema cannot promote INT->BIGINT; the promotion-ladder
+    // unified read is the library's own answer to that
+    val byId = SchemaTools.readUnified(spark, dir)
+      .select($"id".cast("long"), $"v").as[(Long, String)].collect().toMap
+    assert(byId == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("delta bounded by timestamp window only diffs inside the window") {
     val dir = TestSpark.tempDir("deltats")
     val t = (s: String) => java.sql.Timestamp.valueOf(s)
