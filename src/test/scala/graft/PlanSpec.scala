@@ -61,6 +61,13 @@ class PlanSpec extends AnyFunSuite {
       "range join degenerated to a cross product — equi key not used")
   }
 
+  test("q51: all five dimension joins broadcast (no dim-side shuffle)") {
+    val p = plan("q51_region_revenue")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 4, s"expected >=4 broadcast joins in the 6-table plan, got $n")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("null-safe anti-join (delta core) stays a hash/merge join") {
     import spark.implicits._
     val a = Seq((Some(1), "x"), (None, "y")).toDF("k", "v")
