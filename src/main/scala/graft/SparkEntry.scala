@@ -795,6 +795,29 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // NULL semantics under the oracle (the fixtures carry no NULLs, so
+    // inject them deterministically): NULL grouping keys, count(col) vs
+    // count(*), null-first ordering
+    "q54_null_semantics" -> ((s, d) => {
+      ord(s, d)
+        .select(expr("nullif(o_orderstatus, 'P')").as("status_or_null"),
+          col("o_totalprice"))
+        .groupBy("status_or_null")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("status_or_null")).as("n_nonnull_keys"),
+          sum(dec12(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("status_or_null").asc_nulls_first)
+    }),
+
+    // explicit cross join — bounded dimension tables only (5 x 25 rows);
+    // the only place a cross product is ever acceptable at scale
+    "q55_cross_join_small" -> ((s, d) => {
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.nation(s, d).select("n_name"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1665,6 +1688,17 @@ object SparkEntry {
          |            ELSE 'test' END AS split,
          | COUNT(*) AS n
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q54_null_semantics" ->
+      """SELECT nullif(o_orderstatus, 'P') AS status_or_null,
+        | COUNT(*) AS n_rows,
+        | count(nullif(o_orderstatus, 'P')) AS n_nonnull_keys,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    "q55_cross_join_small" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
