@@ -16,7 +16,8 @@ final case class LakeReader(
     format: String = "parquet",
     pipeline: Pipeline = Pipeline(),
     filterExpr: Option[String] = None,
-    unifySchemas: Boolean = false
+    unifySchemas: Boolean = false,
+    nanosAsLong: Boolean = false
 ) {
 
   def drop(cols: String*): LakeReader =
@@ -41,8 +42,15 @@ final case class LakeReader(
     * made explicit: opt in when fragments are schema-heterogeneous. */
   def unified(): LakeReader = copy(unifySchemas = true)
 
+  /** Tolerate parquet TIMESTAMP(NANOS) columns (Spark has no nanosecond
+    * TimestampType — they surface as long nanos; truncate-divide to
+    * micros downstream, see Tables.events). Session-scoped conf. */
+  def nanosTolerant(): LakeReader = copy(nanosAsLong = true)
+
   /** The lazy scan with the pipeline applied (drop -> distinct -> sort). */
   def load(): DataFrame = {
+    if (nanosAsLong)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = format match {
       case "parquet" =>
         if (unifySchemas) SchemaTools.readUnified(spark, path)

@@ -32,6 +32,14 @@ class LakeReaderSpec extends AnyFunSuite {
     assert(c.columns.toSeq.sorted == Seq("id", "v"))
   }
 
+  test("nanosTolerant reads TIMESTAMP(NANOS) parquet as long nanos") {
+    val df = LakeReader(spark, s"${TestSpark.sfDir}/events.parquet")
+      .nanosTolerant().load()
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.count() > 0)
+  }
+
   test("filter applies before the declarative pipeline") {
     val dir = TestSpark.tempDir("lrf")
     Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k")

@@ -110,6 +110,31 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1, 2, 5))
   }
 
+  test("delta onColumn prunes a partitioned target to the batch window") {
+    // at scale this is the difference between scanning the whole target
+    // and scanning only the affected date partitions
+    val dir = TestSpark.tempDir("deltaprune")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val existing = Seq(
+      (1, t("2024-01-01 00:00:00"), "2024-01-01"),
+      (2, t("2024-02-01 00:00:00"), "2024-02-01"),
+      (3, t("2024-03-01 00:00:00"), "2024-03-01")
+    ).toDF("id", "ts", "day")
+    LakeWriter(spark, dir, WriteMode.Append, partitionBy = Seq("day"))
+      .write(existing)
+    // incoming covers only Feb; the delta diff must not re-add id=2 and
+    // must append id=5
+    val incoming = Seq(
+      (2, t("2024-02-01 00:00:00"), "2024-02-01"),
+      (5, t("2024-02-15 00:00:00"), "2024-02-15")
+    ).toDF("id", "ts", "day")
+    LakeWriter(spark, dir,
+      WriteMode.Delta(subset = Seq("id"), onColumn = Some("ts")),
+      partitionBy = Seq("day")).write(incoming)
+    val ids = spark.read.parquet(dir).select("id").as[Int].collect().sorted
+    assert(ids.toSeq == Seq(1, 2, 3, 5))
+  }
+
   test("hive-partitioned write round-trips with partition pruning") {
     val dir = TestSpark.tempDir("part")
     val df = Seq((1, "x", "p1"), (2, "y", "p2"), (3, "z", "p1"))

@@ -109,6 +109,19 @@ class SchemaToolsSpec extends AnyFunSuite {
     assert(SchemaTools.inferPartitioning(spark, hdir) == "hive")
   }
 
+  test("directory-flavor partitioning nests multiple levels") {
+    val dir = graft.TestSpark.tempDir("dirpart2")
+    val df = Seq((1, "a", "x"), (2, "a", "y"), (3, "b", "x"))
+      .toDF("id", "p1", "p2")
+    LakeWriter(spark, dir, WriteMode.Overwrite)
+      .writeDirectoryPartitioned(df, Seq("p1", "p2"))
+    val back = SchemaTools
+      .readDirectoryPartitioned(spark, dir, Seq("p1", "p2"))
+    assert(back.count() == 3)
+    assert(back.filter($"p1" === "a" && $"p2" === "y")
+      .select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
   test("compression inference reads the footer codec") {
     val dir = graft.TestSpark.tempDir("codec")
     Seq((1, "a")).toDF("id", "v").write.mode("overwrite")
