@@ -818,6 +818,18 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // sliding windows (2h size / 1h slide): every event lands in two
+    // overlapping windows — the batch shape of streaming sliding aggs
+    "q56_sliding_windows" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec12(col("value"))).cast("double").as("total"))
+        .select(col("window.start").as("win_start"), col("n"), col("total"))
+        .orderBy("win_start")
+    }),
+
     // ---- LLM-pipeline operators -------------------------------------------
 
     // exact dedup on content
@@ -1699,6 +1711,14 @@ object SparkEntry {
     "q55_cross_join_small" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q56_sliding_windows" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS h, value FROM events),
+        |x AS (SELECT h - INTERVAL 1 HOUR AS win_start, value FROM w
+        |      UNION ALL SELECT h, value FROM w)
+        |SELECT win_start, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
