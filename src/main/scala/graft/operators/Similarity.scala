@@ -53,22 +53,41 @@ object Similarity {
       .select("id1", "id2", "sim", "rank")
   }
 
-  /** All near pairs above a cosine threshold (exact, self-join). Bounded
-    * by `idUpperBound` on the left side to keep the pair count linear when
-    * used as a sampled audit. */
+  /** All near pairs above a cosine threshold — exact, but never planned as
+    * a cartesian/nested-loop join. Each vector is hashed into one of
+    * `nBlocks` blocks; the tiny nBlocks² block-grid relation is broadcast
+    * and the pair space is materialized through two EQUI joins (broadcast
+    * grid, then one shuffle keyed on the block id). Exact all-pairs is
+    * inherently |A|·|B| comparisons; this formulation keeps that work but
+    * spreads it evenly over keyed shuffle partitions — no driver-side or
+    * single-task nested loop, no broadcast of the corpus. Raise `nBlocks`
+    * with the cluster (parallelism is nBlocks²); `leftIdBound` optionally
+    * bounds the left side for sampled audits. */
   def cosinePairs(
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.4,
-      leftIdBound: Long = Long.MaxValue
+      leftIdBound: Long = Long.MaxValue,
+      nBlocks: Int = 16
   ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val v = prep(emb, idCol, vecCol)
     val a = v.select(col("vec_id").as("id1"), col("emb").as("emb1"),
       col("nrm").as("n1")).filter(col("id1") < leftIdBound)
+      .withColumn("g1", pmod(xxhash64(col("id1")), lit(nBlocks.toLong)))
     val b = v.select(col("vec_id").as("id2"), col("emb").as("emb2"),
       col("nrm").as("n2"))
-    a.join(b, col("id1") < col("id2"))
+      .withColumn("g2", pmod(xxhash64(col("id2")), lit(nBlocks.toLong)))
+    // full grid: the left filter is asymmetric (id1 < leftIdBound), so a
+    // qualifying pair {x,y} is generated exactly once, as the tuple
+    // (x in a, y in b) — the id1 < id2 filter then dedupes the diagonal.
+    val grid = (for { i <- 0L until nBlocks; j <- 0L until nBlocks }
+      yield (i, j)).toDF("g1", "g2")
+    a.join(broadcast(grid), Seq("g1"))
+      .join(b, Seq("g2"))
+      .filter(col("id1") < col("id2"))
       .withColumn("sim",
         cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
       .filter(col("sim") >= threshold)
@@ -127,20 +146,32 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     val v = prep(corpus, idCol, vecCol)
-    val pivots = broadcast(
+    // The pivot set is bounded by nCells (cells << corpus), so it lives on
+    // the driver and cell assignment is a pure projection — argmax over
+    // literal pivot vectors, whole-stage codegen'd, no join and no shuffle
+    // over the corpus (a windowed-rank assignment would shuffle all of it).
+    val pivots: Array[(Long, Seq[Double], Double)] =
       v.orderBy("vec_id").limit(nCells)
-        .select(col("vec_id").as("cell"), col("emb").as("pivot"),
-          col("nrm").as("pnrm")))
+        .select(col("vec_id"), col("emb"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
 
     def assign(df: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("psim").desc, col("cell").asc)
-      df.join(pivots)
-        .withColumn("psim",
-          cosine(col("emb"), col("pivot"), col("nrm"), col("pnrm")))
-        .withColumn("prank", row_number().over(w))
-        .filter(col("prank") <= keep)
-        .drop("pivot", "pnrm", "psim", "prank")
+      val scored = array(pivots.map { case (cell, pv, pn) =>
+        struct(
+          cosine(col("emb"), typedLit(pv), col("nrm"), lit(pn)).as("psim"),
+          lit(cell).as("cell"))
+      }: _*)
+      // psim desc, cell asc — same tie-break as a row_number window
+      val ranked = array_sort(scored, (l, r) =>
+        when(l("psim") > r("psim"), -1)
+          .when(l("psim") < r("psim"), 1)
+          .when(l("cell") < r("cell"), -1)
+          .when(l("cell") > r("cell"), 1)
+          .otherwise(0))
+      df.withColumn("cellrec", explode(slice(ranked, 1, keep)))
+        .withColumn("cell", col("cellrec")("cell"))
+        .drop("cellrec")
     }
 
     val cAssigned = assign(v, 1)

@@ -89,4 +89,25 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       "band join must shuffle on (band, band_hash), never cross join")
   }
+
+  test("no query in the library plans a cartesian or nested-loop join") {
+    // The only two queries whose SEMANTICS are a bounded cross product:
+    //  - q55: the cross-join operator itself (5x25 by contract)
+    //  - e02: brute-force baseline — broadcasts the bounded query set
+    //    against the corpus; linear in corpus size, cross only in |Q|
+    // Everything else — including e01's exact all-pairs, which is now
+    // block-keyed — must plan as equi joins.
+    val allowed = Set("q55_cross_join_small", "e02_knn_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")) Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning all-pairs joins: ${offenders.mkString(", ")}")
+  }
 }
