@@ -45,7 +45,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Stdout log capture truncated the r2 bench line; persist the full
+    // JSON to a file too so the per-query map and total always survive.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(out))
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

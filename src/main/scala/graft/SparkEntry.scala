@@ -473,27 +473,30 @@ object SparkEntry {
     // only emits windows whose end <= final watermark (= max ts with the
     // 0s delay), which the oracle reproduces with a max(ts) bound.
     "q35_stream_hourly" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val qname = s"graft_q35_${streamEpoch.incrementAndGet()}"
-      // file-stream sources require a directory or glob, not a bare file:
-      // the {…} glob scopes the stream to just the events table
-      val q = s.readStream.schema(rawSchema)
-        .parquet(s"$d/{events.parquet}")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 hour"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(dec12(col("value"))).cast("double").as("total_value"))
-        .select(col("window.start").as("hour_start"), col("n"),
-          col("total_value"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname).orderBy("hour_start")
+      // nanos conf scoped to stream setup+run, not left on the session
+      SchemaTools.withSessionConf(
+        s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val qname = s"graft_q35_${streamEpoch.incrementAndGet()}"
+        // file-stream sources require a directory or glob, not a bare file:
+        // the {…} glob scopes the stream to just the events table
+        val q = s.readStream.schema(rawSchema)
+          .parquet(s"$d/{events.parquet}")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec12(col("value"))).cast("double").as("total_value"))
+          .select(col("window.start").as("hour_start"), col("n"),
+            col("total_value"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).orderBy("hour_start")
+      }
     }),
 
     // schema-heterogeneous fragments (int/float vs long/double) read

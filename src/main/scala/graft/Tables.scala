@@ -26,11 +26,13 @@ object Tables {
   /** events with `ts` truncated to microseconds, matching DuckDB's read of
     * the same nanosecond-precision parquet column. Spark has no TIMESTAMP
     * (NANOS) support ([PARQUET_TYPE_ILLEGAL]), so read it as long and
-    * truncate-divide to micros. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-  }
+    * truncate-divide to micros. The nanos conf is scoped to scan
+    * resolution (set/restore), not left on the shared session. */
+  def events(s: SparkSession, d: String): DataFrame =
+    graft.lake.SchemaTools.withSessionConf(
+      s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+      load(s, d, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    }
 }

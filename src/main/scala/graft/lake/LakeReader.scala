@@ -44,14 +44,23 @@ final case class LakeReader(
 
   /** Tolerate parquet TIMESTAMP(NANOS) columns (Spark has no nanosecond
     * TimestampType — they surface as long nanos; truncate-divide to
-    * micros downstream, see Tables.events). Session-scoped conf. */
+    * micros downstream, see Tables.events). The conf is scoped to scan
+    * resolution: set, resolve, restored — never left on the session. */
   def nanosTolerant(): LakeReader = copy(nanosAsLong = true)
 
   /** The lazy scan with the pipeline applied (drop -> distinct -> sort). */
   def load(): DataFrame = {
-    if (nanosAsLong)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = format match {
+    val base =
+      if (nanosAsLong)
+        SchemaTools.withSessionConf(
+          spark, "spark.sql.legacy.parquet.nanosAsLong", "true")(loadBase())
+      else loadBase()
+    val filtered = filterExpr.map(base.filter).getOrElse(base)
+    pipeline(filtered)
+  }
+
+  private def loadBase(): DataFrame = {
+    format match {
       case "parquet" =>
         if (unifySchemas) SchemaTools.readUnified(spark, path)
         else spark.read.parquet(path)
@@ -64,8 +73,6 @@ final case class LakeReader(
       case other =>
         throw new IllegalArgumentException(s"unsupported format: $other")
     }
-    val filtered = filterExpr.map(base.filter).getOrElse(base)
-    pipeline(filtered)
   }
 
   /** Register for SQL, the Spark analog of DuckDB view registration
@@ -85,12 +92,16 @@ final case class LakeReader(
 }
 
 object LakeReader {
-  /** Path-extension dispatch (`utils/table.py:81-89`). */
+  /** Path-extension dispatch (`utils/table.py:81-89`), falling back to
+    * directory-content inference (`timefly.py:91-103`) when the path has
+    * no recognized extension: the majority extension of the files inside
+    * the directory decides the format. */
   def fromPath(spark: SparkSession, path: String): LakeReader = {
     val fmt =
       if (path.endsWith(".csv")) "csv"
       else if (path.endsWith(".json")) "json"
-      else "parquet"
+      else if (path.endsWith(".parquet")) "parquet"
+      else SchemaTools.inferFormat(spark, path)
     LakeReader(spark, path, fmt)
   }
 }

@@ -110,15 +110,54 @@ final case class LakeWriter(
     } else {
       antiNullSafe(
         df.dropDuplicates(),
-        existing.select(df.columns.map(col): _*),
+        broadcastIfSmall(existing.select(df.columns.map(col): _*)),
         df.columns.toSeq
       )
     }
   }
 
-  /** Broadcast the existing-keys side when it is provably small; otherwise
-    * let AQE decide (the join is a shuffle on the delta keys either way). */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+  /** Broadcast the existing-keys side when the target dataset's on-disk
+    * footprint is under `spark.sql.autoBroadcastJoinThreshold`; otherwise
+    * leave the choice to AQE. File bytes are compressed (zstd), so this
+    * under-estimates in-memory size — acceptable because the keys side is
+    * a distinct projection of a strict column subset of those files. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val threshold = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .replaceAll("(?i)b$", "") match {
+      case s if s.toLowerCase.endsWith("k") => s.dropRight(1).toLong * 1024
+      case s if s.toLowerCase.endsWith("m") => s.dropRight(1).toLong * 1024 * 1024
+      case s if s.toLowerCase.endsWith("g") => s.dropRight(1).toLong * 1024 * 1024 * 1024
+      case s => s.toLong
+    }
+    if (threshold > 0 && targetBytes <= threshold) broadcast(df) else df
+  }
+
+  /** Total on-disk bytes of the existing target dataset (driver-side file
+    * status listing — bounded by file count, no data scan). */
+  private def targetBytes: Long = {
+    val p = new Path(path)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+          total += f.getLen
+      }
+      total
+    }
+  }
+
+  /** The DataFrame a Delta-mode write would append (audit hook: lets specs
+    * and operators inspect the anti-join plan without writing). */
+  def planDelta(df: DataFrame): DataFrame = mode match {
+    case d: WriteMode.Delta => deltaDiff(transform(pipeline(df)), d)
+    case _ =>
+      throw new IllegalStateException("planDelta requires WriteMode.Delta")
+  }
 
   def write(df: DataFrame): Unit = {
     val prepared = transform(pipeline(df))

@@ -65,14 +65,28 @@ object Dedup {
       explode(TextFunctions.shinglesFromTokens(col("__tk"), n)).as("shingle")
     )
 
+  /** Auto document-frequency cap for the shingle self-join: a shingle
+    * shared by k docs contributes k² join rows, so one boilerplate
+    * shingle (header/footer text) in 1% of a web corpus is a 10^10-row
+    * hot key. Capping DF at max(64, 5% of corpus) removes only
+    * boilerplate — true near-dup pairs share mostly *rare* shingles, so
+    * the above-threshold pair set is stable under the cap (DedupSpec
+    * proves this on the fixture at a far more aggressive cap). */
+  def autoShingleDfCap(nDocs: Long): Int =
+    math.max(64L, math.ceil(nDocs * 0.05).toLong).toInt
+
   /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
     * self-join on shingle (shuffle keyed on shingle, not a cross join),
     * count intersections, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
     *
     * The division is one IEEE op over exact integers — deterministic and
-    * oracle-matchable. Skew note: a shingle shared by k docs contributes
-    * k² join rows; for web-scale corpora drop ultra-frequent shingles
-    * first (`maxShingleDf`).
+    * oracle-matchable.
+    *
+    * Skew guard ON by default: `maxShingleDf = -1` derives a
+    * document-frequency cap from the corpus size (`autoShingleDfCap`) and
+    * drops shingles above it before the self-join, bounding any single
+    * join key to cap² rows. Pass an explicit cap, or 0 to disable (exact
+    * unguarded semantics, only sane for bounded audits).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -80,9 +94,11 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.2,
-      maxShingleDf: Int = 0,
+      maxShingleDf: Int = -1,
       pruneSingletons: Boolean = false
   ): DataFrame = {
+    val dfCap =
+      if (maxShingleDf < 0) autoShingleDfCap(df.count()) else maxShingleDf
     // Hash each shingle to a 64-bit key up front: the self-join then
     // shuffles and compares fixed-width longs instead of full n-gram
     // strings (≈4× less shuffle IO, codegen'd long equality). Distinct
@@ -91,11 +107,11 @@ object Dedup {
     val sh = shingleRows(df, idCol, textCol, n)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
     val shPruned =
-      if (maxShingleDf > 0) {
+      if (dfCap > 0) {
         val hot = sh
           .groupBy("sh")
           .agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDf)
+          .filter(col("df") > dfCap)
           .select("sh")
         sh.join(broadcast(hot), Seq("sh"), "left_anti")
       } else sh

@@ -40,6 +40,27 @@ class LakeReaderSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("nanosTolerant leaves the shared-session conf unchanged") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val df = LakeReader(spark, s"${TestSpark.sfDir}/events.parquet")
+      .nanosTolerant().load()
+    // execution still works after the conf was restored (the scan
+    // captured its hadoop conf at resolution time)
+    assert(df.count() > 0)
+    assert(spark.conf.getOption(key) == before,
+      "per-reader nanos flag must not mutate the shared session")
+  }
+
+  test("fromPath on a directory of CSVs infers the csv format") {
+    val dir = TestSpark.tempDir("lrdir")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val df = LakeReader.fromPath(spark, dir).load()
+    assert(df.count() == 3)
+    assert(df.columns.sorted.toSeq == Seq("id", "v"))
+  }
+
   test("filter applies before the declarative pipeline") {
     val dir = TestSpark.tempDir("lrf")
     Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k")

@@ -135,6 +135,25 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1, 2, 3, 5))
   }
 
+  test("delta anti-join broadcasts a small existing-keys side") {
+    val dir = TestSpark.tempDir("deltabc")
+    LakeWriter(spark, dir, WriteMode.Append).write(df3)
+    val w = LakeWriter(spark, dir, WriteMode.Delta(subset = Seq("id")))
+    val plan = w.planDelta(Seq((3, "c"), (4, "d")).toDF("id", "v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small target keys side must broadcast:\n$plan")
+    // and the full-row branch too
+    val w2 = LakeWriter(spark, dir, WriteMode.Delta())
+    val plan2 = w2.planDelta(df3).queryExecution.executedPlan.toString
+    assert(plan2.contains("BroadcastHashJoin"),
+      s"small target full-row side must broadcast:\n$plan2")
+    // planDelta on a non-delta writer is a contract violation
+    assertThrows[IllegalStateException] {
+      LakeWriter(spark, dir, WriteMode.Append).planDelta(df3)
+    }
+  }
+
   test("hive-partitioned write round-trips with partition pruning") {
     val dir = TestSpark.tempDir("part")
     val df = Seq((1, "x", "p1"), (2, "y", "p2"), (3, "z", "p1"))

@@ -132,6 +132,51 @@ class SchemaToolsSpec extends AnyFunSuite {
     assert(SchemaTools.inferCompression(spark, s"$dir/s") == "snappy")
   }
 
+  test("directory-level format inference picks the majority extension") {
+    val dir = TestSpark.tempDir("fmtinf")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    df.write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/a.csv")
+    df.write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/b.csv")
+    df.write.mode("overwrite").parquet(s"$dir/c.parquet")
+    // 2 csv dirs + 1 parquet dir of files: csv wins per-file majority
+    // (each csv dir holds the same number of part files as the parquet
+    // one here, so assert on a flat dir below for the strict case)
+    val flat = TestSpark.tempDir("fmtflat")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    var i = 0
+    for (sub <- Seq("a.csv", "b.csv")) {
+      SchemaTools.listDataFiles(spark, s"$dir/$sub").foreach { f =>
+        fs.rename(new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.fs.Path(s"$flat/part-$i.csv")); i += 1
+      }
+    }
+    SchemaTools.listDataFiles(spark, s"$dir/c.parquet").take(1).foreach { f =>
+      fs.rename(new org.apache.hadoop.fs.Path(f),
+        new org.apache.hadoop.fs.Path(s"$flat/part-$i.parquet"))
+    }
+    assert(SchemaTools.inferFormat(spark, flat) == "csv")
+    // empty/unknown dir defaults to parquet
+    val empty = TestSpark.tempDir("fmtempty")
+    assert(SchemaTools.inferFormat(spark, empty) == "parquet")
+  }
+
+  test("fileSchemas reads many footers concurrently and correctly") {
+    val dir = TestSpark.tempDir("manyfoot")
+    spark.range(200).selectExpr("id", "CAST(id AS STRING) AS v")
+      .repartition(40).write.mode("overwrite").parquet(dir)
+    val files = SchemaTools.listDataFiles(spark, dir)
+      .filter(_.endsWith(".parquet"))
+    assert(files.size >= 30, s"fixture should have many files: ${files.size}")
+    val schemas = SchemaTools.fileSchemas(spark, files)
+    assert(schemas.size == files.size)
+    assert(schemas.map(_._1).toSet == files.toSet)
+    assert(schemas.map(_._2).distinct.size == 1)
+    assert(schemas.head._2.fieldNames.sorted.toSeq == Seq("id", "v"))
+  }
+
   test("schema map codec round-trips") {
     val st = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType),

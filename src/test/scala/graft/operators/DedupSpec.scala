@@ -71,6 +71,47 @@ class DedupSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("shingle DF cap: above-threshold pairs unchanged under an active cap") {
+    import graft.functions.TextFunctions
+    val fixture = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    // the cap must actually prune on the fixture for this test to mean
+    // anything: assert some shingle's document frequency exceeds it
+    val cap = 4
+    val maxDf = fixture
+      .select(explode(TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(col("text")), 3)).as("s"),
+        col("doc_id"))
+      .distinct()
+      .groupBy("s").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxDf > cap, s"fixture max shingle DF $maxDf must exceed cap $cap")
+    def pairSet(capVal: Int) =
+      Dedup.ngramJaccardPairs(fixture, "doc_id", "text", n = 3,
+          threshold = 0.2, maxShingleDf = capVal)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val unguarded = pairSet(0)
+    val guarded = pairSet(cap)
+    assert(guarded == unguarded,
+      "aggressive DF cap must not change the above-threshold pair set")
+  }
+
+  test("auto DF cap derives from corpus size and is on by default") {
+    assert(Dedup.autoShingleDfCap(500) == 64) // floor dominates small corpora
+    assert(Dedup.autoShingleDfCap(100000) == 5000) // 5% of corpus
+    // default call (guard on, auto cap) == explicit guard-off on the
+    // fixture, where no shingle reaches 5% document frequency
+    val fixture = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val auto = rows(Dedup.ngramJaccardPairs(fixture, "doc_id", "text"))
+    val off = rows(Dedup.ngramJaccardPairs(fixture, "doc_id", "text",
+      maxShingleDf = 0))
+    assert(auto == off)
+  }
+
   test("simhash: identical text -> distance 0; near-dup within small distance") {
     // maxDist+1 must divide the 56-bit signature: 13 -> 14 chunks of 4
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 13)
