@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{ArrowIpc, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1035,6 +1035,22 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes"),
           col("sniffed_mime"))
         .orderBy("media_id")
+    }),
+
+    // Arrow IPC (Feather v2) source+sink under the oracle: parquet ->
+    // IPC file -> LakeReader ipc scan -> rows. The oracle reads the same
+    // parquet directly, so a value/type drift anywhere in the Arrow codec
+    // (timestamps, decimals-as-double policy, nulls) hash-mismatches.
+    "q57_ipc_roundtrip" -> ((s, d) => {
+      val tmp = scratch(s, "q57", d)
+      val src = Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast("long").as("nation_key"),
+          col("n_name").as("nation"), col("r_name").as("region"))
+      ArrowIpc.write(src, s"$tmp/nations.arrow")
+      LakeReader.fromPath(s, s"$tmp/nations.arrow")
+        .load()
+        .orderBy("nation_key")
     })
   )
 
@@ -1867,6 +1883,14 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | 'application/octet-stream' AS sniffed_mime
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the Spark side routed the same rows through an Arrow IPC file;
+    // the oracle reads the parquet source directly
+    "q57_ipc_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+        | n_name AS nation, r_name AS region
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nation_key""".stripMargin
   )
 }

@@ -1,0 +1,52 @@
+package graft.lake
+
+import java.nio.channels.Channels
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftArrowBridge, SparkSession}
+
+/** Arrow IPC file (= Feather v2) read/write — the reference's feather
+  * source/sink (`/root/reference/src/pydala/dataset/reader.py:118-138`,
+  * `writer.py:399-409`).
+  *
+  * Scale contract: this is a DRIVER-SIDE single-file codec, matching the
+  * reference exactly — pydala reads feather with `pyarrow.feather.read_
+  * table` into one in-memory table, never as a fragmented dataset. Spark
+  * has no built-in distributed IPC scan; datasets at scale belong in
+  * parquet (`LakeWriter`), and `rewriteToParquet` is the one-call
+  * migration. Reads/writes go through the path's own Hadoop FileSystem
+  * (`Path.getFileSystem`), so any registered scheme works.
+  */
+object ArrowIpc {
+
+  /** Read one Arrow IPC file into a DataFrame (single partition; caller
+    * bounds the file size, as with the reference's eager feather read). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    require(len < Int.MaxValue.toLong, s"IPC file too large for eager read: $len bytes")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    GraftArrowBridge.readIpc(spark, bytes)
+  }
+
+  /** Write a DataFrame as one Arrow IPC file. Collects to the driver —
+    * bounded by contract (the reference's feather write materializes a
+    * pyarrow table the same way). Returns the row count. */
+  def write(df: DataFrame, path: String, batchSize: Int = 4096): Long = {
+    val spark = df.sparkSession
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try GraftArrowBridge.writeIpc(df, Channels.newChannel(out), batchSize)
+    finally out.close()
+  }
+
+  /** Migrate IPC files to parquet — the scale path: feather is the
+    * reference's exchange format, parquet its dataset format
+    * (`writer.py:399-409` converts the same way). */
+  def rewriteToParquet(spark: SparkSession, ipcPath: String, parquetPath: String): Unit =
+    read(spark, ipcPath).write.mode("overwrite").parquet(parquetPath)
+}

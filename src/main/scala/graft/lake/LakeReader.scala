@@ -70,6 +70,14 @@ final case class LakeReader(
           .option("inferSchema", "true")
           .csv(path)
       case "json" => spark.read.json(path)
+      case "ipc" =>
+        // Arrow IPC / Feather v2: driver-side eager read per file (the
+        // reference's own contract for feather) — see ArrowIpc scaladoc.
+        val files = SchemaTools.listDataFiles(spark, path).filter(f =>
+          f.endsWith(".arrow") || f.endsWith(".feather") ||
+            f.endsWith(".ipc"))
+        val targets = if (files.nonEmpty) files.sorted else Seq(path)
+        targets.map(ArrowIpc.read(spark, _)).reduce(_.unionByName(_))
       case other =>
         throw new IllegalArgumentException(s"unsupported format: $other")
     }
