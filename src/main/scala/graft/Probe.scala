@@ -16,6 +16,29 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    if (args.headOption.contains("footers")) {
+      // measure the concurrent footer pass vs a sequential baseline
+      val dir = java.nio.file.Files.createTempDirectory("footbench").toString
+      spark.range(100000).selectExpr("id", "CAST(id AS STRING) AS v")
+        .repartition(200).write.mode("overwrite").parquet(dir)
+      val files = graft.lake.SchemaTools.listDataFiles(spark, dir)
+        .filter(_.endsWith(".parquet"))
+      println(s"[probe] ${files.size} files")
+      // warm both paths once (FS metadata cache, classloading)
+      files.take(8).map(f => spark.read.parquet(f).schema)
+      for (rep <- 1 to 3) {
+        var t0 = System.nanoTime()
+        files.map(f => spark.read.parquet(f).schema)
+        val seq = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        graft.lake.SchemaTools.fileSchemas(spark, files)
+        val par = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] rep$rep sequential=$seq%.2f s concurrent=$par%.2f s speedup=${seq / par}%.1f x")
+      }
+      spark.stop()
+      return
+    }
+
     val qs = if (args.nonEmpty) args.toSeq
              else Seq("q01_pricing_summary", "d09_dup_clusters", "e04_ann_ivf")
     // two reps: rep1 carries JIT/codegen warmup, rep2 is steady state

@@ -27,8 +27,23 @@ object ScalingBench {
     val base = spark.read.parquet(s"$src/$name.parquet")
     (0 until factor)
       .map { i =>
-        shiftCols.foldLeft(base)((df, c) =>
+        val shifted = shiftCols.foldLeft(base)((df, c) =>
           df.withColumn(c, col(c) + lit(i * Shift)))
+        // Salt every token with the copy index (copy 0 stays verbatim):
+        // near-dup structure WITHIN a copy is preserved exactly, but
+        // shingles never match ACROSS copies — so duplicate density
+        // stays constant as the corpus grows, and pair/cluster operators
+        // are measured against data growth alone. Without this, every
+        // x-factor copy of a doc pairs with every other copy and the
+        // pair output itself grows quadratically by construction (the r2
+        // d06 "4.7x at 4x" was exactly this corpus artifact, not the
+        // operator).
+        if (name == "documents" && i > 0)
+          shifted.withColumn("text",
+            array_join(
+              transform(split(col("text"), " "),
+                t => concat(t, lit(s"_$i"))), " "))
+        else shifted
       }
       .reduce(_.unionByName(_))
   }
@@ -68,22 +83,43 @@ object ScalingBench {
       f -> dir
     }
 
+    // cheap representatives + every query from the top of the r2 cost
+    // profile (d04/d09/d13/e03/e04/q35) — the expensive ones are exactly
+    // where a hidden quadratic would hide
     val queries = Seq("q01_pricing_summary", "q03_join_revenue_topn",
       "q17_window_running", "q22_range_join", "q21_event_hourly",
-      "d01_dedup_exact", "d02_token_stats", "d06_minhash_lsh",
-      "e02_knn_topk")
+      "d01_dedup_exact", "d02_token_stats", "d04_ngram_jaccard",
+      "d06_minhash_lsh", "d09_dup_clusters", "d13_corpus_pipeline",
+      "e02_knn_topk", "e03_ann_srp", "e04_ann_ivf", "q35_stream_hourly")
+
+    // knob-sensitivity variant: d06 with half the LSH bands — fewer
+    // band-collision candidates, the lever to pull if candidate volume
+    // outgrows the cluster at a given scale
+    val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "d06_minhash_lsh[bands=16]" -> ((s, dir) =>
+        graft.operators.Dedup.minhashLshPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.2))
+    )
+    def queryFn(q: String): (SparkSession, String) => DataFrame =
+      variants.getOrElse(q, SparkEntry.queries(q))
 
     def timeOne(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir)
+      queryFn(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // min of 2 reps per cell: single-rep cells showed ±2 s JIT/GC noise,
+    // which at these run lengths swamps the scaling signal
+    def timeBest(q: String, dir: String): Double =
+      math.min(timeOne(q, dir), timeOne(q, dir))
+    val allQueries = queries ++ variants.keys.toSeq.sorted
     // warmup round at 1x so JIT lands outside the measurements
-    queries.foreach(q => timeOne(q, dirs.head._2))
+    allQueries.foreach(q => timeOne(q, dirs.head._2))
 
-    val rows = queries.map { q =>
-      val ts = dirs.map { case (f, dir) => f -> timeOne(q, dir) }.toMap
+    val rows = allQueries.map { q =>
+      val ts = dirs.map { case (f, dir) => f -> timeBest(q, dir) }.toMap
       (q, ts(1), ts(2), ts(4))
     }
 
@@ -91,9 +127,17 @@ object ScalingBench {
     sb.append("# Data-scaling measurements (sf0.1 base, key-shifted unions)\n\n")
     sb.append(s"Generated by `sbt \"runMain graft.ScalingBench\"` on local[$cpus].\n")
     sb.append("Ratios near the data factor (2x / 4x) mean no hidden quadratic\n")
-    sb.append("or driver-side stage; candidate-generation operators (d06) are\n")
-    sb.append("expected to grow somewhat faster when duplicates themselves\n")
-    sb.append("multiply (the 4x corpus has 4x copies of every near-dup).\n\n")
+    sb.append("or driver-side stage. Document copies are token-salted per copy,\n")
+    sb.append("holding near-dup density constant as the corpus grows — so pair/\n")
+    sb.append("cluster operators (d04/d06/d09/d13) are measured against data\n")
+    sb.append("growth alone. (r2's d06 \"4.7x at 4x\" was the unsalted corpus\n")
+    sb.append("quadrupling every near-dup group, i.e. the pair OUTPUT grew\n")
+    sb.append("quadratically by construction; with density held constant the\n")
+    sb.append("same operator scales with the data.) q35 carries a fixed\n")
+    sb.append("Structured-Streaming setup cost, so its ratios are sub-linear.\n")
+    sb.append("The d06[bands=16] row is the knob to pull when LSH candidate\n")
+    sb.append("volume outgrows a given cluster: half the bands, fewer\n")
+    sb.append("collisions, at a measured recall trade (DedupSpec bounds it).\n\n")
     sb.append("| query | 1x (s) | 2x (s) | 4x (s) | 2x/1x | 4x/1x |\n")
     sb.append("|---|---|---|---|---|---|\n")
     rows.foreach { case (q, t1, t2, t4) =>
