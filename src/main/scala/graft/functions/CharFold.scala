@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared kernel for the portable polynomial char hash — called from both
@@ -26,6 +27,97 @@ object CharFoldUtil {
     }
     h
   }
+
+  /** Distinct word-n-gram shingle hashes in ONE pass over a token array:
+    * for each window of `n` tokens, the pair of char folds of the
+    * space-joined shingle string, packed as `f131 | (f137 << 31)`
+    * (both < 2^31, so the packed value is a non-negative 62-bit long).
+    *
+    * Bit-identical to folding the materialized `concat_ws(" ", window)`
+    * string: per-token folds and `base^len` factors are precomputed in a
+    * single codepoint pass, then windows combine by the linearity of the
+    * polynomial fold — `fold(A ⊕ " " ⊕ B) = ((fold(A)·base + 32) ·
+    * base^|B| + fold(B)) mod P` (32 = codepoint of ' '; |B| in
+    * codepoints). Every intermediate stays < 2^63 under ANSI arithmetic.
+    *
+    * Distinctness matches `array_distinct` over the shingle strings up to
+    * fold-pair collisions (~2^-62 per in-doc pair — the same negligible
+    * class as the xxhash64 join keys this replaces). Null tokens are
+    * treated as empty strings (whitespace `split` never yields nulls).
+    *
+    * This replaces the interpreted higher-order `transform`+`concat_ws`+
+    * `array_distinct` chain that dominated d04/d06/d13: one JIT-hot loop
+    * per row instead of per-element Catalyst interpretation, and no
+    * intermediate shingle-string array at all. */
+  def shinglePack(tk: ArrayData, n: Int): ArrayData = {
+    val cnt = tk.numElements()
+    val m = cnt - (n - 1)
+    if (m <= 0) return new GenericArrayData(new Array[Long](0))
+    val f1 = new Array[Long](cnt)
+    val f2 = new Array[Long](cnt)
+    val p1 = new Array[Long](cnt)
+    val p2 = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var h1 = 0L; var h2 = 0L; var q1 = 1L; var q2 = 1L
+      val s = tk.getUTF8String(i)
+      if (s != null) {
+        val js = s.toString
+        var j = 0
+        val len = js.length
+        while (j < len) {
+          val cp = js.codePointAt(j)
+          h1 = (h1 * 131 + cp) % P
+          h2 = (h2 * 137 + cp) % P
+          q1 = (q1 * 131) % P
+          q2 = (q2 * 137) % P
+          j += Character.charCount(cp)
+        }
+      }
+      f1(i) = h1; f2(i) = h2; p1(i) = q1; p2(i) = q2
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var a1 = f1(i)
+      var a2 = f2(i)
+      var j = i + 1
+      while (j < i + n) {
+        a1 = (((a1 * 131 + 32) % P) * p1(j) + f1(j)) % P
+        a2 = (((a2 * 137 + 32) % P) * p2(j) + f2(j)) % P
+        j += 1
+      }
+      val packed = a1 | (a2 << 31)
+      if (seen.add(packed)) { out(k) = packed; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (k == m) out else java.util.Arrays.copyOf(out, k))
+  }
+}
+
+/** Native distinct-shingle fold hashes over an array<string> token column
+  * (see CharFoldUtil.shinglePack). Output: array<long> of packed
+  * `f131 | f137<<31` fold pairs, one per distinct word n-gram. */
+case class ShinglePackExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_pack"
+
+  override def nullSafeEval(input: Any): Any =
+    CharFoldUtil.shinglePack(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharFoldUtil.shinglePack($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglePackExpr = copy(child = newChild)
 }
 
 /** Custom Catalyst expression for TextFunctions.charFold: left fold over

@@ -57,6 +57,20 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Distinct shingle FOLD HASHES (packed `f131 | f137<<31` char-fold
+    * pairs) straight from a materialized token array — the hot-path form
+    * for dedup candidate generation: one native codegen'd pass per row
+    * (ShinglePackExpr), no shingle-string array materialization, no
+    * interpreted per-element lambdas. Values are bit-identical to
+    * `charFold(shingle, 131) | charFold(shingle, 137) << 31` over
+    * [[shinglesFromTokens]] output (TextFunctionsSpec proves equality),
+    * so MinHash built on the unpacked folds matches the DuckDB oracle
+    * exactly. */
+  def shingleFolds(tk: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ShinglePackExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(tk), n))
+
   /** Training-data text cleaning: lowercase, strip non-alphanumerics
     * (keeping spaces), collapse whitespace runs, trim. Pure codegen'd
     * string expressions — no UDFs. */

@@ -47,11 +47,11 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Per-doc distinct word-n-gram shingle set, exploded to rows. Tokens
-    * are materialized in their own projection first so the interpreted
-    * shingle lambda references an attribute, not a re-evaluated split
-    * (see TextFunctions.shinglesFromTokens). */
-  private def shingleRows(
+  /** Per-doc distinct shingle fold hashes (packed `f131 | f137<<31`, see
+    * TextFunctions.shingleFolds), exploded to one row per (doc, hash).
+    * One native codegen'd pass per doc — no shingle-string
+    * materialization, no interpreted higher-order lambdas. */
+  private def shingleHashRows(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -62,7 +62,7 @@ object Dedup {
       TextFunctions.tokens(col(textCol)).as("__tk")
     ).select(
       col("doc"),
-      explode(TextFunctions.shinglesFromTokens(col("__tk"), n)).as("shingle")
+      explode(TextFunctions.shingleFolds(col("__tk"), n)).as("sh")
     )
 
   /** Auto document-frequency cap for the shingle self-join: a shingle
@@ -97,19 +97,18 @@ object Dedup {
       maxShingleDf: Int = -1,
       pruneSingletons: Boolean = false
   ): DataFrame = {
-    // Hash each shingle to a 64-bit key up front: the self-join then
-    // shuffles and compares fixed-width longs instead of full n-gram
-    // strings (≈4× less shuffle IO, codegen'd long equality). Distinct
-    // shingles collide with probability ~ |shingles|²/2^64 — negligible
-    // even at 100 TB corpus scale.
+    // Shingles are 62-bit packed fold hashes from the start: the
+    // self-join shuffles and compares fixed-width longs instead of full
+    // n-gram strings (≈4× less shuffle IO, codegen'd long equality).
+    // Distinct shingles collide with probability ~ |shingles|²/2^62 —
+    // negligible even at 100 TB corpus scale.
     // The shingle table feeds several downstream passes; recomputing the
     // explode keeps each consumer inside one fused codegen stage, which
     // measured FASTER end-to-end than persisting it (caching the 500k-row
     // fixture table cost ~40% on d09/d13: block-manager churn + broken
     // stage fusion). At cluster scale the same holds — shuffle exchanges
     // below the self-join are reused by Spark where identical anyway.
-    val sh = shingleRows(df, idCol, textCol, n)
-      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+    val sh = shingleHashRows(df, idCol, textCol, n)
     // Auto cap needs the corpus size: one count() action up front. On a
     // raw table scan that is metadata-cheap; callers chaining this after
     // derived frames (d13) measured < 5% overhead for it at bench scale.
@@ -183,11 +182,14 @@ object Dedup {
       numHashes: Int = 64,
       shingleN: Int = 3
   ): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleN)
+    // f1/f2 unpack from the 62-bit shingle fold hash (f1 | f2<<31) with
+    // two codegen'd bit ops — values bit-identical to charFold over the
+    // materialized shingle string, so the d06 oracle reproduces them.
+    val sh = shingleHashRows(df, idCol, textCol, shingleN)
       .select(
         col("doc"),
-        TextFunctions.charFold(col("shingle"), 131).as("f1"),
-        TextFunctions.charFold(col("shingle"), 137).as("f2")
+        col("sh").bitwiseAND(lit(0x7FFFFFFFL)).as("f1"),
+        shiftright(col("sh"), 31).as("f2")
       )
     // One custom TypedImperativeAggregate with a single Array[Long]
     // buffer, instead of numHashes separate min-aggregates (leaner agg

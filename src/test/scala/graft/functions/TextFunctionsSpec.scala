@@ -57,6 +57,36 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows == Seq(0, 1, 2, 2))
   }
 
+  test("shingleFolds == packed charFolds of the materialized shingles") {
+    // random-ish word bags incl. unicode, repeats, empties-by-collapse,
+    // and docs shorter than n — the native one-pass kernel must agree
+    // with the HOF string formulation hash-for-hash, order included
+    val docs = Seq(
+      "",
+      "one two",
+      "one two three",
+      "a b c d e f g h",
+      "dup dup dup dup dup",
+      "ü ö 語 ü ö 語 ü ö",
+      "the quick brown fox jumps over the lazy dog the quick brown fox"
+    )
+    for (n <- Seq(2, 3, 5)) {
+      val viaStrings = docs.toDF("text")
+        .select(TextFunctions.tokens(col("text")).as("tk"))
+        .select(transform(
+          TextFunctions.shinglesFromTokens(col("tk"), n),
+          s => TextFunctions.charFold(s, 131) +
+            shiftleft(TextFunctions.charFold(s, 137), 31)).as("hs"))
+        .as[Seq[Long]].collect().toSeq
+      val viaKernel = docs.toDF("text")
+        .select(TextFunctions.tokens(col("text")).as("tk"))
+        .select(TextFunctions.shingleFolds(col("tk"), n).as("hs"))
+        .as[Seq[Long]].collect().toSeq
+      assert(viaKernel == viaStrings, s"n=$n")
+      assert(viaKernel.flatten.forall(_ >= 0L))
+    }
+  }
+
   test("subwordCount: words, digit runs, punctuation count separately") {
     val got = Seq("hello, world 42!", "abc", "a-b").toDF("t")
       .select(TextFunctions.subwordCount(col("t")).as("n"))
