@@ -36,6 +36,29 @@ object Bench {
       runNoop("q05_topk")
       runNoop("q14_semi_join")
     } catch { case _: Throwable => () }
+    // Streaming machinery (MicroBatchExecution, state stores, sinks) JITs
+    // lazily and is untouched by the batch warmup; a 3-row memory-stream
+    // windowed agg loads+compiles those classes untimed so q35/q44 don't
+    // carry the one-time cost (measured ~2.5s of q35's r3 bench time).
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, count, window}
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val in = MemoryStream[java.sql.Timestamp]
+      in.addData(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:30:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
+      val q = in.toDF().toDF("ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(org.apache.spark.sql.functions.lit(1)))
+        .writeStream.format("memory").queryName("graft_bench_warmup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()
