@@ -1006,6 +1006,17 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // embedding-cosine near-dup dedup (SemDeDup-style): SRP-bucketed
+    // candidates -> exact-score threshold -> connected components ->
+    // keep the min-id representative; the SRP planes are literals in
+    // BOTH engines (e05Oracle), so the full semantic-dedup decision is
+    // hash-verified end to end
+    "e05_embed_dedup" -> ((s, d) => {
+      Dedup.embeddingDedup(emb(s, d), dim = 64, threshold = 0.4,
+          nBits = 4, nTables = 4)
+        .orderBy("vec_id")
+    }),
+
     // multimodal decode -> feature-extract -> explode to feature rows;
     // the decode stub's pseudo-features are portable-hash-derived so the
     // whole path is oracle-verified (a real codec swaps in per-row)
@@ -1259,22 +1270,27 @@ object SparkEntry {
        |FROM kept ORDER BY doc_id""".stripMargin
   }
 
+  /** SRP planes as DuckDB SQL (shared by e03/e05): bucket id = packed
+    * sign bits of dot(emb, plane_i), planes embedded as double literals
+    * so the oracle reproduces the exact bucketing. */
+  private def sqlPlaneList(p: Array[Double]): String =
+    p.map(v => s"CAST($v AS DOUBLE)").mkString("list_value(", ", ", ")")
+
+  private def sqlSrpBucket(nBits: Int, seed: Long): String =
+    VectorFunctions.srpPlanes(64, nBits, seed).zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN list_reduce(list_transform(range(1, 65), " +
+          s"ii -> emb[ii] * list_extract(${sqlPlaneList(p)}, ii)), " +
+          s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
   private def e03Oracle: String = {
     val nTables = 4
     val nBits = 4
-    def planeList(p: Array[Double]): String =
-      p.map(v => s"CAST($v AS DOUBLE)").mkString("list_value(", ", ", ")")
-    def bucketExpr(seed: Long): String =
-      VectorFunctions.srpPlanes(64, nBits, seed).zipWithIndex
-        .map { case (p, i) =>
-          s"(CASE WHEN list_reduce(list_transform(range(1, 65), " +
-            s"ii -> emb[ii] * list_extract(${planeList(p)}, ii)), " +
-            s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
-        }
-        .mkString(" + ")
     val tableCtes = (0 until nTables)
       .map(t => s"bk$t AS (SELECT vec_id, emb, nrm, " +
-        s"${bucketExpr(42L + t)} AS bucket FROM n)")
+        s"${sqlSrpBucket(nBits, 42L + t)} AS bucket FROM n)")
       .mkString(",\n")
     val candUnion = (0 until nTables)
       .map(t =>
@@ -1300,6 +1316,50 @@ object SparkEntry {
        |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
        |  FROM p) t
        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
+  }
+
+  /** e05: SRP-bucketed semantic dedup — candidates from the same plane
+    * literals as the Spark plan, exact cosine threshold, recursive-CTE
+    * connected components, min-id representative (d09's closure
+    * pattern). */
+  private def e05Oracle: String = {
+    val nTables = 4
+    val nBits = 4
+    val threshold = 0.4
+    val tableCtes = (0 until nTables)
+      .map(t => s"bk$t AS (SELECT vec_id, emb, nrm, " +
+        s"${sqlSrpBucket(nBits, 42L + t)} AS bucket FROM n)")
+      .mkString(",\n")
+    val candUnion = (0 until nTables)
+      .map(t =>
+        s"SELECT a.vec_id AS id1, b.vec_id AS id2 FROM bk$t a " +
+          s"JOIN bk$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
+      .mkString(" UNION ")
+    s"""WITH RECURSIVE v AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+       |       (acc, x) -> acc + x)) AS nrm FROM v),
+       |$tableCtes,
+       |cand AS ($candUnion),
+       |pairs AS (SELECT id1, id2 FROM (
+       |  SELECT id1, id2,
+       |   list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
+       |     (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+       |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2) t
+       |  WHERE sim >= $threshold),
+       |sym AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs
+       |  UNION SELECT id1, id1 FROM pairs
+       |  UNION SELECT id2, id2 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+       |SELECT a AS vec_id, min(b) AS cluster_id, a = min(b) AS keep
+       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
   }
 
   // ---- oracles -------------------------------------------------------------
@@ -1819,6 +1879,7 @@ object SparkEntry {
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,
     "e04_ann_ivf" -> e04Oracle,
+    "e05_embed_dedup" -> e05Oracle,
 
     "q46_except_all" ->
       """SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 400

@@ -310,6 +310,36 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Embedding-cosine near-dup dedup decisions (SemDeDup-style semantic
+    * dedup): SRP-bucketed candidate pairs above `threshold`
+    * (Similarity.srpNearPairs — keyed join, never all-pairs) -> connected
+    * components -> keep the min-id representative per cluster.
+    *
+    * Returns (vec_id, cluster_id, keep) for every id appearing in some
+    * near-pair; ids absent from the result are singletons (implicitly
+    * kept). Deterministic planes make the whole decision oracle-
+    * verifiable cross-engine (e05). For an exact-pair audit at bounded
+    * scale, feed Similarity.cosinePairs output to [[duplicateClusters]]
+    * directly. */
+  def embeddingDedup(
+      emb: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      nBits: Int = 4,
+      nTables: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    val pairs = Similarity.srpNearPairs(
+      emb, dim, idCol, vecCol, threshold, nBits, nTables, seed)
+    duplicateClusters(pairs.select("id1", "id2"))
+      .select(
+        col("doc_id").as("vec_id"),
+        col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
   /** SimHash signature width: 56 bits of the 62-bit portable token hash —
     * divisible by the pigeonhole chunk counts for maxDist ∈ {1,3,6,7,13}
     * and verifiable bit-for-bit by the DuckDB oracle (d07). */

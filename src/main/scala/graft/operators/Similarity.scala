@@ -94,6 +94,46 @@ object Similarity {
       .select("id1", "id2", "sim")
   }
 
+  /** All candidate pairs above a cosine threshold via SRP-LSH
+    * self-bucketing — the scale path for embedding near-dup detection
+    * (the exact variant is [[cosinePairs]], inherently |A|² work):
+    * candidates are same-(table, bucket) pairs only — ONE shuffle keyed
+    * on (table, bucket), never all-pairs — then exactly scored and
+    * thresholded. Deterministic (fixed planes from `seed`), so the whole
+    * operator is oracle-verifiable cross-engine.
+    *
+    * Recall is the standard LSH bound `1 - (1 - p^nBits)^nTables` with
+    * `p = 1 - θ/π`: for true near-dups (sim >= 0.9) a few tables reach
+    * ~0.9+; at looser thresholds raise nTables / lower nBits
+    * (SimilaritySpec measures recall vs the exact pair set). */
+  def srpNearPairs(
+      emb: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      nBits: Int = 4,
+      nTables: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    val v = prep(emb, idCol, vecCol)
+    def withBuckets(idAs: String, embAs: String, nAs: String) =
+      v.select(
+        col("vec_id").as(idAs), col("emb").as(embAs), col("nrm").as(nAs),
+        posexplode(array((0 until nTables).map(t =>
+          srpBucket(col("emb"), dim, nBits, seed + t)): _*))
+          .as(Seq("table", "bucket")))
+    withBuckets("id1", "emb1", "n1")
+      .join(withBuckets("id2", "emb2", "n2"), Seq("table", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "emb1", "n1", "id2", "emb2", "n2")
+      .dropDuplicates("id1", "id2") // score each candidate pair once
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
   /** LSH-bucketed ANN: corpus and queries hashed into `nTables`
     * independent SRP hash tables (seed + t); candidates are same-bucket
     * pairs in ANY table, deduped, then exactly scored and ranked. The

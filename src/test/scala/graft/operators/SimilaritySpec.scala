@@ -55,4 +55,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(s >= 0.3)
     }
   }
+
+  test("srpNearPairs: subset of exact pairs, measurable recall") {
+    val exact = Similarity.cosinePairs(emb, threshold = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val srp = Similarity.srpNearPairs(emb, dim = 64, threshold = 0.3,
+      nBits = 4, nTables = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // every SRP pair is exactly scored, so it must also be an exact pair
+    assert(srp.subsetOf(exact), "srpNearPairs produced a non-exact pair")
+    val recall = srp.size.toDouble / exact.size
+    assert(recall > 0.2, s"srpNearPairs recall $recall too low")
+  }
+
+  test("embeddingDedup: representative = min id, keep iff own cluster") {
+    val out = Dedup.embeddingDedup(emb, dim = 64, threshold = 0.3,
+      nBits = 4, nTables = 4)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      // the representative is a member and is the minimum id
+      assert(members.map(_._1).min == cid)
+      // exactly one keeper per cluster, and it is the representative
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid)
+    }
+  }
 }
