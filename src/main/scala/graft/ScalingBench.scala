@@ -43,6 +43,16 @@ object ScalingBench {
             array_join(
               transform(split(col("text"), " "),
                 t => concat(t, lit(s"_$i"))), " "))
+        // Same density argument for embeddings: copy i>0 gets a
+        // deterministic per-copy SIGN FLIP per dimension — an orthogonal
+        // transform, so cosines WITHIN a copy are exactly preserved
+        // (near-pair structure constant) while cross-copy sims scramble
+        // below threshold. ±1.0f multiplication is exact in IEEE.
+        else if (name == "embeddings" && i > 0)
+          shifted.withColumn("embedding",
+            transform(col("embedding"), (x, di) =>
+              x * when(pmod(xxhash64(di * lit(7919) + lit(i)), lit(2)) === 0,
+                lit(1.0f)).otherwise(lit(-1.0f))))
         else shifted
       }
       .reduce(_.unionByName(_))
@@ -72,7 +82,7 @@ object ScalingBench {
 
     val factors = Seq(1, 2, 4)
     val dirs = factors.map { f =>
-      val dir = s"/tmp/graft_scale_${f}x"
+      val dir = s"/tmp/graft_scale_v2_${f}x"
       if (!Files.exists(Paths.get(s"$dir/_done"))) {
         shifts.foreach { case (t, cols) =>
           scaleTable(spark, src, t, f, cols)
@@ -90,7 +100,8 @@ object ScalingBench {
       "q17_window_running", "q22_range_join", "q21_event_hourly",
       "d01_dedup_exact", "d02_token_stats", "d04_ngram_jaccard",
       "d06_minhash_lsh", "d09_dup_clusters", "d13_corpus_pipeline",
-      "e02_knn_topk", "e03_ann_srp", "e04_ann_ivf", "q35_stream_hourly")
+      "e02_knn_topk", "e03_ann_srp", "e04_ann_ivf", "e05_embed_dedup",
+      "q35_stream_hourly")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume
@@ -133,7 +144,10 @@ object ScalingBench {
     sb.append("growth alone. (r2's d06 \"4.7x at 4x\" was the unsalted corpus\n")
     sb.append("quadrupling every near-dup group, i.e. the pair OUTPUT grew\n")
     sb.append("quadratically by construction; with density held constant the\n")
-    sb.append("same operator scales with the data.) q35 carries a fixed\n")
+    sb.append("same operator scales with the data.) Embedding copies get a\n")
+    sb.append("per-copy orthogonal sign flip — within-copy cosines exactly\n")
+    sb.append("preserved, cross-copy pairs scrambled — so e05's near-pair\n")
+    sb.append("density is likewise constant. q35 carries a fixed\n")
     sb.append("Structured-Streaming setup cost, so its ratios are sub-linear.\n")
     sb.append("The d06[bands=16] row is the knob to pull when LSH candidate\n")
     sb.append("volume outgrows a given cluster: half the bands, fewer\n")

@@ -1010,10 +1010,12 @@ object SparkEntry {
     // candidates -> exact-score threshold -> connected components ->
     // keep the min-id representative; the SRP planes are literals in
     // BOTH engines (e05Oracle), so the full semantic-dedup decision is
-    // hash-verified end to end
+    // hash-verified end to end. nBits auto-derives from corpus size
+    // (= 4 at the 500-vector oracle fixture, matching the oracle's
+    // pinned planes; more buckets as the corpus grows — SCALING.md)
     "e05_embed_dedup" -> ((s, d) => {
       Dedup.embeddingDedup(emb(s, d), dim = 64, threshold = 0.4,
-          nBits = 4, nTables = 4)
+          nTables = 4)
         .orderBy("vec_id")
     }),
 

