@@ -1064,6 +1064,41 @@ object SparkEntry {
       LakeReader.fromPath(s, s"$tmp/nations.arrow")
         .load()
         .orderBy("nation_key")
+    }),
+
+    // deliberate skew control under the oracle: the salted join must be
+    // EXACTLY the unsalted join (each probe row gets one salt, the build
+    // side is exploded across all salts), verified through a revenue
+    // aggregation — the hot-key survival story for 100 TB joins AQE
+    // can't split (operators/SkewJoin.scala)
+    "q58_salted_join" -> ((s, d) => {
+      val probe = li(s, d).select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+      val build = ord(s, d).select(col("o_orderkey").as("okey"),
+        col("o_orderstatus"))
+      operators.SkewJoin.saltedJoin(probe, build, Seq("okey"), factor = 8)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - dec3(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // time-interval batched write (K8, writer.py:292-385) under the
+    // oracle: the writer splits the input into [w, w+7 days) windows
+    // (driver loop bounded by window count, each window's write fully
+    // distributed) — the reassembled dataset must be EXACTLY the input
+    "q59_batched_write" -> ((s, d) => {
+      val tmp = scratch(s, "q59", d)
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      LakeWriter(s, tmp, WriteMode.Append)
+        .writeBatched(ev, "ts", "7 days")
+      s.read.parquet(tmp)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
     })
   )
 
@@ -1954,6 +1989,16 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
         | n_name AS nation, r_name AS region
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY nation_key""".stripMargin
+        |ORDER BY nation_key""".stripMargin,
+
+    "q58_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q59_batched_write" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
