@@ -277,8 +277,13 @@ object Dedup {
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Seed with the first propagation round fused into init: from
+    // identity labels, round 1 is exactly min({self} ∪ neighbors) —
+    // one groupBy (which also plays the distinct) instead of a
+    // distinct shuffle plus a full join round.
+    var labels = edges.groupBy("a")
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("lbl"))
       .localCheckpoint(true)
     // Convergence via the label-sum invariant: every round takes a
     // per-id MIN, so labels are monotonically non-increasing and the
