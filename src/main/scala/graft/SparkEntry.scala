@@ -1099,6 +1099,29 @@ object SparkEntry {
       s.read.parquet(tmp)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
+    }),
+
+    // TimeFly lifecycle under the oracle: snapshot twice, overwrite
+    // current, then DELETE the older snapshot — the as-of rule (first
+    // snapshot with id > t, else current; timefly.py:337-352) must now
+    // resolve past the deleted id to the second snapshot, proving delete
+    // (T4) participates in as-of resolution (T6/T7) exactly as the
+    // reference
+    "q60_timefly_delete" -> ((s, d) => {
+      val tmp = scratch(s, "q60", d)
+      val tf = TimeFly(s, tmp).init("cust_tf")
+      val c = cust(s, d).select("c_custkey", "c_name")
+      tf.writer(WriteMode.Overwrite).write(c.filter(col("c_custkey") <= 500))
+      val s1 = tf.addSnapshot()
+      // snapshot ids are second-granular (reference format) — wait for
+      // the next id so the two snapshots are distinct
+      while (TimeFly.nowId() == s1) Thread.sleep(50)
+      tf.writer(WriteMode.Overwrite)
+        .write(c.filter(col("c_custkey") <= 1000))
+      tf.addSnapshot()
+      tf.writer(WriteMode.Overwrite).write(c)
+      tf.deleteSnapshot(s1)
+      tf.read(Some("1970-01-01T00:00:00")).orderBy("c_custkey")
     })
   )
 
@@ -1999,6 +2022,10 @@ object SparkEntry {
 
     "q59_batched_write" ->
       """SELECT event_id, ts, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q60_timefly_delete" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin
   )
 }
