@@ -1122,6 +1122,54 @@ object SparkEntry {
       tf.writer(WriteMode.Overwrite).write(c)
       tf.deleteSnapshot(s1)
       tf.read(Some("1970-01-01T00:00:00")).orderBy("c_custkey")
+    }),
+
+    // transform hook (K9, writer.py:444-445) under the oracle: the
+    // writer-side transform computes a derived column during the write;
+    // the read-back must carry it exactly as the SQL expression
+    "q61_transform_hook" -> ((s, d) => {
+      val tmp = scratch(s, "q61", d)
+      LakeWriter(s, tmp, WriteMode.Overwrite,
+        transform = df => df.withColumn("price_band",
+          when(col("o_totalprice") < 100000.0, "low").otherwise("high")))
+        .write(ord(s, d).select("o_orderkey", "o_totalprice"))
+      s.read.parquet(tmp).orderBy("o_orderkey")
+    }),
+
+    // compression inference (S10, reader footer sniffing): write zstd
+    // parquet, infer the codec back from the file footers, and surface
+    // the inferred name IN the result — hash-verified against the
+    // expected literal
+    "q62_compression_infer" -> ((s, d) => {
+      val tmp = scratch(s, "q62", d)
+      LakeWriter(s, tmp, WriteMode.Overwrite).write(Tables.nation(s, d))
+      val codec = SchemaTools.inferCompression(s, tmp)
+      s.read.parquet(tmp)
+        .withColumn("codec", lit(codec))
+        .orderBy("n_nationkey")
+    }),
+
+    // catalog remove/list/discover (C2/C4/C5) under the oracle: add
+    // three datasets, remove one (with files), then surface BOTH the
+    // registry count and the directory-walk count in the result — the
+    // remove must be visible to each, and the remaining datasets must
+    // still read+join correctly
+    "q63_catalog_remove" -> ((s, d) => {
+      val root = scratch(s, "q63", d)
+      val lm = LakeManager(s, root).init()
+      lm.addDataset("nat").writer(WriteMode.Overwrite)
+        .write(Tables.nation(s, d))
+      lm.addDataset("reg").writer(WriteMode.Overwrite)
+        .write(Tables.region(s, d))
+      lm.addDataset("scratch_ds").writer(WriteMode.Overwrite)
+        .write(Tables.region(s, d))
+      lm.removeDataset("scratch_ds", deleteFiles = true)
+      lm.reader("nat")
+        .join(lm.reader("reg"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .withColumn("n_registered", lit(lm.tables.size.toLong))
+        .withColumn("n_discovered", lit(lm.discover().size.toLong))
+        .orderBy("n_nationkey")
     })
   )
 
@@ -2026,6 +2074,22 @@ object SparkEntry {
 
     "q60_timefly_delete" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin
+        |WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin,
+
+    "q61_transform_hook" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_totalprice < 100000.0 THEN 'low' ELSE 'high' END
+        |   AS price_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q62_compression_infer" ->
+      """SELECT *, 'zstd' AS codec FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q63_catalog_remove" ->
+      """SELECT n_nationkey, n_name, r_name,
+        | CAST(2 AS BIGINT) AS n_registered, CAST(2 AS BIGINT) AS n_discovered
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin
   )
 }
