@@ -1170,6 +1170,33 @@ object SparkEntry {
         .withColumn("n_registered", lit(lm.tables.size.toLong))
         .withColumn("n_discovered", lit(lm.discover().size.toLong))
         .orderBy("n_nationkey")
+    }),
+
+    // co-bucketed storage under the oracle: both sides hash-bucketed on
+    // the join key at write time, so the join AND the keyed aggregation
+    // need zero exchanges (BucketingSpec asserts the plan; this query
+    // hash-verifies the results) — the pre-partitioned-storage contract
+    // for repeated 100 TB joins
+    "q64_bucketed_join" -> ((s, d) => {
+      val tmp = scratch(s, "q64", d)
+      s.sql("DROP TABLE IF EXISTS q64_orders")
+      s.sql("DROP TABLE IF EXISTS q64_lineitem")
+      LakeWriter(s, "", WriteMode.Overwrite).writeBucketed(
+        ord(s, d).select("o_orderkey", "o_orderstatus"),
+        "q64_orders", Seq("o_orderkey"), 8,
+        location = Some(s"$tmp/orders_b"))
+      LakeWriter(s, "", WriteMode.Overwrite).writeBucketed(
+        li(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_quantity")),
+        "q64_lineitem", Seq("o_orderkey"), 8,
+        location = Some(s"$tmp/lineitem_b"))
+      s.table("q64_orders")
+        .join(s.table("q64_lineitem"), Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(dec12(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -2090,6 +2117,13 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, r_name,
         | CAST(2 AS BIGINT) AS n_registered, CAST(2 AS BIGINT) AS n_discovered
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q64_bucketed_join" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

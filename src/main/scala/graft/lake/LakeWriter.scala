@@ -196,7 +196,8 @@ final case class LakeWriter(
       table: String,
       bucketCols: Seq[String],
       numBuckets: Int,
-      sortCols: Seq[String] = Nil
+      sortCols: Seq[String] = Nil,
+      location: Option[String] = None
   ): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     val saveMode = mode match {
@@ -210,6 +211,9 @@ final case class LakeWriter(
       .option("compression", compression)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    // explicit location -> external table (data outside the warehouse
+    // dir; the bucket metadata still lives in the session catalog)
+    location.foreach(p => w = w.option("path", p))
     w.saveAsTable(table)
   }
 
