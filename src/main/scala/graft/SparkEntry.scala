@@ -473,9 +473,17 @@ object SparkEntry {
     // only emits windows whose end <= final watermark (= max ts with the
     // 0s delay), which the oracle reproduces with a max(ts) bound.
     "q35_stream_hourly" -> ((s, d) => {
-      // nanos conf scoped to stream setup+run, not left on the session
+      // nanos conf scoped to stream setup+run, not left on the session.
+      // State-store partitions are sized to the keyspace, not the session
+      // default: this agg keys on ~hundreds of hourly windows, and each
+      // state partition costs a store instance + per-batch commit — 32
+      // partitions measured 1.6s of pure state overhead for a <1k-key
+      // stream. (At 100 TB event volume the KEYSPACE is still the window
+      // count; raise this with keys, not with input rows.)
       SchemaTools.withSessionConf(
         s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+       SchemaTools.withSessionConf(
+         s, "spark.sql.shuffle.partitions", "8") {
         val rawSchema = s.read.parquet(s"$d/events.parquet").schema
         val qname = s"graft_q35_${streamEpoch.incrementAndGet()}"
         // file-stream sources require a directory or glob, not a bare file:
@@ -496,6 +504,7 @@ object SparkEntry {
           .start()
         q.awaitTermination()
         s.table(qname).orderBy("hour_start")
+       }
       }
     }),
 
