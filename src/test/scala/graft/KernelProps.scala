@@ -80,6 +80,40 @@ object KernelProps extends Properties("graft-kernels") {
       java.lang.Long.bitCount(a ^ b) == 0
   }
 
+  /** Reference shingle fold: materialize the space-joined n-gram strings,
+    * dedupe preserving first occurrence, fold each with both bases. */
+  private def refShinglePack(tokens: Seq[String], n: Int): Seq[Long] = {
+    val wins = tokens.sliding(n).filter(_.size == n).map(_.mkString(" "))
+    val seen = scala.collection.mutable.LinkedHashSet[Long]()
+    wins.foreach { s =>
+      seen += (refFold(s, 131L) | (refFold(s, 137L) << 31))
+    }
+    seen.toSeq
+  }
+
+  private val tokenArr: Gen[Seq[String]] =
+    Gen.listOf(Gen.listOf(Gen.choose(33.toChar, 126.toChar)).map(_.mkString))
+
+  property("shinglePack == folds of materialized shingle strings") =
+    forAll(tokenArr, Gen.choose(1, 5)) { (tks, n) =>
+      val in = new GenericArrayData(
+        tks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val got = CharFoldUtil.shinglePack(in, n)
+      val ref = refShinglePack(tks, n)
+      got.numElements() == ref.size &&
+        (0 until got.numElements()).forall(i => got.getLong(i) == ref(i))
+    }
+
+  property("shinglePack values are non-negative 62-bit") =
+    forAll(tokenArr) { tks =>
+      val in = new GenericArrayData(
+        tks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val got = CharFoldUtil.shinglePack(in, 3)
+      (0 until got.numElements()).forall { i =>
+        val v = got.getLong(i); v >= 0L && v < (1L << 62)
+      }
+    }
+
   import org.apache.spark.sql.types._
   private val scalarTypes: Gen[DataType] = Gen.oneOf(
     ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
