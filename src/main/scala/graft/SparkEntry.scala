@@ -1206,6 +1206,33 @@ object SparkEntry {
           sum(dec12(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
+    }),
+
+    // stream-stream attribution join under the oracle: purchases joined
+    // to same-user clicks within a 1-hour lookback, BOTH sides streaming
+    // (watermarked interval join, bounded state). Inner-join emission is
+    // batch-equivalent under AvailableNow, so the DuckDB oracle is the
+    // plain interval self-join. State partitions sized to the keyspace
+    // like q35.
+    "q65_stream_attribution" -> ((s, d) => {
+      SchemaTools.withSessionConf(
+        s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+       SchemaTools.withSessionConf(
+         s, "spark.sql.shuffle.partitions", "8") {
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val qname = s"graft_q65_${streamEpoch.incrementAndGet()}"
+        val src = s.readStream.schema(rawSchema)
+          .parquet(s"$d/{events.parquet}")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val q = streaming.EventStream.attributionJoin(src)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).orderBy("purchase_id", "click_id")
+       }
+      }
     })
   )
 
@@ -2133,6 +2160,16 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         | COUNT(*) AS n
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q65_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+        | p.value
+        |FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }
