@@ -76,7 +76,28 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       fq.awaitTermination()
-    } catch { case _: Throwable => () }
+      // ...and the stream-stream (symmetric hash) join machinery q65
+      // exercises — a 2-row self-join warms its state-store/join classes.
+      val a = spark.readStream.schema(sch).parquet(s"$wdir/{w.parquet}")
+        .select(col("ts").as("a_ts"),
+          col("ts").cast("long").mod(2).as("ak"))
+        .withWatermark("a_ts", "1 hour")
+      val b = spark.readStream.schema(sch).parquet(s"$wdir/{w.parquet}")
+        .select(col("ts").as("b_ts"),
+          col("ts").cast("long").mod(2).as("bk"))
+        .withWatermark("b_ts", "1 hour")
+      val jq = a.join(b,
+          col("ak") === col("bk") && col("b_ts") >= col("a_ts") &&
+            col("b_ts") <= col("a_ts") +
+              org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"),
+          "inner")
+        .writeStream.format("memory").queryName("graft_bench_warmup_ss")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      jq.awaitTermination()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-warmup] streaming warmup failed: $e") }
 
     val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()
