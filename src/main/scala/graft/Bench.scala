@@ -99,16 +99,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench-warmup] streaming warmup failed: $e") }
 
-    val results = SparkEntry.queries.map { case (name, _) =>
-      val t0 = System.nanoTime()
-      try runNoop(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Interleaved min-of-N (default 2 passes): single-sample driver noise
+    // produced phantom regressions in BENCH_r02/r03 (q24-q26 driver times
+    // 2-3x the judge rerun); the min over interleaved passes is the
+    // stable statistic. Failures are RECORDED per query, never swallowed
+    // — a broken query must not masquerade as a fast one.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val (times, errors) =
+      timeQueries(SparkEntry.queries.keys.toSeq, reps, runNoop)
+    val json = renderJson(times, errors, sfDir)
     println(json)
     // Stdout log capture truncated the r2 bench line; persist the full
     // JSON to a file too so the per-query map and total always survive.
@@ -118,5 +117,57 @@ object Bench {
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  /** Run each query `reps` times in interleaved passes; per query, keep
+    * the MINIMUM successful wall time and the last error (if any rep
+    * threw). Separated from main so BenchSpec can drive it with a
+    * deliberately-failing runner. */
+  def timeQueries(
+      names: Seq[String],
+      reps: Int,
+      run: String => Unit
+  ): (Map[String, Double], Map[String, String]) = {
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (_ <- 1 to math.max(1, reps); name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        run(name)
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      } catch {
+        case e: Throwable => errors(name) = e.toString.take(300)
+      }
+    }
+    (times.toMap, errors.toMap)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One-line bench JSON: min-of-N per query, total = sum of mins,
+    * `errors` = count of queries that threw in any rep (with per-query
+    * messages in `error_detail`). */
+  def renderJson(
+      times: Map[String, Double],
+      errors: Map[String, String],
+      sfDir: String
+  ): String = {
+    val qs = times.map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    val total = if (times.nonEmpty) times.values.sum else 0.0
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":${errors.size},"error_detail":$errs,"sf":"$sfDir"}"""
   }
 }

@@ -1159,10 +1159,11 @@ object SparkEntry {
     }),
 
     // catalog remove/list/discover (C2/C4/C5) under the oracle: add
-    // three datasets, remove one (with files), then surface BOTH the
-    // registry count and the directory-walk count in the result — the
-    // remove must be visible to each, and the remaining datasets must
-    // still read+join correctly
+    // three datasets, remove one (with files), then surface the registry
+    // count, the directory-walk count AND the spark.catalog view state in
+    // the result — the remove must be visible to each, and the remaining
+    // datasets must read+join correctly THROUGH spark.sql over the
+    // registered views (the C3 mapping, SURVEY §2.12)
     "q63_catalog_remove" -> ((s, d) => {
       val root = scratch(s, "q63", d)
       val lm = LakeManager(s, root).init()
@@ -1173,11 +1174,16 @@ object SparkEntry {
       lm.addDataset("scratch_ds").writer(WriteMode.Overwrite)
         .write(Tables.region(s, d))
       lm.removeDataset("scratch_ds", deleteFiles = true)
-      lm.reader("nat")
-        .join(lm.reader("reg"), col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      lm.registerViews()
+      val viewsOk = s.catalog.tableExists("nat") &&
+        s.catalog.tableExists("reg") &&
+        !s.catalog.tableExists("scratch_ds")
+      s.sql(
+        """SELECT n_nationkey, n_name, r_name
+          |FROM nat JOIN reg ON n_regionkey = r_regionkey""".stripMargin)
         .withColumn("n_registered", lit(lm.tables.size.toLong))
         .withColumn("n_discovered", lit(lm.discover().size.toLong))
+        .withColumn("views_ok", lit(viewsOk))
         .orderBy("n_nationkey")
     }),
 
@@ -1328,11 +1334,16 @@ object SparkEntry {
   private def d09Oracle: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id,
       |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
       |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
       |  FROM toks),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
+      |   (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
+      |    FROM documents)),
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_both
@@ -1410,10 +1421,15 @@ object SparkEntry {
        |  WHERE len(string_split(norm, ' ')) >= 30),
        |e AS (SELECT min(doc_id) AS doc_id, norm FROM q GROUP BY norm),
        |toks AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM e),
-       |sh AS (SELECT DISTINCT doc_id,
+       |sh0 AS (SELECT DISTINCT doc_id,
        |  unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
        |  FROM toks),
+       |sh AS (
+       |  SELECT doc_id, shingle FROM sh0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
+       |   (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
+       |    FROM e)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_both
@@ -2002,11 +2018,16 @@ object SparkEntry {
     "d04_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
         |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
         |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
+        |   (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
+        |    FROM documents)),
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_both
@@ -2151,7 +2172,8 @@ object SparkEntry {
 
     "q63_catalog_remove" ->
       """SELECT n_nationkey, n_name, r_name,
-        | CAST(2 AS BIGINT) AS n_registered, CAST(2 AS BIGINT) AS n_discovered
+        | CAST(2 AS BIGINT) AS n_registered, CAST(2 AS BIGINT) AS n_discovered,
+        | TRUE AS views_ok
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
 

@@ -74,8 +74,13 @@ object GraftArrowBridge {
   def readIpc(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
     val allocator = ArrowUtils.rootAllocator
       .newChildAllocator("graft-ipc-read", 0, Long.MaxValue)
+    // CommonsCompressionFactory decompresses lz4/zstd record batches —
+    // the reference's feather writer defaults to zstd compression
+    // (writer.py:399-409 via polars write_ipc), so a plain reader would
+    // throw NoCompressionCodec on any real reference-produced file.
     val reader = new ArrowFileReader(
-      new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+      new ByteArrayReadableSeekableByteChannel(bytes), allocator,
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
     try {
       val root = reader.getVectorSchemaRoot
       val schema: StructType =

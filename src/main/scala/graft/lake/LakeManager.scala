@@ -59,7 +59,10 @@ final class LakeManager(spark: SparkSession, root: String) {
   }
 
   /** Register a dataset (`manager.py:136-180`), creating its TimeFly
-    * metadata if absent. */
+    * metadata if absent. Also surfaces the dataset in `spark.catalog` as
+    * a temp view when it already holds data (the C3 mapping, SURVEY
+    * §2.12) — datasets written after registration become SQL-visible via
+    * [[registerView]]/[[registerViews]]. */
   def addDataset(name: String, description: String = ""): TimeFly = {
     val path = new Path(root, name).toString
     val tf = TimeFly(spark, path)
@@ -70,14 +73,34 @@ final class LakeManager(spark: SparkSession, root: String) {
     ds.put("path", path)
     ds.put("description", description)
     writeCfg(cfg)
+    registerView(name)
     tf
   }
 
-  /** Deregister and optionally delete files (`manager.py:182-190`). */
+  /** Make `name` queryable as `spark.sql("SELECT … FROM name")`: a temp
+    * view over its CURRENT data. Returns false (no-op) while the dataset
+    * has no data files — a parquet scan needs at least one footer. The
+    * view captures the file listing at call time; re-register after
+    * writes (temp views are session-scoped metadata, this is cheap). */
+  def registerView(name: String): Boolean = {
+    val tf = dataset(name)
+    val hasData =
+      SchemaTools.listDataFiles(spark, tf.currentPath).nonEmpty
+    if (hasData) tf.read().createOrReplaceTempView(name)
+    hasData
+  }
+
+  /** Sync every registered dataset into `spark.catalog`; returns the
+    * names that became (or stayed) SQL-visible. */
+  def registerViews(): Seq[String] = tables.filter(registerView)
+
+  /** Deregister, drop the SQL view, and optionally delete files
+    * (`manager.py:182-190`). */
   def removeDataset(name: String, deleteFiles: Boolean = false): Unit = {
     val cfg = readCfg()
     cfg.withObject("/dataset").remove(name)
     writeCfg(cfg)
+    spark.catalog.dropTempView(name)
     if (deleteFiles) fs.delete(new Path(root, name), true)
   }
 

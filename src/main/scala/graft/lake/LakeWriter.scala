@@ -122,14 +122,13 @@ final case class LakeWriter(
     * under-estimates in-memory size — acceptable because the keys side is
     * a distinct projection of a strict column subset of those files. */
   private def broadcastIfSmall(df: DataFrame): DataFrame = {
-    val threshold = spark.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .replaceAll("(?i)b$", "") match {
-      case s if s.toLowerCase.endsWith("k") => s.dropRight(1).toLong * 1024
-      case s if s.toLowerCase.endsWith("m") => s.dropRight(1).toLong * 1024 * 1024
-      case s if s.toLowerCase.endsWith("g") => s.dropRight(1).toLong * 1024 * 1024 * 1024
-      case s => s.toLong
-    }
+    // Spark's own byte-string parser handles every legal suffix
+    // (k/m/g/t/p, optional trailing b); an unparsable value falls back
+    // to letting AQE decide rather than crashing the delta write.
+    val threshold = scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    ).getOrElse(-1L)
     if (threshold > 0 && targetBytes <= threshold) broadcast(df) else df
   }
 

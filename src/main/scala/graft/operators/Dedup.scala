@@ -72,8 +72,13 @@ object Dedup {
     * boilerplate — true near-dup pairs share mostly *rare* shingles, so
     * the above-threshold pair set is stable under the cap (DedupSpec
     * proves this on the fixture at a far more aggressive cap). */
-  def autoShingleDfCap(nDocs: Long): Int =
-    math.max(64L, math.ceil(nDocs * 0.05).toLong).toInt
+  def autoShingleDfCap(nDocs: Long): Int = {
+    // Clamp BEFORE narrowing: for corpora where 5% of nDocs exceeds
+    // Int.MaxValue a bare .toInt wraps negative and silently disables
+    // the guard at exactly the web-scale regime it exists for.
+    val cap = math.max(64L, math.ceil(nDocs * 0.05).toLong)
+    math.min(cap, Int.MaxValue.toLong).toInt
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
     * self-join on shingle (shuffle keyed on shingle, not a cross join),

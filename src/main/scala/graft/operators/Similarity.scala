@@ -53,16 +53,40 @@ object Similarity {
       .select("id1", "id2", "sim", "rank")
   }
 
+  /** Left/right sides of the block-grid pair space, each carrying the
+    * composite join key (`bx`, `by`). A vector in block g lands on the
+    * left as keys (g, 0..nBlocks-1) and on the right as keys
+    * (0..nBlocks-1, g), so the pair (x, y) meets at EXACTLY one key:
+    * (block(x), block(y)). Package-private so SimilaritySpec can assert
+    * the key spread directly. */
+  private[graft] def blockGridSides(
+      v: DataFrame,
+      leftIdBound: Long,
+      nBlocks: Int
+  ): (DataFrame, DataFrame) = {
+    val rep = explode(sequence(lit(0L), lit(nBlocks - 1L)))
+    val a = v.select(col("vec_id").as("id1"), col("emb").as("emb1"),
+      col("nrm").as("n1")).filter(col("id1") < leftIdBound)
+      .withColumn("bx", pmod(xxhash64(col("id1")), lit(nBlocks.toLong)))
+      .withColumn("by", rep)
+    val b = v.select(col("vec_id").as("id2"), col("emb").as("emb2"),
+      col("nrm").as("n2"))
+      .withColumn("bx", rep)
+      .withColumn("by", pmod(xxhash64(col("id2")), lit(nBlocks.toLong)))
+    (a, b)
+  }
+
   /** All near pairs above a cosine threshold — exact, but never planned as
     * a cartesian/nested-loop join. Each vector is hashed into one of
-    * `nBlocks` blocks; the tiny nBlocks² block-grid relation is broadcast
-    * and the pair space is materialized through two EQUI joins (broadcast
-    * grid, then one shuffle keyed on the block id). Exact all-pairs is
-    * inherently |A|·|B| comparisons; this formulation keeps that work but
-    * spreads it evenly over keyed shuffle partitions — no driver-side or
-    * single-task nested loop, no broadcast of the corpus. Raise `nBlocks`
-    * with the cluster (parallelism is nBlocks²); `leftIdBound` optionally
-    * bounds the left side for sampled audits. */
+    * `nBlocks` blocks and the pair space is keyed on the COMPOSITE block
+    * id (bx, by): each side is replicated `nBlocks`× through the shuffle
+    * (the standard √-replication block scheme) and the join has exactly
+    * nBlocks² distinct reducer keys — parallelism really is nBlocks², not
+    * nBlocks as the r2 single-key grid formulation had. Exact all-pairs
+    * is inherently |A|·|B| comparisons; this spreads that work evenly
+    * over keyed shuffle partitions — no driver-side or single-task nested
+    * loop, no broadcast of the corpus. Raise `nBlocks` with the cluster;
+    * `leftIdBound` optionally bounds the left side for sampled audits. */
   def cosinePairs(
       emb: DataFrame,
       idCol: String = "vec_id",
@@ -71,22 +95,12 @@ object Similarity {
       leftIdBound: Long = Long.MaxValue,
       nBlocks: Int = 16
   ): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val v = prep(emb, idCol, vecCol)
-    val a = v.select(col("vec_id").as("id1"), col("emb").as("emb1"),
-      col("nrm").as("n1")).filter(col("id1") < leftIdBound)
-      .withColumn("g1", pmod(xxhash64(col("id1")), lit(nBlocks.toLong)))
-    val b = v.select(col("vec_id").as("id2"), col("emb").as("emb2"),
-      col("nrm").as("n2"))
-      .withColumn("g2", pmod(xxhash64(col("id2")), lit(nBlocks.toLong)))
-    // full grid: the left filter is asymmetric (id1 < leftIdBound), so a
-    // qualifying pair {x,y} is generated exactly once, as the tuple
-    // (x in a, y in b) — the id1 < id2 filter then dedupes the diagonal.
-    val grid = (for { i <- 0L until nBlocks; j <- 0L until nBlocks }
-      yield (i, j)).toDF("g1", "g2")
-    a.join(broadcast(grid), Seq("g1"))
-      .join(b, Seq("g2"))
+    // The left filter is asymmetric (id1 < leftIdBound), so a qualifying
+    // pair {x,y} is generated exactly once, as the tuple (x in a, y in b)
+    // — the id1 < id2 filter then dedupes the diagonal.
+    val (a, b) = blockGridSides(v, leftIdBound, nBlocks)
+    a.join(b, Seq("bx", "by"))
       .filter(col("id1") < col("id2"))
       .withColumn("sim",
         cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))

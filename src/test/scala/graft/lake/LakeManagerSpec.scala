@@ -34,6 +34,32 @@ class LakeManagerSpec extends AnyFunSuite {
     assertThrows[Exception](lm.reader("ds_b").count())
   }
 
+  test("datasets are SQL-visible through spark.catalog temp views") {
+    val root = TestSpark.tempDir("lakesql")
+    val lm = LakeManager(spark, root).init()
+    lm.addDataset("sql_ds").writer(WriteMode.Overwrite)
+      .write(Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v"))
+    // data was written after registration — sync the view
+    assert(lm.registerViews().contains("sql_ds"))
+    assert(spark.catalog.tableExists("sql_ds"))
+    assert(spark.sql("SELECT count(*) AS c FROM sql_ds").head().getLong(0)
+      == 3L)
+    assert(spark.sql("SELECT v FROM sql_ds WHERE id = 2").head()
+      .getString(0) == "y")
+    // remove drops the view: SQL name resolution must fail afterwards
+    lm.removeDataset("sql_ds", deleteFiles = true)
+    assert(!spark.catalog.tableExists("sql_ds"))
+    assertThrows[Exception](spark.sql("SELECT * FROM sql_ds").collect())
+  }
+
+  test("registerView is a no-op for an empty dataset") {
+    val root = TestSpark.tempDir("lakesql2")
+    val lm = LakeManager(spark, root).init()
+    lm.addDataset("empty_ds")
+    assert(!lm.registerView("empty_ds"))
+    assert(!spark.catalog.tableExists("empty_ds"))
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()

@@ -99,6 +99,10 @@ class DedupSpec extends AnyFunSuite {
   test("auto DF cap derives from corpus size and is on by default") {
     assert(Dedup.autoShingleDfCap(500) == 64) // floor dominates small corpora
     assert(Dedup.autoShingleDfCap(100000) == 5000) // 5% of corpus
+    // web-scale corpora where 5% exceeds Int range must CLAMP, not wrap
+    // negative (a negative cap silently disables the skew guard)
+    assert(Dedup.autoShingleDfCap(60_000_000_000L) == Int.MaxValue)
+    assert(Dedup.autoShingleDfCap(Long.MaxValue / 2) == Int.MaxValue)
     // default call (guard on, auto cap) == explicit guard-off on the
     // fixture, where no shingle reaches 5% document frequency
     val fixture = spark.read

@@ -47,6 +47,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosinePairs block grid: nBlocks² reducer keys, n× replication, " +
+      "each pair met exactly once") {
+    import graft.functions.VectorFunctions
+    val n = 4
+    val v = emb.select(col("vec_id"),
+        VectorFunctions.asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.norm(col("emb")))
+    val (a, b) = Similarity.blockGridSides(v, Long.MaxValue, n)
+    val nVecs = v.count()
+    // the claimed parallelism: the composite key space really is nBlocks²
+    assert(a.select("bx", "by").distinct().count() == n.toLong * n)
+    assert(b.select("bx", "by").distinct().count() == n.toLong * n)
+    // √-replication: each side is replicated exactly nBlocks×
+    assert(a.count() == nVecs * n)
+    assert(b.count() == nVecs * n)
+    // soundness: every ordered pair (x ≠ y) meets at EXACTLY one key —
+    // no lost pairs, no double-counted sims
+    val meets = a.join(b, Seq("bx", "by"))
+      .filter(col("id1") =!= col("id2"))
+      .groupBy("id1", "id2").count()
+    assert(meets.filter(col("count") =!= 1).count() == 0)
+    assert(meets.count() == nVecs * (nVecs - 1))
+    // and with broadcast off (the 100 TB regime — corpus side too big to
+    // broadcast) the physical join SHUFFLES on the composite (bx, by):
+    // nBlocks² reducer keys, not the r2 single-key nBlocks spread
+    val plan = graft.lake.SchemaTools.withSessionConf(
+      spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+      Similarity.cosinePairs(emb, threshold = 0.3, nBlocks = n)
+        .queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("hashpartitioning(bx"),
+      s"expected composite-key shuffle in plan:\n$plan")
+    assert("hashpartitioning\\(bx#\\d+L?, by#\\d+L?".r
+      .findFirstIn(plan).isDefined,
+      s"expected BOTH block-id columns in the shuffle key:\n$plan")
+  }
+
   test("cosinePairs is symmetric-free (id1 < id2) and thresholded") {
     val out = Similarity.cosinePairs(emb, threshold = 0.3, leftIdBound = 50)
       .as[(Long, Long, Double)].collect()
