@@ -1069,7 +1069,10 @@ object SparkEntry {
         .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey").cast("long").as("nation_key"),
           col("n_name").as("nation"), col("r_name").as("region"))
-      ArrowIpc.write(src, s"$tmp/nations.arrow")
+      // zstd-compressed record batches — the reference feather writer's
+      // default; the read path decompresses via CommonsCompressionFactory
+      ArrowIpc.write(src, s"$tmp/nations.arrow",
+        compression = Some("zstd"))
       LakeReader.fromPath(s, s"$tmp/nations.arrow")
         .load()
         .orderBy("nation_key")

@@ -30,11 +30,14 @@ object GraftArrowBridge {
   /** Serialize a DataFrame to Arrow IPC *file* format (= Feather v2) on
     * the given channel. Collects via `executeCollect` — bounded,
     * driver-side, same contract as the reference's pyarrow table write.
-    * Returns the row count. */
+    * `compression` ∈ {zstd, lz4} compresses record batches (zstd is the
+    * reference writer's feather default, writer.py:399-409). Returns the
+    * row count. */
   def writeIpc(
       df: DataFrame,
       out: java.nio.channels.WritableByteChannel,
-      batchSize: Int = 4096
+      batchSize: Int = 4096,
+      compression: Option[String] = None
   ): Long = {
     val spark = df.sparkSession
     val schema = df.schema
@@ -44,7 +47,23 @@ object GraftArrowBridge {
     val allocator = ArrowUtils.rootAllocator
       .newChildAllocator("graft-ipc-write", 0, Long.MaxValue)
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
-    val fileWriter = new ArrowFileWriter(root, null, out)
+    val fileWriter = compression match {
+      case None => new ArrowFileWriter(root, null, out)
+      case Some(name) =>
+        val codec = name.toLowerCase match {
+          case "zstd" =>
+            org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD
+          case "lz4" =>
+            org.apache.arrow.vector.compression.CompressionUtil.CodecType
+              .LZ4_FRAME
+          case other => throw new IllegalArgumentException(
+            s"unsupported IPC compression: $other (zstd|lz4)")
+        }
+        new ArrowFileWriter(root, null, out, null,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+          codec)
+    }
     try {
       val rows = df.queryExecution.executedPlan.executeCollect()
       val writer = ArrowWriter.create(root)
@@ -101,5 +120,77 @@ object GraftArrowBridge {
       reader.close()
       allocator.close()
     }
+  }
+
+  private def readAllBytes(
+      pathStr: String,
+      conf: org.apache.hadoop.conf.Configuration
+  ): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len < Int.MaxValue.toLong,
+      s"IPC file too large for a single task: $len bytes ($pathStr)")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    bytes
+  }
+
+  private def decodeBatches(bytes: Array[Byte]): ArrayBuffer[InternalRow] = {
+    val allocator = ArrowUtils.rootAllocator
+      .newChildAllocator("graft-ipc-task-read", 0, Long.MaxValue)
+    val reader = new ArrowFileReader(
+      new ByteArrayReadableSeekableByteChannel(bytes), allocator,
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    val rows = ArrayBuffer[InternalRow]()
+    try {
+      val root = reader.getVectorSchemaRoot
+      while (reader.loadNextBatch()) {
+        val cols = root.getFieldVectors.asScala
+          .map(v => new ArrowColumnVector(v): ColumnVector).toArray
+        val batch = new ColumnarBatch(cols, root.getRowCount)
+        val it = batch.rowIterator()
+        while (it.hasNext) rows += it.next().copy()
+      }
+      rows
+    } finally {
+      reader.close()
+      allocator.close()
+    }
+  }
+
+  /** Distributed read of many Arrow IPC files: one task per file, each
+    * decoding its own batches EXECUTOR-side (per-task ArrowFileReader
+    * over the file's bytes) — no driver bottleneck, unlike the eager
+    * single-file path above. Files must share the first file's schema
+    * (field names and types); the schema itself is resolved from one
+    * footer on the driver. Scale shape: parallelism = file count, per-
+    * task memory bounded by the largest file. */
+  def readIpcDistributed(
+      spark: SparkSession,
+      files: Seq[String]
+  ): DataFrame = {
+    require(files.nonEmpty, "readIpcDistributed needs at least one file")
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // schema from the first file's footer (cheap driver-side read)
+    val schema: StructType = {
+      val allocator = ArrowUtils.rootAllocator
+        .newChildAllocator("graft-ipc-schema", 0, Long.MaxValue)
+      val reader = new ArrowFileReader(
+        new ByteArrayReadableSeekableByteChannel(
+          readAllBytes(files.head, hadoopConf.value)), allocator)
+      try ArrowUtils.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      finally { reader.close(); allocator.close() }
+    }
+    val classic =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = classic.sparkContext
+      .parallelize(files, files.size)
+      .mapPartitions { it =>
+        it.flatMap(f => decodeBatches(readAllBytes(f, hadoopConf.value)))
+      }
+    classic.internalCreateDataFrame(rdd, schema)
   }
 }

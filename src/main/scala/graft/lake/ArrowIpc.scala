@@ -34,15 +34,30 @@ object ArrowIpc {
 
   /** Write a DataFrame as one Arrow IPC file. Collects to the driver —
     * bounded by contract (the reference's feather write materializes a
-    * pyarrow table the same way). Returns the row count. */
-  def write(df: DataFrame, path: String, batchSize: Int = 4096): Long = {
+    * pyarrow table the same way). `compression = Some("zstd")` matches
+    * the reference's feather default (`writer.py:399-409`); the reader
+    * side decompresses transparently. Returns the row count. */
+  def write(
+      df: DataFrame,
+      path: String,
+      batchSize: Int = 4096,
+      compression: Option[String] = None
+  ): Long = {
     val spark = df.sparkSession
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try GraftArrowBridge.writeIpc(df, Channels.newChannel(out), batchSize)
+    try GraftArrowBridge.writeIpc(df, Channels.newChannel(out), batchSize,
+      compression)
     finally out.close()
   }
+
+  /** Distributed read of an IPC directory (or explicit file list): one
+    * task per file, batches decoded executor-side — removes the driver
+    * bottleneck of the eager per-file [[read]] when a directory holds
+    * many IPC files. Files must share the first file's schema. */
+  def readDistributed(spark: SparkSession, files: Seq[String]): DataFrame =
+    GraftArrowBridge.readIpcDistributed(spark, files)
 
   /** Migrate IPC files to parquet — the scale path: feather is the
     * reference's exchange format, parquet its dataset format

@@ -71,13 +71,15 @@ final case class LakeReader(
           .csv(path)
       case "json" => spark.read.json(path)
       case "ipc" =>
-        // Arrow IPC / Feather v2: driver-side eager read per file (the
-        // reference's own contract for feather) — see ArrowIpc scaladoc.
+        // Arrow IPC / Feather v2. A single file keeps the reference's
+        // eager driver-side contract; a DIRECTORY of IPC files decodes
+        // one-task-per-file executor-side (ArrowIpc.readDistributed) —
+        // the eager union was a driver bottleneck at many files.
         val files = SchemaTools.listDataFiles(spark, path).filter(f =>
           f.endsWith(".arrow") || f.endsWith(".feather") ||
             f.endsWith(".ipc"))
-        val targets = if (files.nonEmpty) files.sorted else Seq(path)
-        targets.map(ArrowIpc.read(spark, _)).reduce(_.unionByName(_))
+        if (files.size > 1) ArrowIpc.readDistributed(spark, files.sorted)
+        else ArrowIpc.read(spark, files.headOption.getOrElse(path))
       case other =>
         throw new IllegalArgumentException(s"unsupported format: $other")
     }

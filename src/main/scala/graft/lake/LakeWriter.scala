@@ -71,7 +71,24 @@ final case class LakeWriter(
     */
   private def deltaDiff(df: DataFrame, d: WriteMode.Delta): DataFrame = {
     if (!targetHasData) return df
-    var existing = spark.read.parquet(path)
+    deltaDiffAgainst(df, d, spark.read.parquet(path))
+  }
+
+  /** The anti-diff itself, against an explicit existing-rows frame (path
+    * datasets pass the parquet scan; bucketed tables pass the catalog
+    * table so the existing side keeps its bucket distribution). */
+  private def deltaDiffAgainst(
+      df: DataFrame,
+      d: WriteMode.Delta,
+      existing0: DataFrame,
+      allowBroadcast: Boolean = true
+  ): DataFrame = {
+    // Bucketed targets pass allowBroadcast = false: broadcasting the
+    // existing side would discard its bucket distribution (and the
+    // path-byte estimate doesn't apply to catalog tables).
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (allowBroadcast) broadcastIfSmall else identity
+    var existing = existing0
     // Bound the existing side to the incoming window (writer.py:227-240):
     // at scale this prunes the target scan to the affected partitions.
     d.onColumn.foreach { ts =>
@@ -104,13 +121,13 @@ final case class LakeWriter(
       val keys = d.subset.map(c => s"__k_$c")
       antiNullSafe(
         keyed(df),
-        broadcastIfSmall(keyed(existing).select(keys.map(col): _*).distinct()),
+        maybeBroadcast(keyed(existing).select(keys.map(col): _*).distinct()),
         keys
       ).drop(keys: _*)
     } else {
       antiNullSafe(
         df.dropDuplicates(),
-        broadcastIfSmall(existing.select(df.columns.map(col): _*)),
+        maybeBroadcast(existing.select(df.columns.map(col): _*)),
         df.columns.toSeq
       )
     }
@@ -199,12 +216,24 @@ final case class LakeWriter(
       location: Option[String] = None
   ): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
-    val saveMode = mode match {
-      case WriteMode.Overwrite => SaveMode.Overwrite
-      case WriteMode.Raise => SaveMode.ErrorIfExists
-      case _ => SaveMode.Append
+    val prepared = transform(pipeline(df))
+    // Delta against a bucketed target anti-diffs through the CATALOG
+    // table: when the delta keys are the bucket keys, the existing side
+    // arrives pre-distributed — no shuffle of the (large) target, the
+    // same zero-exchange property co-bucketed joins get.
+    val (toWrite, saveMode) = mode match {
+      case WriteMode.Overwrite => (prepared, SaveMode.Overwrite)
+      case WriteMode.Raise => (prepared, SaveMode.ErrorIfExists)
+      case d: WriteMode.Delta =>
+        val diffed =
+          if (spark.catalog.tableExists(table))
+            deltaDiffAgainst(prepared, d, spark.table(table),
+              allowBroadcast = false)
+          else prepared
+        (diffed, SaveMode.Append)
+      case WriteMode.Append => (prepared, SaveMode.Append)
     }
-    var w = transform(pipeline(df)).write
+    var w = toWrite.write
       .mode(saveMode)
       .format("parquet")
       .option("compression", compression)

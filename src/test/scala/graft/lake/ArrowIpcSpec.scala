@@ -55,6 +55,43 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(filtered.select("v").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("zstd-compressed IPC (the reference writer's default) round-trips") {
+    val dir = TestSpark.tempDir("ipczstd")
+    val df = spark.range(500)
+      .selectExpr("id", "repeat('compressible ', 20) AS pad")
+    ArrowIpc.write(df, s"$dir/plain.arrow")
+    ArrowIpc.write(df, s"$dir/z.arrow", compression = Some("zstd"))
+    val plainLen = new java.io.File(s"$dir/plain.arrow").length()
+    val zLen = new java.io.File(s"$dir/z.arrow").length()
+    assert(zLen < plainLen / 2,
+      s"zstd file not smaller: $zLen vs $plainLen")
+    val back = ArrowIpc.read(spark, s"$dir/z.arrow")
+    assert(back.count() == 500)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) == 124750L)
+    // lz4 flavor decodes through the same codec factory
+    ArrowIpc.write(df.limit(10), s"$dir/l.arrow", compression = Some("lz4"))
+    assert(ArrowIpc.read(spark, s"$dir/l.arrow").count() == 10)
+  }
+
+  test("many-file IPC dir reads distributed: >1 partition, rows == eager") {
+    val dir = TestSpark.tempDir("ipcdist")
+    val df = spark.range(60).selectExpr("id", "CAST(id AS STRING) AS s")
+    (0 until 4).foreach { i =>
+      ArrowIpc.write(df.filter($"id" % 4 === i), s"$dir/part-$i.arrow",
+        compression = if (i % 2 == 0) Some("zstd") else None)
+    }
+    val dist = LakeReader(spark, dir, "ipc").load()
+    assert(dist.rdd.getNumPartitions == 4,
+      s"expected one task per file, got ${dist.rdd.getNumPartitions}")
+    val eager = (0 until 4)
+      .map(i => ArrowIpc.read(spark, s"$dir/part-$i.arrow"))
+      .reduce(_.unionByName(_))
+    assert(dist.orderBy("id").collect().map(_.toSeq).toSeq ==
+      eager.orderBy("id").collect().map(_.toSeq).toSeq)
+    assert(dist.count() == 60)
+  }
+
   test("rewriteToParquet migrates IPC to the scale format") {
     val dir = TestSpark.tempDir("ipc2pq")
     val df = spark.range(100).selectExpr("id", "id * 2 AS dbl")
