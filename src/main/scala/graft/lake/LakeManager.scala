@@ -14,14 +14,22 @@ final class LakeManager(spark: SparkSession, root: String) {
   import TimeFly.mapper
 
   private val cfgPath = new Path(root, "_pydala.json")
+  private val tomlCfgPath = new Path(root, "_pydala.toml")
   private def fs =
     cfgPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Dual-format lake config, like TimeFly's dataset metadata: the
+  // reference persists `_pydala.toml` (`manager.py:48`) with the SAME
+  // top-level sections we use (pydala / dataset, `manager.py:66-88`) —
+  // no layout translation needed. Reads prefer our JSON, fall back to a
+  // reference-written TOML; writes mirror both.
   private def readCfg(): ObjectNode =
     if (fs.exists(cfgPath)) {
       val in = fs.open(cfgPath)
       try mapper.readTree(in).asInstanceOf[ObjectNode]
       finally in.close()
+    } else if (fs.exists(tomlCfgPath)) {
+      Toml.parse(TimeFly.readText(fs, tomlCfgPath))
     } else {
       val n = mapper.createObjectNode()
       n.putObject("pydala").put("name", new Path(root).getName)
@@ -33,6 +41,10 @@ final class LakeManager(spark: SparkSession, root: String) {
     val out = fs.create(cfgPath, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
     finally out.close()
+    val tout = fs.create(tomlCfgPath, true)
+    try tout.write(Toml.render(n)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally tout.close()
   }
 
   /** Init lake config (`manager.py:53-88`). */
@@ -43,14 +55,16 @@ final class LakeManager(spark: SparkSession, root: String) {
   }
 
   /** Discover datasets by scanning for metadata files
-    * (`manager.py:90-114`, glob `**_dataset.toml`). */
+    * (`manager.py:90-114`, glob `**_dataset.toml`) — either codec flavor
+    * marks a dataset, so reference-written lakes are discoverable. */
   def discover(): Seq[String] = {
-    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val buf = scala.collection.mutable.LinkedHashSet[String]()
     def walk(p: Path): Unit = {
       if (!fs.exists(p)) return
       fs.listStatus(p).foreach { s =>
+        val name = s.getPath.getName
         if (s.isDirectory) walk(s.getPath)
-        else if (s.getPath.getName == "_dataset.json")
+        else if (name == "_dataset.json" || name == "_dataset.toml")
           buf += s.getPath.getParent.toString
       }
     }

@@ -36,27 +36,43 @@ final class TimeFly(spark: SparkSession, root: String) {
   private def fs =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val metaPath = new Path(root, "_dataset.json")
+  private val tomlPath = new Path(root, "_dataset.toml")
 
   def currentPath: String = new Path(root, "current").toString
   def snapshotPath(id: String): String =
     new Path(new Path(root, "snapshot"), id).toString
 
   // ---- metadata codec -----------------------------------------------------
+  // Dual format: `_dataset.toml` is the reference's own metadata file
+  // (`timefly.py:50-51`), `_dataset.json` ours. Writes MIRROR both (a
+  // pydala client can read a graft-written lake); reads prefer the JSON
+  // and fall back to the TOML (a pydala-written lake is adopted in
+  // place, including the legacy `[timefly.*]` layout of the reference's
+  // `test.toml` fixture). When both files exist the JSON is
+  // authoritative.
 
-  def readMeta(): ObjectNode = {
-    val in = fs.open(metaPath)
-    try mapper.readTree(in).asInstanceOf[ObjectNode]
-    finally in.close()
-  }
+  def readMeta(): ObjectNode =
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      try mapper.readTree(in).asInstanceOf[ObjectNode]
+      finally in.close()
+    } else {
+      fromReferenceToml(Toml.parse(readText(fs, tomlPath)))
+    }
 
   def writeMeta(node: JsonNode): Unit = {
     val out = fs.create(metaPath, true)
     try out.write(
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     finally out.close()
+    val tout = fs.create(tomlPath, true)
+    try tout.write(
+      Toml.render(node.asInstanceOf[ObjectNode])
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally tout.close()
   }
 
-  def exists(): Boolean = fs.exists(metaPath)
+  def exists(): Boolean = fs.exists(metaPath) || fs.exists(tomlPath)
 
   // ---- lifecycle ----------------------------------------------------------
 
@@ -184,6 +200,54 @@ final class TimeFly(spark: SparkSession, root: String) {
 object TimeFly {
   private[lake] val mapper = new ObjectMapper()
   private val idFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+
+  private[lake] def readText(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: Path
+  ): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Normalize a reference-written `_dataset.toml` into our internal
+    * layout. The reference's CURRENT code writes the same top-level
+    * sections we use (`timefly.py:132-147,245-310`: dataset / current /
+    * snapshot{available,deleted,<id>}) — passed through unchanged. Its
+    * LEGACY fixture layout (`/root/reference/test.toml:1-24`) nests
+    * everything under `[timefly.*]` with a `[timefly.history]` table
+    * whose `available` list includes the literal "current" — translated:
+    * `timefly.current` → `current`, `timefly.history.available` minus
+    * "current" → `snapshot.available`, `timefly.history.deleted` →
+    * `snapshot.deleted`, each `timefly.<id>` → `snapshot.<id>`. */
+  private[lake] def fromReferenceToml(n: ObjectNode): ObjectNode = {
+    if (!n.has("timefly")) return n
+    val out = mapper.createObjectNode()
+    if (n.has("dataset")) out.set[JsonNode]("dataset", n.get("dataset"))
+    val snap = out.putObject("snapshot")
+    val avail = snap.putArray("available")
+    val deleted = snap.putArray("deleted")
+    n.withObject("/timefly").fields.forEachRemaining { e =>
+      e.getKey match {
+        case "current" => out.set[JsonNode]("current", e.getValue)
+        case "history" =>
+          val h = e.getValue
+          if (h.has("available"))
+            h.get("available").forEach { x =>
+              if (x.asText() != "current") avail.add(x.asText())
+            }
+          if (h.has("deleted"))
+            h.get("deleted").forEach(x => deleted.add(x.asText()))
+        case id => snap.set[JsonNode](id, e.getValue)
+      }
+    }
+    out
+  }
 
   /** Snapshot id format `%Y%m%d_%H%M%S` (`timefly.py:72-78`). */
   def nowId(): String =

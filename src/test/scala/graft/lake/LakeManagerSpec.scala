@@ -52,6 +52,24 @@ class LakeManagerSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql("SELECT * FROM sql_ds").collect())
   }
 
+  test("lake config mirrors _pydala.toml and reads back from it alone") {
+    val root = TestSpark.tempDir("laketoml")
+    val lm = LakeManager(spark, root).init()
+    lm.addDataset("ds_t").writer(WriteMode.Overwrite)
+      .write(Seq((1, "x")).toDF("id", "v"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_pydala.toml")))
+    // drop the JSON: a pydala-written lake only has the TOML
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_pydala.json"))
+    val lm2 = LakeManager(spark, root)
+    assert(lm2.tables == Seq("ds_t"))
+    assert(lm2.reader("ds_t").count() == 1)
+    // discovery also accepts TOML-flavor dataset metadata
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "ds_t", "_dataset.json"))
+    assert(lm2.discover().map(_.split('/').last) == Seq("ds_t"))
+  }
+
   test("registerView is a no-op for an empty dataset") {
     val root = TestSpark.tempDir("lakesql2")
     val lm = LakeManager(spark, root).init()

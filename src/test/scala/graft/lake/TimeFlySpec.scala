@@ -28,6 +28,46 @@ class TimeFlySpec extends AnyFunSuite {
     assert(meta.at("/dataset/name").asText() == "t1")
   }
 
+  test("adopts a pydala-written lake: verbatim reference test.toml, " +
+      "legacy [timefly.*] layout, snapshots resolve") {
+    val dir = TestSpark.tempDir("tftoml")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_dataset.toml"),
+      new TomlSpec().referenceFixture)
+    val tf = TimeFly(spark, dir)
+    assert(tf.exists())
+    assert(tf.availableSnapshots() == Seq("20221001_130513"))
+    // T6 resolution against the adopted metadata: first snapshot with
+    // id > t, else current
+    assert(tf.resolveSubpath(Some("2022-09-15 00:00:00"))
+      == tf.snapshotPath("20221001_130513"))
+    assert(tf.resolveSubpath(Some("2022-11-01 00:00:00")) == tf.currentPath)
+    // the translated layout carries the deleted history through
+    val meta = tf.readMeta()
+    assert(meta.at("/snapshot/deleted").size == 2)
+    assert(meta.at("/dataset/name").asText == "symbols")
+    assert(meta.at("/current/format").asText == "parquet")
+  }
+
+  test("writes mirror _dataset.toml: a lake written here reads back " +
+      "from the TOML alone") {
+    val dir = TestSpark.tempDir("tfmirror")
+    val tf = TimeFly(spark, dir).init("mirror_ds", "dual codec")
+    spark.range(5).toDF("id").write.mode("overwrite")
+      .parquet(tf.currentPath + "/d.parquet")
+    val snap = tf.addSnapshot(manifestOnly = true)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_dataset.toml")))
+    // drop our JSON — only the reference-format TOML remains
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_dataset.json"))
+    val tf2 = TimeFly(spark, dir)
+    assert(tf2.exists())
+    assert(tf2.availableSnapshots() == Seq(snap))
+    assert(tf2.readMeta().at("/dataset/name").asText == "mirror_ds")
+    assert(tf2.readMeta().at(s"/snapshot/$snap/manifest_only").asBoolean)
+  }
+
   test("snapshot add / restore round-trip") {
     val dir = TestSpark.tempDir("tfsnap")
     val tf = TimeFly(spark, dir).init("t2")
