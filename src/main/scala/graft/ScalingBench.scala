@@ -93,6 +93,22 @@ object ScalingBench {
       f -> dir
     }
 
+    // One more doubling for the three most expensive pipeline operators
+    // (r3 judge rerun: d13 6.2 s, e05 4.2 s, d09 4.1 s) — the 8x row
+    // bounds d13's 4x ratio and checks the CC round count stays flat as
+    // components hold density. Only their two input tables are built.
+    val deepQueries =
+      Seq("d09_dup_clusters", "d13_corpus_pipeline", "e05_embed_dedup")
+    val deepDir = "/tmp/graft_scale_v2_8x"
+    if (!Files.exists(Paths.get(s"$deepDir/_done"))) {
+      Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+        .foreach { case (t, cols) =>
+          scaleTable(spark, src, t, 8, cols)
+            .write.mode("overwrite").parquet(s"$deepDir/$t.parquet")
+        }
+      Files.createFile(Paths.get(s"$deepDir/_done"))
+    }
+
     // cheap representatives + every query from the top of the r2 cost
     // profile (d04/d09/d13/e03/e04/q35) — the expensive ones are exactly
     // where a hidden quadratic would hide
@@ -133,6 +149,8 @@ object ScalingBench {
       val ts = dirs.map { case (f, dir) => f -> timeBest(q, dir) }.toMap
       (q, ts(1), ts(2), ts(4))
     }
+    val deep: Map[String, Double] =
+      deepQueries.map(q => q -> timeBest(q, deepDir)).toMap
 
     val sb = new StringBuilder
     sb.append("# Data-scaling measurements (sf0.1 base, key-shifted unions)\n\n")
@@ -152,10 +170,15 @@ object ScalingBench {
     sb.append("The d06[bands=16] row is the knob to pull when LSH candidate\n")
     sb.append("volume outgrows a given cluster: half the bands, fewer\n")
     sb.append("collisions, at a measured recall trade (DedupSpec bounds it).\n\n")
-    sb.append("| query | 1x (s) | 2x (s) | 4x (s) | 2x/1x | 4x/1x |\n")
-    sb.append("|---|---|---|---|---|---|\n")
+    sb.append("The 8x column (top-three cost profile only) is the extra\n")
+    sb.append("doubling that bounds the largest 4x ratio.\n\n")
+    sb.append("| query | 1x (s) | 2x (s) | 4x (s) | 8x (s) | 2x/1x | 4x/1x | 8x/1x |\n")
+    sb.append("|---|---|---|---|---|---|---|---|\n")
     rows.foreach { case (q, t1, t2, t4) =>
-      sb.append(f"| $q | $t1%.2f | $t2%.2f | $t4%.2f | ${t2 / t1}%.1f | ${t4 / t1}%.1f |\n")
+      val (t8s, r8s) = deep.get(q)
+        .map(t8 => (f"$t8%.2f", f"${t8 / t1}%.1f"))
+        .getOrElse(("—", "—"))
+      sb.append(f"| $q | $t1%.2f | $t2%.2f | $t4%.2f | $t8s | ${t2 / t1}%.1f | ${t4 / t1}%.1f | $r8s |\n")
     }
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
     println(sb.toString)

@@ -1242,6 +1242,59 @@ object SparkEntry {
         s.table(qname).orderBy("purchase_id", "click_id")
        }
       }
+    }),
+
+    // distributed IPC directory under the oracle: the supplier table
+    // split across three Arrow-IPC files (mixed zstd/uncompressed record
+    // batches), read back as a DIRECTORY — one decode task per file,
+    // executor-side (ArrowIpc.readDistributed) — then aggregated
+    "q66_ipc_dir_read" -> ((s, d) => {
+      val tmp = scratch(s, "q66", d)
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"),
+          col("s_nationkey").cast("long").as("s_nationkey"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+      (0 until 3).foreach { i =>
+        ArrowIpc.write(sup.filter(pmod(col("s_suppkey"), lit(3L)) === i),
+          s"$tmp/part-$i.arrow",
+          compression = if (i % 2 == 0) Some("zstd") else None)
+      }
+      val dir = LakeReader(s, tmp, "ipc").load()
+      require(dir.rdd.getNumPartitions == 3,
+        s"expected one task per IPC file, got ${dir.rdd.getNumPartitions}")
+      // sum in exact DECIMAL, surface as DOUBLE (engine-portable hash)
+      dir.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+
+    // bucketed storage + delta write-mode under the oracle: seed a
+    // bucketed table with half of orders, delta-append ALL orders keyed
+    // on the bucket column (only the missing half may land, anti-diffed
+    // through the catalog table without shuffling the existing side),
+    // then aggregate — result must equal plain orders
+    "q67_bucketed_delta" -> ((s, d) => {
+      val tmp = scratch(s, "q67", d)
+      s.sql("DROP TABLE IF EXISTS q67_orders")
+      val o = ord(s, d).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      LakeWriter(s, "", WriteMode.Overwrite).writeBucketed(
+        o.filter(col("o_orderkey") % 2 === 0),
+        "q67_orders", Seq("o_orderkey"), 8,
+        location = Some(s"$tmp/orders_b"))
+      LakeWriter(s, "", WriteMode.Delta(subset = Seq("o_orderkey")))
+        .writeBucketed(o, "q67_orders", Seq("o_orderkey"), 8,
+          location = Some(s"$tmp/orders_b"))
+      s.table("q67_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -2195,6 +2248,18 @@ object SparkEntry {
         | ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
-        |ORDER BY purchase_id, click_id""".stripMargin
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q66_ipc_dir_read" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        | COUNT(*) AS n_supp,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    "q67_bucketed_delta" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
