@@ -40,6 +40,20 @@ object Probe {
       return
     }
 
+    if (args.headOption.contains("explain")) {
+      // formatted physical plans for PLANS.md; SPARK_GRAFT_NO_BROADCAST=1
+      // disables auto-broadcast to show the at-scale shuffle shape
+      if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      args.drop(1).foreach { q =>
+        println(s"### explain $q")
+        SparkEntry.queries(q)(spark, sf).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
+
     val qs = if (args.nonEmpty) args.toSeq
              else Seq("q01_pricing_summary", "d09_dup_clusters", "e04_ann_ivf")
     // two reps: rep1 carries JIT/codegen warmup, rep2 is steady state
