@@ -36,10 +36,18 @@ object CorpusPipeline {
       .select(col("doc_id"), col("norm"),
         TextFunctions.tokens(col("norm")).as("__tk"))
       .filter(size(col("__tk")) >= minTokens)
+    // The survivors frame is SMALL (one row per distinct normalized doc)
+    // but its lineage is the expensive part of the pipeline (3 regex
+    // passes + tokenize + groupBy over the full corpus), and downstream
+    // it is consumed ~6x: the DF-cap count action, the hot-shingle pass,
+    // per-doc sizes, BOTH sides of the shingle self-join, and the final
+    // keep anti-join. localCheckpoint materializes it once; swap for
+    // `checkpoint` (reliable storage) on a real cluster.
     val survivors = norm
       .groupBy("norm")
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "norm")
+      .localCheckpoint(true)
     val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "norm",
       n = 3, threshold = jaccardThreshold)
     val clusters = Dedup.duplicateClusters(pairs.select("id1", "id2"))

@@ -278,10 +278,34 @@ object Dedup {
     * `checkpoint` on a real cluster with a checkpoint dir. Only ids that
     * appear in some pair are returned (singletons need no dedup). */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
+    // Symmetrize with ONE explode pass, not a union of two selects: the
+    // union form executes the (expensive — Jaccard / SRP join) pairs
+    // subplan twice; explode reads it once. Checkpoint truncates the
+    // lineage so the CC rounds never re-run candidate generation.
+    val spark = pairs.sparkSession
     val edges = pairs
-      .select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint(true)
+    // Size the CC shuffle to the ACTUAL edge count (free: edges is
+    // already materialized): near-dup graphs are typically a small
+    // fraction of the corpus, and running every round's joins at the
+    // session's corpus-sized shuffle width schedules mostly-empty tasks
+    // — pure per-round overhead. ~50k edges per partition, clamped to
+    // the session setting so a genuinely huge graph keeps full width.
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val ccParts = math.max(1L, math.min(sessionParts.toLong,
+      edges.count() / 50000L + 1L)).toString
+    graft.lake.SchemaTools.withSessionConf(
+      spark, "spark.sql.shuffle.partitions", ccParts) {
+      duplicateClustersLoop(edges)
+    }
+  }
+
+  private def duplicateClustersLoop(edges: DataFrame): DataFrame = {
     // Seed with the first propagation round fused into init: from
     // identity labels, round 1 is exactly min({self} ∪ neighbors) —
     // one groupBy (which also plays the distinct) instead of a
