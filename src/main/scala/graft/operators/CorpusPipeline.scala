@@ -41,13 +41,12 @@ object CorpusPipeline {
     // passes + tokenize + groupBy over the full corpus), and downstream
     // it is consumed ~6x: the DF-cap count action, the hot-shingle pass,
     // per-doc sizes, BOTH sides of the shingle self-join, and the final
-    // keep anti-join. localCheckpoint materializes it once; swap for
-    // `checkpoint` (reliable storage) on a real cluster.
-    val survivors = norm
+    // keep anti-join. Dedup.truncate materializes it once (reliable
+    // checkpoint when the session has a checkpoint dir, else local).
+    val survivors = Dedup.truncate(norm
       .groupBy("norm")
       .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id", "norm")
-      .localCheckpoint(true)
+      .select("doc_id", "norm"))
     val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "norm",
       n = 3, threshold = jaccardThreshold)
     val clusters = Dedup.duplicateClusters(pairs.select("id1", "id2"))

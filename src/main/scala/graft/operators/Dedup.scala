@@ -17,6 +17,22 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Truncate a frame's lineage, materializing it once: RELIABLE
+    * `checkpoint` when the session has a checkpoint dir configured (the
+    * cluster path — executor-local blocks don't survive executor loss,
+    * which on a 1000-executor job is routine), else `localCheckpoint`
+    * (single-JVM runs, this sandbox). Iterative operators (connected
+    * components) and multiply-consumed expensive frames use this so
+    * plans stay O(1) per round. */
+  private[graft] def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  private[graft] implicit class TruncateOps(private val df: DataFrame) {
+    def truncated: DataFrame = truncate(df)
+  }
+
   /** Exact dedup: group on the key columns, keep the minimum id, count the
     * duplicates. One hash-shuffle; map-side partial aggregation applies. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
@@ -274,9 +290,10 @@ object Dedup {
     * Min-label propagation: each round every node takes the min label in
     * its neighborhood; rounds = graph diameter (near-dup components are
     * shallow in practice). Each round is one shuffle-join; lineage is
-    * truncated per round (localCheckpoint) so plans stay O(1) — swap for
-    * `checkpoint` on a real cluster with a checkpoint dir. Only ids that
-    * appear in some pair are returned (singletons need no dedup). */
+    * truncated per round ([[truncate]]: reliable `checkpoint` when the
+    * session has a checkpoint dir — the cluster path — else
+    * `localCheckpoint`) so plans stay O(1). Only ids that appear in
+    * some pair are returned (singletons need no dedup). */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     // Symmetrize with ONE explode pass, not a union of two selects: the
     // union form executes the (expensive — Jaccard / SRP join) pairs
@@ -288,7 +305,7 @@ object Dedup {
         struct(col("id1").as("a"), col("id2").as("b")),
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .localCheckpoint(true)
+      .truncated
     // Size the CC shuffle to the ACTUAL edge count (free: edges is
     // already materialized): near-dup graphs are typically a small
     // fraction of the corpus, and running every round's joins at the
@@ -313,7 +330,7 @@ object Dedup {
     var labels = edges.groupBy("a")
       .agg(min(col("b")).as("mb"))
       .select(col("a").as("id"), least(col("a"), col("mb")).as("lbl"))
-      .localCheckpoint(true)
+      .truncated
     // Convergence via the label-sum invariant: every round takes a
     // per-id MIN, so labels are monotonically non-increasing and the
     // (exact, decimal) sum is unchanged iff every label is unchanged —
@@ -334,7 +351,7 @@ object Dedup {
         .union(prop)
         .groupBy("id")
         .agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .truncated
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

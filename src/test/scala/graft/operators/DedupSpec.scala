@@ -62,6 +62,28 @@ class DedupSpec extends AnyFunSuite {
       s"approx=$approx too far from 7000")
   }
 
+  test("duplicateClusters uses RELIABLE checkpoints when the session " +
+      "has a checkpoint dir (the cluster path)") {
+    val ckDir = graft.TestSpark.tempDir("ccck")
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+        .toDF("id1", "id2")
+      val out = Dedup.duplicateClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+        11L -> 10L))
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected RDD checkpoint files under the dir")
+    } finally {
+      // unset: other tests must keep exercising the local path
+      org.apache.spark.sql.GraftSqlBridge.clearCheckpointDir(
+        spark.sparkContext)
+    }
+  }
+
   test("duplicateClusters: min-label connected components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
       .toDF("id1", "id2")
