@@ -1244,6 +1244,31 @@ object SparkEntry {
       }
     }),
 
+    // TOML metadata interop under the oracle: init a TimeFly dataset,
+    // write data, DELETE the JSON metadata so every subsequent metadata
+    // read goes through the reference's _dataset.toml codec, then run a
+    // snapshot lifecycle (add manifest-only, as-of resolve) against the
+    // TOML-backed metadata — the in-place pydala-lake adoption path
+    "q68_toml_adopt" -> ((s, d) => {
+      val root = scratch(s, "q68", d)
+      val tf = TimeFly(s, root).init("toml_ds", "adopted via TOML")
+      LakeWriter(s, tf.currentPath, WriteMode.Overwrite)
+        .write(Tables.nation(s, d))
+      val jsonMeta = new org.apache.hadoop.fs.Path(root, "_dataset.json")
+      jsonMeta.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(jsonMeta, false)
+      val tf2 = TimeFly(s, root) // metadata now ONLY _dataset.toml
+      val snap = tf2.addSnapshot(manifestOnly = true)
+      val tomlOk = tf2.availableSnapshots() == Seq(snap) &&
+        tf2.readMeta().at("/dataset/name").asText == "toml_ds" &&
+        tf2.resolveSubpath(Some("1999-01-01 00:00:00")) ==
+          tf2.snapshotPath(snap) &&
+        tf2.resolveSubpath(None) == tf2.currentPath
+      tf2.read()
+        .withColumn("toml_ok", lit(tomlOk))
+        .orderBy("n_nationkey")
+    }),
+
     // distributed IPC directory under the oracle: the supplier table
     // split across three Arrow-IPC files (mixed zstd/uncompressed record
     // batches), read back as a DIRECTORY — one decode task per file,
@@ -2249,6 +2274,10 @@ object SparkEntry {
         | AND p.user_id = c.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q68_toml_adopt" ->
+      """SELECT *, TRUE AS toml_ok FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q66_ipc_dir_read" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
