@@ -56,10 +56,11 @@ object Probe {
 
     val qs = if (args.nonEmpty) args.toSeq
              else Seq("q01_pricing_summary", "d09_dup_clusters", "e04_ann_ivf")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // two reps: rep1 carries JIT/codegen warmup, rep2 is steady state
     for (rep <- 1 to 2; q <- qs) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
+      val n = SparkEntry.queries(q)(spark, sfDir).count()
       println(f"[probe] rep$rep $q%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

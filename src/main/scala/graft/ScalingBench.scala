@@ -149,6 +149,11 @@ object ScalingBench {
       val ts = dirs.map { case (f, dir) => f -> timeBest(q, dir) }.toMap
       (q, ts(1), ts(2), ts(4))
     }
+    // Untimed cold pass over the 8x dir first — the 1x warmup round
+    // covers JIT but not the 8x files' first read; without this the 8x
+    // cells carry cold page-cache IO the other factors' min-of-2 hides
+    // (measured: d09's 8x cell read 10 s contaminated vs ~4.8 s steady).
+    deepQueries.foreach(q => timeOne(q, deepDir))
     val deep: Map[String, Double] =
       deepQueries.map(q => q -> timeBest(q, deepDir)).toMap
 

@@ -978,6 +978,27 @@ object SparkEntry {
       operators.CorpusPipeline.run(docs(s, d)).orderBy("doc_id")
     }),
 
+    // Gopher/MassiveText-style repetition quality signal: the fraction
+    // of DUPLICATE word 3-grams per doc (1 - distinct/total). Pure
+    // per-row codegen (one ShinglePackExpr pass, no shuffle at all);
+    // the keep gate at 0.2 is the standard repetitious-text filter
+    "d14_repetition" -> ((s, d) => {
+      val n = 3
+      docs(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__tk"))
+        .filter(size(col("__tk")) >= n)
+        .select(
+          col("doc_id"),
+          (size(col("__tk")) - (n - 1)).cast("long").as("ngrams_total"),
+          size(TextFunctions.shingleFolds(col("__tk"), n)).cast("long")
+            .as("ngrams_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("ngrams_distinct").cast("double") /
+            col("ngrams_total").cast("double"))
+        .withColumn("keep", col("rep_ratio") <= 0.2)
+        .orderBy("doc_id")
+    }),
+
     // exact cosine near-pairs over embeddings
     "e01_cosine_pairs" -> ((s, d) => {
       Similarity.cosinePairs(emb(s, d), threshold = 0.4, leftIdBound = 100L)
@@ -2148,6 +2169,22 @@ object SparkEntry {
     "d06_minhash_lsh" -> d06Oracle,
     "d09_dup_clusters" -> d09Oracle,
     "d13_corpus_pipeline" -> d13Oracle,
+
+    "d14_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |t AS (SELECT doc_id,
+        |  CAST(len(tk) - 2 AS BIGINT) AS ngrams_total,
+        |  CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS BIGINT)
+        |    AS ngrams_distinct
+        |  FROM toks WHERE len(tk) >= 3)
+        |SELECT doc_id, ngrams_total, ngrams_distinct,
+        | 1.0 - CAST(ngrams_distinct AS DOUBLE) /
+        |   CAST(ngrams_total AS DOUBLE) AS rep_ratio,
+        | (1.0 - CAST(ngrams_distinct AS DOUBLE) /
+        |   CAST(ngrams_total AS DOUBLE)) <= 0.2 AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
     "d07_simhash" -> d07Oracle,
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,

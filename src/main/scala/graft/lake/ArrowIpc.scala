@@ -7,15 +7,18 @@ import org.apache.spark.sql.{DataFrame, GraftArrowBridge, SparkSession}
 
 /** Arrow IPC file (= Feather v2) read/write — the reference's feather
   * source/sink (`/root/reference/src/pydala/dataset/reader.py:118-138`,
-  * `writer.py:399-409`).
+  * `writer.py:399-409`), zstd/lz4 record-batch compression included
+  * (the reference writer's default).
   *
-  * Scale contract: this is a DRIVER-SIDE single-file codec, matching the
-  * reference exactly — pydala reads feather with `pyarrow.feather.read_
-  * table` into one in-memory table, never as a fragmented dataset. Spark
-  * has no built-in distributed IPC scan; datasets at scale belong in
-  * parquet (`LakeWriter`), and `rewriteToParquet` is the one-call
-  * migration. Reads/writes go through the path's own Hadoop FileSystem
-  * (`Path.getFileSystem`), so any registered scheme works.
+  * Scale contract: single-file [[read]]/[[write]] are DRIVER-SIDE,
+  * matching the reference exactly — pydala reads feather with
+  * `pyarrow.feather.read_table` into one in-memory table. A DIRECTORY
+  * of IPC files goes through [[readDistributed]] instead: one task per
+  * file, record batches decoded executor-side (no driver bottleneck).
+  * Datasets at scale still belong in parquet (`LakeWriter`);
+  * `rewriteToParquet` is the one-call migration. Reads/writes go
+  * through the path's own Hadoop FileSystem (`Path.getFileSystem`), so
+  * any registered scheme works.
   */
 object ArrowIpc {
 
