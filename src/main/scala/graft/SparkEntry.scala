@@ -999,6 +999,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental ingest dedup: score an incoming batch (even doc_ids)
+    // against the existing corpus (odd doc_ids) — near-dup pairs only
+    // ACROSS the two sets, DF skew guard over the combined corpus; the
+    // "should I ingest this doc" decision at lake scale
+    "d15_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalJaccardPairs(
+          all.filter(col("doc_id") % 2 === 0),
+          all.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, threshold = 0.2)
+        .orderBy("id_new", "id_existing")
+    }),
+
     // exact cosine near-pairs over embeddings
     "e01_cosine_pairs" -> ((s, d) => {
       Similarity.cosinePairs(emb(s, d), threshold = 0.4, leftIdBound = 100L)
@@ -2169,6 +2182,37 @@ object SparkEntry {
     "d06_minhash_lsh" -> d06Oracle,
     "d09_dup_clusters" -> d09Oracle,
     "d13_corpus_pipeline" -> d13Oracle,
+
+    "d15_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
+        |   (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
+        |    FROM documents)),
+        |nw AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        |ex AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT nw.doc_id AS id_new, ex.doc_id AS id_existing,
+        |   COUNT(*) AS n_both
+        |  FROM nw JOIN ex ON nw.shingle = ex.shingle
+        |  GROUP BY nw.doc_id, ex.doc_id)
+        |SELECT id_new, id_existing,
+        | CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
+        |   AS jaccard
+        |FROM inter
+        | JOIN cnt ca ON ca.doc_id = id_new
+        | JOIN cnt cb ON cb.doc_id = id_existing
+        |WHERE CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
+        |  >= 0.2
+        |ORDER BY id_new, id_existing""".stripMargin,
 
     "d14_repetition" ->
       """WITH toks AS (

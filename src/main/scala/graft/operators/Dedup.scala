@@ -184,6 +184,57 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Incremental near-dup detection: Jaccard pairs BETWEEN an incoming
+    * batch and an existing corpus (never within either side) — the
+    * production ingest decision "is this new doc a near-dup of anything
+    * already in the lake". Same shingle-hash keyed join discipline as
+    * [[ngramJaccardPairs]] (no cross join; skew guard on by default,
+    * document frequency measured over the COMBINED corpus — boilerplate
+    * is boilerplate regardless of which side it lands in), but the join
+    * is new×existing only: cost scales with |batch|, not |corpus|²,
+    * and the existing side's shingles shuffle once keyed on the hash.
+    * Returns (id_new, id_existing, jaccard) above `threshold`. */
+  def incrementalJaccardPairs(
+      newDf: DataFrame,
+      existingDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.2,
+      maxShingleDf: Int = -1
+  ): DataFrame = {
+    val shNew = shingleHashRows(newDf, idCol, textCol, n)
+    val shOld = shingleHashRows(existingDf, idCol, textCol, n)
+    val dfCap =
+      if (maxShingleDf < 0)
+        autoShingleDfCap(newDf.count() + existingDf.count())
+      else maxShingleDf
+    def prune(sh: DataFrame, hot: DataFrame): DataFrame =
+      sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val (pNew, pOld) =
+      if (dfCap > 0) {
+        val hot = shNew.union(shOld)
+          .groupBy("sh")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap)
+          .select("sh")
+        (prune(shNew, hot), prune(shOld, hot))
+      } else (shNew, shOld)
+    val sizesNew = pNew.groupBy("doc").agg(count(lit(1)).as("n_new"))
+    val sizesOld = pOld.groupBy("doc").agg(count(lit(1)).as("n_old"))
+    pNew.as("a")
+      .join(pOld.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc").as("id_new"), col("b.doc").as("id_existing"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizesNew.withColumnRenamed("doc", "id_new"), "id_new")
+      .join(sizesOld.withColumnRenamed("doc", "id_existing"), "id_existing")
+      .withColumn("jaccard",
+        col("n_both").cast("double") /
+          (col("n_new") + col("n_old") - col("n_both")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_existing", "jaccard")
+  }
+
   /** MinHash signatures: `numHashes` min-hashes over the shingle set,
     * computed as one groupBy with `numHashes` min-aggregates (single
     * shuffle on doc id).

@@ -118,6 +118,31 @@ class DedupSpec extends AnyFunSuite {
       "aggressive DF cap must not change the above-threshold pair set")
   }
 
+  test("incrementalJaccardPairs = cross-side slice of the self-join " +
+      "operator, never within-side") {
+    val fixture = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val inc = Dedup.incrementalJaccardPairs(
+        fixture.filter($"doc_id" % 2 === 0),
+        fixture.filter($"doc_id" % 2 === 1),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(inc.nonEmpty)
+    // strictly cross-side
+    inc.foreach { case (n, e, _) =>
+      assert(n % 2 == 0 && e % 2 == 1, s"within-side pair ($n, $e)")
+    }
+    // same corpus-wide DF cap and full-corpus pruned sizes as the
+    // self-join operator -> the cross-parity slice must agree exactly
+    val self = Dedup.ngramJaccardPairs(fixture, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) =>
+        if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(inc.toSet == self)
+  }
+
   test("auto DF cap derives from corpus size and is on by default") {
     assert(Dedup.autoShingleDfCap(500) == 64) // floor dominates small corpora
     assert(Dedup.autoShingleDfCap(100000) == 5000) // 5% of corpus
