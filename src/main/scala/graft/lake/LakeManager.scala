@@ -93,10 +93,14 @@ final class LakeManager(spark: SparkSession, root: String) {
 
   /** Make `name` queryable as `spark.sql("SELECT … FROM name")`: a temp
     * view over its CURRENT data. Returns false (no-op) while the dataset
-    * has no data files — a parquet scan needs at least one footer. The
-    * view captures the file listing at call time; re-register after
-    * writes (temp views are session-scoped metadata, this is cheap). */
+    * has no data files — a parquet scan needs at least one footer — or
+    * when the name isn't a valid SQL identifier (datasets may carry any
+    * filesystem-legal name; registration must not break addDataset for
+    * them). The view captures the file listing at call time; re-register
+    * after writes (temp views are session-scoped metadata, this is
+    * cheap). */
   def registerView(name: String): Boolean = {
+    if (!name.matches("[A-Za-z_][A-Za-z0-9_]*")) return false
     val tf = dataset(name)
     val hasData =
       SchemaTools.listDataFiles(spark, tf.currentPath).nonEmpty
@@ -114,7 +118,10 @@ final class LakeManager(spark: SparkSession, root: String) {
     val cfg = readCfg()
     cfg.withObject("/dataset").remove(name)
     writeCfg(cfg)
-    spark.catalog.dropTempView(name)
+    // non-identifier names never got a view; dropTempView would throw a
+    // parse error on them rather than return false
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      spark.catalog.dropTempView(name)
     if (deleteFiles) fs.delete(new Path(root, name), true)
   }
 

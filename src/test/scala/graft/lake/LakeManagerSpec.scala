@@ -78,6 +78,17 @@ class LakeManagerSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("empty_ds"))
   }
 
+  test("non-identifier dataset names still add/read/remove (no view)") {
+    val root = TestSpark.tempDir("lakesql3")
+    val lm = LakeManager(spark, root).init()
+    lm.addDataset("my-dashed.ds").writer(WriteMode.Overwrite)
+      .write(Seq((1, "x")).toDF("id", "v"))
+    assert(!lm.registerView("my-dashed.ds")) // not SQL-addressable
+    assert(lm.reader("my-dashed.ds").count() == 1)
+    lm.removeDataset("my-dashed.ds", deleteFiles = true)
+    assert(lm.tables.isEmpty)
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()
