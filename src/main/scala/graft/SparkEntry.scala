@@ -124,6 +124,21 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // O4 completed (r4): LIMIT + OFFSET pagination via Spark's native
+    // Dataset.offset — the reference's rel.limit(n, offset=k). Offset
+    // pagination stays an anti-pattern for BATCHING at scale (K7's
+    // maxRecordsPerFile replaces that use), but as a query operator the
+    // semantics are exact and ordered
+    "q69_limit_offset" -> ((s, d) => {
+      cust(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"))
+        .orderBy("c_custkey")
+        .offset(100)
+        .limit(50)
+        .orderBy("c_custkey")
+    }),
+
     // A4: full-row distinct
     "q06_distinct_full" -> ((s, d) => {
       li(s, d)
@@ -2359,6 +2374,11 @@ object SparkEntry {
     "q68_toml_adopt" ->
       """SELECT *, TRUE AS toml_ok FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q69_limit_offset" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+        |FROM customer ORDER BY c_custkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
 
     "q66_ipc_dir_read" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
