@@ -143,16 +143,7 @@ object Bench {
     (times.toMap, errors.toMap)
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = JsonUtil.quote(s)
 
   /** One-line bench JSON: min-of-N per query, total = sum of mins,
     * `errors` = count of queries that threw in any rep (with per-query

@@ -137,7 +137,15 @@ object GraftArrowBridge {
     bytes
   }
 
-  private def decodeBatches(bytes: Array[Byte]): ArrayBuffer[InternalRow] = {
+  /** Decode one IPC file's batches. With `expected` set, each file's
+    * columns are ALIGNED BY NAME to the expected schema (the eager
+    * path's unionByName semantics — feather files from different writer
+    * versions may order fields differently), and a genuine name/type
+    * mismatch fails loudly instead of silently mislabeling bytes. */
+  private def decodeBatches(
+      bytes: Array[Byte],
+      expected: StructType = null
+  ): ArrayBuffer[InternalRow] = {
     val allocator = ArrowUtils.rootAllocator
       .newChildAllocator("graft-ipc-task-read", 0, Long.MaxValue)
     val reader = new ArrowFileReader(
@@ -146,9 +154,21 @@ object GraftArrowBridge {
     val rows = ArrayBuffer[InternalRow]()
     try {
       val root = reader.getVectorSchemaRoot
+      val fileSchema = ArrowUtils.fromArrowSchema(root.getSchema)
+      val order: Array[Int] =
+        if (expected == null) fileSchema.fields.indices.toArray
+        else {
+          def sig(s: StructType) =
+            s.fields.map(f => (f.name, f.dataType)).toSet
+          require(sig(fileSchema) == sig(expected),
+            s"IPC file schema ${fileSchema.simpleString} does not match " +
+              s"the directory's first file ${expected.simpleString}")
+          expected.fieldNames.map(fileSchema.fieldIndex)
+        }
       while (reader.loadNextBatch()) {
-        val cols = root.getFieldVectors.asScala
-          .map(v => new ArrowColumnVector(v): ColumnVector).toArray
+        val vectors = root.getFieldVectors
+        val cols = order
+          .map(i => new ArrowColumnVector(vectors.get(i)): ColumnVector)
         val batch = new ColumnarBatch(cols, root.getRowCount)
         val it = batch.rowIterator()
         while (it.hasNext) rows += it.next().copy()
@@ -163,10 +183,12 @@ object GraftArrowBridge {
   /** Distributed read of many Arrow IPC files: one task per file, each
     * decoding its own batches EXECUTOR-side (per-task ArrowFileReader
     * over the file's bytes) — no driver bottleneck, unlike the eager
-    * single-file path above. Files must share the first file's schema
-    * (field names and types); the schema itself is resolved from one
-    * footer on the driver. Scale shape: parallelism = file count, per-
-    * task memory bounded by the largest file. */
+    * single-file path above. Files must carry the first file's fields
+    * (names and types; ORDER may differ — columns are aligned by name
+    * per file, the eager path's unionByName semantics); a real mismatch
+    * fails the task loudly. The schema is resolved from one footer on
+    * the driver. Scale shape: parallelism = file count, per-task memory
+    * bounded by the largest file. */
   def readIpcDistributed(
       spark: SparkSession,
       files: Seq[String]
@@ -189,7 +211,8 @@ object GraftArrowBridge {
     val rdd = classic.sparkContext
       .parallelize(files, files.size)
       .mapPartitions { it =>
-        it.flatMap(f => decodeBatches(readAllBytes(f, hadoopConf.value)))
+        it.flatMap(f =>
+          decodeBatches(readAllBytes(f, hadoopConf.value), schema))
       }
     classic.internalCreateDataFrame(rdd, schema)
   }

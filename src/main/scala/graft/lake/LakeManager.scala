@@ -104,8 +104,11 @@ final class LakeManager(spark: SparkSession, root: String) {
     val tf = dataset(name)
     val hasData =
       SchemaTools.listDataFiles(spark, tf.currentPath).nonEmpty
-    if (hasData) tf.read().createOrReplaceTempView(name)
-    hasData
+    // Try: a reserved keyword as a name (parse-rejected under
+    // enforceReservedKeywords) must not abort registration of the
+    // REMAINING datasets in registerViews()
+    hasData &&
+      scala.util.Try(tf.read().createOrReplaceTempView(name)).isSuccess
   }
 
   /** Sync every registered dataset into `spark.catalog`; returns the
@@ -118,10 +121,12 @@ final class LakeManager(spark: SparkSession, root: String) {
     val cfg = readCfg()
     cfg.withObject("/dataset").remove(name)
     writeCfg(cfg)
-    // non-identifier names never got a view; dropTempView would throw a
-    // parse error on them rather than return false
+    // non-identifier (or reserved-keyword) names never got a view;
+    // dropTempView parses the name and would throw rather than return
+    // false — and a throw here would leave the remove half-done (cfg
+    // rewritten, files kept)
     if (name.matches("[A-Za-z_][A-Za-z0-9_]*"))
-      spark.catalog.dropTempView(name)
+      scala.util.Try(spark.catalog.dropTempView(name))
     if (deleteFiles) fs.delete(new Path(root, name), true)
   }
 

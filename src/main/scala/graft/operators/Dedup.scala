@@ -23,7 +23,14 @@ object Dedup {
     * which on a 1000-executor job is routine), else `localCheckpoint`
     * (single-JVM runs, this sandbox). Iterative operators (connected
     * components) and multiply-consumed expensive frames use this so
-    * plans stay O(1) per round. */
+    * plans stay O(1) per round.
+    *
+    * Reliable checkpoint files accumulate for the session's lifetime by
+    * default (one per CC round); long-lived sessions running these
+    * pipelines repeatedly should set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so GC'd
+    * rounds have their files removed, or point the checkpoint dir at
+    * job-scoped storage cleaned after the run. */
   private[graft] def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(true)
@@ -207,7 +214,10 @@ object Dedup {
     val shOld = shingleHashRows(existingDf, idCol, textCol, n)
     val dfCap =
       if (maxShingleDf < 0)
-        autoShingleDfCap(newDf.count() + existingDf.count())
+        // one job, not two separate eager counts over the hot ingest path
+        autoShingleDfCap(
+          newDf.select(col(idCol)).union(existingDf.select(col(idCol)))
+            .count())
       else maxShingleDf
     def prune(sh: DataFrame, hot: DataFrame): DataFrame =
       sh.join(broadcast(hot), Seq("sh"), "left_anti")

@@ -92,6 +92,25 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(dist.count() == 60)
   }
 
+  test("IPC dir files with reordered columns align by name; a real " +
+      "type mismatch fails loudly") {
+    val dir = TestSpark.tempDir("ipcalign")
+    ArrowIpc.write(Seq((1L, "a")).toDF("id", "v"), s"$dir/p0.arrow")
+    // same fields, swapped order — e.g. different feather writer versions
+    ArrowIpc.write(Seq(("b", 2L)).toDF("v", "id"), s"$dir/p1.arrow")
+    val back = LakeReader(spark, dir, "ipc").load()
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b")),
+      s"columns must align by name, got $back")
+
+    val dir2 = TestSpark.tempDir("ipcmismatch")
+    ArrowIpc.write(Seq((1L, "a")).toDF("id", "v"), s"$dir2/p0.arrow")
+    ArrowIpc.write(Seq((1.5, "x")).toDF("id", "v"), s"$dir2/p1.arrow")
+    val ex = intercept[Exception](
+      LakeReader(spark, dir2, "ipc").load().collect())
+    assert(ex.getMessage != null)
+  }
+
   test("rewriteToParquet migrates IPC to the scale format") {
     val dir = TestSpark.tempDir("ipc2pq")
     val df = spark.range(100).selectExpr("id", "id * 2 AS dbl")
