@@ -35,7 +35,13 @@ object Bench {
       runNoop("q10_min_max")
       runNoop("q05_topk")
       runNoop("q14_semi_join")
-    } catch { case _: Throwable => () }
+    } catch {
+      case t: Throwable =>
+        // A failed warmup re-introduces first-query JIT skew; say so
+        // instead of silently absorbing it (the timed loop still surfaces
+        // per-query errors on its own).
+        System.err.println(s"[bench] batch warmup failed: $t")
+    }
     // Streaming machinery (MicroBatchExecution, state stores, sinks) JITs
     // lazily and is untouched by the batch warmup; a 3-row memory-stream
     // windowed agg loads+compiles those classes untimed so q35/q44 don't

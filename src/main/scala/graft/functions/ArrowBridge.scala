@@ -202,7 +202,8 @@ object GraftArrowBridge {
         .newChildAllocator("graft-ipc-schema", 0, Long.MaxValue)
       val reader = new ArrowFileReader(
         new ByteArrayReadableSeekableByteChannel(
-          readAllBytes(files.head, hadoopConf.value)), allocator)
+          readAllBytes(files.head, hadoopConf.value)), allocator,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
       try ArrowUtils.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
       finally { reader.close(); allocator.close() }
     }

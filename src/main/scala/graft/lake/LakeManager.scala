@@ -78,9 +78,9 @@ final class LakeManager(spark: SparkSession, root: String) {
     * §2.12) — datasets written after registration become SQL-visible via
     * [[registerView]]/[[registerViews]]. */
   def addDataset(name: String, description: String = ""): TimeFly = {
-    val path = new Path(root, name).toString
-    val tf = TimeFly(spark, path)
+    val tf = dataset(name)
     if (!tf.exists()) tf.init(name, description)
+    val path = new Path(root, name).toString
     val cfg = readCfg()
     val ds = cfg.withObject("/dataset").putObject(name)
     ds.put("name", name)
@@ -96,9 +96,9 @@ final class LakeManager(spark: SparkSession, root: String) {
     * has no data files — a parquet scan needs at least one footer — or
     * when the name isn't a valid SQL identifier (datasets may carry any
     * filesystem-legal name; registration must not break addDataset for
-    * them). The view captures the file listing at call time; re-register
-    * after writes (temp views are session-scoped metadata, this is
-    * cheap). */
+    * them). The view captures the file listing at call time; writes made
+    * through a [[dataset]]-obtained TimeFly re-register automatically
+    * (temp views are session-scoped metadata, this is cheap). */
   def registerView(name: String): Boolean = {
     if (!name.matches("[A-Za-z_][A-Za-z0-9_]*")) return false
     val tf = dataset(name)
@@ -138,8 +138,14 @@ final class LakeManager(spark: SparkSession, root: String) {
     buf.toSeq.sorted
   }
 
+  /** TimeFly handle wired to keep the dataset's SQL view fresh: any
+    * write through `tf.writer(...)` or snapshot restore re-registers the
+    * temp view, so `spark.sql` never answers from a stale file listing
+    * (the reference re-registers on every materialization,
+    * `dataset/reader.py:252`). */
   def dataset(name: String): TimeFly =
     TimeFly(spark, new Path(root, name).toString)
+      .onDataChange(() => registerView(name))
 
   /** Reader over a catalog entry (`datalake/reader.py:12-80` — the
     * reference file is partially broken; this is the evident intent). */

@@ -42,7 +42,10 @@ final case class LakeWriter(
     compression: String = "zstd", // reference default, writer.py:33
     maxRecordsPerFile: Long = 0L,
     pipeline: Pipeline = Pipeline(),
-    transform: DataFrame => DataFrame = identity // writer.py:444-445
+    transform: DataFrame => DataFrame = identity, // writer.py:444-445
+    // Fired once after a successful write (TimeFly wires dataset
+    // view refresh here; see TimeFly.onDataChange).
+    onWrite: () => Unit = () => ()
 ) {
 
   def withMode(m: WriteMode): LakeWriter = copy(mode = m)
@@ -198,6 +201,7 @@ final case class LakeWriter(
       w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.parquet(path)
+    onWrite()
   }
 
   /** Bucketed write (Spark-native co-location, no reference analog):
@@ -243,6 +247,7 @@ final case class LakeWriter(
     // dir; the bucket metadata still lives in the session catalog)
     location.foreach(p => w = w.option("path", p))
     w.saveAsTable(table)
+    onWrite()
   }
 
   /** Directory-flavor partitioned write (`writer.py:136-137`): path
@@ -260,9 +265,10 @@ final case class LakeWriter(
         .map { case (c, i) => col(c) <=> lit(row.get(i)) }
         .reduce(_ && _)
       copy(path = s"$path/$sub", partitionBy = Nil,
-        pipeline = Pipeline(), transform = identity)
+        pipeline = Pipeline(), transform = identity, onWrite = () => ())
         .write(prepared.filter(cond).drop(cols: _*))
     }
+    onWrite()
   }
 
   /** Time-interval batched write (`writer.py:292-385`): split the input
@@ -291,8 +297,10 @@ final case class LakeWriter(
       case Seq(w0, w1) =>
         val slice =
           prepared.filter(col(tsCol) >= lit(w0) && col(tsCol) < lit(w1))
-        copy(pipeline = Pipeline(), transform = identity).write(slice)
+        copy(pipeline = Pipeline(), transform = identity, onWrite = () => ())
+          .write(slice)
       case _ => ()
     }
+    onWrite()
   }
 }

@@ -42,6 +42,18 @@ final class TimeFly(spark: SparkSession, root: String) {
   def snapshotPath(id: String): String =
     new Path(new Path(root, "snapshot"), id).toString
 
+  // Listeners fired whenever this dataset's live data changes (writer
+  // completion, snapshot restore). LakeManager wires view re-registration
+  // here so `spark.sql` over a registered dataset never serves a stale
+  // file listing — the reference re-registers on every materialization
+  // (`dataset/reader.py:252`); we re-register on every mutation instead.
+  private var dataChangeHooks: List[() => Unit] = Nil
+  def onDataChange(f: () => Unit): TimeFly = {
+    dataChangeHooks ::= f
+    this
+  }
+  private[lake] def notifyDataChange(): Unit = dataChangeHooks.foreach(_())
+
   // ---- metadata codec -----------------------------------------------------
   // Dual format: `_dataset.toml` is the reference's own metadata file
   // (`timefly.py:50-51`), `_dataset.json` ours. Writes MIRROR both (a
@@ -164,6 +176,7 @@ final class TimeFly(spark: SparkSession, root: String) {
     FileUtil.copy(fs, src, fs, new Path(currentPath), false, true,
       spark.sparkContext.hadoopConfiguration)
     updateCurrent("restored_from" -> id)
+    notifyDataChange()
   }
 
   def availableSnapshots(): Seq[String] = {
@@ -194,7 +207,7 @@ final class TimeFly(spark: SparkSession, root: String) {
     LakeReader(spark, resolveSubpath(asOf))
 
   def writer(mode: WriteMode = WriteMode.Append): LakeWriter =
-    LakeWriter(spark, currentPath, mode)
+    LakeWriter(spark, currentPath, mode, onWrite = () => notifyDataChange())
 }
 
 object TimeFly {

@@ -89,6 +89,27 @@ class LakeManagerSpec extends AnyFunSuite {
     assert(lm.tables.isEmpty)
   }
 
+  test("SQL view stays fresh across writes and snapshot restore") {
+    val root = TestSpark.tempDir("lakefresh")
+    val lm = LakeManager(spark, root).init()
+    val tf = lm.addDataset("fresh_ds")
+    tf.writer(WriteMode.Overwrite).write(Seq((1, "a")).toDF("id", "v"))
+    def sqlCount() =
+      spark.sql("SELECT count(*) AS c FROM fresh_ds").head().getLong(0)
+    assert(sqlCount() == 1L)
+    // write AFTER registration: the view must serve the new listing
+    // without a manual registerView call
+    tf.writer(WriteMode.Append).write(Seq((2, "b"), (3, "c")).toDF("id", "v"))
+    assert(sqlCount() == 3L)
+    val snap = tf.addSnapshot()
+    tf.writer(WriteMode.Append).write(Seq((4, "d")).toDF("id", "v"))
+    assert(sqlCount() == 4L)
+    // restore also refreshes: SQL answers from the restored current/
+    lm.dataset("fresh_ds").loadSnapshot(snap)
+    assert(sqlCount() == 3L)
+    lm.removeDataset("fresh_ds", deleteFiles = true)
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()
