@@ -1499,7 +1499,10 @@ object SparkEntry {
       |GROUP BY a ORDER BY doc_id""".stripMargin
 
   /** e04: IVF with deterministic pivots — no literals needed, the whole
-    * assignment/probe/rank pipeline is plain SQL. */
+    * assignment/probe/rank pipeline is plain SQL. Pivot selection is the
+    * hash-stratified rank (Similarity.pivotRank's offset + double-MINSTD
+    * permutation — portable, overflow-safe integer arithmetic),
+    * reproduced verbatim here. */
   private def e04Oracle: String = {
     val nCells = 16
     val nProbe = 4
@@ -1514,7 +1517,10 @@ object SparkEntry {
        |  sqrt(list_reduce(list_transform(emb, x -> x * x),
        |       (acc, x) -> acc + x)) AS nrm FROM v),
        |piv AS (SELECT vec_id AS cell, emb AS pemb, nrm AS pnrm FROM n
-       |  WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT $nCells)),
+       |  WHERE vec_id IN (SELECT vec_id FROM n
+       |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+       |             % 2147483647 * 48271) % 2147483647 ASC,
+       |            vec_id ASC LIMIT $nCells)),
        |ca AS (SELECT vec_id, cell FROM (
        |  SELECT n.vec_id, p.cell,
        |   row_number() OVER (PARTITION BY n.vec_id

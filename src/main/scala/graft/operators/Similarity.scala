@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,17 +76,51 @@ object Similarity {
     (a, b)
   }
 
+  /** Triangular block-grid sides: pairs are UNORDERED, so only keys with
+    * bx <= by need to exist — a vector in block g covers keys (g, g..B-1)
+    * on the left and (0..g, g) on the right. A pair with blocks gx < gy
+    * meets at exactly one key, (gx, gy), in exactly one orientation
+    * (block-smaller vector on the left — which may be the LARGER id;
+    * callers normalize output ids). Same-block pairs meet at the diagonal
+    * key (g, g) in both orientations (callers keep id1 < id2 there).
+    * Combined replication is nVecs·(B+1) — HALF the full grid's 2·nVecs·B
+    * shuffle volume — over B(B+1)/2 reducer keys, the same per-key work
+    * quantum (two blocks' vectors). Package-private for SimilaritySpec. */
+  private[graft] def triangularGridSides(
+      v: DataFrame,
+      nBlocks: Int
+  ): (DataFrame, DataFrame) = {
+    val g = pmod(xxhash64(col("vec_id")), lit(nBlocks.toLong))
+    val a = v.withColumn("bx", g)
+      .withColumn("by", explode(sequence(col("bx"), lit(nBlocks - 1L))))
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("nrm").as("n1"), col("bx"), col("by"))
+    val b = v.withColumn("by", g)
+      .withColumn("bx", explode(sequence(lit(0L), col("by"))))
+      .select(col("vec_id").as("id2"), col("emb").as("emb2"),
+        col("nrm").as("n2"), col("bx"), col("by"))
+    (a, b)
+  }
+
   /** All near pairs above a cosine threshold — exact, but never planned as
     * a cartesian/nested-loop join. Each vector is hashed into one of
     * `nBlocks` blocks and the pair space is keyed on the COMPOSITE block
-    * id (bx, by): each side is replicated `nBlocks`× through the shuffle
-    * (the standard √-replication block scheme) and the join has exactly
-    * nBlocks² distinct reducer keys — parallelism really is nBlocks², not
-    * nBlocks as the r2 single-key grid formulation had. Exact all-pairs
-    * is inherently |A|·|B| comparisons; this spreads that work evenly
-    * over keyed shuffle partitions — no driver-side or single-task nested
-    * loop, no broadcast of the corpus. Raise `nBlocks` with the cluster;
-    * `leftIdBound` optionally bounds the left side for sampled audits. */
+    * id (bx, by). Exact all-pairs is inherently |A|·|B| comparisons; this
+    * spreads that work evenly over keyed shuffle partitions — no
+    * driver-side or single-task nested loop, no broadcast of the corpus.
+    * Raise `nBlocks` with the cluster.
+    *
+    * Two grid shapes, picked by `leftIdBound`:
+    *  - unbounded (the full self-pairs case — embedding dedup at corpus
+    *    scale): TRIANGULAR grid ([[triangularGridSides]]) — pairs are
+    *    unordered, so only the bx <= by half of the key space carries
+    *    work; combined shuffle volume is nVecs·(nBlocks+1), half the full
+    *    grid's, at the same per-key work quantum.
+    *  - bounded (sampled audits): asymmetric FULL grid
+    *    ([[blockGridSides]]) — the id1 < leftIdBound prune happens
+    *    BEFORE the shuffle, which beats halved replication whenever the
+    *    sample is small (the triangular orientation is block-driven, so
+    *    it cannot pre-prune an id-defined side). */
   def cosinePairs(
       emb: DataFrame,
       idCol: String = "vec_id",
@@ -96,16 +130,30 @@ object Similarity {
       nBlocks: Int = 16
   ): DataFrame = {
     val v = prep(emb, idCol, vecCol)
-    // The left filter is asymmetric (id1 < leftIdBound), so a qualifying
-    // pair {x,y} is generated exactly once, as the tuple (x in a, y in b)
-    // — the id1 < id2 filter then dedupes the diagonal.
-    val (a, b) = blockGridSides(v, leftIdBound, nBlocks)
-    a.join(b, Seq("bx", "by"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("sim",
-        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
-      .filter(col("sim") >= threshold)
-      .select("id1", "id2", "sim")
+    if (leftIdBound == Long.MaxValue) {
+      val (a, b) = triangularGridSides(v, nBlocks)
+      a.join(b, Seq("bx", "by"))
+        // off-diagonal keys carry exactly one orientation of each pair
+        // (and no self-pairs) — keep it regardless of id order; diagonal
+        // keys carry both orientations plus self-pairs — keep id1 < id2
+        .filter(col("bx") =!= col("by") || col("id1") < col("id2"))
+        .withColumn("sim",
+          cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+        .filter(col("sim") >= threshold)
+        .select(least(col("id1"), col("id2")).as("id1"),
+          greatest(col("id1"), col("id2")).as("id2"), col("sim"))
+    } else {
+      // The left filter is asymmetric (id1 < leftIdBound), so a qualifying
+      // pair {x,y} is generated exactly once, as the tuple (x in a, y in b)
+      // — the id1 < id2 filter then dedupes the diagonal.
+      val (a, b) = blockGridSides(v, leftIdBound, nBlocks)
+      a.join(b, Seq("bx", "by"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("sim",
+          cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+        .filter(col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    }
   }
 
   /** Auto bucket-count knob: enough sign bits that expected bucket
@@ -206,8 +254,72 @@ object Similarity {
       .select("id1", "id2", "sim", "rank")
   }
 
+  /** Hash rank for stratified pivot sampling: offset then TWO MINSTD
+    * (Lehmer, ×48271 mod 2^31-1) rounds. One round is order-preserving
+    * on small consecutive ids (no wrap until id ≈ 44k — "lowest k ranks"
+    * would be the lowest k ids again); after the second round the
+    * effective stride is 48271² mod p ≈ 1.83e8, which wraps within any
+    * ~dozen consecutive ids, so clustered id ranges land on scattered
+    * ranks. Still a bijection (composition of a shift and two coprime
+    * multiplications), arithmetic stays below 2^62 (ANSI-overflow-safe)
+    * and is expressible verbatim in any SQL engine, so the e04 oracle
+    * reproduces the exact pivot set (xxhash64 would not be portable). */
+  private[graft] def pivotRank(id: Column): Column = {
+    val p = lit(2147483647L)
+    val r1 = pmod((pmod(id, p) + lit(1000003L)) * lit(48271L), p)
+    pmod(r1 * lit(48271L), p)
+  }
+
+  /** The `nCells` pivots, hash-stratified: rank every vector by
+    * [[pivotRank]] and take the lowest `nCells` ranks (id tie-break).
+    * Deterministic and oracle-reproducible, but corpus-representative —
+    * lowest-ID pivots are arbitrary: ingestion orders cluster ids
+    * (crawl batches, shard order), so id-prefix pivots land in one
+    * region of the space and produce unbalanced probe lists at scale.
+    * One TakeOrderedAndProject over the corpus (top-k, no full sort). */
+  private[graft] def pivotSet(
+      v: DataFrame,
+      nCells: Int,
+      stratified: Boolean = true
+  ): Array[(Long, Seq[Double], Double)] = {
+    val ordered =
+      if (stratified)
+        v.orderBy(pivotRank(col("vec_id")).asc, col("vec_id").asc)
+      else v.orderBy("vec_id")
+    ordered.limit(nCells)
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+  }
+
+  /** Nearest-pivot cell assignment (`keep` cells per vector): argmax over
+    * literal pivot vectors — a pure projection, whole-stage codegen'd, no
+    * join and no shuffle over the corpus (a windowed-rank assignment
+    * would shuffle all of it). */
+  private[graft] def assignCells(
+      df: DataFrame,
+      pivots: Array[(Long, Seq[Double], Double)],
+      keep: Int
+  ): DataFrame = {
+    val scored = array(pivots.map { case (cell, pv, pn) =>
+      struct(
+        cosine(col("emb"), typedLit(pv), col("nrm"), lit(pn)).as("psim"),
+        lit(cell).as("cell"))
+    }: _*)
+    // psim desc, cell asc — same tie-break as a row_number window
+    val ranked = array_sort(scored, (l, r) =>
+      when(l("psim") > r("psim"), -1)
+        .when(l("psim") < r("psim"), 1)
+        .when(l("cell") < r("cell"), -1)
+        .when(l("cell") > r("cell"), 1)
+        .otherwise(0))
+    df.withColumn("cellrec", explode(slice(ranked, 1, keep)))
+      .withColumn("cell", col("cellrec")("cell"))
+      .drop("cellrec")
+  }
+
   /** IVF-style ANN: `nCells` pivot vectors sampled deterministically from
-    * the corpus (lowest ids — deterministic, cheap); every vector is
+    * the corpus (hash-stratified — [[pivotSet]]); every vector is
     * assigned to its nearest pivot; queries probe `nProbe` nearest cells.
     * At scale the pivot set is a broadcast (cells << corpus). */
   def ivfTopK(
@@ -221,32 +333,10 @@ object Similarity {
   ): DataFrame = {
     val v = prep(corpus, idCol, vecCol)
     // The pivot set is bounded by nCells (cells << corpus), so it lives on
-    // the driver and cell assignment is a pure projection — argmax over
-    // literal pivot vectors, whole-stage codegen'd, no join and no shuffle
-    // over the corpus (a windowed-rank assignment would shuffle all of it).
-    val pivots: Array[(Long, Seq[Double], Double)] =
-      v.orderBy("vec_id").limit(nCells)
-        .select(col("vec_id"), col("emb"), col("nrm"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = array(pivots.map { case (cell, pv, pn) =>
-        struct(
-          cosine(col("emb"), typedLit(pv), col("nrm"), lit(pn)).as("psim"),
-          lit(cell).as("cell"))
-      }: _*)
-      // psim desc, cell asc — same tie-break as a row_number window
-      val ranked = array_sort(scored, (l, r) =>
-        when(l("psim") > r("psim"), -1)
-          .when(l("psim") < r("psim"), 1)
-          .when(l("cell") < r("cell"), -1)
-          .when(l("cell") > r("cell"), 1)
-          .otherwise(0))
-      df.withColumn("cellrec", explode(slice(ranked, 1, keep)))
-        .withColumn("cell", col("cellrec")("cell"))
-        .drop("cellrec")
-    }
+    // the driver and cell assignment is a pure projection.
+    val pivots = pivotSet(v, nCells)
+    def assign(df: DataFrame, keep: Int): DataFrame =
+      assignCells(df, pivots, keep)
 
     val cAssigned = assign(v, 1)
       .select(col("vec_id").as("id2"), col("emb").as("emb2"),

@@ -84,6 +84,84 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected BOTH block-id columns in the shuffle key:\n$plan")
   }
 
+  test("stratified IVF pivots: spread survives a clustered id prefix, " +
+      "recall vs exact top-k holds") {
+    import graft.functions.VectorFunctions
+    // Synthetic corpus with ingestion-ordered ids (the realistic failure
+    // mode for lowest-id pivots): ids 0..15 are one tight cluster, ids
+    // 16..115 a second tight cluster elsewhere. Lowest-id pivots all fall
+    // in the first cluster, so every second-cluster vector lands on a
+    // single argmax pivot — occupancy collapses. Stratified pivots sample
+    // the whole id range and keep cells balanced.
+    val rows = (0 until 16).map(i =>
+        (i.toLong, Seq(1.0, i * 1e-3, 0.0, 0.0))) ++
+      (16 until 116).map(j =>
+        (j.toLong, Seq(0.0, 1.0, (j - 16) * 1e-3, 0.0)))
+    val v = rows.toDF("vec_id", "emb")
+      .withColumn("nrm", VectorFunctions.norm(col("emb")))
+    def maxOccupancy(stratified: Boolean): Long = {
+      val pivots = Similarity.pivotSet(v, nCells = 16, stratified)
+      Similarity.assignCells(v, pivots, keep = 1)
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+    }
+    val lowestId = maxOccupancy(stratified = false)
+    val strat = maxOccupancy(stratified = true)
+    assert(lowestId >= 100L, s"fixture should collapse lowest-id: $lowestId")
+    assert(strat < lowestId / 2,
+      s"stratified max occupancy $strat not tighter than lowest-id $lowestId")
+    // pivotRank is a permutation (full-period MINSTD): no rank collisions
+    // to bias the take-lowest-k sample
+    val ranks = spark.range(1, 1000)
+      .select(Similarity.pivotRank(col("id")).as("r"))
+    assert(ranks.distinct().count() == 999)
+    // and on the real fixture, recall vs the exact top-k stays useful
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCells = 16,
+        nProbe = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.25, s"ivf recall $recall below floor")
+  }
+
+  test("cosinePairs triangular grid: B(B+1)/2 keys, half replication, " +
+      "each unordered pair met exactly once, result equals full grid") {
+    import graft.functions.VectorFunctions
+    val n = 4
+    val v = emb.select(col("vec_id"),
+        VectorFunctions.asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.norm(col("emb")))
+    val (a, b) = Similarity.triangularGridSides(v, n)
+    val nVecs = v.count()
+    // half the full grid's shuffle volume: combined replication is
+    // exactly nVecs·(B+1) vs the full grid's 2·nVecs·B
+    assert(a.count() + b.count() == nVecs * (n + 1))
+    // the key space is the bx <= by triangle: B(B+1)/2 reducer keys
+    val joinKeys = a.select("bx", "by").distinct()
+      .intersect(b.select("bx", "by").distinct())
+    assert(joinKeys.count() == n.toLong * (n + 1) / 2)
+    joinKeys.collect().foreach(r => assert(r.getLong(0) <= r.getLong(1)))
+    // soundness: after the orientation filter every UNORDERED pair
+    // {x, y} is generated exactly once — no lost pairs (the block-smaller
+    // vector may carry the larger id), no double-counted sims
+    val met = a.join(b, Seq("bx", "by"))
+      .filter(col("bx") =!= col("by") || col("id1") < col("id2"))
+      .select(least(col("id1"), col("id2")).as("lo"),
+        greatest(col("id1"), col("id2")).as("hi"))
+      .groupBy("lo", "hi").count()
+    assert(met.filter(col("count") =!= 1).count() == 0)
+    assert(met.count() == nVecs * (nVecs - 1) / 2)
+    // and the operator's output is IDENTICAL to the asymmetric full-grid
+    // formulation (leftIdBound set but non-binding forces that path)
+    val tri = Similarity.cosinePairs(emb, threshold = 0.3, nBlocks = n)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val full = Similarity.cosinePairs(emb, threshold = 0.3, nBlocks = n,
+        leftIdBound = Long.MaxValue - 1)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(tri == full)
+  }
+
   test("cosinePairs is symmetric-free (id1 < id2) and thresholded") {
     val out = Similarity.cosinePairs(emb, threshold = 0.3, leftIdBound = 50)
       .as[(Long, Long, Double)].collect()
