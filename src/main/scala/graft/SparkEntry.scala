@@ -1097,14 +1097,22 @@ object SparkEntry {
         .orderBy("media_id", "feat_idx")
     }),
 
-    // multimodal plumbing: binary payloads + metadata (decode stubbed)
+    // multimodal metadata: planted well-formed PNG/JPEG/raw payloads
+    // (dims, PNG color type, and JPEG COM padding all vary with doc_id),
+    // sniffed by magic bytes and parsed with REAL header byte arithmetic
+    // (PNG IHDR offsets, JPEG SOF scan) — the oracle reconstructs the
+    // same BLOBs and parses them with its own byte ops
     "m01_media_meta" -> ((s, d) => {
       Multimodal.attachMeta(
-          Multimodal.fromText(docs(s, d), "doc_id", "text"), "payload")
+          Multimodal.plantedMedia(docs(s, d), "doc_id", "text"), "payload")
+        .withColumn("dims", Multimodal.imageDims(col("payload")))
         .select(
           col("media_id"),
           col("n_bytes").cast("long").as("n_bytes"),
-          col("sniffed_mime"))
+          col("sniffed_mime"),
+          col("dims.width").as("width"),
+          col("dims.height").as("height"),
+          col("dims.channels").as("channels"))
         .orderBy("media_id")
     }),
 
@@ -1378,6 +1386,63 @@ object SparkEntry {
     * fold over codepoints, (h*base + code) mod 2^31-1. Lambda vars are
     * deliberately unique (hh/cc/ii) so nesting inside outer lambdas never
     * shadows. */
+  /** Byte `pos` (0-based) of the hex string `hx` as an integer — the
+    * oracle twin of Multimodal's hex-pair byte arithmetic. */
+  private def sqlByte(hx: String, pos: String): String =
+    s"((strpos('0123456789ABCDEF', substr($hx, 2*($pos)+1, 1))-1)*16 + " +
+      s"strpos('0123456789ABCDEF', substr($hx, 2*($pos)+2, 1))-1)"
+
+  /** m01: reconstruct the planted media BLOBs (same hex construction as
+    * Multimodal.plantedMedia) and parse the PNG IHDR / scanned JPEG SOF
+    * headers with independent byte ops. */
+  private def m01Oracle: String = {
+    def b(pos: String) = sqlByte("hx", pos)
+    s"""WITH p0 AS (SELECT doc_id, doc_id % 3 AS kind,
+       |  1 + doc_id % 640 AS w, 1 + doc_id % 480 AS h,
+       |  CASE (doc_id // 3) % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+       |   AS ct,
+       |  doc_id % 7 AS pad, text FROM documents),
+       |hx0 AS (SELECT doc_id, CASE
+       |  WHEN kind = 0 THEN '89504E470D0A1A0A0000000D49484452' ||
+       |   printf('%08X', w) || printf('%08X', h) || '08' ||
+       |   printf('%02X', ct) || '00000000000000' ||
+       |   '0000000049454E44AE426082'
+       |  WHEN kind = 1 THEN 'FFD8FFE000104A46494600010100000100010000' ||
+       |   'FFFE' || printf('%04X', pad + 2) ||
+       |   substr('414141414141', 1, CAST(pad * 2 AS INT)) ||
+       |   'FFC0001108' || printf('%04X', h) || printf('%04X', w) ||
+       |   '03012200021101031101' || 'FFD9'
+       |  ELSE hex(encode(text)) END AS hx FROM p0),
+       |m AS (SELECT doc_id, hx,
+       |  CAST(octet_length(unhex(hx)) AS BIGINT) AS n_bytes,
+       |  CASE WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+       |   WHEN substr(hx, 1, 8) = '89504E47' THEN 'image/png'
+       |   WHEN substr(hx, 1, 8) = '47494638' THEN 'image/gif'
+       |   WHEN substr(hx, 1, 8) = '52494646' THEN 'audio/wav'
+       |   WHEN substr(hx, 1, 8) = '664C6143' THEN 'audio/flac'
+       |   ELSE 'application/octet-stream' END AS mime,
+       |  list_min(list_filter(range(2, 247), p ->
+       |   ${b("p")} = 255 AND (${b("p + 1")} = 192 OR ${b("p + 1")} = 194)))
+       |   AS sof FROM hx0)
+       |SELECT doc_id AS media_id, n_bytes, mime AS sniffed_mime,
+       | CAST(CASE WHEN mime = 'image/png' THEN
+       |    ${b("16")} * 16777216 + ${b("17")} * 65536 +
+       |    ${b("18")} * 256 + ${b("19")}
+       |   WHEN mime = 'image/jpeg' AND sof IS NOT NULL THEN
+       |    ${b("sof + 7")} * 256 + ${b("sof + 8")} END AS BIGINT) AS width,
+       | CAST(CASE WHEN mime = 'image/png' THEN
+       |    ${b("20")} * 16777216 + ${b("21")} * 65536 +
+       |    ${b("22")} * 256 + ${b("23")}
+       |   WHEN mime = 'image/jpeg' AND sof IS NOT NULL THEN
+       |    ${b("sof + 5")} * 256 + ${b("sof + 6")} END AS BIGINT) AS height,
+       | CAST(CASE WHEN mime = 'image/png' THEN
+       |    CASE ${b("25")} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+       |     WHEN 4 THEN 2 WHEN 6 THEN 4 END
+       |   WHEN mime = 'image/jpeg' AND sof IS NOT NULL THEN ${b("sof + 9")}
+       |   END AS BIGINT) AS channels
+       |FROM m ORDER BY media_id""".stripMargin
+  }
+
   private def sqlCharFold(e: String, base: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($e) + 1), " +
@@ -2315,11 +2380,7 @@ object SparkEntry {
          |  1000000.0 AS feat
          |FROM x ORDER BY media_id, feat_idx""".stripMargin,
 
-    "m01_media_meta" ->
-      """SELECT doc_id AS media_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | 'application/octet-stream' AS sniffed_mime
-        |FROM documents ORDER BY media_id""".stripMargin,
+    "m01_media_meta" -> m01Oracle,
 
     // the Spark side routed the same rows through an Arrow IPC file;
     // the oracle reads the parquet source directly

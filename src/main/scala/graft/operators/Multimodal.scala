@@ -45,6 +45,103 @@ object Multimodal {
       .withColumn("sniffed_mime", sniffFormat(col(payloadCol)))
       .withColumn("payload_hash", xxhash64(col(payloadCol)))
 
+  /** Integer value (long) of 0-based byte `i` of a bounded hex image of
+    * the payload — hex-pair arithmetic, the same formulation the DuckDB
+    * oracle uses over its BLOB hex, so header parsing is cross-engine
+    * verifiable. Returns null past the end of the payload. */
+  private def byteAtHex(hx: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nullif(conv(hx.substr(i * lit(2) + lit(1), lit(2)), 16, 10), lit(""))
+      .cast("long")
+
+  /** Real image-header parsing over the payload bytes: width / height /
+    * channels as a struct, null fields for non-image (or unparseable)
+    * payloads.
+    *
+    *  - PNG: fixed-offset IHDR — width = bytes 16..19 big-endian,
+    *    height = 20..23, channels mapped from the color-type byte 25
+    *    (0 grey→1, 2 rgb→3, 3 palette→1, 4 grey+α→2, 6 rgba→4).
+    *  - JPEG: segment offsets vary (APP/COM segments precede the frame
+    *    header), so scan the first `maxScan` bytes for the SOF0/SOF2
+    *    marker (FF C0 / FF C2): height = bytes sof+5..6, width =
+    *    sof+7..8, channels = byte sof+9. The scan is the standard quick
+    *    dims probe; a marker-length walk would need iteration and the
+    *    only false-positive source is an FF C0 inside an APPn payload
+    *    (e.g. an EXIF thumbnail) before the real SOF.
+    *
+    * Pure per-row byte arithmetic over a bounded `maxScan`-byte prefix —
+    * no codec library, no shuffle, and the exact same arithmetic is
+    * generated into the m01 DuckDB oracle. */
+  def imageDims(payload: org.apache.spark.sql.Column, maxScan: Int = 256)
+      : org.apache.spark.sql.Column = {
+    val hx = hex(substring(payload, 1, maxScan))
+    def b(i: org.apache.spark.sql.Column) = byteAtHex(hx, i)
+    def bi(i: Int) = b(lit(i))
+    val isPng = hx.startsWith("89504E470D0A1A0A")
+    val isJpeg = hx.startsWith("FFD8FF")
+    val pngW = bi(16) * 16777216L + bi(17) * 65536L + bi(18) * 256L + bi(19)
+    val pngH = bi(20) * 16777216L + bi(21) * 65536L + bi(22) * 256L + bi(23)
+    def channelsOf(colorType: org.apache.spark.sql.Column) =
+      when(colorType === 0, 1L).when(colorType === 2, 3L)
+        .when(colorType === 3, 1L).when(colorType === 4, 2L)
+        .when(colorType === 6, 4L)
+    val sof = array_min(filter(
+      sequence(lit(2L), lit((maxScan - 10).toLong)),
+      p => b(p) === 255L && (b(p + 1) === 192L || b(p + 1) === 194L)))
+    val nulls = struct(
+      lit(null).cast("long").as("width"),
+      lit(null).cast("long").as("height"),
+      lit(null).cast("long").as("channels"))
+    when(isPng, struct(
+        pngW.as("width"), pngH.as("height"),
+        channelsOf(bi(25)).as("channels")))
+      .when(isJpeg && sof.isNotNull, struct(
+        (b(sof + 7) * 256L + b(sof + 8)).as("width"),
+        (b(sof + 5) * 256L + b(sof + 6)).as("height"),
+        b(sof + 9).as("channels")))
+      .otherwise(nulls)
+  }
+
+  /** Deterministic planted media payloads over a document table: by
+    * `id % 3`, a well-formed PNG (IHDR + IEND), a well-formed baseline
+    * JPEG (APP0 + variable-length COM + SOF0 + EOI), or the raw text
+    * bytes. Dims (1 + id % 640 × 1 + id % 480), PNG color type and the
+    * COM padding all vary with the id, so [[imageDims]] cannot pass by
+    * accident of fixed offsets. Construction is hex-string + unhex,
+    * reproduced verbatim in the m01 oracle SQL. */
+  def plantedMedia(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    val w = (id % 640 + 1).cast("long")
+    val h = (id % 480 + 1).cast("long")
+    val ct = when(expr(s"$idCol div 3") % 3 === 0, 0L)
+      .when(expr(s"$idCol div 3") % 3 === 1, 2L)
+      .otherwise(6L)
+    val pad = (id % 7).cast("int")
+    val pngHex = concat(
+      lit("89504E470D0A1A0A0000000D49484452"),
+      format_string("%08X", w), format_string("%08X", h),
+      lit("08"), format_string("%02X", ct),
+      lit("00000000000000"), // compression, filter, interlace + IHDR CRC
+      lit("0000000049454E44AE426082")) // IEND
+    val jpegHex = concat(
+      lit("FFD8FFE000104A46494600010100000100010000"), // SOI + APP0/JFIF
+      lit("FFFE"), format_string("%04X", pad + 2),
+      lit("414141414141").substr(lit(1), pad * lit(2)), // pad × 'A'
+      lit("FFC0001108"), format_string("%04X", h), format_string("%04X", w),
+      lit("03012200021101031101"), // 3 components
+      lit("FFD9")) // EOI
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 0, pngHex)
+          .when(id % 3 === 1, jpegHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
+  }
+
   /** STUB decode -> feature vector: deterministic pseudo-features from
     * payload hashes (`dim` doubles in [-1, 1]). Replace with a real codec;
     * the signature (binary in, array<float> out, per-row, no shuffle) is

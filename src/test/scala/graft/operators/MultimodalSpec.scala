@@ -28,6 +28,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mimes(5L) == "application/octet-stream")
   }
 
+  test("imageDims parses real PNG IHDR and JPEG SOF headers byte-wise") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // real headers, hand-assembled: a 640x481 RGB PNG; a 1024x77 3-channel
+    // baseline JPEG whose SOF0 sits behind APP0 + a 5-byte COM segment (so
+    // a fixed-offset parse would misread it); a grayscale 16x16 PNG
+    val png = hx("89504E470D0A1A0A 0000000D 49484452" +
+      " 00000280 000001E1 08 02 000000 00000000")
+    val pngGrey = hx("89504E470D0A1A0A 0000000D 49484452" +
+      " 00000010 00000010 08 00 000000 00000000")
+    val jpeg = hx("FFD8 FFE00010 4A46494600 0101 00 0001 0001 0000" +
+      " FFFE0007 4142434445" +
+      " FFC00011 08 004D 0400 03 012200 021101 031101 FFD9")
+    val rows = Seq((1L, png), (2L, jpeg), (3L, pngGrey),
+      (4L, "not an image at all".getBytes("UTF-8")),
+      (5L, hx("FFD8FFE1 0004 0000"))) // JPEG magic but no SOF marker
+      .toDF("media_id", "payload")
+    val dims = rows
+      .withColumn("d", Multimodal.imageDims(col("payload")))
+      .select($"media_id", $"d.width", $"d.height", $"d.channels")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dims(1L) == ((Some(640L), Some(481L), Some(3L))))
+    assert(dims(2L) == ((Some(1024L), Some(77L), Some(3L))))
+    assert(dims(3L) == ((Some(16L), Some(16L), Some(1L))))
+    assert(dims(4L) == ((None, None, None)))
+    assert(dims(5L) == ((None, None, None)))
+  }
+
+  test("plantedMedia payloads round-trip through the header parser") {
+    val docs = (0L until 24L).map(i => (i, s"document number $i"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.plantedMedia(docs, "doc_id", "text")
+      .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+      .withColumn("d", Multimodal.imageDims(col("payload")))
+      .select($"media_id", $"mime", $"d.width", $"d.height", $"d.channels")
+      .as[(Long, String, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    out.foreach { case (id, mime, w, h, c) =>
+      id % 3 match {
+        case 0 =>
+          assert(mime == "image/png")
+          assert(w.contains(id % 640 + 1) && h.contains(id % 480 + 1))
+          // planted color types 0/2/6 -> channels 1/3/4
+          assert(Set(1L, 3L, 4L).contains(c.get))
+        case 1 =>
+          assert(mime == "image/jpeg")
+          assert(w.contains(id % 640 + 1) && h.contains(id % 480 + 1))
+          assert(c.contains(3L))
+        case _ =>
+          assert(mime == "application/octet-stream")
+          assert(w.isEmpty && h.isEmpty && c.isEmpty)
+      }
+    }
+  }
+
   test("attachMeta adds byte length, mime, and payload hash") {
     val meta = Multimodal.attachMeta(mediaFixture, "payload")
     assert(meta.columns.toSet.contains("n_bytes"))
