@@ -114,6 +114,68 @@ for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
         name if n > 0 else (name, status))
     print(f"  [{status}] {name} ({n} rows)")
 
+# ---- TOML interop: second-parser validation -------------------------------
+# TomlSpec/TomlProps prove render->parse identity with OUR codec; here the
+# rendered metadata written by the lake queries (q68 TimeFly _dataset.toml,
+# q40/q63 LakeManager _pydala.toml) is parsed with Python's stdlib tomllib —
+# an independent implementation — and cross-checked against the JSON twin
+# written alongside. "A pydala client can read our lake" then rests on a
+# second parser, not on our codec agreeing with itself.
+import datetime
+import os
+import tomllib
+
+
+def _norm_toml(v):
+    if isinstance(v, dict):
+        return {k: _norm_toml(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm_toml(x) for x in v]
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return str(v)
+    return v
+
+
+def _norm_json(v):
+    if isinstance(v, dict):
+        return {k: _norm_json(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm_json(x) for x in v]
+    if v is None:
+        return "None"  # the rtoml-replacer convention the codec renders
+    return v
+
+
+toml_checked, toml_failed = 0, 0
+toml_candidates = sorted(
+    p for q in ("q40", "q63", "q68")
+    for name in ("_dataset.toml", "_pydala.toml")
+    for p in glob.glob(f"/tmp/graft_{q}_*/**/{name}", recursive=True))
+for tpath in toml_candidates:
+    jpath = tpath[:-len(".toml")] + ".json"
+    if not os.path.exists(jpath):
+        continue  # mirrors are written pairwise; no twin -> not ours
+    try:
+        with open(tpath, "rb") as f:
+            tdoc = _norm_toml(tomllib.load(f))
+        with open(jpath) as f:
+            jdoc = _norm_json(json.load(f))
+        if tdoc != jdoc:
+            toml_failed += 1
+            fails.append((tpath, f"tomllib parse differs from JSON twin: "
+                                 f"toml={tdoc!r} json={jdoc!r}"))
+        else:
+            toml_checked += 1
+    except Exception as e:
+        toml_failed += 1
+        fails.append((tpath, f"tomllib rejected rendered TOML: {e}"))
+if "q68_toml_adopt" in oracles and toml_checked + toml_failed == 0:
+    fails.append(("toml-interop",
+                  "q68 ran but no rendered TOML artifacts were found to "
+                  "validate (scratch dirs cleaned?)"))
+print(f"  [tomllib] {toml_checked} rendered TOML file(s) validated "
+      f"against their JSON twins")
+
 print(f"\n== {len(passes)} PASS, {len(fails)} FAIL ==")
 for name, why in fails:
     print(f"FAIL {name}: {why}")
