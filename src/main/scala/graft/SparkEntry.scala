@@ -139,6 +139,26 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // FLAGSHIP lake+pipeline composition: near-dup-aware delta ingest —
+    // "don't ingest what the lake already effectively has". Existing
+    // lake = docs with doc_id % 4 != 0; incoming batch = even doc_ids:
+    // ids ≡ 2 (mod 4) are exact-key dups (dropped by the delta
+    // anti-join), ids ≡ 0 (mod 4) are new keys whose text may still
+    // near-dup an existing doc (dropped by the Jaccard gate, threshold
+    // 0.2 like d15). Re-read of the lake = base + genuinely novel rows.
+    "q70_delta_neardup" -> ((s, d) => {
+      val root = scratch(s, "q70", d)
+      val all = docs(s, d)
+      LakeWriter(s, root, WriteMode.Overwrite)
+        .write(all.filter(pmod(col("doc_id"), lit(4L)) =!= 0L))
+      LakeWriter(s, root,
+          WriteMode.DeltaNearDup(Seq("doc_id"), "text", threshold = 0.2))
+        .write(all.filter(pmod(col("doc_id"), lit(2L)) === 0L))
+      s.read.parquet(root)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // A4: full-row distinct
     "q06_distinct_full" -> ((s, d) => {
       li(s, d)
@@ -2457,6 +2477,43 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // near-dup-aware delta ingest: base (doc_id % 4 <> 0) plus batch
+    // survivors — even ids minus exact-key dups (% 4 = 2) minus rows
+    // whose Jaccard vs ANY base doc >= 0.2. The shingle universe, DF cap
+    // (greatest(64, 5% of new+existing) over the combined corpus) and
+    // Jaccard formulation mirror the d15 oracle exactly.
+    "q70_delta_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
+        |   (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
+        |    FROM documents)),
+        |nw AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+        |ex AS (SELECT * FROM sh WHERE doc_id % 4 <> 0),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT nw.doc_id AS id_new, ex.doc_id AS id_ex, COUNT(*) AS n_both
+        |  FROM nw JOIN ex ON nw.shingle = ex.shingle
+        |  GROUP BY nw.doc_id, ex.doc_id),
+        |dup AS (SELECT DISTINCT id_new FROM inter
+        |  JOIN cnt ca ON ca.doc_id = id_new
+        |  JOIN cnt cb ON cb.doc_id = id_ex
+        |  WHERE CAST(n_both AS DOUBLE) /
+        |        CAST(ca.n + cb.n - n_both AS DOUBLE) >= 0.2)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % 4 <> 0
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT id_new FROM dup)
+        |ORDER BY doc_id""".stripMargin
   )
 }

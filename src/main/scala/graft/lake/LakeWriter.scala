@@ -22,6 +22,33 @@ object WriteMode {
       onColumn: Option[String] = None,
       castKeysToString: Boolean = false
   ) extends WriteMode
+
+  /** Near-dup-aware delta append — "don't ingest what the lake already
+    * effectively has". Composes the reference's delta write (exact-key
+    * anti-join, `writer.py:185-256`) with the incremental ingest-vs-
+    * corpus near-dup scorer (Dedup.incrementalJaccardPairs): a row is
+    * appended only if its `subset` keys are absent from the target AND
+    * its `textCol` is not an n-gram-Jaccard near-duplicate
+    * (>= `threshold`) of any existing row. `subset` doubles as the
+    * document identity for scoring; `onColumn` bounds the existing side
+    * to the incoming batch's time window like [[Delta]]. The scorer is
+    * strictly new×existing (d15 semantics) — batch-internal near-dups
+    * are a corpus-pipeline concern — so the first write into an empty
+    * target ingests as-is, and replaying a batch is a no-op: its
+    * survivors are dropped by the exact-key diff, its near-dups by the
+    * same still-present corpus rows that dropped them the first time. */
+  final case class DeltaNearDup(
+      subset: Seq[String],
+      textCol: String,
+      threshold: Double = 0.6,
+      shingleN: Int = 3,
+      onColumn: Option[String] = None,
+      castKeysToString: Boolean = false
+  ) extends WriteMode {
+    require(subset.nonEmpty, "DeltaNearDup needs at least one key column")
+    private[lake] def asDelta: Delta =
+      Delta(subset, onColumn, castKeysToString)
+  }
 }
 
 /** Dataset writer: hive partitioning, zstd parquet, write modes,
@@ -170,12 +197,59 @@ final case class LakeWriter(
     }
   }
 
+  /** Rows of `df` surviving BOTH delta gates: the exact-key anti-join,
+    * then the near-dup score against the (window-bounded) existing
+    * corpus. Candidate generation is the d15 shingle-hash keyed join —
+    * cost scales with the batch, never |corpus|²; the existing side's
+    * shingles shuffle once keyed on the hash. */
+  private def deltaNearDupDiff(
+      df: DataFrame,
+      d: WriteMode.DeltaNearDup
+  ): DataFrame = {
+    if (!targetHasData) return df
+    deltaNearDupDiffAgainst(df, d, spark.read.parquet(path))
+  }
+
+  /** The two delta gates against an explicit existing-rows frame
+    * (bucketed tables pass the catalog table, like deltaDiffAgainst). */
+  private def deltaNearDupDiffAgainst(
+      df: DataFrame,
+      d: WriteMode.DeltaNearDup,
+      existing: DataFrame,
+      allowBroadcast: Boolean = true
+  ): DataFrame = {
+    val exact = deltaDiffAgainst(df, d.asDelta, existing, allowBroadcast)
+    // Same window bound the exact diff applies internally: at scale this
+    // prunes the corpus-side shingle scan to the affected partitions.
+    var bounded = existing
+    d.onColumn.foreach { ts =>
+      val Array(lo, hi) =
+        df.agg(min(col(ts)), max(col(ts))).head().toSeq.toArray
+      if (lo != null)
+        bounded = bounded.filter(col(ts) >= lit(lo) && col(ts) <= lit(hi))
+    }
+    // subset keys double as the scoring identity (struct for multi-key)
+    val idc = "__dnd_id"
+    def keyed(x: DataFrame) =
+      if (d.subset.size == 1) x.withColumn(idc, col(d.subset.head))
+      else x.withColumn(idc, struct(d.subset.map(col): _*))
+    val dupIds = graft.operators.Dedup
+      .incrementalJaccardPairs(keyed(exact), keyed(bounded), idc,
+        d.textCol, d.shingleN, d.threshold)
+      .select(col("id_new").as(idc))
+      .distinct()
+    keyed(exact).join(dupIds, Seq(idc), "left_anti").drop(idc)
+  }
+
   /** The DataFrame a Delta-mode write would append (audit hook: lets specs
     * and operators inspect the anti-join plan without writing). */
   def planDelta(df: DataFrame): DataFrame = mode match {
     case d: WriteMode.Delta => deltaDiff(transform(pipeline(df)), d)
+    case d: WriteMode.DeltaNearDup =>
+      deltaNearDupDiff(transform(pipeline(df)), d)
     case _ =>
-      throw new IllegalStateException("planDelta requires WriteMode.Delta")
+      throw new IllegalStateException(
+        "planDelta requires WriteMode.Delta or DeltaNearDup")
   }
 
   def write(df: DataFrame): Unit = {
@@ -193,6 +267,8 @@ final case class LakeWriter(
       case WriteMode.Overwrite => (prepared, SaveMode.Overwrite)
       case WriteMode.Append => (prepared, SaveMode.Append)
       case d: WriteMode.Delta => (deltaDiff(prepared, d), SaveMode.Append)
+      case d: WriteMode.DeltaNearDup =>
+        (deltaNearDupDiff(prepared, d), SaveMode.Append)
     }
     var w = toWrite.write
       .mode(saveMode)
@@ -232,6 +308,13 @@ final case class LakeWriter(
         val diffed =
           if (spark.catalog.tableExists(table))
             deltaDiffAgainst(prepared, d, spark.table(table),
+              allowBroadcast = false)
+          else prepared
+        (diffed, SaveMode.Append)
+      case d: WriteMode.DeltaNearDup =>
+        val diffed =
+          if (spark.catalog.tableExists(table))
+            deltaNearDupDiffAgainst(prepared, d, spark.table(table),
               allowBroadcast = false)
           else prepared
         (diffed, SaveMode.Append)

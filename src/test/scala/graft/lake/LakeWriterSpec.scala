@@ -27,6 +27,44 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("DeltaNearDup drops exact-key AND near-dup rows; replay is a no-op") {
+    val dir = TestSpark.tempDir("dnd")
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    LakeWriter(spark, dir, WriteMode.Overwrite).write(base)
+    val batch = Seq(
+      // exact-key dup of doc 2 (dropped by the key anti-join)
+      (2L, "one two three four five six seven eight nine ten"),
+      // new key, near-dup of doc 1 (one token changed: 7 of 9 shingles
+      // shared -> jaccard 7/11 ~ 0.64 >= 0.5 -> dropped by the gate)
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      // genuinely novel
+      (4L, "completely different words about ships sailing the open sea")
+    ).toDF("doc_id", "text")
+    val writer = LakeWriter(spark, dir,
+      WriteMode.DeltaNearDup(Seq("doc_id"), "text", threshold = 0.5))
+    // audit hook: only the novel row survives both gates
+    assert(writer.planDelta(batch).select("doc_id").as[Long].collect()
+      .toSeq == Seq(4L))
+    writer.write(batch)
+    def ids() = spark.read.parquet(dir).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids() == Seq(1L, 2L, 4L))
+    // replay: survivors now exist (exact gate), near-dups still near-dup
+    // the same corpus rows -> nothing appended
+    writer.write(batch)
+    assert(ids() == Seq(1L, 2L, 4L))
+    // a first write into an empty target ingests as-is (scorer is
+    // ingest-vs-corpus, never batch-internal)
+    val dir2 = TestSpark.tempDir("dnd2")
+    LakeWriter(spark, dir2,
+      WriteMode.DeltaNearDup(Seq("doc_id"), "text", threshold = 0.5))
+      .write(batch)
+    assert(spark.read.parquet(dir2).count() == 3)
+  }
+
   test("delta full-row writes only new rows; idempotent") {
     val dir = TestSpark.tempDir("delta")
     val delta = WriteMode.Delta()
