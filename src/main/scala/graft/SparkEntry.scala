@@ -159,6 +159,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the semantic (embedding-space) flavor of q70: existing lake =
+    // vec_id % 4 != 0; batch = even ids — ids ≡ 2 (mod 4) are exact-key
+    // dups, ids ≡ 0 (mod 4) are dropped iff their embedding cosines
+    // >= 0.4 against ANY existing vector (SRP candidates, exact scoring)
+    "q71_delta_semantic" -> ((s, d) => {
+      val root = scratch(s, "q71", d)
+      val e = emb(s, d)
+      LakeWriter(s, root, WriteMode.Overwrite)
+        .write(e.filter(pmod(col("vec_id"), lit(4L)) =!= 0L))
+      LakeWriter(s, root,
+          WriteMode.DeltaSemantic(Seq("vec_id"), "embedding", dim = 64,
+            threshold = 0.4))
+        .write(e.filter(pmod(col("vec_id"), lit(2L)) === 0L))
+      s.read.parquet(root)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy("vec_id")
+    }),
+
     // A4: full-row distinct
     "q06_distinct_full" -> ((s, d) => {
       li(s, d)
@@ -1084,6 +1102,20 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // incremental ingest-vs-corpus embedding near-dup scoring (the
+    // embedding analog of d15, and the scorer behind q71's DeltaSemantic
+    // write): new = even vec_ids scored against the odd-id corpus only —
+    // same SRP plane literals as e03/e05, candidates from (table, bucket)
+    // keys, never all-pairs, never new×new or existing×existing
+    "e06_incremental_embed" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.incrementalSrpNearPairs(
+          e.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+          e.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+          dim = 64, threshold = 0.4)
+        .orderBy("id_new", "id_existing")
+    }),
+
     // embedding-cosine near-dup dedup (SemDeDup-style): SRP-bucketed
     // candidates -> exact-score threshold -> connected components ->
     // keep the min-id representative; the SRP planes are literals in
@@ -1726,6 +1758,75 @@ object SparkEntry {
        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
   }
 
+  /** e06: incremental new×existing embedding near-dup pairs — the same
+    * plane literals as e03/e05, candidates restricted to even×odd. */
+  private def e06Oracle: String = {
+    val nTables = 4
+    val nBits = 4
+    val threshold = 0.4
+    val tableCtes = (0 until nTables)
+      .map(t => s"bk$t AS (SELECT vec_id, emb, nrm, " +
+        s"${sqlSrpBucket(nBits, 42L + t)} AS bucket FROM n)")
+      .mkString(",\n")
+    val candUnion = (0 until nTables)
+      .map(t =>
+        s"SELECT a.vec_id AS id_new, b.vec_id AS id_existing FROM bk$t a " +
+          s"JOIN bk$t b ON a.bucket = b.bucket " +
+          s"WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1")
+      .mkString(" UNION ")
+    s"""WITH v AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+       |       (acc, x) -> acc + x)) AS nrm FROM v),
+       |$tableCtes,
+       |cand AS ($candUnion),
+       |p AS (SELECT id_new, id_existing,
+       |  list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
+       |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+       |  FROM cand JOIN n a ON a.vec_id = id_new
+       |   JOIN n b ON b.vec_id = id_existing)
+       |SELECT id_new, id_existing, sim FROM p WHERE sim >= $threshold
+       |ORDER BY id_new, id_existing""".stripMargin
+  }
+
+  /** q71: the DeltaSemantic write under the oracle — exact-key EXCEPT
+    * plus the e06 scorer deciding which new-key rows are dropped. */
+  private def q71Oracle: String = {
+    val nTables = 4
+    val nBits = 4
+    val threshold = 0.4
+    val tableCtes = (0 until nTables)
+      .map(t => s"bk$t AS (SELECT vec_id, emb, nrm, " +
+        s"${sqlSrpBucket(nBits, 42L + t)} AS bucket FROM n)")
+      .mkString(",\n")
+    val candUnion = (0 until nTables)
+      .map(t =>
+        s"SELECT a.vec_id AS id_new, b.vec_id AS id_existing FROM bk$t a " +
+          s"JOIN bk$t b ON a.bucket = b.bucket " +
+          s"WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0")
+      .mkString(" UNION ")
+    s"""WITH v AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+       |       (acc, x) -> acc + x)) AS nrm FROM v),
+       |$tableCtes,
+       |cand AS ($candUnion),
+       |dup AS (SELECT DISTINCT id_new FROM (
+       |  SELECT id_new, id_existing,
+       |   list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
+       |     (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+       |  FROM cand JOIN n a ON a.vec_id = id_new
+       |   JOIN n b ON b.vec_id = id_existing) t WHERE sim >= $threshold)
+       |SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+       |WHERE vec_id % 4 <> 0
+       |   OR vec_id NOT IN (SELECT id_new FROM dup)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** e05: SRP-bucketed semantic dedup — candidates from the same plane
     * literals as the Spark plan, exact cosine threshold, recursive-CTE
     * connected components, min-id representative (d09's closure
@@ -2340,6 +2441,8 @@ object SparkEntry {
     "e03_ann_srp" -> e03Oracle,
     "e04_ann_ivf" -> e04Oracle,
     "e05_embed_dedup" -> e05Oracle,
+    "e06_incremental_embed" -> e06Oracle,
+    "q71_delta_semantic" -> q71Oracle,
 
     "q46_except_all" ->
       """SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 400

@@ -49,6 +49,28 @@ object WriteMode {
     private[lake] def asDelta: Delta =
       Delta(subset, onColumn, castKeysToString)
   }
+
+  /** The embedding-space sibling of [[DeltaNearDup]]: append a row only
+    * if its keys are absent AND its `vecCol` embedding is not a cosine
+    * near-duplicate (>= `threshold`) of any existing row — SemDeDup-at-
+    * ingest. Candidates come from SRP-LSH buckets
+    * (Similarity.incrementalSrpNearPairs): new×existing only, one keyed
+    * shuffle, bucket count auto-scaling with the combined corpus
+    * (`nBits = -1`). Same replay-idempotence argument as DeltaNearDup. */
+  final case class DeltaSemantic(
+      subset: Seq[String],
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.9,
+      nBits: Int = -1,
+      nTables: Int = 4,
+      onColumn: Option[String] = None,
+      castKeysToString: Boolean = false
+  ) extends WriteMode {
+    require(subset.nonEmpty, "DeltaSemantic needs at least one key column")
+    private[lake] def asDelta: Delta =
+      Delta(subset, onColumn, castKeysToString)
+  }
 }
 
 /** Dataset writer: hive partitioning, zstd parquet, write modes,
@@ -210,19 +232,31 @@ final case class LakeWriter(
     deltaNearDupDiffAgainst(df, d, spark.read.parquet(path))
   }
 
-  /** The two delta gates against an explicit existing-rows frame
-    * (bucketed tables pass the catalog table, like deltaDiffAgainst). */
-  private def deltaNearDupDiffAgainst(
+  private def deltaSemanticDiff(
       df: DataFrame,
-      d: WriteMode.DeltaNearDup,
-      existing: DataFrame,
-      allowBroadcast: Boolean = true
+      d: WriteMode.DeltaSemantic
   ): DataFrame = {
-    val exact = deltaDiffAgainst(df, d.asDelta, existing, allowBroadcast)
+    if (!targetHasData) return df
+    deltaSemanticDiffAgainst(df, d, spark.read.parquet(path))
+  }
+
+  /** The shared shape of both scored delta gates (text and embedding):
+    * exact-key anti-join, window-bound the corpus side, score exact
+    * survivors against it with the mode's incremental new×existing
+    * scorer, and drop scored-duplicate ids. Bucketed tables pass the
+    * catalog table for `existing`, like deltaDiffAgainst. */
+  private def deltaScoredDiffAgainst(
+      df: DataFrame,
+      asDelta: WriteMode.Delta,
+      existing: DataFrame,
+      allowBroadcast: Boolean,
+      score: (DataFrame, DataFrame, String) => DataFrame
+  ): DataFrame = {
+    val exact = deltaDiffAgainst(df, asDelta, existing, allowBroadcast)
     // Same window bound the exact diff applies internally: at scale this
-    // prunes the corpus-side shingle scan to the affected partitions.
+    // prunes the corpus-side scan to the affected partitions.
     var bounded = existing
-    d.onColumn.foreach { ts =>
+    asDelta.onColumn.foreach { ts =>
       val Array(lo, hi) =
         df.agg(min(col(ts)), max(col(ts))).head().toSeq.toArray
       if (lo != null)
@@ -231,15 +265,35 @@ final case class LakeWriter(
     // subset keys double as the scoring identity (struct for multi-key)
     val idc = "__dnd_id"
     def keyed(x: DataFrame) =
-      if (d.subset.size == 1) x.withColumn(idc, col(d.subset.head))
-      else x.withColumn(idc, struct(d.subset.map(col): _*))
-    val dupIds = graft.operators.Dedup
-      .incrementalJaccardPairs(keyed(exact), keyed(bounded), idc,
-        d.textCol, d.shingleN, d.threshold)
+      if (asDelta.subset.size == 1) x.withColumn(idc, col(asDelta.subset.head))
+      else x.withColumn(idc, struct(asDelta.subset.map(col): _*))
+    val dupIds = score(keyed(exact), keyed(bounded), idc)
       .select(col("id_new").as(idc))
       .distinct()
     keyed(exact).join(dupIds, Seq(idc), "left_anti").drop(idc)
   }
+
+  private def deltaNearDupDiffAgainst(
+      df: DataFrame,
+      d: WriteMode.DeltaNearDup,
+      existing: DataFrame,
+      allowBroadcast: Boolean = true
+  ): DataFrame =
+    deltaScoredDiffAgainst(df, d.asDelta, existing, allowBroadcast,
+      (nw, ex, idc) => graft.operators.Dedup
+        .incrementalJaccardPairs(nw, ex, idc, d.textCol, d.shingleN,
+          d.threshold))
+
+  private def deltaSemanticDiffAgainst(
+      df: DataFrame,
+      d: WriteMode.DeltaSemantic,
+      existing: DataFrame,
+      allowBroadcast: Boolean = true
+  ): DataFrame =
+    deltaScoredDiffAgainst(df, d.asDelta, existing, allowBroadcast,
+      (nw, ex, idc) => graft.operators.Similarity
+        .incrementalSrpNearPairs(nw, ex, d.dim, idc, d.vecCol,
+          d.threshold, d.nBits, d.nTables))
 
   /** The DataFrame a Delta-mode write would append (audit hook: lets specs
     * and operators inspect the anti-join plan without writing). */
@@ -247,9 +301,11 @@ final case class LakeWriter(
     case d: WriteMode.Delta => deltaDiff(transform(pipeline(df)), d)
     case d: WriteMode.DeltaNearDup =>
       deltaNearDupDiff(transform(pipeline(df)), d)
+    case d: WriteMode.DeltaSemantic =>
+      deltaSemanticDiff(transform(pipeline(df)), d)
     case _ =>
       throw new IllegalStateException(
-        "planDelta requires WriteMode.Delta or DeltaNearDup")
+        "planDelta requires a Delta-family write mode")
   }
 
   def write(df: DataFrame): Unit = {
@@ -269,6 +325,8 @@ final case class LakeWriter(
       case d: WriteMode.Delta => (deltaDiff(prepared, d), SaveMode.Append)
       case d: WriteMode.DeltaNearDup =>
         (deltaNearDupDiff(prepared, d), SaveMode.Append)
+      case d: WriteMode.DeltaSemantic =>
+        (deltaSemanticDiff(prepared, d), SaveMode.Append)
     }
     var w = toWrite.write
       .mode(saveMode)
@@ -315,6 +373,13 @@ final case class LakeWriter(
         val diffed =
           if (spark.catalog.tableExists(table))
             deltaNearDupDiffAgainst(prepared, d, spark.table(table),
+              allowBroadcast = false)
+          else prepared
+        (diffed, SaveMode.Append)
+      case d: WriteMode.DeltaSemantic =>
+        val diffed =
+          if (spark.catalog.tableExists(table))
+            deltaSemanticDiffAgainst(prepared, d, spark.table(table),
               allowBroadcast = false)
           else prepared
         (diffed, SaveMode.Append)

@@ -216,6 +216,47 @@ object Similarity {
       .select("id1", "id2", "sim")
   }
 
+  /** Incremental ingest-vs-corpus embedding near-dup scoring — the
+    * e-series analog of `Dedup.incrementalJaccardPairs` (d15), and the
+    * scorer behind `WriteMode.DeltaSemantic`: candidates are
+    * same-(table, bucket) NEW × EXISTING pairs only (never within either
+    * side) — one shuffle keyed on (table, bucket), then exactly scored
+    * and thresholded. Cost scales with the batch, not |corpus|²;
+    * `nBits = -1` derives the bucket count from the COMBINED corpus size
+    * ([[autoSrpBits]]) so occupancy stays bounded as the lake grows.
+    * Returns (id_new, id_existing, sim) with sim >= threshold. */
+  def incrementalSrpNearPairs(
+      newDf: DataFrame,
+      existingDf: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      nBits: Int = -1,
+      nTables: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    val bits =
+      if (nBits > 0) nBits
+      else autoSrpBits(newDf.count() + existingDf.count())
+    def withBuckets(
+        df: DataFrame, idAs: String, embAs: String, nAs: String) =
+      prep(df, idCol, vecCol).select(
+        col("vec_id").as(idAs), col("emb").as(embAs), col("nrm").as(nAs),
+        posexplode(array((0 until nTables).map(t =>
+          srpBucket(col("emb"), dim, bits, seed + t)): _*))
+          .as(Seq("table", "bucket")))
+    withBuckets(newDf, "id_new", "emb1", "n1")
+      .join(withBuckets(existingDf, "id_existing", "emb2", "n2"),
+        Seq("table", "bucket"))
+      .select("id_new", "emb1", "n1", "id_existing", "emb2", "n2")
+      .dropDuplicates("id_new", "id_existing") // score each pair once
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .filter(col("sim") >= threshold)
+      .select("id_new", "id_existing", "sim")
+  }
+
   /** LSH-bucketed ANN: corpus and queries hashed into `nTables`
     * independent SRP hash tables (seed + t); candidates are same-bucket
     * pairs in ANY table, deduped, then exactly scored and ranked. The

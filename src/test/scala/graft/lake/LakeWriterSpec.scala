@@ -65,6 +65,35 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir2).count() == 3)
   }
 
+  test("DeltaSemantic drops exact-key AND cosine near-dup embeddings") {
+    val dir = TestSpark.tempDir("dsem")
+    val base = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    LakeWriter(spark, dir, WriteMode.Overwrite).write(base)
+    val batch = Seq(
+      // exact-key dup of vec 2
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      // exactly parallel to vec 1 (cosine 1.0, identical SRP signs in
+      // every table) -> dropped by the semantic gate
+      (3L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+      // orthogonal to everything: novel even when co-bucketed
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val writer = LakeWriter(spark, dir,
+      WriteMode.DeltaSemantic(Seq("vec_id"), "embedding", dim = 4,
+        threshold = 0.9, nBits = 2, nTables = 2))
+    assert(writer.planDelta(batch).select("vec_id").as[Long].collect()
+      .toSeq == Seq(4L))
+    writer.write(batch)
+    def ids() = spark.read.parquet(dir).select("vec_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids() == Seq(1L, 2L, 4L))
+    writer.write(batch) // replay: no-op
+    assert(ids() == Seq(1L, 2L, 4L))
+  }
+
   test("delta full-row writes only new rows; idempotent") {
     val dir = TestSpark.tempDir("delta")
     val delta = WriteMode.Delta()
