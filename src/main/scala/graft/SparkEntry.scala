@@ -177,6 +177,53 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
+    // a TimeFly dataset, snapshotted, clobbered by a later (bad) write,
+    // then RESTORED from the snapshot — training-data releases are
+    // versioned lake states, not loose parquet. Result = the d13 frame,
+    // read back through the lake's time-travel path
+    "q72_corpus_snapshot" -> ((s, d) => {
+      val tmp = scratch(s, "q72", d)
+      val tf = TimeFly(s, tmp).init("corpus_clean")
+      val cleaned = operators.CorpusPipeline.run(docs(s, d))
+      tf.writer(WriteMode.Overwrite).write(cleaned)
+      val snap = tf.addSnapshot()
+      // a later corrupting write, then time-travel back to the release
+      tf.writer(WriteMode.Overwrite).write(cleaned.limit(1))
+      tf.loadSnapshot(snap)
+      tf.read(None).orderBy("doc_id")
+    }),
+
+    // streaming corpus ingest with a dedup gate: at-least-once file
+    // delivery (the second batch replays the SAME rows) + per-batch
+    // key dedup + delta lake write = exactly-once lake contents. The
+    // foreachBatch sink is the production shape — state lives in the
+    // LAKE (the anti-join target), not the state store, so the gate
+    // survives stream restarts with zero streaming state
+    "q73_stream_ingest" -> ((s, d) => {
+      val lake = scratch(s, "q73", d)
+      val src = scratch(s, "q73src", d)
+      val all = docs(s, d)
+      all.write.parquet(s"$src/b1")
+      all.write.parquet(s"$src/b2") // full duplicate delivery
+      val sch = s.read.parquet(s"$src/b1").schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/b*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          LakeWriter(s, lake, WriteMode.Delta(Seq("doc_id")))
+            .write(batch.dropDuplicates(Seq("doc_id")))
+        }
+        .option("checkpointLocation", s"$src/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(lake)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // A4: full-row distinct
     "q06_distinct_full" -> ((s, d) => {
       li(s, d)
@@ -1063,6 +1110,45 @@ object SparkEntry {
           all.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", n = 3, threshold = 0.2)
         .orderBy("id_new", "id_existing")
+    }),
+
+    // PII scrub before training: mask emails, then phone shapes, with
+    // typed placeholders. The fixture corpus carries no digits or '@'
+    // (verified), so each row's PII is planted deterministically from
+    // doc_id on BOTH sides — the redaction demonstrably fires on every
+    // row instead of no-op'ing over clean text. Pure per-row codegen'd
+    // regexp chain, zero shuffle at any scale
+    "d16_pii_redact" -> ((s, d) => {
+      def raw: Column = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" ok"))
+      docs(s, d)
+        .select(col("doc_id"),
+          TextFunctions.redactPii(raw).as("redacted"),
+          TextFunctions.piiCount(raw).as("n_pii"))
+        .orderBy("doc_id")
+    }),
+
+    // vocabulary induction (the tokenizer-training precursor): corpus
+    // term frequency + document frequency, top-100 by tf. One explode +
+    // one keyed agg with map-side partials; the global top-k is
+    // TakeOrderedAndProject (no global sort), and the dense rank is a
+    // window over the ALREADY-REDUCED 100-row frame, not the corpus
+    "d17_vocab" -> ((s, d) => {
+      val top = docs(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(100)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("tf").desc,
+            col("token").asc)).cast("long"))
+        .orderBy("rank")
     }),
 
     // exact cosine near-pairs over embeddings
@@ -2436,6 +2522,41 @@ object SparkEntry {
         | (1.0 - CAST(ngrams_distinct AS DOUBLE) /
         |   CAST(ngrams_total AS DOUBLE)) <= 0.2 AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+    // same planted-PII construction as the Spark side; the corpus text
+    // itself carries no digits or '@', so both engines' regex engines see
+    // exactly one email + one phone span per row (leftmost-longest and
+    // greedy agree on these alternation-free patterns)
+    "d16_pii_redact" ->
+      """WITH r AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com or call +1-555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok' AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(raw,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |   'g'), '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g')
+        |  AS redacted,
+        | CAST(len(regexp_extract_all(raw,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |  len(regexp_extract_all(regexp_replace(raw,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |   'g'), '\+?[0-9][0-9() .-]{6,}[0-9]')) AS BIGINT) AS n_pii
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "d17_vocab" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |a AS (
+        | SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        | FROM t GROUP BY token)
+        |SELECT token, tf, df,
+        | CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT)
+        |  AS rank
+        |FROM a ORDER BY rank LIMIT 100""".stripMargin,
+
     "d07_simhash" -> d07Oracle,
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,
@@ -2617,6 +2738,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT id_new FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the snapshot round-trip restores exactly the d13 pipeline output
+    "q72_corpus_snapshot" -> d13Oracle,
+
+    // replayed delivery + delta gate = exactly-once: the lake equals one
+    // copy of the source
+    "q73_stream_ingest" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin
   )
 }

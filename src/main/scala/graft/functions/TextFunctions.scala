@@ -80,6 +80,32 @@ object TextFunctions {
         regexp_replace(lower(text), "[^a-z0-9 ]", ""),
         " +", " "))
 
+  /** PII redaction patterns — the RE2-compatible subset (no backrefs, no
+    * lookaround) so the SAME pattern strings run verbatim in Java regex
+    * (Spark) and RE2 (DuckDB oracle, Go/Rust tooling). Phone shapes:
+    * leading digit (optional +), >= 6 digit/separator chars, trailing
+    * digit — greedy and leftmost-longest agree on these alternation-free
+    * patterns, so both engines pick identical spans. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+  /** Training-corpus PII scrub: mask emails first (their digit runs
+    * would otherwise feed the phone pattern), then phone shapes, with
+    * typed placeholders. A pure codegen'd regexp_replace chain — per-row,
+    * zero shuffle, scale-free. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** How many PII spans [[redactPii]] would mask (emails + phones,
+    * phones counted after email masking, mirroring the redaction order). */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        lit(PhoneRe), lit(0)))).cast("long")
+
   /** Remove stopwords from a materialized token array, back to a string. */
   def removeStopwords(
       tk: Column,

@@ -29,8 +29,25 @@ object CorpusPipeline {
       textCol: String = "text",
       minTokens: Int = 30,
       jaccardThreshold: Double = 0.6
-  ): DataFrame = {
-    val norm = docs
+  ): DataFrame = stageFrames(docs, idCol, textCol, minTokens,
+    jaccardThreshold).last._2()
+
+  /** The pipeline's stages as named cumulative frames (thunked — the
+    * survivors checkpoint is EAGER, so frames must not materialize until
+    * asked for), in execution order. `run` is the last frame;
+    * ScalingBench times each prefix at 1x/4x/8x so a super-linear stage
+    * is NAMED in SCALING.md instead of hiding inside the end-to-end
+    * number. Cumulative (each frame includes its ancestors' work)
+    * because that is what actually executes — a per-stage "delta" is the
+    * difference of adjacent rows. */
+  def stageFrames(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 30,
+      jaccardThreshold: Double = 0.6
+  ): Seq[(String, () => DataFrame)] = {
+    lazy val norm = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("norm"))
       .select(col("doc_id"), col("norm"),
@@ -43,22 +60,30 @@ object CorpusPipeline {
     // per-doc sizes, BOTH sides of the shingle self-join, and the final
     // keep anti-join. Dedup.truncate materializes it once (reliable
     // checkpoint when the session has a checkpoint dir, else local).
-    val survivors = Dedup.truncate(norm
+    lazy val survivors = Dedup.truncate(norm
       .groupBy("norm")
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "norm"))
-    val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "norm",
+    lazy val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "norm",
       n = 3, threshold = jaccardThreshold)
-    val clusters = Dedup.duplicateClusters(pairs.select("id1", "id2"))
-    val dropIds = clusters
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select("doc_id")
-    val kept = survivors.join(dropIds, Seq("doc_id"), "left_anti")
-    kept.select(
-      col("doc_id"),
-      {
-        val b = pmod(TextFunctions.charFold(col("norm"), 137), lit(100L))
-        when(b < 80, "train").when(b < 90, "val").otherwise("test")
-      }.as("split"))
+    lazy val clusters = Dedup.duplicateClusters(pairs.select("id1", "id2"))
+    lazy val split = {
+      val dropIds = clusters
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      val kept = survivors.join(dropIds, Seq("doc_id"), "left_anti")
+      kept.select(
+        col("doc_id"),
+        {
+          val b = pmod(TextFunctions.charFold(col("norm"), 137), lit(100L))
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }.as("split"))
+    }
+    Seq(
+      "normalize_gate" -> (() => norm),
+      "survivors" -> (() => survivors),
+      "jaccard_pairs" -> (() => pairs),
+      "cc_clusters" -> (() => clusters),
+      "anti_join_split" -> (() => split))
   }
 }

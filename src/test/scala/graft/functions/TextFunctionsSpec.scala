@@ -113,6 +113,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == r.getLong(3))
   }
 
+  test("redactPii masks emails and phone shapes, counts match") {
+    val cases = Seq(
+      // email + phone
+      ("write bob.smith+x@sub.example.co.uk or +1 (415) 555-0042 now",
+        "write <EMAIL> or <PHONE> now", 2L),
+      // two emails, digits in local part redacted by the email pass
+      ("a1@b.cc then a2@b.cc", "<EMAIL> then <EMAIL>", 2L),
+      // bare 10-digit phone, no email
+      ("dial 4155550042 ok", "dial <PHONE> ok", 1L),
+      // too-short digit run is NOT a phone; @ without TLD is NOT an email
+      ("room 12345 and user@host", "room 12345 and user@host", 0L),
+      // clean text untouched
+      ("the quick brown fox", "the quick brown fox", 0L))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiCount(col("t")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == cases.map(c => (c._2, c._3)))
+  }
+
   test("quality ratios are exact IEEE divisions") {
     val r = Seq("the cat sat on the mat").toDF("text")
       .withColumn("n_chars", length(col("text")))
