@@ -1151,6 +1151,29 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // context-window chunking: split every doc into fixed 32-token
+    // training sequences (the pack-into-context step of corpus prep).
+    // One generate (explode of the per-doc chunk index range) + per-row
+    // array slices — no shuffle until the final presentation sort, and
+    // chunk boundaries are pure arithmetic so the op is embarrassingly
+    // parallel at any corpus size
+    "d18_chunking" -> ((s, d) => {
+      val C = 32
+      docs(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), col("__tk"),
+          explode(expr(s"sequence(0, (size(__tk) - 1) div $C)"))
+            .as("chunk_idx"))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          concat_ws(" ",
+            slice(col("__tk"), col("chunk_idx") * C + 1, lit(C)))
+            .as("chunk"),
+          least(size(col("__tk")) - col("chunk_idx") * C, lit(C))
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // exact cosine near-pairs over embeddings
     "e01_cosine_pairs" -> ((s, d) => {
       Similarity.cosinePairs(emb(s, d), threshold = 0.4, leftIdBound = 100L)
@@ -1200,6 +1223,26 @@ object SparkEntry {
           e.filter(pmod(col("vec_id"), lit(2L)) === 1L),
           dim = 64, threshold = 0.4)
         .orderBy("id_new", "id_existing")
+    }),
+
+    // symmetric int8 scalar quantization — the compression step of a
+    // quantized ANN index (4x smaller vectors, integer dot products).
+    // Scale is materialized ONCE per row before the quantize lambda
+    // (interpreted HOF lambdas re-evaluate captured expressions per
+    // element); outputs are per-vector summaries, not arrays, so the
+    // oracle hash-compares scalars. Per-row codegen, zero shuffle
+    "e07_scalar_quant" -> ((s, d) => {
+      val q = emb(s, d)
+        .select(col("vec_id"),
+          VectorFunctions.asDouble(col("embedding")).as("__v"))
+        .withColumn("scale", VectorFunctions.maxAbs(col("__v")))
+        .withColumn("__q",
+          VectorFunctions.scalarQuantize(col("__v"), col("scale")))
+      q.select(col("vec_id"), col("scale"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("__q")).as("q_min"),
+          array_max(col("__q")).as("q_max"))
+        .orderBy("vec_id")
     }),
 
     // embedding-cosine near-dup dedup (SemDeDup-style): SRP-bucketed
@@ -2556,6 +2599,45 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT)
         |  AS rank
         |FROM a ORDER BY rank LIMIT 100""".stripMargin,
+
+    // 1-based inclusive list slices on both sides; DuckDB clamps the
+    // slice end exactly like Spark's `slice(arr, start, len)` clamps len
+    "d18_chunking" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |x AS (
+        | SELECT doc_id, tk,
+        |  unnest(range(0, ((len(tk) - 1) // 32) + 1)) AS chunk_idx
+        | FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | array_to_string(tk[chunk_idx*32 + 1 : chunk_idx*32 + 32], ' ')
+        |  AS chunk,
+        | CAST(least(len(tk) - chunk_idx*32, 32) AS BIGINT) AS n_tokens
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // identical IEEE op order: x (float->double) * 127 / scale + 0.5,
+    // floor — round-half-up, no banker's rounding divergence; summaries
+    // (sum/min/max) instead of array outputs so the driver hashes scalars
+    "e07_scalar_quant" ->
+      """WITH v AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        | FROM embeddings),
+        |s AS (
+        | SELECT vec_id, emb,
+        |  list_reduce(list_transform(emb, x -> abs(x)),
+        |    (a, x) -> greatest(a, x)) AS scale
+        | FROM v),
+        |q AS (
+        | SELECT vec_id, scale,
+        |  list_transform(emb, x -> CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(floor(x * 127 / scale + 0.5) AS BIGINT) END) AS qv
+        | FROM s)
+        |SELECT vec_id, scale,
+        | list_reduce(qv, (a, x) -> a + x) AS q_sum,
+        | list_aggregate(qv, 'min') AS q_min,
+        | list_aggregate(qv, 'max') AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "d07_simhash" -> d07Oracle,
     "d08_fingerprint" -> d08Oracle,

@@ -41,6 +41,25 @@ object VectorFunctions {
       )
     )
 
+  /** Per-vector max-abs amplitude — the scale factor for symmetric
+    * scalar quantization. */
+  def maxAbs(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) =>
+      greatest(acc, abs(x.cast("double"))))
+
+  /** Symmetric int8-style scalar quantization: q_i = floor(x_i * range /
+    * scale + 0.5) — round-half-up in DOUBLE, deterministic and identical
+    * in every engine (no banker's-rounding divergence). The compression
+    * step of a quantized ANN index: 4x smaller vectors, dot products on
+    * ints. Pass `scale` as a MATERIALIZED column ([[maxAbs]] computed
+    * once via withColumn) — interpreted HOF lambdas re-evaluate captured
+    * expressions per element, so inlining the aggregate here would cost
+    * O(dim²) per row. All-zero vectors (scale 0) quantize to zeros. */
+  def scalarQuantize(v: Column, scale: Column, range: Int = 127): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0L)).otherwise(
+        floor(x.cast("double") * range / scale + 0.5).cast("long")))
+
   /** Deterministic SRP hyperplanes (driver-side, tiny: nBits x dim
     * doubles). Exposed so the e03 oracle SQL can embed the exact same
     * plane values as literals — the Spark plan and the DuckDB oracle then

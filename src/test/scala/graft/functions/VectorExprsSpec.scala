@@ -50,4 +50,19 @@ class VectorExprsSpec extends AnyFunSuite {
     val v = Seq(Array(3.0, 4.0)).toDF("v")
     assert(v.select(VectorFunctions.norm(col("v"))).as[Double].head() == 5.0)
   }
+
+  test("scalarQuantize: symmetric round-half-up, extremes hit ±range, " +
+      "zero vector safe") {
+    val df = Seq(
+      Array(1.0, -1.0, 0.5, -0.5, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    ).toDF("v").withColumn("scale", VectorFunctions.maxAbs(col("v")))
+    val got = df.select(
+      col("scale"),
+      VectorFunctions.scalarQuantize(col("v"), col("scale")).as("q"))
+      .as[(Double, Seq[Long])].collect().toSeq
+    // 0.5*127 = 63.5 -> floor(64.0) = 64 (half-up); -63.5+0.5 -> -63
+    assert(got.head == ((1.0, Seq(127L, -127L, 64L, -63L, 0L))))
+    assert(got.last == ((0.0, Seq(0L, 0L, 0L, 0L, 0L))))
+  }
 }
