@@ -1151,6 +1151,26 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // balanced corpus subsampling: exact k-per-stratum (language),
+    // ranked by content hash — deterministic, engine-portable, no RNG.
+    // The rank<=k filter triggers Spark's WindowGroupLimit rewrite:
+    // every map task keeps only its local top-k per stratum BEFORE the
+    // shuffle (the stratified analog of TakeOrderedAndProject), so the
+    // per-language window never sorts the full corpus and the handful
+    // of language partitions never receive more than taskCount*k rows
+    "d19_stratified_sample" -> ((s, d) => {
+      val k = 50
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.charFold(col("text"), 131).as("content_hash"))
+        .withColumn("rk",
+          row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("content_hash"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= k)
+        .orderBy("lang", "rk")
+    }),
+
     // context-window chunking: split every doc into fixed 32-token
     // training sequences (the pack-into-context step of corpus prep).
     // One generate (explode of the per-doc chunk index range) + per-row
@@ -2407,6 +2427,17 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, content_hash FROM h
          |WHERE content_hash % 20 = 0 AND n_tokens >= 30
          |ORDER BY doc_id""".stripMargin,
+
+    "d19_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ${sqlCharFold("text", 131)} AS content_hash
+         | FROM documents),
+         |r AS (SELECT doc_id, lang, content_hash,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY content_hash, doc_id) AS BIGINT) AS rk
+         | FROM h)
+         |SELECT doc_id, lang, content_hash, rk FROM r
+         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
 
     "d12_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

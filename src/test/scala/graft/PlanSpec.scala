@@ -34,6 +34,15 @@ class PlanSpec extends AnyFunSuite {
       "orderBy+limit should not be a full sort")
   }
 
+  test("d19: per-stratum rank<=k plans a WindowGroupLimit (partial " +
+      "top-k before the shuffle, not a full per-language sort)") {
+    val p = plan("d19_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter was not pushed into a group limit:\n$p")
+    assert(p.contains("Partial") && p.contains("Final"),
+      "expected the two-phase (map-local then post-shuffle) group limit")
+  }
+
   test("q01: aggregation is partial (map-side combine before shuffle)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_"),
