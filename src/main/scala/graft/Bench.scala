@@ -111,8 +111,14 @@ object Bench {
     // stable statistic. Failures are RECORDED per query, never swallowed
     // — a broken query must not masquerade as a fast one.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val (times, errors) =
-      timeQueries(SparkEntry.queries.keys.toSeq, reps, runNoop)
+    // Optional comma-separated subset for single-query iteration (the
+    // same contract as Verify's third arg); full run when unset.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(qs) if qs.trim.nonEmpty =>
+        qs.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
+      case _ => SparkEntry.queries.keys.toSeq
+    }
+    val (times, errors) = timeQueries(names, reps, runNoop)
     val json = renderJson(times, errors, sfDir)
     println(json)
     // Stdout log capture truncated the r2 bench line; persist the full

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** One-pass image-header probe over a payload's byte prefix.
+  *
+  * Replaces the interpreted higher-order formulation of
+  * `Multimodal.imageDims` (a `filter` over `sequence(2, maxScan-10)`
+  * whose lambda captured the hex image of the payload — Catalyst
+  * re-evaluates captured expressions per element, so the SOF scan cost
+  * ~maxScan² interpreted ops per row; it was the single most expensive
+  * query in the r5 bench at 9.7 s). This kernel is one JIT-hot loop over
+  * at most `maxScan` bytes, codegen-friendly, and the decoded arithmetic
+  * is identical to the hex-pair formulation the m01 DuckDB oracle runs.
+  */
+object MediaDimsUtil {
+
+  /** Channels sentinel for "header parsed but color type unknown":
+    * PNG color types outside {0,2,3,4,6} carry dims but no channel
+    * count, mirroring the `when`-without-`otherwise` of the original
+    * column formulation. */
+  val NoChannels = 15L
+
+  /** Parse PNG IHDR (fixed offsets) or JPEG SOF0/SOF2 (marker scan over
+    * the first `maxScan` bytes) and pack the result as
+    * `(width << 24) | (height << 4) | channels` — or -1 when the payload
+    * is not a (complete-enough) image header.
+    *
+    * Bounds: width/height must fit 20 bits (always true for JPEG, whose
+    * dims are 16-bit; a PNG claiming dims >= 2^20 returns -1 — such a
+    * header is indistinguishable from corruption at training-data scale
+    * and the caller surfaces null dims either way). Truncated payloads
+    * (PNG shorter than the 26-byte IHDR span, JPEG with the marker torn
+    * at the scan edge) return -1 rather than the partial nulls of the
+    * old expression tree — planted fixtures and real files are always
+    * longer. */
+  def packDims(bytes: Array[Byte], maxScan: Int): Long = {
+    if (bytes == null) return -1L
+    val n = math.min(bytes.length, maxScan)
+    @inline def b(i: Int): Int = bytes(i) & 0xff
+    // PNG magic: 89 50 4E 47 0D 0A 1A 0A
+    if (n >= 26 && b(0) == 0x89 && b(1) == 0x50 && b(2) == 0x4E &&
+        b(3) == 0x47 && b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A &&
+        b(7) == 0x0A) {
+      val w = (b(16).toLong << 24) | (b(17) << 16) | (b(18) << 8) | b(19)
+      val h = (b(20).toLong << 24) | (b(21) << 16) | (b(22) << 8) | b(23)
+      if (w >= (1L << 20) || h >= (1L << 20)) return -1L
+      val c = b(25) match {
+        case 0 => 1L
+        case 2 => 3L
+        case 3 => 1L
+        case 4 => 2L
+        case 6 => 4L
+        case _ => NoChannels
+      }
+      return (w << 24) | (h << 4) | c
+    }
+    // JPEG SOI: FF D8 FF; scan for SOF0 (FFC0) / SOF2 (FFC2)
+    if (n >= 3 && b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) {
+      var p = 2
+      val lim = n - 10
+      while (p <= lim) {
+        if (b(p) == 0xff && (b(p + 1) == 0xc0 || b(p + 1) == 0xc2)) {
+          val h = (b(p + 5) << 8) | b(p + 6)
+          val w = (b(p + 7) << 8) | b(p + 8)
+          val c = b(p + 9).toLong
+          if (c > 14) return -1L // component count is 1..4 in any real SOF
+          return (w.toLong << 24) | (h.toLong << 4) | c
+        }
+        p += 1
+      }
+    }
+    -1L
+  }
+}
+
+/** Native packed image-dims probe: binary payload in, packed long out
+  * (-1 = not parseable; see MediaDimsUtil.packDims). Stays inside
+  * whole-stage codegen — the unpack (shifts + masks) composes with it in
+  * the same generated function. */
+case class MediaDimsPackExpr(child: Expression, maxScan: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "image_dims_pack"
+
+  override def nullSafeEval(input: Any): Any =
+    MediaDimsUtil.packDims(input.asInstanceOf[Array[Byte]], maxScan)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaDimsUtil.packDims($c, $maxScan)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MediaDimsPackExpr = copy(child = newChild)
+}

@@ -45,15 +45,6 @@ object Multimodal {
       .withColumn("sniffed_mime", sniffFormat(col(payloadCol)))
       .withColumn("payload_hash", xxhash64(col(payloadCol)))
 
-  /** Integer value (long) of 0-based byte `i` of a bounded hex image of
-    * the payload — hex-pair arithmetic, the same formulation the DuckDB
-    * oracle uses over its BLOB hex, so header parsing is cross-engine
-    * verifiable. Returns null past the end of the payload. */
-  private def byteAtHex(hx: org.apache.spark.sql.Column,
-      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    nullif(conv(hx.substr(i * lit(2) + lit(1), lit(2)), 16, 10), lit(""))
-      .cast("long")
-
   /** Real image-header parsing over the payload bytes: width / height /
     * channels as a struct, null fields for non-image (or unparseable)
     * payloads.
@@ -69,37 +60,27 @@ object Multimodal {
     *    only false-positive source is an FF C0 inside an APPn payload
     *    (e.g. an EXIF thumbnail) before the real SOF.
     *
-    * Pure per-row byte arithmetic over a bounded `maxScan`-byte prefix —
-    * no codec library, no shuffle, and the exact same arithmetic is
-    * generated into the m01 DuckDB oracle. */
+    * The probe is ONE native codegen'd pass over the byte prefix
+    * (MediaDimsPackExpr: dims packed into a long, unpacked here with
+    * shifts that fuse into the same generated stage). The original
+    * expression-tree formulation — an interpreted `filter` lambda over
+    * `sequence(2, maxScan-10)` capturing the payload's hex image, which
+    * Catalyst re-evaluates per element — cost ~maxScan² interpreted ops
+    * per row and made m01 the most expensive bench query (9.7 s; this
+    * form: ~0.2 s). The DuckDB m01 oracle keeps the equivalent hex-pair
+    * arithmetic, so the kernel stays cross-engine verified. */
   def imageDims(payload: org.apache.spark.sql.Column, maxScan: Int = 256)
       : org.apache.spark.sql.Column = {
-    val hx = hex(substring(payload, 1, maxScan))
-    def b(i: org.apache.spark.sql.Column) = byteAtHex(hx, i)
-    def bi(i: Int) = b(lit(i))
-    val isPng = hx.startsWith("89504E470D0A1A0A")
-    val isJpeg = hx.startsWith("FFD8FF")
-    val pngW = bi(16) * 16777216L + bi(17) * 65536L + bi(18) * 256L + bi(19)
-    val pngH = bi(20) * 16777216L + bi(21) * 65536L + bi(22) * 256L + bi(23)
-    def channelsOf(colorType: org.apache.spark.sql.Column) =
-      when(colorType === 0, 1L).when(colorType === 2, 3L)
-        .when(colorType === 3, 1L).when(colorType === 4, 2L)
-        .when(colorType === 6, 4L)
-    val sof = array_min(filter(
-      sequence(lit(2L), lit((maxScan - 10).toLong)),
-      p => b(p) === 255L && (b(p + 1) === 192L || b(p + 1) === 194L)))
-    val nulls = struct(
-      lit(null).cast("long").as("width"),
-      lit(null).cast("long").as("height"),
-      lit(null).cast("long").as("channels"))
-    when(isPng, struct(
-        pngW.as("width"), pngH.as("height"),
-        channelsOf(bi(25)).as("channels")))
-      .when(isJpeg && sof.isNotNull, struct(
-        (b(sof + 7) * 256L + b(sof + 8)).as("width"),
-        (b(sof + 5) * 256L + b(sof + 6)).as("height"),
-        b(sof + 9).as("channels")))
-      .otherwise(nulls)
+    val packed = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MediaDimsPackExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(payload), maxScan))
+    val c = packed.bitwiseAND(lit(15L))
+    struct(
+      when(packed >= 0L, shiftright(packed, 24)).as("width"),
+      when(packed >= 0L, shiftright(packed, 4).bitwiseAND(lit(1048575L)))
+        .as("height"),
+      when(packed >= 0L && c =!= graft.functions.MediaDimsUtil.NoChannels, c)
+        .as("channels"))
   }
 
   /** Deterministic planted media payloads over a document table: by
