@@ -1171,6 +1171,21 @@ object SparkEntry {
         .orderBy("lang", "rk")
     }),
 
+    // benchmark decontamination (GPT-3 appendix-C style): flag training
+    // docs sharing ANY 5-gram with the held-out eval split (doc_id%20=7
+    // — the same hash-split discipline as d12). Eval-side shingle hashes
+    // broadcast, so the corpus side is one codegen'd scan with no
+    // shuffle; only actual leaks reach the per-doc agg. Exact — no DF
+    // cap: a leak through boilerplate is still a leak
+    "d20_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminationReport(
+          all.filter(col("doc_id") % 20 =!= 7),
+          all.filter(col("doc_id") % 20 === 7),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // context-window chunking: split every doc into fixed 32-token
     // training sequences (the pack-into-context step of corpus prep).
     // One generate (explode of the per-doc chunk index range) + per-row
@@ -2427,6 +2442,24 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, content_hash FROM h
          |WHERE content_hash % 20 = 0 AND n_tokens >= 30
          |ORDER BY doc_id""".stripMargin,
+
+    "d20_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |          tk[i+3] || ' ' || tk[i+4])) AS shingle
+        |  FROM toks),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+        |       WHERE doc_id % 20 = 7),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 7)
+        |SELECT tr.doc_id,
+        | count(DISTINCT tr.shingle) AS n_shared,
+        | count(DISTINCT ev.eval_id) AS n_eval
+        |FROM tr JOIN ev ON tr.shingle = ev.shingle
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     "d19_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,

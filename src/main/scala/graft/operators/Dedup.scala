@@ -245,6 +245,58 @@ object Dedup {
       .select("id_new", "id_existing", "jaccard")
   }
 
+  /** Benchmark decontamination report: training docs sharing ANY word
+    * n-gram with a held-out evaluation set (the GPT-3 appendix-C /
+    * Llama-style leakage gate run before training). Returns one row per
+    * contaminated doc: (idCol, n_shared = distinct overlapping n-grams,
+    * n_eval = distinct eval docs hit).
+    *
+    * Exact by design — no document-frequency cap: decontamination asks
+    * "does this doc leak ANY eval n-gram", so pruning hot shingles would
+    * mask exactly the boilerplate-heavy leaks it exists to catch.
+    *
+    * 100 TB shape: the held-out side is a benchmark suite (thousands of
+    * docs, not billions), so its distinct shingle hashes BROADCAST. The
+    * corpus side is one codegen'd scan (ShinglePackExpr) probing the
+    * broadcast table — no corpus shuffle at all; only the matched
+    * (doc, shingle, eval_id) rows (vanishingly few by construction)
+    * reach the per-doc aggregation. Reference semantics: this is the
+    * subset-membership filter family (pydala `dataset/reader.py` `in`
+    * predicates) lifted to n-gram space. */
+  def contaminationReport(
+      train: DataFrame,
+      heldOut: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val shTr = shingleHashRows(train, idCol, textCol, n)
+    val shEv = shingleHashRows(heldOut, idCol, textCol, n)
+      .select(col("doc").as("eval_id"), col("sh"))
+    shTr
+      .join(broadcast(shEv), "sh")
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval"))
+  }
+
+  /** Decontaminated survivors: `train` minus every doc
+    * [[contaminationReport]] flags. The flagged-id frame is tiny (its
+    * size is bounded by actual leakage), so the final anti-join
+    * broadcasts — the corpus stays un-shuffled end to end. */
+  def decontaminate(
+      train: DataFrame,
+      heldOut: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val bad = contaminationReport(train, heldOut, idCol, textCol, n)
+      .select(idCol)
+    train.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
   /** MinHash signatures: `numHashes` min-hashes over the shingle set,
     * computed as one groupBy with `numHashes` min-aggregates (single
     * shuffle on doc id).

@@ -143,6 +143,43 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.toSet == self)
   }
 
+  test("contaminationReport flags exactly the docs sharing an n-gram " +
+      "with the held-out set; decontaminate removes them") {
+    val heldOut = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // leaks the eval 5-gram "beta gamma delta epsilon zeta"
+      (1L, "prefix words beta gamma delta epsilon zeta suffix words"),
+      // shares single tokens but no 5-gram
+      (2L, "alpha words beta words gamma words delta words epsilon"),
+      (3L, "completely unrelated training document with other tokens here")
+    ).toDF("doc_id", "text")
+    val report = Dedup.contaminationReport(train, heldOut,
+        "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(report.map(_._1).toSet == Set(1L))
+    assert(report.head._2 >= 1L && report.head._3 == 1L)
+    val clean = Dedup.decontaminate(train, heldOut, "doc_id", "text", n = 5)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    // survivors are untouched rows, and the gate is idempotent
+    assert(Dedup.decontaminate(clean, heldOut, "doc_id", "text", n = 5)
+      .count() == 2)
+  }
+
+  test("contaminationReport broadcasts the held-out side: no corpus " +
+      "shuffle before the probe join") {
+    val fixture = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val plan = Dedup.contaminationReport(
+        fixture.filter($"doc_id" % 20 =!= 7),
+        fixture.filter($"doc_id" % 20 === 7),
+        "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"held-out shingles must broadcast:\n$plan")
+  }
+
   test("auto DF cap derives from corpus size and is on by default") {
     assert(Dedup.autoShingleDfCap(500) == 64) // floor dominates small corpora
     assert(Dedup.autoShingleDfCap(100000) == 5000) // 5% of corpus
