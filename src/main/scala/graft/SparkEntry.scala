@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.lake.{ArrowIpc, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1183,6 +1183,23 @@ object SparkEntry {
           all.filter(col("doc_id") % 20 =!= 7),
           all.filter(col("doc_id") % 20 === 7),
           "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // corpus-level sequence packing (concat-and-chunk, the GPT training
+    // layout): every doc gets a deterministic global token offset via a
+    // DISTRIBUTED prefix sum — strip ids from the hash's high bits (no
+    // sampled range boundaries), per-strip windows in parallel, one tiny
+    // global pass over the 32 strip totals (operators/Pack.scala). The
+    // oracle states the same thing as one global ordered window
+    "d21_pack_sequences" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long")
+            .as("n_tokens"),
+          TextFunctions.charFold(col("text"), 131).as("h"))
+        .transform(Pack.packChunks(_, "doc_id", "n_tokens", "h",
+          window = 256))
         .orderBy("doc_id")
     }),
 
@@ -2460,6 +2477,25 @@ object SparkEntry {
         | count(DISTINCT ev.eval_id) AS n_eval
         |FROM tr JOIN ev ON tr.shingle = ev.shingle
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "d21_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |   ${sqlCharFold("text", 131)} AS h
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens, h,
+         |   CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) - n_tokens AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tokens, h, start_off,
+         | start_off // 256 AS first_chunk,
+         | (start_off + n_tokens - 1) // 256 AS last_chunk,
+         | (start_off + n_tokens - 1) // 256 - start_off // 256 + 1
+         |   AS n_chunks
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     "d19_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
