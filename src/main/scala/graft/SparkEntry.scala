@@ -1297,6 +1297,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // per-label centroid outliers (label-noise curation): rank vectors
+    // by cosine against their label centroid, keep the k least aligned
+    // per label. Centroids are integer sums of int8-quantized components
+    // (order-independent => hash-reproducible; cosine is scale-invariant
+    // so the sum stands in for the mean); per-row dots stay sequential
+    // left-folds (the e01 convention). WindowGroupLimit caps what each
+    // task forwards to the per-label ranking
+    "e08_centroid_outliers" -> ((s, d) => {
+      Similarity.centroidOutliers(emb(s, d), k = 5)
+        .orderBy("label", "rank")
+    }),
+
     // embedding-cosine near-dup dedup (SemDeDup-style): SRP-bucketed
     // candidates -> exact-score threshold -> connected components ->
     // keep the min-id representative; the SRP planes are literals in
@@ -2738,6 +2750,37 @@ object SparkEntry {
         | list_aggregate(qv, 'min') AS q_min,
         | list_aggregate(qv, 'max') AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "e08_centroid_outliers" ->
+      """WITH q AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))
+        |    AS qv
+        | FROM embeddings),
+        |ex AS (
+        | SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+        | FROM q),
+        |c AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM ex
+        |      GROUP BY label, pos),
+        |cl AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS cv
+        |       FROM c GROUP BY label),
+        |sc AS (
+        | SELECT vec_id, q.label AS label,
+        |  list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * cv[i]), (a, b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(qv,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(cv, x -> x * x),
+        |      (a, b) -> a + b))) AS cos_centroid
+        | FROM q JOIN cl ON q.label = cl.label)
+        |SELECT vec_id, label, cos_centroid, CAST(rk AS BIGINT) AS rank
+        |FROM (
+        | SELECT *, row_number() OVER (PARTITION BY label
+        |   ORDER BY cos_centroid, vec_id) AS rk
+        | FROM sc) t
+        |WHERE rk <= 5 ORDER BY label, rank""".stripMargin,
 
     "d07_simhash" -> d07Oracle,
     "d08_fingerprint" -> d08Oracle,

@@ -305,6 +305,60 @@ object Similarity {
     * multiplications), arithmetic stays below 2^62 (ANSI-overflow-safe)
     * and is expressible verbatim in any SQL engine, so the e04 oracle
     * reproduces the exact pivot set (xxhash64 would not be portable). */
+  /** Per-label centroid outliers (CleanLab/SemDeDup-style curation):
+    * rank each vector by cosine against its label's centroid and keep
+    * the `k` LEAST aligned per label — the mislabeled/noise candidates a
+    * training-data pipeline reviews or drops.
+    *
+    * Cross-engine exactness: float means are order-sensitive (a
+    * distributed sum re-associates, so no hash-reproducible oracle), so
+    * the centroid is computed over int8-quantized components
+    * (`scalarQuantize`, fixed unit scale — embeddings are unit-normed so
+    * components are within [-1, 1]). Integer sums are exact and
+    * order-independent, and cosine is scale-invariant, so scoring
+    * against the raw per-(label, pos) SUM vector equals scoring against
+    * the mean — no division, no float accumulation anywhere across rows.
+    * Per-row dot products stay sequential left-folds (DotProductExpr =
+    * DuckDB `list_reduce` order), the proven e01 convention.
+    *
+    * 100 TB shape: one posexplode + keyed partial agg at (label, pos)
+    * width for the centroids (map-side combine does the heavy lifting;
+    * nLabels × dim reducer keys), centroids re-assembled driver-free and
+    * broadcast (nLabels rows), then one corpus scan scores every vector
+    * — the rank<=k filter triggers WindowGroupLimit, so each task
+    * forwards at most k rows per label to the per-label window. */
+  def centroidOutliers(
+      emb: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      quantRange: Int = 127
+  ): DataFrame = {
+    val q = emb.select(
+      col(idCol).as("vec_id"),
+      col(labelCol).as("label"),
+      scalarQuantize(asDouble(col(vecCol)), lit(1.0), quantRange).as("qv"))
+    val cent = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum("v").as("s"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("label"),
+        transform(col("ps"), p => p.getField("s").cast("double")).as("cv"))
+    val scored = q
+      .join(broadcast(cent), "label")
+      .withColumn("qd", transform(col("qv"), _.cast("double")))
+      .withColumn("cos_centroid", cosine(col("qd"), col("cv")))
+    val w = Window.partitionBy("label")
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "label", "cos_centroid", "rank")
+  }
+
   private[graft] def pivotRank(id: Column): Column = {
     val p = lit(2147483647L)
     val r1 = pmod((pmod(id, p) + lit(1000003L)) * lit(48271L), p)

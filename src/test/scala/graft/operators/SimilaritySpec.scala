@@ -162,6 +162,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tri == full)
   }
 
+  test("centroidOutliers: a planted inverted vector ranks as its " +
+      "label's worst outlier; plan broadcasts centroids and group-limits") {
+    // label 0: 9 vectors near +e1, one exactly inverted; label 1: all
+    // near +e2 (no outlier below the others)
+    def vec(main: Int, sign: Double, jitter: Double): Array[Float] = {
+      val a = Array.fill(8)(0.01f)
+      a(main) = (sign * (0.9 + jitter)).toFloat
+      a
+    }
+    val rows =
+      (0L until 9L).map(i => (i, 0, vec(0, 1.0, 0.01 * i))) ++
+        Seq((9L, 0, vec(0, -1.0, 0.0))) ++
+        (10L until 20L).map(i => (i, 1, vec(1, 1.0, 0.005 * i)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(df, k = 3)
+    val worst0 = out.filter($"label" === 0 && $"rank" === 1L)
+      .select("vec_id").as[Long].head()
+    assert(worst0 == 9L, "the inverted vector must rank as worst outlier")
+    // scores of the aligned label-1 vectors are all high
+    val l1 = out.filter($"label" === 1).select("cos_centroid")
+      .as[Double].collect()
+    assert(l1.forall(_ > 0.9))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must push a group limit below the per-label window:\n$p")
+  }
+
   test("cosinePairs is symmetric-free (id1 < id2) and thresholded") {
     val out = Similarity.cosinePairs(emb, threshold = 0.3, leftIdBound = 50)
       .as[(Long, Long, Double)].collect()
