@@ -281,6 +281,47 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval"))
   }
 
+  /** Bloom-filter variant of the decontamination probe — the scale path
+    * when the held-out shingle set outgrows an exact broadcast (a full
+    * eval-suite union at 100 TB can reach billions of distinct n-grams:
+    * exact hashes are 8 bytes/key, a 1% Bloom filter ~1.2 bytes/key).
+    * Returns the flagged train ids.
+    *
+    * One-sided error, the safe direction for leakage gates: Bloom
+    * filters have NO false negatives, so the flagged set is a SUPERSET
+    * of [[contaminationReport]]'s — a real leak can never slip through;
+    * `fpp` only over-drops clean docs (DedupSpec bounds the measured
+    * over-flag rate on the fixture).
+    *
+    * `fpp` is PER SHINGLE and compounds per document — a doc with s
+    * distinct shingles is falsely flagged with probability
+    * ~`1-(1-fpp)^s`, so calibrate `fpp ≈ targetDocRate / E[s]` (e.g.
+    * 1e-4 for a ~0.5% doc-level rate at s≈50). Even at 1e-4 the filter
+    * is ~2.4 bytes/key vs 8 for exact hashes. Two actions on the eval
+    * side (count + filter build via `stat.bloomFilter`), then one
+    * corpus scan probing the broadcast filter. */
+  def bloomContaminatedIds(
+      train: DataFrame,
+      heldOut: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val shEv = shingleHashRows(heldOut, idCol, textCol, n).select("sh")
+    // capacity = total (doc, shingle) rows: an upper bound on distinct
+    // shingles, so the realized FPR is at most `fpp`
+    val capacity = math.max(64L, shEv.count())
+    val bf = shEv.stat.bloomFilter("sh", capacity, fpp)
+    val spark = train.sparkSession
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    shingleHashRows(train, idCol, textCol, n)
+      .filter(mightContain(col("sh")))
+      .select(col("doc").as(idCol))
+      .distinct()
+  }
+
   /** Decontaminated survivors: `train` minus every doc
     * [[contaminationReport]] flags. The flagged-id frame is tiny (its
     * size is bounded by actual leakage), so the final anti-join

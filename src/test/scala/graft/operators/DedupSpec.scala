@@ -180,6 +180,30 @@ class DedupSpec extends AnyFunSuite {
       s"held-out shingles must broadcast:\n$plan")
   }
 
+  test("bloomContaminatedIds: superset of the exact report (no false " +
+      "negatives), bounded over-flagging") {
+    val fixture = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val train = fixture.filter($"doc_id" % 20 =!= 7)
+    val heldOut = fixture.filter($"doc_id" % 20 === 7)
+    val exact = Dedup.contaminationReport(train, heldOut,
+        "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    // per-shingle FPR compounds per doc (~50 shingles/doc), so a
+    // doc-level ~0.5% rate needs fpp ~ 1e-4 — the calibration the
+    // operator's scaladoc prescribes
+    val bloom = Dedup.bloomContaminatedIds(train, heldOut,
+        "doc_id", "text", n = 5, fpp = 1e-4)
+      .as[Long].collect().toSet
+    assert(exact.subsetOf(bloom),
+      s"bloom gate missed real leaks: ${exact -- bloom}")
+    // expected extra flags ~0.5% of train docs; 5% ceiling pins the
+    // order of magnitude without racing the hash family's RNG
+    val nTrain = train.count()
+    assert(bloom.size - exact.size <= nTrain * 0.05,
+      s"over-flagging beyond FPR expectation: ${bloom.size} vs ${exact.size}")
+  }
+
   test("auto DF cap derives from corpus size and is on by default") {
     assert(Dedup.autoShingleDfCap(500) == 64) // floor dominates small corpora
     assert(Dedup.autoShingleDfCap(100000) == 5000) // 5% of corpus
