@@ -159,6 +159,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the leakage flavor of the ingest gates (q70 exact+near-dup, q71
+    // semantic): a benchmark dataset parks at its own path, and the
+    // delta write drops incoming docs sharing ANY 5-gram with it —
+    // replays die on the exact-key diff, contaminated new docs on the
+    // broadcast decontamination screen. doc 413 is the planted new-side
+    // leak at sf0.01
+    "q74_delta_decontam" -> ((s, d) => {
+      val root = scratch(s, "q74", d)
+      val bench = scratch(s, "q74bench", d)
+      val all = docs(s, d)
+      all.filter(col("doc_id") % 20 === 7)
+        .write.mode("overwrite").parquet(bench)
+      LakeWriter(s, root, WriteMode.Overwrite)
+        .write(all.filter(col("doc_id") % 20 =!= 7 && col("doc_id") < 250))
+      LakeWriter(s, root,
+          WriteMode.DeltaDecontam(Seq("doc_id"), "text", bench,
+            shingleN = 5))
+        .write(all.filter(col("doc_id") % 20 =!= 7))
+      s.read.parquet(root)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // the semantic (embedding-space) flavor of q70: existing lake =
     // vec_id % 4 != 0; batch = even ids — ids ≡ 2 (mod 4) are exact-key
     // dups, ids ≡ 0 (mod 4) are dropped iff their embedding cosines
@@ -1183,6 +1206,30 @@ object SparkEntry {
           all.filter(col("doc_id") % 20 =!= 7),
           all.filter(col("doc_id") % 20 === 7),
           "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // per-doc rarity scoring: mean corpus document-frequency of the
+    // doc's token occurrences — low mean_df = rare-vocabulary doc (the
+    // inverse-df half of TF-IDF without the libm-divergent log). Exact
+    // integers end to end: tf per (doc, token), df per token, one keyed
+    // join at (doc, token)-pair width (NOT per occurrence — Zipf-head
+    // tokens would fan out per occurrence otherwise), integer sums, one
+    // final exact division. The df side broadcasts while the vocab fits;
+    // beyond that it's a keyed join AQE can split
+    "d22_rarity_score" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(dfT, "tok")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("df")).as("sum_df"))
+        .withColumn("mean_df",
+          col("sum_df").cast("double") / col("n_tokens").cast("double"))
         .orderBy("doc_id")
     }),
 
@@ -2490,6 +2537,22 @@ object SparkEntry {
         |FROM tr JOIN ev ON tr.shingle = ev.shingle
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
+    "d22_rarity_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY tok)
+        |SELECT doc_id,
+        | CAST(sum(tf) AS BIGINT) AS n_tokens,
+        | CAST(sum(tf * df) AS BIGINT) AS sum_df,
+        | CAST(sum(tf * df) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
+        |   AS mean_df
+        |FROM tf JOIN dft USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d21_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -2963,6 +3026,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT id_new FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q74_delta_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |          tk[i+3] || ' ' || tk[i+4])) AS shingle
+        |  FROM toks),
+        |ev AS (SELECT shingle FROM sh WHERE doc_id % 20 = 7),
+        |bad AS (SELECT DISTINCT tr.doc_id FROM sh tr
+        |        JOIN ev ON tr.shingle = ev.shingle
+        |        WHERE tr.doc_id % 20 <> 7)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % 20 <> 7 AND doc_id < 250
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % 20 <> 7 AND doc_id >= 250
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
 
     // the snapshot round-trip restores exactly the d13 pipeline output

@@ -71,6 +71,29 @@ object WriteMode {
     private[lake] def asDelta: Delta =
       Delta(subset, onColumn, castKeysToString)
   }
+
+  /** Leakage-gated delta append — "never ingest what the benchmarks can
+    * test on". Exact-key anti-join like [[Delta]], then drop survivors
+    * sharing ANY word `shingleN`-gram with the held-out dataset at
+    * `heldOutPath` (Dedup.contaminationReport semantics: exact, no DF
+    * cap, eval-side shingles broadcast — the corpus side never
+    * shuffles). Unlike the corpus-scored gates, the screen applies even
+    * on the FIRST write into an empty target: the benchmark exists
+    * independently of the lake. The held-out set is referenced by path
+    * (any LakeReader-dispatchable format), keeping the mode declarative
+    * config like every other WriteMode. */
+  final case class DeltaDecontam(
+      subset: Seq[String],
+      textCol: String,
+      heldOutPath: String,
+      shingleN: Int = 5,
+      onColumn: Option[String] = None,
+      castKeysToString: Boolean = false
+  ) extends WriteMode {
+    require(subset.nonEmpty, "DeltaDecontam needs at least one key column")
+    private[lake] def asDelta: Delta =
+      Delta(subset, onColumn, castKeysToString)
+  }
 }
 
 /** Dataset writer: hive partitioning, zstd parquet, write modes,
@@ -295,6 +318,38 @@ final case class LakeWriter(
         .incrementalSrpNearPairs(nw, ex, d.dim, idc, d.vecCol,
           d.threshold, d.nBits, d.nTables))
 
+  /** Exact-key diff, then the benchmark-leakage screen. Survivor docs
+    * whose `textCol` shares any `shingleN`-gram with the held-out set
+    * are dropped; the flagged-id frame is bounded by true leakage, so
+    * the final anti-join broadcasts. */
+  private def deltaDecontamDiff(
+      df: DataFrame,
+      d: WriteMode.DeltaDecontam
+  ): DataFrame = {
+    val exact = if (targetHasData) deltaDiff(df, d.asDelta) else df
+    decontamScreen(exact, d)
+  }
+
+  /** The benchmark screen shared by the plain and bucketed decontam
+    * paths: drop rows sharing any n-gram with the held-out dataset. */
+  private def decontamScreen(
+      exact: DataFrame,
+      d: WriteMode.DeltaDecontam
+  ): DataFrame = {
+    val heldOut = LakeReader.fromPath(spark, d.heldOutPath).load()
+    val idc = "__dd_id"
+    def keyed(x: DataFrame) =
+      if (d.subset.size == 1) x.withColumn(idc, col(d.subset.head))
+      else x.withColumn(idc, struct(d.subset.map(col): _*))
+    // the held-out side's ids are never surfaced — only its shingles
+    // matter — so a constant key satisfies the report's id contract
+    val bad = graft.operators.Dedup
+      .contaminationReport(keyed(exact),
+        heldOut.withColumn(idc, lit(0L)), idc, d.textCol, d.shingleN)
+      .select(col(idc))
+    keyed(exact).join(broadcast(bad), Seq(idc), "left_anti").drop(idc)
+  }
+
   /** The DataFrame a Delta-mode write would append (audit hook: lets specs
     * and operators inspect the anti-join plan without writing). */
   def planDelta(df: DataFrame): DataFrame = mode match {
@@ -303,6 +358,8 @@ final case class LakeWriter(
       deltaNearDupDiff(transform(pipeline(df)), d)
     case d: WriteMode.DeltaSemantic =>
       deltaSemanticDiff(transform(pipeline(df)), d)
+    case d: WriteMode.DeltaDecontam =>
+      deltaDecontamDiff(transform(pipeline(df)), d)
     case _ =>
       throw new IllegalStateException(
         "planDelta requires a Delta-family write mode")
@@ -327,6 +384,8 @@ final case class LakeWriter(
         (deltaNearDupDiff(prepared, d), SaveMode.Append)
       case d: WriteMode.DeltaSemantic =>
         (deltaSemanticDiff(prepared, d), SaveMode.Append)
+      case d: WriteMode.DeltaDecontam =>
+        (deltaDecontamDiff(prepared, d), SaveMode.Append)
     }
     var w = toWrite.write
       .mode(saveMode)
@@ -383,6 +442,15 @@ final case class LakeWriter(
               allowBroadcast = false)
           else prepared
         (diffed, SaveMode.Append)
+      case d: WriteMode.DeltaDecontam =>
+        // the benchmark screen is target-independent, so it applies
+        // whether or not the catalog table exists yet
+        val exact =
+          if (spark.catalog.tableExists(table))
+            deltaDiffAgainst(prepared, d.asDelta, spark.table(table),
+              allowBroadcast = false)
+          else prepared
+        (decontamScreen(exact, d), SaveMode.Append)
       case WriteMode.Append => (prepared, SaveMode.Append)
     }
     var w = toWrite.write

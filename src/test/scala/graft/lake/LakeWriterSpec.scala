@@ -65,6 +65,39 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir2).count() == 3)
   }
 
+  test("DeltaDecontam screens against the benchmark path — even on a " +
+      "first write — and replay is a no-op") {
+    val bench = TestSpark.tempDir("ddc_bench")
+    Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(bench)
+    val dir = TestSpark.tempDir("ddc")
+    val mode = WriteMode.DeltaDecontam(Seq("doc_id"), "text", bench,
+      shingleN = 5)
+    val batch = Seq(
+      // leaks the benchmark 5-gram "beta gamma delta epsilon zeta"
+      (1L, "prefix words beta gamma delta epsilon zeta suffix words"),
+      // shares tokens but no 5-gram
+      (2L, "alpha words beta words gamma words delta words epsilon"),
+      (3L, "completely unrelated training document with other tokens here")
+    ).toDF("doc_id", "text")
+    // empty target: the benchmark screen still applies (unlike the
+    // corpus-scored gates, the held-out set exists independently)
+    LakeWriter(spark, dir, mode).write(batch)
+    def ids() = spark.read.parquet(dir).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids() == Seq(2L, 3L))
+    // replay: survivors die on the exact-key diff, the leak on the
+    // screen again
+    LakeWriter(spark, dir, mode).write(batch)
+    assert(ids() == Seq(2L, 3L))
+    // a new clean doc still flows through the established lake
+    LakeWriter(spark, dir, mode).write(
+      Seq((4L, "more novel clean words that overlap nothing held out"))
+        .toDF("doc_id", "text"))
+    assert(ids() == Seq(2L, 3L, 4L))
+  }
+
   test("DeltaSemantic drops exact-key AND cosine near-dup embeddings") {
     val dir = TestSpark.tempDir("dsem")
     val base = Seq(
