@@ -211,8 +211,14 @@ object SparkEntry {
       val cleaned = operators.CorpusPipeline.run(docs(s, d))
       tf.writer(WriteMode.Overwrite).write(cleaned)
       val snap = tf.addSnapshot()
-      // a later corrupting write, then time-travel back to the release
-      tf.writer(WriteMode.Overwrite).write(cleaned.limit(1))
+      // a later corrupting write, then time-travel back to the release.
+      // The corrupt frame's CONTENT is irrelevant (the restore discards
+      // it) — building it from the raw table instead of `cleaned` avoids
+      // re-running the pipeline's post-checkpoint Jaccard+CC tail for a
+      // throwaway row (measured: q72 4.0 s -> ~d13-cost)
+      tf.writer(WriteMode.Overwrite).write(
+        docs(s, d).limit(1)
+          .select(col("doc_id"), lit("corrupt").as("split")))
       tf.loadSnapshot(snap)
       tf.read(None).orderBy("doc_id")
     }),
