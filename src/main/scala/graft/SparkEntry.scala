@@ -1215,6 +1215,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact substring-duplication audit (Lee et al. 2022 exact flavor):
+    // docs containing an 8-token window that repeats anywhere in the
+    // corpus, with merged-interval coverage via gaps-and-islands (one
+    // lead() window, no interval materialization). Positional window
+    // hashes are one codegen'd ShinglePackAllExpr pass; repeated-window
+    // detection is one keyed agg on the 62-bit hash
+    "d23_substring_dup" -> ((s, d) => {
+      Dedup.substringDupReport(docs(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // per-doc rarity scoring: mean corpus document-frequency of the
     // doc's token occurrences — low mean_df = rare-vocabulary doc (the
     // inverse-df half of TF-IDF without the libm-divergent log). Exact
@@ -2542,6 +2553,34 @@ object SparkEntry {
         | count(DISTINCT ev.eval_id) AS n_eval
         |FROM tr JOIN ev ON tr.shingle = ev.shingle
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "d23_substring_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         u.pos AS pos, u.sh AS sh
+        |  FROM (SELECT doc_id, tk,
+        |          unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+        |            i -> {'pos': i - 1,
+        |                  'sh': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                    || ' ' || tk[i+3] || ' ' || tk[i+4] || ' '
+        |                    || tk[i+5] || ' ' || tk[i+6] || ' '
+        |                    || tk[i+7]})) AS u
+        |        FROM toks)),
+        |hot AS (SELECT sh FROM win GROUP BY sh HAVING count(*) >= 2),
+        |d AS (SELECT w.doc_id, w.n_tokens, w.pos,
+        |        lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos)
+        |          AS nxt
+        |      FROM win w JOIN hot USING (sh))
+        |SELECT doc_id, max(n_tokens) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_dup_windows,
+        | CAST(sum(CASE WHEN nxt IS NULL THEN 8
+        |          ELSE least(nxt - pos, 8) END) AS BIGINT) AS dup_tokens,
+        | CAST(sum(CASE WHEN nxt IS NULL THEN 8
+        |          ELSE least(nxt - pos, 8) END) AS DOUBLE) /
+        |   CAST(max(n_tokens) AS DOUBLE) AS dup_ratio
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d22_rarity_score" ->
       """WITH toks AS (

@@ -97,6 +97,57 @@ object CharFoldUtil {
     new GenericArrayData(
       if (k == m) out else java.util.Arrays.copyOf(out, k))
   }
+
+  /** Positional variant of [[shinglePack]]: ALL m = cnt-(n-1) window
+    * hashes in window order, duplicates kept — array index IS the
+    * 0-based token position of the window start. The substring-
+    * duplication audit (d23) needs positions to merge overlapping
+    * window intervals, which the distinct variant deliberately drops.
+    * Same per-token precompute + linear window combine. */
+  def shinglePackAll(tk: ArrayData, n: Int): ArrayData = {
+    val cnt = tk.numElements()
+    val m = cnt - (n - 1)
+    if (m <= 0) return new GenericArrayData(new Array[Long](0))
+    val f1 = new Array[Long](cnt)
+    val f2 = new Array[Long](cnt)
+    val p1 = new Array[Long](cnt)
+    val p2 = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var h1 = 0L; var h2 = 0L; var q1 = 1L; var q2 = 1L
+      val s = tk.getUTF8String(i)
+      if (s != null) {
+        val js = s.toString
+        var j = 0
+        val len = js.length
+        while (j < len) {
+          val cp = js.codePointAt(j)
+          h1 = (h1 * 131 + cp) % P
+          h2 = (h2 * 137 + cp) % P
+          q1 = (q1 * 131) % P
+          q2 = (q2 * 137) % P
+          j += Character.charCount(cp)
+        }
+      }
+      f1(i) = h1; f2(i) = h2; p1(i) = q1; p2(i) = q2
+      i += 1
+    }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var a1 = f1(i)
+      var a2 = f2(i)
+      var j = i + 1
+      while (j < i + n) {
+        a1 = (((a1 * 131 + 32) % P) * p1(j) + f1(j)) % P
+        a2 = (((a2 * 137 + 32) % P) * p2(j) + f2(j)) % P
+        j += 1
+      }
+      out(i) = a1 | (a2 << 31)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native distinct-shingle fold hashes over an array<string> token column
@@ -118,6 +169,27 @@ case class ShinglePackExpr(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression)
       : ShinglePackExpr = copy(child = newChild)
+}
+
+/** Positional sibling of ShinglePackExpr: ALL window hashes in order,
+  * duplicates kept, index = 0-based window start (CharFoldUtil
+  * .shinglePackAll). */
+case class ShinglePackAllExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_pack_all"
+
+  override def nullSafeEval(input: Any): Any =
+    CharFoldUtil.shinglePackAll(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharFoldUtil.shinglePackAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglePackAllExpr = copy(child = newChild)
 }
 
 /** Custom Catalyst expression for TextFunctions.charFold: left fold over

@@ -71,6 +71,14 @@ object TextFunctions {
       ShinglePackExpr(
         org.apache.spark.sql.GraftSqlBridge.expression(tk), n))
 
+  /** Positional window hashes: ALL n-gram fold hashes in window order
+    * (duplicates kept; index = 0-based window start). The substring-
+    * duplication audit's input — interval merging needs positions. */
+  def shingleFoldsAll(tk: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ShinglePackAllExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(tk), n))
+
   /** Training-data text cleaning: lowercase, strip non-alphanumerics
     * (keeping spaces), collapse whitespace runs, trim. Pure codegen'd
     * string expressions — no UDFs. */

@@ -338,6 +338,53 @@ object Dedup {
     train.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
+  /** Exact substring-duplication audit (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" exact
+    * flavor): for every doc containing a k-token window that appears
+    * MORE THAN ONCE in the corpus (cross-doc or self-repetition), report
+    * how much of the doc those repeated windows cover. Returns one row
+    * per affected doc: (idCol, n_tokens, n_dup_windows, dup_tokens,
+    * dup_ratio) where dup_tokens is the merged-interval token coverage —
+    * overlapping windows [p, p+k) union'd via the gaps-and-islands
+    * identity `Σ min(next_pos - pos, k)` (+ k for the last window), one
+    * window function, no interval materialization.
+    *
+    * 100 TB shape: positional window hashes are one codegen'd pass per
+    * row (ShinglePackAllExpr); the repeated-window set is one keyed agg
+    * on the 62-bit hash with map-side partials; the probe join is keyed
+    * on the same hash; coverage is a per-doc window over matched
+    * positions only. Nothing is all-pairs and nothing returns to the
+    * driver. */
+  def substringDupReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val win = df
+      .select(col(idCol).as("doc"),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), size(col("__tk")).cast("long").as("n_tokens"),
+        posexplode(TextFunctions.shingleFoldsAll(col("__tk"), k))
+          .as(Seq("pos", "h")))
+    val hot = win.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select("h")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    win.join(hot, "h")
+      .withColumn("__nxt", lead(col("pos"), 1).over(w))
+      .withColumn("__contrib",
+        when(col("__nxt").isNull, lit(k.toLong))
+          .otherwise(least(col("__nxt") - col("pos"), lit(k))
+            .cast("long")))
+      .groupBy(col("doc").as(idCol))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_dup_windows"),
+        sum(col("__contrib")).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** MinHash signatures: `numHashes` min-hashes over the shingle set,
     * computed as one groupBy with `numHashes` min-aggregates (single
     * shuffle on doc id).

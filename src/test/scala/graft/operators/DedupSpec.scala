@@ -204,6 +204,29 @@ class DedupSpec extends AnyFunSuite {
       s"over-flagging beyond FPR expectation: ${bloom.size} vs ${exact.size}")
   }
 
+  test("substringDupReport: merged-interval coverage for cross-doc and " +
+      "self-repeated 8-token windows; clean docs absent") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val corpus = Seq(
+      (1L, s"p1 p2 p3 p4 $span"), // shares the span with doc 2
+      (2L, s"q1 q2 q3 q4 $span"),
+      // self-repetition: the 8-token run appears at pos 0 and 8 —
+      // islands merge to full coverage
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12") // all unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupReport(corpus, "doc_id", "text", k = 8)
+      .select("doc_id", "n_tokens", "n_dup_windows", "dup_tokens",
+        "dup_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, 12L, 1L, 8L, 8.0 / 12.0)))
+    assert(out(2L) == ((2L, 12L, 1L, 8L, 8.0 / 12.0)))
+    // two windows 8 apart: min(8, k) + trailing k = the whole 16 tokens
+    assert(out(3L) == ((3L, 16L, 2L, 16L, 1.0)))
+  }
+
   test("auto DF cap derives from corpus size and is on by default") {
     assert(Dedup.autoShingleDfCap(500) == 64) // floor dominates small corpora
     assert(Dedup.autoShingleDfCap(100000) == 5000) // 5% of corpus
