@@ -159,6 +159,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // materialized training shards: the d21 packing layout written as a
+    // hive-partitioned lake (4 context windows per shard) and re-read —
+    // a training job then reads only its shard's partition directories
+    // (partition pruning asserted in PlanSpec). Shard assignment is the
+    // deterministic prefix-sum arithmetic, so the whole layout is
+    // oracle-verified including the partition column round-trip
+    "q75_pack_shards" -> ((s, d) => {
+      val root = scratch(s, "q75", d)
+      val packed = docs(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long")
+            .as("n_tokens"),
+          TextFunctions.charFold(col("text"), 131).as("h"))
+        .transform(Pack.packChunks(_, "doc_id", "n_tokens", "h",
+          window = 256))
+        .withColumn("shard", expr("first_chunk div 4"))
+      LakeWriter(s, root, WriteMode.Overwrite,
+        partitionBy = Seq("shard")).write(packed)
+      s.read.parquet(root)
+        .select(col("doc_id"), col("n_tokens"), col("h"),
+          col("start_off"), col("first_chunk"), col("last_chunk"),
+          col("n_chunks"), col("shard").cast("long").as("shard"))
+        .orderBy("doc_id")
+    }),
+
     // the leakage flavor of the ingest gates (q70 exact+near-dup, q71
     // semantic): a benchmark dataset parks at its own path, and the
     // delta write drops incoming docs sharing ANY 5-gram with it —
@@ -2597,6 +2622,26 @@ object SparkEntry {
         |   AS mean_df
         |FROM tf JOIN dft USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q75_pack_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |   ${sqlCharFold("text", 131)} AS h
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens, h,
+         |   CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) - n_tokens AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tokens, h, start_off,
+         | start_off // 256 AS first_chunk,
+         | (start_off + n_tokens - 1) // 256 AS last_chunk,
+         | (start_off + n_tokens - 1) // 256 - start_off // 256 + 1
+         |   AS n_chunks,
+         | (start_off // 256) // 4 AS shard
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     "d21_pack_sequences" ->
       s"""WITH t AS (

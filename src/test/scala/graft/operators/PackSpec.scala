@@ -60,6 +60,20 @@ class PackSpec extends AnyFunSuite {
     assert(touched == (0L until (total + C - 1) / C).toSet)
   }
 
+  test("shard-partitioned pack layout prunes to the requested shard " +
+      "on read") {
+    val dir = graft.TestSpark.tempDir("packshards")
+    Pack.packChunks(base, "doc_id", "n_tokens", "h", window = 64)
+      .withColumn("shard", expr("first_chunk div 4"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("shard") === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("(shard"),
+      s"shard predicate must prune partitions:\n$plan")
+    assert(one.count() > 0)
+  }
+
   test("the corpus-wide window is strip-partitioned (only the 2^stripBits " +
       "strip totals see a single-partition window)") {
     val plan = Pack.packOffsets(base, "doc_id", "n_tokens", "h")
