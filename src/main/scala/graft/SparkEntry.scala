@@ -174,7 +174,15 @@ object SparkEntry {
           TextFunctions.charFold(col("text"), 131).as("h"))
         .transform(Pack.packChunks(_, "doc_id", "n_tokens", "h",
           window = 256))
-        .withColumn("shard", expr("first_chunk div 4"))
+        // 32 context windows per shard: shards must be COARSE — each
+        // hive partition dir costs a committer round-trip and a file
+        // footer, so shard count tracks cluster write parallelism, not
+        // window count (244 one-window shards measured 4.5 s of pure
+        // per-directory overhead at sf0.1; 31 shards ≈ 1 s)
+        .withColumn("shard", expr("first_chunk div 32"))
+        // co-locate each shard's rows before the partitioned write: one
+        // writer per shard directory instead of tasks × shards files
+        .repartition(col("shard"))
       LakeWriter(s, root, WriteMode.Overwrite,
         partitionBy = Seq("shard")).write(packed)
       s.read.parquet(root)
@@ -2640,7 +2648,7 @@ object SparkEntry {
          | (start_off + n_tokens - 1) // 256 AS last_chunk,
          | (start_off + n_tokens - 1) // 256 - start_off // 256 + 1
          |   AS n_chunks,
-         | (start_off // 256) // 4 AS shard
+         | (start_off // 256) // 32 AS shard
          |FROM o ORDER BY doc_id""".stripMargin,
 
     "d21_pack_sequences" ->
