@@ -104,6 +104,75 @@ object KernelProps extends Properties("graft-kernels") {
         (0 until got.numElements()).forall(i => got.getLong(i) == ref(i))
     }
 
+  property("shinglePackAll == positional folds of every window, " +
+      "duplicates kept") =
+    forAll(tokenArr, Gen.choose(1, 5)) { (tks, n) =>
+      val in = new GenericArrayData(
+        tks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val got = CharFoldUtil.shinglePackAll(in, n)
+      val ref = tks.sliding(n).filter(_.size == n).map(_.mkString(" "))
+        .map(s => refFold(s, 131L) | (refFold(s, 137L) << 31)).toSeq
+      got.numElements() == ref.size &&
+        got.numElements() == math.max(0, tks.size - (n - 1)) &&
+        (0 until got.numElements()).forall(i => got.getLong(i) == ref(i))
+    }
+
+  property("shinglePackAll distinct set == shinglePack") =
+    forAll(tokenArr, Gen.choose(1, 4)) { (tks, n) =>
+      val in = new GenericArrayData(
+        tks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val all = CharFoldUtil.shinglePackAll(in, n)
+      val dis = CharFoldUtil.shinglePack(in, n)
+      (0 until all.numElements()).map(all.getLong).toSet ==
+        (0 until dis.numElements()).map(dis.getLong).toSet
+    }
+
+  private val dimGen: Gen[(Int, Int, Int)] = for {
+    w <- Gen.choose(1, 65535)
+    h <- Gen.choose(1, 65535)
+    ct <- Gen.oneOf(0, 2, 3, 4, 6)
+  } yield (w, h, ct)
+
+  property("packDims parses any well-formed PNG IHDR") =
+    forAll(dimGen) { case (w, h, ct) =>
+      val bytes = new Array[Byte](32)
+      val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      magic.zipWithIndex.foreach { case (b, i) => bytes(i) = b.toByte }
+      def be32(off: Int, v: Int): Unit = {
+        bytes(off) = (v >>> 24).toByte; bytes(off + 1) = (v >>> 16).toByte
+        bytes(off + 2) = (v >>> 8).toByte; bytes(off + 3) = v.toByte
+      }
+      be32(16, w); be32(20, h)
+      bytes(25) = ct.toByte
+      val packed = graft.functions.MediaDimsUtil.packDims(bytes, 256)
+      val expC = Map(0 -> 1L, 2 -> 3L, 3 -> 1L, 4 -> 2L, 6 -> 4L)(ct)
+      packed >= 0 &&
+        (packed >> 24) == w.toLong &&
+        ((packed >> 4) & 0xFFFFF) == h.toLong &&
+        (packed & 15L) == expC
+    }
+
+  property("packDims finds JPEG SOF0 behind a variable APP0+COM prefix") =
+    forAll(dimGen, Gen.choose(0, 40)) { case ((w, h, _), pad) =>
+      val com = Array.fill(pad)(0x41.toByte) // 'A' * pad, no FF C0 inside
+      val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      b ++= Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46)
+        .map(_.toByte)
+      b ++= Array(0xff, 0xfe).map(_.toByte) // COM marker
+      b += ((pad + 2) >>> 8).toByte; b += ((pad + 2) & 0xff).toByte
+      b ++= com
+      b ++= Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)
+      b += (h >>> 8).toByte; b += (h & 0xff).toByte
+      b += (w >>> 8).toByte; b += (w & 0xff).toByte
+      b += 3.toByte
+      b ++= Array(0xff, 0xd9).map(_.toByte)
+      val packed = graft.functions.MediaDimsUtil.packDims(b.toArray, 256)
+      packed >= 0 &&
+        (packed >> 24) == w.toLong &&
+        ((packed >> 4) & 0xFFFFF) == h.toLong &&
+        (packed & 15L) == 3L
+    }
+
   property("shinglePack values are non-negative 62-bit") =
     forAll(tokenArr) { tks =>
       val in = new GenericArrayData(
