@@ -1248,6 +1248,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus datasheet: the per-(source, lang) composition report a
+    // corpus release ships with — doc/token counts, mean length, share
+    // of corpus. One keyed agg with map-side partials; the share window
+    // runs over the already-aggregated (sources x langs) frame, never
+    // the corpus
+    "d24_corpus_datasheet" -> ((s, d) => {
+      docs(s, d)
+        .select(col("source"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("__nt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+        .withColumn("mean_tokens",
+          col("n_tokens").cast("double") / col("n_docs").cast("double"))
+        .withColumn("doc_share",
+          col("n_docs").cast("double") /
+            sum(col("n_docs")).over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)).cast("double"))
+        .orderBy("source", "lang")
+    }),
+
     // exact substring-duplication audit (Lee et al. 2022 exact flavor):
     // docs containing an 8-token window that repeats anywhere in the
     // corpus, with merged-interval coverage via gaps-and-islands (one
@@ -2586,6 +2607,21 @@ object SparkEntry {
         | count(DISTINCT ev.eval_id) AS n_eval
         |FROM tr JOIN ev ON tr.shingle = ev.shingle
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "d24_corpus_datasheet" ->
+      """WITH b AS (
+        |  SELECT source, lang,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM b GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        | CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+        | CAST(n_docs AS DOUBLE) /
+        |   CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share
+        |FROM g ORDER BY source, lang""".stripMargin,
 
     "d23_substring_dup" ->
       """WITH toks AS (
