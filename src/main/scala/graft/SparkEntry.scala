@@ -1280,6 +1280,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the flagship pipeline with its decontamination stage armed: run
+    // the full corpus clean (normalize -> gate -> exact dedup ->
+    // DECONTAMINATE vs the eval split -> near-dup CC -> split) on the
+    // train side only. The stage sits after exact dedup (broadcast
+    // probe scans the shrunk survivors) and before near-dup (a leaking
+    // cluster representative cannot survive via its cluster)
+    "d25_pipeline_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      operators.CorpusPipeline.run(
+          all.filter(col("doc_id") % 20 =!= 7),
+          heldOut = Some(all.filter(col("doc_id") % 20 === 7)))
+        .orderBy("doc_id")
+    }),
+
     // per-doc rarity scoring: mean corpus document-frequency of the
     // doc's token occurrences — low mean_df = rare-vocabulary doc (the
     // inverse-df half of TF-IDF without the libm-divergent log). Exact
@@ -1976,15 +1990,43 @@ object SparkEntry {
 
   /** d13: the full corpus pipeline as one oracle — normalize, gate,
     * exact dedup, Jaccard pairs, recursive-CTE closure, split. */
-  private def d13Oracle: String = {
+  private def d13Oracle: String = corpusPipelineOracle(None, None)
+
+  /** The d13 pipeline oracle, parameterized: `where` filters the input
+    * corpus; `decontamWhere` selects the held-out split and inserts the
+    * 5-gram decontamination stage between exact dedup and near-dup,
+    * exactly where CorpusPipeline places it (both sides normalized). */
+  private def corpusPipelineOracle(
+      where: Option[String], decontamWhere: Option[String]): String = {
     val normExpr = "trim(regexp_replace(regexp_replace(lower(text), " +
       "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val src = where.map(w => s"documents WHERE $w").getOrElse("documents")
+    val five = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || " +
+      "tk[i+3] || ' ' || tk[i+4]"
+    val gate = decontamWhere match {
+      case Some(hw) =>
+        s"""hotk AS (SELECT string_split($normExpr, ' ') AS tk
+           |  FROM documents WHERE $hw),
+           |hosh AS (SELECT DISTINCT
+           |  unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+           |    i -> $five)) AS shingle FROM hotk),
+           |etk AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM e),
+           |esh AS (SELECT DISTINCT doc_id,
+           |  unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+           |    i -> $five)) AS shingle FROM etk),
+           |bad AS (SELECT DISTINCT esh.doc_id FROM esh
+           |  JOIN hosh ON esh.shingle = hosh.shingle),
+           |e2 AS (SELECT * FROM e
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),""".stripMargin
+      case None => "e2 AS (SELECT * FROM e),"
+    }
     s"""WITH RECURSIVE nrm AS (
-       | SELECT doc_id, $normExpr AS norm FROM documents),
+       | SELECT doc_id, $normExpr AS norm FROM $src),
        |q AS (SELECT doc_id, norm FROM nrm
        |  WHERE len(string_split(norm, ' ')) >= 30),
        |e AS (SELECT min(doc_id) AS doc_id, norm FROM q GROUP BY norm),
-       |toks AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM e),
+       |$gate
+       |toks AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM e2),
        |sh0 AS (SELECT DISTINCT doc_id,
        |  unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
@@ -1993,7 +2035,7 @@ object SparkEntry {
        |  SELECT doc_id, shingle FROM sh0
        |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
        |   (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
-       |    FROM e)),
+       |    FROM e2)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_both
@@ -2012,8 +2054,8 @@ object SparkEntry {
        |reach(a, b) AS (SELECT a, b FROM sym
        |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
        |cl AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
-       |kept AS (SELECT e.doc_id, e.norm FROM e
-       |  WHERE e.doc_id NOT IN (SELECT doc_id FROM cl WHERE rep <> doc_id))
+       |kept AS (SELECT e2.doc_id, e2.norm FROM e2
+       |  WHERE e2.doc_id NOT IN (SELECT doc_id FROM cl WHERE rep <> doc_id))
        |SELECT doc_id,
        | CASE WHEN (${sqlCharFold("norm", 137)}) % 100 < 80 THEN 'train'
        |      WHEN (${sqlCharFold("norm", 137)}) % 100 < 90 THEN 'val'
@@ -2827,6 +2869,8 @@ object SparkEntry {
     "d06_minhash_lsh" -> d06Oracle,
     "d09_dup_clusters" -> d09Oracle,
     "d13_corpus_pipeline" -> d13Oracle,
+    "d25_pipeline_decontam" -> corpusPipelineOracle(
+      Some("doc_id % 20 <> 7"), Some("doc_id % 20 = 7")),
 
     "d15_incremental_dedup" ->
       """WITH toks AS (

@@ -28,9 +28,11 @@ object CorpusPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       minTokens: Int = 30,
-      jaccardThreshold: Double = 0.6
+      jaccardThreshold: Double = 0.6,
+      heldOut: Option[DataFrame] = None,
+      decontamN: Int = 5
   ): DataFrame = stageFrames(docs, idCol, textCol, minTokens,
-    jaccardThreshold).last._2()
+    jaccardThreshold, heldOut, decontamN).last._2()
 
   /** The pipeline's stages as named cumulative frames (thunked — the
     * survivors checkpoint is EAGER, so frames must not materialize until
@@ -45,7 +47,9 @@ object CorpusPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       minTokens: Int = 30,
-      jaccardThreshold: Double = 0.6
+      jaccardThreshold: Double = 0.6,
+      heldOut: Option[DataFrame] = None,
+      decontamN: Int = 5
   ): Seq[(String, () => DataFrame)] = {
     lazy val norm = docs
       .select(col(idCol).as("doc_id"),
@@ -64,14 +68,27 @@ object CorpusPipeline {
       .groupBy("norm")
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "norm"))
-    lazy val pairs = Dedup.ngramJaccardPairs(survivors, "doc_id", "norm",
+    // Optional benchmark-decontamination stage (d20 semantics over the
+    // NORMALIZED text — both sides normalized identically, no quality
+    // gate on the benchmark): placed after exact dedup so the broadcast
+    // probe scans the already-shrunk survivors, before near-dup so a
+    // leaking cluster representative cannot survive via its cluster.
+    lazy val gated = heldOut match {
+      case None => survivors
+      case Some(ho) =>
+        val hoNorm = ho.select(lit(0L).as("doc_id"),
+          TextFunctions.normalizeText(col(textCol)).as("norm"))
+        Dedup.decontaminate(survivors, hoNorm, "doc_id", "norm",
+          decontamN)
+    }
+    lazy val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "norm",
       n = 3, threshold = jaccardThreshold)
     lazy val clusters = Dedup.duplicateClusters(pairs.select("id1", "id2"))
     lazy val split = {
       val dropIds = clusters
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
-      val kept = survivors.join(dropIds, Seq("doc_id"), "left_anti")
+      val kept = gated.join(dropIds, Seq("doc_id"), "left_anti")
       kept.select(
         col("doc_id"),
         {
@@ -79,9 +96,13 @@ object CorpusPipeline {
           when(b < 80, "train").when(b < 90, "val").otherwise("test")
         }.as("split"))
     }
-    Seq(
+    val head = Seq(
       "normalize_gate" -> (() => norm),
-      "survivors" -> (() => survivors),
+      "survivors" -> (() => survivors))
+    val mid =
+      if (heldOut.isDefined) Seq("decontaminate" -> (() => gated))
+      else Nil
+    head ++ mid ++ Seq(
       "jaccard_pairs" -> (() => pairs),
       "cc_clusters" -> (() => clusters),
       "anti_join_split" -> (() => split))

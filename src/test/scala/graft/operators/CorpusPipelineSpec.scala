@@ -41,6 +41,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(run.collect().toSet == fin.collect().toSet)
   }
 
+  test("armed decontamination stage drops leaking survivors before " +
+      "near-dup; unarmed pipeline is byte-identical to before") {
+    // doc 4 leaks a 5-gram of the benchmark (after normalization —
+    // note the punctuation the normalizer strips)
+    val heldOut = Seq(
+      (100L, "Benchmark prompt: different words about spark shuffles, ok?")
+    ).toDF("doc_id", "text")
+    val armed = CorpusPipeline.stageFrames(corpus,
+      minTokens = 5, jaccardThreshold = 0.5, heldOut = Some(heldOut))
+    assert(armed.map(_._1) == Seq("normalize_gate", "survivors",
+      "decontaminate", "jaccard_pairs", "cc_clusters", "anti_join_split"))
+    val out = CorpusPipeline.run(corpus, minTokens = 5,
+      jaccardThreshold = 0.5, heldOut = Some(heldOut))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L), s"doc 4 must be decontaminated away: $out")
+    // unarmed: same frames, same output as always
+    val plain = CorpusPipeline.run(corpus, minTokens = 5,
+      jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 4L))
+  }
+
   test("stageFrames is lazy: construction runs nothing (the survivors " +
       "checkpoint is eager once forced)") {
     // a corpus that THROWS on any evaluation: if stageFrames eagerly
