@@ -74,7 +74,9 @@ object Pack {
   /** [[packOffsets]] plus the context-window placement: which fixed
     * `window`-token chunks the row's span [start_off, start_off+weight)
     * touches. All chunk arithmetic is integral (`div`), so the values
-    * hash-match any engine. */
+    * hash-match any engine. Weights must be >= 1 (an empty span has no
+    * chunks; tokenizers never emit 0 — `split` of the empty string is
+    * `[""]` — but a synthetic 0-weight row would get last < first). */
   def packChunks(
       df: DataFrame,
       idCol: String,
