@@ -286,6 +286,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the streaming composition of the leakage gate: q73's exactly-once
+    // ingest (replayed delivery + per-batch dedup + exact-key delta)
+    // with q74's benchmark screen — the lake can never hold an
+    // eval-contaminated doc no matter how batches arrive or replay
+    "q76_stream_decontam" -> ((s, d) => {
+      val lake = scratch(s, "q76", d)
+      val src = scratch(s, "q76src", d)
+      val bench = scratch(s, "q76bench", d)
+      val all = docs(s, d)
+      all.filter(col("doc_id") % 20 === 7)
+        .write.mode("overwrite").parquet(bench)
+      val train = all.filter(col("doc_id") % 20 =!= 7)
+      train.write.parquet(s"$src/b1")
+      train.write.parquet(s"$src/b2") // full duplicate delivery
+      val sch = s.read.parquet(s"$src/b1").schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/b*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          LakeWriter(s, lake,
+              WriteMode.DeltaDecontam(Seq("doc_id"), "text", bench,
+                shingleN = 5))
+            .write(batch.dropDuplicates(Seq("doc_id")))
+        }
+        .option("checkpointLocation", s"$src/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(lake)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // A4: full-row distinct
     "q06_distinct_full" -> ((s, d) => {
       li(s, d)
@@ -1231,6 +1265,16 @@ object SparkEntry {
               .orderBy(col("content_hash"), col("doc_id"))).cast("long"))
         .filter(col("rk") <= k)
         .orderBy("lang", "rk")
+    }),
+
+    // directed containment pairs — the quote/subset detector: a doc
+    // wholly contained in another scores ~1 regardless of the
+    // container's length, where Jaccard would dilute. Same keyed
+    // shingle join + DF cap as d04, directed output
+    "d26_containment" -> ((s, d) => {
+      Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.7)
+        .orderBy("doc_id", "container_id")
     }),
 
     // benchmark decontamination (GPT-3 appendix-C style): flag training
@@ -2632,6 +2676,31 @@ object SparkEntry {
          |WHERE content_hash % 20 = 0 AND n_tokens >= 30
          |ORDER BY doc_id""".stripMargin,
 
+    "d26_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
+        |   (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
+        |    FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_both
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT ida AS doc_id, idb AS container_id,
+        | CAST(n_both AS DOUBLE) / CAST(ca.n AS DOUBLE) AS containment
+        |FROM inter JOIN cnt ca ON ca.doc_id = ida
+        |WHERE CAST(n_both AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.7
+        |ORDER BY doc_id, container_id""".stripMargin,
+
     "d20_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -3204,6 +3273,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT id_new FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q76_stream_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |          tk[i+3] || ' ' || tk[i+4])) AS shingle
+        |  FROM toks),
+        |ev AS (SELECT shingle FROM sh WHERE doc_id % 20 = 7),
+        |bad AS (SELECT DISTINCT tr.doc_id FROM sh tr
+        |        JOIN ev ON tr.shingle = ev.shingle
+        |        WHERE tr.doc_id % 20 <> 7)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % 20 <> 7
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
 
     "q74_delta_decontam" ->

@@ -191,6 +191,50 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Directed n-gram CONTAINMENT pairs: `C(a→b) = |sh(a) ∩ sh(b)| /
+    * |sh(a)|` — the asymmetric score Jaccard hides. A short doc quoted
+    * wholesale inside a long one scores containment ≈ 1 while its
+    * Jaccard stays tiny (the union is dominated by the container), so
+    * this is the quote/subset detector of the dedup family. Returns
+    * (idCol, container_id, containment) for every ORDERED pair ≥
+    * `threshold`, id ≠ container.
+    *
+    * Same keyed shingle-hash self-join discipline (and default DF skew
+    * cap) as [[ngramJaccardPairs]]; sizes come from the pruned universe
+    * so numerator and denominator share one shingle set. Directed
+    * output doubles the pair rows of the undirected join — same scale
+    * class. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.7,
+      maxShingleDf: Int = -1
+  ): DataFrame = {
+    val sh = shingleHashRows(df, idCol, textCol, n)
+    val dfCap =
+      if (maxShingleDf < 0) autoShingleDfCap(df.count()) else maxShingleDf
+    val shPruned =
+      if (dfCap > 0) {
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap)
+          .select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      } else sh
+    val sizes = shPruned.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    shPruned.as("a")
+      .join(shPruned.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))
+      .groupBy(col("a.doc").as(idCol), col("b.doc").as("container_id"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizes.withColumnRenamed("doc", idCol), idCol)
+      .withColumn("containment",
+        col("n_both").cast("double") / col("n_sh").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(idCol, "container_id", "containment")
+  }
+
   /** Incremental near-dup detection: Jaccard pairs BETWEEN an incoming
     * batch and an existing corpus (never within either side) — the
     * production ingest decision "is this new doc a near-dup of anything

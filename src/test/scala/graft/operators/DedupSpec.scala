@@ -204,6 +204,30 @@ class DedupSpec extends AnyFunSuite {
       s"over-flagging beyond FPR expectation: ${bloom.size} vs ${exact.size}")
   }
 
+  test("containmentPairs: a quoted doc scores ~1 into its container, " +
+      "not the reverse — the asymmetry Jaccard hides") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, quote),
+      (2L, s"long container starts here $quote and then continues with " +
+        "many additional other words making the union large"),
+      (3L, "entirely unrelated document about other things completely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.7, maxShingleDf = 0)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0,
+      s"quote must be fully contained: $pairs")
+    assert(!pairs.contains((2L, 1L)),
+      "the container must NOT score as contained")
+    // and Jaccard indeed hides it at the same bar
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.7, maxShingleDf = 0)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => Set(p._1, p._2) == Set(1L, 2L)))
+  }
+
   test("substringDupReport: merged-interval coverage for cross-doc and " +
       "self-repeated 8-token windows; clean docs absent") {
     val span = "s1 s2 s3 s4 s5 s6 s7 s8"
