@@ -1428,6 +1428,19 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // e03 on the int8 diet: SRP buckets, candidate join, and exact
+    // rerank all run over the QUANTIZED vectors — 4x less vector bytes
+    // through the shuffle, and every value stays integer-exact (dots,
+    // norms, bucket signs), so even the compressed index is
+    // hash-verified against the generated oracle (e09Oracle)
+    "e09_ann_quantized" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.srpTopK(e, e.filter(col("vec_id") < 10), dim = 64, k = 5,
+          nBits = 4, nTables = 4, quantized = true)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // IVF-style ANN: deterministic pivots (lowest ids), nearest-cell
     // assignment, nProbe query cells — coarse quantization, the other
     // standard ANN scale path next to SRP LSH (e03); fully SQL-oracled
@@ -2138,6 +2151,52 @@ object SparkEntry {
     s"""WITH v AS (SELECT vec_id,
        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+       |       (acc, x) -> acc + x)) AS nrm FROM v),
+       |$tableCtes,
+       |cand AS ($candUnion),
+       |p AS (SELECT id1, id2,
+       |  list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
+       |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+       |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2)
+       |SELECT id1, id2, sim, rank FROM (
+       |  SELECT id1, id2, sim,
+       |   CAST(row_number() OVER (PARTITION BY id1
+       |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
+       |  FROM p) t
+       |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
+  }
+
+  /** e09: e03's SRP ANN over int8-quantized vectors — the `v`/`n` CTEs
+    * quantize first (floor(x*127/scale + 0.5), the e07 convention);
+    * buckets, candidates, and rerank then reuse e03's exact shape over
+    * the integer-valued doubles. */
+  private def e09Oracle: String = {
+    val nTables = 4
+    val nBits = 4
+    val tableCtes = (0 until nTables)
+      .map(t => s"bk$t AS (SELECT vec_id, emb, nrm, " +
+        s"${sqlSrpBucket(nBits, 42L + t)} AS bucket FROM n)")
+      .mkString(",\n")
+    val candUnion = (0 until nTables)
+      .map(t =>
+        s"SELECT q.vec_id AS id1, c.vec_id AS id2 FROM bk$t q " +
+          s"JOIN bk$t c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id " +
+          s"WHERE q.vec_id < 10")
+      .mkString(" UNION ")
+    s"""WITH v0 AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+       |  FROM embeddings),
+       |sc AS (SELECT vec_id, raw,
+       |  list_reduce(list_transform(raw, x -> abs(x)),
+       |    (a, x) -> greatest(a, x)) AS scale FROM v0),
+       |v AS (SELECT vec_id,
+       |  list_transform(raw, x -> CASE WHEN scale = 0
+       |    THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(CAST(floor(x * 127 / scale + 0.5) AS BIGINT)
+       |         AS DOUBLE) END) AS emb
+       |  FROM sc),
        |n AS (SELECT vec_id, emb,
        |  sqrt(list_reduce(list_transform(emb, x -> x * x),
        |       (acc, x) -> acc + x)) AS nrm FROM v),
@@ -3095,6 +3154,7 @@ object SparkEntry {
     "d07_simhash" -> d07Oracle,
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,
+    "e09_ann_quantized" -> e09Oracle,
     "e04_ann_ivf" -> e04Oracle,
     "e05_embed_dedup" -> e05Oracle,
     "e06_incremental_embed" -> e06Oracle,

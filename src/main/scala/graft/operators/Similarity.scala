@@ -263,6 +263,24 @@ object Similarity {
     * join is keyed on (table, bucket) — one shuffle, never all-pairs.
     * Recall grows as 1-(1-p^nBits)^nTables; tune nBits (bucket
     * selectivity) against nTables (probes) for the corpus. */
+  /** int8 image of a vector frame in [[prep]]'s shape: emb = the
+    * quantized components AS DOUBLES (exact small integers — dots,
+    * norms, and SRP bucket signs over them are integer-exact and
+    * engine-reproducible), nrm = their norm. The ANN memory/shuffle
+    * diet: 4× smaller vectors end to end, scores are cosines of the
+    * quantized vectors (scale cancels — cosine is scale-invariant per
+    * vector). */
+  private def prepQuantized(
+      emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("__raw"))
+      .withColumn("__scale", maxAbs(col("__raw")))
+      .withColumn("emb",
+        transform(scalarQuantize(col("__raw"), col("__scale")),
+          _.cast("double")))
+      .withColumn("nrm", norm(col("emb")))
+      .select("vec_id", "emb", "nrm")
+
   def srpTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -272,16 +290,20 @@ object Similarity {
       k: Int = 5,
       nBits: Int = 8,
       nTables: Int = 3,
-      seed: Long = 42L
+      seed: Long = 42L,
+      quantized: Boolean = false
   ): DataFrame = {
+    def prepped(df: DataFrame) =
+      if (quantized) prepQuantized(df, idCol, vecCol)
+      else prep(df, idCol, vecCol)
     def withBuckets(df: DataFrame, idAs: String, embAs: String, nAs: String) =
       df.select(
         col("vec_id").as(idAs), col("emb").as(embAs), col("nrm").as(nAs),
         posexplode(array((0 until nTables).map(t =>
           srpBucket(col("emb"), dim, nBits, seed + t)): _*))
           .as(Seq("table", "bucket")))
-    val c = withBuckets(prep(corpus, idCol, vecCol), "id2", "emb2", "n2")
-    val q = withBuckets(prep(queries, idCol, vecCol), "id1", "emb1", "n1")
+    val c = withBuckets(prepped(corpus), "id2", "emb2", "n2")
+    val q = withBuckets(prepped(queries), "id1", "emb1", "n1")
     val w = Window.partitionBy("id1")
       .orderBy(col("sim").desc, col("id2").asc)
     q.join(c, Seq("table", "bucket"))

@@ -162,6 +162,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tri == full)
   }
 
+  test("quantized SRP ANN keeps nontrivial recall vs the exact " +
+      "full-precision top-k") {
+    val e = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val quant = Similarity.srpTopK(e, queries, dim = 64, k = 5,
+        nBits = 4, nTables = 4, quantized = true)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.4, s"quantized ANN recall too low: $recall")
+  }
+
   test("centroidOutliers: a planted inverted vector ranks as its " +
       "label's worst outlier; plan broadcasts centroids and group-limits") {
     // label 0: 9 vectors near +e1, one exactly inverted; label 1: all
