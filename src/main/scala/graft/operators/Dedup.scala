@@ -223,11 +223,18 @@ object Dedup {
         sh.join(broadcast(hot), Seq("sh"), "left_anti")
       } else sh
     val sizes = shPruned.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    shPruned.as("a")
+    // the self-join runs over UNORDERED pairs (half the matched rows of
+    // the naive directed join); both directions are emitted from the
+    // already-reduced pair frame, which is orders of magnitude smaller
+    val inter = shPruned.as("a")
       .join(shPruned.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))
-      .groupBy(col("a.doc").as(idCol), col("b.doc").as("container_id"))
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_lo"), col("b.doc").as("id_hi"))
       .agg(count(lit(1)).as("n_both"))
+    inter.select(col("id_lo").as(idCol),
+        col("id_hi").as("container_id"), col("n_both"))
+      .union(inter.select(col("id_hi").as(idCol),
+        col("id_lo").as("container_id"), col("n_both")))
       .join(sizes.withColumnRenamed("doc", idCol), idCol)
       .withColumn("containment",
         col("n_both").cast("double") / col("n_sh").cast("double"))
