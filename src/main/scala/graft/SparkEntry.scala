@@ -1379,6 +1379,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // stratified packing: one independent packed stream PER LANGUAGE
+    // (the multi-tenant training layout — each language trains from its
+    // own contiguous token space). Same distributed prefix sum as d21
+    // with the strip machinery keyed by (lang, strip); the serial
+    // prefix runs per language over its 32 strip totals
+    "d27_pack_by_lang" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long")
+            .as("n_tokens"),
+          TextFunctions.charFold(col("text"), 131).as("h"))
+        .transform(Pack.packChunks(_, "doc_id", "n_tokens", "h",
+          window = 256, strataCols = Seq("lang")))
+        .orderBy("doc_id")
+    }),
+
     // context-window chunking: split every doc into fixed 32-token
     // training sequences (the pack-into-context step of corpus prep).
     // One generate (explode of the per-doc chunk index range) + per-row
@@ -2855,6 +2871,25 @@ object SparkEntry {
          | (start_off + n_tokens - 1) // 256 - start_off // 256 + 1
          |   AS n_chunks,
          | (start_off // 256) // 32 AS shard
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "d27_pack_by_lang" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |   ${sqlCharFold("text", 131)} AS h
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, lang, n_tokens, h,
+         |   CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) - n_tokens AS start_off
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, h, start_off,
+         | start_off // 256 AS first_chunk,
+         | (start_off + n_tokens - 1) // 256 AS last_chunk,
+         | (start_off + n_tokens - 1) // 256 - start_off // 256 + 1
+         |   AS n_chunks
          |FROM o ORDER BY doc_id""".stripMargin,
 
     "d21_pack_sequences" ->

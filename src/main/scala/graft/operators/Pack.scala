@@ -43,7 +43,8 @@ object Pack {
       weightCol: String,
       hashCol: String,
       hashBits: Int = 31,
-      stripBits: Int = 5
+      stripBits: Int = 5,
+      strataCols: Seq[String] = Nil
   ): DataFrame = {
     require(stripBits >= 0 && stripBits < hashBits,
       s"stripBits $stripBits must be in [0, hashBits=$hashBits)")
@@ -51,21 +52,29 @@ object Pack {
     // strip totals from a plain rescan (map-side partial agg, tiny
     // shuffle) — cheaper than reusing the windowed frame, and both
     // passes assign strips by pure arithmetic so they always agree
+    val strata = strataCols.map(col)
     val totals = df
-      .groupBy(pid.as("__pid"))
+      .groupBy((strata :+ pid.as("__pid")): _*)
       .agg(sum(col(weightCol)).as("__tot"))
-    val wStrip = Window.orderBy("__pid")
+    // With strata: one independent offset space per stratum (the
+    // multi-tenant layout — e.g. one packed stream per language), so
+    // the serial prefix runs per stratum over its 2^stripBits strip
+    // totals. Without: one global space, single tiny partition.
+    val wStrip = (if (strataCols.nonEmpty)
+        Window.partitionBy(strataCols.map(col): _*)
+      else Window.partitionBy())
+      .orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // single-partition window over 2^stripBits rows — deliberately tiny
     val prefixes = totals
       .withColumn("__before", sum(col("__tot")).over(wStrip) - col("__tot"))
-      .select(col("__pid"), col("__before"))
-    val wIn = Window.partitionBy("__pid")
+      .select((strata :+ col("__pid")) :+ col("__before"): _*)
+    val wIn = Window
+      .partitionBy((strata :+ col("__pid")): _*)
       .orderBy(col(hashCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__pid", pid)
       .withColumn("__cum_in", sum(col(weightCol)).over(wIn))
-      .join(broadcast(prefixes), "__pid")
+      .join(broadcast(prefixes), strataCols :+ "__pid")
       .withColumn("start_off",
         col("__before") + col("__cum_in") - col(weightCol))
       .drop("__pid", "__cum_in", "__before")
@@ -84,9 +93,11 @@ object Pack {
       hashCol: String,
       window: Int,
       hashBits: Int = 31,
-      stripBits: Int = 5
+      stripBits: Int = 5,
+      strataCols: Seq[String] = Nil
   ): DataFrame =
-    packOffsets(df, idCol, weightCol, hashCol, hashBits, stripBits)
+    packOffsets(df, idCol, weightCol, hashCol, hashBits, stripBits,
+      strataCols)
       .withColumn("first_chunk", expr(s"start_off div $window"))
       .withColumn("last_chunk",
         expr(s"(start_off + $weightCol - 1) div $window"))

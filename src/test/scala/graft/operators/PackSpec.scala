@@ -60,6 +60,29 @@ class PackSpec extends AnyFunSuite {
     assert(touched == (0L until (total + C - 1) / C).toSet)
   }
 
+  test("stratified packOffsets == running packOffsets per stratum " +
+      "independently") {
+    val withLang = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        TextFunctions.charFold(col("text"), 131).as("h"))
+    val strat = Pack.packOffsets(withLang, "doc_id", "n_tokens", "h",
+        strataCols = Seq("lang"))
+      .select("doc_id", "start_off").as[(Long, Long)].collect().toMap
+    val langs = withLang.select("lang").distinct().as[String].collect()
+    langs.foreach { l =>
+      val solo = Pack.packOffsets(withLang.filter($"lang" === l),
+          "doc_id", "n_tokens", "h")
+        .select("doc_id", "start_off").as[(Long, Long)].collect()
+      solo.foreach { case (id, off) =>
+        assert(strat(id) == off,
+          s"stratified offset for doc $id (lang $l) diverges")
+      }
+    }
+  }
+
   test("shard-partitioned pack layout prunes to the requested shard " +
       "on read") {
     val dir = graft.TestSpark.tempDir("packshards")
