@@ -1444,6 +1444,23 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // the production ANN lifecycle: build the SRP index ONCE, persist
+    // it to the lake partitioned by table (query probes prune), reload,
+    // and serve the e03 queries from the persisted index — identical
+    // results to the in-memory path by construction, which is exactly
+    // what the shared oracle asserts (e10 uses e03's oracle verbatim)
+    "e10_persisted_index" -> ((s, d) => {
+      val root = scratch(s, "e10", d)
+      val e = emb(s, d)
+      Similarity.buildSrpIndex(e, dim = 64, nBits = 4, nTables = 4)
+        .write.mode("overwrite").partitionBy("table").parquet(root)
+      Similarity.srpTopKFromIndex(
+          s.read.parquet(root), e.filter(col("vec_id") < 10),
+          dim = 64, k = 5, nBits = 4, nTables = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // e03 on the int8 diet: SRP buckets, candidate join, and exact
     // rerank all run over the QUANTIZED vectors — 4x less vector bytes
     // through the shuffle, and every value stays integer-exact (dots,
@@ -3190,6 +3207,8 @@ object SparkEntry {
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,
     "e09_ann_quantized" -> e09Oracle,
+    // identity with the in-memory SRP path IS the persistence contract
+    "e10_persisted_index" -> e03Oracle,
     "e04_ann_ivf" -> e04Oracle,
     "e05_embed_dedup" -> e05Oracle,
     "e06_incremental_embed" -> e06Oracle,

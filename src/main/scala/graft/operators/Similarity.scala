@@ -281,6 +281,33 @@ object Similarity {
       .withColumn("nrm", norm(col("emb")))
       .select("vec_id", "emb", "nrm")
 
+  private def srpWithBuckets(
+      df: DataFrame, idAs: String, embAs: String, nAs: String,
+      dim: Int, nBits: Int, nTables: Int, seed: Long) =
+    df.select(
+      col("vec_id").as(idAs), col("emb").as(embAs), col("nrm").as(nAs),
+      posexplode(array((0 until nTables).map(t =>
+        srpBucket(col("emb"), dim, nBits, seed + t)): _*))
+        .as(Seq("table", "bucket")))
+
+  /** The shared tail of every SRP top-k: candidate equi-join on
+    * (table, bucket), dedup candidate pairs, exact cosine rerank,
+    * WindowGroupLimit-able per-query rank<=k. */
+  private def srpScoreTail(q: DataFrame, c: DataFrame, k: Int)
+      : DataFrame = {
+    val w = Window.partitionBy("id1")
+      .orderBy(col("sim").desc, col("id2").asc)
+    q.join(c, Seq("table", "bucket"))
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "emb1", "n1", "id2", "emb2", "n2")
+      .dropDuplicates("id1", "id2") // score each candidate pair once
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "sim", "rank")
+  }
+
   def srpTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -296,25 +323,55 @@ object Similarity {
     def prepped(df: DataFrame) =
       if (quantized) prepQuantized(df, idCol, vecCol)
       else prep(df, idCol, vecCol)
-    def withBuckets(df: DataFrame, idAs: String, embAs: String, nAs: String) =
-      df.select(
-        col("vec_id").as(idAs), col("emb").as(embAs), col("nrm").as(nAs),
-        posexplode(array((0 until nTables).map(t =>
-          srpBucket(col("emb"), dim, nBits, seed + t)): _*))
-          .as(Seq("table", "bucket")))
-    val c = withBuckets(prepped(corpus), "id2", "emb2", "n2")
-    val q = withBuckets(prepped(queries), "id1", "emb1", "n1")
-    val w = Window.partitionBy("id1")
-      .orderBy(col("sim").desc, col("id2").asc)
-    q.join(c, Seq("table", "bucket"))
-      .filter(col("id1") =!= col("id2"))
-      .select("id1", "emb1", "n1", "id2", "emb2", "n2")
-      .dropDuplicates("id1", "id2") // score each candidate pair once
-      .withColumn("sim",
-        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("id1", "id2", "sim", "rank")
+    val c = srpWithBuckets(prepped(corpus), "id2", "emb2", "n2",
+      dim, nBits, nTables, seed)
+    val q = srpWithBuckets(prepped(queries), "id1", "emb1", "n1",
+      dim, nBits, nTables, seed)
+    srpScoreTail(q, c, k)
+  }
+
+  /** Materialize the SRP index as a plain DataFrame — one row per
+    * (table, bucket, vec_id, emb, nrm) — ready to persist to the lake
+    * (partition or bucket it by `table`/`bucket` so query-time probes
+    * prune). Building once and re-reading replaces the corpus-side
+    * bucket computation of every later query: at 100 TB the index is
+    * written once per corpus version and each query batch touches only
+    * its buckets' files. */
+  def buildSrpIndex(
+      corpus: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nBits: Int = 8,
+      nTables: Int = 3,
+      seed: Long = 42L
+  ): DataFrame =
+    srpWithBuckets(prep(corpus, idCol, vecCol), "vec_id", "emb", "nrm",
+      dim, nBits, nTables, seed)
+      .select("table", "bucket", "vec_id", "emb", "nrm")
+
+  /** Serve top-k from a persisted [[buildSrpIndex]] table: queries
+    * compute their buckets with the SAME planes (dim/nBits/nTables/seed
+    * must match the build) and probe the index — the corpus is never
+    * re-bucketed, and bucket-partitioned storage turns the probe into a
+    * pruned scan. Results are identical to [[srpTopK]] by construction
+    * (e10 proves it under the oracle). */
+  def srpTopKFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nBits: Int = 8,
+      nTables: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    val c = index.select(col("table"), col("bucket"),
+      col("vec_id").as("id2"), col("emb").as("emb2"), col("nrm").as("n2"))
+    val q = srpWithBuckets(prep(queries, idCol, vecCol),
+      "id1", "emb1", "n1", dim, nBits, nTables, seed)
+    srpScoreTail(q, c, k)
   }
 
   /** Hash rank for stratified pivot sampling: offset then TWO MINSTD

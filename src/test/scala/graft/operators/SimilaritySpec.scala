@@ -162,6 +162,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tri == full)
   }
 
+  test("persisted SRP index round-trips: served top-k == in-memory " +
+      "top-k, probe prunes table partitions") {
+    val e = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val dir = graft.TestSpark.tempDir("srpidx")
+    Similarity.buildSrpIndex(e, dim = 64, nBits = 4, nTables = 4)
+      .write.mode("overwrite").partitionBy("table").parquet(dir)
+    val queries = e.filter($"vec_id" < 10)
+    val fromIdx = Similarity.srpTopKFromIndex(spark.read.parquet(dir),
+        queries, dim = 64, k = 5, nBits = 4, nTables = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val inMem = Similarity.srpTopK(e, queries, dim = 64, k = 5,
+        nBits = 4, nTables = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(fromIdx == inMem)
+    // a single-table probe prunes to that table's partition directories
+    val one = spark.read.parquet(dir).filter($"table" === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("(table"),
+      s"table predicate must prune the index scan:\n$plan")
+  }
+
   test("quantized SRP ANN keeps nontrivial recall vs the exact " +
       "full-precision top-k") {
     val e = spark.read
