@@ -1583,6 +1583,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // audio metadata: planted RIFF/WAVE payloads (every third with a
+    // LIST/INFO chunk BEFORE data, so the fixed-offset shortcut reads
+    // garbage — the native chunk walk is load-bearing; every fourth a
+    // non-WAV text payload -> nulls). duration_ms is pure integer
+    // arithmetic over the parsed fields, so the whole parse is
+    // hash-verified against the plant parameters
+    "m03_audio_meta" -> ((s, d) => {
+      Multimodal.plantedAudio(docs(s, d), "doc_id", "text")
+        .withColumn("m", Multimodal.wavMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.data_bytes").as("data_bytes"),
+          expr("m.data_bytes div (m.channels * (m.bits_per_sample div 8))" +
+            " * 1000 div m.sample_rate").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // Arrow IPC (Feather v2) source+sink under the oracle: parquet ->
     // IPC file -> LakeReader ipc scan -> rows. The oracle reads the same
     // parquet directly, so a value/type drift anywhere in the Arrow codec
@@ -3274,6 +3294,28 @@ object SparkEntry {
          |FROM x ORDER BY media_id, feat_idx""".stripMargin,
 
     "m01_media_meta" -> m01Oracle,
+
+    // expected values derive from the SAME id arithmetic the plant uses;
+    // the Spark side must recover them through the actual byte walk
+    "m03_audio_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 4 = 3 AS is_text,
+        |  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |   WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+        |  doc_id % 2 + 1 AS ch,
+        |  (doc_id % 400 + 100) AS n_frames
+        | FROM documents)
+        |SELECT media_id,
+        | CAST(CASE WHEN is_text THEN NULL ELSE sr END AS BIGINT)
+        |   AS sample_rate,
+        | CAST(CASE WHEN is_text THEN NULL ELSE ch END AS BIGINT)
+        |   AS channels,
+        | CAST(CASE WHEN is_text THEN NULL ELSE 16 END AS BIGINT)
+        |   AS bits_per_sample,
+        | CAST(CASE WHEN is_text THEN NULL ELSE n_frames * ch * 2 END
+        |   AS BIGINT) AS data_bytes,
+        | CAST(CASE WHEN is_text THEN NULL
+        |   ELSE n_frames * 1000 // sr END AS BIGINT) AS duration_ms
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // the Spark side routed the same rows through an Arrow IPC file;
     // the oracle reads the parquet source directly

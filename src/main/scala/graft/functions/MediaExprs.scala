@@ -76,6 +76,88 @@ object MediaDimsUtil {
   }
 }
 
+/** RIFF/WAVE header walker — the audio sibling of the image probe.
+  * Canonical WAVs put `fmt ` at offset 12, but real files interleave
+  * LIST/INFO (and other) chunks before `data`, so this walks the chunk
+  * list like a real demuxer instead of trusting fixed offsets. */
+object WavMetaUtil {
+
+  /** Walk the chunk list and pack `(sampleRate << 10) | (channels << 6)
+    * | bitsPerSample` — or -1 when the payload is not a parseable
+    * PCM-style WAV (bad magic, missing fmt, or fields out of packing
+    * range: rate < 2^21, channels < 16, bits < 64 cover every real
+    * file). */
+  def packFmt(bytes: Array[Byte], maxScan: Int): Long =
+    walk(bytes, maxScan, wantData = false)
+
+  /** The `data` chunk's declared byte size, or -1 when absent. */
+  def dataSize(bytes: Array[Byte], maxScan: Int): Long =
+    walk(bytes, maxScan, wantData = true)
+
+  private def walk(bytes: Array[Byte], maxScan: Int,
+      wantData: Boolean): Long = {
+    if (bytes == null) return -1L
+    val n = math.min(bytes.length, maxScan)
+    @inline def b(i: Int): Int = bytes(i) & 0xff
+    @inline def le16(i: Int): Int = b(i) | (b(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      b(i).toLong | (b(i + 1).toLong << 8) | (b(i + 2).toLong << 16) |
+        (b(i + 3).toLong << 24)
+    // "RIFF" .... "WAVE"
+    if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return -1L
+    var p = 12
+    while (p + 8 <= n) {
+      val size = le32(p + 4)
+      val isFmt =
+        b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' '
+      val isData =
+        b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a'
+      if (isData && wantData) return size
+      if (isFmt && !wantData) {
+        if (p + 8 + 16 > n) return -1L
+        val ch = le16(p + 10)
+        val rate = le32(p + 12)
+        val bits = le16(p + 22)
+        if (rate >= (1L << 21) || ch >= 16 || bits >= 64) return -1L
+        return (rate << 10) | (ch.toLong << 6) | bits.toLong
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    -1L
+  }
+}
+
+case class WavFmtPackExpr(child: Expression, maxScan: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "wav_fmt_pack"
+  override def nullSafeEval(input: Any): Any =
+    WavMetaUtil.packFmt(input.asInstanceOf[Array[Byte]], maxScan)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WavMetaUtil.packFmt($c, $maxScan)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : WavFmtPackExpr = copy(child = newChild)
+}
+
+case class WavDataSizeExpr(child: Expression, maxScan: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "wav_data_size"
+  override def nullSafeEval(input: Any): Any =
+    WavMetaUtil.dataSize(input.asInstanceOf[Array[Byte]], maxScan)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WavMetaUtil.dataSize($c, $maxScan)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : WavDataSizeExpr = copy(child = newChild)
+}
+
 /** Native packed image-dims probe: binary payload in, packed long out
   * (-1 = not parseable; see MediaDimsUtil.packDims). Stays inside
   * whole-stage codegen — the unpack (shifts + masks) composes with it in

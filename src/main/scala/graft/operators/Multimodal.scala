@@ -83,6 +83,74 @@ object Multimodal {
         .as("channels"))
   }
 
+  /** WAV header metadata as a struct: sample_rate / channels /
+    * bits_per_sample / data_bytes, null fields for non-WAV payloads.
+    * Two native chunk-walking passes over the byte prefix (WavFmtPackExpr
+    * / WavDataSizeExpr) — a real demuxer walk, so LIST/INFO chunks
+    * before `data` don't break the parse the way fixed offsets would. */
+  def wavMeta(payload: org.apache.spark.sql.Column, maxScan: Int = 256)
+      : org.apache.spark.sql.Column = {
+    val fmt = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WavFmtPackExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(payload), maxScan))
+    val ds = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WavDataSizeExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(payload), maxScan))
+    struct(
+      when(fmt >= 0L, shiftright(fmt, 10)).as("sample_rate"),
+      when(fmt >= 0L, shiftright(fmt, 6).bitwiseAND(lit(15L)))
+        .as("channels"),
+      when(fmt >= 0L, fmt.bitwiseAND(lit(63L))).as("bits_per_sample"),
+      when(ds >= 0L, ds).as("data_bytes"))
+  }
+
+  /** Deterministic planted WAV payloads (the audio analog of
+    * [[plantedMedia]]): canonical RIFF/WAVE headers whose sample rate,
+    * channel count and frame count all vary with the id, every third
+    * row carrying a LIST/INFO chunk BEFORE `data` (so a fixed-offset
+    * parse reads garbage there — the chunk walk is load-bearing), and
+    * every fourth row a non-WAV text payload (null metadata).
+    * Construction is hex + unhex, reproduced in the m03 oracle. */
+  def plantedAudio(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    // byte k of a little-endian field: power-of-two division is exact
+    // in double for these magnitudes (< 2^32), truncation = floor
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def le16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X", byteAt(c, 1L), byteAt(c, 256L))
+    def le32(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X%02X",
+        byteAt(c, 1L), byteAt(c, 256L), byteAt(c, 65536L),
+        byteAt(c, 16777216L))
+    val sr = when(id % 5 === 0, 8000L).when(id % 5 === 1, 16000L)
+      .when(id % 5 === 2, 22050L).when(id % 5 === 3, 44100L)
+      .otherwise(48000L)
+    val ch = (id % 2 + 1).cast("long")
+    val nFrames = (id % 400 + 100).cast("long")
+    val dataSize = nFrames * ch * 2L
+    val fmtChunk = concat(
+      lit("666D7420"), le32(lit(16L)), // "fmt ", size 16
+      le16(lit(1L)), le16(ch), le32(sr),
+      le32(sr * ch * 2L), le16(ch * 2L), le16(lit(16L)))
+    val listChunk = // "LIST" size=4 "INFO" — parked BEFORE data
+      concat(lit("4C495354"), le32(lit(4L)), lit("494E464F"))
+    val wavHex = concat(
+      lit("52494646"), le32(dataSize + lit(36L)), lit("57415645"),
+      fmtChunk,
+      when(id % 3 === 0, listChunk).otherwise(lit("")),
+      lit("64617461"), le32(dataSize))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 4 === 3, hex(col(textCol).cast("binary")))
+          .otherwise(wavHex)).as("payload"))
+  }
+
   /** Deterministic planted media payloads over a document table: by
     * `id % 3`, a well-formed PNG (IHDR + IEND), a well-formed baseline
     * JPEG (APP0 + variable-length COM + SOF0 + EOI), or the raw text

@@ -58,6 +58,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dims(5L) == ((None, None, None)))
   }
 
+  test("wavMeta walks chunk lists: fmt behind LIST/INFO parses, " +
+      "non-WAV and truncated payloads give nulls") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical 44.1k stereo 16-bit with a LIST chunk before data
+    val wav = hx("52494646 40000000 57415645" +
+      " 666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+      " 4C495354 04000000 494E464F" +
+      " 64617461 20000000")
+    val rows = Seq(
+      (1L, wav),
+      (2L, "definitely not a wav file at all".getBytes("UTF-8")),
+      (3L, hx("52494646 08000000 57415645")) // magic but no chunks
+    ).toDF("media_id", "payload")
+    val out = rows
+      .withColumn("m", Multimodal.wavMeta(col("payload")))
+      .select($"media_id", $"m.sample_rate", $"m.channels",
+        $"m.bits_per_sample", $"m.data_bytes")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) ==
+      ((Some(44100L), Some(2L), Some(16L), Some(32L))))
+    assert(out(2L) == ((None, None, None, None)))
+    assert(out(3L) == ((None, None, None, None)))
+  }
+
   test("plantedMedia payloads round-trip through the header parser") {
     val docs = (0L until 24L).map(i => (i, s"document number $i"))
       .toDF("doc_id", "text")
