@@ -115,7 +115,14 @@ object Bench {
     // same contract as Verify's third arg); full run when unset.
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(qs) if qs.trim.nonEmpty =>
-        qs.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
+        val asked = qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = asked.filterNot(SparkEntry.queries.contains)
+        // A typo'd name must not masquerade as a clean (partial) run —
+        // same fail-fast contract as Verify's third arg.
+        if (unknown.nonEmpty)
+          sys.error(s"SPARK_GRAFT_BENCH_ONLY names not in " +
+            s"SparkEntry.queries: ${unknown.mkString(", ")}")
+        asked
       case _ => SparkEntry.queries.keys.toSeq
     }
     val (times, errors) = timeQueries(names, reps, runNoop)

@@ -10,6 +10,12 @@ object Verify {
     // iteration on a subset; the driver always runs the full set)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    // a typo'd subset name must error, not silently verify nothing
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      if (unknown.nonEmpty)
+        sys.error(s"unknown query names: ${unknown.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

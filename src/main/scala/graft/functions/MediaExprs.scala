@@ -107,24 +107,34 @@ object WavMetaUtil {
     if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
         b(11) != 'E') return -1L
-    var p = 12
+    // Cursor and sizes stay in Long: a chunk size is an untrusted u32,
+    // and truncating it to Int (old code) let a crafted size like
+    // 0xFFFFFFF8 advance the cursor by zero — an unkillable tight loop
+    // on a malformed header. In Long the advance is always >= 8, so the
+    // walk strictly progresses and terminates.
+    var p = 12L
     while (p + 8 <= n) {
-      val size = le32(p + 4)
-      val isFmt =
-        b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' '
-      val isData =
-        b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a'
+      val pi = p.toInt
+      val size = le32(pi + 4) // u32 in [0, 2^32): never negative as Long
+      val isFmt = b(pi) == 'f' && b(pi + 1) == 'm' && b(pi + 2) == 't' &&
+        b(pi + 3) == ' '
+      val isData = b(pi) == 'd' && b(pi + 1) == 'a' && b(pi + 2) == 't' &&
+        b(pi + 3) == 'a'
+      // `data`'s declared size may exceed the scanned prefix — we only
+      // read the header, so return it without a bounds check.
       if (isData && wantData) return size
       if (isFmt && !wantData) {
-        if (p + 8 + 16 > n) return -1L
-        val ch = le16(p + 10)
-        val rate = le32(p + 12)
-        val bits = le16(p + 22)
+        // A fmt chunk declaring < 16 bytes cannot hold the PCM fields;
+        // reading on would interpret the *next* chunk's bytes as fmt.
+        if (size < 16 || p + 8 + 16 > n) return -1L
+        val ch = le16(pi + 10)
+        val rate = le32(pi + 12)
+        val bits = le16(pi + 22)
         if (rate >= (1L << 21) || ch >= 16 || bits >= 64) return -1L
         return (rate << 10) | (ch.toLong << 6) | bits.toLong
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      p += 8 + size.toInt + (size.toInt & 1)
+      p += 8L + size + (size & 1L)
     }
     -1L
   }

@@ -139,8 +139,13 @@ object Multimodal {
       le32(sr * ch * 2L), le16(ch * 2L), le16(lit(16L)))
     val listChunk = // "LIST" size=4 "INFO" — parked BEFORE data
       concat(lit("4C495354"), le32(lit(4L)), lit("494E464F"))
+    // RIFF length = everything after the 8-byte RIFF header: WAVE tag
+    // (4) + fmt chunk (24) + data header (8) = 36, plus 12 more when the
+    // LIST/INFO chunk is planted — a demuxer that validates the field
+    // must accept these fixtures.
+    val riffLen = dataSize + when(id % 3 === 0, lit(48L)).otherwise(lit(36L))
     val wavHex = concat(
-      lit("52494646"), le32(dataSize + lit(36L)), lit("57415645"),
+      lit("52494646"), le32(riffLen), lit("57415645"),
       fmtChunk,
       when(id % 3 === 0, listChunk).otherwise(lit("")),
       lit("64617461"), le32(dataSize))

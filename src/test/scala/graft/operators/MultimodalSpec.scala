@@ -85,6 +85,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == ((None, None, None, None)))
   }
 
+  test("wavMeta terminates on hostile chunk sizes (untrusted u32)") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    val prefix = "52494646 40000000 57415645"
+    val rows = Seq(
+      // chunk size 0xFFFFFFF8: as Int that's -8, the old walker's
+      // advance was 8 + (-8) + 0 = 0 — an infinite loop; as u32-in-Long
+      // the cursor jumps past n and the walk ends
+      (1L, hx(prefix + " 4C495354 F8FFFFFF 00000000")),
+      // size 0x7FFFFFFD (near Int.MaxValue): 8 + size overflowed Int to
+      // a negative index -> ArrayIndexOutOfBounds before the fix
+      (2L, hx(prefix + " 4C495354 FDFFFF7F 00000000")),
+      // fmt declaring 8 bytes: too small to hold PCM fields; reading on
+      // would interpret the following chunk's bytes as rate/bits
+      (3L, hx(prefix + " 666D7420 08000000 0100 0200 44AC0000" +
+        " 64617461 20000000"))
+    ).toDF("media_id", "payload")
+    val out = rows
+      .withColumn("m", Multimodal.wavMeta(col("payload")))
+      .select($"media_id", $"m.sample_rate", $"m.data_bytes")
+      .as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L) == ((None, None)))
+    assert(out(3L) == ((None, Some(32L)))) // data still found past bad fmt
+  }
+
+  test("plantedAudio RIFF length field is internally consistent") {
+    val docs = (0L until 24L).map(i => (i, s"document number $i"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.plantedAudio(docs, "doc_id", "text")
+      .filter($"media_id" % 4 =!= 3) // WAV rows only
+      .select($"media_id", col("payload")).as[(Long, Array[Byte])]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, bytes) =>
+      val declared = (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
+        ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
+      // header-only fixture: actual payload ends at the data header, so
+      // declared = header bytes after RIFF (len-8) + the data body the
+      // header promises
+      val nFrames = id % 400 + 100
+      val body = nFrames * (id % 2 + 1) * 2L
+      assert(declared == (bytes.length - 8) + body,
+        s"media_id=$id declared=$declared header=${bytes.length}")
+    }
+  }
+
   test("plantedMedia payloads round-trip through the header parser") {
     val docs = (0L until 24L).map(i => (i, s"document number $i"))
       .toDF("doc_id", "text")
