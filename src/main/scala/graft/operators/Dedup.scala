@@ -348,9 +348,15 @@ object Dedup {
     * distinct shingles is falsely flagged with probability
     * ~`1-(1-fpp)^s`, so calibrate `fpp ≈ targetDocRate / E[s]` (e.g.
     * 1e-4 for a ~0.5% doc-level rate at s≈50). Even at 1e-4 the filter
-    * is ~2.4 bytes/key vs 8 for exact hashes. Two actions on the eval
-    * side (count + filter build via `stat.bloomFilter`), then one
-    * corpus scan probing the broadcast filter. */
+    * is ~2.4 bytes/key vs 8 for exact hashes.
+    *
+    * Plan shape: the build is Spark's own `bloom_filter_agg`
+    * (`BloomFilterAggregate` — the aggregate behind runtime row-group
+    * filtering) in ONE eval-side job that also returns the shingle
+    * count, replacing the old count + `stat.bloomFilter` pair of
+    * driver actions; the corpus probe is `BloomFilterMightContain`
+    * over the serialized filter as a literal, so the hot path stays
+    * inside whole-stage codegen — no Scala closure UDF anywhere. */
   def bloomContaminatedIds(
       train: DataFrame,
       heldOut: DataFrame,
@@ -359,16 +365,51 @@ object Dedup {
       n: Int = 5,
       fpp: Double = 0.01
   ): DataFrame = {
-    val shEv = shingleHashRows(heldOut, idCol, textCol, n).select("sh")
-    // capacity = total (doc, shingle) rows: an upper bound on distinct
-    // shingles, so the realized FPR is at most `fpp`
-    val capacity = math.max(64L, shEv.count())
-    val bf = shEv.stat.bloomFilter("sh", capacity, fpp)
+    import org.apache.spark.sql.GraftSqlBridge.{column => exprCol, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.util.sketch.BloomFilter
+
     val spark = train.sparkSession
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val shEv = shingleHashRows(heldOut, idCol, textCol, n).select("sh")
+
+    // One aggregate job: shingle-row count (to audit capacity) + the
+    // filter itself. Capacity must be fixed before the pass, so build
+    // at `cap` and escalate — rebuild at the observed count — only if
+    // the guess was low (the FPR bound `fpp` is a guarantee, not a
+    // hope). First pass guesses from the eval side's doc count: one
+    // cheap count-only job over a 1-column scan, never over text.
+    def buildAt(cap: Long): (Long, Array[Byte]) = {
+      val bits = BloomFilter.optimalNumOfBits(cap, fpp)
+      // BloomFilterAggregate validates capacity/bits against the
+      // runtime-filter conf ceilings (4M items / 67M bits default) —
+      // scope-lift them; an eval suite at 1e-4 needs ~19 bits/key.
+      graft.lake.SchemaTools.withSessionConf(spark,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        math.max(4000000L, cap).toString) {
+        graft.lake.SchemaTools.withSessionConf(spark,
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+          math.max(67108864L, bits).toString) {
+          val agg = exprCol(new BloomFilterAggregate(
+              expression(col("sh")),
+              Literal(cap), Literal(bits)).toAggregateExpression())
+          val row = shEv.agg(count(col("sh")).as("n"), agg.as("bf")).head()
+          (row.getLong(0), row.getAs[Array[Byte]](1))
+        }
+      }
+    }
+    // ~E[shingles/doc] is corpus-dependent; 256 is generous for n=5 on
+    // web-scale docs, and an undershoot only costs one rebuild.
+    val guess = math.max(64L, heldOut.select(col(idCol)).count() * 256L)
+    val (actual, first) = buildAt(guess)
+    val bfBytes =
+      if (actual <= guess) first
+      else buildAt(math.max(64L, actual))._2
+
+    val probe = exprCol(new BloomFilterMightContain(
+      Literal(bfBytes), expression(col("sh"))))
     shingleHashRows(train, idCol, textCol, n)
-      .filter(mightContain(col("sh")))
+      .filter(probe)
       .select(col("doc").as(idCol))
       .distinct()
   }

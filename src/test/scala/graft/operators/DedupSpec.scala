@@ -204,6 +204,20 @@ class DedupSpec extends AnyFunSuite {
       s"over-flagging beyond FPR expectation: ${bloom.size} vs ${exact.size}")
   }
 
+  test("bloomContaminatedIds probe is codegen'd might_contain, not a UDF") {
+    val fixture = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val plan = Dedup.bloomContaminatedIds(
+        fixture.filter($"doc_id" % 20 =!= 7),
+        fixture.filter($"doc_id" % 20 === 7),
+        "doc_id", "text", n = 5, fpp = 1e-4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"probe should be BloomFilterMightContain:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"no closure UDF in the probe plan:\n$plan")
+  }
+
   test("containmentPairs: a quoted doc scores ~1 into its container, " +
       "not the reverse — the asymmetry Jaccard hides") {
     val quote = "alpha beta gamma delta epsilon zeta eta theta"
