@@ -143,11 +143,22 @@ final case class LakeWriter(
     * polars `struct.is_in` treat NULLs as equal, so a NULL-keyed row that
     * already exists must NOT be re-appended (a plain equi-join would never
     * match it, making delta appends non-idempotent for NULL-bearing data).
-    */
+    *
+    * The existing-keys side reads the `_keys/` sidecar when a trusted
+    * one covers this mode's key config (see [[KeySidecar]]) — for
+    * continuous ingest (streaming `foreachBatch` deltas) that turns the
+    * per-batch existing-side scan from O(lake) into O(distinct keys). */
   private def deltaDiff(df: DataFrame, d: WriteMode.Delta): DataFrame = {
     if (!targetHasData) return df
-    deltaDiffAgainst(df, d, spark.read.parquet(path))
+    deltaDiffAgainst(df, d, existingKeysSide(d))
   }
+
+  /** The frame the exact-key anti-join reads: the key-manifest sidecar
+    * when one is trusted and compatible, else the full dataset. */
+  private def existingKeysSide(d: WriteMode.Delta): DataFrame =
+    keySidecar.readFor(d).getOrElse(spark.read.parquet(path))
+
+  private[lake] def keySidecar: KeySidecar = KeySidecar(spark, path)
 
   /** The anti-diff itself, against an explicit existing-rows frame (path
     * datasets pass the parquet scan; bucketed tables pass the catalog
@@ -225,21 +236,22 @@ final case class LakeWriter(
   }
 
   /** Total on-disk bytes of the existing target dataset (driver-side file
-    * status listing — bounded by file count, no data scan). */
+    * status listing — bounded by file count, no data scan). Hidden
+    * directories (`_keys` sidecar) are excluded like Spark's own file
+    * index excludes them. */
   private def targetBytes: Long = {
     val p = new Path(path)
-    if (!fs.exists(p)) 0L
-    else {
-      val it = fs.listFiles(p, true)
-      var total = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        val name = f.getPath.getName
-        if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
-          total += f.getLen
+    if (!fs.exists(p)) return 0L
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    var total = 0L
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { s =>
+        if (!hidden(s.getPath.getName)) {
+          if (s.isDirectory) walk(s.getPath) else total += s.getLen
+        }
       }
-      total
-    }
+    walk(p)
+    total
   }
 
   /** Rows of `df` surviving BOTH delta gates: the exact-key anti-join,
@@ -252,7 +264,10 @@ final case class LakeWriter(
       d: WriteMode.DeltaNearDup
   ): DataFrame = {
     if (!targetHasData) return df
-    deltaNearDupDiffAgainst(df, d, spark.read.parquet(path))
+    // the scorer needs text from the data files, but the exact-key gate
+    // can still read the sidecar
+    deltaNearDupDiffAgainst(df, d, spark.read.parquet(path),
+      existingExact = Some(existingKeysSide(d.asDelta)))
   }
 
   private def deltaSemanticDiff(
@@ -260,7 +275,8 @@ final case class LakeWriter(
       d: WriteMode.DeltaSemantic
   ): DataFrame = {
     if (!targetHasData) return df
-    deltaSemanticDiffAgainst(df, d, spark.read.parquet(path))
+    deltaSemanticDiffAgainst(df, d, spark.read.parquet(path),
+      existingExact = Some(existingKeysSide(d.asDelta)))
   }
 
   /** The shared shape of both scored delta gates (text and embedding):
@@ -273,9 +289,11 @@ final case class LakeWriter(
       asDelta: WriteMode.Delta,
       existing: DataFrame,
       allowBroadcast: Boolean,
-      score: (DataFrame, DataFrame, String) => DataFrame
+      score: (DataFrame, DataFrame, String) => DataFrame,
+      existingExact: Option[DataFrame] = None
   ): DataFrame = {
-    val exact = deltaDiffAgainst(df, asDelta, existing, allowBroadcast)
+    val exact = deltaDiffAgainst(df, asDelta,
+      existingExact.getOrElse(existing), allowBroadcast)
     // Same window bound the exact diff applies internally: at scale this
     // prunes the corpus-side scan to the affected partitions.
     var bounded = existing
@@ -300,23 +318,27 @@ final case class LakeWriter(
       df: DataFrame,
       d: WriteMode.DeltaNearDup,
       existing: DataFrame,
-      allowBroadcast: Boolean = true
+      allowBroadcast: Boolean = true,
+      existingExact: Option[DataFrame] = None
   ): DataFrame =
     deltaScoredDiffAgainst(df, d.asDelta, existing, allowBroadcast,
       (nw, ex, idc) => graft.operators.Dedup
         .incrementalJaccardPairs(nw, ex, idc, d.textCol, d.shingleN,
-          d.threshold))
+          d.threshold),
+      existingExact)
 
   private def deltaSemanticDiffAgainst(
       df: DataFrame,
       d: WriteMode.DeltaSemantic,
       existing: DataFrame,
-      allowBroadcast: Boolean = true
+      allowBroadcast: Boolean = true,
+      existingExact: Option[DataFrame] = None
   ): DataFrame =
     deltaScoredDiffAgainst(df, d.asDelta, existing, allowBroadcast,
       (nw, ex, idc) => graft.operators.Similarity
         .incrementalSrpNearPairs(nw, ex, d.dim, idc, d.vecCol,
-          d.threshold, d.nBits, d.nTables))
+          d.threshold, d.nBits, d.nTables),
+      existingExact)
 
   /** Exact-key diff, then the benchmark-leakage screen. Survivor docs
     * whose `textCol` shares any `shingleN`-gram with the held-out set
@@ -387,6 +409,27 @@ final case class LakeWriter(
       case d: WriteMode.DeltaDecontam =>
         (deltaDecontamDiff(prepared, d), SaveMode.Append)
     }
+    // Key-manifest maintenance: Delta-family writes keep the `_keys/`
+    // sidecar current (dirty marker dropped before data lands, trust
+    // restored after the keys are appended); any other mode makes it
+    // stale, so invalidate BEFORE writing — a crash mid-write must not
+    // leave a trusted-but-wrong index behind.
+    val deltaCfg: Option[WriteMode.Delta] = mode match {
+      case d: WriteMode.Delta => Some(d)
+      case d: WriteMode.DeltaNearDup => Some(d.asDelta)
+      case d: WriteMode.DeltaSemantic => Some(d.asDelta)
+      case d: WriteMode.DeltaDecontam => Some(d.asDelta)
+      case _ => None
+    }
+    val sidecar = keySidecar
+    val before: Set[String] = deltaCfg match {
+      case Some(d) if d.subset.nonEmpty =>
+        sidecar.markDirty()
+        SchemaTools.listDataFiles(spark, path).toSet
+      case _ =>
+        sidecar.invalidate()
+        Set.empty
+    }
     var w = toWrite.write
       .mode(saveMode)
       .option("compression", compression)
@@ -394,6 +437,18 @@ final case class LakeWriter(
       w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.parquet(path)
+    deltaCfg.filter(_.subset.nonEmpty).foreach { d =>
+      val newFiles =
+        SchemaTools.listDataFiles(spark, path).filterNot(before)
+      // A sidecar failure must not fail a completed data write: the
+      // dirty marker already forces full-scan fallback + rebuild next
+      // time, which is exactly the safe degradation.
+      try sidecar.update(d, newFiles)
+      catch { case e: Exception =>
+        System.err.println(s"[lake] key sidecar update failed " +
+          s"(delta falls back to full scan): $e")
+      }
+    }
     onWrite()
   }
 

@@ -86,14 +86,20 @@ object SchemaTools {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
     if (fs.getFileStatus(p).isFile) return Seq(path)
-    val it = fs.listFiles(p, true)
+    // Skip hidden FILES and everything under hidden DIRECTORIES (`_keys`
+    // key-manifest sidecars, `_delta_log`-style metadata): Spark's own
+    // file index ignores both, so a recursive listFiles that only
+    // checked file names would disagree with what a read actually scans.
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
     val buf = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
-        buf += f.getPath.toString
-    }
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { s =>
+        if (!hidden(s.getPath.getName)) {
+          if (s.isDirectory) walk(s.getPath)
+          else buf += s.getPath.toString
+        }
+      }
+    walk(p)
     buf.toSeq
   }
 

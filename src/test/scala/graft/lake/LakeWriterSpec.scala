@@ -235,6 +235,160 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1, 2, 3, 5))
   }
 
+  test("delta maintains a trusted _keys sidecar; the next diff scans " +
+      "it instead of the data files") {
+    val dir = TestSpark.tempDir("sidecar")
+    val delta = WriteMode.Delta(subset = Seq("id"))
+    LakeWriter(spark, dir, delta).write(df3)
+    val w = LakeWriter(spark, dir, delta)
+    assert(w.keySidecar.trusted, "first delta write must establish the sidecar")
+    val plan = w.planDelta(Seq((3, "x"), (4, "d")).toDF("id", "v"))
+      .queryExecution.executedPlan.toString
+    // the only file scan in the diff plan is the sidecar — the per-batch
+    // existing-side cost is O(distinct keys), not O(lake)
+    assert(plan.contains("_keys"),
+      s"diff should read the key sidecar:\n$plan")
+    val fileScans = "FileScan parquet".r.findAllIn(plan).length
+    assert(fileScans == 1,
+      s"expected exactly the sidecar scan, got $fileScans:\n$plan")
+    // correctness unchanged: only id=4 is new
+    w.write(Seq((3, "x"), (4, "d")).toDF("id", "v"))
+    val byId = spark.read.parquet(dir).as[(Int, String)].collect().toMap
+    assert(byId == Map(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    // replay of the same batch is still a no-op through the sidecar
+    w.write(Seq((3, "x"), (4, "d")).toDF("id", "v"))
+    assert(spark.read.parquet(dir).count() == 4)
+    assert(w.keySidecar.trusted)
+  }
+
+  test("non-delta writes invalidate the sidecar; a dirty sidecar falls " +
+      "back to the full scan and is rebuilt by the next delta") {
+    val dir = TestSpark.tempDir("sidecar_inv")
+    val delta = WriteMode.Delta(subset = Seq("id"))
+    LakeWriter(spark, dir, delta).write(df3)
+    assert(LakeWriter(spark, dir, delta).keySidecar.trusted)
+    // append bypassing the delta gate: the sidecar no longer covers the
+    // data, so it must be gone
+    LakeWriter(spark, dir, WriteMode.Append)
+      .write(Seq((7, "g")).toDF("id", "v"))
+    assert(!LakeWriter(spark, dir, delta).keySidecar.trusted)
+    // next delta is still correct (full-scan fallback: id=7 exists even
+    // though no sidecar recorded it) and re-establishes the sidecar
+    val w = LakeWriter(spark, dir, delta)
+    val plan = w.planDelta(Seq((7, "G"), (8, "h")).toDF("id", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("_keys"),
+      s"dirty sidecar must not be read:\n$plan")
+    w.write(Seq((7, "G"), (8, "h")).toDF("id", "v"))
+    val ids = spark.read.parquet(dir).select("id").as[Int].collect().sorted
+    assert(ids.toSeq == Seq(1, 2, 3, 7, 8))
+    assert(w.keySidecar.trusted, "delta write must rebuild the sidecar")
+    // crash simulation: a dirty marker alone (manifest removed) also
+    // forces fallback, then trust is restored by the next write
+    w.keySidecar.markDirty()
+    assert(!w.keySidecar.trusted)
+    w.write(Seq((9, "i")).toDF("id", "v"))
+    assert(w.keySidecar.trusted)
+    assert(spark.read.parquet(dir).count() == 6)
+  }
+
+  test("sidecar covers the scored gates' exact diff and the onColumn " +
+      "window bound") {
+    val dir = TestSpark.tempDir("sidecar_sc")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val mode = WriteMode.Delta(subset = Seq("id"), onColumn = Some("ts"))
+    LakeWriter(spark, dir, mode).write(Seq(
+      (1, t("2024-01-01 00:00:00"), "a"),
+      (2, t("2024-01-02 00:00:00"), "b")).toDF("id", "ts", "v"))
+    val w = LakeWriter(spark, dir, mode)
+    assert(w.keySidecar.trusted)
+    // the sidecar stores ts alongside id, so the window bound applies
+    // to it: dup id=2 inside the window dropped, id=5 appended
+    w.write(Seq(
+      (2, t("2024-01-02 00:00:00"), "B"),
+      (5, t("2024-01-02 06:00:00"), "e")).toDF("id", "ts", "v"))
+    val ids = spark.read.parquet(dir).select("id").as[Int].collect().sorted
+    assert(ids.toSeq == Seq(1, 2, 5))
+    // near-dup gate: exact part reads the sidecar, scoring reads data
+    val dir2 = TestSpark.tempDir("sidecar_dnd")
+    val dnd = WriteMode.DeltaNearDup(Seq("doc_id"), "text", threshold = 0.5)
+    LakeWriter(spark, dir2, dnd).write(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text"))
+    val w2 = LakeWriter(spark, dir2, dnd)
+    assert(w2.keySidecar.trusted)
+    val plan2 = w2.planDelta(Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "completely different words about ships sailing the open sea"))
+      .toDF("doc_id", "text")).queryExecution.executedPlan.toString
+    assert(plan2.contains("_keys"),
+      s"scored gate's exact diff should read the sidecar:\n$plan2")
+    w2.write(Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "completely different words about ships sailing the open sea"))
+      .toDF("doc_id", "text"))
+    val docs = spark.read.parquet(dir2).select("doc_id").as[Long]
+      .collect().sorted
+    assert(docs.toSeq == Seq(1L, 4L)) // 3 is a near-dup of 1
+  }
+
+  test("sidecar compaction folds per-batch key files to a bounded count") {
+    val dir = TestSpark.tempDir("sidecar_cp")
+    val delta = WriteMode.Delta(subset = Seq("id"))
+    // several delta batches -> one sidecar part file each
+    (0 until 5).foreach { i =>
+      LakeWriter(spark, dir, delta)
+        .write(Seq((i, s"v$i")).toDF("id", "v"))
+    }
+    val w = LakeWriter(spark, dir, delta)
+    val sidecarDir = new java.io.File(dir, "_keys")
+    def parts() = sidecarDir.listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(parts() >= 4, s"expected per-batch key files, got ${parts()}")
+    // out-of-band compaction pass with a tight threshold
+    w.keySidecar.update(delta, Nil, compactAfter = 1)
+    assert(parts() <= 1 + 1, s"compaction should fold files, got ${parts()}")
+    assert(w.keySidecar.trusted)
+    // keys survived intact: replaying every batch appends nothing
+    (0 until 5).foreach { i =>
+      LakeWriter(spark, dir, delta)
+        .write(Seq((i, s"v$i")).toDF("id", "v"))
+    }
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
+  test("streaming foreachBatch delta: replayed delivery stays exactly-" +
+      "once and batches after the first diff through the sidecar") {
+    val lake = TestSpark.tempDir("sidecar_stream")
+    val src = TestSpark.tempDir("sidecar_stream_src")
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    rows.write.parquet(s"$src/b1")
+    rows.write.parquet(s"$src/b2") // full duplicate delivery
+    val sch = spark.read.parquet(s"$src/b1").schema
+    var sidecarTrustedMidStream = false
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/b*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val w = LakeWriter(spark, lake, WriteMode.Delta(Seq("doc_id")))
+        if (id > 0) sidecarTrustedMidStream |= w.keySidecar.trusted
+        w.write(batch.dropDuplicates(Seq("doc_id")))
+      }
+      .option("checkpointLocation", s"$src/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(lake).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(sidecarTrustedMidStream,
+      "batches after the first must find a trusted sidecar — the " +
+        "bounded per-batch existing-side scan")
+    assert(LakeWriter(spark, lake, WriteMode.Delta(Seq("doc_id")))
+      .keySidecar.trusted)
+  }
+
   test("delta anti-join broadcasts a small existing-keys side") {
     val dir = TestSpark.tempDir("deltabc")
     LakeWriter(spark, dir, WriteMode.Append).write(df3)
