@@ -1485,6 +1485,27 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // e04 served from the lake: pivots + cell-assigned corpus persisted
+    // once (assignment partitioned by cell), queries probe the stored
+    // index — identical results to the in-memory path (same oracle), and
+    // the broadcast query side arms dynamic partition pruning on the
+    // cell directories (asserted in PlanSpec)
+    "e11_persisted_ivf" -> ((s, d) => {
+      val root = scratch(s, "e11", d)
+      val e = emb(s, d)
+      val (pivots, assigned) =
+        Similarity.buildIvfIndex(e, nCells = 16)
+      pivots.write.mode("overwrite").parquet(s"$root/pivots")
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/index")
+      Similarity.ivfTopKFromIndex(
+          s.read.parquet(s"$root/pivots"),
+          s.read.parquet(s"$root/index"),
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // incremental ingest-vs-corpus embedding near-dup scoring (the
     // embedding analog of d15, and the scorer behind q71's DeltaSemantic
     // write): new = even vec_ids scored against the odd-id corpus only —
@@ -3230,6 +3251,7 @@ object SparkEntry {
     // identity with the in-memory SRP path IS the persistence contract
     "e10_persisted_index" -> e03Oracle,
     "e04_ann_ivf" -> e04Oracle,
+    "e11_persisted_ivf" -> e04Oracle,
     "e05_embed_dedup" -> e05Oracle,
     "e06_incremental_embed" -> e06Oracle,
     "q71_delta_semantic" -> q71Oracle,

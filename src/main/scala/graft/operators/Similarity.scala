@@ -518,6 +518,18 @@ object Similarity {
     val qAssigned = assign(prep(queries, idCol, vecCol), nProbe)
       .select(col("vec_id").as("id1"), col("emb").as("emb1"),
         col("nrm").as("n1"), col("cell"))
+    ivfScoreTail(qAssigned, cAssigned, k)
+  }
+
+  /** The cell-keyed probe + exact rerank shared by [[ivfTopK]] and
+    * [[ivfTopKFromIndex]]. No pair dedup needed: each corpus vector
+    * lives in exactly one cell (`assign(v, 1)`), so (id1, id2) cannot
+    * repeat across a query's probe cells. */
+  private def ivfScoreTail(
+      qAssigned: DataFrame,
+      cAssigned: DataFrame,
+      k: Int
+  ): DataFrame = {
     val w = Window.partitionBy("id1")
       .orderBy(col("sim").desc, col("id2").asc)
     qAssigned.join(cAssigned, Seq("cell"))
@@ -527,6 +539,62 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("id1", "id2", "sim", "rank")
-      .dropDuplicates("id1", "id2")
+  }
+
+  /** Materialize the IVF index for the lake: the pivot table
+    * `(cell, emb, nrm)` — `nCells` rows, the coarse quantizer — and the
+    * cell-assigned corpus `(cell, vec_id, emb, nrm)`. Persist the
+    * assignment partitioned by `cell` so query-time probes prune to
+    * `nProbe` cell directories; the corpus is assigned ONCE per version
+    * instead of per query batch — the IVF sibling of [[buildSrpIndex]].
+    * Unlike SRP (whose planes re-derive from the seed), IVF's quantizer
+    * is corpus-dependent state, so the pivot table must persist
+    * alongside the assignment: serving MUST use the stored pivots, or a
+    * corpus append would silently shift cell boundaries. */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCells: Int = 16
+  ): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = prep(corpus, idCol, vecCol)
+    val pivots = pivotSet(v, nCells)
+    val pivotDf = pivots.toSeq.toDF("cell", "emb", "nrm")
+    val assigned = assignCells(v, pivots, 1)
+      .select("cell", "vec_id", "emb", "nrm")
+    (pivotDf, assigned)
+  }
+
+  /** Serve IVF top-k from a persisted [[buildIvfIndex]] pair without
+    * touching the raw corpus: queries are assigned to their `nProbe`
+    * nearest stored pivots (a literal projection — the pivot table is
+    * `nCells` rows, collected driver-side like the build) and probe the
+    * assignment by cell. With the index partitioned by `cell`, the
+    * broadcast query side triggers dynamic partition pruning: only the
+    * probed cells' files are read. Results are identical to [[ivfTopK]]
+    * on the same corpus by construction (e11 proves it under the
+    * oracle). */
+  def ivfTopKFromIndex(
+      pivots: DataFrame,
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val parr = pivots.select("cell", "emb", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1) // assignment tie-breaks on cell id, order-free
+    val qAssigned = assignCells(prep(queries, idCol, vecCol), parr, nProbe)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("nrm").as("n1"), col("cell"))
+    val cAssigned = index.select(col("cell"), col("vec_id").as("id2"),
+      col("emb").as("emb2"), col("nrm").as("n2"))
+    // queries << index: broadcasting the assigned-query side both avoids
+    // shuffling the index and arms DPP on its cell partitions
+    ivfScoreTail(broadcast(qAssigned), cAssigned, k)
   }
 }

@@ -99,6 +99,17 @@ class PlanSpec extends AnyFunSuite {
       "band join must shuffle on (band, band_hash), never cross join")
   }
 
+  test("e11: persisted-IVF probe dynamically prunes the cell partitions") {
+    val p = plan("e11_persisted_ivf")
+    // the index side is partitioned by cell and the assigned-query side
+    // broadcasts, so the scan must carry a dynamic pruning predicate —
+    // at scale only the probed cells' directories are read
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"index scan should be dynamically pruned on cell:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"assigned queries must broadcast into the index probe:\n$p")
+  }
+
   test("no query in the library plans a cartesian or nested-loop join") {
     // The only two queries whose SEMANTICS are a bounded cross product:
     //  - q55: the cross-join operator itself (5x25 by contract)
