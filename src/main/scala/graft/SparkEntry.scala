@@ -233,6 +233,32 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Delta ingest under SCHEMA DRIFT (the reference's enforce-on-write,
+    // writer.py:529-571, composed INTO the delta path): batch 1 carries
+    // (o_orderkey, o_custkey::int, o_totalprice); batch 2 drifts — it
+    // adds o_orderdate and widens o_custkey to bigint. The write unifies
+    // both sides on the K10 promotion ladder BEFORE the anti-join,
+    // appends the conformed batch, and the now-heterogeneous-on-disk
+    // dataset reads back through readUnified: batch-1 rows null-filled
+    // on o_orderdate and promoted on o_custkey, keys %4=1 dropped as
+    // exact dups, %4=2 appended with the drifted columns intact
+    "q77_delta_schema_drift" -> ((s, d) => {
+      val root = scratch(s, "q77", d)
+      val o = ord(s, d)
+      LakeWriter(s, root, WriteMode.Overwrite)
+        .write(o.filter(pmod(col("o_orderkey"), lit(4L)) < 2L)
+          .select(col("o_orderkey"),
+            col("o_custkey").cast("int").as("o_custkey"),
+            col("o_totalprice")))
+      LakeWriter(s, root, WriteMode.Delta(Seq("o_orderkey")))
+        .write(o.filter(pmod(col("o_orderkey"), lit(4L)).isin(1L, 2L))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice")))
+      SchemaTools.readUnified(s, root)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
     // a TimeFly dataset, snapshotted, clobbered by a later (bad) write,
     // then RESTORED from the snapshot — training-data releases are
@@ -3415,6 +3441,30 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // delta under schema drift: the unified union-diff — batch-1 rows
+    // with o_orderdate null-filled and o_custkey promoted to bigint,
+    // plus batch-2 rows whose keys the anti-join let through
+    "q77_delta_schema_drift" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 < 2),
+        |b2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 IN (1, 2)),
+        |app AS (
+        |  SELECT * FROM b2
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b1))
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |       CAST(NULL AS TIMESTAMP) AS o_orderdate,
+        |       o_orderkey, o_totalprice
+        |FROM b1
+        |UNION ALL
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey, o_orderdate,
+        |       o_orderkey, o_totalprice
+        |FROM app
+        |ORDER BY o_orderkey""".stripMargin,
 
     // near-dup-aware delta ingest: base (doc_id % 4 <> 0) plus batch
     // survivors — even ids minus exact-key dups (% 4 = 2) minus rows

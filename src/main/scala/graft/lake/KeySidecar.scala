@@ -130,8 +130,11 @@ final case class KeySidecar(spark: SparkSession, datasetPath: String) {
       writeJson(manifestPath, stored.get)
     } else {
       // bootstrap / reshape: distinct keys of the full dataset as of now
+      // (safeRead: a post-drift heterogeneous dataset must be unified,
+      // not footer-sampled, or the rebuilt index could miss columns)
       val tmp = new Path(datasetPath, "_keys_tmp")
-      spark.read.parquet(datasetPath).select(need.map(col): _*).distinct()
+      SchemaTools.safeRead(spark, datasetPath)
+        .select(need.map(col): _*).distinct()
         .write.mode("overwrite").parquet(tmp.toString)
       if (fs.exists(dir)) fs.delete(dir, true)
       fs.rename(tmp, dir)

@@ -3,6 +3,7 @@ package graft.lake
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Write modes of the reference
   * (`/root/reference/src/pydala/dataset/writer.py:113-124`). */
@@ -156,7 +157,7 @@ final case class LakeWriter(
   /** The frame the exact-key anti-join reads: the key-manifest sidecar
     * when one is trusted and compatible, else the full dataset. */
   private def existingKeysSide(d: WriteMode.Delta): DataFrame =
-    keySidecar.readFor(d).getOrElse(spark.read.parquet(path))
+    keySidecar.readFor(d).getOrElse(SchemaTools.safeRead(spark, path))
 
   private[lake] def keySidecar: KeySidecar = KeySidecar(spark, path)
 
@@ -266,7 +267,7 @@ final case class LakeWriter(
     if (!targetHasData) return df
     // the scorer needs text from the data files, but the exact-key gate
     // can still read the sidecar
-    deltaNearDupDiffAgainst(df, d, spark.read.parquet(path),
+    deltaNearDupDiffAgainst(df, d, SchemaTools.safeRead(spark, path),
       existingExact = Some(existingKeysSide(d.asDelta)))
   }
 
@@ -275,7 +276,7 @@ final case class LakeWriter(
       d: WriteMode.DeltaSemantic
   ): DataFrame = {
     if (!targetHasData) return df
-    deltaSemanticDiffAgainst(df, d, spark.read.parquet(path),
+    deltaSemanticDiffAgainst(df, d, SchemaTools.safeRead(spark, path),
       existingExact = Some(existingKeysSide(d.asDelta)))
   }
 
@@ -372,23 +373,94 @@ final case class LakeWriter(
     keyed(exact).join(broadcast(bad), Seq(idc), "left_anti").drop(idc)
   }
 
+  /** Schema-drift handling for Delta-family ingest (the reference's
+    * enforce-on-write, `writer.py:529-571`, composed INTO the delta path
+    * instead of left as a separate rewrite): when the incoming batch's
+    * schema diverges from the target's unified on-disk schema, conform
+    * BOTH sides to the promoted name-union (K10 `unifySchemas` ladder)
+    * before diffing, and append the conformed batch. Detection is O(1)
+    * against the `_schema.json` marker (footer-sweep fallback when
+    * absent); the no-drift fast path adds zero work. The existing side
+    * under drift reads via [[SchemaTools.readUnified]] — per-schema-group
+    * scans, still pushdown-friendly. Old files keep their old schema
+    * (readers unify; `rewriteUnified` / compaction conforms physically).
+    * Hive-partitioned targets keep the strict path: partition columns
+    * live in paths, not footers, so footer-based drift detection would
+    * misfire — and partitioned ingest drift is a layout change, not a
+    * cast. Returns (conformed batch, conformed existing) or None. */
+  private def driftUnified(
+      batch: DataFrame,
+      target: StructType
+  ): Option[(DataFrame, DataFrame)] = {
+    if (SchemaTools.typeMap(batch.schema) == SchemaTools.typeMap(target))
+      return None
+    val unified = SchemaTools.unifySchemas(Seq(target, batch.schema))
+    Some((
+      SchemaTools.conformTo(batch, unified),
+      SchemaTools.conformTo(SchemaTools.readUnified(spark, path), unified)
+    ))
+  }
+
+  private def isDeltaFamily: Boolean = mode match {
+    case _: WriteMode.Delta | _: WriteMode.DeltaNearDup |
+        _: WriteMode.DeltaSemantic | _: WriteMode.DeltaDecontam => true
+    case _ => false
+  }
+
+  private def detectDrift(
+      prepared: DataFrame,
+      preTarget: Option[SchemaTools.SchemaMarkerInfo]
+  ): Option[(DataFrame, DataFrame)] =
+    if (!isDeltaFamily || partitionBy.nonEmpty) None
+    else preTarget.flatMap(t => driftUnified(prepared, t.schema))
+
   /** The DataFrame a Delta-mode write would append (audit hook: lets specs
     * and operators inspect the anti-join plan without writing). */
-  def planDelta(df: DataFrame): DataFrame = mode match {
-    case d: WriteMode.Delta => deltaDiff(transform(pipeline(df)), d)
-    case d: WriteMode.DeltaNearDup =>
-      deltaNearDupDiff(transform(pipeline(df)), d)
-    case d: WriteMode.DeltaSemantic =>
-      deltaSemanticDiff(transform(pipeline(df)), d)
-    case d: WriteMode.DeltaDecontam =>
-      deltaDecontamDiff(transform(pipeline(df)), d)
-    case _ =>
-      throw new IllegalStateException(
-        "planDelta requires a Delta-family write mode")
+  def planDelta(df: DataFrame): DataFrame = {
+    val prepared0 = transform(pipeline(df))
+    val drift = detectDrift(
+      prepared0,
+      if (targetHasData) SchemaTools.datasetSchemaInfo(spark, path)
+      else None)
+    val prepared = drift.map(_._1).getOrElse(prepared0)
+    mode match {
+      case d: WriteMode.Delta =>
+        drift.map { case (b, ex) => deltaDiffAgainst(b, d, ex) }
+          .getOrElse(deltaDiff(prepared, d))
+      case d: WriteMode.DeltaNearDup =>
+        drift.map { case (b, ex) => deltaNearDupDiffAgainst(b, d, ex) }
+          .getOrElse(deltaNearDupDiff(prepared, d))
+      case d: WriteMode.DeltaSemantic =>
+        drift.map { case (b, ex) => deltaSemanticDiffAgainst(b, d, ex) }
+          .getOrElse(deltaSemanticDiff(prepared, d))
+      case d: WriteMode.DeltaDecontam =>
+        drift.map { case (b, ex) =>
+          decontamScreen(deltaDiffAgainst(b, d.asDelta, ex), d)
+        }.getOrElse(deltaDecontamDiff(prepared, d))
+      case _ =>
+        throw new IllegalStateException(
+          "planDelta requires a Delta-family write mode")
+    }
   }
 
   def write(df: DataFrame): Unit = {
-    val prepared = transform(pipeline(df))
+    val prepared0 = transform(pipeline(df))
+    val hadData = targetHasData
+    // Pre-write target schema: for Delta-family the drift check needs the
+    // authoritative unified schema; for plain appends only the cheap
+    // marker is consulted (an unmarkered pre-existing dataset keeps no
+    // marker — writing one from the batch alone could claim a unified
+    // schema the old files don't have).
+    val preTarget: Option[SchemaTools.SchemaMarkerInfo] =
+      if (!hadData) None
+      else mode match {
+        case _: WriteMode.Delta | _: WriteMode.DeltaNearDup |
+            _: WriteMode.DeltaSemantic | _: WriteMode.DeltaDecontam =>
+          SchemaTools.datasetSchemaInfo(spark, path)
+        case _ => SchemaTools.readSchemaMarkerInfo(spark, path)
+      }
+    val drift = detectDrift(prepared0, preTarget)
+    val prepared = drift.map(_._1).getOrElse(prepared0)
     val (toWrite, saveMode) = mode match {
       case WriteMode.Raise =>
         // Our emptiness check IS the raise semantics (the reference raises
@@ -401,13 +473,19 @@ final case class LakeWriter(
         (prepared, SaveMode.Append)
       case WriteMode.Overwrite => (prepared, SaveMode.Overwrite)
       case WriteMode.Append => (prepared, SaveMode.Append)
-      case d: WriteMode.Delta => (deltaDiff(prepared, d), SaveMode.Append)
+      case d: WriteMode.Delta =>
+        (drift.map { case (b, ex) => deltaDiffAgainst(b, d, ex) }
+          .getOrElse(deltaDiff(prepared, d)), SaveMode.Append)
       case d: WriteMode.DeltaNearDup =>
-        (deltaNearDupDiff(prepared, d), SaveMode.Append)
+        (drift.map { case (b, ex) => deltaNearDupDiffAgainst(b, d, ex) }
+          .getOrElse(deltaNearDupDiff(prepared, d)), SaveMode.Append)
       case d: WriteMode.DeltaSemantic =>
-        (deltaSemanticDiff(prepared, d), SaveMode.Append)
+        (drift.map { case (b, ex) => deltaSemanticDiffAgainst(b, d, ex) }
+          .getOrElse(deltaSemanticDiff(prepared, d)), SaveMode.Append)
       case d: WriteMode.DeltaDecontam =>
-        (deltaDecontamDiff(prepared, d), SaveMode.Append)
+        (drift.map { case (b, ex) =>
+          decontamScreen(deltaDiffAgainst(b, d.asDelta, ex), d)
+        }.getOrElse(deltaDecontamDiff(prepared, d)), SaveMode.Append)
     }
     // Key-manifest maintenance: Delta-family writes keep the `_keys/`
     // sidecar current (dirty marker dropped before data lands, trust
@@ -423,9 +501,16 @@ final case class LakeWriter(
     }
     val sidecar = keySidecar
     val before: Set[String] = deltaCfg match {
-      case Some(d) if d.subset.nonEmpty =>
+      case Some(d) if d.subset.nonEmpty && drift.isEmpty =>
         sidecar.markDirty()
         SchemaTools.listDataFiles(spark, path).toSet
+      case Some(_) if drift.isDefined =>
+        // Drift write: key types may promote, and the sidecar's parquet
+        // part files can't absorb a type-changed append — drop the index
+        // outright (the next non-drift delta rebuilds it from the
+        // unified dataset).
+        sidecar.invalidate()
+        Set.empty
       case _ =>
         sidecar.invalidate()
         Set.empty
@@ -437,7 +522,7 @@ final case class LakeWriter(
       w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.parquet(path)
-    deltaCfg.filter(_.subset.nonEmpty).foreach { d =>
+    deltaCfg.filter(_ => drift.isEmpty).filter(_.subset.nonEmpty).foreach { d =>
       val newFiles =
         SchemaTools.listDataFiles(spark, path).filterNot(before)
       // A sidecar failure must not fail a completed data write: the
@@ -448,6 +533,33 @@ final case class LakeWriter(
         System.err.println(s"[lake] key sidecar update failed " +
           s"(delta falls back to full scan): $e")
       }
+    }
+    // `_schema.json` maintenance (written AFTER data, like the sidecar:
+    // a crash leaves it absent/stale and readers fall back to footers).
+    // Fresh/overwritten datasets take the batch schema; append-family
+    // writes fold the batch into the known pre-write schema, and the
+    // homogeneity flag survives only when the appended files physically
+    // match it. An unmarkered pre-existing dataset under plain Append
+    // stays unmarkered — claiming a unified schema from the batch alone
+    // could contradict the old files.
+    val markerInfo: Option[(StructType, Boolean)] = mode match {
+      case WriteMode.Overwrite => Some((toWrite.schema, true))
+      case _ if !hadData => Some((toWrite.schema, true))
+      case _ =>
+        preTarget.map { t =>
+          val sameTypes =
+            SchemaTools.typeMap(toWrite.schema) ==
+              SchemaTools.typeMap(t.schema)
+          (SchemaTools.unifySchemas(Seq(t.schema, toWrite.schema)),
+            t.homogeneous && sameTypes)
+        }
+    }
+    try markerInfo.foreach { case (sch, homo) =>
+      SchemaTools.writeSchemaMarker(spark, path, sch, homo)
+    }
+    catch { case e: Exception =>
+      System.err.println(s"[lake] schema marker update failed " +
+        s"(drift detection falls back to footers): $e")
     }
     onWrite()
   }

@@ -50,11 +50,32 @@ object SchemaTools {
     DoubleType -> 6
   )
 
+  /** Strip nullability flags for type comparison: parquet round-trips
+    * and local Datasets disagree on `containsNull`/field nullability for
+    * identical logical types, and a drift check must not fire on that. */
+  def normalizeType(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(normalizeType(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(normalizeType(k), normalizeType(v), valueContainsNull = true)
+    case StructType(fs) => StructType(fs.map(f =>
+      StructField(f.name, normalizeType(f.dataType), nullable = true)))
+    case other => other
+  }
+
+  /** name → normalized type, the comparison form for drift detection. */
+  def typeMap(st: StructType): Map[String, DataType] =
+    st.fields.map(f => f.name -> normalizeType(f.dataType)).toMap
+
   /** Promote two types to their common supertype per the reference ladder.
     * Unmatchable combinations promote to string (the reference's top type,
-    * `utils/dataset.py:13-22`). */
+    * `utils/dataset.py:13-22`). Arrays promote elementwise — embedding
+    * columns (array<float> vs array<double>) must widen, not degrade to
+    * string. */
   def promote(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
+    case (x, y) if normalizeType(x) == normalizeType(y) => normalizeType(x)
+    case (ArrayType(x, _), ArrayType(y, _)) =>
+      ArrayType(promote(x, y), containsNull = true)
     case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
       if (numericRank(x) >= numericRank(y)) x else y
     case (DateType, TimestampType) | (TimestampType, DateType) =>
@@ -124,6 +145,21 @@ object SchemaTools {
     } finally pool.shutdown()
   }
 
+  /** Project `df` onto the unified schema: common columns cast to the
+    * promoted type, missing columns null-filled, output order = the
+    * unified (name-sorted) order. The single conform step shared by the
+    * heterogeneous read, the physical rewrite, and the drift-tolerant
+    * Delta write path. */
+  def conformTo(df: DataFrame, unified: StructType): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    df.select(unified.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(f.dataType)
+        .as(f.name)
+    }: _*)
+  }
+
   /** Read a (possibly schema-heterogeneous) parquet dataset, unified.
     *
     * Files are grouped by their physical schema; each group is scanned once
@@ -145,14 +181,7 @@ object SchemaTools {
     val unified = unifySchemas(bySchema.map(_._1))
     bySchema
       .map { case (schema, groupFiles) =>
-        val df = spark.read.schema(schema).parquet(groupFiles: _*)
-        val have = schema.fieldNames.toSet
-        df.select(unified.fields.toSeq.map { f =>
-          if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else org.apache.spark.sql.functions.lit(null)
-            .cast(f.dataType)
-            .as(f.name)
-        }: _*)
+        conformTo(spark.read.schema(schema).parquet(groupFiles: _*), unified)
       }
       .reduce(_.unionByName(_))
   }
@@ -167,6 +196,103 @@ object SchemaTools {
       StructField(n, parseType(t), nullable = true)
     })
 
+  /** What the `_schema.json` marker records: the dataset's unified
+    * schema and whether every data file physically carries it
+    * (`homogeneous = false` after a drift append — readers must unify). */
+  final case class SchemaMarkerInfo(
+      schema: StructType,
+      homogeneous: Boolean
+  )
+
+  /** The `_schema.json` marker: a one-line cache of the dataset's
+    * unified schema at its root, maintained by [[LakeWriter]] on every
+    * completed write. Purpose: O(1) drift detection for the
+    * drift-tolerant Delta path — without it every Delta write against a
+    * possibly-heterogeneous target would pay a per-file footer sweep.
+    * Trust model mirrors the `_keys` sidecar: the marker is written
+    * AFTER the data lands, so a crash leaves it absent/stale and readers
+    * fall back to the authoritative per-file footer unification
+    * ([[fileSchemas]] + [[unifySchemas]]) — degraded cost, never wrong
+    * results. Codec is the flat name→type map the TOML metadata already
+    * uses (`utils/dataset.py:142-170`). */
+  def readSchemaMarkerInfo(
+      spark: SparkSession,
+      path: String
+  ): Option[SchemaMarkerInfo] = {
+    val p = new Path(path, "_schema.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val root = TimeFly.mapper.readTree(in)
+      val node = root.get("schema")
+      if (node == null || !node.isObject) None
+      else {
+        val it = node.properties().iterator()
+        val m = scala.collection.mutable.Map[String, String]()
+        while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText() }
+        val homo = root.get("homogeneous") == null ||
+          root.get("homogeneous").asBoolean(true)
+        Some(SchemaMarkerInfo(schemaFromMap(m.toMap), homo))
+      }
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  def readSchemaMarker(
+      spark: SparkSession,
+      path: String
+  ): Option[StructType] = readSchemaMarkerInfo(spark, path).map(_.schema)
+
+  def writeSchemaMarker(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      homogeneous: Boolean = true
+  ): Unit = {
+    val p = new Path(path, "_schema.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val node = TimeFly.mapper.createObjectNode()
+    val obj = node.putObject("schema")
+    schemaToMap(schema).toSeq.sortBy(_._1).foreach { case (n, t) =>
+      obj.put(n, t)
+    }
+    node.put("homogeneous", homogeneous)
+    val out = fs.create(p, true)
+    try out.write(TimeFly.mapper.writeValueAsBytes(node))
+    finally out.close()
+  }
+
+  /** The target's unified schema + homogeneity: the marker when present,
+    * else the per-file footer unification (authoritative fallback). None
+    * when the dataset holds no parquet files. */
+  def datasetSchemaInfo(
+      spark: SparkSession,
+      path: String
+  ): Option[SchemaMarkerInfo] =
+    readSchemaMarkerInfo(spark, path).orElse {
+      val files = listDataFiles(spark, path).filter(_.endsWith(".parquet"))
+      if (files.isEmpty) None
+      else {
+        val distinct = fileSchemas(spark, files).map(_._2).distinct
+        Some(SchemaMarkerInfo(unifySchemas(distinct), distinct.size <= 1))
+      }
+    }
+
+  /** Read a dataset tolerating post-drift heterogeneity: datasets the
+    * marker flags heterogeneous go through [[readUnified]] (conformed to
+    * the marker schema so downstream key types are stable); everything
+    * else takes the plain multi-file scan. The safe default for every
+    * internal full-dataset read on a Delta-family target — a plain
+    * `spark.read.parquet` on mixed-schema files resolves against ONE
+    * sampled footer and can miss columns or throw on widened types. */
+  def safeRead(spark: SparkSession, path: String): DataFrame =
+    readSchemaMarkerInfo(spark, path) match {
+      case Some(info) if !info.homogeneous =>
+        conformTo(readUnified(spark, path), info.schema)
+      case _ => spark.read.parquet(path)
+    }
+
   /** Physically rewrite schema-nonconforming parquet files to the unified
     * (column-sorted, promotion-laddered) schema in place — the reference's
     * `unify_schema` (`dataset/writer.py:529-571`). File-granular: each
@@ -180,13 +306,7 @@ object SchemaTools {
     val bad = schemas.filter(_._2 != unified)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     bad.foreach { case (f, sch) =>
-      val have = sch.fieldNames.toSet
-      val df = spark.read.schema(sch).parquet(f)
-        .select(unified.fields.toSeq.map { fl =>
-          if (have.contains(fl.name)) col(fl.name).cast(fl.dataType).as(fl.name)
-          else org.apache.spark.sql.functions.lit(null).cast(fl.dataType)
-            .as(fl.name)
-        }: _*)
+      val df = conformTo(spark.read.schema(sch).parquet(f), unified)
       val tmp = s"$f.__unify_tmp"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val newFile = listDataFiles(spark, tmp)

@@ -447,4 +447,43 @@ class LakeWriterSpec extends AnyFunSuite {
     val ids = spark.read.parquet(dir).select("id").as[Int].collect().sorted
     assert(ids.toSeq == Seq(1, 2, 3))
   }
+
+  test("delta under schema drift: both sides conform to the promoted " +
+      "union before the anti-join; replay stays a no-op") {
+    val dir = TestSpark.tempDir("drift")
+    // target: (id int, v string)
+    LakeWriter(spark, dir, WriteMode.Overwrite).write(
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // drifted batch: id widened to long, v dropped, extra double column
+    val batch = Seq((2L, 0.5), (3L, 1.5)).toDF("id", "x")
+    val w = LakeWriter(spark, dir, WriteMode.Delta(Seq("id")))
+    // audit: key 2 dropped despite the int-vs-long key types (promoted
+    // before the join); survivor carries the unified column set
+    val plan = w.planDelta(batch)
+    assert(plan.columns.toSeq == Seq("id", "v", "x"))
+    assert(plan.select("id").as[Long].collect().toSeq == Seq(3L))
+    w.write(batch)
+    val back = SchemaTools.readUnified(spark, dir).orderBy("id")
+    assert(back.schema.map(f => f.name -> f.dataType.simpleString) ==
+      Seq("id" -> "bigint", "v" -> "string", "x" -> "double"))
+    assert(back.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), Option(r.get(2)))).toSeq ==
+      Seq((1L, Some("a"), None), (2L, Some("b"), None),
+        (3L, None, Some(1.5))))
+    // the drift write dropped the key sidecar (types promoted under it)
+    assert(!w.keySidecar.trusted)
+    // marker now records the unified schema -> the replay's drift check
+    // is O(1) and the replay appends nothing
+    assert(SchemaTools.readSchemaMarker(spark, dir)
+      .map(_.map(f => f.name -> f.dataType.simpleString)) ==
+      Some(Seq("id" -> "bigint", "v" -> "string", "x" -> "double")))
+    w.write(batch)
+    assert(SchemaTools.readUnified(spark, dir).count() == 3)
+    // a matching-schema batch after the drift write takes the fast path
+    // and still diffs correctly against the heterogeneous files
+    LakeWriter(spark, dir, WriteMode.Delta(Seq("id"))).write(
+      Seq((3L, Option.empty[String], Option.empty[Double]),
+        (4L, Some("d"), Some(2.5))).toDF("id", "v", "x"))
+    assert(SchemaTools.readUnified(spark, dir).count() == 4)
+  }
 }
