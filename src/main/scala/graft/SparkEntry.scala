@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{ArrowIpc, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{ArrowIpc, Compact, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -257,6 +257,24 @@ object SparkEntry {
       SchemaTools.readUnified(s, root)
         .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+
+    // small-file compaction (the operational follow-up to every delta
+    // append): a write fragmented by maxRecordsPerFile bin-packs to
+    // ceil(bytes/target) files — here one file — and the content is a
+    // multiset no-op, which is exactly what the oracle hash checks. The
+    // file-count collapse is asserted in-query; CompactSpec covers the
+    // per-partition ceil arithmetic, skip-if-right-sized, and drift-heal
+    "q78_compact" -> ((s, d) => {
+      val root = scratch(s, "q78", d)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = 500L)
+        .write(ord(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      val before = SchemaTools.listDataFiles(s, root).size
+      val stats = Compact.run(s, root, targetBytes = 512L << 20)
+      assert(before > 1 && stats.filesAfter == 1,
+        s"expected a many->1 collapse, got $before -> ${stats.filesAfter}")
+      s.read.parquet(root).orderBy("o_orderkey")
     }),
 
     // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
@@ -3465,6 +3483,11 @@ object SparkEntry {
         |       o_orderkey, o_totalprice
         |FROM app
         |ORDER BY o_orderkey""".stripMargin,
+
+    // compaction is content-preserving: the oracle is the plain table
+    "q78_compact" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // near-dup-aware delta ingest: base (doc_id % 4 <> 0) plus batch
     // survivors — even ids minus exact-key dups (% 4 = 2) minus rows

@@ -1,0 +1,153 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Small-file compaction: bin-pack every partition's data files to a
+  * target byte size — the operational follow-up to continuous delta
+  * appends, which land one small file per batch.
+  *
+  * Reference analog: repartitioning with a row-group/file-size knob
+  * (`/root/reference/src/pydala/dataset/repartition.py:151`); Spark-first
+  * shape here is the Delta-Lake-OPTIMIZE layout: per partition-leaf,
+  * `ceil(bytes / targetBytes)` output files, already-right-sized leaves
+  * skipped, leaf jobs submitted CONCURRENTLY on a bounded pool (the
+  * Spark scheduler is thread-safe; each leaf is one distributed job).
+  *
+  * Compaction is content-preserving (a multiset no-op — oracle-gated by
+  * q78) and additionally HEALS schema drift: when the dataset's
+  * `_schema.json` marker says the files are heterogeneous (a prior
+  * drifted delta append), every leaf is force-rewritten conformed to the
+  * marker schema and the marker is restored to `homogeneous = true`, so
+  * post-compaction readers take the plain multi-file scan again.
+  *
+  * The `_keys` sidecar survives compaction untouched: it stores distinct
+  * key VALUES, not file references, and compaction changes neither.
+  * Caveat (documented, like every secondary-index contract): TimeFly
+  * manifest-only snapshots alias live data files by name; compact the
+  * current generation before snapshotting, not after.
+  *
+  * Crash window: each leaf writes its packed replacement to a hidden
+  * `_compact_tmp` sibling first, then deletes the old files and moves
+  * the new ones in — strictly narrower than the reference's
+  * cache-in-memory-then-delete (`repartition.py:72-84`), and a crash
+  * mid-swap leaves the packed files recoverable in the tmp dir.
+  */
+object Compact {
+
+  final case class Stats(
+      leaves: Int,
+      rewritten: Int,
+      filesBefore: Int,
+      filesAfter: Int
+  )
+
+  /** Compact the dataset at `path`.
+    *
+    * @param targetBytes desired on-disk bytes per output file (bin size)
+    * @param concurrency max leaf jobs in flight at once
+    */
+  def run(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20,
+      compression: String = "zstd",
+      concurrency: Int = 8
+  ): Stats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Stats(0, 0, 0, 0)
+
+    val marker = SchemaTools.readSchemaMarkerInfo(spark, path)
+    val healDrift = marker.exists(!_.homogeneous)
+
+    // partition leaves = directories holding data files directly; an
+    // unpartitioned dataset is its own single leaf. Driver-side walk,
+    // bounded by directory count like every partition enumeration.
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    def leaves(dir: Path): Seq[Path] = {
+      val st = fs.listStatus(dir).filterNot(s => hidden(s.getPath.getName))
+      val here = st.exists(s => s.isFile && s.getLen > 0)
+      val below = st.filter(_.isDirectory).flatMap(s => leaves(s.getPath))
+      (if (here) Seq(dir) else Nil) ++ below
+    }
+    val leafDirs = leaves(root)
+
+    // Conform target per leaf: the marker schema minus the hive
+    // partition columns encoded in this leaf's path (they live in
+    // directory names, never in the files).
+    def leafConformSchema(leaf: Path): Option[StructType] =
+      marker.map { m =>
+        val rel = leaf.toString.stripPrefix(root.toString)
+        val pathCols = rel.split('/').filter(_.contains('='))
+          .map(_.split('=').head).toSet
+        StructType(m.schema.fields.filterNot(f => pathCols.contains(f.name)))
+      }
+
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, math.min(concurrency, leafDirs.size max 1)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+    case class LeafResult(before: Int, after: Int, rewrote: Boolean)
+    def compactLeaf(leaf: Path): LeafResult = {
+      val files = fs.listStatus(leaf)
+        .filter(s => s.isFile && !hidden(s.getPath.getName))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      if (files.isEmpty) return LeafResult(0, 0, rewrote = false)
+      val bytes = files.map(_.getLen).sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length == n && !healDrift)
+        return LeafResult(files.length, files.length, rewrote = false)
+
+      val filePaths = files.map(_.getPath.toString).toSeq
+      // per-leaf read tolerates intra-leaf heterogeneity (drifted
+      // appends land in the same leaf as the original files)
+      val bySchema = SchemaTools.fileSchemas(spark, filePaths)
+        .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+      val unified = leafConformSchema(leaf).getOrElse(
+        SchemaTools.unifySchemas(bySchema.map(_._1)))
+      val df: DataFrame = bySchema
+        .map { case (sch, fls) =>
+          SchemaTools.conformTo(
+            spark.read.schema(sch).parquet(fls: _*), unified)
+        }
+        .reduce(_.unionByName(_))
+
+      val tmp = new Path(leaf, "_compact_tmp")
+      df.repartition(n).write.mode("overwrite")
+        .option("compression", compression).parquet(tmp.toString)
+      val packed = fs.listStatus(tmp)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      files.foreach(s => fs.delete(s.getPath, false))
+      packed.foreach { s =>
+        fs.rename(s.getPath, new Path(leaf, s.getPath.getName))
+      }
+      fs.delete(tmp, true)
+      LeafResult(files.length, packed.length, rewrote = true)
+    }
+
+    val results =
+      try Await.result(
+        Future.sequence(leafDirs.map(l => Future(compactLeaf(l)))),
+        Duration.Inf)
+      finally pool.shutdown()
+
+    // every file now physically carries the marker schema (modulo its
+    // leaf's partition columns) -> the dataset is homogeneous again
+    if (healDrift)
+      marker.foreach(m =>
+        SchemaTools.writeSchemaMarker(spark, path, m.schema,
+          homogeneous = true))
+
+    Stats(
+      leaves = leafDirs.size,
+      rewritten = results.count(_.rewrote),
+      filesBefore = results.map(_.before).sum,
+      filesAfter = results.map(_.after).sum
+    )
+  }
+}
