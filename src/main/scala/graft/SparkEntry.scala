@@ -1668,6 +1668,32 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // GIF + FLAC metadata: planted GIF89a headers (dims vary with id)
+    // and FLAC STREAMINFO blocks (rate/channels/bit depth/total samples
+    // vary; the last-metadata-block flag flips so the type mask is
+    // load-bearing), every third row raw text -> nulls. Sniff and parse
+    // must AGREE: mime comes from the magic bytes, fields from the
+    // fixed-offset byte arithmetic, and duration is derived off the
+    // parsed fields like m03
+    "m04_gif_flac_meta" -> ((s, d) => {
+      Multimodal.plantedMisc(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("g", Multimodal.gifDims(col("payload")))
+        .withColumn("f", Multimodal.flacStreamInfo(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("g.width").as("gif_width"),
+          col("g.height").as("gif_height"),
+          col("f.sample_rate").as("sample_rate"),
+          col("f.channels").as("channels"),
+          col("f.bits_per_sample").as("bits_per_sample"),
+          col("f.total_samples").as("total_samples"),
+          expr("f.total_samples * 1000 div f.sample_rate")
+            .as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // Arrow IPC (Feather v2) source+sink under the oracle: parquet ->
     // IPC file -> LakeReader ipc scan -> rows. The oracle reads the same
     // parquet directly, so a value/type drift anywhere in the Arrow codec
@@ -3381,6 +3407,34 @@ object SparkEntry {
         |   AS BIGINT) AS data_bytes,
         | CAST(CASE WHEN is_text THEN NULL
         |   ELSE n_frames * 1000 // sr END AS BIGINT) AS duration_ms
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // expected values derive from the SAME id arithmetic the plant
+    // uses; the Spark side must recover them through the actual
+    // fixed-offset byte parse (and the sniff must agree with the parse)
+    "m04_gif_flac_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h,
+        |  CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |   WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+        |  doc_id % 2 + 1 AS ch,
+        |  CASE (doc_id // 3) % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |   ELSE 24 END AS bits,
+        |  doc_id % 100000 + 4096 AS total
+        | FROM documents)
+        |SELECT media_id,
+        | CASE kind WHEN 0 THEN 'image/gif' WHEN 1 THEN 'audio/flac'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CAST(CASE WHEN kind = 0 THEN w END AS BIGINT) AS gif_width,
+        | CAST(CASE WHEN kind = 0 THEN h END AS BIGINT) AS gif_height,
+        | CAST(CASE WHEN kind = 1 THEN sr END AS BIGINT) AS sample_rate,
+        | CAST(CASE WHEN kind = 1 THEN ch END AS BIGINT) AS channels,
+        | CAST(CASE WHEN kind = 1 THEN bits END AS BIGINT)
+        |  AS bits_per_sample,
+        | CAST(CASE WHEN kind = 1 THEN total END AS BIGINT)
+        |  AS total_samples,
+        | CAST(CASE WHEN kind = 1 THEN total * 1000 // sr END AS BIGINT)
+        |  AS duration_ms
         |FROM p ORDER BY media_id""".stripMargin,
 
     // the Spark side routed the same rows through an Arrow IPC file;

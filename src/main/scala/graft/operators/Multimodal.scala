@@ -156,6 +156,113 @@ object Multimodal {
           .otherwise(wavHex)).as("payload"))
   }
 
+  /** One payload byte (0-based offset `i`) out of a hex image of the
+    * prefix — `conv` + `substring` are codegen'd builtins, so a handful
+    * of byte reads stay inside whole-stage codegen. */
+  private def hxByte(hx: org.apache.spark.sql.Column, i: Int)
+      : org.apache.spark.sql.Column =
+    conv(substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+
+  /** GIF logical-screen dims as a struct (width, height) — fixed-offset
+    * byte arithmetic: bytes 6-7 little-endian width, 8-9 height, valid
+    * for GIF87a and GIF89a alike. Null fields for non-GIF payloads. */
+  def gifDims(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 10)))
+    val ok = length(hx) >= 20 && substring(hx, 1, 8) === "47494638"
+    struct(
+      when(ok, hxByte(hx, 6) + hxByte(hx, 7) * 256L).as("width"),
+      when(ok, hxByte(hx, 8) + hxByte(hx, 9) * 256L).as("height"))
+  }
+
+  /** FLAC STREAMINFO as a struct (sample_rate, channels,
+    * bits_per_sample, total_samples) — the spec pins STREAMINFO as the
+    * first metadata block, so the packed audio parameters sit at fixed
+    * offsets 18-25: sample rate 20 bits, channels-1 3 bits, bits-1
+    * 5 bits, total samples 36 bits, all big-endian bit-packed. The
+    * block-type check masks off the last-metadata-block flag (bit 7)
+    * and the declared STREAMINFO length must be 34. Null fields for
+    * non-FLAC (or malformed) payloads. */
+  def flacStreamInfo(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 26)))
+    val ok = length(hx) >= 52 &&
+      substring(hx, 1, 8) === "664C6143" && // "fLaC"
+      pmod(hxByte(hx, 4), lit(128L)) === 0L && // type 0 (flag masked)
+      substring(hx, 11, 6) === "000022" // STREAMINFO length 34
+    val b20 = hxByte(hx, 20)
+    val b21 = hxByte(hx, 21)
+    struct(
+      when(ok,
+        hxByte(hx, 18) * 4096L + hxByte(hx, 19) * 16L +
+          (b20 / lit(16.0)).cast("long")).as("sample_rate"),
+      when(ok, pmod((b20 / lit(2.0)).cast("long"), lit(8L)) + 1L)
+        .as("channels"),
+      when(ok,
+        pmod(b20, lit(2L)) * 16L + (b21 / lit(16.0)).cast("long") + 1L)
+        .as("bits_per_sample"),
+      when(ok,
+        pmod(b21, lit(16L)) * 4294967296L + hxByte(hx, 22) * 16777216L +
+          hxByte(hx, 23) * 65536L + hxByte(hx, 24) * 256L + hxByte(hx, 25))
+        .as("total_samples"))
+  }
+
+  /** Deterministic planted GIF / FLAC / raw payloads (the m04 fixture,
+    * sibling of [[plantedMedia]]/[[plantedAudio]]): by `id % 3`, a
+    * GIF89a header whose logical-screen dims vary with the id, a FLAC
+    * fLaC + STREAMINFO block whose rate / channels / bit depth / total
+    * samples all vary (and whose last-metadata-block flag flips with
+    * `id % 2`, so the parser's type MASK is load-bearing), or the raw
+    * text bytes (null metadata). Construction is hex + unhex; the m04
+    * oracle derives expectations from the same id arithmetic. */
+  def plantedMisc(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def b1(c: org.apache.spark.sql.Column) = format_string("%02X", c)
+    def le16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X", byteAt(c, 1L), byteAt(c, 256L))
+    val w = (id % 640 + 1).cast("long")
+    val h = (id % 480 + 1).cast("long")
+    val gifHex = concat(
+      lit("474946383961"), // "GIF89a"
+      le16(w), le16(h),
+      lit("0000003B")) // flags, bg color, aspect, trailer
+    val sr = when(id % 5 === 0, 8000L).when(id % 5 === 1, 16000L)
+      .when(id % 5 === 2, 22050L).when(id % 5 === 3, 44100L)
+      .otherwise(48000L)
+    val ch = (id % 2 + 1).cast("long")
+    val bits = when(expr(s"$idCol div 3") % 3 === 0, 8L)
+      .when(expr(s"$idCol div 3") % 3 === 1, 16L)
+      .otherwise(24L)
+    val total = (id % 100000 + 4096).cast("long")
+    val flacHex = concat(
+      lit("664C6143"), // "fLaC"
+      when(id % 2 === 0, "80").otherwise("00"), // last-flag | type 0
+      lit("000022"), // STREAMINFO length 34
+      lit("0FA00FA0"), // min/max blocksize 4000
+      lit("000000"), lit("000000"), // min/max framesize (unset)
+      b1(byteAt(sr, 4096L)), // sr bits 19-12
+      b1(byteAt(sr, 16L)), // sr bits 11-4
+      b1(pmod(sr, lit(16L)) * 16L + (ch - 1L) * 2L +
+        ((bits - 1L) / lit(16.0)).cast("long")),
+      b1(pmod(bits - 1L, lit(16L)) * 16L +
+        (total / lit(4294967296.0)).cast("long")),
+      b1(byteAt(total, 16777216L)), b1(byteAt(total, 65536L)),
+      b1(byteAt(total, 256L)), b1(byteAt(total, 1L)),
+      lit("0" * 32)) // MD5 signature (unset)
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 0, gifHex)
+          .when(id % 3 === 1, flacHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
+  }
+
   /** Deterministic planted media payloads over a document table: by
     * `id % 3`, a well-formed PNG (IHDR + IEND), a well-formed baseline
     * JPEG (APP0 + variable-length COM + SOF0 + EOI), or the raw text

@@ -192,4 +192,69 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Int].collect().sorted.toSeq
     assert(idxs == Seq(0, 1, 2, 3))
   }
+
+  test("gifDims + flacStreamInfo recover the planted parameters; " +
+      "sniff and parse agree") {
+    val ids = spark.range(0, 60)
+      .select($"id".as("doc_id"), concat(lit("text payload "),
+        $"id".cast("string")).as("text"))
+    val parsed = Multimodal.plantedMisc(ids, "doc_id", "text")
+      .withColumn("mime", Multimodal.sniffFormat($"payload"))
+      .withColumn("g", Multimodal.gifDims($"payload"))
+      .withColumn("f", Multimodal.flacStreamInfo($"payload"))
+      .collect()
+    parsed.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val mime = r.getAs[String]("mime")
+      val g = r.getAs[org.apache.spark.sql.Row]("g")
+      val f = r.getAs[org.apache.spark.sql.Row]("f")
+      (id % 3) match {
+        case 0 =>
+          assert(mime == "image/gif")
+          assert(g.getAs[Long]("width") == id % 640 + 1)
+          assert(g.getAs[Long]("height") == id % 480 + 1)
+          assert(f.isNullAt(f.fieldIndex("sample_rate")))
+        case 1 =>
+          assert(mime == "audio/flac")
+          assert(g.isNullAt(g.fieldIndex("width")))
+          val srExp = Seq(8000L, 16000L, 22050L, 44100L, 48000L)(
+            (id % 5).toInt)
+          assert(f.getAs[Long]("sample_rate") == srExp)
+          assert(f.getAs[Long]("channels") == id % 2 + 1)
+          assert(f.getAs[Long]("bits_per_sample") ==
+            Seq(8L, 16L, 24L)(((id / 3) % 3).toInt))
+          assert(f.getAs[Long]("total_samples") == id % 100000 + 4096)
+        case _ =>
+          assert(g.isNullAt(g.fieldIndex("width")))
+          assert(f.isNullAt(f.fieldIndex("sample_rate")))
+      }
+    }
+  }
+
+  test("gif/flac parsers null out truncated and malformed payloads") {
+    val hostile = Seq(
+      Array[Byte](0x47, 0x49, 0x46, 0x38), // GIF magic, truncated
+      "fLaC".getBytes("UTF-8"), // FLAC magic, no block
+      // fLaC + non-STREAMINFO first block (type 4, len 34)
+      ("664C6143" + "04" + "000022" + "00" * 34).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray,
+      // fLaC + STREAMINFO with a wrong declared length
+      ("664C6143" + "00" + "000021" + "00" * 34).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray,
+      Array[Byte]() // empty
+    ).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "payload")
+    val out = hostile
+      .withColumn("g", Multimodal.gifDims($"payload"))
+      .withColumn("f", Multimodal.flacStreamInfo($"payload"))
+      .collect()
+    out.foreach { r =>
+      val g = r.getAs[org.apache.spark.sql.Row]("g")
+      val f = r.getAs[org.apache.spark.sql.Row]("f")
+      assert(g.isNullAt(g.fieldIndex("width")),
+        s"row ${r.getLong(0)} width should be null")
+      assert(f.isNullAt(f.fieldIndex("sample_rate")),
+        s"row ${r.getLong(0)} sample_rate should be null")
+    }
+  }
 }
