@@ -1439,6 +1439,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL connected components: the d09 pair set arrives in
+    // three hash-split batches, each folded into a lake-resident label
+    // table (touched clusters merge, untouched rows pass through). The
+    // final table must equal the batch-global CC — the oracle is d09's
+    // recursive-CTE closure verbatim, which is exactly the
+    // "streamed batches == batch run on the union" contract
+    "d28_incremental_clusters" -> ((s, d) => {
+      val lbl = scratch(s, "d28", d)
+      val src = scratch(s, "d28src", d)
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.2)
+        .select("id1", "id2")
+        .withColumn("__b", pmod(xxhash64(col("id1"), col("id2")), lit(3L)))
+        .write.parquet(src) // materialize arrival batches once
+      val all = s.read.parquet(src)
+      (0L to 2L).foreach { b =>
+        Dedup.mergeClusterBatch(lbl,
+          all.filter(col("__b") === b).drop("__b"))
+      }
+      s.read.parquet(lbl).orderBy("doc_id")
+    }),
+
     // context-window chunking: split every doc into fixed 32-token
     // training sequences (the pack-into-context step of corpus prep).
     // One generate (explode of the per-doc chunk index range) + per-row
@@ -3000,6 +3022,9 @@ object SparkEntry {
          |   AS n_chunks,
          | (start_off // 256) // 32 AS shard
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    // the incremental merge must land on the batch-global closure
+    "d28_incremental_clusters" -> d09Oracle,
 
     "d27_pack_by_lang" ->
       s"""WITH t AS (

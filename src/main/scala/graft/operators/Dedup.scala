@@ -654,6 +654,59 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Incremental connected components for streaming near-dup state: fold
+    * a batch of near-dup pairs into a lake-resident label table at
+    * `labelsPath` (doc_id, cluster_id), so cluster decisions stay
+    * current as pair batches arrive (the CC analog of the q73 pattern:
+    * state lives in the LAKE, zero streaming state). The final table
+    * after any sequence of batches equals [[duplicateClusters]] on the
+    * union of all batches — labels store each component's MIN id, so an
+    * (id → label) edge set reconstructs old components exactly and new
+    * edges union-find through them; the merged min is the global min.
+    *
+    * Per-batch cost is bounded by the TOUCHED components, not the
+    * graph: ids in the batch resolve to their clusters, only those
+    * clusters' members enter the merge CC (as star edges to their
+    * label), and every untouched row passes through without joining the
+    * iteration. The label table holds only ids that appear in some pair
+    * (near-dup graphs are a small fraction of the corpus), so the swap
+    * rewrite is O(graph), never O(lake); at cluster scale, store it
+    * bucketed on doc_id to make the touched-cluster semi-join
+    * zero-exchange. The swap itself is write-tmp-then-rename, same
+    * crash discipline as Repartition. */
+  def mergeClusterBatch(labelsPath: String, pairs: DataFrame): Unit = {
+    val spark = pairs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val edges = pairs.select(col("id1"), col("id2"))
+    val next: DataFrame =
+      if (!fs.exists(root) ||
+          graft.lake.SchemaTools.listDataFiles(spark, labelsPath).isEmpty)
+        duplicateClusters(edges)
+      else {
+        val labels = spark.read.parquet(labelsPath)
+        val touchedIds = edges
+          .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+          .distinct()
+        val touchedClusters = labels.join(touchedIds, Seq("doc_id"))
+          .select("cluster_id").distinct()
+        val members =
+          labels.join(touchedClusters, Seq("cluster_id"), "left_semi")
+        val untouched =
+          labels.join(touchedClusters, Seq("cluster_id"), "left_anti")
+        val merged = duplicateClusters(
+          members
+            .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
+            .unionByName(edges))
+        untouched.select("doc_id", "cluster_id")
+          .unionByName(merged.select("doc_id", "cluster_id"))
+      }
+    val tmp = new org.apache.hadoop.fs.Path(s"$labelsPath.__merge_tmp")
+    next.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.rename(tmp, root)
+  }
+
   /** Embedding-cosine near-dup dedup decisions (SemDeDup-style semantic
     * dedup): SRP-bucketed candidate pairs above `threshold`
     * (Similarity.srpNearPairs — keyed join, never all-pairs) -> connected

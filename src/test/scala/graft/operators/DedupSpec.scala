@@ -293,4 +293,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(((1L, 2L))) == 0)
     assert(pairs.get((1L, 3L)).forall(_ <= 13))
   }
+
+  test("mergeClusterBatch: incremental merges equal the batch-global CC, " +
+      "including a cross-batch cluster union") {
+    val lbl = graft.TestSpark.tempDir("inc_cc") + "/labels"
+    def labels() = spark.read.parquet(lbl)
+      .as[(Long, Long)].collect().toMap
+    // batch 1: two separate clusters {1,2} and {10,11}
+    Dedup.mergeClusterBatch(lbl,
+      Seq((1L, 2L), (10L, 11L)).toDF("id1", "id2"))
+    assert(labels() == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // batch 2: new cluster {20,21} + an edge that UNIONS the two old
+    // clusters through their members -> everything relabels to min 1
+    Dedup.mergeClusterBatch(lbl,
+      Seq((2L, 11L), (20L, 21L)).toDF("id1", "id2"))
+    assert(labels() == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+    // batch 3 replay (idempotence) + a singleton-extending edge
+    Dedup.mergeClusterBatch(lbl,
+      Seq((2L, 11L), (21L, 22L)).toDF("id1", "id2"))
+    val fin = labels()
+    assert(fin == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // equals the batch-global run on the union of all edges
+    val global = Dedup.duplicateClusters(
+      Seq((1L, 2L), (10L, 11L), (2L, 11L), (20L, 21L), (2L, 11L),
+        (21L, 22L)).toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(fin == global)
+  }
 }
