@@ -58,7 +58,9 @@ object Compact {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Stats(0, 0, 0, 0)
+    // single-FILE datasets have no directory to pack into — nothing to do
+    if (!fs.exists(root) || fs.getFileStatus(root).isFile)
+      return Stats(0, 0, 0, 0)
 
     val marker = SchemaTools.readSchemaMarkerInfo(spark, path)
     val healDrift = marker.exists(!_.homogeneous)

@@ -500,17 +500,14 @@ final case class LakeWriter(
       case _ => None
     }
     val sidecar = keySidecar
+    // Drift writes invalidate like non-delta modes: key types may
+    // promote, and the sidecar's parquet part files can't absorb a
+    // type-changed append — the next non-drift delta rebuilds it from
+    // the unified dataset.
     val before: Set[String] = deltaCfg match {
       case Some(d) if d.subset.nonEmpty && drift.isEmpty =>
         sidecar.markDirty()
         SchemaTools.listDataFiles(spark, path).toSet
-      case Some(_) if drift.isDefined =>
-        // Drift write: key types may promote, and the sidecar's parquet
-        // part files can't absorb a type-changed append — drop the index
-        // outright (the next non-drift delta rebuilds it from the
-        // unified dataset).
-        sidecar.invalidate()
-        Set.empty
       case _ =>
         sidecar.invalidate()
         Set.empty
