@@ -267,9 +267,15 @@ object SparkEntry {
     // per-partition ceil arithmetic, skip-if-right-sized, and drift-heal
     "q78_compact" -> ((s, d) => {
       val root = scratch(s, "q78", d)
-      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = 500L)
-        .write(ord(s, d)
-          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      val src = ord(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // fragment into ~20 files at ANY scale factor: fragmentation is
+      // the fixture, so it must not scale with the table (500-row files
+      // at sf0.1 made the fixture write + compact sweep the cost, not
+      // the operator)
+      val per = math.max(src.count() / 20L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src)
       val before = SchemaTools.listDataFiles(s, root).size
       val stats = Compact.run(s, root, targetBytes = 512L << 20)
       assert(before > 1 && stats.filesAfter == 1,

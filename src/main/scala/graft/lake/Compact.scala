@@ -53,7 +53,8 @@ object Compact {
       path: String,
       targetBytes: Long = 128L << 20,
       compression: String = "zstd",
-      concurrency: Int = 8
+      concurrency: Int = 8,
+      force: Boolean = false
   ): Stats = {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(path)
@@ -61,6 +62,13 @@ object Compact {
     // single-FILE datasets have no directory to pack into — nothing to do
     if (!fs.exists(root) || fs.getFileStatus(root).isFile)
       return Stats(0, 0, 0, 0)
+    // manifest-only TimeFly snapshots pin files by PATH: packing them
+    // away would strand the snapshot
+    val pinned = TimeFly.pinnedFiles(spark, path)
+    require(force || pinned.isEmpty,
+      s"${pinned.size} data file(s) under $path are pinned by " +
+        "manifest-only TimeFly snapshots; compaction would strand them. " +
+        "Materialize or delete those snapshots first, or pass force=true")
 
     val marker = SchemaTools.readSchemaMarkerInfo(spark, path)
     val healDrift = marker.exists(!_.homogeneous)
@@ -106,18 +114,29 @@ object Compact {
         return LeafResult(files.length, files.length, rewrote = false)
 
       val filePaths = files.map(_.getPath.toString).toSeq
-      // per-leaf read tolerates intra-leaf heterogeneity (drifted
-      // appends land in the same leaf as the original files)
-      val bySchema = SchemaTools.fileSchemas(spark, filePaths)
-        .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
-      val unified = leafConformSchema(leaf).getOrElse(
-        SchemaTools.unifySchemas(bySchema.map(_._1)))
-      val df: DataFrame = bySchema
-        .map { case (sch, fls) =>
+      // A trusted homogeneous marker skips the per-file footer sweep —
+      // the common case (every LakeWriter write maintains the marker),
+      // and the sweep is the dominant driver-side cost on fragmented
+      // leaves. Otherwise group by physical schema: the per-leaf read
+      // tolerates intra-leaf heterogeneity (drifted appends land in the
+      // same leaf as the original files).
+      val df: DataFrame =
+        if (marker.exists(_.homogeneous)) {
+          val unified = leafConformSchema(leaf).get
           SchemaTools.conformTo(
-            spark.read.schema(sch).parquet(fls: _*), unified)
+            spark.read.parquet(filePaths: _*), unified)
+        } else {
+          val bySchema = SchemaTools.fileSchemas(spark, filePaths)
+            .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+          val unified = leafConformSchema(leaf).getOrElse(
+            SchemaTools.unifySchemas(bySchema.map(_._1)))
+          bySchema
+            .map { case (sch, fls) =>
+              SchemaTools.conformTo(
+                spark.read.schema(sch).parquet(fls: _*), unified)
+            }
+            .reduce(_.unionByName(_))
         }
-        .reduce(_.unionByName(_))
 
       val tmp = new Path(leaf, "_compact_tmp")
       df.repartition(n).write.mode("overwrite")

@@ -214,6 +214,28 @@ object TimeFly {
   private[lake] val mapper = new ObjectMapper()
   private val idFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
 
+  /** Data files pinned by manifest-only snapshots of the TimeFly dataset
+    * whose `current/` directory is `dataDir` — empty when `dataDir` is
+    * not a TimeFly current dir or the dataset has no such snapshots.
+    * Manifest-only snapshots record file PATHS, not copies, so any
+    * rewrite that removes a pinned file (compaction, repartition) would
+    * strand the snapshot; [[Compact]] consults this and refuses. */
+  def pinnedFiles(spark: SparkSession, dataDir: String): Set[String] = {
+    val p = new Path(dataDir)
+    if (p.getName != "current" || p.getParent == null) return Set.empty
+    val tf = new TimeFly(spark, p.getParent.toString)
+    if (!tf.exists()) return Set.empty
+    val snap = tf.readMeta().withObject("/snapshot")
+    val out = scala.collection.mutable.Set[String]()
+    val it = snap.properties().iterator()
+    while (it.hasNext) {
+      val v = it.next().getValue
+      if (v.isObject && v.path("manifest_only").asBoolean(false))
+        v.path("files").forEach(f => out += f.asText())
+    }
+    out.toSet
+  }
+
   private[lake] def readText(
       fs: org.apache.hadoop.fs.FileSystem,
       p: Path

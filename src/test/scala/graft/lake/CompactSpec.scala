@@ -62,6 +62,25 @@ class CompactSpec extends AnyFunSuite {
     assert(s2.rewritten == 0 && s2.filesAfter == 1)
   }
 
+  test("refuses to strand manifest-only TimeFly snapshots") {
+    val root = TestSpark.tempDir("compact_tf")
+    val tf = TimeFly(spark, root).init("pinned")
+    tf.writer(WriteMode.Overwrite).write(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val snap = tf.addSnapshot(manifestOnly = true)
+    assert(TimeFly.pinnedFiles(spark, tf.currentPath).nonEmpty)
+    assertThrows[IllegalArgumentException] {
+      Compact.run(spark, tf.currentPath)
+    }
+    // a materialized (copying) snapshot pins nothing; after deleting the
+    // manifest-only one, compaction proceeds
+    tf.deleteSnapshot(snap)
+    assert(TimeFly.pinnedFiles(spark, tf.currentPath).isEmpty)
+    val stats = Compact.run(spark, tf.currentPath)
+    assert(stats.leaves == 1)
+    assert(spark.read.parquet(tf.currentPath).count() == 3)
+  }
+
   test("heals schema drift: post-compact files are homogeneous and the " +
       "marker says so") {
     val dir = TestSpark.tempDir("compact_heal")
