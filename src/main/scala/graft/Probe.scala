@@ -17,6 +17,18 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    if (args.headOption.contains("plans_r6")) {
+      val sf = "/root/testdata/sf0.01"
+      Seq("q77_delta_schema_drift", "d28_incremental_clusters").foreach {
+        name =>
+          println(s"\n===== $name =====")
+          val df = SparkEntry.queries(name)(spark, sf)
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("footers")) {
       // measure the concurrent footer pass vs a sequential baseline
       val dir = java.nio.file.Files.createTempDirectory("footbench").toString
