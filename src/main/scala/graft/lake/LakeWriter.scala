@@ -394,6 +394,11 @@ final case class LakeWriter(
   ): Option[(DataFrame, DataFrame)] = {
     if (SchemaTools.typeMap(batch.schema) == SchemaTools.typeMap(target))
       return None
+    // A hive-partitioned TARGET keeps the strict path even when this
+    // writer is unpartitioned: partition values live in directory names
+    // and readUnified's file-level scan cannot recover them for the
+    // existing side — a conform would null them out of the anti-join.
+    if (SchemaTools.inferPartitioning(spark, path) == "hive") return None
     val unified = SchemaTools.unifySchemas(Seq(target, batch.schema))
     Some((
       SchemaTools.conformTo(batch, unified),
