@@ -1445,12 +1445,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // INCREMENTAL connected components: the d09 pair set arrives in
-    // three hash-split batches, each folded into a lake-resident label
-    // table (touched clusters merge, untouched rows pass through). The
-    // final table must equal the batch-global CC — the oracle is d09's
-    // recursive-CTE closure verbatim, which is exactly the
-    // "streamed batches == batch run on the union" contract
+    // INCREMENTAL connected components, STREAMED: the d09 pair set is
+    // hash-split into arrival batches and driven through a real
+    // readStream + foreachBatch, each micro-batch folded into a
+    // lake-resident label table (touched clusters merge, untouched rows
+    // pass through; labels store component minima so arrival order is
+    // irrelevant). The final table must equal the batch-global CC — the
+    // oracle is d09's recursive-CTE closure verbatim, which is exactly
+    // the "streamed batches == batch run on the union" contract. Like
+    // q73, state lives in the LAKE: the stream itself is stateless and
+    // restart-safe
     "d28_incremental_clusters" -> ((s, d) => {
       val lbl = scratch(s, "d28", d)
       val src = scratch(s, "d28src", d)
@@ -1458,12 +1462,24 @@ object SparkEntry {
           n = 3, threshold = 0.2)
         .select("id1", "id2")
         .withColumn("__b", pmod(xxhash64(col("id1"), col("id2")), lit(3L)))
-        .write.parquet(src) // materialize arrival batches once
-      val all = s.read.parquet(src)
-      (0L to 2L).foreach { b =>
-        Dedup.mergeClusterBatch(lbl,
-          all.filter(col("__b") === b).drop("__b"))
-      }
+        .repartition(3, col("__b")) // few files per arrival batch
+        .write.partitionBy("__b").parquet(src)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id1",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id2",
+          org.apache.spark.sql.types.LongType)))
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/__b=*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.mergeClusterBatch(lbl, batch)
+        }
+        .option("checkpointLocation", s"$src/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       s.read.parquet(lbl).orderBy("doc_id")
     }),
 
