@@ -231,6 +231,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gif/flac parsers handle boundary values: max dims, 20-bit rate, " +
+      "8 channels, 32-bit depth, 36-bit total") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // GIF: w=65535, h=1 (le16 max / min)
+    val gif = hexBytes("474946383961" + "FFFF" + "0100" + "0000003B")
+    // FLAC: sr=1048575 (20-bit max), ch=8, bits=32, total=2^36-1
+    val sr = 1048575L; val ch = 8L; val bits = 32L
+    val total = (1L << 36) - 1
+    val b18 = f"${sr >> 12}%02X"
+    val b19 = f"${(sr >> 4) & 0xFF}%02X"
+    val b20 = f"${((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)}%02X"
+    val b21 = f"${(((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)}%02X"
+    val rest = f"${total & 0xFFFFFFFFL}%08X"
+    val flac = hexBytes("664C6143" + "80" + "000022" + "0FA00FA0" +
+      "000000" + "000000" + b18 + b19 + b20 + b21 + rest + "00" * 16)
+    val out = Seq((1L, gif), (2L, flac)).toDF("media_id", "payload")
+      .withColumn("g", Multimodal.gifDims($"payload"))
+      .withColumn("f", Multimodal.flacStreamInfo($"payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = out(1L).getAs[org.apache.spark.sql.Row]("g")
+    assert(g.getAs[Long]("width") == 65535L && g.getAs[Long]("height") == 1L)
+    val f = out(2L).getAs[org.apache.spark.sql.Row]("f")
+    assert(f.getAs[Long]("sample_rate") == sr)
+    assert(f.getAs[Long]("channels") == ch)
+    assert(f.getAs[Long]("bits_per_sample") == bits)
+    assert(f.getAs[Long]("total_samples") == total)
+  }
+
   test("gif/flac parsers null out truncated and malformed payloads") {
     val hostile = Seq(
       Array[Byte](0x47, 0x49, 0x46, 0x38), // GIF magic, truncated
