@@ -202,4 +202,52 @@ object KernelProps extends Properties("graft-kernels") {
       SchemaTools.promote(SchemaTools.promote(a, b), c) ==
         SchemaTools.promote(a, SchemaTools.promote(b, c))
     }
+
+  // r6: promote recurses into arrays and nullability is normalized —
+  // the same laws must hold over nested types, or drift-conform results
+  // would depend on file arrival order.
+  private val nestedTypes: Gen[DataType] = Gen.oneOf(
+    scalarTypes,
+    Gen.oneOf(DecimalType(10, 2), DecimalType(12, 2)),
+    Gen.zip(scalarTypes, Gen.oneOf(true, false))
+      .map { case (t, n) => ArrayType(t, n) },
+    scalarTypes.map(t => ArrayType(ArrayType(t, containsNull = false),
+      containsNull = true)),
+    Gen.zip(scalarTypes, scalarTypes).map { case (a, b) =>
+      StructType(Seq(StructField("x", a), StructField("y", b)))
+    })
+
+  property("promote is commutative over nested types") =
+    forAll(nestedTypes, nestedTypes) { (a, b) =>
+      SchemaTools.promote(a, b) == SchemaTools.promote(b, a)
+    }
+
+  property("promote is associative over nested types") =
+    forAll(nestedTypes, nestedTypes, nestedTypes) { (a, b, c) =>
+      SchemaTools.promote(SchemaTools.promote(a, b), c) ==
+        SchemaTools.promote(a, SchemaTools.promote(b, c))
+    }
+
+  property("promote normalizes nullability-only differences, not to " +
+      "string") = forAll(scalarTypes) { t =>
+    SchemaTools.promote(
+      ArrayType(t, containsNull = false), ArrayType(t, containsNull = true)
+    ) == ArrayType(t, containsNull = true)
+  }
+
+  // unifySchemas folds promote per column name — with commutativity +
+  // associativity the unified schema is invariant under schema arrival
+  // order (drift-conform must not depend on which batch came first)
+  private val colNames = Gen.oneOf("a", "b", "c", "d", "e")
+  private val schemaGen: Gen[StructType] = Gen
+    .nonEmptyListOf(Gen.zip(colNames, nestedTypes))
+    .map(fs => StructType(
+      fs.toMap.toSeq.map { case (n, t) => StructField(n, t) }))
+
+  property("unifySchemas is permutation-invariant") =
+    forAll(Gen.nonEmptyListOf(schemaGen)) { schemas =>
+      val fwd = SchemaTools.unifySchemas(schemas)
+      SchemaTools.unifySchemas(schemas.reverse) == fwd &&
+        SchemaTools.unifySchemas(schemas.sortBy(_.length)) == fwd
+    }
 }
