@@ -1483,6 +1483,17 @@ object SparkEntry {
       s.read.parquet(lbl).orderBy("doc_id")
     }),
 
+    // CCNet-style cross-corpus segment dedup: the paragraph-hash dedup
+    // of Wenzek et al. 2020 mapped to fixed 8-token segments (the
+    // synthetic docs are single-line). Keep-first is ONE keyed agg
+    // (min(struct) with map-side partials — not a window sort), the
+    // winner set is the kept set, reassembly is a groupBy over the
+    // already-shrunk winners. See Dedup.segmentDedup
+    "d29_segment_dedup" -> ((s, d) => {
+      Dedup.segmentDedup(docs(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // context-window chunking: split every doc into fixed 32-token
     // training sequences (the pack-into-context step of corpus prep).
     // One generate (explode of the per-doc chunk index range) + per-row
@@ -3290,6 +3301,37 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT)
         |  AS rank
         |FROM a ORDER BY rank LIMIT 100""".stripMargin,
+
+    // keep-first = row_number over (segment, ordered by (doc, idx)) —
+    // the declarative twin of the min(struct) agg; reassembly order via
+    // string_agg ORDER BY seg_idx mirrors the array_sort on structs
+    "d29_segment_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |x AS (
+        | SELECT doc_id, tk,
+        |  unnest(range(0, ((len(tk) - 1) // 8) + 1)) AS gi
+        | FROM t),
+        |s AS (
+        | SELECT doc_id, CAST(gi AS BIGINT) AS seg_idx,
+        |  array_to_string(tk[gi*8 + 1 : gi*8 + 8], ' ') AS seg
+        | FROM x),
+        |w AS (
+        | SELECT *, row_number()
+        |   OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        | FROM s),
+        |r AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        | FROM w WHERE rn = 1 GROUP BY doc_id),
+        |n AS (
+        | SELECT doc_id,
+        |  CAST(((len(tk) - 1) // 8) + 1 AS BIGINT) AS n_segments
+        | FROM t)
+        |SELECT n.doc_id, n.n_segments,
+        | coalesce(r.n_kept, 0) AS n_kept,
+        | coalesce(r.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // 1-based inclusive list slices on both sides; DuckDB clamps the
     // slice end exactly like Spark's `slice(arr, start, len)` clamps len

@@ -477,6 +477,60 @@ object Dedup {
         col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** CCNet-style cross-corpus SEGMENT dedup (Wenzek et al. 2020 dedup
+    * by paragraph hash, mapped to fixed `k`-token segments for
+    * single-line corpora): split each doc into non-overlapping k-token
+    * segments, keep only the corpus-wide FIRST occurrence of every
+    * distinct segment (first = smallest (doc, seg_idx)), and reassemble
+    * each doc from its surviving segments in order. Returns one row per
+    * input doc: (idCol, n_segments, n_kept, clean_text) — n_kept = 0 and
+    * clean_text = "" when every segment was claimed earlier.
+    *
+    * 100 TB shape: segmentation is per-row arithmetic (no shuffle); the
+    * keep-first winner per segment is ONE keyed agg on the segment
+    * string — `min(struct(doc, seg_idx))` gets map-side partials, unlike
+    * a row_number window which would sort every replica of a hot
+    * segment. The winner set IS the kept set (no join back), so
+    * reassembly is one groupBy(doc) over the already-shrunk winners,
+    * with the per-doc segment order restored by `array_sort` on
+    * (seg_idx, seg) structs — no global sort, nothing driver-side. */
+  def segmentDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    val segs = base
+      .select(col("__id"), col("__tk"),
+        explode(expr(s"sequence(0, (size(__tk) - 1) div $k)"))
+          .as("__gi"))
+      .select(col("__id"), col("__gi").cast("long").as("seg_idx"),
+        concat_ws(" ", slice(col("__tk"), col("__gi") * k + 1, lit(k)))
+          .as("seg"))
+    val winners = segs
+      .groupBy("seg")
+      .agg(min(struct(col("__id"), col("seg_idx"))).as("__w"))
+      .select(col("__w.__id").as("__id"), col("__w.seg_idx").as("seg_idx"),
+        col("seg"))
+    val rebuilt = winners
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg"))).as("clean_text"))
+    base
+      .select(col("__id"),
+        (expr(s"(size(__tk) - 1) div $k") + 1).cast("long")
+          .as("n_segments"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** MinHash signatures: `numHashes` min-hashes over the shingle set,
     * computed as one groupBy with `numHashes` min-aggregates (single
     * shuffle on doc id).

@@ -265,6 +265,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 16L, 2L, 16L, 1.0)))
   }
 
+  test("segmentDedup: corpus-wide keep-first by (doc, idx), in-doc " +
+      "repeats collapse, fully-claimed docs survive as empty rows") {
+    val seg = "a b c d e f g h"
+    val corpus = Seq(
+      (1L, s"$seg $seg"), // self-repeat: segment 1 is a dup of segment 0
+      (2L, s"$seg x1 x2"), // seg 0 claimed by doc 1; short tail survives
+      (3L, seg), // every segment claimed earlier -> empty doc
+      (4L, "y1 y2 y3 y4 y5 y6 y7 y8 y9") // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text", k = 8)
+      .select("doc_id", "n_segments", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((1L, 2L, 1L, seg)))
+    assert(out(2L) == ((2L, 2L, 1L, "x1 x2")))
+    assert(out(3L) == ((3L, 1L, 0L, "")))
+    assert(out(4L) == ((4L, 2L, 2L, "y1 y2 y3 y4 y5 y6 y7 y8 y9")))
+  }
+
   test("auto DF cap derives from corpus size and is on by default") {
     assert(Dedup.autoShingleDfCap(500) == 64) // floor dominates small corpora
     assert(Dedup.autoShingleDfCap(100000) == 5000) // 5% of corpus
