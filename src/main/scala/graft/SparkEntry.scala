@@ -1584,6 +1584,21 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // the quantize-then-rerank SERVING pattern: int8 SRP shortlist (20
+    // per query, e09's machinery) re-scored against the full-precision
+    // vectors for the exact-cosine top-5. The shortlist broadcasts into
+    // the full-precision scan — stage 2 never shuffles the corpus — and
+    // the reported sims are exact floats, so quantization error is
+    // confined to shortlist membership (which the oracle replicates
+    // stage by stage)
+    "e12_ann_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.srpTopKReranked(e, e.filter(col("vec_id") < 10),
+          dim = 64, k = 5, shortlist = 20, nBits = 4, nTables = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // IVF-style ANN: deterministic pivots (lowest ids), nearest-cell
     // assignment, nProbe query cells — coarse quantization, the other
     // standard ANN scale path next to SRP LSH (e03); fully SQL-oracled
@@ -2416,6 +2431,64 @@ object SparkEntry {
        |  list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
        |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
        |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2)
+       |SELECT id1, id2, sim, rank FROM (
+       |  SELECT id1, id2, sim,
+       |   CAST(row_number() OVER (PARTITION BY id1
+       |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
+       |  FROM p) t
+       |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
+  }
+
+  /** e12: two-stage rerank — e09's quantized CTEs produce a 20-deep
+    * shortlist per query (same tie-break as the Spark window), then the
+    * shortlist pairs re-score against the FULL-precision vectors for
+    * the exact top-5. */
+  private def e12Oracle: String = {
+    val nTables = 4
+    val nBits = 4
+    val tableCtes = (0 until nTables)
+      .map(t => s"bk$t AS (SELECT vec_id, emb, " +
+        s"${sqlSrpBucket(nBits, 42L + t)} AS bucket FROM nq)")
+      .mkString(",\n")
+    val candUnion = (0 until nTables)
+      .map(t =>
+        s"SELECT q.vec_id AS id1, c.vec_id AS id2 FROM bk$t q " +
+          s"JOIN bk$t c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id " +
+          s"WHERE q.vec_id < 10")
+      .mkString(" UNION ")
+    s"""WITH v0 AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+       |  FROM embeddings),
+       |sc AS (SELECT vec_id, raw,
+       |  list_reduce(list_transform(raw, x -> abs(x)),
+       |    (a, x) -> greatest(a, x)) AS scale FROM v0),
+       |vq AS (SELECT vec_id,
+       |  list_transform(raw, x -> CASE WHEN scale = 0
+       |    THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(CAST(floor(x * 127 / scale + 0.5) AS BIGINT)
+       |         AS DOUBLE) END) AS emb
+       |  FROM sc),
+       |nq AS (SELECT vec_id, emb,
+       |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+       |       (acc, x) -> acc + x)) AS nrm FROM vq),
+       |$tableCtes,
+       |cand AS ($candUnion),
+       |pq AS (SELECT id1, id2,
+       |  list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
+       |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS simq
+       |  FROM cand JOIN nq a ON a.vec_id = id1 JOIN nq b ON b.vec_id = id2),
+       |sh AS (SELECT id1, id2 FROM (
+       |  SELECT id1, id2,
+       |   row_number() OVER (PARTITION BY id1
+       |     ORDER BY simq DESC, id2 ASC) AS rnq
+       |  FROM pq) t WHERE rnq <= 20),
+       |nf AS (SELECT vec_id, raw AS emb,
+       |  sqrt(list_reduce(list_transform(raw, x -> x * x),
+       |       (acc, x) -> acc + x)) AS nrm FROM v0),
+       |p AS (SELECT id1, id2,
+       |  list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
+       |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+       |  FROM sh JOIN nf a ON a.vec_id = id1 JOIN nf b ON b.vec_id = id2)
        |SELECT id1, id2, sim, rank FROM (
        |  SELECT id1, id2, sim,
        |   CAST(row_number() OVER (PARTITION BY id1
@@ -3436,6 +3509,7 @@ object SparkEntry {
     "d08_fingerprint" -> d08Oracle,
     "e03_ann_srp" -> e03Oracle,
     "e09_ann_quantized" -> e09Oracle,
+    "e12_ann_rerank" -> e12Oracle,
     // identity with the in-memory SRP path IS the persistence contract
     "e10_persisted_index" -> e03Oracle,
     "e04_ann_ivf" -> e04Oracle,

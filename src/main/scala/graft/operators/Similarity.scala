@@ -330,6 +330,53 @@ object Similarity {
     srpScoreTail(q, c, k)
   }
 
+  /** Two-stage serving ANN (the quantize-then-rerank production
+    * pattern): stage 1 shortlists `shortlist` candidates per query over
+    * the int8-QUANTIZED vectors (SRP buckets + integer-exact coarse
+    * cosine — 4× less vector bytes through the candidate join), stage 2
+    * re-scores ONLY the shortlist against the full-precision vectors
+    * and emits the exact-cosine top `k`. Cheap index, exact final
+    * scores — quantization error can reorder the shortlist's tail but
+    * never the reported similarity values.
+    *
+    * 100 TB shape: the shortlist frame is |queries| × shortlist rows —
+    * it broadcasts into the full-precision corpus scan, so stage 2 is a
+    * broadcast semi-join-shaped probe (no corpus shuffle) followed by
+    * the tiny per-query window. The corpus never materializes both
+    * precisions at once. */
+  def srpTopKReranked(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      shortlist: Int = 20,
+      nBits: Int = 8,
+      nTables: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    val short = srpTopK(corpus, queries, dim, idCol, vecCol,
+        k = shortlist, nBits = nBits, nTables = nTables, seed = seed,
+        quantized = true)
+      .select("id1", "id2")
+    val c = prep(corpus, idCol, vecCol)
+      .select(col("vec_id").as("id2"), col("emb").as("emb2"),
+        col("nrm").as("n2"))
+    val q = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("nrm").as("n1"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("sim").desc, col("id2").asc)
+    c.join(broadcast(short), "id2")
+      .join(broadcast(q), "id1")
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "sim", "rank")
+  }
+
   /** Materialize the SRP index as a plain DataFrame — one row per
     * (table, bucket, vec_id, emb, nrm) — ready to persist to the lake
     * (partition or bucket it by `table`/`bucket` so query-time probes

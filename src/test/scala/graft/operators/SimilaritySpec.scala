@@ -199,6 +199,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"quantized ANN recall too low: $recall")
   }
 
+  test("srpTopKReranked: reported sims are the EXACT full-precision " +
+      "cosines, and reranked recall >= the pure-quantized path's") {
+    val e = spark.read
+      .parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 10)
+    // k > corpus size = every pair's exact cosine, not a top-k subset
+    val exactPairs = Similarity.bruteForceTopK(e, queries, k = 100000)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val rer = Similarity.srpTopKReranked(e, queries, dim = 64, k = 5,
+        shortlist = 20, nBits = 4, nTables = 4)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect()
+    // stage 2 rescored in full precision: every reported sim must be
+    // bit-identical to the brute-force cosine of that pair
+    rer.foreach { case (a, b, s) =>
+      assert(exactPairs.get((a, b)).contains(s),
+        s"($a,$b) sim $s != exact ${exactPairs.get((a, b))}")
+    }
+    val exactTop = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val quant = Similarity.srpTopK(e, queries, dim = 64, k = 5,
+        nBits = 4, nTables = 4, quantized = true)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val rerSet = rer.map(r => (r._1, r._2)).toSet
+    def recall(s: Set[(Long, Long)]) =
+      (exactTop & s).size.toDouble / exactTop.size
+    assert(recall(rerSet) >= recall(quant),
+      s"rerank recall ${recall(rerSet)} < quantized ${recall(quant)}")
+  }
+
   test("centroidOutliers: a planted inverted vector ranks as its " +
       "label's worst outlier; plan broadcasts centroids and group-limits") {
     // label 0: 9 vectors near +e1, one exactly inverted; label 1: all
