@@ -283,6 +283,43 @@ object SparkEntry {
       s.read.parquet(root).orderBy("o_orderkey")
     }),
 
+    // Z-ORDER rewrite (OPTIMIZE ... ZORDER BY): a linear-sorted layout
+    // skips only on its leading column — each o_orderkey-sliced file
+    // spans nearly the full o_custkey range. Re-clustering along the
+    // (o_custkey, o_totalprice) Morton curve narrows BOTH columns'
+    // per-file min/max spans (asserted in-query, generously), which is
+    // what parquet row-group stats prune on. Content is a multiset
+    // no-op — exactly what the oracle hash checks
+    "q79_zorder" -> ((s, d) => {
+      val root = scratch(s, "q79", d)
+      val src = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(src.count() / 16L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("o_orderkey"))
+      // avg per-file width of `c` as a fraction of its full range
+      def spanFrac(c: String): Double = {
+        val w = s.read.parquet(root)
+          .groupBy(input_file_name().as("__f"))
+          .agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+          .agg(avg("w")).head().getDouble(0)
+        val full = src.agg((max(col(c)) - min(col(c))).cast("double"))
+          .head().getDouble(0)
+        w / full
+      }
+      val before = spanFrac("o_custkey")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val total = SchemaTools.listDataFiles(s, root)
+        .map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+        .sum
+      Compact.run(s, root, targetBytes = math.max(1L, total / 16),
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      val after = spanFrac("o_custkey")
+      assert(after < before * 0.8,
+        s"z-order must narrow per-file o_custkey spans: $before -> $after")
+      s.read.parquet(root).orderBy("o_orderkey")
+    }),
+
     // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
     // a TimeFly dataset, snapshotted, clobbered by a later (bad) write,
     // then RESTORED from the snapshot — training-data releases are
@@ -3733,6 +3770,12 @@ object SparkEntry {
     // compaction is content-preserving: the oracle is the plain table
     "q78_compact" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // layout rewrites are content no-ops: the z-order clustering claim
+    // itself is asserted in-query (span narrowing) and in ZOrderSpec
+    "q79_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // near-dup-aware delta ingest: base (doc_id % 4 <> 0) plus batch

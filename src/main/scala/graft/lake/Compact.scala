@@ -47,6 +47,13 @@ object Compact {
     *
     * @param targetBytes desired on-disk bytes per output file (bin size)
     * @param concurrency max leaf jobs in flight at once
+    * @param zorderBy when non-empty, each leaf is rewritten CLUSTERED
+    *   along the Morton curve of these columns ([[ZOrder.cluster]] —
+    *   the `OPTIMIZE ... ZORDER BY` layout): range-partitioned and
+    *   sorted by z-value so parquet min/max stats prune on EVERY listed
+    *   column, not just a leading sort key. A layout request forces the
+    *   rewrite even for leaves already at the right file count (file
+    *   sizes cannot reveal row order).
     */
   def run(
       spark: SparkSession,
@@ -54,7 +61,8 @@ object Compact {
       targetBytes: Long = 128L << 20,
       compression: String = "zstd",
       concurrency: Int = 8,
-      force: Boolean = false
+      force: Boolean = false,
+      zorderBy: Seq[String] = Nil
   ): Stats = {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(path)
@@ -110,7 +118,7 @@ object Compact {
       if (files.isEmpty) return LeafResult(0, 0, rewrote = false)
       val bytes = files.map(_.getLen).sum
       val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (files.length == n && !healDrift)
+      if (files.length == n && !healDrift && zorderBy.isEmpty)
         return LeafResult(files.length, files.length, rewrote = false)
 
       val filePaths = files.map(_.getPath.toString).toSeq
@@ -139,7 +147,10 @@ object Compact {
         }
 
       val tmp = new Path(leaf, "_compact_tmp")
-      df.repartition(n).write.mode("overwrite")
+      val packedDf =
+        if (zorderBy.nonEmpty) ZOrder.cluster(df, zorderBy, n)
+        else df.repartition(n)
+      packedDf.write.mode("overwrite")
         .option("compression", compression).parquet(tmp.toString)
       val packed = fs.listStatus(tmp)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
