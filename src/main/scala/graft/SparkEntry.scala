@@ -1889,6 +1889,41 @@ object SparkEntry {
       tf.read(Some("1970-01-01T00:00:00")).orderBy("c_custkey")
     }),
 
+    // snapshot GC: retention vacuum expires every available snapshot
+    // but the NEWEST (the keep-last-restore-point contract), sweeps an
+    // orphan snapshot dir (crash debris: copy landed, meta never
+    // committed) and a stale _compact_tmp (Compact's crash window).
+    // Asserted in-query: stats counts, the expired id moved to
+    // `deleted`, debris gone from disk, the survivor still restorable.
+    // Current content is untouched — what the oracle hash checks
+    "q80_vacuum" -> ((s, d) => {
+      val tmp = scratch(s, "q80", d)
+      val tf = TimeFly(s, tmp).init("nation_tf")
+      val n = Tables.nation(s, d)
+      tf.writer(WriteMode.Overwrite).write(n.filter(col("n_nationkey") < 10))
+      val s1 = tf.addSnapshot()
+      while (TimeFly.nowId() == s1) Thread.sleep(50)
+      tf.writer(WriteMode.Overwrite).write(n)
+      val s2 = tf.addSnapshot()
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        tmp, "snapshot/19990101_000000"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "current/_compact_tmp"))
+      val stats = tf.vacuum(olderThan = Some("2099-12-31T23:59:59"))
+      assert(stats.orphanDirs == 1 && stats.tmpDirs == 1 &&
+        stats.expired == Seq(s1), s"unexpected vacuum stats: $stats")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        tmp, s"snapshot/$s1")), "expired snapshot files must be gone")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        tmp, "snapshot/19990101_000000")), "orphan dir must be gone")
+      assert(tf.availableSnapshots() == Seq(s2),
+        "the newest snapshot must survive any cutoff")
+      // and it still serves as-of reads (resolution rule T6)
+      assert(tf.read(Some("1970-01-01T00:00:00")).count() == n.count())
+      tf.read(None).orderBy("n_nationkey")
+    }),
+
     // transform hook (K9, writer.py:444-445) under the oracle: the
     // writer-side transform computes a derived column during the write;
     // the read-back must carry it exactly as the SQL expression
@@ -3777,6 +3812,11 @@ object SparkEntry {
     "q79_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // vacuum never touches current data; the GC claims are asserted
+    // in-query and in TimeFlySpec
+    "q80_vacuum" ->
+      """SELECT * FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // near-dup-aware delta ingest: base (doc_id % 4 <> 0) plus batch
     // survivors — even ids minus exact-key dups (% 4 = 2) minus rows

@@ -179,6 +179,58 @@ final class TimeFly(spark: SparkSession, root: String) {
     notifyDataChange()
   }
 
+  /** Garbage-collect the dataset's storage. Three kinds of debris:
+    *
+    *  1. snapshot DIRECTORIES with no `snapshot.available` meta entry —
+    *     crash debris from an addSnapshot that copied files but never
+    *     committed its meta (the meta is the source of truth: a dir
+    *     without an entry is unreachable by as-of resolution), or dirs
+    *     left behind by an external meta edit.
+    *  2. stale `_compact_tmp` working dirs under `current/` — the
+    *     recovery sweep for [[Compact]]'s documented crash window
+    *     (packed files were written, the old-files swap never ran).
+    *  3. with `olderThan`, RETENTION expiry: available snapshots with
+    *     id < the cutoff are deleted through [[deleteSnapshot]] (files
+    *     removed, id moved to `deleted`) — except the NEWEST available
+    *     snapshot, which always survives so the dataset never loses its
+    *     last restore point to an aggressive cutoff.
+    *
+    * All enumeration is driver-side directory listing bounded by
+    * snapshot/leaf counts, same as every other TimeFly meta operation.
+    * `dryRun = true` reports what would be removed without touching
+    * anything. */
+  def vacuum(
+      olderThan: Option[String] = None,
+      dryRun: Boolean = false
+  ): TimeFly.VacuumStats = {
+    val snapRoot = new Path(root, "snapshot")
+    val avail = availableSnapshots()
+    val orphans =
+      if (fs.exists(snapRoot))
+        fs.listStatus(snapRoot).toSeq.filter(_.isDirectory)
+          .map(_.getPath).filterNot(p => avail.contains(p.getName))
+      else Nil
+    def tmps(p: Path): Seq[Path] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
+        if (s.getPath.getName == "_compact_tmp") Seq(s.getPath)
+        else tmps(s.getPath)
+      }
+    val stale = tmps(new Path(currentPath))
+    val expired = olderThan match {
+      case None => Nil
+      case Some(t) =>
+        val cutoff = TimeFly.normalizeId(t)
+        avail.dropRight(1).filter(_ < cutoff)
+    }
+    if (!dryRun) {
+      orphans.foreach(fs.delete(_, true))
+      stale.foreach(fs.delete(_, true))
+      expired.foreach(deleteSnapshot)
+    }
+    TimeFly.VacuumStats(orphans.size, stale.size, expired)
+  }
+
   def availableSnapshots(): Seq[String] = {
     if (!exists()) return Nil
     val arr = readMeta().withObject("/snapshot").withArray("available")
@@ -211,6 +263,12 @@ final class TimeFly(spark: SparkSession, root: String) {
 }
 
 object TimeFly {
+  final case class VacuumStats(
+      orphanDirs: Int,
+      tmpDirs: Int,
+      expired: Seq[String]
+  )
+
   private[lake] val mapper = new ObjectMapper()
   private val idFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
 

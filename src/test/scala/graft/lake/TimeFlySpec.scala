@@ -132,4 +132,42 @@ class TimeFlySpec extends AnyFunSuite {
     val files = tf.readMeta().at(s"/snapshot/$snap/files")
     assert(files.size() > 0)
   }
+
+  test("vacuum: dryRun only reports; real run sweeps debris but not " +
+      "data; no cutoff = no expiry") {
+    import org.apache.hadoop.fs.Path
+    val dir = TestSpark.tempDir("tfvac")
+    val tf = TimeFly(spark, dir).init("t6")
+    tf.writer(WriteMode.Append).write(Seq((1, "a")).toDF("id", "v"))
+    val snap = tf.addSnapshot()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir, "snapshot/19990101_000000"))
+    fs.mkdirs(new Path(dir, "current/_compact_tmp"))
+    val dry = tf.vacuum(dryRun = true)
+    assert(dry.orphanDirs == 1 && dry.tmpDirs == 1 && dry.expired.isEmpty)
+    assert(fs.exists(new Path(dir, "snapshot/19990101_000000")))
+    val real = tf.vacuum()
+    assert(real.orphanDirs == 1 && real.tmpDirs == 1 && real.expired.isEmpty)
+    assert(!fs.exists(new Path(dir, "snapshot/19990101_000000")))
+    assert(!fs.exists(new Path(dir, "current/_compact_tmp")))
+    // no cutoff: the snapshot and the live data are untouched
+    assert(tf.availableSnapshots() == Seq(snap))
+    assert(tf.read().count() == 1)
+  }
+
+  test("vacuum retention: expires manifest-only snapshots through the " +
+      "meta, always keeps the newest") {
+    val dir = TestSpark.tempDir("tfvac2")
+    val tf = TimeFly(spark, dir).init("t7")
+    tf.writer(WriteMode.Append).write(Seq((1, "a")).toDF("id", "v"))
+    val s1 = tf.addSnapshot(manifestOnly = true)
+    while (TimeFly.nowId() == s1) Thread.sleep(50)
+    val s2 = tf.addSnapshot()
+    val out = tf.vacuum(olderThan = Some("2099-12-31T23:59:59"))
+    assert(out.expired == Seq(s1))
+    assert(tf.availableSnapshots() == Seq(s2))
+    val deleted = tf.readMeta().at("/snapshot/deleted")
+    assert(deleted.get(0).asText() == s1)
+  }
 }
