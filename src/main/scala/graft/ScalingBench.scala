@@ -117,7 +117,8 @@ object ScalingBench {
       "d01_dedup_exact", "d02_token_stats", "d04_ngram_jaccard",
       "d06_minhash_lsh", "d09_dup_clusters", "d13_corpus_pipeline",
       "d20_decontaminate", "d21_pack_sequences", "d22_rarity_score",
-      "d23_substring_dup", "d26_containment", "e09_ann_quantized",
+      "d23_substring_dup", "d26_containment", "d29_segment_dedup",
+      "d30_mixture_sample", "e09_ann_quantized", "e12_ann_rerank",
       "e02_knn_topk", "e03_ann_srp", "e04_ann_ivf", "e05_embed_dedup",
       "e08_centroid_outliers", "q35_stream_hourly")
 
