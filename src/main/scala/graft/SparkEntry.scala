@@ -159,6 +159,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CONTINUOUS near-dup ingest off standing indexes: three
+    // DeltaNearDup batches into one lake. The first write bootstraps
+    // the `_keys` AND `_shingles` sidecars; the later writes' gates run
+    // entirely off them — exact diff reads keys, the scorer reads
+    // stored shingles with the corpus row count from index metadata —
+    // so the lake's TEXT is read exactly once per row across the whole
+    // ingest history (when its write appends its shingles). The oracle
+    // replays all three gates stage by stage, each scored against the
+    // lake state its batch actually saw — which is exactly the
+    // "index-served == from-text" equality, hash-checked
+    "q81_continuous_neardup" -> ((s, d) => {
+      val root = scratch(s, "q81", d)
+      val all = docs(s, d)
+      val gate = WriteMode.DeltaNearDup(Seq("doc_id"), "text",
+        threshold = 0.2)
+      def m5(r: Long*) = pmod(col("doc_id"), lit(5L)).isin(r: _*)
+      LakeWriter(s, root, WriteMode.Overwrite).write(all.filter(m5(1, 2)))
+      LakeWriter(s, root, gate).write(all.filter(m5(0, 1)))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+          root, "_shingles/_manifest.json")),
+        "first scored write must bootstrap the shingle index")
+      LakeWriter(s, root, gate).write(all.filter(m5(2, 3)))
+      LakeWriter(s, root, gate).write(all.filter(m5(4)))
+      s.read.parquet(root)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // materialized training shards: the d21 packing layout written as a
     // hive-partitioned lake (4 context windows per shard) and re-read —
     // a training job then reads only its shard's partition directories
@@ -2569,6 +2599,63 @@ object SparkEntry {
        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
   }
 
+  /** q81: three DeltaNearDup batches replayed stage by stage — each
+    * stage is q70's gate (exact-key diff + capped Jaccard screen)
+    * scored against the lake state its batch actually saw. The Spark
+    * side serves stages 2-3 from the `_shingles`/`_keys` sidecars, so
+    * the hash match IS the index-served == from-text equality. */
+  private def q81Oracle: String = {
+    def stage(l: String, surv: String, lake: String): String =
+      s"""n$l AS (SELECT (SELECT COUNT(*) FROM $surv) +
+         |  (SELECT COUNT(*) FROM $lake) AS n),
+         |cap$l AS (SELECT greatest(64, CAST(ceil(n * 0.05) AS BIGINT))
+         |  AS cap FROM n$l),
+         |sh$l AS (
+         |  SELECT s.doc_id, s.shingle FROM sh0 s
+         |  WHERE s.doc_id IN (SELECT doc_id FROM $surv)
+         |     OR s.doc_id IN (SELECT doc_id FROM $lake)
+         |  QUALIFY COUNT(*) OVER (PARTITION BY s.shingle) <=
+         |   (SELECT cap FROM cap$l)),
+         |cnt$l AS (SELECT doc_id, COUNT(*) AS n FROM sh$l GROUP BY doc_id),
+         |inter$l AS (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_ex, COUNT(*) AS n_both
+         |  FROM sh$l a JOIN sh$l b ON a.shingle = b.shingle
+         |  WHERE a.doc_id IN (SELECT doc_id FROM $surv)
+         |    AND b.doc_id IN (SELECT doc_id FROM $lake)
+         |  GROUP BY a.doc_id, b.doc_id),
+         |dup$l AS (SELECT DISTINCT id_new FROM inter$l
+         |  JOIN cnt$l ca ON ca.doc_id = id_new
+         |  JOIN cnt$l cb ON cb.doc_id = id_ex
+         |  WHERE CAST(n_both AS DOUBLE) /
+         |        CAST(ca.n + cb.n - n_both AS DOUBLE) >= 0.2)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |  FROM toks),
+       |l0 AS (SELECT doc_id FROM documents WHERE doc_id % 5 IN (1, 2)),
+       |sA AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+       |${stage("A", "sA", "l0")},
+       |l1 AS (SELECT doc_id FROM l0 UNION ALL
+       |  SELECT doc_id FROM sA
+       |  WHERE doc_id NOT IN (SELECT id_new FROM dupA)),
+       |sB AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 3),
+       |${stage("B", "sB", "l1")},
+       |l2 AS (SELECT doc_id FROM l1 UNION ALL
+       |  SELECT doc_id FROM sB
+       |  WHERE doc_id NOT IN (SELECT id_new FROM dupB)),
+       |sC AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+       |${stage("C", "sC", "l2")},
+       |lf AS (SELECT doc_id FROM l2 UNION ALL
+       |  SELECT doc_id FROM sC
+       |  WHERE doc_id NOT IN (SELECT id_new FROM dupC))
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN lf USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** e06: incremental new×existing embedding near-dup pairs — the same
     * plane literals as e03/e05, candidates restricted to even×odd. */
   private def e06Oracle: String = {
@@ -3582,6 +3669,7 @@ object SparkEntry {
     "e03_ann_srp" -> e03Oracle,
     "e09_ann_quantized" -> e09Oracle,
     "e12_ann_rerank" -> e12Oracle,
+    "q81_continuous_neardup" -> q81Oracle,
     // identity with the in-memory SRP path IS the persistence contract
     "e10_persisted_index" -> e03Oracle,
     "e04_ann_ivf" -> e04Oracle,

@@ -110,12 +110,17 @@ final case class KeySidecar(spark: SparkSession, datasetPath: String) {
     * column list so every part file shares one schema even when the
     * current mode needs fewer columns. */
   def update(d: WriteMode.Delta, newFiles: Seq[String],
+      wasTrusted: Boolean = true,
       compactAfter: Int = 64): Unit = {
     if (d.subset.isEmpty) return
     val need = colsFor(d)
     val stored = readCols(colsPath)
-    val appendable = stored.exists(s => need.forall(s.contains)) &&
-      hasParquet
+    // appending onto an untrusted-at-write-start sidecar would seal in
+    // whatever a previously CRASHED write failed to record (its data
+    // files are in the lake, their keys never landed here) — an
+    // untrusted start always rebuilds
+    val appendable = wasTrusted &&
+      stored.exists(s => need.forall(s.contains)) && hasParquet
     if (appendable) {
       if (newFiles.nonEmpty) {
         // basePath recovers hive partition columns when keys include one;

@@ -161,6 +161,9 @@ final case class LakeWriter(
 
   private[lake] def keySidecar: KeySidecar = KeySidecar(spark, path)
 
+  private[lake] def shingleSidecar: ShingleSidecar =
+    ShingleSidecar(spark, path)
+
   /** The anti-diff itself, against an explicit existing-rows frame (path
     * datasets pass the parquet scan; bucketed tables pass the catalog
     * table so the existing side keeps its bucket distribution). */
@@ -265,10 +268,32 @@ final case class LakeWriter(
       d: WriteMode.DeltaNearDup
   ): DataFrame = {
     if (!targetHasData) return df
-    // the scorer needs text from the data files, but the exact-key gate
-    // can still read the sidecar
-    deltaNearDupDiffAgainst(df, d, SchemaTools.safeRead(spark, path),
-      existingExact = Some(existingKeysSide(d.asDelta)))
+    shingleSidecar.readFor(d) match {
+      // standing shingle index: the scorer never re-reads the corpus
+      // text — together with `_keys` the WHOLE gate runs off sidecars
+      case Some((shOld, rows)) =>
+        val exact = deltaDiffAgainst(df, d.asDelta,
+          existingKeysSide(d.asDelta))
+        val idc = "__dnd_id"
+        def keyed(x: DataFrame) =
+          if (d.subset.size == 1) x.withColumn(idc, col(d.subset.head))
+          else x.withColumn(idc, struct(d.subset.map(col): _*))
+        val newKeyed = keyed(exact)
+        val dupIds = graft.operators.Dedup
+          .incrementalJaccardPairsFromShingles(
+            newKeyed, shOld,
+            // batch rows + corpus rows (from index metadata — no job)
+            combinedRows = () => newKeyed.count() + rows,
+            idc, d.textCol, d.shingleN, d.threshold)
+          .select(col("id_new").as(idc))
+          .distinct()
+        newKeyed.join(dupIds, Seq(idc), "left_anti").drop(idc)
+      case None =>
+        // the scorer needs text from the data files, but the exact-key
+        // gate can still read the key sidecar
+        deltaNearDupDiffAgainst(df, d, SchemaTools.safeRead(spark, path),
+          existingExact = Some(existingKeysSide(d.asDelta)))
+    }
   }
 
   private def deltaSemanticDiff(
@@ -505,6 +530,16 @@ final case class LakeWriter(
       case _ => None
     }
     val sidecar = keySidecar
+    val shSidecar = shingleSidecar
+    val nearDupCfg: Option[WriteMode.DeltaNearDup] = mode match {
+      case d: WriteMode.DeltaNearDup => Some(d)
+      case _ => None
+    }
+    // Trust AT WRITE START, captured before markDirty: an untrusted
+    // start means a previous write crashed between its data landing and
+    // its sidecar update — update() must rebuild, not blind-append.
+    val keysTrustedAtStart = sidecar.trusted
+    val shTrustedAtStart = shSidecar.trusted
     // Drift writes invalidate like non-delta modes: key types may
     // promote, and the sidecar's parquet part files can't absorb a
     // type-changed append — the next non-drift delta rebuilds it from
@@ -512,9 +547,14 @@ final case class LakeWriter(
     val before: Set[String] = deltaCfg match {
       case Some(d) if d.subset.nonEmpty && drift.isEmpty =>
         sidecar.markDirty()
+        // the shingle index only stays current through DeltaNearDup
+        // writes; any other delta mode appends text it never records
+        if (nearDupCfg.isDefined) shSidecar.markDirty()
+        else shSidecar.invalidate()
         SchemaTools.listDataFiles(spark, path).toSet
       case _ =>
         sidecar.invalidate()
+        shSidecar.invalidate()
         Set.empty
     }
     var w = toWrite.write
@@ -530,10 +570,17 @@ final case class LakeWriter(
       // A sidecar failure must not fail a completed data write: the
       // dirty marker already forces full-scan fallback + rebuild next
       // time, which is exactly the safe degradation.
-      try sidecar.update(d, newFiles)
+      try sidecar.update(d, newFiles, keysTrustedAtStart)
       catch { case e: Exception =>
         System.err.println(s"[lake] key sidecar update failed " +
           s"(delta falls back to full scan): $e")
+      }
+      nearDupCfg.foreach { nd =>
+        try shSidecar.update(nd, newFiles, shTrustedAtStart)
+        catch { case e: Exception =>
+          System.err.println(s"[lake] shingle sidecar update failed " +
+            s"(near-dup scoring falls back to the text scan): $e")
+        }
       }
     }
     // `_schema.json` maintenance (written AFTER data, like the sidecar:

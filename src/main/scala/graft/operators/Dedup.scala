@@ -74,7 +74,7 @@ object Dedup {
     * TextFunctions.shingleFolds), exploded to one row per (doc, hash).
     * One native codegen'd pass per doc — no shingle-string
     * materialization, no interpreted higher-order lambdas. */
-  private def shingleHashRows(
+  private[graft] def shingleHashRows(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -260,15 +260,39 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.2,
       maxShingleDf: Int = -1
+  ): DataFrame =
+    incrementalJaccardPairsFromShingles(
+      newDf,
+      shingleHashRows(existingDf, idCol, textCol, n),
+      // one job, not two separate eager counts over the hot ingest path
+      combinedRows = () =>
+        newDf.select(col(idCol)).union(existingDf.select(col(idCol)))
+          .count(),
+      idCol, textCol, n, threshold, maxShingleDf)
+
+  /** [[incrementalJaccardPairs]] with the existing side's shingles
+    * PRECOMPUTED — the serving shape for a standing feature index
+    * (LakeWriter's `_shingles/` sidecar): per micro-batch the corpus
+    * text is never re-read and never re-shingled; the existing side is
+    * the (doc, sh) frame as stored. `combinedRows` feeds the auto DF
+    * cap (batch rows + corpus rows — a thunk so callers holding the
+    * corpus row count from index metadata pay no job at all). Multiset
+    * equality of `shOld` with `shingleHashRows(corpus)` is the caller's
+    * index-maintenance invariant; given it, results are bit-identical
+    * to the from-text path. */
+  def incrementalJaccardPairsFromShingles(
+      newDf: DataFrame,
+      shOld: DataFrame,
+      combinedRows: () => Long,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.2,
+      maxShingleDf: Int = -1
   ): DataFrame = {
     val shNew = shingleHashRows(newDf, idCol, textCol, n)
-    val shOld = shingleHashRows(existingDf, idCol, textCol, n)
     val dfCap =
-      if (maxShingleDf < 0)
-        // one job, not two separate eager counts over the hot ingest path
-        autoShingleDfCap(
-          newDf.select(col(idCol)).union(existingDf.select(col(idCol)))
-            .count())
+      if (maxShingleDf < 0) autoShingleDfCap(combinedRows())
       else maxShingleDf
     def prune(sh: DataFrame, hot: DataFrame): DataFrame =
       sh.join(broadcast(hot), Seq("sh"), "left_anti")

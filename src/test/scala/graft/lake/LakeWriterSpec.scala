@@ -261,6 +261,83 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(w.keySidecar.trusted)
   }
 
+  test("shingle sidecar: later near-dup gates plan ZERO data-file " +
+      "scans — exact diff reads _keys, the scorer reads _shingles") {
+    val dir = TestSpark.tempDir("shingle_sc")
+    val gate = WriteMode.DeltaNearDup(Seq("id"), "txt", threshold = 0.2)
+    val b1 = Seq((1, "alpha beta gamma delta eps"),
+      (2, "one two three four five six")).toDF("id", "txt")
+    LakeWriter(spark, dir, gate).write(b1) // establishes the lake
+    val w = LakeWriter(spark, dir, gate)
+    LakeWriter(spark, dir, gate)
+      .write(Seq((3, "seven eight nine ten eleven")).toDF("id", "txt"))
+    assert(w.shingleSidecar.trusted,
+      "scored write must establish the shingle index")
+    val plan = w.planDelta(
+        Seq((4, "alpha beta gamma delta zzz")).toDF("id", "txt"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_shingles"),
+      s"scorer should read the shingle sidecar:\n$plan")
+    assert(plan.contains("_keys"),
+      s"exact diff should read the key sidecar:\n$plan")
+    // every file scan is a sidecar scan — the corpus text is not re-read
+    val locs = "Location: [^\\n]+".r.findAllIn(plan).toSeq
+    assert(locs.nonEmpty &&
+      locs.forall(l => l.contains("_keys") || l.contains("_shingles")),
+      s"expected only sidecar scans, got:\n${locs.mkString("\n")}")
+    // and the gate still scores correctly through the index: id=4 is a
+    // 4-of-6-shingle near-dup of id=1 (jaccard 0.5 >= 0.2) -> dropped
+    w.write(Seq((4, "alpha beta gamma delta zzz"),
+      (5, "totally different words here now")).toDF("id", "txt"))
+    val ids = spark.read.parquet(dir).select("id").as[Int].collect().sorted
+    assert(ids.toSeq == Seq(1, 2, 3, 5))
+    assert(w.shingleSidecar.trusted)
+  }
+
+  test("a write CRASHED between data landing and sidecar update forces " +
+      "a rebuild — the next write never blind-appends over the gap") {
+    val dir = TestSpark.tempDir("sidecar_crash")
+    val delta = WriteMode.Delta(subset = Seq("id"))
+    LakeWriter(spark, dir, delta).write(df3)
+    assert(LakeWriter(spark, dir, delta).keySidecar.trusted)
+    // simulate the crash window of a delta write of id=4: dirty marker
+    // dropped, data files landed, update never ran
+    LakeWriter(spark, dir, delta).keySidecar.markDirty()
+    Seq((4, "d")).toDF("id", "v").write.mode("append").parquet(dir)
+    // next delta write must REBUILD the sidecar from the dataset (id=4
+    // included) — appending only its own keys would seal the gap in
+    val w = LakeWriter(spark, dir, delta)
+    w.write(Seq((5, "e")).toDF("id", "v"))
+    assert(w.keySidecar.trusted)
+    // replaying the crashed batch must be a no-op through the sidecar
+    w.write(Seq((4, "d")).toDF("id", "v"))
+    assert(spark.read.parquet(dir).count() == 5,
+      "crashed write's key must be in the rebuilt sidecar")
+  }
+
+  test("non-near-dup writes invalidate the shingle sidecar (their text " +
+      "is never recorded)") {
+    val dir = TestSpark.tempDir("shingle_inv")
+    val gate = WriteMode.DeltaNearDup(Seq("id"), "txt")
+    LakeWriter(spark, dir, gate)
+      .write(Seq((1, "alpha beta gamma delta")).toDF("id", "txt"))
+    LakeWriter(spark, dir, gate)
+      .write(Seq((2, "one two three four")).toDF("id", "txt"))
+    val w = LakeWriter(spark, dir, gate)
+    assert(w.shingleSidecar.trusted)
+    // a plain Delta append bypasses shingle maintenance -> must drop it
+    LakeWriter(spark, dir, WriteMode.Delta(Seq("id")))
+      .write(Seq((3, "five six seven eight")).toDF("id", "txt"))
+    assert(!w.shingleSidecar.trusted,
+      "plain delta must invalidate the shingle index")
+    // the next scored write falls back to text, stays correct, rebuilds
+    w.write(Seq((3, "five six seven eight"),
+      (4, "nine ten eleven twelve")).toDF("id", "txt"))
+    assert(spark.read.parquet(dir).select("id").as[Int].collect().sorted
+      .toSeq == Seq(1, 2, 3, 4))
+    assert(w.shingleSidecar.trusted)
+  }
+
   test("non-delta writes invalidate the sidecar; a dirty sidecar falls " +
       "back to the full scan and is rebuilt by the next delta") {
     val dir = TestSpark.tempDir("sidecar_inv")
