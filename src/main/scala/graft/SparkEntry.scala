@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{ArrowIpc, Compact, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{ArrowIpc, Compact, FileStats, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -348,6 +348,41 @@ object SparkEntry {
       assert(after < before * 0.8,
         s"z-order must narrow per-file o_custkey spans: $before -> $after")
       s.read.parquet(root).orderBy("o_orderkey")
+    }),
+
+    // file skipping off the stats manifest — the READER-side payoff of
+    // q79's z-order: fragment, z-order on (o_custkey, o_totalprice),
+    // build `_stats` (per-file min/max spans), then a narrow o_custkey
+    // range read plans ONLY the files whose span intersects it — the
+    // file-listing layer Delta/Iceberg keep in their logs, above
+    // parquet's in-file row-group pruning. Skipping is asserted
+    // in-query (most files pruned); the result is the plain range
+    // predicate — exactly what the oracle states
+    "q82_stats_skipping" -> ((s, d) => {
+      val root = scratch(s, "q82", d)
+      val src = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(src.count() / 16L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("o_orderkey"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val total = SchemaTools.listDataFiles(s, root)
+        .map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+        .sum
+      Compact.run(s, root, targetBytes = math.max(1L, total / 16),
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      FileStats.build(s, root)
+      // ~1/15 of the key range at ANY scale factor (the oracle derives
+      // the same bound from max(o_custkey))
+      val hi = math.floor(
+        src.agg(max(col("o_custkey"))).head().getLong(0) / 15.0)
+      val nFiles = SchemaTools.listDataFiles(s, root).size
+      val cand = FileStats.candidateFiles(s, root, "o_custkey",
+        lo = 1.0, hi = hi).get
+      assert(cand.nonEmpty && cand.size * 2 <= nFiles,
+        s"z-order + stats should prune most files: ${cand.size}/$nFiles")
+      FileStats.readRange(s, root, "o_custkey", 1.0, hi)
+        .orderBy("o_orderkey")
     }),
 
     // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
@@ -3905,6 +3940,14 @@ object SparkEntry {
     // in-query and in TimeFlySpec
     "q80_vacuum" ->
       """SELECT * FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // file skipping must be invisible in the result: the stats prune
+    // the listing, the residual filter supplies exactness
+    "q82_stats_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey >= 1 AND o_custkey <=
+        |  (SELECT floor(max(o_custkey) / 15.0) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // near-dup-aware delta ingest: base (doc_id % 4 <> 0) plus batch
     // survivors — even ids minus exact-key dups (% 4 = 2) minus rows

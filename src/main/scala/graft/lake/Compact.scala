@@ -168,6 +168,10 @@ object Compact {
         Duration.Inf)
       finally pool.shutdown()
 
+    // compaction replaces files, so a file-keyed stats manifest is
+    // stale (rebuild it AFTER compaction — that is its natural moment)
+    if (results.exists(_.rewrote)) FileStats.invalidate(spark, path)
+
     // every file now physically carries the marker schema (modulo its
     // leaf's partition columns) -> the dataset is homogeneous again
     if (healDrift)

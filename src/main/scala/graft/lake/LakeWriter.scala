@@ -540,6 +540,10 @@ final case class LakeWriter(
     // its sidecar update — update() must rebuild, not blind-append.
     val keysTrustedAtStart = sidecar.trusted
     val shTrustedAtStart = shSidecar.trusted
+    // the file-stats manifest maps FILES to spans — any write changes
+    // the file set, so it is stale regardless of mode (explicit-rebuild
+    // index, like the persisted ANN indexes)
+    FileStats.invalidate(spark, path)
     // Drift writes invalidate like non-delta modes: key types may
     // promote, and the sidecar's parquet part files can't absorb a
     // type-changed append — the next non-drift delta rebuilds it from
