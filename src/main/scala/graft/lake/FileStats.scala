@@ -37,6 +37,10 @@ object FileStats {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def spanAggs(cols: Seq[String]) = cols.flatMap(c =>
+    Seq(min(col(c).cast("double")).as(s"${c}_min"),
+      max(col(c).cast("double")).as(s"${c}_max")))
+
   /** One distributed pass: (file, <col>_min, <col>_max ...) for every
     * numeric column (spans as doubles — pruning needs comparability,
     * not exactness; conservative either way since parquet stores the
@@ -44,11 +48,9 @@ object FileStats {
   def collect(spark: SparkSession, path: String): DataFrame = {
     val df = SchemaTools.safeRead(spark, path)
     val numeric = df.schema.fields
-      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
     require(numeric.nonEmpty, s"no numeric columns to index at $path")
-    val aggs = numeric.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"${c}_min"),
-        max(col(c).cast("double")).as(s"${c}_max")))
+    val aggs = spanAggs(numeric)
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -62,9 +64,7 @@ object FileStats {
       .write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(d)) fs.delete(d, true)
     fs.rename(tmp, d)
-    val out = fs.create(manifest(path), true)
-    try out.write("{\"ok\":true}".getBytes("UTF-8"))
-    finally out.close()
+    seal(spark, path)
   }
 
   def trusted(spark: SparkSession, path: String): Boolean =
@@ -75,6 +75,59 @@ object FileStats {
     val d = dir(path)
     val fs = fsOf(spark, d)
     if (fs.exists(d)) fs.delete(d, true)
+  }
+
+  /** Drop ONLY the trust marker, keeping the stats rows — the dirty
+    * state an additive write enters before its data lands: a crash
+    * leaves the manifest untrusted (full-scan fallback), never
+    * trusted-but-incomplete. [[appendFiles]] or [[build]] restores. */
+  def distrust(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, dir(path))
+    if (fs.exists(manifest(path))) fs.delete(manifest(path), false)
+  }
+
+  /** Restore the trust marker. */
+  private def seal(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, dir(path))
+    val out = fs.create(manifest(path), true)
+    try out.write("{\"ok\":true}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Incremental maintenance for additive writes (delta/append only
+    * ADD files, so every existing span stays valid): compute spans for
+    * just the new files and re-seal — the same update discipline as
+    * the `_keys`/`_shingles` sidecars, so a standing manifest survives
+    * continuous ingest without rebuild-per-batch. Gives up (full
+    * invalidate) when the new files don't carry every indexed column
+    * with a numeric type — e.g. a hive-partitioned target, where the
+    * partition columns live in the directory names, not the files.
+    * Files with zero rows produce no stats row; skipping them loses
+    * nothing. */
+  def appendFiles(
+      spark: SparkSession,
+      path: String,
+      files: Seq[String]
+  ): Unit = {
+    val d = dir(path)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) return // nothing standing to maintain
+    if (files.isEmpty) { seal(spark, path); return }
+    val statsSchema = spark.read.parquet(d.toString).schema
+    val indexed = statsSchema.fieldNames
+      .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
+    val df = spark.read.parquet(files: _*)
+    val covered = indexed.forall(c =>
+      df.schema.fieldNames.contains(c) &&
+        df.schema(c).dataType.isInstanceOf[NumericType])
+    if (!covered) { invalidate(spark, path); return }
+    val aggs = spanAggs(indexed)
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(statsSchema.fieldNames.map(col).toSeq: _*)
+      .coalesce(1)
+      .write.mode("append").parquet(d.toString)
+    seal(spark, path)
   }
 
   /** The data files whose `[min, max]` span of `colName` intersects

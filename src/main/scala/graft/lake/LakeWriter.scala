@@ -540,10 +540,17 @@ final case class LakeWriter(
     // its sidecar update — update() must rebuild, not blind-append.
     val keysTrustedAtStart = sidecar.trusted
     val shTrustedAtStart = shSidecar.trusted
-    // the file-stats manifest maps FILES to spans — any write changes
-    // the file set, so it is stale regardless of mode (explicit-rebuild
-    // index, like the persisted ANN indexes)
-    FileStats.invalidate(spark, path)
+    // The file-stats manifest maps FILES to spans. Delta-family writes
+    // only ADD files, so a standing manifest survives them: existing
+    // spans stay valid and the new files' spans are appended after the
+    // data lands (same distrust-then-reseal protocol as the key
+    // sidecar — a crash leaves it untrusted, never wrong). Any other
+    // mode, drift (types may promote), or an already-untrusted
+    // manifest invalidates outright.
+    val statsIncremental = deltaCfg.exists(_.subset.nonEmpty) &&
+      drift.isEmpty && FileStats.trusted(spark, path)
+    if (statsIncremental) FileStats.distrust(spark, path)
+    else FileStats.invalidate(spark, path)
     // Drift writes invalidate like non-delta modes: key types may
     // promote, and the sidecar's parquet part files can't absorb a
     // type-changed append — the next non-drift delta rebuilds it from
@@ -584,6 +591,14 @@ final case class LakeWriter(
         catch { case e: Exception =>
           System.err.println(s"[lake] shingle sidecar update failed " +
             s"(near-dup scoring falls back to the text scan): $e")
+        }
+      }
+      if (statsIncremental) {
+        try FileStats.appendFiles(spark, path, newFiles)
+        catch { case e: Exception =>
+          System.err.println(s"[lake] stats manifest update failed " +
+            s"(range reads fall back to the full listing): $e")
+          FileStats.invalidate(spark, path)
         }
       }
     }
@@ -680,8 +695,12 @@ final case class LakeWriter(
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     // explicit location -> external table (data outside the warehouse
-    // dir; the bucket metadata still lives in the session catalog)
-    location.foreach(p => w = w.option("path", p))
+    // dir; the bucket metadata still lives in the session catalog) —
+    // a path a `_stats` manifest may be standing on
+    location.foreach { p =>
+      FileStats.invalidate(spark, p)
+      w = w.option("path", p)
+    }
     w.saveAsTable(table)
     onWrite()
   }
@@ -694,6 +713,9 @@ final case class LakeWriter(
     * the reference's loop (`writer.py:149-162`). Null-safe tuple match. */
   def writeDirectoryPartitioned(df: DataFrame, cols: Seq[String]): Unit = {
     val prepared = transform(pipeline(df))
+    // the per-tuple sub-writes invalidate their OWN `_stats`; a manifest
+    // standing at the dataset root would otherwise survive stale
+    FileStats.invalidate(spark, path)
     val tuples = prepared.select(cols.map(col): _*).distinct().collect()
     tuples.foreach { row =>
       val sub = cols.indices.map(i => String.valueOf(row.get(i))).mkString("/")

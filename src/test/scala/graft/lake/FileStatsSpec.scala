@@ -30,26 +30,59 @@ class FileStatsSpec extends AnyFunSuite {
     assert(FileStats.candidateFiles(spark, dir, "nope", 0, 1).isEmpty)
   }
 
-  test("writes and compaction invalidate the manifest; untrusted reads " +
-      "fall back to the full scan and stay correct") {
+  test("delta writes maintain the manifest incrementally; overwrite and " +
+      "compaction invalidate; untrusted reads fall back and stay correct") {
     val dir = TestSpark.tempDir("fstats_inv") + "/ds"
     val df = spark.range(100).select(col("id"), (col("id") % 7).as("v"))
     LakeWriter(spark, dir, WriteMode.Overwrite).write(df)
     FileStats.build(spark, dir)
     assert(FileStats.trusted(spark, dir))
-    // any write changes the file set -> stale
+    // delta only ADDS files -> spans appended, trust kept (the standing
+    // continuous-ingest state: no rebuild per batch)
     LakeWriter(spark, dir, WriteMode.Delta(Seq("id")))
       .write(spark.range(100, 120).select(col("id"),
         (col("id") % 7).as("v")))
+    assert(FileStats.trusted(spark, dir),
+      "an additive delta write must keep the stats manifest trusted")
+    // pruned read covers the new rows, and the new files are indexed
+    // (a band entirely inside the appended batch has candidates)
+    assert(FileStats.readRange(spark, dir, "id", 90.0, 119.0).count() == 30)
+    assert(FileStats.candidateFiles(spark, dir, "id", 105.0, 115.0)
+      .get.nonEmpty)
+    // an untrusted start means a prior write crashed mid-update: the
+    // next delta must NOT blind-reseal over the gap
+    FileStats.distrust(spark, dir)
+    LakeWriter(spark, dir, WriteMode.Delta(Seq("id")))
+      .write(spark.range(120, 130).select(col("id"),
+        (col("id") % 7).as("v")))
     assert(!FileStats.trusted(spark, dir),
-      "delta write must invalidate the stats manifest")
-    // fallback read includes the new rows (no stale pruning)
-    val got = FileStats.readRange(spark, dir, "id", 90.0, 119.0).count()
-    assert(got == 30)
+      "untrusted at write start must invalidate, not reseal")
+    assert(FileStats.readRange(spark, dir, "id", 90.0, 129.0).count() == 40)
+    // overwrite replaces files -> stale
+    FileStats.build(spark, dir)
+    LakeWriter(spark, dir, WriteMode.Overwrite).write(df)
+    assert(!FileStats.trusted(spark, dir),
+      "overwrite must invalidate the stats manifest")
     // rebuild, then compaction invalidates again
     FileStats.build(spark, dir)
     Compact.run(spark, dir, targetBytes = 1L << 40, zorderBy = Seq("id", "v"))
     assert(!FileStats.trusted(spark, dir),
       "compaction rewrites files -> stats must not survive")
+  }
+
+  test("hive-partitioned delta gives up incrementally (partition values " +
+      "live in dir names, not files) — conservative invalidate, correct " +
+      "fallback") {
+    val dir = TestSpark.tempDir("fstats_part") + "/ds"
+    val df = spark.range(100).select(col("id"), (col("id") % 4).as("p"))
+    LakeWriter(spark, dir, WriteMode.Overwrite, partitionBy = Seq("p"))
+      .write(df)
+    FileStats.build(spark, dir)
+    assert(FileStats.trusted(spark, dir))
+    LakeWriter(spark, dir, WriteMode.Delta(Seq("id")), partitionBy = Seq("p"))
+      .write(spark.range(100, 110).select(col("id"), (col("id") % 4).as("p")))
+    assert(!FileStats.trusted(spark, dir),
+      "new files can't cover the partition column's spans -> invalidate")
+    assert(FileStats.readRange(spark, dir, "id", 95.0, 109.0).count() == 15)
   }
 }
