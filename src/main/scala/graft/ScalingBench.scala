@@ -218,6 +218,51 @@ object ScalingBench {
         ((g.name, f), (writeBatch(4L), writeBatch(0L)))
       }).toMap
 
+    // File-skipping scaling (late r6): the SAME absolute o_custkey band
+    // read as the lake grows. The plain range scan lists every file;
+    // the `_stats`-pruned read lists only span-intersecting files, so
+    // its cost tracks the band, not the lake. Fixture per factor = the
+    // q82 layout: fragmented, z-ordered on (o_custkey, o_totalprice),
+    // manifest built. Key-shifted copies push new keys ABOVE the band,
+    // exactly a time-partitioned lake growing away from an old window.
+    val bandHi = math.floor(spark.read
+      .parquet(s"${dirs.head._2}/orders.parquet")
+      .agg(max(col("o_custkey"))).head().getLong(0) / 15.0)
+    def timeAgg(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.agg(count(lit(1)), sum(col("o_totalprice"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // factor -> (files, files read, full seconds, pruned seconds)
+    val skipCells: Map[Int, (Int, Int, Double, Double)] =
+      (for ((f, dir) <- dirs) yield {
+        val root = s"/tmp/graft_scale_skip_${f}x"
+        rmdir(root)
+        val src = spark.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // range-clustered on the probe column, constant rows per file
+        // (files grow with the lake) — the single-column analog of
+        // q82's z-order. Z-order itself degenerates on THIS fixture:
+        // key-shifted copies blow the custkey range up 1e8x, so copy
+        // 0's interleaved bits are all-zero on the custkey axis and
+        // its files each span the whole band — layout must match the
+        // probe pattern, and for a 1-column band that is range order.
+        src.repartitionByRange(32 * f, col("o_custkey"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(root)
+        graft.lake.FileStats.build(spark, root)
+        val nFiles = graft.lake.SchemaTools.listDataFiles(spark, root).size
+        val nRead = graft.lake.FileStats
+          .candidateFiles(spark, root, "o_custkey", 1.0, bandHi).get.size
+        def fullScan = graft.lake.SchemaTools.safeRead(spark, root)
+          .filter(col("o_custkey") >= 1L && col("o_custkey") <= bandHi.toLong)
+        def pruned = graft.lake.FileStats
+          .readRange(spark, root, "o_custkey", 1.0, bandHi)
+        val tf = Seq.fill(2)(timeAgg(fullScan)).min
+        val tp = Seq.fill(2)(timeAgg(pruned)).min
+        f -> ((nFiles, nRead, tf, tp))
+      }).toMap
+
     // Stage-level breakdown of d13 (r4 VERDICT #3): time each CUMULATIVE
     // stage prefix at 1x/4x/8x and record its output rows, so the
     // super-linear stage is named instead of hiding in the end-to-end
@@ -292,6 +337,32 @@ object ScalingBench {
       sb.append(f"| ${g.name} | ${c(0)._1}%.2f | ${c(0)._2}%.2f " +
         f"| ${c(1)._1}%.2f | ${c(1)._2}%.2f | ${c(2)._1}%.2f " +
         f"| ${c(2)._2}%.2f | ${c(2)._2 / c(0)._2}%.1f |\n")
+    }
+
+    sb.append("\n## File-skipping scaling: fixed band, growing lake\n\n")
+    sb.append("The q82 machinery on the layout a single-column band probe\n")
+    sb.append("wants: orders range-clustered on o_custkey at constant rows\n")
+    sb.append("per file (file count grows with the lake), `_stats` built,\n")
+    sb.append("then the SAME absolute o_custkey band served at 1x/2x/4x —\n")
+    sb.append("scaled copies add keys above the band, a lake growing away\n")
+    sb.append("from an old window. `full` is the plain range filter (every\n")
+    sb.append("file listed and opened for its footer); `pruned` is the\n")
+    sb.append("`_stats` read (only span-intersecting files listed). The\n")
+    sb.append("files-read column is the claim at these sub-second fixture\n")
+    sb.append("sizes: CONSTANT while the lake's file count grows — at 100 TB\n")
+    sb.append("the difference between a lake scan and a handful of file\n")
+    sb.append("reads per probe. (Layout must match the probe pattern:\n")
+    sb.append("z-order serves multi-column probes, and on THIS fixture its\n")
+    sb.append("custkey axis degenerates — the key-shifted copies grow the\n")
+    sb.append("range 1e8x, flattening copy 0's custkey bits to zero, so its\n")
+    sb.append("files all span the band. Range order on the probe column is\n")
+    sb.append("the 1-D answer; measured before the switch: 18/33 files read\n")
+    sb.append("at 2x under z-order vs 3-of-growing here.)\n\n")
+    sb.append("| factor | files | files read | full scan (s) | pruned (s) |\n")
+    sb.append("|---|---|---|---|---|\n")
+    factors.foreach { f =>
+      val (nf, nr, tf, tp) = skipCells(f)
+      sb.append(f"| ${f}x | $nf | $nr | $tf%.2f | $tp%.2f |\n")
     }
 
     sb.append("\n## d13 stage breakdown (cumulative prefixes)\n\n")
