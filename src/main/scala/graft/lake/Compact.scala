@@ -28,13 +28,82 @@ import org.apache.spark.sql.types.StructType
   * manifest-only snapshots alias live data files by name; compact the
   * current generation before snapshotting, not after.
   *
-  * Crash window: each leaf writes its packed replacement to a hidden
-  * `_compact_tmp` sibling first, then deletes the old files and moves
-  * the new ones in — strictly narrower than the reference's
-  * cache-in-memory-then-delete (`repartition.py:72-84`), and a crash
-  * mid-swap leaves the packed files recoverable in the tmp dir.
+  * Crash protocol: each leaf writes its packed replacement to a hidden
+  * `_compact_tmp` sibling, persists a swap manifest (old + packed file
+  * names) INTO the tmp dir, renames the packed files into the leaf, and
+  * only then deletes the old files — strictly narrower than the
+  * reference's cache-in-memory-then-delete (`repartition.py:72-84`).
+  * At every crash point the leaf ∪ tmp holds at least one complete copy
+  * of the data, and [[recoverTmp]] converges deterministically: no
+  * manifest → the swap never started, the tmp is pure debris; manifest
+  * present → finish the swap (rename the stragglers in, delete the
+  * old-listed files still standing). TimeFly.vacuum routes every
+  * `_compact_tmp` it sweeps through recoverTmp, so GC can never destroy
+  * the only copy of a leaf.
   */
 object Compact {
+
+  private val SwapManifest = "_swap_manifest"
+
+  private def writeSwapManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path,
+      oldNames: Seq[String],
+      packedNames: Seq[String]
+  ): Unit = {
+    // tmp-then-rename so a torn manifest is never mistaken for a real
+    // one (no manifest = swap not started = tmp is debris)
+    val staging = new Path(tmp, SwapManifest + ".tmp")
+    val out = fs.create(staging, true)
+    try {
+      val body = (oldNames.map("old\t" + _) ++
+        packedNames.map("packed\t" + _)).mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    fs.rename(staging, new Path(tmp, SwapManifest))
+  }
+
+  /** Complete or discard a leaf's `_compact_tmp` left by a crash — the
+    * recovery half of the swap protocol (see object scaladoc). Safe to
+    * call on a healthy tree: idempotent, and a tmp without a manifest
+    * (crash during the packed write, before the leaf was touched) is
+    * deleted outright since the leaf still owns all its data files. */
+  def recoverTmp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path
+  ): Unit = {
+    if (!fs.exists(tmp)) return
+    val leaf = tmp.getParent
+    val mf = new Path(tmp, SwapManifest)
+    if (fs.exists(mf)) {
+      val in = fs.open(mf)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val entries = body.split('\n').filter(_.contains('\t'))
+        .map { l => val Array(k, v) = l.split('\t'); (k, v) }
+      val packed = entries.collect { case ("packed", n) => n }.toSet
+      // 1. finish the renames: any packed file still in tmp moves in
+      fs.listStatus(tmp).filter(s => s.isFile && packed(s.getPath.getName))
+        .foreach(s => fs.rename(s.getPath, new Path(leaf, s.getPath.getName)))
+      // 2. finish the deletes: old files not (improbably) sharing a
+      // packed name that are still standing in the leaf
+      entries.collect { case ("old", n) if !packed(n) => n }.foreach { n =>
+        val p = new Path(leaf, n)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+    } else {
+      // No manifest: under this protocol the leaf still owns its data
+      // files, so the tmp is debris. Belt-and-braces: if the leaf is
+      // somehow EMPTY (foreign tooling, unknown crash), the tmp may be
+      // the only copy — leave it for a human rather than GC it.
+      val leafHasData = fs.exists(leaf) && fs.listStatus(leaf).exists(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") && s.getLen > 0)
+      if (!leafHasData) return
+    }
+    fs.delete(tmp, true)
+  }
 
   final case class Stats(
       leaves: Int,
@@ -112,6 +181,9 @@ object Compact {
 
     case class LeafResult(before: Int, after: Int, rewrote: Boolean)
     def compactLeaf(leaf: Path): LeafResult = {
+      // a prior crashed compaction must be healed before this leaf's
+      // file listing means anything
+      recoverTmp(fs, new Path(leaf, "_compact_tmp"))
       val files = fs.listStatus(leaf)
         .filter(s => s.isFile && !hidden(s.getPath.getName))
         .filter(_.getPath.getName.endsWith(".parquet"))
@@ -148,16 +220,28 @@ object Compact {
 
       val tmp = new Path(leaf, "_compact_tmp")
       val packedDf =
-        if (zorderBy.nonEmpty) ZOrder.cluster(df, zorderBy, n)
+        if (zorderBy.nonEmpty)
+          // a wide column list must shrink per-column bits to keep the
+          // interleaved z-value inside a long (bits * cols <= 62)
+          ZOrder.cluster(df, zorderBy, n,
+            bits = math.max(1, math.min(16, 62 / zorderBy.size)))
         else df.repartition(n)
       packedDf.write.mode("overwrite")
         .option("compression", compression).parquet(tmp.toString)
       val packed = fs.listStatus(tmp)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      files.foreach(s => fs.delete(s.getPath, false))
+      // swap: manifest -> rename packed in -> delete old. From the
+      // moment the manifest exists, recoverTmp can finish this exact
+      // sequence after a crash at any point (see object scaladoc).
+      val oldNames = files.map(_.getPath.getName).toSeq
+      val packedNames = packed.map(_.getPath.getName).toSeq
+      writeSwapManifest(fs, tmp, oldNames, packedNames)
       packed.foreach { s =>
         fs.rename(s.getPath, new Path(leaf, s.getPath.getName))
       }
+      val packedSet = packedNames.toSet
+      files.filterNot(s => packedSet(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
       fs.delete(tmp, true)
       LeafResult(files.length, packed.length, rewrote = true)
     }

@@ -181,8 +181,12 @@ object FileStats {
       case Some(files) if files.isEmpty =>
         SchemaTools.safeRead(spark, path).filter(pred).limit(0)
       case Some(files) =>
+        // basePath keeps hive partition-column resolution alive when
+        // scanning an explicit file list: without it the partition
+        // columns in the explicit schema would read back all-null
         spark.read
           .schema(SchemaTools.safeRead(spark, path).schema)
+          .option("basePath", path)
           .parquet(files: _*)
           .filter(pred)
       case None =>

@@ -186,9 +186,13 @@ final class TimeFly(spark: SparkSession, root: String) {
     *     committed its meta (the meta is the source of truth: a dir
     *     without an entry is unreachable by as-of resolution), or dirs
     *     left behind by an external meta edit.
-    *  2. stale `_compact_tmp` working dirs under `current/` — the
-    *     recovery sweep for [[Compact]]'s documented crash window
-    *     (packed files were written, the old-files swap never ran).
+    *  2. stale working dirs under `current/`: `_compact_tmp` is routed
+    *     through [[Compact.recoverTmp]] — which COMPLETES a crashed
+    *     swap from its persisted manifest rather than destroying the
+    *     packed copy — and the sidecar staging dirs (`_keys_tmp`,
+    *     `_shingles_tmp`, `_stats_tmp`) are deleted outright: their
+    *     writers stage-then-rename under a dirty/trust marker, so a
+    *     surviving tmp is always debris, never the only copy.
     *  3. with `olderThan`, RETENTION expiry: available snapshots with
     *     id < the cutoff are deleted through [[deleteSnapshot]] (files
     *     removed, id moved to `deleted`) — except the NEWEST available
@@ -210,10 +214,12 @@ final class TimeFly(spark: SparkSession, root: String) {
         fs.listStatus(snapRoot).toSeq.filter(_.isDirectory)
           .map(_.getPath).filterNot(p => avail.contains(p.getName))
       else Nil
+    val staleNames =
+      Set("_compact_tmp", "_keys_tmp", "_shingles_tmp", "_stats_tmp")
     def tmps(p: Path): Seq[Path] =
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
-        if (s.getPath.getName == "_compact_tmp") Seq(s.getPath)
+        if (staleNames(s.getPath.getName)) Seq(s.getPath)
         else tmps(s.getPath)
       }
     val stale = tmps(new Path(currentPath))
@@ -225,7 +231,10 @@ final class TimeFly(spark: SparkSession, root: String) {
     }
     if (!dryRun) {
       orphans.foreach(fs.delete(_, true))
-      stale.foreach(fs.delete(_, true))
+      stale.foreach { p =>
+        if (p.getName == "_compact_tmp") Compact.recoverTmp(fs, p)
+        else fs.delete(p, true)
+      }
       expired.foreach(deleteSnapshot)
     }
     TimeFly.VacuumStats(orphans.size, stale.size, expired)

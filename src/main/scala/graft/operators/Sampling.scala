@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Data-mixture sampling for training-corpus assembly: rebalance a
   * corpus across strata (language, source domain) by temperature-scaled
@@ -53,8 +54,16 @@ object Sampling {
         if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha))
       .select(col(stratumCol), col("rate"))
     val p = 2147483647L // 2^31 - 1
+    // integral ids feed the LCG directly (portable, oracle-gradeable);
+    // any other id type would cast to null under non-ANSI and silently
+    // filter EVERYTHING out, so hash it to a long first (xxhash64 —
+    // deterministic within Spark, spec-gated rather than oracle-gated)
+    val idAsLong = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(idCol)
+      case _ => xxhash64(col(idCol))
+    }
     val hash = pmod(
-      pmod(col(idCol), lit(p)) * 1103515245L + 12345L, lit(p))
+      pmod(idAsLong, lit(p)) * 1103515245L + 12345L, lit(p))
     df.join(broadcast(rates), stratumCol)
       .filter(pmod(hash, lit(modulus)) <
         floor(col("rate") * modulus.toDouble).cast("long"))

@@ -81,6 +81,106 @@ class CompactSpec extends AnyFunSuite {
     assert(spark.read.parquet(tf.currentPath).count() == 3)
   }
 
+  test("crashed swap recovery: recoverTmp completes a half-done swap " +
+      "from the manifest; a manifest-less tmp never costs the only copy") {
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Build a "crash right after the manifest landed" state by hand,
+    // speaking the swap protocol's own on-disk format: leaf still holds
+    // the old files, tmp holds the packed replacement + manifest.
+    val dir = TestSpark.tempDir("compact_crash") + "/ds"
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    LakeWriter(spark, dir, WriteMode.Overwrite, maxRecordsPerFile = 20L)
+      .write(df)
+    val leaf = new Path(dir)
+    val oldFiles = fs.listStatus(leaf)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(oldFiles.length > 1)
+    val tmp = new Path(leaf, "_compact_tmp")
+    spark.read.parquet(dir).repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val packedNames = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+    val manifest =
+      (oldFiles.map("old\t" + _.getPath.getName) ++
+        packedNames.map("packed\t" + _)).mkString("\n")
+    val out = fs.create(new Path(tmp, "_swap_manifest"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+
+    // crash state A: nothing renamed yet. Recovery finishes the swap.
+    Compact.recoverTmp(fs, tmp)
+    assert(!fs.exists(tmp))
+    val after = fs.listStatus(leaf)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    assert(after == packedNames.toSet,
+      "recovery must leave exactly the packed files")
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+
+    // crash state B: manifest-less tmp. With data in the leaf it is
+    // debris (deleted); with an EMPTY leaf it may be the only copy —
+    // recoverTmp must refuse to GC it.
+    fs.mkdirs(tmp)
+    Compact.recoverTmp(fs, tmp)
+    assert(!fs.exists(tmp), "debris tmp next to live data is swept")
+    val lonely = new Path(TestSpark.tempDir("compact_lonely"), "leaf")
+    val lonelyTmp = new Path(lonely, "_compact_tmp")
+    spark.range(5).write.parquet(lonelyTmp.toString)
+    Compact.recoverTmp(fs, lonelyTmp)
+    assert(fs.exists(lonelyTmp),
+      "a manifest-less tmp in an empty leaf must be preserved, not GC'd")
+  }
+
+  test("run() heals a crashed swap in-place before compacting the leaf") {
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = TestSpark.tempDir("compact_crash2") + "/ds"
+    val df = (0 until 60).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+    LakeWriter(spark, dir, WriteMode.Overwrite, maxRecordsPerFile = 20L)
+      .write(df)
+    // crash state: packed copy fully renamed in, old files NOT yet
+    // deleted (the duplicate-visible window) — manifest still present
+    val leaf = new Path(dir)
+    val oldNames = fs.listStatus(leaf)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+    val tmp = new Path(leaf, "_compact_tmp")
+    spark.read.parquet(dir).repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val packedName = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).head
+    val out = fs.create(new Path(tmp, "_swap_manifest"), true)
+    try out.write((oldNames.map("old\t" + _) :+ s"packed\t$packedName")
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
+    fs.rename(new Path(tmp, packedName), new Path(leaf, packedName))
+    // reader at this instant would see duplicates; run() must first
+    // recover, then compact the healed leaf
+    val stats = Compact.run(spark, dir, targetBytes = 1L << 40)
+    assert(!fs.exists(tmp))
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq,
+      "recovery + compact must end at exactly one logical copy")
+    assert(stats.filesAfter == 1)
+  }
+
+  test("zorderBy with 4+ columns shrinks per-column bits instead of " +
+      "throwing") {
+    val dir = TestSpark.tempDir("compact_z4")
+    val df = (0 until 400).map { i =>
+      (i.toLong, (i * 7 % 100).toLong, (i * 13 % 100).toLong,
+        (i * 29 % 100).toLong)
+    }.toDF("a", "b", "c", "d")
+    LakeWriter(spark, dir, WriteMode.Overwrite, maxRecordsPerFile = 50L)
+      .write(df)
+    val stats = Compact.run(spark, dir, targetBytes = 1L << 40,
+      zorderBy = Seq("a", "b", "c", "d"))
+    assert(stats.rewritten == 1)
+    assert(spark.read.parquet(dir).orderBy("a").collect().toSeq ==
+      df.orderBy("a").collect().toSeq)
+  }
+
   test("heals schema drift: post-compact files are homogeneous and the " +
       "marker says so") {
     val dir = TestSpark.tempDir("compact_heal")

@@ -70,6 +70,31 @@ class FileStatsSpec extends AnyFunSuite {
       "compaction rewrites files -> stats must not survive")
   }
 
+  test("readRange on a hive-partitioned dataset resolves partition " +
+      "columns from the pruned file list (basePath), identical to the " +
+      "full-scan filter") {
+    val dir = TestSpark.tempDir("fstats_hive") + "/ds"
+    spark.range(400)
+      .select(col("id"), (col("id") % 4).as("p"), (col("id") * 3).as("v"))
+      .repartitionByRange(8, col("id"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    FileStats.build(spark, dir)
+    assert(FileStats.trusted(spark, dir))
+    val got = FileStats.readRange(spark, dir, "id", 100.0, 199.0)
+    // the partition column must come back real, not all-null
+    assert(got.filter(col("p").isNull).count() == 0,
+      "hive partition column resolved to null in the pruned read")
+    val expect = spark.read.parquet(dir)
+      .filter(col("id") >= 100 && col("id") <= 199)
+    assert(got.select("id", "p", "v").orderBy("id").collect().toSeq ==
+      expect.select("id", "p", "v").orderBy("id").collect().toSeq)
+    // and pruning actually pruned on the id spans
+    val all = SchemaTools.listDataFiles(spark, dir)
+      .count(_.endsWith(".parquet"))
+    val cand = FileStats.candidateFiles(spark, dir, "id", 100.0, 199.0).get
+    assert(cand.size < all, s"expected pruning: ${cand.size} of $all")
+  }
+
   test("hive-partitioned delta gives up incrementally (partition values " +
       "live in dir names, not files) — conservative invalidate, correct " +
       "fallback") {

@@ -144,16 +144,57 @@ class TimeFlySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dir, "snapshot/19990101_000000"))
     fs.mkdirs(new Path(dir, "current/_compact_tmp"))
+    // crashed sidecar folds leave their staging dirs too — all three
+    // are protocol-safe debris (stage-then-rename under a trust marker)
+    fs.mkdirs(new Path(dir, "current/_keys_tmp"))
+    fs.mkdirs(new Path(dir, "current/_shingles_tmp"))
+    fs.mkdirs(new Path(dir, "current/_stats_tmp"))
     val dry = tf.vacuum(dryRun = true)
-    assert(dry.orphanDirs == 1 && dry.tmpDirs == 1 && dry.expired.isEmpty)
+    assert(dry.orphanDirs == 1 && dry.tmpDirs == 4 && dry.expired.isEmpty)
     assert(fs.exists(new Path(dir, "snapshot/19990101_000000")))
     val real = tf.vacuum()
-    assert(real.orphanDirs == 1 && real.tmpDirs == 1 && real.expired.isEmpty)
+    assert(real.orphanDirs == 1 && real.tmpDirs == 4 && real.expired.isEmpty)
     assert(!fs.exists(new Path(dir, "snapshot/19990101_000000")))
     assert(!fs.exists(new Path(dir, "current/_compact_tmp")))
+    assert(!fs.exists(new Path(dir, "current/_keys_tmp")))
+    assert(!fs.exists(new Path(dir, "current/_shingles_tmp")))
+    assert(!fs.exists(new Path(dir, "current/_stats_tmp")))
     // no cutoff: the snapshot and the live data are untouched
     assert(tf.availableSnapshots() == Seq(snap))
     assert(tf.read().count() == 1)
+  }
+
+  test("vacuum COMPLETES a crashed compaction swap instead of " +
+      "destroying the packed copy") {
+    import org.apache.hadoop.fs.Path
+    val dir = TestSpark.tempDir("tfvac3")
+    val tf = TimeFly(spark, dir).init("t8")
+    val df = (0 until 50).map(i => (i, s"r$i")).toDF("id", "v")
+    tf.writer(WriteMode.Overwrite).write(df)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // crash state: swap manifest written, nothing renamed — the tmp
+    // holds the (only) packed copy alongside the still-live old files
+    val leaf = new Path(dir, "current")
+    val oldNames = fs.listStatus(leaf)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+    val tmp = new Path(leaf, "_compact_tmp")
+    spark.read.parquet(leaf.toString).repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val packed = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+    val out = fs.create(new Path(tmp, "_swap_manifest"), true)
+    try out.write((oldNames.map("old\t" + _) ++ packed.map("packed\t" + _))
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
+
+    val stats = tf.vacuum()
+    assert(stats.tmpDirs == 1)
+    assert(!fs.exists(tmp))
+    assert(tf.read().orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq,
+      "vacuum must finish the swap, losing nothing")
   }
 
   test("vacuum retention: expires manifest-only snapshots through the " +

@@ -27,6 +27,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept > 5 && kept < 40, s"big stratum kept $kept of 100")
   }
 
+  test("mixtureSample: string ids are hashed, not null-cast to an " +
+      "empty sample; result stays deterministic") {
+    val strCorpus = corpus.selectExpr(
+      "concat('doc-', doc_id) AS doc_id", "stratum")
+    val out = Sampling.mixtureSample(strCorpus, "doc_id", "stratum")
+      .as[(String, String, Double)].collect()
+    val byStratum = out.groupBy(_._2)
+    // rate-1.0 stratum must survive in full — the null-cast bug dropped
+    // every row regardless of rate
+    assert(byStratum.get("tiny").exists(_.length == 4),
+      s"tiny stratum lost rows: ${byStratum.get("tiny").map(_.length)}")
+    val again = Sampling.mixtureSample(strCorpus, "doc_id", "stratum")
+      .as[(String, String, Double)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("mixtureSample: deterministic under repartitioning, and alpha=1 " +
       "keeps the natural mix") {
     val a = Sampling.mixtureSample(corpus, "doc_id", "stratum")
