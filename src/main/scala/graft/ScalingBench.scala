@@ -263,6 +263,34 @@ object ScalingBench {
         f -> ((nFiles, nRead, tf, tp))
       }).toMap
 
+    // Incremental-CC merge scaling (r6 VERDICT #1): FIXED merge batch,
+    // growing label table. Per factor: bootstrap a bucket-partitioned
+    // label table of 20000*f rows (10000*f two-member clusters), then
+    // fold in two fixed-size batches of 50 edges, each attaching a
+    // novel id to one of the same 50 existing clusters. Partitioned
+    // storage rewrites only the touched buckets, so per-batch merge
+    // cost should hold flat while the table grows underneath it.
+    // factor -> (label rows, batch-1 s, batch-2 s)
+    val ccCells: Map[Int, (Long, Double, Double)] =
+      (for ((f, _) <- dirs) yield {
+        val ccRoot = s"/tmp/graft_scale_cc_${f}x"
+        rmdir(ccRoot)
+        val root = s"$ccRoot/labels"
+        val boot = spark.range(0, 20000L * f, 2)
+          .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+        graft.operators.Dedup.mergeClusterBatch(root, boot)
+        def mergeBatch(offset: Long): Double = {
+          val edges = spark.range(0, 50)
+            .select((col("id") * 400L).as("id1"),
+              (col("id") + offset).as("id2"))
+          val t0 = System.nanoTime()
+          graft.operators.Dedup.mergeClusterBatch(root, edges)
+          (System.nanoTime() - t0) / 1e9
+        }
+        f -> ((spark.read.parquet(root).count(),
+          mergeBatch(2000000000L), mergeBatch(3000000000L)))
+      }).toMap
+
     // Stage-level breakdown of d13 (r4 VERDICT #3): time each CUMULATIVE
     // stage prefix at 1x/4x/8x and record its output rows, so the
     // super-linear stage is named instead of hiding in the end-to-end
@@ -363,6 +391,24 @@ object ScalingBench {
     factors.foreach { f =>
       val (nf, nr, tf, tp) = skipCells(f)
       sb.append(f"| ${f}x | $nf | $nr | $tf%.2f | $tp%.2f |\n")
+    }
+
+    sb.append("\n## Incremental-CC merge: fixed batch, growing label table\n\n")
+    sb.append("d28's label store, bucket-partitioned by pmod(doc_id, 64):\n")
+    sb.append("bootstrap 10000·f two-member clusters, then fold in two\n")
+    sb.append("batches of 50 edges touching the SAME 50 clusters at every\n")
+    sb.append("factor. A merge rewrites only the buckets holding touched\n")
+    sb.append("rows (dynamic partition overwrite — untouched partitions are\n")
+    sb.append("spec-asserted byte-identical), and member resolution pushes\n")
+    sb.append("the touched cluster ids as an IN filter over cluster_id-sorted\n")
+    sb.append("partitions, so per-batch cost tracks the touched set, not the\n")
+    sb.append("table.\n\n")
+    sb.append("| factor | label rows | batch 1 (s) | batch 2 (s) | batch-2 4x/1x |\n")
+    sb.append("|---|---|---|---|---|\n")
+    factors.foreach { f =>
+      val (rowsN, b1, b2) = ccCells(f)
+      val r = if (f == 4) f"${b2 / ccCells(1)._3}%.1f" else "—"
+      sb.append(f"| ${f}x | $rowsN | $b1%.2f | $b2%.2f | $r |\n")
     }
 
     sb.append("\n## d13 stage breakdown (cumulative prefixes)\n\n")

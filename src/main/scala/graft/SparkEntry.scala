@@ -1593,7 +1593,10 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(lbl).orderBy("doc_id")
+      // project off the storage-layout bucket column: labels are
+      // hive-partitioned by pmod(doc_id, N) so each merge batch
+      // rewrites only its touched buckets
+      s.read.parquet(lbl).select("doc_id", "cluster_id").orderBy("doc_id")
     }),
 
     // CCNet-style cross-corpus segment dedup: the paragraph-hash dedup

@@ -742,47 +742,93 @@ object Dedup {
     * (id → label) edge set reconstructs old components exactly and new
     * edges union-find through them; the merged min is the global min.
     *
-    * Per-batch cost is bounded by the TOUCHED components, not the
+    * Per-batch COMPUTE is bounded by the TOUCHED components, not the
     * graph: ids in the batch resolve to their clusters, only those
     * clusters' members enter the merge CC (as star edges to their
     * label), and every untouched row passes through without joining the
-    * iteration. The label table holds only ids that appear in some pair
-    * (near-dup graphs are a small fraction of the corpus), so the swap
-    * rewrite is O(graph), never O(lake); at cluster scale, store it
-    * bucketed on doc_id to make the touched-cluster semi-join
-    * zero-exchange. The swap itself is write-tmp-then-rename, same
-    * crash discipline as Repartition. */
-  def mergeClusterBatch(labelsPath: String, pairs: DataFrame): Unit = {
+    * iteration. Per-batch WRITE I/O is bounded the same way: the label
+    * table is stored hive-partitioned by `bucket = pmod(doc_id,
+    * numBuckets)`, and a merge rewrites ONLY the buckets holding rows
+    * of touched clusters (plus new ids) via dynamic partition
+    * overwrite — untouched partitions' files are never opened for
+    * write, so at a 10B-doc corpus a micro-batch costs O(touched), not
+    * a full label-table rewrite. Cross-bucket clusters stay correct by
+    * construction: every member of a touched cluster appears in the
+    * merge output, so every bucket holding one is rewritten. The one
+    * residual full-table cost is the member-resolution READ
+    * (cluster_id is not the partition key); it is column-pruned, and
+    * for micro-batch-sized touch sets the touched cluster ids are
+    * pushed as an IN filter so parquet row-group stats skip unaffected
+    * files (partitions are written sorted by cluster_id to keep those
+    * stats tight). The swap itself rides Spark's dynamic-partition
+    * commit protocol — staged then committed, old files intact until
+    * commit — replacing the previous delete-then-rename window. */
+  def mergeClusterBatch(
+      labelsPath: String,
+      pairs: DataFrame,
+      numBuckets: Int = 64
+  ): Unit = {
     val spark = pairs.sparkSession
     val root = new org.apache.hadoop.fs.Path(labelsPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val edges = pairs.select(col("id1"), col("id2"))
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket",
+        pmod(col("doc_id"), lit(numBuckets.toLong)).cast("int"))
+    val bootstrap = !fs.exists(root) ||
+      graft.lake.SchemaTools.listDataFiles(spark, labelsPath).isEmpty
     val next: DataFrame =
-      if (!fs.exists(root) ||
-          graft.lake.SchemaTools.listDataFiles(spark, labelsPath).isEmpty)
-        duplicateClusters(edges)
+      if (bootstrap) withBucket(duplicateClusters(edges))
       else {
         val labels = spark.read.parquet(labelsPath)
+          .select("doc_id", "cluster_id", "bucket")
         val touchedIds = edges
           .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
           .distinct()
-        val touchedClusters = labels.join(touchedIds, Seq("doc_id"))
+        // resolving batch ids -> clusters only needs the batch ids' own
+        // buckets: a partition-pruned lookup, O(batch), never the table
+        val batchBuckets = touchedIds
+          .select(pmod(col("doc_id"), lit(numBuckets.toLong))
+            .cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq // <= numBuckets
+        val lookup = labels
+          .filter(col("bucket").isin(batchBuckets: _*))
+        val touchedClusters = lookup.join(touchedIds, Seq("doc_id"))
           .select("cluster_id").distinct()
+        // member resolution: micro-batch-sized touch sets push the
+        // cluster ids as an IN filter (parquet row-group skipping does
+        // the pruning); unboundedly large ones keep the semi-join
+        val touchedArr = touchedClusters.limit(10001)
+          .collect().map(_.getLong(0))
         val members =
-          labels.join(touchedClusters, Seq("cluster_id"), "left_semi")
-        val untouched =
-          labels.join(touchedClusters, Seq("cluster_id"), "left_anti")
-        val merged = duplicateClusters(
+          if (touchedArr.length <= 10000)
+            labels.filter(col("cluster_id").isin(touchedArr: _*))
+          else labels.join(touchedClusters, Seq("cluster_id"), "left_semi")
+        val merged = withBucket(duplicateClusters(
           members
             .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
-            .unionByName(edges))
-        untouched.select("doc_id", "cluster_id")
-          .unionByName(merged.select("doc_id", "cluster_id"))
+            .unionByName(edges)))
+        // rewrite set = buckets holding any merged row; carry over the
+        // untouched-cluster rows that share those buckets (their
+        // partitions are being replaced wholesale)
+        val touchedBuckets = merged.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq // <= numBuckets
+        val keep = labels
+          .filter(col("bucket").isin(touchedBuckets: _*))
+          .join(touchedClusters, Seq("cluster_id"), "left_anti")
+          .select("doc_id", "cluster_id", "bucket")
+        keep.unionByName(merged.select("doc_id", "cluster_id", "bucket"))
       }
-    val tmp = new org.apache.hadoop.fs.Path(s"$labelsPath.__merge_tmp")
-    next.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(root)) fs.delete(root, true)
-    fs.rename(tmp, root)
+    // one task per touched bucket -> one file per rewritten partition,
+    // sorted by cluster_id so the member-resolution IN filter above
+    // prunes on row-group stats next batch
+    next
+      .repartition(col("bucket"))
+      .sortWithinPartitions("cluster_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(labelsPath)
   }
 
   /** Embedding-cosine near-dup dedup decisions (SemDeDup-style semantic

@@ -318,7 +318,7 @@ class DedupSpec extends AnyFunSuite {
       "including a cross-batch cluster union") {
     val lbl = graft.TestSpark.tempDir("inc_cc") + "/labels"
     def labels() = spark.read.parquet(lbl)
-      .as[(Long, Long)].collect().toMap
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
     // batch 1: two separate clusters {1,2} and {10,11}
     Dedup.mergeClusterBatch(lbl,
       Seq((1L, 2L), (10L, 11L)).toDF("id1", "id2"))
@@ -339,6 +339,58 @@ class DedupSpec extends AnyFunSuite {
     val global = Dedup.duplicateClusters(
       Seq((1L, 2L), (10L, 11L), (2L, 11L), (20L, 21L), (2L, 11L),
         (21L, 22L)).toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(fin == global)
+  }
+
+  test("mergeClusterBatch: a merge batch rewrites ONLY the buckets " +
+      "holding touched rows — untouched partitions stay byte-identical") {
+    import org.apache.hadoop.fs.Path
+    val lbl = graft.TestSpark.tempDir("inc_cc_part") + "/labels"
+    val fs = new Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def md5(p: Path): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { d.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      d.digest().map("%02x".format(_)).mkString
+    }
+    def partitionFiles(): Map[String, Map[String, String]] =
+      fs.listStatus(new Path(lbl)).filter(_.isDirectory)
+        .map { dir =>
+          dir.getPath.getName -> fs.listStatus(dir.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(s => s.getPath.getName -> md5(s.getPath)).toMap
+        }.toMap
+
+    // bootstrap: clusters across many buckets (numBuckets = 8)
+    Dedup.mergeClusterBatch(lbl,
+      (0L until 32L by 2L).map(i => (i, i + 1L)).toDF("id1", "id2"),
+      numBuckets = 8)
+    val before = partitionFiles()
+    assert(before.size == 8, s"bootstrap should fill 8 buckets: $before")
+
+    // batch touching ONLY cluster {8,9} (buckets 0 and 1) via a new
+    // edge 9-8 plus new id 40 (bucket 0)
+    Dedup.mergeClusterBatch(lbl,
+      Seq((9L, 40L)).toDF("id1", "id2"), numBuckets = 8)
+    val after = partitionFiles()
+    val touched = Set("bucket=0", "bucket=1")
+    for ((part, files) <- before if !touched(part))
+      assert(after(part) == files,
+        s"untouched partition $part was rewritten")
+    for (part <- touched)
+      assert(after(part) != before(part), s"$part should have changed")
+    // and the merge is still globally correct
+    val fin = spark.read.parquet(lbl)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val global = Dedup.duplicateClusters(
+      ((0L until 32L by 2L).map(i => (i, i + 1L)) :+ ((9L, 40L)))
+        .toDF("id1", "id2"))
       .as[(Long, Long)].collect().toMap
     assert(fin == global)
   }
