@@ -29,6 +29,15 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("bounds")) {
+      val e = spark.sessionState.sqlParser
+        .parseExpression("id BETWEEN 200 AND 299 AND v >= 0")
+      println(s"[probe] parsed: ${e.getClass.getName} -> $e")
+      println(s"[probe] bounds: " + graft.lake.FileStats.rangeBounds(
+        spark, "id BETWEEN 200 AND 299 AND v >= 0"))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("footers")) {
       // measure the concurrent footer pass vs a sequential baseline
       val dir = java.nio.file.Files.createTempDirectory("footbench").toString

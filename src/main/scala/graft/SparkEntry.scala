@@ -385,6 +385,65 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // DECLARATIVE file skipping (the reader-integrated q82): a user
+    // writing plain `LakeReader(path).filter(...)` gets the `_stats`
+    // pruning without calling readRange — load() extracts the filter's
+    // range conjuncts and rebuilds the scan over span-intersecting
+    // files only, residual filter re-applied. In-query assertions are
+    // the operator contract: (a) EACH z column prunes the listing on
+    // its own — the second axis (o_totalprice) is the multi-column
+    // z-order pitch, q82 only probed the first; (b) the two-column
+    // conjunction reads at most the intersection (df.inputFiles IS the
+    // pruned file index); (c) a distrusted manifest falls back to the
+    // full listing with identical rows — stale stats cost pruning,
+    // never correctness
+    "q83_reader_skipping" -> ((s, d) => {
+      val root = scratch(s, "q83", d)
+      val src = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(src.count() / 16L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("o_orderkey"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val total = SchemaTools.listDataFiles(s, root)
+        .map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+        .sum
+      Compact.run(s, root, targetBytes = math.max(1L, total / 16),
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      FileStats.build(s, root)
+      val b = src.agg(max(col("o_custkey")), min(col("o_totalprice")),
+        max(col("o_totalprice"))).head()
+      val hiCust = math.floor(b.getLong(0) / 15.0).toLong
+      // exactly-representable arithmetic (min/max exact, /8 a power of
+      // two) so the oracle derives the identical literal
+      val hiPrice = math.floor(
+        b.getDouble(1) + (b.getDouble(2) - b.getDouble(1)) / 8.0)
+      val nFiles = SchemaTools.listDataFiles(s, root).size
+      val candC = FileStats.candidateFiles(s, root, "o_custkey",
+        1.0, hiCust.toDouble).get.size
+      val candP = FileStats.candidateFiles(s, root, "o_totalprice",
+        Double.NegativeInfinity, hiPrice).get.size
+      assert(candC > 0 && candC * 2 <= nFiles,
+        s"custkey axis must prune alone: $candC/$nFiles")
+      assert(candP > 0 && candP * 2 <= nFiles,
+        s"totalprice axis must prune alone: $candP/$nFiles")
+      val pred =
+        s"o_custkey BETWEEN 1 AND $hiCust AND o_totalprice <= $hiPrice"
+      val got = LakeReader(s, root).filter(pred).load()
+      val readN = got.inputFiles.length
+      assert(readN < nFiles && readN <= math.min(candC, candP),
+        s"conjunction must read the intersection: $readN vs " +
+          s"$candC/$candP of $nFiles")
+      // staleness: distrusted manifest -> full listing, same rows
+      FileStats.distrust(s, root)
+      val fb = LakeReader(s, root).filter(pred).load()
+      assert(fb.inputFiles.length == nFiles,
+        "untrusted manifest must fall back to the full listing")
+      assert(fb.count() == got.count(),
+        "fallback and pruned reads must agree")
+      got.orderBy("o_orderkey")
+    }),
+
     // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
     // a TimeFly dataset, snapshotted, clobbered by a later (bad) write,
     // then RESTORED from the snapshot — training-data releases are
@@ -3950,6 +4009,19 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey >= 1 AND o_custkey <=
         |  (SELECT floor(max(o_custkey) / 15.0) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // reader-integrated skipping on BOTH z columns; the band bounds use
+    // exactly-representable arithmetic (min/max exact, /8.0 dyadic) so
+    // both engines derive identical literals, and the result must be
+    // identical to the plain filter — pruning is invisible
+    "q83_reader_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey >= 1 AND o_custkey <=
+        |  (SELECT floor(max(o_custkey) / 15.0) FROM orders)
+        |AND o_totalprice <=
+        |  (SELECT floor(min(o_totalprice) +
+        |     (max(o_totalprice) - min(o_totalprice)) / 8.0) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
     // near-dup-aware delta ingest: base (doc_id % 4 <> 0) plus batch

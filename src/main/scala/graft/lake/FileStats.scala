@@ -139,17 +139,122 @@ object FileStats {
       colName: String,
       lo: Double,
       hi: Double
+  ): Option[Seq[String]] =
+    candidatesForBounds(spark, path, Map(colName -> ((lo, hi))))
+
+  /** Multi-column candidate resolution in ONE stats read: files whose
+    * span intersects EVERY given `[lo, hi]` — the conjunction prunes on
+    * each covered column independently, which is exactly what a
+    * z-ordered layout (narrow per-file spans on every clustered column)
+    * is built to serve. Columns the manifest doesn't cover are ignored
+    * (their conjuncts stay residual-only); None when no trusted
+    * manifest exists or it covers none of the columns. */
+  def candidatesForBounds(
+      spark: SparkSession,
+      path: String,
+      bounds: Map[String, (Double, Double)]
   ): Option[Seq[String]] = {
     if (!trusted(spark, path)) return None
     val stats = spark.read.parquet(dir(path).toString)
-    val mn = s"${colName}_min"
-    val mx = s"${colName}_max"
-    if (!stats.columns.contains(mn)) return None
-    Some(stats
-      .filter(col(mn).isNull || col(mx).isNull ||
-        (col(mx) >= lo && col(mn) <= hi))
-      .select("file")
+    // resolve requested names against the manifest case-insensitively,
+    // matching Spark's default resolution
+    val byLower = stats.columns.filter(_.endsWith("_min"))
+      .map(c => c.stripSuffix("_min"))
+      .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+    val covered = bounds.flatMap { case (c, b) =>
+      byLower.get(c.toLowerCase(java.util.Locale.ROOT)).map(_ -> b)
+    }
+    if (covered.isEmpty) return None
+    val cond = covered.map { case (c, (lo, hi)) =>
+      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+        (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+    }.reduce(_ && _)
+    Some(stats.filter(cond).select("file")
       .collect().map(_.getString(0)).toSeq)
+  }
+
+  /** Per-column `[lo, hi]` bounds extractable from the TOP-LEVEL `AND`
+    * conjuncts of a SQL predicate string. Only necessary conditions are
+    * taken — every conjunct of a conjunction must hold, so pruning the
+    * file listing with ANY subset of them is conservative; `OR`s,
+    * function calls, and non-numeric comparisons simply contribute
+    * nothing and stay residual-only. Strict inequalities widen to their
+    * closed forms (again conservative: candidate supersets only). */
+  def rangeBounds(
+      spark: SparkSession,
+      predicate: String
+  ): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(predicate)
+      catch { case scala.util.control.NonFatal(_) => return Map.empty }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.name)
+      case _ => None
+    }
+    def num(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) =>
+        scala.util.Try(v.toString.toDouble).toOption
+      case _ => None
+    }
+    val neg = Double.NegativeInfinity
+    val pos = Double.PositiveInfinity
+    val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+    def add(n: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = acc.getOrElse(n, (neg, pos))
+      acc(n) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    // (name, value, colOnLeft) for `col OP lit` / `lit OP col`
+    def sides(a: Expression, b: Expression): Option[(String, Double, Boolean)] =
+      (nameOf(a), num(b)) match {
+        case (Some(n), Some(v)) => Some((n, v, true))
+        case _ => (nameOf(b), num(a)) match {
+          case (Some(n), Some(v)) => Some((n, v, false))
+          case _ => None
+        }
+      }
+    conjuncts(parsed).foreach {
+      case GreaterThanOrEqual(a, b) => sides(a, b).foreach {
+        case (n, v, true) => add(n, v, pos)
+        case (n, v, false) => add(n, neg, v)
+      }
+      case GreaterThan(a, b) => sides(a, b).foreach {
+        case (n, v, true) => add(n, v, pos)
+        case (n, v, false) => add(n, neg, v)
+      }
+      case LessThanOrEqual(a, b) => sides(a, b).foreach {
+        case (n, v, true) => add(n, neg, v)
+        case (n, v, false) => add(n, v, pos)
+      }
+      case LessThan(a, b) => sides(a, b).foreach {
+        case (n, v, true) => add(n, neg, v)
+        case (n, v, false) => add(n, v, pos)
+      }
+      case EqualTo(a, b) => sides(a, b).foreach {
+        case (n, v, _) => add(n, v, v)
+      }
+      case Between(c, lo, hi, _) =>
+        for (n <- nameOf(c); l <- num(lo); h <- num(hi)) add(n, l, h)
+      // the parser leaves `x BETWEEN a AND b` as an unresolved
+      // "between" call; resolution would rewrite it to the conjunction
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("between") && f.arguments.size == 3 =>
+        for (n <- nameOf(f.arguments(0)); l <- num(f.arguments(1));
+             h <- num(f.arguments(2))) add(n, l, h)
+      case In(c, vs) if vs.nonEmpty =>
+        nameOf(c).foreach { n =>
+          val ds = vs.flatMap(num)
+          if (ds.size == vs.size) add(n, ds.min, ds.max)
+        }
+      case _ => ()
+    }
+    acc.toMap
   }
 
   /** Range read with file skipping: scan only the candidate files and

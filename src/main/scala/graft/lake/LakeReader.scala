@@ -48,15 +48,45 @@ final case class LakeReader(
     * resolution: set, resolve, restored — never left on the session. */
   def nanosTolerant(): LakeReader = copy(nanosAsLong = true)
 
-  /** The lazy scan with the pipeline applied (drop -> distinct -> sort). */
+  /** The lazy scan with the pipeline applied (drop -> distinct -> sort).
+    * When the dataset carries a trusted `_stats` manifest and the filter
+    * has extractable range conjuncts, the scan's FILE LISTING is pruned
+    * to span-intersecting files first ([[FileStats]]) — the residual
+    * predicate is always re-applied, so an untrusted or absent manifest
+    * only costs the pruning, never correctness. */
   def load(): DataFrame = {
     val base =
       if (nanosAsLong)
         SchemaTools.withSessionConf(
           spark, "spark.sql.legacy.parquet.nanosAsLong", "true")(loadBase())
       else loadBase()
-    val filtered = filterExpr.map(base.filter).getOrElse(base)
+    val filtered = filterExpr.map { e =>
+      statsPrunedScan(e).map(_.filter(e)).getOrElse(base.filter(e))
+    }.getOrElse(base)
     pipeline(filtered)
+  }
+
+  /** The declarative half of file-level stats skipping: extract the
+    * filter's per-column range bounds, intersect per-column candidates
+    * from the `_stats` sidecar, and rebuild the scan over only those
+    * files. None (= no pruning) for non-parquet formats, unified/
+    * drifted datasets, untrusted manifests, or filters with no
+    * extractable range — the caller falls back to the plain scan. */
+  private def statsPrunedScan(predicate: String): Option[DataFrame] = {
+    if (format != "parquet" || unifySchemas || nanosAsLong) return None
+    if (!FileStats.trusted(spark, path)) return None
+    if (SchemaTools.readSchemaMarkerInfo(spark, path).exists(!_.homogeneous))
+      return None
+    val bounds = FileStats.rangeBounds(spark, predicate)
+    if (bounds.isEmpty) return None
+    FileStats.candidatesForBounds(spark, path, bounds).map { files =>
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else
+        spark.read
+          .schema(spark.read.parquet(path).schema)
+          .option("basePath", path)
+          .parquet(files: _*)
+    }
   }
 
   private def loadBase(): DataFrame = {

@@ -61,6 +61,42 @@ class LakeReaderSpec extends AnyFunSuite {
     assert(df.columns.sorted.toSeq == Seq("id", "v"))
   }
 
+  test("a trusted _stats manifest prunes the declarative filter's file " +
+      "listing; untrusted or range-free filters take the full scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.tempDir("lrskip") + "/ds"
+    // 10 files, contiguous id bands
+    spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+      .repartitionByRange(10, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val nFiles = SchemaTools.listDataFiles(spark, dir)
+      .count(_.endsWith(".parquet"))
+    FileStats.build(spark, dir)
+    val pruned = LakeReader(spark, dir)
+      .filter("id BETWEEN 200 AND 299 AND v >= 0").load()
+    assert(pruned.inputFiles.length < nFiles,
+      s"expected a pruned file index: ${pruned.inputFiles.length}/$nFiles")
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      (200L to 299L))
+    // a filter with no extractable range: full listing, same engine path
+    val free = LakeReader(spark, dir).filter("v % 2 = 1 OR id < 0").load()
+    assert(free.inputFiles.length == nFiles)
+    assert(free.count() ==
+      spark.read.parquet(dir).filter("v % 2 = 1 OR id < 0").count())
+    // distrusted manifest: clean fallback with identical rows
+    FileStats.distrust(spark, dir)
+    val fb = LakeReader(spark, dir)
+      .filter("id BETWEEN 200 AND 299 AND v >= 0").load()
+    assert(fb.inputFiles.length == nFiles)
+    assert(fb.select("id").as[Long].collect().sorted.toSeq ==
+      (200L to 299L))
+    // out-of-span range: zero-file scan, schema preserved
+    FileStats.build(spark, dir)
+    val none = LakeReader(spark, dir).filter("id > 5000").load()
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "v"))
+  }
+
   test("filter applies before the declarative pipeline") {
     val dir = TestSpark.tempDir("lrf")
     Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k")
