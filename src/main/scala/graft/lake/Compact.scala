@@ -123,6 +123,13 @@ object Compact {
     *   column, not just a leading sort key. A layout request forces the
     *   rewrite even for leaves already at the right file count (file
     *   sizes cannot reveal row order).
+    * @param rebuildStats rebuild the `_stats` file-skipping manifest
+    *   after a rewriting compaction (compaction replaces files, so a
+    *   standing manifest is necessarily invalidated; post-compaction —
+    *   especially post-z-order — is exactly when the manifest pays, so
+    *   this closes the invalidate-then-manually-rebuild gap in one
+    *   call). No-op when nothing was rewritten and a trusted manifest
+    *   is standing.
     */
   def run(
       spark: SparkSession,
@@ -131,7 +138,8 @@ object Compact {
       compression: String = "zstd",
       concurrency: Int = 8,
       force: Boolean = false,
-      zorderBy: Seq[String] = Nil
+      zorderBy: Seq[String] = Nil,
+      rebuildStats: Boolean = false
   ): Stats = {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(path)
@@ -255,6 +263,9 @@ object Compact {
     // compaction replaces files, so a file-keyed stats manifest is
     // stale (rebuild it AFTER compaction — that is its natural moment)
     if (results.exists(_.rewrote)) FileStats.invalidate(spark, path)
+    if (rebuildStats &&
+        (results.exists(_.rewrote) || !FileStats.trusted(spark, path)))
+      FileStats.build(spark, path)
 
     // every file now physically carries the marker schema (modulo its
     // leaf's partition columns) -> the dataset is homogeneous again

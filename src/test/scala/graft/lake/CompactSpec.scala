@@ -165,6 +165,22 @@ class CompactSpec extends AnyFunSuite {
     assert(stats.filesAfter == 1)
   }
 
+  test("rebuildStats leaves a TRUSTED _stats manifest standing after a " +
+      "rewriting compaction") {
+    val dir = TestSpark.tempDir("compact_stats")
+    LakeWriter(spark, dir, WriteMode.Overwrite, maxRecordsPerFile = 25L)
+      .write((0 until 200).map(i => (i.toLong, i * 3L)).toDF("id", "v"))
+    FileStats.build(spark, dir)
+    Compact.run(spark, dir, targetBytes = 1L << 40,
+      zorderBy = Seq("id", "v"), rebuildStats = true)
+    assert(FileStats.trusted(spark, dir),
+      "compact(rebuildStats) must end with a trusted manifest")
+    // and the rebuilt manifest serves the post-compaction layout
+    val cand = FileStats.candidateFiles(spark, dir, "id", 0.0, 10.0).get
+    assert(cand.nonEmpty)
+    assert(FileStats.readRange(spark, dir, "id", 0.0, 10.0).count() == 11)
+  }
+
   test("zorderBy with 4+ columns shrinks per-column bits instead of " +
       "throwing") {
     val dir = TestSpark.tempDir("compact_z4")
