@@ -444,6 +444,72 @@ object SparkEntry {
       got.orderBy("o_orderkey")
     }),
 
+    // the FULL continuous-ingest story in one stream: each micro-batch
+    // (a) emits the gate's own near-dup decision pairs into an
+    // incremental-CC label table (mergeClusterBatch — dedup PROVENANCE:
+    // which cluster a dropped doc belonged to), then (b) passes the
+    // DeltaNearDup gate, both served by the standing `_keys`/`_shingles`
+    // sidecars. Delivery is at-least-once: the second batch REPLAYS
+    // after its survivors landed, so its replay pairs re-score only the
+    // previously-dropped rows against the by-then-larger lake — the
+    // oracle reproduces that stage exactly. Result = lake contents AND
+    // label table in one frame; both must equal the sequential batch
+    // run (labels = CC closure over every stage's emitted pairs)
+    "q84_stream_neardup_cc" -> ((s, d) => {
+      val root = scratch(s, "q84", d)
+      val lbl = scratch(s, "q84lbl", d)
+      val src = scratch(s, "q84src", d)
+      val all = docs(s, d)
+      def m5(r: Long*) = pmod(col("doc_id"), lit(5L)).isin(r: _*)
+      LakeWriter(s, root, WriteMode.Overwrite).write(all.filter(m5(1, 2)))
+      // one FILE per arrival batch (batch atomicity under
+      // maxFilesPerTrigger=1), mtimes forced strictly increasing so the
+      // file source replays them in arrival order
+      val batches = Seq(m5(0), m5(3), m5(4), m5(3) /* replay */)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val t0 = System.currentTimeMillis()
+      batches.zipWithIndex.foreach { case (pred, i) =>
+        val dir = s"$src/b$i"
+        all.filter(pred).coalesce(1).write.parquet(dir)
+        SchemaTools.listDataFiles(s, dir).foreach(f =>
+          fs.setTimes(new org.apache.hadoop.fs.Path(f),
+            t0 + i * 60000L, -1))
+      }
+      val sch = s.read.parquet(s"$src/b0").schema
+      val gate = WriteMode.DeltaNearDup(Seq("doc_id"), "text",
+        threshold = 0.2)
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/b*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.dropDuplicates(Seq("doc_id"))
+          val w = LakeWriter(s, root, gate)
+          Dedup.mergeClusterBatch(lbl,
+            w.nearDupPairs(b)
+              .select(col("id_new").as("id1"),
+                col("id_existing").as("id2")),
+            numBuckets = 16)
+          w.write(b)
+        }
+        .option("checkpointLocation", s"$src/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val labels =
+        if (SchemaTools.listDataFiles(s, lbl).nonEmpty)
+          s.read.parquet(lbl).select("doc_id", "cluster_id")
+        else s.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id")).limit(0)
+      s.read.parquet(root)
+        .select(lit("lake").as("side"), col("doc_id"),
+          lit(null).cast("long").as("cluster_id"))
+        .unionByName(labels.select(lit("labels").as("side"),
+          col("doc_id"), col("cluster_id")))
+        .orderBy("side", "doc_id")
+    }),
+
     // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
     // a TimeFly dataset, snapshotted, clobbered by a later (bad) write,
     // then RESTORED from the snapshot — training-data releases are
@@ -2753,6 +2819,86 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q84: q81's staged gate chain with two extensions — each stage also
+    * EMITS its decision pairs (pr CTEs), and a fourth stage replays
+    * batch B after the lake absorbed C (at-least-once delivery): its
+    * exact-gate survivors are exactly B's scored-out ids, re-scored
+    * against the final lake. Output = final lake ∪ the CC closure over
+    * every emitted pair (the label table the stream folds batch by
+    * batch through mergeClusterBatch). */
+  private def q84Oracle: String = {
+    def stage(l: String, surv: String, lake: String): String =
+      s"""n$l AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM $surv) +
+         |  (SELECT COUNT(*) FROM $lake) AS n),
+         |cap$l AS MATERIALIZED (SELECT greatest(64, CAST(ceil(n * 0.05) AS BIGINT))
+         |  AS cap FROM n$l),
+         |sh$l AS MATERIALIZED (
+         |  SELECT s.doc_id, s.shingle FROM sh0 s
+         |  WHERE s.doc_id IN (SELECT doc_id FROM $surv)
+         |     OR s.doc_id IN (SELECT doc_id FROM $lake)
+         |  QUALIFY COUNT(*) OVER (PARTITION BY s.shingle) <=
+         |   (SELECT cap FROM cap$l)),
+         |cnt$l AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh$l GROUP BY doc_id),
+         |inter$l AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_ex, COUNT(*) AS n_both
+         |  FROM sh$l a JOIN sh$l b ON a.shingle = b.shingle
+         |  WHERE a.doc_id IN (SELECT doc_id FROM $surv)
+         |    AND b.doc_id IN (SELECT doc_id FROM $lake)
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pr$l AS MATERIALIZED (SELECT id_new, id_ex FROM inter$l
+         |  JOIN cnt$l ca ON ca.doc_id = id_new
+         |  JOIN cnt$l cb ON cb.doc_id = id_ex
+         |  WHERE CAST(n_both AS DOUBLE) /
+         |        CAST(ca.n + cb.n - n_both AS DOUBLE) >= 0.2),
+         |dup$l AS MATERIALIZED (SELECT DISTINCT id_new FROM pr$l)""".stripMargin
+    s"""WITH RECURSIVE toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+       |  FROM toks),
+       |l0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 IN (1, 2)),
+       |sA AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+       |${stage("A", "sA", "l0")},
+       |l1 AS MATERIALIZED (SELECT doc_id FROM l0 UNION ALL
+       |  SELECT doc_id FROM sA
+       |  WHERE doc_id NOT IN (SELECT id_new FROM dupA)),
+       |sB AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 = 3),
+       |${stage("B", "sB", "l1")},
+       |l2 AS MATERIALIZED (SELECT doc_id FROM l1 UNION ALL
+       |  SELECT doc_id FROM sB
+       |  WHERE doc_id NOT IN (SELECT id_new FROM dupB)),
+       |sC AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+       |${stage("C", "sC", "l2")},
+       |l3 AS MATERIALIZED (SELECT doc_id FROM l2 UNION ALL
+       |  SELECT doc_id FROM sC
+       |  WHERE doc_id NOT IN (SELECT id_new FROM dupC)),
+       |sD AS MATERIALIZED (SELECT id_new AS doc_id FROM dupB),
+       |${stage("D", "sD", "l3")},
+       |allp AS MATERIALIZED (
+       |  SELECT id_new AS id1, id_ex AS id2 FROM prA
+       |  UNION SELECT id_new, id_ex FROM prB
+       |  UNION SELECT id_new, id_ex FROM prC
+       |  UNION SELECT id_new, id_ex FROM prD),
+       |sym AS MATERIALIZED (
+       |  SELECT id1 AS a, id2 AS b FROM allp
+       |  UNION SELECT id2, id1 FROM allp
+       |  UNION SELECT id1, id1 FROM allp
+       |  UNION SELECT id2, id2 FROM allp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lab AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+       |  GROUP BY a)
+       |SELECT 'lake' AS side, doc_id,
+       |  CAST(NULL AS BIGINT) AS cluster_id FROM l3
+       |UNION ALL
+       |SELECT 'labels' AS side, doc_id, cluster_id FROM lab
+       |ORDER BY side, doc_id""".stripMargin
+  }
+
   /** e06: incremental new×existing embedding near-dup pairs — the same
     * plane literals as e03/e05, candidates restricted to even×odd. */
   private def e06Oracle: String = {
@@ -3767,6 +3913,7 @@ object SparkEntry {
     "e09_ann_quantized" -> e09Oracle,
     "e12_ann_rerank" -> e12Oracle,
     "q81_continuous_neardup" -> q81Oracle,
+    "q84_stream_neardup_cc" -> q84Oracle,
     // identity with the in-memory SRP path IS the persistence contract
     "e10_persisted_index" -> e03Oracle,
     "e04_ann_ivf" -> e04Oracle,

@@ -473,6 +473,60 @@ final case class LakeWriter(
     }
   }
 
+  /** The near-dup decision pairs `(id_new, id_existing, jaccard)` of
+    * `df`'s exact-gate survivors scored against the current lake — the
+    * SAME pair set whose `id_new` side the DeltaNearDup gate drops,
+    * served from the standing `_keys`/`_shingles` sidecars when
+    * trusted (falling back to the data files exactly like the write
+    * path). Ingest pipelines fold these into dedup provenance — e.g.
+    * q84's streaming CC label table — without re-deriving the gate's
+    * semantics. Empty when the target holds no data yet. */
+  def nearDupPairs(df: DataFrame): DataFrame = {
+    val d = mode match {
+      case m: WriteMode.DeltaNearDup => m
+      case _ => throw new IllegalStateException(
+        "nearDupPairs requires a DeltaNearDup write mode")
+    }
+    val prepared = transform(pipeline(df))
+    val idc = "__dnd_id"
+    def keyed(x: DataFrame) =
+      if (d.subset.size == 1) x.withColumn(idc, col(d.subset.head))
+      else x.withColumn(idc, struct(d.subset.map(col): _*))
+    if (!targetHasData) {
+      val k = keyed(prepared.limit(0))
+      return k.select(col(idc).as("id_new"), col(idc).as("id_existing"),
+        lit(0.0).as("jaccard"))
+    }
+    shingleSidecar.readFor(d) match {
+      case Some((shOld, rows)) =>
+        val exact = deltaDiffAgainst(prepared, d.asDelta,
+          existingKeysSide(d.asDelta))
+        val newKeyed = keyed(exact)
+        graft.operators.Dedup
+          .incrementalJaccardPairsFromShingles(
+            newKeyed, shOld,
+            combinedRows = () => newKeyed.count() + rows,
+            idc, d.textCol, d.shingleN, d.threshold)
+          .select(col("id_new"), col("id_existing"), col("jaccard"))
+      case None =>
+        val existing = SchemaTools.safeRead(spark, path)
+        val exact = deltaDiffAgainst(prepared, d.asDelta,
+          existingKeysSide(d.asDelta))
+        var bounded = existing
+        d.asDelta.onColumn.foreach { ts =>
+          val Array(lo, hi) =
+            prepared.agg(min(col(ts)), max(col(ts))).head().toSeq.toArray
+          if (lo != null)
+            bounded = bounded
+              .filter(col(ts) >= lit(lo) && col(ts) <= lit(hi))
+        }
+        graft.operators.Dedup
+          .incrementalJaccardPairs(keyed(exact), keyed(bounded), idc,
+            d.textCol, d.shingleN, d.threshold)
+          .select(col("id_new"), col("id_existing"), col("jaccard"))
+    }
+  }
+
   def write(df: DataFrame): Unit = {
     val prepared0 = transform(pipeline(df))
     val hadData = targetHasData

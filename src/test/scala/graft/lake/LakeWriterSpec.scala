@@ -27,6 +27,39 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("nearDupPairs emits the gate's own decisions: id_new = the " +
+      "scored-out rows, id_existing = their lake matches") {
+    val dir = TestSpark.tempDir("dndpairs")
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    LakeWriter(spark, dir, WriteMode.Overwrite).write(base)
+    val batch = Seq(
+      (2L, "one two three four five six seven eight nine ten"), // exact
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "completely different words about ships sailing the open sea")
+    ).toDF("doc_id", "text")
+    val writer = LakeWriter(spark, dir,
+      WriteMode.DeltaNearDup(Seq("doc_id"), "text", threshold = 0.5))
+    val pairs = writer.nearDupPairs(batch)
+      .select("id_new", "id_existing").as[(Long, Long)].collect().toSet
+    // doc 3 pairs with its lake match doc 1; the exact-key dup (2) is
+    // handled by the key gate and never reaches scoring; 4 is novel
+    assert(pairs == Set((3L, 1L)))
+    // contract: pairs.id_new == exact-gate survivors the write drops
+    val survivors = writer.planDelta(batch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(4L))
+    // an empty target scores nothing and returns an empty, well-formed
+    // frame (the bootstrap batch of a stream)
+    val fresh = LakeWriter(spark, TestSpark.tempDir("dndpairs2"),
+      WriteMode.DeltaNearDup(Seq("doc_id"), "text", threshold = 0.5))
+    val empty = fresh.nearDupPairs(batch)
+    assert(empty.columns.toSeq ==
+      Seq("id_new", "id_existing", "jaccard") && empty.count() == 0)
+  }
+
   test("DeltaNearDup drops exact-key AND near-dup rows; replay is a no-op") {
     val dir = TestSpark.tempDir("dnd")
     val base = Seq(
