@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{ArrowIpc, Compact, FileStats, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{AnnIndex, ArrowIpc, Compact, FileStats, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1797,6 +1797,61 @@ object SparkEntry {
       Similarity.srpTopKFromIndex(
           s.read.parquet(root), e.filter(col("vec_id") < 10),
           dim = 64, k = 5, nBits = 4, nTables = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
+    // persisted-index MAINTENANCE under delta ingest: the index is
+    // bootstrapped from a third of the corpus and the other two thirds
+    // arrive as delta batches folded in by AnnIndex.appendSrp — each
+    // append buckets ONLY its batch (SRP planes are corpus-independent,
+    // so append-maintained == from-scratch rebuilt row for row), under
+    // the same dirty/trust marker discipline as the _keys/_shingles/
+    // _stats sidecars. The oracle is e03's full-corpus answer: serving
+    // the maintained index must be indistinguishable from an index
+    // built once over everything
+    "e13_srp_maintain" -> ((s, d) => {
+      val root = scratch(s, "e13", d)
+      val e = emb(s, d)
+      def m3(r: Long*) = pmod(col("vec_id"), lit(3L)).isin(r: _*)
+      AnnIndex.buildSrp(s, root, e.filter(m3(0)), dim = 64,
+        nBits = 4, nTables = 4)
+      AnnIndex.appendSrp(s, root, e.filter(m3(1)))
+      AnnIndex.appendSrp(s, root, e.filter(m3(2)))
+      assert(AnnIndex.trusted(s, root),
+        "append path must reseal the trust marker")
+      AnnIndex.serveSrp(s, root, e.filter(col("vec_id") < 10), k = 5).get
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
+    // the IVF sibling: appends assign ONLY the batch to the STORED
+    // pivots (the FAISS `add` contract — cell boundaries never shift
+    // under ingest). The bootstrap is chosen by the pivot rank itself
+    // (the union corpus's own pivot set), so the stored quantizer
+    // EQUALS the one a from-scratch rebuild would pick and the e04
+    // oracle is exact — the appends still exercise the general
+    // maintenance path: batch-only assignment against stored pivots
+    "e14_ivf_maintain" -> ((s, d) => {
+      val root = scratch(s, "e14", d)
+      val e = emb(s, d)
+      val nCells = 16
+      val pivotIds = e
+        .orderBy(Similarity.pivotRank(col("vec_id")).asc,
+          col("vec_id").asc)
+        .limit(nCells).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      val isPivot = col("vec_id").isin(pivotIds: _*)
+      AnnIndex.buildIvf(s, root, e.filter(isPivot), nCells = nCells)
+      val rest = e.filter(!isPivot)
+      AnnIndex.appendIvf(s, root,
+        rest.filter(pmod(col("vec_id"), lit(2L)) === 0L))
+      AnnIndex.appendIvf(s, root,
+        rest.filter(pmod(col("vec_id"), lit(2L)) === 1L))
+      assert(AnnIndex.trusted(s, root),
+        "append path must reseal the trust marker")
+      AnnIndex.serveIvf(s, root, e.filter(col("vec_id") < 10),
+          k = 5, nProbe = 4).get
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("id1", "rank")
     }),
@@ -3916,8 +3971,12 @@ object SparkEntry {
     "q84_stream_neardup_cc" -> q84Oracle,
     // identity with the in-memory SRP path IS the persistence contract
     "e10_persisted_index" -> e03Oracle,
+    // maintained-index == built-once contract: two delta appends, same
+    // full-corpus answers
+    "e13_srp_maintain" -> e03Oracle,
     "e04_ann_ivf" -> e04Oracle,
     "e11_persisted_ivf" -> e04Oracle,
+    "e14_ivf_maintain" -> e04Oracle,
     "e05_embed_dedup" -> e05Oracle,
     "e06_incremental_embed" -> e06Oracle,
     "q71_delta_semantic" -> q71Oracle,

@@ -1,0 +1,203 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Similarity
+
+/** Lifecycle manager for the persisted ANN indexes (e10's SRP buckets,
+  * e11's IVF cells) under delta ingest — the missing maintenance story
+  * the build-once indexes had: a delta append used to leave them
+  * silently stale. Same dirty/trust discipline as the `_keys`/
+  * `_shingles`/`_stats` sidecars:
+  *
+  *  - `_ann.json` is the trust marker AND the parameter record (plane
+  *    seed/bits/tables for SRP, cell count for IVF) — serving always
+  *    uses the STORED parameters, so a caller cannot probe with
+  *    mismatched planes.
+  *  - an append drops the marker, lands ONLY the new batch's index rows
+  *    (SRP: the batch re-buckets from the seeded planes — vectors are
+  *    bucketed independently, so append-maintained == from-scratch
+  *    rebuilt, row for row; IVF: the batch is assigned to the STORED
+  *    pivots — the FAISS `add` contract: centroids stay fixed between
+  *    retrains, so cell boundaries never shift under ingest), then
+  *    restores the marker.
+  *  - a crash between the two leaves the index UNTRUSTED: [[serveSrp]]/
+  *    [[serveIvf]] return None and the caller falls back to the direct
+  *    operators (`srpTopK`/`ivfTopK`) — degraded cost, never a wrong
+  *    answer from a half-appended index.
+  *
+  * e13 gates the SRP contract under the oracle (two appends == the e03
+  * full-corpus answer); e14 gates IVF (bootstrap chosen by the pivot
+  * rank so the stored pivots equal the union corpus's, making the
+  * from-scratch e04 oracle exact). Layout: `root/index` partitioned by
+  * `table` (SRP) or `cell` (IVF) so probes prune; `root/pivots` for
+  * IVF's coarse quantizer.
+  */
+object AnnIndex {
+
+  private val mapper = new ObjectMapper()
+
+  private def markerPath(root: String) = new Path(root, "_ann.json")
+  private def indexPath(root: String) = s"$root/index"
+  private def pivotsPath(root: String) = s"$root/pivots"
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def trusted(spark: SparkSession, root: String): Boolean =
+    fsOf(spark, root).exists(markerPath(root))
+
+  /** Drop only the trust marker (the dirty state an append enters). */
+  def distrust(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    if (fs.exists(markerPath(root))) fs.delete(markerPath(root), false)
+  }
+
+  private def seal(spark: SparkSession, root: String, json: String): Unit = {
+    val out = fsOf(spark, root).create(markerPath(root), true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(
+      spark: SparkSession,
+      root: String,
+      kind: String
+  ): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(markerPath(root))) return None
+    val in = fs.open(markerPath(root))
+    val node =
+      try mapper.readTree(in)
+      finally in.close()
+    if (node.path("kind").asText() == kind) Some(node) else None
+  }
+
+  // ------------------------------------------------------------ SRP --
+
+  def buildSrp(
+      spark: SparkSession,
+      root: String,
+      corpus: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nBits: Int = 8,
+      nTables: Int = 3,
+      seed: Long = 42L
+  ): Unit = {
+    distrust(spark, root)
+    Similarity.buildSrpIndex(corpus, dim, idCol, vecCol, nBits, nTables,
+        seed)
+      .write.mode("overwrite").partitionBy("table")
+      .parquet(indexPath(root))
+    seal(spark, root,
+      s"""{"kind":"srp","dim":$dim,"nBits":$nBits,""" +
+        s""""nTables":$nTables,"seed":$seed}""")
+  }
+
+  /** Fold a delta batch in: bucket ONLY the batch's vectors (the seeded
+    * planes are corpus-independent) and append. Requires a trusted
+    * index — an untrusted start means a prior append crashed mid-way,
+    * and blind-appending over an unknown gap could double rows; the
+    * caller rebuilds instead. */
+  def appendSrp(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val m = readMeta(spark, root, "srp").getOrElse(throw
+      new IllegalStateException(
+        s"no trusted SRP index at $root — rebuild with buildSrp"))
+    distrust(spark, root)
+    Similarity.buildSrpIndex(batch, m.get("dim").asInt(), idCol, vecCol,
+        m.get("nBits").asInt(), m.get("nTables").asInt(),
+        m.get("seed").asLong())
+      .write.mode("append").partitionBy("table")
+      .parquet(indexPath(root))
+    seal(spark, root, mapper.writeValueAsString(m))
+  }
+
+  /** Serve top-k from the maintained index with its STORED parameters —
+    * None when untrusted (caller falls back to the direct operator). */
+  def serveSrp(
+      spark: SparkSession,
+      root: String,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Option[DataFrame] =
+    readMeta(spark, root, "srp").map { m =>
+      Similarity.srpTopKFromIndex(
+        spark.read.parquet(indexPath(root)), queries,
+        m.get("dim").asInt(), idCol, vecCol, k,
+        m.get("nBits").asInt(), m.get("nTables").asInt(),
+        m.get("seed").asLong())
+    }
+
+  // ------------------------------------------------------------ IVF --
+
+  def buildIvf(
+      spark: SparkSession,
+      root: String,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCells: Int = 16
+  ): Unit = {
+    distrust(spark, root)
+    val (pivots, assigned) =
+      Similarity.buildIvfIndex(corpus, idCol, vecCol, nCells)
+    pivots.write.mode("overwrite").parquet(pivotsPath(root))
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(indexPath(root))
+    seal(spark, root, s"""{"kind":"ivf","nCells":$nCells}""")
+  }
+
+  /** Fold a delta batch in: assign ONLY the batch's vectors to the
+    * STORED pivots (cell boundaries never shift under ingest) and
+    * append to the assignment. */
+  def appendIvf(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val m = readMeta(spark, root, "ivf").getOrElse(throw
+      new IllegalStateException(
+        s"no trusted IVF index at $root — rebuild with buildIvf"))
+    distrust(spark, root)
+    val parr = spark.read.parquet(pivotsPath(root))
+      .select("cell", "emb", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    Similarity.assignCells(
+        Similarity.prep(batch, idCol, vecCol), parr, 1)
+      .select("cell", "vec_id", "emb", "nrm")
+      .write.mode("append").partitionBy("cell")
+      .parquet(indexPath(root))
+    seal(spark, root, mapper.writeValueAsString(m))
+  }
+
+  def serveIvf(
+      spark: SparkSession,
+      root: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Option[DataFrame] =
+    readMeta(spark, root, "ivf").map { _ =>
+      Similarity.ivfTopKFromIndex(
+        spark.read.parquet(pivotsPath(root)),
+        spark.read.parquet(indexPath(root)),
+        queries, idCol, vecCol, k, nProbe)
+    }
+}

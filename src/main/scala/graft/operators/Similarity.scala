@@ -21,7 +21,7 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Normalize: vec_id, emb (double), nrm. */
-  private def prep(emb: DataFrame, idCol: String, vecCol: String) =
+  private[graft] def prep(emb: DataFrame, idCol: String, vecCol: String) =
     emb.select(
       col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("emb")

@@ -1,0 +1,93 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Similarity
+
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  // deterministic synthetic vectors (hash-derived, no RNG state)
+  private def vecs(ids: Range) = ids.map { i =>
+    val emb = Array.tabulate(dim)(j =>
+      (((i * 31 + j * 17) % 19) - 9).toFloat / 9f)
+    (i.toLong, emb)
+  }.toDF("vec_id", "embedding")
+
+  test("SRP: append-maintained index == built-once index; untrusted " +
+      "index refuses to serve (fallback, never wrong)") {
+    val corpus = vecs(0 until 90)
+    val queries = vecs(0 until 5)
+    val maintained = TestSpark.tempDir("annm") + "/srp"
+    AnnIndex.buildSrp(spark, maintained,
+      corpus.filter(col("vec_id") < 30), dim, nBits = 3, nTables = 2)
+    AnnIndex.appendSrp(spark, maintained,
+      corpus.filter(col("vec_id") >= 30 && col("vec_id") < 60))
+    AnnIndex.appendSrp(spark, maintained,
+      corpus.filter(col("vec_id") >= 60))
+    val once = TestSpark.tempDir("anno") + "/srp"
+    AnnIndex.buildSrp(spark, once, corpus, dim, nBits = 3, nTables = 2)
+    def rows(root: String) =
+      AnnIndex.serveSrp(spark, root, queries, k = 3).get
+        .select("id1", "id2", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    assert(rows(maintained) == rows(once))
+    // staleness: a crashed append leaves no marker -> serve declines
+    AnnIndex.distrust(spark, maintained)
+    assert(AnnIndex.serveSrp(spark, maintained, queries).isEmpty)
+    // and the documented fallback is the direct operator — same answer
+    val direct = Similarity.srpTopK(corpus, queries, dim, k = 3,
+        nBits = 3, nTables = 2)
+      .select("id1", "id2", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(direct == rows(once))
+    // appending over an untrusted index must refuse, not blind-append
+    assertThrows[IllegalStateException] {
+      AnnIndex.appendSrp(spark, maintained, corpus.limit(1))
+    }
+  }
+
+  test("IVF: appends assign only the batch to the STORED pivots; " +
+      "marker discipline matches the sidecars") {
+    val corpus = vecs(0 until 60)
+    val root = TestSpark.tempDir("anniv") + "/ivf"
+    AnnIndex.buildIvf(spark, root,
+      corpus.filter(col("vec_id") < 40), nCells = 4)
+    val pivotsBefore = spark.read.parquet(s"$root/pivots")
+      .orderBy("cell").collect().toSeq
+    val idxBefore = spark.read.parquet(s"$root/index").count()
+    AnnIndex.appendIvf(spark, root, corpus.filter(col("vec_id") >= 40))
+    // pivots untouched (cell boundaries fixed), index grew by the batch
+    assert(spark.read.parquet(s"$root/pivots")
+      .orderBy("cell").collect().toSeq == pivotsBefore)
+    assert(spark.read.parquet(s"$root/index").count() == idxBefore + 20)
+    assert(AnnIndex.trusted(spark, root))
+    // served results == serving an index whose assignment was computed
+    // against the same stored pivots in one shot
+    val served = AnnIndex.serveIvf(spark, root, vecs(0 until 3), k = 3,
+        nProbe = 2).get
+      .select("id1", "id2", "rank").as[(Long, Long, Int)].collect().toSet
+    val parr = pivotsBefore
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toArray
+    val oneShot = Similarity.ivfTopKFromIndex(
+        spark.read.parquet(s"$root/pivots"),
+        Similarity.assignCells(
+            Similarity.prep(corpus, "vec_id", "embedding"), parr, 1)
+          .select("cell", "vec_id", "emb", "nrm"),
+        vecs(0 until 3), k = 3, nProbe = 2)
+      .select("id1", "id2", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(served == oneShot)
+    // kind mismatch: an IVF root cannot serve SRP
+    assert(AnnIndex.serveSrp(spark, root, vecs(0 until 3)).isEmpty)
+    AnnIndex.distrust(spark, root)
+    assert(AnnIndex.serveIvf(spark, root, vecs(0 until 3)).isEmpty)
+    assertThrows[IllegalStateException] {
+      AnnIndex.appendIvf(spark, root, corpus.limit(1))
+    }
+  }
+}
