@@ -1555,6 +1555,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the temperature knob at a SECOND point: alpha = 0.75 keeps more
+    // of the head (rate = (n_min/n)^(1/4)). 1/4 is dyadic, so the rate
+    // is sqrt(sqrt(ratio)) — two correctly-rounded sqrts, bit-identical
+    // in any engine composing them the same way, where pow() would
+    // drift in the last ulp
+    "d31_mixture_temp" -> ((s, d) => {
+      operators.Sampling.mixtureSample(docs(s, d), "doc_id", "lang",
+          alpha = 0.75)
+        .orderBy("doc_id")
+    }),
+
     // directed containment pairs — the quote/subset detector: a doc
     // wholly contained in another scores ~1 regardless of the
     // container's length, where Jaccard would dilute. Same keyed
@@ -3658,6 +3669,26 @@ object SparkEntry {
         |r AS (
         | SELECT lang,
         |  sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
+        |   AS rate
+        | FROM c)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE (((d.doc_id % 2147483647) * 1103515245 + 12345)
+        |       % 2147483647) % 1000000
+        |      < CAST(floor(r.rate * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // alpha = 0.75: rate = ratio^(1/4) written as sqrt(sqrt(...)) on
+    // BOTH sides — each sqrt correctly rounded, so the composition is
+    // bit-identical cross-engine (pow would not be)
+    "d31_mixture_temp" ->
+      """WITH c AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY lang),
+        |r AS (
+        | SELECT lang,
+        |  sqrt(sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) /
+        |            CAST(n AS DOUBLE)))
         |   AS rate
         | FROM c)
         |SELECT d.doc_id, d.lang, r.rate

@@ -8,7 +8,9 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * utils/base.py:111-134`, fixture `/root/reference/test.toml:1-24`):
   * dotted table headers, bare/quoted keys, basic+literal strings,
   * integers, floats (incl. `1e6`), booleans, bare RFC-3339 date-times,
-  * single- and multi-line arrays, and inline tables.
+  * single- and multi-line arrays, inline tables, and `[[...]]`
+  * array-of-tables sections (rtoml never emits those, but hand-edited
+  * pydala lakes may carry them — in-place adoption shouldn't choke).
   *
   * Two rtoml-replacer conventions are reproduced for interop
   * (`utils/base.py:114,131` — pydala round-trips Python `None` as the
@@ -35,10 +37,19 @@ object Toml {
     val root = mapper.createObjectNode()
     var current = root
     logicalLines(text).foreach { line =>
-      if (line.startsWith("[["))
-        throw new IllegalArgumentException(
-          s"array-of-tables unsupported: $line")
-      else if (line.startsWith("[")) {
+      if (line.startsWith("[[")) {
+        require(line.endsWith("]]"), s"malformed array-of-tables: $line")
+        val path = splitPath(line.substring(2, line.length - 2).trim)
+        val parent = navigate(root, path.init)
+        val arr = parent.get(path.last) match {
+          case a: ArrayNode => a
+          case null => parent.putArray(path.last)
+          case other => throw new IllegalArgumentException(
+            s"key '${path.last}' is a ${other.getNodeType}, " +
+              "not an array of tables")
+        }
+        current = arr.addObject()
+      } else if (line.startsWith("[")) {
         require(line.endsWith("]"), s"malformed table header: $line")
         val path = splitPath(line.substring(1, line.length - 1).trim)
         current = navigate(root, path)
@@ -148,6 +159,11 @@ object Toml {
     path.foldLeft(root) { (node, seg) =>
       node.get(seg) match {
         case o: ObjectNode => o
+        // a dotted path through an array of tables targets its LAST
+        // element (TOML §array-of-tables: `[a.b]` after `[[a]]`)
+        case a: ArrayNode if a.size > 0 &&
+            a.get(a.size - 1).isInstanceOf[ObjectNode] =>
+          a.get(a.size - 1).asInstanceOf[ObjectNode]
         case null => node.putObject(seg)
         case other => throw new IllegalArgumentException(
           s"key '$seg' is a ${other.getNodeType}, not a table")
@@ -258,6 +274,13 @@ object Toml {
       throw new IllegalArgumentException(s"unrenderable node: $other")
   }
 
+  private def isAot(n: JsonNode): Boolean = n match {
+    case a: ArrayNode =>
+      a.size > 0 && (0 until a.size).forall(i =>
+        a.get(i).isInstanceOf[ObjectNode])
+    case _ => false
+  }
+
   private def renderTable(
       node: ObjectNode,
       path: Seq[String],
@@ -265,21 +288,59 @@ object Toml {
   ): Unit = {
     val scalars = scala.collection.mutable.ArrayBuffer[(String, JsonNode)]()
     val tables = scala.collection.mutable.ArrayBuffer[(String, ObjectNode)]()
+    val aots = scala.collection.mutable.ArrayBuffer[(String, ArrayNode)]()
     node.fields.forEachRemaining { e =>
       e.getValue match {
+        case a: ArrayNode if isAot(a) => aots += ((e.getKey, a))
         case o: ObjectNode => tables += ((e.getKey, o))
         case v => scalars += ((e.getKey, v))
       }
     }
-    if (path.nonEmpty && (scalars.nonEmpty || tables.isEmpty)) {
+    if (path.nonEmpty &&
+        (scalars.nonEmpty || (tables.isEmpty && aots.isEmpty))) {
       sb.append('[').append(path.map(renderKey).mkString(".")).append("]\n")
     }
     scalars.foreach { case (k, v) =>
       sb.append(renderKey(k)).append(" = ").append(renderScalar(v))
         .append('\n')
     }
-    if (scalars.nonEmpty || (path.nonEmpty && tables.isEmpty))
+    if (scalars.nonEmpty || (path.nonEmpty && tables.isEmpty && aots.isEmpty))
       sb.append('\n')
     tables.foreach { case (k, o) => renderTable(o, path :+ k, sb) }
+    // non-empty all-table arrays render as [[...]] sections (sub-tables
+    // inside an element attach to it via the dotted-path-targets-last-
+    // element rule the parser implements); empty or mixed arrays stay
+    // inline via renderScalar
+    aots.foreach { case (k, a) =>
+      val p = (path :+ k).map(renderKey).mkString(".")
+      (0 until a.size).foreach { i =>
+        sb.append("[[").append(p).append("]]\n")
+        val el = a.get(i).asInstanceOf[ObjectNode]
+        val elScalars =
+          scala.collection.mutable.ArrayBuffer[(String, JsonNode)]()
+        val elTables =
+          scala.collection.mutable.ArrayBuffer[(String, ObjectNode)]()
+        val elAots =
+          scala.collection.mutable.ArrayBuffer[(String, ArrayNode)]()
+        el.fields.forEachRemaining { e =>
+          e.getValue match {
+            case ar: ArrayNode if isAot(ar) => elAots += ((e.getKey, ar))
+            case o: ObjectNode => elTables += ((e.getKey, o))
+            case v => elScalars += ((e.getKey, v))
+          }
+        }
+        elScalars.foreach { case (k2, v) =>
+          sb.append(renderKey(k2)).append(" = ").append(renderScalar(v))
+            .append('\n')
+        }
+        sb.append('\n')
+        elTables.foreach { case (k2, o) => renderTable(o, path :+ k :+ k2, sb) }
+        elAots.foreach { case (k2, ar) =>
+          val nested = mapper.createObjectNode()
+          nested.set[JsonNode](k2, ar)
+          renderTable(nested, path :+ k, sb)
+        }
+      }
+    }
   }
 }

@@ -32,10 +32,12 @@ object Sampling {
     * side is one filter of pure row-local arithmetic: no shuffle of the
     * corpus at all.
     *
-    * alpha = 0.5 computes the rate via `sqrt` (IEEE-correctly-rounded,
-    * portable across engines — oracle-gradeable); other alphas go
-    * through `pow`, whose libm implementations may differ in the last
-    * ulp across engines. */
+    * Dyadic alphas stay engine-portable: alpha = 0.5 computes the rate
+    * via one `sqrt`, alpha = 0.75 via `sqrt(sqrt(...))` — each sqrt is
+    * IEEE-correctly-rounded, so ANY engine composing the same sqrts
+    * gets bit-identical rates (both are oracle-gated: d30, d31). Other
+    * alphas go through `pow`, whose libm implementations may differ in
+    * the last ulp across engines (spec-level determinism only). */
   def mixtureSample(
       df: DataFrame,
       idCol: String,
@@ -51,7 +53,9 @@ object Sampling {
     val rates = counts
       .withColumn("__minn", minN)
       .withColumn("rate",
-        if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha))
+        if (alpha == 0.5) sqrt(ratio)
+        else if (alpha == 0.75) sqrt(sqrt(ratio))
+        else pow(ratio, 1.0 - alpha))
       .select(col(stratumCol), col("rate"))
     val p = 2147483647L // 2^31 - 1
     // integral ids feed the LCG directly (portable, oracle-gradeable);

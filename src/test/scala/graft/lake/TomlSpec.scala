@@ -110,6 +110,46 @@ class TomlSpec extends AnyFunSuite {
     assert(Toml.parse(Toml.render(n)) == n)
   }
 
+  test("array-of-tables: parse, dotted-path-into-last-element, nested " +
+      "[[..]], and a lossless round-trip") {
+    val doc =
+      """title = "aot"
+        |
+        |[[server]]
+        |host = "a"
+        |port = 1
+        |
+        |[server.limits]
+        |max = 10
+        |
+        |[[server]]
+        |host = "b"
+        |port = 2
+        |
+        |[[server.mounts]]
+        |path = "/data"
+        |
+        |[[server.mounts]]
+        |path = "/logs"
+        |""".stripMargin
+    val n = Toml.parse(doc)
+    assert(n.get("server").isArray && n.get("server").size == 2)
+    assert(n.at("/server/0/host").asText == "a")
+    // [server.limits] attached to the FIRST element (last at the time)
+    assert(n.at("/server/0/limits/max").asLong == 10L)
+    assert(n.at("/server/1/host").asText == "b")
+    // nested [[server.mounts]] attached to the second element
+    assert(n.at("/server/1/mounts").size == 2)
+    assert(n.at("/server/1/mounts/1/path").asText == "/logs")
+    // render emits [[..]] sections and the round-trip is identity
+    val rendered = Toml.render(n)
+    assert(rendered.contains("[[server]]"))
+    assert(Toml.parse(rendered) == n)
+    // arrays of scalars are untouched; empty arrays stay inline
+    val m = Toml.parse("a = [1, 2]\nb = []\n")
+    assert(Toml.parse(Toml.render(m)) == m)
+  }
+
   test("empty tables render and re-parse (the manager's empty dataset " +
       "section)") {
     val n = Toml.parse("[pydala]\nname = \"lake\"\n\n[dataset]\n")
