@@ -459,13 +459,17 @@ object SparkEntry {
       val root = scratch(s, "q84", d)
       val lbl = scratch(s, "q84lbl", d)
       val src = scratch(s, "q84src", d)
-      val all = docs(s, d)
-      def m5(r: Long*) = pmod(col("doc_id"), lit(5L)).isin(r: _*)
-      LakeWriter(s, root, WriteMode.Overwrite).write(all.filter(m5(1, 2)))
+      // the even-id half of the corpus: the composite runs FOUR full
+      // gate lifecycles — the operator story lives in the structure
+      // (sidecar-served gate + provenance fold + replay), not in the
+      // fixture size, and scoring cost scales with the corpus
+      val all = docs(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      def m10(r: Long*) = pmod(col("doc_id"), lit(10L)).isin(r: _*)
+      LakeWriter(s, root, WriteMode.Overwrite).write(all.filter(m10(2, 4)))
       // one FILE per arrival batch (batch atomicity under
       // maxFilesPerTrigger=1), mtimes forced strictly increasing so the
       // file source replays them in arrival order
-      val batches = Seq(m5(0), m5(3), m5(4), m5(3) /* replay */)
+      val batches = Seq(m10(0), m10(6), m10(8), m10(6) /* replay */)
       val fs = new org.apache.hadoop.fs.Path(src)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val t0 = System.currentTimeMillis()
@@ -484,14 +488,16 @@ object SparkEntry {
         .parquet(s"$src/b*")
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch.dropDuplicates(Seq("doc_id"))
-          val w = LakeWriter(s, root, gate)
-          Dedup.mergeClusterBatch(lbl,
-            w.nearDupPairs(b)
-              .select(col("id_new").as("id1"),
-                col("id_existing").as("id2")),
-            numBuckets = 16)
-          w.write(b)
+          // the pair SINK folds the gate's own decisions into the label
+          // table during the write — one scoring pass serves both the
+          // gate's anti-join and the provenance merge
+          LakeWriter(s, root, gate,
+            nearDupPairSink = Some(p =>
+              Dedup.mergeClusterBatch(lbl,
+                p.select(col("id_new").as("id1"),
+                  col("id_existing").as("id2")),
+                numBuckets = 16)))
+            .write(batch.dropDuplicates(Seq("doc_id")))
         }
         .option("checkpointLocation", s"$src/_ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1723,7 +1729,10 @@ object SparkEntry {
         .parquet(s"$src/__b=*")
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          Dedup.mergeClusterBatch(lbl, batch)
+          // bucket count tracks the label-table size like a shuffle
+          // width: 16 at fixture scale (hundreds/thousands of labels);
+          // a 10B-doc corpus would run 256+
+          Dedup.mergeClusterBatch(lbl, batch, numBuckets = 16)
         }
         .option("checkpointLocation", s"$src/_ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2924,18 +2933,18 @@ object SparkEntry {
        |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
        |  FROM toks),
-       |l0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 IN (1, 2)),
-       |sA AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+       |l0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 10 IN (2, 4)),
+       |sA AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
        |${stage("A", "sA", "l0")},
        |l1 AS MATERIALIZED (SELECT doc_id FROM l0 UNION ALL
        |  SELECT doc_id FROM sA
        |  WHERE doc_id NOT IN (SELECT id_new FROM dupA)),
-       |sB AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 = 3),
+       |sB AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 10 = 6),
        |${stage("B", "sB", "l1")},
        |l2 AS MATERIALIZED (SELECT doc_id FROM l1 UNION ALL
        |  SELECT doc_id FROM sB
        |  WHERE doc_id NOT IN (SELECT id_new FROM dupB)),
-       |sC AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+       |sC AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 10 = 8),
        |${stage("C", "sC", "l2")},
        |l3 AS MATERIALIZED (SELECT doc_id FROM l2 UNION ALL
        |  SELECT doc_id FROM sC

@@ -118,8 +118,33 @@ final case class LakeWriter(
     transform: DataFrame => DataFrame = identity, // writer.py:444-445
     // Fired once after a successful write (TimeFly wires dataset
     // view refresh here; see TimeFly.onDataChange).
-    onWrite: () => Unit = () => ()
+    onWrite: () => Unit = () => (),
+    // DeltaNearDup only: observes the gate's decision pairs
+    // (id_new, id_existing, jaccard) DURING write() — the pair frame is
+    // persisted, the sink's actions populate the cache, and the gate's
+    // own anti-join then reuses it, so provenance (q84's incremental-CC
+    // label fold) costs ZERO extra scoring passes. Fires only inside
+    // write() (planDelta stays a pure audit), against the pre-write
+    // lake state. For an on-demand pair set use [[nearDupPairs]].
+    nearDupPairSink: Option[DataFrame => Unit] = None
 ) {
+
+  // pair-frame cache handed to the sink; released after the write lands
+  @transient private var sinkCached: Option[DataFrame] = None
+  @transient private var sinkArmed: Boolean = false
+
+  /** Identity unless a sink is configured AND a write is in flight:
+    * persist the pair frame, let the sink consume it, hand the cached
+    * frame back to the gate. */
+  private def applyPairSink(pairs: DataFrame): DataFrame =
+    nearDupPairSink match {
+      case Some(sink) if sinkArmed =>
+        val p = pairs.persist()
+        sinkCached = Some(p)
+        sink(p.select("id_new", "id_existing", "jaccard"))
+        p
+      case _ => pairs
+    }
 
   def withMode(m: WriteMode): LakeWriter = copy(mode = m)
   def withPartitioning(cols: String*): LakeWriter = copy(partitionBy = cols)
@@ -279,12 +304,13 @@ final case class LakeWriter(
           if (d.subset.size == 1) x.withColumn(idc, col(d.subset.head))
           else x.withColumn(idc, struct(d.subset.map(col): _*))
         val newKeyed = keyed(exact)
-        val dupIds = graft.operators.Dedup
+        val pairFrame = graft.operators.Dedup
           .incrementalJaccardPairsFromShingles(
             newKeyed, shOld,
             // batch rows + corpus rows (from index metadata — no job)
             combinedRows = () => newKeyed.count() + rows,
             idc, d.textCol, d.shingleN, d.threshold)
+        val dupIds = applyPairSink(pairFrame)
           .select(col("id_new").as(idc))
           .distinct()
         newKeyed.join(dupIds, Seq(idc), "left_anti").drop(idc)
@@ -316,7 +342,8 @@ final case class LakeWriter(
       existing: DataFrame,
       allowBroadcast: Boolean,
       score: (DataFrame, DataFrame, String) => DataFrame,
-      existingExact: Option[DataFrame] = None
+      existingExact: Option[DataFrame] = None,
+      pairSink: DataFrame => DataFrame = identity
   ): DataFrame = {
     val exact = deltaDiffAgainst(df, asDelta,
       existingExact.getOrElse(existing), allowBroadcast)
@@ -334,7 +361,7 @@ final case class LakeWriter(
     def keyed(x: DataFrame) =
       if (asDelta.subset.size == 1) x.withColumn(idc, col(asDelta.subset.head))
       else x.withColumn(idc, struct(asDelta.subset.map(col): _*))
-    val dupIds = score(keyed(exact), keyed(bounded), idc)
+    val dupIds = pairSink(score(keyed(exact), keyed(bounded), idc))
       .select(col("id_new").as(idc))
       .distinct()
     keyed(exact).join(dupIds, Seq(idc), "left_anti").drop(idc)
@@ -351,7 +378,8 @@ final case class LakeWriter(
       (nw, ex, idc) => graft.operators.Dedup
         .incrementalJaccardPairs(nw, ex, idc, d.textCol, d.shingleN,
           d.threshold),
-      existingExact)
+      existingExact,
+      pairSink = applyPairSink)
 
   private def deltaSemanticDiffAgainst(
       df: DataFrame,
@@ -528,6 +556,16 @@ final case class LakeWriter(
   }
 
   def write(df: DataFrame): Unit = {
+    sinkArmed = nearDupPairSink.isDefined
+    try writeImpl(df)
+    finally {
+      sinkArmed = false
+      sinkCached.foreach(_.unpersist())
+      sinkCached = None
+    }
+  }
+
+  private def writeImpl(df: DataFrame): Unit = {
     val prepared0 = transform(pipeline(df))
     val hadData = targetHasData
     // Pre-write target schema: for Delta-family the drift check needs the

@@ -769,66 +769,137 @@ object Dedup {
       numBuckets: Int = 64
   ): Unit = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(labelsPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val edges = pairs.select(col("id1"), col("id2"))
+    // The merge subgraph (touched clusters' members + the batch's
+    // edges) is bounded by the TOUCH SET by construction — micro-batch
+    // scale. Below this cap the CC is a driver hashmap fold instead of
+    // the distributed loop's ~10 scheduled jobs per round (measured:
+    // d28 8.2 s -> the loop was pure per-round latency at this size);
+    // above it the checkpointed loop takes over, so a pathological
+    // batch cannot pull an unbounded subgraph onto the driver.
+    val SmallCap = 200000
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn("bucket",
         pmod(col("doc_id"), lit(numBuckets.toLong)).cast("int"))
+    def bucketOf(id: Long): Int =
+      (((id % numBuckets) + numBuckets) % numBuckets).toInt
     val bootstrap = !fs.exists(root) ||
       graft.lake.SchemaTools.listDataFiles(spark, labelsPath).isEmpty
     val next: DataFrame =
-      if (bootstrap) withBucket(duplicateClusters(edges))
-      else {
+      if (bootstrap) {
+        val local = edges.limit(SmallCap + 1).collect()
+        if (local.length <= SmallCap)
+          withBucket(unionFind(local.iterator
+              .map(r => (r.getLong(0), r.getLong(1)))).toSeq
+            .toDF("doc_id", "cluster_id"))
+        else withBucket(duplicateClusters(edges))
+      } else {
         val labels = spark.read.parquet(labelsPath)
           .select("doc_id", "cluster_id", "bucket")
-        val touchedIds = edges
-          .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
-          .distinct()
+        val localEdges = edges.limit(SmallCap + 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
         // resolving batch ids -> clusters only needs the batch ids' own
-        // buckets: a partition-pruned lookup, O(batch), never the table
-        val batchBuckets = touchedIds
-          .select(pmod(col("doc_id"), lit(numBuckets.toLong))
-            .cast("int").as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq // <= numBuckets
-        val lookup = labels
+        // buckets: a partition-pruned lookup, O(batch), never the table.
+        // Member resolution pushes the touched cluster ids as an IN
+        // filter (parquet row-group skipping over cluster_id-sorted
+        // partitions does the pruning). Only meaningful when the edge
+        // sample is complete (within the cap).
+        lazy val touchedIds = localEdges.iterator
+          .flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+        lazy val batchBuckets = touchedIds.map(bucketOf).distinct.toSeq
+        lazy val touchedArr = labels
           .filter(col("bucket").isin(batchBuckets: _*))
-        val touchedClusters = lookup.join(touchedIds, Seq("doc_id"))
+          .filter(col("doc_id").isin(touchedIds.toSeq: _*))
           .select("cluster_id").distinct()
-        // member resolution: micro-batch-sized touch sets push the
-        // cluster ids as an IN filter (parquet row-group skipping does
-        // the pruning); unboundedly large ones keep the semi-join
-        val touchedArr = touchedClusters.limit(10001)
           .collect().map(_.getLong(0))
-        val members =
-          if (touchedArr.length <= 10000)
-            labels.filter(col("cluster_id").isin(touchedArr: _*))
-          else labels.join(touchedClusters, Seq("cluster_id"), "left_semi")
-        val merged = withBucket(duplicateClusters(
-          members
-            .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
-            .unionByName(edges)))
-        // rewrite set = buckets holding any merged row; carry over the
-        // untouched-cluster rows that share those buckets (their
-        // partitions are being replaced wholesale)
-        val touchedBuckets = merged.select("bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq // <= numBuckets
-        val keep = labels
-          .filter(col("bucket").isin(touchedBuckets: _*))
-          .join(touchedClusters, Seq("cluster_id"), "left_anti")
-          .select("doc_id", "cluster_id", "bucket")
-        keep.unionByName(merged.select("doc_id", "cluster_id", "bucket"))
+        lazy val members = labels
+          .filter(col("cluster_id").isin(touchedArr.toSeq: _*))
+          .select("doc_id", "cluster_id")
+        lazy val localMembers = members.limit(SmallCap + 1).collect()
+        if (localEdges.length <= SmallCap &&
+            localMembers.length <= SmallCap) {
+          val merged = unionFind(
+            localMembers.iterator.map(r => (r.getLong(0), r.getLong(1)))
+              ++ localEdges.iterator).toSeq
+          // rewrite set = buckets holding any merged row; carry over the
+          // untouched-cluster rows sharing those buckets (their
+          // partitions are replaced wholesale)
+          val touchedBuckets = merged.map(m => bucketOf(m._1)).distinct
+          val touchedSet = touchedArr.toSeq
+          val keep = labels
+            .filter(col("bucket").isin(touchedBuckets: _*))
+            .filter(!col("cluster_id").isin(touchedSet: _*))
+          keep.unionByName(
+            withBucket(merged.toDF("doc_id", "cluster_id")))
+        } else {
+          // oversized touch set: the fully distributed formulation
+          // (NOT via `lookup` — its bucket pruning came from the
+          // truncated edge sample above)
+          val touchedClusters = labels
+            .join(edges
+              .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+              .distinct(), Seq("doc_id"))
+            .select("cluster_id").distinct()
+          val bigMembers =
+            labels.join(touchedClusters, Seq("cluster_id"), "left_semi")
+          val merged = withBucket(duplicateClusters(
+            bigMembers
+              .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
+              .unionByName(edges)))
+          val touchedBuckets = merged.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq // <= numBuckets
+          val keep = labels
+            .filter(col("bucket").isin(touchedBuckets: _*))
+            .join(touchedClusters, Seq("cluster_id"), "left_anti")
+            .select("doc_id", "cluster_id", "bucket")
+          keep.unionByName(merged.select("doc_id", "cluster_id", "bucket"))
+        }
       }
     // one task per touched bucket -> one file per rewritten partition,
     // sorted by cluster_id so the member-resolution IN filter above
-    // prunes on row-group stats next batch
+    // prunes on row-group stats next batch; width bounded by the bucket
+    // count, not the session shuffle width (a merge rewrites at most
+    // numBuckets partitions — scheduling more tasks is pure overhead)
     next
-      .repartition(col("bucket"))
+      .repartition(math.min(numBuckets, 64), col("bucket"))
       .sortWithinPartitions("cluster_id")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(labelsPath)
+  }
+
+  /** Min-label union-find (path compression + union-by-min-root) for
+    * micro-batch-scale merge subgraphs — returns id -> component min
+    * id, the same labeling invariant as [[duplicateClusters]]. */
+  private def unionFind(
+      edges: Iterator[(Long, Long)]
+  ): scala.collection.mutable.Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = scala.collection.mutable.Map[Long, Long]()
+    parent.keysIterator.foreach(k => out(k) = find(k))
+    out
   }
 
   /** Embedding-cosine near-dup dedup decisions (SemDeDup-style semantic
