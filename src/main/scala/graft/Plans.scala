@@ -64,7 +64,26 @@ object Plans {
         "cell-partitioned index — appends never re-assigned the corpus"),
       "d31_mixture_temp" -> ("alpha = 0.75 mixture: same zero-corpus-" +
         "shuffle shape as d30 — the rate expression (sqrt∘sqrt) changes, " +
-        "the plan does not")
+        "the plan does not"),
+      "d32_lm_score" -> ("bigram-LM scoring: model = two keyed aggs over " +
+        "the REFERENCE slice only; corpus grouped to (doc, bigram) pair " +
+        "width BEFORE the count-table joins (Zipf-head occurrence fan-out " +
+        "never reaches a join — the d22 discipline), one keyed agg per doc"),
+      "d33_span_removal" -> ("span removal: d23's window/hot/probe plan, " +
+        "first-occurrence winner via min(struct) keyed agg (map-side " +
+        "partials, no hot-window row_number sort), and the token-level " +
+        "reassembly shuffle runs ONLY for docs that lose a span — the " +
+        "untouched bulk passes through without exploding tokens"),
+      "d34_domain_cap" -> ("domain cap: ONE row_number window planned as " +
+        "WindowGroupLimit — every map task pre-prunes to the per-domain " +
+        "top-cap BEFORE the exchange, so a 1B-doc hot domain ships " +
+        "cap x partitions rows, not 1B"),
+      "m05_mp4_meta" -> ("MP4 metadata: two native codegen'd box-walk " +
+        "passes per row (timescale/duration) + builtin byte reads for " +
+        "brand/mime — per-row, zero shuffle, same scale shape as m01-m04"),
+      "e15_ann_recall" -> ("recall measurement: e02 + e03 plans feeding " +
+        "keyed (query, neighbor) joins and per-query aggs — the " +
+        "measurement itself adds no all-pairs stage")
     )
 
     val sb = new StringBuilder

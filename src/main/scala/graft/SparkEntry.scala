@@ -1572,6 +1572,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style LM quality scoring: a token-bigram model trained on
+    // the doc_id%10=3 reference slice, every doc scored by BIT-QUANTIZED
+    // cross-entropy — floor-log2 in exact integer arithmetic
+    // (length(bin(x))-1 on both engines), so the perplexity signal
+    // itself is hash-verified where a libm log would drift
+    "d32_lm_score" -> ((s, d) => {
+      val all = docs(s, d)
+      operators.Quality.ngramLmScore(all,
+          all.filter(col("doc_id") % 10 === 3), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // duplicated-span REMOVAL (the transformation half of d23's audit):
+    // repeated 8-token windows keep their corpus-wide first occurrence,
+    // every other occurrence's positions are cut and the affected docs
+    // are reassembled; untouched docs never explode their tokens
+    "d33_span_removal" -> ((s, d) => {
+      Dedup.removeDuplicateSpans(docs(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
+    // per-domain admission cap: at most 15 docs per source, the
+    // deterministically-first by (content fingerprint, id). The rk<=cap
+    // predicate plans as WindowGroupLimit — map-side per-domain
+    // pre-pruning BEFORE the exchange, the hot-domain survival story
+    "d34_domain_cap" -> ((s, d) => {
+      operators.Quality.domainCap(docs(s, d), "doc_id", "source", "text",
+          cap = 15)
+        .orderBy("source", "rk")
+    }),
+
     // directed containment pairs — the quote/subset detector: a doc
     // wholly contained in another scores ~1 regardless of the
     // container's length, where Jaccard would dilute. Same keyed
@@ -1904,6 +1935,34 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // ANN quality MEASURED, not asserted: per-query recall@5 of the SRP
+    // index (e03) against brute force (e02) — the number that decides
+    // whether an index's nBits/nTables fit a corpus. Both sides are
+    // deterministic, so even the recall measurement is hash-verified;
+    // the join is (query, neighbor)-keyed, never all-pairs
+    "e15_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("id1"), col("id2"))
+      val ann = Similarity.srpTopK(e, q, dim = 64, k = 5,
+          nBits = 4, nTables = 4)
+        .select(col("id1"), col("id2"))
+      val annN = ann.groupBy("id1").agg(count(lit(1)).as("n_ann"))
+      val hits = bf.join(ann, Seq("id1", "id2"))
+        .groupBy("id1").agg(count(lit(1)).as("n_hit"))
+      bf.select("id1").distinct()
+        .join(annN, Seq("id1"), "left")
+        .join(hits, Seq("id1"), "left")
+        .select(
+          col("id1"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_at_5"))
+        .orderBy("id1")
+    }),
+
     // IVF-style ANN: deterministic pivots (lowest ids), nearest-cell
     // assignment, nProbe query cells — coarse quantization, the other
     // standard ANN scale path next to SRP LSH (e03); fully SQL-oracled
@@ -2077,6 +2136,27 @@ object SparkEntry {
           col("f.total_samples").as("total_samples"),
           expr("f.total_samples * 1000 div f.sample_rate")
             .as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
+    // video metadata: planted ISO-BMFF/MP4 payloads. Every v0 file
+    // parks a variable-length `free` box before `moov` (fixed offsets
+    // read garbage — the top-level box walk is load-bearing); the rest
+    // are mvhd VERSION 1 (64-bit times shift every field — version
+    // dispatch is load-bearing); every third row raw text -> nulls.
+    // Brand comes from the spec-pinned ftyp slot, duration_ms is
+    // integer arithmetic over the parsed fields like m03/m04
+    "m05_mp4_meta" -> ((s, d) => {
+      Multimodal.plantedVideo(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("m", Multimodal.mp4Meta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("m.major_brand").as("major_brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          expr("m.duration * 1000 div m.timescale").as("duration_ms"))
         .orderBy("media_id")
     }),
 
@@ -3707,6 +3787,97 @@ object SparkEntry {
         |      < CAST(floor(r.rate * 1000000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // bit-quantized cross-entropy: floor-log2 = length(bin(x))-1 on both
+    // engines — exact integer arithmetic, no libm log anywhere
+    "d32_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |rbg AS (
+        |  SELECT u AS bg FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+        |      i -> t[i] || ' ' || t[i+1])) AS u
+        |    FROM tk WHERE doc_id % 10 = 3)),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+        |       FROM rbg GROUP BY bg),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |        CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT unnest(t) AS tok FROM tk
+        |            WHERE doc_id % 10 = 3)),
+        |occ AS (
+        |  SELECT doc_id, u AS bg, CAST(count(*) AS BIGINT) AS occ
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, greatest(len(t), 1)),
+        |            i -> t[i] || ' ' || t[i+1])) AS u
+        |        FROM tk)
+        |  GROUP BY doc_id, u),
+        |j AS (
+        |  SELECT o.doc_id, o.occ,
+        |   (length(bin(coalesce(c1.c1, 0) + (SELECT v FROM v))) - 1)
+        |   - (length(bin(coalesce(c2.c2, 0) + 1)) - 1) AS bits
+        |  FROM occ o
+        |  LEFT JOIN c2 ON o.bg = c2.bg
+        |  LEFT JOIN c1 ON string_split(o.bg, ' ')[1] = c1.w1)
+        |SELECT doc_id,
+        | CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        | CAST(sum(occ * bits) AS BIGINT) AS total_bits,
+        | CAST(sum(occ * bits) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
+        |   AS bits_per_token
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // first occurrence per repeated window = row_number = 1 over
+    // (doc, pos) — the same ordering min(struct) picks on the Spark side
+    "d33_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (
+        |  SELECT doc_id, u.pos AS pos, u.sh AS sh
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+        |            i -> {'pos': i - 1,
+        |                  'sh': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                    || ' ' || tk[i+3] || ' ' || tk[i+4] || ' '
+        |                    || tk[i+5] || ' ' || tk[i+6] || ' '
+        |                    || tk[i+7]})) AS u
+        |        FROM toks)),
+        |hot AS (SELECT sh FROM win GROUP BY sh HAVING count(*) >= 2),
+        |occ AS (SELECT w.doc_id, w.pos, w.sh
+        |        FROM win w JOIN hot USING (sh)),
+        |r AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos, row_number() OVER (PARTITION BY sh
+        |          ORDER BY doc_id, pos) AS rn FROM occ) z
+        |      WHERE rn > 1),
+        |rp AS (SELECT DISTINCT doc_id, u AS p
+        |       FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS u
+        |             FROM r) y),
+        |tok AS (
+        |  SELECT doc_id, u.p AS p, u.tok AS tok
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(tk) + 1),
+        |            i -> {'p': i - 1, 'tok': tk[i]})) AS u
+        |        FROM toks) x),
+        |g AS (SELECT t.doc_id, t.p, t.tok, r2.p IS NOT NULL AS rm
+        |      FROM tok t LEFT JOIN rp r2
+        |        ON t.doc_id = r2.doc_id AND t.p = r2.p)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | coalesce(string_agg(CASE WHEN NOT rm THEN tok END,
+        |   ' ' ORDER BY p), '') AS clean_text
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d34_domain_cap" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${sqlCharFold("text", 131)} AS content_hash
+         | FROM documents),
+         |r AS (SELECT doc_id, source, content_hash,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY content_hash, doc_id) AS BIGINT) AS rk
+         | FROM h)
+         |SELECT doc_id, source, content_hash, rk FROM r
+         |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
     "d12_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
          |  (${sqlCharFold("text", 137)}) % 100 AS bucket
@@ -4014,6 +4185,51 @@ object SparkEntry {
     // maintained-index == built-once contract: two delta appends, same
     // full-corpus answers
     "e13_srp_maintain" -> e03Oracle,
+
+    // recall@5 of the SRP index vs brute force — both stages' oracle
+    // bodies reused verbatim as CTEs, the comparison itself keyed
+    "e15_ann_recall" -> {
+      val e02Sql =
+        """WITH v AS (
+          |  SELECT vec_id,
+          |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          |  FROM embeddings),
+          |n AS (
+          |  SELECT vec_id, emb,
+          |   sqrt(list_reduce(list_transform(emb, x -> x * x),
+          |        (acc, x) -> acc + x)) AS nrm
+          |  FROM v),
+          |p AS (
+          |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+          |   list_reduce(list_transform(range(1, 65),
+          |     i -> q.emb[i] * c.emb[i]), (acc, x) -> acc + x) /
+          |   (q.nrm * c.nrm) AS sim
+          |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+          |  WHERE q.vec_id < 10)
+          |SELECT id1, id2, sim, rank FROM (
+          |  SELECT id1, id2, sim,
+          |   CAST(row_number() OVER (PARTITION BY id1
+          |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
+          |  FROM p) t
+          |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
+      s"""WITH bf0 AS ($e02Sql),
+         |ann0 AS ($e03Oracle),
+         |bf AS (SELECT id1, id2 FROM bf0),
+         |ann AS (SELECT id1, id2 FROM ann0),
+         |q AS (SELECT DISTINCT id1 FROM bf),
+         |na AS (SELECT id1, CAST(count(*) AS BIGINT) AS n_ann
+         |       FROM ann GROUP BY id1),
+         |nh AS (SELECT bf.id1, CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM bf JOIN ann ON bf.id1 = ann.id1 AND bf.id2 = ann.id2
+         |       GROUP BY bf.id1)
+         |SELECT q.id1,
+         | CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
+         | CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+         | CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM q LEFT JOIN na ON q.id1 = na.id1
+         |LEFT JOIN nh ON q.id1 = nh.id1
+         |ORDER BY q.id1""".stripMargin
+    },
     "e04_ann_ivf" -> e04Oracle,
     "e11_persisted_ivf" -> e04Oracle,
     "e14_ivf_maintain" -> e04Oracle,
@@ -4129,6 +4345,25 @@ object SparkEntry {
         | CAST(CASE WHEN kind = 1 THEN total END AS BIGINT)
         |  AS total_samples,
         | CAST(CASE WHEN kind = 1 THEN total * 1000 // sr END AS BIGINT)
+        |  AS duration_ms
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // expectations derived from the plant parameters, like m03/m04
+    "m05_mp4_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+        |   WHEN 2 THEN 'avc1' ELSE 'M4A ' END AS brand,
+        |  CASE doc_id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |   WHEN 2 THEN 90000 WHEN 3 THEN 44100 ELSE 48000 END AS ts,
+        |  (doc_id % 100000 + 500) * 100 AS dur
+        | FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind <= 1 THEN 'video/mp4'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE WHEN kind <= 1 THEN brand END AS major_brand,
+        | CAST(CASE WHEN kind <= 1 THEN ts END AS BIGINT) AS timescale,
+        | CAST(CASE WHEN kind <= 1 THEN dur END AS BIGINT) AS duration,
+        | CAST(CASE WHEN kind <= 1 THEN dur * 1000 // ts END AS BIGINT)
         |  AS duration_ms
         |FROM p ORDER BY media_id""".stripMargin,
 

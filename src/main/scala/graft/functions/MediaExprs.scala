@@ -189,3 +189,123 @@ case class MediaDimsPackExpr(child: Expression, maxScan: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : MediaDimsPackExpr = copy(child = newChild)
 }
+
+/** ISO-BMFF (MP4/MOV) box walker — the video sibling of the WAV chunk
+  * walk. `ftyp` is pinned first by the spec, but `moov` floats (after
+  * `free`/`skip` padding, before or after `mdat`), and `mvhd`'s field
+  * offsets depend on its version byte — so both the top-level walk and
+  * the `moov`-children walk are load-bearing, as is v0-vs-v1 handling.
+  */
+object Mp4MetaUtil {
+
+  def timescale(bytes: Array[Byte], maxScan: Int): Long =
+    walk(bytes, maxScan, wantDuration = false)
+
+  def duration(bytes: Array[Byte], maxScan: Int): Long =
+    walk(bytes, maxScan, wantDuration = true)
+
+  /** Walk the top-level box list to `moov`, then its children to
+    * `mvhd`, and return the movie timescale or duration — or -1 when
+    * the payload is not a parseable MP4 (no leading `ftyp`, no
+    * `moov`/`mvhd` in the scanned prefix, torn header, or a hostile
+    * size field). All cursors and sizes stay in Long: box sizes are
+    * untrusted u32/u64, and the `size < header` guard keeps every
+    * advance strictly positive, so the walk always terminates —
+    * the WavMetaUtil discipline. */
+  private def walk(bytes: Array[Byte], maxScan: Int,
+      wantDuration: Boolean): Long = {
+    if (bytes == null) return -1L
+    val n: Long = math.min(bytes.length, maxScan).toLong
+    @inline def b(i: Long): Int = bytes(i.toInt) & 0xff
+    @inline def be32(i: Long): Long =
+      (b(i).toLong << 24) | (b(i + 1).toLong << 16) |
+        (b(i + 2).toLong << 8) | b(i + 3).toLong
+    @inline def be64(i: Long): Long =
+      (be32(i) << 32) | be32(i + 4)
+    @inline def typ(i: Long, t: String): Boolean =
+      b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+        b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+    // the spec pins ftyp as the first box
+    if (n < 12 || !typ(4L, "ftyp")) return -1L
+    var p = 0L
+    while (p + 8 <= n) {
+      val size0 = be32(p)
+      var hdr = 8L
+      var size = size0
+      if (size0 == 1L) { // 64-bit largesize follows the type
+        if (p + 16 > n) return -1L
+        size = be64(p + 8)
+        hdr = 16L
+        if (size < 0L) return -1L // >= 2^63: hostile
+      } else if (size0 == 0L) { // box extends to end of file
+        size = n - p
+      }
+      if (size < hdr) return -1L // advance must be strictly positive
+      if (typ(p + 4, "moov")) {
+        val end = math.min(p + size, n)
+        var q = p + hdr
+        while (q + 8 <= end) {
+          val cs0 = be32(q)
+          var chdr = 8L
+          var cs = cs0
+          if (cs0 == 1L) {
+            if (q + 16 > end) return -1L
+            cs = be64(q + 8)
+            chdr = 16L
+            if (cs < 0L) return -1L
+          } else if (cs0 == 0L) {
+            cs = end - q
+          }
+          if (cs < chdr) return -1L
+          if (typ(q + 4, "mvhd")) {
+            if (q + 9 > n) return -1L
+            val version = b(q + 8)
+            if (version == 0) {
+              // v0: ver/flags(4) creation(4) modification(4) ts(4) dur(4)
+              if (q + 28 > n) return -1L
+              return if (wantDuration) be32(q + 24) else be32(q + 20)
+            } else if (version == 1) {
+              // v1: ver/flags(4) creation(8) modification(8) ts(4) dur(8)
+              if (q + 40 > n) return -1L
+              val d = be64(q + 32)
+              if (d < 0L) return -1L
+              return if (wantDuration) d else be32(q + 28)
+            } else return -1L
+          }
+          q += cs
+        }
+        return -1L // moov scanned, no mvhd
+      }
+      p += size
+    }
+    -1L
+  }
+}
+
+case class Mp4TimescaleExpr(child: Expression, maxScan: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mp4_timescale"
+  override def nullSafeEval(input: Any): Any =
+    Mp4MetaUtil.timescale(input.asInstanceOf[Array[Byte]], maxScan)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Mp4MetaUtil.timescale($c, $maxScan)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Mp4TimescaleExpr = copy(child = newChild)
+}
+
+case class Mp4DurationExpr(child: Expression, maxScan: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mp4_duration"
+  override def nullSafeEval(input: Any): Any =
+    Mp4MetaUtil.duration(input.asInstanceOf[Array[Byte]], maxScan)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Mp4MetaUtil.duration($c, $maxScan)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Mp4DurationExpr = copy(child = newChild)
+}

@@ -501,6 +501,76 @@ object Dedup {
         col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Exact duplicated-span REMOVAL (the transformation half of the Lee
+    * et al. 2022 recipe — [[substringDupReport]] audits, this rewrites):
+    * every k-token window appearing more than once in the corpus keeps
+    * exactly its corpus-wide FIRST occurrence (min (doc, pos)); token
+    * positions covered by any NON-first occurrence are dropped and each
+    * affected doc is reassembled from its surviving tokens in order.
+    * Returns one row per input doc: (idCol, n_tokens, n_removed,
+    * clean_text) — untouched docs pass through with n_removed = 0 and
+    * their text intact.
+    *
+    * 100 TB shape: windows/hot-set/probe are the d23 plan (one codegen'd
+    * positional-hash pass, keyed agg, keyed join). The first-occurrence
+    * winner per window is `min(struct(doc, pos))` — a keyed agg with
+    * map-side partials, NOT a row_number window (a hot boilerplate
+    * window would sort every replica in one partition). Token-level
+    * reassembly — the only per-token shuffle — runs ONLY for docs that
+    * actually lose a span (semi-join on the removal set); the untouched
+    * bulk of the corpus never explodes its tokens. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("doc"),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    val win = base
+      .select(col("doc"), size(col("__tk")).cast("long").as("n_tokens"),
+        posexplode(TextFunctions.shingleFoldsAll(col("__tk"), k))
+          .as(Seq("pos", "h")))
+    val hot = win.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select("h")
+    val occ = win.join(hot, "h")
+    val first = occ
+      .groupBy("h")
+      .agg(min(struct(col("doc"), col("pos"))).as("__f"))
+      .select(col("h"), col("__f.doc").as("__fdoc"),
+        col("__f.pos").as("__fpos"))
+    // removed token positions = the union of [pos, pos+k) over non-first
+    // occurrences, deduplicated per doc (overlapping spans)
+    val removed = occ
+      .join(first, "h")
+      .filter(!(col("doc") === col("__fdoc") && col("pos") === col("__fpos")))
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val affectedIds = removed.select("doc").distinct()
+    val affected = base.join(affectedIds, Seq("doc"), "left_semi")
+      .select(col("doc"), size(col("__tk")).cast("long").as("n_tokens"),
+        posexplode(col("__tk")).as(Seq("p", "tok")))
+      .join(removed.withColumn("__rm", lit(1)), Seq("doc", "p"), "left")
+      .groupBy("doc")
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("__rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rm").isNull, struct(col("p"), col("tok"))))),
+            x => x.getField("tok")),
+          " ").as("clean_text"))
+    val untouched = base.join(affectedIds, Seq("doc"), "left_anti")
+      .select(col("doc"), size(col("__tk")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"),
+        concat_ws(" ", col("__tk")).as("clean_text"))
+    affected.unionByName(untouched)
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** CCNet-style cross-corpus SEGMENT dedup (Wenzek et al. 2020 dedup
     * by paragraph hash, mapped to fixed `k`-token segments for
     * single-line corpora): split each doc into non-overlapping k-token

@@ -36,6 +36,9 @@ object Multimodal {
       .when(magic === "47494638", "image/gif")
       .when(magic === "52494646", "audio/wav") // RIFF
       .when(magic === "664C6143", "audio/flac")
+      // ISO-BMFF: the brand box type at offset 4, not a leading magic
+      .when(upper(hex(substring(payload, 5, 4))) === "66747970",
+        "video/mp4")
       .otherwise("application/octet-stream")
   }
 
@@ -261,6 +264,89 @@ object Multimodal {
         when(id % 3 === 0, gifHex)
           .when(id % 3 === 1, flacHex)
           .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
+  }
+
+  /** MP4 movie-header metadata as a struct (major_brand, timescale,
+    * duration): brand from the spec-pinned `ftyp` position (offset 8 of
+    * the mandatory first box), timescale/duration from a real two-level
+    * box walk (top-level -> `moov` -> `mvhd`, v0 AND v1 layouts) in one
+    * native codegen'd pass per field (Mp4TimescaleExpr /
+    * Mp4DurationExpr) — fixed offsets cannot work because `free`
+    * padding floats before `moov` and `mvhd` v1 shifts every field.
+    * Null fields for non-MP4 (or unparseable) payloads. */
+  def mp4Meta(payload: org.apache.spark.sql.Column, maxScan: Int = 512)
+      : org.apache.spark.sql.Column = {
+    val ts = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Mp4TimescaleExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(payload), maxScan))
+    val dur = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Mp4DurationExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(payload), maxScan))
+    struct(
+      when(ts >= 0L, substring(payload, 9, 4).cast("string"))
+        .as("major_brand"),
+      when(ts >= 0L, ts).as("timescale"),
+      when(dur >= 0L, dur).as("duration"))
+  }
+
+  /** Deterministic planted MP4 payloads (the video sibling of
+    * [[plantedAudio]]): canonical ftyp + moov/mvhd structures whose
+    * brand, timescale and duration all vary with the id. By `id % 3`:
+    * (0) an mvhd VERSION 0 file with a variable-length `free` box
+    * parked BEFORE `moov` — a fixed moov offset reads garbage, the
+    * top-level walk is load-bearing; (1) an mvhd VERSION 1 file (64-bit
+    * times — every field shifted, so version dispatch is load-bearing)
+    * with `moov` directly after `ftyp`; (2) the raw text bytes (null
+    * metadata). Construction is hex + unhex; the m05 oracle derives
+    * expectations from the same id arithmetic. */
+  def plantedVideo(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def be32(c: org.apache.spark.sql.Column) = format_string("%08X", c)
+    def be64(c: org.apache.spark.sql.Column) = format_string("%016X", c)
+    val brand = when(id % 4 === 0, "69736F6D") // isom
+      .when(id % 4 === 1, "6D703432") // mp42
+      .when(id % 4 === 2, "61766331") // avc1
+      .otherwise("4D344120") // "M4A "
+    val ts = when(id % 5 === 0, 600L).when(id % 5 === 1, 1000L)
+      .when(id % 5 === 2, 90000L).when(id % 5 === 3, 44100L)
+      .otherwise(48000L)
+    val dur = (id % 100000 + 500).cast("long") * 100L
+    val ftypHex = concat(
+      lit("00000014"), lit("66747970"), // size 20, "ftyp"
+      brand, lit("00000000"), brand) // major, minor, one compatible
+    val pad = (id % 7).cast("int")
+    val freeHex = concat( // "free", size 8 + pad
+      be32(pad + 8), lit("66726565"),
+      lit("4141414141414141").substr(lit(1), pad * lit(2)))
+    // v0 mvhd: 8 hdr + 4 ver/flags + 4+4 times + 4 ts + 4 dur, then
+    // rate/volume/reserved/matrix/predefined/next-track zero-padded to
+    // the declared 108; v1 widens the times and duration to 64-bit (120)
+    val mvhd0 = concat(
+      lit("0000006C"), lit("6D766864"), lit("00000000"), // v0, flags
+      lit("0000000000000000"), // creation, modification
+      be32(ts), be32(dur),
+      lit("0" * 160)) // rate..next_track_id
+    val mvhd1 = concat(
+      lit("00000078"), lit("6D766864"), lit("01000000"), // v1, flags
+      lit("0" * 32), // creation, modification (64-bit each)
+      be32(ts), be64(dur),
+      lit("0" * 160))
+    def moov(mvhdHex: org.apache.spark.sql.Column, mvhdLen: Long) =
+      concat(be32(lit(8L + mvhdLen)), lit("6D6F6F76"), mvhdHex)
+    val mdatHex = lit("000000086D646174") // empty mdat
+    val mp4Hex =
+      when(id % 3 === 0,
+        concat(ftypHex, freeHex, moov(mvhd0, 108L), mdatHex))
+        .otherwise(concat(ftypHex, moov(mvhd1, 120L), mdatHex))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 2, hex(col(textCol).cast("binary")))
+          .otherwise(mp4Hex)).as("payload"))
   }
 
   /** Deterministic planted media payloads over a document table: by

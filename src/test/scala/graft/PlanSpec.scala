@@ -111,13 +111,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no query in the library plans a cartesian or nested-loop join") {
-    // The only two queries whose SEMANTICS are a bounded cross product:
+    // The only queries whose SEMANTICS are a bounded cross product:
     //  - q55: the cross-join operator itself (5x25 by contract)
     //  - e02: brute-force baseline — broadcasts the bounded query set
     //    against the corpus; linear in corpus size, cross only in |Q|
+    //  - e15: recall@k measurement, which by definition contains e02's
+    //    brute-force baseline as its ground-truth side (same bounded
+    //    broadcast; the recall join itself is (id1, id2)-keyed)
     // Everything else — including e01's exact all-pairs, which is now
     // block-keyed — must plan as equi joins.
-    val allowed = Set("q55_cross_join_small", "e02_knn_topk")
+    val allowed =
+      Set("q55_cross_join_small", "e02_knn_topk", "e15_ann_recall")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

@@ -394,4 +394,45 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(fin == global)
   }
+
+  test("removeDuplicateSpans keeps the corpus-wide first occurrence, " +
+      "cuts every other replica, and leaves untouched docs intact") {
+    // "a b c" (k=3) appears in docs 1 (pos 0), 2 (pos 1) and twice in
+    // doc 3; doc 4 shares no window with anyone
+    val df = Seq(
+      (1L, "a b c x y"),
+      (2L, "q a b c z"),
+      (3L, "a b c w a b c"),
+      (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // first occurrence is (doc 1, pos 0): doc 1 keeps everything
+    assert(out(1L) == ((5L, 0L, "a b c x y")))
+    // doc 2 loses positions 1..3
+    assert(out(2L) == ((5L, 3L, "q z")))
+    // doc 3: "a b c w a b" windows at 0 and 4 are replicas; "b c w"
+    // and "c w a" are unique. Positions 0-2 and 4-6 are cut -> "w"
+    assert(out(3L) == ((7L, 6L, "w")))
+    // untouched doc passes through with n_removed = 0
+    assert(out(4L) == ((5L, 0L, "p q r s t")))
+    // input partitioning must not change the winner
+    val again = Dedup
+      .removeDuplicateSpans(df.repartition(5), "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == out)
+  }
+
+  test("removeDuplicateSpans winner is a keyed min-struct agg, not a " +
+      "row_number window over the replica set") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val plan = Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("row_number"),
+      s"first-occurrence pick must not be a window sort:\n$plan")
+  }
 }

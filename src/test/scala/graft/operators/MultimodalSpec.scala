@@ -286,4 +286,65 @@ class MultimodalSpec extends AnyFunSuite {
         s"row ${r.getLong(0)} sample_rate should be null")
     }
   }
+
+  test("plantedVideo round-trips through mp4Meta: floating free box " +
+      "(v0), 64-bit mvhd v1, and raw-text rows -> nulls") {
+    val df = (0L to 11L).map(i => (i, s"doc text $i"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.plantedVideo(df, "doc_id", "text")
+      .withColumn("mime", Multimodal.sniffFormat($"payload"))
+      .withColumn("m", Multimodal.mp4Meta($"payload"))
+      .select($"media_id", $"mime", $"m.major_brand", $"m.timescale",
+        $"m.duration")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val brands = Seq("isom", "mp42", "avc1", "M4A ")
+    val tss = Seq(600L, 1000L, 90000L, 44100L, 48000L)
+    (0L to 11L).foreach { i =>
+      val r = out(i)
+      if (i % 3 == 2) { // raw text: not an MP4
+        assert(r.getString(1) == "application/octet-stream")
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      } else {
+        // i%3==0 parks a (i%7)-byte free box before moov (v0 mvhd);
+        // i%3==1 is mvhd v1 with 64-bit times — both must parse
+        assert(r.getString(1) == "video/mp4", s"id $i mime")
+        assert(r.getString(2) == brands((i % 4).toInt), s"id $i brand")
+        assert(r.getLong(3) == tss((i % 5).toInt), s"id $i timescale")
+        assert(r.getLong(4) == (i % 100000 + 500) * 100L, s"id $i dur")
+      }
+    }
+  }
+
+  test("mp4 box walker rejects hostile payloads without looping: " +
+      "torn headers, zero/undersized boxes, negative largesize") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val ftyp = "0000001466747970" + "69736F6D" + "00000000" + "69736F6D"
+    val hostile = Seq(
+      hx("0000001066747970"), // ftyp declared, payload torn off
+      hx(ftyp + "00000007" + "6D6F6F76"), // moov size 7 < header 8
+      hx(ftyp + "00000001" + "6D6F6F76" + "FFFFFFFFFFFFFFFF"), // neg largesize
+      hx(ftyp + "000000106D6F6F76" + "00000007" + "6D766864"), // child size 7
+      hx(ftyp + "000000186D6F6F76" + "000000106D766864" + "02000000" +
+        "00000000"), // mvhd version 2: unknown layout
+      hx(ftyp), // no moov at all
+      Array[Byte]()
+    ).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "payload")
+    val out = hostile.withColumn("m", Multimodal.mp4Meta($"payload"))
+      .select($"media_id", $"m.timescale", $"m.duration").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2),
+        s"hostile row ${r.getLong(0)} must null out")
+    }
+    // size0 == 0 ("to end of file") on the LAST box is legal and must
+    // still terminate: moov extends to EOF, mvhd v0 inside
+    val toEof = hx(ftyp + "00000000" + "6D6F6F76" +
+      "0000006C6D766864" + "00000000" + "0000000000000000" +
+      "000003E8" + "00001388" + "00" * 80)
+    val ok = Seq((0L, toEof)).toDF("media_id", "payload")
+      .withColumn("m", Multimodal.mp4Meta($"payload"))
+      .select($"m.timescale", $"m.duration").head()
+    assert(ok.getLong(0) == 1000L && ok.getLong(1) == 5000L)
+  }
 }
