@@ -969,7 +969,7 @@ object SparkEntry {
         // the {…} glob scopes the stream to just the events table
         val q = s.readStream.schema(rawSchema)
           .parquet(s"$d/{events.parquet}")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(Tables.normalizeTs)
           .withWatermark("ts", "0 seconds")
           .groupBy(window(col("ts"), "1 hour"))
           .agg(
@@ -2368,7 +2368,7 @@ object SparkEntry {
         val qname = s"graft_q65_${streamEpoch.incrementAndGet()}"
         val src = s.readStream.schema(rawSchema)
           .parquet(s"$d/{events.parquet}")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(Tables.normalizeTs)
         val q = streaming.EventStream.attributionJoin(src)
           .writeStream.format("memory").queryName(qname)
           .outputMode("append")

@@ -23,16 +23,30 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")
 
-  /** events with `ts` truncated to microseconds, matching DuckDB's read of
-    * the same nanosecond-precision parquet column. Spark has no TIMESTAMP
-    * (NANOS) support ([PARQUET_TYPE_ILLEGAL]), so read it as long and
-    * truncate-divide to micros. The nanos conf is scoped to scan
-    * resolution (set/restore), not left on the shared session. */
+  /** events with `ts` normalized to Spark's microsecond TimestampType,
+    * whatever physical type the parquet column carries. Two source shapes
+    * exist across testdata generations: TIMESTAMP(NANOS) (Spark has no
+    * native support — [PARQUET_TYPE_ILLEGAL] — so read as long under the
+    * nanos conf and truncate-divide to micros, matching DuckDB's own
+    * ns -> us truncation on read) and native micro/NTZ timestamps (cast is
+    * enough). The nanos conf is scoped to scan resolution (set/restore),
+    * not left on the shared session. */
   def events(s: SparkSession, d: String): DataFrame =
     graft.lake.SchemaTools.withSessionConf(
       s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
-      load(s, d, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      normalizeTs(load(s, d, "events"))
     }
+
+  /** ts-column normalization shared by the batch and streaming event
+    * readers: long nanos -> truncate to micros; any timestamp flavor
+    * (NTZ included) -> plain TimestampType. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 }

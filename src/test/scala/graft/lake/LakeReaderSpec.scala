@@ -32,11 +32,25 @@ class LakeReaderSpec extends AnyFunSuite {
     assert(c.columns.toSeq.sorted == Seq("id", "v"))
   }
 
-  test("nanosTolerant reads TIMESTAMP(NANOS) parquet as long nanos") {
-    val df = LakeReader(spark, s"${TestSpark.sfDir}/events.parquet")
-      .nanosTolerant().load()
-    assert(df.schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType)
+  test("nanosTolerant reads TIMESTAMP(NANOS) parquet as long nanos " +
+      "(and is a harmless no-op on micro-precision sources)") {
+    // testdata generations differ: ts is TIMESTAMP(NANOS) in some and
+    // native micros/NTZ in others. Probe with a plain read — a nanos
+    // column fails it ([PARQUET_TYPE_ILLEGAL]) and must come back as
+    // LongType under nanosTolerant; a micros column reads fine and
+    // nanosTolerant must not break or retype it.
+    val path = s"${TestSpark.sfDir}/events.parquet"
+    val plainTs =
+      try Some(spark.read.parquet(path).schema("ts").dataType)
+      catch { case _: Throwable => None }
+    val df = LakeReader(spark, path).nanosTolerant().load()
+    plainTs match {
+      case None =>
+        assert(df.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+      case Some(t) =>
+        assert(df.schema("ts").dataType == t)
+    }
     assert(df.count() > 0)
   }
 
