@@ -1603,6 +1603,43 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // near-dup cluster representative by QUALITY: d09's CC clusters,
+    // but the kept doc is the best-scoring member (d03's quality
+    // score), not the arbitrary min id — one min(struct) agg per
+    // cluster (map-side combine), no window over the corpus
+    "d35_cluster_best" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("n_chars"),
+        TextFunctions.tokens(col("text")).as("__tk"))
+      val quality = TextFunctions
+        .qualityColumnsFromTokens(col("__tk"), col("n_chars"))
+        .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+        .select(col("doc_id"), col("quality_score"))
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.2)
+      val clusters = Dedup.duplicateClusters(pairs.select("id1", "id2"))
+      Dedup.bestPerCluster(clusters, quality, "doc_id", "quality_score")
+        .orderBy("cluster_id")
+    }),
+
+    // DSIR-style importance weights: target = the English slice, base =
+    // the whole corpus, features = hashed unigrams; log-weights fixed-
+    // point-quantized (1/256-bit fineLog2 — d32's integer-log trick at
+    // sub-bit resolution) so the selection signal is hash-verified
+    // cross-engine
+    "d36_dsir_weights" -> ((s, d) => {
+      operators.Quality.importanceWeights(docs(s, d),
+          col("lang") === "en", "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style hard quality gates: five rule booleans + overall
+    // pass per doc, pure per-row projections (zero exchanges)
+    "d37_gopher_rules" -> ((s, d) => {
+      operators.Quality.gopherRules(docs(s, d), "doc_id", "text",
+          "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // directed containment pairs — the quote/subset detector: a doc
     // wholly contained in another scores ~1 regardless of the
     // container's length, where Jaccard would dilute. Same keyed
@@ -3877,6 +3914,136 @@ object SparkEntry {
          | FROM h)
          |SELECT doc_id, source, content_hash, rk FROM r
          |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    // same recursive closure as d09, then pick the best-quality member
+    // per component (row_number = the window formulation of the Spark
+    // side's min(struct) argmax — same (quality desc, id asc) order)
+    "d35_cluster_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
+        |   (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
+        |    FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_both
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |   JOIN cnt ca ON ca.doc_id = id1
+        |   JOIN cnt cb ON cb.doc_id = id2
+        |  WHERE CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
+        |    >= 0.2),
+        |sym AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |  UNION SELECT id1, id1 FROM pairs
+        |  UNION SELECT id2, id2 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+        |       GROUP BY a),
+        |q AS (SELECT doc_id,
+        |  (CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('the','a','an','of','and','to','in','is','it',
+        |                'that'))) AS DOUBLE) /
+        |   CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5 +
+        |  (1.0 / (CAST(n_chars - (len(string_split(text, ' ')) - 1)
+        |            AS DOUBLE) /
+        |          CAST(len(string_split(text, ' ')) AS DOUBLE))) * 0.5
+        |    AS quality_score
+        | FROM documents),
+        |j AS (SELECT cl.cluster_id, cl.doc_id, q.quality_score,
+        |  row_number() OVER (PARTITION BY cl.cluster_id
+        |    ORDER BY q.quality_score DESC, cl.doc_id) AS rn
+        | FROM cl JOIN q USING (doc_id))
+        |SELECT cluster_id,
+        | max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+        | max(CASE WHEN rn = 1 THEN quality_score END) AS kept_score,
+        | CAST(count(*) AS BIGINT) AS n_members
+        |FROM j GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // fixed-point DSIR: every log2 is fineLog2 (256*floor-log2 + exact
+    // mantissa interpolation, pure integer/pow-of-2 arithmetic on both
+    // engines), so the hashed-unigram importance weight is an integer —
+    // order-independent summation, hash-equal
+    "d36_dsir_weights" -> {
+      val th = s"(${sqlCharFold("tkn", 131)} + " +
+        s"(${sqlCharFold("tkn", 137)} << 31)) % 2039"
+      def fine(e: String): String =
+        s"(256 * (length(bin($e)) - 1) + " +
+          s"CAST(floor(CAST(($e) * 256 AS DOUBLE) / " +
+          s"power(2, length(bin($e)) - 1)) AS BIGINT) - 256)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |bkt AS (
+         |  SELECT doc_id, lang = 'en' AS t, len(tk) AS ntok,
+         |    $th AS b
+         |  FROM (SELECT doc_id, lang, tk, unnest(tk) AS tkn FROM toks)),
+         |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS bc
+         |       FROM bkt GROUP BY b),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc
+         |       FROM bkt WHERE t GROUP BY b),
+         |tot AS (SELECT
+         |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+         |  CAST(count(*) AS BIGINT) AS tb FROM bkt),
+         |occ AS (SELECT doc_id, ntok, b, CAST(count(*) AS BIGINT) AS occ
+         |        FROM bkt GROUP BY 1, 2, 3),
+         |j AS (SELECT o.doc_id, o.ntok, o.occ,
+         |  ${fine("coalesce(tc.tc, 0) + 1")} -
+         |  ${fine("coalesce(bc.bc, 0) + 1")} AS q
+         | FROM occ o LEFT JOIN tc ON o.b = tc.b
+         |   LEFT JOIN bc ON o.b = bc.b)
+         |SELECT doc_id, CAST(max(ntok) AS BIGINT) AS n_tokens,
+         | CAST(sum(occ * q) + max(ntok) *
+         |  ((SELECT ${fine("tb + 2039")} FROM tot) -
+         |   (SELECT ${fine("tt + 2039")} FROM tot)) AS BIGINT)
+         |   AS weight_q8
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "d37_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(n_chars - (len(tk) - 1) AS DOUBLE) /
+        |    CAST(len(tk) AS DOUBLE) AS avg_token_len,
+        |  CAST(len(list_filter(list_distinct(tk),
+        |    x -> x IN ('the','a','an','of','and','to','in','is','it',
+        |               'that'))) AS BIGINT) AS n_stop_distinct,
+        |  CAST(list_max(list_transform(list_distinct(tk),
+        |    u -> len(list_filter(tk, x -> x = u)))) AS DOUBLE) /
+        |    CAST(len(tk) AS DOUBLE) AS top_token_frac,
+        |  CAST(len(list_filter(tk,
+        |    x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) /
+        |    CAST(len(tk) AS DOUBLE) AS alpha_frac
+        | FROM t)
+        |SELECT doc_id, n_tokens, avg_token_len, n_stop_distinct,
+        | top_token_frac, alpha_frac,
+        | n_tokens BETWEEN 20 AND 80 AS tokens_ok,
+        | avg_token_len >= 3.5 AND avg_token_len <= 4.8 AS word_len_ok,
+        | n_stop_distinct >= 2 AS stop_ok,
+        | top_token_frac <= 0.15 AS rep_ok,
+        | alpha_frac >= 0.9 AS alpha_ok,
+        | (n_tokens BETWEEN 20 AND 80) AND
+        |  (avg_token_len >= 3.5 AND avg_token_len <= 4.8) AND
+        |  n_stop_distinct >= 2 AND top_token_frac <= 0.15 AND
+        |  alpha_frac >= 0.9 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "d12_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

@@ -1070,4 +1070,40 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Cluster-representative selection: given near-dup CC labels
+    * (`clusters`: idCol, cluster_id — [[duplicateClusters]] output) and a
+    * per-doc score (`scored`: idCol, scoreCol), keep the BEST-scoring
+    * member of every cluster instead of the arbitrary min-id one —
+    * "when near-dups collide, keep the highest-quality copy", the
+    * refinement most production dedup recipes apply on top of keep-any.
+    * Tie-break on lowest id so the choice is deterministic.
+    *
+    * 100 TB shape: one keyed equi-join (labels × scores, both keyed by
+    * doc id) and ONE `min(struct)` aggregate per cluster — the same
+    * map-side-combining agg d29 uses, so hot clusters partial-aggregate
+    * before the exchange; no window over the full corpus, nothing
+    * driver-side. Returns (cluster_id, kept_doc, kept_score,
+    * n_members). */
+  def bestPerCluster(
+      clusters: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    clusters
+      .join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+      // min(struct(-score, id)): max score, then min id — one aggregate
+      // with partial (map-side) combine, unlike a row_number window
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("kid")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("cluster_id"),
+        col("best.kid").as("kept_doc"),
+        (-col("best.ns")).as("kept_score"),
+        col("n_members"))
+  }
 }

@@ -129,4 +129,154 @@ object Quality {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= cap)
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023 select pretraining
+    * data by importance resampling between a target and a base
+    * distribution over hashed n-gram features). Features here are hashed
+    * unigrams: bucket = tokenHash62(token) mod `buckets` (prime, so both 31-bit folds reach the bucket); the target
+    * distribution is the corpus rows matching `targetPred` (e.g.
+    * `col("lang") === "en"`), the base distribution is the whole corpus.
+    *
+    * The importance weight log2(p_target(doc)/p_base(doc)) is FIXED-
+    * POINT QUANTIZED (1/256-bit units): every log2 is [[fineLog2]] —
+    * exact integer arithmetic like d32's whole-bit trick, but with a
+    * mantissa interpolation so sub-2x probability ratios still
+    * register — making per-doc weights integer sums: order-independent
+    * and hash-verifiable cross-engine, where a libm `ln()` sum would
+    * drift in the last ulp:
+    *
+    *   weight_q8 = sum_tokens [fineLog2(tc(b)+1) - fineLog2(bc(b)+1)]
+    *             + n_tokens * [fineLog2(Tb + B) - fineLog2(Tt + B)]
+    *
+    * with tc/bc the bucket counts under target/base, Tt/Tb the token
+    * totals (+`buckets` = add-one smoothing mass). Resampling = rank by
+    * (weight_q8 desc, id) and keep the top slice — a
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * 100 TB shape: bucket-count tables are ONE keyed agg each, bounded
+    * by `buckets` rows (broadcast on the scoring join); scoring groups
+    * the corpus to (doc, bucket) width first (occurrence counts — the
+    * d22/d32 discipline, Zipf-head buckets never fan out into the
+    * join), then one keyed agg per doc. The two totals are one-row aggs
+    * (same class as the d32 vocab scalar). */
+  def importanceWeights(
+      corpus: DataFrame,
+      targetPred: Column,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 2039
+  ): DataFrame = {
+    val tok = corpus
+      .select(col(idCol).as("__id"), targetPred.as("__t"),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col("__id"), col("__t"), size(col("__tk")).as("__ntok"),
+        explode(col("__tk")).as("tkn"))
+      .withColumn("b", pmod(TextFunctions.tokenHash62(col("tkn")),
+        lit(buckets.toLong)))
+    val baseCnt = tok.groupBy("b").agg(count(lit(1)).as("bc"))
+    val tgtCnt = tok.filter(col("__t"))
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    // one-row scalars: token totals under each distribution
+    val (tt, tb) = {
+      val r = tok.agg(
+        sum(when(col("__t"), 1L).otherwise(0L)),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val normQ = fineLog2Long(tb + buckets) - fineLog2Long(tt + buckets)
+    val occ = tok
+      .groupBy(col("__id"), col("__ntok"), col("b"))
+      .agg(count(lit(1)).as("occ"))
+    occ
+      .join(tgtCnt, Seq("b"), "left")
+      .join(baseCnt, Seq("b"), "left")
+      .withColumn("__q",
+        fineLog2(coalesce(col("tc"), lit(0L)) + lit(1L)) -
+          fineLog2(coalesce(col("bc"), lit(0L)) + lit(1L)))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        max(col("__ntok")).cast("long").as("n_tokens"),
+        (sum(col("occ") * col("__q")) +
+          max(col("__ntok")) * lit(normQ)).as("weight_q8"))
+  }
+
+  /** Fixed-point log2 in 1/256-bit units, exact integer arithmetic:
+    *
+    *   fineLog2(x) = 256·flog2(x) + floor(x·256 / 2^flog2(x)) − 256
+    *
+    * — [[flog2]] plus a linear interpolation on the mantissa (max error
+    * ~0.086 bit, monotone). The division is by a power of two with both
+    * operands < 2^52, so the double intermediate is EXACT and the
+    * result is bit-identical on any IEEE engine — the resolution
+    * upgrade over whole-bit [[flog2]] that lets sub-2× probability
+    * ratios (where floor-log2 collapses to 0) still register. */
+  def fineLog2(x: Column): Column = {
+    val f = flog2(x)
+    lit(256L) * f +
+      floor((x * lit(256L)).cast("double") /
+        pow(lit(2.0), f.cast("double"))).cast("long") - lit(256L)
+  }
+
+  /** Driver-side twin of [[fineLog2]] for one-row scalar terms. */
+  private def fineLog2Long(x: Long): Long = {
+    val f = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    256L * f + ((x * 256L) >> f) - 256L
+  }
+
+  /** Gopher-style rule-based quality gates (Rae et al. 2021 §A1.1 apply
+    * a battery of hard document filters before any model-based scoring).
+    * Five rules over the whitespace-token model, thresholds scaled to
+    * short synthetic docs; each is a per-row projection — integer
+    * counts and single divisions only, no shuffle anywhere:
+    *
+    *  - `tokens_ok`:   token count within [minTokens, maxTokens]
+    *  - `word_len_ok`: mean token length within [3.5, 4.8]
+    *  - `stop_ok`:     >= 2 DISTINCT stopwords present
+    *  - `rep_ok`:      most-frequent-token share <= `maxTopTokenFrac`
+    *                   (the repetition rule: word-salad and boilerplate
+    *                   both concentrate mass on one token)
+    *  - `alpha_ok`:    >= 90% of tokens contain an alphabetic char
+    *
+    * `pass` = all five. Per-row work is bounded by doc length (the
+    * rep rule is distinct × n over one row's array) — at 100 TB this
+    * is embarrassingly parallel scan work, zero exchanges. */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nCharsCol: String,
+      minTokens: Int = 20,
+      maxTokens: Int = 80,
+      maxTopTokenFrac: Double = 0.15
+  ): DataFrame = {
+    val base = df.select(col(idCol), col(nCharsCol).as("__nc"),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    val ntok = size(col("__tk"))
+    val avgLen = (col("__nc") - (ntok - lit(1))).cast("double") /
+      ntok.cast("double")
+    val stopDistinct = size(array_intersect(col("__tk"),
+      typedLit(TextFunctions.EnglishStopwords)))
+    val topCnt = array_max(transform(array_distinct(col("__tk")),
+      t => size(filter(col("__tk"), x => x === t))))
+    val alphaCnt = size(filter(col("__tk"), t => t.rlike("[a-zA-Z]")))
+    base
+      .withColumn("n_tokens", ntok.cast("long"))
+      .withColumn("avg_token_len", avgLen)
+      .withColumn("n_stop_distinct", stopDistinct.cast("long"))
+      .withColumn("top_token_frac",
+        topCnt.cast("double") / ntok.cast("double"))
+      .withColumn("alpha_frac",
+        alphaCnt.cast("double") / ntok.cast("double"))
+      .withColumn("tokens_ok",
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("word_len_ok",
+        col("avg_token_len") >= 3.5 && col("avg_token_len") <= 4.8)
+      .withColumn("stop_ok", col("n_stop_distinct") >= 2)
+      .withColumn("rep_ok", col("top_token_frac") <= maxTopTokenFrac)
+      .withColumn("alpha_ok", col("alpha_frac") >= 0.9)
+      .withColumn("pass",
+        col("tokens_ok") && col("word_len_ok") && col("stop_ok") &&
+          col("rep_ok") && col("alpha_ok"))
+      .drop("__nc", "__tk")
+  }
 }

@@ -97,4 +97,76 @@ class QualitySpec extends AnyFunSuite {
     assert(again.sortBy(r => (r._1, r._3)).toSeq ==
       rows.sortBy(r => (r._1, r._3)).toSeq)
   }
+
+  test("fineLog2 is exact fixed-point log2: monotone, within 0.09 bit, " +
+    "and equal to the whole-bit floor at powers of two") {
+    val xs = Seq(1L, 2L, 3L, 5L, 7L, 8L, 100L, 1023L, 1024L, 1025L,
+      (1L << 40) - 1, 1L << 40)
+    val out = xs.toDF("x")
+      .select(Quality.fineLog2(col("x")).as("q")).as[Long].collect()
+    xs.zip(out).foreach { case (x, q) =>
+      val exact = math.log(x.toDouble) / math.log(2.0)
+      assert(math.abs(q / 256.0 - exact) < 0.09,
+        s"fineLog2($x)=$q (${q / 256.0} bits) vs exact $exact")
+      if ((x & (x - 1)) == 0) // power of two: no mantissa, exact
+        assert(q == 256L * (63 - java.lang.Long.numberOfLeadingZeros(x)))
+    }
+    assert(out.sorted.toSeq == out.toSeq, "fineLog2 must be monotone")
+  }
+
+  test("importanceWeights favors docs made of target-heavy tokens") {
+    // target rows use tokens {aa bb cc}; off-target rows use {xx yy zz};
+    // a probe doc of pure target tokens must outscore a pure off-target
+    // probe under the target=first-half predicate
+    val rows = (1L to 20L).map { i =>
+      if (i <= 10) (i, "aa bb cc aa bb cc")
+      else (i, "xx yy zz xx yy zz")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val w = Quality
+      .importanceWeights(df, col("doc_id") <= 10, "doc_id", "text")
+      .select("doc_id", "weight_q8").as[(Long, Long)].collect().toMap
+    assert(w(1L) > w(11L),
+      s"target-token doc must outscore off-target: ${w(1L)} vs ${w(11L)}")
+    // weights are identical within each group (same token multiset)
+    assert((2L to 10L).forall(i => w(i) == w(1L)))
+    assert((12L to 20L).forall(i => w(i) == w(11L)))
+  }
+
+  test("gopherRules: each rule fires on the doc built to violate it") {
+    def mk(id: Long, text: String) =
+      (id, text, text.length.toLong)
+    val good = "the quick brown fox and a dog runs over it to win the " +
+      "prize that they all want now here is more text padding words " +
+      "going on a while longer still" // ~30 tokens, stopwords, varied
+    val rows = Seq(
+      mk(1L, good),
+      mk(2L, "too short text"), // tokens_ok fails
+      mk(3L, ("spam " * 40).trim), // rep_ok fails (one token dominates)
+      mk(4L, Seq.fill(30)("12345").mkString(" ")) // alpha_ok fails
+    )
+    val out = Quality
+      .gopherRules(rows.toDF("doc_id", "text", "n_chars"),
+        "doc_id", "text", "n_chars")
+      .select("doc_id", "tokens_ok", "rep_ok", "alpha_ok", "stop_ok",
+        "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._6, "the good doc must pass all rules")
+    assert(!out(2L)._2 && !out(2L)._6)
+    assert(!out(3L)._3 && !out(3L)._6)
+    assert(!out(4L)._4 && !out(4L)._6)
+  }
+
+  test("bestPerCluster keeps the highest-scoring member, min id on ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (7L, 0.5),
+      (8L, 0.5)).toDF("doc_id", "quality")
+    val out = graft.operators.Dedup
+      .bestPerCluster(clusters, scored, "doc_id", "quality")
+      .select("cluster_id", "kept_doc", "kept_score", "n_members")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.5, 2L)))
+  }
 }
