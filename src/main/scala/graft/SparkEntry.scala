@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{AnnIndex, ArrowIpc, Compact, FileStats, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{AnnIndex, ArrowIpc, Compact, FileStats, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -514,6 +514,58 @@ object SparkEntry {
         .unionByName(labels.select(lit("labels").as("side"),
           col("doc_id"), col("cluster_id")))
         .orderBy("side", "doc_id")
+    }),
+
+    // keyed MERGE (upsert): a CDC-style batch — price corrections for a
+    // contiguous key band + brand-new orders — absorbed copy-on-write.
+    // The in-query assert is the 100 TB claim: only the files physically
+    // holding matched keys are rewritten (the seed is range-laid-out, so
+    // the update band lives in few files), everything else untouched
+    "q85_upsert" -> ((s, d) => {
+      val root = scratch(s, "q85", d)
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(src.count() / 8L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("o_orderkey"))
+      val Array(lo, hi0) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8 // the update band: ~1 of 8 files
+      val updates = src.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", lit(-1.0))
+      val inserts = src.filter(col("o_orderkey").between(lo, hi))
+        .select((col("o_orderkey") + lit(hi0) + lit(1L))
+            .as("o_orderkey"),
+          col("o_custkey"), lit(0.5).as("o_totalprice"))
+      val st = RowOps.upsert(s, root,
+        updates.unionByName(inserts), Seq("o_orderkey"))
+      assert(st.filesTouched > 0 && st.filesTouched < st.filesTotal,
+        s"upsert must rewrite a strict subset of files: $st")
+      s.read.parquet(root).orderBy("o_orderkey")
+    }),
+
+    // predicate DELETE: drop a key band copy-on-write; same strict-
+    // subset file-touch assert. The seed builds a trusted _stats
+    // manifest so the candidate listing is range-pruned before any file
+    // is opened (the q83 skipping path serving a MUTATION)
+    "q86_row_delete" -> ((s, d) => {
+      val root = scratch(s, "q86", d)
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(src.count() / 8L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("o_orderkey"))
+      FileStats.build(s, root)
+      val Array(lo, hi0) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      val st = RowOps.deleteWhere(s, root,
+        s"o_orderkey >= $lo AND o_orderkey <= $hi")
+      assert(st.filesTouched > 0 && st.filesTouched < st.filesTotal,
+        s"delete must rewrite a strict subset of files: $st")
+      s.read.parquet(root).orderBy("o_orderkey")
     }),
 
     // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
@@ -4645,6 +4697,36 @@ object SparkEntry {
     "q79_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // MERGE semantics replayed relationally: batch keys replace, new
+    // keys append; the file-granular copy-on-write claim is asserted
+    // in-query (strict-subset touch) and in RowOpsSpec (byte-identity)
+    "q85_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM src),
+        |upd AS (SELECT o_orderkey, o_custkey,
+        |    CAST(-1.0 AS DOUBLE) AS o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
+        |ins AS (SELECT o_orderkey + hi0 + 1 AS o_orderkey, o_custkey,
+        |    CAST(0.5 AS DOUBLE) AS o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
+        |keep AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey < b.lo OR s.o_orderkey > b.hi)
+        |SELECT * FROM keep
+        |UNION ALL SELECT * FROM upd
+        |UNION ALL SELECT * FROM ins
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q86_row_delete" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey < b.lo OR o_orderkey > b.hi
+        |ORDER BY o_orderkey""".stripMargin,
 
     // vacuum never touches current data; the GC claims are asserted
     // in-query and in TimeFlySpec

@@ -45,7 +45,7 @@ object Compact {
 
   private val SwapManifest = "_swap_manifest"
 
-  private def writeSwapManifest(
+  private[lake] def writeSwapManifest(
       fs: org.apache.hadoop.fs.FileSystem,
       tmp: Path,
       oldNames: Seq[String],

@@ -1,0 +1,206 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level lake mutations: keyed MERGE (upsert) and predicate DELETE.
+  *
+  * The reference mutates datasets only at append/overwrite granularity
+  * (`/root/reference/src/pydala/dataset/writer.py:113-124`); production
+  * lakes additionally need "update these keys" (CDC absorption, metadata
+  * corrections) and "delete these rows" (takedowns, GDPR) without paying
+  * a full-table rewrite. Both operators here rewrite ONLY the data files
+  * that physically contain affected rows — the copy-on-write shape of
+  * Delta Lake's MERGE/DELETE — so cost scales with the touched-file
+  * count, not the dataset:
+  *
+  *  1. CANDIDATES: when the `_stats` manifest is trusted and covers the
+  *     key/predicate columns, the file listing itself is range-pruned
+  *     first ([[FileStats.candidatesForBounds]]) — on ingest-ordered or
+  *     z-ordered layouts the candidate set is a sliver of the lake.
+  *  2. TOUCHED: one column-pruned scan of the candidates tags rows with
+  *     `input_file_name()` and semi-joins the batch keys (broadcast) /
+  *     applies the predicate; only files holding at least one affected
+  *     row are rewritten. The collect is bounded by the file count —
+  *     the same scale class as the listing Spark does to plan any scan.
+  *  3. SWAP: survivors + replacements are packed into the hidden
+  *     `_compact_tmp` staging dir and swapped in under [[Compact]]'s
+  *     crash-safe manifest protocol (packed files rename in FIRST, old
+  *     files delete after; [[Compact.recoverTmp]] — which
+  *     `TimeFly.vacuum` already routes this dir through — converges any
+  *     crash point, so the tmp is never the only copy).
+  *
+  * Untouched files are never opened, let alone rewritten — specs assert
+  * byte-identity. Standing indexes (`_keys`/`_shingles`/`_stats`) are
+  * invalidated up front: values change under both operators, and the
+  * trust protocol makes a missing index a fallback, never a wrong one.
+  *
+  * Contracts (documented like the reference's write modes): the target
+  * is an unpartitioned parquet dataset (hive layouts already have
+  * partition-granular dynamic overwrite — the d28 label-table pattern);
+  * the upsert batch carries the dataset's columns and key-unique rows;
+  * one mutator at a time (shared staging dir, same as Compact).
+  */
+object RowOps {
+
+  final case class Stats(filesTotal: Int, filesTouched: Int)
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def requireFlat(spark: SparkSession, path: String): Unit =
+    require(SchemaTools.inferPartitioning(spark, path) == "none",
+      s"RowOps supports unpartitioned datasets; $path is partitioned — " +
+        "use partition-granular dynamic overwrite for hive layouts")
+
+  private def requireUnpinned(spark: SparkSession, path: String): Unit = {
+    val pinned = TimeFly.pinnedFiles(spark, path)
+    require(pinned.isEmpty,
+      s"${pinned.size} data file(s) under $path are pinned by " +
+        "manifest-only TimeFly snapshots; a row-level rewrite would " +
+        "strand them. Materialize or delete those snapshots first")
+  }
+
+  /** Invalidate every standing index before data moves: a crash after
+    * this point leaves readers on the full-scan fallback, never on a
+    * trusted-but-wrong index. */
+  private def dropIndexes(spark: SparkSession, path: String): Unit = {
+    KeySidecar(spark, path).invalidate()
+    ShingleSidecar(spark, path).invalidate()
+    FileStats.invalidate(spark, path)
+  }
+
+  /** Rewrite `touched` files with `survivors` ∪ `replacement` under the
+    * Compact swap protocol. `survivors` must derive from exactly the
+    * touched files. */
+  private def swapRewrite(
+      spark: SparkSession,
+      path: String,
+      touched: Seq[String],
+      merged: DataFrame
+  ): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val tmp = new Path(root, "_compact_tmp")
+    // heal a previous crash before staging anew (idempotent)
+    Compact.recoverTmp(fs, tmp)
+    merged.write.mode("overwrite")
+      .option("compression", "zstd").parquet(tmp.toString)
+    val packed = fs.listStatus(tmp)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSeq
+    val oldNames = touched.map(f => new Path(f).getName)
+    Compact.writeSwapManifest(fs, tmp, oldNames, packed)
+    // recoverTmp IS the forward path: rename packed in, delete old,
+    // drop the staging dir — and a crash anywhere inside re-enters the
+    // identical routine on the next mutation or vacuum
+    Compact.recoverTmp(fs, tmp)
+  }
+
+  /** Keyed MERGE: rows of `batch` REPLACE target rows sharing their
+    * `keys` tuple (update) and append otherwise (insert) — upsert with
+    * last-writer-wins semantics, the absorb-a-CDC-batch primitive.
+    *
+    * 100 TB shape: the batch is the small side everywhere — its key set
+    * broadcasts into the touch scan, candidate files come from the
+    * `_stats` range prune when available, and the rewrite reads only
+    * touched files. A batch whose keys are all new rewrites NOTHING and
+    * degenerates to a plain append. */
+  def upsert(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String]
+  ): Stats = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    requireFlat(spark, path)
+    requireUnpinned(spark, path)
+    val all = SchemaTools.listDataFiles(spark, path)
+    val data = spark.read.parquet(path)
+    require(batch.columns.sorted.sameElements(data.columns.sorted),
+      s"upsert batch columns ${batch.columns.mkString(",")} must match " +
+        s"dataset columns ${data.columns.mkString(",")}")
+    val batchAligned = batch.select(data.columns.map(col): _*)
+    val batchKeys = batchAligned.select(keys.map(col): _*).distinct()
+
+    // _stats range prune on a single numeric key: candidate files whose
+    // span intersects the batch's [min, max]
+    val candidates: Seq[String] =
+      if (keys.size == 1) {
+        val k = keys.head
+        val numeric = data.schema(k).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        }
+        if (!numeric) all
+        else {
+          val r = batchAligned
+            .agg(min(col(k)).cast("double"), max(col(k)).cast("double"))
+            .head()
+          if (r.isNullAt(0)) all
+          else FileStats.candidatesForBounds(spark, path,
+            Map(k -> ((r.getDouble(0), r.getDouble(1))))).getOrElse(all)
+        }
+      } else all
+
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val scan = spark.read.parquet(candidates: _*)
+          .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+        val cond = keys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _)
+        scan.join(broadcast(batchKeys), cond, "left_semi")
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+
+    dropIndexes(spark, path)
+    if (touched.isEmpty) {
+      // pure insert: nothing to rewrite, land the batch as an append
+      batchAligned.write.mode("append")
+        .option("compression", "zstd").parquet(path)
+    } else {
+      val touchedRows = spark.read.parquet(touched: _*)
+      val cond =
+        keys.map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
+      val survivors = touchedRows
+        .join(broadcast(batchKeys), cond, "left_anti")
+      swapRewrite(spark, path, touched,
+        survivors.unionByName(batchAligned))
+    }
+    Stats(all.size, touched.size)
+  }
+
+  /** Predicate DELETE: removes rows where `predicate` evaluates TRUE
+    * (SQL DELETE semantics — false and NULL both survive), rewriting
+    * only the files that hold at least one matching row. Range
+    * conjuncts of the predicate prune the candidate listing through the
+    * `_stats` manifest exactly like the declarative read path (q83). */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: String
+  ): Stats = {
+    requireFlat(spark, path)
+    requireUnpinned(spark, path)
+    val all = SchemaTools.listDataFiles(spark, path)
+    val hit = coalesce(expr(predicate), lit(false))
+    val candidates = FileStats
+      .candidatesForBounds(spark, path, FileStats.rangeBounds(spark, predicate))
+      .getOrElse(all)
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else spark.read.parquet(candidates: _*)
+        .filter(hit)
+        .select(input_file_name().as("__file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+    if (touched.nonEmpty) {
+      dropIndexes(spark, path)
+      val survivors = spark.read.parquet(touched: _*).filter(not(hit))
+      swapRewrite(spark, path, touched, survivors)
+    }
+    Stats(all.size, touched.size)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RowOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs = new Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def md5(p: Path): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { d.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    d.digest().map("%02x".format(_)).mkString
+  }
+
+  private def dataFiles(dir: String): Map[String, String] =
+    fs.listStatus(new Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> md5(s.getPath)).toMap
+
+  /** 4 files, contiguous 25-key bands: [0,25) [25,50) [50,75) [75,100) */
+  private def seed(dir: String): Unit =
+    spark.range(100)
+      .select(col("id"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+
+  test("upsert rewrites only files holding matched keys; untouched " +
+      "files stay byte-identical; updates + inserts both land") {
+    val dir = TestSpark.tempDir("rowops_up") + "/ds"
+    seed(dir)
+    val before = dataFiles(dir)
+    assert(before.size == 4)
+    // keys 10,11 live in one band; 200,201 are brand-new
+    val batch = Seq((10L, -1L), (11L, -2L), (200L, -3L), (201L, -4L))
+      .toDF("id", "v")
+    val st = RowOps.upsert(spark, dir, batch, Seq("id"))
+    assert(st.filesTouched == 1, s"one band holds keys 10+11: $st")
+    val after = dataFiles(dir)
+    val untouchedBefore = before.filter { case (n, _) =>
+      after.contains(n) }
+    assert(untouchedBefore.size == 3,
+      s"three of four seed files must survive: $before -> $after")
+    untouchedBefore.foreach { case (n, h) =>
+      assert(after(n) == h, s"untouched file $n was rewritten")
+    }
+    val out = spark.read.parquet(dir)
+      .filter(col("id").isin(9L, 10L, 11L, 200L, 201L))
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(out == Map(9L -> 90L, 10L -> -1L, 11L -> -2L,
+      200L -> -3L, 201L -> -4L))
+    assert(spark.read.parquet(dir).count() == 102)
+  }
+
+  test("upsert with all-new keys rewrites nothing (pure append)") {
+    val dir = TestSpark.tempDir("rowops_ins") + "/ds"
+    seed(dir)
+    val before = dataFiles(dir)
+    val st = RowOps.upsert(spark, dir,
+      Seq((500L, 1L), (501L, 2L)).toDF("id", "v"), Seq("id"))
+    assert(st.filesTouched == 0)
+    val after = dataFiles(dir)
+    before.foreach { case (n, h) => assert(after(n) == h) }
+    assert(spark.read.parquet(dir).count() == 102)
+  }
+
+  test("upsert consults a trusted _stats manifest to prune candidates") {
+    val dir = TestSpark.tempDir("rowops_stats") + "/ds"
+    seed(dir)
+    FileStats.build(spark, dir)
+    assert(FileStats.trusted(spark, dir))
+    val st = RowOps.upsert(spark, dir,
+      Seq((30L, -5L)).toDF("id", "v"), Seq("id"))
+    assert(st.filesTouched == 1)
+    // mutation invalidates the manifest (spans changed)
+    assert(!FileStats.trusted(spark, dir))
+    assert(spark.read.parquet(dir).filter(col("id") === 30L)
+      .select("v").as[Long].head() == -5L)
+  }
+
+  test("deleteWhere removes TRUE rows only, touches only hit files, " +
+      "leaves others byte-identical") {
+    val dir = TestSpark.tempDir("rowops_del") + "/ds"
+    seed(dir)
+    val before = dataFiles(dir)
+    val st = RowOps.deleteWhere(spark, dir, "id >= 90")
+    assert(st.filesTouched == 1, s"only the [75,100) band matches: $st")
+    val after = dataFiles(dir)
+    val untouched = before.filter { case (n, _) => after.contains(n) }
+    assert(untouched.size == 3)
+    untouched.foreach { case (n, h) => assert(after(n) == h) }
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect()
+    assert(ids.length == 90 && ids.max == 89L)
+  }
+
+  test("deleteWhere with a no-match predicate is a complete no-op") {
+    val dir = TestSpark.tempDir("rowops_nomatch") + "/ds"
+    seed(dir)
+    val before = dataFiles(dir)
+    val st = RowOps.deleteWhere(spark, dir, "id > 1000")
+    assert(st.filesTouched == 0)
+    assert(dataFiles(dir) == before)
+  }
+
+  test("a crash between stage and swap is healed: recoverTmp finishes " +
+      "the rewrite from the manifest on the next mutation") {
+    val dir = TestSpark.tempDir("rowops_crash") + "/ds"
+    seed(dir)
+    // simulate the crash window: stage survivors+batch into
+    // _compact_tmp with a manifest, but die before the swap (packed
+    // files still in tmp, old file still in the leaf)
+    val touched = SchemaTools.listDataFiles(spark, dir)
+      .filter { f =>
+        val ids = spark.read.parquet(f).select("id")
+        !ids.filter(col("id") === 10L).isEmpty
+      }
+    assert(touched.size == 1)
+    val tmp = new Path(dir, "_compact_tmp")
+    val merged = spark.read.parquet(touched.head)
+      .withColumn("v", when(col("id") === 10L, -99L).otherwise(col("v")))
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val packed = fs.listStatus(tmp)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSeq
+    Compact.writeSwapManifest(fs, tmp,
+      touched.map(f => new Path(f).getName), packed)
+    // "crashed" here. A later unrelated mutation heals it first:
+    RowOps.deleteWhere(spark, dir, "id = 55")
+    assert(!fs.exists(tmp), "staging dir must be consumed by recovery")
+    val out = spark.read.parquet(dir)
+    assert(out.filter(col("id") === 10L).select("v").as[Long]
+      .head() == -99L, "staged update must have been swapped in")
+    assert(out.filter(col("id") === 55L).isEmpty)
+    assert(out.count() == 99)
+  }
+
+  test("partitioned or snapshot-pinned targets are refused") {
+    val dir = TestSpark.tempDir("rowops_guard") + "/ds"
+    spark.range(10).select(col("id"), (col("id") % 2).as("p"))
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    intercept[IllegalArgumentException] {
+      RowOps.upsert(spark, dir, Seq((1L, 0L)).toDF("id", "p"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      RowOps.deleteWhere(spark, dir, "id = 1")
+    }
+  }
+}
