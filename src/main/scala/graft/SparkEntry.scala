@@ -568,6 +568,30 @@ object SparkEntry {
       s.read.parquet(root).orderBy("o_orderkey")
     }),
 
+    // incremental consumption (file-diff CDC): snapshot a baseline,
+    // keep delta-ingesting, then read ONLY what landed after the
+    // snapshot — the downstream-trainer "give me the new docs" path.
+    // Works because append-family writes add files and never rewrite:
+    // the increment is the file-set diff against the snapshot manifest,
+    // asserted in-query to be a strict subset of the current listing
+    "q87_incremental_read" -> ((s, d) => {
+      val root = scratch(s, "q87", d)
+      val tf = TimeFly(s, root).init("inc")
+      val all = docs(s, d)
+      def deltaW = tf.writer(WriteMode.Delta(subset = Seq("doc_id")))
+      deltaW.write(all.filter(col("doc_id") % 3 === 0))
+      val snap = tf.addSnapshot(manifestOnly = true)
+      // two more batches; each replays rows the delta gate must drop,
+      // so the increment is exactly the %3 ∈ {1,2} docs
+      deltaW.write(all.filter(col("doc_id") % 3 <= 1))
+      deltaW.write(all.filter(col("doc_id") % 3 >= 1))
+      val incFiles = tf.changedFilesSince(snap).size
+      val curFiles = SchemaTools.listDataFiles(s, tf.currentPath).size
+      assert(incFiles > 0 && incFiles < curFiles,
+        s"increment must scan a strict file subset: $incFiles/$curFiles")
+      tf.readSince(snap).orderBy("doc_id")
+    }),
+
     // the cleaned-corpus LIFECYCLE: CorpusPipeline's output written into
     // a TimeFly dataset, snapshotted, clobbered by a later (bad) write,
     // then RESTORED from the snapshot — training-data releases are
@@ -4727,6 +4751,13 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey < b.lo OR o_orderkey > b.hi
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the increment = everything delta-ingested after the snapshot:
+    // the %3=0 baseline batch is excluded, replayed rows are dropped by
+    // the delta gate, so exactly the %3 ∈ {1,2} docs remain
+    "q87_incremental_read" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % 3 IN (1, 2) ORDER BY doc_id""".stripMargin,
 
     // vacuum never touches current data; the GC claims are asserted
     // in-query and in TimeFlySpec

@@ -264,6 +264,48 @@ final class TimeFly(spark: SparkSession, root: String) {
   def read(asOf: Option[String] = None): DataFrame =
     spark.read.parquet(resolveSubpath(asOf))
 
+  /** Data files added to `current/` since snapshot `sinceId` — the
+    * file-set diff between now and the snapshot's baseline (a
+    * manifest-only snapshot's recorded file list, or a copy snapshot's
+    * directory listing). Under append-family writes (plain appends,
+    * every Delta mode) new rows land ONLY in new files, so this set is
+    * exactly the incremental increment; that is the contract. Rewrites
+    * (overwrite, compaction, RowOps) re-home existing rows into new
+    * files and break increment semantics — consumers re-baseline with a
+    * fresh snapshot after those, the same rule every file-diff CDC
+    * (Iceberg incremental append scan) documents. Both sides are
+    * driver-side listings bounded by file count. */
+  def changedFilesSince(sinceId: String): Seq[String] = {
+    val node = readMeta().withObject("/snapshot")
+    val entry = node.path(sinceId)
+    require(entry.isObject, s"snapshot $sinceId does not exist")
+    val baseline: Set[String] =
+      if (entry.path("manifest_only").asBoolean(false)) {
+        val files = entry.path("files")
+        val buf = scala.collection.mutable.Set[String]()
+        if (files.isArray)
+          files.forEach(n => buf += new Path(n.asText()).getName)
+        buf.toSet
+      } else {
+        val dir = new Path(snapshotPath(sinceId))
+        if (!fs.exists(dir)) Set.empty
+        else fs.listStatus(dir)
+          .filter(s => s.isFile && isDataFile(s))
+          .map(_.getPath.getName).toSet
+      }
+    SchemaTools.listDataFiles(spark, currentPath)
+      .filterNot(f => baseline.contains(new Path(f).getName))
+  }
+
+  /** Incremental consumption: ONLY the rows added since `sinceId` —
+    * a scan over [[changedFilesSince]], never the whole dataset. An
+    * empty increment returns an empty frame with the current schema. */
+  def readSince(sinceId: String): DataFrame = {
+    val files = changedFilesSince(sinceId)
+    if (files.isEmpty) spark.read.parquet(currentPath).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
   def reader(asOf: Option[String] = None): LakeReader =
     LakeReader(spark, resolveSubpath(asOf))
 

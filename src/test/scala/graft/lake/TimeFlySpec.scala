@@ -211,4 +211,27 @@ class TimeFlySpec extends AnyFunSuite {
     val deleted = tf.readMeta().at("/snapshot/deleted")
     assert(deleted.get(0).asText() == s1)
   }
+
+  test("readSince returns only post-snapshot rows for BOTH snapshot " +
+      "flavors; empty increment is an empty typed frame") {
+    val dir = TestSpark.tempDir("tfinc")
+    val tf = TimeFly(spark, dir).init("t8")
+    tf.writer(WriteMode.Append).write(Seq((1, "a"), (2, "b"))
+      .toDF("id", "v"))
+    val sManifest = tf.addSnapshot(manifestOnly = true)
+    val sCopy = tf.addSnapshot() // copy flavor, same baseline
+    // empty increment right after the snapshot
+    val empty = tf.readSince(sManifest)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("id", "v"))
+    tf.writer(WriteMode.Append).write(Seq((3, "c")).toDF("id", "v"))
+    assert(tf.readSince(sManifest).select("id").as[Int].collect()
+      .toSeq == Seq(3))
+    assert(tf.readSince(sCopy).select("id").as[Int].collect()
+      .toSeq == Seq(3))
+    assert(tf.changedFilesSince(sManifest).size <
+      SchemaTools.listDataFiles(spark, tf.currentPath).size)
+    intercept[IllegalArgumentException] {
+      tf.changedFilesSince("19990101_000000")
+    }
+  }
 }
