@@ -2053,6 +2053,18 @@ object SparkEntry {
     // whether an index's nBits/nTables fit a corpus. Both sides are
     // deterministic, so even the recall measurement is hash-verified;
     // the join is (query, neighbor)-keyed, never all-pairs
+    // product quantization with ADC scoring: corpus snapped to 32
+    // subspace codebooks (hash-stratified pivots, the IVF selection),
+    // queries score the reconstructions in full precision — squared-L2
+    // folds in fixed order, so even the compressed-space distances are
+    // hash-verified cross-engine
+    "e16_pq_adc" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     "e15_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -4428,6 +4440,51 @@ object SparkEntry {
     // maintained-index == built-once contract: two delta appends, same
     // full-corpus answers
     "e13_srp_maintain" -> e03Oracle,
+
+    // PQ encode + ADC replayed relationally: same hash-stratified pivot
+    // CTE as e04, per-(vector, subspace) argmin via row_number, squared
+    // L2 as the identical left fold
+    "e16_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |piv AS (SELECT vec_id AS cell, emb AS pemb FROM v
+        |  WHERE vec_id IN (SELECT vec_id FROM v
+        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+        |             % 2147483647 * 48271) % 2147483647 ASC,
+        |            vec_id ASC LIMIT 32)),
+        |cs AS (SELECT vec_id, j,
+        |    list_slice(emb, j * 2 + 1, j * 2 + 2) AS sv
+        |  FROM v, range(32) r(j)),
+        |ps AS (SELECT cell, j,
+        |    list_slice(pemb, j * 2 + 1, j * 2 + 2) AS pv
+        |  FROM piv, range(32) r(j)),
+        |dj AS (SELECT cs.vec_id, cs.j, ps.cell, ps.pv,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(range(1, 3),
+        |       i -> (cs.sv[i] - ps.pv[i]) * (cs.sv[i] - ps.pv[i]))),
+        |     (a, x) -> a + x) AS d
+        |  FROM cs JOIN ps ON cs.j = ps.j),
+        |best AS (SELECT vec_id, j, pv FROM (
+        |   SELECT vec_id, j, pv, row_number() OVER (
+        |     PARTITION BY vec_id, j ORDER BY d ASC, cell ASC) AS rn
+        |   FROM dj) t WHERE rn = 1),
+        |recon AS (SELECT vec_id, flatten(list(pv ORDER BY j)) AS rv
+        |  FROM best GROUP BY vec_id),
+        |pp AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(range(1, 65),
+        |       i -> (q.emb[i] - c.rv[i]) * (q.emb[i] - c.rv[i]))),
+        |     (a, x) -> a + x) AS adist
+        |  FROM v q JOIN recon c
+        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT id1, id2, adist, rank FROM (
+        |  SELECT id1, id2, adist,
+        |   CAST(row_number() OVER (PARTITION BY id1
+        |     ORDER BY adist ASC, id2 ASC) AS BIGINT) AS rank
+        |  FROM pp) t
+        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
 
     // recall@5 of the SRP index vs brute force — both stages' oracle
     // bodies reused verbatim as CTEs, the comparison itself keyed

@@ -32,14 +32,17 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = cosine(a, b, norm(a), norm(b))
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(
-      aggregate(
-        zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
+  /** Squared L2 — the additive-across-subspaces form PQ/ADC scoring
+    * needs (sqrt is monotone, so rankings agree; summation is the same
+    * left fold as [[dot]], bit-identical to DuckDB's list_reduce). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x
     )
+
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
   /** Per-vector max-abs amplitude — the scale factor for symmetric
     * scalar quantization. */

@@ -644,4 +644,71 @@ object Similarity {
     // shuffling the index and arms DPP on its cell partitions
     ivfScoreTail(broadcast(qAssigned), cAssigned, k)
   }
+
+  /** Product-quantization ANN with asymmetric-distance scoring (Jégou
+    * et al. 2011): the vector space is split into `m` subspaces, each
+    * corpus subvector is snapped to its nearest codebook centroid, and
+    * queries score against the RECONSTRUCTION (the concatenation of
+    * chosen centroids) in full precision — exactly ADC, since squared
+    * L2 adds across subspaces. Codebooks are the hash-stratified pivot
+    * rows' subvectors ([[pivotSet]] — the same deterministic,
+    * oracle-reproducible selection IVF trains from; a production system
+    * would k-means each subspace, the pipeline shape is identical).
+    *
+    * Encoding is a pure per-row projection against LITERAL codebooks
+    * (no join, no shuffle — `m`·`nCents` argmin comparisons per vector,
+    * the [[assignCells]] discipline per subspace); at rest a vector is
+    * `m` small codes (here also materialized as `recon` for scoring).
+    * Scoring broadcasts the (small) query side over the encoded corpus
+    * scan — the e02 brute-force shape, but against vectors compressed
+    * `dim·4/m`-fold; with an IVF front end the scan narrows to probed
+    * cells. Ties (equal distance) break on centroid/corpus id, so
+    * results are deterministic and hash-verifiable. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      m: Int = 32,
+      k: Int = 5,
+      nCents: Int = 32
+  ): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val v = prep(corpus, idCol, vecCol)
+    val pivots = pivotSet(v, nCents)
+    import graft.functions.VectorFunctions.l2Sq
+    // per subspace: argmin_{centroid} L2²(subvec, centroid), tie-break
+    // on the lower cell id — one array_sort over nCents literal structs
+    // (the assignCells comparator), centroid VALUES ride in the struct
+    // so the reconstruction needs no second lookup
+    val bestPerSub = (0 until m).map { j =>
+      val sl = slice(col("emb"), j * subDim + 1, subDim)
+      val scored = array(pivots.map { case (cell, pv, _) =>
+        val cs = pv.slice(j * subDim, (j + 1) * subDim)
+        struct(l2Sq(sl, typedLit(cs)).as("d"), lit(cell).as("cell"),
+          typedLit(cs).as("cv"))
+      }: _*)
+      element_at(array_sort(scored, (l, r) =>
+        when(l("d") < r("d"), -1).when(l("d") > r("d"), 1)
+          .when(l("cell") < r("cell"), -1)
+          .when(l("cell") > r("cell"), 1).otherwise(0)), 1)
+    }
+    val encoded = v
+      .withColumn("__best", array(bestPerSub: _*))
+      .select(col("vec_id").as("id2"),
+        transform(col("__best"), b => b("cell")).as("codes2"),
+        flatten(transform(col("__best"), b => b("cv"))).as("recon2"))
+    val q = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("adist").asc, col("id2").asc)
+    broadcast(q)
+      .join(encoded, col("id1") =!= col("id2"))
+      .withColumn("adist", l2Sq(col("emb1"), col("recon2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "adist", "rank")
+  }
 }

@@ -291,6 +291,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"srpNearPairs recall $recall too low")
   }
 
+  test("pqTopK: full ranks per query, deterministic under " +
+      "repartitioning, nontrivial recall vs exact top-k") {
+    val queries = emb.filter($"vec_id" < 10)
+    val out = Similarity.pqTopK(emb, queries, k = 5)
+      .select("id1", "id2", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == (0L until 10L).toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // approximate distance non-decreasing along the rank order
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      rows.foreach { case (id1, id2, d, _) =>
+        assert(id1 != id2 && d >= 0.0)
+      }
+    }
+    // deterministic: input partitioning must not change the result
+    val again = Similarity.pqTopK(emb.repartition(7), queries, k = 5)
+      .select("id1", "id2", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(again == out.map(r => (r._1, r._2, r._4)).toSet)
+    // recall against the exact SAME-METRIC ground truth (L2 top-k; the
+    // cosine ground truth would conflate quantization loss with the
+    // metric change)
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val qs = all.filter(_._1 < 10)
+    def l2sq(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }
+    val exactL2 = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, l2sq(qv, cv)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(5)
+        .map { case (cid, _) => (qid, cid) }
+    }.toSet
+    val hits = out.map(r => (r._1, r._2)).toSet.intersect(exactL2).size
+    assert(hits.toDouble / exactL2.size > 0.4,
+      s"PQ recall ${hits.toDouble / exactL2.size} vs exact L2 too low")
+  }
+
   test("embeddingDedup: representative = min id, keep iff own cluster") {
     val out = Dedup.embeddingDedup(emb, dim = 64, threshold = 0.3,
       nBits = 4, nTables = 4)
