@@ -2285,6 +2285,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // TIFF IFD walk, BOTH endiannesses: floating IFD offset, entry
+    // count, and SHORT vs LONG value decoding all load-bearing (the
+    // plant varies each with the id; orientation exists only for even
+    // ids, so over-reading past the declared count would mis-answer)
+    "m06_tiff_meta" -> ((s, d) => {
+      Multimodal.plantedTiff(docs(s, d), "doc_id", "text")
+        .withColumn("m", Multimodal.tiffMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("m.byte_order").as("byte_order"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.orientation").as("orientation"))
+        .orderBy("media_id")
+    }),
+
     // Arrow IPC (Feather v2) source+sink under the oracle: parquet ->
     // IPC file -> LakeReader ipc scan -> rows. The oracle reads the same
     // parquet directly, so a value/type drift anywhere in the Arrow codec
@@ -4646,6 +4662,22 @@ object SparkEntry {
         |  AS total_samples,
         | CAST(CASE WHEN kind = 1 THEN total * 1000 // sr END AS BIGINT)
         |  AS duration_ms
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // expectations derived from the plant parameters, like m03-m05;
+    // orientation only for even ids (entry-count discipline)
+    "m06_tiff_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  doc_id % 4000 + 16 AS w, doc_id % 3000 + 16 AS h,
+        |  doc_id % 8 + 1 AS ori, doc_id % 2 AS noori
+        | FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind = 0 THEN 'II' WHEN kind = 1 THEN 'MM' END
+        |  AS byte_order,
+        | CAST(CASE WHEN kind <= 1 THEN w END AS BIGINT) AS width,
+        | CAST(CASE WHEN kind <= 1 THEN h END AS BIGINT) AS height,
+        | CAST(CASE WHEN kind <= 1 AND noori = 0 THEN ori END AS BIGINT)
+        |  AS orientation
         |FROM p ORDER BY media_id""".stripMargin,
 
     // expectations derived from the plant parameters, like m03/m04

@@ -266,6 +266,117 @@ object Multimodal {
           .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 
+  /** TIFF baseline metadata as a struct (byte_order, width, height,
+    * orientation) — a real IFD walk in pure builtins, BOTH byte orders:
+    * the header picks II/MM (every later read is endian-aware), bytes
+    * 4-7 locate IFD0 (padding before it floats, so the offset read is
+    * load-bearing), and each of up to `maxEntries` 12-byte entries is
+    * matched against the target tag WITHIN the declared entry count.
+    * SHORT (3) and LONG (4) value encodings both decode (left-justified
+    * in the 4-byte value field per the spec). Missing tags and non-TIFF
+    * payloads yield null fields; everything is `conv`/`substr`/`when`
+    * over one hex projection — whole-stage codegen, no kernel. */
+  def tiffMeta(payload: org.apache.spark.sql.Column, maxEntries: Int = 8)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 256)))
+    val isLE = substring(hx, 1, 8) === "49492A00"
+    val isBE = substring(hx, 1, 8) === "4D4D002A"
+    val ok = isLE || isBE
+    def byteAtD(i: org.apache.spark.sql.Column) =
+      conv(hx.substr((i * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+    def u16(i: org.apache.spark.sql.Column) =
+      when(isBE, byteAtD(i) * 256L + byteAtD(i + 1))
+        .otherwise(byteAtD(i) + byteAtD(i + 1) * 256L)
+    def u32(i: org.apache.spark.sql.Column) =
+      when(isBE,
+        byteAtD(i) * 16777216L + byteAtD(i + 1) * 65536L +
+          byteAtD(i + 2) * 256L + byteAtD(i + 3))
+        .otherwise(
+          byteAtD(i) + byteAtD(i + 1) * 256L +
+            byteAtD(i + 2) * 65536L + byteAtD(i + 3) * 16777216L)
+    // clamp the IFD offset to the scanned window: a hostile u32 here
+    // must neither overflow downstream int casts (ANSI) nor "find"
+    // garbage — beyond the window it nulls every field
+    val ifdRaw = u32(lit(4L))
+    val ifd = when(ifdRaw >= lit(8L) && ifdRaw <= lit(4096L), ifdRaw)
+    val n = u16(ifd)
+    def findTag(tag: Long): org.apache.spark.sql.Column =
+      (0 until maxEntries).foldLeft(lit(null).cast("long")) { (acc, i) =>
+        val base = ifd + lit(2L + i * 12L)
+        val hit = lit(i.toLong) < n && u16(base) === tag
+        val typ = u16(base + 2L)
+        val v = when(typ === 3L, u16(base + 8L))
+          .when(typ === 4L, u32(base + 8L))
+        coalesce(acc, when(hit, v))
+      }
+    struct(
+      when(ok, when(isLE, "II").otherwise("MM")).as("byte_order"),
+      when(ok, findTag(256L)).as("width"),
+      when(ok, findTag(257L)).as("height"),
+      when(ok, findTag(274L)).as("orientation"))
+  }
+
+  /** Deterministic planted TIFF payloads (the m06 fixture): by `id % 3`
+    * a little-endian TIFF, a big-endian TIFF, or the raw text bytes.
+    * The IFD floats behind `id % 5` padding bytes (the offset read is
+    * load-bearing), a leading NewSubfileType entry keeps the target
+    * tags out of slot 0, width/height are LONG entries, orientation a
+    * SHORT entry present only for even ids (the declared entry count is
+    * load-bearing), all varying with the id so the m06 oracle derives
+    * expectations from the same arithmetic. */
+  def plantedTiff(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def le16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X", byteAt(c, 1L), byteAt(c, 256L))
+    def be16(c: org.apache.spark.sql.Column) = format_string("%04X", c)
+    def le32(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X%02X", byteAt(c, 1L), byteAt(c, 256L),
+        byteAt(c, 65536L), byteAt(c, 16777216L))
+    def be32(c: org.apache.spark.sql.Column) = format_string("%08X", c)
+    val w = (id % 4000 + 16).cast("long")
+    val h = (id % 3000 + 16).cast("long")
+    val ori = (id % 8 + 1).cast("long")
+    val pad = (id % 5).cast("long")
+    val ifdOff = pad + 8L
+    val hasOri = id % 2 === 0
+    val cnt = when(hasOri, 4L).otherwise(3L).cast("long")
+    val zeros = lit("00000000").substr(lit(1), (pad * 2).cast("int"))
+    def entry(le: Boolean, tag: Long, typ: Long,
+        v: org.apache.spark.sql.Column) = {
+      val t16 = if (le) le16 _ else be16 _
+      val t32 = if (le) le32 _ else be32 _
+      val value =
+        if (typ == 3L) concat(t16(v), lit("0000")) else t32(v)
+      concat(t16(lit(tag)), t16(lit(typ)), t32(lit(1L)), value)
+    }
+    def body(le: Boolean) = {
+      val t16 = if (le) le16 _ else be16 _
+      val t32 = if (le) le32 _ else be32 _
+      val head =
+        if (le) concat(lit("49492A00"), t32(ifdOff))
+        else concat(lit("4D4D002A"), t32(ifdOff))
+      concat(
+        head, zeros, t16(cnt),
+        entry(le, 254L, 4L, lit(0L)),
+        entry(le, 256L, 4L, w),
+        entry(le, 257L, 4L, h),
+        when(hasOri, entry(le, 274L, 3L, ori)).otherwise(lit("")),
+        lit("00000000"))
+    }
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 0, body(le = true))
+          .when(id % 3 === 1, body(le = false))
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
+  }
+
   /** MP4 movie-header metadata as a struct (major_brand, timescale,
     * duration): brand from the spec-pinned `ftyp` position (offset 8 of
     * the mandatory first box), timescale/duration from a real two-level

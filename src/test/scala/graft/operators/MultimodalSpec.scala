@@ -347,4 +347,54 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"m.timescale", $"m.duration").head()
     assert(ok.getLong(0) == 1000L && ok.getLong(1) == 5000L)
   }
+
+  test("plantedTiff round-trips through tiffMeta in both byte orders; " +
+      "floating IFD and entry count are honored") {
+    val src = (0L until 60L).map(i => (i, s"doc text $i"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.plantedTiff(src)
+      .withColumn("m", Multimodal.tiffMeta($"payload"))
+      .select($"media_id", $"m.byte_order", $"m.width", $"m.height",
+        $"m.orientation")
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      id % 3 match {
+        case 2 =>
+          assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+        case k =>
+          assert(r.getString(1) == (if (k == 0) "II" else "MM"))
+          assert(r.getLong(2) == id % 4000 + 16)
+          assert(r.getLong(3) == id % 3000 + 16)
+          if (id % 2 == 0) assert(r.getLong(4) == id % 8 + 1)
+          else assert(r.isNullAt(4),
+            s"id $id: orientation must respect the entry count")
+      }
+    }
+  }
+
+  test("tiffMeta nulls out hostile payloads: truncated headers, " +
+      "out-of-range IFD offsets, zero entries, unknown value types") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val hostile = Seq(
+      hx("49492A"), // truncated magic
+      hx("49492A00FFFFFFFF"), // IFD offset far out of range
+      hx("49492A0008000000" + "0000"), // zero entries
+      hx("49492A0008000000"), // offset ok, IFD torn off
+      // one entry, tag 256, but value type 5 (RATIONAL — unsupported)
+      hx("49492A0008000000" + "0100" + "0001" + "0500" + "01000000" +
+        "10000000" + "00000000"),
+      hx("4D4D002A"), // BE header with no offset bytes
+      Array[Byte]()
+    ).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "payload")
+    val out = hostile.withColumn("m", Multimodal.tiffMeta($"payload"))
+      .select($"media_id", $"m.width", $"m.height", $"m.orientation")
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+        s"hostile row ${r.getLong(0)} must null out")
+    }
+  }
 }
