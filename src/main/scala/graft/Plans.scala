@@ -83,7 +83,31 @@ object Plans {
         "brand/mime — per-row, zero shuffle, same scale shape as m01-m04"),
       "e15_ann_recall" -> ("recall measurement: e02 + e03 plans feeding " +
         "keyed (query, neighbor) joins and per-query aggs — the " +
-        "measurement itself adds no all-pairs stage")
+        "measurement itself adds no all-pairs stage"),
+      "d35_cluster_best" -> ("cluster representative by quality: d09's " +
+        "CC labels joined to per-doc scores, then ONE min(struct) agg " +
+        "per cluster (map-side partials — no window over the corpus)"),
+      "d36_dsir_weights" -> ("DSIR weights: bucket-count tables are two " +
+        "keyed aggs bounded by the bucket count (broadcast into the " +
+        "scoring join); corpus grouped to (doc, bucket) width BEFORE " +
+        "the joins — the d22/d32 discipline — then one keyed agg per " +
+        "doc; fineLog2 keeps every weight integer, so the plan carries " +
+        "no float-summation ordering hazard"),
+      "d37_gopher_rules" -> ("Gopher rule battery: pure per-row " +
+        "projections over one token-array materialization — zero " +
+        "exchanges, embarrassingly parallel scan work"),
+      "e16_pq_adc" -> ("PQ-ADC: encoding is a per-row argmin against " +
+        "LITERAL codebooks (no join/shuffle; 32 subspaces x 32 " +
+        "centroids); scoring broadcasts the small query side over the " +
+        "encoded corpus scan — e02's shape against 8x-compressed " +
+        "reconstructions"),
+      "m06_tiff_meta" -> ("TIFF IFD walk: endian-aware conv/substr " +
+        "builtins over one hex projection per row — whole-stage " +
+        "codegen, zero shuffle, the m01-m05 scale shape"),
+      "q87_incremental_read" -> ("incremental consumption: the scan's " +
+        "file index holds ONLY the post-snapshot files (file-set diff " +
+        "against the snapshot manifest) — the increment never rescans " +
+        "the dataset")
     )
 
     val sb = new StringBuilder

@@ -120,7 +120,9 @@ object ScalingBench {
       "d23_substring_dup", "d26_containment", "d29_segment_dedup",
       "d30_mixture_sample", "e09_ann_quantized", "e12_ann_rerank",
       "e02_knn_topk", "e03_ann_srp", "e04_ann_ivf", "e05_embed_dedup",
-      "e08_centroid_outliers", "q35_stream_hourly")
+      "e08_centroid_outliers", "q35_stream_hourly",
+      "d35_cluster_best", "d36_dsir_weights", "d37_gopher_rules",
+      "e16_pq_adc", "m06_tiff_meta")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume
@@ -332,6 +334,53 @@ object ScalingBench {
           mergeBatch(2000000000L), mergeBatch(3000000000L)))
       }).toMap
 
+    // Row-op scaling (r7): FIXED upsert/delete batch, growing lake.
+    // Per factor: orders at 1x/2x/4x range-laid-out at constant rows
+    // per file (file count grows with the lake), `_stats` built, then
+    // the SAME absolute key band upserted / deleted. Copy-on-write
+    // rewrites only the files physically holding affected keys, and the
+    // `_stats` prune bounds even the touch detection to candidate
+    // files — so touched files and time should track the band, not the
+    // lake. factor -> (files, upsert touched, upsert s, delete touched,
+    // delete s)
+    val rowopCells: Map[Int, (Int, Int, Double, Int, Double)] =
+      (for ((f, dir) <- dirs) yield {
+        val src1x = spark.read
+          .parquet(s"${dirs.head._2}/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val Array(lo, hi0) = src1x.agg(min("o_orderkey"), max("o_orderkey"))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val hi = lo + (hi0 - lo) / 16
+        def seedAndStats(root: String): Unit = {
+          rmdir(root)
+          spark.read.parquet(s"$dir/orders.parquet")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartitionByRange(32 * f, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(root)
+          graft.lake.FileStats.build(spark, root)
+        }
+        val upRoot = s"/tmp/graft_scale_rowops_up_${f}x"
+        seedAndStats(upRoot)
+        val nFiles = graft.lake.SchemaTools.listDataFiles(spark, upRoot).size
+        val batch = src1x
+          .filter(col("o_orderkey").between(lo, hi))
+          .withColumn("o_totalprice", lit(-1.0))
+        val t0 = System.nanoTime()
+        val upStats = graft.lake.RowOps.upsert(
+          spark, upRoot, batch, Seq("o_orderkey"))
+        val tUp = (System.nanoTime() - t0) / 1e9
+        val delRoot = s"/tmp/graft_scale_rowops_del_${f}x"
+        seedAndStats(delRoot)
+        val t1 = System.nanoTime()
+        val delStats = graft.lake.RowOps.deleteWhere(
+          spark, delRoot, s"o_orderkey >= $lo AND o_orderkey <= $hi")
+        val tDel = (System.nanoTime() - t1) / 1e9
+        f -> ((nFiles, upStats.filesTouched, tUp,
+          delStats.filesTouched, tDel))
+      }).toMap
+
     // Stage-level breakdown of d13 (r4 VERDICT #3): time each CUMULATIVE
     // stage prefix at 1x/4x/8x and record its output rows, so the
     // super-linear stage is named instead of hiding in the end-to-end
@@ -465,6 +514,23 @@ object ScalingBench {
       val (rowsN, b1, b2) = ccCells(f)
       val r = if (f == 4) f"${b2 / ccCells(1)._3}%.1f" else "—"
       sb.append(f"| ${f}x | $rowsN | $b1%.2f | $b2%.2f | $r |\n")
+    }
+
+    sb.append("\n## Row-level mutations: fixed key band, growing lake\n\n")
+    sb.append("q85/q86's copy-on-write machinery: orders range-laid-out at\n")
+    sb.append("constant rows per file (file count grows with the lake),\n")
+    sb.append("`_stats` built, then the SAME absolute o_orderkey band\n")
+    sb.append("upserted (updates) / deleted at every factor. Touched files\n")
+    sb.append("track the band — constant while the lake grows — and the\n")
+    sb.append("`_stats` candidate prune bounds even the touch-detection scan\n")
+    sb.append("to those files, so at 100 TB a keyed correction costs a\n")
+    sb.append("handful of file rewrites, not a table rewrite.\n\n")
+    sb.append("| factor | files | upsert touched | upsert (s) | " +
+      "delete touched | delete (s) |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    factors.foreach { f =>
+      val (nf, ut, tu, dt, td) = rowopCells(f)
+      sb.append(f"| ${f}x | $nf | $ut | $tu%.2f | $dt | $td%.2f |\n")
     }
 
     sb.append("\n## d13 stage breakdown (cumulative prefixes)\n\n")

@@ -2053,6 +2053,16 @@ object SparkEntry {
     // whether an index's nBits/nTables fit a corpus. Both sides are
     // deterministic, so even the recall measurement is hash-verified;
     // the join is (query, neighbor)-keyed, never all-pairs
+    // sign-binarized Hamming ANN: one 64-bit signature per vector
+    // (bitwise-OR fold — exact integers end to end), bit_count(xor)
+    // distance, ties on id; the 8-bytes-a-vector serving index
+    "e17_hamming_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hammingTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // product quantization with ADC scoring: corpus snapped to 32
     // subspace codebooks (hash-stratified pivots, the IVF selection),
     // queries score the reconstructions in full precision — squared-L2
@@ -4456,6 +4466,33 @@ object SparkEntry {
     // maintained-index == built-once contract: two delta appends, same
     // full-corpus answers
     "e13_srp_maintain" -> e03Oracle,
+
+    // the sign pack replayed relationally: same OR fold (bit 64 needs
+    // the MinValue literal spelled without a bare unary-minus overflow)
+    "e17_hamming_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, 65),
+        |      i -> CASE WHEN emb[i] > 0.0 THEN
+        |             CASE WHEN i = 64
+        |               THEN (-9223372036854775807::BIGINT - 1)
+        |               ELSE 1::BIGINT << (i - 1) END
+        |           ELSE 0::BIGINT END)),
+        |    (a, b) -> a | b) AS sig FROM v),
+        |pp AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
+        |  CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming
+        |  FROM sig q JOIN sig c
+        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT id1, id2, hamming, rank FROM (
+        |  SELECT id1, id2, hamming,
+        |   CAST(row_number() OVER (PARTITION BY id1
+        |     ORDER BY hamming ASC, id2 ASC) AS BIGINT) AS rank
+        |  FROM pp) t
+        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
 
     // PQ encode + ADC replayed relationally: same hash-stratified pivot
     // CTE as e04, per-(vector, subspace) argmin via row_number, squared

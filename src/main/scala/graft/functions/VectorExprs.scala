@@ -27,6 +27,22 @@ object VectorKernels {
     acc
   }
 
+  /** Left-to-right fold of (a[i]-b[i])² in double — bit-identical to
+    * `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)), 0.0, +)` and DuckDB's
+    * `list_reduce` over the same transform (same IEEE order): oracle
+    * parity for PQ/ADC distances. */
+  def l2sq(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** One-pass SimHash over an array of token hashes: per bit, sum of ±1
     * votes by that bit of each hash; sign -> signature bit. Equals the
     * per-bit `aggregate` formulation exactly (integer arithmetic). */
@@ -72,6 +88,28 @@ case class DotProductExpr(left: Expression, right: Expression)
       newLeft: Expression,
       newRight: Expression
   ): DotProductExpr = copy(left = newLeft, right = newRight)
+}
+
+/** Native left-fold squared-L2 (see VectorKernels.l2sq for the oracle-
+  * parity argument — same shape as DotProductExpr). */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.l2sq($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): L2SqExpr = copy(left = newLeft, right = newRight)
 }
 
 /** Native SimHash over an array<long> of token hashes (see

@@ -33,14 +33,14 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = cosine(a, b, norm(a), norm(b))
 
   /** Squared L2 — the additive-across-subspaces form PQ/ADC scoring
-    * needs (sqrt is monotone, so rankings agree; summation is the same
-    * left fold as [[dot]], bit-identical to DuckDB's list_reduce). */
+    * needs (sqrt is monotone, so rankings agree; the native kernel
+    * folds left-to-right like [[dot]], bit-identical to DuckDB's
+    * list_reduce and to the `aggregate(zip_with(...))` formulation). */
   def l2Sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    org.apache.spark.sql.GraftSqlBridge.column(
+      L2SqExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   def l2Distance(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 

@@ -645,6 +645,51 @@ object Similarity {
     ivfScoreTail(broadcast(qAssigned), cAssigned, k)
   }
 
+  /** Sign-binarized Hamming top-k: every embedding compresses to ONE
+    * 64-bit word (bit i = sign of dimension i — the classic binary-
+    * hashing baseline; ITQ/LSH papers refine the projection, the
+    * serving shape is identical) and neighbor distance is
+    * `bit_count(xor)` — 8 bytes a vector, a two-instruction distance.
+    * The packing is a bitwise-OR fold over per-dimension single-bit
+    * words (exact integer arithmetic, no additive overflow; bit 63
+    * lands as Long.MinValue, which OR and XOR handle exactly), and
+    * ranking ties break on id — the whole operator hash-verifies
+    * against DuckDB. Queries broadcast over the packed-corpus scan
+    * (the e02 shape); at 100 TB the packed column is the index you
+    * keep hot — a billion vectors in 8 GB. Like e16 the reported
+    * metric is the compressed space's own; callers wanting exact
+    * scores rerank the shortlist like e12. */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      k: Int = 5
+  ): DataFrame = {
+    require(dim <= 64, "hammingTopK packs into one 64-bit word")
+    def sigOf(df: DataFrame, idAs: String, sigAs: String) =
+      df.select(col(idCol).as(idAs),
+        aggregate(
+          zip_with(
+            asDouble(col(vecCol)),
+            sequence(lit(0L), lit(dim - 1L)),
+            (x, i) => when(x > 0.0,
+              call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc.bitwiseOR(b)).as(sigAs))
+    val cSig = sigOf(corpus, "id2", "sig2")
+    val qSig = sigOf(queries, "id1", "sig1")
+    val w = Window.partitionBy("id1")
+      .orderBy(col("hamming").asc, col("id2").asc)
+    broadcast(qSig)
+      .join(cSig, col("id1") =!= col("id2"))
+      .withColumn("hamming",
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "hamming", "rank")
+  }
+
   /** Product-quantization ANN with asymmetric-distance scoring (Jégou
     * et al. 2011): the vector space is split into `m` subspaces, each
     * corpus subvector is snapped to its nearest codebook centroid, and
@@ -682,12 +727,20 @@ object Similarity {
     // per subspace: argmin_{centroid} L2²(subvec, centroid), tie-break
     // on the lower cell id — one array_sort over nCents literal structs
     // (the assignCells comparator), centroid VALUES ride in the struct
-    // so the reconstruction needs no second lookup
+    // so the reconstruction needs no second lookup. The per-centroid
+    // distance is FLAT element_at arithmetic against scalar literals
+    // (left-to-right sum — the oracle's fold order exactly): the
+    // zip_with/aggregate formulation here embedded m·nCents interpreted
+    // lambdas and serialized to ~28 MB task binaries
     val bestPerSub = (0 until m).map { j =>
-      val sl = slice(col("emb"), j * subDim + 1, subDim)
+      val subEls = (0 until subDim)
+        .map(t => element_at(col("emb"), j * subDim + t + 1))
       val scored = array(pivots.map { case (cell, pv, _) =>
         val cs = pv.slice(j * subDim, (j + 1) * subDim)
-        struct(l2Sq(sl, typedLit(cs)).as("d"), lit(cell).as("cell"),
+        val d = subEls.zip(cs)
+          .map { case (e, c) => (e - lit(c)) * (e - lit(c)) }
+          .reduceLeft(_ + _)
+        struct(d.as("d"), lit(cell).as("cell"),
           typedLit(cs).as("cv"))
       }: _*)
       element_at(array_sort(scored, (l, r) =>

@@ -332,6 +332,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"PQ recall ${hits.toDouble / exactL2.size} vs exact L2 too low")
   }
 
+  test("hammingTopK equals a driver-side reference computation exactly " +
+      "(sign pack, bit 63 included, id tie-breaks)") {
+    val out = Similarity.hammingTopK(emb, emb.filter($"vec_id" < 8), k = 4)
+      .select("id1", "id2", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .sortBy(r => (r._1, r._4))
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def sig(v: Array[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x > 0f) acc | (1L << i) else acc
+      }
+    val sigs = all.map { case (id, v) => id -> sig(v) }.toMap
+    val expected = all.filter(_._1 < 8).flatMap { case (qid, _) =>
+      all.filter(_._1 != qid)
+        .map { case (cid, _) =>
+          (cid, java.lang.Long.bitCount(sigs(qid) ^ sigs(cid)).toLong) }
+        .sortBy { case (cid, h) => (h, cid) }.take(4).zipWithIndex
+        .map { case ((cid, h), i) => (qid, cid, h, i + 1) }
+    }.sortBy(r => (r._1, r._4))
+    assert(out.toSeq == expected.toSeq)
+    // some dimension must exercise the sign bit of the top half so the
+    // bit-63 path isn't vacuous
+    assert(sigs.values.exists(_ < 0L),
+      "fixture should set bit 63 for at least one vector")
+  }
+
   test("embeddingDedup: representative = min id, keep iff own cluster") {
     val out = Dedup.embeddingDedup(emb, dim = 64, threshold = 0.3,
       nBits = 4, nTables = 4)
