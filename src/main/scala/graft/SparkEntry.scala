@@ -568,6 +568,52 @@ object SparkEntry {
       s.read.parquet(root).orderBy("o_orderkey")
     }),
 
+    // continuous CDC absorption: the q85 merge driven through
+    // readStream/foreachBatch — updates batch, inserts batch, then the
+    // updates batch REPLAYED (at-least-once delivery). Upsert is
+    // idempotent (matched keys replaced with identical rows), so the
+    // final lake equals the one-shot q85 merge whatever the batch
+    // order — the same oracle verifies both
+    "q88_stream_upsert" -> ((s, d) => {
+      val lake = scratch(s, "q88", d)
+      val src = scratch(s, "q88src", d)
+      val base = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(base.count() / 8L, 50L)
+      LakeWriter(s, lake, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(base.orderBy("o_orderkey"))
+      val Array(lo, hi0) = base
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      val updates = base.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", lit(-1.0))
+      val inserts = base.filter(col("o_orderkey").between(lo, hi))
+        .select((col("o_orderkey") + lit(hi0) + lit(1L))
+            .as("o_orderkey"),
+          col("o_custkey"), lit(0.5).as("o_totalprice"))
+      updates.write.parquet(s"$src/b1")
+      inserts.write.parquet(s"$src/b2")
+      updates.write.parquet(s"$src/b3") // replayed delivery
+      val sch = s.read.parquet(s"$src/b1").schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/b*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            RowOps.upsert(s, lake,
+              batch.dropDuplicates(Seq("o_orderkey")),
+              Seq("o_orderkey"))
+          ()
+        }
+        .option("checkpointLocation", s"$src/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(lake).orderBy("o_orderkey")
+    }),
+
     // incremental consumption (file-diff CDC): snapshot a baseline,
     // keep delta-ingesting, then read ONLY what landed after the
     // snapshot — the downstream-trainer "give me the new docs" path.
@@ -2756,6 +2802,28 @@ object SparkEntry {
 
   /** d09: the d04 Jaccard pairs (same CTE chain) closed transitively with
     * a recursive CTE; cluster id = min reachable id (incl. self). */
+  /** q85/q88: the keyed merge replayed relationally (shared — the
+    * streaming variant's replay idempotence makes the states equal). */
+  private def mergeOracle: String =
+
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM src),
+        |upd AS (SELECT o_orderkey, o_custkey,
+        |    CAST(-1.0 AS DOUBLE) AS o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
+        |ins AS (SELECT o_orderkey + hi0 + 1 AS o_orderkey, o_custkey,
+        |    CAST(0.5 AS DOUBLE) AS o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
+        |keep AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey < b.lo OR s.o_orderkey > b.hi)
+        |SELECT * FROM keep
+        |UNION ALL SELECT * FROM upd
+        |UNION ALL SELECT * FROM ins
+        |ORDER BY o_orderkey""".stripMargin
+
   private def d09Oracle: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -4850,25 +4918,13 @@ object SparkEntry {
 
     // MERGE semantics replayed relationally: batch keys replace, new
     // keys append; the file-granular copy-on-write claim is asserted
-    // in-query (strict-subset touch) and in RowOpsSpec (byte-identity)
-    "q85_upsert" ->
-      """WITH src AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
-        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
-        |  min(o_orderkey) +
-        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM src),
-        |upd AS (SELECT o_orderkey, o_custkey,
-        |    CAST(-1.0 AS DOUBLE) AS o_totalprice
-        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
-        |ins AS (SELECT o_orderkey + hi0 + 1 AS o_orderkey, o_custkey,
-        |    CAST(0.5 AS DOUBLE) AS o_totalprice
-        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
-        |keep AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
-        |  FROM src s, b WHERE s.o_orderkey < b.lo OR s.o_orderkey > b.hi)
-        |SELECT * FROM keep
-        |UNION ALL SELECT * FROM upd
-        |UNION ALL SELECT * FROM ins
-        |ORDER BY o_orderkey""".stripMargin,
+    // in-query (strict-subset touch) and in RowOpsSpec (byte-identity).
+    // q88 drives the SAME merge through streaming foreachBatch with a
+    // replayed batch — upsert idempotence means one oracle serves both
+    "q85_upsert" -> mergeOracle,
+    "q88_stream_upsert" -> mergeOracle,
+
+
 
     "q86_row_delete" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo,
