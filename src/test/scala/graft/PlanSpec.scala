@@ -118,10 +118,15 @@ class PlanSpec extends AnyFunSuite {
     //  - e15: recall@k measurement, which by definition contains e02's
     //    brute-force baseline as its ground-truth side (same bounded
     //    broadcast; the recall join itself is (id1, id2)-keyed)
+    //  - e16/e17: compressed-corpus scans of the same class — the
+    //    bounded query set broadcasts against ONE pass over the
+    //    PQ-reconstructed / sign-packed corpus (linear in corpus size,
+    //    cross only in |Q|; with an IVF front end the scan narrows to
+    //    probed cells, which e11/e14 already assert as keyed+DPP)
     // Everything else — including e01's exact all-pairs, which is now
     // block-keyed — must plan as equi joins.
-    val allowed =
-      Set("q55_cross_join_small", "e02_knn_topk", "e15_ann_recall")
+    val allowed = Set("q55_cross_join_small", "e02_knn_topk",
+      "e15_ann_recall", "e16_pq_adc", "e17_hamming_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
