@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{AnnIndex, ArrowIpc, Compact, FileStats, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{AnnIndex, ArrowIpc, Compact, Expectations, FileStats, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -612,6 +612,31 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.read.parquet(lake).orderBy("o_orderkey")
+    }),
+
+    // write-time expectations: rows proving every rule land in the
+    // lake, violators are QUARANTINED with the rule names they failed
+    // — bad batches preserved for triage, not dropped or fatal. The
+    // violation vector is one row-local projection; both sides of the
+    // split read back under the oracle
+    "q89_expectations" -> ((s, d) => {
+      val lake = scratch(s, "q89", d)
+      val quar = scratch(s, "q89quar", d)
+      val src = ord(s, d).select("o_orderkey", "o_totalprice")
+      Expectations.writeWith(
+        LakeWriter(s, lake, WriteMode.Overwrite),
+        src,
+        Seq(
+          Expectations.Rule("price_cap", "o_totalprice <= 250000.0"),
+          Expectations.Rule("key_mod", "o_orderkey % 13 <> 0")),
+        quar)
+      val lakeSide = s.read.parquet(lake)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit("lake").as("side"), lit("").as("violated"))
+      val quarSide = s.read.parquet(quar)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit("quarantine").as("side"), col("violated"))
+      lakeSide.unionByName(quarSide).orderBy("side", "o_orderkey")
     }),
 
     // incremental consumption (file-diff CDC): snapshot a baseline,
@@ -1723,6 +1748,16 @@ object SparkEntry {
       operators.Quality.domainCap(docs(s, d), "doc_id", "source", "text",
           cap = 15)
         .orderBy("source", "rk")
+    }),
+
+    // fuzzy segment dedup: d29's split/reassemble, but a segment dies
+    // when ANY (doc, position)-earlier segment is an n-gram-Jaccard
+    // near-duplicate — mutated boilerplate dies with the exact copies;
+    // candidates stay keyed (shingle join + DF cap), never all-pairs
+    "d38_segment_neardup" -> ((s, d) => {
+      Dedup.segmentNearDedup(docs(s, d), "doc_id", "text",
+          k = 12, n = 3, threshold = 0.6)
+        .orderBy("doc_id")
     }),
 
     // near-dup cluster representative by QUALITY: d09's CC clusters,
@@ -4097,6 +4132,59 @@ object SparkEntry {
          |SELECT doc_id, source, content_hash, rk FROM r
          |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
 
+    // d29's segmentation + d04's pair machinery ON SEGMENTS + the
+    // arrival-order drop rule (EXISTS an earlier near-dup) — no
+    // recursion needed, unlike the cluster-canonical d09 closure
+    "d38_segment_neardup" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |x AS (
+        | SELECT doc_id, tk,
+        |  unnest(range(0, ((len(tk) - 1) // 12) + 1)) AS gi
+        | FROM t),
+        |s AS (
+        | SELECT doc_id, CAST(gi AS BIGINT) AS seg_idx,
+        |  doc_id * 1024 + gi AS sid,
+        |  array_to_string(tk[gi*12 + 1 : gi*12 + 12], ' ') AS seg
+        | FROM x),
+        |sk AS (SELECT sid, string_split(seg, ' ') AS stk FROM s),
+        |sh0 AS (
+        | SELECT DISTINCT sid,
+        |  unnest(list_transform(range(1, greatest(len(stk) - 1, 1)),
+        |    i -> stk[i] || ' ' || stk[i+1] || ' ' || stk[i+2])) AS shingle
+        | FROM sk),
+        |sh AS (
+        | SELECT sid, shingle FROM sh0
+        | QUALIFY COUNT(*) OVER (PARTITION BY shingle) <=
+        |  (SELECT greatest(64, CAST(ceil(COUNT(*) * 0.05) AS BIGINT))
+        |   FROM s)),
+        |cnt AS (SELECT sid, COUNT(*) AS n FROM sh GROUP BY sid),
+        |inter AS (
+        | SELECT a.sid AS id1, b.sid AS id2, COUNT(*) AS n_both
+        | FROM sh a JOIN sh b
+        |   ON a.shingle = b.shingle AND a.sid < b.sid
+        | GROUP BY a.sid, b.sid),
+        |dropped AS (
+        | SELECT DISTINCT id2 FROM inter
+        |  JOIN cnt ca ON ca.sid = id1
+        |  JOIN cnt cb ON cb.sid = id2
+        | WHERE CAST(n_both AS DOUBLE) /
+        |   CAST(ca.n + cb.n - n_both AS DOUBLE) >= 0.6),
+        |w AS (SELECT * FROM s
+        |      WHERE sid NOT IN (SELECT id2 FROM dropped)),
+        |r AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        | FROM w GROUP BY doc_id),
+        |n AS (
+        | SELECT doc_id,
+        |  CAST(((len(tk) - 1) // 12) + 1 AS BIGINT) AS n_segments
+        | FROM t)
+        |SELECT n.doc_id, n.n_segments,
+        | coalesce(r.n_kept, 0) AS n_kept,
+        | coalesce(r.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // same recursive closure as d09, then pick the best-quality member
     // per component (row_number = the window formulation of the Spark
     // side's min(struct) argmax — same (quality desc, id asc) order)
@@ -4933,6 +5021,26 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey < b.lo OR o_orderkey > b.hi
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the same split replayed relationally: violated = the non-null
+    // rule flags in rule order, comma-joined; NULL predicates would
+    // count as violations on both sides (coalesce-to-false)
+    "q89_expectations" ->
+      """WITH f AS (
+        | SELECT o_orderkey, o_totalprice,
+        |  list_filter([
+        |    CASE WHEN NOT coalesce(o_totalprice <= 250000.0, false)
+        |      THEN 'price_cap' END,
+        |    CASE WHEN NOT coalesce(o_orderkey % 13 <> 0, false)
+        |      THEN 'key_mod' END], x -> x IS NOT NULL) AS v
+        | FROM orders)
+        |SELECT o_orderkey, o_totalprice, 'lake' AS side, '' AS violated
+        |FROM f WHERE len(v) = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'quarantine' AS side,
+        | array_to_string(v, ',') AS violated
+        |FROM f WHERE len(v) > 0
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // the increment = everything delta-ingested after the snapshot:
     // the %3=0 baseline batch is excluded, replayed rows are dropped by

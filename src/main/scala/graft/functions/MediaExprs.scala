@@ -309,3 +309,82 @@ case class Mp4DurationExpr(child: Expression, maxScan: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : Mp4DurationExpr = copy(child = newChild)
 }
+
+/** Native TIFF IFD walk (see graft.operators.Multimodal.tiffMeta for
+  * the field semantics). One pass, both byte orders, entry count and
+  * SHORT/LONG value types honored, untrusted offsets bounded by the
+  * scan window. Packs `order(1) | orientation(5) | height(24) |
+  * width(24)` with all-ones sentinels for missing fields; -1 = not a
+  * TIFF header at all. Replaces the builtin conv/substr formulation,
+  * which re-materialized the hex projection per byte read (~200 reads
+  * per row — measured 105 s for the m06 scaling cell at sf0.1; this
+  * kernel: one array pass, whole-stage codegen). */
+object TiffMetaUtil {
+
+  val MissingDim = 0xFFFFFFL
+  val MissingOri = 0x1FL
+
+  def pack(bytes: Array[Byte], maxScan: Int, maxEntries: Int): Long = {
+    if (bytes == null) return -1L
+    val n = math.min(bytes.length, maxScan)
+    if (n < 8) return -1L
+    @inline def b(i: Int): Int = bytes(i) & 0xff
+    val isLE = b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0
+    val isBE = b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42
+    if (!isLE && !isBE) return -1L
+    @inline def u16(i: Int): Int =
+      if (isBE) (b(i) << 8) | b(i + 1) else b(i) | (b(i + 1) << 8)
+    @inline def u32(i: Int): Long =
+      if (isBE)
+        (b(i).toLong << 24) | (b(i + 1).toLong << 16) |
+          (b(i + 2).toLong << 8) | b(i + 3).toLong
+      else
+        b(i).toLong | (b(i + 1).toLong << 8) |
+          (b(i + 2).toLong << 16) | (b(i + 3).toLong << 24)
+    var width = MissingDim
+    var height = MissingDim
+    var ori = MissingOri
+    val order = if (isBE) 1L else 0L
+    val ifd = u32(4) // untrusted u32: bounds-checked before every read
+    if (ifd >= 8L && ifd + 2L <= n) {
+      val cnt = u16(ifd.toInt)
+      var i = 0
+      while (i < cnt && i < maxEntries &&
+          ifd + 2L + (i + 1L) * 12L <= n) {
+        val base = (ifd + 2L + i * 12L).toInt
+        val tag = u16(base)
+        val typ = u16(base + 2)
+        // SHORT (3) and LONG (4) decode; other types stay unreadable
+        // (the search continues — a later same-tag entry may decode)
+        val v: Long =
+          if (typ == 3) u16(base + 8).toLong
+          else if (typ == 4) u32(base + 8)
+          else -1L
+        if (v >= 0L) {
+          if (tag == 256 && width == MissingDim && v < MissingDim)
+            width = v
+          else if (tag == 257 && height == MissingDim && v < MissingDim)
+            height = v
+          else if (tag == 274 && ori == MissingOri && v < MissingOri)
+            ori = v
+        }
+        i += 1
+      }
+    }
+    (order << 53) | (ori << 48) | (height << 24) | width
+  }
+}
+
+case class TiffPackExpr(child: Expression, maxScan: Int, maxEntries: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "tiff_pack"
+  override def nullSafeEval(input: Any): Any =
+    TiffMetaUtil.pack(input.asInstanceOf[Array[Byte]], maxScan, maxEntries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TiffMetaUtil.pack($c, $maxScan, $maxEntries)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : TiffPackExpr = copy(child = newChild)
+}

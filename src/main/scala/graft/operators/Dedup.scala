@@ -1071,6 +1071,61 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** NEAR-dup segment dedup — the fuzzy sibling of [[segmentDedup]]:
+    * docs split into `k`-token segments, a segment is DROPPED iff some
+    * segment with n-gram Jaccard >= `threshold` precedes it in (doc,
+    * position) order (the arrival-order rule the incremental gates
+    * use — deterministic without a clustering pass), and docs are
+    * reassembled from survivors. Exact duplicates score 1.0, so this
+    * subsumes [[segmentDedup]]'s rule at the same k; boilerplate that
+    * mutates a token or two (the case exact matching misses) now dies
+    * too.
+    *
+    * 100 TB shape: candidates come from [[ngramJaccardPairs]] on the
+    * SEGMENT table — keyed shingle join under the DF cap, never
+    * all-pairs; the drop set is one distinct projection of it; the
+    * reassembly is d29's collect_list-per-doc (bounded by doc length).
+    * Segment ids pack as `doc_id * 1024 + seg_idx` (doc length caps
+    * seg_idx far below 1024 at our k), so pair order = (doc, position)
+    * order. */
+  def segmentNearDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 12,
+      n: Int = 3,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    val segs = base
+      .select(col("__id"), col("__tk"),
+        explode(expr(s"sequence(0, (size(__tk) - 1) div $k)"))
+          .as("__gi"))
+      .select(col("__id"), col("__gi").cast("long").as("seg_idx"),
+        concat_ws(" ", slice(col("__tk"), col("__gi") * k + 1, lit(k)))
+          .as("seg"))
+      .withColumn("sid", col("__id") * 1024L + col("seg_idx"))
+    val pairs = ngramJaccardPairs(segs, "sid", "seg", n, threshold)
+    val dropped = pairs.select(col("id2").as("sid")).distinct()
+    val winners = segs.join(dropped, Seq("sid"), "left_anti")
+    val rebuilt = winners
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg"))).as("clean_text"))
+    base
+      .select(col("__id"),
+        (expr(s"(size(__tk) - 1) div $k") + 1).cast("long")
+          .as("n_segments"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Cluster-representative selection: given near-dup CC labels
     * (`clusters`: idCol, cluster_id — [[duplicateClusters]] output) and a
     * per-doc score (`scored`: idCol, scoreCol), keep the BEST-scoring
