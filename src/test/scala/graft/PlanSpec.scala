@@ -110,6 +110,30 @@ class PlanSpec extends AnyFunSuite {
       s"assigned queries must broadcast into the index probe:\n$p")
   }
 
+  test("d35: cluster-representative argmax is a partial-combining agg, " +
+      "not a window over the corpus") {
+    val p = plan("d35_cluster_best")
+    assert(p.contains("partial_min"),
+      s"min(struct) must partial-aggregate before the exchange:\n$p")
+    // the argmax stage itself plans no Window node (d35 composes d09's
+    // CC, which is window-free; a row_number formulation would show up)
+    assert(!p.contains("WindowExec"),
+      s"cluster-best must not window the corpus:\n$p")
+  }
+
+  test("d36: DSIR bucket-count tables broadcast into the scoring join") {
+    val p = plan("d36_dsir_weights")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bounded count tables must broadcast, not shuffle the corpus:\n$p")
+  }
+
+  test("d38: fuzzy segment candidates are a keyed shingle join") {
+    val p = plan("d38_segment_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"segment near-dup must stay keyed:\n$p")
+  }
+
   test("no query in the library plans a cartesian or nested-loop join") {
     // The only queries whose SEMANTICS are a bounded cross product:
     //  - q55: the cross-join operator itself (5x25 by contract)
