@@ -1750,6 +1750,19 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // surgical decontamination: leaked 8-token spans cut out of every
+    // training doc (vs d20/d25's whole-doc drop) — held-out window
+    // hashes broadcast into a semi-join, token-level reassembly only
+    // for docs that actually lose a span
+    "d39_decontam_spans" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.removeContaminatedSpans(
+          all.filter(col("doc_id") % 20 =!= 7),
+          all.filter(col("doc_id") % 20 === 7),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // fuzzy segment dedup: d29's split/reassemble, but a segment dies
     // when ANY (doc, position)-earlier segment is an n-gram-Jaccard
     // near-duplicate — mutated boilerplate dies with the exact copies;
@@ -4131,6 +4144,48 @@ object SparkEntry {
          | FROM h)
          |SELECT doc_id, source, content_hash, rk FROM r
          |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    // d33's window/removal/reassembly plan against the HELD-OUT window
+    // set; no first-keeper — every occurrence of a leaked span dies
+    "d39_decontam_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ho AS (SELECT DISTINCT u AS sh FROM (
+        |  SELECT unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |      || ' ' || tk[i+3] || ' ' || tk[i+4] || ' '
+        |      || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS u
+        |  FROM toks WHERE doc_id % 20 = 7)),
+        |corp AS (SELECT doc_id, tk FROM toks WHERE doc_id % 20 <> 7),
+        |win AS (
+        |  SELECT doc_id, u.pos AS pos, u.sh AS sh
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+        |            i -> {'pos': i - 1,
+        |                  'sh': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                    || ' ' || tk[i+3] || ' ' || tk[i+4] || ' '
+        |                    || tk[i+5] || ' ' || tk[i+6] || ' '
+        |                    || tk[i+7]})) AS u
+        |        FROM corp)),
+        |r AS (SELECT w.doc_id, w.pos FROM win w JOIN ho USING (sh)),
+        |rp AS (SELECT DISTINCT doc_id, u AS p
+        |       FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS u
+        |             FROM r) y),
+        |tok AS (
+        |  SELECT doc_id, u.p AS p, u.tok AS tok
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(tk) + 1),
+        |            i -> {'p': i - 1, 'tok': tk[i]})) AS u
+        |        FROM corp) x),
+        |g AS (SELECT t.doc_id, t.p, t.tok, r2.p IS NOT NULL AS rm
+        |      FROM tok t LEFT JOIN rp r2
+        |        ON t.doc_id = r2.doc_id AND t.p = r2.p)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | coalesce(string_agg(CASE WHEN NOT rm THEN tok END,
+        |   ' ' ORDER BY p), '') AS clean_text
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // d29's segmentation + d04's pair machinery ON SEGMENTS + the
     // arrival-order drop rule (EXISTS an earlier near-dup) — no

@@ -571,6 +571,64 @@ object Dedup {
       .withColumnRenamed("doc", idCol)
   }
 
+  /** SURGICAL decontamination: remove every `k`-token span a training
+    * doc shares with the held-out set, keeping the rest of the doc —
+    * the transformation alternative to d20/d74's drop-the-whole-doc
+    * screen (dropping wastes the 99% of a long doc that ISN'T the
+    * leaked benchmark quote; Lee et al. 2022 apply the same span
+    * surgery corpus-internally, [[removeDuplicateSpans]]). Unlike the
+    * intra-corpus variant there is no first-occurrence keeper: leaked
+    * spans are removed from EVERY occurrence.
+    *
+    * 100 TB shape: the held-out window-hash set is one distinct
+    * projection of the (small) eval corpus — broadcast into the
+    * window-hash semi-join; the corpus explodes to token level ONLY
+    * for docs that actually lose a span (semi-join prune, the d33
+    * discipline); everything else passes through reassembly-free. */
+  def removeContaminatedSpans(
+      corpus: DataFrame,
+      heldOut: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val base = corpus.select(col(idCol).as("doc"),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    val hoHashes = heldOut
+      .select(explode(TextFunctions.shingleFoldsAll(
+        TextFunctions.tokens(col(textCol)), k)).as("h"))
+      .distinct()
+    val win = base
+      .select(col("doc"),
+        posexplode(TextFunctions.shingleFoldsAll(col("__tk"), k))
+          .as(Seq("pos", "h")))
+    val removed = win.join(hoHashes, Seq("h"), "left_semi")
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val affectedIds = removed.select("doc").distinct()
+    val affected = base.join(affectedIds, Seq("doc"), "left_semi")
+      .select(col("doc"), size(col("__tk")).cast("long").as("n_tokens"),
+        posexplode(col("__tk")).as(Seq("p", "tok")))
+      .join(removed.withColumn("__rm", lit(1)), Seq("doc", "p"), "left")
+      .groupBy("doc")
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("__rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rm").isNull, struct(col("p"), col("tok"))))),
+            x => x.getField("tok")),
+          " ").as("clean_text"))
+    val untouched = base.join(affectedIds, Seq("doc"), "left_anti")
+      .select(col("doc"), size(col("__tk")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"),
+        concat_ws(" ", col("__tk")).as("clean_text"))
+    affected.unionByName(untouched)
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** CCNet-style cross-corpus SEGMENT dedup (Wenzek et al. 2020 dedup
     * by paragraph hash, mapped to fixed `k`-token segments for
     * single-line corpora): split each doc into non-overlapping k-token
