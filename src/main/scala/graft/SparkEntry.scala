@@ -614,6 +614,39 @@ object SparkEntry {
       s.read.parquet(lake).orderBy("o_orderkey")
     }),
 
+    // hive-layout MERGE: partition-granular copy-on-write via dynamic
+    // partition overwrite — the update band is restricted to one
+    // status, so only that status's partition (plus the insert target)
+    // rewrites; the strict-subset assert is on PARTITIONS here
+    "q90_upsert_hive" -> ((s, d) => {
+      val root = scratch(s, "q90", d)
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderstatus")
+      LakeWriter(s, root, WriteMode.Overwrite)
+        .withPartitioning("o_orderstatus").write(src)
+      val Array(lo, hi0) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      val band = col("o_orderkey").between(lo, hi) &&
+        col("o_orderstatus") === "O"
+      val updates = src.filter(band)
+        .withColumn("o_totalprice", lit(-1.0))
+      val inserts = src.filter(band)
+        .select((col("o_orderkey") + lit(hi0) + lit(1L))
+            .as("o_orderkey"),
+          col("o_custkey"), lit(0.5).as("o_totalprice"),
+          lit("O").as("o_orderstatus"))
+      val st = RowOps.upsertPartitioned(s, root,
+        updates.unionByName(inserts), Seq("o_orderkey"),
+        Seq("o_orderstatus"))
+      assert(st.filesTouched > 0 && st.filesTouched < st.filesTotal,
+        s"upsert must rewrite a strict subset of partitions: $st")
+      s.read.option("basePath", root).parquet(root)
+        .orderBy("o_orderkey")
+    }),
+
     // write-time expectations: rows proving every rule land in the
     // lake, violators are QUARANTINED with the rule names they failed
     // — bad batches preserved for triage, not dropped or fatal. The
@@ -5075,6 +5108,31 @@ object SparkEntry {
         |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM orders)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         |WHERE o_orderkey < b.lo OR o_orderkey > b.hi
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the hive merge relationally: batch = the 'O'-status band updated
+    // + shifted inserts; keep = every key outside the batch
+    "q90_upsert_hive" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM src),
+        |upd AS (SELECT o_orderkey, o_custkey,
+        |    CAST(-1.0 AS DOUBLE) AS o_totalprice, o_orderstatus
+        |  FROM src, b
+        |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderstatus = 'O'),
+        |ins AS (SELECT o_orderkey + hi0 + 1 AS o_orderkey, o_custkey,
+        |    CAST(0.5 AS DOUBLE) AS o_totalprice, 'O' AS o_orderstatus
+        |  FROM src, b
+        |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderstatus = 'O'),
+        |keep AS (SELECT s.* FROM src s, b
+        |  WHERE NOT (s.o_orderkey BETWEEN b.lo AND b.hi
+        |             AND s.o_orderstatus = 'O'))
+        |SELECT * FROM keep
+        |UNION ALL SELECT * FROM upd
+        |UNION ALL SELECT * FROM ins
         |ORDER BY o_orderkey""".stripMargin,
 
     // the same split replayed relationally: violated = the non-null

@@ -36,11 +36,13 @@ import org.apache.spark.sql.functions._
   * invalidated up front: values change under both operators, and the
   * trust protocol makes a missing index a fallback, never a wrong one.
   *
-  * Contracts (documented like the reference's write modes): the target
-  * is an unpartitioned parquet dataset (hive layouts already have
-  * partition-granular dynamic overwrite — the d28 label-table pattern);
-  * the upsert batch carries the dataset's columns and key-unique rows;
-  * one mutator at a time (shared staging dir, same as Compact).
+  * Contracts (documented like the reference's write modes): upsert /
+  * deleteWhere operate on unpartitioned parquet datasets (file-granular
+  * rewrites); hive layouts take [[upsertPartitioned]] — PARTITION-
+  * granular copy-on-write via dynamic partition overwrite, the d28
+  * label-table protocol. The upsert batch carries the dataset's columns
+  * and key-unique rows; one mutator at a time (shared staging dir, same
+  * as Compact).
   */
 object RowOps {
 
@@ -171,6 +173,67 @@ object RowOps {
         survivors.unionByName(batchAligned))
     }
     Stats(all.size, touched.size)
+  }
+
+  /** Keyed MERGE on a HIVE-partitioned dataset — partition-granular
+    * copy-on-write: touched partitions are the distinct partition
+    * tuples of rows whose keys match the batch PLUS the batch rows'
+    * own tuples; their merged contents (survivors ∪ batch) rewrite via
+    * Spark's dynamic partition overwrite (the d28 label-table
+    * protocol — commit-safe, untouched partitions' files never
+    * opened). Every touched partition keeps >= 1 row under upsert
+    * semantics (updates preserve rows, inserts add them), so dynamic
+    * overwrite covers the full touched set. `partitionCols` name the
+    * hive layout (present as columns on the read side). */
+  def upsertPartitioned(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      partitionCols: Seq[String]
+  ): Stats = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(partitionCols.nonEmpty,
+      "upsertPartitioned needs the hive partition columns; use upsert " +
+        "for flat datasets")
+    require(keys.intersect(partitionCols).isEmpty,
+      "partition columns cannot be merge keys (a key's partition value " +
+        "change would strand the old row)")
+    requireUnpinned(spark, path)
+    val data = spark.read.option("basePath", path).parquet(path)
+    require(batch.columns.sorted.sameElements(data.columns.sorted),
+      s"upsert batch columns ${batch.columns.mkString(",")} must match " +
+        s"dataset columns ${data.columns.mkString(",")}")
+    val batchAligned = batch.select(data.columns.map(col): _*)
+    val batchKeys = batchAligned.select(keys.map(col): _*).distinct()
+    val keyCond =
+      keys.map(k => data(k) <=> batchKeys(k)).reduce(_ && _)
+    // touched partitions: where matched keys live + where batch rows go
+    val touched = data
+      .join(broadcast(batchKeys), keyCond, "left_semi")
+      .select(partitionCols.map(col): _*)
+      .unionByName(batchAligned.select(partitionCols.map(col): _*))
+      .distinct()
+    val nTouched = touched.count().toInt
+    val partsTotal = data.select(partitionCols.map(col): _*)
+      .distinct().count().toInt
+    dropIndexes(spark, path)
+    val touchedRows = data
+      .join(broadcast(touched), partitionCols, "left_semi")
+    val cond =
+      keys.map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
+    val merged = touchedRows
+      .join(broadcast(batchKeys), cond, "left_anti")
+      .unionByName(batchAligned)
+    SchemaTools.withSessionConf(spark,
+      "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    }
+    Stats(partsTotal, nTouched)
   }
 
   /** Predicate DELETE: removes rows where `predicate` evaluates TRUE

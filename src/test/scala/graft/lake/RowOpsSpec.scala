@@ -146,6 +146,45 @@ class RowOpsSpec extends AnyFunSuite {
     assert(out.count() == 99)
   }
 
+  test("upsertPartitioned rewrites only touched partitions; untouched " +
+      "partitions stay byte-identical; updates and inserts both land") {
+    val dir = TestSpark.tempDir("rowops_hive") + "/ds"
+    spark.range(100)
+      .select(col("id"), (col("id") * 10).as("v"),
+        (col("id") % 4).as("p"))
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    def partFiles(): Map[String, Map[String, String]] =
+      fs.listStatus(new Path(dir)).filter(_.isDirectory)
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(s => s.getPath.getName -> md5(s.getPath)).toMap
+        }.toMap
+    val before = partFiles()
+    assert(before.size == 4)
+    // keys 8 and 12 live in partition p=0; 500 inserts into p=1
+    val batch = Seq((8L, -1L, 0L), (12L, -2L, 0L), (500L, -3L, 1L))
+      .toDF("id", "v", "p")
+    val st = RowOps.upsertPartitioned(spark, dir, batch, Seq("id"),
+      Seq("p"))
+    assert(st.filesTouched == 2, s"p=0 and p=1 touched: $st")
+    val after = partFiles()
+    Seq("p=2", "p=3").foreach { p =>
+      assert(after(p) == before(p), s"$p was rewritten")
+    }
+    assert(after("p=0") != before("p=0") && after("p=1") != before("p=1"))
+    val out = spark.read.parquet(dir)
+      .filter(col("id").isin(8L, 12L, 16L, 500L))
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(out == Map(8L -> -1L, 12L -> -2L, 16L -> 160L, 500L -> -3L))
+    assert(spark.read.parquet(dir).count() == 101)
+    // keys that double as partition columns are refused (a partition
+    // move would strand the old row)
+    intercept[IllegalArgumentException] {
+      RowOps.upsertPartitioned(spark, dir, batch, Seq("p"), Seq("p"))
+    }
+  }
+
   test("partitioned or snapshot-pinned targets are refused") {
     val dir = TestSpark.tempDir("rowops_guard") + "/ds"
     spark.range(10).select(col("id"), (col("id") % 2).as("p"))
