@@ -743,10 +743,11 @@ object Similarity {
         struct(d.as("d"), lit(cell).as("cell"),
           typedLit(cs).as("cv"))
       }: _*)
-      element_at(array_sort(scored, (l, r) =>
-        when(l("d") < r("d"), -1).when(l("d") > r("d"), 1)
-          .when(l("cell") < r("cell"), -1)
-          .when(l("cell") > r("cell"), 1).otherwise(0)), 1)
+      // argmin = array_min on (d, cell, ...) structs: natural struct
+      // ordering IS the (distance asc, cell asc) tie-break, and the
+      // codegen'd min beats an interpreted array_sort comparator
+      // (measured: 6.6 s -> see SCALING.md for the refreshed cell)
+      array_min(scored)
     }
     val encoded = v
       .withColumn("__best", array(bestPerSub: _*))
