@@ -2180,6 +2180,16 @@ object SparkEntry {
     // whether an index's nBits/nTables fit a corpus. Both sides are
     // deterministic, so even the recall measurement is hash-verified;
     // the join is (query, neighbor)-keyed, never all-pairs
+    // IVF×PQ: the production serving composition — coarse cells prune
+    // the scan (keyed equi-join on cell, the e11 partition layout),
+    // ADC scores only the probed cells' reconstructions
+    "e18_ivf_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // sign-binarized Hamming ANN: one 64-bit signature per vector
     // (bitwise-OR fold — exact integers end to end), bit_count(xor)
     // distance, ties on id; the 8-bytes-a-vector serving index
@@ -4710,6 +4720,76 @@ object SparkEntry {
     // maintained-index == built-once contract: two delta appends, same
     // full-corpus answers
     "e13_srp_maintain" -> e03Oracle,
+
+    // e04's coarse assignment CTEs + e16's recon CTEs, joined on the
+    // cell — a pair meets once (each corpus vector lives in one cell)
+    "e18_ivf_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+        |       (acc, x) -> acc + x)) AS nrm FROM v),
+        |cpiv AS (SELECT vec_id AS cell, emb AS pemb, nrm AS pnrm FROM n
+        |  WHERE vec_id IN (SELECT vec_id FROM n
+        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+        |             % 2147483647 * 48271) % 2147483647 ASC,
+        |            vec_id ASC LIMIT 16)),
+        |ca AS (SELECT vec_id, cell FROM (
+        |  SELECT n.vec_id, p.cell,
+        |   row_number() OVER (PARTITION BY n.vec_id
+        |     ORDER BY list_reduce(list_transform(range(1, 65),
+        |         i -> n.emb[i] * p.pemb[i]), (acc, x) -> acc + x)
+        |       / (n.nrm * p.pnrm) DESC,
+        |              p.cell ASC) AS pr
+        |  FROM n, cpiv p) t WHERE pr = 1),
+        |qa AS (SELECT vec_id, cell FROM (
+        |  SELECT n.vec_id, p.cell,
+        |   row_number() OVER (PARTITION BY n.vec_id
+        |     ORDER BY list_reduce(list_transform(range(1, 65),
+        |         i -> n.emb[i] * p.pemb[i]), (acc, x) -> acc + x)
+        |       / (n.nrm * p.pnrm) DESC,
+        |              p.cell ASC) AS pr
+        |  FROM n, cpiv p WHERE n.vec_id < 10) t WHERE pr <= 4),
+        |ppiv AS (SELECT vec_id AS cell, emb AS pemb FROM v
+        |  WHERE vec_id IN (SELECT vec_id FROM v
+        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+        |             % 2147483647 * 48271) % 2147483647 ASC,
+        |            vec_id ASC LIMIT 32)),
+        |cs AS (SELECT vec_id, j,
+        |    list_slice(emb, j * 2 + 1, j * 2 + 2) AS sv
+        |  FROM v, range(32) r(j)),
+        |ps AS (SELECT cell, j,
+        |    list_slice(pemb, j * 2 + 1, j * 2 + 2) AS pv
+        |  FROM ppiv, range(32) r(j)),
+        |dj AS (SELECT cs.vec_id, cs.j, ps.cell, ps.pv,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(range(1, 3),
+        |       i -> (cs.sv[i] - ps.pv[i]) * (cs.sv[i] - ps.pv[i]))),
+        |     (a, x) -> a + x) AS d
+        |  FROM cs JOIN ps ON cs.j = ps.j),
+        |best AS (SELECT vec_id, j, pv FROM (
+        |   SELECT vec_id, j, pv, row_number() OVER (
+        |     PARTITION BY vec_id, j ORDER BY d ASC, cell ASC) AS rn
+        |   FROM dj) t WHERE rn = 1),
+        |recon AS (SELECT vec_id, flatten(list(pv ORDER BY j)) AS rv
+        |  FROM best GROUP BY vec_id),
+        |pp AS (SELECT qa.vec_id AS id1, ca.vec_id AS id2,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(range(1, 65),
+        |       i -> (q.emb[i] - c.rv[i]) * (q.emb[i] - c.rv[i]))),
+        |     (a, x) -> a + x) AS adist
+        |  FROM qa JOIN ca ON qa.cell = ca.cell
+        |    AND qa.vec_id <> ca.vec_id
+        |   JOIN v q ON q.vec_id = qa.vec_id
+        |   JOIN recon c ON c.vec_id = ca.vec_id)
+        |SELECT id1, id2, adist, rank FROM (
+        |  SELECT id1, id2, adist,
+        |   CAST(row_number() OVER (PARTITION BY id1
+        |     ORDER BY adist ASC, id2 ASC) AS BIGINT) AS rank
+        |  FROM pp) t
+        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
 
     // the sign pack replayed relationally: same OR fold (bit 64 needs
     // the MinValue literal spelled without a bare unary-minus overflow)

@@ -720,18 +720,38 @@ object Similarity {
       nCents: Int = 32
   ): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val subDim = dim / m
     val v = prep(corpus, idCol, vecCol)
-    val pivots = pivotSet(v, nCents)
+    val encoded = pqEncode(v, pivotSet(v, nCents), dim, m)
+    val q = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("adist").asc, col("id2").asc)
     import graft.functions.VectorFunctions.l2Sq
-    // per subspace: argmin_{centroid} L2²(subvec, centroid), tie-break
-    // on the lower cell id — one array_sort over nCents literal structs
-    // (the assignCells comparator), centroid VALUES ride in the struct
-    // so the reconstruction needs no second lookup. The per-centroid
-    // distance is FLAT element_at arithmetic against scalar literals
-    // (left-to-right sum — the oracle's fold order exactly): the
-    // zip_with/aggregate formulation here embedded m·nCents interpreted
-    // lambdas and serialized to ~28 MB task binaries
+    broadcast(q)
+      .join(encoded, col("id1") =!= col("id2"))
+      .withColumn("adist", l2Sq(col("emb1"), col("recon2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "adist", "rank")
+  }
+
+  /** PQ encoding against literal codebooks: (id2, codes2, recon2). Per
+    * subspace: argmin_{centroid} L2²(subvec, centroid), tie-break on
+    * the lower cell id — `array_min` on (d, cell, cv) structs, whose
+    * natural ordering IS that tie-break (codegen'd, vs an interpreted
+    * array_sort comparator). The per-centroid distance is FLAT
+    * element_at arithmetic against scalar literals (left-to-right sum —
+    * the oracle's fold order exactly): a zip_with/aggregate formulation
+    * embedded m·nCents interpreted lambdas and serialized to ~28 MB
+    * task binaries. Centroid VALUES ride in the struct so the
+    * reconstruction needs no second lookup. */
+  private def pqEncode(
+      v: DataFrame,
+      pivots: Array[(Long, Seq[Double], Double)],
+      dim: Int,
+      m: Int
+  ): DataFrame = {
+    val subDim = dim / m
     val bestPerSub = (0 until m).map { j =>
       val subEls = (0 until subDim)
         .map(t => element_at(col("emb"), j * subDim + t + 1))
@@ -743,23 +763,56 @@ object Similarity {
         struct(d.as("d"), lit(cell).as("cell"),
           typedLit(cs).as("cv"))
       }: _*)
-      // argmin = array_min on (d, cell, ...) structs: natural struct
-      // ordering IS the (distance asc, cell asc) tie-break, and the
-      // codegen'd min beats an interpreted array_sort comparator
-      // (measured: 6.6 s -> see SCALING.md for the refreshed cell)
       array_min(scored)
     }
-    val encoded = v
-      .withColumn("__best", array(bestPerSub: _*))
-      .select(col("vec_id").as("id2"),
+    v.withColumn("__best", array(bestPerSub: _*))
+      .select(col("vec_id").as("id2"), col("emb").as("__emb2"),
         transform(col("__best"), b => b("cell")).as("codes2"),
         flatten(transform(col("__best"), b => b("cv"))).as("recon2"))
-    val q = prep(queries, idCol, vecCol)
-      .select(col("vec_id").as("id1"), col("emb").as("emb1"))
+  }
+
+  /** IVF-narrowed PQ serving — the production ANN composition: a
+    * coarse quantizer ([[pivotSet]] with `nCells` pivots, [[assignCells]])
+    * partitions the corpus into cells, queries probe their `nProbe`
+    * nearest cells, and ONLY the probed cells' PQ-encoded vectors are
+    * scored by ADC (full-precision query against the reconstruction).
+    * Candidate generation is a keyed equi-join on the cell id — the
+    * scan shrinks by ~nProbe/nCells vs [[pqTopK]]'s linear pass, and
+    * the join key is exactly what a cell-partitioned persisted index
+    * serves with partition pruning (the e11/e14 layout). Coarse and
+    * product codebooks are independent pivot sets (16 cells / 32
+    * centroids here), both deterministic and oracle-reproducible. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      m: Int = 32,
+      k: Int = 5,
+      nCents: Int = 32,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val v = prep(corpus, idCol, vecCol)
+    val coarse = pivotSet(v, nCells)
+    val encoded = assignCells(pqEncode(v, pivotSet(v, nCents), dim, m)
+        .withColumnRenamed("__emb2", "emb")
+        .withColumn("nrm", norm(col("emb"))), coarse, keep = 1)
+      .select(col("cell"), col("id2"), col("recon2"))
+    val q = assignCells(prep(queries, idCol, vecCol), coarse,
+        keep = nProbe)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("cell"))
     val w = Window.partitionBy("id1")
       .orderBy(col("adist").asc, col("id2").asc)
+    import graft.functions.VectorFunctions.l2Sq
     broadcast(q)
-      .join(encoded, col("id1") =!= col("id2"))
+      .join(encoded, Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "emb1", "id2", "recon2")
+      .dropDuplicates("id1", "id2")
       .withColumn("adist", l2Sq(col("emb1"), col("recon2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -359,6 +359,32 @@ class SimilaritySpec extends AnyFunSuite {
       "fixture should set bit 63 for at least one vector")
   }
 
+  test("ivfPqTopK: cell-keyed candidates (no nested loop), ADC " +
+      "distances identical to the linear-scan PQ for shared pairs") {
+    val q = emb.filter($"vec_id" < 10)
+    val narrowed = Similarity.ivfPqTopK(emb, q, k = 5)
+    val p = narrowed.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"IVF front end must key the candidate join:\n$p")
+    val out = narrowed.select("id1", "id2", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._1).distinct.length == 10)
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // the encoding is shared machinery: every narrowed pair's distance
+    // must equal the full linear-scan PQ's for the same pair
+    val full = Similarity.pqTopK(emb, q, k = 600)
+      .select("id1", "id2", "adist")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    out.foreach { case (a, b, d, _) =>
+      assert(full((a, b)) == d,
+        s"pair ($a,$b): narrowed adist $d != full ${full((a, b))}")
+    }
+  }
+
   test("embeddingDedup: representative = min id, keep iff own cluster") {
     val out = Dedup.embeddingDedup(emb, dim = 64, threshold = 0.3,
       nBits = 4, nTables = 4)
