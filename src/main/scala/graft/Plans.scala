@@ -101,13 +101,25 @@ object Plans {
         "centroids); scoring broadcasts the small query side over the " +
         "encoded corpus scan — e02's shape against 8x-compressed " +
         "reconstructions"),
-      "m06_tiff_meta" -> ("TIFF IFD walk: endian-aware conv/substr " +
-        "builtins over one hex projection per row — whole-stage " +
-        "codegen, zero shuffle, the m01-m05 scale shape"),
+      "m06_tiff_meta" -> ("TIFF IFD walk: ONE native codegen'd pass " +
+        "per row (TiffPackExpr, both byte orders) + shift/mask unpack " +
+        "fused in the same stage — per-row, zero shuffle, the m01-m05 " +
+        "scale shape"),
       "q87_incremental_read" -> ("incremental consumption: the scan's " +
         "file index holds ONLY the post-snapshot files (file-set diff " +
         "against the snapshot manifest) — the increment never rescans " +
-        "the dataset")
+        "the dataset"),
+      "e18_ivf_pq" -> ("IVF×PQ serving: the candidate join is a " +
+        "BroadcastHashJoin keyed on the coarse cell — the PQ scan " +
+        "narrows to probed cells instead of e16's linear pass; ADC " +
+        "distances spec-asserted identical to the linear scan's"),
+      "d39_decontam_spans" -> ("surgical decontamination: held-out " +
+        "window hashes broadcast into a semi-join; token-level " +
+        "reassembly shuffles ONLY docs that lose a span (the d33 " +
+        "semi-join prune)"),
+      "d38_segment_neardup" -> ("fuzzy segment dedup: d04's keyed " +
+        "shingle candidates ON SEGMENTS + one distinct drop-set " +
+        "projection — the arrival-order rule needs no CC iteration")
     )
 
     val sb = new StringBuilder

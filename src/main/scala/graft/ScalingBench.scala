@@ -122,7 +122,8 @@ object ScalingBench {
       "e02_knn_topk", "e03_ann_srp", "e04_ann_ivf", "e05_embed_dedup",
       "e08_centroid_outliers", "q35_stream_hourly",
       "d35_cluster_best", "d36_dsir_weights", "d37_gopher_rules",
-      "e16_pq_adc", "m06_tiff_meta", "d38_segment_neardup")
+      "e16_pq_adc", "m06_tiff_meta", "d38_segment_neardup",
+      "e18_ivf_pq", "d39_decontam_spans")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume
