@@ -647,6 +647,97 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // SCD Type-2 merge: history-preserving dimension maintenance. One
+    // batch carries all three merge classes — a contiguous CHANGED
+    // band (close + re-version), redelivered-identical rows (no-op:
+    // they rewrite nothing), and brand-new keys (insert) — then a
+    // second merge re-versions the same band again, so the final
+    // dimension holds three-deep history with correct validity chains.
+    // The copy-on-write claim is the strict-subset file-touch assert
+    // (the band lives in few of the key-ordered files); closed history
+    // is write-cold by construction
+    "q91_scd2_merge" -> ((s, d) => {
+      val root = scratch(s, "q91", d)
+      val src = cust(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      val Array(lo, hi) = src
+        .agg(min("c_custkey"), max("c_custkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val q1 = lo + (hi - lo) / 8
+      val dim0 = src
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      val per = math.max(src.count() / 8L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(dim0.orderBy("c_custkey"))
+      FileStats.build(s, root)
+      val band = col("c_custkey").between(lo, q1)
+      val b1 = src.filter(band)
+        .withColumn("bal", col("bal") + lit(100.0))       // changed
+        .unionByName(src.filter(
+          col("c_custkey") > q1 && col("c_custkey") <= q1 + (hi - lo) / 8))
+                                                          // no-op redelivery
+        .unionByName(src.filter(band)                     // new keys
+          .withColumn("c_custkey", col("c_custkey") + lit(hi) + lit(1L)))
+      val st1 = RowOps.scd2Merge(s, root, b1, Seq("c_custkey"), 1L)
+      assert(st1.filesTouched > 0 && st1.filesTouched < st1.filesTotal,
+        s"scd2 merge must rewrite a strict subset of files: $st1")
+      val b2 = src.filter(band)
+        .withColumn("bal", col("bal") + lit(100.0))
+        .withColumn("seg", lit("SCD2"))
+      RowOps.scd2Merge(s, root, b2, Seq("c_custkey"), 2L)
+      s.read.parquet(root)
+        .select("c_custkey", "seg", "bal", "valid_from", "valid_to",
+          "is_current")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // change-data-feed: the row-level mutations (q85/q86) with their
+    // changes RECORDED — update pre/post images, inserts, deletes land
+    // in a version-partitioned `_changes` feed the moment the mutation
+    // commits, and downstream consumers read the increment with one
+    // partition-pruned scan (the Delta-CDF contract). The feed is
+    // computed from the merge's own touched-file frames — no extra
+    // corpus pass
+    "q92_change_feed" -> ((s, d) => {
+      val root = scratch(s, "q92", d)
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(src.count() / 8L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("o_orderkey"))
+      val Array(lo, hi0) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      val updates = src.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", lit(-1.0))
+      val inserts = src.filter(col("o_orderkey").between(lo, hi))
+        .select((col("o_orderkey") + lit(hi0) + lit(1L))
+            .as("o_orderkey"),
+          col("o_custkey"), lit(0.5).as("o_totalprice"))
+      RowOps.upsert(s, root, updates.unionByName(inserts),
+        Seq("o_orderkey"), cdfVersion = Some(1L))
+      // v2 deletes exactly v1's update victims (price went negative)
+      RowOps.deleteWhere(s, root, "o_totalprice < 0.0",
+        cdfVersion = Some(2L))
+      RowOps.readChanges(s, root, 1L)
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
+    }),
+
+    // distributed k-means (Lloyd) — the trainer behind the IVF/PQ
+    // pivot sets: 3 assignment passes over the corpus with 2
+    // interleaved centroid updates, centroids broadcast as literals
+    // (assignment is a pure per-row projection — the corpus never
+    // shuffles; the update is one k·dim-row map-side-combining agg).
+    // Integer-quantized arithmetic end to end, so the oracle replays
+    // every iteration bit-identically
+    "e19_kmeans" -> ((s, d) => {
+      Similarity.kmeansAssign(emb(s, d), k = 8, iters = 3)
+        .orderBy("vec_id")
+    }),
+
     // write-time expectations: rows proving every rule land in the
     // lake, violators are QUARANTINED with the rule names they failed
     // — bad batches preserved for triage, not dropped or fatal. The
@@ -2914,6 +3005,57 @@ object SparkEntry {
         |UNION ALL SELECT * FROM upd
         |UNION ALL SELECT * FROM ins
         |ORDER BY o_orderkey""".stripMargin
+
+  /** e19: the three Lloyd iterations unrolled — each is (D) integer
+    * squared-L2 per (vector, centroid), (A) min-distance-then-min-cid
+    * assignment via the min-of-min idiom, (S) floor(sum/count) centroid
+    * update, (C) empty clusters coalescing to their previous centroid.
+    * All arithmetic is exact (BIGINT or dyadic doubles), so the
+    * unrolled replay is bit-identical to Spark's loop. */
+  private def e19Oracle: String = {
+    def iter(t: Int, update: Boolean): String = {
+      val prev = s"C${t - 1}"
+      val d =
+        s"""D$t AS (SELECT L.vec_id, C.cid,
+           |  sum((L.q - C.v) * (L.q - C.v)) AS d
+           | FROM L JOIN $prev C ON L.i = C.i GROUP BY 1, 2),
+           |A$t AS (SELECT d.vec_id, min(d.cid) AS cid
+           | FROM D$t d JOIN (SELECT vec_id, min(d) AS md FROM D$t
+           |   GROUP BY 1) m
+           |  ON d.vec_id = m.vec_id AND d.d = m.md
+           | GROUP BY 1)""".stripMargin
+      if (!update) d
+      else d + "," +
+        s"""
+           |S$t AS (SELECT a.cid, L.i,
+           |  CAST(floor(CAST(sum(L.q) AS DOUBLE) / count(*)) AS BIGINT)
+           |    AS v
+           | FROM A$t a JOIN L ON L.vec_id = a.vec_id GROUP BY 1, 2),
+           |C$t AS (SELECT c.cid, c.i, coalesce(s.v, c.v) AS v
+           | FROM $prev c LEFT JOIN S$t s
+           |  ON s.cid = c.cid AND s.i = c.i)""".stripMargin
+    }
+    s"""WITH L AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |         CAST(floor(CAST(u AS DOUBLE) * 64.0) AS BIGINT) AS q
+       |  FROM (SELECT vec_id,
+       |          unnest(range(len(embedding))) AS i,
+       |          unnest(embedding) AS u
+       |        FROM embeddings)),
+       |C0 AS (
+       |  SELECT r.cid, L.i, L.q AS v
+       |  FROM (SELECT vec_id,
+       |          CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |            AS INTEGER) AS cid
+       |        FROM (SELECT vec_id FROM embeddings
+       |              ORDER BY vec_id LIMIT 8)) r
+       |  JOIN L ON L.vec_id = r.vec_id),
+       |${iter(1, update = true)},
+       |${iter(2, update = true)},
+       |${iter(3, update = false)}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM A3
+       |ORDER BY vec_id""".stripMargin
+  }
 
   private def d09Oracle: String =
     """WITH RECURSIVE toks AS (
@@ -5214,6 +5356,60 @@ object SparkEntry {
         |UNION ALL SELECT * FROM upd
         |UNION ALL SELECT * FROM ins
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the SCD2 history replayed relationally: the changed band owns a
+    // three-deep chain (v0 closed@1, v1 closed@2, v2 open), everything
+    // else keeps its v0 open row, the no-op redelivery leaves no trace,
+    // and the shifted inserts open at version 1
+    "q91_scd2_merge" ->
+      """WITH src AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    c_acctbal AS bal FROM customer),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi,
+        |  min(k) + (max(k) - min(k)) // 8 AS q1 FROM src),
+        |band AS (SELECT s.* FROM src s, b WHERE k BETWEEN lo AND q1)
+        |SELECT k AS c_custkey, seg, bal,
+        |  CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+        |FROM src, b WHERE k NOT BETWEEN lo AND q1
+        |UNION ALL
+        |SELECT k, seg, bal, 0, 1, false FROM band
+        |UNION ALL
+        |SELECT k, seg, bal + 100.0, 1, 2, false FROM band
+        |UNION ALL
+        |SELECT k, 'SCD2', bal + 100.0, 2, NULL, true FROM band
+        |UNION ALL
+        |SELECT k + hi + 1, seg, bal, 1, NULL, true FROM band, b
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // the change feed replayed relationally: v1 = the band's pre/post
+    // images + the shifted inserts, v2 = the delete of v1's update
+    // victims (price < 0); the 0.5-priced inserts survive
+    "q92_change_feed" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM orders),
+        |band AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders, b WHERE o_orderkey BETWEEN lo AND hi)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  'update_preimage' AS _change_type,
+        |  CAST(1 AS BIGINT) AS _commit_version FROM band
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, CAST(-1.0 AS DOUBLE),
+        |  'update_postimage', 1 FROM band
+        |UNION ALL
+        |SELECT o_orderkey + hi0 + 1, o_custkey, CAST(0.5 AS DOUBLE),
+        |  'insert', 1 FROM band, b
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, CAST(-1.0 AS DOUBLE),
+        |  'delete', 2 FROM band
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+
+    // every Lloyd iteration replayed exactly: same floor-quantization,
+    // same lowest-id seeding, same min-distance-then-min-cid
+    // assignment, same floor(sum/count) centroid update — all integer
+    // or dyadic-exact arithmetic, so three unrolled iterations
+    // hash-match bit for bit
+    "e19_kmeans" -> e19Oracle,
 
     // the same split replayed relationally: violated = the non-null
     // rule flags in rule order, comma-joined; NULL predicates would

@@ -101,6 +101,82 @@ object RowOps {
     Compact.recoverTmp(fs, tmp)
   }
 
+  /** `_stats` range prune on a single numeric key: candidate files
+    * whose span intersects the frame's [min, max] on that key. Falls
+    * back to `all` whenever the manifest can't serve (non-numeric key,
+    * composite keys, untrusted/missing manifest, empty frame). */
+  private def pruneByKeyRange(
+      spark: SparkSession,
+      path: String,
+      frame: DataFrame,
+      keys: Seq[String],
+      all: Seq[String]
+  ): Seq[String] =
+    if (keys.size != 1) all
+    else {
+      val k = keys.head
+      val numeric = frame.schema(k).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }
+      if (!numeric) all
+      else {
+        val r = frame
+          .agg(min(col(k)).cast("double"), max(col(k)).cast("double"))
+          .head()
+        if (r.isNullAt(0)) all
+        else FileStats.candidatesForBounds(spark, path,
+          Map(k -> ((r.getDouble(0), r.getDouble(1))))).getOrElse(all)
+      }
+    }
+
+  /** Append `rows` (data columns + `_change_type`) to the dataset's
+    * change feed under `_changes/commit_version=<version>`. The version
+    * lands BOTH in the directory name (so [[readChanges]] prunes whole
+    * directories before any file is opened) and as a `_commit_version`
+    * data column (so no hive-inference column can collide with user
+    * data). Written BEFORE the data swap from the pre-mutation state
+    * (still on disk), so a crash between feed and swap leaves an
+    * at-least-once feed, never a missing entry. The `_`-prefixed root
+    * is invisible to every data scan. */
+  private def writeChanges(
+      spark: SparkSession,
+      path: String,
+      version: Long,
+      rows: DataFrame
+  ): Unit =
+    rows.withColumn("_commit_version", lit(version))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/_changes/commit_version=$version")
+
+  /** The change-data-feed: every row-level change recorded by a
+    * [[upsert]]/[[deleteWhere]] call that passed `cdfVersion`, from
+    * `fromVersion` (inclusive) on. Columns = the dataset's +
+    * `_change_type` ('insert' | 'update_preimage' | 'update_postimage'
+    * | 'delete') + `_commit_version`. The scan is partition-pruned to
+    * the requested versions — consumers pay for the increment, not the
+    * history. */
+  def readChanges(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long
+  ): DataFrame = {
+    val feed = new Path(s"$path/_changes")
+    val fs = fsOf(spark, feed)
+    val dirs = fs.listStatus(feed)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("commit_version="))
+      .map(s => s.getPath.getName.stripPrefix("commit_version=").toLong ->
+        s.getPath.toString)
+      .filter(_._1 >= fromVersion)
+      .sortBy(_._1).map(_._2)
+    require(dirs.nonEmpty,
+      s"no change-feed entries at version >= $fromVersion under $feed")
+    // leaf dirs hold only data files, so no partition inference runs —
+    // the version rides exclusively in the _commit_version column
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Keyed MERGE: rows of `batch` REPLACE target rows sharing their
     * `keys` tuple (update) and append otherwise (insert) — upsert with
     * last-writer-wins semantics, the absorb-a-CDC-batch primitive.
@@ -109,12 +185,19 @@ object RowOps {
     * broadcasts into the touch scan, candidate files come from the
     * `_stats` range prune when available, and the rewrite reads only
     * touched files. A batch whose keys are all new rewrites NOTHING and
-    * degenerates to a plain append. */
+    * degenerates to a plain append.
+    *
+    * `cdfVersion = Some(v)` additionally records the row-level changes
+    * (pre/post images of updates, inserts) in the dataset's change feed
+    * ([[readChanges]]) — the Delta-CDF shape, computed from frames the
+    * merge already has in hand, so the only extra cost is one more pass
+    * over the TOUCHED files. */
   def upsert(
       spark: SparkSession,
       path: String,
       batch: DataFrame,
-      keys: Seq[String]
+      keys: Seq[String],
+      cdfVersion: Option[Long] = None
   ): Stats = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     requireFlat(spark, path)
@@ -127,25 +210,8 @@ object RowOps {
     val batchAligned = batch.select(data.columns.map(col): _*)
     val batchKeys = batchAligned.select(keys.map(col): _*).distinct()
 
-    // _stats range prune on a single numeric key: candidate files whose
-    // span intersects the batch's [min, max]
     val candidates: Seq[String] =
-      if (keys.size == 1) {
-        val k = keys.head
-        val numeric = data.schema(k).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => true
-          case _ => false
-        }
-        if (!numeric) all
-        else {
-          val r = batchAligned
-            .agg(min(col(k)).cast("double"), max(col(k)).cast("double"))
-            .head()
-          if (r.isNullAt(0)) all
-          else FileStats.candidatesForBounds(spark, path,
-            Map(k -> ((r.getDouble(0), r.getDouble(1))))).getOrElse(all)
-        }
-      } else all
+      pruneByKeyRange(spark, path, batchAligned, keys, all)
 
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
@@ -158,6 +224,33 @@ object RowOps {
           .collect().map(_.getString(0)).toSeq
       }
 
+    cdfVersion.foreach { v =>
+      // matched keys live only in touched files by construction, so the
+      // pre/post split is computed entirely from the touched scan
+      val touchedRows =
+        if (touched.isEmpty) data.limit(0)
+        else spark.read.parquet(touched: _*)
+      // matchedKeys shares lineage with both join sides below, so the
+      // key columns are re-aliased to fresh attributes first — without
+      // this the condition degenerates to a trivially-true self-compare
+      val matchedKeys = batchKeys.join(
+        touchedRows.select(keys.map(col): _*),
+        keys.map(k => batchKeys(k) <=> touchedRows(k)).reduce(_ && _),
+        "left_semi")
+        .select(keys.map(k => col(k).as(s"__mk_$k")): _*)
+      def keyCond(l: DataFrame) =
+        keys.map(k => l(k) <=> matchedKeys(s"__mk_$k")).reduce(_ && _)
+      val pre = touchedRows
+        .join(broadcast(matchedKeys), keyCond(touchedRows), "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = batchAligned
+        .join(broadcast(matchedKeys), keyCond(batchAligned), "left_semi")
+        .withColumn("_change_type", lit("update_postimage"))
+      val ins = batchAligned
+        .join(broadcast(matchedKeys), keyCond(batchAligned), "left_anti")
+        .withColumn("_change_type", lit("insert"))
+      writeChanges(spark, path, v, pre.unionByName(post).unionByName(ins))
+    }
     dropIndexes(spark, path)
     if (touched.isEmpty) {
       // pure insert: nothing to rewrite, land the batch as an append
@@ -244,7 +337,8 @@ object RowOps {
   def deleteWhere(
       spark: SparkSession,
       path: String,
-      predicate: String
+      predicate: String,
+      cdfVersion: Option[Long] = None
   ): Stats = {
     requireFlat(spark, path)
     requireUnpinned(spark, path)
@@ -259,10 +353,127 @@ object RowOps {
         .filter(hit)
         .select(input_file_name().as("__file")).distinct()
         .collect().map(_.getString(0)).toSeq
+    cdfVersion.foreach { v =>
+      val deleted =
+        if (touched.isEmpty)
+          spark.read.parquet(path).limit(0)
+        else spark.read.parquet(touched: _*).filter(hit)
+      writeChanges(spark, path, v,
+        deleted.withColumn("_change_type", lit("delete")))
+    }
     if (touched.nonEmpty) {
       dropIndexes(spark, path)
       val survivors = spark.read.parquet(touched: _*).filter(not(hit))
       swapRewrite(spark, path, touched, survivors)
+    }
+    Stats(all.size, touched.size)
+  }
+
+  /** SCD Type-2 merge: history-preserving dimension maintenance. The
+    * dataset carries `keys ++ attrs ++ (valid_from LONG, valid_to LONG
+    * nullable, is_current BOOLEAN)`; `batch` carries `keys ++ attrs` —
+    * the dimension's new truth for those keys as of `version`.
+    *
+    * Per batch key (against the single OPEN row per key, an invariant
+    * this merge itself maintains):
+    *  - no open row            → INSERT  (valid_from=version, open)
+    *  - open row, attrs equal  → NO-OP   (re-delivered truth is free)
+    *  - open row, attrs differ → CLOSE it (valid_to=version,
+    *    is_current=false) + INSERT the new version — history kept
+    *
+    * 100 TB shape: identical to [[upsert]] — only files holding an open
+    * row of a CHANGED key are rewritten (no-op and insert-only batches
+    * rewrite nothing), candidates come from the `_stats` range prune,
+    * the batch broadcasts everywhere, and closed history rows are never
+    * touched again, so a dimension's long tail of history is write-cold
+    * by construction. Attribute comparison is null-safe (`<=>`): a NULL
+    * attr equals NULL, so re-delivering a NULL-valued truth is a no-op,
+    * not an infinite re-versioning. */
+  def scd2Merge(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      version: Long
+  ): Stats = {
+    require(keys.nonEmpty, "scd2Merge needs at least one key column")
+    requireFlat(spark, path)
+    requireUnpinned(spark, path)
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    val all = SchemaTools.listDataFiles(spark, path)
+    val data = spark.read.parquet(path)
+    require(meta.forall(data.columns.contains),
+      s"SCD2 dataset must carry ${meta.mkString(", ")}")
+    val attrs = data.columns.toSeq.filterNot(c =>
+      keys.contains(c) || meta.contains(c))
+    require(batch.columns.sorted.sameElements((keys ++ attrs).sorted),
+      s"scd2 batch columns ${batch.columns.mkString(",")} must be the " +
+        s"dataset's keys+attrs ${(keys ++ attrs).mkString(",")}")
+    val b = batch.select((keys ++ attrs).map(col): _*)
+
+    // split the batch against the open rows: changed / new. The __hit
+    // marker makes the left-join miss test exact even for all-NULL rows
+    val open = data.filter(col("is_current"))
+      .select((keys ++ attrs).map(col): _*)
+      .withColumn("__hit", lit(true))
+    def kCond(l: DataFrame, r: DataFrame) =
+      keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+    val joined = b.as("b").join(open.as("t"),
+      keys.map(k => col(s"b.$k") <=> col(s"t.$k")).reduce(_ && _),
+      "left")
+    val sameAttrs =
+      if (attrs.isEmpty) lit(true)
+      else attrs.map(a => col(s"b.$a") <=> col(s"t.$a")).reduce(_ && _)
+    val hitFlag = col("t.__hit").isNotNull
+    val changedKeys = joined.filter(hitFlag && !sameAttrs)
+      .select(keys.map(k => col(s"b.$k").as(k)): _*).distinct()
+    val newRows = joined.filter(!hitFlag)
+      .select((keys ++ attrs).map(c => col(s"b.$c").as(c)): _*)
+    val changedRows = joined.filter(hitFlag && !sameAttrs)
+      .select((keys ++ attrs).map(c => col(s"b.$c").as(c)): _*)
+
+    // files holding the OPEN row of a changed key
+    val candidates = pruneByKeyRange(spark, path, b, keys, all)
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val scan = spark.read.parquet(candidates: _*)
+          .filter(col("is_current"))
+          .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+        scan.join(broadcast(changedKeys), kCond(scan, changedKeys),
+            "left_semi")
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+
+    def versioned(rows: DataFrame): DataFrame = rows
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+      .select(data.columns.map(col): _*)
+    val incoming = versioned(changedRows.unionByName(newRows))
+
+    dropIndexes(spark, path)
+    if (touched.isEmpty) {
+      // no open row changes: the merge is pure insert (or pure no-op)
+      val ins = incoming.cache()
+      if (!ins.isEmpty)
+        ins.write.mode("append")
+          .option("compression", "zstd").parquet(path)
+      ins.unpersist()
+    } else {
+      val touchedRows = spark.read.parquet(touched: _*)
+      val cur = touchedRows.filter(col("is_current"))
+      val closing = cur.join(broadcast(changedKeys),
+        kCond(cur, changedKeys), "left_semi")
+        .withColumn("valid_to", lit(version))
+        .withColumn("is_current", lit(false))
+        .select(data.columns.map(col): _*)
+      val kept = cur.join(broadcast(changedKeys),
+          kCond(cur, changedKeys), "left_anti")
+        .unionByName(touchedRows.filter(!col("is_current")))
+      swapRewrite(spark, path, touched,
+        kept.unionByName(closing).unionByName(incoming))
     }
     Stats(all.size, touched.size)
   }

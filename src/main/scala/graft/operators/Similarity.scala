@@ -818,4 +818,82 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("id1", "id2", "adist", "rank")
   }
+
+  /** Distributed Lloyd k-means over integer-quantized embeddings — the
+    * pivot TRAINER the IVF/PQ family composes with ([[pivotSet]] is the
+    * deterministic stand-in; this is the real thing, still
+    * deterministic and oracle-reproducible because every step is exact
+    * integer arithmetic):
+    *
+    *  - quantize: q_i = floor(x_i · scale) as LONG (floor, not round —
+    *    no tie semantics to match across engines; float→double→·2^6 is
+    *    exact IEEE).
+    *  - init: the k lowest-id vectors (deterministic, like FAISS's
+    *    "train on the first n" default shape).
+    *  - assign: argmin over centroids of the integer squared-L2, ties
+    *    to the lower centroid id — FLAT per-centroid element_at
+    *    arithmetic + one `array_min` over (d, cid) structs, the
+    *    codegen'd pqEncode discipline (no join: centroids are
+    *    literals, so assignment is a pure per-row projection over one
+    *    corpus scan — the broadcast-centroids Lloyd step).
+    *  - update: centroid_j = floor(sum_i q_i / n_j) element-wise — one
+    *    map-side-combining groupBy(cid, dim) per iteration, k·dim rows
+    *    collected (bounded by the model size, the same class as
+    *    [[pivotSet]]); empty clusters keep their previous centroid.
+    *
+    * Per iteration: ONE corpus scan + a k·dim-row agg. At 100 TB that
+    * is the canonical distributed k-means — the model broadcasts, the
+    * data never shuffles (the agg's exchange carries k·dim partial
+    * sums per task, not rows). Returns the final assignment
+    * (vec_id, cluster) after `iters` assignment passes with
+    * `iters - 1` interleaved updates. */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 8,
+      iters: Int = 3,
+      scale: Double = 64.0
+  ): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val q = df.select(
+      col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol),
+        e => floor(e.cast("double") * lit(scale)).cast("long")).as("qv"))
+
+    val seedIds = q.select("vec_id").orderBy("vec_id")
+      .limit(k).collect().map(_.getLong(0))
+    var centroids: Array[Array[Long]] = q
+      .filter(col("vec_id").isin(seedIds: _*))
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "ragged embedding column")
+
+    def assigned: DataFrame = {
+      val scored = array(centroids.zipWithIndex.map { case (c, j) =>
+        val d = (0 until dim).map { i =>
+          val e = element_at(col("qv"), i + 1) - lit(c(i))
+          e * e
+        }.reduceLeft(_ + _)
+        struct(d.as("d"), lit(j).as("cid"))
+      }: _*)
+      q.withColumn("cid", array_min(scored)("cid"))
+    }
+
+    for (_ <- 1 until iters) {
+      val sums = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "v")))
+        .groupBy("cid", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("i"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("c"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      centroids = next
+    }
+    assigned.select(col("vec_id"), col("cid").cast("long").as("cluster"))
+  }
 }

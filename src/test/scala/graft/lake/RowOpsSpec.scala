@@ -196,4 +196,87 @@ class RowOpsSpec extends AnyFunSuite {
       RowOps.deleteWhere(spark, dir, "id = 1")
     }
   }
+
+  /** SCD2 seed: keys 0..99 in 4 key-banded files, one open v0 each. */
+  private def seedScd(dir: String): Unit =
+    spark.range(100)
+      .select(col("id"), (col("id") * 10).as("v"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+
+  test("scd2Merge: changed keys close v0 and open v1, no-op " +
+      "redeliveries leave no trace, new keys insert; untouched files " +
+      "byte-identical") {
+    val dir = TestSpark.tempDir("rowops_scd") + "/ds"
+    seedScd(dir)
+    val before = dataFiles(dir)
+    // 10,11 change (one band); 12 is redelivered unchanged; 200 is new
+    val batch = Seq((10L, -1L), (11L, -2L), (12L, 120L), (200L, -3L))
+      .toDF("id", "v")
+    val st = RowOps.scd2Merge(spark, dir, batch, Seq("id"), 1L)
+    assert(st.filesTouched == 1, s"only the 0..24 band changes: $st")
+    val after = dataFiles(dir)
+    before.filter { case (n, _) => after.contains(n) }.foreach {
+      case (n, h) => assert(after(n) == h, s"untouched $n rewritten")
+    }
+    val rows = spark.read.parquet(dir)
+      .filter(col("id").isin(10L, 11L, 12L, 200L))
+      .select("id", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(rows == Set(
+      (10L, 100L, 0L, Some(1L), false), (10L, -1L, 1L, None, true),
+      (11L, 110L, 0L, Some(1L), false), (11L, -2L, 1L, None, true),
+      (12L, 120L, 0L, None, true),
+      (200L, -3L, 1L, None, true)))
+    assert(spark.read.parquet(dir).count() == 103)
+    // second merge re-versions key 10: three-deep chain, 11 untouched
+    RowOps.scd2Merge(spark, dir, Seq((10L, -5L)).toDF("id", "v"),
+      Seq("id"), 2L)
+    val chain = spark.read.parquet(dir).filter(col("id") === 10L)
+      .select("v", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(chain == Set(
+      (100L, 0L, Some(1L), false),
+      (-1L, 1L, Some(2L), false),
+      (-5L, 2L, None, true)))
+  }
+
+  test("scd2Merge: a batch of only no-ops and inserts rewrites nothing") {
+    val dir = TestSpark.tempDir("rowops_scd_noop") + "/ds"
+    seedScd(dir)
+    val before = dataFiles(dir)
+    val st = RowOps.scd2Merge(spark, dir,
+      Seq((50L, 500L), (300L, 1L)).toDF("id", "v"), Seq("id"), 1L)
+    assert(st.filesTouched == 0)
+    val after = dataFiles(dir)
+    before.foreach { case (n, h) => assert(after(n) == h) }
+    assert(spark.read.parquet(dir).count() == 101)
+  }
+
+  test("change feed: upsert + delete record pre/post/insert/delete " +
+      "rows; readChanges prunes to the requested versions") {
+    val dir = TestSpark.tempDir("rowops_cdf") + "/ds"
+    seed(dir)
+    RowOps.upsert(spark, dir,
+      Seq((10L, -1L), (200L, -2L)).toDF("id", "v"), Seq("id"),
+      cdfVersion = Some(1L))
+    RowOps.deleteWhere(spark, dir, "v = -1", cdfVersion = Some(2L))
+    val all = RowOps.readChanges(spark, dir, 1L)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(all == Set(
+      (10L, 100L, "update_preimage", 1L),
+      (10L, -1L, "update_postimage", 1L),
+      (200L, -2L, "insert", 1L),
+      (10L, -1L, "delete", 2L)))
+    val v2 = RowOps.readChanges(spark, dir, 2L)
+      .select("_change_type").as[String].collect().toSeq
+    assert(v2 == Seq("delete"))
+    // the feed is invisible to data scans
+    assert(spark.read.parquet(dir).count() == 100)
+  }
 }

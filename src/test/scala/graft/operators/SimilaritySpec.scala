@@ -385,6 +385,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansAssign: hand-checked clusters, tie to the lower cid, " +
+      "update moves the centroid") {
+    // two planted clusters; ids 0 and 1 are the lowest-id seeds
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(100f, 100f)),
+      (2L, Seq(1f, 1f)), (3L, Seq(99f, 101f)),
+      (4L, Seq(2f, 0f)), (5L, Seq(101f, 99f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 2L -> 0L, 4L -> 0L,
+      1L -> 1L, 3L -> 1L, 5L -> 1L))
+
+    // a vector exactly equidistant from both seeds lands on the LOWER
+    // cid (iters = 1: no update pass, centroids are the seeds)
+    val tied = vecs.unionByName(Seq((6L, Seq(50f, 50f)))
+      .toDF("vec_id", "embedding"))
+    val one = Similarity.kmeansAssign(tied, k = 2, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(6L) == 0L, "tie must break to the lower centroid id")
+
+    // after one update the centroid of cluster 0 moves to the member
+    // mean: (0,0),(1,1),(2,0) -> floor-quantized mean (64, ~21) — a
+    // point near (1, 0.33) now beats seed-distance assignments
+    val moved = Similarity.kmeansAssign(tied, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(moved(6L) == 0L)
+    assert(moved.filterKeys(_ < 6L).toMap == out.map(identity))
+  }
+
   test("embeddingDedup: representative = min id, keep iff own cluster") {
     val out = Dedup.embeddingDedup(emb, dim = 64, threshold = 0.3,
       nBits = 4, nTables = 4)
