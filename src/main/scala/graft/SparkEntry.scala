@@ -2523,6 +2523,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // WebP metadata, all three first-chunk layouts: lossy VP8 (14-bit
+    // dims under the scaling-hint mask — set for id%8=0 rows, so the
+    // mask is load-bearing), lossless VP8L (LE32 bit-packed dims-1),
+    // extended VP8X (24-bit canvas dims-1); raw rows -> nulls. The
+    // RIFF form type also disambiguates image/webp from audio/wav in
+    // the sniffer — both are RIFF
+    "m07_webp_meta" -> ((s, d) => {
+      Multimodal.plantedWebp(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("m", Multimodal.webpMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("m.webp_kind").as("webp_kind"),
+          col("m.width").as("width"),
+          col("m.height").as("height"))
+        .orderBy("media_id")
+    }),
+
     // TIFF IFD walk, BOTH endiannesses: floating IFD offset, entry
     // count, and SHORT vs LONG value decoding all load-bearing (the
     // plant varies each with the id; orientation exists only for even
@@ -5181,6 +5200,26 @@ object SparkEntry {
         | CAST(CASE WHEN kind <= 1 THEN h END AS BIGINT) AS height,
         | CAST(CASE WHEN kind <= 1 AND noori = 0 THEN ori END AS BIGINT)
         |  AS orientation
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // expectations derived from the plant parameters, like m03-m06;
+    // the scaling-hint bits planted on id%8=0 rows must NOT leak into
+    // the dims (the oracle never adds them back)
+    "m07_webp_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 4 AS kind,
+        |  doc_id % 3000 + 16 AS w0, doc_id % 2000 + 16 AS h0,
+        |  doc_id % 4000 + 16 AS w1, doc_id % 3000 + 16 AS h1,
+        |  doc_id % 50000 + 16 AS w2, doc_id % 40000 + 16 AS h2
+        | FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind <= 2 THEN 'image/webp'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE kind WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+        |  WHEN 2 THEN 'extended' END AS webp_kind,
+        | CAST(CASE kind WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2
+        |  END AS BIGINT) AS width,
+        | CAST(CASE kind WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+        |  END AS BIGINT) AS height
         |FROM p ORDER BY media_id""".stripMargin,
 
     // expectations derived from the plant parameters, like m03/m04

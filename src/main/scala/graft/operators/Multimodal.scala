@@ -34,7 +34,11 @@ object Multimodal {
     when(magic.startsWith("FFD8FF"), "image/jpeg")
       .when(magic === "89504E47", "image/png")
       .when(magic === "47494638", "image/gif")
-      .when(magic === "52494646", "audio/wav") // RIFF
+      // RIFF containers disambiguate on the form type at offset 8
+      .when(magic === "52494646" &&
+        upper(hex(substring(payload, 9, 4))) === "57454250",
+        "image/webp")
+      .when(magic === "52494646", "audio/wav")
       .when(magic === "664C6143", "audio/flac")
       // ISO-BMFF: the brand box type at offset 4, not a leading magic
       .when(upper(hex(substring(payload, 5, 4))) === "66747970",
@@ -263,6 +267,110 @@ object Multimodal {
       unhex(
         when(id % 3 === 0, gifHex)
           .when(id % 3 === 1, flacHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
+  }
+
+  /** WebP metadata as a struct (webp_kind, width, height) — all three
+    * first-chunk layouts of the RIFF/WEBP container
+    * (developers.google.com/speed/webp/docs/riff_container):
+    *
+    *  - `VP8 ` (lossy): the key-frame start code 9D 01 2A at payload
+    *    bytes 3-5 is REQUIRED (load-bearing check), then 14-bit
+    *    little-endian width and height (the top 2 bits of each 16-bit
+    *    field are the scaling hint — masked off, not part of the dims).
+    *  - `VP8L` (lossless): the 2F signature byte, then one LE32 whose
+    *    bits 0-13 are width-1 and 14-27 height-1.
+    *  - `VP8X` (extended): 4 flag/reserved bytes, then 24-bit LE
+    *    canvas width-1 and height-1.
+    *
+    * The chunk fourcc at the spec-pinned offset 12 dispatches the
+    * three layouts (VP8X is mandatory-first when present; simple lossy/
+    * lossless files open with their bitstream chunk), so the whole
+    * parse is fixed-offset arithmetic over ONE 30-byte hex prefix —
+    * codegen'd builtins, the m04 discipline, no walker needed. Null
+    * fields for non-WebP or sync-code-less payloads. */
+  def webpMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 30)))
+    val riff =
+      substring(hx, 1, 8) === "52494646" &&
+      substring(hx, 17, 8) === "57454250" // "WEBP"
+    val fourcc = substring(hx, 25, 8)
+    def le16(i: Int) = hxByte(hx, i) + hxByte(hx, i + 1) * 256L
+    def le24(i: Int) = hxByte(hx, i) + hxByte(hx, i + 1) * 256L +
+      hxByte(hx, i + 2) * 65536L
+    // each layout's length bound covers exactly the bytes it reads (a
+    // minimal VP8L file is 25 bytes — shorter than the other two)
+    val lossy = riff && length(hx) >= 60 && fourcc === "56503820" &&
+      substring(hx, 47, 6) === "9D012A" // key-frame start code
+    val lossless = riff && length(hx) >= 50 && fourcc === "5650384C" &&
+      substring(hx, 41, 2) === "2F" // VP8L signature byte
+    val extended = riff && length(hx) >= 60 && fourcc === "56503858"
+    val l32 = le16(21) + le16(23) * 65536L // VP8L packed dims
+    struct(
+      when(lossy, "lossy").when(lossless, "lossless")
+        .when(extended, "extended").as("webp_kind"),
+      when(lossy, pmod(le16(26), lit(16384L)))
+        .when(lossless, pmod(l32, lit(16384L)) + 1L)
+        .when(extended, le24(24) + 1L).as("width"),
+      when(lossy, pmod(le16(28), lit(16384L)))
+        .when(lossless, pmod(shiftright(l32, 14), lit(16384L)) + 1L)
+        .when(extended, le24(27) + 1L).as("height"))
+  }
+
+  /** Deterministic planted WebP payloads (the m07 fixture, sibling of
+    * [[plantedMisc]]): by `id % 4`, a lossy `VP8 ` file (dims under the
+    * 14-bit mask, key-frame start code planted — and the two scaling-
+    * hint bits set when `id % 8 = 0`, so the parser's 14-bit MASK is
+    * load-bearing), a lossless `VP8L` file (dims packed minus-one into
+    * the LE32), an extended `VP8X` file (24-bit canvas dims minus-one),
+    * or the raw text bytes (null metadata). RIFF/chunk sizes are
+    * consistent with the constructed payloads. */
+  def plantedWebp(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def le16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X", byteAt(c, 1L), byteAt(c, 256L))
+    def le24(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X",
+        byteAt(c, 1L), byteAt(c, 256L), byteAt(c, 65536L))
+    def le32(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X%02X", byteAt(c, 1L), byteAt(c, 256L),
+        byteAt(c, 65536L), byteAt(c, 16777216L))
+    val w0 = (id % 3000 + 16).cast("long")
+    val h0 = (id % 2000 + 16).cast("long")
+    // scaling-hint bits (15-14) set for half the lossy rows (id%8):
+    // the parser's 14-bit mask is load-bearing, not decorative
+    val hint = when(id % 8 === 0, lit(49152L)).otherwise(lit(0L))
+    val lossyHex = concat(
+      lit("52494646"), lit("16000000"), lit("57454250"), // RIFF 22 WEBP
+      lit("56503820"), lit("0A000000"), // "VP8 " size 10
+      lit("000000"), lit("9D012A"), // frame tag + start code
+      le16(w0 + hint), le16(h0 + hint))
+    val w1 = (id % 4000 + 16).cast("long")
+    val h1 = (id % 3000 + 16).cast("long")
+    val losslessHex = concat(
+      lit("52494646"), lit("11000000"), lit("57454250"), // RIFF 17 WEBP
+      lit("5650384C"), lit("05000000"), lit("2F"), // "VP8L" size 5, sig
+      le32(w1 - 1L + (h1 - 1L) * 16384L))
+    val w2 = (id % 50000 + 16).cast("long")
+    val h2 = (id % 40000 + 16).cast("long")
+    val extendedHex = concat(
+      lit("52494646"), lit("16000000"), lit("57454250"), // RIFF 22 WEBP
+      lit("56503858"), lit("0A000000"), // "VP8X" size 10
+      lit("2A000000"), // feature flags + reserved
+      le24(w2 - 1L), le24(h2 - 1L))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 4 === 0, lossyHex)
+          .when(id % 4 === 1, losslessHex)
+          .when(id % 4 === 2, extendedHex)
           .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 

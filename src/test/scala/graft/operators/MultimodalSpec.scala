@@ -397,4 +397,52 @@ class MultimodalSpec extends AnyFunSuite {
         s"hostile row ${r.getLong(0)} must null out")
     }
   }
+
+  test("webpMeta parses hand-assembled lossy/lossless/extended files; " +
+      "the 14-bit mask strips scaling hints; WEBP sniffs as image not " +
+      "wav; hostile payloads null out") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    val fixture = Seq(
+      // 1: lossy 640x480, scaling-hint bits set on BOTH dims
+      //    (0x8280 = 640 | 0x8000, 0xC1E0 = 480 | 0xC000)
+      (1L, hx("52494646 16000000 57454250 56503820 0A000000" +
+        "000000 9D012A 8082 E0C1")),
+      // 2: lossless 17x9 -> bits = 16 + 8*16384 = 0x00020010
+      (2L, hx("52494646 11000000 57454250 5650384C 05000000 2F" +
+        "10000200")),
+      // 3: extended canvas 70000x40000 (beyond 16 bits: LE24 matters)
+      //    69999 = 0x01116F, 39999 = 0x009C3F
+      (3L, hx("52494646 16000000 57454250 56503858 0A000000" +
+        "2A000000 6F1101 3F9C00")),
+      // 4: lossy chunk WITHOUT the key-frame start code -> null
+      (4L, hx("52494646 16000000 57454250 56503820 0A000000" +
+        "000000 FFFFFF 8002 E001")),
+      // 5: RIFF but WAVE form -> not webp at all
+      (5L, hx("52494646 16000000 57415645 56503820 0A000000" +
+        "000000 9D012A 8002 E001")),
+      // 6: truncated mid-header
+      (6L, hx("52494646 16000000 574542")),
+      (7L, Array[Byte]())
+    ).toDF("media_id", "payload")
+    val out = fixture
+      .withColumn("mime", Multimodal.sniffFormat($"payload"))
+      .withColumn("m", Multimodal.webpMeta($"payload"))
+      .select($"media_id", $"mime", $"m.webp_kind", $"m.width",
+        $"m.height")
+      .as[(Long, String, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) == ("image/webp", Some("lossy"), Some(640L),
+      Some(480L)))
+    assert(out(2L) == ("image/webp", Some("lossless"), Some(17L),
+      Some(9L)))
+    assert(out(3L) == ("image/webp", Some("extended"), Some(70000L),
+      Some(40000L)))
+    assert(out(4L) == ("image/webp", None, None, None),
+      "missing start code must null the lossy parse")
+    assert(out(5L)._1 == "audio/wav" && out(5L)._2.isEmpty,
+      "RIFF/WAVE must not parse as webp")
+    assert(out(6L)._2.isEmpty && out(7L)._2.isEmpty)
+  }
 }
