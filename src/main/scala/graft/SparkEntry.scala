@@ -2117,6 +2117,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-style boilerplate removal: segments in >= 3 DISTINCT docs are
+    // deleted from EVERY doc (the frequency rule — d29 keeps a first
+    // occurrence, this keeps none). DF table = one keyed countDistinct
+    // agg; removal = keyed anti-join; reassembly only from each doc's
+    // own survivors
+    "d40_boilerplate" -> ((s, d) => {
+      Dedup.boilerplateRemove(docs(s, d), "doc_id", "text",
+          k = 8, minDf = 3)
+        .orderBy("doc_id")
+    }),
+
     // context-window chunking: split every doc into fixed 32-token
     // training sequences (the pack-into-context step of corpus prep).
     // One generate (explode of the per-doc chunk index range) + per-row
@@ -4796,6 +4807,36 @@ object SparkEntry {
         | FROM t)
         |SELECT n.doc_id, n.n_segments,
         | coalesce(r.n_kept, 0) AS n_kept,
+        | coalesce(r.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the frequency rule replayed: DF = distinct docs per segment,
+    // boilerplate = df >= 3, removed from all docs (no survivor)
+    "d40_boilerplate" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |x AS (
+        | SELECT doc_id, tk,
+        |  unnest(range(0, ((len(tk) - 1) // 8) + 1)) AS gi
+        | FROM t),
+        |s AS (
+        | SELECT doc_id, CAST(gi AS BIGINT) AS seg_idx,
+        |  array_to_string(tk[gi*8 + 1 : gi*8 + 8], ' ') AS seg
+        | FROM x),
+        |b AS (
+        | SELECT seg FROM s GROUP BY seg
+        | HAVING count(DISTINCT doc_id) >= 3),
+        |r AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        | FROM s WHERE seg NOT IN (SELECT seg FROM b)
+        | GROUP BY doc_id),
+        |n AS (
+        | SELECT doc_id,
+        |  CAST(((len(tk) - 1) // 8) + 1 AS BIGINT) AS n_segments
+        | FROM t)
+        |SELECT n.doc_id, n.n_segments,
+        | n.n_segments - coalesce(r.n_kept, 0) AS n_boiler,
         | coalesce(r.clean_text, '') AS clean_text
         |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
 

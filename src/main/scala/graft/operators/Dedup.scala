@@ -1129,6 +1129,62 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** C4-style BOILERPLATE removal — the frequency rule, not the dedup
+    * rule: a `k`-token segment that appears in at least `minDf`
+    * DISTINCT documents is boilerplate (headers, footers, license
+    * blurbs, navigation chrome) and is removed from EVERY document —
+    * including the first (contrast [[segmentDedup]], which keeps one
+    * occurrence: dedup preserves content, boilerplate removal deletes
+    * it everywhere; C4 discards lines repeating >= 3 times, CCNet's
+    * per-shard hashes drop repeated paragraphs the same way). Returns
+    * one row per doc: (idCol, n_segments, n_boiler, clean_text).
+    *
+    * 100 TB shape: segmentation is the [[segmentDedup]] projection
+    * (one explode, no joins); the DF table is one keyed
+    * countDistinct agg (map-side partial over (seg, doc) pairs); the
+    * removal is a keyed LEFT ANTI join on the segment text — never a
+    * broadcast of the corpus, and the reassembly agg is keyed by doc.
+    * A hot segment concentrates its DF count, not its reassembly:
+    * docs rebuild from their OWN surviving segments only. */
+  def boilerplateRemove(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minDf: Int = 3
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    val segs = base
+      .select(col("__id"), col("__tk"),
+        explode(expr(s"sequence(0, (size(__tk) - 1) div $k)"))
+          .as("__gi"))
+      .select(col("__id"), col("__gi").cast("long").as("seg_idx"),
+        concat_ws(" ", slice(col("__tk"), col("__gi") * k + 1, lit(k)))
+          .as("seg"))
+    val boiler = segs
+      .groupBy("seg")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("seg")
+    val rebuilt = segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg"))).as("clean_text"))
+    base
+      .select(col("__id"),
+        (expr(s"(size(__tk) - 1) div $k") + 1).cast("long")
+          .as("n_segments"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_boiler"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** NEAR-dup segment dedup — the fuzzy sibling of [[segmentDedup]]:
     * docs split into `k`-token segments, a segment is DROPPED iff some
     * segment with n-gram Jaccard >= `threshold` precedes it in (doc,

@@ -285,6 +285,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 2L, 2L, "y1 y2 y3 y4 y5 y6 y7 y8 y9")))
   }
 
+  test("boilerplateRemove: df >= minDf segments vanish from EVERY doc " +
+      "(no survivor), below-threshold repeats stay everywhere") {
+    val boiler = "a b c d e f g h" // in 3 docs -> removed from all 3
+    val pair = "p q r s t u v w" // in 2 docs -> df below 3, kept
+    val corpus = Seq(
+      (1L, s"$boiler x1 x2"),
+      (2L, s"$boiler $pair"),
+      (3L, boiler),
+      (4L, pair)
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemove(corpus, "doc_id", "text",
+        k = 8, minDf = 3)
+      .select("doc_id", "n_segments", "n_boiler", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, "x1 x2")))
+    assert(out(2L) == ((2L, 2L, 1L, pair)),
+      "the df=2 segment must survive in doc 2")
+    assert(out(3L) == ((3L, 1L, 1L, "")),
+      "boilerplate keeps NO occurrence — not even the first")
+    assert(out(4L) == ((4L, 1L, 0L, pair)))
+  }
+
   test("auto DF cap derives from corpus size and is on by default") {
     assert(Dedup.autoShingleDfCap(500) == 64) // floor dominates small corpora
     assert(Dedup.autoShingleDfCap(100000) == 5000) // 5% of corpus
