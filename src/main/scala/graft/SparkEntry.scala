@@ -738,6 +738,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // IVF on TRAINED cells — the FAISS train-then-search composition:
+    // the e19 coarse quantizer assigns the corpus, queries probe their
+    // 2 nearest trained centroids under the same exact-integer metric,
+    // candidates rerank by exact cosine (the e04 scoring). Cells are
+    // k rows of driver state; assignment/probing are literal
+    // projections, the only shuffle is the cell-keyed probe join
+    "e20_kmeans_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.kmeansIvfTopK(e, e.filter(col("vec_id") < 10),
+          k = 5, nClusters = 8, iters = 3, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // write-time expectations: rows proving every rule land in the
     // lake, violators are QUARANTINED with the rule names they failed
     // — bad batches preserved for triage, not dropped or fatal. The
@@ -3042,7 +3056,51 @@ object SparkEntry {
     * update, (C) empty clusters coalescing to their previous centroid.
     * All arithmetic is exact (BIGINT or dyadic doubles), so the
     * unrolled replay is bit-identical to Spark's loop. */
-  private def e19Oracle: String = {
+  private def e19Oracle: String =
+    s"""WITH ${kmeansCtes()}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM A3
+       |ORDER BY vec_id""".stripMargin
+
+  /** e20: the trained coarse quantizer serving IVF — the e19 CTEs give
+    * cells (A3) and per-(vector, centroid) distances (D3); queries
+    * probe their nProbe nearest TRAINED centroids (exact-integer d,
+    * ties to the lower cid) and rerank candidates by exact cosine,
+    * the e04 scoring verbatim. */
+  private def e20Oracle: String = {
+    val nProbe = 2
+    val k = 5
+    def psim(embA: String, nrmA: String, embB: String, nrmB: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $embA[i] * $embB[i]), " +
+        s"(acc, x) -> acc + x) / ($nrmA * $nrmB)"
+    s"""WITH ${kmeansCtes()},
+       |n AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, emb,
+       |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+       |       (acc, x) -> acc + x)) AS nrm FROM n),
+       |qa AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d ASC, cid ASC) AS pr
+       |  FROM D3 WHERE vec_id < 10) t WHERE pr <= $nProbe),
+       |pp AS (SELECT qa.vec_id AS id1, ca.vec_id AS id2,
+       |  ${psim("a.emb", "a.nrm", "b.emb", "b.nrm")} AS sim
+       |  FROM qa JOIN A3 ca ON qa.cell = ca.cid
+       |    AND qa.vec_id <> ca.vec_id
+       |   JOIN nn a ON a.vec_id = qa.vec_id
+       |   JOIN nn b ON b.vec_id = ca.vec_id)
+       |SELECT id1, id2, sim, rank FROM (
+       |  SELECT id1, id2, sim,
+       |   CAST(row_number() OVER (PARTITION BY id1
+       |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
+       |  FROM pp) t
+       |WHERE rank <= $k ORDER BY id1, rank""".stripMargin
+  }
+
+  /** The unrolled-Lloyd CTE chain shared by e19/e20 (see e19Oracle's
+    * scaladoc for the arithmetic-exactness argument). Ends at D3/A3:
+    * the third assignment pass and its per-centroid distances. */
+  private def kmeansCtes(): String = {
     def iter(t: Int, update: Boolean): String = {
       val prev = s"C${t - 1}"
       val d =
@@ -3065,7 +3123,7 @@ object SparkEntry {
            | FROM $prev c LEFT JOIN S$t s
            |  ON s.cid = c.cid AND s.i = c.i)""".stripMargin
     }
-    s"""WITH L AS (
+    s"""L AS (
        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
        |         CAST(floor(CAST(u AS DOUBLE) * 64.0) AS BIGINT) AS q
        |  FROM (SELECT vec_id,
@@ -3082,9 +3140,7 @@ object SparkEntry {
        |  JOIN L ON L.vec_id = r.vec_id),
        |${iter(1, update = true)},
        |${iter(2, update = true)},
-       |${iter(3, update = false)}
-       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM A3
-       |ORDER BY vec_id""".stripMargin
+       |${iter(3, update = false)}""".stripMargin
   }
 
   private def d09Oracle: String =
@@ -5490,6 +5546,9 @@ object SparkEntry {
     // or dyadic-exact arithmetic, so three unrolled iterations
     // hash-match bit for bit
     "e19_kmeans" -> e19Oracle,
+
+    // trained-quantizer IVF: e19's cells + e04's exact-cosine rerank
+    "e20_kmeans_ivf" -> e20Oracle,
 
     // the same split replayed relationally: violated = the non-null
     // rule flags in rule order, comma-joined; NULL predicates would

@@ -847,19 +847,42 @@ object Similarity {
     * sums per task, not rows). Returns the final assignment
     * (vec_id, cluster) after `iters` assignment passes with
     * `iters - 1` interleaved updates. */
-  def kmeansAssign(
+  /** floor(x · scale) integer quantization of an embedding column. */
+  private def quantize(vec: org.apache.spark.sql.Column, scale: Double) =
+    transform(vec, e => floor(e.cast("double") * lit(scale)).cast("long"))
+
+  /** Per-centroid (distance, cid) struct array over a quantized vector
+    * — FLAT element_at arithmetic against literal centroids (the
+    * pqEncode discipline); `array_min` of this IS the argmin with the
+    * tie-to-lower-cid rule, `array_sort` + slice IS the n-probe. */
+  private def centScores(
+      centroids: Array[Array[Long]],
+      qv: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column =
+    array(centroids.zipWithIndex.map { case (c, j) =>
+      val d = c.indices.map { i =>
+        val e = element_at(qv, i + 1) - lit(c(i))
+        e * e
+      }.reduceLeft(_ + _)
+      struct(d.as("d"), lit(j).as("cid"))
+    }: _*)
+
+  /** The Lloyd training loop shared by [[kmeansAssign]] and
+    * [[kmeansIvfTopK]]: returns the quantized corpus view and the
+    * centroids after `iters - 1` update passes (so one final
+    * assignment against them completes the `iters`-th pass). */
+  private def kmeansTrain(
       df: DataFrame,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding",
-      k: Int = 8,
-      iters: Int = 3,
-      scale: Double = 64.0
-  ): DataFrame = {
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double
+  ): (DataFrame, Array[Array[Long]]) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val q = df.select(
       col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol),
-        e => floor(e.cast("double") * lit(scale)).cast("long")).as("qv"))
+      quantize(col(vecCol), scale).as("qv"))
 
     val seedIds = q.select("vec_id").orderBy("vec_id")
       .limit(k).collect().map(_.getLong(0))
@@ -871,19 +894,10 @@ object Similarity {
     val dim = centroids.head.length
     require(centroids.forall(_.length == dim), "ragged embedding column")
 
-    def assigned: DataFrame = {
-      val scored = array(centroids.zipWithIndex.map { case (c, j) =>
-        val d = (0 until dim).map { i =>
-          val e = element_at(col("qv"), i + 1) - lit(c(i))
-          e * e
-        }.reduceLeft(_ + _)
-        struct(d.as("d"), lit(j).as("cid"))
-      }: _*)
-      q.withColumn("cid", array_min(scored)("cid"))
-    }
-
     for (_ <- 1 until iters) {
-      val sums = assigned
+      val sums = q
+        .withColumn("cid",
+          array_min(centScores(centroids, col("qv")))("cid"))
         .select(col("cid"), posexplode(col("qv")).as(Seq("i", "v")))
         .groupBy("cid", "i")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -894,6 +908,63 @@ object Similarity {
       sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
       centroids = next
     }
-    assigned.select(col("vec_id"), col("cid").cast("long").as("cluster"))
+    (q, centroids)
+  }
+
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 8,
+      iters: Int = 3,
+      scale: Double = 64.0
+  ): DataFrame = {
+    val (q, centroids) = kmeansTrain(df, idCol, vecCol, k, iters, scale)
+    q.withColumn("cid", array_min(centScores(centroids, col("qv")))("cid"))
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"))
+  }
+
+  /** IVF serving on TRAINED cells — [[ivfTopK]] with the coarse
+    * quantizer learned by [[kmeansTrain]] instead of the
+    * hash-stratified [[pivotSet]] stand-in (the FAISS
+    * `train`-then-`search` shape). The corpus lands in its argmin
+    * cluster, queries probe their `nProbe` nearest centroids under the
+    * SAME integer metric the trainer used (ties to the lower cid —
+    * `array_sort` over the (d, cid) structs), and the final scores are
+    * exact cosine over the full-precision vectors, reranked per query.
+    * Trained cells are balanced where stratified pivots are arbitrary,
+    * so probe recall per scanned vector is higher — e15's sweep
+    * measures that; this operator is the composition itself. The cell
+    * table is k rows of driver state like every pivot set; assignment
+    * and probing are pure literal projections (no join, no shuffle
+    * beyond the cell-keyed probe). */
+  def kmeansIvfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nClusters: Int = 8,
+      iters: Int = 3,
+      nProbe: Int = 2,
+      scale: Double = 64.0
+  ): DataFrame = {
+    val (_, cents) =
+      kmeansTrain(corpus, idCol, vecCol, nClusters, iters, scale)
+    val v = prep(corpus, idCol, vecCol)
+    val cAssigned = v
+      .withColumn("cell",
+        array_min(centScores(cents, quantize(col("emb"), scale)))("cid"))
+      .select(col("vec_id").as("id2"), col("emb").as("emb2"),
+        col("nrm").as("n2"), col("cell"))
+    val qAssigned = prep(queries, idCol, vecCol)
+      .withColumn("cell",
+        explode(transform(
+          slice(array_sort(centScores(cents, quantize(col("emb"), scale))),
+            1, nProbe),
+          s => s("cid"))))
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("nrm").as("n1"), col("cell"))
+    ivfScoreTail(qAssigned, cAssigned, k)
   }
 }

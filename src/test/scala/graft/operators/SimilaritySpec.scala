@@ -415,6 +415,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(moved.filterKeys(_ < 6L).toMap == out.map(identity))
   }
 
+  test("kmeansIvfTopK: with every cell probed, results equal brute " +
+      "force; ranks are 1..k") {
+    val q = emb.filter($"vec_id" < 5)
+    // nProbe = nClusters -> candidate set = whole corpus -> the probe
+    // narrows nothing and the exact-cosine rerank must reproduce the
+    // brute-force baseline bit for bit
+    val ivf = Similarity.kmeansIvfTopK(emb, q, k = 3, nClusters = 4,
+        iters = 2, nProbe = 4)
+      .select("id1", "id2", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, q, k = 3)
+      .select("id1", "id2", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivf == brute)
+    // narrowed probes still rank 1..k per query over a candidate SUBSET
+    val narrow = Similarity.kmeansIvfTopK(emb, q, k = 3, nClusters = 8,
+        iters = 3, nProbe = 2)
+      .select("id1", "id2", "rank").as[(Long, Long, Int)].collect()
+    narrow.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
   test("embeddingDedup: representative = min id, keep iff own cluster") {
     val out = Dedup.embeddingDedup(emb, dim = 64, threshold = 0.3,
       nBits = 4, nTables = 4)
