@@ -119,7 +119,29 @@ object Plans {
         "semi-join prune)"),
       "d38_segment_neardup" -> ("fuzzy segment dedup: d04's keyed " +
         "shingle candidates ON SEGMENTS + one distinct drop-set " +
-        "projection — the arrival-order rule needs no CC iteration")
+        "projection — the arrival-order rule needs no CC iteration"),
+      "q91_scd2_merge" -> ("SCD2 merge: the batch broadcasts into the " +
+        "open-row probe and the touched-file rewrite (the q85 " +
+        "copy-on-write shape); closed history rows are never opened " +
+        "again — strict-subset file touch asserted in-query"),
+      "q92_change_feed" -> ("change feed: pre/post/insert splits are " +
+        "broadcast semi/anti joins over the TOUCHED files only; " +
+        "readChanges prunes whole commit_version directories before " +
+        "opening a file"),
+      "e19_kmeans" -> ("distributed Lloyd: centroids broadcast as " +
+        "literals (assignment = pure per-row projection, the corpus " +
+        "never shuffles); the update agg ships k·dim partial sums per " +
+        "task, not rows"),
+      "e20_kmeans_ivf" -> ("trained-cell IVF: e19's quantizer as " +
+        "literal state, cell-keyed candidate join + exact-cosine " +
+        "rerank — e04's serve shape with learned (balanced) cells"),
+      "d40_boilerplate" -> ("boilerplate removal: DF table is one " +
+        "keyed countDistinct agg; removal is a keyed LEFT ANTI join " +
+        "on the segment — no broadcast of the corpus, reassembly " +
+        "keyed per doc"),
+      "m07_webp_meta" -> ("WebP: fixed-offset builtin parse over one " +
+        "30-byte hex prefix, all three first-chunk layouts — per-row, " +
+        "zero shuffle, the m01-m06 scale shape")
     )
 
     val sb = new StringBuilder

@@ -123,7 +123,8 @@ object ScalingBench {
       "e08_centroid_outliers", "q35_stream_hourly",
       "d35_cluster_best", "d36_dsir_weights", "d37_gopher_rules",
       "e16_pq_adc", "m06_tiff_meta", "d38_segment_neardup",
-      "e18_ivf_pq", "d39_decontam_spans")
+      "e18_ivf_pq", "d39_decontam_spans",
+      "d40_boilerplate", "e19_kmeans", "e20_kmeans_ivf")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume
@@ -382,6 +383,44 @@ object ScalingBench {
           delStats.filesTouched, tDel))
       }).toMap
 
+    // SCD2 scaling (r7): FIXED changed band, growing dimension. Per
+    // factor: the customer dimension at 1x/2x/4x key-range-laid-out
+    // (key-shifted copies — the 1x band exists at every factor),
+    // `_stats` built, then the SAME absolute key band re-versioned.
+    // Only files holding the band's OPEN rows rewrite; closed history
+    // and unchanged keys stay write-cold.
+    // factor -> (files, touched, seconds)
+    val scdCells: Map[Int, (Int, Int, Double)] =
+      (for ((f, dir) <- dirs) yield {
+        val root = s"/tmp/graft_scale_scd_${f}x"
+        rmdir(root)
+        def dimOf(d: String) = spark.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+        dimOf(dir)
+          .withColumn("valid_from", lit(0L))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
+          .repartitionByRange(32 * f, col("c_custkey"))
+          .sortWithinPartitions("c_custkey")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(root)
+        graft.lake.FileStats.build(spark, root)
+        val nFiles = graft.lake.SchemaTools.listDataFiles(spark, root).size
+        val src1x = dimOf(dirs.head._2)
+        val Array(lo, hi0) = src1x
+          .agg(min("c_custkey"), max("c_custkey")).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val batch = src1x
+          .filter(col("c_custkey").between(lo, lo + (hi0 - lo) / 16))
+          .withColumn("bal", col("bal") + lit(100.0))
+        val t0 = System.nanoTime()
+        val st = graft.lake.RowOps.scd2Merge(
+          spark, root, batch, Seq("c_custkey"), 1L)
+        val t = (System.nanoTime() - t0) / 1e9
+        f -> ((nFiles, st.filesTouched, t))
+      }).toMap
+
     // Stage-level breakdown of d13 (r4 VERDICT #3): time each CUMULATIVE
     // stage prefix at 1x/4x/8x and record its output rows, so the
     // super-linear stage is named instead of hiding in the end-to-end
@@ -532,6 +571,21 @@ object ScalingBench {
     factors.foreach { f =>
       val (nf, ut, tu, dt, td) = rowopCells(f)
       sb.append(f"| ${f}x | $nf | $ut | $tu%.2f | $dt | $td%.2f |\n")
+    }
+
+    sb.append("\n## SCD2 merge: fixed changed band, growing dimension\n\n")
+    sb.append("q91's history-preserving merge: the customer dimension at\n")
+    sb.append("1x/2x/4x (key-range layout, `_stats` built), the SAME\n")
+    sb.append("absolute key band re-versioned at every factor. Touched\n")
+    sb.append("files track the band's open rows — constant while the\n")
+    sb.append("dimension grows — so a dimension's history depth never\n")
+    sb.append("enters the merge cost: closed rows are write-cold by\n")
+    sb.append("construction.\n\n")
+    sb.append("| factor | files | touched | merge (s) |\n")
+    sb.append("|---|---|---|---|\n")
+    factors.foreach { f =>
+      val (nf, t, s) = scdCells(f)
+      sb.append(f"| ${f}x | $nf | $t | $s%.2f |\n")
     }
 
     sb.append("\n## d13 stage breakdown (cumulative prefixes)\n\n")

@@ -726,6 +726,46 @@ object SparkEntry {
         .orderBy("_commit_version", "_change_type", "o_orderkey")
     }),
 
+    // CDC replication end-to-end: a replica seeded from the same
+    // initial state consumes ONLY the source's change feed (update
+    // post-images + inserts as upserts, deletes as keyed deletes,
+    // versions in commit order) and converges to the source. Both
+    // sides read back under one oracle — identical relations prove the
+    // feed carries the whole truth of the mutations
+    "q93_cdc_replica" -> ((s, d) => {
+      val src = scratch(s, "q93src", d)
+      val dst = scratch(s, "q93dst", d)
+      val base = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(base.count() / 8L, 50L)
+      Seq(src, dst).foreach(p =>
+        LakeWriter(s, p, WriteMode.Overwrite, maxRecordsPerFile = per)
+          .write(base.orderBy("o_orderkey")))
+      val Array(lo, hi0) = base
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      val updates = base.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", lit(-1.0))
+      val inserts = base.filter(col("o_orderkey").between(lo, hi))
+        .select((col("o_orderkey") + lit(hi0) + lit(1L))
+            .as("o_orderkey"),
+          col("o_custkey"), lit(0.5).as("o_totalprice"))
+      RowOps.upsert(s, src, updates.unionByName(inserts),
+        Seq("o_orderkey"), cdfVersion = Some(1L))
+      RowOps.deleteWhere(s, src, "o_totalprice < 0.0",
+        cdfVersion = Some(2L))
+      RowOps.applyChanges(s, dst, RowOps.readChanges(s, src, 1L),
+        Seq("o_orderkey"))
+      s.read.parquet(src)
+        .select(lit("source").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(s.read.parquet(dst)
+          .select(lit("replica").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // distributed k-means (Lloyd) — the trainer behind the IVF/PQ
     // pivot sets: 3 assignment passes over the corpus with 2
     // interleaved centroid updates, centroids broadcast as literals
@@ -5539,6 +5579,26 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, CAST(-1.0 AS DOUBLE),
         |  'delete', 2 FROM band
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+
+    // both sides must equal the post-mutation state: non-band keys
+    // keep their rows, band post-images were deleted at v2, the
+    // shifted 0.5-priced inserts survive
+    "q93_cdc_replica" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM orders),
+        |band AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders, b WHERE o_orderkey BETWEEN lo AND hi),
+        |final AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders, b WHERE o_orderkey < lo OR o_orderkey > hi
+        |  UNION ALL
+        |  SELECT o_orderkey + hi0 + 1, o_custkey, CAST(0.5 AS DOUBLE)
+        |  FROM band, b)
+        |SELECT 'replica' AS side, * FROM final
+        |UNION ALL
+        |SELECT 'source' AS side, * FROM final
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // every Lloyd iteration replayed exactly: same floor-quantization,
     // same lowest-id seeding, same min-distance-then-min-cid

@@ -369,6 +369,89 @@ object RowOps {
     Stats(all.size, touched.size)
   }
 
+  /** Keyed DELETE: removes the rows whose `keys` tuple appears in
+    * `keyBatch` — the CDC-delete primitive ([[deleteWhere]] is its
+    * predicate sibling; change feeds carry keys, not predicates). Same
+    * copy-on-write shape as [[upsert]]: candidates from the `_stats`
+    * range prune, the key set broadcast into the touch scan, only
+    * files holding a doomed row rewritten. */
+  def deleteKeys(
+      spark: SparkSession,
+      path: String,
+      keyBatch: DataFrame,
+      keys: Seq[String],
+      cdfVersion: Option[Long] = None
+  ): Stats = {
+    require(keys.nonEmpty, "deleteKeys needs at least one key column")
+    requireFlat(spark, path)
+    requireUnpinned(spark, path)
+    val all = SchemaTools.listDataFiles(spark, path)
+    val ks = keyBatch.select(keys.map(col): _*).distinct()
+    val candidates = pruneByKeyRange(spark, path, ks, keys, all)
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val scan = spark.read.parquet(candidates: _*)
+          .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+        scan.join(broadcast(ks),
+            keys.map(k => scan(k) <=> ks(k)).reduce(_ && _), "left_semi")
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    cdfVersion.foreach { v =>
+      val doomed =
+        if (touched.isEmpty) spark.read.parquet(path).limit(0)
+        else {
+          val t = spark.read.parquet(touched: _*)
+          t.join(broadcast(ks),
+            keys.map(k => t(k) <=> ks(k)).reduce(_ && _), "left_semi")
+        }
+      writeChanges(spark, path, v,
+        doomed.withColumn("_change_type", lit("delete")))
+    }
+    if (touched.nonEmpty) {
+      dropIndexes(spark, path)
+      val t = spark.read.parquet(touched: _*)
+      val survivors = t.join(broadcast(ks),
+        keys.map(k => t(k) <=> ks(k)).reduce(_ && _), "left_anti")
+      swapRewrite(spark, path, touched, survivors)
+    }
+    Stats(all.size, touched.size)
+  }
+
+  /** Apply a change feed to a replica — the downstream half of CDC
+    * replication: versions in ascending order; within a version,
+    * `update_postimage` + `insert` rows land as one [[upsert]] batch
+    * and `delete` rows as one [[deleteKeys]] batch (a single upstream
+    * mutation emits only one of the two, so there is no intra-version
+    * ordering hazard; preimages are informational and skipped). A
+    * replica seeded from the same initial state and fed every version
+    * converges to the source byte-for-byte in CONTENT — and because
+    * upsert/deleteKeys are idempotent, replaying a version is safe
+    * (the at-least-once feed contract). The version list is collected
+    * driver-side: it is the number of COMMITS, not rows. */
+  def applyChanges(
+      spark: SparkSession,
+      path: String,
+      changes: DataFrame,
+      keys: Seq[String]
+  ): Unit = {
+    val versions = changes.select("_commit_version").distinct()
+      .orderBy("_commit_version").collect().map(_.getLong(0))
+    versions.foreach { v =>
+      val batch = changes.filter(col("_commit_version") === v)
+      val dataCols = changes.columns
+        .filterNot(c => c == "_change_type" || c == "_commit_version")
+      val ups = batch
+        .filter(col("_change_type").isin("update_postimage", "insert"))
+        .select(dataCols.map(col): _*)
+      if (!ups.isEmpty) upsert(spark, path, ups, keys)
+      val dels = batch.filter(col("_change_type") === "delete")
+        .select(keys.map(col): _*)
+      if (!dels.isEmpty) deleteKeys(spark, path, dels, keys)
+    }
+  }
+
   /** SCD Type-2 merge: history-preserving dimension maintenance. The
     * dataset carries `keys ++ attrs ++ (valid_from LONG, valid_to LONG
     * nullable, is_current BOOLEAN)`; `batch` carries `keys ++ attrs` —

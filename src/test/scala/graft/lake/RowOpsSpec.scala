@@ -279,4 +279,30 @@ class RowOpsSpec extends AnyFunSuite {
     // the feed is invisible to data scans
     assert(spark.read.parquet(dir).count() == 100)
   }
+
+  test("deleteKeys removes exactly the keyed rows copy-on-write; " +
+      "applyChanges replicates a feed and replays idempotently") {
+    val root = TestSpark.tempDir("rowops_cdc")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    seed(src); seed(dst)
+    RowOps.upsert(spark, src,
+      Seq((10L, -1L), (200L, -2L)).toDF("id", "v"), Seq("id"),
+      cdfVersion = Some(1L))
+    val st = RowOps.deleteKeys(spark, src,
+      Seq(Tuple1(10L), Tuple1(999L)).toDF("id"), Seq("id"),
+      cdfVersion = Some(2L))
+    assert(st.filesTouched == 1, s"only key 10's band rewrites: $st")
+    def rowsOf(p: String) =
+      spark.read.parquet(p).as[(Long, Long)].collect().toSet
+    assert(!rowsOf(src).exists(_._1 == 10L))
+    assert(rowsOf(src).size == 100) // 100 seed + 1 insert - 1 delete
+    // the replica consumes ONLY the feed and converges
+    val feed = RowOps.readChanges(spark, src, 1L)
+    RowOps.applyChanges(spark, dst, feed, Seq("id"))
+    assert(rowsOf(dst) == rowsOf(src))
+    // at-least-once delivery: replaying the whole feed changes nothing
+    RowOps.applyChanges(spark, dst, feed, Seq("id"))
+    assert(rowsOf(dst) == rowsOf(src))
+  }
 }
