@@ -726,6 +726,48 @@ object SparkEntry {
         .orderBy("_commit_version", "_change_type", "o_orderkey")
     }),
 
+    // time travel ACROSS a row-level mutation: snapshot, then MERGE
+    // into current — the as-of read still serves the pre-mutation
+    // state (materialized snapshots own their files; copy-on-write
+    // rewrites can never reach into them) while current serves the
+    // merged state. Both reads verified under one oracle — the
+    // audit-trail contract a regulated lake needs from UPDATE
+    "q94_mutation_timetravel" -> ((s, d) => {
+      val root = scratch(s, "q94", d)
+      val tf = TimeFly(s, root).init("mut")
+      val base = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(base.count() / 8L, 50L)
+      LakeWriter(s, tf.currentPath, WriteMode.Overwrite,
+        maxRecordsPerFile = per).write(base.orderBy("o_orderkey"))
+      val snap = tf.addSnapshot()
+      val Array(lo, hi0) = base
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      val updates = base.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", lit(-1.0))
+      val inserts = base.filter(col("o_orderkey").between(lo, hi))
+        .select((col("o_orderkey") + lit(hi0) + lit(1L))
+            .as("o_orderkey"),
+          col("o_custkey"), lit(0.5).as("o_totalprice"))
+      val st = RowOps.upsert(s, tf.currentPath,
+        updates.unionByName(inserts), Seq("o_orderkey"))
+      assert(st.filesTouched > 0 && st.filesTouched < st.filesTotal,
+        s"upsert must rewrite a strict subset of files: $st")
+      // T6: as-of t serves the FIRST snapshot with id > t — any t
+      // before the snapshot resolves to it (asking as-of `snap` itself
+      // would fall through to current, the reference's rule)
+      assert(snap > "19000101_000000", s"snapshot id format drifted: $snap")
+      tf.read(Some("19000101_000000"))
+        .select(lit("asof").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(tf.read(None)
+          .select(lit("current").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // CDC replication end-to-end: a replica seeded from the same
     // initial state consumes ONLY the source's change feed (update
     // post-images + inserts as upserts, deletes as keyed deletes,
@@ -5579,6 +5621,29 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, CAST(-1.0 AS DOUBLE),
         |  'delete', 2 FROM band
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+
+    // asof = the untouched pre-merge table; current = the merged state
+    // (the mergeOracle relation)
+    "q94_mutation_timetravel" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM src),
+        |band AS (SELECT s.* FROM src s, b
+        |  WHERE o_orderkey BETWEEN lo AND hi),
+        |merged AS (
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey < b.lo OR s.o_orderkey > b.hi
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, CAST(-1.0 AS DOUBLE) FROM band
+        |  UNION ALL
+        |  SELECT o_orderkey + hi0 + 1, o_custkey, CAST(0.5 AS DOUBLE)
+        |  FROM band, b)
+        |SELECT 'asof' AS side, * FROM src
+        |UNION ALL
+        |SELECT 'current' AS side, * FROM merged
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // both sides must equal the post-mutation state: non-band keys
     // keep their rows, band post-images were deleted at v2, the
