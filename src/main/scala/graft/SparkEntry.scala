@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{AnnIndex, ArrowIpc, Compact, Expectations, FileStats, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{AnnIndex, ArrowIpc, Compact, Expectations, FileStats, HiddenPartitions, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,6 +53,15 @@ object SparkEntry {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     tmp
   }
+
+  /** Scanned-file count AFTER partition pruning: FileSourceScanExec's
+    * selected listing, off the pre-AQE physical plan (the scan's file
+    * index is final at that point; AQE wrapping would hide the leaves). */
+  private def scannedFiles(df: DataFrame): Long =
+    df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }.sum
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -761,6 +770,98 @@ object SparkEntry {
       assert(snap > "19000101_000000", s"snapshot id format drifted: $snap")
       tf.read(Some("19000101_000000"))
         .select(lit("asof").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(tf.read(None)
+          .select(lit("current").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // HIDDEN partitioning (Iceberg-style transform spec): orders laid
+    // out by month(o_orderdate) without the user ever naming a derived
+    // column; a plain date-range predicate on the SOURCE column prunes
+    // the hive listing because the reader rewrites it through the
+    // declared transform (the comparisons constant-fold, so pruning is
+    // listing-time). Asserted in-query: the pruned scan's file index is
+    // a strict subset of the full listing. At 100 TB this is the
+    // difference between scanning 6 months and scanning 80 months
+    "q95_hidden_partitioning" -> ((s, d) => {
+      val root = scratch(s, "q95", d)
+      HiddenPartitions.init(s, root, HiddenPartitions.Month("o_orderdate"))
+      HiddenPartitions.write(s, root,
+        ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderdate"),
+        mode = "overwrite")
+      val pred = "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '1996-07-01 00:00:00'"
+      val pruned = HiddenPartitions.read(s, root, Some(pred))
+      val full = HiddenPartitions.read(s, root, None)
+      val (pf, ff) = (scannedFiles(pruned), scannedFiles(full))
+      assert(pf > 0 && pf < ff,
+        s"transform pruning must shrink the scan: $pf/$ff files")
+      pruned.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // PARTITION SPEC EVOLUTION: the first half of the lake is laid out
+    // by bucket(8, o_custkey), then the spec evolves to
+    // month(o_orderdate) and the second half lands in the new layout —
+    // nothing is rewritten. A custkey equality predicate prunes the
+    // OLD subtree to one hash bucket (the new subtree scans — its
+    // transform admits nothing from this predicate); correctness comes
+    // from the residual filter either way. The Iceberg contract:
+    // changing how 100 TB is partitioned must not mean rewriting it
+    "q96_partition_evolution" -> ((s, d) => {
+      val root = scratch(s, "q96", d)
+      val src = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate")
+      HiddenPartitions.init(s, root, HiddenPartitions.Bucket(8, "o_custkey"))
+      HiddenPartitions.write(s, root, src.filter(col("o_orderkey") % 2 === 0))
+      HiddenPartitions.evolve(s, root, HiddenPartitions.Month("o_orderdate"))
+      HiddenPartitions.write(s, root, src.filter(col("o_orderkey") % 2 === 1))
+      val pred = "o_custkey = 42"
+      val pruned = HiddenPartitions.read(s, root, Some(pred))
+      val full = HiddenPartitions.read(s, root, None)
+      val (pf, ff) = (scannedFiles(pruned), scannedFiles(full))
+      assert(pf > 0 && pf < ff,
+        s"bucket pruning must shrink the evolved scan: $pf/$ff files")
+      pruned.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // SNAPSHOT TAGS (Iceberg refs): a release gets a NAME, clients read
+    // the tag without carrying snapshot ids, and retention can never
+    // expire it — vacuum with a future cutoff deletes every untagged
+    // old snapshot but must leave the tagged release intact (asserted
+    // in-query, along with deleteSnapshot refusing a pinned id).
+    // Tagging is metadata-only: O(1) writes, zero data movement
+    "q97_snapshot_tags" -> ((s, d) => {
+      val root = scratch(s, "q97", d)
+      val tf = TimeFly(s, root).init("releases")
+      val v1 = ord(s, d).filter(col("o_custkey") < 100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      tf.writer(WriteMode.Overwrite).write(v1)
+      val s1 = tf.addSnapshot()
+      tf.tag("v1_train", s1)
+      Thread.sleep(1100) // snapshot ids have second resolution
+      val v2 = ord(s, d).filter(col("o_custkey") >= 1400)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      tf.writer(WriteMode.Overwrite).write(v2)
+      val s2 = tf.addSnapshot()
+      Thread.sleep(1100)
+      tf.addSnapshot() // newest — always survives retention
+      // retention with a cutoff beyond everything: s2 is untagged prey,
+      // s1 is tagged and must survive; pinned delete must refuse
+      val st = tf.vacuum(olderThan = Some("29990101_000000"))
+      assert(st.expired == Seq(s2),
+        s"retention must expire exactly the untagged $s2: ${st.expired}")
+      assert(tf.availableSnapshots().contains(s1), "tagged must survive")
+      val refused =
+        try { tf.deleteSnapshot(s1); false }
+        catch { case _: IllegalArgumentException => true }
+      assert(refused, "deleteSnapshot must refuse a tagged id")
+      tf.readTag("v1_train")
+        .select(lit("tag").as("side"), col("o_orderkey"),
           col("o_custkey"), col("o_totalprice"))
         .unionByName(tf.read(None)
           .select(lit("current").as("side"), col("o_orderkey"),
@@ -2222,6 +2323,14 @@ object SparkEntry {
       Dedup.boilerplateRemove(docs(s, d), "doc_id", "text",
           k = 8, minDf = 3)
         .orderBy("doc_id")
+    }),
+
+    // per-doc TF-IDF keywords: tf agg + vocabulary-keyed idf join + a
+    // per-doc window for top-k — idf in fineLog2 fixed point so the
+    // scores are integers and the ranking hash-verifies cross-engine
+    "d41_tfidf_keywords" -> ((s, d) => {
+      operators.Quality.tfidfTopTerms(docs(s, d), k = 3)
+        .orderBy("doc_id", "rank")
     }),
 
     // context-window chunking: split every doc into fixed 32-token
@@ -4978,6 +5087,38 @@ object SparkEntry {
         | coalesce(r.clean_text, '') AS clean_text
         |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // idf in the same fineLog2 fixed point as the Spark side — integer
+    // scores, bit-identical ranking
+    "d41_tfidf_keywords" -> {
+      def fine(e: String): String =
+        s"(256 * (length(bin($e)) - 1) + " +
+          s"CAST(floor(CAST(($e) * 256 AS DOUBLE) / " +
+          s"power(2, length(bin($e)) - 1)) AS BIGINT) - 256)"
+      s"""WITH t AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         | FROM documents),
+         |tf AS (
+         | SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         | FROM t GROUP BY doc_id, token),
+         |dfq AS (
+         | SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         | FROM t GROUP BY token),
+         |nn AS (
+         | SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+         | FROM documents),
+         |sc AS (
+         | SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         |  tf.tf * (${fine("nn.n")} - ${fine("dfq.df")}) AS score_q8
+         | FROM tf JOIN dfq USING (token), nn)
+         |SELECT doc_id, token, tf, df, score_q8,
+         | CAST(row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY score_q8 DESC, token ASC) AS BIGINT) AS rank
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY score_q8 DESC, token ASC) <= 3
+         |ORDER BY doc_id, rank""".stripMargin
+    },
+
     // 1-based inclusive list slices on both sides; DuckDB clamps the
     // slice end exactly like Spark's `slice(arr, start, len)` clamps len
     "d18_chunking" ->
@@ -5643,6 +5784,30 @@ object SparkEntry {
         |SELECT 'asof' AS side, * FROM src
         |UNION ALL
         |SELECT 'current' AS side, * FROM merged
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // hidden partitioning must be invisible in the result: the pruned
+    // read equals the plain filtered relation
+    "q95_hidden_partitioning" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // spec evolution must be invisible too: both layouts' rows for the
+    // predicate, exactly once each
+    "q96_partition_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
+
+    // the tag serves the v1 release verbatim; current serves v2 —
+    // retention ran in between and must not have touched either
+    "q97_snapshot_tags" ->
+      """SELECT 'tag' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey < 100
+        |UNION ALL
+        |SELECT 'current', o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey >= 1400
         |ORDER BY side, o_orderkey""".stripMargin,
 
     // both sides must equal the post-mutation state: non-band keys
