@@ -156,6 +156,10 @@ final class TimeFly(spark: SparkSession, root: String) {
   /** Delete a snapshot's files and move its id available -> deleted
     * (`timefly.py:312-325`). */
   def deleteSnapshot(id: String): Unit = {
+    val holding = tags().collect { case (n, s) if s == id => n }
+    require(holding.isEmpty,
+      s"snapshot $id is pinned by tag(s) ${holding.mkString(", ")} — " +
+        "deleteTag first")
     fs.delete(new Path(snapshotPath(id)), true)
     val node = readMeta()
     val snap = node.withObject("/snapshot")
@@ -197,7 +201,9 @@ final class TimeFly(spark: SparkSession, root: String) {
     *     id < the cutoff are deleted through [[deleteSnapshot]] (files
     *     removed, id moved to `deleted`) — except the NEWEST available
     *     snapshot, which always survives so the dataset never loses its
-    *     last restore point to an aggressive cutoff.
+    *     last restore point to an aggressive cutoff, and TAGGED
+    *     snapshots, which retention can never expire (the [[tag]]
+    *     contract: releases outlive any cutoff until untagged).
     *
     * All enumeration is driver-side directory listing bounded by
     * snapshot/leaf counts, same as every other TimeFly meta operation.
@@ -227,7 +233,8 @@ final class TimeFly(spark: SparkSession, root: String) {
       case None => Nil
       case Some(t) =>
         val cutoff = TimeFly.normalizeId(t)
-        avail.dropRight(1).filter(_ < cutoff)
+        val tagged = tags().values.toSet
+        avail.dropRight(1).filter(id => id < cutoff && !tagged(id))
     }
     if (!dryRun) {
       orphans.foreach(fs.delete(_, true))
@@ -246,6 +253,59 @@ final class TimeFly(spark: SparkSession, root: String) {
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     arr.forEach(n => buf += n.asText())
     buf.toSeq.sorted
+  }
+
+  /** Named refs over snapshots (Iceberg-style tags): an immutable
+    * name → snapshot-id binding in the metadata. Tags make releases
+    * addressable ("v1_train") without clients carrying snapshot ids,
+    * and retention NEVER expires a tagged snapshot — [[vacuum]] skips
+    * them and [[deleteSnapshot]] refuses while a tag points at the id.
+    * Metadata-only, O(1) per op — nothing about tagging touches data. */
+  def tag(name: String, snapshotId: String): Unit = {
+    require(name.nonEmpty && !name.matches("\\d{8}_\\d{6}"),
+      s"tag name must not look like a snapshot id: $name")
+    val node = readMeta()
+    require(node.withObject("/snapshot").path(snapshotId).isObject,
+      s"snapshot $snapshotId does not exist")
+    val t = node.withObject("/tags")
+    require(!t.has(name),
+      s"tag $name already exists (tags are immutable; deleteTag first)")
+    t.put(name, snapshotId)
+    writeMeta(node)
+  }
+
+  def tags(): Map[String, String] = {
+    if (!exists()) return Map.empty
+    val t = readMeta().path("tags")
+    if (!t.isObject) return Map.empty
+    val b = Map.newBuilder[String, String]
+    t.fields.forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+    b.result()
+  }
+
+  def deleteTag(name: String): Unit = {
+    val node = readMeta()
+    val t = node.withObject("/tags")
+    require(t.has(name), s"tag $name does not exist")
+    t.remove(name)
+    writeMeta(node)
+  }
+
+  /** Read the exact state a tag names — direct resolution, not the T6
+    * as-of rule: a tag IS a snapshot pointer. Manifest-only snapshots
+    * scan their recorded file list; copy snapshots scan their dir. */
+  def readTag(name: String): DataFrame = {
+    val id = tags().getOrElse(name,
+      throw new IllegalArgumentException(s"tag $name does not exist"))
+    val entry = readMeta().withObject("/snapshot").path(id)
+    require(entry.isObject, s"tagged snapshot $id has no meta entry")
+    if (entry.path("manifest_only").asBoolean(false)) {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      val files = entry.path("files")
+      if (files.isArray) files.forEach(n => buf += n.asText())
+      if (buf.isEmpty) spark.read.parquet(currentPath).limit(0)
+      else spark.read.parquet(buf.toSeq: _*)
+    } else spark.read.parquet(snapshotPath(id))
   }
 
   /** Resolution rule T6 (`timefly.py:337-352`): first snapshot with

@@ -279,4 +279,37 @@ object Quality {
           col("rep_ok") && col("alpha_ok"))
       .drop("__nc", "__tk")
   }
+
+  /** Per-document top-k keywords by TF-IDF, in the fixed-point
+    * [[fineLog2]] arithmetic (idf_q8 = fineLog2(N) − fineLog2(df) —
+    * integer, order-identical to log(N/df), hash-verifiable across
+    * engines where libm logs drift).
+    *
+    * Shape at scale: one (doc, token) count agg (map-side combining),
+    * one token-keyed df agg whose result is corpus-VOCABULARY sized and
+    * joins back on the token key, the N scalar broadcast as a 1-row
+    * frame, and the final top-k as a per-doc window — partitioned by
+    * doc_id, so no global sort and no skew beyond a single document's
+    * vocabulary. Nothing is ever all-pairs or collected. */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token")
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score_q8",
+        col("tf") * (fineLog2(col("__n")) - fineLog2(col("df"))))
+      .drop("__n")
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(idCol)
+          .orderBy(col("score_q8").desc, col("token").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score_q8"), col("rank"))
+  }
 }

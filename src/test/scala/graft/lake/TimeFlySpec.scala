@@ -234,4 +234,32 @@ class TimeFlySpec extends AnyFunSuite {
       tf.changedFilesSince("19990101_000000")
     }
   }
+
+  test("tags: immutable name→snapshot refs; readTag serves both " +
+      "flavors; delete/retention refuse pinned snapshots") {
+    val dir = TestSpark.tempDir("tftag")
+    val tf = TimeFly(spark, dir).init("t9")
+    tf.writer(WriteMode.Overwrite).write(Seq((1, "a")).toDF("id", "v"))
+    val sCopy = tf.addSnapshot()
+    Thread.sleep(1100) // ids have second resolution
+    val sMan = tf.addSnapshot(manifestOnly = true)
+    tf.tag("rel_copy", sCopy)
+    tf.tag("rel_man", sMan)
+    // refused: duplicate name, snapshot-id-shaped name, unknown snapshot
+    intercept[IllegalArgumentException] { tf.tag("rel_copy", sCopy) }
+    intercept[IllegalArgumentException] { tf.tag("20250101_000000", sCopy) }
+    intercept[IllegalArgumentException] { tf.tag("x", "19990101_000000") }
+    // current moves on; both tag flavors still serve the old state
+    tf.writer(WriteMode.Overwrite).write(Seq((2, "b")).toDF("id", "v"))
+    assert(tf.readTag("rel_copy").select("id").as[Int].collect().toSeq
+      == Seq(1))
+    intercept[IllegalArgumentException] { tf.readTag("nope") }
+    assert(tf.tags() == Map("rel_copy" -> sCopy, "rel_man" -> sMan))
+    // pinned snapshots are undeletable until untagged
+    intercept[IllegalArgumentException] { tf.deleteSnapshot(sCopy) }
+    tf.deleteTag("rel_copy")
+    tf.deleteSnapshot(sCopy)
+    assert(!tf.availableSnapshots().contains(sCopy))
+    assert(tf.tags() == Map("rel_man" -> sMan))
+  }
 }
