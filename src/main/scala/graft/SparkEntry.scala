@@ -2333,6 +2333,22 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // leakage-safe train/test split: assignment is a function of the
+    // near-dup CLUSTER, so no near-duplicate pair can straddle the
+    // boundary (the Lee et al. 2022 eval-contamination mode). Asserted
+    // in-query: every cluster lands in exactly one split
+    "d42_cluster_split" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.2)
+      val labels = Dedup.duplicateClusters(pairs.select("id1", "id2"))
+      val out = operators.Sampling.clusterSplit(labels).cache()
+      val straddlers = out.groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+      assert(straddlers == 0, s"$straddlers clusters straddle the split")
+      out.orderBy("doc_id")
+    }),
+
     // context-window chunking: split every doc into fixed 32-token
     // training sequences (the pack-into-context step of corpus prep).
     // One generate (explode of the per-doc chunk index range) + per-row
@@ -3335,6 +3351,11 @@ object SparkEntry {
   }
 
   private def d09Oracle: String =
+    d09Labels + "\nSELECT doc_id, cluster_id FROM labels ORDER BY doc_id"
+
+  /** The d09 near-dup connected-components derivation as a CTE chain
+    * ending in `labels(doc_id, cluster_id)` — shared by d09/d28/d42. */
+  private def d09Labels: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh0 AS (
@@ -3367,9 +3388,10 @@ object SparkEntry {
       |reach(a, b) AS (
       |  SELECT a, b FROM sym
       |  UNION
-      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-      |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
-      |GROUP BY a ORDER BY doc_id""".stripMargin
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |labels AS (
+      |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      |""".stripMargin
 
   /** e04: IVF with deterministic pivots — no literals needed, the whole
     * assignment/probe/rank pipeline is plain SQL. Pivot selection is the
@@ -5118,6 +5140,15 @@ object SparkEntry {
          |   ORDER BY score_q8 DESC, token ASC) <= 3
          |ORDER BY doc_id, rank""".stripMargin
     },
+
+    // same LCG over the cluster label on both engines; positive
+    // operands make % and pmod agree
+    "d42_cluster_split" -> (d09Labels +
+      """SELECT doc_id, cluster_id,
+        | CASE WHEN ((cluster_id % 2147483647) * 1103515245 + 12345)
+        |   % 2147483647 % 10 < 8
+        |  THEN 'train' ELSE 'test' END AS split
+        |FROM labels ORDER BY doc_id""".stripMargin),
 
     // 1-based inclusive list slices on both sides; DuckDB clamps the
     // slice end exactly like Spark's `slice(arr, start, len)` clamps len

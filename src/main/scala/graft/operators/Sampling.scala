@@ -73,4 +73,29 @@ object Sampling {
         floor(col("rate") * modulus.toDouble).cast("long"))
       .select(col(idCol), col(stratumCol), col("rate"))
   }
+
+  /** Leakage-safe train/test split: the split is a deterministic
+    * function of the CLUSTER id (the near-dup component label, e.g.
+    * [[Dedup.duplicateClusters]] output), not the document id — so two
+    * near-duplicate documents can NEVER straddle the boundary and leak
+    * training text into the eval set (Lee et al. 2022 document exactly
+    * this contamination mode for C4/Wiki40B eval splits).
+    *
+    * Same 31-bit LCG as [[mixtureSample]] (pmod-bounded, ANSI-safe,
+    * engine-portable): `trainOf10`/10 of clusters go to train. A pure
+    * row-local projection — zero shuffle beyond whatever produced the
+    * labels. */
+  def clusterSplit(
+      labels: DataFrame,
+      clusterCol: String = "cluster_id",
+      trainOf10: Int = 8
+  ): DataFrame = {
+    require(trainOf10 >= 1 && trainOf10 <= 9, "trainOf10 in [1,9]")
+    val p = 2147483647L
+    val hash = pmod(
+      pmod(col(clusterCol), lit(p)) * 1103515245L + 12345L, lit(p))
+    labels.withColumn("split",
+      when(pmod(hash, lit(10L)) < trainOf10, lit("train"))
+        .otherwise(lit("test")))
+  }
 }
