@@ -935,6 +935,32 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // metadata-FILTERED ANN serving: top-k among only label%3==0
+    // vectors through the SHARED (unfiltered) quantizer — one index,
+    // any predicate; the filter is a pushed-down candidate-scan
+    // predicate, applied BEFORE ranking so k survivors come back
+    "e21_filtered_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopKFiltered(e, e.filter(col("vec_id") < 10),
+          candidateFilter = "label % 3 = 0", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
+    // ColBERT-style MaxSim late interaction: query groups of 4 vectors
+    // score label-groups by sum-of-per-query-vector-maxima; the sum
+    // folds a SORTED array so double addition order (and the hash) is
+    // engine-identical
+    "e22_maxsim" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.maxSimTopK(
+          e,
+          e.filter(col("vec_id") < 8)
+            .withColumn("qgroup", expr("vec_id div 4")),
+          corpusGroupCol = "label", queryGroupCol = "qgroup", k = 2)
+        .orderBy("qgroup", "rank")
+    }),
+
     // write-time expectations: rows proving every rule land in the
     // lake, violators are QUARANTINED with the rule names they failed
     // — bad batches preserved for triage, not dropped or fatal. The
@@ -3398,10 +3424,18 @@ object SparkEntry {
     * hash-stratified rank (Similarity.pivotRank's offset + double-MINSTD
     * permutation — portable, overflow-safe integer arithmetic),
     * reproduced verbatim here. */
-  private def e04Oracle: String = {
+  private def e04Oracle: String = e04OracleWhere(None)
+
+  /** e04's IVF oracle, optionally restricting the CANDIDATE side to
+    * vec_ids matching `candWhere` (e21 filtered serving) — pivots and
+    * probe assignment stay unfiltered, matching ivfTopKFiltered. */
+  private def e04OracleWhere(candWhere: Option[String]): String = {
     val nCells = 16
     val nProbe = 4
     val k = 5
+    val candClause = candWhere.map(w =>
+      s" AND vec_id IN (SELECT vec_id FROM embeddings WHERE $w)")
+      .getOrElse("")
     def psim(embA: String, nrmA: String, embB: String, nrmB: String) =
       s"list_reduce(list_transform(range(1, 65), i -> $embA[i] * $embB[i]), " +
         s"(acc, x) -> acc + x) / ($nrmA * $nrmB)"
@@ -3421,7 +3455,7 @@ object SparkEntry {
        |   row_number() OVER (PARTITION BY n.vec_id
        |     ORDER BY ${psim("n.emb", "n.nrm", "p.pemb", "p.pnrm")} DESC,
        |              p.cell ASC) AS pr
-       |  FROM n, piv p) t WHERE pr = 1),
+       |  FROM n, piv p) t WHERE pr = 1$candClause),
        |qa AS (SELECT vec_id, cell FROM (
        |  SELECT n.vec_id, p.cell,
        |   row_number() OVER (PARTITION BY n.vec_id
@@ -5422,6 +5456,37 @@ object SparkEntry {
     "e04_ann_ivf" -> e04Oracle,
     "e11_persisted_ivf" -> e04Oracle,
     "e14_ivf_maintain" -> e04Oracle,
+    "e21_filtered_ann" -> e04OracleWhere(Some("label % 3 = 0")),
+    "e22_maxsim" -> {
+      def psim(embA: String, nrmA: String, embB: String, nrmB: String) =
+        s"list_reduce(list_transform(range(1, 65), " +
+          s"i -> $embA[i] * $embB[i]), " +
+          s"(acc, x) -> acc + x) / ($nrmA * $nrmB)"
+      s"""WITH v AS (SELECT vec_id, label,
+         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, emb,
+         |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+         |       (acc, x) -> acc + x)) AS nrm FROM v),
+         |q AS (SELECT vec_id AS id1, vec_id // 4 AS qgroup,
+         |  emb AS emb1, nrm AS n1 FROM n WHERE vec_id < 8),
+         |p AS (SELECT q.qgroup, q.id1, c.label,
+         |  ${psim("q.emb1", "q.n1", "c.emb", "c.nrm")} AS sim
+         | FROM q JOIN n c ON c.vec_id <> q.id1),
+         |m AS (SELECT qgroup, id1, label, max(sim) AS m
+         | FROM p GROUP BY qgroup, id1, label),
+         |sc AS (SELECT qgroup, label AS docgroup,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(m ORDER BY id1)), (acc, x) -> acc + x) AS score
+         | FROM m GROUP BY qgroup, label)
+         |SELECT qgroup, docgroup, score,
+         | CAST(row_number() OVER (PARTITION BY qgroup
+         |   ORDER BY score DESC, docgroup ASC) AS BIGINT) AS rank
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY qgroup
+         |   ORDER BY score DESC, docgroup ASC) <= 2
+         |ORDER BY qgroup, rank""".stripMargin
+    },
     "e05_embed_dedup" -> e05Oracle,
     "e06_incremental_embed" -> e06Oracle,
     "q71_delta_semantic" -> q71Oracle,

@@ -568,6 +568,90 @@ object Similarity {
     ivfScoreTail(qAssigned, cAssigned, k)
   }
 
+  /** Metadata-FILTERED ANN serving (the FAISS IDSelector / filtered
+    * vector-search shape): top-k among ONLY the corpus vectors matching
+    * `candidateFilter`, probed through the UNFILTERED corpus' coarse
+    * quantizer — one shared index serves every predicate instead of a
+    * per-predicate rebuild. PRE-filter semantics: the filter lands on
+    * the candidate side before ranking (a plain pushed-down scan
+    * predicate when serving from a persisted cell assignment), so k
+    * survivors come back whenever the probed cells hold k matches —
+    * post-filtering a vanilla top-k would silently undershoot.
+    * Per-row cell assignment is independent of the filter, so results
+    * equal filtering an e04-style full probe — the oracle proves it. */
+  def ivfTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      candidateFilter: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val v = prep(corpus, idCol, vecCol)
+    val pivots = pivotSet(v, nCells)
+    val cAssigned =
+      assignCells(prep(corpus.filter(candidateFilter), idCol, vecCol),
+          pivots, 1)
+        .select(col("vec_id").as("id2"), col("emb").as("emb2"),
+          col("nrm").as("n2"), col("cell"))
+    val qAssigned = assignCells(prep(queries, idCol, vecCol), pivots, nProbe)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("nrm").as("n1"), col("cell"))
+    ivfScoreTail(qAssigned, cAssigned, k)
+  }
+
+  /** ColBERT-style MaxSim late interaction (Khattab & Zaharia 2020):
+    * query and document are each a GROUP of vectors; the score is
+    *   score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} cos(q, d)
+    * — each query vector picks its best-matching document vector, and
+    * the per-query-vector maxima sum. Returns the top-k document groups
+    * per query group.
+    *
+    * Scale shape: the (small) query-vector side broadcasts against one
+    * corpus scan — the same bounded-broadcast contract as
+    * [[bruteForceTopK]] (self-pairs excluded); the max is a
+    * (qgroup, qvec, docgroup) agg with map-side partials, the sum folds
+    * a SORTED per-group array so double addition order is fixed
+    * (hash-verifiable cross-engine — a bare sum() would be
+    * partition-order-dependent), and the final top-k is a per-qgroup
+    * window. Nothing shuffles the corpus beyond the group agg. */
+  def maxSimTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusGroupCol: String,
+      queryGroupCol: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 2
+  ): DataFrame = {
+    val c = corpus.select(col(corpusGroupCol).as("docgroup"),
+        col(idCol).as("id2"), asDouble(col(vecCol)).as("emb2"))
+      .withColumn("n2", norm(col("emb2")))
+    val q = queries.select(col(queryGroupCol).as("qgroup"),
+        col(idCol).as("id1"), asDouble(col(vecCol)).as("emb1"))
+      .withColumn("n1", norm(col("emb1")))
+    val best = broadcast(q)
+      .join(c, col("id1") =!= col("id2"))
+      .withColumn("sim",
+        cosine(col("emb1"), col("emb2"), col("n1"), col("n2")))
+      .groupBy("qgroup", "id1", "docgroup")
+      .agg(max(col("sim")).as("m"))
+    val scored = best
+      .groupBy("qgroup", "docgroup")
+      .agg(sort_array(collect_list(struct(col("id1"), col("m"))))
+        .as("__ms"))
+      .withColumn("score",
+        aggregate(col("__ms"), lit(0.0), (acc, x) => acc + x("m")))
+      .drop("__ms")
+    val w = Window.partitionBy("qgroup")
+      .orderBy(col("score").desc, col("docgroup").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qgroup", "docgroup", "score", "rank")
+  }
+
   /** The cell-keyed probe + exact rerank shared by [[ivfTopK]] and
     * [[ivfTopKFromIndex]]. No pair dedup needed: each corpus vector
     * lives in exactly one cell (`assign(v, 1)`), so (id1, id2) cannot
