@@ -2816,6 +2816,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ZIP container metadata (epub/docx/jar are all ZIP): EOCD found by
+    // the spec's backward signature scan (variable-length comment makes
+    // any fixed offset wrong), then the central directory walked entry
+    // by entry — each step's offset depends on the previous name length
+    "m08_zip_meta" -> ((s, d) => {
+      Multimodal.plantedZip(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("z", Multimodal.zipInfo(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("z.n_entries").as("n_entries"),
+          col("z.cd_size").as("cd_size"),
+          col("z.total_usize").as("total_usize"),
+          col("z.names").as("names"))
+        .orderBy("media_id")
+    }),
+
     // Arrow IPC (Feather v2) source+sink under the oracle: parquet ->
     // IPC file -> LakeReader ipc scan -> rows. The oracle reads the same
     // parquet directly, so a value/type drift anywhere in the Arrow codec
@@ -5604,6 +5622,30 @@ object SparkEntry {
 
     // expectations derived from the plant parameters, like m03-m05;
     // orientation only for even ids (entry-count discipline)
+    // expectations re-derived from the fixture's id arithmetic; raw
+    // text rows (sel=2) have no EOCD -> null metadata
+    "m08_zip_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS sel,
+        |  (doc_id // 3) % 3 + 1 AS n FROM documents),
+        |e AS (SELECT media_id, sel, n,
+        |  CASE n WHEN 1 THEN 51 WHEN 2 THEN 103 ELSE 156 END AS cds,
+        |  ((media_id * 7) % 100000)
+        |   + CASE WHEN n >= 2 THEN (media_id * 7 + 13) % 100000
+        |     ELSE 0 END
+        |   + CASE WHEN n >= 3 THEN (media_id * 7 + 26) % 100000
+        |     ELSE 0 END AS tot,
+        |  CASE n WHEN 1 THEN 'f.txt' WHEN 2 THEN 'f.txt,ff.txt'
+        |   ELSE 'f.txt,ff.txt,fff.txt' END AS nm
+        | FROM p)
+        |SELECT media_id,
+        | CASE WHEN sel < 2 THEN 'application/zip'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CAST(CASE WHEN sel < 2 THEN n END AS BIGINT) AS n_entries,
+        | CAST(CASE WHEN sel < 2 THEN cds END AS BIGINT) AS cd_size,
+        | CAST(CASE WHEN sel < 2 THEN tot END AS BIGINT) AS total_usize,
+        | CASE WHEN sel < 2 THEN nm END AS names
+        |FROM e ORDER BY media_id""".stripMargin,
+
     "m06_tiff_meta" ->
       """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
         |  doc_id % 4000 + 16 AS w, doc_id % 3000 + 16 AS h,

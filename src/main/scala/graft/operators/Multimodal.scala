@@ -40,6 +40,7 @@ object Multimodal {
         "image/webp")
       .when(magic === "52494646", "audio/wav")
       .when(magic === "664C6143", "audio/flac")
+      .when(magic === "504B0304", "application/zip")
       // ISO-BMFF: the brand box type at offset 4, not a leading magic
       .when(upper(hex(substring(payload, 5, 4))) === "66747970",
         "video/mp4")
@@ -690,4 +691,159 @@ object Multimodal {
   ): org.apache.spark.sql.Column =
     (pmod(f1 + i * f2, lit(2000001L)).cast("double") - lit(1000000.0)) /
       lit(1000000.0)
+
+  // ---- ZIP archives (document containers: epub/docx/jar are all ZIP) --
+
+  /** One payload byte at a DYNAMIC 0-based offset (Column), read from a
+    * hex image — `Column.substr(Column, Column)` keeps the walk inside
+    * codegen'd builtins like the static [[hxByte]]. */
+  private def dynByte(
+      hx: org.apache.spark.sql.Column,
+      off: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column =
+    conv(hx.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+
+  /** Little-endian unsigned integer of `nBytes` at dynamic offset. */
+  private def dynLe(
+      hx: org.apache.spark.sql.Column,
+      off: org.apache.spark.sql.Column,
+      nBytes: Int
+  ): org.apache.spark.sql.Column =
+    (0 until nBytes).map(b =>
+      dynByte(hx, off + b) * lit(1L << (8 * b))).reduce(_ + _)
+
+  /** ZIP central-directory metadata as a struct
+    * (n_entries, cd_size, total_usize, names) — parsed the way the ZIP
+    * spec (APPNOTE 4.3) demands: find the End-Of-Central-Directory
+    * record by scanning BACKWARD from the end for its signature
+    * (a variable-length archive comment means no fixed offset —
+    * load-bearing: the fixture plants one), read the entry count /
+    * directory size / directory offset from it, then WALK the central
+    * directory — each entry's 46-byte fixed header carries the
+    * uncompressed size and the name/extra/comment lengths that
+    * determine where the NEXT entry starts.
+    *
+    * The backward scan is `instr(reverse(hx), reverse(sig))` — the
+    * LAST occurrence, as the spec requires — with a parity check so a
+    * hex match straddling a byte boundary can't fool it. The walk is
+    * statically unrolled to `maxEntries` (builtins stay codegen'd, the
+    * m-series discipline; archives beyond the bound report their
+    * n_entries but only the first `maxEntries` names/sizes — a custom
+    * expression is the path past that, as with TiffPackExpr). Null
+    * fields for payloads with no valid EOCD. */
+  def zipInfo(
+      payload: org.apache.spark.sql.Column,
+      maxEntries: Int = 3
+  ): org.apache.spark.sql.Column = {
+    val hx = upper(hex(payload))
+    val L = length(hx)
+    // EOCD start (1-based hex char): last "504B0506", byte-aligned
+    val revPos = instr(reverse(hx), "6050B405")
+    val sChar = L - revPos - lit(6)
+    val ok = revPos > 0 && pmod(sChar, lit(2)) === 1
+    val e = (sChar - 1) / 2 // 0-based byte offset of EOCD
+    val n = when(ok, dynLe(hx, e + 10, 2))
+    val cdSize = when(ok, dynLe(hx, e + 12, 4))
+    val cdOff = when(ok, dynLe(hx, e + 16, 4))
+    // unrolled central-directory walk
+    case class Ent(
+        off: org.apache.spark.sql.Column,
+        sigOk: org.apache.spark.sql.Column,
+        usize: org.apache.spark.sql.Column,
+        name: org.apache.spark.sql.Column,
+        next: org.apache.spark.sql.Column)
+    def parse(off: org.apache.spark.sql.Column): Ent = {
+      val sigOk = hx.substr((off * 2 + 1).cast("int"), lit(8)) ===
+        "504B0102"
+      val usize = dynLe(hx, off + 24, 4)
+      val nameLen = dynLe(hx, off + 28, 2)
+      val extraLen = dynLe(hx, off + 30, 2)
+      val cmtLen = dynLe(hx, off + 32, 2)
+      val name = payload
+        .substr((off + 47).cast("int"), nameLen.cast("int"))
+        .cast("string")
+      Ent(off, sigOk, usize, name, off + 46 + nameLen + extraLen + cmtLen)
+    }
+    val ents = (1 to maxEntries).scanLeft(Option.empty[Ent]) {
+      case (prev, _) =>
+        Some(parse(prev.map(_.next).getOrElse(cdOff)))
+    }.flatten
+    def live(j: Int) = ok && n >= (j + 1) && ents(j).sigOk
+    val total = (0 until maxEntries).map(j =>
+      when(live(j), ents(j).usize)
+        // entry expected but malformed: poison the sum to null
+        .when(ok && n >= (j + 1), lit(null).cast("long"))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    val names = concat_ws(",",
+      (0 until maxEntries).map(j => when(live(j), ents(j).name)): _*)
+    // a truncated EOCD reads null counts/offsets — the aggregate fields
+    // must be NULL then, not a sum of zero contributions
+    val valid = ok && n.isNotNull && cdOff.isNotNull
+    struct(
+      n.as("n_entries"),
+      cdSize.as("cd_size"),
+      when(valid, total).as("total_usize"),
+      when(valid, names).as("names"))
+  }
+
+  /** Planted ZIP fixtures: `(doc_id div 3) % 3 + 1` entries with
+    * DIFFERENT name lengths (f.txt / ff.txt / fff.txt — so each walk
+    * step's offset depends on the previous entry's name length), stored
+    * sizes varying with the id, local-header stubs so the directory
+    * offset is real, and a VARIABLE-length archive comment (`id % 7`
+    * bytes) so the EOCD is never at a fixed distance from the end —
+    * the backward scan is load-bearing. Every third row raw text →
+    * null metadata. Construction is hex + unhex; the m08 oracle
+    * derives expectations from the same id arithmetic. */
+  def plantedZip(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def le16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X", byteAt(c, 1L), byteAt(c, 256L))
+    def le32(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X%02X", byteAt(c, 1L), byteAt(c, 256L),
+        byteAt(c, 65536L), byteAt(c, 16777216L))
+    val nameHex = Seq("662E747874", "66662E747874", "6666662E747874")
+    val nameLen = Seq(5, 6, 7)
+    val n = (expr(s"$idCol div 3") % 3 + 1).cast("long")
+    val usize = (0 until 3).map(j => (id * 7 + j * 13) % 100000L)
+    val localLen = nameLen.map(30 + _)
+    val localOff = localLen.scanLeft(0)(_ + _)
+    def entHex(j: Int) = concat(
+      lit("504B0102"), lit("00" * 12), // versions/flags/method/time/date
+      lit("00000000"), // crc (unset in fixture)
+      le32(usize(j)), le32(usize(j)),
+      le16(lit(nameLen(j).toLong)), lit("0000"), lit("0000"),
+      lit("0000"), lit("0000"), lit("00000000"),
+      le32(lit(localOff(j).toLong)), lit(nameHex(j)))
+    def localHex(j: Int) =
+      concat(lit("504B0304"), lit("00" * 26), lit(nameHex(j)))
+    val cdSizes = nameLen.map(46 + _).scanLeft(0)(_ + _) // prefix sums
+    val cdSize = when(n === 1, cdSizes(1)).when(n === 2, cdSizes(2))
+      .otherwise(cdSizes(3)).cast("long")
+    val cdOff = when(n === 1, localOff(1)).when(n === 2, localOff(2))
+      .otherwise(localOff(3)).cast("long")
+    def firstN(parts: Seq[org.apache.spark.sql.Column]) =
+      concat(parts.zipWithIndex.map { case (p, j) =>
+        when(n >= j + 1, p).otherwise(lit(""))
+      }: _*)
+    val cl = (id % 7).cast("long")
+    val zipHex = concat(
+      firstN((0 until 3).map(localHex)),
+      firstN((0 until 3).map(entHex)),
+      lit("504B0506"), lit("0000"), lit("0000"),
+      le16(n), le16(n), le32(cdSize), le32(cdOff),
+      le16(cl), expr(s"repeat('78', $idCol % 7)"))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 2, hex(col(textCol).cast("binary")))
+          .otherwise(zipHex)).as("payload"))
+  }
 }

@@ -445,4 +445,55 @@ class MultimodalSpec extends AnyFunSuite {
       "RIFF/WAVE must not parse as webp")
     assert(out(6L)._2.isEmpty && out(7L)._2.isEmpty)
   }
+
+  test("zipInfo nulls out hostile payloads: truncated EOCD, directory " +
+      "offset past the end, misaligned signature hex, no signature") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val hostile = Seq(
+      hx("504B0506"), // EOCD signature, truncated record
+      // full EOCD but cd offset (0xFFFF) far past the end, 1 entry
+      hx("504B0506" + "0000" + "0000" + "0100" + "0100" +
+        "33000000" + "FFFF0000" + "0000"),
+      // "504B0506" as hex chars straddling a byte boundary:
+      // bytes 0x25 0x04 0xB0 0x50 0x6? -> contains the substring
+      // "504B0506" at an EVEN position only
+      hx("2504B05060"),
+      "no zip here at all".getBytes("UTF-8"),
+      Array[Byte]()
+    ).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "payload")
+    val out = hostile.withColumn("z", Multimodal.zipInfo($"payload"))
+      .select($"media_id", $"z.n_entries", $"z.total_usize", $"z.names")
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(2),
+        s"row ${r.getLong(0)}: total_usize should be null, got $r")
+    }
+    // the truncated-record case still reads a (garbage) n from beyond
+    // the buffer -> conv(null) -> null; the misaligned case must be
+    // rejected by the parity check, not parsed
+    assert(out.forall(r => r.isNullAt(3) || r.getString(3).isEmpty))
+  }
+
+  test("plantedZip round-trips through zipInfo: entry walk spans " +
+      "variable name lengths and the comment shifts the EOCD") {
+    val df = (0L to 20L).map(i => (i, s"doc text $i"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.plantedZip(df, "doc_id", "text")
+      .withColumn("z", Multimodal.zipInfo($"payload"))
+      .select($"media_id", $"z.n_entries", $"z.names")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toMap
+    for (i <- 0L to 20L) {
+      if (i % 3 == 2) assert(out(i) == ((-1L, null)), s"raw row $i")
+      else {
+        val n = (i / 3) % 3 + 1
+        val names = Seq("f.txt", "ff.txt", "fff.txt").take(n.toInt)
+          .mkString(",")
+        assert(out(i) == ((n, names)), s"zip row $i")
+      }
+    }
+  }
 }
