@@ -287,10 +287,13 @@ object Quality {
     *
     * Shape at scale: one (doc, token) count agg (map-side combining),
     * one token-keyed df agg whose result is corpus-VOCABULARY sized and
-    * joins back on the token key, the N scalar broadcast as a 1-row
-    * frame, and the final top-k as a per-doc window — partitioned by
-    * doc_id, so no global sort and no skew beyond a single document's
-    * vocabulary. Nothing is ever all-pairs or collected. */
+    * joins back on the token key, the N scalar resolved as ONE
+    * column-pruned count job on the driver (a 1-row broadcast frame
+    * would plan a BroadcastNestedLoopJoin — same result, but it puts a
+    * nested-loop operator in every downstream audit for what is really
+    * a literal), and the final top-k as a per-doc window — partitioned
+    * by doc_id, so no global sort and no skew beyond a single
+    * document's vocabulary. Nothing is ever all-pairs. */
   def tfidfTopTerms(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol),
@@ -298,12 +301,11 @@ object Quality {
     val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("token")
       .agg(countDistinct(col(idCol)).as("df"))
-    val n = docs.agg(countDistinct(col(idCol)).as("__n"))
+    val nDocs: Long =
+      docs.agg(countDistinct(col(idCol))).head.getLong(0)
     val scored = tf.join(df, "token")
-      .crossJoin(broadcast(n))
       .withColumn("score_q8",
-        col("tf") * (fineLog2(col("__n")) - fineLog2(col("df"))))
-      .drop("__n")
+        col("tf") * (fineLog2(lit(nDocs)) - fineLog2(col("df"))))
     scored
       .withColumn("rank",
         row_number().over(Window.partitionBy(idCol)

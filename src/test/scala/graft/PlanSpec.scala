@@ -147,10 +147,14 @@ class PlanSpec extends AnyFunSuite {
     //    PQ-reconstructed / sign-packed corpus (linear in corpus size,
     //    cross only in |Q|; with an IVF front end the scan narrows to
     //    probed cells, which e11/e14 already assert as keyed+DPP)
+    //  - e22: MaxSim late interaction — by definition every query
+    //    vector scores against every vector of each candidate document
+    //    group, so the exact baseline is e02's bounded-broadcast class
+    //    (|Q| query vectors broadcast against one corpus scan)
     // Everything else — including e01's exact all-pairs, which is now
     // block-keyed — must plan as equi joins.
     val allowed = Set("q55_cross_join_small", "e02_knn_topk",
-      "e15_ann_recall", "e16_pq_adc", "e17_hamming_topk")
+      "e15_ann_recall", "e16_pq_adc", "e17_hamming_topk", "e22_maxsim")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
