@@ -869,6 +869,123 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // WRITABLE BRANCHES (Iceberg/Nessie-style refs): creation records a
+    // base-file manifest and an empty local dir — zero copy; branch
+    // writes are invisible to main; fast-forward publishes by MOVING
+    // the branch's files into current. Every isolation claim asserted
+    // in-query: nothing copied at create, main's file set untouched by
+    // the branch write, publish moves exactly the branch's files
+    "q98_branch" -> ((s, d) => {
+      val root = scratch(s, "q98", d)
+      val tf = TimeFly(s, root).init("branching")
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      tf.writer(WriteMode.Overwrite)
+        .write(ord(s, d).filter(col("o_custkey") < 300)
+          .select(cols.map(col): _*))
+      val curBefore = SchemaTools.listDataFiles(s, tf.currentPath).toSet
+      tf.branch("exp")
+      assert(SchemaTools.listDataFiles(s, tf.branchPath("exp")).isEmpty,
+        "branch create must copy nothing")
+      tf.branchWriter("exp")
+        .write(ord(s, d).filter(col("o_custkey") >= 1400)
+          .select(cols.map(col): _*))
+      assert(
+        SchemaTools.listDataFiles(s, tf.currentPath).toSet == curBefore,
+        "a branch write must not touch main")
+      val nLocal =
+        SchemaTools.listDataFiles(s, tf.branchPath("exp")).size
+      tf.fastForward("exp")
+      assert(tf.branches().isEmpty, "fast-forward must drop the branch")
+      assert(SchemaTools.listDataFiles(s, tf.currentPath).size ==
+        curBefore.size + nLocal,
+        "fast-forward must MOVE the branch files, not copy them")
+      // a branch opened after the publish is isolated in both
+      // directions: main serves the published state, the branch serves
+      // published ∪ its own appends
+      tf.branch("exp2")
+      tf.branchWriter("exp2")
+        .write(ord(s, d).filter(col("o_custkey").between(700, 720))
+          .select(cols.map(col): _*))
+      tf.read(None)
+        .select(lit("main").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(tf.readBranch("exp2")
+          .select(lit("branch").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // SHALLOW CLONE (Delta CLONE): a new dataset whose live view starts
+    // as a manifest of the source's files — storage shared until either
+    // side writes. Clone-local appends never reach the source, source
+    // appends after clone time never reach the clone, and deepen()
+    // converts to a deep clone as a content no-op — all asserted
+    // in-query
+    "q99_clone" -> ((s, d) => {
+      val srcRoot = scratch(s, "q99src", d)
+      val dstRoot = scratch(s, "q99dst", d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val tf = TimeFly(s, srcRoot).init("source")
+      tf.writer(WriteMode.Overwrite)
+        .write(ord(s, d).filter(col("o_custkey") < 300)
+          .select(cols.map(col): _*))
+      val srcFiles = SchemaTools.listDataFiles(s, tf.currentPath).toSet
+      val cl = tf.cloneTo(dstRoot, "clone")
+      assert(SchemaTools.listDataFiles(s, cl.currentPath).isEmpty,
+        "shallow clone must copy nothing")
+      cl.writer(WriteMode.Append)
+        .write(ord(s, d).filter(col("o_custkey") >= 1400)
+          .select(cols.map(col): _*))
+      assert(
+        SchemaTools.listDataFiles(s, tf.currentPath).toSet == srcFiles,
+        "a clone write must not touch the source")
+      // divergence is two-way: post-clone source appends stay invisible
+      // to the clone's frozen base
+      tf.writer(WriteMode.Append)
+        .write(ord(s, d).filter(col("o_custkey").between(700, 720))
+          .select(cols.map(col): _*))
+      val shallowCount = cl.read(None).count()
+      val localBefore = SchemaTools.listDataFiles(s, cl.currentPath).size
+      cl.deepen()
+      assert(cl.read(None).count() == shallowCount,
+        "deepen must be a content no-op")
+      assert(SchemaTools.listDataFiles(s, cl.currentPath).size ==
+        localBefore + srcFiles.size,
+        "deepen must localize exactly the borrowed base files")
+      tf.read(None)
+        .select(lit("source").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(cl.read(None)
+          .select(lit("clone").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // METADATA TABLE (Iceberg snapshots / DESCRIBE HISTORY): the
+    // dataset's timeline as a queryable DataFrame — one row per
+    // snapshot in id order plus the live state, each with the row count
+    // that ref serves; covers both snapshot flavors (copy and
+    // manifest-only) and a post-snapshot append visible only in the
+    // live row
+    "q100_history" -> ((s, d) => {
+      val root = scratch(s, "q100", d)
+      val tf = TimeFly(s, root).init("hist")
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      tf.writer(WriteMode.Overwrite)
+        .write(ord(s, d).filter(col("o_custkey") < 100)
+          .select(cols.map(col): _*))
+      tf.addSnapshot()
+      Thread.sleep(1100) // snapshot ids have second resolution
+      tf.writer(WriteMode.Overwrite)
+        .write(ord(s, d).filter(col("o_custkey") >= 1400)
+          .select(cols.map(col): _*))
+      tf.addSnapshot(manifestOnly = true)
+      tf.writer(WriteMode.Append)
+        .write(ord(s, d).filter(col("o_custkey").between(700, 720))
+          .select(cols.map(col): _*))
+      tf.history().orderBy("ord")
+    }),
+
     // CDC replication end-to-end: a replica seeded from the same
     // initial state consumes ONLY the source's change feed (update
     // post-images + inserts as upserts, deletes as keyed deletes,
@@ -5947,6 +6064,48 @@ object SparkEntry {
         |SELECT 'current', o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey >= 1400
         |ORDER BY side, o_orderkey""".stripMargin,
+
+    // main = the fast-forwarded state (base ∪ branch appends); the
+    // post-publish branch additionally carries its own appends
+    "q98_branch" ->
+      """WITH main AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_custkey < 300 OR o_custkey >= 1400)
+        |SELECT 'main' AS side, * FROM main
+        |UNION ALL
+        |SELECT 'branch', * FROM main
+        |UNION ALL
+        |SELECT 'branch', o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey BETWEEN 700 AND 720
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // source = base ∪ its own post-clone appends; clone = the frozen
+    // base ∪ the clone's appends — neither side sees the other's writes
+    "q99_clone" ->
+      """SELECT 'source' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey < 300 OR o_custkey BETWEEN 700 AND 720
+        |UNION ALL
+        |SELECT 'clone', o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey < 300 OR o_custkey >= 1400
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // the timeline replayed relationally: snapshot 1 froze the v1
+    // rows, snapshot 2 (manifest-only) froze v2, the live row serves
+    // v2 plus the post-snapshot append
+    "q100_history" ->
+      """SELECT CAST(1 AS BIGINT) AS ord, false AS is_current,
+        |  false AS manifest_only,
+        |  (SELECT count(*) FROM orders WHERE o_custkey < 100) AS n_rows
+        |UNION ALL
+        |SELECT 2, false, true,
+        |  (SELECT count(*) FROM orders WHERE o_custkey >= 1400)
+        |UNION ALL
+        |SELECT 3, true, false,
+        |  (SELECT count(*) FROM orders WHERE o_custkey >= 1400)
+        |  + (SELECT count(*) FROM orders
+        |     WHERE o_custkey BETWEEN 700 AND 720)
+        |ORDER BY ord""".stripMargin,
 
     // both sides must equal the post-mutation state: non-band keys
     // keep their rows, band post-images were deleted at v2, the

@@ -140,9 +140,16 @@ final class TimeFly(spark: SparkSession, root: String) {
     entry.put("created", id)
     entry.put("manifest_only", manifestOnly)
     if (manifestOnly) {
+      // a shallow clone's live view includes its borrowed base — the
+      // manifest must capture the WHOLE view, not just local files
       val files = entry.putArray("files")
-      SchemaTools.listDataFiles(spark, currentPath).foreach(files.add)
+      (cloneBaseFiles() ++
+        SchemaTools.listDataFiles(spark, currentPath)).foreach(files.add)
     } else {
+      require(cloneBaseFiles().isEmpty,
+        "copy snapshot on a shallow clone would silently drop the " +
+          "borrowed base files — deepen() first, or snapshot with " +
+          "manifestOnly = true")
       val dst = new Path(snapshotPath(id))
       fs.mkdirs(dst.getParent)
       FileUtil.copy(fs, new Path(currentPath), fs, dst, false, false,
@@ -216,10 +223,21 @@ final class TimeFly(spark: SparkSession, root: String) {
     val snapRoot = new Path(root, "snapshot")
     val avail = availableSnapshots()
     val orphans =
-      if (fs.exists(snapRoot))
+      (if (fs.exists(snapRoot))
         fs.listStatus(snapRoot).toSeq.filter(_.isDirectory)
           .map(_.getPath).filterNot(p => avail.contains(p.getName))
-      else Nil
+      else Nil) ++ {
+        // branch dirs with no meta entry: debris from a branch() that
+        // made its dir but never committed, or an interrupted delete.
+        // The meta is the source of truth for branches exactly as it
+        // is for snapshots.
+        val branchRoot = new Path(root, "branch")
+        val known = branches().toSet
+        if (fs.exists(branchRoot))
+          fs.listStatus(branchRoot).toSeq.filter(_.isDirectory)
+            .map(_.getPath).filterNot(p => known(p.getName))
+        else Nil
+      }
     val staleNames =
       Set("_compact_tmp", "_keys_tmp", "_shingles_tmp", "_stats_tmp")
     def tmps(p: Path): Seq[Path] =
@@ -320,9 +338,19 @@ final class TimeFly(spark: SparkSession, root: String) {
       }
   }
 
-  /** Read the dataset as of a point in time. */
-  def read(asOf: Option[String] = None): DataFrame =
-    spark.read.parquet(resolveSubpath(asOf))
+  /** Read the dataset as of a point in time. The live (asOf = None)
+    * view of a shallow clone is its borrowed base manifest plus the
+    * local files — see [[cloneTo]]. */
+  def read(asOf: Option[String] = None): DataFrame = asOf match {
+    case None =>
+      val base = cloneBaseFiles()
+      if (base.isEmpty) spark.read.parquet(currentPath)
+      else {
+        val all = base ++ SchemaTools.listDataFiles(spark, currentPath)
+        spark.read.parquet(all: _*)
+      }
+    case _ => spark.read.parquet(resolveSubpath(asOf))
+  }
 
   /** Data files added to `current/` since snapshot `sinceId` — the
     * file-set diff between now and the snapshot's baseline (a
@@ -371,6 +399,237 @@ final class TimeFly(spark: SparkSession, root: String) {
 
   def writer(mode: WriteMode = WriteMode.Append): LakeWriter =
     LakeWriter(spark, currentPath, mode, onWrite = () => notifyDataChange())
+
+  // ---- branches (writable refs) -------------------------------------------
+  // Iceberg/Nessie-style branches: a named line of development whose
+  // creation copies NOTHING. The branch records a manifest of
+  // `current/`'s data files at branch time (its base) and owns a local
+  // append directory `branch/<name>/`; a branch read is base ∪ local.
+  // Branch writes are APPEND-family only — the base belongs to main, so
+  // a branch can add rows but never rewrite main's files (rewriting
+  // semantics on a branch = clone the dataset instead). Publishing is
+  // `fastForward`: if main has not diverged from the branch's base, the
+  // branch's local files MOVE into `current/` — metadata-scale renames,
+  // no data copied at any point in the branch lifecycle.
+
+  def branchPath(name: String): String =
+    new Path(new Path(root, "branch"), name).toString
+
+  /** Create branch `name` from the live state: record the base manifest
+    * (zero-copy — the branch shares main's files) and its empty local
+    * dir. */
+  def branch(name: String): Unit = {
+    require(name.nonEmpty && !name.matches("\\d{8}_\\d{6}"),
+      s"branch name must not look like a snapshot id: $name")
+    val node = readMeta()
+    val b = node.withObject("/branches")
+    require(!b.has(name), s"branch $name already exists")
+    val entry = b.putObject(name)
+    entry.put("created", nowId())
+    val files = entry.putArray("base_files")
+    SchemaTools.listDataFiles(spark, currentPath).foreach(files.add)
+    fs.mkdirs(new Path(branchPath(name)))
+    writeMeta(node)
+  }
+
+  def branches(): Seq[String] = {
+    if (!exists()) return Nil
+    val b = readMeta().path("branches")
+    if (!b.isObject) return Nil
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    b.fieldNames.forEachRemaining(buf += _)
+    buf.toSeq.sorted
+  }
+
+  private def branchBaseFiles(name: String): Seq[String] = {
+    val entry = readMeta().path("branches").path(name)
+    require(entry.isObject, s"branch $name does not exist")
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val files = entry.path("base_files")
+    if (files.isArray) files.forEach(n => buf += n.asText())
+    buf.toSeq
+  }
+
+  /** The branch's view: its base manifest plus everything appended to
+    * its local dir. */
+  def readBranch(name: String): DataFrame = {
+    val all =
+      branchBaseFiles(name) ++
+        SchemaTools.listDataFiles(spark, branchPath(name))
+    if (all.isEmpty) spark.read.parquet(currentPath).limit(0)
+    else spark.read.parquet(all: _*)
+  }
+
+  /** Appending writer for the branch's local dir. Append-family by
+    * contract: the base files belong to main. */
+  def branchWriter(name: String): LakeWriter = {
+    branchBaseFiles(name) // existence check
+    LakeWriter(spark, branchPath(name), WriteMode.Append)
+  }
+
+  /** Publish the branch into main. Precondition (the FAST-FORWARD rule):
+    * main's file set must still equal the branch's base — a diverged
+    * main refuses, because merging divergent lines needs a row-level
+    * strategy (RowOps), not a ref move. On success the branch's local
+    * files are RENAMED into `current/` (no copy; Spark task-file names
+    * are UUID-unique so collisions cannot occur) and the branch is
+    * dropped.
+    *
+    * Crash protocol (the Compact swap-manifest pattern): the set of
+    * names this publish moves is persisted as `_publish.json` in the
+    * branch dir BEFORE the first rename. A re-run after any crash
+    * point reads the manifest, counts already-moved names as
+    * branch-owned rather than foreign divergence, and finishes the
+    * remaining renames — every step idempotent. */
+  def fastForward(name: String): Unit = {
+    val bp = new Path(branchPath(name))
+    val manifestPath = new Path(bp, "_publish.json")
+    val local = SchemaTools.listDataFiles(spark, branchPath(name))
+    val moving: Set[String] =
+      if (fs.exists(manifestPath)) {
+        val n = mapper.readTree(readText(fs, manifestPath))
+          .asInstanceOf[ObjectNode]
+        val buf = scala.collection.mutable.Set[String]()
+        n.withArray("moving").forEach(x => buf += x.asText())
+        buf.toSet
+      } else {
+        val n = mapper.createObjectNode()
+        val arr = n.putArray("moving")
+        local.map(f => new Path(f).getName).foreach(arr.add)
+        val out = fs.create(manifestPath, true)
+        try out.write(mapper.writeValueAsBytes(n)) finally out.close()
+        local.map(f => new Path(f).getName).toSet
+      }
+    val base = branchBaseFiles(name).map(f => new Path(f).getName).toSet
+    val cur = SchemaTools.listDataFiles(spark, currentPath)
+      .map(f => new Path(f).getName).toSet
+    val foreign = cur -- base -- moving
+    if (foreign.nonEmpty) {
+      // refuse; back the staged manifest out only if no file has moved
+      // yet — after a half-done move it is the only record of which
+      // current files belong to the branch, so it must survive for the
+      // next re-run (or manual repair)
+      if ((cur & moving).isEmpty) fs.delete(manifestPath, false)
+      throw new IllegalArgumentException(
+        s"main diverged since branch $name was created " +
+          s"(${foreign.size} foreign file(s)); fast-forward refused")
+    }
+    local.foreach { f =>
+      val p = new Path(f)
+      fs.rename(p, new Path(currentPath, p.getName))
+    }
+    val node = readMeta()
+    node.withObject("/branches").remove(name)
+    writeMeta(node)
+    fs.delete(bp, true)
+    notifyDataChange()
+  }
+
+  /** Drop a branch and its local files; the base manifest only ever
+    * pointed at main's files, so nothing of main is touched. */
+  def deleteBranch(name: String): Unit = {
+    val node = readMeta()
+    val b = node.withObject("/branches")
+    require(b.has(name), s"branch $name does not exist")
+    b.remove(name)
+    writeMeta(node)
+    fs.delete(new Path(branchPath(name)), true)
+  }
+
+  // ---- metadata tables ----------------------------------------------------
+
+  /** The dataset's history as a queryable DataFrame (Iceberg
+    * `snapshots` / Delta DESCRIBE HISTORY): one row per available
+    * snapshot in id order plus the live state, with the row count each
+    * ref serves. `ord` is the position in the timeline (stable across
+    * replays, unlike wall-clock snapshot ids); counting is one
+    * column-pruned parquet count per ref — metadata-scale work, the
+    * same job `spark.read.count` runs for any footer-stat count. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val snapMeta = readMeta().withObject("/snapshot")
+    val rows = availableSnapshots().zipWithIndex.map { case (id, i) =>
+      val entry = snapMeta.path(id)
+      val mo = entry.path("manifest_only").asBoolean(false)
+      val n =
+        if (mo) {
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          val files = entry.path("files")
+          if (files.isArray) files.forEach(x => buf += x.asText())
+          if (buf.isEmpty) 0L else spark.read.parquet(buf.toSeq: _*).count()
+        } else spark.read.parquet(snapshotPath(id)).count()
+      (i.toLong + 1L, false, mo, n)
+    } :+ {
+      val live =
+        cloneBaseFiles() ++ SchemaTools.listDataFiles(spark, currentPath)
+      val n = if (live.isEmpty) 0L else read(None).count()
+      (availableSnapshots().size.toLong + 1L, true, false, n)
+    }
+    rows.toDF("ord", "is_current", "manifest_only", "n_rows")
+  }
+
+  // ---- shallow clone ------------------------------------------------------
+  // Delta-style CLONE: a new dataset root whose live view starts as a
+  // MANIFEST of the source's files — creation copies nothing, the clone
+  // and the source share storage until either writes. Clone-local
+  // writes append under the clone's own `current/`; the source never
+  // sees them, and source appends never reach the clone (its base is
+  // the file list frozen at clone time). The shared-storage caveat is
+  // Delta's own: vacuuming/rewriting the SOURCE can invalidate a
+  // shallow clone's base — `deepen()` converts to a deep clone (copies
+  // the base in, clears the manifest) when the clone must outlive the
+  // source's retention.
+
+  private def cloneBaseFiles(): Seq[String] = {
+    if (!exists()) return Nil
+    val entry = readMeta().path("clone").path("base_files")
+    if (!entry.isArray) return Nil
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    entry.forEach(n => buf += n.asText())
+    buf.toSeq
+  }
+
+  /** Create a shallow clone of this dataset (live state, or an `asOf`
+    * snapshot view) at `dstRoot`. Returns the clone's TimeFly. */
+  def cloneTo(dstRoot: String, name: String,
+      asOf: Option[String] = None): TimeFly = {
+    val dst = TimeFly(spark, dstRoot)
+    require(!dst.exists(), s"$dstRoot already holds a dataset")
+    dst.init(name)
+    val baseFiles = asOf match {
+      case None => cloneBaseFiles() ++
+        SchemaTools.listDataFiles(spark, currentPath)
+      case Some(_) =>
+        SchemaTools.listDataFiles(spark, resolveSubpath(asOf))
+    }
+    val node = dst.readMeta()
+    val c = node.withObject("/clone")
+    c.put("from", root)
+    c.put("cloned", nowId())
+    val files = c.putArray("base_files")
+    baseFiles.foreach(files.add)
+    dst.writeMeta(node)
+    dst
+  }
+
+  /** Convert a shallow clone into a deep one: copy the borrowed base
+    * files into `current/` and clear the manifest. Idempotent under
+    * crash-rerun — copies preserve the source file name (UUID-unique),
+    * so a re-run overwrites its own partial work and the meta clears
+    * only after every byte is local. */
+  def deepen(): Unit = {
+    val base = cloneBaseFiles()
+    if (base.isEmpty) return
+    base.foreach { f =>
+      val src = new Path(f)
+      FileUtil.copy(fs, src, fs, new Path(currentPath, src.getName),
+        false, true, spark.sparkContext.hadoopConfiguration)
+    }
+    val node = readMeta()
+    node.remove("clone")
+    writeMeta(node)
+    notifyDataChange()
+  }
 }
 
 object TimeFly {

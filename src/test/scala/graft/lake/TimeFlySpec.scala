@@ -262,4 +262,78 @@ class TimeFlySpec extends AnyFunSuite {
     assert(!tf.availableSnapshots().contains(sCopy))
     assert(tf.tags() == Map("rel_man" -> sMan))
   }
+
+  test("branches: diverged main refuses fast-forward; a crashed " +
+      "half-move resumes; vacuum sweeps orphan branch dirs") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def files(p: String) = SchemaTools.listDataFiles(spark, p)
+
+    val dir = TestSpark.tempDir("tfbranch")
+    val tf = TimeFly(spark, dir).init("b1")
+    tf.writer(WriteMode.Overwrite).write(Seq((1, "a")).toDF("id", "v"))
+    tf.branch("exp")
+    tf.branchWriter("exp").write(Seq((2, "b")).toDF("id", "v"))
+    // main diverges AFTER the branch — publish must refuse
+    tf.writer(WriteMode.Append).write(Seq((3, "c")).toDF("id", "v"))
+    intercept[IllegalArgumentException] { tf.fastForward("exp") }
+    assert(tf.branches() == Seq("exp"))
+    tf.deleteBranch("exp")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tf.branchPath("exp"))))
+
+    // crashed half-move: the publish manifest was staged and one file
+    // already moved when the process died; a re-run reads the manifest,
+    // counts the moved file as branch-owned (not divergence), and
+    // finishes the remaining renames
+    tf.branch("exp2")
+    tf.branchWriter("exp2").write(
+      Seq((4, "d"), (5, "e")).toDF("id", "v").repartition(2))
+    val exp2Files = files(tf.branchPath("exp2"))
+    assert(exp2Files.size >= 2)
+    val names = exp2Files
+      .map(f => "\"" + new org.apache.hadoop.fs.Path(f).getName + "\"")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tf.branchPath("exp2"), "_publish.json"),
+      s"""{"moving": [${names.mkString(",")}]}""")
+    val one = new org.apache.hadoop.fs.Path(exp2Files.head)
+    fs.rename(one,
+      new org.apache.hadoop.fs.Path(tf.currentPath, one.getName))
+    tf.fastForward("exp2")
+    assert(tf.branches().isEmpty)
+    assert(tf.read().select("id").as[Int].collect().sorted.toSeq
+      == Seq(1, 3, 4, 5))
+
+    // orphan branch dir (meta never committed) is vacuum debris
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tf.branchPath("ghost")))
+    val st = tf.vacuum()
+    assert(st.orphanDirs == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tf.branchPath("ghost"))))
+  }
+
+  test("shallow clone: copy snapshot refused until deepen; deepen is " +
+      "rerun-idempotent") {
+    val src = TestSpark.tempDir("tfclsrc")
+    val dst = TestSpark.tempDir("tfcldst") + "/c"
+    val tf = TimeFly(spark, src).init("s1")
+    tf.writer(WriteMode.Overwrite).write(Seq((1, "a")).toDF("id", "v"))
+    val cl = tf.cloneTo(dst, "c1")
+    // a copy snapshot would capture only local files — refused shallow
+    intercept[IllegalArgumentException] { cl.addSnapshot() }
+    // manifest-only captures the WHOLE view (borrowed base included)
+    val sMan = cl.addSnapshot(manifestOnly = true)
+    cl.writer(WriteMode.Append).write(Seq((2, "b")).toDF("id", "v"))
+    assert(cl.readSince(sMan).select("id").as[Int].collect().toSeq
+      == Seq(2))
+    cl.deepen()
+    cl.deepen() // rerun after a hypothetical crash: overwrites its own
+                // partial work, never duplicates rows
+    assert(cl.read().select("id").as[Int].collect().sorted.toSeq
+      == Seq(1, 2))
+    Thread.sleep(1100) // ids have second resolution
+    cl.addSnapshot() // deep clone: copy snapshots work again
+    // the clone's history table sees base + local rows in the live row
+    val hist = cl.history().orderBy("ord")
+      .select("n_rows").as[Long].collect().toSeq
+    assert(hist == Seq(1L, 2L, 2L))
+  }
 }
