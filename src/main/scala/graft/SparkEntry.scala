@@ -986,6 +986,46 @@ object SparkEntry {
       tf.history().orderBy("ord")
     }),
 
+    // NATIVE STREAMING SESSION WINDOWS: q44's sessionization run by the
+    // engine's session_window state machine under a real stream —
+    // per-key gap-merge in the state store, append-mode emission once
+    // the watermark passes a session's end (last event + gap; sessions
+    // the final watermark leaves open are withheld, and the oracle
+    // encodes that emission rule). The oracle is the same
+    // gaps-and-islands SQL as q44, so the streaming state machine is
+    // hash-verified against the relational definition of a session
+    "q101_stream_sessions" -> ((s, d) => {
+      SchemaTools.withSessionConf(
+        s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+       SchemaTools.withSessionConf(
+         s, "spark.sql.shuffle.partitions", "8") {
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val qname = s"graft_q101_${streamEpoch.incrementAndGet()}"
+        val q = s.readStream.schema(rawSchema)
+          .parquet(s"$d/{events.parquet}")
+          .transform(Tables.normalizeTs)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(dec12(col("value"))).cast("double").as("total_value"),
+            min(col("ts")).as("first_ts"),
+            max(col("ts")).as("last_ts"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("total_value"),
+            col("first_ts"), col("last_ts"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).orderBy("user_id", "session_start")
+       }
+      }
+    }),
+
     // CDC replication end-to-end: a replica seeded from the same
     // initial state consumes ONLY the source's change feed (update
     // post-images + inserts as upserts, deletes as keyed deletes,
@@ -2948,6 +2988,31 @@ object SparkEntry {
           col("z.cd_size").as("cd_size"),
           col("z.total_usize").as("total_usize"),
           col("z.names").as("names"))
+        .orderBy("media_id")
+    }),
+
+    // BMP + ICO metadata: the BMP height field is SIGNED (negative =
+    // top-down row order; planted for every odd id, so the
+    // two's-complement decode and the flag are load-bearing), and ICO
+    // dims use the byte-where-0-means-256 rule (hit whenever
+    // id % 256 == 0). Type 2 directories are cursors; raw rows -> nulls
+    "m09_bmp_ico_meta" -> ((s, d) => {
+      Multimodal.plantedBmpIco(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("b", Multimodal.bmpMeta(col("payload")))
+        .withColumn("i", Multimodal.icoMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("b.width").as("bmp_width"),
+          col("b.height").as("bmp_height"),
+          col("b.top_down").as("top_down"),
+          col("b.bpp").as("bmp_bpp"),
+          col("i.ico_kind").as("ico_kind"),
+          col("i.n_images").as("n_images"),
+          col("i.first_width").as("ico_width"),
+          col("i.first_height").as("ico_height"),
+          col("i.first_bpp").as("ico_bpp"))
         .orderBy("media_id")
     }),
 
@@ -5763,6 +5828,39 @@ object SparkEntry {
         | CASE WHEN sel < 2 THEN nm END AS names
         |FROM e ORDER BY media_id""".stripMargin,
 
+    // expectations re-derived from the plant's id arithmetic: odd BMP
+    // ids planted a negative (top-down) height, ICO dims obey the
+    // 0-byte-means-256 rule, type 2 is a cursor
+    "m09_bmp_ico_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  doc_id % 2000 + 1 AS w, doc_id % 1200 + 1 AS h,
+        |  doc_id % 2 = 1 AS td,
+        |  CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8
+        |   WHEN 3 THEN 24 ELSE 32 END AS bpp,
+        |  CASE WHEN (doc_id // 3) % 2 = 0 THEN 'icon'
+        |   ELSE 'cursor' END AS ik,
+        |  (doc_id // 6) % 3 + 1 AS n,
+        |  CASE WHEN doc_id % 256 = 0 THEN 256
+        |   ELSE doc_id % 256 END AS iw,
+        |  CASE WHEN (doc_id * 3) % 256 = 0 THEN 256
+        |   ELSE (doc_id * 3) % 256 END AS ih,
+        |  CASE (doc_id // 2) % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+        |   ELSE 32 END AS ibpp
+        | FROM documents)
+        |SELECT media_id,
+        | CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/x-icon'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CAST(CASE WHEN kind = 0 THEN w END AS BIGINT) AS bmp_width,
+        | CAST(CASE WHEN kind = 0 THEN h END AS BIGINT) AS bmp_height,
+        | CASE WHEN kind = 0 THEN td END AS top_down,
+        | CAST(CASE WHEN kind = 0 THEN bpp END AS BIGINT) AS bmp_bpp,
+        | CASE WHEN kind = 1 THEN ik END AS ico_kind,
+        | CAST(CASE WHEN kind = 1 THEN n END AS BIGINT) AS n_images,
+        | CAST(CASE WHEN kind = 1 THEN iw END AS BIGINT) AS ico_width,
+        | CAST(CASE WHEN kind = 1 THEN ih END AS BIGINT) AS ico_height,
+        | CAST(CASE WHEN kind = 1 THEN ibpp END AS BIGINT) AS ico_bpp
+        |FROM p ORDER BY media_id""".stripMargin,
+
     "m06_tiff_meta" ->
       """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
         |  doc_id % 4000 + 16 AS w, doc_id % 3000 + 16 AS h,
@@ -6106,6 +6204,37 @@ object SparkEntry {
         |  + (SELECT count(*) FROM orders
         |     WHERE o_custkey BETWEEN 700 AND 720)
         |ORDER BY ord""".stripMargin,
+
+    // the q44 islands, re-emitted as session windows: start = first
+    // event, end = last event + the 30-minute gap; sessions the final
+    // watermark (max event ts) leaves open are withheld — the
+    // append-mode emission rule, encoded exactly like q35's final
+    // tumbling window
+    "q101_stream_sessions" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        | SELECT user_id, ts, value,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS session_id
+        | FROM g),
+        |sess AS (
+        | SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        | FROM t GROUP BY user_id, session_id)
+        |SELECT user_id, first_ts AS session_start,
+        | last_ts + INTERVAL 30 MINUTE AS session_end,
+        | n_events, total_value, first_ts, last_ts
+        |FROM sess, m
+        |WHERE last_ts + INTERVAL 30 MINUTE <= mx
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // both sides must equal the post-mutation state: non-band keys
     // keep their rows, band post-images were deleted at v2, the

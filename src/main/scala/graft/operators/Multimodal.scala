@@ -44,6 +44,10 @@ object Multimodal {
       // ISO-BMFF: the brand box type at offset 4, not a leading magic
       .when(upper(hex(substring(payload, 5, 4))) === "66747970",
         "video/mp4")
+      .when(magic.startsWith("424D"), "image/bmp")
+      // ICO/CUR have no magic string: reserved 0x0000 then type 1/2 —
+      // the 4-byte prefix is distinctive enough for a sniffer
+      .when(magic === "00000100" || magic === "00000200", "image/x-icon")
       .otherwise("application/octet-stream")
   }
 
@@ -213,6 +217,120 @@ object Multimodal {
         pmod(b21, lit(16L)) * 4294967296L + hxByte(hx, 22) * 16777216L +
           hxByte(hx, 23) * 65536L + hxByte(hx, 24) * 256L + hxByte(hx, 25))
         .as("total_samples"))
+  }
+
+  /** BMP (BITMAPINFOHEADER) metadata as a struct (width, height,
+    * top_down, bpp) — fixed offsets after the 14-byte file header:
+    * DIB size at 14 (must be 40), width LE32 at 18, height LE32 at 22
+    * **signed** (a negative height means a top-down row order — the
+    * parser must two's-complement it back and surface the flag, not
+    * report a 4-billion-pixel image), planes LE16 at 26 (must be 1),
+    * bpp LE16 at 28. Null fields for non-BMP payloads. */
+  def bmpMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 30)))
+    def le16at(i: Int) = hxByte(hx, i) + hxByte(hx, i + 1) * 256L
+    def le32at(i: Int) =
+      hxByte(hx, i) + hxByte(hx, i + 1) * 256L +
+        hxByte(hx, i + 2) * 65536L + hxByte(hx, i + 3) * 16777216L
+    val ok = length(hx) >= 60 &&
+      substring(hx, 1, 4) === "424D" &&
+      le32at(14) === 40L && // BITMAPINFOHEADER only
+      le16at(26) === 1L // planes
+    val hraw = le32at(22)
+    val topDown = hraw >= 2147483648L
+    struct(
+      when(ok, le32at(18)).as("width"),
+      when(ok, when(topDown, lit(4294967296L) - hraw).otherwise(hraw))
+        .as("height"),
+      when(ok, topDown).as("top_down"),
+      when(ok, le16at(28)).as("bpp"))
+  }
+
+  /** ICO/CUR directory metadata as a struct (ico_kind, n_images,
+    * first_width, first_height, first_bpp). The 6-byte header is
+    * reserved(2)=0, type(2)=1 icon / 2 cursor, count(2); the first
+    * 16-byte entry follows. Width/height are single bytes where **0
+    * means 256** (the format's one famous quirk — load-bearing), bpp is
+    * LE16 at entry offset 6. Null fields for non-ICO payloads. */
+  def icoMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 22)))
+    def le16at(i: Int) = hxByte(hx, i) + hxByte(hx, i + 1) * 256L
+    val tpe = le16at(2)
+    val ok = length(hx) >= 44 &&
+      substring(hx, 1, 4) === "0000" &&
+      (tpe === 1L || tpe === 2L) &&
+      le16at(4) >= 1L
+    def dim(i: Int) = {
+      val b = hxByte(hx, i)
+      when(b === 0L, 256L).otherwise(b)
+    }
+    struct(
+      when(ok, when(tpe === 1L, "icon").otherwise("cursor"))
+        .as("ico_kind"),
+      when(ok, le16at(4)).as("n_images"),
+      when(ok, dim(6)).as("first_width"),
+      when(ok, dim(7)).as("first_height"),
+      when(ok, le16at(12)).as("first_bpp"))
+  }
+
+  /** Deterministic planted BMP / ICO / raw payloads (the m09 fixture):
+    * by `id % 3`, a complete 54-byte BMP header whose height SIGN flips
+    * with `id % 2` (top-down negative rows — two's-complement decode is
+    * load-bearing), an ICO/CUR directory whose type, image count, and
+    * first-entry fields all vary (and whose first dims hit the 0=256
+    * byte rule whenever `id % 256 == 0`), or the raw text bytes (null
+    * metadata). Hex + unhex construction like every m-fixture; the m09
+    * oracle re-derives expectations from the same id arithmetic. */
+  def plantedBmpIco(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def b1(c: org.apache.spark.sql.Column) = format_string("%02X", c)
+    def le16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X", byteAt(c, 1L), byteAt(c, 256L))
+    def le32(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X%02X", byteAt(c, 1L), byteAt(c, 256L),
+        byteAt(c, 65536L), byteAt(c, 16777216L))
+    val w = (id % 2000 + 1).cast("long")
+    val h = (id % 1200 + 1).cast("long")
+    val hEnc = when(id % 2 === 1, lit(4294967296L) - h).otherwise(h)
+    val bpp = when(id % 5 === 0, 1L).when(id % 5 === 1, 4L)
+      .when(id % 5 === 2, 8L).when(id % 5 === 3, 24L).otherwise(32L)
+    val bmpHex = concat(
+      lit("424D"), le32(lit(54L)), lit("00000000"), le32(lit(54L)),
+      le32(lit(40L)), le32(w), le32(hEnc), lit("0100"), le16(bpp),
+      lit("0" * 48)) // compression..important: six zero LE32 fields
+    val tpe = (expr(s"$idCol div 3") % 2 + 1).cast("long")
+    val n = (expr(s"$idCol div 6") % 3 + 1).cast("long")
+    val w0 = pmod(id, lit(256L))
+    val h0 = pmod(id * 3L, lit(256L))
+    val bpp0 = when(expr(s"$idCol div 2") % 3 === 0, 4L)
+      .when(expr(s"$idCol div 2") % 3 === 1, 8L).otherwise(32L)
+    def entry(wi: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column,
+        bi: org.apache.spark.sql.Column,
+        i: Int) =
+      concat(b1(wi), b1(hi), lit("0000"), lit("0100"), le16(bi),
+        le32(lit(256L)), le32(n * 16L + 6L + 256L * i))
+    val icoHex = concat(
+      lit("0000"), le16(tpe), le16(n),
+      entry(w0, h0, bpp0, 0),
+      when(n >= 2, entry(pmod(id * 7L + 13L, lit(256L)),
+        pmod(id * 5L + 7L, lit(256L)), lit(8L), 1)).otherwise(lit("")),
+      when(n >= 3, entry(pmod(id * 11L + 26L, lit(256L)),
+        pmod(id * 9L + 3L, lit(256L)), lit(32L), 2)).otherwise(lit("")))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 0, bmpHex)
+          .when(id % 3 === 1, icoHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 
   /** Deterministic planted GIF / FLAC / raw payloads (the m04 fixture,

@@ -496,4 +496,65 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bmpMeta decodes the signed height both ways; hostile payloads " +
+      "null out (V5 header, zero planes, truncated)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // hand-assembled 800x600 bottom-up 24bpp, and 16x32 TOP-DOWN
+    // (height stored as -32 = FFFFFFE0) 32bpp
+    val dib = "00" * 24
+    val up = hx("424D" + "36000000" + "00000000" + "36000000" +
+      "28000000" + "20030000" + "58020000" + "0100" + "1800" + dib)
+    val down = hx("424D" + "36000000" + "00000000" + "36000000" +
+      "28000000" + "10000000" + "E0FFFFFF" + "0100" + "2000" + dib)
+    val v5 = hx("424D" + "36000000" + "00000000" + "36000000" +
+      "7C000000" + "20030000" + "58020000" + "0100" + "1800" + dib)
+    val zeroPlanes = hx("424D" + "36000000" + "00000000" + "36000000" +
+      "28000000" + "20030000" + "58020000" + "0000" + "1800" + dib)
+    val rows = Seq(
+      (0L, up), (1L, down), (2L, v5), (3L, zeroPlanes),
+      (4L, hx("424D3600")), (5L, Array[Byte]()))
+      .toDF("media_id", "payload")
+      .withColumn("b", Multimodal.bmpMeta($"payload"))
+      .select($"media_id", $"b.width", $"b.height", $"b.top_down",
+        $"b.bpp")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getLong(1) == 800 && rows(0L).getLong(2) == 600 &&
+      !rows(0L).getBoolean(3) && rows(0L).getLong(4) == 24)
+    assert(rows(1L).getLong(1) == 16 && rows(1L).getLong(2) == 32 &&
+      rows(1L).getBoolean(3) && rows(1L).getLong(4) == 32)
+    // V5 headers (DIB size 124) are out of the parser's contract, a
+    // zero planes field is malformed, truncation can't parse: all null
+    Seq(2L, 3L, 4L, 5L).foreach(i =>
+      assert(rows(i).isNullAt(1), s"row $i should be null: ${rows(i)}"))
+  }
+
+  test("icoMeta: 0-byte dims mean 256, type dispatches icon/cursor, " +
+      "hostile payloads null out (type 3, zero count, truncated)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def entry(w: String, h: String, bpp: String) =
+      w + h + "0000" + "0100" + bpp + "00010000" + "16000000"
+    val icon256 = hx("0000" + "0100" + "0100" + entry("00", "00", "2000"))
+    val cursor = hx("0000" + "0200" + "0200" + entry("30", "40", "0800"))
+    val type3 = hx("0000" + "0300" + "0100" + entry("10", "10", "0400"))
+    val zeroCount = hx("0000" + "0100" + "0000" + entry("10", "10", "0400"))
+    val rows = Seq(
+      (0L, icon256), (1L, cursor), (2L, type3), (3L, zeroCount),
+      (4L, hx("00000100")), (5L, "text".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .withColumn("i", Multimodal.icoMeta($"payload"))
+      .select($"media_id", $"i.ico_kind", $"i.n_images",
+        $"i.first_width", $"i.first_height", $"i.first_bpp")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getString(1) == "icon" && rows(0L).getLong(2) == 1 &&
+      rows(0L).getLong(3) == 256 && rows(0L).getLong(4) == 256 &&
+      rows(0L).getLong(5) == 32)
+    assert(rows(1L).getString(1) == "cursor" && rows(1L).getLong(2) == 2 &&
+      rows(1L).getLong(3) == 0x30 && rows(1L).getLong(4) == 0x40 &&
+      rows(1L).getLong(5) == 8)
+    Seq(2L, 3L, 4L, 5L).foreach(i =>
+      assert(rows(i).isNullAt(1), s"row $i should be null: ${rows(i)}"))
+  }
 }
