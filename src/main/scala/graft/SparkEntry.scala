@@ -2516,6 +2516,27 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // BPE MERGE INDUCTION (tokenizer training as a lake job): three
+    // rounds of corpus-weighted pair counting over the VOCABULARY (the
+    // corpus itself is read once, by the word-count agg), each learned
+    // merge applied by a boundary-exact builtin replace whose
+    // left-to-right non-overlap scan IS greedy BPE order. Output = the
+    // merge table plus the fully re-segmented vocabulary; the oracle
+    // unrolls the same three rounds, so both the argmax choices and
+    // every segmentation hash-match cross-engine
+    "d43_bpe_merges" -> ((s, d) => {
+      val (merges, vocab) =
+        operators.Quality.bpeTrain(docs(s, d), rounds = 3)
+      val mdf = s.createDataFrame(merges)
+        .select(lit("merge").as("kind"),
+          col("round").cast("long").as("ord"),
+          col("s1"), col("s2"), col("weight").as("n"),
+          concat(col("s1"), col("s2")).as("seg"))
+      val vdf = vocab.select(lit("vocab").as("kind"), lit(0L).as("ord"),
+        col("word").as("s1"), lit("").as("s2"), col("n"), col("seg"))
+      mdf.unionByName(vdf).orderBy("kind", "ord", "s1")
+    }),
+
     // leakage-safe train/test split: assignment is a function of the
     // near-dup CLUSTER, so no near-duplicate pair can straddle the
     // boundary (the Lee et al. 2022 eval-contamination mode). Asserted
@@ -5345,6 +5366,61 @@ object SparkEntry {
 
     // idf in the same fineLog2 fixed point as the Spark side — integer
     // scores, bit-identical ranking
+    // the trainer's three rounds unrolled: vocab -> weighted pair
+    // counts -> deterministic argmax (w desc, pair asc) -> the same
+    // boundary-exact replace, three times; the final SELECT re-emits
+    // the merge table and the re-segmented vocabulary
+    "d43_bpe_merges" ->
+      """WITH v0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+        |    left('|' || regexp_replace(word, '(.)', '\1||', 'g'),
+        |         3*length(word)) AS seg
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |p1 AS (
+        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)),
+        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
+        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
+        |          FROM v0)
+        |  ) GROUP BY 1, 2),
+        |t1 AS (SELECT * FROM p1 ORDER BY w DESC, s1, s2 LIMIT 1),
+        |v1 AS (SELECT word, n,
+        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
+        |               '|'||t.s1||t.s2||'|') AS seg
+        |  FROM v0, t1 t),
+        |p2 AS (
+        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)),
+        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
+        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
+        |          FROM v1)
+        |  ) GROUP BY 1, 2),
+        |t2 AS (SELECT * FROM p2 ORDER BY w DESC, s1, s2 LIMIT 1),
+        |v2 AS (SELECT word, n,
+        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
+        |               '|'||t.s1||t.s2||'|') AS seg
+        |  FROM v1, t2 t),
+        |p3 AS (
+        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)),
+        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
+        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
+        |          FROM v2)
+        |  ) GROUP BY 1, 2),
+        |t3 AS (SELECT * FROM p3 ORDER BY w DESC, s1, s2 LIMIT 1),
+        |v3 AS (SELECT word, n,
+        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
+        |               '|'||t.s1||t.s2||'|') AS seg
+        |  FROM v2, t3 t)
+        |SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS ord, s1, s2,
+        |  w AS n, s1||s2 AS seg FROM t1
+        |UNION ALL SELECT 'merge', 2, s1, s2, w, s1||s2 FROM t2
+        |UNION ALL SELECT 'merge', 3, s1, s2, w, s1||s2 FROM t3
+        |UNION ALL SELECT 'vocab', 0, word, '', n, seg FROM v3
+        |ORDER BY kind, ord, s1""".stripMargin,
+
     "d41_tfidf_keywords" -> {
       def fine(e: String): String =
         s"(256 * (length(bin($e)) - 1) + " +

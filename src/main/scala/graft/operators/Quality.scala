@@ -314,4 +314,71 @@ object Quality {
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("score_q8"), col("rank"))
   }
+
+  /** One learned BPE merge: in `round`, symbols `s1`+`s2` fused with a
+    * corpus-weighted pair count of `weight`. */
+  final case class BpeMerge(round: Int, s1: String, s2: String,
+      weight: Long)
+
+  /** Distributed BPE merge induction (Sennrich et al. 2016) —
+    * tokenizer TRAINING as a lake job. The corpus is read ONCE, by the
+    * vocabulary aggregation (distinct words + counts: all pair
+    * statistics are word-count-weighted, the standard reduction); each
+    * round is then one map-side-combining pair-count aggregation over
+    * the vocabulary, an O(1) top-1 (the only driver-side scalar — the
+    * argmax pair, same class as tfidf's N), and a row-local
+    * re-segmentation. `rounds` rounds = `rounds` tiny vocabulary jobs;
+    * production trainers batch many non-interacting merges per round,
+    * but the per-round dataflow is exactly this.
+    *
+    * Segmentations are strings of `|`-wrapped symbols ("agg" ->
+    * "|a||g||g|") and a merge (x, y) is the builtin
+    * `replace(seg, "|x||y|", "|xy|")`: left-to-right non-overlapping
+    * scanning, which IS greedy BPE order, and the doubled boundary
+    * keeps consecutive merges independent — in "aaaa" (seg
+    * "|a||a||a||a|") the first (a,a) match does not consume the next
+    * match's leading bar, so one pass yields "|aa||aa|" exactly like
+    * the reference greedy. Wrong-boundary matches cannot happen:
+    * symbols are `|`-free, so in any occurrence of "|x||y|" the middle
+    * "||" is a true symbol boundary and both x and y are WHOLE symbols
+    * (a longer neighbor symbol would put a letter, not a bar, against
+    * the pattern's edge). All weights are exact integers and ties
+    * break (count desc, pair asc), so the learned merges replay
+    * bit-identically in the DuckDB oracle. */
+  def bpeTrain(docs: DataFrame, rounds: Int, textCol: String = "text")
+      : (Seq[BpeMerge], DataFrame) = {
+    var vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("seg",
+        expr("substring('|' || regexp_replace(word, '(.)', '$1||'), " +
+          "1, 3 * length(word))"))
+      .cache()
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = vocab
+        .select(col("n"),
+          expr("split(btrim(seg, '|'), '\\\\|\\\\|')").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), " +
+            "i -> struct(sy[i] AS s1, sy[i + 1] AS s2))")).as("p"))
+        .groupBy("p.s1", "p.s2").agg(sum("n").as("w"))
+        .orderBy(col("w").desc, col("s1"), col("s2"))
+        .head(1)
+      if (top.isEmpty) done = true
+      else {
+        val (s1, s2, w) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(r, s1, s2, w)
+        vocab = vocab.withColumn("seg",
+          expr(s"replace(seg, '|$s1||$s2|', '|$s1$s2|')"))
+        r += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
 }

@@ -169,4 +169,45 @@ class QualitySpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.5, 2L)))
   }
+
+  test("bpeTrain: chain merges are greedy-exact and boundary-aligned") {
+    // "aaaa" dominates round 1, so the merge is (a, a): greedy BPE
+    // re-segments it as [aa, aa] — a single-separator encoding would
+    // eat the shared boundary and produce [aa, a, a]
+    val df1 = Seq.fill(5)("aaaa b").toDF("text")
+    val (m1, v1) = Quality.bpeTrain(df1, rounds = 1)
+    assert(m1.map(m => (m.s1, m.s2)) == Seq(("a", "a")))
+    val segs1 = v1.select("word", "seg").as[(String, String)]
+      .collect().toMap
+    assert(segs1("aaaa") == "|aa||aa|")
+
+    // round 2 must then treat "aa" as ONE symbol: the next pair is
+    // (aa, aa), and a parser that matched raw substrings instead of
+    // whole symbols would have found phantom (a, a) pairs inside it
+    val (m2, v2) = Quality.bpeTrain(df1, rounds = 2)
+    assert(m2.map(m => (m.s1, m.s2)) == Seq(("a", "a"), ("aa", "aa")))
+    assert(v2.filter(col("word") === "aaaa")
+      .select("seg").as[String].head() == "|aaaa|")
+
+    // boundary alignment: after (x, y) merges into "xy", the pair
+    // (y, z) must NOT fire inside "xyz"'s tail — "xy" is one symbol
+    // and only (xy, z) may combine them
+    val df3 = Seq.fill(11)("xy") ++ Seq.fill(6)("xyz") ++
+      Seq.fill(5)("ayz") ++ Seq.fill(5)("byz")
+    val (m3, v3) = Quality.bpeTrain(df3.toDF("text"), rounds = 2)
+    // round 1: (x,y) = 17 beats (y,z) = 16; round 2: the surviving
+    // free-standing (y,z) = 10 beats (xy,z) = 6 — so round 2 CHOOSES
+    // (y,z) while "xyz" holds an xy|z boundary it must not cross
+    assert(m3.map(m => (m.s1, m.s2)) == Seq(("x", "y"), ("y", "z")))
+    val segs3 = v3.select("word", "seg").as[(String, String)]
+      .collect().toMap
+    // (y,z) merged in "ayz" (free-standing y) but not inside "xyz",
+    // where y was already consumed by the round-1 (x,y) merge
+    assert(segs3("xyz") == "|xy||z|")
+    assert(segs3("ayz") == "|a||yz|")
+
+    // exhausted vocabulary stops early instead of looping
+    val (m4, _) = Quality.bpeTrain(Seq("q w e").toDF("text"), rounds = 5)
+    assert(m4.isEmpty)
+  }
 }
