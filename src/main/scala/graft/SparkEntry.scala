@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{AnnIndex, ArrowIpc, Compact, Expectations, FileStats, HiddenPartitions, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{AnnIndex, ArrowIpc, CommitLog, Compact, Expectations, FileStats, HiddenPartitions, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3037,6 +3037,55 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // OPTIMISTIC-CONCURRENCY COMMIT LOG (the multi-writer protocol the
+    // single-writer reference lacks): appends claim versions through an
+    // atomic create-if-absent CAS, a replace planned on a stale base
+    // CONFLICTS instead of silently dropping interleaved appends
+    // (asserted in-query), reads resolve the log rather than the
+    // directory, and the log doubles as a time-travel index — the v2
+    // state and the live state read back under one oracle
+    "q103_commit_log" -> ((s, d) => {
+      val root = scratch(s, "q103", d)
+      val log = CommitLog(s, root).init()
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(p: org.apache.spark.sql.Column) =
+        ord(s, d).filter(p).select(cols.map(col): _*)
+      log.append(slice(col("o_custkey") < 100)) // v1
+      val stale = log.latestVersion()
+      log.append(slice(col("o_custkey").between(700, 720))) // v2
+      val conflicted =
+        try { log.replace(slice(col("o_custkey") >= 1400), stale); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      assert(conflicted, "a replace on a stale base must conflict")
+      log.replace(slice(col("o_custkey") >= 1400), log.latestVersion())
+      log.append(slice(col("o_custkey").between(300, 320))) // v4
+      assert(log.latestVersion() == 4L,
+        s"conflicts must not burn versions here: ${log.latestVersion()}")
+      log.read(Some(2L))
+        .select(lit("v2").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(log.read(None)
+          .select(lit("live").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // ORC source+sink through the same dispatch surface as csv/ipc:
+    // parquet -> zstd ORC -> content-inferred LakeReader scan (the
+    // format comes from the directory's file extensions, asserted
+    // in-query). ORC is the second footer-stats columnar format Spark
+    // ships natively; the oracle reads the original parquet, so type
+    // or value drift anywhere in the roundtrip hash-mismatches
+    "q102_orc_roundtrip" -> ((s, d) => {
+      val tmp = scratch(s, "q102", d)
+      cust(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .write.mode("overwrite").option("compression", "zstd").orc(tmp)
+      val lr = LakeReader.fromPath(s, tmp)
+      assert(lr.format == "orc",
+        s"extension inference must pick orc, got ${lr.format}")
+      lr.load().orderBy("c_custkey")
+    }),
+
     // Arrow IPC (Feather v2) source+sink under the oracle: parquet ->
     // IPC file -> LakeReader ipc scan -> rows. The oracle reads the same
     // parquet directly, so a value/type drift anywhere in the Arrow codec
@@ -4448,6 +4497,22 @@ object SparkEntry {
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         | c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q102_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // v2 = the two appends; live = the replace's rows plus the append
+    // that landed after it — the conflicted stale replace left no trace
+    "q103_commit_log" ->
+      """SELECT 'v2' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey < 100 OR o_custkey BETWEEN 700 AND 720
+        |UNION ALL
+        |SELECT 'live', o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey >= 1400 OR o_custkey BETWEEN 300 AND 320
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     "q40_lake_catalog" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders

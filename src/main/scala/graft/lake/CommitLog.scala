@@ -1,0 +1,209 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Multi-writer dataset with OPTIMISTIC CONCURRENCY — the Delta-log /
+  * Iceberg commit protocol, reduced to its load-bearing parts. The
+  * reference is single-writer (every pydala write assumes it owns the
+  * directory); at 100 TB a lake has many concurrent producers, and
+  * "last directory listing wins" silently loses data. This flavor
+  * makes the COMMIT the unit of truth:
+  *
+  * {{{
+  * <root>/data/<uuid>.parquet        // immutable data files
+  * <root>/_staged/<uuid>/            // writer scratch, invisible
+  * <root>/_commits/v%020d.json       // the log: one file per version
+  * }}}
+  *
+  *  - A write stages its files under `_staged/<uuid>/`, moves them into
+  *    `data/` (names are UUID-unique — no collision, still invisible),
+  *    and then attempts the commit: `fs.create(vN.json, overwrite =
+  *    false)` — create-if-absent, the one atomic primitive every
+  *    Hadoop filesystem (and S3 conditional PUT) provides. Success
+  *    means this writer owns version N; failure means another writer
+  *    took N, so re-read the log and try N+1.
+  *  - APPEND commits commute: the retry loop always succeeds, no
+  *    validation needed (Iceberg's fast-append).
+  *  - REPLACE commits (overwrite, compaction) carry the base version
+  *    the writer planned against. At commit time the winner-check is
+  *    the CAS itself; if versions advanced past the base, the replace
+  *    CONFLICTS (someone appended what this rewrite never saw) and the
+  *    writer must re-plan on fresh state — a
+  *    ConcurrentModificationException, Iceberg's validation failure.
+  *  - A read resolves the log, not the directory: the newest REPLACE
+  *    resets the live set, later APPENDs add to it. Uncommitted moves
+  *    and crashed stagings are invisible by construction (debris for a
+  *    vacuum sweep, never data).
+  *
+  * Read cost is O(commits) metadata + the manifest's files — no
+  * recursive listing; compaction collapses the file count and the
+  * checkpoint trick (fold old commits into one) bounds log length when
+  * needed.
+  */
+final class CommitLog(spark: SparkSession, root: String) {
+
+  private val rootPath = new Path(root)
+  private def fs =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val mapper = new ObjectMapper()
+  private def commitsDir = new Path(root, "_commits")
+  private def dataDir = new Path(root, "data")
+
+  def init(): CommitLog = {
+    fs.mkdirs(commitsDir)
+    fs.mkdirs(dataDir)
+    this
+  }
+
+  private def versionFile(v: Long) =
+    new Path(commitsDir, f"v$v%020d.json")
+
+  /** Highest committed version, 0 if none. O(commits) listing. */
+  def latestVersion(): Long =
+    if (!fs.exists(commitsDir)) 0L
+    else fs.listStatus(commitsDir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong)
+      .foldLeft(0L)(math.max)
+
+  final case class Commit(version: Long, kind: String,
+      files: Seq[String])
+
+  def commit(v: Long): Commit = {
+    val txt = TimeFly.readText(fs, versionFile(v))
+    if (txt.trim.isEmpty)
+      // a claim whose writer died before the payload landed: the
+      // version number is burned but carries nothing — a no-op append
+      Commit(v, "append", Nil)
+    else {
+      val node = mapper.readTree(txt).asInstanceOf[ObjectNode]
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      node.withArray("files").forEach(n => buf += n.asText())
+      Commit(v, node.path("kind").asText(), buf.toSeq)
+    }
+  }
+
+  /** The live file set at `asOf` (default: latest): replay the log —
+    * the newest replace resets, later appends accumulate. */
+  def liveFiles(asOf: Option[Long] = None): Seq[String] = {
+    val hi = asOf.getOrElse(latestVersion())
+    val commits = (1L to hi).map(commit)
+    val lastReplace = commits.lastIndexWhere(_.kind == "replace")
+    commits.drop(math.max(lastReplace, 0)).flatMap(_.files)
+  }
+
+  /** Read the committed state (optionally as of an old version — the
+    * log IS a time-travel index). Uncommitted staged files are
+    * invisible by construction. */
+  def read(asOf: Option[Long] = None): DataFrame = {
+    val files = liveFiles(asOf)
+    if (files.isEmpty)
+      spark.emptyDataFrame
+    else spark.read.parquet(files.map(f => new Path(dataDir, f).toString): _*)
+  }
+
+  /** Stage `df`'s files into `data/` (invisible until committed) and
+    * return their names. */
+  private def stage(df: DataFrame): Seq[String] = {
+    val staging = new Path(root,
+      s"_staged/${java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.parquet(staging.toString)
+    val files = SchemaTools.listDataFiles(spark, staging.toString)
+    val names = files.map { f =>
+      val p = new Path(f)
+      fs.rename(p, new Path(dataDir, p.getName))
+      p.getName
+    }
+    fs.delete(staging, true)
+    names
+  }
+
+  private def tryCas(v: Long, kind: String, names: Seq[String])
+      : Boolean = {
+    val node = mapper.createObjectNode()
+    node.put("kind", kind)
+    val arr = node.putArray("files")
+    names.foreach(arr.add)
+    val vf = versionFile(v)
+    // The atomic claim on version v. Hadoop's local create(overwrite =
+    // false) is check-then-create — a TOCTOU window under real thread
+    // races — so on file:// the claim is O_CREAT|O_EXCL via
+    // File.createNewFile (kernel-atomic); HDFS create(false) and S3
+    // conditional PUT are atomic natively. The payload then lands in
+    // the claimed file we now own; a crash in between leaves an empty
+    // claim, which readers treat as a burned no-op version.
+    val claimed =
+      if (fs.getUri.getScheme == "file") {
+        val local = new java.io.File(vf.toUri.getPath)
+        local.getParentFile.mkdirs()
+        try local.createNewFile()
+        catch { case _: java.io.IOException => false }
+      } else {
+        try { fs.create(vf, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    if (!claimed) return false
+    val out = fs.create(vf, true)
+    try out.write(mapper.writeValueAsBytes(node))
+    finally out.close()
+    true
+  }
+
+  /** Append `df` under the commit protocol. Appends commute, so the
+    * CAS-retry loop always terminates with this writer owning some
+    * version; returns it. */
+  def append(df: DataFrame): Long = {
+    val names = stage(df)
+    var v = latestVersion() + 1
+    while (!tryCas(v, "append", names)) v = latestVersion() + 1
+    v
+  }
+
+  /** Replace the live set with `df` (overwrite/compaction), valid only
+    * against `baseVersion` — the state this rewrite was planned on. If
+    * any commit landed past the base, the replace has not seen those
+    * rows: CONFLICT, throw for the caller to re-plan on fresh state
+    * (retrying at a new version would silently drop the interleaved
+    * appends). Old data files stay for time travel; vacuum reclaims. */
+  def replace(df: DataFrame, baseVersion: Long): Long = {
+    val names = stage(df)
+    val v = baseVersion + 1
+    if (latestVersion() != baseVersion || !tryCas(v, "replace", names))
+      throw new java.util.ConcurrentModificationException(
+        s"replace planned on v$baseVersion but the log advanced " +
+          s"to v${latestVersion()} — re-plan on fresh state")
+    v
+  }
+
+  /** Debris sweep: data files no commit references (crashed writers'
+    * moved-but-uncommitted files) and leftover staging dirs. Keeps
+    * files referenced by ANY commit — old versions stay readable. */
+  def vacuum(): Long = {
+    val referenced = (1L to latestVersion())
+      .flatMap(v => commit(v).files).toSet
+    var removed = 0L
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { s =>
+        if (s.isFile && !referenced.contains(s.getPath.getName)) {
+          fs.delete(s.getPath, false)
+          removed += 1
+        }
+      }
+    val staged = new Path(root, "_staged")
+    if (fs.exists(staged)) {
+      removed += fs.listStatus(staged).length
+      fs.delete(staged, true)
+    }
+    removed
+  }
+}
+
+object CommitLog {
+  def apply(spark: SparkSession, root: String): CommitLog =
+    new CommitLog(spark, root)
+}

@@ -100,6 +100,7 @@ final case class LakeReader(
           .option("inferSchema", "true")
           .csv(path)
       case "json" => spark.read.json(path)
+      case "orc" => spark.read.orc(path)
       case "ipc" =>
         // Arrow IPC / Feather v2. A single file keeps the reference's
         // eager driver-side contract; a DIRECTORY of IPC files decodes
@@ -141,6 +142,7 @@ object LakeReader {
       if (path.endsWith(".csv")) "csv"
       else if (path.endsWith(".json")) "json"
       else if (path.endsWith(".parquet")) "parquet"
+      else if (path.endsWith(".orc")) "orc"
       else SchemaTools.inferFormat(spark, path)
     LakeReader(spark, path, fmt)
   }

@@ -328,6 +328,7 @@ object SchemaTools {
       "parquet" -> "parquet", "pq" -> "parquet",
       "csv" -> "csv", "tsv" -> "csv",
       "json" -> "json", "ndjson" -> "json", "jsonl" -> "json",
+      "orc" -> "orc",
       "arrow" -> "ipc", "feather" -> "ipc", "ipc" -> "ipc")
     val exts = listDataFiles(spark, path).flatMap { f =>
       val name = f.substring(f.lastIndexOf('/') + 1)
