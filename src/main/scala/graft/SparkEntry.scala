@@ -2516,6 +2516,19 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // HEAVY HITTERS without a vocabulary shuffle: per-partition
+    // Misra-Gries summaries (bounded memory, provably a superset of the
+    // true > total/k set) pruned by an EXACT broadcast rescore — run
+    // over character tokens, whose natural Zipf skew gives the
+    // threshold something to discriminate. Output is the exact heavy
+    // set, so the oracle replays it with a plain count
+    "d44_heavy_hitters" -> ((s, d) => {
+      val chars = docs(s, d)
+        .select(explode(split(col("text"), "")).as("token"))
+        .filter(col("token") =!= " " && length(col("token")) > 0)
+      operators.Quality.heavyHitters(chars, k = 12)
+    }),
+
     // BPE MERGE INDUCTION (tokenizer training as a lake job): three
     // rounds of corpus-weighted pair counting over the VOCABULARY (the
     // corpus itself is read once, by the word-count agg), each learned
@@ -5431,6 +5444,18 @@ object SparkEntry {
 
     // idf in the same fineLog2 fixed point as the Spark side — integer
     // scores, bit-identical ranking
+    // the exact heavy set: the sketch only PRUNES candidates (with a
+    // no-false-negative guarantee), so the relational replay needs no
+    // sketch at all
+    "d44_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, '')) AS token
+        |           FROM documents),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
+        |      WHERE token <> ' ' AND length(token) > 0 GROUP BY token),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f)
+        |SELECT token, n FROM f, tot
+        |WHERE n * 12 > total ORDER BY n DESC, token""".stripMargin,
+
     // the trainer's three rounds unrolled: vocab -> weighted pair
     // counts -> deterministic argmax (w desc, pair asc) -> the same
     // boundary-exact replace, three times; the final SELECT re-emits

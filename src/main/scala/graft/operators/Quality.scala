@@ -315,6 +315,46 @@ object Quality {
         col("score_q8"), col("rank"))
   }
 
+  /** Heavy hitters by per-partition Misra-Gries + exact rescore — the
+    * frequent-items shape that never shuffles the full vocabulary.
+    * Pass 1 streams each partition through a k-counter Misra-Gries
+    * summary (bounded memory, zero shuffle; genuinely per-partition
+    * imperative state, the documented mapPartitions niche) and unions
+    * the surviving keys: any token with global freq > total/k has
+    * partition freq > n_p/k somewhere (pigeonhole), and k counters
+    * retain every key with partition freq > n_p/(k+1) — so the
+    * candidate union PROVABLY contains every true heavy hitter, at most
+    * k·partitions candidates. Pass 2 broadcast-semi-joins the
+    * candidates back and counts them EXACTLY, so the output is the
+    * precise `freq · k > total` set — sketch-pruned but not
+    * sketch-valued, which is what lets a DuckDB oracle replay it. */
+  def heavyHitters(tokens: DataFrame, k: Int,
+      tokenCol: String = "token"): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val toks = tokens.select(col(tokenCol).as("token"))
+    val total = toks.count()
+    val candidates = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < k => m.update(t, 1L)
+          case None =>
+            m.keys.toArray.foreach { kk =>
+              val c = m(kk) - 1
+              if (c == 0) m.remove(kk) else m.update(kk, c)
+            }
+        }
+      }
+      m.keysIterator
+    }.toDF("token").distinct()
+    toks.join(broadcast(candidates), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") * k > total)
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** One learned BPE merge: in `round`, symbols `s1`+`s2` fused with a
     * corpus-weighted pair count of `weight`. */
   final case class BpeMerge(round: Int, s1: String, s2: String,

@@ -210,4 +210,23 @@ class QualitySpec extends AnyFunSuite {
     val (m4, _) = Quality.bpeTrain(Seq("q w e").toDF("text"), rounds = 5)
     assert(m4.isEmpty)
   }
+
+  test("heavyHitters equals the exact > total/k set on every " +
+      "partitioning, with MG evictions actually firing") {
+    // 60 distinct fillers force evictions through a k=4 summary; the
+    // planted hot keys are the only ones above total/4
+    val rows = Seq.fill(500)("hot1") ++ Seq.fill(240)("hot2") ++
+      (0 until 60).flatMap(i => Seq.fill(4)(s"f$i"))
+    val total = rows.size.toLong // 980
+    val exact = rows.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .filter { case (_, n) => n * 4 > total }
+    assert(exact.keySet == Set("hot1")) // 2000 > 980; 960 is not
+    for (parts <- Seq(1, 3, 8)) {
+      val df = rows.toDF("token").repartition(parts)
+      val got = Quality.heavyHitters(df, k = 4)
+        .as[(String, Long)].collect().toMap
+      assert(got == exact, s"parts=$parts: $got != $exact")
+    }
+  }
 }
