@@ -2516,6 +2516,16 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // N-GRAM NOVELTY CURVE (diversity saturation): how many
+    // corpus-unique 3-grams each doc contributes first, plus the
+    // running total — first ownership is one keyed min-agg, and the
+    // cumulative sum rides the strip-partitioned distributed prefix
+    // sum (Pack.packOffsets) instead of a single-partition global
+    // window, so the curve computes at any corpus size
+    "d45_ngram_novelty" -> ((s, d) => {
+      operators.Quality.ngramNovelty(docs(s, d), n = 3)
+    }),
+
     // HEAVY HITTERS without a vocabulary shuffle: per-partition
     // Misra-Gries summaries (bounded memory, provably a superset of the
     // true > total/k set) pruned by an EXACT broadcast rescore — run
@@ -5444,6 +5454,24 @@ object SparkEntry {
 
     // idf in the same fineLog2 fixed point as the Spark side — integer
     // scores, bit-identical ranking
+    // first ownership replayed relationally; the curve is the plain
+    // running sum the distributed prefix must equal
+    "d45_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |        range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |      FROM t),
+        |f AS (SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY gram),
+        |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS novel
+        |       FROM f GROUP BY doc_id),
+        |b AS (SELECT d.doc_id, coalesce(nv.novel, 0) AS novel
+        |      FROM documents d LEFT JOIN nv USING (doc_id))
+        |SELECT doc_id, novel,
+        |  CAST(sum(novel) OVER (ORDER BY doc_id) AS BIGINT) AS cum_novel
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // the exact heavy set: the sketch only PRUNES candidates (with a
     // no-false-negative guarantee), so the relational replay needs no
     // sketch at all

@@ -315,6 +315,41 @@ object Quality {
         col("score_q8"), col("rank"))
   }
 
+  /** N-gram novelty / saturation curve — the corpus-curation
+    * diminishing-returns diagnostic: for each doc (in id order), how
+    * many corpus-unique n-grams appear there FIRST, and the running
+    * total. One keyed min-agg over exploded n-grams (first owner per
+    * gram), one count per owner, and the cumulative sum via
+    * [[Pack.packOffsets]]'s strip-partitioned distributed prefix sum
+    * with the doc id as its own order hash — no single-partition global
+    * window at any corpus size. Docs contributing nothing still emit a
+    * zero row, so the curve is dense. */
+  def ngramNovelty(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(tk) - $n), i -> " +
+          (0 until n).map(j => s"tk[i + $j]")
+            .mkString("concat_ws(' ', ", ", ", ")") + ")")).as("gram"))
+    val novel = grams
+      .groupBy("gram").agg(min(col(idCol)).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("novel"))
+    val base = docs.select(col(idCol))
+      .join(novel, Seq(idCol), "left")
+      .withColumn("novel", coalesce(col("novel"), lit(0L)))
+    val maxId: Long = docs.agg(max(col(idCol))).head.getLong(0)
+    require(maxId >= 0, s"$idCol must be non-negative for strip hashing")
+    val hashBits =
+      math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(maxId))
+    Pack.packOffsets(base, idCol, "novel", idCol,
+        hashBits = hashBits, stripBits = math.min(5, hashBits - 1))
+      .withColumn("cum_novel", col("start_off") + col("novel"))
+      .select(col(idCol), col("novel"), col("cum_novel"))
+      .orderBy(idCol)
+  }
+
   /** Heavy hitters by per-partition Misra-Gries + exact rescore — the
     * frequent-items shape that never shuffles the full vocabulary.
     * Pass 1 streams each partition through a k-counter Misra-Gries
