@@ -3093,6 +3093,38 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // COMMIT-LOG CHECKPOINT (the Delta _checkpoint pattern): fold the
+    // resolved live set at a version into one file so readers replay
+    // O(commits-since-checkpoint), not the whole log. Checkpoints are
+    // a performance fact only — a replace AFTER the checkpoint still
+    // resets the live set (asserted by the live side), and the
+    // checkpointed version stays byte-identically readable (the v2
+    // side; equality with the pre-checkpoint resolution asserted
+    // in-query)
+    "q104_commit_checkpoint" -> ((s, d) => {
+      val root = scratch(s, "q104", d)
+      val log = CommitLog(s, root).init()
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(p: org.apache.spark.sql.Column) =
+        ord(s, d).filter(p).select(cols.map(col): _*)
+      log.append(slice(col("o_custkey") < 100)) // v1
+      log.append(slice(col("o_custkey").between(700, 720))) // v2
+      val before = log.liveFiles(Some(2L)).sorted
+      log.checkpoint(2L)
+      assert(log.liveFiles(Some(2L)).sorted == before,
+        "a checkpoint must not change what a version resolves to")
+      log.append(slice(col("o_custkey").between(300, 320))) // v3
+      log.replace(slice(col("o_custkey") >= 1400), 3L) // v4
+      log.append(slice(col("o_custkey").between(200, 220))) // v5
+      log.read(Some(2L))
+        .select(lit("v2").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(log.read(None)
+          .select(lit("live").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // ORC source+sink through the same dispatch surface as csv/ipc:
     // parquet -> zstd ORC -> content-inferred LakeReader scan (the
     // format comes from the directory's file extensions, asserted
@@ -4524,6 +4556,18 @@ object SparkEntry {
     "q102_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // v2 = the checkpointed prefix; live = the post-checkpoint
+    // replace's rows plus the append stacked on it
+    "q104_commit_checkpoint" ->
+      """SELECT 'v2' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey < 100 OR o_custkey BETWEEN 700 AND 720
+        |UNION ALL
+        |SELECT 'live', o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey >= 1400 OR o_custkey BETWEEN 200 AND 220
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // v2 = the two appends; live = the replace's rows plus the append
     // that landed after it — the conflicted stale replace left no trace

@@ -67,7 +67,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     if (!fs.exists(commitsDir)) 0L
     else fs.listStatus(commitsDir).iterator
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .filter(n => n.startsWith("v") && n.endsWith(".json") &&
+        !n.endsWith(".checkpoint.json"))
       .map(n => n.substring(1, n.length - 5).toLong)
       .foldLeft(0L)(math.max)
 
@@ -88,13 +89,27 @@ final class CommitLog(spark: SparkSession, root: String) {
     }
   }
 
-  /** The live file set at `asOf` (default: latest): replay the log —
-    * the newest replace resets, later appends accumulate. */
+  /** The live file set at `asOf` (default: latest): start from the
+    * newest checkpoint at or below it (if one exists) and replay only
+    * the commits after — the newest replace in that suffix resets,
+    * later appends accumulate. Without a checkpoint the whole log
+    * replays; the result is identical either way. */
   def liveFiles(asOf: Option[Long] = None): Seq[String] = {
     val hi = asOf.getOrElse(latestVersion())
-    val commits = (1L to hi).map(commit)
+    val (base, from) = newestCheckpoint(hi) match {
+      case Some(cv) =>
+        val node = mapper
+          .readTree(TimeFly.readText(fs, checkpointFile(cv)))
+          .asInstanceOf[ObjectNode]
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        node.withArray("files").forEach(n => buf += n.asText())
+        (buf.toSeq, cv + 1)
+      case None => (Seq.empty[String], 1L)
+    }
+    val commits = (from to hi).map(commit)
     val lastReplace = commits.lastIndexWhere(_.kind == "replace")
-    commits.drop(math.max(lastReplace, 0)).flatMap(_.files)
+    if (lastReplace >= 0) commits.drop(lastReplace).flatMap(_.files)
+    else base ++ commits.flatMap(_.files)
   }
 
   /** Read the committed state (optionally as of an old version — the
@@ -179,6 +194,37 @@ final class CommitLog(spark: SparkSession, root: String) {
           s"to v${latestVersion()} — re-plan on fresh state")
     v
   }
+
+  /** Fold the log prefix up to `v` into a CHECKPOINT (the Delta
+    * `_checkpoint` pattern): one file carrying the fully-resolved live
+    * set at `v`, so readers replay `O(commits since checkpoint)`
+    * instead of the whole log. Written as `v%020d.checkpoint.json`
+    * NEXT TO the commit it summarizes — writing it races nothing (the
+    * version is already immutable) and a missing/extra checkpoint is
+    * only ever a performance fact, never a correctness one. */
+  def checkpoint(v: Long): Unit = {
+    require(v >= 1 && v <= latestVersion(), s"no committed version $v")
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("files")
+    liveFiles(Some(v)).foreach(arr.add)
+    val out = fs.create(checkpointFile(v), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  private def checkpointFile(v: Long) =
+    new Path(commitsDir, f"v$v%020d.checkpoint.json")
+
+  /** Newest checkpoint at or below `v`, if any. */
+  private def newestCheckpoint(v: Long): Option[Long] =
+    if (!fs.exists(commitsDir)) None
+    else fs.listStatus(commitsDir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".checkpoint.json"))
+      .map(n => n.substring(1, n.length - 16).toLong)
+      .filter(_ <= v)
+      .foldLeft(Option.empty[Long]) {
+        case (acc, x) => Some(math.max(acc.getOrElse(x), x))
+      }
 
   /** Debris sweep: data files no commit references (crashed writers'
     * moved-but-uncommitted files) and leftover staging dirs. Keeps

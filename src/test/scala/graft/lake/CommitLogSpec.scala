@@ -69,4 +69,23 @@ class CommitLogSpec extends AnyFunSuite {
     assert(removed >= 1 && !fs.exists(orphan))
     assert(log.read().select("id").as[Int].collect().toSeq == Seq(1))
   }
+
+  test("checkpoint resolution is identical to full-log replay at " +
+      "every version, including across a later replace") {
+    val log = CommitLog(spark, TestSpark.tempDir("clog4")).init()
+    log.append(Seq((1, "a")).toDF("id", "v")) // v1
+    log.append(Seq((2, "b")).toDF("id", "v")) // v2
+    log.replace(Seq((3, "c")).toDF("id", "v"), 2L) // v3
+    log.append(Seq((4, "d")).toDF("id", "v")) // v4
+    val plain = (1L to 4L).map(v => log.liveFiles(Some(v)).sorted)
+    log.checkpoint(2L)
+    log.checkpoint(3L) // a checkpoint AT the replace version
+    val ck = (1L to 4L).map(v => log.liveFiles(Some(v)).sorted)
+    assert(ck == plain,
+      "checkpoints are a performance fact, never a resolution change")
+    // a post-checkpoint replace still resets the checkpointed base
+    log.replace(Seq((5, "e")).toDF("id", "v"), 4L) // v5
+    assert(log.read().select("id").as[Int].collect().toSeq == Seq(5))
+    intercept[IllegalArgumentException] { log.checkpoint(99L) }
+  }
 }
