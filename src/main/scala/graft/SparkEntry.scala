@@ -2069,6 +2069,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // EDIT-DISTANCE VERIFIED near-dup pairs: the two-stage fuzzy-dedup
+    // pipeline — keyed shingle candidates for recall, the exact
+    // Levenshtein DP for precision, run ONLY on candidates and through
+    // the BANDED thresholded builtin (O(len·k), -1 past the band). The
+    // cut at 6 is load-bearing on this corpus: it keeps the true
+    // near-dup pairs (dist 4) and drops a candidate at dist 8
+    "d46_editdist_pairs" -> ((s, d) => {
+      Dedup.editDistancePairs(docs(s, d), "doc_id", "text",
+          n = 3, candThreshold = 0.2, maxDist = 6)
+        .orderBy("id1", "id2")
+    }),
+
     // deterministic content-hash sampling + quality gate: the reproducible
     // way to downsample a corpus (same rows selected on every run/engine,
     // no RNG) — composed with a token-count quality floor
@@ -3704,10 +3716,10 @@ object SparkEntry {
   private def d09Oracle: String =
     d09Labels + "\nSELECT doc_id, cluster_id FROM labels ORDER BY doc_id"
 
-  /** The d09 near-dup connected-components derivation as a CTE chain
-    * ending in `labels(doc_id, cluster_id)` — shared by d09/d28/d42. */
-  private def d09Labels: String =
-    """WITH RECURSIVE toks AS (
+  /** The shingle-candidate pair derivation (toks -> sh -> jaccard
+    * `pairs`) shared by d09Labels and the d46 edit-distance oracle. */
+  private def shinglePairsCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh0 AS (
       |  SELECT DISTINCT doc_id,
@@ -3730,7 +3742,12 @@ object SparkEntry {
       |   JOIN cnt ca ON ca.doc_id = id1
       |   JOIN cnt cb ON cb.doc_id = id2
       |  WHERE CAST(n_both AS DOUBLE) / CAST(ca.n + cb.n - n_both AS DOUBLE)
-      |    >= 0.2),
+      |    >= 0.2)""".stripMargin
+
+  /** The d09 near-dup connected-components derivation as a CTE chain
+    * ending in `labels(doc_id, cluster_id)` — shared by d09/d28/d42. */
+  private def d09Labels: String =
+    s"""WITH RECURSIVE $shinglePairsCtes,
       |sym AS (
       |  SELECT id1 AS a, id2 AS b FROM pairs
       |  UNION SELECT id2, id1 FROM pairs
@@ -5350,6 +5367,18 @@ object SparkEntry {
 
     "d06_minhash_lsh" -> d06Oracle,
     "d09_dup_clusters" -> d09Oracle,
+
+    // same candidate CTEs as d09, then the exact DP: the oracle's plain
+    // levenshtein() <= 6 must equal the banded builtin's kept rows
+    "d46_editdist_pairs" ->
+      s"""WITH $shinglePairsCtes
+        |SELECT p.id1, p.id2,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.id1
+        |JOIN documents db ON db.doc_id = p.id2
+        |WHERE levenshtein(da.text, db.text) <= 6
+        |ORDER BY p.id1, p.id2""".stripMargin,
     "d13_corpus_pipeline" -> d13Oracle,
     "d25_pipeline_decontam" -> corpusPipelineOracle(
       Some("doc_id % 20 <> 7"), Some("doc_id % 20 = 7")),

@@ -793,6 +793,38 @@ object Dedup {
     * session has a checkpoint dir — the cluster path — else
     * `localCheckpoint`) so plans stay O(1). Only ids that appear in
     * some pair are returned (singletons need no dedup). */
+  /** Exact edit-distance verification of shingle candidates — the
+    * standard two-stage fuzzy-dedup pipeline (LSH recall, DP
+    * precision): candidate pairs come from the KEYED, DF-capped
+    * [[ngramJaccardPairs]] stage (never all-pairs), and the quadratic
+    * Levenshtein DP runs ONLY on candidates. The Spark side uses the
+    * thresholded builtin (`levenshtein(l, r, k)` — the BANDED DP,
+    * O(len·k) instead of O(len²), returning -1 past the band), so the
+    * expensive kernel is also the cheap one; kept rows carry the true
+    * distance, which equals the oracle's plain `levenshtein() <= k`
+    * filter exactly. */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      candThreshold: Double = 0.2,
+      maxDist: Int = 6
+  ): DataFrame = {
+    val cand = ngramJaccardPairs(df, idCol, textCol, n, candThreshold)
+      .select("id1", "id2")
+    val t = df.select(col(idCol), col(textCol))
+    cand
+      .join(t.select(col(idCol).as("id1"), col(textCol).as("__t1")),
+        Seq("id1"))
+      .join(t.select(col(idCol).as("id2"), col(textCol).as("__t2")),
+        Seq("id2"))
+      .withColumn("dist",
+        levenshtein(col("__t1"), col("__t2"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("id1", "id2", "dist")
+  }
+
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     // Symmetrize with ONE explode pass, not a union of two selects: the
     // union form executes the (expensive — Jaccard / SRP join) pairs
