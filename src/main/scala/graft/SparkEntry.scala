@@ -1924,6 +1924,23 @@ object SparkEntry {
     // RANGE window frame over event time (q17 covers ROWS frames): per
     // user, rolling 1-hour sum — frame bounds in epoch micros on both
     // engines, well-defined under timestamp ties
+    // ranking-function completeness: ntile buckets, dense_rank,
+    // percent_rank/cume_dist (exact small rationals — IEEE-identical
+    // cross-engine), nth_value under the default running frame; the
+    // (price, key) order is total, so every value is deterministic
+    "q105_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(8).over(w).cast("long").as("bucket"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderkey")
+    }),
+
     "q53_range_frame" -> ((s, d) => {
       val hourUs = 3600L * 1000000 - 1
       val w = Window.partitionBy("user_id").orderBy("ts_us")
@@ -3044,6 +3061,26 @@ object SparkEntry {
           col("z.cd_size").as("cd_size"),
           col("z.total_usize").as("total_usize"),
           col("z.names").as("names"))
+        .orderBy("media_id")
+    }),
+
+    // PDF metadata: header version + the TRAILER found from the end
+    // (variable filler shifts every offset, so the backward scan is
+    // load-bearing, like ZIP's EOCD), /Size and startxref
+    // regexp-extracted, and the declared startxref PROBED — the bytes
+    // at that offset must literally read "xref" (asserted true for
+    // every planted row by the oracle's xref_ok column)
+    "m10_pdf_meta" -> ((s, d) => {
+      Multimodal.plantedPdf(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("p", Multimodal.pdfMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("p.version").as("version"),
+          col("p.size").as("size"),
+          col("p.startxref").as("startxref"),
+          col("p.xref_ok").as("xref_ok"))
         .orderBy("media_id")
     }),
 
@@ -4712,6 +4749,18 @@ object SparkEntry {
         |  AS no_stop
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    "q105_window_funcs" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | CAST(ntile(8) OVER w AS BIGINT) AS bucket,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        | percent_rank() OVER w AS prank,
+        | cume_dist() OVER w AS cdist,
+        | nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q53_range_frame" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
@@ -6094,6 +6143,23 @@ object SparkEntry {
         | CAST(CASE WHEN sel < 2 THEN tot END AS BIGINT) AS total_usize,
         | CASE WHEN sel < 2 THEN nm END AS names
         |FROM e ORDER BY media_id""".stripMargin,
+
+    // startxref re-derived from the plant's construction: 9 header
+    // bytes + the id%37 filler + its newline; xref_ok must be TRUE
+    // everywhere a PDF was planted (the probe hits the real xref)
+    "m10_pdf_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  CASE WHEN doc_id % 3 = 0 THEN '1.4' ELSE '1.7' END AS ver,
+        |  doc_id % 40 + 2 AS sz, 9 + doc_id % 37 + 1 AS sx
+        | FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind < 2 THEN 'application/pdf'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE WHEN kind < 2 THEN ver END AS version,
+        | CAST(CASE WHEN kind < 2 THEN sz END AS BIGINT) AS size,
+        | CAST(CASE WHEN kind < 2 THEN sx END AS BIGINT) AS startxref,
+        | CASE WHEN kind < 2 THEN true END AS xref_ok
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // expectations re-derived from the plant's id arithmetic: odd BMP
     // ids planted a negative (top-down) height, ICO dims obey the

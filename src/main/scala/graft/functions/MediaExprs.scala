@@ -388,3 +388,111 @@ case class TiffPackExpr(child: Expression, maxScan: Int, maxEntries: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : TiffPackExpr = copy(child = newChild)
 }
+
+/** ZIP central-directory metadata in ONE native pass — replaces the
+  * expression-tree walk in `Multimodal.zipInfo`, whose chained entry
+  * offsets (entry N's position feeds entry N+1's six field reads)
+  * duplicated the whole upstream subtree per use: the tree re-hexed the
+  * full payload hundreds of times per row and made m08 the most
+  * expensive bench query by far (69 s at sf0.1; this kernel: one
+  * backward signature scan + one bounded directory walk over the raw
+  * bytes). Field semantics replicate the tree formulation exactly —
+  * same null/poison rules, same name concatenation — so the m08 oracle
+  * and the hostile-payload specs gate the rewrite. */
+object ZipInfoUtil {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def row(n: Any, cd: Any, tot: Any, names: Any): InternalRow =
+    new GenericInternalRow(Array[Any](n, cd, tot, names))
+
+  def info(bytes: Array[Byte], maxEntries: Int): InternalRow = {
+    val L = bytes.length
+    @inline def b(i: Int): Long = bytes(i) & 0xffL
+    def le(i: Long, w: Int): java.lang.Long =
+      if (i < 0 || i + w > L) null
+      else {
+        var v = 0L
+        var k = w - 1
+        while (k >= 0) { v = (v << 8) | b((i + k).toInt); k -= 1 }
+        v
+      }
+    // EOCD: the spec's BACKWARD scan for 50 4B 05 06 (a variable-length
+    // archive comment makes any fixed end offset wrong)
+    var e = L - 4
+    var found = -1
+    while (e >= 0 && found < 0) {
+      if (bytes(e) == 0x50 && bytes(e + 1) == 0x4B &&
+        bytes(e + 2) == 0x05 && bytes(e + 3) == 0x06) found = e
+      e -= 1
+    }
+    if (found < 0) return row(null, null, null, null)
+    val n = le(found + 10L, 2)
+    val cdSize = le(found + 12L, 4)
+    val cdOff = le(found + 16L, 4)
+    if (n == null || cdOff == null) return row(n, cdSize, null, null)
+    // bounded central-directory walk; an expected-but-malformed entry
+    // poisons the size total (null), exactly like the tree formulation
+    var off = cdOff.longValue
+    var total = 0L
+    var poisoned = false
+    val names = new java.lang.StringBuilder
+    var sep = false
+    var j = 0
+    var walkable = true
+    while (j < maxEntries) {
+      if (n.longValue >= j + 1) {
+        val sigOk = walkable && off >= 0 && off + 4 <= L &&
+          bytes(off.toInt) == 0x50 && bytes(off.toInt + 1) == 0x4B &&
+          bytes(off.toInt + 2) == 0x01 && bytes(off.toInt + 3) == 0x02
+        if (!sigOk) { poisoned = true; walkable = false }
+        else {
+          val usize = le(off + 24, 4)
+          val nameLen = le(off + 28, 2)
+          val extraLen = le(off + 30, 2)
+          val cmtLen = le(off + 32, 2)
+          if (usize == null) poisoned = true else total += usize.longValue
+          if (nameLen != null) {
+            val start = off + 46
+            val avail = math.max(0L,
+              math.min(nameLen.longValue, L - start)).toInt
+            if (sep) names.append(',')
+            if (start < L && avail > 0)
+              names.append(
+                new String(bytes, start.toInt, avail,
+                  java.nio.charset.StandardCharsets.UTF_8))
+            sep = true
+          }
+          if (nameLen == null || extraLen == null || cmtLen == null)
+            walkable = false
+          else off = off + 46 + nameLen + extraLen + cmtLen
+        }
+      }
+      j += 1
+    }
+    row(n, cdSize, if (poisoned) null else java.lang.Long.valueOf(total),
+      UTF8String.fromString(names.toString))
+  }
+}
+
+case class ZipInfoExpr(child: Expression, maxEntries: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_entries", LongType),
+      org.apache.spark.sql.types.StructField("cd_size", LongType),
+      org.apache.spark.sql.types.StructField("total_usize", LongType),
+      org.apache.spark.sql.types.StructField("names",
+        org.apache.spark.sql.types.StringType)))
+  override def prettyName: String = "zip_info"
+  override def nullSafeEval(input: Any): Any =
+    ZipInfoUtil.info(input.asInstanceOf[Array[Byte]], maxEntries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ZipInfoUtil.info($c, $maxEntries)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : ZipInfoExpr = copy(child = newChild)
+}

@@ -557,4 +557,29 @@ class MultimodalSpec extends AnyFunSuite {
     Seq(2L, 3L, 4L, 5L).foreach(i =>
       assert(rows(i).isNullAt(1), s"row $i should be null: ${rows(i)}"))
   }
+
+  test("pdfMeta probes the declared xref offset; hostile payloads " +
+      "null out or fail the probe") {
+    val good = ("%PDF-1.7\nqq\nxref\n0 1\n" +
+      "trailer\n<< /Size 5 >>\nstartxref\n12\n%%EOF").getBytes("UTF-8")
+    // startxref LIES (points at the header): parse succeeds, probe
+    // must come back false — the cross-field check a fake parser skips
+    val lying = ("%PDF-1.4\nxref\n" +
+      "trailer\n<< /Size 3 >>\nstartxref\n0\n%%EOF").getBytes("UTF-8")
+    val noTrailer = "%PDF-1.4\nxref\nno terminator".getBytes("UTF-8")
+    val rows = Seq(
+      (0L, good), (1L, lying), (2L, noTrailer),
+      (3L, "plain text".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .withColumn("p", Multimodal.pdfMeta($"payload"))
+      .select($"media_id", $"p.version", $"p.size", $"p.startxref",
+        $"p.xref_ok")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getString(1) == "1.7" && rows(0L).getLong(2) == 5 &&
+      rows(0L).getLong(3) == 12 && rows(0L).getBoolean(4))
+    assert(rows(1L).getString(1) == "1.4" && !rows(1L).getBoolean(4),
+      "a lying startxref must fail the probe, not pass silently")
+    Seq(2L, 3L).foreach(i =>
+      assert(rows(i).isNullAt(1), s"row $i should be null: ${rows(i)}"))
+  }
 }
