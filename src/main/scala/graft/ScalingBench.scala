@@ -124,7 +124,11 @@ object ScalingBench {
       "d35_cluster_best", "d36_dsir_weights", "d37_gopher_rules",
       "e16_pq_adc", "m06_tiff_meta", "d38_segment_neardup",
       "e18_ivf_pq", "d39_decontam_spans",
-      "d40_boilerplate", "e19_kmeans", "e20_kmeans_ivf")
+      "d40_boilerplate", "e19_kmeans", "e20_kmeans_ivf",
+      "d41_tfidf_keywords", "d42_cluster_split", "d43_bpe_merges",
+      "d44_heavy_hitters", "d45_ngram_novelty", "d46_editdist_pairs",
+      "e21_filtered_ann", "e22_maxsim", "m08_zip_meta",
+      "q101_stream_sessions")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume

@@ -3109,6 +3109,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // PARTITIONS metadata table (Iceberg's `partitions`): one row per
+    // hive leaf with file and row counts — footer metadata only, no
+    // data pages. File counts are deterministic here because the write
+    // is one task with a records cap, so n_files = ceil(rows/cap) per
+    // leaf — the oracle recomputes both from the data
+    "q106_partitions_table" -> ((s, d) => {
+      val root = scratch(s, "q106", d)
+      val cap = 500L
+      ord(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .coalesce(1)
+        .write.partitionBy("o_orderstatus")
+        .option("maxRecordsPerFile", cap)
+        .parquet(root)
+      SchemaTools.partitionsTable(s, root).orderBy("partition")
+    }),
+
     // OPTIMISTIC-CONCURRENCY COMMIT LOG (the multi-writer protocol the
     // single-writer reference lacks): appends claim versions through an
     // atomic create-if-absent CAS, a replace planned on a stale base
@@ -3406,6 +3422,33 @@ object SparkEntry {
           .start()
         q.awaitTermination()
         s.table(qname).orderBy("purchase_id", "click_id")
+       }
+      }
+    }),
+
+    // LEFT-OUTER stream-stream join (conversion tracking): the
+    // semantics that separate streaming from batch — a click emits
+    // null-padded only once the watermark PROVES its window closed
+    // without a purchase; clicks whose window the final watermark
+    // leaves open are withheld (the oracle encodes the rule, like
+    // q35/q101's open windows)
+    "q107_stream_outer_join" -> ((s, d) => {
+      SchemaTools.withSessionConf(
+        s, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+       SchemaTools.withSessionConf(
+         s, "spark.sql.shuffle.partitions", "8") {
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val qname = s"graft_q107_${streamEpoch.incrementAndGet()}"
+        val src = s.readStream.schema(rawSchema)
+          .parquet(s"$d/{events.parquet}")
+          .transform(Tables.normalizeTs)
+        val q = streaming.EventStream.conversionJoin(src)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).orderBy("click_id", "purchase_id")
        }
       }
     }),
@@ -4610,6 +4653,14 @@ object SparkEntry {
     "q102_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // per-status row counts from the data; n_files = ceil(rows/500)
+    // under the single-task capped write
+    "q106_partitions_table" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+        | CAST(ceil(count(*) / 500.0) AS BIGINT) AS n_files,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin,
 
     // v2 = the checkpointed prefix; live = the post-checkpoint
     // replace's rows plus the append stacked on it
@@ -6302,6 +6353,30 @@ object SparkEntry {
         | AND p.user_id = c.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // matched rows = the batch LEFT JOIN's matches (they stream out on
+    // match); null-padded rows only for clicks whose 30-minute window
+    // the final watermark (max event ts) closed unmatched
+    "q107_stream_outer_join" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |c AS (SELECT user_id AS c_user, ts AS click_ts,
+        |        event_id AS click_id FROM events
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS purchase_ts,
+        |        event_id AS purchase_id, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.click_id, c.c_user, c.click_ts,
+        |        p.purchase_id, p.purchase_ts, p.value
+        |      FROM c LEFT JOIN p
+        |        ON p.p_user = c.c_user
+        |        AND p.purchase_ts >= c.click_ts
+        |        AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        |SELECT click_id, c_user AS user_id, click_ts,
+        |  purchase_id, purchase_ts, value
+        |FROM j, m
+        |WHERE purchase_id IS NOT NULL
+        |   OR click_ts + INTERVAL 30 MINUTE < mx
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q68_toml_adopt" ->
       """SELECT *, TRUE AS toml_ok FROM nation

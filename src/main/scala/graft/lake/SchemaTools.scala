@@ -378,6 +378,44 @@ object SchemaTools {
     else "directory"
   }
 
+  /** PARTITIONS metadata table for a hive-layout dataset (Iceberg's
+    * `partitions` table): one row per partition leaf with its file and
+    * row counts. Leaf enumeration is the same driver-side listing any
+    * scan plans with; row counts are parquet FOOTER metadata only
+    * (ParquetFileReader row counts, no data pages read) — the whole
+    * table is metadata-scale at any partition cardinality. */
+  def partitionsTable(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def leaves(dir: Path, rel: String): Seq[(String, Path)] = {
+      val subs = fs.listStatus(dir).filter(_.isDirectory)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      val here = subs.filter(_.getPath.getName.contains("="))
+      if (here.isEmpty) Seq(rel -> dir)
+      else here.toSeq.flatMap { s =>
+        val seg = s.getPath.getName
+        leaves(s.getPath,
+          if (rel.isEmpty) seg else s"$rel/$seg")
+      }
+    }
+    val rows = leaves(p, "").filter(_._1.nonEmpty).map {
+      case (part, dir) =>
+        val files = listDataFiles(spark, dir.toString)
+          .filter(_.endsWith(".parquet"))
+        val nRows = files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+        (part, files.size.toLong, nRows)
+    }
+    rows.toDF("partition", "n_files", "n_rows")
+  }
+
   /** Directory-flavor partitioned read: one path level per column, bare
     * `<value>/` segments (the reference's non-hive flavor). Partition
     * values surface as string columns, like the reference's inferred

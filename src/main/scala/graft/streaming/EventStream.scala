@@ -84,6 +84,42 @@ object EventStream {
         col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
   }
 
+  /** Left-OUTER stream-stream interval join — conversion tracking:
+    * every click emits, matched with purchases by the same user within
+    * `window` AFTER the click, or null-padded once the watermark proves
+    * no match can arrive (the click's interval has wholly passed). The
+    * null-emission-on-state-eviction is the semantics that separates a
+    * streaming outer join from its batch counterpart: a batch LEFT JOIN
+    * knows the full right side, the stream must WAIT OUT each click's
+    * window — so clicks whose window the final watermark has not closed
+    * are withheld, exactly like q35/q101's open windows (the oracle
+    * encodes that rule). */
+  def conversionJoin(
+      events: DataFrame,
+      window: String = "30 minutes",
+      watermark: String = "0 seconds"
+  ): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(
+      purchases,
+      col("p_user") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("click_ts"), col("purchase_id"), col("purchase_ts"),
+        col("value"))
+  }
+
   /** Streaming exact dedup for ingestion pipelines: watermark-bounded
     * `dropDuplicatesWithinWatermark` on the key columns — per-key state
     * is dropped once the watermark passes it, so state stays bounded at
