@@ -3109,6 +3109,36 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // COLUMN RENAME WITHOUT REWRITE (Iceberg column mapping): the
+    // rename is one marker entry — the data files are untouched
+    // (asserted: same file list, and a footer still carries the
+    // physical name). Readers surface the logical name; a Delta batch
+    // arriving under the LOGICAL name still diffs correctly and lands
+    // under the frozen physical one, so files never fragment
+    "q108_column_rename" -> ((s, d) => {
+      val root = scratch(s, "q108", d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      LakeWriter(s, root, WriteMode.Overwrite)
+        .write(ord(s, d).filter(col("o_custkey") < 300)
+          .select(cols.map(col): _*))
+      val before = SchemaTools.listDataFiles(s, root).toSet
+      SchemaTools.renameColumn(s, root, "o_totalprice", "price")
+      assert(SchemaTools.listDataFiles(s, root).toSet == before,
+        "a rename must not touch a data file")
+      val phys = s.read.parquet(before.head).schema.fieldNames.toSet
+      assert(phys.contains("o_totalprice") && !phys.contains("price"),
+        s"physical names must stay frozen: $phys")
+      val batch = ord(s, d)
+        .filter(col("o_custkey") < 300 || col("o_custkey") >= 1400)
+        .select(cols.map(col): _*)
+        .withColumnRenamed("o_totalprice", "price")
+      LakeWriter(s, root, WriteMode.Delta(subset = Seq("o_orderkey")))
+        .write(batch)
+      LakeReader(s, root).load()
+        .select("o_orderkey", "o_custkey", "price")
+        .orderBy("o_orderkey")
+    }),
+
     // PARTITIONS metadata table (Iceberg's `partitions`): one row per
     // hive leaf with file and row counts — footer metadata only, no
     // data pages. File counts are deterministic here because the write
@@ -4653,6 +4683,14 @@ object SparkEntry {
     "q102_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // base rows + the delta batch's novel keys, the price column under
+    // its logical name; replayed base keys dropped by the delta gate
+    "q108_column_rename" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price
+        |FROM orders
+        |WHERE o_custkey < 300 OR o_custkey >= 1400
+        |ORDER BY o_orderkey""".stripMargin,
 
     // per-status row counts from the data; n_files = ceil(rows/500)
     // under the single-task capped write

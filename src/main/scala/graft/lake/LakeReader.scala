@@ -60,9 +60,16 @@ final case class LakeReader(
         SchemaTools.withSessionConf(
           spark, "spark.sql.legacy.parquet.nanosAsLong", "true")(loadBase())
       else loadBase()
+    // Column mapping surfaces here: physical -> logical, before the
+    // user's filter (which references logical names)
+    val mapped =
+      if (format != "parquet") base
+      else SchemaTools.readSchemaMarkerInfo(spark, path)
+        .map(i => SchemaTools.applyRenames(base, i.renames))
+        .getOrElse(base)
     val filtered = filterExpr.map { e =>
-      statsPrunedScan(e).map(_.filter(e)).getOrElse(base.filter(e))
-    }.getOrElse(base)
+      statsPrunedScan(e).map(_.filter(e)).getOrElse(mapped.filter(e))
+    }.getOrElse(mapped)
     pipeline(filtered)
   }
 
@@ -75,7 +82,10 @@ final case class LakeReader(
   private def statsPrunedScan(predicate: String): Option[DataFrame] = {
     if (format != "parquet" || unifySchemas || nanosAsLong) return None
     if (!FileStats.trusted(spark, path)) return None
-    if (SchemaTools.readSchemaMarkerInfo(spark, path).exists(!_.homogeneous))
+    // heterogeneous files need the unifier; renamed columns would make
+    // the predicate's logical names miss the manifest's physical spans
+    if (SchemaTools.readSchemaMarkerInfo(spark, path)
+        .exists(i => !i.homogeneous || i.renames.nonEmpty))
       return None
     val bounds = FileStats.rangeBounds(spark, predicate)
     if (bounds.isEmpty) return None

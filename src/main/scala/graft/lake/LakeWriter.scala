@@ -565,7 +565,13 @@ final case class LakeWriter(
     }
   }
 
-  private def writeImpl(df: DataFrame): Unit = {
+  private def writeImpl(df0: DataFrame): Unit = {
+    // Column mapping: batches arrive under LOGICAL names; land them
+    // under the frozen physical names so a rename never fragments the
+    // files' physical schema (SchemaTools.renameColumn).
+    val df = SchemaTools.readSchemaMarkerInfo(spark, path)
+      .map(i => SchemaTools.unapplyRenames(df0, i.renames))
+      .getOrElse(df0)
     val prepared0 = transform(pipeline(df))
     val hadData = targetHasData
     // Pre-write target schema: for Delta-family the drift check needs the

@@ -197,11 +197,16 @@ object SchemaTools {
     })
 
   /** What the `_schema.json` marker records: the dataset's unified
-    * schema and whether every data file physically carries it
-    * (`homogeneous = false` after a drift append — readers must unify). */
+    * schema, whether every data file physically carries it
+    * (`homogeneous = false` after a drift append — readers must unify),
+    * and the COLUMN-MAPPING renames (physical name -> logical name —
+    * Iceberg-style: a rename never rewrites a data file; the physical
+    * names are frozen at first write and the logical view is a marker
+    * entry). */
   final case class SchemaMarkerInfo(
       schema: StructType,
-      homogeneous: Boolean
+      homogeneous: Boolean,
+      renames: Map[String, String] = Map.empty
   )
 
   /** The `_schema.json` marker: a one-line cache of the dataset's
@@ -233,7 +238,15 @@ object SchemaTools {
         while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText() }
         val homo = root.get("homogeneous") == null ||
           root.get("homogeneous").asBoolean(true)
-        Some(SchemaMarkerInfo(schemaFromMap(m.toMap), homo))
+        val ren = scala.collection.mutable.Map[String, String]()
+        val rn = root.get("renames")
+        if (rn != null && rn.isObject) {
+          val rit = rn.properties().iterator()
+          while (rit.hasNext) {
+            val e = rit.next(); ren(e.getKey) = e.getValue.asText()
+          }
+        }
+        Some(SchemaMarkerInfo(schemaFromMap(m.toMap), homo, ren.toMap))
       }
     } catch { case _: Exception => None }
     finally in.close()
@@ -250,6 +263,21 @@ object SchemaTools {
       schema: StructType,
       homogeneous: Boolean = true
   ): Unit = {
+    // rename map survives marker refreshes: every completed write
+    // rewrites the schema cache, but the column mapping is durable
+    // metadata, not a cache
+    val keep = readSchemaMarkerInfo(spark, path)
+      .map(_.renames).getOrElse(Map.empty)
+    writeSchemaMarkerFull(spark, path, schema, homogeneous, keep)
+  }
+
+  private def writeSchemaMarkerFull(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      homogeneous: Boolean,
+      renames: Map[String, String]
+  ): Unit = {
     val p = new Path(path, "_schema.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val node = TimeFly.mapper.createObjectNode()
@@ -258,10 +286,61 @@ object SchemaTools {
       obj.put(n, t)
     }
     node.put("homogeneous", homogeneous)
+    if (renames.nonEmpty) {
+      val rn = node.putObject("renames")
+      renames.toSeq.sortBy(_._1).foreach { case (ph, lg) =>
+        rn.put(ph, lg)
+      }
+    }
     val out = fs.create(p, true)
     try out.write(TimeFly.mapper.writeValueAsBytes(node))
     finally out.close()
   }
+
+  /** Rename a column WITHOUT rewriting data (Iceberg column mapping):
+    * record `physical -> logical` in the marker. `from` is the CURRENT
+    * logical name (a second rename of the same column replaces its
+    * entry — physical names are frozen at first write). Renaming back
+    * to the physical name drops the entry. Readers surface logical
+    * names ([[applyRenames]] in LakeReader); writers accept logical
+    * batches and land them under the frozen physical names, so the
+    * files stay uniform and byte-untouched across any number of
+    * renames. */
+  def renameColumn(
+      spark: SparkSession,
+      path: String,
+      from: String,
+      to: String
+  ): Unit = {
+    val info = datasetSchemaInfo(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no dataset at $path"))
+    val logical = info.schema.fieldNames.map(f =>
+      info.renames.getOrElse(f, f))
+    require(logical.contains(from), s"no column $from (have " +
+      s"${logical.mkString(", ")})")
+    require(!logical.contains(to) || from == to,
+      s"column $to already exists")
+    val phys = info.renames.find(_._2 == from).map(_._1).getOrElse(from)
+    val renames =
+      if (to == phys) info.renames - phys
+      else info.renames + (phys -> to)
+    writeSchemaMarkerFull(spark, path, info.schema, info.homogeneous,
+      renames)
+  }
+
+  /** physical -> logical for reads. */
+  def applyRenames(df: DataFrame, renames: Map[String, String])
+      : DataFrame =
+    renames.foldLeft(df) { case (d, (ph, lg)) =>
+      if (d.columns.contains(ph)) d.withColumnRenamed(ph, lg) else d
+    }
+
+  /** logical -> physical for writes. */
+  def unapplyRenames(df: DataFrame, renames: Map[String, String])
+      : DataFrame =
+    renames.foldLeft(df) { case (d, (ph, lg)) =>
+      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
+    }
 
   /** The target's unified schema + homogeneity: the marker when present,
     * else the per-file footer unification (authoritative fallback). None

@@ -185,4 +185,38 @@ class SchemaToolsSpec extends AnyFunSuite {
     assert(back.fields.map(f => (f.name, f.dataType)).toSet ==
       st.fields.map(f => (f.name, f.dataType)).toSet)
   }
+
+  test("column mapping: re-rename replaces the entry, rename-back " +
+      "drops it, collisions refuse, the map survives marker refreshes") {
+    val dir = TestSpark.tempDir("rename")
+    LakeWriter(spark, dir, WriteMode.Overwrite)
+      .write(Seq((1L, "a", 2.0)).toDF("id", "v", "x"))
+    def renames = SchemaTools.readSchemaMarkerInfo(spark, dir)
+      .map(_.renames).getOrElse(Map.empty)
+    SchemaTools.renameColumn(spark, dir, "x", "score")
+    assert(renames == Map("x" -> "score"))
+    // a SECOND rename of the same column keys off the current logical
+    // name and keeps pointing at the frozen physical one
+    SchemaTools.renameColumn(spark, dir, "score", "quality")
+    assert(renames == Map("x" -> "quality"))
+    intercept[IllegalArgumentException] {
+      SchemaTools.renameColumn(spark, dir, "quality", "id") // collision
+    }
+    intercept[IllegalArgumentException] {
+      SchemaTools.renameColumn(spark, dir, "nope", "y") // unknown
+    }
+    // a writer refresh of the marker (any completed write rewrites the
+    // schema cache) must not lose the durable mapping — batches arrive
+    // under the logical name and land physically as x
+    LakeWriter(spark, dir, WriteMode.Append)
+      .write(Seq((2L, "b", 3.0)).toDF("id", "v", "quality"))
+    assert(renames == Map("x" -> "quality"))
+    val out = LakeReader(spark, dir).load()
+    assert(out.columns.sorted.toSeq == Seq("id", "quality", "v"))
+    assert(out.select("quality").as[Double].collect().sorted.toSeq
+      == Seq(2.0, 3.0))
+    // rename BACK to the physical name: the entry disappears
+    SchemaTools.renameColumn(spark, dir, "quality", "x")
+    assert(renames.isEmpty)
+  }
 }
