@@ -3109,6 +3109,35 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // DROP COLUMN WITHOUT REWRITE (the column-mapping sibling): one
+    // marker entry hides the column — files untouched (asserted, with
+    // a footer still physically carrying it); incoming batches that
+    // still send the column get it stripped, and the dataset reads
+    // back without it
+    "q109_column_drop" -> ((s, d) => {
+      val root = scratch(s, "q109", d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      LakeWriter(s, root, WriteMode.Overwrite)
+        .write(ord(s, d).filter(col("o_custkey") < 300)
+          .select(cols.map(col): _*))
+      val before = SchemaTools.listDataFiles(s, root).toSet
+      SchemaTools.dropColumn(s, root, "o_custkey")
+      assert(SchemaTools.listDataFiles(s, root).toSet == before,
+        "a drop must not touch a data file")
+      val phys = s.read.parquet(before.head).schema.fieldNames.toSet
+      assert(phys.contains("o_custkey"),
+        s"physical schema must keep the dropped column's bytes: $phys")
+      // a batch still carrying the dropped column: stripped on entry
+      LakeWriter(s, root, WriteMode.Delta(subset = Seq("o_orderkey")))
+        .write(ord(s, d)
+          .filter(col("o_custkey") < 300 || col("o_custkey") >= 1400)
+          .select(cols.map(col): _*))
+      val out = LakeReader(s, root).load()
+      assert(!out.columns.contains("o_custkey"),
+        s"dropped column must stay hidden: ${out.columns.toSeq}")
+      out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    }),
+
     // COLUMN RENAME WITHOUT REWRITE (Iceberg column mapping): the
     // rename is one marker entry — the data files are untouched
     // (asserted: same file list, and a footer still carries the
@@ -3453,6 +3482,58 @@ object SparkEntry {
         q.awaitTermination()
         s.table(qname).orderBy("purchase_id", "click_id")
        }
+      }
+    }),
+
+    // STREAMING MATERIALIZED-VIEW MAINTENANCE: an update-mode windowed
+    // aggregation whose per-batch UPDATES are upserted into the lake
+    // keyed by (window, type) — each micro-batch re-lands the running
+    // aggregate for the touched keys, so after the final batch the
+    // lake holds exactly the complete aggregation (the oracle). The
+    // feature-store shape: state lives in the store, the SERVED view
+    // lives in the lake, and convergence does not depend on batch
+    // boundaries (three arrival files force three batches here)
+    "q110_stream_mv" -> ((s, d) => {
+      SchemaTools.withSessionConf(
+        s, "spark.sql.shuffle.partitions", "8") {
+        val src = scratch(s, "q110src", d)
+        val mv = scratch(s, "q110mv", d)
+        val fs = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val t0 = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val dir = s"$src/b$i"
+          ev(s, d).filter(pmod(col("event_id"), lit(3L)) === i.toLong)
+            .coalesce(1).write.parquet(dir)
+          SchemaTools.listDataFiles(s, dir).foreach(f =>
+            fs.setTimes(new org.apache.hadoop.fs.Path(f),
+              t0 + i * 60000L, -1))
+        }
+        val sch = s.read.parquet(s"$src/b0").schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/b*")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec12(col("value"))).cast("double").as("total_value"))
+          .select(col("window.start").as("hour_start"),
+            col("event_type"), col("n"), col("total_value"))
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (SchemaTools.listDataFiles(s, mv).isEmpty)
+              LakeWriter(s, mv, WriteMode.Overwrite).write(b)
+            else {
+              RowOps.upsert(s, mv, b,
+                Seq("hour_start", "event_type"))
+              ()
+            }
+          }
+          .option("checkpointLocation", s"$src/_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(mv).orderBy("hour_start", "event_type")
       }
     }),
 
@@ -4683,6 +4764,12 @@ object SparkEntry {
     "q102_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // same delta union as q108, minus the hidden column
+    "q109_column_drop" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey < 300 OR o_custkey >= 1400
+        |ORDER BY o_orderkey""".stripMargin,
 
     // base rows + the delta batch's novel keys, the price column under
     // its logical name; replayed base keys dropped by the delta gate
@@ -6391,6 +6478,17 @@ object SparkEntry {
         | AND p.user_id = c.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // the served view equals the complete aggregation — no per-batch
+    // term appears, because the last upsert of every key carried the
+    // full running aggregate
+    "q110_stream_mv" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
 
     // matched rows = the batch LEFT JOIN's matches (they stream out on
     // match); null-padded rows only for clicks whose 30-minute window

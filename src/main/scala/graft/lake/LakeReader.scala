@@ -65,7 +65,8 @@ final case class LakeReader(
     val mapped =
       if (format != "parquet") base
       else SchemaTools.readSchemaMarkerInfo(spark, path)
-        .map(i => SchemaTools.applyRenames(base, i.renames))
+        .map(i => SchemaTools.applyRenames(base, i.renames)
+          .drop(i.dropped.toSeq: _*))
         .getOrElse(base)
     val filtered = filterExpr.map { e =>
       statsPrunedScan(e).map(_.filter(e)).getOrElse(mapped.filter(e))
@@ -85,7 +86,8 @@ final case class LakeReader(
     // heterogeneous files need the unifier; renamed columns would make
     // the predicate's logical names miss the manifest's physical spans
     if (SchemaTools.readSchemaMarkerInfo(spark, path)
-        .exists(i => !i.homogeneous || i.renames.nonEmpty))
+        .exists(i => !i.homogeneous || i.renames.nonEmpty ||
+          i.dropped.nonEmpty))
       return None
     val bounds = FileStats.rangeBounds(spark, predicate)
     if (bounds.isEmpty) return None

@@ -568,9 +568,12 @@ final case class LakeWriter(
   private def writeImpl(df0: DataFrame): Unit = {
     // Column mapping: batches arrive under LOGICAL names; land them
     // under the frozen physical names so a rename never fragments the
-    // files' physical schema (SchemaTools.renameColumn).
+    // files' physical schema, and strip logically-dropped columns —
+    // the ordinary drift conform then lands them as nulls, keeping the
+    // physical schema uniform (SchemaTools.renameColumn/dropColumn).
     val df = SchemaTools.readSchemaMarkerInfo(spark, path)
-      .map(i => SchemaTools.unapplyRenames(df0, i.renames))
+      .map(i => SchemaTools.unapplyRenames(df0, i.renames)
+        .drop(i.dropped.toSeq: _*))
       .getOrElse(df0)
     val prepared0 = transform(pipeline(df))
     val hadData = targetHasData

@@ -206,7 +206,8 @@ object SchemaTools {
   final case class SchemaMarkerInfo(
       schema: StructType,
       homogeneous: Boolean,
-      renames: Map[String, String] = Map.empty
+      renames: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty
   )
 
   /** The `_schema.json` marker: a one-line cache of the dataset's
@@ -246,7 +247,11 @@ object SchemaTools {
             val e = rit.next(); ren(e.getKey) = e.getValue.asText()
           }
         }
-        Some(SchemaMarkerInfo(schemaFromMap(m.toMap), homo, ren.toMap))
+        val drp = scala.collection.mutable.Set[String]()
+        val dn = root.get("dropped")
+        if (dn != null && dn.isArray) dn.forEach(x => drp += x.asText())
+        Some(SchemaMarkerInfo(schemaFromMap(m.toMap), homo, ren.toMap,
+          drp.toSet))
       }
     } catch { case _: Exception => None }
     finally in.close()
@@ -267,8 +272,9 @@ object SchemaTools {
     // rewrites the schema cache, but the column mapping is durable
     // metadata, not a cache
     val keep = readSchemaMarkerInfo(spark, path)
-      .map(_.renames).getOrElse(Map.empty)
-    writeSchemaMarkerFull(spark, path, schema, homogeneous, keep)
+    writeSchemaMarkerFull(spark, path, schema, homogeneous,
+      keep.map(_.renames).getOrElse(Map.empty),
+      keep.map(_.dropped).getOrElse(Set.empty))
   }
 
   private def writeSchemaMarkerFull(
@@ -276,7 +282,8 @@ object SchemaTools {
       path: String,
       schema: StructType,
       homogeneous: Boolean,
-      renames: Map[String, String]
+      renames: Map[String, String],
+      dropped: Set[String] = Set.empty
   ): Unit = {
     val p = new Path(path, "_schema.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -291,6 +298,10 @@ object SchemaTools {
       renames.toSeq.sortBy(_._1).foreach { case (ph, lg) =>
         rn.put(ph, lg)
       }
+    }
+    if (dropped.nonEmpty) {
+      val dn = node.putArray("dropped")
+      dropped.toSeq.sorted.foreach(dn.add)
     }
     val out = fs.create(p, true)
     try out.write(TimeFly.mapper.writeValueAsBytes(node))
@@ -325,7 +336,28 @@ object SchemaTools {
       if (to == phys) info.renames - phys
       else info.renames + (phys -> to)
     writeSchemaMarkerFull(spark, path, info.schema, info.homogeneous,
-      renames)
+      renames, info.dropped)
+  }
+
+  /** Drop a column WITHOUT rewriting data (the column-mapping sibling
+    * of [[renameColumn]]): the physical column joins the marker's
+    * `dropped` set. Readers hide it; writers strip it from incoming
+    * batches — old files keep their bytes, new files land it as nulls
+    * through the ordinary drift conform, so the physical schema stays
+    * uniform and nothing is ever rewritten. */
+  def dropColumn(
+      spark: SparkSession,
+      path: String,
+      name: String
+  ): Unit = {
+    val info = datasetSchemaInfo(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no dataset at $path"))
+    val phys = info.renames.find(_._2 == name).map(_._1).getOrElse(name)
+    require(info.schema.fieldNames.contains(phys) &&
+      !info.dropped.contains(phys),
+      s"no column $name to drop")
+    writeSchemaMarkerFull(spark, path, info.schema, info.homogeneous,
+      info.renames - phys, info.dropped + phys)
   }
 
   /** physical -> logical for reads. */
