@@ -2589,6 +2589,17 @@ object SparkEntry {
       mdf.unionByName(vdf).orderBy("kind", "ord", "s1")
     }),
 
+    // MEAN-POOLED GROUP CENTROIDS + centroid nearest neighbors: the
+    // doc-embedding-from-chunk-embeddings pooling step on the e19
+    // integer lattice (floor(sum/count) per dimension — exact, so the
+    // pooled vectors hash-replay), then exact cosine between the 10
+    // class centroids with one correctly-rounded sqrt per norm; the
+    // pairwise stage is |groups|^2, never corpus-sized
+    "e23_pooled_centroids" -> ((s, d) => {
+      Similarity.pooledCentroidTopK(emb(s, d), k = 3)
+        .orderBy("label1", "rank")
+    }),
+
     // leakage-safe train/test split: assignment is a function of the
     // near-dup CLUSTER, so no near-duplicate pair can straddle the
     // boundary (the Lee et al. 2022 eval-contamination mode). Asserted
@@ -5781,6 +5792,35 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f)
         |SELECT token, n FROM f, tot
         |WHERE n * 12 > total ORDER BY n DESC, token""".stripMargin,
+
+    // pooled centroids on the e19 lattice replayed exactly: same
+    // floor-quantization, same floor(sum/count), integer dots, one
+    // sqrt per norm
+    "e23_pooled_centroids" ->
+      """WITH l AS (
+        |  SELECT CAST(label AS BIGINT) AS g, i,
+        |    CAST(floor(CAST(u AS DOUBLE) * 64.0) AS BIGINT) AS q
+        |  FROM (SELECT label, unnest(range(len(embedding))) AS i,
+        |          unnest(embedding) AS u FROM embeddings)),
+        |p AS (SELECT g, i,
+        |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS v
+        |  FROM l GROUP BY 1, 2),
+        |n AS (SELECT g, CAST(sum(v*v) AS BIGINT) AS nn
+        |      FROM p GROUP BY g),
+        |d AS (SELECT a.g AS g1, b.g AS g2,
+        |    CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |  FROM p a JOIN p b ON a.i = b.i AND a.g <> b.g GROUP BY 1, 2),
+        |s AS (SELECT g1, g2, CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))
+        |      AS sim
+        |  FROM d JOIN n n1 ON n1.g = d.g1 JOIN n n2 ON n2.g = d.g2)
+        |SELECT g1 AS label1, g2 AS label2, sim, rank FROM (
+        |  SELECT g1, g2, sim,
+        |    CAST(row_number() OVER (PARTITION BY g1
+        |      ORDER BY sim DESC, g2 ASC) AS BIGINT) AS rank
+        |  FROM s) t
+        |WHERE rank <= 3 ORDER BY label1, rank""".stripMargin,
 
     // the trainer's three rounds unrolled: vocab -> weighted pair
     // counts -> deterministic argmax (w desc, pair asc) -> the same

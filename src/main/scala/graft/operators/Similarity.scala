@@ -652,6 +652,55 @@ object Similarity {
       .select("qgroup", "docgroup", "score", "rank")
   }
 
+  /** Mean-pooled GROUP centroids + exact-cosine centroid similarity —
+    * the "document embedding from chunk embeddings" pooling step (one
+    * vector per group from its members' vectors) followed by
+    * group-level nearest neighbors. Pooling is a per-(group, dim)
+    * integer aggregation on the e19 lattice (`floor(u·64)` per
+    * component, centroid component = `floor(sum/count)` — exact
+    * integer arithmetic, so the pooled vectors replay bit-identically
+    * in the oracle); similarity is integer dot products with one
+    * correctly-rounded sqrt per norm. Scale shape: pooling is a keyed
+    * map-side-combining agg over the corpus; the pairwise stage is
+    * |groups|² keyed on the dimension index — bounded by GROUP
+    * cardinality, never corpus size. */
+  def pooledCentroidTopK(
+      emb: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding",
+      k: Int = 3
+  ): DataFrame = {
+    val l = emb
+      .select(col(groupCol).cast("long").as("g"),
+        posexplode(col(vecCol)).as(Seq("i", "u")))
+      .select(col("g"), col("i"),
+        floor(col("u").cast("double") * 64.0).cast("long").as("q"))
+    val pooled = l.groupBy("g", "i").agg(
+      floor(sum("q").cast("double") / count(lit(1))).cast("long")
+        .as("v"))
+    val norms = pooled.groupBy("g")
+      .agg(sum(col("v") * col("v")).as("nn"))
+    val dots = pooled
+      .select(col("g").as("g1"), col("i"), col("v").as("v1"))
+      .join(pooled.select(col("g").as("g2"), col("i"),
+        col("v").as("v2")), Seq("i"))
+      .filter(col("g1") =!= col("g2"))
+      .groupBy("g1", "g2").agg(sum(col("v1") * col("v2")).as("dot"))
+    val sim = dots
+      .join(norms.select(col("g").as("g1"), col("nn").as("n1")),
+        Seq("g1"))
+      .join(norms.select(col("g").as("g2"), col("nn").as("n2")),
+        Seq("g2"))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+    val w = Window.partitionBy("g1")
+      .orderBy(col("sim").desc, col("g2").asc)
+    sim.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("g1").as("label1"), col("g2").as("label2"),
+        col("sim"), col("rank"))
+  }
+
   /** The cell-keyed probe + exact rerank shared by [[ivfTopK]] and
     * [[ivfTopKFromIndex]]. No pair dedup needed: each corpus vector
     * lives in exactly one cell (`assign(v, 1)`), so (id1, id2) cannot
