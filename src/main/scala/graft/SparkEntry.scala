@@ -3075,6 +3075,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // MP3 metadata: the ID3v2 tag size is SYNCSAFE (four 7-bit bytes —
+    // tags planted past 127 bytes, so a base-256 read would land the
+    // frame probe in the padding), the first MPEG frame sits at the
+    // tag-dependent offset (or byte 0 for bare streams — both layouts
+    // planted), and bitrate/sample-rate decode per the MPEG-1 Layer
+    // III index tables
+    "m11_mp3_meta" -> ((s, d) => {
+      Multimodal.plantedMp3(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("p", Multimodal.mp3Meta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("p.id3_version").as("id3_version"),
+          col("p.tag_size").as("tag_size"),
+          col("p.mpeg_layer").as("mpeg_layer"),
+          col("p.bitrate_kbps").as("bitrate_kbps"),
+          col("p.sample_rate").as("sample_rate"))
+        .orderBy("media_id")
+    }),
+
     // PDF metadata: header version + the TRAILER found from the end
     // (variable filler shifts every offset, so the backward scan is
     // load-bearing, like ZIP's EOCD), /Size and startxref
@@ -6359,6 +6380,36 @@ object SparkEntry {
         | CAST(CASE WHEN sel < 2 THEN tot END AS BIGINT) AS total_usize,
         | CASE WHEN sel < 2 THEN nm END AS names
         |FROM e ORDER BY media_id""".stripMargin,
+
+    // expectations from the plant's id arithmetic: tagged rows carry
+    // version/tag_size + frame fields on one residue family, bare rows
+    // frame fields only on another, raw rows null
+    "m11_mp3_meta" ->
+      """WITH br(i, kbps) AS (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),
+        |  (6,80),(7,96),(8,112),(9,128),(10,160),(11,192),(12,224),
+        |  (13,256),(14,320)),
+        |sr(i, hz) AS (VALUES (0,44100),(1,48000),(2,32000)),
+        |p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  '2.' || CAST(3 + doc_id % 2 AS VARCHAR) AS ver,
+        |  doc_id % 200 + 100 AS ts,
+        |  doc_id % 14 + 1 AS tb, doc_id % 3 AS tsr,
+        |  (doc_id * 5) % 14 + 1 AS bb, (doc_id * 7) % 3 AS bsr
+        | FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind < 2 THEN 'audio/mpeg'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE WHEN kind = 0 THEN ver END AS id3_version,
+        | CAST(CASE WHEN kind = 0 THEN ts END AS BIGINT) AS tag_size,
+        | CAST(CASE WHEN kind < 2 THEN 3 END AS BIGINT) AS mpeg_layer,
+        | CAST(CASE WHEN kind = 0 THEN (SELECT kbps FROM br
+        |     WHERE i = tb)
+        |   WHEN kind = 1 THEN (SELECT kbps FROM br WHERE i = bb)
+        |  END AS BIGINT) AS bitrate_kbps,
+        | CAST(CASE WHEN kind = 0 THEN (SELECT hz FROM sr
+        |     WHERE i = tsr)
+        |   WHEN kind = 1 THEN (SELECT hz FROM sr WHERE i = bsr)
+        |  END AS BIGINT) AS sample_rate
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // startxref re-derived from the plant's construction: 9 header
     // bytes + the id%37 filler + its newline; xref_ok must be TRUE

@@ -45,6 +45,10 @@ object Multimodal {
       .when(upper(hex(substring(payload, 5, 4))) === "66747970",
         "video/mp4")
       .when(magic === "25504446", "application/pdf") // "%PDF"
+      .when(magic.startsWith("494433"), "audio/mpeg") // ID3v2
+      // bare MPEG audio frame: 11-bit sync FF Ex/Fx
+      .when(substring(magic, 1, 2) === "FF" &&
+        substring(magic, 3, 1).isin("E", "F"), "audio/mpeg")
       .when(magic.startsWith("424D"), "image/bmp")
       // ICO/CUR have no magic string: reserved 0x0000 then type 1/2 —
       // the 4-byte prefix is distinctive enough for a sniffer
@@ -274,6 +278,87 @@ object Multimodal {
       when(ok, dim(6)).as("first_width"),
       when(ok, dim(7)).as("first_height"),
       when(ok, le16at(12)).as("first_bpp"))
+  }
+
+  /** MP3 metadata as a struct (id3_version, tag_size, mpeg_layer,
+    * bitrate_kbps, sample_rate). The ID3v2 tag size is SYNCSAFE — four
+    * 7-bit bytes (a naive base-256 read is wrong as soon as the tag
+    * exceeds 127 bytes; the fixture plants tags past that boundary, so
+    * the 7-bit decode is load-bearing) — and the first MPEG audio
+    * frame header sits AFTER the tag, at a tag-size-dependent offset
+    * (or at byte 0 for a bare stream: both entry layouts parsed).
+    * Frame fields decode per the MPEG-1 Layer III tables (bitrate and
+    * sample-rate indexes); out-of-contract frames null out. */
+  def mp3Meta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = upper(hex(substring(payload, 1, 10)))
+    def b(i: Int) = hxByte(h, i)
+    val isId3 = length(h) >= 20 && substring(h, 1, 6) === "494433"
+    val tagSize =
+      b(6) * 2097152L + b(7) * 16384L + b(8) * 128L + b(9)
+    val frameOff = when(isId3, tagSize + 10L).otherwise(0L)
+    val fh = upper(hex(
+      substring(payload, (frameOff + 1L).cast("int"), lit(4))))
+    def fb(i: Int) = hxByte(fh, i)
+    def shr(c: org.apache.spark.sql.Column, d: Long) =
+      (c / lit(d.toDouble)).cast("long")
+    val sync = length(fh) >= 8 && fb(0) === 255L &&
+      shr(fb(1), 32L) % 8L === 7L
+    val okFrame = sync &&
+      shr(fb(1), 8L) % 4L === 3L && // MPEG-1
+      shr(fb(1), 2L) % 4L === 1L // Layer III
+    val brIdx = shr(fb(2), 16L)
+    val srIdx = shr(fb(2), 4L) % 4L
+    val br = when(brIdx === 1, 32L).when(brIdx === 2, 40L)
+      .when(brIdx === 3, 48L).when(brIdx === 4, 56L)
+      .when(brIdx === 5, 64L).when(brIdx === 6, 80L)
+      .when(brIdx === 7, 96L).when(brIdx === 8, 112L)
+      .when(brIdx === 9, 128L).when(brIdx === 10, 160L)
+      .when(brIdx === 11, 192L).when(brIdx === 12, 224L)
+      .when(brIdx === 13, 256L).when(brIdx === 14, 320L)
+    val sr = when(srIdx === 0, 44100L).when(srIdx === 1, 48000L)
+      .when(srIdx === 2, 32000L)
+    struct(
+      when(isId3, concat(lit("2."), b(3).cast("string")))
+        .as("id3_version"),
+      when(isId3, tagSize).as("tag_size"),
+      when(okFrame, lit(3L)).as("mpeg_layer"),
+      when(okFrame, br).as("bitrate_kbps"),
+      when(okFrame, sr).as("sample_rate"))
+  }
+
+  /** Deterministic planted MP3 / raw payloads (the m11 fixture): by
+    * `id % 3`, an ID3v2-tagged stream (tag payload of `id % 200 + 100`
+    * bytes — crossing the 7-bit boundary, so a base-256 size read
+    * lands the frame probe in the padding), a BARE frame stream (no
+    * tag — the offset-0 entry layout), or the raw text bytes (null
+    * metadata). Frame headers vary bitrate/sample-rate indexes with
+    * the id on different residues per layout. */
+  def plantedMp3(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def b1(c: org.apache.spark.sql.Column) = format_string("%02X", c)
+    def frame(brIdx: org.apache.spark.sql.Column,
+        srIdx: org.apache.spark.sql.Column) =
+      concat(lit("FFFB"), b1(brIdx * 16L + srIdx * 4L), lit("00"))
+    val tagLen = (id % 200 + 100).cast("long")
+    val taggedHex = concat(
+      lit("494433"), b1(lit(3L) + id % 2), lit("00"), lit("00"),
+      lit("0000"), b1((tagLen / 128L).cast("long")),
+      b1(pmod(tagLen, lit(128L))),
+      expr(s"repeat('00', $idCol % 200 + 100)"),
+      frame((id % 14 + 1).cast("long"), (id % 3).cast("long")))
+    val bareHex = frame((id * 5 % 14 + 1).cast("long"),
+      (id * 7 % 3).cast("long"))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 0, taggedHex)
+          .when(id % 3 === 1, bareHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 
   /** PDF document metadata as a struct (version, size, startxref,
