@@ -582,4 +582,37 @@ class MultimodalSpec extends AnyFunSuite {
     Seq(2L, 3L).foreach(i =>
       assert(rows(i).isNullAt(1), s"row $i should be null: ${rows(i)}"))
   }
+
+  test("mp3Meta: syncsafe decode is load-bearing; out-of-contract " +
+      "frames and truncation null out") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // tag payload 130 bytes: syncsafe 01 02 (1*128+2) — a base-256
+    // reader computes 258 and probes 128 bytes past the real frame
+    val tag130 = hx("494433" + "0400" + "00" + "0000" + "0102" +
+      "00" * 130 + "FFFB" + "94" + "00") // brIdx 9, srIdx 1
+    val bare = hx("FFFB" + "E8" + "00") // brIdx 14, srIdx 2
+    val mpeg2 = hx("FFF3" + "94" + "00") // version bits 10: not MPEG-1
+    val truncTag = hx("494433" + "0300" + "00" + "0000" + "0102")
+    val rows = Seq(
+      (0L, tag130), (1L, bare), (2L, mpeg2), (3L, truncTag),
+      (4L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .withColumn("p", Multimodal.mp3Meta($"payload"))
+      .select($"media_id", $"p.id3_version", $"p.tag_size",
+        $"p.bitrate_kbps", $"p.sample_rate")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getString(1) == "2.4" && rows(0L).getLong(2) == 130 &&
+      rows(0L).getLong(3) == 128 && rows(0L).getLong(4) == 48000)
+    assert(rows(1L).isNullAt(1) && rows(1L).getLong(3) == 320 &&
+      rows(1L).getLong(4) == 32000)
+    // MPEG-2 frame: sync fine, but outside the Layer-III/MPEG-1
+    // contract — frame fields null, not garbage
+    assert(rows(2L).isNullAt(3) && rows(2L).isNullAt(4))
+    // tag header intact but the frame is missing: tag fields parse,
+    // frame fields null
+    assert(rows(3L).getString(1) == "2.3" && rows(3L).getLong(2) == 130
+      && rows(3L).isNullAt(3))
+    assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(3))
+  }
 }
