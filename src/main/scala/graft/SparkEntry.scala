@@ -2368,6 +2368,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MULTI-BENCHMARK CONTAMINATION MATRIX: per-training-doc
+    // attribution of WHICH eval suites it leaks 5-gram windows into —
+    // the release-report layer above d20's single-suite drop decision.
+    // One tagged-union broadcast serves every suite in a single probe;
+    // names fold sorted so the report column hash-verifies
+    "d47_contam_matrix" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminationMatrix(
+          all.filter(col("doc_id") % 20 =!= 7 &&
+            col("doc_id") % 20 =!= 13),
+          Seq(
+            "mmlu" -> all.filter(col("doc_id") % 20 === 7),
+            "gsm8k" -> all.filter(col("doc_id") % 20 === 13)),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // corpus datasheet: the per-(source, lang) composition report a
     // corpus release ships with — doc/token counts, mean length, share
     // of corpus. One keyed agg with map-side partials; the share window
@@ -5027,6 +5044,29 @@ object SparkEntry {
         |SELECT tr.doc_id,
         | count(DISTINCT tr.shingle) AS n_shared,
         | count(DISTINCT ev.eval_id) AS n_eval
+        |FROM tr JOIN ev ON tr.shingle = ev.shingle
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // the same 5-gram universe, suites tagged; names fold sorted
+    "d47_contam_matrix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+        |     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |          tk[i+3] || ' ' || tk[i+4])) AS shingle
+        |  FROM toks),
+        |ev AS (
+        |  SELECT 'mmlu' AS bench, shingle FROM sh WHERE doc_id % 20 = 7
+        |  UNION
+        |  SELECT 'gsm8k', shingle FROM sh WHERE doc_id % 20 = 13),
+        |tr AS (SELECT doc_id, shingle FROM sh
+        |       WHERE doc_id % 20 NOT IN (7, 13))
+        |SELECT tr.doc_id,
+        | array_to_string(list_sort(list(DISTINCT ev.bench)), ',')
+        |   AS benchmarks,
+        | count(DISTINCT tr.shingle) AS n_shared
         |FROM tr JOIN ev ON tr.shingle = ev.shingle
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 

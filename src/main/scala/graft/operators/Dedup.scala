@@ -356,6 +356,37 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval"))
   }
 
+  /** Multi-benchmark contamination MATRIX: which eval suite(s) each
+    * training doc leaks k-gram windows into — the audit layer of a
+    * decontamination gate run against the whole benchmark battery at
+    * once (the per-benchmark attribution a release report needs, not
+    * just a drop decision). One probe serves every suite: the tagged
+    * benchmark shingle sets union into a single broadcast, the train
+    * side joins it once, and per-doc suite names fold via a SORTED
+    * collect_set so the report column is hash-stable. Scale shape =
+    * [[contaminationReport]]'s: benchmark shingles are eval-suite
+    * sized (broadcastable; the Bloom variant is the fallback), the
+    * probe is one keyed join, nothing all-pairs. */
+  def contaminationMatrix(
+      train: DataFrame,
+      benchmarks: Seq[(String, DataFrame)],
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val evs = benchmarks.map { case (name, df) =>
+      shingleHashRows(df, idCol, textCol, n)
+        .select(lit(name).as("bench"), col("sh"))
+    }.reduce(_.unionByName(_)).distinct()
+    shingleHashRows(train, idCol, textCol, n)
+      .join(broadcast(evs), "sh")
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        array_join(array_sort(collect_set(col("bench"))), ",")
+          .as("benchmarks"),
+        countDistinct(col("sh")).as("n_shared"))
+  }
+
   /** Bloom-filter variant of the decontamination probe — the scale path
     * when the held-out shingle set outgrows an exact broadcast (a full
     * eval-suite union at 100 TB can reach billions of distinct n-grams:
