@@ -3158,6 +3158,52 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // MERGE-ON-READ DELETE (the deletion-vector trade): deletes append
+    // an O(batch) tombstone file and touch ZERO data files (asserted);
+    // the MOR view subtracts exactly once under replayed deletes
+    // (count-asserted); applyTombstones folds the debt in one
+    // copy-on-write pass over a strict file subset (asserted) and
+    // clears the tombstones — applied and MOR views identical after
+    "q111_mor_delete" -> ((s, d) => {
+      val root = scratch(s, "q111", d)
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(src.count() / 8L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("o_orderkey"))
+      val Array(lo, hi0) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi0 - lo) / 8
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b)).select("o_orderkey")
+      val before = SchemaTools.listDataFiles(s, root).toSet
+      RowOps.deleteKeysMor(s, root, band(lo, lo + e), Seq("o_orderkey"))
+      assert(SchemaTools.listDataFiles(s, root).toSet == before,
+        "a merge-on-read delete must not touch a data file")
+      RowOps.deleteKeysMor(s, root, band(lo, lo + e),
+        Seq("o_orderkey")) // replayed delivery
+      RowOps.deleteKeysMor(s, root,
+        band(lo + 3 * e, lo + 4 * e), Seq("o_orderkey"))
+      val expected = src
+        .filter(!col("o_orderkey").between(lo, lo + e) &&
+          !col("o_orderkey").between(lo + 3 * e, lo + 4 * e)).count()
+      assert(RowOps.readMor(s, root).count() == expected,
+        "the MOR view must subtract every tombstoned key exactly once")
+      val st = RowOps.applyTombstones(s, root)
+      assert(st.filesTouched > 0 && st.filesTouched < st.filesTotal,
+        s"apply must rewrite a strict subset: $st")
+      assert(RowOps.tombstoneKeys(s, root).isEmpty,
+        "apply must clear the tombstones")
+      s.read.parquet(root)
+        .select(lit("applied").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(RowOps.readMor(s, root)
+          .select(lit("mor").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // DROP COLUMN WITHOUT REWRITE (the column-mapping sibling): one
     // marker entry hides the column — files untouched (asserted, with
     // a footer still physically carrying it); incoming batches that
@@ -4813,6 +4859,19 @@ object SparkEntry {
     "q102_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // both views = the survivors of the two orderkey bands, once each
+    "q111_mor_delete" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 8 AS e FROM orders),
+        |x AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders, b
+        |  WHERE NOT (o_orderkey BETWEEN lo AND lo + e)
+        |    AND NOT (o_orderkey BETWEEN lo + 3*e AND lo + 4*e))
+        |SELECT 'applied' AS side, * FROM x
+        |UNION ALL
+        |SELECT 'mor', * FROM x
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // same delta union as q108, minus the hidden column
     "q109_column_drop" ->

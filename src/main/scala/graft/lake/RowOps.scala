@@ -419,6 +419,81 @@ object RowOps {
     Stats(all.size, touched.size)
   }
 
+  // ---- merge-on-read deletes (the deletion-vector trade) ------------------
+
+  /** MERGE-ON-READ keyed delete: instead of rewriting the files that
+    * hold the doomed keys (the copy-on-write [[deleteKeys]]), record
+    * the keys as a TOMBSTONE file under `_tombstones/` — an O(batch)
+    * append that touches ZERO data files. This is the deletion-vector
+    * trade every modern lake format offers: at 100 TB a point delete
+    * must not pay a gigabyte file rewrite; readers subtract instead
+    * ([[readMor]]) until [[applyTombstones]] folds the debt in one
+    * copy-on-write pass. Tombstone files carry ONLY the key columns
+    * (their schema IS the key list — readers need no side channel);
+    * repeated deletes append, and deleting an already-dead key is a
+    * read-time no-op, so the op is idempotent under replay. Standing
+    * `_stats` spans stay valid as supersets (files unchanged); the
+    * exact-key `_keys` sidecar keeps serving the PRE-delete key set —
+    * conservative for dedup gates (a re-ingested deleted doc stays
+    * deduplicated) — until the apply refreshes the lake. */
+  def deleteKeysMor(
+      spark: SparkSession,
+      path: String,
+      keyBatch: DataFrame,
+      keys: Seq[String]
+  ): Unit = {
+    require(keys.nonEmpty, "deleteKeysMor needs at least one key column")
+    requireFlat(spark, path)
+    val existing = tombstoneKeys(spark, path)
+    existing.foreach { prior =>
+      require(prior.columns.sorted.toSeq == keys.sorted,
+        s"tombstones at $path already use keys " +
+          s"${prior.columns.mkString(", ")}")
+    }
+    keyBatch.select(keys.map(col): _*).distinct()
+      .write.mode("append")
+      .parquet(new Path(path, "_tombstones").toString)
+  }
+
+  /** The accumulated tombstone key set, None if there is none. */
+  def tombstoneKeys(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val tdir = new Path(path, "_tombstones")
+    if (!fsOf(spark, tdir).exists(tdir)) return None
+    val files = SchemaTools.listDataFiles(spark, tdir.toString)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(tdir.toString).distinct())
+  }
+
+  /** The merge-on-read view: data minus the tombstoned keys (null-safe
+    * key equality, matching [[deleteKeys]]). With no tombstones this
+    * is the plain scan. */
+  def readMor(spark: SparkSession, path: String): DataFrame = {
+    val data = spark.read.parquet(path)
+    tombstoneKeys(spark, path) match {
+      case None => data
+      case Some(ts) =>
+        data.join(broadcast(ts),
+          ts.columns.map(k => data(k) <=> ts(k)).reduce(_ && _),
+          "left_anti")
+    }
+  }
+
+  /** Fold the tombstone debt: one copy-on-write [[deleteKeys]] pass
+    * over the accumulated keys, then the tombstones clear. Crash-safe
+    * by order — a crash between the fold and the clear leaves
+    * tombstones for already-dead keys, which the next read or apply
+    * treats as the no-op it is. */
+  def applyTombstones(spark: SparkSession, path: String): Stats =
+    tombstoneKeys(spark, path) match {
+      case None => Stats(SchemaTools.listDataFiles(spark, path).size, 0)
+      case Some(ts) =>
+        val stats = deleteKeys(spark, path, ts, ts.columns.toSeq)
+        fsOf(spark, new Path(path, "_tombstones"))
+          .delete(new Path(path, "_tombstones"), true)
+        stats
+    }
+
   /** Apply a change feed to a replica — the downstream half of CDC
     * replication: versions in ascending order; within a version,
     * `update_postimage` + `insert` rows land as one [[upsert]] batch

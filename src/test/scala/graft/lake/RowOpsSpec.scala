@@ -305,4 +305,35 @@ class RowOpsSpec extends AnyFunSuite {
     RowOps.applyChanges(spark, dst, feed, Seq("id"))
     assert(rowsOf(dst) == rowsOf(src))
   }
+
+  test("merge-on-read deletes: files byte-identical until apply, key " +
+      "schema locked, stale tombstones after a crashed clear are a " +
+      "no-op") {
+    val dir = TestSpark.tempDir("mor")
+    (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val before = dataFiles(dir)
+    RowOps.deleteKeysMor(spark, dir, Seq(2L, 5L).toDF("id"), Seq("id"))
+    assert(dataFiles(dir) == before,
+      "a MOR delete must leave every data file byte-identical")
+    assert(RowOps.readMor(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L, 7L, 8L))
+    // a second delete with a DIFFERENT key set must refuse — readers
+    // derive the key list from the tombstone schema
+    intercept[IllegalArgumentException] {
+      RowOps.deleteKeysMor(spark, dir, Seq("v2").toDF("v"), Seq("v"))
+    }
+    RowOps.applyTombstones(spark, dir)
+    assert(RowOps.tombstoneKeys(spark, dir).isEmpty)
+    assert(spark.read.parquet(dir).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L, 7L, 8L))
+    // crash window: the fold ran but the clear did not — tombstones
+    // for already-dead keys must be a harmless no-op on read AND on
+    // the next apply
+    RowOps.deleteKeysMor(spark, dir, Seq(2L, 5L).toDF("id"), Seq("id"))
+    assert(RowOps.readMor(spark, dir).count() == 6)
+    val st = RowOps.applyTombstones(spark, dir)
+    assert(st.filesTouched == 0, s"dead keys touch nothing: $st")
+    assert(spark.read.parquet(dir).count() == 6)
+  }
 }
