@@ -3158,6 +3158,36 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // IN-PLACE CORPUS DEDUP (dedup as a lake MUTATION): the exact-dup
+    // decision (keep min id per content) emits the LOSERS as a
+    // merge-on-read tombstone batch — the corpus is deduplicated
+    // without rewriting a single data file (asserted), which is the
+    // only affordable shape when the duplicates are 1% of 100 TB. The
+    // apply folds the debt over just the files holding losers
+    "q112_dedup_in_place" -> ((s, d) => {
+      val root = scratch(s, "q112", d)
+      val base = docs(s, d).select("doc_id", "text")
+      val dups = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = 200L)
+        .write(base.unionByName(dups).orderBy("doc_id"))
+      val lake = s.read.parquet(root)
+      val keep = lake.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val losers = lake.join(keep.select("doc_id"), Seq("doc_id"),
+        "left_anti").select("doc_id")
+      val before = SchemaTools.listDataFiles(s, root).toSet
+      RowOps.deleteKeysMor(s, root, losers, Seq("doc_id"))
+      assert(SchemaTools.listDataFiles(s, root).toSet == before,
+        "the dedup decision must not rewrite the corpus")
+      val nKeep = keep.count()
+      assert(RowOps.readMor(s, root).count() == nKeep,
+        "the MOR view must serve exactly the keepers")
+      val st = RowOps.applyTombstones(s, root)
+      assert(st.filesTouched < st.filesTotal,
+        s"apply must rewrite only the loser-holding files: $st")
+      s.read.parquet(root).orderBy("doc_id")
+    }),
+
     // MERGE-ON-READ DELETE (the deletion-vector trade): deletes append
     // an O(batch) tombstone file and touch ZERO data files (asserted);
     // the MOR view subtracts exactly once under replayed deletes
@@ -4859,6 +4889,16 @@ object SparkEntry {
     "q102_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the keepers: min doc_id per text over base ∪ planted duplicates
+    "q112_dedup_in_place" ->
+      """WITH lake AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents
+        |  WHERE doc_id % 5 = 0)
+        |SELECT min(doc_id) AS doc_id, text FROM lake
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
 
     // both views = the survivors of the two orderkey bands, once each
     "q111_mor_delete" ->
