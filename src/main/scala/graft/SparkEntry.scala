@@ -2617,6 +2617,27 @@ object SparkEntry {
         .orderBy("label1", "rank")
     }),
 
+    // BPE ENCODE (the apply half of d43's training): the learned
+    // merges re-segment the vocabulary, and every doc's subword count
+    // comes from one broadcast word->segmentation join — the
+    // compression metric tokenizer training exists to improve. The
+    // corpus is never re-segmented row by row: segmentation lives on
+    // the VOCABULARY, docs just join it
+    "d48_bpe_encode" -> ((s, d) => {
+      val (_, vocab) = operators.Quality.bpeTrain(docs(s, d), rounds = 3)
+      val segLen = vocab.select(col("word"),
+        size(expr("split(btrim(seg, '|'), '\\\\|\\\\|')"))
+          .cast("long").as("ns"))
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(segLen), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("ns").as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // leakage-safe train/test split: assignment is a function of the
     // near-dup CLUSTER, so no near-duplicate pair can straddle the
     // boundary (the Lee et al. 2022 eval-contamination mode). Asserted
@@ -4031,6 +4052,54 @@ object SparkEntry {
 
   private def d09Oracle: String =
     d09Labels + "\nSELECT doc_id, cluster_id FROM labels ORDER BY doc_id"
+
+  /** The three unrolled BPE training rounds as a CTE chain ending in
+    * t1/t2/t3 (the merges) and v3 (the re-segmented vocabulary) —
+    * shared by the d43 and d48 oracles. */
+  private def bpeCtes: String =
+    """WITH v0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+        |    left('|' || regexp_replace(word, '(.)', '\1||', 'g'),
+        |         3*length(word)) AS seg
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |p1 AS (
+        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)),
+        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
+        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
+        |          FROM v0)
+        |  ) GROUP BY 1, 2),
+        |t1 AS (SELECT * FROM p1 ORDER BY w DESC, s1, s2 LIMIT 1),
+        |v1 AS (SELECT word, n,
+        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
+        |               '|'||t.s1||t.s2||'|') AS seg
+        |  FROM v0, t1 t),
+        |p2 AS (
+        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)),
+        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
+        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
+        |          FROM v1)
+        |  ) GROUP BY 1, 2),
+        |t2 AS (SELECT * FROM p2 ORDER BY w DESC, s1, s2 LIMIT 1),
+        |v2 AS (SELECT word, n,
+        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
+        |               '|'||t.s1||t.s2||'|') AS seg
+        |  FROM v1, t2 t),
+        |p3 AS (
+        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)),
+        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
+        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
+        |          FROM v2)
+        |  ) GROUP BY 1, 2),
+        |t3 AS (SELECT * FROM p3 ORDER BY w DESC, s1, s2 LIMIT 1),
+        |v3 AS (SELECT word, n,
+        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
+        |               '|'||t.s1||t.s2||'|') AS seg
+        |  FROM v2, t3 t)""".stripMargin
 
   /** The shingle-candidate pair derivation (toks -> sh -> jaccard
     * `pairs`) shared by d09Labels and the d46 edit-distance oracle. */
@@ -5986,56 +6055,31 @@ object SparkEntry {
     // counts -> deterministic argmax (w desc, pair asc) -> the same
     // boundary-exact replace, three times; the final SELECT re-emits
     // the merge table and the re-segmented vocabulary
-    "d43_bpe_merges" ->
-      """WITH v0 AS (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS n,
-        |    left('|' || regexp_replace(word, '(.)', '\1||', 'g'),
-        |         3*length(word)) AS seg
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-        |        FROM documents)
-        |  WHERE length(word) > 0 GROUP BY word),
-        |p1 AS (
-        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(sy)),
-        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
-        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
-        |          FROM v0)
-        |  ) GROUP BY 1, 2),
-        |t1 AS (SELECT * FROM p1 ORDER BY w DESC, s1, s2 LIMIT 1),
-        |v1 AS (SELECT word, n,
-        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
-        |               '|'||t.s1||t.s2||'|') AS seg
-        |  FROM v0, t1 t),
-        |p2 AS (
-        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(sy)),
-        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
-        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
-        |          FROM v1)
-        |  ) GROUP BY 1, 2),
-        |t2 AS (SELECT * FROM p2 ORDER BY w DESC, s1, s2 LIMIT 1),
-        |v2 AS (SELECT word, n,
-        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
-        |               '|'||t.s1||t.s2||'|') AS seg
-        |  FROM v1, t2 t),
-        |p3 AS (
-        |  SELECT z.s1, z.s2, CAST(sum(n) AS BIGINT) AS w FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(sy)),
-        |      i -> struct_pack(s1 := sy[i], s2 := sy[i+1]))) AS z
-        |    FROM (SELECT n, string_split(trim(seg, '|'), '||') AS sy
-        |          FROM v2)
-        |  ) GROUP BY 1, 2),
-        |t3 AS (SELECT * FROM p3 ORDER BY w DESC, s1, s2 LIMIT 1),
-        |v3 AS (SELECT word, n,
-        |  replace(seg, '|'||t.s1||'||'||t.s2||'|',
-        |               '|'||t.s1||t.s2||'|') AS seg
-        |  FROM v2, t3 t)
+    "d43_bpe_merges" -> (bpeCtes +
+      """
         |SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS ord, s1, s2,
         |  w AS n, s1||s2 AS seg FROM t1
         |UNION ALL SELECT 'merge', 2, s1, s2, w, s1||s2 FROM t2
         |UNION ALL SELECT 'merge', 3, s1, s2, w, s1||s2 FROM t3
         |UNION ALL SELECT 'vocab', 0, word, '', n, seg FROM v3
-        |ORDER BY kind, ord, s1""".stripMargin,
+        |ORDER BY kind, ord, s1""".stripMargin),
+
+    // the same three trained rounds, then the encode: every doc's
+    // subword count = its words joined to the final segmentation
+    "d48_bpe_encode" -> (bpeCtes +
+      """,
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents),
+        |sl AS (SELECT word,
+        |  CAST(len(string_split(trim(seg, '|'), '||')) AS BIGINT)
+        |    AS ns FROM v3)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(ns) AS BIGINT) AS n_subwords
+        |FROM w JOIN sl USING (word)
+        |WHERE length(word) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+
 
     "d41_tfidf_keywords" -> {
       def fine(e: String): String =
