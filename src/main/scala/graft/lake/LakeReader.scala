@@ -60,14 +60,26 @@ final case class LakeReader(
         SchemaTools.withSessionConf(
           spark, "spark.sql.legacy.parquet.nanosAsLong", "true")(loadBase())
       else loadBase()
-    // Column mapping surfaces here: physical -> logical, before the
-    // user's filter (which references logical names)
-    val mapped =
+    // The dataset's LOGICAL surface assembles here, before the user's
+    // filter: merge-on-read tombstones subtract (RowOps.deleteKeysMor
+    // — unapplied deletes must not serve), then column mapping renames
+    // physical -> logical and hides dropped columns. Tombstone keys
+    // are physical names, so the subtraction precedes the mapping.
+    val subtracted =
       if (format != "parquet") base
+      else RowOps.tombstoneKeys(spark, path) match {
+        case None => base
+        case Some(ts) =>
+          base.join(org.apache.spark.sql.functions.broadcast(ts),
+            ts.columns.map(k => base(k) <=> ts(k)).reduce(_ && _),
+            "left_anti")
+      }
+    val mapped =
+      if (format != "parquet") subtracted
       else SchemaTools.readSchemaMarkerInfo(spark, path)
-        .map(i => SchemaTools.applyRenames(base, i.renames)
+        .map(i => SchemaTools.applyRenames(subtracted, i.renames)
           .drop(i.dropped.toSeq: _*))
-        .getOrElse(base)
+        .getOrElse(subtracted)
     val filtered = filterExpr.map { e =>
       statsPrunedScan(e).map(_.filter(e)).getOrElse(mapped.filter(e))
     }.getOrElse(mapped)
@@ -89,6 +101,9 @@ final case class LakeReader(
         .exists(i => !i.homogeneous || i.renames.nonEmpty ||
           i.dropped.nonEmpty))
       return None
+    // unapplied merge-on-read tombstones: the pruned scan would serve
+    // deleted rows — fall back to the full logical surface
+    if (RowOps.tombstoneKeys(spark, path).nonEmpty) return None
     val bounds = FileStats.rangeBounds(spark, predicate)
     if (bounds.isEmpty) return None
     FileStats.candidatesForBounds(spark, path, bounds).map { files =>

@@ -123,4 +123,24 @@ class LakeReaderSpec extends AnyFunSuite {
     // id=1 filtered out first, so k=a keeps id=2
     assert(out == Map(2 -> "a", 3 -> "b"))
   }
+
+  test("the reader's logical surface subtracts unapplied MOR " +
+      "tombstones, and stats-skipping falls back under them") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.tempDir("lrmor")
+    (1L to 10L).map(i => (i, i * 10.0)).toDF("id", "x")
+      .write.mode("overwrite").parquet(dir)
+    RowOps.deleteKeysMor(spark, dir, Seq(3L, 7L).toDF("id"), Seq("id"))
+    val out = LakeReader(spark, dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 4L, 5L, 6L, 8L, 9L, 10L),
+      "unapplied deletes must not serve through the reader")
+    // a range filter still answers correctly (stats-skipping bails to
+    // the full logical surface rather than serving dead rows)
+    val f = LakeReader(spark, dir).filter("id >= 5")
+      .load().select("id").as[Long].collect().sorted.toSeq
+    assert(f == Seq(5L, 6L, 8L, 9L, 10L))
+    RowOps.applyTombstones(spark, dir)
+    assert(LakeReader(spark, dir).load().count() == 8)
+  }
 }
