@@ -180,7 +180,11 @@ object Plans {
         "data pages read at any partition cardinality"),
       "q108_column_rename" -> ("column mapping: rename/drop are one " +
         "marker entry; the scan is unchanged except a logical " +
-        "projection — no file rewrite in the plan")
+        "projection — no file rewrite in the plan"),
+      "q111_mor_delete" -> ("merge-on-read: the applied read is a " +
+        "plain scan; the MOR view adds ONE broadcast anti-join " +
+        "against the tombstone keys — a delete costs an O(batch) " +
+        "append, never a file rewrite, until the batched apply")
     )
 
     val sb = new StringBuilder
