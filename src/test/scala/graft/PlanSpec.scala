@@ -134,6 +134,36 @@ class PlanSpec extends AnyFunSuite {
       s"segment near-dup must stay keyed:\n$p")
   }
 
+  test("d47: the whole benchmark battery probes as ONE broadcast — " +
+      "the corpus side never shuffles toward the suites") {
+    val p = plan("d47_contam_matrix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast into the probe:\n$p")
+  }
+
+  test("d48: the vocabulary segmentation joins broadcast — the " +
+      "exploded corpus never shuffles for the encode") {
+    val p = plan("d48_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"word->segmentation must be a broadcast join:\n$p")
+  }
+
+  test("merge-on-read view: the tombstone subtraction is one " +
+      "broadcast anti-join over the plain scan") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("morplan")
+    (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .write.mode("overwrite").parquet(dir)
+    graft.lake.RowOps.deleteKeysMor(spark, dir,
+      Seq(3L).toDF("id"), Seq("id"))
+    val p = graft.lake.RowOps.readMor(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"MOR must subtract via a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a tombstone batch must never sort-merge against the data:\n$p")
+  }
+
   test("no query in the library plans a cartesian or nested-loop join") {
     // The only queries whose SEMANTICS are a bounded cross product:
     //  - q55: the cross-join operator itself (5x25 by contract)
