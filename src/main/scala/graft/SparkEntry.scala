@@ -3363,6 +3363,43 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // COMMIT-LOG DATASETS IN THE CATALOG: the multi-writer flavor
+    // becomes a SQL table whose view resolves the LOG — a
+    // moved-but-uncommitted file stays invisible to spark.sql
+    // (asserted), every commit refreshes the view, and a TimeFly
+    // dimension joins it THROUGH SQL under one oracle
+    "q113_catalog_commitlog" -> ((s, d) => {
+      val root = scratch(s, "q113", d)
+      val mgr = LakeManager(s, root).init()
+      val log = mgr.addCommitLog("ledger")
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(p: org.apache.spark.sql.Column) =
+        ord(s, d).filter(p).select(cols.map(col): _*)
+      val n1 = slice(col("o_custkey") < 100).count()
+      log.append(slice(col("o_custkey") < 100))
+      // a crashed writer's moved-but-uncommitted file: invisible to SQL
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      slice(col("o_custkey") >= 1400).coalesce(1)
+        .write.parquet(s"$root/ledger/_staged/ghost")
+      SchemaTools.listDataFiles(s, s"$root/ledger/_staged/ghost")
+        .foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          fs.rename(p, new org.apache.hadoop.fs.Path(
+            s"$root/ledger/data", p.getName))
+        }
+      assert(s.sql("SELECT count(*) FROM ledger").head.getLong(0) == n1,
+        "uncommitted files must stay invisible to the SQL view")
+      mgr.addDataset("cust_dim")
+      mgr.dataset("cust_dim").writer(WriteMode.Overwrite)
+        .write(cust(s, d).select("c_custkey", "c_name"))
+      log.append(slice(col("o_custkey").between(700, 720)))
+      s.sql(
+        """SELECT l.o_orderkey, l.o_custkey, c.c_name
+          |FROM ledger l JOIN cust_dim c ON l.o_custkey = c.c_custkey
+          |ORDER BY l.o_orderkey""".stripMargin)
+    }),
+
     // COMMIT-LOG CHECKPOINT (the Delta _checkpoint pattern): fold the
     // resolved live set at a version into one file so readers replay
     // O(commits-since-checkpoint), not the whole log. Checkpoints are
@@ -5003,6 +5040,13 @@ object SparkEntry {
         | CAST(ceil(count(*) / 500.0) AS BIGINT) AS n_files,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin,
+
+    // the committed ledger (orphan excluded) joined to the dimension
+    "q113_catalog_commitlog" ->
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey < 100 OR o_custkey BETWEEN 700 AND 720
+        |ORDER BY o_orderkey""".stripMargin,
 
     // v2 = the checkpointed prefix; live = the post-checkpoint
     // replace's rows plus the append stacked on it

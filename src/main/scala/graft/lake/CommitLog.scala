@@ -59,6 +59,15 @@ final class CommitLog(spark: SparkSession, root: String) {
     this
   }
 
+  // Fired after every commit this handle wins (LakeManager wires SQL
+  // view refresh here, the CommitLog analog of TimeFly.onDataChange).
+  private var commitHooks: List[() => Unit] = Nil
+  def onCommit(f: () => Unit): CommitLog = {
+    commitHooks ::= f
+    this
+  }
+  private def notifyCommit(): Unit = commitHooks.foreach(_())
+
   private def versionFile(v: Long) =
     new Path(commitsDir, f"v$v%020d.json")
 
@@ -176,6 +185,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     val names = stage(df)
     var v = latestVersion() + 1
     while (!tryCas(v, "append", names)) v = latestVersion() + 1
+    notifyCommit()
     v
   }
 
@@ -192,6 +202,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       throw new java.util.ConcurrentModificationException(
         s"replace planned on v$baseVersion but the log advanced " +
           s"to v${latestVersion()} — re-plan on fresh state")
+    notifyCommit()
     v
   }
 

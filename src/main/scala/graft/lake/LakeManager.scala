@@ -101,6 +101,7 @@ final class LakeManager(spark: SparkSession, root: String) {
     * (temp views are session-scoped metadata, this is cheap). */
   def registerView(name: String): Boolean = {
     if (!name.matches("[A-Za-z_][A-Za-z0-9_]*")) return false
+    if (datasetKind(name) == "commitlog") return registerCommitView(name)
     val tf = dataset(name)
     val hasData =
       SchemaTools.listDataFiles(spark, tf.currentPath).nonEmpty
@@ -136,6 +137,39 @@ final class LakeManager(spark: SparkSession, root: String) {
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     cfg.withObject("/dataset").fieldNames().forEachRemaining(buf += _)
     buf.toSeq.sorted
+  }
+
+  private def datasetKind(name: String): String =
+    readCfg().withObject("/dataset").path(name).path("kind")
+      .asText("timefly")
+
+  /** Register a MULTI-WRITER commit-log dataset in the catalog: its
+    * SQL view resolves the LOG (staged/uncommitted files invisible by
+    * construction) and refreshes on every commit made through a handle
+    * from [[commitLog]]. The `kind` marker routes [[registerViews]] to
+    * the right flavor; everything else (tables, remove) is shared. */
+  def addCommitLog(name: String, description: String = ""): CommitLog = {
+    val cfg = readCfg()
+    val ds = cfg.withObject("/dataset").putObject(name)
+    ds.put("name", name)
+    ds.put("path", new Path(root, name).toString)
+    ds.put("description", description)
+    ds.put("kind", "commitlog")
+    writeCfg(cfg)
+    commitLog(name)
+  }
+
+  /** Commit-log handle wired to keep the SQL view fresh per commit. */
+  def commitLog(name: String): CommitLog =
+    CommitLog(spark, new Path(root, name).toString).init()
+      .onCommit(() => registerCommitView(name))
+
+  private def registerCommitView(name: String): Boolean = {
+    if (!name.matches("[A-Za-z_][A-Za-z0-9_]*")) return false
+    val log = CommitLog(spark, new Path(root, name).toString)
+    log.latestVersion() > 0 &&
+      scala.util.Try(log.read(None).createOrReplaceTempView(name))
+        .isSuccess
   }
 
   /** TimeFly handle wired to keep the dataset's SQL view fresh: any
