@@ -3363,6 +3363,39 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // COMMIT-LOG INCREMENTAL CONSUMPTION (its CDC surface): exactly
+    // the rows committed in (v1, v3] — the downstream-trainer "give me
+    // what landed since I last looked" path on the multi-writer
+    // flavor; a replace inside the range REFUSES (asserted) instead of
+    // double-counting re-homed rows
+    "q114_commit_read_since" -> ((s, d) => {
+      val root = scratch(s, "q114", d)
+      val log = CommitLog(s, root).init()
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(p: org.apache.spark.sql.Column) =
+        ord(s, d).filter(p).select(cols.map(col): _*)
+      val base = log.append(slice(col("o_custkey") < 100)) // v1
+      log.append(slice(col("o_custkey").between(700, 720))) // v2
+      log.append(slice(col("o_custkey") >= 1400)) // v3
+      val inc = log.readSince(base)
+        .select(lit("inc").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val out = inc.unionByName(log.read(None)
+        .select(lit("full").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+      log.replace(slice(col("o_custkey") < 50), log.latestVersion())
+      val refused =
+        try { log.readSince(base); false }
+        catch { case _: IllegalArgumentException => true }
+      assert(refused,
+        "an increment across a replace must refuse, not double-count")
+      // the pre-replace frames resolved their file lists lazily — but
+      // replace never deletes data files (vacuum does), so they still
+      // serve the v3 state exactly
+      out
+    }),
+
     // COMMIT-LOG DATASETS IN THE CATALOG: the multi-writer flavor
     // becomes a SQL table whose view resolves the LOG — a
     // moved-but-uncommitted file stays invisible to spark.sql
@@ -5040,6 +5073,18 @@ object SparkEntry {
         | CAST(ceil(count(*) / 500.0) AS BIGINT) AS n_files,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin,
+
+    // inc = what landed after v1; full = everything at v3
+    "q114_commit_read_since" ->
+      """SELECT 'inc' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 700 AND 720 OR o_custkey >= 1400
+        |UNION ALL
+        |SELECT 'full', o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey < 100 OR o_custkey BETWEEN 700 AND 720
+        |   OR o_custkey >= 1400
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // the committed ledger (orphan excluded) joined to the dimension
     "q113_catalog_commitlog" ->

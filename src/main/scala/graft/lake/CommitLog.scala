@@ -131,6 +131,29 @@ final class CommitLog(spark: SparkSession, root: String) {
     else spark.read.parquet(files.map(f => new Path(dataDir, f).toString): _*)
   }
 
+  /** Incremental consumption between versions — the commit log's CDC
+    * surface (the multi-writer sibling of TimeFly.readSince): exactly
+    * the rows committed in (sinceVersion, asOf]. Valid while every
+    * commit in the range is an APPEND — a replace re-homes existing
+    * rows into new files and breaks increment semantics, so consumers
+    * must re-baseline past one (the same rule every file-diff CDC
+    * documents); this refuses loudly instead of double-counting. */
+  def readSince(sinceVersion: Long, asOf: Option[Long] = None)
+      : DataFrame = {
+    val hi = asOf.getOrElse(latestVersion())
+    require(sinceVersion >= 0 && sinceVersion <= hi,
+      s"bad version range ($sinceVersion, $hi]")
+    val cs = (sinceVersion + 1 to hi).map(commit)
+    val replaces = cs.filter(_.kind == "replace")
+    require(replaces.isEmpty,
+      s"replace commit(s) ${replaces.map(_.version).mkString(", ")} " +
+        "inside the increment — re-baseline on the replaced state")
+    val files = cs.flatMap(_.files)
+    if (files.isEmpty) read(None).limit(0)
+    else spark.read.parquet(
+      files.map(f => new Path(dataDir, f).toString): _*)
+  }
+
   /** Stage `df`'s files into `data/` (invisible until committed) and
     * return their names. */
   private def stage(df: DataFrame): Seq[String] = {
