@@ -1078,6 +1078,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // CLUSTER-QUALITY EVAL: simplified silhouette on the e19
+    // assignment — distance-to-centroid in place of mean pairwise
+    // (the O(n·k) variant that survives scale; exact silhouette is
+    // O(n²)). All-integer distances, one IEEE division per vector, so
+    // even the quality METRIC hash-verifies cross-engine
+    "e24_silhouette" -> ((s, d) => {
+      Similarity.kmeansSilhouette(emb(s, d), k = 8, iters = 3)
+        .orderBy("vec_id")
+    }),
+
     // IVF on TRAINED cells — the FAISS train-then-search composition:
     // the e19 coarse quantizer assigns the corpus, queries probe their
     // 2 nearest trained centroids under the same exact-integer metric,
@@ -7172,6 +7182,24 @@ object SparkEntry {
 
     // trained-quantizer IVF: e19's cells + e04's exact-cosine rerank
     "e20_kmeans_ivf" -> e20Oracle,
+
+    // the same unrolled Lloyd chain; a = nearest (the assignment), b =
+    // second-nearest — per-vector silhouette from exact integer
+    // distances
+    "e24_silhouette" ->
+      s"""WITH ${kmeansCtes()},
+        |r AS (SELECT vec_id, cid, d,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d, cid) AS rn
+        |      FROM D3)
+        |SELECT r1.vec_id, CAST(r1.cid AS BIGINT) AS cluster,
+        |  CAST(r1.d AS BIGINT) AS a_sq, CAST(r2.d AS BIGINT) AS b_sq,
+        |  CASE WHEN greatest(r1.d, r2.d) = 0 THEN 0.0
+        |   ELSE CAST(r2.d - r1.d AS DOUBLE) /
+        |        CAST(greatest(r1.d, r2.d) AS DOUBLE) END AS silhouette
+        |FROM r r1 JOIN r r2
+        |  ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+        |ORDER BY r1.vec_id""".stripMargin,
 
     // the same split replayed relationally: violated = the non-null
     // rule flags in rule order, comma-joined; NULL predicates would

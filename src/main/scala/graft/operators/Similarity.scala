@@ -1057,6 +1057,38 @@ object Similarity {
       .select(col("vec_id"), col("cid").cast("long").as("cluster"))
   }
 
+  /** Simplified silhouette over the trained assignment — the O(n·k)
+    * cluster-quality metric (distance-to-centroid in place of mean
+    * pairwise distance: the variant that survives scale — the exact
+    * silhouette is O(n²) and can never run on a corpus). Per vector:
+    * a = squared distance to its centroid, b = squared distance to the
+    * nearest OTHER centroid, s = (b − a) / max(a, b) (0 when both are
+    * 0). Every distance is exact integer arithmetic on the e19
+    * lattice; the one division is a single IEEE op over integers, so
+    * per-vector scores hash-replay cross-engine. Pure per-row
+    * projections against literal centroids — zero shuffles. */
+  def kmeansSilhouette(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 8,
+      iters: Int = 3,
+      scale: Double = 64.0
+  ): DataFrame = {
+    val (q, centroids) = kmeansTrain(df, idCol, vecCol, k, iters, scale)
+    q.withColumn("__sc", array_sort(centScores(centroids, col("qv"))))
+      .withColumn("cluster",
+        element_at(col("__sc"), 1)("cid").cast("long"))
+      .withColumn("a_sq", element_at(col("__sc"), 1)("d"))
+      .withColumn("b_sq", element_at(col("__sc"), 2)("d"))
+      .withColumn("silhouette",
+        when(greatest(col("a_sq"), col("b_sq")) === 0L, lit(0.0))
+          .otherwise((col("b_sq") - col("a_sq")).cast("double") /
+            greatest(col("a_sq"), col("b_sq")).cast("double")))
+      .select(col("vec_id"), col("cluster"), col("a_sq"), col("b_sq"),
+        col("silhouette"))
+  }
+
   /** IVF serving on TRAINED cells — [[ivfTopK]] with the coarse
     * quantizer learned by [[kmeansTrain]] instead of the
     * hash-stratified [[pivotSet]] stand-in (the FAISS
