@@ -129,8 +129,8 @@ object ScalingBench {
       "d44_heavy_hitters", "d45_ngram_novelty", "d46_editdist_pairs",
       "e21_filtered_ann", "e22_maxsim", "m08_zip_meta",
       "q101_stream_sessions", "d47_contam_matrix", "d48_bpe_encode",
-      "e23_pooled_centroids", "q110_stream_mv", "q111_mor_delete",
-      "q112_dedup_in_place")
+      "e23_pooled_centroids", "e24_silhouette", "q110_stream_mv",
+      "q111_mor_delete", "q112_dedup_in_place")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume
