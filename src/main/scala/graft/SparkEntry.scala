@@ -2582,6 +2582,28 @@ object SparkEntry {
       operators.Quality.ngramNovelty(docs(s, d), n = 3)
     }),
 
+    // INTRA-DOC REPETITION (the Gopher duplicate-n-gram-fraction
+    // signal d37's battery doesn't carry): per doc, the fraction of
+    // 3-gram occurrences that repeat an earlier gram of the SAME doc —
+    // sum(count-1) over the doc's gram histogram / total grams. One
+    // (doc, gram) agg + one per-doc agg, both map-side combining; the
+    // ratio is one IEEE division over exact integers
+    "d49_intradoc_rep" -> ((s, d) => {
+      val grams = docs(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 3), " +
+            "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") - 1L).as("dup_grams"),
+          sum(col("c")).as("n_grams"))
+        .withColumn("dup_frac",
+          col("dup_grams").cast("double") / col("n_grams").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // HEAVY HITTERS without a vocabulary shuffle: per-partition
     // Misra-Gries summaries (bounded memory, provably a superset of the
     // true > total/k set) pruned by an EXACT broadcast rescore — run
@@ -3404,6 +3426,41 @@ object SparkEntry {
       // replace never deletes data files (vacuum does), so they still
       // serve the v3 state exactly
       out
+    }),
+
+    // COMMIT-LOG RETENTION: expire the prefix behind a checkpoint —
+    // files stranded by the pre-boundary replace are reclaimed
+    // (asserted by data-file count arithmetic), the live and boundary
+    // reads are untouched, and vacuum after expiry finds nothing more
+    // to do (and provably does not eat data only a checkpoint still
+    // references)
+    "q115_commit_retention" -> ((s, d) => {
+      val root = scratch(s, "q115", d)
+      val log = CommitLog(s, root).init()
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(p: org.apache.spark.sql.Column) =
+        ord(s, d).filter(p).select(cols.map(col): _*)
+      log.append(slice(col("o_custkey") < 100)) // v1
+      log.append(slice(col("o_custkey").between(700, 720))) // v2
+      log.replace(slice(col("o_custkey") >= 1400), 2L) // v3
+      log.append(slice(col("o_custkey").between(300, 320))) // v4
+      def nData = SchemaTools
+        .listDataFiles(s, s"$root/data").size
+      val before = nData
+      val reclaimed = log.expireBefore(3L)
+      assert(reclaimed > 0, "the replaced-away files must reclaim")
+      assert(nData == before - reclaimed,
+        "exactly the stranded files leave the data dir")
+      assert(log.vacuum() == 0,
+        "vacuum after expiry must find nothing — and must not eat " +
+          "data only a checkpoint references")
+      log.read(Some(3L))
+        .select(lit("v3").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(log.read(None)
+          .select(lit("live").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
     }),
 
     // COMMIT-LOG DATASETS IN THE CATALOG: the multi-writer flavor
@@ -5084,6 +5141,16 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin,
 
+    // v3 = the replace's rows; live adds the post-boundary append
+    "q115_commit_retention" ->
+      """SELECT 'v3' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey >= 1400
+        |UNION ALL
+        |SELECT 'live', o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey >= 1400 OR o_custkey BETWEEN 300 AND 320
+        |ORDER BY side, o_orderkey""".stripMargin,
+
     // inc = what landed after v1; full = everything at v3
     "q114_commit_read_since" ->
       """SELECT 'inc' AS side, o_orderkey, o_custkey, o_totalprice
@@ -6091,6 +6158,22 @@ object SparkEntry {
 
     // idf in the same fineLog2 fixed point as the Spark side — integer
     // scores, bit-identical ranking
+    // the same histogram identity: repeats = occurrences - distinct
+    "d49_intradoc_rep" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents) t),
+        |h AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |      FROM g GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(sum(c - 1) AS BIGINT) AS dup_grams,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS dup_frac
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // first ownership replayed relationally; the curve is the plain
     // running sum the distributed prefix must equal
     "d45_ngram_novelty" ->

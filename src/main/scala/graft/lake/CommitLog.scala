@@ -71,15 +71,19 @@ final class CommitLog(spark: SparkSession, root: String) {
   private def versionFile(v: Long) =
     new Path(commitsDir, f"v$v%020d.json")
 
-  /** Highest committed version, 0 if none. O(commits) listing. */
-  def latestVersion(): Long =
-    if (!fs.exists(commitsDir)) 0L
+  /** Versions whose commit files exist (ascending) — after retention
+    * expiry the low prefix is gone, by contract. */
+  private def existingVersions(): Seq[Long] =
+    if (!fs.exists(commitsDir)) Nil
     else fs.listStatus(commitsDir).iterator
       .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json") &&
         !n.endsWith(".checkpoint.json"))
       .map(n => n.substring(1, n.length - 5).toLong)
-      .foldLeft(0L)(math.max)
+      .toSeq.sorted
+
+  /** Highest committed version, 0 if none. O(commits) listing. */
+  def latestVersion(): Long = existingVersions().foldLeft(0L)(math.max)
 
   final case class Commit(version: Long, kind: String,
       files: Seq[String])
@@ -260,12 +264,57 @@ final class CommitLog(spark: SparkSession, root: String) {
         case (acc, x) => Some(math.max(acc.getOrElse(x), x))
       }
 
+  /** RETENTION: expire every version before `keepFrom`. A checkpoint
+    * lands at `keepFrom` first (so resolution at or after it never
+    * degrades, whatever happens next), then data files referenced ONLY
+    * by the dropped prefix are reclaimed (files a pre-`keepFrom`
+    * replace stranded — the live set never references them again),
+    * then the prefix's commit files and stale checkpoints drop. Reads
+    * before `keepFrom` become unavailable — the retention contract
+    * every lake format documents; reads at or after it are untouched.
+    * Crash-safe by that order: each step only removes what the
+    * previous step made unreachable. Returns the reclaimed data-file
+    * count. */
+  def expireBefore(keepFrom: Long): Long = {
+    require(keepFrom >= 1 && keepFrom <= latestVersion(),
+      s"no committed version $keepFrom")
+    checkpoint(keepFrom)
+    val (drop, keep) = existingVersions().partition(_ < keepFrom)
+    val reachable = (liveFiles(Some(keepFrom)) ++
+      keep.filter(_ > keepFrom).flatMap(commit(_).files)).toSet
+    val stranded = drop.flatMap(commit(_).files).distinct
+      .filterNot(reachable)
+    stranded.foreach(f => fs.delete(new Path(dataDir, f), false))
+    drop.foreach { v =>
+      fs.delete(versionFile(v), false)
+      fs.delete(checkpointFile(v), false)
+    }
+    stranded.size
+  }
+
   /** Debris sweep: data files no commit references (crashed writers'
     * moved-but-uncommitted files) and leftover staging dirs. Keeps
     * files referenced by ANY commit — old versions stay readable. */
   def vacuum(): Long = {
-    val referenced = (1L to latestVersion())
-      .flatMap(v => commit(v).files).toSet
+    // after retention expiry, files appended before the kept boundary
+    // are reachable ONLY through a checkpoint — the referenced set
+    // must include checkpoint contents or vacuum eats live data
+    val ckFiles: Seq[String] =
+      if (!fs.exists(commitsDir)) Nil
+      else fs.listStatus(commitsDir).iterator
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".checkpoint.json"))
+        .map(n => n.substring(1, n.length - 16).toLong)
+        .flatMap { cv =>
+          val node = mapper
+            .readTree(TimeFly.readText(fs, checkpointFile(cv)))
+            .asInstanceOf[ObjectNode]
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          node.withArray("files").forEach(n => buf += n.asText())
+          buf
+        }.toSeq
+    val referenced = (existingVersions()
+      .flatMap(v => commit(v).files) ++ ckFiles).toSet
     var removed = 0L
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { s =>

@@ -88,4 +88,26 @@ class CommitLogSpec extends AnyFunSuite {
     assert(log.read().select("id").as[Int].collect().toSeq == Seq(5))
     intercept[IllegalArgumentException] { log.checkpoint(99L) }
   }
+
+  test("retention on an append-only prefix reclaims nothing, keeps " +
+      "every row reachable through the checkpoint, and survives vacuum") {
+    val log = CommitLog(spark, TestSpark.tempDir("clog5")).init()
+    log.append(Seq((1, "a")).toDF("id", "v")) // v1
+    log.append(Seq((2, "b")).toDF("id", "v")) // v2
+    log.append(Seq((3, "c")).toDF("id", "v")) // v3
+    assert(log.expireBefore(2L) == 0L,
+      "append-only prefixes strand nothing — every file stays live")
+    // v1's commit file is gone but its ROWS survive via the checkpoint
+    assert(log.latestVersion() == 3L)
+    assert(log.read().select("id").as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3))
+    assert(log.read(Some(2L)).select("id").as[Int].collect().sorted.toSeq
+      == Seq(1, 2))
+    // vacuum must treat checkpoint-only references as live
+    assert(log.vacuum() == 0L)
+    assert(log.read().count() == 3)
+    // the increment API still works above the boundary
+    assert(log.readSince(2L).select("id").as[Int].collect().toSeq
+      == Seq(3))
+  }
 }
