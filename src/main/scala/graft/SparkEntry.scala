@@ -3211,6 +3211,47 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // RELEASE LIFECYCLE (the round's features composed): raw corpus +
+    // planted duplicates land once; the exact-dup losers AND the
+    // quality failures (token floor) tombstone WITHOUT rewrites (two
+    // MOR batches, files byte-untouched asserted); the debt folds in
+    // one apply; the cleaned state snapshots and TAGS as the release;
+    // the output is the release DATASHEET — per-(source, lang) doc and
+    // token counts served through the tag, the whole chain under one
+    // oracle
+    "q116_release_lifecycle" -> ((s, d) => {
+      val root = scratch(s, "q116", d)
+      val tf = TimeFly(s, root).init("release")
+      val base = docs(s, d).select("doc_id", "text", "source", "lang")
+      val dups = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      LakeWriter(s, tf.currentPath, WriteMode.Overwrite,
+          maxRecordsPerFile = 200L)
+        .write(base.unionByName(dups).orderBy("doc_id"))
+      val lake = s.read.parquet(tf.currentPath)
+      val keep = lake.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val dupLosers = lake.join(keep.select("doc_id"), Seq("doc_id"),
+        "left_anti").select("doc_id")
+      val lowQuality = lake
+        .filter(size(TextFunctions.tokens(col("text"))) < 30)
+        .select("doc_id")
+      val before = SchemaTools.listDataFiles(s, tf.currentPath).toSet
+      RowOps.deleteKeysMor(s, tf.currentPath, dupLosers, Seq("doc_id"))
+      RowOps.deleteKeysMor(s, tf.currentPath, lowQuality, Seq("doc_id"))
+      assert(SchemaTools.listDataFiles(s, tf.currentPath).toSet
+        == before, "curation decisions must not rewrite the corpus")
+      RowOps.applyTombstones(s, tf.currentPath)
+      val snap = tf.addSnapshot(manifestOnly = true)
+      tf.tag("v1_train", snap)
+      tf.readTag("v1_train")
+        .select(col("source"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long")
+            .as("__nt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+        .orderBy("source", "lang")
+    }),
+
     // IN-PLACE CORPUS DEDUP (dedup as a lake MUTATION): the exact-dup
     // decision (keep min id per content) emits the LOSERS as a
     // merge-on-read tombstone batch — the corpus is deduplicated
@@ -5095,6 +5136,25 @@ object SparkEntry {
     "q102_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the release datasheet over the curated survivors: min-id-per-
+    // text keepers above the token floor, counted per (source, lang)
+    "q116_release_lifecycle" ->
+      """WITH lake AS (
+        |  SELECT doc_id, text, source, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, source, lang FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM lake GROUP BY text),
+        |surv AS (
+        |  SELECT l.source, l.lang,
+        |    CAST(len(string_split(l.text, ' ')) AS BIGINT) AS nt
+        |  FROM lake l JOIN keep k ON l.doc_id = k.doc_id
+        |  WHERE len(string_split(l.text, ' ')) >= 30)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM surv GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
 
     // the keepers: min doc_id per text over base ∪ planted duplicates
     "q112_dedup_in_place" ->
