@@ -915,6 +915,37 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // DIVERGED-BRANCH MERGE: main moves on after the branch is cut, so
+    // fast-forward refuses (asserted) — the resolution is a keyed
+    // row-level merge: the branch's rows upsert copy-on-write
+    // (branch wins on key conflicts), main's divergent rows survive,
+    // and only conflicting files rewrite
+    "q117_branch_merge" -> ((s, d) => {
+      val root = scratch(s, "q117", d)
+      val tf = TimeFly(s, root).init("diverge")
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(p: org.apache.spark.sql.Column) =
+        ord(s, d).filter(p).select(cols.map(col): _*)
+      tf.writer(WriteMode.Overwrite)
+        .write(slice(col("o_custkey") < 300))
+      tf.branch("exp")
+      // the branch re-prices a band AND adds new keys
+      tf.branchWriter("exp").write(
+        slice(col("o_custkey") < 100)
+          .withColumn("o_totalprice", lit(-1.0))
+          .unionByName(slice(col("o_custkey") >= 1400)))
+      // main diverges after the cut
+      tf.writer(WriteMode.Append)
+        .write(slice(col("o_custkey").between(700, 720)))
+      val refused =
+        try { tf.fastForward("exp"); false }
+        catch { case _: IllegalArgumentException => true }
+      assert(refused, "a diverged main must refuse the ref move")
+      tf.mergeBranch("exp", Seq("o_orderkey"))
+      assert(tf.branches().isEmpty, "the merged branch must drop")
+      tf.read(None).orderBy("o_orderkey")
+    }),
+
     // SHALLOW CLONE (Delta CLONE): a new dataset whose live view starts
     // as a manifest of the source's files — storage shared until either
     // side writes. Clone-local appends never reach the source, source
@@ -7236,6 +7267,17 @@ object SparkEntry {
         |SELECT 'branch', o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey BETWEEN 700 AND 720
         |ORDER BY side, o_orderkey""".stripMargin,
+
+    // branch wins on the re-priced band, main's divergent append
+    // survives, branch-new keys land
+    "q117_branch_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_custkey < 100 THEN -1.0
+        |  ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_custkey < 300 OR o_custkey BETWEEN 700 AND 720
+        |   OR o_custkey >= 1400
+        |ORDER BY o_orderkey""".stripMargin,
 
     // source = base ∪ its own post-clone appends; clone = the frozen
     // base ∪ the clone's appends — neither side sees the other's writes

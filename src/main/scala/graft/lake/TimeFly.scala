@@ -525,6 +525,24 @@ final class TimeFly(spark: SparkSession, root: String) {
     notifyDataChange()
   }
 
+  /** Merge a DIVERGED branch into main by rows — the resolution path
+    * for exactly the state [[fastForward]] refuses: when main moved on
+    * after the branch was cut, a ref move would drop main's new rows,
+    * so the branch's local rows land as a keyed copy-on-write UPSERT
+    * instead (RowOps — branch wins on key conflicts, the merge
+    * strategy a caller opts into by naming the keys). Costs what the
+    * upsert costs: only main's files holding conflicting keys rewrite.
+    * The branch drops after landing. */
+  def mergeBranch(name: String, keys: Seq[String]): Unit = {
+    val local = SchemaTools.listDataFiles(spark, branchPath(name))
+    branchBaseFiles(name) // existence check
+    if (local.nonEmpty)
+      RowOps.upsert(spark, currentPath,
+        spark.read.parquet(local: _*), keys)
+    deleteBranch(name)
+    notifyDataChange()
+  }
+
   /** Drop a branch and its local files; the base manifest only ever
     * pointed at main's files, so nothing of main is touched. */
   def deleteBranch(name: String): Unit = {
