@@ -3176,6 +3176,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // AVI metadata — the THIRD RIFF form (after WAVE and WEBP): the
+    // LIST hdrl / avih fourccs gate the parse, and the fixture's WAVE
+    // rows make the form-type disambiguation load-bearing in both the
+    // parser (nulls) and the sniffer (audio/wav, not video)
+    "m12_avi_meta" -> ((s, d) => {
+      Multimodal.plantedAvi(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("a", Multimodal.aviMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("a.width").as("width"),
+          col("a.height").as("height"),
+          col("a.total_frames").as("total_frames"),
+          col("a.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // MP3 metadata: the ID3v2 tag size is SYNCSAFE (four 7-bit bytes —
     // tags planted past 127 bytes, so a base-256 read would land the
     // frame probe in the padding), the first MPEG frame sits at the
@@ -6836,6 +6854,25 @@ object SparkEntry {
         | CAST(CASE WHEN sel < 2 THEN tot END AS BIGINT) AS total_usize,
         | CASE WHEN sel < 2 THEN nm END AS names
         |FROM e ORDER BY media_id""".stripMargin,
+
+    // AVI rows from the id arithmetic; WAVE rows are audio/wav with
+    // null video fields — the RIFF form dispatch, relationally
+    "m12_avi_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  doc_id % 1920 + 2 AS w, doc_id % 1080 + 2 AS h,
+        |  doc_id % 9000 + 24 AS fr,
+        |  CASE WHEN doc_id % 3 = 0 THEN 33333 ELSE 41666 END AS uspf
+        | FROM documents)
+        |SELECT media_id,
+        | CASE kind WHEN 0 THEN 'video/x-msvideo' WHEN 1 THEN 'audio/wav'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CAST(CASE WHEN kind = 0 THEN w END AS BIGINT) AS width,
+        | CAST(CASE WHEN kind = 0 THEN h END AS BIGINT) AS height,
+        | CAST(CASE WHEN kind = 0 THEN fr END AS BIGINT)
+        |   AS total_frames,
+        | CAST(CASE WHEN kind = 0
+        |   THEN floor(fr * uspf / 1000.0) END AS BIGINT) AS duration_ms
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // expectations from the plant's id arithmetic: tagged rows carry
     // version/tag_size + frame fields on one residue family, bare rows

@@ -38,6 +38,9 @@ object Multimodal {
       .when(magic === "52494646" &&
         upper(hex(substring(payload, 9, 4))) === "57454250",
         "image/webp")
+      .when(magic === "52494646" &&
+        upper(hex(substring(payload, 9, 4))) === "41564920",
+        "video/x-msvideo") // RIFF form "AVI "
       .when(magic === "52494646", "audio/wav")
       .when(magic === "664C6143", "audio/flac")
       .when(magic === "504B0304", "application/zip")
@@ -278,6 +281,79 @@ object Multimodal {
       when(ok, dim(6)).as("first_width"),
       when(ok, dim(7)).as("first_height"),
       when(ok, le16at(12)).as("first_bpp"))
+  }
+
+  /** AVI main-header metadata as a struct (width, height,
+    * total_frames, duration_ms) — the THIRD RIFF form this library
+    * demuxes (WAVE chunks walk, WEBP first-chunk dispatch, and now
+    * "AVI "): the spec pins `LIST hdrl` as the first chunk and `avih`
+    * as its first child, so the 56-byte MainAVIHeader sits at byte 32
+    * — dwMicroSecPerFrame at +0, dwTotalFrames at +16, dwWidth/+32,
+    * dwHeight/+36, all LE32. The form type AND the avih fourcc are
+    * checked (a WAVE or WEBP payload must null out, not misparse).
+    * duration_ms = frames · µs/frame / 1000 in integer arithmetic. */
+  def aviMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 72)))
+    def le32at(i: Int) =
+      hxByte(hx, i) + hxByte(hx, i + 1) * 256L +
+        hxByte(hx, i + 2) * 65536L + hxByte(hx, i + 3) * 16777216L
+    val ok = length(hx) >= 144 &&
+      substring(hx, 1, 8) === "52494646" && // RIFF
+      substring(hx, 17, 8) === "41564920" && // "AVI "
+      substring(hx, 25, 8) === "4C495354" && // LIST
+      substring(hx, 41, 8) === "6864726C" && // hdrl
+      substring(hx, 49, 8) === "61766968" // avih
+    val uspf = le32at(32)
+    val frames = le32at(48)
+    struct(
+      when(ok, le32at(64)).as("width"),
+      when(ok, le32at(68)).as("height"),
+      when(ok, frames).as("total_frames"),
+      when(ok, floor(frames * uspf / lit(1000.0)).cast("long"))
+        .as("duration_ms"))
+  }
+
+  /** Deterministic planted AVI / raw payloads (the m12 fixture): by
+    * `id % 3`, a minimal RIFF/"AVI " container with `LIST hdrl` +
+    * `avih` and id-varying dims/frame counts/frame durations, a WAVE
+    * payload (same RIFF magic, different form — the disambiguation is
+    * load-bearing: aviMeta must null out, the sniffer must say wav),
+    * or the raw text bytes. */
+  def plantedAvi(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def le32(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X%02X", byteAt(c, 1L), byteAt(c, 256L),
+        byteAt(c, 65536L), byteAt(c, 16777216L))
+    val w = (id % 1920 + 2).cast("long")
+    val h = (id % 1080 + 2).cast("long")
+    val frames = (id % 9000 + 24).cast("long")
+    val uspf = when(id % 3 === 0, 33333L).otherwise(41666L) // ~30/24fps
+    // RIFF size: AVI (4) + LIST hdr (8) + hdrl (4) + avih hdr (8) +
+    // avih body (56) = 80; LIST size: hdrl + avih hdr + body = 68
+    val aviHex = concat(
+      lit("52494646"), le32(lit(80L)), lit("41564920"),
+      lit("4C495354"), le32(lit(68L)), lit("6864726C"),
+      lit("61766968"), le32(lit(56L)),
+      le32(uspf), le32(lit(0L)), le32(lit(0L)), le32(lit(16L)),
+      le32(frames), le32(lit(0L)), le32(lit(1L)), le32(lit(0L)),
+      le32(w), le32(h), lit("0" * 32)) // dwReserved[4]
+    val wavHex = concat(
+      lit("52494646"), le32(lit(36L)), lit("57415645"),
+      lit("666D7420"), le32(lit(16L)), lit("0100010044AC0000"),
+      lit("88580100020010006461746100000000"))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 0, aviHex)
+          .when(id % 3 === 1, wavHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 
   /** MP3 metadata as a struct (id3_version, tag_size, mpeg_layer,
