@@ -3260,6 +3260,39 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // RELEASE DIFF (tag-to-tag changelog): two tagged releases with a
+    // delta append and an applied MOR delete in between; the diff is
+    // two keyed anti-joins between the tag reads, reported per source
+    // — the release-notes table a corpus publisher ships. Both tags
+    // keep serving their exact state across the mutations
+    "q118_release_diff" -> ((s, d) => {
+      val root = scratch(s, "q118", d)
+      val tf = TimeFly(s, root).init("releases")
+      val all = docs(s, d).select("doc_id", "text", "source", "lang")
+      tf.writer(WriteMode.Overwrite)
+        .write(all.filter(col("doc_id") % 3 =!= 2))
+      tf.tag("v1", tf.addSnapshot())
+      Thread.sleep(1100)
+      tf.writer(WriteMode.Append)
+        .write(all.filter(col("doc_id") % 3 === 2))
+      RowOps.deleteKeysMor(s, tf.currentPath,
+        all.filter(col("doc_id") % 7 === 0).select("doc_id"),
+        Seq("doc_id"))
+      RowOps.applyTombstones(s, tf.currentPath)
+      tf.tag("v2", tf.addSnapshot())
+      val v1 = tf.readTag("v1")
+      val v2 = tf.readTag("v2")
+      val added = v2.join(v1.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      val removed = v1.join(v2.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      added.select(lit("added").as("change"), col("source"))
+        .unionByName(
+          removed.select(lit("removed").as("change"), col("source")))
+        .groupBy("change", "source").agg(count(lit(1)).as("n"))
+        .orderBy("change", "source")
+    }),
+
     // RELEASE LIFECYCLE (the round's features composed): raw corpus +
     // planted duplicates land once; the exact-dup losers AND the
     // quality failures (token floor) tombstone WITHOUT rewrites (two
@@ -5185,6 +5218,18 @@ object SparkEntry {
     "q102_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // added = the new third minus the deleted residue; removed = v1
+    // rows the delete took
+    "q118_release_diff" ->
+      """SELECT 'added' AS change, source, count(*) AS n
+        |FROM documents WHERE doc_id % 3 = 2 AND doc_id % 7 <> 0
+        |GROUP BY source
+        |UNION ALL
+        |SELECT 'removed', source, count(*)
+        |FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 7 = 0
+        |GROUP BY source
+        |ORDER BY change, source""".stripMargin,
 
     // the release datasheet over the curated survivors: min-id-per-
     // text keepers above the token floor, counted per (source, lang)
