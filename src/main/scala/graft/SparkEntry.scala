@@ -2746,6 +2746,26 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ANN SERVING UNDER MOR DELETES: deleted vectors must LEAVE the
+    // index — the serving corpus is the merge-on-read view, so
+    // tombstoned ids can neither query nor return as neighbors
+    // (asserted in-query); results equal brute force over the
+    // survivors exactly
+    "e25_ann_mor" -> ((s, d) => {
+      val root = scratch(s, "e25", d)
+      emb(s, d).write.parquet(root)
+      RowOps.deleteKeysMor(s, root,
+        emb(s, d).filter(col("vec_id") % 4 === 1).select("vec_id"),
+        Seq("vec_id"))
+      val corpus = RowOps.readMor(s, root)
+      val out = Similarity.bruteForceTopK(corpus,
+          corpus.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+      assert(out.filter(col("id2") % 4 === 1 || col("id1") % 4 === 1)
+        .count() == 0, "tombstoned vectors must not serve")
+      out.orderBy("id1", "rank")
+    }),
+
     // exact brute-force cosine top-k (queries = vec_id < 10)
     "e02_knn_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -3549,6 +3569,36 @@ object SparkEntry {
       // replace never deletes data files (vacuum does), so they still
       // serve the v3 state exactly
       out
+    }),
+
+    // ADOPT a plain dataset into the commit-log flavor: the files MOVE
+    // (renames — adopting 100 TB must not copy it; name-set equality
+    // asserted) and become commit v1; from then on writers race
+    // through the protocol — a post-adoption append and a stale
+    // replace-conflict prove the machinery is live
+    "q119_commit_adopt" -> ((s, d) => {
+      val root = scratch(s, "q119", d)
+      val plain = s"$root/plain"
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(p: org.apache.spark.sql.Column) =
+        ord(s, d).filter(p).select(cols.map(col): _*)
+      slice(col("o_custkey") < 300).write.parquet(plain)
+      val srcNames = SchemaTools.listDataFiles(s, plain)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      val log = CommitLog(s, s"$root/log").init()
+      assert(log.adopt(plain) == 1L)
+      val dataNames = SchemaTools.listDataFiles(s, s"$root/log/data")
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      assert(dataNames == srcNames,
+        "adoption must MOVE exactly the source files, never copy")
+      assert(SchemaTools.listDataFiles(s, plain).isEmpty,
+        "the source must be empty after the move")
+      log.append(slice(col("o_custkey") >= 1400)) // v2
+      val conflicted =
+        try { log.replace(slice(col("o_custkey") < 50), 1L); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      assert(conflicted, "the protocol must be live post-adoption")
+      log.read(None).orderBy("o_orderkey")
     }),
 
     // COMMIT-LOG RETENTION: expire the prefix behind a checkpoint —
@@ -5295,6 +5345,12 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin,
 
+    // the adopted base plus the post-adoption append
+    "q119_commit_adopt" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey < 300 OR o_custkey >= 1400
+        |ORDER BY o_orderkey""".stripMargin,
+
     // v3 = the replace's rows; live adds the post-boundary append
     "q115_commit_retention" ->
       """SELECT 'v3' AS side, o_orderkey, o_custkey, o_totalprice
@@ -6787,6 +6843,31 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
         |  WHERE a.vec_id < 100) t
         |WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+
+    // e02 over the survivors: the MOR view is the corpus
+    "e25_ann_mor" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings WHERE vec_id % 4 <> 1),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |   sqrt(list_reduce(list_transform(emb, x -> x * x),
+        |        (acc, x) -> acc + x)) AS nrm
+        |  FROM v),
+        |p AS (
+        |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+        |   list_reduce(list_transform(range(1, 65),
+        |     i -> q.emb[i] * c.emb[i]), (acc, x) -> acc + x) /
+        |   (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT id1, id2, sim, rank FROM (
+        |  SELECT id1, id2, sim,
+        |   CAST(row_number() OVER (PARTITION BY id1
+        |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
 
     "e02_knn_topk" ->
       """WITH v AS (

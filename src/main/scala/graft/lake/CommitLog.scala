@@ -158,6 +158,33 @@ final class CommitLog(spark: SparkSession, root: String) {
       files.map(f => new Path(dataDir, f).toString): _*)
   }
 
+  /** ADOPT an existing plain dataset into the commit-log flavor: its
+    * data files MOVE into `data/` (renames, zero copy — adopting
+    * 100 TB must not duplicate it) and land as commit v1, after which
+    * every writer goes through the protocol. Refuses a log that
+    * already has commits (adoption is a bootstrap, not a merge) and a
+    * hive-partitioned source (partition values live in paths the move
+    * would erase). */
+  def adopt(sourcePath: String): Long = {
+    require(latestVersion() == 0L,
+      "adopt bootstraps an empty log; this one has commits")
+    require(SchemaTools.inferPartitioning(spark, sourcePath) == "none",
+      "adopt supports unpartitioned sources")
+    init()
+    val files = SchemaTools.listDataFiles(spark, sourcePath)
+    require(files.nonEmpty, s"nothing to adopt at $sourcePath")
+    val names = files.map { f =>
+      val p = new Path(f)
+      fs.rename(p, new Path(dataDir, p.getName))
+      p.getName
+    }
+    if (!tryCas(1L, "append", names))
+      throw new java.util.ConcurrentModificationException(
+        "another writer claimed v1 during adoption")
+    notifyCommit()
+    1L
+  }
+
   /** Stage `df`'s files into `data/` (invisible until committed) and
     * return their names. */
   private def stage(df: DataFrame): Seq[String] = {

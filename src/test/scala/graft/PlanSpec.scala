@@ -181,10 +181,13 @@ class PlanSpec extends AnyFunSuite {
     //    vector scores against every vector of each candidate document
     //    group, so the exact baseline is e02's bounded-broadcast class
     //    (|Q| query vectors broadcast against one corpus scan)
+    //  - e25: e02's brute force run over the merge-on-read survivor
+    //    view — same bounded-broadcast contract, different corpus
     // Everything else — including e01's exact all-pairs, which is now
     // block-keyed — must plan as equi joins.
     val allowed = Set("q55_cross_join_small", "e02_knn_topk",
-      "e15_ann_recall", "e16_pq_adc", "e17_hamming_topk", "e22_maxsim")
+      "e15_ann_recall", "e16_pq_adc", "e17_hamming_topk", "e22_maxsim",
+      "e25_ann_mor")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
