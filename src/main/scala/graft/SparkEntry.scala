@@ -2613,6 +2613,14 @@ object SparkEntry {
       operators.Quality.ngramNovelty(docs(s, d), n = 3)
     }),
 
+    // TOKEN ENTROPY (information density) in exact fineLog2 fixed
+    // point: H·N·256 = N·flog2(N) − Σ c·flog2(c), all integer — the
+    // quality signal itself hash-verifies where libm log2 drifts; the
+    // only double is the final bits-per-token division
+    "d50_token_entropy" -> ((s, d) => {
+      operators.Quality.tokenEntropy(docs(s, d)).orderBy("doc_id")
+    }),
+
     // INTRA-DOC REPETITION (the Gopher duplicate-n-gram-fraction
     // signal d37's battery doesn't carry): per doc, the fraction of
     // 3-gram occurrences that repeat an earlier gram of the SAME doc —
@@ -6368,6 +6376,28 @@ object SparkEntry {
 
     // idf in the same fineLog2 fixed point as the Spark side — integer
     // scores, bit-identical ranking
+    // the entropy identity in the same fixed point, every term integer
+    "d50_token_entropy" -> {
+      def fine(e: String): String =
+        s"(256 * (length(bin($e)) - 1) + " +
+          s"CAST(floor(CAST(($e) * 256 AS DOUBLE) / " +
+          s"power(2, length(bin($e)) - 1)) AS BIGINT) - 256)"
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+         |      FROM t WHERE length(token) > 0 GROUP BY doc_id, token),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(sum(c * ${fine("c")}) AS BIGINT) AS clog
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_tokens * ${fine("n_tokens")} - clog AS BIGINT)
+         |    AS ent_q8n,
+         |  CAST(n_tokens * ${fine("n_tokens")} - clog AS DOUBLE) /
+         |    CAST(n_tokens * 256 AS DOUBLE) AS bits_per_token
+         |FROM a ORDER BY doc_id""".stripMargin
+    },
+
     // the same histogram identity: repeats = occurrences - distinct
     "d49_intradoc_rep" ->
       """WITH g AS (

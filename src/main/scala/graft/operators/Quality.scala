@@ -350,6 +350,32 @@ object Quality {
       .orderBy(idCol)
   }
 
+  /** Per-doc unigram Shannon entropy in the exact [[fineLog2]] fixed
+    * point — the information-density quality signal (low entropy =
+    * repetitive text; the complement of d49's duplicate fraction):
+    * H·N·256 = N·flog2(N) − Σ cᵢ·flog2(cᵢ), ALL integer, so the
+    * signal itself hash-verifies where a libm log2 would drift; the
+    * one double is the final bits-per-token division. One (doc, token)
+    * agg + one per-doc agg, both map-side combining. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val c = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(idCol, "token").agg(count(lit(1)).as("c"))
+    c.groupBy(idCol)
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * fineLog2(col("c"))).as("__clog"))
+      .withColumn("ent_q8n",
+        col("n_tokens") * fineLog2(col("n_tokens")) - col("__clog"))
+      .withColumn("bits_per_token",
+        col("ent_q8n").cast("double") /
+          (col("n_tokens") * 256L).cast("double"))
+      .select(col(idCol), col("n_tokens"), col("ent_q8n"),
+        col("bits_per_token"))
+  }
+
   /** Heavy hitters by per-partition Misra-Gries + exact rescore — the
     * frequent-items shape that never shuffles the full vocabulary.
     * Pass 1 streams each partition through a k-counter Misra-Gries
