@@ -3579,6 +3579,35 @@ object SparkEntry {
       out
     }),
 
+    // A REAL MULTI-WRITER RACE under the oracle: four threads append
+    // four disjoint slices concurrently through the CAS protocol — the
+    // committed union is order-independent, so even genuine
+    // concurrency hash-verifies; the four versions are claimed exactly
+    // once each (asserted)
+    "q120_commit_race" -> ((s, d) => {
+      val root = scratch(s, "q120", d)
+      val log = CommitLog(s, root).init()
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val slices = Seq(
+        col("o_custkey") < 100,
+        col("o_custkey").between(400, 450),
+        col("o_custkey").between(800, 850),
+        col("o_custkey") >= 1400)
+      val versions =
+        new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val threads = slices.map { p =>
+        new Thread(() => versions.add(
+          log.append(ord(s, d).filter(p).select(cols.map(col): _*))))
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val vs = versions.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue).sorted.toSeq
+      assert(vs == Seq(1L, 2L, 3L, 4L),
+        s"4 racing appends must claim versions 1..4 once each: $vs")
+      log.read(None).orderBy("o_orderkey")
+    }),
+
     // ADOPT a plain dataset into the commit-log flavor: the files MOVE
     // (renames — adopting 100 TB must not copy it; name-set equality
     // asserted) and become commit v1; from then on writers race
@@ -5352,6 +5381,14 @@ object SparkEntry {
         | CAST(ceil(count(*) / 500.0) AS BIGINT) AS n_files,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin,
+
+    // the union of the four disjoint slices — whatever order the race
+    // resolved, the committed state is this relation
+    "q120_commit_race" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey < 100 OR o_custkey BETWEEN 400 AND 450
+        |   OR o_custkey BETWEEN 800 AND 850 OR o_custkey >= 1400
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the adopted base plus the post-adoption append
     "q119_commit_adopt" ->
