@@ -3204,6 +3204,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // WOFF web-font metadata (big-endian): flavor dispatch (TrueType
+    // vs CFF — both planted), table count, uncompressed sfnt size,
+    // version. Every third row is wOFF-magic but SPEC-MALFORMED
+    // (nonzero reserved field): the sniffer still says font/woff, the
+    // parser must refuse — magic detection and structural validation
+    // are different layers, both exercised
+    "m13_woff_meta" -> ((s, d) => {
+      Multimodal.plantedWoff(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("w", Multimodal.woffMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("w.flavor").as("flavor"),
+          col("w.n_tables").as("n_tables"),
+          col("w.sfnt_size").as("sfnt_size"),
+          col("w.version").as("version"))
+        .orderBy("media_id")
+    }),
+
     // AVI metadata — the THIRD RIFF form (after WAVE and WEBP): the
     // LIST hdrl / avih fourccs gate the parse, and the fixture's WAVE
     // rows make the form-type disambiguation load-bearing in both the
@@ -7047,6 +7067,25 @@ object SparkEntry {
         | CAST(CASE WHEN sel < 2 THEN tot END AS BIGINT) AS total_usize,
         | CASE WHEN sel < 2 THEN nm END AS names
         |FROM e ORDER BY media_id""".stripMargin,
+
+    // well-formed rows carry the id-derived fields; the malformed
+    // (reserved != 0) rows keep the woff mime but null fields
+    "m13_woff_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  CASE WHEN (doc_id // 3) % 2 = 0 THEN 'truetype'
+        |   ELSE 'cff' END AS fl,
+        |  doc_id % 20 + 4 AS nt, doc_id % 100000 + 1000 AS sf,
+        |  CAST(doc_id % 3 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 10 AS VARCHAR) AS ver
+        | FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind < 2 THEN 'font/woff'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE WHEN kind = 0 THEN fl END AS flavor,
+        | CAST(CASE WHEN kind = 0 THEN nt END AS BIGINT) AS n_tables,
+        | CAST(CASE WHEN kind = 0 THEN sf END AS BIGINT) AS sfnt_size,
+        | CASE WHEN kind = 0 THEN ver END AS version
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // AVI rows from the id arithmetic; WAVE rows are audio/wav with
     // null video fields — the RIFF form dispatch, relationally

@@ -216,6 +216,20 @@ final class TimeFly(spark: SparkSession, root: String) {
     * snapshot/leaf counts, same as every other TimeFly meta operation.
     * `dryRun = true` reports what would be removed without touching
     * anything. */
+  /** Count-based retention (keep the newest `n` snapshots) — the
+    * policy most schedules actually want, expressed through the same
+    * [[vacuum]] machinery so every protection rule (tags pinned,
+    * newest always survives) applies identically: the cutoff is the
+    * n-th-newest snapshot's id, and vacuum expires strictly-older
+    * untagged ones. */
+  def vacuumKeepLast(n: Int, dryRun: Boolean = false)
+      : TimeFly.VacuumStats = {
+    require(n >= 1, "must keep at least the newest snapshot")
+    val avail = availableSnapshots()
+    if (avail.size <= n) vacuum(None, dryRun)
+    else vacuum(Some(avail(avail.size - n)), dryRun)
+  }
+
   def vacuum(
       olderThan: Option[String] = None,
       dryRun: Boolean = false

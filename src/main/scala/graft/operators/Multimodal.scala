@@ -48,6 +48,7 @@ object Multimodal {
       .when(upper(hex(substring(payload, 5, 4))) === "66747970",
         "video/mp4")
       .when(magic === "25504446", "application/pdf") // "%PDF"
+      .when(magic === "774F4646", "font/woff") // "wOFF"
       .when(magic.startsWith("494433"), "audio/mpeg") // ID3v2
       // bare MPEG audio frame: 11-bit sync FF Ex/Fx
       .when(substring(magic, 1, 2) === "FF" &&
@@ -281,6 +282,74 @@ object Multimodal {
       when(ok, dim(6)).as("first_width"),
       when(ok, dim(7)).as("first_height"),
       when(ok, le16at(12)).as("first_bpp"))
+  }
+
+  /** WOFF web-font metadata as a struct (flavor, n_tables, sfnt_size,
+    * version) — a BIG-endian container (the m-series parses LE RIFF
+    * and BMP, BE TIFF-MM and this; byte order per format is the
+    * discipline): 'wOFF' magic, then the wrapped sfnt FLAVOR at 4
+    * ('OTTO' = CFF outlines, 0x00010000 = TrueType — the dispatch a
+    * font loader keys on), table count BE16 at 12 (reserved at 14 must
+    * be 0 per spec — load-bearing), uncompressed size BE32 at 16, and
+    * the woff major.minor at 20/22. Null fields otherwise. */
+  def woffMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 24)))
+    def be16at(i: Int) = hxByte(hx, i) * 256L + hxByte(hx, i + 1)
+    def be32at(i: Int) =
+      hxByte(hx, i) * 16777216L + hxByte(hx, i + 1) * 65536L +
+        hxByte(hx, i + 2) * 256L + hxByte(hx, i + 3)
+    val flavorHex = substring(hx, 9, 8)
+    val ok = length(hx) >= 48 &&
+      substring(hx, 1, 8) === "774F4646" &&
+      be16at(14) === 0L && // reserved
+      (flavorHex === "4F54544F" || flavorHex === "00010000")
+    struct(
+      when(ok, when(flavorHex === "4F54544F", "cff")
+        .otherwise("truetype")).as("flavor"),
+      when(ok, be16at(12)).as("n_tables"),
+      when(ok, be32at(16)).as("sfnt_size"),
+      when(ok, concat(be16at(20).cast("string"), lit("."),
+        be16at(22).cast("string"))).as("version"))
+  }
+
+  /** Deterministic planted WOFF / raw payloads (the m13 fixture): by
+    * `id % 3`, a TrueType- or CFF-flavored WOFF header with id-varying
+    * table counts / sfnt sizes / versions (flavor flips with
+    * `id div 3`, so both dispatch arms are exercised), a wOFF magic
+    * with a NONZERO reserved field (spec-malformed — the reserved
+    * check is load-bearing), or the raw text bytes. */
+  def plantedWoff(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def be16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X",
+        pmod((c / lit(256.0)).cast("long"), lit(256L)),
+        pmod(c, lit(256L)))
+    def be32(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X%02X",
+        pmod((c / lit(16777216.0)).cast("long"), lit(256L)),
+        pmod((c / lit(65536.0)).cast("long"), lit(256L)),
+        pmod((c / lit(256.0)).cast("long"), lit(256L)),
+        pmod(c, lit(256L)))
+    val flavor = when(expr(s"$idCol div 3") % 2 === 0,
+      "00010000").otherwise("4F54544F")
+    val nt = (id % 20 + 4).cast("long")
+    val sf = (id % 100000 + 1000).cast("long")
+    val maj = (id % 3).cast("long")
+    val minv = (id % 10).cast("long")
+    def header(reserved: org.apache.spark.sql.Column) = concat(
+      lit("774F4646"), flavor, be32(sf + 44L), be16(nt),
+      be16(reserved), be32(sf), be16(maj), be16(minv))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 0, header(lit(0L)))
+          .when(id % 3 === 1, header(lit(7L))) // reserved != 0: reject
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 
   /** AVI main-header metadata as a struct (width, height,

@@ -263,6 +263,27 @@ class TimeFlySpec extends AnyFunSuite {
     assert(tf.tags() == Map("rel_man" -> sMan))
   }
 
+  test("vacuumKeepLast keeps exactly the newest n, tagged older " +
+      "snapshots survive the count cutoff") {
+    val dir = TestSpark.tempDir("tfkeep")
+    val tf = TimeFly(spark, dir).init("keepn")
+    tf.writer(WriteMode.Overwrite).write(Seq((1, "a")).toDF("id", "v"))
+    val ids = (1 to 4).map { _ =>
+      val id = tf.addSnapshot(manifestOnly = true)
+      Thread.sleep(1100)
+      id
+    }
+    tf.tag("pinned", ids(0))
+    val st = tf.vacuumKeepLast(2)
+    assert(st.expired == Seq(ids(1)),
+      s"only the untagged pre-cutoff snapshot expires: ${st.expired}")
+    assert(tf.availableSnapshots().toSet ==
+      Set(ids(0), ids(2), ids(3)),
+      "newest 2 + the tagged one survive")
+    // keeping more than exist is a plain debris sweep, never an expiry
+    assert(tf.vacuumKeepLast(10).expired.isEmpty)
+  }
+
   test("branches: diverged main refuses fast-forward; a crashed " +
       "half-move resumes; vacuum sweeps orphan branch dirs") {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
