@@ -2613,6 +2613,31 @@ object SparkEntry {
       operators.Quality.ngramNovelty(docs(s, d), n = 3)
     }),
 
+    // CROSS-SOURCE DUPLICATE PROVENANCE: texts that appear under MORE
+    // THAN ONE source, with the sorted source list and a copy count —
+    // the license/attribution conflict report a corpus audit ships
+    // (exact dedup says drop; THIS says which provenances disagree).
+    // A mirror slice plants the conflicts; one keyed agg over (text)
+    // with a sorted set fold — hash-stable
+    "d51_cross_source" -> ((s, d) => {
+      val base = docs(s, d)
+      val mirrored = base.filter(col("doc_id") % 6 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+      base.unionByName(mirrored)
+        .groupBy("text")
+        .agg(
+          array_sort(collect_set(col("source"))).as("__srcs"),
+          count(lit(1)).as("n_copies"),
+          min("doc_id").as("first_doc"))
+        .filter(size(col("__srcs")) > 1)
+        .select(col("first_doc"),
+          array_join(col("__srcs"), ",").as("sources"),
+          size(col("__srcs")).cast("long").as("n_sources"),
+          col("n_copies"))
+        .orderBy("first_doc")
+    }),
+
     // TOKEN ENTROPY (information density) in exact fineLog2 fixed
     // point: H·N·256 = N·flog2(N) − Σ c·flog2(c), all integer — the
     // quality signal itself hash-verifies where libm log2 drifts; the
@@ -6433,6 +6458,23 @@ object SparkEntry {
 
     // idf in the same fineLog2 fixed point as the Spark side — integer
     // scores, bit-identical ranking
+    // same grouping over base ∪ mirror, DuckDB's sorted distinct fold
+    "d51_cross_source" ->
+      """WITH lake AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'mirror_' || source
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |g AS (
+        |  SELECT text, list_sort(list(DISTINCT source)) AS srcs,
+        |    CAST(count(*) AS BIGINT) AS n_copies,
+        |    min(doc_id) AS first_doc
+        |  FROM lake GROUP BY text)
+        |SELECT first_doc, array_to_string(srcs, ',') AS sources,
+        |  CAST(len(srcs) AS BIGINT) AS n_sources, n_copies
+        |FROM g WHERE len(srcs) > 1
+        |ORDER BY first_doc""".stripMargin,
+
     // the entropy identity in the same fixed point, every term integer
     "d50_token_entropy" -> {
       def fine(e: String): String =
