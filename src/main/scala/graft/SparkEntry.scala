@@ -3229,6 +3229,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // EXECUTABLE DETECTION (the binary-junk filter a web corpus
+    // needs): ELF with the endian byte GOVERNING the machine-id decode
+    // (big-endian rows byte-swap it — load-bearing), and PE with the
+    // e_lfanew offset PROBED through a variable-length DOS stub (a
+    // fixed offset reads the stub, the PDF-startxref discipline)
+    "m14_exe_meta" -> ((s, d) => {
+      Multimodal.plantedExe(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("e", Multimodal.exeMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("e.exe_format").as("exe_format"),
+          col("e.bits").as("bits"),
+          col("e.machine").as("machine"))
+        .orderBy("media_id")
+    }),
+
     // WOFF web-font metadata (big-endian): flavor dispatch (TrueType
     // vs CFF — both planted), table count, uncompressed sfnt size,
     // version. Every third row is wOFF-magic but SPEC-MALFORMED
@@ -7109,6 +7127,25 @@ object SparkEntry {
         | CAST(CASE WHEN sel < 2 THEN tot END AS BIGINT) AS total_usize,
         | CASE WHEN sel < 2 THEN nm END AS names
         |FROM e ORDER BY media_id""".stripMargin,
+
+    // ELF fields from the id arithmetic (endian-swapped machine ids
+    // decode back to the same number); PE machine/bits by residue
+    "m14_exe_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  (doc_id % 2 + 1) * 32 AS ebits, doc_id % 300 + 2 AS emach,
+        |  CASE WHEN doc_id % 4 = 0 THEN 34404 ELSE 332 END AS pmach,
+        |  CASE WHEN doc_id % 4 = 0 THEN 64 ELSE 32 END AS pbits
+        | FROM documents)
+        |SELECT media_id,
+        | CASE kind WHEN 0 THEN 'application/x-elf'
+        |  WHEN 1 THEN 'application/x-msdownload'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE kind WHEN 0 THEN 'elf' WHEN 1 THEN 'pe' END AS exe_format,
+        | CAST(CASE kind WHEN 0 THEN ebits WHEN 1 THEN pbits
+        |  END AS BIGINT) AS bits,
+        | CAST(CASE kind WHEN 0 THEN emach WHEN 1 THEN pmach
+        |  END AS BIGINT) AS machine
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // well-formed rows carry the id-derived fields; the malformed
     // (reserved != 0) rows keep the woff mime but null fields

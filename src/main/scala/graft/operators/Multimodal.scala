@@ -49,6 +49,8 @@ object Multimodal {
         "video/mp4")
       .when(magic === "25504446", "application/pdf") // "%PDF"
       .when(magic === "774F4646", "font/woff") // "wOFF"
+      .when(magic === "7F454C46", "application/x-elf")
+      .when(magic.startsWith("4D5A"), "application/x-msdownload") // MZ
       .when(magic.startsWith("494433"), "audio/mpeg") // ID3v2
       // bare MPEG audio frame: 11-bit sync FF Ex/Fx
       .when(substring(magic, 1, 2) === "FF" &&
@@ -282,6 +284,93 @@ object Multimodal {
       when(ok, dim(6)).as("first_width"),
       when(ok, dim(7)).as("first_height"),
       when(ok, le16at(12)).as("first_bpp"))
+  }
+
+  /** Executable metadata as a struct (exe_format, bits, machine) — the
+    * binary-junk detector a web-corpus cleaning pipeline needs (crawls
+    * carry executables that must leave the text corpus, and WHAT they
+    * are belongs in the audit):
+    *
+    *  - ELF: `7F 45 4C 46`, then EI_CLASS at 4 (1 = 32-bit, 2 = 64),
+    *    EI_DATA at 5 (must be 1 or 2 — validation), e_machine LE16 at
+    *    18 for little-endian files / BE16 for big (the endian byte
+    *    GOVERNS the field decode — load-bearing, like TIFF's II/MM).
+    *  - PE: 'MZ', then e_lfanew LE32 at 60 points at the 'PE\0\0'
+    *    signature — PROBED, a lying offset fails (the PDF startxref
+    *    discipline) — with Machine LE16 right after (0x14C = x86 -> 32
+    *    bit, 0x8664 = x64).
+    *
+    * Machine ids surface numerically; null fields otherwise. */
+  def exeMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 24)))
+    def b(i: Int) = hxByte(hx, i)
+    val isElf = length(hx) >= 40 && substring(hx, 1, 8) === "7F454C46" &&
+      (b(4) === 1L || b(4) === 2L) && (b(5) === 1L || b(5) === 2L)
+    val elfMachine = when(b(5) === 1L, b(18) + b(19) * 256L)
+      .otherwise(b(18) * 256L + b(19))
+    val isMz = length(hx) >= 8 && substring(hx, 1, 4) === "4D5A"
+    val lfanew = hxByte(upper(hex(substring(payload, 61, 4))), 0) +
+      hxByte(upper(hex(substring(payload, 61, 4))), 1) * 256L +
+      hxByte(upper(hex(substring(payload, 61, 4))), 2) * 65536L +
+      hxByte(upper(hex(substring(payload, 61, 4))), 3) * 16777216L
+    val peHdr = upper(hex(
+      substring(payload, (lfanew + 1L).cast("int"), lit(6))))
+    val isPe = isMz && length(peHdr) >= 12 &&
+      substring(peHdr, 1, 8) === "50450000"
+    val peMachine = hxByte(peHdr, 4) + hxByte(peHdr, 5) * 256L
+    struct(
+      when(isElf, "elf").when(isPe, "pe").as("exe_format"),
+      when(isElf, b(4) * 32L)
+        .when(isPe, when(peMachine === 0x8664L, 64L).otherwise(32L))
+        .as("bits"),
+      when(isElf, elfMachine).when(isPe, peMachine).as("machine"))
+  }
+
+  /** Deterministic planted ELF / PE / raw payloads (the m14 fixture):
+    * by `id % 3`, an ELF header whose class, ENDIANNESS, and machine
+    * id vary (big-endian rows byte-swap e_machine — decoding through
+    * the EI_DATA byte is load-bearing), a PE stub whose e_lfanew
+    * varies with the id (the DOS stub length shifts the PE signature —
+    * a fixed offset reads the stub), or the raw text bytes. */
+  def plantedExe(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def b1(c: org.apache.spark.sql.Column) = format_string("%02X", c)
+    def le16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X", pmod(c, lit(256L)),
+        pmod((c / lit(256.0)).cast("long"), lit(256L)))
+    def be16(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X",
+        pmod((c / lit(256.0)).cast("long"), lit(256L)),
+        pmod(c, lit(256L)))
+    val cls = (id % 2 + 1).cast("long") // 1 = 32-bit, 2 = 64
+    val endian = (expr(s"$idCol div 2") % 2 + 1).cast("long")
+    val mach = (id % 300 + 2).cast("long")
+    val elfHex = concat(
+      lit("7F454C46"), b1(cls), b1(endian), lit("01"), lit("0" * 18),
+      // e_type(2) e_machine(2): both endian-governed
+      when(endian === 1L, concat(lit("0200"), le16(mach)))
+        .otherwise(concat(lit("0002"), be16(mach))),
+      lit("0" * 16))
+    val stub = (id % 40 + 64).cast("long") // e_lfanew: stub shifts it
+    val peMach = when(id % 4 === 0, 0x8664L).otherwise(0x14CL)
+    val peHex = concat(
+      lit("4D5A"), lit("0" * 116), // DOS header through offset 59
+      format_string("%02X%02X%02X%02X", pmod(stub, lit(256L)),
+        pmod((stub / lit(256.0)).cast("long"), lit(256L)),
+        lit(0L), lit(0L)),
+      expr(s"repeat('00', $idCol % 40)"), // the variable DOS stub
+      lit("50450000"), le16(peMach), lit("0" * 8))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 3 === 0, elfHex)
+          .when(id % 3 === 1, peHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 
   /** WOFF web-font metadata as a struct (flavor, n_tables, sfnt_size,
