@@ -2613,6 +2613,31 @@ object SparkEntry {
       operators.Quality.ngramNovelty(docs(s, d), n = 3)
     }),
 
+    // PACKING-EFFICIENCY SWEEP: the padding cost of each candidate
+    // context length — Σ(ceil(n/C)·C − n) over docs for C ∈ {32, 64,
+    // 128} — the table that decides a training context size. One
+    // per-doc token count, three arithmetic projections, one agg; the
+    // fraction is one IEEE division over exact integers
+    "d52_pack_efficiency" -> ((s, d) => {
+      val nt = docs(s, d)
+        .select(size(TextFunctions.tokens(col("text")))
+          .cast("long").as("nt"))
+      Seq(32L, 64L, 128L).map { c =>
+        nt.select(lit(c).as("context"), col("nt"),
+          (((col("nt") + c - 1L) / c.toDouble).cast("long") * c)
+            .as("padded"))
+          .groupBy("context")
+          .agg(sum("nt").as("total_tokens"),
+            sum((col("padded") - col("nt"))).as("pad_tokens"),
+            sum(col("padded") / lit(c.toDouble)).cast("long")
+              .as("n_chunks"))
+      }.reduce(_.unionByName(_))
+        .withColumn("pad_frac",
+          col("pad_tokens").cast("double") /
+            (col("total_tokens") + col("pad_tokens")).cast("double"))
+        .orderBy("context")
+    }),
+
     // CROSS-SOURCE DUPLICATE PROVENANCE: texts that appear under MORE
     // THAN ONE source, with the sorted source list and a copy count —
     // the license/attribution conflict report a corpus audit ships
@@ -3226,6 +3251,24 @@ object SparkEntry {
           col("z.cd_size").as("cd_size"),
           col("z.total_usize").as("total_usize"),
           col("z.names").as("names"))
+        .orderBy("media_id")
+    }),
+
+    // GZIP member metadata: header method/mtime/OS up front, but the
+    // uncompressed size (ISIZE) lives in the LAST four bytes — a tail
+    // read through a variable-length compressed body (the filler
+    // varies per row, so a fixed offset cannot find it)
+    "m15_gzip_meta" -> ((s, d) => {
+      Multimodal.plantedGzip(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("g", Multimodal.gzipMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("g.method").as("method"),
+          col("g.mtime").as("mtime"),
+          col("g.os").as("os"),
+          col("g.isize").as("isize"))
         .orderBy("media_id")
     }),
 
@@ -6476,6 +6519,24 @@ object SparkEntry {
 
     // idf in the same fineLog2 fixed point as the Spark side — integer
     // scores, bit-identical ranking
+    // the same ceil arithmetic per candidate context length
+    "d52_pack_efficiency" ->
+      """WITH nt AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (SELECT unnest([32, 64, 128]) AS context),
+        |x AS (SELECT c.context, nt.nt,
+        |        ((nt.nt + c.context - 1) // c.context) * c.context
+        |          AS padded
+        |      FROM nt, c)
+        |SELECT CAST(context AS BIGINT) AS context,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(padded - nt) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(padded // context) AS BIGINT) AS n_chunks,
+        |  CAST(sum(padded - nt) AS DOUBLE) /
+        |    CAST(sum(padded) AS DOUBLE) AS pad_frac
+        |FROM x GROUP BY context ORDER BY context""".stripMargin,
+
     // same grouping over base ∪ mirror, DuckDB's sorted distinct fold
     "d51_cross_source" ->
       """WITH lake AS (
@@ -7127,6 +7188,21 @@ object SparkEntry {
         | CAST(CASE WHEN sel < 2 THEN tot END AS BIGINT) AS total_usize,
         | CASE WHEN sel < 2 THEN nm END AS names
         |FROM e ORDER BY media_id""".stripMargin,
+
+    // header and tail fields re-derived from the plant's id arithmetic
+    "m15_gzip_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 2 AS kind,
+        |  doc_id * 7 + 1600000000 AS mt, doc_id % 14 AS os,
+        |  doc_id % 1000000 + 1 AS isz
+        | FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind = 0 THEN 'application/gzip'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE WHEN kind = 0 THEN 'deflate' END AS method,
+        | CAST(CASE WHEN kind = 0 THEN mt END AS BIGINT) AS mtime,
+        | CAST(CASE WHEN kind = 0 THEN os END AS BIGINT) AS os,
+        | CAST(CASE WHEN kind = 0 THEN isz END AS BIGINT) AS isize
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // ELF fields from the id arithmetic (endian-swapped machine ids
     // decode back to the same number); PE machine/bits by residue

@@ -50,6 +50,7 @@ object Multimodal {
       .when(magic === "25504446", "application/pdf") // "%PDF"
       .when(magic === "774F4646", "font/woff") // "wOFF"
       .when(magic === "7F454C46", "application/x-elf")
+      .when(magic.startsWith("1F8B"), "application/gzip")
       .when(magic.startsWith("4D5A"), "application/x-msdownload") // MZ
       .when(magic.startsWith("494433"), "audio/mpeg") // ID3v2
       // bare MPEG audio frame: 11-bit sync FF Ex/Fx
@@ -284,6 +285,64 @@ object Multimodal {
       when(ok, dim(6)).as("first_width"),
       when(ok, dim(7)).as("first_height"),
       when(ok, le16at(12)).as("first_bpp"))
+  }
+
+  /** GZIP member metadata as a struct (method, mtime, os, isize) —
+    * crawls gzip everything, and the uncompressed size lives at the
+    * WRONG END: the header carries method (must be 8 = deflate —
+    * validation), the Unix mtime LE32 at 4, and the OS byte at 9,
+    * while ISIZE (uncompressed length mod 2^32) is the LAST four bytes
+    * of the member — a tail read, the PDF/ZIP discipline, reachable
+    * whatever the compressed payload length. Null fields for non-gzip
+    * payloads. */
+  def gzipMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 10)))
+    def b(i: Int) = hxByte(hx, i)
+    val n = octet_length(payload)
+    val ok = length(hx) >= 20 && n >= 18 &&
+      substring(hx, 1, 4) === "1F8B" && b(2) === 8L
+    val tail = upper(hex(substring(payload, n - 3, lit(4))))
+    def tb(i: Int) = hxByte(tail, i)
+    struct(
+      when(ok, lit("deflate")).as("method"),
+      when(ok, b(4) + b(5) * 256L + b(6) * 65536L + b(7) * 16777216L)
+        .as("mtime"),
+      when(ok, b(9)).as("os"),
+      when(ok, tb(0) + tb(1) * 256L + tb(2) * 65536L +
+        tb(3) * 16777216L).as("isize"))
+  }
+
+  /** Deterministic planted GZIP / raw payloads (the m15 fixture): by
+    * `id % 2`, a gzip member whose mtime / OS byte / ISIZE vary with
+    * the id and whose fake compressed body VARIES IN LENGTH
+    * (`id % 23` filler bytes — the tail read must find ISIZE wherever
+    * the member ends), or the raw text bytes. */
+  def plantedGzip(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def le32(c: org.apache.spark.sql.Column) =
+      format_string("%02X%02X%02X%02X", byteAt(c, 1L), byteAt(c, 256L),
+        byteAt(c, 65536L), byteAt(c, 16777216L))
+    val mtime = (id * 7L + 1600000000L).cast("long")
+    val os = pmod(id, lit(14L))
+    val isize = (id % 1000000 + 1L).cast("long")
+    val gzHex = concat(
+      lit("1F8B"), lit("08"), lit("00"), le32(mtime), lit("00"),
+      format_string("%02X", os),
+      expr(s"repeat('00', $idCol % 23 + 1)"), // fake deflate body
+      le32((id * 31L).cast("long") % 4294967296L), // CRC32 (unchecked)
+      le32(isize))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(id % 2 === 0, gzHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 
   /** Executable metadata as a struct (exe_format, bits, machine) — the
