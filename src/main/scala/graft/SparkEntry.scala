@@ -3767,7 +3767,7 @@ object SparkEntry {
       assert(reclaimed > 0, "the replaced-away files must reclaim")
       assert(nData == before - reclaimed,
         "exactly the stranded files leave the data dir")
-      assert(log.vacuum() == 0,
+      assert(log.vacuum(retentionMs = 0L) == 0,
         "vacuum after expiry must find nothing — and must not eat " +
           "data only a checkpoint references")
       log.read(Some(3L))
@@ -7735,13 +7735,17 @@ object SparkEntry {
     // event, end = last event + the 30-minute gap; sessions the final
     // watermark (max event ts) leaves open are withheld — the
     // append-mode emission rule, encoded exactly like q35's final
-    // tumbling window
+    // tumbling window. The split predicate is `>=`, NOT q44's strict
+    // `>`: session_window windows are [t, t + gap) and merge only on
+    // OVERLAP, so an event landing exactly `gap` after its
+    // predecessor starts a NEW session — the boundary must match or
+    // an exact-30:00 gap in the fixture would hash-mismatch
     "q101_stream_sessions" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |g AS (
         | SELECT user_id, event_id, ts, value,
         |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
         |       THEN 1 ELSE 0 END AS new_sess
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -21,11 +21,15 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   *
   *  - A write stages its files under `_staged/<uuid>/`, moves them into
   *    `data/` (names are UUID-unique — no collision, still invisible),
-  *    and then attempts the commit: `fs.create(vN.json, overwrite =
-  *    false)` — create-if-absent, the one atomic primitive every
-  *    Hadoop filesystem (and S3 conditional PUT) provides. Success
-  *    means this writer owns version N; failure means another writer
-  *    took N, so re-read the log and try N+1.
+  *    and then attempts the commit: the FULL manifest payload is
+  *    written to a temp file first and made visible under the version
+  *    slot in one atomic step (hard-link on `file://`, no-overwrite
+  *    rename on HDFS, conditional PUT with the full body on S3) — the
+  *    Delta/Iceberg visibility contract: a version either does not
+  *    exist or carries its complete manifest; no reader can observe a
+  *    claimed-but-empty or partially-written commit. Success means
+  *    this writer owns version N; failure means another writer took N,
+  *    so re-read the log and try N+1.
   *  - APPEND commits commute: the retry loop always succeeds, no
   *    validation needed (Iceberg's fast-append).
   *  - REPLACE commits (overwrite, compaction) carry the base version
@@ -91,8 +95,10 @@ final class CommitLog(spark: SparkSession, root: String) {
   def commit(v: Long): Commit = {
     val txt = TimeFly.readText(fs, versionFile(v))
     if (txt.trim.isEmpty)
-      // a claim whose writer died before the payload landed: the
-      // version number is burned but carries nothing — a no-op append
+      // cannot happen under the atomic temp-then-link protocol (a
+      // visible version carries its full payload); tolerated for logs
+      // written by the pre-atomic protocol, where a crash between
+      // claim and fill burned the version as a no-op append
       Commit(v, "append", Nil)
     else {
       val node = mapper.readTree(txt).asInstanceOf[ObjectNode]
@@ -208,28 +214,40 @@ final class CommitLog(spark: SparkSession, root: String) {
     val arr = node.putArray("files")
     names.foreach(arr.add)
     val vf = versionFile(v)
-    // The atomic claim on version v. Hadoop's local create(overwrite =
-    // false) is check-then-create — a TOCTOU window under real thread
-    // races — so on file:// the claim is O_CREAT|O_EXCL via
-    // File.createNewFile (kernel-atomic); HDFS create(false) and S3
-    // conditional PUT are atomic natively. The payload then lands in
-    // the claimed file we now own; a crash in between leaves an empty
-    // claim, which readers treat as a burned no-op version.
-    val claimed =
-      if (fs.getUri.getScheme == "file") {
-        val local = new java.io.File(vf.toUri.getPath)
-        local.getParentFile.mkdirs()
-        try local.createNewFile()
-        catch { case _: java.io.IOException => false }
-      } else {
-        try { fs.create(vf, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      }
-    if (!claimed) return false
-    val out = fs.create(vf, true)
+    // Commit visibility is ATOMIC: the full payload lands in a temp
+    // file first, then links/renames into the version slot in one
+    // operation that doubles as the CAS. A reader can never see an
+    // empty or partial manifest, and a crash before the link leaves
+    // only temp debris (vacuum sweeps it) — never a burned version.
+    //  - file://: link(2) via Files.createLink — kernel-atomic,
+    //    fails if the slot exists (claim + visibility in one syscall;
+    //    rename(2) would silently overwrite, so it cannot be the CAS)
+    //  - HDFS and rename-consistent stores: rename(tmp, vf) refuses an
+    //    existing destination — the same no-overwrite CAS
+    //  - S3: maps to a conditional PUT (If-None-Match: *) carrying the
+    //    full body, atomic natively
+    val tmp = new Path(commitsDir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}.json")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node))
     finally out.close()
-    true
+    val claimed =
+      if (fs.getUri.getScheme == "file") {
+        val target = java.nio.file.Paths.get(vf.toUri.getPath)
+        val source = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try { java.nio.file.Files.createLink(target, source); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        try fs.rename(tmp, vf)
+        catch { case _: java.io.IOException => false }
+      }
+    // link leaves the temp in place; a failed rename does too — either
+    // way the slot's visibility is already decided, so sweep quietly
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    claimed
   }
 
   /** Append `df` under the commit protocol. Appends commute, so the
@@ -272,8 +290,15 @@ final class CommitLog(spark: SparkSession, root: String) {
     val node = mapper.createObjectNode()
     val arr = node.putArray("files")
     liveFiles(Some(v)).foreach(arr.add)
-    val out = fs.create(checkpointFile(v), true)
+    // same temp-then-rename visibility as commits: a reader sees the
+    // whole checkpoint or none (none only costs a full log replay)
+    val tmp = new Path(commitsDir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}.json")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    val cf = checkpointFile(v)
+    if (fs.exists(cf)) fs.delete(cf, false)
+    fs.rename(tmp, cf)
   }
 
   private def checkpointFile(v: Long) =
@@ -320,9 +345,22 @@ final class CommitLog(spark: SparkSession, root: String) {
   }
 
   /** Debris sweep: data files no commit references (crashed writers'
-    * moved-but-uncommitted files) and leftover staging dirs. Keeps
-    * files referenced by ANY commit — old versions stay readable. */
-  def vacuum(): Long = {
+    * moved-but-uncommitted files), leftover staging dirs, and orphaned
+    * commit temp files. Keeps files referenced by ANY commit — old
+    * versions stay readable.
+    *
+    * Unreferenced does NOT mean dead: a live writer moves its files
+    * into `data/` (and works under `_staged/`) BEFORE its CAS lands,
+    * so an unconditional sweep racing that window deletes files the
+    * imminent commit references — silent data loss. The guard is the
+    * one Delta VACUUM documents: only reclaim debris older than a
+    * retention window (mtime-based, default [[CommitLog.RetentionMs]]
+    * — far longer than any stage-to-commit gap). Pass `0` only when
+    * no writer can be in flight (tests, decommission). */
+  def vacuum(retentionMs: Long = CommitLog.RetentionMs): Long = {
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def expired(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      s.getModificationTime <= cutoff
     // after retention expiry, files appended before the kept boundary
     // are reachable ONLY through a checkpoint — the referenced set
     // must include checkpoint contents or vacuum eats live data
@@ -345,21 +383,42 @@ final class CommitLog(spark: SparkSession, root: String) {
     var removed = 0L
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { s =>
-        if (s.isFile && !referenced.contains(s.getPath.getName)) {
+        if (s.isFile && !referenced.contains(s.getPath.getName) &&
+            expired(s)) {
           fs.delete(s.getPath, false)
           removed += 1
         }
       }
     val staged = new Path(root, "_staged")
-    if (fs.exists(staged)) {
-      removed += fs.listStatus(staged).length
-      fs.delete(staged, true)
-    }
+    if (fs.exists(staged))
+      fs.listStatus(staged).foreach { s =>
+        if (expired(s)) {
+          fs.delete(s.getPath, true)
+          removed += 1
+        }
+      }
+    // commit temp files a crashed writer left behind (never visible as
+    // versions — the atomic link/rename was never reached)
+    if (fs.exists(commitsDir))
+      fs.listStatus(commitsDir).foreach { s =>
+        if (s.isFile && s.getPath.getName.startsWith(".tmp-") &&
+            expired(s)) {
+          fs.delete(s.getPath, false)
+          removed += 1
+        }
+      }
     removed
   }
 }
 
 object CommitLog {
+  /** Default vacuum retention: debris younger than this survives the
+    * sweep, so a writer mid-flight (staged or moved-but-uncommitted
+    * files) is never raced. Delta's default is 7 days; one hour is
+    * generous against any stage-to-commit gap while keeping crashed
+    * writers' debris from accumulating for a week. */
+  val RetentionMs: Long = 60L * 60 * 1000
+
   def apply(spark: SparkSession, root: String): CommitLog =
     new CommitLog(spark, root)
 }

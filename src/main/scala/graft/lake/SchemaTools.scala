@@ -360,18 +360,28 @@ object SchemaTools {
       info.renames - phys, info.dropped + phys)
   }
 
-  /** physical -> logical for reads. */
+  /** physical -> logical for reads. ONE simultaneous projection, never
+    * a sequential fold: with renames like `{b -> c, a -> b}` (legal —
+    * a rename may reuse a physical name another rename freed), folding
+    * `a -> b` first would transiently give two `b` columns and the
+    * later `withColumnRenamed(b, c)` renames both. A single select
+    * resolves every reference against the INPUT frame, so order cannot
+    * matter. */
   def applyRenames(df: DataFrame, renames: Map[String, String])
       : DataFrame =
-    renames.foldLeft(df) { case (d, (ph, lg)) =>
-      if (d.columns.contains(ph)) d.withColumnRenamed(ph, lg) else d
-    }
+    if (renames.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      renames.get(c).map(lg => col(c).as(lg)).getOrElse(col(c))): _*)
 
-  /** logical -> physical for writes. */
+  /** logical -> physical for writes — the same simultaneous projection
+    * with the map inverted. */
   def unapplyRenames(df: DataFrame, renames: Map[String, String])
       : DataFrame =
-    renames.foldLeft(df) { case (d, (ph, lg)) =>
-      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
+    if (renames.isEmpty) df
+    else {
+      val inv = renames.map(_.swap) // logical -> physical
+      df.select(df.columns.toSeq.map(c =>
+        inv.get(c).map(ph => col(c).as(ph)).getOrElse(col(c))): _*)
     }
 
   /** The target's unified schema + homogeneity: the marker when present,

@@ -628,11 +628,30 @@ final class TimeFly(spark: SparkSession, root: String) {
     val dst = TimeFly(spark, dstRoot)
     require(!dst.exists(), s"$dstRoot already holds a dataset")
     dst.init(name)
+    // asOf resolution must honor MANIFEST-ONLY snapshots: their
+    // snapshotPath has no directory (the files list lives in meta, as
+    // readTag resolves it), so listing the resolved subpath would
+    // silently produce an EMPTY clone. And when the rule falls through
+    // to the live view, a shallow source's borrowed base is part of
+    // that view.
     val baseFiles = asOf match {
       case None => cloneBaseFiles() ++
         SchemaTools.listDataFiles(spark, currentPath)
-      case Some(_) =>
-        SchemaTools.listDataFiles(spark, resolveSubpath(asOf))
+      case Some(t) =>
+        val tid = normalizeId(t)
+        availableSnapshots().find(_ > tid) match {
+          case None => cloneBaseFiles() ++
+            SchemaTools.listDataFiles(spark, currentPath)
+          case Some(id) =>
+            val entry = readMeta().withObject("/snapshot").path(id)
+            if (entry.isObject &&
+                entry.path("manifest_only").asBoolean(false)) {
+              val buf = scala.collection.mutable.ArrayBuffer[String]()
+              val files = entry.path("files")
+              if (files.isArray) files.forEach(n => buf += n.asText())
+              buf.toSeq
+            } else SchemaTools.listDataFiles(spark, snapshotPath(id))
+        }
     }
     val node = dst.readMeta()
     val c = node.withObject("/clone")

@@ -65,7 +65,12 @@ class CommitLogSpec extends AnyFunSuite {
     fs.rename(new org.apache.hadoop.fs.Path(part), orphan)
     assert(log.read().select("id").as[Int].collect().toSeq == Seq(1),
       "moved-but-uncommitted files must stay invisible")
-    val removed = log.vacuum()
+    // default retention: seconds-old debris looks like a LIVE writer
+    // mid-flight — the sweep must leave it alone (the vacuum/writer
+    // race is exactly fresh unreferenced files)
+    assert(log.vacuum() == 0L && fs.exists(orphan),
+      "fresh debris inside the retention window must survive")
+    val removed = log.vacuum(retentionMs = 0L)
     assert(removed >= 1 && !fs.exists(orphan))
     assert(log.read().select("id").as[Int].collect().toSeq == Seq(1))
   }
@@ -104,7 +109,7 @@ class CommitLogSpec extends AnyFunSuite {
     assert(log.read(Some(2L)).select("id").as[Int].collect().sorted.toSeq
       == Seq(1, 2))
     // vacuum must treat checkpoint-only references as live
-    assert(log.vacuum() == 0L)
+    assert(log.vacuum(retentionMs = 0L) == 0L)
     assert(log.read().count() == 3)
     // the increment API still works above the boundary
     assert(log.readSince(2L).select("id").as[Int].collect().toSeq

@@ -219,4 +219,42 @@ class SchemaToolsSpec extends AnyFunSuite {
     SchemaTools.renameColumn(spark, dir, "quality", "x")
     assert(renames.isEmpty)
   }
+
+  test("column mapping: a rename may reuse a physical name another " +
+      "rename freed — application is one simultaneous projection") {
+    val dir = TestSpark.tempDir("renchain")
+    LakeWriter(spark, dir, WriteMode.Overwrite)
+      .write(Seq((1L, 10.0)).toDF("a", "b"))
+    // phys {a, b}: b -> c frees the logical name b, then a -> b takes
+    // it. A sequential fold applying a->b before b->c would transiently
+    // hold two `b` columns and rename BOTH to c; the simultaneous
+    // projection resolves every reference against the input frame.
+    SchemaTools.renameColumn(spark, dir, "b", "c")
+    SchemaTools.renameColumn(spark, dir, "a", "b")
+    val info = SchemaTools.readSchemaMarkerInfo(spark, dir).get
+    assert(info.renames == Map("b" -> "c", "a" -> "b"))
+    val out = LakeReader(spark, dir).load()
+    assert(out.columns.toSeq.sorted == Seq("b", "c"))
+    assert(out.select("b").as[Long].head() == 1L)
+    assert(out.select("c").as[Double].head() == 10.0)
+    // and order independence directly, both directions, both map orders
+    val df = Seq((2L, 20.0)).toDF("a", "b")
+    for (m <- Seq(Map("b" -> "c", "a" -> "b"),
+                  scala.collection.immutable.ListMap("a" -> "b", "b" -> "c"))) {
+      val ap = SchemaTools.applyRenames(df, m)
+      assert(ap.columns.toSeq == Seq("b", "c"),
+        s"applyRenames broke under map order $m: ${ap.columns.toSeq}")
+      val lg = Seq((2L, 20.0)).toDF("b", "c")
+      assert(SchemaTools.unapplyRenames(lg, m).columns.toSeq ==
+        Seq("a", "b"))
+    }
+    // a write addressed by the NEW logical names lands physically
+    LakeWriter(spark, dir, WriteMode.Append)
+      .write(Seq((3L, 30.0)).toDF("b", "c"))
+    val back = LakeReader(spark, dir).load()
+    assert(back.select("b").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    assert(back.select("c").as[Double].collect().sorted.toSeq ==
+      Seq(10.0, 30.0))
+  }
 }

@@ -357,4 +357,27 @@ class TimeFlySpec extends AnyFunSuite {
       .select("n_rows").as[Long].collect().toSeq
     assert(hist == Seq(1L, 2L, 2L))
   }
+
+  test("cloneTo asOf a MANIFEST-ONLY snapshot reads the recorded file " +
+      "list — never a silent empty clone") {
+    val src = TestSpark.tempDir("tfclmsrc")
+    val tf = TimeFly(spark, src).init("s1")
+    tf.writer(WriteMode.Overwrite).write(Seq((1, "a")).toDF("id", "v"))
+    val sMan = tf.addSnapshot(manifestOnly = true) // no snapshot dir
+    Thread.sleep(1100)
+    tf.writer(WriteMode.Append).write(Seq((2, "b")).toDF("id", "v"))
+    // as-of resolves to the manifest-only snapshot: its files come from
+    // meta (readTag's resolution), not from the nonexistent directory
+    val cl = tf.cloneTo(TestSpark.tempDir("tfclmdst") + "/c", "c1",
+      asOf = Some("2000-01-01T00:00:00"))
+    assert(cl.read().select("id").as[Int].collect().toSeq == Seq(1),
+      "the clone must hold the snapshot-time rows, not be empty")
+    assert(sMan.nonEmpty)
+    // asOf past every snapshot falls through to the LIVE view — for a
+    // shallow source that view includes the borrowed base
+    val cl2 = tf.cloneTo(TestSpark.tempDir("tfclmdst2") + "/c", "c2",
+      asOf = Some("2999-01-01T00:00:00"))
+    assert(cl2.read().select("id").as[Int].collect().sorted.toSeq
+      == Seq(1, 2))
+  }
 }
