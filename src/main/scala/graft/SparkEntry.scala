@@ -3616,7 +3616,23 @@ object SparkEntry {
         .write.partitionBy("o_orderstatus")
         .option("maxRecordsPerFile", cap)
         .parquet(root)
-      SchemaTools.partitionsTable(s, root).orderBy("partition")
+      // no manifest yet: the footer-sweep fallback answers
+      val sweep = SchemaTools.partitionsTable(s, root)
+        .orderBy("partition").collect().toSeq
+      // with a trusted n_rows manifest the SAME table is served from
+      // the `_stats` sidecar — zero data-file footer opens (the
+      // Iceberg contract; at a million files the sweep is the design
+      // that dies first)
+      FileStats.build(s, root)
+      val before = SchemaTools.footerOpens.get()
+      val served = SchemaTools.partitionsTable(s, root)
+        .orderBy("partition")
+      val rows = served.collect().toSeq
+      assert(SchemaTools.footerOpens.get() == before,
+        "a trusted manifest must answer partitions without footer opens")
+      assert(rows == sweep,
+        s"manifest-served partitions must equal the footer sweep")
+      served
     }),
 
     // OPTIMISTIC-CONCURRENCY COMMIT LOG (the multi-writer protocol the
@@ -3742,6 +3758,72 @@ object SparkEntry {
         catch { case _: java.util.ConcurrentModificationException => true }
       assert(conflicted, "the protocol must be live post-adoption")
       log.read(None).orderBy("o_orderkey")
+    }),
+
+    // COMMIT-LOG READER SURFACE (r7 Next #1 — the two metadata planes
+    // unified): the multi-writer flavor gets every reader feature the
+    // single-writer LakeReader has. A range predicate's scan lists a
+    // STRICT SUBSET of live files through the `_stats` sidecar (built
+    // once, maintained incrementally by the later append), a
+    // merge-on-read delete COMMITTED THROUGH THE LOG subtracts in
+    // read() — versioned, so time travel before the delete still
+    // serves the rows — and column mapping renames without rewriting a
+    // byte. All three assert in-query; the three sides read back under
+    // one oracle.
+    "q121_commitlog_reader_surface" -> ((s, d) => {
+      val root = scratch(s, "q121", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 8
+      val e2 = e / 2
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      // three appends of disjoint key bands: a sorted-by-ingest layout
+      // a range predicate can prune
+      log.append(band(lo, lo + 2 * e).orderBy("o_orderkey").coalesce(1))
+      log.append(band(lo + 2 * e + 1, lo + 5 * e)
+        .orderBy("o_orderkey").coalesce(1))
+      log.buildStats() // spans for v1+v2
+      log.append(band(lo + 5 * e + 1, hi)
+        .orderBy("o_orderkey").coalesce(1)) // v3: spans maintained
+      val pred =
+        s"o_orderkey >= ${lo + 3 * e} and o_orderkey <= ${lo + 4 * e}"
+      val live = log.liveFiles(None)
+      val cand = log.candidateDataFiles(pred)
+      assert(cand.isDefined && cand.get.nonEmpty &&
+        cand.get.size < live.size,
+        s"the range scan must list a strict subset of live files " +
+          s"(${cand.map(_.size)} of ${live.size})")
+      assert(log.readFiltered(pred).count() ==
+        log.read(None).filter(pred).count(),
+        "pruning must never change the answer")
+      // merge-on-read delete through the log: overlaps the predicate
+      // band, so subtraction and pruning compose in one read
+      val doomed = band(lo + 3 * e, lo + 3 * e + e2)
+      val nDoomed = doomed.count()
+      val vDel = log.deleteKeysMor(doomed.select("o_orderkey"),
+        Seq("o_orderkey"))
+      assert(log.read(None).count() == src.count() - nDoomed,
+        "read() must subtract the committed tombstones")
+      assert(log.read(Some(vDel - 1)).count() == src.count(),
+        "time travel BEFORE the delete must still serve the rows")
+      assert(log.candidateDataFiles(pred).exists(_.size < live.size),
+        "a delete commit must not cost the spans (files untouched)")
+      // column mapping: logical rename, zero rewrite
+      val nDataBefore = SchemaTools.listDataFiles(s, s"$root/data").size
+      log.renameColumn("o_totalprice", "price")
+      assert(SchemaTools.listDataFiles(s, s"$root/data").size ==
+        nDataBefore, "a rename must not touch data files")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("price"))
+      shaped(log.readFiltered(pred), "range")
+        .unionByName(shaped(log.read(None), "live"))
+        .unionByName(shaped(log.read(Some(vDel - 1)), "v3"))
+        .orderBy("side", "o_orderkey")
     }),
 
     // COMMIT-LOG RETENTION: expire the prefix behind a checkpoint —
@@ -5495,6 +5577,27 @@ object SparkEntry {
         |WHERE o_custkey < 100 OR o_custkey BETWEEN 400 AND 450
         |   OR o_custkey BETWEEN 800 AND 850 OR o_custkey >= 1400
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the three appended bands tile [lo, hi] exactly, so live = all
+    // keys minus the tombstoned band; range = the predicate band minus
+    // its tombstoned half; v3 = the pre-delete state, price under its
+    // logical name everywhere
+    "q121_commitlog_reader_surface" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 8 AS e,
+        |  ((max(o_orderkey) - min(o_orderkey)) // 8) // 2 AS e2
+        |  FROM orders),
+        |src AS (SELECT o_orderkey, o_custkey, o_totalprice AS price
+        |  FROM orders),
+        |liv AS (SELECT src.* FROM src, b
+        |  WHERE NOT (o_orderkey BETWEEN lo + 3*e AND lo + 3*e + e2))
+        |SELECT 'live' AS side, * FROM liv
+        |UNION ALL
+        |SELECT 'range', liv.* FROM liv, b
+        |  WHERE o_orderkey BETWEEN lo + 3*e AND lo + 4*e
+        |UNION ALL
+        |SELECT 'v3', * FROM src
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // the adopted base plus the post-adoption append
     "q119_commit_adopt" ->

@@ -92,6 +92,15 @@ final class CommitLog(spark: SparkSession, root: String) {
   final case class Commit(version: Long, kind: String,
       files: Seq[String])
 
+  /** The fully-resolved state at a version: live DATA files and live
+    * TOMBSTONE files (merge-on-read delete keys committed through the
+    * log — kind `delete` — so deletes are versioned like everything
+    * else and time travel before a delete still sees the rows). */
+  final case class Resolved(data: Seq[String], tombstones: Seq[String])
+
+  private def dataPath(name: String): String =
+    new Path(dataDir, name).toString
+
   def commit(v: Long): Commit = {
     val txt = TimeFly.readText(fs, versionFile(v))
     if (txt.trim.isEmpty)
@@ -108,37 +117,158 @@ final class CommitLog(spark: SparkSession, root: String) {
     }
   }
 
-  /** The live file set at `asOf` (default: latest): start from the
+  /** The live DATA file set at `asOf` (default: latest). See
+    * [[resolve]]. */
+  def liveFiles(asOf: Option[Long] = None): Seq[String] =
+    resolve(asOf).data
+
+  /** Resolve the state at `asOf` (default: latest): start from the
     * newest checkpoint at or below it (if one exists) and replay only
-    * the commits after — the newest replace in that suffix resets,
-    * later appends accumulate. Without a checkpoint the whole log
-    * replays; the result is identical either way. */
-  def liveFiles(asOf: Option[Long] = None): Seq[String] = {
+    * the commits after — the newest replace in that suffix resets BOTH
+    * sets (a replacing writer reads through the tombstones, so its
+    * output already has them applied), later appends accumulate data
+    * files and later deletes accumulate tombstone files. Without a
+    * checkpoint the whole log replays; the result is identical either
+    * way. */
+  def resolve(asOf: Option[Long] = None): Resolved = {
     val hi = asOf.getOrElse(latestVersion())
-    val (base, from) = newestCheckpoint(hi) match {
+    val (baseData, baseTs, from) = newestCheckpoint(hi) match {
       case Some(cv) =>
         val node = mapper
           .readTree(TimeFly.readText(fs, checkpointFile(cv)))
           .asInstanceOf[ObjectNode]
-        val buf = scala.collection.mutable.ArrayBuffer[String]()
-        node.withArray("files").forEach(n => buf += n.asText())
-        (buf.toSeq, cv + 1)
-      case None => (Seq.empty[String], 1L)
+        val bd = scala.collection.mutable.ArrayBuffer[String]()
+        node.withArray("files").forEach(n => bd += n.asText())
+        val bt = scala.collection.mutable.ArrayBuffer[String]()
+        node.withArray("tombstones").forEach(n => bt += n.asText())
+        (bd.toSeq, bt.toSeq, cv + 1)
+      case None => (Seq.empty[String], Seq.empty[String], 1L)
     }
     val commits = (from to hi).map(commit)
     val lastReplace = commits.lastIndexWhere(_.kind == "replace")
-    if (lastReplace >= 0) commits.drop(lastReplace).flatMap(_.files)
-    else base ++ commits.flatMap(_.files)
+    val (data0, ts0, tail) =
+      if (lastReplace >= 0)
+        (Seq.empty[String], Seq.empty[String], commits.drop(lastReplace))
+      else (baseData, baseTs, commits)
+    Resolved(
+      data0 ++ tail.filter(_.kind != "delete").flatMap(_.files),
+      ts0 ++ tail.filter(_.kind == "delete").flatMap(_.files))
   }
 
   /** Read the committed state (optionally as of an old version — the
     * log IS a time-travel index). Uncommitted staged files are
-    * invisible by construction. */
-  def read(asOf: Option[Long] = None): DataFrame = {
-    val files = liveFiles(asOf)
-    if (files.isEmpty)
-      spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => new Path(dataDir, f).toString): _*)
+    * invisible by construction.
+    *
+    * This is the SAME logical surface [[LakeReader.load]] assembles for
+    * single-writer datasets: merge-on-read tombstones subtract (keys
+    * a `delete` commit at or before `asOf` recorded), then column
+    * mapping renames physical -> logical and hides dropped columns.
+    * The multi-writer flavor is the one a 100 TB lake actually runs —
+    * it must not lose the reader features the single-writer flavor
+    * has. */
+  def read(asOf: Option[Long] = None): DataFrame =
+    assembleRead(resolve(asOf), None)
+
+  /** [[read]] with a SQL predicate whose range conjuncts prune the
+    * FILE LISTING through the `_stats` sidecar ([[buildStats]] /
+    * append-maintained): only span-intersecting files are scanned, the
+    * residual predicate is always re-applied, and files the sidecar
+    * has no row for (appended by writers that don't maintain it) are
+    * kept unconditionally — conservative under every interleaving
+    * because data files are immutable, so a per-file span can never go
+    * stale. Tombstones still subtract and column mapping still applies
+    * (pruning bails when renames/drops are active — the predicate's
+    * logical names would miss the manifest's physical spans). */
+  def readFiltered(predicate: String, asOf: Option[Long] = None)
+      : DataFrame =
+    assembleRead(resolve(asOf), Some(predicate))
+
+  /** The data files a [[readFiltered]] scan would list for `predicate`
+    * at the latest version — the test-observable pruning surface; None
+    * when nothing can prune (no trusted sidecar, no extractable range,
+    * active column mapping). */
+  def candidateDataFiles(predicate: String): Option[Seq[String]] = {
+    val mappingActive = SchemaTools.readSchemaMarkerInfo(spark, root)
+      .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty)
+    if (mappingActive) None
+    else prunedLive(predicate, resolve(None).data)
+  }
+
+  /** Names in `live` surviving the span prune: indexed files keep iff
+    * span-intersecting, unindexed files keep unconditionally. */
+  private def prunedLive(predicate: String, live: Seq[String])
+      : Option[Seq[String]] = {
+    if (!FileStats.trusted(spark, root)) return None
+    val bounds = FileStats.rangeBounds(spark, predicate)
+    if (bounds.isEmpty) return None
+    for {
+      cands <- FileStats.candidatesForBounds(spark, root, bounds)
+      indexed <- FileStats.indexedFiles(spark, root)
+    } yield {
+      val candNames = cands.map(f => new Path(f).getName).toSet
+      val indexedNames = indexed.map(f => new Path(f).getName).toSet
+      live.filter(n =>
+        !indexedNames.contains(n) || candNames.contains(n))
+    }
+  }
+
+  private def assembleRead(r: Resolved, predicate: Option[String])
+      : DataFrame = {
+    if (r.data.isEmpty) return spark.emptyDataFrame
+    val marker = SchemaTools.readSchemaMarkerInfo(spark, root)
+    val mappingActive =
+      marker.exists(i => i.renames.nonEmpty || i.dropped.nonEmpty)
+    val allPaths = r.data.map(dataPath)
+    val scanPaths = predicate.filter(_ => !mappingActive)
+      .flatMap(p => prunedLive(p, r.data))
+      .map(_.map(dataPath)).getOrElse(allPaths)
+    val base =
+      if (scanPaths.isEmpty)
+        // every file pruned out: keep the schema, serve zero rows
+        spark.read.parquet(allPaths: _*).limit(0)
+      else spark.read.parquet(scanPaths: _*)
+    // tombstone keys are physical names: subtract BEFORE the mapping,
+    // exactly like LakeReader.load
+    val subtracted =
+      if (r.tombstones.isEmpty) base
+      else {
+        val ts = spark.read
+          .parquet(r.tombstones.map(dataPath): _*).distinct()
+        base.join(org.apache.spark.sql.functions.broadcast(ts),
+          ts.columns.map(k => base(k) <=> ts(k)).reduce(_ && _),
+          "left_anti")
+      }
+    val mapped = marker
+      .map(i => SchemaTools.applyRenames(subtracted, i.renames)
+        .drop(i.dropped.toSeq: _*))
+      .getOrElse(subtracted)
+    predicate.map(mapped.filter).getOrElse(mapped)
+  }
+
+  /** MERGE-ON-READ keyed delete COMMITTED THROUGH THE LOG (the
+    * multi-writer sibling of [[RowOps.deleteKeysMor]]): the key batch
+    * lands as an immutable tombstone file and a `delete` commit claims
+    * a version for it — an O(batch) append touching zero data files,
+    * versioned like every other change, so time travel before the
+    * delete still serves the rows and a later replace voids the debt
+    * (its writer read through the tombstones). Tombstone files carry
+    * ONLY the key columns; their schema IS the key list. */
+  def deleteKeysMor(keyBatch: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "deleteKeysMor needs at least one key column")
+    val existing = resolve(None).tombstones
+    if (existing.nonEmpty) {
+      val prior =
+        spark.read.parquet(dataPath(existing.head)).columns.sorted.toSeq
+      require(prior == keys.sorted,
+        s"tombstones here already use keys ${prior.mkString(", ")}")
+    }
+    val names = stage(keyBatch
+      .select(keys.map(org.apache.spark.sql.functions.col): _*)
+      .distinct())
+    var v = latestVersion() + 1
+    while (!tryCas(v, "delete", names)) v = latestVersion() + 1
+    notifyCommit()
+    v
   }
 
   /** Incremental consumption between versions — the commit log's CDC
@@ -154,10 +284,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(sinceVersion >= 0 && sinceVersion <= hi,
       s"bad version range ($sinceVersion, $hi]")
     val cs = (sinceVersion + 1 to hi).map(commit)
-    val replaces = cs.filter(_.kind == "replace")
-    require(replaces.isEmpty,
-      s"replace commit(s) ${replaces.map(_.version).mkString(", ")} " +
-        "inside the increment — re-baseline on the replaced state")
+    // replaces re-home existing rows; deletes change visibility of
+    // rows OUTSIDE the increment — either way "the rows committed in
+    // the range" stops being well-defined as a pure append stream
+    val breaking = cs.filter(c => c.kind == "replace" || c.kind == "delete")
+    require(breaking.isEmpty,
+      s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
+        "inside the increment — re-baseline on the mutated state")
     val files = cs.flatMap(_.files)
     if (files.isEmpty) read(None).limit(0)
     else spark.read.parquet(
@@ -257,9 +390,35 @@ final class CommitLog(spark: SparkSession, root: String) {
     val names = stage(df)
     var v = latestVersion() + 1
     while (!tryCas(v, "append", names)) v = latestVersion() + 1
+    maintainStats(names)
     notifyCommit()
     v
   }
+
+  /** Build the `_stats` file-skipping sidecar over the CURRENT live
+    * data set (at `root/_stats`, same layout as the single-writer
+    * flavor). [[append]] maintains it incrementally — spans for just
+    * the new files, the FileStats.appendFiles discipline — so a
+    * standing manifest survives continuous multi-writer ingest;
+    * [[replace]] invalidates it (the live set it described is gone
+    * wholesale). Correct under every interleaving because data files
+    * are immutable: a per-file span can never go stale, and readers
+    * keep unindexed files unconditionally. */
+  def buildStats(): Unit = {
+    val live = resolve(None).data
+    require(live.nonEmpty, "nothing committed to index")
+    FileStats.buildForFiles(spark, root, live.map(dataPath))
+  }
+
+  /** Best-effort incremental span maintenance after a won commit:
+    * distrust -> append spans -> re-seal, so a crash mid-maintenance
+    * leaves the manifest untrusted (full-scan fallback), never
+    * trusted-but-wrong. No-op when no sidecar is standing. */
+  private def maintainStats(names: Seq[String]): Unit =
+    if (FileStats.trusted(spark, root)) {
+      FileStats.distrust(spark, root)
+      FileStats.appendFiles(spark, root, names.map(dataPath))
+    }
 
   /** Replace the live set with `df` (overwrite/compaction), valid only
     * against `baseVersion` — the state this rewrite was planned on. If
@@ -274,9 +433,39 @@ final class CommitLog(spark: SparkSession, root: String) {
       throw new java.util.ConcurrentModificationException(
         s"replace planned on v$baseVersion but the log advanced " +
           s"to v${latestVersion()} — re-plan on fresh state")
+    // the spans described a live set that no longer exists; readers
+    // fall back to full listings until buildStats() re-indexes
+    FileStats.invalidate(spark, root)
     notifyCommit()
     v
   }
+
+  /** Rename a column WITHOUT rewriting data — the commit-log surface
+    * for [[SchemaTools.renameColumn]] column mapping. The `_schema.json`
+    * marker lives at the log root; [[read]] applies it. */
+  def renameColumn(from: String, to: String): Unit = {
+    ensureSchemaMarker()
+    SchemaTools.renameColumn(spark, root, from, to)
+  }
+
+  /** Drop a column logically (zero rewrite) — [[SchemaTools.dropColumn]]
+    * on the log root. */
+  def dropColumn(name: String): Unit = {
+    ensureSchemaMarker()
+    SchemaTools.dropColumn(spark, root, name)
+  }
+
+  /** The mapping ops need a marker recording the PHYSICAL schema;
+    * bootstrap it from the resolved live set (NOT a directory listing —
+    * `data/` holds tombstones and uncommitted debris too). */
+  private def ensureSchemaMarker(): Unit =
+    if (SchemaTools.readSchemaMarkerInfo(spark, root).isEmpty) {
+      val live = resolve(None).data
+      require(live.nonEmpty, "nothing committed to map columns over")
+      SchemaTools.writeSchemaMarker(spark, root,
+        spark.read.parquet(live.map(dataPath): _*).schema,
+        homogeneous = true)
+    }
 
   /** Fold the log prefix up to `v` into a CHECKPOINT (the Delta
     * `_checkpoint` pattern): one file carrying the fully-resolved live
@@ -287,9 +476,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     * only ever a performance fact, never a correctness one. */
   def checkpoint(v: Long): Unit = {
     require(v >= 1 && v <= latestVersion(), s"no committed version $v")
+    val r = resolve(Some(v))
     val node = mapper.createObjectNode()
     val arr = node.putArray("files")
-    liveFiles(Some(v)).foreach(arr.add)
+    r.data.foreach(arr.add)
+    val tarr = node.putArray("tombstones")
+    r.tombstones.foreach(tarr.add)
     // same temp-then-rename visibility as commits: a reader sees the
     // whole checkpoint or none (none only costs a full log replay)
     val tmp = new Path(commitsDir,
@@ -332,7 +524,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       s"no committed version $keepFrom")
     checkpoint(keepFrom)
     val (drop, keep) = existingVersions().partition(_ < keepFrom)
-    val reachable = (liveFiles(Some(keepFrom)) ++
+    val atKeep = resolve(Some(keepFrom))
+    val reachable = (atKeep.data ++ atKeep.tombstones ++
       keep.filter(_ > keepFrom).flatMap(commit(_).files)).toSet
     val stranded = drop.flatMap(commit(_).files).distinct
       .filterNot(reachable)
@@ -376,6 +569,7 @@ final class CommitLog(spark: SparkSession, root: String) {
             .asInstanceOf[ObjectNode]
           val buf = scala.collection.mutable.ArrayBuffer[String]()
           node.withArray("files").forEach(n => buf += n.asText())
+          node.withArray("tombstones").forEach(n => buf += n.asText())
           buf
         }.toSeq
     val referenced = (existingVersions()

@@ -41,30 +41,73 @@ object FileStats {
     Seq(min(col(c).cast("double")).as(s"${c}_min"),
       max(col(c).cast("double")).as(s"${c}_max")))
 
-  /** One distributed pass: (file, <col>_min, <col>_max ...) for every
-    * numeric column (spans as doubles — pruning needs comparability,
-    * not exactness; conservative either way since parquet stores the
-    * exact values and the residual filter re-checks). */
-  def collect(spark: SparkSession, path: String): DataFrame = {
-    val df = SchemaTools.safeRead(spark, path)
+  /** One distributed pass: (file, <col>_min, <col>_max ..., n_rows)
+    * for every numeric column (spans as doubles — pruning needs
+    * comparability, not exactness; conservative either way since
+    * parquet stores the exact values and the residual filter
+    * re-checks). `n_rows` rides along for free (the group is already
+    * per-file) and lets metadata tables ([[SchemaTools.partitionsTable]])
+    * serve row counts from the manifest instead of driver-side footer
+    * opens. */
+  def collect(spark: SparkSession, path: String): DataFrame =
+    collectFrom(spark, SchemaTools.safeRead(spark, path), path)
+
+  private def collectFrom(
+      spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val numeric = df.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
     require(numeric.nonEmpty, s"no numeric columns to index at $path")
-    val aggs = spanAggs(numeric)
+    val aggs = spanAggs(numeric) :+ count(lit(1)).as("n_rows")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Materialize the stats sidecar (overwrites any previous one). */
-  def build(spark: SparkSession, path: String): Unit = {
+  def build(spark: SparkSession, path: String): Unit =
+    buildFrom(spark, SchemaTools.safeRead(spark, path), path)
+
+  /** Build the sidecar for `path` over an EXPLICIT file list — the
+    * commit-log flavor, where the live set is manifest-resolved rather
+    * than a directory listing ([[CommitLog]] data files live under
+    * `data/` next to non-data debris the listing must not see). */
+  def buildForFiles(
+      spark: SparkSession, path: String, files: Seq[String]): Unit = {
+    require(files.nonEmpty, s"no files to index at $path")
+    buildFrom(spark, spark.read.parquet(files: _*), path)
+  }
+
+  private def buildFrom(
+      spark: SparkSession, df: DataFrame, path: String): Unit = {
     val d = dir(path)
     val fs = fsOf(spark, d)
     val tmp = new Path(path, "_stats_tmp")
-    collect(spark, path).coalesce(1)
+    collectFrom(spark, df, path).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(d)) fs.delete(d, true)
     fs.rename(tmp, d)
     seal(spark, path)
+  }
+
+  /** Every file the sidecar has a row for (by full path as recorded at
+    * build time) — None without a trusted manifest. Data files are
+    * immutable (UUID/task-unique names, never overwritten in place),
+    * so a file's stats row stays valid for as long as the file exists;
+    * membership here is what lets a manifest-resolved reader prune
+    * "indexed files by span, unindexed files kept" conservatively. */
+  def indexedFiles(spark: SparkSession, path: String)
+      : Option[Seq[String]] = {
+    if (!trusted(spark, path)) return None
+    Some(spark.read.parquet(dir(path).toString)
+      .select("file").collect().map(_.getString(0)).toSeq)
+  }
+
+  /** Per-file row counts from the manifest: (file, n_rows), None when
+    * no trusted sidecar exists or it predates the `n_rows` column. */
+  def rowCounts(spark: SparkSession, path: String): Option[DataFrame] = {
+    if (!trusted(spark, path)) return None
+    val stats = spark.read.parquet(dir(path).toString)
+    if (!stats.columns.contains("n_rows")) None
+    else Some(stats.select(col("file"), col("n_rows")))
   }
 
   def trusted(spark: SparkSession, path: String): Boolean =
@@ -121,7 +164,9 @@ object FileStats {
       df.schema.fieldNames.contains(c) &&
         df.schema(c).dataType.isInstanceOf[NumericType])
     if (!covered) { invalidate(spark, path); return }
-    val aggs = spanAggs(indexed)
+    // n_rows computed unconditionally; the schema-conforming select
+    // drops it for sidecars built before it existed
+    val aggs = spanAggs(indexed) :+ count(lit(1)).as("n_rows")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .select(statsSchema.fieldNames.map(col).toSeq: _*)

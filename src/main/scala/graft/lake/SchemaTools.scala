@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array_join, col, count, filter, lit, split, sum}
 import org.apache.spark.sql.types._
 
 /** Schema unification with rank-based type promotion.
@@ -499,13 +499,55 @@ object SchemaTools {
     else "directory"
   }
 
+  /** Footer opens performed by the [[partitionsTable]] FALLBACK sweep —
+    * test-observable so specs can assert the manifest-served path does
+    * ZERO of them (the Iceberg contract: `partitions` is answered from
+    * manifest metadata, never by re-opening a million data files
+    * through one driver JVM). */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** PARTITIONS metadata table for a hive-layout dataset (Iceberg's
     * `partitions` table): one row per partition leaf with its file and
-    * row counts. Leaf enumeration is the same driver-side listing any
-    * scan plans with; row counts are parquet FOOTER metadata only
-    * (ParquetFileReader row counts, no data pages read) — the whole
-    * table is metadata-scale at any partition cardinality. */
-  def partitionsTable(spark: SparkSession, path: String): DataFrame = {
+    * row counts.
+    *
+    * Served from the `_stats` manifest when one is TRUSTED and carries
+    * `n_rows` ([[FileStats.rowCounts]]): the partition spec is derived
+    * from each indexed file's own path (`k=v` segments), so the whole
+    * answer is one scan of the sidecar — no data-file footer is ever
+    * opened, and the cost is O(manifest), flat in data volume. That is
+    * how Iceberg serves its `partitions` table, and the only shape
+    * that survives a million-file lake.
+    *
+    * Without a trusted manifest it falls back to the footer sweep:
+    * leaf enumeration is the same driver-side listing any scan plans
+    * with; row counts are parquet FOOTER metadata only
+    * (ParquetFileReader record counts, no data pages read) — correct
+    * at any cardinality, but a million remote opens through one JVM at
+    * lake scale, which is exactly why the manifest path exists. */
+  def partitionsTable(spark: SparkSession, path: String): DataFrame =
+    statsPartitionsTable(spark, path)
+      .getOrElse(footerPartitionsTable(spark, path))
+
+  /** The manifest-served flavor: None without a trusted `n_rows`-bearing
+    * sidecar. Zero-row files carry no stats row (they carry no rows to
+    * group), so `n_files` counts data-BEARING files — the quantity a
+    * planner actually budgets by. */
+  private def statsPartitionsTable(
+      spark: SparkSession, path: String): Option[DataFrame] =
+    FileStats.rowCounts(spark, path).flatMap { rc =>
+      val parted = rc.withColumn("partition",
+        array_join(
+          filter(split(col("file"), "/"), s => s.contains(lit("="))),
+          "/"))
+      if (parted.filter(col("partition") === "").limit(1).count() > 0)
+        None // not a hive layout — the sweep's leaf walk decides
+      else Some(
+        parted.groupBy("partition")
+          .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows")))
+    }
+
+  private def footerPartitionsTable(
+      spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -535,6 +577,7 @@ object SchemaTools {
             .filter(_.endsWith(".parquet"))
           val nRows = Await.result(
             Future.sequence(files.map(f => Future {
+              footerOpens.incrementAndGet()
               val in = org.apache.parquet.hadoop.util.HadoopInputFile
                 .fromPath(new Path(f), conf)
               val r =

@@ -115,4 +115,70 @@ class CommitLogSpec extends AnyFunSuite {
     assert(log.readSince(2L).select("id").as[Int].collect().toSeq
       == Seq(3))
   }
+
+  test("span pruning: a post-build append is maintained incrementally, " +
+      "a replace invalidates, rebuild restores") {
+    val root = TestSpark.tempDir("clog6")
+    val log = CommitLog(spark, root).init()
+    def batch(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)
+    log.append(batch(0, 99)) // v1
+    log.append(batch(100, 199)) // v2
+    log.buildStats()
+    log.append(batch(200, 299)) // v3 — spans maintained, not rebuilt
+    val live = log.liveFiles(None)
+    val cand = log.candidateDataFiles("id >= 250 and id <= 260")
+    assert(cand.exists(c => c.nonEmpty && c.size < live.size),
+      s"the post-build file must be span-pruned too: $cand of $live")
+    assert(log.readFiltered("id >= 250 and id <= 260")
+      .select("id").as[Int].collect().sorted.toSeq == (250 to 260))
+    // a replace re-homes every row: the spans described a dead set
+    log.replace(batch(500, 599), log.latestVersion())
+    assert(!FileStats.trusted(spark, root), "replace must drop trust")
+    assert(log.candidateDataFiles("id >= 550 and id <= 560").isEmpty,
+      "no pruning claim may survive a replace")
+    assert(log.readFiltered("id >= 550 and id <= 560")
+      .select("id").as[Int].collect().sorted.toSeq == (550 to 560),
+      "the unpruned fallback still answers")
+    log.buildStats()
+    assert(log.candidateDataFiles("id >= 550 and id <= 560").isDefined)
+  }
+
+  test("delete commits are versioned: time travel predates them, " +
+      "checkpoints carry them across retention, readSince refuses them") {
+    val log = CommitLog(spark, TestSpark.tempDir("clog7")).init()
+    def batch(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)
+    log.append(batch(0, 9)) // v1
+    log.append(batch(10, 19)) // v2
+    val vDel = log.deleteKeysMor(Seq(3, 12).toDF("id"), Seq("id")) // v3
+    assert(log.read().select("id").as[Int].collect().sorted.toSeq ==
+      ((0 to 19).toSet -- Set(3, 12)).toSeq.sorted,
+      "read() must subtract the committed tombstones")
+    assert(log.read(Some(vDel - 1)).count() == 20,
+      "time travel before the delete still serves the rows")
+    intercept[IllegalArgumentException] { log.readSince(1L) }
+    // retention folds the delete into the checkpoint: the subtraction
+    // must survive the prefix's commit files disappearing
+    log.append(batch(20, 29)) // v4
+    log.expireBefore(vDel)
+    assert(log.read().select("id").as[Int].collect().sorted.toSeq ==
+      ((0 to 29).toSet -- Set(3, 12)).toSeq.sorted,
+      "checkpointed tombstones must keep subtracting after expiry")
+    assert(log.vacuum(retentionMs = 0L) == 0L,
+      "vacuum must not eat tombstone files a checkpoint references")
+    assert(log.read().count() == 28)
+  }
+
+  test("column mapping composes with tombstones on commit-log reads") {
+    val log = CommitLog(spark, TestSpark.tempDir("clog8")).init()
+    log.append(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "price"))
+    log.deleteKeysMor(Seq(Tuple1(2)).toDF("id"), Seq("id"))
+    log.renameColumn("price", "amount")
+    val out = log.read().orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "amount"))
+    assert(out.select("id").as[Int].collect().toSeq == Seq(1, 3))
+    log.dropColumn("amount")
+    assert(log.read().columns.toSeq == Seq("id"))
+  }
 }
