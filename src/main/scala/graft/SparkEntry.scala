@@ -3826,6 +3826,87 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // COMMIT-LOG STREAMING CONSUMPTION (r7 Next #5): the log replayed
+    // through a real readStream — each commit manifest is an immutable
+    // atomically-visible file, so the file streaming source over
+    // `_commits/` IS an incremental commit reader with exactly-once
+    // delivery per checkpoint. Downstream ingestion keys the sink by
+    // commit version, so a REPLAYED delivery (fresh checkpoint = every
+    // commit redelivered) lands nothing twice, and a replace upstream
+    // REFUSES mid-stream like readSince does in batch. The downstream
+    // lake must equal the batch union of the appended commits.
+    "q122_commitlog_stream" -> ((s, d) => {
+      val root = scratch(s, "q122", d)
+      val up = CommitLog(s, s"$root/up").init()
+      val down = s"$root/down"
+      val src = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 8
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      up.append(band(lo, lo + 2 * e)) // v1
+      up.append(band(lo + 2 * e + 1, lo + 5 * e)) // v2
+      up.append(band(lo + 5 * e + 1, hi)) // v3
+      val fs = new org.apache.hadoop.fs.Path(down)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def runStream(ckpt: String): Unit = {
+        val q = up.readStreamCommits()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val commits = batch.select("version", "kind", "files")
+              .collect()
+              .map(r => (r.getLong(0), r.getString(1),
+                r.getSeq[String](2)))
+              .sortBy(_._1)
+            commits.foreach { case (v, kind, names) =>
+              require(kind == "append",
+                s"$kind v$v inside the stream — re-baseline downstream")
+              val seen =
+                if (!fs.exists(new org.apache.hadoop.fs.Path(down)))
+                  Set.empty[Long]
+                else s.read.parquet(down).select("commit_version")
+                  .distinct().collect().map(_.getLong(0)).toSet
+              if (!seen.contains(v))
+                s.read.parquet(up.filePaths(names): _*)
+                  .withColumn("commit_version", lit(v))
+                  .write.mode("append").parquet(down)
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runStream(s"$root/_ckpt1")
+      val afterFirst = s.read.parquet(down).count()
+      assert(afterFirst == src.count(),
+        "the stream must deliver every appended commit exactly once")
+      // REPLAYED DELIVERY: a fresh checkpoint redelivers all three
+      // commits; the version-keyed sink must not double-ingest
+      runStream(s"$root/_ckpt2")
+      assert(s.read.parquet(down).count() == afterFirst,
+        "a replayed delivery must land nothing twice")
+      // a replace breaks increment semantics mid-stream: REFUSE, and
+      // the downstream lake stays exactly the pre-replace union
+      up.replace(band(lo, lo + e), up.latestVersion())
+      val refused =
+        try { runStream(s"$root/_ckpt3"); false }
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+            true
+        }
+      assert(refused, "a replace inside the stream must refuse loudly")
+      assert(s.read.parquet(down).count() == afterFirst,
+        "the refused stream must not have mutated the downstream lake")
+      s.read.parquet(down)
+        .orderBy("commit_version", "o_orderkey")
+        .select("commit_version", "o_orderkey", "o_custkey",
+          "o_totalprice")
+    }),
+
     // COMMIT-LOG RETENTION: expire the prefix behind a checkpoint —
     // files stranded by the pre-boundary replace are reclaimed
     // (asserted by data-file count arithmetic), the live and boundary
@@ -5577,6 +5658,18 @@ object SparkEntry {
         |WHERE o_custkey < 100 OR o_custkey BETWEEN 400 AND 450
         |   OR o_custkey BETWEEN 800 AND 850 OR o_custkey >= 1400
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the three streamed appends tile [lo, hi]: version = which band
+    // the key fell in, rows = all of orders exactly once
+    "q122_commitlog_stream" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 8 AS e FROM orders)
+        |SELECT CAST(CASE WHEN o_orderkey <= lo + 2*e THEN 1
+        |                 WHEN o_orderkey <= lo + 5*e THEN 2
+        |                 ELSE 3 END AS BIGINT) AS commit_version,
+        |  o_orderkey, o_custkey, o_totalprice
+        |FROM orders, b
+        |ORDER BY commit_version, o_orderkey""".stripMargin,
 
     // the three appended bands tile [lo, hi] exactly, so live = all
     // keys minus the tombstoned band; range = the predicate band minus

@@ -297,6 +297,40 @@ final class CommitLog(spark: SparkSession, root: String) {
       files.map(f => new Path(dataDir, f).toString): _*)
   }
 
+  /** The commit log AS A STRUCTURED STREAM — one row per commit:
+    * `(version, kind, files)`. Commit manifests are immutable files
+    * made visible ATOMICALLY ([[tryCas]]), so Spark's file streaming
+    * source over the commits directory is an incremental commit reader
+    * with exactly-once delivery for free (the file source's seen-files
+    * log under `checkpointLocation` — the same machinery as any
+    * parquet stream, applied to the log itself). This is the streaming
+    * sibling of [[readSince]]: the Delta "stream from a table" story
+    * for a multi-writer dataset. Consumers resolve each manifest's
+    * files themselves (paths via [[dataPath]]/`data/`) and MUST refuse
+    * non-append kinds — a replace re-homes rows the consumer already
+    * ingested, a delete changes visibility of rows outside the
+    * increment; both require a re-baseline, exactly like readSince.
+    * Downstream exactly-once across checkpoint loss = keying the sink
+    * by `version` (commits are the idempotence unit). */
+  def readStreamCommits(maxPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val sch = StructType(Seq(
+      StructField("kind", StringType),
+      StructField("files", ArrayType(StringType))))
+    spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", maxPerTrigger)
+      // v%020d.json only: digits before the extension exclude
+      // `*.checkpoint.json`, the dot prefix hides commit temp files
+      .json(new Path(commitsDir, "v*[0-9].json").toString)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "v(\\d+)\\.json$", 1)
+          .cast("long"))
+  }
+
+  /** Resolve a streamed commit's file names to readable paths. */
+  def filePaths(names: Seq[String]): Seq[String] = names.map(dataPath)
+
   /** ADOPT an existing plain dataset into the commit-log flavor: its
     * data files MOVE into `data/` (renames, zero copy — adopting
     * 100 TB must not duplicate it) and land as commit v1, after which

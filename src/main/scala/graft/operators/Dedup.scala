@@ -1001,13 +1001,13 @@ object Dedup {
         lazy val touchedIds = localEdges.iterator
           .flatMap(e => Iterator(e._1, e._2)).toArray.distinct
         lazy val batchBuckets = touchedIds.map(bucketOf).distinct.toSeq
-        lazy val touchedArr = labels
-          .filter(col("bucket").isin(batchBuckets: _*))
-          .filter(col("doc_id").isin(touchedIds.toSeq: _*))
+        lazy val touchedArr = boundedIdFilter(
+          labels.filter(col("bucket").isin(batchBuckets: _*)),
+          "doc_id", touchedIds.toSeq)
           .select("cluster_id").distinct()
           .collect().map(_.getLong(0))
-        lazy val members = labels
-          .filter(col("cluster_id").isin(touchedArr.toSeq: _*))
+        lazy val members = boundedIdFilter(labels, "cluster_id",
+          touchedArr.toSeq)
           .select("doc_id", "cluster_id")
         lazy val localMembers = members.limit(SmallCap + 1).collect()
         if (localEdges.length <= SmallCap &&
@@ -1020,9 +1020,9 @@ object Dedup {
           // partitions are replaced wholesale)
           val touchedBuckets = merged.map(m => bucketOf(m._1)).distinct
           val touchedSet = touchedArr.toSeq
-          val keep = labels
-            .filter(col("bucket").isin(touchedBuckets: _*))
-            .filter(!col("cluster_id").isin(touchedSet: _*))
+          val keep = boundedIdFilter(
+            labels.filter(col("bucket").isin(touchedBuckets: _*)),
+            "cluster_id", touchedSet, negate = true)
           keep.unionByName(
             withBucket(merged.toDF("doc_id", "cluster_id")))
         } else {
@@ -1062,6 +1062,33 @@ object Dedup {
       .partitionBy("bucket")
       .parquet(labelsPath)
   }
+
+  /** Membership filter on a long id set that stays PLAN-BOUNDED: below
+    * [[IsinLiteralCap]] the ids inline as an `isin` IN-list (what buys
+    * parquet row-group skipping over the cluster_id-sorted label
+    * partitions), above it they become a BROADCAST semi/anti join — a
+    * 400k-literal IN-list is a multi-megabyte plan serialized to every
+    * task, while the broadcast ships once as data. The SmallCap bounds
+    * how large the set can get (≤ 2×cap ids); this bounds what any
+    * size under that cap does to the PLAN. */
+  private[graft] def boundedIdFilter(
+      df: DataFrame,
+      colName: String,
+      ids: Seq[Long],
+      negate: Boolean = false
+  ): DataFrame =
+    if (ids.length <= IsinLiteralCap) {
+      if (negate) df.filter(!col(colName).isin(ids: _*))
+      else df.filter(col(colName).isin(ids: _*))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val idsDf = broadcast(ids.toDF("__graft_id"))
+      df.join(idsDf, col(colName) === col("__graft_id"),
+        if (negate) "left_anti" else "left_semi")
+    }
+
+  private[graft] val IsinLiteralCap = 4096
 
   /** Min-label union-find (path compression + union-by-min-root) for
     * micro-batch-scale merge subgraphs — returns id -> component min

@@ -450,6 +450,45 @@ class DedupSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("mergeClusterBatch id filters stay plan-bounded: IN-list below " +
+      "the literal cap, broadcast semi-join above it — same answer") {
+    val labels = (0L until 10000L).map(i => (i, i / 10))
+      .toDF("doc_id", "cluster_id")
+    val smallPlan = Dedup.boundedIdFilter(labels, "doc_id",
+      Seq(1L, 2L, 3L)).queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("Join"),
+      s"a 3-id filter must stay an IN push, not a join:\n$smallPlan")
+    val bigIds = (0L to Dedup.IsinLiteralCap.toLong).toSeq // cap + 1
+    val big = Dedup.boundedIdFilter(labels, "doc_id", bigIds)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastHashJoin"),
+      s"an above-cap id set must ship as a broadcast, not literals:\n" +
+        bigPlan.take(800))
+    assert(big.count() == bigIds.length,
+      "the join formulation must keep exactly the listed ids")
+    val neg = Dedup.boundedIdFilter(labels, "doc_id", bigIds,
+      negate = true)
+    assert(neg.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(neg.count() == 10000L - bigIds.length)
+    // end-to-end: a merge whose touch set exceeds the cap goes through
+    // the broadcast path and still equals the expected labeling
+    val lbl = graft.TestSpark.tempDir("inc_cc_cap") + "/labels"
+    val n = Dedup.IsinLiteralCap / 2 + 100 // 2·n touched ids > cap
+    Dedup.mergeClusterBatch(lbl,
+      (0L until n.toLong).map(i => (i, i + 100000L)).toDF("id1", "id2"))
+    Dedup.mergeClusterBatch(lbl,
+      (0L until n.toLong).map(i => (i + 100000L, i + 200000L))
+        .toDF("id1", "id2"))
+    val fin = spark.read.parquet(lbl)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(fin.size == 3 * n)
+    (0L until n.toLong).foreach { i =>
+      assert(fin(i) == i && fin(i + 100000L) == i &&
+        fin(i + 200000L) == i)
+    }
+  }
+
   test("removeDuplicateSpans winner is a keyed min-struct agg, not a " +
       "row_number window over the replica set") {
     val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
