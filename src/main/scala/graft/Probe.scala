@@ -61,6 +61,43 @@ object Probe {
       return
     }
 
+    if (args.headOption.contains("e18prof")) {
+      // stage-level scaling profile of ivfPqTopK (r7 VERDICT: 1.6x per
+      // 4x data where siblings hold ~1x). Replicates embeddings like
+      // ScalingBench and times composable sub-pipelines.
+      import org.apache.spark.sql.functions._
+      val src = "/root/testdata/sf0.1/embeddings.parquet"
+      val base = spark.read.parquet(src)
+      def at(f: Int): org.apache.spark.sql.DataFrame =
+        (0 until f).map(i => base.withColumn("vec_id",
+          col("vec_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+      def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[e18prof] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      import graft.operators.Similarity
+      for (f <- Seq(1, 4); rep <- 1 to 2) {
+        val e = at(f)
+        val q = e.filter(col("vec_id") < 10)
+        val v = Similarity.prep(e, "vec_id", "embedding")
+        time(s"${f}x rep$rep 1_encode_only")(
+          Similarity.pqEncode(v, Similarity.pivotSet(v, 32), 64, 32))
+        time(s"${f}x rep$rep 2_encode_assign")(
+          Similarity.assignCells(
+            Similarity.pqEncode(v, Similarity.pivotSet(v, 32), 64, 32)
+              .withColumnRenamed("__emb2", "emb")
+              .withColumn("nrm",
+                sqrt(aggregate(transform(col("emb"), x => x * x),
+                  lit(0.0), (a, x) => a + x))),
+            Similarity.pivotSet(v, 16), keep = 1))
+        time(s"${f}x rep$rep 3_full_e18")(
+          Similarity.ivfPqTopK(e, q, k = 5))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("explain")) {
       // formatted physical plans for PLANS.md; SPARK_GRAFT_NO_BROADCAST=1
       // disables auto-broadcast to show the at-scale shuffle shape

@@ -878,30 +878,28 @@ object Similarity {
     * embedded m·nCents interpreted lambdas and serialized to ~28 MB
     * task binaries. Centroid VALUES ride in the struct so the
     * reconstruction needs no second lookup. */
-  private def pqEncode(
+  private[graft] def pqEncode(
       v: DataFrame,
       pivots: Array[(Long, Seq[Double], Double)],
       dim: Int,
       m: Int
   ): DataFrame = {
-    val subDim = dim / m
-    val bestPerSub = (0 until m).map { j =>
-      val subEls = (0 until subDim)
-        .map(t => element_at(col("emb"), j * subDim + t + 1))
-      val scored = array(pivots.map { case (cell, pv, _) =>
-        val cs = pv.slice(j * subDim, (j + 1) * subDim)
-        val d = subEls.zip(cs)
-          .map { case (e, c) => (e - lit(c)) * (e - lit(c)) }
-          .reduceLeft(_ + _)
-        struct(d.as("d"), lit(cell).as("cell"),
-          typedLit(cs).as("cv"))
-      }: _*)
-      array_min(scored)
-    }
-    v.withColumn("__best", array(bestPerSub: _*))
+    // One native kernel call per row (PqEncodeExpr). The previous
+    // declarative form — array_min over m·nCents (d, cell, cv) structs
+    // — was semantically identical but generated ~6000 lines of Java
+    // that FAILED Janino compilation, so every encode ran interpreted
+    // (~1 ms/row: the r7 e18 superlinear-scaling finding). The kernel
+    // keeps the exact argmin semantics: left-to-right (e-c)² folds,
+    // ties to the lower cell id.
+    val cells = pivots.map(_._1)
+    val cents = pivots.flatMap(_._2).toArray
+    import org.apache.spark.sql.GraftSqlBridge
+    val enc = GraftSqlBridge.column(graft.functions.PqEncodeExpr(
+      GraftSqlBridge.expression(col("emb")), cents, cells, dim, m))
+    v.withColumn("__enc", enc)
       .select(col("vec_id").as("id2"), col("emb").as("__emb2"),
-        transform(col("__best"), b => b("cell")).as("codes2"),
-        flatten(transform(col("__best"), b => b("cv"))).as("recon2"))
+        col("__enc")("codes").as("codes2"),
+        col("__enc")("recon").as("recon2"))
   }
 
   /** IVF-narrowed PQ serving — the production ANN composition: a
@@ -941,11 +939,14 @@ object Similarity {
     val w = Window.partitionBy("id1")
       .orderBy(col("adist").asc, col("id2").asc)
     import graft.functions.VectorFunctions.l2Sq
+    // no dropDuplicates: the corpus side carries each id2 in EXACTLY
+    // one cell (keep = 1) and a query probes nProbe DISTINCT cells, so
+    // the cell equi-join emits every (id1, id2) at most once — the
+    // dedup was a full shuffle of the candidate set for nothing
     broadcast(q)
       .join(encoded, Seq("cell"))
       .filter(col("id1") =!= col("id2"))
       .select("id1", "emb1", "id2", "recon2")
-      .dropDuplicates("id1", "id2")
       .withColumn("adist", l2Sq(col("emb1"), col("recon2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

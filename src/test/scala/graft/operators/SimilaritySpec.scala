@@ -438,6 +438,69 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode kernel equals the declarative array_min formulation " +
+      "and stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val dim = 4; val m = 2; val subDim = dim / m
+    // parquet-backed (a local relation would constant-fold the whole
+    // encode at plan time and prove nothing about codegen)
+    val dir = graft.TestSpark.tempDir("pqenc")
+    Seq(
+      (1L, Seq(0.1, 0.2, 0.9, 0.8)),
+      (2L, Seq(0.5, 0.5, 0.5, 0.5)),
+      (3L, Seq(0.9, 0.1, 0.2, 0.7)),
+      (4L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (5L, Seq(0.3, 0.3, 0.6, 0.6))
+    ).toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val v = Similarity.prep(vecs, "vec_id", "embedding")
+    val pivots = Similarity.pivotSet(v, 3)
+    val enc = Similarity.pqEncode(v, pivots, dim, m)
+    // declarative reference: array_min over (d, cell, cv) structs —
+    // exactly what the kernel replaced (small enough to compile here)
+    val ref = {
+      val bestPerSub = (0 until m).map { j =>
+        val subEls = (0 until subDim)
+          .map(t => element_at(col("emb"), j * subDim + t + 1))
+        val scored = array(pivots.map { case (cell, pv, _) =>
+          val cs = pv.slice(j * subDim, (j + 1) * subDim)
+          val d = subEls.zip(cs)
+            .map { case (e, c) => (e - lit(c)) * (e - lit(c)) }
+            .reduceLeft(_ + _)
+          struct(d.as("d"), lit(cell).as("cell"), typedLit(cs).as("cv"))
+        }: _*)
+        array_min(scored)
+      }
+      v.withColumn("__best", array(bestPerSub: _*))
+        .select(col("vec_id").as("id2"),
+          transform(col("__best"), b => b("cell")).as("codes2"),
+          flatten(transform(col("__best"), b => b("cv"))).as("recon2"))
+    }
+    val a = enc.select("id2", "codes2", "recon2")
+      .as[(Long, Seq[Long], Seq[Double])].collect().sortBy(_._1)
+    val b = ref.as[(Long, Seq[Long], Seq[Double])].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq,
+      "the kernel must replicate the argmin/tie/reconstruction exactly")
+    // the regression the kernel fixes: the encode projection must be
+    // INSIDE WholeStageCodegen (the declarative form at m=32 generated
+    // Java that failed to compile and ran interpreted)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_encode"), s"kernel missing from plan:\n$plan")
+    val full = Similarity.ivfPqTopK(vecs,
+      vecs.filter(col("vec_id") < 2), dim = dim, m = m, k = 2,
+      nCents = 3, nCells = 2, nProbe = 2)
+    val fullPlan = full.queryExecution.executedPlan.toString
+    assert(fullPlan.contains("pq_encode"))
+    assert(fullPlan.contains("WindowGroupLimit"),
+      "the top-k must keep its partial group-limit pushdown")
+    // the cell equi-join emits unique (id1,id2) pairs by construction
+    // (keep=1 corpus cells, distinct probe cells) — the former
+    // dropDuplicates shuffle must stay gone
+    assert(!fullPlan.toLowerCase.contains("dropduplicates") &&
+      !fullPlan.contains("hashpartitioning(id1, id2"))
+    assert(full.count() > 0)
+  }
+
   test("embeddingDedup: representative = min id, keep iff own cluster") {
     val out = Dedup.embeddingDedup(emb, dim = 64, threshold = 0.3,
       nBits = 4, nTables = 4)
