@@ -2981,6 +2981,58 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // the PQ serving index PERSISTED and MAINTAINED (e16 re-encoded the
+    // corpus per query — at 100 TB the codes ARE the index): codebooks
+    // + codes-only rows live in the lake under the _ann.json trust
+    // protocol; appends encode ONLY the batch against the STORED
+    // codebooks (FAISS `add` — codebooks fixed between retrains).
+    // Bootstrap = the pivot-rank rows themselves (the union corpus's
+    // own codebook selection, the e14 discipline), so served-after-
+    // two-appends is distance-identical to e16's from-scratch answer
+    // and the e16 oracle gates it exactly
+    "e26_pq_serve" -> ((s, d) => {
+      val root = scratch(s, "e26", d)
+      val e = emb(s, d)
+      val nCents = 32
+      val pivotIds = e
+        .orderBy(Similarity.pivotRank(col("vec_id")).asc,
+          col("vec_id").asc)
+        .limit(nCents).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      val isPivot = col("vec_id").isin(pivotIds: _*)
+      AnnIndex.buildPq(s, root, e.filter(isPivot), dim = 64,
+        nCents = nCents)
+      val rest = e.filter(!isPivot)
+      AnnIndex.appendPq(s, root,
+        rest.filter(pmod(col("vec_id"), lit(2L)) === 0L))
+      AnnIndex.appendPq(s, root,
+        rest.filter(pmod(col("vec_id"), lit(2L)) === 1L))
+      assert(AnnIndex.trusted(s, root),
+        "append path must reseal the trust marker")
+      AnnIndex.servePq(s, root, e.filter(col("vec_id") < 10), k = 5).get
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
+    // the Hamming sibling: the 8-byte signature table persisted under
+    // the same trust protocol. Signatures depend only on the vector
+    // (no trained parameters), so append-maintained == from-scratch
+    // row for row and the e17 oracle gates the served answer exactly
+    "e27_hamming_serve" -> ((s, d) => {
+      val root = scratch(s, "e27", d)
+      val e = emb(s, d)
+      def m3(r: Long*) = pmod(col("vec_id"), lit(3L)).isin(r: _*)
+      AnnIndex.buildHamming(s, root, e.filter(m3(0)), dim = 64)
+      AnnIndex.appendHamming(s, root, e.filter(m3(1)))
+      AnnIndex.appendHamming(s, root, e.filter(m3(2)))
+      assert(AnnIndex.trusted(s, root),
+        "append path must reseal the trust marker")
+      AnnIndex.serveHamming(s, root, e.filter(col("vec_id") < 10), k = 5)
+        .get
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     "e15_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -4572,6 +4624,83 @@ object SparkEntry {
         |UNION ALL SELECT * FROM upd
         |UNION ALL SELECT * FROM ins
         |ORDER BY o_orderkey""".stripMargin
+
+  /** e17 + e27: sign-binarized signatures, bit_count(xor) distance —
+    * the bit-63 case lands as Long.MinValue exactly as Spark's
+    * shiftleft does. One oracle gates the direct operator AND the
+    * persisted-index serve (signatures have no trained parameters, so
+    * append-maintained rows equal a from-scratch rebuild's). */
+  private def e17Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |sig AS (SELECT vec_id,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(range(1, 65),
+      |      i -> CASE WHEN emb[i] > 0.0 THEN
+      |             CASE WHEN i = 64
+      |               THEN (-9223372036854775807::BIGINT - 1)
+      |               ELSE 1::BIGINT << (i - 1) END
+      |           ELSE 0::BIGINT END)),
+      |    (a, b) -> a | b) AS sig FROM v),
+      |pp AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
+      |  CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming
+      |  FROM sig q JOIN sig c
+      |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT id1, id2, hamming, rank FROM (
+      |  SELECT id1, id2, hamming,
+      |   CAST(row_number() OVER (PARTITION BY id1
+      |     ORDER BY hamming ASC, id2 ASC) AS BIGINT) AS rank
+      |  FROM pp) t
+      |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
+
+  /** e16 + e26: PQ encode + ADC replayed relationally — same
+    * hash-stratified pivot CTE as e04, per-(vector, subspace) argmin
+    * via row_number, squared L2 as the identical left fold. e26 serves
+    * from the persisted codes-only index; decode(encode(v)) IS the
+    * reconstruction this oracle scores, so one oracle gates both. */
+  private def e16Oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |piv AS (SELECT vec_id AS cell, emb AS pemb FROM v
+      |  WHERE vec_id IN (SELECT vec_id FROM v
+      |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+      |             % 2147483647 * 48271) % 2147483647 ASC,
+      |            vec_id ASC LIMIT 32)),
+      |cs AS (SELECT vec_id, j,
+      |    list_slice(emb, j * 2 + 1, j * 2 + 2) AS sv
+      |  FROM v, range(32) r(j)),
+      |ps AS (SELECT cell, j,
+      |    list_slice(pemb, j * 2 + 1, j * 2 + 2) AS pv
+      |  FROM piv, range(32) r(j)),
+      |dj AS (SELECT cs.vec_id, cs.j, ps.cell, ps.pv,
+      |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |     list_transform(range(1, 3),
+      |       i -> (cs.sv[i] - ps.pv[i]) * (cs.sv[i] - ps.pv[i]))),
+      |     (a, x) -> a + x) AS d
+      |  FROM cs JOIN ps ON cs.j = ps.j),
+      |best AS (SELECT vec_id, j, pv FROM (
+      |   SELECT vec_id, j, pv, row_number() OVER (
+      |     PARTITION BY vec_id, j ORDER BY d ASC, cell ASC) AS rn
+      |   FROM dj) t WHERE rn = 1),
+      |recon AS (SELECT vec_id, flatten(list(pv ORDER BY j)) AS rv
+      |  FROM best GROUP BY vec_id),
+      |pp AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
+      |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |     list_transform(range(1, 65),
+      |       i -> (q.emb[i] - c.rv[i]) * (q.emb[i] - c.rv[i]))),
+      |     (a, x) -> a + x) AS adist
+      |  FROM v q JOIN recon c
+      |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT id1, id2, adist, rank FROM (
+      |  SELECT id1, id2, adist,
+      |   CAST(row_number() OVER (PARTITION BY id1
+      |     ORDER BY adist ASC, id2 ASC) AS BIGINT) AS rank
+      |  FROM pp) t
+      |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
 
   /** e19: the three Lloyd iterations unrolled — each is (D) integer
     * squared-L2 per (vector, centroid), (A) min-distance-then-min-cid
@@ -7071,75 +7200,16 @@ object SparkEntry {
 
     // the sign pack replayed relationally: same OR fold (bit 64 needs
     // the MinValue literal spelled without a bare unary-minus overflow)
-    "e17_hamming_topk" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |  FROM embeddings),
-        |sig AS (SELECT vec_id,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(range(1, 65),
-        |      i -> CASE WHEN emb[i] > 0.0 THEN
-        |             CASE WHEN i = 64
-        |               THEN (-9223372036854775807::BIGINT - 1)
-        |               ELSE 1::BIGINT << (i - 1) END
-        |           ELSE 0::BIGINT END)),
-        |    (a, b) -> a | b) AS sig FROM v),
-        |pp AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
-        |  CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming
-        |  FROM sig q JOIN sig c
-        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |SELECT id1, id2, hamming, rank FROM (
-        |  SELECT id1, id2, hamming,
-        |   CAST(row_number() OVER (PARTITION BY id1
-        |     ORDER BY hamming ASC, id2 ASC) AS BIGINT) AS rank
-        |  FROM pp) t
-        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
+    "e17_hamming_topk" -> e17Oracle,
+    "e27_hamming_serve" -> e17Oracle,
 
     // PQ encode + ADC replayed relationally: same hash-stratified pivot
     // CTE as e04, per-(vector, subspace) argmin via row_number, squared
-    // L2 as the identical left fold
-    "e16_pq_adc" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |  FROM embeddings),
-        |piv AS (SELECT vec_id AS cell, emb AS pemb FROM v
-        |  WHERE vec_id IN (SELECT vec_id FROM v
-        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
-        |             % 2147483647 * 48271) % 2147483647 ASC,
-        |            vec_id ASC LIMIT 32)),
-        |cs AS (SELECT vec_id, j,
-        |    list_slice(emb, j * 2 + 1, j * 2 + 2) AS sv
-        |  FROM v, range(32) r(j)),
-        |ps AS (SELECT cell, j,
-        |    list_slice(pemb, j * 2 + 1, j * 2 + 2) AS pv
-        |  FROM piv, range(32) r(j)),
-        |dj AS (SELECT cs.vec_id, cs.j, ps.cell, ps.pv,
-        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |     list_transform(range(1, 3),
-        |       i -> (cs.sv[i] - ps.pv[i]) * (cs.sv[i] - ps.pv[i]))),
-        |     (a, x) -> a + x) AS d
-        |  FROM cs JOIN ps ON cs.j = ps.j),
-        |best AS (SELECT vec_id, j, pv FROM (
-        |   SELECT vec_id, j, pv, row_number() OVER (
-        |     PARTITION BY vec_id, j ORDER BY d ASC, cell ASC) AS rn
-        |   FROM dj) t WHERE rn = 1),
-        |recon AS (SELECT vec_id, flatten(list(pv ORDER BY j)) AS rv
-        |  FROM best GROUP BY vec_id),
-        |pp AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
-        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |     list_transform(range(1, 65),
-        |       i -> (q.emb[i] - c.rv[i]) * (q.emb[i] - c.rv[i]))),
-        |     (a, x) -> a + x) AS adist
-        |  FROM v q JOIN recon c
-        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |SELECT id1, id2, adist, rank FROM (
-        |  SELECT id1, id2, adist,
-        |   CAST(row_number() OVER (PARTITION BY id1
-        |     ORDER BY adist ASC, id2 ASC) AS BIGINT) AS rank
-        |  FROM pp) t
-        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
+    // L2 as the identical left fold. e26 serves the same answer from
+    // the persisted codes-only index (decode(encode(v)) IS the
+    // reconstruction), so one oracle gates both.
+    "e16_pq_adc" -> e16Oracle,
+    "e26_pq_serve" -> e16Oracle,
 
     // recall@5 of the SRP index vs brute force — both stages' oracle
     // bodies reused verbatim as CTEs, the comparison itself keyed

@@ -98,6 +98,45 @@ object VectorKernels {
         new org.apache.spark.sql.catalyst.util.GenericArrayData(recon)))
   }
 
+  /** Inverse of [[pqEncodeRow]]: expand an array of PQ codes (cell ids,
+    * one per subspace) back into the reconstruction by copying each
+    * chosen centroid's subvector from the flattened codebook. The
+    * linear `cells` scan per code is nCents comparisons against a
+    * hot array — cheaper than a hash probe at the 32-entry codebooks
+    * ANN serving uses. Codes produced by pqEncodeRow always resolve;
+    * a foreign code (codebook mismatch) fails fast rather than
+    * reconstructing garbage. */
+  def pqDecodeRow(
+      codes: ArrayData,
+      cents: Array[Double],
+      cells: Array[Long],
+      m: Int,
+      subDim: Int
+  ): ArrayData = {
+    val nCents = cells.length
+    val dim = m * subDim
+    val recon = new Array[Double](dim)
+    var j = 0
+    while (j < m) {
+      val code = codes.getLong(j)
+      var c = 0
+      var found = -1
+      while (c < nCents && found < 0) {
+        if (cells(c) == code) found = c
+        c += 1
+      }
+      if (found < 0) throw new IllegalArgumentException(
+        s"PQ code $code not in codebook (subspace $j)")
+      var t = 0
+      while (t < subDim) {
+        recon(j * subDim + t) = cents(found * dim + j * subDim + t)
+        t += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(recon)
+  }
+
   /** One-pass SimHash over an array of token hashes: per bit, sum of ±1
     * votes by that bit of each hash; sign -> signature bit. Equals the
     * per-bit `aggregate` formulation exactly (integer arithmetic). */
@@ -207,6 +246,42 @@ case class PqEncodeExpr(
 
   override protected def withNewChildInternal(newChild: Expression)
       : PqEncodeExpr = copy(child = newChild)
+}
+
+/** Native PQ decoder over an array<long> of codes: array<double>
+  * reconstruction from the same flattened-codebook reference objects
+  * [[PqEncodeExpr]] rides — the serve-time half of the codes-only
+  * at-rest index (the persisted PQ index stores 8-byte codes, not
+  * full-precision reconstructions; ADC scoring decodes on the fly). */
+case class PqDecodeExpr(
+    child: Expression,
+    cents: Array[Double],
+    cells: Array[Long],
+    dim: Int,
+    m: Int
+) extends UnaryExpression {
+
+  private val subDim = dim / m
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqDecodeRow(input.asInstanceOf[ArrayData],
+      cents, cells, m, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "double[]")
+    val cellsRef = ctx.addReferenceObj("pqCells", cells, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.pqDecodeRow($c, $centsRef, " +
+        s"$cellsRef, $m, $subDim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqDecodeExpr = copy(child = newChild)
 }
 
 /** Native SimHash over an array<long> of token hashes (see

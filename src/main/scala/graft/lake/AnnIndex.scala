@@ -200,4 +200,139 @@ object AnnIndex {
         spark.read.parquet(indexPath(root)),
         queries, idCol, vecCol, k, nProbe)
     }
+
+  // ------------------------------------------------------------- PQ --
+
+  private def readPivots(spark: SparkSession, root: String)
+      : Array[(Long, Seq[Double], Double)] =
+    spark.read.parquet(pivotsPath(root))
+      .select("cell", "emb", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Persist the product-quantization serving index: subspace codebooks
+    * (the hash-stratified pivots e16 trains from) to `pivots/`, and the
+    * corpus as CODES ONLY — `m` longs a vector, the `dim·8/m`-fold
+    * compressed at-rest form — to `index/`. Reconstruction is
+    * serve-time decode against the stored codebooks, so the index never
+    * materializes full-precision vectors. */
+  def buildPq(
+      spark: SparkSession,
+      root: String,
+      corpus: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 32,
+      nCents: Int = 32
+  ): Unit = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    distrust(spark, root)
+    val v = Similarity.prep(corpus, idCol, vecCol)
+    val pivots = Similarity.pivotSet(v, nCents)
+    import spark.implicits._
+    pivots.toSeq.toDF("cell", "emb", "nrm")
+      .write.mode("overwrite").parquet(pivotsPath(root))
+    Similarity.pqEncode(v, pivots, dim, m)
+      .select("id2", "codes2")
+      .write.mode("overwrite").parquet(indexPath(root))
+    seal(spark, root,
+      s"""{"kind":"pq","dim":$dim,"m":$m,"nCents":$nCents}""")
+  }
+
+  /** Fold a delta batch in: encode ONLY the batch against the STORED
+    * codebooks (the FAISS `add` contract again — codebooks stay fixed
+    * between retrains, so codes never shift under ingest) and append
+    * the codes. */
+  def appendPq(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val meta = readMeta(spark, root, "pq").getOrElse(throw
+      new IllegalStateException(
+        s"no trusted PQ index at $root — rebuild with buildPq"))
+    distrust(spark, root)
+    Similarity.pqEncode(
+        Similarity.prep(batch, idCol, vecCol),
+        readPivots(spark, root),
+        meta.get("dim").asInt(), meta.get("m").asInt())
+      .select("id2", "codes2")
+      .write.mode("append").parquet(indexPath(root))
+    seal(spark, root, mapper.writeValueAsString(meta))
+  }
+
+  /** Serve ADC top-k from the codes-only index with its STORED
+    * codebooks — None when untrusted (caller falls back to the direct
+    * [[Similarity.pqTopK]]). */
+  def servePq(
+      spark: SparkSession,
+      root: String,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Option[DataFrame] =
+    readMeta(spark, root, "pq").map { meta =>
+      Similarity.pqTopKFromIndex(
+        spark.read.parquet(indexPath(root)),
+        readPivots(spark, root), queries,
+        meta.get("dim").asInt(), meta.get("m").asInt(),
+        idCol, vecCol, k)
+    }
+
+  // -------------------------------------------------------- Hamming --
+
+  /** Persist the sign-binarized Hamming serving index: ONE 64-bit
+    * signature per vector (`id2`, `sig2`) — 8 bytes a vector, the
+    * index e17 describes, materialized. No trained parameters beyond
+    * `dim`, so append-maintained rows are definitionally identical to
+    * a from-scratch rebuild's. */
+  def buildHamming(
+      spark: SparkSession,
+      root: String,
+      corpus: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    require(dim <= 64, "Hamming signatures pack into one 64-bit word")
+    distrust(spark, root)
+    Similarity.hammingSig(corpus, idCol, vecCol, dim, "id2", "sig2")
+      .write.mode("overwrite").parquet(indexPath(root))
+    seal(spark, root, s"""{"kind":"hamming","dim":$dim}""")
+  }
+
+  def appendHamming(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val meta = readMeta(spark, root, "hamming").getOrElse(throw
+      new IllegalStateException(
+        s"no trusted Hamming index at $root — rebuild with buildHamming"))
+    distrust(spark, root)
+    Similarity.hammingSig(batch, idCol, vecCol,
+        meta.get("dim").asInt(), "id2", "sig2")
+      .write.mode("append").parquet(indexPath(root))
+    seal(spark, root, mapper.writeValueAsString(meta))
+  }
+
+  def serveHamming(
+      spark: SparkSession,
+      root: String,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Option[DataFrame] =
+    readMeta(spark, root, "hamming").map { meta =>
+      Similarity.hammingTopKFromIndex(
+        spark.read.parquet(indexPath(root)), queries,
+        meta.get("dim").asInt(), idCol, vecCol, k)
+    }
 }

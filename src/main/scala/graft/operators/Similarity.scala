@@ -801,17 +801,37 @@ object Similarity {
       k: Int = 5
   ): DataFrame = {
     require(dim <= 64, "hammingTopK packs into one 64-bit word")
-    def sigOf(df: DataFrame, idAs: String, sigAs: String) =
-      df.select(col(idCol).as(idAs),
-        aggregate(
-          zip_with(
-            asDouble(col(vecCol)),
-            sequence(lit(0L), lit(dim - 1L)),
-            (x, i) => when(x > 0.0,
-              call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-          lit(0L), (acc, b) => acc.bitwiseOR(b)).as(sigAs))
-    val cSig = sigOf(corpus, "id2", "sig2")
-    val qSig = sigOf(queries, "id1", "sig1")
+    val cSig = hammingSig(corpus, idCol, vecCol, dim, "id2", "sig2")
+    val qSig = hammingSig(queries, idCol, vecCol, dim, "id1", "sig1")
+    hammingScoreTail(qSig, cSig, k)
+  }
+
+  /** The sign-binarized signature projection [[hammingTopK]] builds on —
+    * also the BUILD/APPEND step of the persisted Hamming index (e27):
+    * signatures depend only on the vector itself, so an appended batch's
+    * rows equal what a from-scratch rebuild would produce, row for row. */
+  private[graft] def hammingSig(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      idAs: String,
+      sigAs: String
+  ): DataFrame =
+    df.select(col(idCol).as(idAs),
+      aggregate(
+        zip_with(
+          asDouble(col(vecCol)),
+          sequence(lit(0L), lit(dim - 1L)),
+          (x, i) => when(x > 0.0,
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)).as(sigAs))
+
+  private def hammingScoreTail(
+      qSig: DataFrame,
+      cSig: DataFrame,
+      k: Int
+  ): DataFrame = {
     val w = Window.partitionBy("id1")
       .orderBy(col("hamming").asc, col("id2").asc)
     broadcast(qSig)
@@ -822,6 +842,22 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("id1", "id2", "hamming", "rank")
   }
+
+  /** Serve Hamming top-k from a PERSISTED signature table (`id2`,
+    * `sig2`) — the 8-bytes-a-vector at-rest index [[hammingTopK]]
+    * describes, actually materialized: queries binarize on the fly and
+    * broadcast over the signature scan; the corpus' full-precision
+    * vectors are never read. */
+  def hammingTopKFromIndex(
+      sigs: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5
+  ): DataFrame =
+    hammingScoreTail(
+      hammingSig(queries, idCol, vecCol, dim, "id1", "sig1"), sigs, k)
 
   /** Product-quantization ANN with asymmetric-distance scoring (Jégou
     * et al. 2011): the vector space is split into `m` subspaces, each
@@ -900,6 +936,44 @@ object Similarity {
       .select(col("vec_id").as("id2"), col("emb").as("__emb2"),
         col("__enc")("codes").as("codes2"),
         col("__enc")("recon").as("recon2"))
+  }
+
+  /** ADC serving from a CODES-ONLY persisted PQ index (`id2`,
+    * `codes2`) — the compressed at-rest form ([[pqEncode]]'s codes
+    * without the reconstruction: `m` longs a vector, the thing a 100 TB
+    * deployment actually keeps hot). Reconstruction happens inside the
+    * scan via the native decode kernel against the STORED codebooks
+    * (the same flattened-array reference objects the encoder rides), so
+    * the serve-time plan is broadcast-queries over a codes scan — the
+    * [[pqTopK]] tail exactly, and distance-identical to it because
+    * decode(encode(v)) IS the reconstruction pqTopK scored against. */
+  def pqTopKFromIndex(
+      encoded: DataFrame,
+      pivots: Array[(Long, Seq[Double], Double)],
+      queries: DataFrame,
+      dim: Int,
+      m: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5
+  ): DataFrame = {
+    val cells = pivots.map(_._1)
+    val cents = pivots.flatMap(_._2).toArray
+    import org.apache.spark.sql.GraftSqlBridge
+    val recon = GraftSqlBridge.column(graft.functions.PqDecodeExpr(
+      GraftSqlBridge.expression(col("codes2")), cents, cells, dim, m))
+    val q = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("adist").asc, col("id2").asc)
+    import graft.functions.VectorFunctions.l2Sq
+    broadcast(q)
+      .join(encoded.select(col("id2"), recon.as("recon2")),
+        col("id1") =!= col("id2"))
+      .withColumn("adist", l2Sq(col("emb1"), col("recon2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "adist", "rank")
   }
 
   /** IVF-narrowed PQ serving — the production ANN composition: a

@@ -90,4 +90,85 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.appendIvf(spark, root, corpus.limit(1))
     }
   }
+
+  test("PQ: codes-only at-rest index; appends encode only the batch " +
+      "against the STORED codebooks; untrusted refuses to serve") {
+    val corpus = vecs(0 until 60)
+    val root = TestSpark.tempDir("annpq") + "/pq"
+    AnnIndex.buildPq(spark, root, corpus.filter(col("vec_id") < 40),
+      dim, m = 4, nCents = 4)
+    val pivotsBefore = spark.read.parquet(s"$root/pivots")
+      .orderBy("cell").collect().toSeq
+    assert(spark.read.parquet(s"$root/index").columns.sorted.toSeq ==
+      Seq("codes2", "id2"),
+      "the at-rest index must hold codes only, no reconstructions")
+    AnnIndex.appendPq(spark, root, corpus.filter(col("vec_id") >= 40))
+    // codebooks untouched (fixed between retrains), index grew by batch
+    assert(spark.read.parquet(s"$root/pivots")
+      .orderBy("cell").collect().toSeq == pivotsBefore)
+    assert(spark.read.parquet(s"$root/index").count() == 60)
+    assert(AnnIndex.trusted(spark, root))
+    // served == one-shot encode of the union against the same stored
+    // codebooks (the append==rebuild contract, codebooks held fixed)
+    val queries = vecs(0 until 3)
+    val served = AnnIndex.servePq(spark, root, queries, k = 3).get
+      .select("id1", "id2", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val parr = pivotsBefore
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toArray
+    val oneShot = Similarity.pqTopKFromIndex(
+        Similarity.pqEncode(
+          Similarity.prep(corpus, "vec_id", "embedding"), parr, dim, 4)
+          .select("id2", "codes2"),
+        parr, queries, dim, 4, k = 3)
+      .select("id1", "id2", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == oneShot)
+    // decode(encode(v)) == the reconstruction the encoder materializes:
+    // serving from codes loses nothing vs carrying recon at rest
+    val enc = Similarity.pqEncode(
+      Similarity.prep(corpus, "vec_id", "embedding"), parr, dim, 4)
+    import org.apache.spark.sql.GraftSqlBridge
+    val decoded = enc.withColumn("dec",
+        GraftSqlBridge.column(graft.functions.PqDecodeExpr(
+          GraftSqlBridge.expression(col("codes2")),
+          parr.flatMap(_._2).toArray, parr.map(_._1), dim, 4)))
+      .filter(col("dec") =!= col("recon2")).count()
+    assert(decoded == 0L)
+    AnnIndex.distrust(spark, root)
+    assert(AnnIndex.servePq(spark, root, queries).isEmpty)
+    assertThrows[IllegalStateException] {
+      AnnIndex.appendPq(spark, root, corpus.limit(1))
+    }
+  }
+
+  test("Hamming: persisted signature table serves exactly the direct " +
+      "operator's answer (no trained parameters); trust discipline") {
+    val corpus = vecs(0 until 60)
+    val root = TestSpark.tempDir("annhm") + "/ham"
+    AnnIndex.buildHamming(spark, root,
+      corpus.filter(col("vec_id") < 20), dim)
+    AnnIndex.appendHamming(spark, root,
+      corpus.filter(col("vec_id") >= 20 && col("vec_id") < 40))
+    AnnIndex.appendHamming(spark, root,
+      corpus.filter(col("vec_id") >= 40))
+    assert(spark.read.parquet(s"$root/index").columns.sorted.toSeq ==
+      Seq("id2", "sig2"), "8 bytes a vector: id + one packed word")
+    val queries = vecs(0 until 3)
+    val served = AnnIndex.serveHamming(spark, root, queries, k = 3).get
+      .select("id1", "id2", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val direct = Similarity.hammingTopK(corpus, queries, dim = dim, k = 3)
+      .select("id1", "id2", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(served == direct)
+    // kind mismatch: a Hamming root cannot serve PQ
+    assert(AnnIndex.servePq(spark, root, queries).isEmpty)
+    AnnIndex.distrust(spark, root)
+    assert(AnnIndex.serveHamming(spark, root, queries).isEmpty)
+    assertThrows[IllegalStateException] {
+      AnnIndex.appendHamming(spark, root, corpus.limit(1))
+    }
+  }
 }
