@@ -869,6 +869,53 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // COUNT-BASED RETENTION under the oracle (r7 Next #8): keep the
+    // newest N snapshots, expire the rest — except tagged releases,
+    // which retention can NEVER expire, and the newest, which always
+    // survives. The dryRun pass must report without deleting; the
+    // destructive pass must expire exactly the untagged middle
+    // snapshot; the tagged release and the kept boundary must still
+    // read back bit-for-bit afterwards
+    "q124_vacuum_keep_last" -> ((s, d) => {
+      val root = scratch(s, "q124", d)
+      val tf = TimeFly(s, root).init("retention")
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def slice(p: org.apache.spark.sql.Column) =
+        ord(s, d).filter(p).select(cols.map(col): _*)
+      tf.writer(WriteMode.Overwrite).write(slice(col("o_custkey") < 100))
+      val s1 = tf.addSnapshot()
+      tf.tag("v1_release", s1)
+      Thread.sleep(1100) // snapshot ids have second resolution
+      tf.writer(WriteMode.Overwrite)
+        .write(slice(col("o_custkey").between(700, 720)))
+      val s2 = tf.addSnapshot()
+      Thread.sleep(1100)
+      tf.writer(WriteMode.Overwrite)
+        .write(slice(col("o_custkey") >= 1400))
+      val s3 = tf.addSnapshot()
+      // dryRun: report s2 as prey, touch nothing
+      val dry = tf.vacuumKeepLast(1, dryRun = true)
+      assert(dry.expired == Seq(s2),
+        s"dryRun must report exactly the untagged $s2: ${dry.expired}")
+      assert(tf.availableSnapshots().toSet == Set(s1, s2, s3),
+        "dryRun must not delete")
+      val st = tf.vacuumKeepLast(1)
+      assert(st.expired == Seq(s2),
+        s"keepLast(1) must expire exactly the untagged $s2: ${st.expired}")
+      assert(tf.availableSnapshots().toSet == Set(s1, s3),
+        "tagged + newest must survive count-based retention")
+      tf.readTag("v1_release")
+        .select(lit("tag").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(tf.read(Some(s3))
+          .select(lit("kept").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .unionByName(tf.read(None)
+          .select(lit("current").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // WRITABLE BRANCHES (Iceberg/Nessie-style refs): creation records a
     // base-file manifest and an empty local dir — zero copy; branch
     // writes are invisible to main; fast-forward publishes by MOVING
@@ -3957,6 +4004,53 @@ object SparkEntry {
         .orderBy("commit_version", "o_orderkey")
         .select("commit_version", "o_orderkey", "o_custkey",
           "o_totalprice")
+    }),
+
+    // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
+    // with the keyed upsert — a CDC feed is exactly where bad rows
+    // arrive, and they must quarantine for triage, not corrupt the
+    // merge or reject the whole batch. Screened rows (key % 7 == 0,
+    // hitting both the update band and the inserts) land at the
+    // quarantine path with their rule names; accepted rows take the
+    // normal copy-on-write merge. The asserts keep the 100 TB bounds:
+    // strict-subset file touch, a non-empty quarantine on BOTH flanks
+    // (a rejected UPDATE's key must keep its original row — the
+    // oracle proves it does)
+    "q123_upsert_screened" -> ((s, d) => {
+      val root = scratch(s, "q123", d)
+      val quar = scratch(s, "q123quar", d)
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val per = math.max(src.count() / 8L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("o_orderkey"))
+      val Array(lo, hi0) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      val updates = src.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", lit(-1.0))
+      val inserts = src.filter(col("o_orderkey").between(lo, hi))
+        .select((col("o_orderkey") + lit(hi0) + lit(1L))
+            .as("o_orderkey"),
+          col("o_custkey"), lit(0.5).as("o_totalprice"))
+      val batch = updates.unionByName(inserts)
+      val st = RowOps.upsertScreened(s, root, batch, Seq("o_orderkey"),
+        Seq(Expectations.Rule("key_mod", "o_orderkey % 7 <> 0")), quar)
+      assert(st.filesTouched > 0 && st.filesTouched < st.filesTotal,
+        s"screened upsert must rewrite a strict subset of files: $st")
+      val quarRows = s.read.parquet(quar)
+      assert(quarRows.filter(col("o_orderkey") <= lit(hi)).count() > 0 &&
+        quarRows.filter(col("o_orderkey") > lit(hi0)).count() > 0,
+        "the fixture must quarantine updates AND inserts")
+      s.read.parquet(root)
+        .select(lit("lake").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("").as("violated"))
+        .unionByName(quarRows.select(lit("quarantine").as("side"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("violated")))
+        .orderBy("side", "o_orderkey")
     }),
 
     // COMMIT-LOG RETENTION: expire the prefix behind a checkpoint —
@@ -7815,6 +7909,36 @@ object SparkEntry {
     "q85_upsert" -> mergeOracle,
     "q88_stream_upsert" -> mergeOracle,
 
+    // the screened merge: batch rows with key % 7 == 0 quarantine
+    // (rule 'key_mod'); the lake is mergeOracle's final state
+    // restricted to ACCEPTED batch rows — a quarantined update's key
+    // keeps its ORIGINAL row, a quarantined insert's key never lands
+    "q123_upsert_screened" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM src),
+        |upd AS (SELECT o_orderkey, o_custkey,
+        |    CAST(-1.0 AS DOUBLE) AS o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
+        |ins AS (SELECT o_orderkey + hi0 + 1 AS o_orderkey, o_custkey,
+        |    CAST(0.5 AS DOUBLE) AS o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |acc AS (SELECT * FROM batch WHERE o_orderkey % 7 <> 0),
+        |quar AS (SELECT * FROM batch WHERE o_orderkey % 7 = 0),
+        |fin AS (
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice FROM src s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM acc)
+        |  UNION ALL SELECT * FROM acc)
+        |SELECT 'lake' AS side, o_orderkey, o_custkey, o_totalprice,
+        |  '' AS violated FROM fin
+        |UNION ALL
+        |SELECT 'quarantine', o_orderkey, o_custkey, o_totalprice,
+        |  'key_mod' FROM quar
+        |ORDER BY side, o_orderkey""".stripMargin,
+
 
 
     "q86_row_delete" ->
@@ -7939,6 +8063,19 @@ object SparkEntry {
     "q97_snapshot_tags" ->
       """SELECT 'tag' AS side, o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey < 100
+        |UNION ALL
+        |SELECT 'current', o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey >= 1400
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // tag = s1 (o_custkey < 100); kept boundary s3 and current are the
+    // same state (o_custkey >= 1400); the expired s2 never appears
+    "q124_vacuum_keep_last" ->
+      """SELECT 'tag' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey < 100
+        |UNION ALL
+        |SELECT 'kept', o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey >= 1400
         |UNION ALL
         |SELECT 'current', o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey >= 1400

@@ -635,4 +635,65 @@ object RowOps {
     }
     Stats(all.size, touched.size)
   }
+
+  /** Quarantine a screened batch's rejects and return the accepted
+    * side — the shared front half of the screened mutations below.
+    * One row-local projection splits the batch ([[Expectations.screen]]
+    * — no shuffle, no per-rule pass); rejects append to
+    * `quarantinePath` carrying the violated rule names. */
+  private def quarantine(
+      batch: DataFrame,
+      rules: Seq[Expectations.Rule],
+      quarantinePath: String
+  ): DataFrame = {
+    val (accepted, quarantined) = Expectations.screen(batch, rules)
+    val q = quarantined
+      .withColumn("violated", concat_ws(",", col("violated")))
+    if (!q.isEmpty)
+      q.write.mode("append").option("compression", "zstd")
+        .parquet(quarantinePath)
+    accepted
+  }
+
+  /** Expectations-gated keyed MERGE — the CDC composition write-time
+    * rules were missing: a change feed is exactly where malformed rows
+    * arrive, and they must quarantine for triage, not corrupt the merge
+    * or fatally reject the whole batch. Accepted rows take the normal
+    * copy-on-write [[upsert]] (every file-touch bound intact — a
+    * quarantined row's key is never matched, so its file is never
+    * rewritten); rejects land at `quarantinePath` with the names of the
+    * rules they violated. */
+  def upsertScreened(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      rules: Seq[Expectations.Rule],
+      quarantinePath: String,
+      cdfVersion: Option[Long] = None
+  ): Stats = {
+    val accepted = quarantine(batch, rules, quarantinePath)
+    if (accepted.isEmpty)
+      Stats(SchemaTools.listDataFiles(spark, path).size, 0)
+    else upsert(spark, path, accepted, keys, cdfVersion)
+  }
+
+  /** The SCD2 sibling: screened dimension feed — accepted rows version
+    * through [[scd2Merge]], rejects quarantine. A quarantined update
+    * leaves its key's current row OPEN (untouched), which is the
+    * correct dimensional answer: the change was never accepted. */
+  def scd2MergeScreened(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      version: Long,
+      rules: Seq[Expectations.Rule],
+      quarantinePath: String
+  ): Stats = {
+    val accepted = quarantine(batch, rules, quarantinePath)
+    if (accepted.isEmpty)
+      Stats(SchemaTools.listDataFiles(spark, path).size, 0)
+    else scd2Merge(spark, path, accepted, keys, version)
+  }
 }

@@ -245,6 +245,51 @@ class RowOpsSpec extends AnyFunSuite {
       (-5L, 2L, None, true)))
   }
 
+  test("scd2MergeScreened: a violating update quarantines with its " +
+      "rule name and its key's current row stays OPEN; accepted rows " +
+      "version normally; untouched files byte-identical") {
+    val dir = TestSpark.tempDir("rowops_scds") + "/ds"
+    val quar = TestSpark.tempDir("rowops_scds") + "/quar"
+    seedScd(dir)
+    val before = dataFiles(dir)
+    // 10 violates (v < 0), 11 is accepted, 200 is an accepted insert,
+    // 201 a violating insert
+    val batch = Seq((10L, -1L), (11L, 999L), (200L, 5L), (201L, -9L))
+      .toDF("id", "v")
+    val st = RowOps.scd2MergeScreened(spark, dir, batch, Seq("id"), 1L,
+      Seq(Expectations.Rule("v_nonneg", "v >= 0")), quar)
+    assert(st.filesTouched == 1, s"only key 11's band changes: $st")
+    val after = dataFiles(dir)
+    before.filter { case (n, _) => after.contains(n) }.foreach {
+      case (n, h) => assert(after(n) == h, s"untouched $n rewritten")
+    }
+    val rows = spark.read.parquet(dir)
+      .filter(col("id").isin(10L, 11L, 200L, 201L))
+      .select("id", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)]
+      .collect().toSet
+    // key 10's change was rejected: its v0 row stays open untouched;
+    // key 201 never lands
+    assert(rows == Set(
+      (10L, 100L, 0L, None, true),
+      (11L, 110L, 0L, Some(1L), false), (11L, 999L, 1L, None, true),
+      (200L, 5L, 1L, None, true)))
+    val quarRows = spark.read.parquet(quar)
+      .select("id", "v", "violated")
+      .as[(Long, Long, String)].collect().toSet
+    assert(quarRows == Set((10L, -1L, "v_nonneg"), (201L, -9L, "v_nonneg")))
+    // an all-rejected batch is a complete no-op on the dataset
+    val st2 = RowOps.upsertScreened(spark, dir,
+      Seq((11L, -7L)).toDF("id", "v")
+        .select(col("id"), col("v"), lit(0L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current")),
+      Seq("id"), Seq(Expectations.Rule("v_nonneg", "v >= 0")), quar)
+    assert(st2.filesTouched == 0)
+    val after2 = dataFiles(dir)
+    after.foreach { case (n, h) => assert(after2(n) == h) }
+  }
+
   test("scd2Merge: a batch of only no-ops and inserts rewrites nothing") {
     val dir = TestSpark.tempDir("rowops_scd_noop") + "/ds"
     seedScd(dir)
