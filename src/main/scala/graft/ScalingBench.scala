@@ -130,7 +130,9 @@ object ScalingBench {
       "e21_filtered_ann", "e22_maxsim", "m08_zip_meta",
       "q101_stream_sessions", "d47_contam_matrix", "d48_bpe_encode",
       "e23_pooled_centroids", "e24_silhouette", "q110_stream_mv",
-      "q111_mor_delete", "q112_dedup_in_place")
+      "q111_mor_delete", "q112_dedup_in_place",
+      "e26_pq_serve", "e27_hamming_serve", "q123_upsert_screened",
+      "q121_commitlog_reader_surface", "q106_partitions_table")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume

@@ -4006,6 +4006,132 @@ object SparkEntry {
           "o_totalprice")
     }),
 
+    // OPTIMIZE AS A TRANSACTION (Delta OPTIMIZE / Iceberg
+    // RewriteFiles): small-file compaction on the MULTI-WRITER flavor,
+    // committed as a REWRITE that swaps compacted inputs for packed
+    // outputs — row-preserving, tombstone-transparent (standing MOR
+    // deletes keep subtracting from the packed files), time travel
+    // still serves the pre-rewrite layout, appends keep landing after,
+    // incremental consumers skip the rewrite (no new rows), and
+    // re-spanning the packed layout restores file skipping. Every
+    // claim asserted in-query
+    "q125_commitlog_optimize" -> ((s, d) => {
+      val root = scratch(s, "q125", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 8
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      log.append(band(lo, lo + 3 * e).repartition(3)) // v1
+      log.append(band(lo + 3 * e + 1, lo + 5 * e).repartition(2)) // v2
+      val doomed = band(lo, lo + e / 2)
+      val nDoomed = doomed.count()
+      log.deleteKeysMor(doomed.select("o_orderkey"),
+        Seq("o_orderkey")) // v3
+      val vPre = log.latestVersion()
+      val filesBefore = log.liveFiles(None).size
+      val vOpt = log.optimize(targetFiles = 2).get // v4: the rewrite
+      assert(vOpt == vPre + 1 && log.liveFiles(None).size == 2 &&
+        filesBefore > 2,
+        s"optimize must pack $filesBefore live files into 2")
+      // row-preserving THROUGH the standing tombstones, and the
+      // pre-rewrite layout still time-travels (only the first five
+      // eighths are appended at this point)
+      val liveN = band(lo, lo + 5 * e).count() - nDoomed
+      assert(log.read(None).count() == liveN,
+        "tombstones must keep subtracting from the packed files")
+      assert(log.read(Some(vPre)).count() == liveN &&
+        log.resolve(Some(vPre)).data.toSet !=
+          log.resolve(None).data.toSet,
+        "time travel must serve the pre-rewrite file layout")
+      log.append(band(lo + 5 * e + 1, hi).repartition(2)) // v5
+      // incremental consumption across the rewrite: only v5's rows
+      // (the rewrite added none)
+      assert(log.readSince(vPre).count() ==
+        band(lo + 5 * e + 1, hi).count(),
+        "a rewrite inside the increment must deliver zero rows")
+      // the packed layout re-spans: pruning serves a strict subset
+      log.buildStats()
+      val pred = s"o_orderkey >= ${lo + 6 * e} and o_orderkey <= $hi"
+      val cand = log.candidateDataFiles(pred)
+      assert(cand.isDefined && cand.get.nonEmpty &&
+        cand.get.size < log.liveFiles(None).size,
+        s"post-optimize spans must prune: ${cand.map(_.size)}")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped(log.read(None), "live")
+        .unionByName(shaped(log.read(Some(vPre)), "pre"))
+        .unionByName(shaped(log.readSince(vPre), "inc"))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // IDEMPOTENT STREAMING INGESTION into the commit log (the Delta
+    // txnAppId/txnVersion contract): foreachBatch retries and replayed
+    // deliveries are at-least-once; appendOnce records (app, batch) in
+    // the commit and skips a batch at or below the app's high-water
+    // mark, so the multi-writer table ingests exactly once. The replay
+    // here is total — a FRESH checkpoint redelivers every batch — and
+    // the mark must survive log truncation (checkpointed txns)
+    "q126_commitlog_txn" -> ((s, d) => {
+      val root = scratch(s, "q126", d)
+      val srcDir = scratch(s, "q126src", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 3
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      band(lo, lo + e).write.parquet(s"$srcDir/b1")
+      band(lo + e + 1, lo + 2 * e).write.parquet(s"$srcDir/b2")
+      band(lo + 2 * e + 1, hi).write.parquet(s"$srcDir/b3")
+      val sch = s.read.parquet(s"$srcDir/b1").schema
+      def runStream(ckpt: String): Unit = {
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$srcDir/b*")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            log.appendOnce(batch, "ingest", id)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runStream(s"$root/_ckpt1")
+      assert(log.latestVersion() == 3L && log.read(None).count() ==
+        src.count(),
+        "three micro-batches must land as three commits")
+      // TOTAL REPLAY: a fresh checkpoint redelivers batch ids 0..2;
+      // the high-water mark skips every one
+      runStream(s"$root/_ckpt2")
+      assert(log.latestVersion() == 3L,
+        "a replayed delivery must land nothing")
+      assert(log.appendOnce(band(lo, lo + e), "ingest", 1L).isEmpty,
+        "an at-or-below-mark batch must be skipped outright")
+      // the mark survives log truncation: checkpoint folds txns
+      log.checkpoint(3L)
+      log.expireBefore(3L)
+      assert(log.appendOnce(band(lo, lo + e), "ingest", 2L).isEmpty,
+        "the high-water mark must survive checkpoint truncation")
+      // a DIFFERENT app is independent: its batch 0 lands
+      assert(log.appendOnce(
+        band(lo, lo + e), "backfill", 0L).isDefined,
+        "another app's marks must not block this one")
+      log.read(None)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey", "o_totalprice")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -7908,6 +8034,44 @@ object SparkEntry {
     // replayed batch — upsert idempotence means one oracle serves both
     "q85_upsert" -> mergeOracle,
     "q88_stream_upsert" -> mergeOracle,
+
+    // live = everything minus the MOR-deleted low band; pre (the
+    // pre-rewrite version) = the first five eighths minus the same
+    // deletes; inc = the post-rewrite append band only
+    "q125_commitlog_optimize" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 8 AS e FROM src),
+        |del AS (SELECT o_orderkey FROM src, b
+        |  WHERE o_orderkey BETWEEN lo AND lo + e // 2),
+        |live AS (SELECT s.* FROM src s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM del)),
+        |pre AS (SELECT s.* FROM src s, b
+        |  WHERE s.o_orderkey <= lo + 5 * e
+        |    AND s.o_orderkey NOT IN (SELECT o_orderkey FROM del)),
+        |inc AS (SELECT s.* FROM src s, b
+        |  WHERE s.o_orderkey > lo + 5 * e)
+        |SELECT 'live' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM live
+        |UNION ALL
+        |SELECT 'pre', o_orderkey, o_custkey, o_totalprice FROM pre
+        |UNION ALL
+        |SELECT 'inc', o_orderkey, o_custkey, o_totalprice FROM inc
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // the three streamed thirds land once each despite the total
+    // replay; the independent 'backfill' app re-lands the first third
+    "q126_commitlog_txn" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 3 AS e FROM src)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM src
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |FROM src s, b WHERE s.o_orderkey BETWEEN lo AND lo + e
+        |ORDER BY o_orderkey, o_totalprice""".stripMargin,
 
     // the screened merge: batch rows with key % 7 == 0 quarantine
     // (rule 'key_mod'); the lake is mergeOracle's final state

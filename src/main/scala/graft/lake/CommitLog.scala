@@ -90,7 +90,8 @@ final class CommitLog(spark: SparkSession, root: String) {
   def latestVersion(): Long = existingVersions().foldLeft(0L)(math.max)
 
   final case class Commit(version: Long, kind: String,
-      files: Seq[String])
+      files: Seq[String], removed: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None)
 
   /** The fully-resolved state at a version: live DATA files and live
     * TOMBSTONE files (merge-on-read delete keys committed through the
@@ -113,7 +114,15 @@ final class CommitLog(spark: SparkSession, root: String) {
       val node = mapper.readTree(txt).asInstanceOf[ObjectNode]
       val buf = scala.collection.mutable.ArrayBuffer[String]()
       node.withArray("files").forEach(n => buf += n.asText())
-      Commit(v, node.path("kind").asText(), buf.toSeq)
+      val rm = scala.collection.mutable.ArrayBuffer[String]()
+      if (node.has("removed"))
+        node.withArray("removed").forEach(n => rm += n.asText())
+      val txn =
+        if (node.has("txn"))
+          Some((node.path("txn").path("app").asText(),
+            node.path("txn").path("batch").asLong()))
+        else None
+      Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn)
     }
   }
 
@@ -150,9 +159,22 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (lastReplace >= 0)
         (Seq.empty[String], Seq.empty[String], commits.drop(lastReplace))
       else (baseData, baseTs, commits)
-    Resolved(
-      data0 ++ tail.filter(_.kind != "delete").flatMap(_.files),
-      ts0 ++ tail.filter(_.kind == "delete").flatMap(_.files))
+    // ordered fold: appends/replace-start accumulate, deletes add
+    // tombstones, a REWRITE swaps its compacted inputs for its packed
+    // outputs in place (row-preserving — resolution order matters only
+    // relative to the files it names, which later commits never touch)
+    var data = data0.toVector
+    var ts = ts0.toVector
+    tail.foreach { c =>
+      c.kind match {
+        case "delete" => ts = ts ++ c.files
+        case "rewrite" =>
+          val rm = c.removed.toSet
+          data = data.filterNot(rm) ++ c.files
+        case _ => data = data ++ c.files
+      }
+    }
+    Resolved(data, ts)
   }
 
   /** Read the committed state (optionally as of an old version — the
@@ -286,12 +308,15 @@ final class CommitLog(spark: SparkSession, root: String) {
     val cs = (sinceVersion + 1 to hi).map(commit)
     // replaces re-home existing rows; deletes change visibility of
     // rows OUTSIDE the increment — either way "the rows committed in
-    // the range" stops being well-defined as a pure append stream
+    // the range" stops being well-defined as a pure append stream.
+    // REWRITES are fine: they add no rows (their packed outputs carry
+    // exactly the compacted inputs' rows, and those inputs stay on
+    // disk for the increment's own read) — skip them, deliver nothing
     val breaking = cs.filter(c => c.kind == "replace" || c.kind == "delete")
     require(breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the increment — re-baseline on the mutated state")
-    val files = cs.flatMap(_.files)
+    val files = cs.filter(_.kind != "rewrite").flatMap(_.files)
     if (files.isEmpty) read(None).limit(0)
     else spark.read.parquet(
       files.map(f => new Path(dataDir, f).toString): _*)
@@ -374,12 +399,22 @@ final class CommitLog(spark: SparkSession, root: String) {
     names
   }
 
-  private def tryCas(v: Long, kind: String, names: Seq[String])
-      : Boolean = {
+  private def tryCas(v: Long, kind: String, names: Seq[String],
+      removed: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
     val arr = node.putArray("files")
     names.foreach(arr.add)
+    if (removed.nonEmpty) {
+      val rarr = node.putArray("removed")
+      removed.foreach(rarr.add)
+    }
+    txn.foreach { case (app, batch) =>
+      val t = node.putObject("txn")
+      t.put("app", app)
+      t.put("batch", batch)
+    }
     val vf = versionFile(v)
     // Commit visibility is ATOMIC: the full payload lands in a temp
     // file first, then links/renames into the version slot in one
@@ -474,6 +509,103 @@ final class CommitLog(spark: SparkSession, root: String) {
     v
   }
 
+  /** OPTIMIZE — compaction as a TRANSACTION (Delta OPTIMIZE / Iceberg
+    * RewriteFiles): pack the live data files into `targetFiles` outputs
+    * and commit a REWRITE that swaps inputs for outputs in the resolved
+    * state. Row-preserving by construction: the packed outputs are read
+    * straight from the inputs with NO tombstone subtraction (standing
+    * MOR tombstones are key-based, so they keep subtracting from the
+    * packed files exactly as they did from the originals), and old
+    * files stay on disk for time travel until retention reclaims them.
+    *
+    * Concurrency is the Iceberg rewrite validation, not the replace
+    * CAS: an interleaved APPEND does not conflict (it touches none of
+    * the compacted files — the CAS just retries at the next version),
+    * but if the compacted inputs are no longer all live at commit time
+    * (an interleaved replace reset the state, or a competing rewrite
+    * took some of them), the rewrite has lost the race and CONFLICTS —
+    * committing would resurrect files another commit removed.
+    *
+    * The `_stats` manifest is invalidated (its rows describe files the
+    * live set no longer holds); [[buildStats]] re-indexes — the packed
+    * layout is exactly when re-spanning pays. Returns the rewrite's
+    * version, or None when the live set already fits `targetFiles`
+    * (never burn a commit on a no-op). */
+  def optimize(targetFiles: Int = 1): Option[Long] = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val inputs = resolve(None).data
+    if (inputs.size <= targetFiles) return None
+    val packed = spark.read.parquet(inputs.map(dataPath): _*)
+      .repartition(targetFiles)
+    val names = stage(packed)
+    val inputSet = inputs.toSet
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      val liveNow = resolve(None).data.toSet
+      if (!inputSet.subsetOf(liveNow))
+        throw new java.util.ConcurrentModificationException(
+          "optimize planned on files a concurrent replace/rewrite " +
+            "removed — re-plan on fresh state")
+      done = tryCas(v, "rewrite", names, removed = inputs)
+      if (!done) v = latestVersion() + 1
+    }
+    FileStats.invalidate(spark, root)
+    notifyCommit()
+    Some(v)
+  }
+
+  /** Highest batch id committed for `appId`, scanning the newest
+    * checkpoint's folded `txns` plus the commits after it — the Delta
+    * SetTransaction lookup that makes [[appendOnce]] idempotent across
+    * log truncation. */
+  def lastTxn(appId: String): Option[Long] = {
+    val hi = latestVersion()
+    val (base, from) = newestCheckpoint(hi) match {
+      case Some(cv) =>
+        val node = mapper
+          .readTree(TimeFly.readText(fs, checkpointFile(cv)))
+          .asInstanceOf[ObjectNode]
+        val b =
+          if (node.has("txns") && node.path("txns").has(appId))
+            Some(node.path("txns").path(appId).asLong())
+          else None
+        (b, cv + 1)
+      case None => (Option.empty[Long], 1L)
+    }
+    val later: Seq[Long] = (from to hi)
+      .flatMap(v => commit(v).txn)
+      .collect { case (a, b) if a == appId => b }
+    val all: Seq[Long] = later ++ base.toSeq
+    if (all.isEmpty) None else Some(all.max)
+  }
+
+  /** IDEMPOTENT append — the Delta `txnAppId`/`txnVersion` contract
+    * that turns at-least-once delivery (foreachBatch retries, replayed
+    * micro-batches, a restarted writer) into exactly-once ingestion:
+    * the commit records `(appId, batchId)`, and a batch at or below
+    * the app's high-water mark is SKIPPED (returns None) instead of
+    * landing twice. Safe under races: if two writers carry the same
+    * (appId, batchId), the CAS lets one win; the loser re-checks the
+    * log inside its retry loop, sees the mark, and skips. Batch ids
+    * must be monotonically increasing per app (the foreachBatch
+    * contract). */
+  def appendOnce(df: DataFrame, appId: String, batchId: Long)
+      : Option[Long] = {
+    if (lastTxn(appId).exists(_ >= batchId)) return None
+    val names = stage(df)
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      if (lastTxn(appId).exists(_ >= batchId)) return None
+      done = tryCas(v, "append", names, txn = Some((appId, batchId)))
+      if (!done) v = latestVersion() + 1
+    }
+    maintainStats(names)
+    notifyCommit()
+    Some(v)
+  }
+
   /** Rename a column WITHOUT rewriting data — the commit-log surface
     * for [[SchemaTools.renameColumn]] column mapping. The `_schema.json`
     * marker lives at the log root; [[read]] applies it. */
@@ -516,6 +648,28 @@ final class CommitLog(spark: SparkSession, root: String) {
     r.data.foreach(arr.add)
     val tarr = node.putArray("tombstones")
     r.tombstones.foreach(tarr.add)
+    // fold per-app txn high-water marks (Delta keeps SetTransaction
+    // actions alive in checkpoints for the same reason: idempotence
+    // must survive log truncation)
+    val marks = scala.collection.mutable.Map[String, Long]()
+    val prevFrom = newestCheckpoint(v) match {
+      case Some(cv) if cv < v =>
+        val p = mapper
+          .readTree(TimeFly.readText(fs, checkpointFile(cv)))
+          .asInstanceOf[ObjectNode]
+        if (p.has("txns"))
+          p.path("txns").fields().forEachRemaining(e =>
+            marks(e.getKey) = e.getValue.asLong())
+        cv + 1
+      case _ => 1L
+    }
+    (prevFrom to v).flatMap(commit(_).txn).foreach { case (a, b) =>
+      marks(a) = math.max(marks.getOrElse(a, Long.MinValue), b)
+    }
+    if (marks.nonEmpty) {
+      val tn = node.putObject("txns")
+      marks.foreach { case (a, b) => tn.put(a, b) }
+    }
     // same temp-then-rename visibility as commits: a reader sees the
     // whole checkpoint or none (none only costs a full log replay)
     val tmp = new Path(commitsDir,

@@ -170,6 +170,82 @@ class CommitLogSpec extends AnyFunSuite {
     assert(log.read().count() == 28)
   }
 
+  test("optimize races concurrent appends without losing rows; " +
+      "a post-replace optimize packs only the fresh live set") {
+    val log = CommitLog(spark, TestSpark.tempDir("clog9")).init()
+    log.append(Seq.tabulate(10)(j => (j, "seed")).toDF("id", "w"))
+    // 4 appenders race an optimizer that packs in a loop: appends must
+    // never conflict with the rewrite CAS (only retry), and no
+    // interleaving may lose or duplicate a row
+    val appenders = (1 to 4).map { i =>
+      new Thread(() => {
+        val df = Seq.tabulate(10)(j => (i * 100 + j, s"w$i"))
+          .toDF("id", "w")
+        log.append(df)
+      })
+    }
+    val optimizer = new Thread(() => {
+      var rounds = 0
+      while (rounds < 3) {
+        try { log.optimize(targetFiles = 1); rounds += 1 }
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    })
+    (appenders :+ optimizer).foreach(_.start())
+    (appenders :+ optimizer).foreach(_.join())
+    val ids = log.read().select("id").as[Int].collect().sorted.toSeq
+    val expected = ((0 until 10) ++
+      (1 to 4).flatMap(i => (0 until 10).map(i * 100 + _))).sorted
+    assert(ids == expected,
+      "no interleaving of appends and rewrites may lose or dup a row")
+    // a final optimize packs everything; a no-op repack burns nothing
+    log.optimize(targetFiles = 1)
+    assert(log.liveFiles().size == 1)
+    val v = log.latestVersion()
+    assert(log.optimize(targetFiles = 1).isEmpty &&
+      log.latestVersion() == v,
+      "an already-packed set must not burn a commit")
+    // after a replace, optimize must not resurrect pre-replace files
+    log.replace(Seq((999, "fresh")).toDF("id", "w"), v)
+    log.append(Seq((1000, "more")).toDF("id", "w"))
+    log.optimize(targetFiles = 1)
+    assert(log.read().select("id").as[Int].collect().sorted.toSeq ==
+      Seq(999, 1000),
+      "a post-replace rewrite packs the fresh live set only")
+    // checkpoint AFTER rewrites resolves identically to full replay
+    val full = log.read().collect().toSet
+    log.checkpoint(log.latestVersion())
+    assert(log.read().collect().toSet == full,
+      "checkpoint resolution must equal full-log replay across rewrites")
+  }
+
+  test("appendOnce is idempotent per (app, batch); marks fold into " +
+      "checkpoints and survive retention") {
+    val log = CommitLog(spark, TestSpark.tempDir("clog10")).init()
+    assert(log.lastTxn("ing").isEmpty)
+    assert(log.appendOnce(Seq((1, "a")).toDF("id", "v"),
+      "ing", 0L).isDefined)
+    assert(log.appendOnce(Seq((2, "b")).toDF("id", "v"),
+      "ing", 1L).isDefined)
+    assert(log.lastTxn("ing").contains(1L))
+    // replayed batch: skipped, nothing lands, no version burned
+    val v = log.latestVersion()
+    assert(log.appendOnce(Seq((9, "dup")).toDF("id", "v"),
+      "ing", 1L).isEmpty)
+    assert(log.latestVersion() == v && log.read().count() == 2)
+    // another app is independent
+    assert(log.appendOnce(Seq((3, "c")).toDF("id", "v"),
+      "other", 0L).isDefined)
+    // marks survive log truncation through the checkpoint fold
+    log.expireBefore(log.latestVersion())
+    assert(log.lastTxn("ing").contains(1L) &&
+      log.lastTxn("other").contains(0L),
+      "txn high-water marks must survive expiry")
+    assert(log.appendOnce(Seq((9, "dup")).toDF("id", "v"),
+      "ing", 1L).isEmpty)
+    assert(log.read().count() == 3)
+  }
+
   test("column mapping composes with tombstones on commit-log reads") {
     val log = CommitLog(spark, TestSpark.tempDir("clog8")).init()
     log.append(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "price"))
