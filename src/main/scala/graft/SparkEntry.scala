@@ -3353,6 +3353,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // WARC record metadata — the web-archive format crawl corpora
+    // arrive in: CRLF header block split at the first blank line,
+    // named-field extraction, and Content-Length governing the payload
+    // span so a LYING declared length (the request rows lie by 7
+    // bytes) parses but flags well_formed = false — truncation
+    // detection is the first audit any WARC ingest runs
+    "m16_warc_meta" -> ((s, d) => {
+      Multimodal.plantedWarc(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("w", Multimodal.warcMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("w.warc_type").as("warc_type"),
+          col("w.target_uri").as("target_uri"),
+          col("w.content_length").as("content_length"),
+          col("w.well_formed").as("well_formed"))
+        .orderBy("media_id")
+    }),
+
     // GZIP member metadata: header method/mtime/OS up front, but the
     // uncompressed size (ISIZE) lives in the LAST four bytes — a tail
     // read through a variable-length compressed body (the filler
@@ -7676,6 +7696,23 @@ object SparkEntry {
         |FROM e ORDER BY media_id""".stripMargin,
 
     // header and tail fields re-derived from the plant's id arithmetic
+    // response rows well-formed; request rows carry the lying length
+    // (declared = body + 7, well_formed false); raw rows all-null
+    "m16_warc_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  doc_id % 50 + 10 AS blen FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind <= 1 THEN 'application/warc'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE WHEN kind = 0 THEN 'response'
+        |  WHEN kind = 1 THEN 'request' END AS warc_type,
+        | CASE WHEN kind <= 1
+        |  THEN 'http://ex.com/p/' || media_id END AS target_uri,
+        | CAST(CASE WHEN kind = 0 THEN blen
+        |  WHEN kind = 1 THEN blen + 7 END AS BIGINT) AS content_length,
+        | CASE WHEN kind <= 1 THEN kind = 0 END AS well_formed
+        |FROM p ORDER BY media_id""".stripMargin,
+
     "m15_gzip_meta" ->
       """WITH p AS (SELECT doc_id AS media_id, doc_id % 2 AS kind,
         |  doc_id * 7 + 1600000000 AS mt, doc_id % 14 AS os,

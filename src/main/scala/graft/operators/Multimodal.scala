@@ -60,6 +60,10 @@ object Multimodal {
       // ICO/CUR have no magic string: reserved 0x0000 then type 1/2 —
       // the 4-byte prefix is distinctive enough for a sniffer
       .when(magic === "00000100" || magic === "00000200", "image/x-icon")
+      // "WARC" then "/" — the web-archive record prefix (text magic)
+      .when(magic === "57415243" &&
+        upper(hex(substring(payload, 5, 1))) === "2F",
+        "application/warc")
       .otherwise("application/octet-stream")
   }
 
@@ -343,6 +347,73 @@ object Multimodal {
       unhex(
         when(id % 2 === 0, gzHex)
           .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
+  }
+
+  /** WARC record metadata as a struct (warc_version, warc_type,
+    * target_uri, content_length, well_formed) — the web-archive format
+    * crawl corpora actually arrive in (Common Crawl ships WARC;
+    * training-data ingestion starts by splitting and auditing these
+    * records). The header block is CRLF-terminated text ending at the
+    * first blank line; named fields are extracted from it, and
+    * `Content-Length` governs the payload span, so `well_formed`
+    * re-derives the record's total byte length (header + declared
+    * content + the closing CRLF CRLF) and compares it to the actual
+    * payload — a LYING length (the truncation crawlers actually
+    * produce) parses but flags false, the PDF-startxref discipline.
+    * Null fields for non-WARC payloads. */
+  def warcMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val head = substring(payload, 1, 512).cast("string")
+    val version = regexp_extract(head, "^WARC/(1\\.[01])\r\n", 1)
+    val hdrEnd = instr(head, "\r\n\r\n")
+    val ok = version =!= "" && hdrEnd > 0
+    def field(name: String) = {
+      val v = regexp_extract(head, s"\r\n$name: ([^\r]+)\r\n", 1)
+      when(v =!= "", v)
+    }
+    val clenS = regexp_extract(head, "\r\nContent-Length: (\\d+)\r\n", 1)
+    val clen = when(clenS =!= "", clenS).cast("long")
+    struct(
+      when(ok, version).as("warc_version"),
+      when(ok, field("WARC-Type")).as("warc_type"),
+      when(ok, field("WARC-Target-URI")).as("target_uri"),
+      when(ok, clen).as("content_length"),
+      when(ok && clen.isNotNull,
+        octet_length(payload) === hdrEnd + 3L + clen + 4L)
+        .as("well_formed"))
+  }
+
+  /** Deterministic planted WARC / raw payloads (the m16 fixture): by
+    * `id % 3`, a well-formed response record (declared Content-Length
+    * equals the body), a request record whose declared length LIES by
+    * 7 bytes (well_formed must flag false while the headers still
+    * parse), or the raw text bytes. Body length varies with the id so
+    * no fixed offset can find the record tail. */
+  def plantedWarc(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    val bodyLen = pmod(id, lit(50L)) + lit(10L)
+    val declared =
+      when(pmod(id, lit(3)) === 1, bodyLen + 7L).otherwise(bodyLen)
+    val wtype =
+      when(pmod(id, lit(3)) === 1, lit("request")).otherwise(lit("response"))
+    val rec = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: "), wtype, lit("\r\n"),
+      lit("WARC-Record-ID: <urn:uuid:"), id.cast("string"), lit(">\r\n"),
+      lit("WARC-Target-URI: http://ex.com/p/"), id.cast("string"),
+      lit("\r\n"),
+      lit("Content-Length: "), declared.cast("string"), lit("\r\n"),
+      lit("\r\n"),
+      repeat(lit("A"), bodyLen.cast("int")),
+      lit("\r\n\r\n"))
+    df.select(
+      id.as("media_id"),
+      when(pmod(id, lit(3)) <= 1, rec.cast("binary"))
+        .otherwise(col(textCol).cast("binary")).as("payload"))
   }
 
   /** Executable metadata as a struct (exe_format, bits, machine) — the

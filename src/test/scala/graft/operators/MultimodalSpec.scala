@@ -615,4 +615,40 @@ class MultimodalSpec extends AnyFunSuite {
       && rows(3L).isNullAt(3))
     assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(3))
   }
+
+  test("warcMeta: header-block extraction, Content-Length span check " +
+      "(lying lengths flag, not fail), hostile payloads null out") {
+    def rec(ver: String, clen: Long, body: String, tail: String) =
+      (s"WARC/$ver\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: http://h/x\r\n" +
+        s"Content-Length: $clen\r\n" +
+        "\r\n" + body + tail).getBytes("UTF-8")
+    val good = rec("1.0", 5L, "AAAAA", "\r\n\r\n")
+    val lying = rec("1.1", 9L, "AAAAA", "\r\n\r\n")
+    val noBlank = ("WARC/1.0\r\nWARC-Type: response\r\n")
+      .getBytes("UTF-8") // header never terminates
+    val noLen = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\nbody\r\n\r\n")
+      .getBytes("UTF-8")
+    val raw = "plain text, not a record".getBytes("UTF-8")
+    val rows = Seq(
+      (0L, good), (1L, lying), (2L, noBlank), (3L, noLen), (4L, raw))
+      .toDF("media_id", "payload")
+      .withColumn("w", Multimodal.warcMeta($"payload"))
+      .select($"media_id", $"w.warc_version", $"w.warc_type",
+        $"w.content_length", $"w.well_formed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getString(1) == "1.0" &&
+      rows(0L).getString(2) == "response" &&
+      rows(0L).getLong(3) == 5L && rows(0L).getBoolean(4))
+    // the lie parses (headers intact) but the span check flags it
+    assert(rows(1L).getString(1) == "1.1" && rows(1L).getLong(3) == 9L &&
+      !rows(1L).getBoolean(4))
+    // an unterminated header block is not a record
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(4))
+    // no Content-Length: fields parse, the span check abstains
+    assert(rows(3L).getString(2) == "warcinfo" && rows(3L).isNullAt(3) &&
+      rows(3L).isNullAt(4))
+    assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(2))
+  }
 }
