@@ -4152,6 +4152,143 @@ object SparkEntry {
         .orderBy("o_orderkey", "o_totalprice")
     }),
 
+    // SCHEMA EVOLUTION ON THE MULTI-WRITER FLAVOR: the log IS the
+    // schema registry — every commit records its files' physical
+    // schema, the unified read schema is the promotion over live
+    // commits (promote is commutative, so concurrent drifted appends
+    // resolve identically in any commit order), and readers group
+    // files by recorded schema and conform — METADATA-ONLY, zero
+    // footer opens at any lake size. Asserted here: a column ADD and
+    // a type PROMOTION land as plain appends; the full read serves
+    // the wide schema with old rows null-filled/widened; time travel
+    // at v1 serves EXACTLY the narrow schema; the increment conforms
+    // like the full read; evolution survives checkpoint truncation;
+    // and OPTIMIZE heals the heterogeneity (packed files all carry
+    // the wide schema)
+    "q127_commitlog_evolve" -> ((s, d) => {
+      val root = scratch(s, "q127", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 3
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      val bonusInt = pmod(col("o_orderkey"), lit(100L)).cast("int")
+        .as("bonus")
+      // v1: the narrow founding schema (key, price, bonus INT)
+      log.append(band(lo, lo + e)
+        .select(col("o_orderkey"), col("o_totalprice"), bonusInt))
+      // v2: column ADD — o_custkey appears
+      log.append(band(lo + e + 1, lo + 2 * e)
+        .select(col("o_orderkey"), col("o_totalprice"), bonusInt,
+          col("o_custkey")))
+      // v3: type PROMOTION — bonus arrives as DOUBLE (int+double→double)
+      log.append(band(lo + 2 * e + 1, hi)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (pmod(col("o_orderkey"), lit(100L)).cast("double") + lit(0.5))
+            .as("bonus"),
+          col("o_custkey")))
+      val narrow = log.read(Some(1L))
+      assert(narrow.columns.sorted.toSeq ==
+        Seq("bonus", "o_orderkey", "o_totalprice") &&
+        narrow.schema("bonus").dataType.simpleString == "int",
+        "time travel at v1 must serve exactly the narrow schema")
+      val full = log.read(None)
+      assert(full.columns.sorted.toSeq ==
+        Seq("bonus", "o_custkey", "o_orderkey", "o_totalprice") &&
+        full.schema("bonus").dataType.simpleString == "double",
+        s"the live read must serve the promoted wide schema, " +
+          s"got ${full.schema.simpleString}")
+      val inc = log.readSince(1L) // v2+v3, conformed like the full read
+      // evolution must survive log truncation: the checkpoint folds
+      // per-file schema GROUPS, and optimize reads through them
+      log.checkpoint(3L)
+      log.expireBefore(3L)
+      val afterTrunc = log.read(None)
+      assert(afterTrunc.columns.sorted.toSeq == full.columns.sorted.toSeq
+        && afterTrunc.count() == src.count(),
+        "checkpoint truncation must not lose the evolution history")
+      // OPTIMIZE heals: packed files all carry the wide schema
+      log.optimize(targetFiles = 2)
+      val healedSchemas = log.resolve(None).schemaOf.values
+        .map(_.fields.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").sorted.toSeq)
+        .toSeq.distinct
+      assert(log.resolve(None).data.size == 2 &&
+        healedSchemas.size == 1,
+        s"optimize must heal heterogeneity, got $healedSchemas")
+      def shaped(df: DataFrame, side: String) = {
+        val withCust =
+          if (df.columns.contains("o_custkey")) df
+          else df.withColumn("o_custkey", lit(null).cast("long"))
+        withCust.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          col("bonus").cast("double").as("bonus"))
+      }
+      shaped(log.read(None), "live")
+        .unionByName(shaped(narrow, "v1"))
+        .unionByName(shaped(inc, "inc"))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // OPTIMIZE ZORDER BY on the commit log: the layout rewrite that
+    // buys MULTI-AXIS span pruning, committed as the same row-
+    // preserving REWRITE as q125. Before: append-ordered files are
+    // clustered on o_orderkey only, so an o_custkey range prunes
+    // NOTHING. After ZOrder.cluster over (o_orderkey, o_custkey) and
+    // a re-span, BOTH axes serve strict-subset scans — asserted
+    // in-query; content is a multiset no-op gated by the plain oracle
+    "q128_commitlog_zorder" -> ((s, d) => {
+      val root = scratch(s, "q128", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      // four appends of key bands, two files each: clustered on
+      // o_orderkey by construction, o_custkey uniform within every file
+      log.append(band(lo, lo + e).repartition(2))
+      log.append(band(lo + e + 1, lo + 2 * e).repartition(2))
+      log.append(band(lo + 2 * e + 1, lo + 3 * e).repartition(2))
+      log.append(band(lo + 3 * e + 1, hi).repartition(2))
+      log.buildStats()
+      val Array(clo, chi) = src
+        .agg(min("o_custkey"), max("o_custkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val custPred =
+        s"o_custkey >= $clo and o_custkey <= ${clo + (chi - clo) / 8}"
+      val keyPred =
+        s"o_orderkey >= $lo and o_orderkey <= ${lo + e / 2}"
+      val before = log.candidateDataFiles(custPred)
+      assert(before.forall(_.size == log.liveFiles(None).size),
+        s"pre-zorder, a custkey range must prune nothing: " +
+          s"${before.map(_.size)}")
+      val vPre = log.latestVersion()
+      log.optimize(targetFiles = 8,
+        zorderBy = Seq("o_orderkey", "o_custkey"))
+      log.buildStats()
+      val liveN = log.liveFiles(None).size
+      val candC = log.candidateDataFiles(custPred)
+      val candK = log.candidateDataFiles(keyPred)
+      assert(candC.exists(c => c.nonEmpty && c.size < liveN) &&
+        candK.exists(c => c.nonEmpty && c.size < liveN),
+        s"post-zorder both axes must prune: cust=${candC.map(_.size)} " +
+          s"key=${candK.map(_.size)} of $liveN")
+      assert(log.readFiltered(custPred).count() ==
+        log.read(None).filter(custPred).count(),
+        "pruning must never change the answer")
+      assert(log.read(Some(vPre)).count() == log.read(None).count(),
+        "the rewrite must preserve content for time travel")
+      log.read(None)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -8109,6 +8246,43 @@ object SparkEntry {
         |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
         |FROM src s, b WHERE s.o_orderkey BETWEEN lo AND lo + e
         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    // schema evolution replayed relationally: three drifted appends
+    // union under the promoted wide schema (bonus int→double, missing
+    // o_custkey null-filled); v1 = the narrow founding batch; inc =
+    // the post-v1 increment under the same conform
+    "q127_commitlog_evolve" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 3 AS e FROM src),
+        |v1 AS (SELECT o_orderkey,
+        |    CAST(o_orderkey % 100 AS DOUBLE) AS bonus,
+        |    CAST(NULL AS BIGINT) AS o_custkey, o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND lo + e),
+        |v2 AS (SELECT o_orderkey,
+        |    CAST(o_orderkey % 100 AS DOUBLE) AS bonus,
+        |    o_custkey, o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo + e + 1 AND lo + 2*e),
+        |v3 AS (SELECT o_orderkey,
+        |    CAST(o_orderkey % 100 AS DOUBLE) + 0.5 AS bonus,
+        |    o_custkey, o_totalprice
+        |  FROM src, b WHERE o_orderkey > lo + 2*e)
+        |SELECT 'live' AS side, o_orderkey, o_custkey, o_totalprice,
+        |  bonus FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |  UNION ALL SELECT * FROM v3)
+        |UNION ALL
+        |SELECT 'v1', o_orderkey, o_custkey, o_totalprice, bonus FROM v1
+        |UNION ALL
+        |SELECT 'inc', o_orderkey, o_custkey, o_totalprice, bonus
+        |FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // layout rewrites are content no-ops (the q79 rule): the both-axis
+    // pruning claims are asserted in-query
+    "q128_commitlog_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // the screened merge: batch rows with key % 7 == 0 quarantine
     // (rule 'key_mod'); the lake is mergeOracle's final state

@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
@@ -91,13 +92,18 @@ final class CommitLog(spark: SparkSession, root: String) {
 
   final case class Commit(version: Long, kind: String,
       files: Seq[String], removed: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      schema: Option[StructType] = None)
 
-  /** The fully-resolved state at a version: live DATA files and live
+  /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the
     * log — kind `delete` — so deletes are versioned like everything
-    * else and time travel before a delete still sees the rows). */
-  final case class Resolved(data: Seq[String], tombstones: Seq[String])
+    * else and time travel before a delete still sees the rows), and
+    * the per-file PHYSICAL schema each live file's commit recorded
+    * (SCHEMA EVOLUTION: the log is the schema registry — absent only
+    * for commits written before schemas were recorded). */
+  final case class Resolved(data: Seq[String], tombstones: Seq[String],
+      schemaOf: Map[String, StructType] = Map.empty)
 
   private def dataPath(name: String): String =
     new Path(dataDir, name).toString
@@ -122,9 +128,21 @@ final class CommitLog(spark: SparkSession, root: String) {
           Some((node.path("txn").path("app").asText(),
             node.path("txn").path("batch").asLong()))
         else None
-      Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn)
+      Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn,
+        schemaOfNode(node))
     }
   }
+
+  /** Parse a commit/checkpoint node's flat `schema` object (name ->
+    * simpleString, the [[SchemaTools.schemaToMap]] codec). */
+  private def schemaOfNode(node: ObjectNode): Option[StructType] =
+    if (!node.has("schema")) None
+    else {
+      val m = scala.collection.mutable.Map[String, String]()
+      node.path("schema").fields().forEachRemaining(e =>
+        m(e.getKey) = e.getValue.asText())
+      Some(SchemaTools.schemaFromMap(m.toMap))
+    }
 
   /** The live DATA file set at `asOf` (default: latest). See
     * [[resolve]]. */
@@ -141,7 +159,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     * way. */
   def resolve(asOf: Option[Long] = None): Resolved = {
     val hi = asOf.getOrElse(latestVersion())
-    val (baseData, baseTs, from) = newestCheckpoint(hi) match {
+    val (baseData, baseTs, baseSch, from) = newestCheckpoint(hi) match {
       case Some(cv) =>
         val node = mapper
           .readTree(TimeFly.readText(fs, checkpointFile(cv)))
@@ -150,31 +168,51 @@ final class CommitLog(spark: SparkSession, root: String) {
         node.withArray("files").forEach(n => bd += n.asText())
         val bt = scala.collection.mutable.ArrayBuffer[String]()
         node.withArray("tombstones").forEach(n => bt += n.asText())
-        (bd.toSeq, bt.toSeq, cv + 1)
-      case None => (Seq.empty[String], Seq.empty[String], 1L)
+        // per-file schemas fold as GROUPS (files sharing a schema share
+        // one entry) — resolution from a checkpoint must not lose the
+        // evolution history the dropped prefix carried
+        val bs = scala.collection.mutable.Map[String, StructType]()
+        if (node.has("schemaGroups"))
+          node.withArray("schemaGroups").forEach { gn =>
+            val g = gn.asInstanceOf[ObjectNode]
+            schemaOfNode(g).foreach { st =>
+              g.withArray("files").forEach(n => bs(n.asText()) = st)
+            }
+          }
+        (bd.toSeq, bt.toSeq, bs.toMap, cv + 1)
+      case None =>
+        (Seq.empty[String], Seq.empty[String],
+          Map.empty[String, StructType], 1L)
     }
     val commits = (from to hi).map(commit)
     val lastReplace = commits.lastIndexWhere(_.kind == "replace")
-    val (data0, ts0, tail) =
+    val (data0, ts0, sch0, tail) =
       if (lastReplace >= 0)
-        (Seq.empty[String], Seq.empty[String], commits.drop(lastReplace))
-      else (baseData, baseTs, commits)
+        (Seq.empty[String], Seq.empty[String],
+          Map.empty[String, StructType], commits.drop(lastReplace))
+      else (baseData, baseTs, baseSch, commits)
     // ordered fold: appends/replace-start accumulate, deletes add
     // tombstones, a REWRITE swaps its compacted inputs for its packed
     // outputs in place (row-preserving — resolution order matters only
     // relative to the files it names, which later commits never touch)
     var data = data0.toVector
     var ts = ts0.toVector
+    var sch = sch0
     tail.foreach { c =>
+      def recorded: Map[String, StructType] =
+        c.schema.map(st => c.files.map(_ -> st).toMap).getOrElse(Map.empty)
       c.kind match {
         case "delete" => ts = ts ++ c.files
         case "rewrite" =>
           val rm = c.removed.toSet
           data = data.filterNot(rm) ++ c.files
-        case _ => data = data ++ c.files
+          sch = sch -- rm ++ recorded
+        case _ =>
+          data = data ++ c.files
+          sch = sch ++ recorded
       }
     }
-    Resolved(data, ts)
+    Resolved(data, ts, sch)
   }
 
   /** Read the committed state (optionally as of an old version — the
@@ -234,21 +272,57 @@ final class CommitLog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Read raw data files honoring per-file RECORDED schemas (schema
+    * evolution): files group by normalized schema, each group scans
+    * with its native schema (filter/column pushdown intact per group),
+    * conforms to the promoted unified schema ([[SchemaTools.promote]]
+    * is commutative+associative, so concurrent drifted appends resolve
+    * to the same unified schema in any commit order), and unions by
+    * name. Metadata-only — the log IS the schema registry; a footer
+    * probe happens ONLY for files whose commit predates schema
+    * recording (bounded by that legacy file count, never the lake). */
+  private def readConformed(names: Seq[String],
+      schemaOf: Map[String, StructType]): DataFrame = {
+    val known: Seq[(String, StructType)] =
+      names.flatMap(n => schemaOf.get(n).map(n -> _))
+    val unknown = names.filterNot(schemaOf.contains)
+    val discovered: Seq[(String, StructType)] =
+      if (unknown.isEmpty) Nil
+      else SchemaTools.fileSchemas(spark, unknown.map(dataPath))
+        .map { case (p, st) => new Path(p).getName -> st }
+    val all = known ++ discovered
+    def key(st: StructType): String = st.fields
+      .map(f =>
+        s"${f.name}:${SchemaTools.normalizeType(f.dataType).simpleString}")
+      .sorted.mkString(",")
+    val groups = all.groupBy { case (_, st) => key(st) }.values.toSeq
+      .sortBy(g => key(g.head._2))
+    if (groups.size <= 1) spark.read.parquet(names.map(dataPath): _*)
+    else {
+      val unified = SchemaTools.unifySchemas(groups.map(_.head._2))
+      groups.map { g =>
+        SchemaTools.conformTo(
+          spark.read.schema(g.head._2)
+            .parquet(g.map(x => dataPath(x._1)): _*),
+          unified)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
   private def assembleRead(r: Resolved, predicate: Option[String])
       : DataFrame = {
     if (r.data.isEmpty) return spark.emptyDataFrame
     val marker = SchemaTools.readSchemaMarkerInfo(spark, root)
     val mappingActive =
       marker.exists(i => i.renames.nonEmpty || i.dropped.nonEmpty)
-    val allPaths = r.data.map(dataPath)
-    val scanPaths = predicate.filter(_ => !mappingActive)
+    val scanNames = predicate.filter(_ => !mappingActive)
       .flatMap(p => prunedLive(p, r.data))
-      .map(_.map(dataPath)).getOrElse(allPaths)
+      .getOrElse(r.data)
     val base =
-      if (scanPaths.isEmpty)
-        // every file pruned out: keep the schema, serve zero rows
-        spark.read.parquet(allPaths: _*).limit(0)
-      else spark.read.parquet(scanPaths: _*)
+      if (scanNames.isEmpty)
+        // every file pruned out: keep the (unified) schema, zero rows
+        readConformed(r.data, r.schemaOf).limit(0)
+      else readConformed(scanNames, r.schemaOf)
     // tombstone keys are physical names: subtract BEFORE the mapping,
     // exactly like LakeReader.load
     val subtracted =
@@ -316,10 +390,17 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the increment — re-baseline on the mutated state")
-    val files = cs.filter(_.kind != "rewrite").flatMap(_.files)
+    val delivered = cs.filter(_.kind != "rewrite")
+    val files = delivered.flatMap(_.files)
     if (files.isEmpty) read(None).limit(0)
-    else spark.read.parquet(
-      files.map(f => new Path(dataDir, f).toString): _*)
+    else {
+      // drifted appends inside the increment conform to the
+      // increment's own unified schema — the consumer sees evolution
+      // exactly as the full read does
+      val schemaOf = delivered.flatMap(c =>
+        c.schema.toSeq.flatMap(st => c.files.map(_ -> st))).toMap
+      readConformed(files, schemaOf)
+    }
   }
 
   /** The commit log AS A STRUCTURED STREAM — one row per commit:
@@ -371,12 +452,18 @@ final class CommitLog(spark: SparkSession, root: String) {
     init()
     val files = SchemaTools.listDataFiles(spark, sourcePath)
     require(files.nonEmpty, s"nothing to adopt at $sourcePath")
+    // record the adopted schema when the source is known-homogeneous,
+    // so post-adoption reads never pay a per-file footer probe; a
+    // heterogeneous source's commit stays schema-less (the bounded
+    // legacy fallback) until an optimize heals it
+    val adoptedSchema = SchemaTools.datasetSchemaInfo(spark, sourcePath)
+      .filter(_.homogeneous).map(_.schema)
     val names = files.map { f =>
       val p = new Path(f)
       fs.rename(p, new Path(dataDir, p.getName))
       p.getName
     }
-    if (!tryCas(1L, "append", names))
+    if (!tryCas(1L, "append", names, schema = adoptedSchema))
       throw new java.util.ConcurrentModificationException(
         "another writer claimed v1 during adoption")
     notifyCommit()
@@ -401,7 +488,8 @@ final class CommitLog(spark: SparkSession, root: String) {
 
   private def tryCas(v: Long, kind: String, names: Seq[String],
       removed: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      schema: Option[StructType] = None): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
     val arr = node.putArray("files")
@@ -414,6 +502,11 @@ final class CommitLog(spark: SparkSession, root: String) {
       val t = node.putObject("txn")
       t.put("app", app)
       t.put("batch", batch)
+    }
+    schema.foreach { st =>
+      val sn = node.putObject("schema")
+      SchemaTools.schemaToMap(st).toSeq.sortBy(_._1)
+        .foreach { case (n, t) => sn.put(n, t) }
     }
     val vf = versionFile(v)
     // Commit visibility is ATOMIC: the full payload lands in a temp
@@ -458,7 +551,8 @@ final class CommitLog(spark: SparkSession, root: String) {
   def append(df: DataFrame): Long = {
     val names = stage(df)
     var v = latestVersion() + 1
-    while (!tryCas(v, "append", names)) v = latestVersion() + 1
+    while (!tryCas(v, "append", names, schema = Some(df.schema)))
+      v = latestVersion() + 1
     maintainStats(names)
     notifyCommit()
     v
@@ -498,7 +592,8 @@ final class CommitLog(spark: SparkSession, root: String) {
   def replace(df: DataFrame, baseVersion: Long): Long = {
     val names = stage(df)
     val v = baseVersion + 1
-    if (latestVersion() != baseVersion || !tryCas(v, "replace", names))
+    if (latestVersion() != baseVersion ||
+        !tryCas(v, "replace", names, schema = Some(df.schema)))
       throw new java.util.ConcurrentModificationException(
         s"replace planned on v$baseVersion but the log advanced " +
           s"to v${latestVersion()} — re-plan on fresh state")
@@ -531,12 +626,23 @@ final class CommitLog(spark: SparkSession, root: String) {
     * layout is exactly when re-spanning pays. Returns the rewrite's
     * version, or None when the live set already fits `targetFiles`
     * (never burn a commit on a no-op). */
-  def optimize(targetFiles: Int = 1): Option[Long] = {
+  def optimize(targetFiles: Int = 1,
+      zorderBy: Seq[String] = Nil): Option[Long] = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    val inputs = resolve(None).data
-    if (inputs.size <= targetFiles) return None
-    val packed = spark.read.parquet(inputs.map(dataPath): _*)
-      .repartition(targetFiles)
+    val r = resolve(None)
+    val inputs = r.data
+    if (inputs.size <= targetFiles && zorderBy.isEmpty) return None
+    // schema-aware pack: drifted inputs conform to the unified schema,
+    // so the rewrite ALSO heals heterogeneity (the packed files all
+    // carry the wide schema — exactly what a layout rewrite is for)
+    val raw = readConformed(inputs, r.schemaOf)
+    // zorderBy: re-cluster along the Morton curve instead of a plain
+    // repartition — the OPTIMIZE ZORDER BY composition; same rewrite
+    // commit, but the packed layout now serves multi-axis span pruning
+    // (buildStats afterwards re-spans the clustered files)
+    val packed =
+      if (zorderBy.nonEmpty) ZOrder.cluster(raw, zorderBy, targetFiles)
+      else raw.repartition(targetFiles)
     val names = stage(packed)
     val inputSet = inputs.toSet
     var v = latestVersion() + 1
@@ -547,7 +653,8 @@ final class CommitLog(spark: SparkSession, root: String) {
         throw new java.util.ConcurrentModificationException(
           "optimize planned on files a concurrent replace/rewrite " +
             "removed — re-plan on fresh state")
-      done = tryCas(v, "rewrite", names, removed = inputs)
+      done = tryCas(v, "rewrite", names, removed = inputs,
+        schema = Some(raw.schema))
       if (!done) v = latestVersion() + 1
     }
     FileStats.invalidate(spark, root)
@@ -598,7 +705,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     var done = false
     while (!done) {
       if (lastTxn(appId).exists(_ >= batchId)) return None
-      done = tryCas(v, "append", names, txn = Some((appId, batchId)))
+      done = tryCas(v, "append", names, txn = Some((appId, batchId)),
+        schema = Some(df.schema))
       if (!done) v = latestVersion() + 1
     }
     maintainStats(names)
@@ -648,6 +756,21 @@ final class CommitLog(spark: SparkSession, root: String) {
     r.data.foreach(arr.add)
     val tarr = node.putArray("tombstones")
     r.tombstones.foreach(tarr.add)
+    // fold per-file schemas as groups, so evolution history survives
+    // log truncation (files sharing a schema share one entry)
+    if (r.schemaOf.nonEmpty) {
+      val garr = node.putArray("schemaGroups")
+      r.schemaOf.toSeq.groupMap(x => SchemaTools.schemaToMap(x._2))(_._1)
+        .toSeq.sortBy(_._2.min)
+        .foreach { case (schemaMap, files) =>
+          val g = garr.addObject()
+          val fa = g.putArray("files")
+          files.sorted.foreach(fa.add)
+          val sn = g.putObject("schema")
+          schemaMap.toSeq.sortBy(_._1)
+            .foreach { case (n, t) => sn.put(n, t) }
+        }
+    }
     // fold per-app txn high-water marks (Delta keeps SetTransaction
     // actions alive in checkpoints for the same reason: idempotence
     // must survive log truncation)

@@ -246,6 +246,51 @@ class CommitLogSpec extends AnyFunSuite {
     assert(log.read().count() == 3)
   }
 
+  test("schema evolution: concurrent drifted appends commute, the log " +
+      "covers every live file's schema, tombstones subtract through " +
+      "the widened read") {
+    // the same two drifted batches land in BOTH orders; the unified
+    // read must be identical (promote is commutative)
+    val narrow = Seq((1, 10.0), (2, 20.0)).toDF("id", "price")
+    val wide = Seq((3, 30, "x"), (4, 40, "y"))
+      .toDF("id", "price", "tag") // price INT: promotion, tag: add
+    def readAll(order: Seq[org.apache.spark.sql.DataFrame]) = {
+      val log = CommitLog(spark,
+        TestSpark.tempDir(s"clogev${order.hashCode}")).init()
+      order.foreach(log.append)
+      val r = log.resolve(None)
+      // the log IS the schema registry: every live file covered, so
+      // reads never fall back to footer probes
+      assert(r.data.forall(r.schemaOf.contains),
+        "every live file's schema must be recorded in its commit")
+      (log, log.read().orderBy("id"))
+    }
+    val (_, ab) = readAll(Seq(narrow, wide))
+    val (log2, ba) = readAll(Seq(wide, narrow))
+    assert(ab.schema.simpleString == ba.schema.simpleString,
+      s"unified schema must not depend on commit order: " +
+        s"${ab.schema.simpleString} vs ${ba.schema.simpleString}")
+    assert(ab.schema("price").dataType.simpleString == "double" &&
+      ab.columns.contains("tag"),
+      "the unified schema must promote price and carry the added tag")
+    assert(ab.collect().map(_.toString).sorted.toSeq ==
+      ba.collect().map(_.toString).sorted.toSeq,
+      "drifted appends must commute row-for-row")
+    // MOR delete through the widened surface: key columns exist in
+    // every group, subtraction happens before the conform-union
+    log2.deleteKeysMor(Seq(Tuple1(1)).toDF("id"), Seq("id"))
+    assert(log2.read().select("id").as[Int].collect().sorted.toSeq ==
+      Seq(2, 3, 4), "tombstones must subtract through drift")
+    // a zorder optimize over the drifted state heals it: one recorded
+    // schema, content preserved through the widened surface
+    log2.optimize(targetFiles = 2, zorderBy = Seq("id"))
+    val healed = log2.resolve(None)
+    assert(healed.schemaOf.values.map(_.simpleString).toSeq.distinct
+      .size == 1, "optimize must leave one recorded schema")
+    assert(log2.read().select("id").as[Int].collect().sorted.toSeq ==
+      Seq(2, 3, 4), "the healing rewrite must preserve content")
+  }
+
   test("column mapping composes with tombstones on commit-log reads") {
     val log = CommitLog(spark, TestSpark.tempDir("clog8")).init()
     log.append(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "price"))
