@@ -3353,6 +3353,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // TAR shard metadata — the WebDataset format training corpora
+    // ship in: ustar block walk where each octal-ASCII size field
+    // governs the next header's offset, per-header checksum
+    // RECOMPUTATION (chksum field as 8 spaces, per spec — the lying
+    // rows parse but flag well_formed = false), and member→sample
+    // grouping by the basename key (two of the three members share
+    // one key: the pairing convention every WebDataset loader relies
+    // on, counted here at ingest-audit time)
+    "m17_tar_meta" -> ((s, d) => {
+      Multimodal.plantedTar(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("t", Multimodal.tarInfo(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("t.n_members").as("n_members"),
+          col("t.n_samples").as("n_samples"),
+          col("t.total_size").as("total_size"),
+          col("t.max_mtime").as("max_mtime"),
+          col("t.names").as("names"),
+          col("t.well_formed").as("well_formed"))
+        .orderBy("media_id")
+    }),
+
     // WARC record metadata — the web-archive format crawl corpora
     // arrive in: CRLF header block split at the first blank line,
     // named-field extraction, and Content-Length governing the payload
@@ -7831,6 +7855,30 @@ object SparkEntry {
         | CAST(CASE WHEN sel < 2 THEN tot END AS BIGINT) AS total_usize,
         | CASE WHEN sel < 2 THEN nm END AS names
         |FROM e ORDER BY media_id""".stripMargin,
+
+    // member fields re-derived from the plant's id arithmetic: the
+    // 3-member shard holds 2 samples (key grouping), the 1-member row
+    // carries the lying checksum (well_formed false), raw rows null
+    "m17_tar_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
+        |  doc_id % 800 + 10 AS s1, doc_id % 4 + 1 AS s2,
+        |  (doc_id + 1) % 800 + 10 AS s3 FROM documents)
+        |SELECT media_id,
+        | CASE WHEN kind <= 1 THEN 'application/x-tar'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CAST(CASE WHEN kind = 0 THEN 3 WHEN kind = 1 THEN 1 END
+        |  AS BIGINT) AS n_members,
+        | CAST(CASE WHEN kind = 0 THEN 2 WHEN kind = 1 THEN 1 END
+        |  AS BIGINT) AS n_samples,
+        | CAST(CASE WHEN kind = 0 THEN s1 + s2 + s3
+        |  WHEN kind = 1 THEN s1 END AS BIGINT) AS total_size,
+        | CAST(CASE WHEN kind <= 1 THEN 1600000000 + media_id END
+        |  AS BIGINT) AS max_mtime,
+        | CASE WHEN kind = 0 THEN media_id || '.txt,' || media_id ||
+        |   '.cls,' || (media_id + 1) || '.txt'
+        |  WHEN kind = 1 THEN media_id || '.txt' END AS names,
+        | CASE WHEN kind <= 1 THEN kind = 0 END AS well_formed
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // header and tail fields re-derived from the plant's id arithmetic
     // response rows well-formed; request rows carry the lying length

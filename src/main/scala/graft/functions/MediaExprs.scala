@@ -496,3 +496,137 @@ case class ZipInfoExpr(child: Expression, maxEntries: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : ZipInfoExpr = copy(child = newChild)
 }
+
+/** TAR (ustar) archive walk — the WebDataset shard audit. Training
+  * corpora ship as tar shards whose members pair up into samples by
+  * key (the basename before the first dot: `000123.txt` +
+  * `000123.cls` is ONE sample — the WebDataset convention), so the
+  * ingestion audit needs member count, SAMPLE count, total payload
+  * size, and header-checksum validation in one pass over the raw
+  * bytes. Header layout per the POSIX ustar spec: 512-byte blocks,
+  * NUL-padded name at 0 (100 bytes), octal-ASCII size at 124 (12),
+  * octal mtime at 136 (12), octal checksum at 148 (8 — computed over
+  * the header with the checksum field read as 8 SPACES), typeflag at
+  * 156, magic "ustar" at 257; member data follows, padded to 512; two
+  * zero blocks end the archive. A header whose stored checksum
+  * disagrees with the recomputed sum still PARSES (fields surface)
+  * but flags well_formed = false — corruption detection is the first
+  * audit any shard ingest runs, and it must not hide the fields that
+  * locate the damage. */
+object TarInfoUtil {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def row(n: Any, samples: Any, tot: Any, mt: Any, names: Any,
+      wf: Any): InternalRow =
+    new GenericInternalRow(Array[Any](n, samples, tot, mt, names, wf))
+
+  def info(bytes: Array[Byte], maxMembers: Int): InternalRow = {
+    val L = bytes.length
+    @inline def b(i: Int): Int = bytes(i) & 0xff
+    // octal-ASCII field: digits until NUL/space; null on any other byte
+    def octal(off: Int, w: Int): java.lang.Long = {
+      if (off < 0 || off + w > L) return null
+      var v = 0L
+      var i = off
+      var seen = false
+      while (i < off + w) {
+        val c = b(i)
+        if (c >= '0' && c <= '7') { v = (v << 3) | (c - '0'); seen = true }
+        else if (c == 0 || c == ' ') i = off + w - 1 // terminator
+        else return null
+        i += 1
+      }
+      if (seen) v else null
+    }
+    def zeroBlock(off: Int): Boolean = {
+      if (off + 512 > L) return false
+      var i = off
+      while (i < off + 512) { if (bytes(i) != 0) return false; i += 1 }
+      true
+    }
+    if (L < 512) return row(null, null, null, null, null, null)
+    // first header must carry the ustar magic, else: not a tar
+    if (!(b(257) == 'u' && b(258) == 's' && b(259) == 't' &&
+        b(260) == 'a' && b(261) == 'r'))
+      return row(null, null, null, null, null, null)
+    var off = 0
+    var n = 0L
+    var total = 0L
+    var maxMtime = Long.MinValue
+    var allOk = true
+    val names = new java.lang.StringBuilder
+    val keys = new java.util.HashSet[String]()
+    var halted = false
+    while (!halted && n < maxMembers && off + 512 <= L &&
+        !zeroBlock(off)) {
+      val magicOk = b(off + 257) == 'u' && b(off + 258) == 's' &&
+        b(off + 259) == 't' && b(off + 260) == 'a' && b(off + 261) == 'r'
+      if (!magicOk) { allOk = false; halted = true }
+      else {
+        // name: NUL-terminated within its 100 bytes
+        var nl = 0
+        while (nl < 100 && off + nl < L && bytes(off + nl) != 0) nl += 1
+        val name = new String(bytes, off, nl,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val size = octal(off + 124, 12)
+        val mtime = octal(off + 136, 12)
+        val stored = octal(off + 148, 8)
+        // recompute: checksum field counts as 8 spaces
+        var sum = 0L
+        var i = off
+        while (i < off + 512 && i < L) {
+          sum += (if (i - off >= 148 && i - off < 156) ' ' else b(i))
+          i += 1
+        }
+        if (stored == null || stored.longValue != sum) allOk = false
+        if (size == null) { allOk = false; halted = true }
+        else {
+          n += 1
+          total += size.longValue
+          if (mtime != null && mtime.longValue > maxMtime)
+            maxMtime = mtime.longValue
+          if (names.length > 0) names.append(',')
+          names.append(name)
+          val dot = name.indexOf('.')
+          keys.add(if (dot >= 0) name.substring(0, dot) else name)
+          val dataBlocks = (size.longValue + 511L) / 512L
+          val next = off + 512L + dataBlocks * 512L
+          if (next > Int.MaxValue) halted = true
+          else off = next.toInt
+        }
+      }
+    }
+    row(java.lang.Long.valueOf(n), java.lang.Long.valueOf(keys.size.toLong),
+      java.lang.Long.valueOf(total),
+      if (maxMtime == Long.MinValue) null
+      else java.lang.Long.valueOf(maxMtime),
+      UTF8String.fromString(names.toString),
+      java.lang.Boolean.valueOf(allOk))
+  }
+}
+
+case class TarInfoExpr(child: Expression, maxMembers: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_members", LongType),
+      org.apache.spark.sql.types.StructField("n_samples", LongType),
+      org.apache.spark.sql.types.StructField("total_size", LongType),
+      org.apache.spark.sql.types.StructField("max_mtime", LongType),
+      org.apache.spark.sql.types.StructField("names",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("well_formed",
+        org.apache.spark.sql.types.BooleanType)))
+  override def prettyName: String = "tar_info"
+  override def nullSafeEval(input: Any): Any =
+    TarInfoUtil.info(input.asInstanceOf[Array[Byte]], maxMembers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TarInfoUtil.info($c, $maxMembers)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : TarInfoExpr = copy(child = newChild)
+}

@@ -64,6 +64,10 @@ object Multimodal {
       .when(magic === "57415243" &&
         upper(hex(substring(payload, 5, 1))) === "2F",
         "application/warc")
+      // TAR has NO leading magic: "ustar" sits at byte offset 257,
+      // after the NUL-padded name/mode/size region
+      .when(upper(hex(substring(payload, 258, 5))) === "7573746172",
+        "application/x-tar")
       .otherwise("application/octet-stream")
   }
 
@@ -1429,5 +1433,110 @@ object Multimodal {
       unhex(
         when(id % 3 === 2, hex(col(textCol).cast("binary")))
           .otherwise(zipHex)).as("payload"))
+  }
+
+  /** TAR member/sample walk as a struct (n_members, n_samples,
+    * total_size, max_mtime, names, well_formed) — one native pass
+    * ([[graft.functions.TarInfoExpr]]) over the ustar block chain:
+    * octal-ASCII size fields govern where the next header starts, the
+    * stored checksum is RECOMPUTED over each header (chksum field as
+    * 8 spaces, per spec), and members group into WebDataset samples
+    * by the basename before the first dot. A checksum mismatch still
+    * parses but flags well_formed = false. Null fields for payloads
+    * whose first block carries no ustar magic. */
+  def tarInfo(
+      payload: org.apache.spark.sql.Column,
+      maxMembers: Int = 64
+  ): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TarInfoExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(payload),
+        maxMembers))
+
+  /** Planted ustar fixtures (the m17 WebDataset-shard audit): by
+    * `id % 3`, a THREE-member shard holding TWO samples (`<id>.txt` +
+    * `<id>.cls` share a key; `<id+1>.txt` is its own — the grouping
+    * convention is load-bearing), a one-member tar whose stored
+    * checksum LIES by one (headers parse, well_formed must flag), or
+    * the raw text bytes. Headers are built field-by-field in hex with
+    * REAL checksums — constant 1981 for the fixed fields, plus the
+    * name's ASCII sum and both octal fields' digit sums — so the
+    * parser's spec-mandated recomputation is verified bit-for-bit by
+    * the oracle's id arithmetic. Member sizes vary with the id; data
+    * regions pad to 512-byte blocks; two zero blocks close. */
+  def plantedTar(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    // ASCII sum of the id's decimal digits (no leading zeros)
+    def dsum(c: org.apache.spark.sql.Column) = (0 to 9).map { i =>
+      val p = math.pow(10, i).toLong
+      when(lit(i) === 0 || c >= p,
+        lit(48L) + pmod((c / lit(p.toDouble)).cast("long"), lit(10L)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    // digit-value sum of the 11-digit zero-padded octal rendering
+    def osum(c: org.apache.spark.sql.Column) = (0 to 10).map { i =>
+      pmod((c / lit(math.pow(8, i))).cast("long"), lit(8L))
+    }.reduce(_ + _)
+    def oct(c: org.apache.spark.sql.Column, w: Int) =
+      lpad(conv(c.cast("string"), 10, 8), w, "0")
+    val mt = lit(1600000000L) + id
+    // one 512-byte header: name[100] mode uid gid size[12] mtime[12]
+    // chksum[8] typeflag linkname[100] magic version tail-zeros[247]
+    def header(name: org.apache.spark.sql.Column,
+        nameSum: org.apache.spark.sql.Column,
+        size: org.apache.spark.sql.Column,
+        lie: Boolean): org.apache.spark.sql.Column = {
+      val ck0 = lit(1981L) + nameSum + lit(1056L) + osum(size) + osum(mt)
+      val ck = if (lie) ck0 + lit(1L) else ck0
+      concat(
+        rpad(hex(name), 200, "0"),
+        lit("3030303036343400"), // mode "0000644\0"
+        lit("3030303030303000"), // uid "0000000\0"
+        lit("3030303030303000"), // gid
+        hex(oct(size, 11)), lit("00"),
+        hex(oct(mt, 11)), lit("00"),
+        hex(oct(ck, 6)), lit("0020"), // 6 octal digits, NUL, space
+        lit("30"), // typeflag '0'
+        lit("00" * 100), // linkname
+        lit("757374617200"), // magic "ustar\0"
+        lit("3030"), // version "00"
+        lit("00" * 247)) // uname/gname/dev/prefix/pad
+    }
+    // member data: size bytes of 'A', zero-padded to the block edge
+    def dataHex(sizeSql: String) = expr(
+      s"concat(repeat('41', $sizeSql), " +
+        s"repeat('00', 512 * (($sizeSql + 511) div 512) - ($sizeSql)))")
+    val s1sql = s"$idCol % 800 + 10"
+    val s2sql = s"$idCol % 4 + 1"
+    val s3sql = s"($idCol + 1) % 800 + 10"
+    val s1 = expr(s1sql).cast("long")
+    val s2 = expr(s2sql).cast("long")
+    val s3 = expr(s3sql).cast("long")
+    val nameTxt = concat(id.cast("string"), lit(".txt"))
+    val nameCls = concat(id.cast("string"), lit(".cls"))
+    val nameTxt2 = concat((id + 1).cast("string"), lit(".txt"))
+    val endBlocks = lit("00" * 1024)
+    val shard3 = concat(
+      header(nameTxt, dsum(id) + lit(398L), s1, lie = false),
+      dataHex(s1sql),
+      header(nameCls, dsum(id) + lit(368L), s2, lie = false),
+      dataHex(s2sql),
+      header(nameTxt2, dsum(id + 1) + lit(398L), s3, lie = false),
+      dataHex(s3sql),
+      endBlocks)
+    val shard1Lie = concat(
+      header(nameTxt, dsum(id) + lit(398L), s1, lie = true),
+      dataHex(s1sql),
+      endBlocks)
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(pmod(id, lit(3)) === 2, hex(col(textCol).cast("binary")))
+          .when(pmod(id, lit(3)) === 1, shard1Lie)
+          .otherwise(shard3)).as("payload"))
   }
 }

@@ -651,4 +651,75 @@ class MultimodalSpec extends AnyFunSuite {
       rows(3L).isNullAt(4))
     assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(2))
   }
+
+  test("tarInfo terminates on hostile payloads: lying octal sizes, " +
+      "missing magic mid-chain, truncated headers, no end blocks") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a minimal VALID one-member tar via the planted builder, to
+    // splice hostility into
+    val planted = Multimodal.plantedTar(
+      Seq((1L, "t")).toDF("doc_id", "text")).collect()
+    val valid = planted(0).getAs[Array[Byte]]("payload") // id 1 % 3 == 1: lying checksum, still walks
+    val hostile = Seq(
+      Array[Byte](), // empty
+      "not a tar at all".getBytes("UTF-8"), // short, no magic
+      Array.fill[Byte](600)(0x41), // long, magic absent at 257
+      { // valid first header but the size field points past the end
+        val b = valid.clone()
+        // size field at 124: 11 octal digits -> claim 7777777777 (huge)
+        val big = "37" * 10 + "3700"
+        hx(big).copyToArray(b, 124)
+        b.take(1024) // and truncate
+      },
+      { // size field carries a NON-octal byte: header poisons, halt
+        val b = valid.clone(); b(124) = 'Z'.toByte; b
+      },
+      valid.take(500) // truncated below one block
+    ).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "payload")
+    val out = hostile.withColumn("t", Multimodal.tarInfo($"payload"))
+      .select($"media_id", $"t.n_members", $"t.well_formed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // rows 0-2, 5: not tars -> all-null struct fields
+    Seq(0L, 1L, 2L, 5L).foreach { i =>
+      assert(out(i).isNullAt(1) && out(i).isNullAt(2),
+        s"row $i must be all-null, got ${out(i)}")
+    }
+    // rows 3-4: first magic present, walk starts, hostility flags
+    assert(!out(3L).getBoolean(2),
+      "a size pointing past the end must not report well_formed")
+    assert(!out(4L).getBoolean(2) && out(4L).getLong(1) == 0L,
+      "a non-octal size byte must poison the header and halt the walk")
+  }
+
+  test("plantedTar round-trips through tarInfo: sample grouping, " +
+      "checksum verification, and the lying-checksum flag") {
+    val df = (0L to 8L).map(i => (i, s"doc text $i"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.plantedTar(df)
+      .withColumn("mime", Multimodal.sniffFormat($"payload"))
+      .withColumn("t", Multimodal.tarInfo($"payload"))
+      .select($"media_id", $"mime", $"t.n_members", $"t.n_samples",
+        $"t.total_size", $"t.well_formed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 8L).foreach { i =>
+      val r = out(i)
+      (i % 3) match {
+        case 0 => // 3 members, 2 samples, valid checksums
+          assert(r.getString(1) == "application/x-tar" &&
+            r.getLong(2) == 3L && r.getLong(3) == 2L &&
+            r.getLong(4) == (i % 800 + 10) + (i % 4 + 1) +
+              ((i + 1) % 800 + 10) &&
+            r.getBoolean(5), s"row $i: $r")
+        case 1 => // 1 member, checksum lies -> parses, flags
+          assert(r.getString(1) == "application/x-tar" &&
+            r.getLong(2) == 1L && r.getLong(3) == 1L &&
+            !r.getBoolean(5), s"row $i: $r")
+        case _ => // raw text
+          assert(r.getString(1) == "application/octet-stream" &&
+            r.isNullAt(2), s"row $i: $r")
+      }
+    }
+  }
 }
