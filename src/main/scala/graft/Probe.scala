@@ -17,6 +17,17 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    if (args.headOption.contains("plan")) {
+      val sf = "/root/testdata/sf0.01"
+      args.drop(1).foreach { name =>
+        println(s"\n===== $name =====")
+        val df = SparkEntry.queries(name)(spark, sf)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("plans_r6")) {
       val sf = "/root/testdata/sf0.01"
       Seq("q77_delta_schema_drift", "d28_incremental_clusters").foreach {
@@ -26,6 +37,45 @@ object Probe {
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
       }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("qerr")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      import graft.functions.VectorFunctions.l2Sq
+      import spark.implicits._
+      val rows = (0 until 256).map { i =>
+        val g = i % 16
+        val vec = (0 until 64).map { d =>
+          val center = ((g * 73 + d * 37) % 19 - 9).toDouble
+          val jitter = ((i * 31 + d * 17) % 5 - 2) * 0.05
+          (center + jitter).toFloat
+        }
+        (i.toLong, vec)
+      }
+      val emb = rows.toDF("vec_id", "embedding")
+      val v = Similarity.prep(emb, "vec_id", "embedding")
+      val coarse = Similarity.pivotSet(v, 16)
+      val pq = Similarity.pivotSet(v, 32)
+      val rawErr = Similarity.pqEncode(v, pq, 64, 32)
+        .select(sum(l2Sq(col("__emb2"), col("recon2"))))
+        .head().getDouble(0)
+      val resErr = Similarity.ivfPqResidualEncode(v, coarse, pq, 64, 32)
+        .select(sum(l2Sq(col("emb"), col("recon2"))))
+        .head().getDouble(0)
+      println(s"[probe] CLUSTERED raw=$rawErr residual=$resErr " +
+        s"ratio=${resErr / rawErr}")
+      val e2 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val v2 = Similarity.prep(e2, "vec_id", "embedding")
+      val c2 = Similarity.pivotSet(v2, 16)
+      val p2 = Similarity.pivotSet(v2, 32)
+      val pivIds = p2.map(_._1).toSeq
+      val selfErr = Similarity.ivfPqResidualEncode(v2, c2, p2, 64, 32)
+        .filter(col("id2").isin(pivIds: _*))
+        .select(sum(l2Sq(col("emb"), col("recon2"))))
+        .head().getDouble(0)
+      println(s"[probe] PIVOT_SELF err=$selfErr")
       spark.stop(); return
     }
 

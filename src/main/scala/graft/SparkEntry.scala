@@ -3080,6 +3080,21 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // RESIDUAL IVF-PQ — true IVFADC (the FAISS IVFPQ default): the
+    // corpus is quantized as coarse_centroid + PQ(residual), so the
+    // shared codebook spends its centroids on fine structure instead
+    // of re-encoding coarse position. Same keyed cell equi-join as
+    // e18; residuals computed by native kernels; the whole
+    // composition (driver-side pivot-residual codebook included)
+    // replays relationally in the oracle
+    "e28_ivf_pq_residual" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10),
+          k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     "e15_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -7592,6 +7607,102 @@ object SparkEntry {
         |    AND qa.vec_id <> ca.vec_id
         |   JOIN v q ON q.vec_id = qa.vec_id
         |   JOIN recon c ON c.vec_id = ca.vec_id)
+        |SELECT id1, id2, adist, rank FROM (
+        |  SELECT id1, id2, adist,
+        |   CAST(row_number() OVER (PARTITION BY id1
+        |     ORDER BY adist ASC, id2 ASC) AS BIGINT) AS rank
+        |  FROM pp) t
+        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
+
+    // true IVFADC replayed relationally: e18's coarse CTEs, then the
+    // pq pivots' OWN cell assignment + residuals form the codebook,
+    // corpus residuals encode against it, and the reconstruction is
+    // centroid + chosen residual subvectors — every fold the same
+    // left-to-right IEEE order as the kernels
+    "e28_ivf_pq_residual" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+        |       (acc, x) -> acc + x)) AS nrm FROM v),
+        |cpiv AS (SELECT vec_id AS cell, emb AS pemb, nrm AS pnrm FROM n
+        |  WHERE vec_id IN (SELECT vec_id FROM n
+        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+        |             % 2147483647 * 48271) % 2147483647 ASC,
+        |            vec_id ASC LIMIT 16)),
+        |ca AS (SELECT vec_id, cell FROM (
+        |  SELECT n.vec_id, p.cell,
+        |   row_number() OVER (PARTITION BY n.vec_id
+        |     ORDER BY list_reduce(list_transform(range(1, 65),
+        |         i -> n.emb[i] * p.pemb[i]), (acc, x) -> acc + x)
+        |       / (n.nrm * p.pnrm) DESC,
+        |              p.cell ASC) AS pr
+        |  FROM n, cpiv p) t WHERE pr = 1),
+        |qa AS (SELECT vec_id, cell FROM (
+        |  SELECT n.vec_id, p.cell,
+        |   row_number() OVER (PARTITION BY n.vec_id
+        |     ORDER BY list_reduce(list_transform(range(1, 65),
+        |         i -> n.emb[i] * p.pemb[i]), (acc, x) -> acc + x)
+        |       / (n.nrm * p.pnrm) DESC,
+        |              p.cell ASC) AS pr
+        |  FROM n, cpiv p WHERE n.vec_id < 10) t WHERE pr <= 4),
+        |ppiv AS (SELECT vec_id AS pid, emb AS xemb, nrm AS xnrm FROM n
+        |  WHERE vec_id IN (SELECT vec_id FROM n
+        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+        |             % 2147483647 * 48271) % 2147483647 ASC,
+        |            vec_id ASC LIMIT 32)),
+        |pcell AS (SELECT pid, cell FROM (
+        |  SELECT pv.pid, c.cell,
+        |   row_number() OVER (PARTITION BY pv.pid
+        |     ORDER BY list_reduce(list_transform(range(1, 65),
+        |         i -> pv.xemb[i] * c.pemb[i]), (acc, x) -> acc + x)
+        |       / (pv.xnrm * c.pnrm) DESC,
+        |              c.cell ASC) AS pr
+        |  FROM ppiv pv, cpiv c) t WHERE pr = 1),
+        |pres AS (SELECT pv.pid,
+        |   list_transform(range(1, 65),
+        |     i -> pv.xemb[i] - c.pemb[i]) AS rres
+        |  FROM ppiv pv JOIN pcell pc ON pc.pid = pv.pid
+        |   JOIN cpiv c ON c.cell = pc.cell),
+        |cres AS (SELECT n.vec_id, ca.cell,
+        |   list_transform(range(1, 65),
+        |     i -> n.emb[i] - c.pemb[i]) AS res
+        |  FROM n JOIN ca ON ca.vec_id = n.vec_id
+        |   JOIN cpiv c ON c.cell = ca.cell),
+        |cs AS (SELECT vec_id, j,
+        |    list_slice(res, j * 2 + 1, j * 2 + 2) AS sv
+        |  FROM cres, range(32) r(j)),
+        |ps AS (SELECT pid, j,
+        |    list_slice(rres, j * 2 + 1, j * 2 + 2) AS pv
+        |  FROM pres, range(32) r(j)),
+        |dj AS (SELECT cs.vec_id, cs.j, ps.pid, ps.pv,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(range(1, 3),
+        |       i -> (cs.sv[i] - ps.pv[i]) * (cs.sv[i] - ps.pv[i]))),
+        |     (a, x) -> a + x) AS d
+        |  FROM cs JOIN ps ON cs.j = ps.j),
+        |best AS (SELECT vec_id, j, pv FROM (
+        |   SELECT vec_id, j, pv, row_number() OVER (
+        |     PARTITION BY vec_id, j ORDER BY d ASC, pid ASC) AS rn
+        |   FROM dj) t WHERE rn = 1),
+        |reconr AS (SELECT vec_id, flatten(list(pv ORDER BY j)) AS rr
+        |  FROM best GROUP BY vec_id),
+        |rv AS (SELECT cr.vec_id,
+        |   list_transform(range(1, 65),
+        |     i -> c.pemb[i] + r.rr[i]) AS rvv
+        |  FROM cres cr JOIN cpiv c ON c.cell = cr.cell
+        |   JOIN reconr r ON r.vec_id = cr.vec_id),
+        |pp AS (SELECT qa.vec_id AS id1, ca.vec_id AS id2,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(range(1, 65),
+        |       i -> (q.emb[i] - c.rvv[i]) * (q.emb[i] - c.rvv[i]))),
+        |     (a, x) -> a + x) AS adist
+        |  FROM qa JOIN ca ON qa.cell = ca.cell
+        |    AND qa.vec_id <> ca.vec_id
+        |   JOIN v q ON q.vec_id = qa.vec_id
+        |   JOIN rv c ON c.vec_id = ca.vec_id)
         |SELECT id1, id2, adist, rank FROM (
         |  SELECT id1, id2, adist,
         |   CAST(row_number() OVER (PARTITION BY id1

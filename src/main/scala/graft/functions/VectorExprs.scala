@@ -137,6 +137,27 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(recon)
   }
 
+  /** Elementwise x - y over double arrays — the residual step of
+    * IVFADC (vector minus its coarse centroid). Plain per-index IEEE
+    * subtraction: bit-identical to DuckDB's list_transform form. */
+  def vecSub(x: ArrayData, y: ArrayData): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Elementwise x + y — the reconstruction step (coarse centroid plus
+    * the PQ-decoded residual). */
+  def vecAdd(x: ArrayData, y: ArrayData): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) + y.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass SimHash over an array of token hashes: per bit, sum of ±1
     * votes by that bit of each hash; sign -> signature bit. Equals the
     * per-bit `aggregate` formulation exactly (integer arithmetic). */
@@ -204,6 +225,44 @@ case class L2SqExpr(left: Expression, right: Expression)
       newLeft: Expression,
       newRight: Expression
   ): L2SqExpr = copy(left = newLeft, right = newRight)
+}
+
+/** Elementwise vector subtraction (see VectorKernels.vecSub). */
+case class VecSubExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types
+    .ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sub"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.vecSub(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.vecSub($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): VecSubExpr = copy(left = newLeft, right = newRight)
+}
+
+/** Elementwise vector addition (see VectorKernels.vecAdd). */
+case class VecAddExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types
+    .ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_add"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.vecAdd(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.vecAdd($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): VecAddExpr = copy(left = newLeft, right = newRight)
 }
 
 /** Native product-quantization encoder over an array<double> column:

@@ -44,6 +44,20 @@ object VectorFunctions {
 
   def l2Distance(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
+  /** Elementwise a - b (native, codegen'd) — the IVFADC residual. */
+  def vecSub(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      VecSubExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Elementwise a + b — the IVFADC reconstruction. */
+  def vecAdd(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      VecAddExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** Per-vector max-abs amplitude — the scale factor for symmetric
     * scalar quantization. */
   def maxAbs(v: Column): Column =

@@ -1027,6 +1027,117 @@ object Similarity {
       .select("id1", "id2", "adist", "rank")
   }
 
+  /** RESIDUAL IVF-PQ — the true IVFADC composition (the FAISS IVFPQ
+    * default, vs [[ivfPqTopK]]'s PQ-on-raw-vectors): each vector is
+    * quantized as `coarse_centroid(cell) + PQ(residual)`, where the
+    * residual is the vector MINUS its cell's centroid. Residuals are
+    * centered near zero regardless of which cell a vector landed in,
+    * so one shared residual codebook spends its 32 centroids on the
+    * fine structure instead of re-encoding the coarse position —
+    * the quantization-error win that makes IVFADC the production
+    * default.
+    *
+    * Scale shape: the coarse table is nCells rows (driver-bounded,
+    * the pivotSet class); the residual codebook is built driver-side
+    * from the PQ pivots' OWN residuals (nCents·dim doubles — model
+    * state, not data); the corpus path is one scan with per-row
+    * kernels (cell argmax projection → native vecSub → native PQ
+    * encode → native vecAdd), candidate generation is the same keyed
+    * cell equi-join as [[ivfPqTopK]], and ADC scores only probed
+    * cells' reconstructions. No new shuffle classes.
+    *
+    * Determinism: the pq pivots' cell assignment replicates
+    * [[assignCells]]'s cosine + tie rule in exact driver-side double
+    * arithmetic (same left-to-right folds as the kernels), so the
+    * whole composition — residuals included — is oracle-replayable. */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      m: Int = 32,
+      k: Int = 5,
+      nCents: Int = 32,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val v = prep(corpus, idCol, vecCol)
+    val coarse = pivotSet(v, nCells)
+    val encoded = ivfPqResidualEncode(v, coarse, pivotSet(v, nCents),
+        dim, m)
+      .select(col("cell"), col("id2"), col("recon2"))
+    import graft.functions.VectorFunctions.l2Sq
+    val q = assignCells(prep(queries, idCol, vecCol), coarse,
+        keep = nProbe)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("cell"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("adist").asc, col("id2").asc)
+    broadcast(q)
+      .join(encoded, Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "emb1", "id2", "recon2")
+      .withColumn("adist", l2Sq(col("emb1"), col("recon2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "adist", "rank")
+  }
+
+  /** The residual encode pass shared by [[ivfPqResidualTopK]] and the
+    * quantization-error spec: `(cell, id2, emb, recon2)` where
+    * `recon2 = coarse_centroid(cell) + PQ(emb - coarse_centroid)`.
+    * The residual codebook is built driver-side from the PQ pivots'
+    * own residuals, replicating [[assignCells]]'s cosine + tie rule
+    * in exact double arithmetic (same left-to-right folds). */
+  private[graft] def ivfPqResidualEncode(
+      v: DataFrame,
+      coarse: Array[(Long, Seq[Double], Double)],
+      pqPivots: Array[(Long, Seq[Double], Double)],
+      dim: Int,
+      m: Int
+  ): DataFrame = {
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val residCents: Array[Double] = pqPivots.flatMap {
+      case (_, pe, pn) =>
+        var bestSim = Double.NegativeInfinity
+        var bestCell = Long.MaxValue
+        var bestIdx = -1
+        var ci = 0
+        while (ci < coarse.length) {
+          val (cell, ce, cn) = coarse(ci)
+          val sim = dotD(pe, ce) / (pn * cn)
+          if (sim > bestSim || (sim == bestSim && cell < bestCell)) {
+            bestSim = sim; bestCell = cell; bestIdx = ci
+          }
+          ci += 1
+        }
+        val ce = coarse(bestIdx)._2
+        pe.indices.map(i => pe(i) - ce(i))
+    }.toArray
+    val cells = pqPivots.map(_._1)
+    // cell argmax is a projection, the centroid a literal lookup;
+    // residual-encode, reconstruct = centroid + decoded residual
+    val centFor = coalesce(coarse.map { case (cell, ce, _) =>
+      when(col("cell") === lit(cell), typedLit(ce))
+    }: _*)
+    import graft.functions.VectorFunctions.{vecAdd, vecSub}
+    import org.apache.spark.sql.GraftSqlBridge
+    val enc = GraftSqlBridge.column(graft.functions.PqEncodeExpr(
+      GraftSqlBridge.expression(col("__res")), residCents, cells, dim, m))
+    assignCells(v, coarse, keep = 1)
+      .withColumn("__pcent", centFor)
+      .withColumn("__res", vecSub(col("emb"), col("__pcent")))
+      .withColumn("__enc", enc)
+      .select(col("cell"), col("vec_id").as("id2"), col("emb"),
+        vecAdd(col("__pcent"), col("__enc")("recon")).as("recon2"))
+  }
+
   /** Distributed Lloyd k-means over integer-quantized embeddings — the
     * pivot TRAINER the IVF/PQ family composes with ([[pivotSet]] is the
     * deterministic stand-in; this is the real thing, still
