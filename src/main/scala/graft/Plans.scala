@@ -175,9 +175,36 @@ object Plans {
       "q103_commit_log" -> ("commit-log read: the scan's file list " +
         "comes from the log manifest, not a directory listing — " +
         "uncommitted files are invisible by construction"),
-      "q106_partitions_table" -> ("partitions metadata table: " +
-        "driver-side leaf listing + parquet FOOTER row counts — no " +
-        "data pages read at any partition cardinality"),
+      "q106_partitions_table" -> ("partitions metadata table: served " +
+        "from the trusted _stats manifest's n_rows (one agg over " +
+        "metadata rows — zero footer opens when a manifest covers " +
+        "the dataset; the driver-side footer sweep is only the " +
+        "no-manifest fallback)"),
+      "q121_commitlog_reader_surface" -> ("multi-writer read through " +
+        "the full reader surface: the scan's file list is the " +
+        "manifest's span-pruned strict subset, MOR tombstones " +
+        "subtract via ONE broadcast anti-join, column mapping is a " +
+        "logical projection — the commit-log flavor keeps every " +
+        "single-writer reader optimization"),
+      "q127_commitlog_evolve" -> ("commit-log schema evolution: the " +
+        "log records each commit's physical schema, so the read is a " +
+        "UNION of per-schema-group scans conformed to the promoted " +
+        "schema — metadata-only planning, zero footer opens, " +
+        "pushdown intact per group"),
+      "q128_commitlog_zorder" -> ("OPTIMIZE ZORDER BY as a rewrite " +
+        "commit: post-rewrite scans prune on BOTH z axes through the " +
+        "re-spanned _stats manifest (strict-subset file lists " +
+        "asserted in-query) — the layout rewrite buys multi-axis " +
+        "skipping the append order never could"),
+      "m17_tar_meta" -> ("TAR/WebDataset audit: ONE native codegen'd " +
+        "pass per row (TarInfoExpr — ustar block walk with per-header " +
+        "checksum recomputation and sample-key grouping) — per-row, " +
+        "zero shuffle, the m01-m16 scale shape"),
+      "e28_ivf_pq_residual" -> ("residual IVF-PQ (true IVFADC): cell " +
+        "argmax is a projection, residual/reconstruction are native " +
+        "kernels inside the same scan stage, candidates come from " +
+        "the e18 cell-keyed BroadcastHashJoin — no new shuffle " +
+        "classes over the raw-vector flavor"),
       "q108_column_rename" -> ("column mapping: rename/drop are one " +
         "marker entry; the scan is unchanged except a logical " +
         "projection — no file rewrite in the plan"),

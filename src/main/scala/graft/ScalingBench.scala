@@ -132,7 +132,9 @@ object ScalingBench {
       "e23_pooled_centroids", "e24_silhouette", "q110_stream_mv",
       "q111_mor_delete", "q112_dedup_in_place",
       "e26_pq_serve", "e27_hamming_serve", "q123_upsert_screened",
-      "q121_commitlog_reader_surface", "q106_partitions_table")
+      "q121_commitlog_reader_surface", "q106_partitions_table",
+      "q125_commitlog_optimize", "q127_commitlog_evolve",
+      "q128_commitlog_zorder", "m17_tar_meta", "e28_ivf_pq_residual")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume

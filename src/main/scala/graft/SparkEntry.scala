@@ -2665,6 +2665,36 @@ object SparkEntry {
     // 128} — the table that decides a training context size. One
     // per-doc token count, three arithmetic projections, one agg; the
     // fraction is one IEEE division over exact integers
+    // DETERMINISTIC EPOCH SHUFFLE (the training-export step): each
+    // epoch is a different but reproducible permutation, materialized
+    // as balanced shards with a contractual within-shard order. NO
+    // global sort/rank anywhere — shard id is a row-local salted
+    // hash, the within-shard position windows over the parallel unit.
+    // In-query: shards balanced, epochs actually permute differently
+    "d53_epoch_shuffle" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id")
+      def ep(e: Long) =
+        operators.Sampling.epochShuffle(base, "doc_id", e, 8)
+          .withColumn("epoch", lit(e))
+      val e1 = ep(1L)
+      val e2 = ep(2L)
+      val Array(mn, mx) = e1.groupBy("shard").count()
+        .agg(min("count"), max("count")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(mx <= mn * 2,
+        s"hash sharding must stay balanced, got min=$mn max=$mx")
+      val moved = e1
+        .select(col("doc_id"), col("shard").as("s1"), col("pos").as("p1"))
+        .join(e2.select(col("doc_id"), col("shard").as("s2"),
+          col("pos").as("p2")), "doc_id")
+        .filter(col("s1") =!= col("s2") || col("p1") =!= col("p2"))
+        .count()
+      assert(moved > 0, "epochs must produce different permutations")
+      e1.unionByName(e2)
+        .select("epoch", "doc_id", "shard", "pos")
+        .orderBy("epoch", "doc_id")
+    }),
+
     "d52_pack_efficiency" -> ((s, d) => {
       val nt = docs(s, d)
         .select(size(TextFunctions.tokens(col("text")))
@@ -7260,6 +7290,19 @@ object SparkEntry {
 
     // idf in the same fineLog2 fixed point as the Spark side — integer
     // scores, bit-identical ranking
+    // the epoch-salted LCG replayed relationally; position = rank
+    // within (epoch, shard) by (hash, id) — the exact window Spark runs
+    "d53_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id, e.epoch,
+        |  ((doc_id % 2147483647) * 1103515245
+        |   + e.epoch * 1000003 + 12345) % 2147483647 AS hv
+        | FROM documents, (VALUES (1), (2)) e(epoch))
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        | CAST(hv % 8 AS BIGINT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, hv % 8
+        |   ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY epoch, doc_id""".stripMargin,
+
     // the same ceil arithmetic per candidate context length
     "d52_pack_efficiency" ->
       """WITH nt AS (

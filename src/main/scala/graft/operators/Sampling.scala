@@ -98,4 +98,42 @@ object Sampling {
       when(pmod(hash, lit(10L)) < trainOf10, lit("train"))
         .otherwise(lit("test")))
   }
+
+  /** Deterministic EPOCH SHUFFLE + shard assignment — the training
+    * export step: every epoch needs a different but REPRODUCIBLE
+    * permutation of the corpus, materialized as `nShards` balanced
+    * shards whose within-shard order is part of the contract (the
+    * WebDataset/loader convention: shards are the unit of parallel
+    * reading, order within a shard is the read order).
+    *
+    * Scale shape: there is NO global sort and NO global rank — a
+    * global row_number would funnel the corpus through one partition.
+    * The shard id is a row-local hash (epoch-salted LCG, the d11/d12
+    * portable family), so assignment is a projection; the only
+    * shuffle is the per-shard hash partition any sharded write pays,
+    * and the within-shard position is a window per shard (the
+    * parallel unit, ~corpus/nShards rows each). Balance is hash
+    * balance: ±O(sqrt) per shard, asserted in the oracle query.
+    *
+    * Epoch-distinctness comes from salting the hash, not re-seeding a
+    * PRNG stream: h(id, e) = ((id mod P)·1103515245 + e·1000003 +
+    * 12345) mod P — cross-engine exact (all operands < 2^62). */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      epoch: Long,
+      nShards: Int
+  ): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val p = 2147483647L
+    val h = pmod(
+      pmod(col(idCol), lit(p)) * lit(1103515245L) +
+        lit(epoch) * lit(1000003L) + lit(12345L), lit(p))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }
