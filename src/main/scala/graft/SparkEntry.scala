@@ -3110,6 +3110,38 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // the residual index PERSISTED and MAINTAINED (e28's at-rest form:
+    // coarse table + pivot table + cell-partitioned codes — the
+    // residual codebook re-derives from the stored tables bit-for-bit,
+    // so nothing derived is stored). Bootstrap = the 32 pivot-rank
+    // rows (the coarse 16 are their prefix under the same ordering, so
+    // BOTH stored selections equal the full corpus's own); appends
+    // encode ONLY the batch against the stored quantizers, and the
+    // served answer is distance-identical to e28's from-scratch
+    // composition — one oracle gates both
+    "e29_pq_residual_serve" -> ((s, d) => {
+      val root = scratch(s, "e29", d)
+      val e = emb(s, d)
+      val pivotIds = e
+        .orderBy(Similarity.pivotRank(col("vec_id")).asc,
+          col("vec_id").asc)
+        .limit(32).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      val isPivot = col("vec_id").isin(pivotIds: _*)
+      AnnIndex.buildPqResidual(s, root, e.filter(isPivot), dim = 64)
+      val rest = e.filter(!isPivot)
+      AnnIndex.appendPqResidual(s, root,
+        rest.filter(pmod(col("vec_id"), lit(2L)) === 0L))
+      AnnIndex.appendPqResidual(s, root,
+        rest.filter(pmod(col("vec_id"), lit(2L)) === 1L))
+      assert(AnnIndex.trusted(s, root),
+        "append path must reseal the trust marker")
+      AnnIndex.servePqResidual(s, root, e.filter(col("vec_id") < 10),
+          k = 5).get
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // RESIDUAL IVF-PQ — true IVFADC (the FAISS IVFPQ default): the
     // corpus is quantized as coarse_centroid + PQ(residual), so the
     // shared codebook spends its centroids on fine structure instead
@@ -5106,6 +5138,99 @@ object SparkEntry {
     * via row_number, squared L2 as the identical left fold. e26 serves
     * from the persisted codes-only index; decode(encode(v)) IS the
     * reconstruction this oracle scores, so one oracle gates both. */
+  /** e28/e29: true IVFADC replayed relationally (see the map
+    * comment at the e28 entries). */
+  private def e28Oracle: String =
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+        |       (acc, x) -> acc + x)) AS nrm FROM v),
+        |cpiv AS (SELECT vec_id AS cell, emb AS pemb, nrm AS pnrm FROM n
+        |  WHERE vec_id IN (SELECT vec_id FROM n
+        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+        |             % 2147483647 * 48271) % 2147483647 ASC,
+        |            vec_id ASC LIMIT 16)),
+        |ca AS (SELECT vec_id, cell FROM (
+        |  SELECT n.vec_id, p.cell,
+        |   row_number() OVER (PARTITION BY n.vec_id
+        |     ORDER BY list_reduce(list_transform(range(1, 65),
+        |         i -> n.emb[i] * p.pemb[i]), (acc, x) -> acc + x)
+        |       / (n.nrm * p.pnrm) DESC,
+        |              p.cell ASC) AS pr
+        |  FROM n, cpiv p) t WHERE pr = 1),
+        |qa AS (SELECT vec_id, cell FROM (
+        |  SELECT n.vec_id, p.cell,
+        |   row_number() OVER (PARTITION BY n.vec_id
+        |     ORDER BY list_reduce(list_transform(range(1, 65),
+        |         i -> n.emb[i] * p.pemb[i]), (acc, x) -> acc + x)
+        |       / (n.nrm * p.pnrm) DESC,
+        |              p.cell ASC) AS pr
+        |  FROM n, cpiv p WHERE n.vec_id < 10) t WHERE pr <= 4),
+        |ppiv AS (SELECT vec_id AS pid, emb AS xemb, nrm AS xnrm FROM n
+        |  WHERE vec_id IN (SELECT vec_id FROM n
+        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
+        |             % 2147483647 * 48271) % 2147483647 ASC,
+        |            vec_id ASC LIMIT 32)),
+        |pcell AS (SELECT pid, cell FROM (
+        |  SELECT pv.pid, c.cell,
+        |   row_number() OVER (PARTITION BY pv.pid
+        |     ORDER BY list_reduce(list_transform(range(1, 65),
+        |         i -> pv.xemb[i] * c.pemb[i]), (acc, x) -> acc + x)
+        |       / (pv.xnrm * c.pnrm) DESC,
+        |              c.cell ASC) AS pr
+        |  FROM ppiv pv, cpiv c) t WHERE pr = 1),
+        |pres AS (SELECT pv.pid,
+        |   list_transform(range(1, 65),
+        |     i -> pv.xemb[i] - c.pemb[i]) AS rres
+        |  FROM ppiv pv JOIN pcell pc ON pc.pid = pv.pid
+        |   JOIN cpiv c ON c.cell = pc.cell),
+        |cres AS (SELECT n.vec_id, ca.cell,
+        |   list_transform(range(1, 65),
+        |     i -> n.emb[i] - c.pemb[i]) AS res
+        |  FROM n JOIN ca ON ca.vec_id = n.vec_id
+        |   JOIN cpiv c ON c.cell = ca.cell),
+        |cs AS (SELECT vec_id, j,
+        |    list_slice(res, j * 2 + 1, j * 2 + 2) AS sv
+        |  FROM cres, range(32) r(j)),
+        |ps AS (SELECT pid, j,
+        |    list_slice(rres, j * 2 + 1, j * 2 + 2) AS pv
+        |  FROM pres, range(32) r(j)),
+        |dj AS (SELECT cs.vec_id, cs.j, ps.pid, ps.pv,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(range(1, 3),
+        |       i -> (cs.sv[i] - ps.pv[i]) * (cs.sv[i] - ps.pv[i]))),
+        |     (a, x) -> a + x) AS d
+        |  FROM cs JOIN ps ON cs.j = ps.j),
+        |best AS (SELECT vec_id, j, pv FROM (
+        |   SELECT vec_id, j, pv, row_number() OVER (
+        |     PARTITION BY vec_id, j ORDER BY d ASC, pid ASC) AS rn
+        |   FROM dj) t WHERE rn = 1),
+        |reconr AS (SELECT vec_id, flatten(list(pv ORDER BY j)) AS rr
+        |  FROM best GROUP BY vec_id),
+        |rv AS (SELECT cr.vec_id,
+        |   list_transform(range(1, 65),
+        |     i -> c.pemb[i] + r.rr[i]) AS rvv
+        |  FROM cres cr JOIN cpiv c ON c.cell = cr.cell
+        |   JOIN reconr r ON r.vec_id = cr.vec_id),
+        |pp AS (SELECT qa.vec_id AS id1, ca.vec_id AS id2,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(range(1, 65),
+        |       i -> (q.emb[i] - c.rvv[i]) * (q.emb[i] - c.rvv[i]))),
+        |     (a, x) -> a + x) AS adist
+        |  FROM qa JOIN ca ON qa.cell = ca.cell
+        |    AND qa.vec_id <> ca.vec_id
+        |   JOIN v q ON q.vec_id = qa.vec_id
+        |   JOIN rv c ON c.vec_id = ca.vec_id)
+        |SELECT id1, id2, adist, rank FROM (
+        |  SELECT id1, id2, adist,
+        |   CAST(row_number() OVER (PARTITION BY id1
+        |     ORDER BY adist ASC, id2 ASC) AS BIGINT) AS rank
+        |  FROM pp) t
+        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
+
   private def e16Oracle: String =
     """WITH v AS (
       |  SELECT vec_id,
@@ -7661,97 +7786,11 @@ object SparkEntry {
     // pq pivots' OWN cell assignment + residuals form the codebook,
     // corpus residuals encode against it, and the reconstruction is
     // centroid + chosen residual subvectors — every fold the same
-    // left-to-right IEEE order as the kernels
-    "e28_ivf_pq_residual" ->
-      """WITH v AS (
-        |  SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, emb,
-        |  sqrt(list_reduce(list_transform(emb, x -> x * x),
-        |       (acc, x) -> acc + x)) AS nrm FROM v),
-        |cpiv AS (SELECT vec_id AS cell, emb AS pemb, nrm AS pnrm FROM n
-        |  WHERE vec_id IN (SELECT vec_id FROM n
-        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
-        |             % 2147483647 * 48271) % 2147483647 ASC,
-        |            vec_id ASC LIMIT 16)),
-        |ca AS (SELECT vec_id, cell FROM (
-        |  SELECT n.vec_id, p.cell,
-        |   row_number() OVER (PARTITION BY n.vec_id
-        |     ORDER BY list_reduce(list_transform(range(1, 65),
-        |         i -> n.emb[i] * p.pemb[i]), (acc, x) -> acc + x)
-        |       / (n.nrm * p.pnrm) DESC,
-        |              p.cell ASC) AS pr
-        |  FROM n, cpiv p) t WHERE pr = 1),
-        |qa AS (SELECT vec_id, cell FROM (
-        |  SELECT n.vec_id, p.cell,
-        |   row_number() OVER (PARTITION BY n.vec_id
-        |     ORDER BY list_reduce(list_transform(range(1, 65),
-        |         i -> n.emb[i] * p.pemb[i]), (acc, x) -> acc + x)
-        |       / (n.nrm * p.pnrm) DESC,
-        |              p.cell ASC) AS pr
-        |  FROM n, cpiv p WHERE n.vec_id < 10) t WHERE pr <= 4),
-        |ppiv AS (SELECT vec_id AS pid, emb AS xemb, nrm AS xnrm FROM n
-        |  WHERE vec_id IN (SELECT vec_id FROM n
-        |   ORDER BY (((vec_id % 2147483647 + 1000003) * 48271)
-        |             % 2147483647 * 48271) % 2147483647 ASC,
-        |            vec_id ASC LIMIT 32)),
-        |pcell AS (SELECT pid, cell FROM (
-        |  SELECT pv.pid, c.cell,
-        |   row_number() OVER (PARTITION BY pv.pid
-        |     ORDER BY list_reduce(list_transform(range(1, 65),
-        |         i -> pv.xemb[i] * c.pemb[i]), (acc, x) -> acc + x)
-        |       / (pv.xnrm * c.pnrm) DESC,
-        |              c.cell ASC) AS pr
-        |  FROM ppiv pv, cpiv c) t WHERE pr = 1),
-        |pres AS (SELECT pv.pid,
-        |   list_transform(range(1, 65),
-        |     i -> pv.xemb[i] - c.pemb[i]) AS rres
-        |  FROM ppiv pv JOIN pcell pc ON pc.pid = pv.pid
-        |   JOIN cpiv c ON c.cell = pc.cell),
-        |cres AS (SELECT n.vec_id, ca.cell,
-        |   list_transform(range(1, 65),
-        |     i -> n.emb[i] - c.pemb[i]) AS res
-        |  FROM n JOIN ca ON ca.vec_id = n.vec_id
-        |   JOIN cpiv c ON c.cell = ca.cell),
-        |cs AS (SELECT vec_id, j,
-        |    list_slice(res, j * 2 + 1, j * 2 + 2) AS sv
-        |  FROM cres, range(32) r(j)),
-        |ps AS (SELECT pid, j,
-        |    list_slice(rres, j * 2 + 1, j * 2 + 2) AS pv
-        |  FROM pres, range(32) r(j)),
-        |dj AS (SELECT cs.vec_id, cs.j, ps.pid, ps.pv,
-        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |     list_transform(range(1, 3),
-        |       i -> (cs.sv[i] - ps.pv[i]) * (cs.sv[i] - ps.pv[i]))),
-        |     (a, x) -> a + x) AS d
-        |  FROM cs JOIN ps ON cs.j = ps.j),
-        |best AS (SELECT vec_id, j, pv FROM (
-        |   SELECT vec_id, j, pv, row_number() OVER (
-        |     PARTITION BY vec_id, j ORDER BY d ASC, pid ASC) AS rn
-        |   FROM dj) t WHERE rn = 1),
-        |reconr AS (SELECT vec_id, flatten(list(pv ORDER BY j)) AS rr
-        |  FROM best GROUP BY vec_id),
-        |rv AS (SELECT cr.vec_id,
-        |   list_transform(range(1, 65),
-        |     i -> c.pemb[i] + r.rr[i]) AS rvv
-        |  FROM cres cr JOIN cpiv c ON c.cell = cr.cell
-        |   JOIN reconr r ON r.vec_id = cr.vec_id),
-        |pp AS (SELECT qa.vec_id AS id1, ca.vec_id AS id2,
-        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |     list_transform(range(1, 65),
-        |       i -> (q.emb[i] - c.rvv[i]) * (q.emb[i] - c.rvv[i]))),
-        |     (a, x) -> a + x) AS adist
-        |  FROM qa JOIN ca ON qa.cell = ca.cell
-        |    AND qa.vec_id <> ca.vec_id
-        |   JOIN v q ON q.vec_id = qa.vec_id
-        |   JOIN rv c ON c.vec_id = ca.vec_id)
-        |SELECT id1, id2, adist, rank FROM (
-        |  SELECT id1, id2, adist,
-        |   CAST(row_number() OVER (PARTITION BY id1
-        |     ORDER BY adist ASC, id2 ASC) AS BIGINT) AS rank
-        |  FROM pp) t
-        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
+    // left-to-right IEEE order as the kernels. e29 serves the same
+    // answer from the persisted codes-only index (the codebook
+    // re-derivation is exact), so one oracle gates both
+    "e29_pq_residual_serve" -> e28Oracle,
+    "e28_ivf_pq_residual" -> e28Oracle,
 
     // the sign pack replayed relationally: same OR fold (bit 64 needs
     // the MinValue literal spelled without a bare unary-minus overflow)

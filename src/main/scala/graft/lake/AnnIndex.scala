@@ -283,6 +283,100 @@ object AnnIndex {
         idCol, vecCol, k)
     }
 
+  // --------------------------------------------- residual IVF-PQ ----
+
+  private def coarsePath(root: String) = s"$root/coarse"
+
+  /** Persist the RESIDUAL IVF-PQ serving index (true IVFADC at rest):
+    * the coarse quantizer to `coarse/`, the pq pivot table to
+    * `pivots/` (the residual codebook re-derives from the two tables
+    * bit-for-bit — [[Similarity.residualCodebook]] is exact driver
+    * arithmetic, so nothing derived needs separate storage), and
+    * `(cell, id2, codes2)` rows — m bytes of codes plus a cell id per
+    * vector, the compressed at-rest form — cell-partitioned so probed
+    * cells prune at the file level. */
+  def buildPqResidual(
+      spark: SparkSession,
+      root: String,
+      corpus: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 32,
+      nCents: Int = 32,
+      nCells: Int = 16
+  ): Unit = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    distrust(spark, root)
+    val v = Similarity.prep(corpus, idCol, vecCol)
+    val coarse = Similarity.pivotSet(v, nCells)
+    val pqPivots = Similarity.pivotSet(v, nCents)
+    import spark.implicits._
+    coarse.toSeq.toDF("cell", "emb", "nrm")
+      .write.mode("overwrite").parquet(coarsePath(root))
+    pqPivots.toSeq.toDF("cell", "emb", "nrm")
+      .write.mode("overwrite").parquet(pivotsPath(root))
+    Similarity.ivfPqResidualEncode(v, coarse, pqPivots, dim, m)
+      .select("cell", "id2", "codes2")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(indexPath(root))
+    seal(spark, root,
+      s"""{"kind":"pqres","dim":$dim,"m":$m,"nCents":$nCents,""" +
+        s""""nCells":$nCells}""")
+  }
+
+  /** Fold a delta batch in: cells assigned from the STORED coarse
+    * quantizer, residuals encoded against the STORED codebook (FAISS
+    * `add` — nothing retrains under ingest, so existing codes never
+    * shift), only the batch's rows land. */
+  def appendPqResidual(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val meta = readMeta(spark, root, "pqres").getOrElse(throw
+      new IllegalStateException(
+        s"no trusted residual-PQ index at $root — rebuild first"))
+    distrust(spark, root)
+    Similarity.ivfPqResidualEncode(
+        Similarity.prep(batch, idCol, vecCol),
+        readCoarse(spark, root), readPivots(spark, root),
+        meta.get("dim").asInt(), meta.get("m").asInt())
+      .select("cell", "id2", "codes2")
+      .write.mode("append").partitionBy("cell")
+      .parquet(indexPath(root))
+    seal(spark, root, mapper.writeValueAsString(meta))
+  }
+
+  /** Serve IVFADC top-k from the codes-only residual index — None when
+    * untrusted (caller falls back to the direct
+    * [[Similarity.ivfPqResidualTopK]]). */
+  def servePqResidual(
+      spark: SparkSession,
+      root: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Option[DataFrame] =
+    readMeta(spark, root, "pqres").map { meta =>
+      Similarity.ivfPqResidualTopKFromIndex(
+        spark.read.parquet(indexPath(root)),
+        readCoarse(spark, root), readPivots(spark, root), queries,
+        meta.get("dim").asInt(), meta.get("m").asInt(),
+        idCol, vecCol, k, nProbe)
+    }
+
+  private def readCoarse(spark: SparkSession, root: String)
+      : Array[(Long, Seq[Double], Double)] =
+    spark.read.parquet(coarsePath(root))
+      .select("cell", "emb", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+
   // -------------------------------------------------------- Hamming --
 
   /** Persist the sign-binarized Hamming serving index: ONE 64-bit

@@ -1091,6 +1091,45 @@ object Similarity {
     * The residual codebook is built driver-side from the PQ pivots'
     * own residuals, replicating [[assignCells]]'s cosine + tie rule
     * in exact double arithmetic (same left-to-right folds). */
+  /** The shared residual codebook: each pq pivot's residual w.r.t. its
+    * coarse cell, flattened — [[assignCells]]'s cosine + tie rule
+    * replicated in exact driver-side double arithmetic (same
+    * left-to-right folds as the kernels), so a codebook derived from
+    * STORED pivot tables equals the build-time one bit-for-bit. */
+  private[graft] def residualCodebook(
+      coarse: Array[(Long, Seq[Double], Double)],
+      pqPivots: Array[(Long, Seq[Double], Double)]
+  ): Array[Double] = {
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    pqPivots.flatMap { case (_, pe, pn) =>
+      var bestSim = Double.NegativeInfinity
+      var bestCell = Long.MaxValue
+      var bestIdx = -1
+      var ci = 0
+      while (ci < coarse.length) {
+        val (cell, ce, cn) = coarse(ci)
+        val sim = dotD(pe, ce) / (pn * cn)
+        if (sim > bestSim || (sim == bestSim && cell < bestCell)) {
+          bestSim = sim; bestCell = cell; bestIdx = ci
+        }
+        ci += 1
+      }
+      val ce = coarse(bestIdx)._2
+      pe.indices.map(i => pe(i) - ce(i))
+    }.toArray
+  }
+
+  /** The coarse centroid as a literal lookup keyed on the `cell`
+    * column (nCells-branch coalesce — bounded by the pivot count). */
+  private def centForCol(coarse: Array[(Long, Seq[Double], Double)]) =
+    coalesce(coarse.map { case (cell, ce, _) =>
+      when(col("cell") === lit(cell), typedLit(ce))
+    }: _*)
+
   private[graft] def ivfPqResidualEncode(
       v: DataFrame,
       coarse: Array[(Long, Seq[Double], Double)],
@@ -1098,44 +1137,66 @@ object Similarity {
       dim: Int,
       m: Int
   ): DataFrame = {
-    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val residCents: Array[Double] = pqPivots.flatMap {
-      case (_, pe, pn) =>
-        var bestSim = Double.NegativeInfinity
-        var bestCell = Long.MaxValue
-        var bestIdx = -1
-        var ci = 0
-        while (ci < coarse.length) {
-          val (cell, ce, cn) = coarse(ci)
-          val sim = dotD(pe, ce) / (pn * cn)
-          if (sim > bestSim || (sim == bestSim && cell < bestCell)) {
-            bestSim = sim; bestCell = cell; bestIdx = ci
-          }
-          ci += 1
-        }
-        val ce = coarse(bestIdx)._2
-        pe.indices.map(i => pe(i) - ce(i))
-    }.toArray
+    val residCents = residualCodebook(coarse, pqPivots)
     val cells = pqPivots.map(_._1)
     // cell argmax is a projection, the centroid a literal lookup;
     // residual-encode, reconstruct = centroid + decoded residual
-    val centFor = coalesce(coarse.map { case (cell, ce, _) =>
-      when(col("cell") === lit(cell), typedLit(ce))
-    }: _*)
     import graft.functions.VectorFunctions.{vecAdd, vecSub}
     import org.apache.spark.sql.GraftSqlBridge
     val enc = GraftSqlBridge.column(graft.functions.PqEncodeExpr(
       GraftSqlBridge.expression(col("__res")), residCents, cells, dim, m))
     assignCells(v, coarse, keep = 1)
-      .withColumn("__pcent", centFor)
+      .withColumn("__pcent", centForCol(coarse))
       .withColumn("__res", vecSub(col("emb"), col("__pcent")))
       .withColumn("__enc", enc)
       .select(col("cell"), col("vec_id").as("id2"), col("emb"),
+        col("__enc")("codes").as("codes2"),
         vecAdd(col("__pcent"), col("__enc")("recon")).as("recon2"))
+  }
+
+  /** ADC serving from a persisted RESIDUAL index (`cell`, `id2`,
+    * `codes2`) with its stored pivot tables: reconstruction =
+    * centroid(cell) + decode(codes) inside the scan, candidates from
+    * the same cell-keyed equi-join as [[ivfPqResidualTopK]] — and
+    * distance-identical to it, because the codebook re-derivation is
+    * exact and decode(encode(res)) IS the residual reconstruction. */
+  def ivfPqResidualTopKFromIndex(
+      encoded: DataFrame,
+      coarse: Array[(Long, Seq[Double], Double)],
+      pqPivots: Array[(Long, Seq[Double], Double)],
+      queries: DataFrame,
+      dim: Int,
+      m: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val residCents = residualCodebook(coarse, pqPivots)
+    val cells = pqPivots.map(_._1)
+    import graft.functions.VectorFunctions.{l2Sq, vecAdd}
+    import org.apache.spark.sql.GraftSqlBridge
+    val recon = GraftSqlBridge.column(graft.functions.PqDecodeExpr(
+      GraftSqlBridge.expression(col("codes2")), residCents, cells,
+      dim, m))
+    val served = encoded
+      .withColumn("recon2",
+        vecAdd(centForCol(coarse), recon))
+      .select(col("cell"), col("id2"), col("recon2"))
+    val q = assignCells(prep(queries, idCol, vecCol), coarse,
+        keep = nProbe)
+      .select(col("vec_id").as("id1"), col("emb").as("emb1"),
+        col("cell"))
+    val w = Window.partitionBy("id1")
+      .orderBy(col("adist").asc, col("id2").asc)
+    broadcast(q)
+      .join(served, Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "emb1", "id2", "recon2")
+      .withColumn("adist", l2Sq(col("emb1"), col("recon2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "adist", "rank")
   }
 
   /** Distributed Lloyd k-means over integer-quantized embeddings — the

@@ -171,4 +171,57 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.appendHamming(spark, root, corpus.limit(1))
     }
   }
+
+  test("residual PQ: cell-partitioned codes-only index; appends use " +
+      "the STORED quantizers; served == one-shot; untrusted refuses") {
+    val corpus = vecs(0 until 60)
+    val root = TestSpark.tempDir("annpqr") + "/pqr"
+    // bootstrap = the union's own pivot-rank rows (the e26/e29
+    // discipline: the coarse set is a prefix of the pq set under the
+    // same ordering, so both stored selections equal the full
+    // corpus's own and served == direct is exact)
+    val pivotIds = Similarity.pivotSet(
+        Similarity.prep(corpus, "vec_id", "embedding"), 4)
+      .map(_._1).toSeq
+    AnnIndex.buildPqResidual(spark, root,
+      corpus.filter(col("vec_id").isin(pivotIds: _*)),
+      dim, m = 4, nCents = 4, nCells = 2)
+    val coarseBefore = spark.read.parquet(s"$root/coarse")
+      .orderBy("cell").collect().toSeq
+    val pivotsBefore = spark.read.parquet(s"$root/pivots")
+      .orderBy("cell").collect().toSeq
+    assert(spark.read.parquet(s"$root/index").columns.sorted.toSeq ==
+      Seq("cell", "codes2", "id2"),
+      "the at-rest index must hold cell + codes only")
+    val rest = corpus.filter(!col("vec_id").isin(pivotIds: _*))
+    AnnIndex.appendPqResidual(spark, root,
+      rest.filter(col("vec_id") % 2 === 0))
+    AnnIndex.appendPqResidual(spark, root,
+      rest.filter(col("vec_id") % 2 === 1))
+    // neither quantizer retrains under ingest; index grew by the batch
+    assert(spark.read.parquet(s"$root/coarse")
+      .orderBy("cell").collect().toSeq == coarseBefore)
+    assert(spark.read.parquet(s"$root/pivots")
+      .orderBy("cell").collect().toSeq == pivotsBefore)
+    assert(spark.read.parquet(s"$root/index").count() == 60)
+    assert(AnnIndex.trusted(spark, root))
+    // served == the direct from-scratch composition over the union
+    // (codebook re-derivation is exact, decode(encode) is identity)
+    val queries = vecs(0 until 3)
+    val served = AnnIndex.servePqResidual(spark, root, queries,
+        k = 3, nProbe = 2).get
+      .select("id1", "id2", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Similarity.ivfPqResidualTopK(corpus, queries,
+        dim = dim, m = 4, k = 3, nCents = 4, nCells = 2, nProbe = 2)
+      .select("id1", "id2", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == direct,
+      "the persisted index must serve the from-scratch answer")
+    AnnIndex.distrust(spark, root)
+    assert(AnnIndex.servePqResidual(spark, root, queries).isEmpty)
+    assertThrows[IllegalStateException] {
+      AnnIndex.appendPqResidual(spark, root, corpus.limit(1))
+    }
+  }
 }
