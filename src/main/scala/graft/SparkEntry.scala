@@ -4390,6 +4390,50 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // EXPECTATIONS ∘ COMMIT LOG: the write-time gate on the
+    // multi-writer path — a shared table is exactly where unvetted
+    // producers' bad rows arrive. Accepted rows commit through the
+    // normal CAS; violators quarantine with their rule names; an
+    // all-violations batch burns NO version. Asserted in-query:
+    // version accounting, the None case, quarantine on both batches
+    "q130_commitlog_screened" -> ((s, d) => {
+      val root = scratch(s, "q130", d)
+      val quar = scratch(s, "q130quar", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi - lo) / 2
+      val rules = Seq(Expectations.Rule("key_mod", "o_orderkey % 7 <> 0"))
+      val (v1, q1) = log.appendScreened(
+        src.filter(col("o_orderkey") <= mid), rules, quar)
+      val (v2, q2) = log.appendScreened(
+        src.filter(col("o_orderkey") > mid), rules, quar)
+      assert(v1.contains(1L) && v2.contains(2L) && q1 > 0 && q2 > 0,
+        s"both batches must commit and quarantine: $v1/$q1 $v2/$q2")
+      // an all-violations batch must burn no version (keys shifted by
+      // a multiple of 7 past hi: still all-violating, and excludable
+      // from the oracle-facing quarantine read)
+      val shift = (hi / 7 + 1) * 7
+      val (v3, q3) = log.appendScreened(
+        src.filter(col("o_orderkey") % 7 === 0).limit(50)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(shift)),
+        rules, quar)
+      assert(v3.isEmpty && q3 > 0 && log.latestVersion() == 2L,
+        "an all-violations batch must quarantine without committing")
+      log.read(None)
+        .select(lit("lake").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("").as("violated"))
+        .unionByName(s.read.parquet(quar)
+          .filter(col("o_orderkey") <= lit(hi)) // drop the v3 dupes
+          .select(lit("quarantine").as("side"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"), col("violated")))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -8524,6 +8568,20 @@ object SparkEntry {
     "q128_commitlog_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the screened multi-writer ingest: every source row lands exactly
+    // once — accepted (key % 7 <> 0) in the lake via two commits,
+    // violators in quarantine with the rule name; the all-violations
+    // third batch is excluded by the key band
+    "q130_commitlog_screened" ->
+      """SELECT 'lake' AS side, o_orderkey, o_custkey, o_totalprice,
+        | '' AS violated
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT 'quarantine', o_orderkey, o_custkey, o_totalprice,
+        | 'key_mod'
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // the screened merge: batch rows with key % 7 == 0 quarantine
     // (rule 'key_mod'); the lake is mergeOracle's final state

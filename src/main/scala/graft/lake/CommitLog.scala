@@ -558,6 +558,31 @@ final class CommitLog(spark: SparkSession, root: String) {
     v
   }
 
+  /** SCREENED append — write-time expectations on the multi-writer
+    * path (the q89/q123 gate, composed with the commit protocol): rows
+    * proving every rule commit through the normal CAS retry loop,
+    * violators append to `quarantinePath` carrying the failed rule
+    * names — a multi-writer table is exactly where unvetted producers'
+    * bad rows arrive, and they must quarantine for triage, not corrupt
+    * the log or reject the batch. An all-violations batch burns NO
+    * version (None). Returns (committed version, quarantined count). */
+  def appendScreened(
+      df: DataFrame,
+      rules: Seq[Expectations.Rule],
+      quarantinePath: String
+  ): (Option[Long], Long) = {
+    val (accepted, quarantined) = Expectations.screen(df, rules)
+    val q = quarantined
+      .withColumn("violated",
+        org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.col("violated")))
+    val nQ = q.count()
+    if (nQ > 0)
+      q.write.mode("append").parquet(quarantinePath)
+    val v = if (accepted.isEmpty) None else Some(append(accepted))
+    (v, nQ)
+  }
+
   /** Build the `_stats` file-skipping sidecar over the CURRENT live
     * data set (at `root/_stats`, same layout as the single-writer
     * flavor). [[append]] maintains it incrementally — spans for just
