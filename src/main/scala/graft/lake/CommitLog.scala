@@ -593,9 +593,15 @@ final class CommitLog(spark: SparkSession, root: String) {
     * are immutable: a per-file span can never go stale, and readers
     * keep unindexed files unconditionally. */
   def buildStats(): Unit = {
-    val live = resolve(None).data
-    require(live.nonEmpty, "nothing committed to index")
-    FileStats.buildForFiles(spark, root, live.map(dataPath))
+    val r = resolve(None)
+    require(r.data.nonEmpty, "nothing committed to index")
+    // through the schema-aware grouped read: a plain multi-file read
+    // over a DRIFTED live set resolves against one sampled footer —
+    // missing drifted columns, or throwing on a type-widened one.
+    // Spans land on the conformed (promoted) values; files missing a
+    // column get null spans and readers keep them conservatively.
+    FileStats.buildForDataFrame(spark, root,
+      readConformed(r.data, r.schemaOf))
   }
 
   /** Best-effort incremental span maintenance after a won commit:

@@ -76,6 +76,17 @@ object FileStats {
     buildFrom(spark, spark.read.parquet(files: _*), path)
   }
 
+  /** Build over a caller-assembled frame — the schema-evolved
+    * commit-log flavor, where a plain multi-file read would resolve
+    * against one sampled footer (missing drifted columns, or throwing
+    * outright on a type-widened one). The frame must preserve
+    * `input_file_name()` per row (grouped per-schema scans do); files
+    * missing a column land null spans for it — kept conservatively by
+    * [[candidatesForBounds]]'s isNull arm. */
+  def buildForDataFrame(
+      spark: SparkSession, path: String, df: DataFrame): Unit =
+    buildFrom(spark, df, path)
+
   private def buildFrom(
       spark: SparkSession, df: DataFrame, path: String): Unit = {
     val d = dir(path)

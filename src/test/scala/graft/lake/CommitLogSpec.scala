@@ -291,6 +291,33 @@ class CommitLogSpec extends AnyFunSuite {
       Seq(2, 3, 4), "the healing rewrite must preserve content")
   }
 
+  test("buildStats survives schema drift; pruning keeps null-span " +
+      "files conservatively and never changes the answer") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogds")).init()
+    // narrow founding file: price INT (later promoted — a plain
+    // multi-file read would throw on the widened column)
+    log.append(Seq((1, 10), (2, 20)).toDF("id", "price").coalesce(1))
+    // wide files carry an ADDED numeric column with disjoint ranges
+    log.append(Seq((11, 30.0, 50L), (12, 40.0, 99L))
+      .toDF("id", "price", "score").coalesce(1))
+    log.append(Seq((21, 50.0, 1000L), (22, 60.0, 1099L))
+      .toDF("id", "price", "score").coalesce(1))
+    log.buildStats() // must not crash on the int->double promotion
+    val live = log.liveFiles(None).size
+    val cand = log.candidateDataFiles("score >= 1000")
+    // the narrow file has NULL score spans -> kept conservatively;
+    // the low-score wide file prunes out: 2 of 3
+    assert(cand.exists(c => c.size == 2 && c.size < live),
+      s"expected 2 of $live candidates, got ${cand.map(_.size)}")
+    assert(log.readFiltered("score >= 1000")
+      .select("id").as[Int].collect().sorted.toSeq == Seq(21, 22),
+      "pruning through drift must never change the answer")
+    // a drifted-column predicate on the promoted column still prunes
+    val candP = log.candidateDataFiles("price >= 45.0")
+    assert(candP.exists(_.size < live),
+      s"promoted-column spans must prune: ${candP.map(_.size)}")
+  }
+
   test("column mapping composes with tombstones on commit-log reads") {
     val log = CommitLog(spark, TestSpark.tempDir("clog8")).init()
     log.append(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "price"))
