@@ -4013,8 +4013,12 @@ object SparkEntry {
         s"o_orderkey >= ${lo + 3 * e} and o_orderkey <= ${lo + 4 * e}"
       val live = log.liveFiles(None)
       val cand = log.candidateDataFiles(pred)
-      assert(cand.isDefined && cand.get.nonEmpty &&
-        cand.get.size < live.size,
+      // on a gappy key domain (ScalingBench's shifted unions) the
+      // band can hold zero rows — pruning to ZERO files is then the
+      // manifest working perfectly, not a failure
+      val bandHasRows = src.filter(expr(pred)).limit(1).count() > 0
+      assert(cand.isDefined && cand.get.size < live.size &&
+        (cand.get.nonEmpty || !bandHasRows),
         s"the range scan must list a strict subset of live files " +
           s"(${cand.map(_.size)} of ${live.size})")
       assert(log.readFiltered(pred).count() ==
@@ -4366,9 +4370,21 @@ object SparkEntry {
       val keyPred =
         s"o_orderkey >= $lo and o_orderkey <= ${lo + e / 2}"
       val before = log.candidateDataFiles(custPred)
-      assert(before.forall(_.size == log.liveFiles(None).size),
-        s"pre-zorder, a custkey range must prune nothing: " +
-          s"${before.map(_.size)}")
+      // contiguous fixtures: custkey is uniform within every
+      // key-banded file, so the second axis prunes NOTHING before the
+      // rewrite. Gappy scaled unions (ScalingBench's shifted copies)
+      // correlate the two keys, so the no-pruning claim only binds
+      // when every eighth of the key domain actually holds rows
+      val e8 = (hi - lo) / 8
+      val contiguous = (0 until 8).forall { i =>
+        src.filter(col("o_orderkey").between(
+          lo + i * e8 + (if (i == 0) 0L else 1L), lo + (i + 1) * e8))
+          .limit(1).count() > 0
+      }
+      assert(before.isDefined &&
+        (!contiguous || before.get.size == log.liveFiles(None).size),
+        s"pre-zorder, a custkey range must prune nothing on a " +
+          s"contiguous domain: ${before.map(_.size)}")
       val vPre = log.latestVersion()
       log.optimize(targetFiles = 8,
         zorderBy = Seq("o_orderkey", "o_custkey"))
