@@ -4412,9 +4412,9 @@ object SparkEntry {
     // normal CAS; violators quarantine with their rule names; an
     // all-violations batch burns NO version. Asserted in-query:
     // version accounting, the None case, quarantine on both batches
-    "q130_commitlog_screened" -> ((s, d) => {
-      val root = scratch(s, "q130", d)
-      val quar = scratch(s, "q130quar", d)
+    "q129_commitlog_screened" -> ((s, d) => {
+      val root = scratch(s, "q129", d)
+      val quar = scratch(s, "q129quar", d)
       val log = CommitLog(s, root).init()
       val src = ord(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -8589,7 +8589,7 @@ object SparkEntry {
     // once — accepted (key % 7 <> 0) in the lake via two commits,
     // violators in quarantine with the rule name; the all-violations
     // third batch is excluded by the key band
-    "q130_commitlog_screened" ->
+    "q129_commitlog_screened" ->
       """SELECT 'lake' AS side, o_orderkey, o_custkey, o_totalprice,
         | '' AS violated
         |FROM orders WHERE o_orderkey % 7 <> 0
