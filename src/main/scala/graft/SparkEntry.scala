@@ -4450,6 +4450,62 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // STATS IN THE COMMIT LOG (the Delta per-AddFile stats design):
+    // every commit carries min/max spans + row counts for its OWN
+    // files, so multi-writer file skipping needs no shared sidecar at
+    // all — each writer's spans ride its own atomic commit and are
+    // live the moment the commit is visible. TWO writer handles
+    // interleave disjoint-band appends with NO buildStats call, and a
+    // range probe still scans a strict subset of live files
+    // (asserted, and asserted to have come from the log, not a
+    // sidecar); spans survive checkpoint + retention truncation
+    // (asserted across expireBefore); an OPTIMIZE ZORDER's packed
+    // outputs carry their own spans, restoring skipping on the new
+    // layout (asserted). Pruning never changes the answer.
+    "q131_commit_stats_in_log" -> ((s, d) => {
+      val root = scratch(s, "q131", d)
+      val a = CommitLog(s, root).init()
+      val b = CommitLog(s, root) // second writer, same log
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 8
+      def band(x: Long, y: Long) =
+        src.filter(col("o_orderkey").between(x, y))
+      a.append(band(lo, lo + 2 * e).orderBy("o_orderkey").coalesce(1))
+      b.append(band(lo + 2 * e + 1, lo + 5 * e)
+        .orderBy("o_orderkey").coalesce(1))
+      a.append(band(lo + 5 * e + 1, hi)
+        .orderBy("o_orderkey").coalesce(1))
+      val pred =
+        s"o_orderkey >= ${lo + 3 * e} and o_orderkey <= ${lo + 4 * e}"
+      // gappy key domains (ScalingBench's shifted unions) can leave
+      // the band empty — pruning to zero files is then correct
+      val bandHasRows = src.filter(expr(pred)).limit(1).count() > 0
+      def assertSubset(tag: String): Unit = {
+        val live = a.liveFiles(None)
+        val cand = a.candidateDataFiles(pred)
+        assert(cand.isDefined && cand.get.size < live.size &&
+          (cand.get.nonEmpty || !bandHasRows),
+          s"$tag: log-carried spans must prune to a strict subset " +
+            s"(${cand.map(_.size)} of ${live.size})")
+      }
+      assertSubset("no sidecar")
+      assert(!FileStats.trusted(s, root),
+        "the prune must have come from the log, not a sidecar")
+      a.expireBefore(3L) // checkpoint at v3, drop v1/v2 manifests
+      assertSubset("after retention truncation")
+      val vOpt = a.optimize(targetFiles = 4, zorderBy = Seq("o_orderkey"))
+      assert(vOpt.isDefined, "optimize must commit a rewrite")
+      assertSubset("after optimize (rewrite outputs carry spans)")
+      assert(a.readFiltered(pred).count() ==
+        a.read(None).filter(pred).count(),
+        "pruning must never change the answer")
+      a.readFiltered(pred).orderBy("o_orderkey")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -6451,6 +6507,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'v3', * FROM src
         |ORDER BY side, o_orderkey""".stripMargin,
+
+    // the probe band, unchanged by truncation and the layout rewrite
+    "q131_commit_stats_in_log" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 8 AS e FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey BETWEEN lo + 3*e AND lo + 4*e
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the adopted base plus the post-adoption append
     "q119_commit_adopt" ->

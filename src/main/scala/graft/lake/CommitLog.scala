@@ -90,10 +90,23 @@ final class CommitLog(spark: SparkSession, root: String) {
   /** Highest committed version, 0 if none. O(commits) listing. */
   def latestVersion(): Long = existingVersions().foldLeft(0L)(math.max)
 
+  /** Per-file column spans + row count carried IN a commit manifest
+    * (Delta's per-AddFile `stats` JSON): min/max as doubles (pruning
+    * needs comparability, not exactness — the residual predicate
+    * always re-applies), None spans for all-null columns. Stats in
+    * the LOG, not a shared sidecar, is what multi-writer skipping
+    * needs: each writer records spans for its own files inside its
+    * own atomic commit, so concurrent appends never contend on a
+    * shared manifest and a file is skippable the instant its commit
+    * is visible. */
+  final case class FileSpans(nRows: Long,
+      cols: Map[String, (Option[Double], Option[Double])])
+
   final case class Commit(version: Long, kind: String,
       files: Seq[String], removed: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      schema: Option[StructType] = None)
+      schema: Option[StructType] = None,
+      stats: Map[String, FileSpans] = Map.empty)
 
   /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the
@@ -103,7 +116,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     * (SCHEMA EVOLUTION: the log is the schema registry — absent only
     * for commits written before schemas were recorded). */
   final case class Resolved(data: Seq[String], tombstones: Seq[String],
-      schemaOf: Map[String, StructType] = Map.empty)
+      schemaOf: Map[String, StructType] = Map.empty,
+      spanOf: Map[String, FileSpans] = Map.empty)
 
   private def dataPath(name: String): String =
     new Path(dataDir, name).toString
@@ -129,9 +143,32 @@ final class CommitLog(spark: SparkSession, root: String) {
             node.path("txn").path("batch").asLong()))
         else None
       Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn,
-        schemaOfNode(node))
+        schemaOfNode(node), statsOfNode(node))
     }
   }
+
+  /** Parse a commit/checkpoint node's `stats` object:
+    * `{file: {n: rows, cols: {name: [min, max]}}}`, JSON nulls for
+    * all-null spans. */
+  private def statsOfNode(node: ObjectNode): Map[String, FileSpans] =
+    if (!node.has("stats")) Map.empty
+    else {
+      val m = scala.collection.mutable.Map[String, FileSpans]()
+      node.path("stats").fields().forEachRemaining { e =>
+        val fn = e.getValue.asInstanceOf[ObjectNode]
+        val cols = scala.collection.mutable
+          .Map[String, (Option[Double], Option[Double])]()
+        if (fn.has("cols"))
+          fn.path("cols").fields().forEachRemaining { c =>
+            val arr = c.getValue
+            def side(i: Int): Option[Double] =
+              if (arr.path(i).isNull) None else Some(arr.path(i).asDouble())
+            cols(c.getKey) = (side(0), side(1))
+          }
+        m(e.getKey) = FileSpans(fn.path("n").asLong(), cols.toMap)
+      }
+      m.toMap
+    }
 
   /** Parse a commit/checkpoint node's flat `schema` object (name ->
     * simpleString, the [[SchemaTools.schemaToMap]] codec). */
@@ -159,38 +196,41 @@ final class CommitLog(spark: SparkSession, root: String) {
     * way. */
   def resolve(asOf: Option[Long] = None): Resolved = {
     val hi = asOf.getOrElse(latestVersion())
-    val (baseData, baseTs, baseSch, from) = newestCheckpoint(hi) match {
-      case Some(cv) =>
-        val node = mapper
-          .readTree(TimeFly.readText(fs, checkpointFile(cv)))
-          .asInstanceOf[ObjectNode]
-        val bd = scala.collection.mutable.ArrayBuffer[String]()
-        node.withArray("files").forEach(n => bd += n.asText())
-        val bt = scala.collection.mutable.ArrayBuffer[String]()
-        node.withArray("tombstones").forEach(n => bt += n.asText())
-        // per-file schemas fold as GROUPS (files sharing a schema share
-        // one entry) — resolution from a checkpoint must not lose the
-        // evolution history the dropped prefix carried
-        val bs = scala.collection.mutable.Map[String, StructType]()
-        if (node.has("schemaGroups"))
-          node.withArray("schemaGroups").forEach { gn =>
-            val g = gn.asInstanceOf[ObjectNode]
-            schemaOfNode(g).foreach { st =>
-              g.withArray("files").forEach(n => bs(n.asText()) = st)
+    val (baseData, baseTs, baseSch, baseSp, from) =
+      newestCheckpoint(hi) match {
+        case Some(cv) =>
+          val node = mapper
+            .readTree(TimeFly.readText(fs, checkpointFile(cv)))
+            .asInstanceOf[ObjectNode]
+          val bd = scala.collection.mutable.ArrayBuffer[String]()
+          node.withArray("files").forEach(n => bd += n.asText())
+          val bt = scala.collection.mutable.ArrayBuffer[String]()
+          node.withArray("tombstones").forEach(n => bt += n.asText())
+          // per-file schemas fold as GROUPS (files sharing a schema
+          // share one entry) — resolution from a checkpoint must not
+          // lose the evolution history the dropped prefix carried
+          val bs = scala.collection.mutable.Map[String, StructType]()
+          if (node.has("schemaGroups"))
+            node.withArray("schemaGroups").forEach { gn =>
+              val g = gn.asInstanceOf[ObjectNode]
+              schemaOfNode(g).foreach { st =>
+                g.withArray("files").forEach(n => bs(n.asText()) = st)
+              }
             }
-          }
-        (bd.toSeq, bt.toSeq, bs.toMap, cv + 1)
-      case None =>
-        (Seq.empty[String], Seq.empty[String],
-          Map.empty[String, StructType], 1L)
-    }
+          (bd.toSeq, bt.toSeq, bs.toMap, statsOfNode(node), cv + 1)
+        case None =>
+          (Seq.empty[String], Seq.empty[String],
+            Map.empty[String, StructType],
+            Map.empty[String, FileSpans], 1L)
+      }
     val commits = (from to hi).map(commit)
     val lastReplace = commits.lastIndexWhere(_.kind == "replace")
-    val (data0, ts0, sch0, tail) =
+    val (data0, ts0, sch0, sp0, tail) =
       if (lastReplace >= 0)
         (Seq.empty[String], Seq.empty[String],
-          Map.empty[String, StructType], commits.drop(lastReplace))
-      else (baseData, baseTs, baseSch, commits)
+          Map.empty[String, StructType],
+          Map.empty[String, FileSpans], commits.drop(lastReplace))
+      else (baseData, baseTs, baseSch, baseSp, commits)
     // ordered fold: appends/replace-start accumulate, deletes add
     // tombstones, a REWRITE swaps its compacted inputs for its packed
     // outputs in place (row-preserving — resolution order matters only
@@ -198,6 +238,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     var data = data0.toVector
     var ts = ts0.toVector
     var sch = sch0
+    var sp = sp0
     tail.foreach { c =>
       def recorded: Map[String, StructType] =
         c.schema.map(st => c.files.map(_ -> st).toMap).getOrElse(Map.empty)
@@ -207,12 +248,14 @@ final class CommitLog(spark: SparkSession, root: String) {
           val rm = c.removed.toSet
           data = data.filterNot(rm) ++ c.files
           sch = sch -- rm ++ recorded
+          sp = sp -- rm ++ c.stats
         case _ =>
           data = data ++ c.files
           sch = sch ++ recorded
+          sp = sp ++ c.stats
       }
     }
-    Resolved(data, ts, sch)
+    Resolved(data, ts, sch, sp)
   }
 
   /** Read the committed state (optionally as of an old version — the
@@ -230,15 +273,19 @@ final class CommitLog(spark: SparkSession, root: String) {
     assembleRead(resolve(asOf), None)
 
   /** [[read]] with a SQL predicate whose range conjuncts prune the
-    * FILE LISTING through the `_stats` sidecar ([[buildStats]] /
-    * append-maintained): only span-intersecting files are scanned, the
-    * residual predicate is always re-applied, and files the sidecar
-    * has no row for (appended by writers that don't maintain it) are
-    * kept unconditionally — conservative under every interleaving
-    * because data files are immutable, so a per-file span can never go
-    * stale. Tombstones still subtract and column mapping still applies
-    * (pruning bails when renames/drops are active — the predicate's
-    * logical names would miss the manifest's physical spans). */
+    * FILE LISTING. Spans come first from the LOG ITSELF — every
+    * commit carries [[FileSpans]] for its own files (the Delta
+    * per-AddFile stats design), so a file is skippable the moment its
+    * commit is visible, with no shared-sidecar maintenance for
+    * concurrent writers to contend on — then from the `_stats`
+    * sidecar for legacy files ([[buildStats]]), and files neither
+    * source covers are kept unconditionally. Only span-intersecting
+    * files are scanned, the residual predicate is always re-applied;
+    * conservative under every interleaving because data files are
+    * immutable, so a per-file span can never go stale. Tombstones
+    * still subtract and column mapping still applies (pruning bails
+    * when renames/drops are active — the predicate's logical names
+    * would miss the recorded physical spans). */
   def readFiltered(predicate: String, asOf: Option[Long] = None)
       : DataFrame =
     assembleRead(resolve(asOf), Some(predicate))
@@ -251,25 +298,52 @@ final class CommitLog(spark: SparkSession, root: String) {
     val mappingActive = SchemaTools.readSchemaMarkerInfo(spark, root)
       .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty)
     if (mappingActive) None
-    else prunedLive(predicate, resolve(None).data)
+    else {
+      val r = resolve(None)
+      prunedLive(predicate, r.data, r.spanOf)
+    }
   }
 
-  /** Names in `live` surviving the span prune: indexed files keep iff
-    * span-intersecting, unindexed files keep unconditionally. */
-  private def prunedLive(predicate: String, live: Seq[String])
-      : Option[Seq[String]] = {
-    if (!FileStats.trusted(spark, root)) return None
+  /** Names in `live` surviving the span prune. Two span sources merge,
+    * LOG-CARRIED spans authoritative: a file whose commit recorded
+    * spans ([[FileSpans]] in its manifest) keeps iff every extracted
+    * range bound intersects its span (absent/all-null columns keep —
+    * conservative); a file the log doesn't cover falls back to the
+    * `_stats` sidecar (indexed: keep iff span-intersecting; unindexed:
+    * keep unconditionally). Correct under every interleaving because
+    * data files are immutable — a per-file span can never go stale —
+    * and the log-carried source needs NO shared maintenance at all:
+    * each writer's spans ride its own atomic commit. None when nothing
+    * can prune (no extractable range, or neither source has a span
+    * for any file). */
+  private def prunedLive(predicate: String, live: Seq[String],
+      spanOf: Map[String, FileSpans]): Option[Seq[String]] = {
     val bounds = FileStats.rangeBounds(spark, predicate)
     if (bounds.isEmpty) return None
-    for {
-      cands <- FileStats.candidatesForBounds(spark, root, bounds)
-      indexed <- FileStats.indexedFiles(spark, root)
-    } yield {
-      val candNames = cands.map(f => new Path(f).getName).toSet
-      val indexedNames = indexed.map(f => new Path(f).getName).toSet
-      live.filter(n =>
-        !indexedNames.contains(n) || candNames.contains(n))
-    }
+    val sidecar: Option[(Set[String], Set[String])] =
+      if (!FileStats.trusted(spark, root)) None
+      else for {
+        cands <- FileStats.candidatesForBounds(spark, root, bounds)
+        indexed <- FileStats.indexedFiles(spark, root)
+      } yield (cands.map(f => new Path(f).getName).toSet,
+        indexed.map(f => new Path(f).getName).toSet)
+    if (spanOf.isEmpty && sidecar.isEmpty) return None
+    def logKeeps(sp: FileSpans): Boolean =
+      bounds.forall { case (c, (lo, hi)) =>
+        sp.cols.get(c) match {
+          case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
+          case _ => true // unindexed or all-null column: keep
+        }
+      }
+    Some(live.filter { n =>
+      spanOf.get(n) match {
+        case Some(sp) => logKeeps(sp)
+        case None => sidecar match {
+          case Some((cand, idx)) => !idx.contains(n) || cand.contains(n)
+          case None => true
+        }
+      }
+    })
   }
 
   /** Read raw data files honoring per-file RECORDED schemas (schema
@@ -316,7 +390,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     val mappingActive =
       marker.exists(i => i.renames.nonEmpty || i.dropped.nonEmpty)
     val scanNames = predicate.filter(_ => !mappingActive)
-      .flatMap(p => prunedLive(p, r.data))
+      .flatMap(p => prunedLive(p, r.data, r.spanOf))
       .getOrElse(r.data)
     val base =
       if (scanNames.isEmpty)
@@ -463,7 +537,14 @@ final class CommitLog(spark: SparkSession, root: String) {
       fs.rename(p, new Path(dataDir, p.getName))
       p.getName
     }
-    if (!tryCas(1L, "append", names, schema = adoptedSchema))
+    // spans only for a known-homogeneous source: a drifted source's
+    // multi-file read could mis-resolve (the buildStats caveat), and
+    // span-less adoption just reads unpruned until an optimize heals
+    val adoptedStats =
+      if (adoptedSchema.isDefined) spansOf(names)
+      else Map.empty[String, FileSpans]
+    if (!tryCas(1L, "append", names, schema = adoptedSchema,
+        stats = adoptedStats))
       throw new java.util.ConcurrentModificationException(
         "another writer claimed v1 during adoption")
     notifyCommit()
@@ -486,10 +567,63 @@ final class CommitLog(spark: SparkSession, root: String) {
     names
   }
 
+  /** Serialize per-file spans onto `node` (commits and checkpoints
+    * share the codec [[statsOfNode]] reads). */
+  private def putStats(node: ObjectNode,
+      stats: Map[String, FileSpans]): Unit =
+    if (stats.nonEmpty) {
+      val sn = node.putObject("stats")
+      stats.toSeq.sortBy(_._1).foreach { case (name, sp) =>
+        val fn = sn.putObject(name)
+        fn.put("n", sp.nRows)
+        if (sp.cols.nonEmpty) {
+          val cn = fn.putObject("cols")
+          sp.cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val arr = cn.putArray(c)
+            mn.fold(arr.addNull())(arr.add)
+            mx.fold(arr.addNull())(arr.add)
+          }
+        }
+      }
+    }
+
+  /** Per-file spans for freshly-staged files — ONE bounded distributed
+    * agg over just the batch (page-warm; same information Delta's
+    * writer tasks collect inline). Numeric columns only, doubles, the
+    * [[FileStats]] discipline. */
+  private def spansOf(names: Seq[String]): Map[String, FileSpans] = {
+    if (names.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val df = spark.read.parquet(names.map(dataPath): _*)
+    val numeric = df.schema.fields
+      .filter(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSeq
+    val aggs = numeric.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"${c}_min"),
+        max(col(c).cast("double")).as(s"${c}_max"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val cols = numeric.map { c =>
+          def side(f: String): Option[Double] = {
+            val i = r.fieldIndex(f)
+            if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          }
+          c -> ((side(s"${c}_min"), side(s"${c}_max")))
+        }.toMap
+        new Path(r.getString(r.fieldIndex("file"))).getName ->
+          FileSpans(r.getLong(r.fieldIndex("n_rows")), cols)
+      }.toMap
+  }
+
   private def tryCas(v: Long, kind: String, names: Seq[String],
       removed: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      schema: Option[StructType] = None): Boolean = {
+      schema: Option[StructType] = None,
+      stats: Map[String, FileSpans] = Map.empty): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
     val arr = node.putArray("files")
@@ -508,6 +642,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       SchemaTools.schemaToMap(st).toSeq.sortBy(_._1)
         .foreach { case (n, t) => sn.put(n, t) }
     }
+    putStats(node, stats)
     val vf = versionFile(v)
     // Commit visibility is ATOMIC: the full payload lands in a temp
     // file first, then links/renames into the version slot in one
@@ -550,8 +685,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     * version; returns it. */
   def append(df: DataFrame): Long = {
     val names = stage(df)
+    val spans = spansOf(names)
     var v = latestVersion() + 1
-    while (!tryCas(v, "append", names, schema = Some(df.schema)))
+    while (!tryCas(v, "append", names, schema = Some(df.schema),
+        stats = spans))
       v = latestVersion() + 1
     maintainStats(names)
     notifyCommit()
@@ -622,9 +759,11 @@ final class CommitLog(spark: SparkSession, root: String) {
     * appends). Old data files stay for time travel; vacuum reclaims. */
   def replace(df: DataFrame, baseVersion: Long): Long = {
     val names = stage(df)
+    val spans = spansOf(names)
     val v = baseVersion + 1
     if (latestVersion() != baseVersion ||
-        !tryCas(v, "replace", names, schema = Some(df.schema)))
+        !tryCas(v, "replace", names, schema = Some(df.schema),
+          stats = spans))
       throw new java.util.ConcurrentModificationException(
         s"replace planned on v$baseVersion but the log advanced " +
           s"to v${latestVersion()} — re-plan on fresh state")
@@ -675,6 +814,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (zorderBy.nonEmpty) ZOrder.cluster(raw, zorderBy, targetFiles)
       else raw.repartition(targetFiles)
     val names = stage(packed)
+    val spans = spansOf(names)
     val inputSet = inputs.toSet
     var v = latestVersion() + 1
     var done = false
@@ -685,7 +825,7 @@ final class CommitLog(spark: SparkSession, root: String) {
           "optimize planned on files a concurrent replace/rewrite " +
             "removed — re-plan on fresh state")
       done = tryCas(v, "rewrite", names, removed = inputs,
-        schema = Some(raw.schema))
+        schema = Some(raw.schema), stats = spans)
       if (!done) v = latestVersion() + 1
     }
     FileStats.invalidate(spark, root)
@@ -732,12 +872,13 @@ final class CommitLog(spark: SparkSession, root: String) {
       : Option[Long] = {
     if (lastTxn(appId).exists(_ >= batchId)) return None
     val names = stage(df)
+    val spans = spansOf(names)
     var v = latestVersion() + 1
     var done = false
     while (!done) {
       if (lastTxn(appId).exists(_ >= batchId)) return None
       done = tryCas(v, "append", names, txn = Some((appId, batchId)),
-        schema = Some(df.schema))
+        schema = Some(df.schema), stats = spans)
       if (!done) v = latestVersion() + 1
     }
     maintainStats(names)
@@ -802,6 +943,9 @@ final class CommitLog(spark: SparkSession, root: String) {
             .foreach { case (n, t) => sn.put(n, t) }
         }
     }
+    // fold log-carried per-file spans ([[FileSpans]]) — skipping must
+    // survive log truncation exactly like schema history does
+    putStats(node, r.spanOf)
     // fold per-app txn high-water marks (Delta keeps SetTransaction
     // actions alive in checkpoints for the same reason: idempotence
     // must survive log truncation)

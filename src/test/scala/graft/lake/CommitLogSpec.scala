@@ -132,14 +132,20 @@ class CommitLogSpec extends AnyFunSuite {
       s"the post-build file must be span-pruned too: $cand of $live")
     assert(log.readFiltered("id >= 250 and id <= 260")
       .select("id").as[Int].collect().sorted.toSeq == (250 to 260))
-    // a replace re-homes every row: the spans described a dead set
+    // a replace re-homes every row: the SIDECAR described a dead set
+    // and must drop trust — but the replace commit carries spans for
+    // its own outputs (stats-in-the-log), so pruning claims reflect
+    // exactly the fresh live set, never the dead one
     log.replace(batch(500, 599), log.latestVersion())
     assert(!FileStats.trusted(spark, root), "replace must drop trust")
-    assert(log.candidateDataFiles("id >= 550 and id <= 560").isEmpty,
-      "no pruning claim may survive a replace")
+    val post = log.candidateDataFiles("id >= 550 and id <= 560")
+    assert(post.exists(_.toSet.subsetOf(log.liveFiles(None).toSet)),
+      s"post-replace claims must only name fresh live files: $post")
+    assert(log.candidateDataFiles("id >= 0 and id <= 99").exists(_.isEmpty),
+      "the dead pre-replace band must prune to zero fresh files")
     assert(log.readFiltered("id >= 550 and id <= 560")
       .select("id").as[Int].collect().sorted.toSeq == (550 to 560),
-      "the unpruned fallback still answers")
+      "pruned reads answer from the fresh live set")
     log.buildStats()
     assert(log.candidateDataFiles("id >= 550 and id <= 560").isDefined)
   }
@@ -316,6 +322,57 @@ class CommitLogSpec extends AnyFunSuite {
     val candP = log.candidateDataFiles("price >= 45.0")
     assert(candP.exists(_.size < live),
       s"promoted-column spans must prune: ${candP.map(_.size)}")
+  }
+
+  test("log-carried spans prune with NO sidecar; a span-less legacy " +
+      "commit keeps its file unconditionally; a replace resets spans") {
+    val dir = TestSpark.tempDir("clogsp")
+    val log = CommitLog(spark, dir).init()
+    log.append(Seq((1, 1.0), (2, 2.0)).toDF("id", "v").coalesce(1))
+    log.append(Seq((11, 1.0), (12, 2.0)).toDF("id", "v").coalesce(1))
+    log.append(Seq((21, 1.0), (22, 2.0)).toDF("id", "v").coalesce(1))
+    assert(!FileStats.trusted(spark, dir),
+      "fixture must have no sidecar — the log is the only span source")
+    val cand = log.candidateDataFiles("id >= 11 and id <= 12")
+    assert(cand.exists(_.size == 1),
+      s"log spans must prune to the one holding file: ${cand.map(_.size)}")
+    assert(log.readFiltered("id >= 11 and id <= 12")
+      .select("id").as[Int].collect().sorted.toSeq == Seq(11, 12))
+    // strip v2's recorded stats — a legacy writer that records none;
+    // its file must be KEPT unconditionally while covered files still
+    // prune (test shim: manifests are immutable under the protocol)
+    val vf = new org.apache.hadoop.fs.Path(dir, f"_commits/v${2L}%020d.json")
+    val fs = vf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(TimeFly.readText(fs, vf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("stats")
+    fs.delete(vf, false)
+    val out = fs.create(vf, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    val cand2 = log.candidateDataFiles("id >= 21 and id <= 22")
+    assert(cand2.exists(_.size == 2),
+      "the legacy file must be kept alongside the span-matched one: " +
+        s"${cand2.map(_.size)}")
+    assert(log.readFiltered("id >= 1 and id <= 22")
+      .select("id").as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 11, 12, 21, 22),
+      "a legacy commit's rows must never be lost to pruning")
+    // an all-null numeric column records null spans -> conservative:
+    // the out-of-band probe keeps the null-span file AND the legacy
+    // (span-stripped) file, and prunes the three span-covered ones
+    log.append(spark.sql("select cast(null as int) as id, 9.0 as v"))
+    val cand3 = log.candidateDataFiles("id >= 1000000")
+    assert(cand3.exists(_.size == 2),
+      s"null-span + legacy files must be kept: ${cand3.map(_.size)}")
+    // a replace resets the span map to exactly its own outputs
+    log.replace(Seq((31, 1.0)).toDF("id", "v").coalesce(1),
+      log.latestVersion())
+    val r = log.resolve(None)
+    assert(r.spanOf.keySet == r.data.toSet,
+      "after a replace, spans must describe exactly the live set")
+    assert(log.candidateDataFiles("id >= 100").exists(_.isEmpty),
+      "the replaced state's spans must prune the out-of-band probe")
   }
 
   test("column mapping composes with tombstones on commit-log reads") {
