@@ -2695,6 +2695,24 @@ object SparkEntry {
         .orderBy("epoch", "doc_id")
     }),
 
+    // PAGERANK centrality in exact integer fixed point (the crawl-
+    // curation quality signal — Common Crawl publishes per-host rank
+    // lists computed exactly this way): 3 damped iterations with the
+    // dangling-mass correction over the bipartite customer→supplier
+    // citation graph (even/odd node encoding keeps the key spaces
+    // disjoint). Every rank is an integer numerator under floor
+    // division — the oracle unrolls the same 3 iterations and both
+    // engines replay the identical sequence; per-iteration driver
+    // state is ONE scalar (the dangling mass)
+    "d54_pagerank" -> ((s, d) => {
+      val e = ord(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      operators.Graph.pageRank(e, "src", "dst", iters = 3)
+    }),
+
     "d52_pack_efficiency" -> ((s, d) => {
       val nt = docs(s, d)
         .select(size(TextFunctions.tokens(col("text")))
@@ -7551,6 +7569,42 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY epoch, hv % 8
         |   ORDER BY hv, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY epoch, doc_id""".stripMargin,
+
+    // the same 3 damped iterations unrolled — base term, per-source
+    // floor-divided contributions, and the dangling-mass scalar all
+    // in the identical integer arithmetic (2^40 = 1099511627776)
+    "d54_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""d$cur AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm
+           |  FROM r$prev WHERE node NOT IN (SELECT src FROM od)),
+           |c$cur AS (SELECT e.dst AS node,
+           |    CAST(sum(r$prev.rank // od.out) AS BIGINT) AS contrib
+           |  FROM r$prev JOIN e ON r$prev.node = e.src
+           |  JOIN od ON e.src = od.src
+           |  GROUP BY e.dst),
+           |r$cur AS (SELECT nodes.node,
+           |    CAST((1099511627776 - (85 * 1099511627776) // 100) // n.n
+           |      + (85 * (coalesce(c$cur.contrib, 0) + d$cur.dm // n.n))
+           |        // 100 AS BIGINT) AS rank
+           |  FROM nodes CROSS JOIN n CROSS JOIN d$cur
+           |  LEFT JOIN c$cur ON nodes.node = c$cur.node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT 2*o_custkey AS src,
+         |    2*l_suppkey + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM e
+         |          UNION SELECT dst FROM e),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS out
+         |       FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(1099511627776 // n AS BIGINT) AS rank
+         |       FROM nodes, n),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT node, rank,
+         |  CAST(rank AS DOUBLE) / 1099511627776.0 AS share
+         |FROM r3 ORDER BY node""".stripMargin
+    },
 
     // the same ceil arithmetic per candidate context length
     "d52_pack_efficiency" ->
