@@ -2713,6 +2713,19 @@ object SparkEntry {
       operators.Graph.pageRank(e, "src", "dst", iters = 3)
     }),
 
+    // MODEL-BASED QUALITY CLASSIFIER INFERENCE (the fastText-style
+    // filter after the hard rules): feature-hashed bag of words, one
+    // integer weight per (bucket, class) derived deterministically
+    // from the portable hash family (a trained model's weights are an
+    // input artifact; none ships here — the SHAPE is the operator),
+    // argmax label with ties to the lowest class, margin = top minus
+    // runner-up. Zero joins: scoring is per-row projections + one
+    // map-side-combining agg, and every score is an exact integer the
+    // oracle replays
+    "d55_classifier_score" -> ((s, d) => {
+      operators.Quality.classifierScore(docs(s, d))
+    }),
+
     "d52_pack_efficiency" -> ((s, d) => {
       val nt = docs(s, d)
         .select(size(TextFunctions.tokens(col("text")))
@@ -7604,6 +7617,31 @@ object SparkEntry {
          |SELECT node, rank,
          |  CAST(rank AS DOUBLE) / 1099511627776.0 AS share
          |FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // the same hash-derived weights and argmax/margin arithmetic —
+    // charFold buckets, ((b*1103515245 + k*12345 + 7) % (2^31-1))
+    // % 255 - 127 per class, exact integers throughout
+    "d55_classifier_score" -> {
+      def w(k: Int): String =
+        s"((b * 1103515245 + ${k * 12345 + 7}) % 2147483647) % 255 - 127"
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |f AS (SELECT doc_id,
+         |    ${sqlCharFold("tok", 131)} % 4096 AS b
+         |  FROM t WHERE length(tok) > 0),
+         |s AS (SELECT doc_id,
+         |    CAST(sum(${w(0)}) AS BIGINT) AS s0,
+         |    CAST(sum(${w(1)}) AS BIGINT) AS s1,
+         |    CAST(sum(${w(2)}) AS BIGINT) AS s2
+         |  FROM f GROUP BY doc_id)
+         |SELECT doc_id, s0, s1, s2,
+         |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+         |       WHEN s1 >= s2 THEN 1 ELSE 2 END AS BIGINT) AS label,
+         |  CAST(greatest(s0, s1, s2) -
+         |    (s0 + s1 + s2 - greatest(s0, s1, s2)
+         |      - least(s0, s1, s2)) AS BIGINT) AS margin
+         |FROM s ORDER BY doc_id""".stripMargin
     },
 
     // the same ceil arithmetic per candidate context length

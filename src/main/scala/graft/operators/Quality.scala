@@ -294,6 +294,62 @@ object Quality {
     * a literal), and the final top-k as a per-doc window — partitioned
     * by doc_id, so no global sort and no skew beyond a single
     * document's vocabulary. Nothing is ever all-pairs. */
+  /** Hashed linear classifier INFERENCE (the model-based quality
+    * filter every modern corpus pipeline runs after the hard rules —
+    * fastText-style: feature-hashed bag of words, one integer weight
+    * per (bucket, class), argmax over class scores). A trained model's
+    * weights are an INPUT artifact; no model ships in this container,
+    * so the weight table is derived deterministically from the
+    * portable hash family — `w(b,k) = ((b·1103515245 + k·12345 + 7)
+    * mod (2^31−1)) mod 255 − 127` — which keeps every score an exact
+    * integer the oracle replays. The operator SHAPE is the real
+    * thing, and it is the point:
+    *
+    *  - bucket = charFold(token) mod `buckets` — feature hashing, the
+    *    trick that makes the weight matrix O(buckets·classes) instead
+    *    of O(vocab·classes);
+    *  - w(bucket, k) is a PURE FUNCTION here, so scoring needs no
+    *    weight-table join at all — with a real model it becomes one
+    *    broadcast of a buckets×classes int table (a few MB at fastText
+    *    sizes), never a corpus-scale join;
+    *  - per-doc class scores are ONE map-side-combining agg over the
+    *    exploded tokens; label = argmax (ties to the lowest class, the
+    *    deterministic rule both engines share), margin = top minus
+    *    runner-up — the confidence the downstream threshold cuts on.
+    *
+    * 100 TB shape: embarrassingly parallel scan work + one keyed agg;
+    * nothing driver-side, nothing all-pairs. */
+  def classifierScore(docs: DataFrame, buckets: Int = 4096,
+      classes: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(classes >= 2 && classes <= 8, "2..8 classes")
+    val tok = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .withColumn("__b",
+        pmod(TextFunctions.charFold(col("__t"), 131),
+          lit(buckets.toLong)))
+    def w(k: Int) =
+      pmod(col("__b") * lit(1103515245L) + lit(k * 12345L + 7L),
+        lit(2147483647L)) % lit(255L) - lit(127L)
+    val aggs = (0 until classes).map(k => sum(w(k)).as(s"s$k"))
+    val perDoc = tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sCols = (0 until classes).map(k => col(s"s$k"))
+    val top = greatest(sCols: _*)
+    val label = (1 until classes)
+      .foldLeft(when(col("s0") === top, 0L)) { (acc, k) =>
+        acc.when(col(s"s$k") === top, k.toLong)
+      }
+    // second-largest via a sorted literal-width array (correct at any
+    // `classes`, duplicates included)
+    val runnerUp = array_sort(array(sCols: _*)).getItem(classes - 2)
+    perDoc
+      .withColumn("label", label)
+      .withColumn("margin", top - runnerUp)
+      .orderBy(idCol)
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol),
