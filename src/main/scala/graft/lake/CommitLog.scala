@@ -52,6 +52,14 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 final class CommitLog(spark: SparkSession, root: String) {
 
   private val rootPath = new Path(root)
+
+  /** Commit-time clock, injectable for deterministic tests. Recorded
+    * timestamps are additionally forced MONOTONE across versions (a
+    * later version never carries an earlier ts, whatever each
+    * writer's wall clock says) — the Delta in-commit-timestamp rule
+    * that makes [[versionAt]] well-defined under clock skew. */
+  private[lake] var clock: () => Long = () => System.currentTimeMillis()
+
   private def fs =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val mapper = new ObjectMapper()
@@ -106,7 +114,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       files: Seq[String], removed: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       schema: Option[StructType] = None,
-      stats: Map[String, FileSpans] = Map.empty)
+      stats: Map[String, FileSpans] = Map.empty,
+      ts: Long = 0L)
 
   /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the
@@ -143,9 +152,33 @@ final class CommitLog(spark: SparkSession, root: String) {
             node.path("txn").path("batch").asLong()))
         else None
       Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn,
-        schemaOfNode(node), statsOfNode(node))
+        schemaOfNode(node), statsOfNode(node),
+        node.path("ts").asLong(0L))
     }
   }
+
+  /** Latest version whose recorded commit timestamp is <= `ts` — the
+    * Delta `timestampAsOf` resolution rule. Recorded timestamps are
+    * monotone by construction ([[clock]]), so the answer is
+    * well-defined even under writer clock skew. Resolution spans the
+    * EXISTING log: after retention truncation, timestamps before the
+    * kept boundary are gone with their manifests (the same bound
+    * every log-retention contract documents). O(commits) manifest
+    * reads — the resolve cost class. */
+  def versionAt(ts: Long): Long = {
+    val vs = existingVersions()
+    require(vs.nonEmpty, "nothing committed")
+    val at = vs.filter(v => commit(v).ts <= ts)
+    require(at.nonEmpty,
+      s"no commit at or before ts=$ts — the earliest retained is " +
+        s"v${vs.min} at ${commit(vs.min).ts}")
+    at.max
+  }
+
+  /** [[read]] as of a wall-clock instant: resolves through
+    * [[versionAt]]. */
+  def readAsOfTimestamp(ts: Long): DataFrame =
+    read(Some(versionAt(ts)))
 
   /** Parse a commit/checkpoint node's `stats` object:
     * `{file: {n: rows, cols: {name: [min, max]}}}`, JSON nulls for
@@ -626,6 +659,13 @@ final class CommitLog(spark: SparkSession, root: String) {
       stats: Map[String, FileSpans] = Map.empty): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
+    // commit timestamp, forced monotone across versions (the Delta
+    // in-commit-timestamp rule): a later version never records an
+    // earlier instant, whatever this writer's wall clock says — one
+    // O(1) read of the previous retained manifest
+    val prevTs = existingVersions().filter(_ < v).lastOption
+      .map(pv => commit(pv).ts).getOrElse(0L)
+    node.put("ts", math.max(clock(), prevTs + 1))
     val arr = node.putArray("files")
     names.foreach(arr.add)
     if (removed.nonEmpty) {

@@ -375,6 +375,28 @@ class CommitLogSpec extends AnyFunSuite {
       "the replaced state's spans must prune the out-of-band probe")
   }
 
+  test("timestampAsOf: versionAt resolves latest-at-or-before; " +
+      "recorded timestamps stay monotone under a backwards clock") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogts")).init()
+    val ticks = scala.collection.mutable.Queue(1000L, 2000L, 1500L)
+    log.clock = () => ticks.dequeue()
+    log.append(Seq((1, "a")).toDF("id", "v")) // v1 @ 1000
+    log.append(Seq((2, "b")).toDF("id", "v")) // v2 @ 2000
+    // v3's wall clock went BACKWARDS (1500) — the recorded ts must
+    // still land after v2's (Delta's in-commit-timestamp rule)
+    log.append(Seq((3, "c")).toDF("id", "v")) // v3 @ max(1500, 2001)
+    assert(log.commit(3L).ts == 2001L,
+      s"skewed clock must be forced monotone, got ${log.commit(3L).ts}")
+    assert(log.versionAt(1000L) == 1L)
+    assert(log.versionAt(1999L) == 1L)
+    assert(log.versionAt(2000L) == 2L)
+    assert(log.versionAt(500000L) == 3L)
+    intercept[IllegalArgumentException] { log.versionAt(999L) }
+    assert(log.readAsOfTimestamp(2000L)
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2),
+      "the timestamp read must serve exactly the at-or-before state")
+  }
+
   test("column mapping composes with tombstones on commit-log reads") {
     val log = CommitLog(spark, TestSpark.tempDir("clog8")).init()
     log.append(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "price"))
