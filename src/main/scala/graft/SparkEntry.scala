@@ -4537,6 +4537,80 @@ object SparkEntry {
       a.readFiltered(pred).orderBy("o_orderkey")
     }),
 
+    // OPTIMIZE WHERE (selective compaction through log-carried
+    // spans): only files whose spans might hold predicate-matching
+    // rows rewrite — whole files, so the rewrite stays
+    // row-preserving — and files outside the band survive BYTE-
+    // untouched (same names in the live set). The Delta OPTIMIZE
+    // WHERE semantics with span pruning standing in for partition
+    // predicates: at 100 TB you compact the hot ingest band, not the
+    // whole table. Strict-subset rewrite asserted in-query.
+    "q132_commitlog_optimize_where" -> ((s, d) => {
+      val root = scratch(s, "q132", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      def band(x: Long, y: Long) =
+        src.filter(col("o_orderkey").between(x, y))
+      log.append(band(lo, lo + e).orderBy("o_orderkey").coalesce(1))
+      log.append(band(lo + e + 1, lo + 2 * e)
+        .orderBy("o_orderkey").coalesce(1))
+      log.append(band(lo + 2 * e + 1, lo + 3 * e)
+        .orderBy("o_orderkey").coalesce(1))
+      log.append(band(lo + 3 * e + 1, hi)
+        .orderBy("o_orderkey").coalesce(1))
+      val before = log.liveFiles(None)
+      val v = log.optimize(targetFiles = 1,
+        where = Some(s"o_orderkey <= ${lo + 2 * e}"))
+      assert(v.isDefined, "selective optimize must commit a rewrite")
+      val rw = log.commit(v.get)
+      assert(rw.removed.toSet.subsetOf(before.toSet) &&
+        rw.removed.size < before.size,
+        s"OPTIMIZE WHERE must rewrite a STRICT subset " +
+          s"(${rw.removed.size} of ${before.size}) — the file holding " +
+          "the key max always sits outside the band")
+      assert((before.toSet -- rw.removed.toSet)
+        .subsetOf(log.liveFiles(None).toSet),
+        "files outside the predicate band must survive untouched")
+      assert(log.read(None).count() == src.count(),
+        "selective compaction must be row-preserving")
+      log.read(None).orderBy("o_orderkey")
+    }),
+
+    // DESCRIBE HISTORY with operation metrics from manifests ALONE
+    // (zero data-file opens at any lake size — every commit already
+    // carries its files' row counts): one row per version with kind,
+    // file counts, row counts, removed counts. The rewrite reports
+    // its packed TOTAL (tombstones subtract at read time, not in the
+    // pack); the delete reports its tombstone batch. The audit
+    // surface an ops team reads first.
+    "q133_commit_history" -> ((s, d) => {
+      val root = scratch(s, "q133", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val mid = src.agg(expr(
+        "min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) div 2")
+        .as("m")).head().getLong(0)
+      log.append(src.filter(col("o_orderkey") <= mid)
+        .orderBy("o_orderkey").coalesce(1)) // v1
+      log.append(src.filter(col("o_orderkey") > mid)
+        .orderBy("o_orderkey").coalesce(1)) // v2
+      val minKey = src.agg(min("o_orderkey")).head().getLong(0)
+      log.deleteKeysMor(
+        src.filter(col("o_orderkey") === minKey)
+          .select("o_orderkey").coalesce(1),
+        Seq("o_orderkey")) // v3: one tombstone row
+      log.optimize(targetFiles = 1) // v4: packs both data files
+      log.history()
+        .select("version", "kind", "n_files", "n_rows", "n_removed")
+        .orderBy("version")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -6538,6 +6612,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'v3', * FROM src
         |ORDER BY side, o_orderkey""".stripMargin,
+
+    // row-preserving whatever the band: the full table reads back
+    "q132_commitlog_optimize_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the four commits' metrics replayed from the same slices
+    "q133_commit_history" ->
+      """WITH b AS (SELECT min(o_orderkey)
+        |    + (max(o_orderkey) - min(o_orderkey)) // 2 AS mid
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, 'append' AS kind,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders, b
+        |   WHERE o_orderkey <= mid) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_removed
+        |UNION ALL SELECT 2, 'append', 1,
+        |  (SELECT count(*) FROM orders, b WHERE o_orderkey > mid), 0
+        |UNION ALL SELECT 3, 'delete', 1, 1, 0
+        |UNION ALL SELECT 4, 'rewrite', 1,
+        |  (SELECT count(*) FROM orders), 2
+        |ORDER BY version""".stripMargin,
 
     // the probe band, unchanged by truncation and the layout rewrite
     "q131_commit_stats_in_log" ->

@@ -180,6 +180,29 @@ final class CommitLog(spark: SparkSession, root: String) {
   def readAsOfTimestamp(ts: Long): DataFrame =
     read(Some(versionAt(ts)))
 
+  /** DESCRIBE HISTORY with operation metrics, served from manifests
+    * ALONE — zero data-file opens at any lake size, because every
+    * commit already carries its files' row counts ([[FileSpans]]):
+    * one row per retained version with (kind, n_files, n_rows,
+    * n_removed, ts). `n_rows` is the commit's OWN files' rows (a
+    * rewrite reports its packed total — tombstones subtract at read
+    * time, not here); null for legacy commits whose manifests predate
+    * span recording. Driver-side O(commits) — the metadata cost class
+    * every history listing has. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    existingVersions().map { v =>
+      val c = commit(v)
+      val nRows: Option[Long] =
+        if (c.files.nonEmpty && c.files.forall(c.stats.contains))
+          Some(c.files.map(c.stats(_).nRows).sum)
+        else if (c.files.isEmpty) Some(0L)
+        else None
+      (v, c.kind, c.files.size.toLong, nRows,
+        c.removed.size.toLong, c.ts)
+    }.toDF("version", "kind", "n_files", "n_rows", "n_removed", "ts")
+  }
+
   /** Parse a commit/checkpoint node's `stats` object:
     * `{file: {n: rows, cols: {name: [min, max]}}}`, JSON nulls for
     * all-null spans. */
@@ -468,8 +491,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     val names = stage(keyBatch
       .select(keys.map(org.apache.spark.sql.functions.col): _*)
       .distinct())
+    val spans = spansOf(names)
     var v = latestVersion() + 1
-    while (!tryCas(v, "delete", names)) v = latestVersion() + 1
+    while (!tryCas(v, "delete", names, stats = spans))
+      v = latestVersion() + 1
     notifyCommit()
     v
   }
@@ -837,10 +862,20 @@ final class CommitLog(spark: SparkSession, root: String) {
     * version, or None when the live set already fits `targetFiles`
     * (never burn a commit on a no-op). */
   def optimize(targetFiles: Int = 1,
-      zorderBy: Seq[String] = Nil): Option[Long] = {
+      zorderBy: Seq[String] = Nil,
+      where: Option[String] = None): Option[Long] = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val r = resolve(None)
-    val inputs = r.data
+    // OPTIMIZE WHERE (selective compaction): only files whose
+    // log-carried spans MIGHT hold predicate-matching rows are
+    // rewritten — whole files, never filtered rows, so the rewrite
+    // stays row-preserving; files outside the band are untouched
+    // (Delta's OPTIMIZE WHERE, with spans standing in for partition
+    // predicates). Unprunable predicates degrade to a full pack.
+    val inputs = where match {
+      case None => r.data
+      case Some(p) => prunedLive(p, r.data, r.spanOf).getOrElse(r.data)
+    }
     if (inputs.size <= targetFiles && zorderBy.isEmpty) return None
     // schema-aware pack: drifted inputs conform to the unified schema,
     // so the rewrite ALSO heals heterogeneity (the packed files all
