@@ -134,7 +134,9 @@ object ScalingBench {
       "e26_pq_serve", "e27_hamming_serve", "q123_upsert_screened",
       "q121_commitlog_reader_surface", "q106_partitions_table",
       "q125_commitlog_optimize", "q127_commitlog_evolve",
-      "q128_commitlog_zorder", "m17_tar_meta", "e28_ivf_pq_residual")
+      "q128_commitlog_zorder", "m17_tar_meta", "e28_ivf_pq_residual",
+      "q131_commit_stats_in_log", "q132_commitlog_optimize_where",
+      "d54_pagerank", "d55_classifier_score", "d56_ccnet_buckets")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume

@@ -2352,6 +2352,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNET HEAD/MIDDLE/TAIL BUCKETING (the pipeline's defining
+    // output): every doc assigned a per-LANGUAGE perplexity tercile
+    // under the d32 bigram model — head = most fluent under the
+    // reference, tail = out-of-domain/garbled; downstream mixes
+    // sample by bucket. Ties break on doc_id, so the terciles are
+    // deterministic; the per-language window parallelizes across
+    // languages (CCNet itself processes language shards
+    // independently — a monolingual 100 TB corpus would swap the
+    // exact tercile for histogram-derived cuts, the documented
+    // trade)
+    "d56_ccnet_buckets" -> ((s, d) => {
+      val all = docs(s, d)
+      val scored = operators.Quality.ngramLmScore(all,
+        all.filter(col("doc_id") % 10 === 3), "doc_id", "text")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("bits_per_token"), col("doc_id"))
+      scored.join(all.select("doc_id", "lang"), "doc_id")
+        .withColumn("tercile", ntile(3).over(w).cast("long"))
+        .withColumn("bucket",
+          when(col("tercile") === 1L, "head")
+            .when(col("tercile") === 2L, "middle")
+            .otherwise("tail"))
+        .select("doc_id", "lang", "n_bigrams", "total_bits",
+          "tercile", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // duplicated-span REMOVAL (the transformation half of d23's audit):
     // repeated 8-token windows keep their corpus-wide first occurrence,
     // every other occurrence's positions are cut and the affected docs
@@ -3169,6 +3196,65 @@ object SparkEntry {
         "append path must reseal the trust marker")
       AnnIndex.servePqResidual(s, root, e.filter(col("vec_id") < 10),
           k = 5).get
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
+    // STREAMING ANN MAINTENANCE OFF THE COMMIT LOG — the full 100 TB
+    // serving loop in one lifecycle: a multi-writer embedding table
+    // ingests through the commit protocol, its commits stream into a
+    // lake-resident SRP index via foreachBatch, and the index's OWN
+    // id set makes the fold idempotent (appendSrpOnce: one keyed
+    // left_anti against table 0 — no watermark file, nothing to crash
+    // out of sync). The bootstrap commit redelivered by the stream
+    // folds zero rows, a TOTAL replay (fresh checkpoint) folds zero
+    // rows (both asserted), and the served results equal the direct
+    // operator over the final corpus — the e03 oracle, exactly
+    "e30_commitlog_ann_stream" -> ((s, d) => {
+      val root = scratch(s, "e30", d)
+      val log = CommitLog(s, s"$root/corpus").init()
+      val idx = s"$root/ann"
+      val e = emb(s, d)
+      def m3(r: Long) = pmod(col("vec_id"), lit(3L)) === lit(r)
+      log.append(e.filter(m3(0))) // v1
+      AnnIndex.buildSrp(s, idx, log.read(None), dim = 64,
+        nBits = 4, nTables = 4)
+      log.append(e.filter(m3(1))) // v2
+      log.append(e.filter(m3(2))) // v3
+      def indexed(): Long = s.read.parquet(s"$idx/index")
+        .filter(col("table") === 0).count()
+      def runStream(ckpt: String): Unit = {
+        val q = log.readStreamCommits()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val commits = batch.select("version", "kind", "files")
+              .collect()
+              .map(r => (r.getLong(0), r.getString(1),
+                r.getSeq[String](2)))
+              .sortBy(_._1)
+            commits.foreach { case (v, kind, names) =>
+              require(kind == "append",
+                s"$kind v$v inside the stream — re-baseline the index")
+              AnnIndex.appendSrpOnce(s, idx,
+                s.read.parquet(log.filePaths(names): _*))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runStream(s"$root/_ckpt1")
+      assert(indexed() == e.count(),
+        s"the stream must fold every committed vector once, " +
+          s"got ${indexed()} of ${e.count()}")
+      runStream(s"$root/_ckpt2") // TOTAL replay: fresh checkpoint
+      assert(indexed() == e.count(),
+        "a replayed delivery must fold nothing into the index")
+      assert(AnnIndex.trusted(s, idx),
+        "the maintained index must end trusted")
+      AnnIndex.serveSrp(s, idx, e.filter(col("vec_id") < 10), k = 5).get
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("id1", "rank")
     }),
@@ -7120,6 +7206,54 @@ object SparkEntry {
         |   AS bits_per_token
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the d32 model wrapped in the per-language tercile window; ties
+    // break on doc_id in both engines
+    "d56_ccnet_buckets" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |rbg AS (
+        |  SELECT u AS bg FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+        |      i -> t[i] || ' ' || t[i+1])) AS u
+        |    FROM tk WHERE doc_id % 10 = 3)),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+        |       FROM rbg GROUP BY bg),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |        CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT unnest(t) AS tok FROM tk
+        |            WHERE doc_id % 10 = 3)),
+        |occ AS (
+        |  SELECT doc_id, u AS bg, CAST(count(*) AS BIGINT) AS occ
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, greatest(len(t), 1)),
+        |            i -> t[i] || ' ' || t[i+1])) AS u
+        |        FROM tk)
+        |  GROUP BY doc_id, u),
+        |j AS (
+        |  SELECT o.doc_id, o.occ,
+        |   (length(bin(coalesce(c1.c1, 0) + (SELECT v FROM v))) - 1)
+        |   - (length(bin(coalesce(c2.c2, 0) + 1)) - 1) AS bits
+        |  FROM occ o
+        |  LEFT JOIN c2 ON o.bg = c2.bg
+        |  LEFT JOIN c1 ON string_split(o.bg, ' ')[1] = c1.w1),
+        |s AS (SELECT doc_id,
+        |   CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |   CAST(sum(occ * bits) AS BIGINT) AS total_bits,
+        |   CAST(sum(occ * bits) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
+        |     AS bpt
+        |  FROM j GROUP BY doc_id)
+        |SELECT s.doc_id, d.lang, s.n_bigrams, s.total_bits,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY s.bpt, s.doc_id) AS BIGINT) AS tercile,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY s.bpt, s.doc_id)
+        |   WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |   ELSE 'tail' END AS bucket
+        |FROM s JOIN documents d ON s.doc_id = d.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
     // first occurrence per repeated window = row_number = 1 over
     // (doc, pos) — the same ordering min(struct) picks on the Spark side
     "d33_span_removal" ->
@@ -8102,6 +8236,8 @@ object SparkEntry {
     // answer from the persisted codes-only index (the codebook
     // re-derivation is exact), so one oracle gates both
     "e29_pq_residual_serve" -> e28Oracle,
+    // streamed-and-replayed maintenance == the direct SRP operator
+    "e30_commitlog_ann_stream" -> e03Oracle,
     "e28_ivf_pq_residual" -> e28Oracle,
 
     // the sign pack replayed relationally: same OR fold (bit 64 needs

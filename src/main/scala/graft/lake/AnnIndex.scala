@@ -3,6 +3,7 @@ package graft.lake
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Similarity
 
@@ -120,6 +121,33 @@ object AnnIndex {
       .write.mode("append").partitionBy("table")
       .parquet(indexPath(root))
     seal(spark, root, mapper.writeValueAsString(m))
+  }
+
+  /** IDEMPOTENT delta fold for at-least-once delivery (commit-log
+    * streams replay whole commits on checkpoint loss; a crashed
+    * append leaves an unknown gap): the batch is first narrowed to
+    * ids the index does NOT already hold — one keyed left_anti
+    * against table 0's id set (each vector appears once per table, so
+    * table 0 is the membership set) — then folded with [[appendSrp]].
+    * The index's own id set IS the idempotence: no watermark file, no
+    * consumed-version mark, nothing to crash out of sync. Returns the
+    * count of newly-folded ids (0 on a full replay). */
+  def appendSrpOnce(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Long = {
+    val existing = spark.read.parquet(indexPath(root))
+      .filter(col("table") === 0)
+      .select(col("vec_id").as(idCol))
+    val fresh = batch
+      .join(existing, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0) appendSrp(spark, root, fresh, idCol, vecCol)
+    n
   }
 
   /** Serve top-k from the maintained index with its STORED parameters —
