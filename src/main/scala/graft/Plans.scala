@@ -211,7 +211,26 @@ object Plans {
       "q111_mor_delete" -> ("merge-on-read: the applied read is a " +
         "plain scan; the MOR view adds ONE broadcast anti-join " +
         "against the tombstone keys — a delete costs an O(batch) " +
-        "append, never a file rewrite, until the batched apply")
+        "append, never a file rewrite, until the batched apply"),
+      "q131_commit_stats_in_log" -> ("stats in the commit manifest: " +
+        "the filtered read scans ONLY the span-matched files (no " +
+        "sidecar anywhere in the fixture) — pruning evidence is the " +
+        "scan's file list, and the spans rode each writer's own " +
+        "atomic commit"),
+      "d54_pagerank" -> ("PageRank: each iteration is one keyed " +
+        "equi-join (ranks x out-degreed edges) + one map-side " +
+        "combining agg on dst; localCheckpoint flattens lineage so " +
+        "the 3-iteration plan stays iteration-sized — no driver " +
+        "loops over data, one dangling-mass scalar per round"),
+      "d55_classifier_score" -> ("classifier inference: feature " +
+        "hashing + per-class weights are pure projections (weights " +
+        "a function of the bucket, no weight-table join), scores " +
+        "ONE map-side-combining agg — the whole model application " +
+        "is scan work"),
+      "d56_ccnet_buckets" -> ("CCNet buckets: the d32 LM score " +
+        "(keyed joins against the reference count tables) + one " +
+        "ntile window PARTITIONED BY language — parallel across " +
+        "languages, never a global sort")
     )
 
     val sb = new StringBuilder

@@ -433,6 +433,33 @@ object ScalingBench {
         f -> ((nFiles, st.filesTouched, t))
       }).toMap
 
+    // Commit-log skipping scaling (r8): the SAME absolute o_custkey
+    // band probed through readFiltered as the COMMITTED lake grows,
+    // spans served from the LOG ITSELF (stats-in-commit) — no sidecar
+    // exists anywhere in the fixture. Four custkey-range-partitioned
+    // appends per factor (file width constant, file count grows with
+    // the lake), so the band's candidate set should hold near-constant
+    // while live files quadruple.
+    // factor -> (live files, candidates, full-read s, pruned s)
+    val clogCells: Map[Int, (Int, Int, Double, Double)] =
+      (for ((f, dir) <- dirs) yield {
+        val root = s"/tmp/graft_scale_clog_${f}x"
+        rmdir(root)
+        val log = graft.lake.CommitLog(spark, root).init()
+        val src = spark.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        for (q <- 0L until 4L)
+          log.append(src
+            .filter(pmod(col("o_orderkey"), lit(4L)) === q)
+            .repartitionByRange(8 * f, col("o_custkey")))
+        val pred = s"o_custkey >= 1 and o_custkey <= ${bandHi.toLong}"
+        val live = log.liveFiles(None).size
+        val cand = log.candidateDataFiles(pred).map(_.size).getOrElse(-1)
+        val tf = Seq.fill(2)(timeAgg(log.read(None).filter(pred))).min
+        val tp = Seq.fill(2)(timeAgg(log.readFiltered(pred))).min
+        f -> ((live, cand, tf, tp))
+      }).toMap
+
     // Partitions-table scaling (r8): the SAME metadata question against
     // a hive-partitioned lake whose file count grows with the data.
     // The footer-sweep fallback opens every data file's footer
@@ -647,6 +674,24 @@ object ScalingBench {
     factors.foreach { f =>
       val (nf, t, s) = scdCells(f)
       sb.append(f"| ${f}x | $nf | $t | $s%.2f |\n")
+    }
+
+    sb.append("\n## Commit-log skipping: spans from the log, no sidecar\n\n")
+    sb.append("The SAME absolute o_custkey band probed through\n")
+    sb.append("readFiltered as the committed lake grows. Every span was\n")
+    sb.append("recorded by its writer's own atomic commit (stats-in-the-\n")
+    sb.append("log, the per-AddFile design) — NO `_stats` sidecar exists\n")
+    sb.append("in this fixture, so there is no shared manifest for\n")
+    sb.append("concurrent writers to contend on. File width is constant\n")
+    sb.append("(count grows with the lake); the band's candidate set and\n")
+    sb.append("the pruned read should hold near-flat while live files\n")
+    sb.append("quadruple.\n\n")
+    sb.append("| factor | live files | candidates | full read (s) " +
+      "| pruned (s) |\n")
+    sb.append("|---|---|---|---|---|\n")
+    factors.foreach { f =>
+      val (live, cand, tf, tp) = clogCells(f)
+      sb.append(f"| ${f}x | $live | $cand | $tf%.2f | $tp%.2f |\n")
     }
 
     sb.append("\n## Partitions metadata table: sweep vs manifest-served\n\n")
