@@ -3547,6 +3547,33 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ZSTANDARD frame metadata — the compression a modern lake
+    // actually stores (RFC 8878): the descriptor byte governs the
+    // WHOLE header layout (single-segment drops the window
+    // descriptor, the dictionary-id field is 0/1/2 bytes, content
+    // size sits at the resulting data-dependent offset in 1-byte,
+    // biased 2-byte (+256 — the classic gotcha), and 4-byte forms);
+    // skippable frames report their declared size; every fifth frame
+    // sets the RESERVED bit — zstd mime, well_formed=false (sniffing
+    // vs structural validation, the m13 layer split)
+    "m18_zstd_meta" -> ((s, d) => {
+      Multimodal.plantedZstd(docs(s, d), "doc_id", "text")
+        .withColumn("mime", Multimodal.sniffFormat(col("payload")))
+        .withColumn("z", Multimodal.zstdMeta(col("payload")))
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("z.kind").as("kind"),
+          col("z.single_segment").as("single_segment"),
+          col("z.has_checksum").as("has_checksum"),
+          col("z.dict_id").as("dict_id"),
+          col("z.window_size").as("window_size"),
+          col("z.content_size").as("content_size"),
+          col("z.skip_size").as("skip_size"),
+          col("z.well_formed").as("well_formed"))
+        .orderBy("media_id")
+    }),
+
     // TAR shard metadata — the WebDataset format training corpora
     // ship in: ustar block walk where each octal-ASCII size field
     // governs the next header's offset, per-header checksum
@@ -8500,6 +8527,47 @@ object SparkEntry {
     // member fields re-derived from the plant's id arithmetic: the
     // 3-member shard holds 2 samples (key grouping), the 1-member row
     // carries the lying checksum (well_formed false), raw rows null
+    // the descriptor-governed layout replayed from the id arithmetic;
+    // malformed (reserved-bit) frames keep the mime, null the fields
+    "m18_zstd_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS k,
+        |  doc_id // 3 AS g, doc_id % 5 = 0 AS mal,
+        |  (doc_id // 3) % 2 AS sing, doc_id % 2 AS chk
+        | FROM documents),
+        |q AS (SELECT *,
+        |  CASE WHEN sing = 1 THEN 0 ELSE g % 3 END AS dflag,
+        |  CASE WHEN sing = 1 THEN 0 ELSE 1 + g % 2 END AS fflag,
+        |  media_id % 64 AS wd
+        | FROM p)
+        |SELECT media_id,
+        | CASE WHEN k IN (0, 1) THEN 'application/zstd'
+        |  ELSE 'application/octet-stream' END AS mime,
+        | CASE k WHEN 0 THEN 'frame' WHEN 1 THEN 'skippable'
+        |  END AS kind,
+        | CASE WHEN k = 0 AND NOT mal THEN sing = 1
+        |  END AS single_segment,
+        | CASE WHEN k = 0 AND NOT mal THEN chk = 1
+        |  END AS has_checksum,
+        | CAST(CASE
+        |   WHEN k = 0 AND NOT mal AND dflag = 1 THEN media_id % 200 + 1
+        |   WHEN k = 0 AND NOT mal AND dflag = 2
+        |    THEN media_id % 60000 + 300
+        |  END AS BIGINT) AS dict_id,
+        | CAST(CASE WHEN k = 0 AND NOT mal AND sing = 0 THEN
+        |   (1 << (wd // 8 + 10))
+        |    + ((1 << (wd // 8 + 10)) // 8) * (wd % 8)
+        |  END AS BIGINT) AS window_size,
+        | CAST(CASE WHEN k = 0 AND NOT mal THEN
+        |   CASE WHEN sing = 1 THEN media_id % 200
+        |    WHEN fflag = 1 THEN media_id % 60000 + 256
+        |    ELSE media_id % 100000 + 5000 END
+        |  END AS BIGINT) AS content_size,
+        | CAST(CASE WHEN k = 1 THEN media_id % 100000
+        |  END AS BIGINT) AS skip_size,
+        | CASE WHEN k = 0 THEN NOT mal WHEN k = 1 THEN true
+        |  END AS well_formed
+        |FROM q ORDER BY media_id""".stripMargin,
+
     "m17_tar_meta" ->
       """WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kind,
         |  doc_id % 800 + 10 AS s1, doc_id % 4 + 1 AS s2,

@@ -60,6 +60,11 @@ object Multimodal {
       // ICO/CUR have no magic string: reserved 0x0000 then type 1/2 —
       // the 4-byte prefix is distinctive enough for a sniffer
       .when(magic === "00000100" || magic === "00000200", "image/x-icon")
+      // zstd frame (LE magic FD2FB528) and its skippable siblings
+      // (0x184D2A50..5F) — both belong to a zstd stream
+      .when(magic === "28B52FFD", "application/zstd")
+      .when(substring(magic, 3, 6) === "2A4D18" &&
+        substring(magic, 1, 1) === "5", "application/zstd")
       // "WARC" then "/" — the web-archive record prefix (text magic)
       .when(magic === "57415243" &&
         upper(hex(substring(payload, 5, 1))) === "2F",
@@ -350,6 +355,130 @@ object Multimodal {
       id.as("media_id"),
       unhex(
         when(id % 2 === 0, gzHex)
+          .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
+  }
+
+  /** Zstandard frame metadata as a struct (kind, single_segment,
+    * has_checksum, dict_id, window_size, content_size, skip_size,
+    * well_formed) — RFC 8878, the compression a modern lake actually
+    * stores. The frame-header descriptor byte GOVERNS the whole
+    * layout: Single_Segment decides whether a Window_Descriptor
+    * exists, Dictionary_ID_flag picks a 0/1/2/4-byte field, and
+    * Frame_Content_Size sits at the resulting DATA-DEPENDENT offset
+    * with a size picked by FCS_flag — including the spec's +256 bias
+    * on the 2-byte form (the classic implementation gotcha). The
+    * RESERVED bit must be zero: a set bit keeps the zstd mime
+    * (sniffing and structural validation are different layers, the
+    * m13 discipline) but flags well_formed=false with null fields.
+    * Skippable frames (0x184D2A50..5F) report their declared size.
+    * Window size decodes as 2^(exp+10) + (2^(exp+10)/8)·mantissa —
+    * exact integer arithmetic. All dynamic offsets are column
+    * arithmetic over one short hex prefix; per-row, zero shuffle. */
+  def zstdMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = upper(hex(substring(payload, 1, 18)))
+    def b(i: Int) = hxByte(hx, i)
+    def dynB(pos: org.apache.spark.sql.Column) =
+      conv(hx.substr(pos.cast("int") * 2 + 1, lit(2)), 16, 10)
+        .cast("long")
+    def dynLe(pos: org.apache.spark.sql.Column, n: Int) =
+      (0 until n).map(j => dynB(pos + j) * lit(1L << (8 * j)))
+        .reduce(_ + _)
+    val isFrame = substring(hx, 1, 8) === "28B52FFD"
+    val isSkip = substring(hx, 3, 6) === "2A4D18" &&
+      substring(hx, 1, 1) === "5"
+    val fhd = b(4)
+    val fcsFlag = shiftright(fhd, 6)
+    val single = pmod(shiftright(fhd, 5), lit(2L))
+    val reserved = pmod(shiftright(fhd, 3), lit(2L))
+    val checksum = pmod(shiftright(fhd, 2), lit(2L))
+    val dictFlag = pmod(fhd, lit(4L))
+    val ok = isFrame && reserved === 0L
+    val dictPos = lit(6L) - single
+    val dictLen = when(dictFlag === 0L, 0L).when(dictFlag === 1L, 1L)
+      .when(dictFlag === 2L, 2L).otherwise(4L)
+    val fcsPos = dictPos + dictLen
+    val wd = b(5)
+    val wPow = pow(lit(2.0), (shiftright(wd, 3) + 10L).cast("double"))
+      .cast("long")
+    val windowSize = wPow + (wPow / lit(8.0)).cast("long") *
+      pmod(wd, lit(8L))
+    val dictId = when(dictFlag === 1L, dynB(dictPos))
+      .when(dictFlag === 2L, dynLe(dictPos, 2))
+      .when(dictFlag === 3L, dynLe(dictPos, 4))
+    val contentSize =
+      when(fcsFlag === 0L && single === 1L, dynB(fcsPos))
+        .when(fcsFlag === 1L, dynLe(fcsPos, 2) + 256L)
+        .when(fcsFlag === 2L, dynLe(fcsPos, 4))
+        .when(fcsFlag === 3L, dynLe(fcsPos, 8))
+    val skipSize = b(4) + b(5) * 256L + b(6) * 65536L +
+      b(7) * 16777216L
+    struct(
+      when(isFrame, "frame").when(isSkip, "skippable").as("kind"),
+      when(ok, single === 1L).as("single_segment"),
+      when(ok, checksum === 1L).as("has_checksum"),
+      when(ok, dictId).as("dict_id"),
+      when(ok && single === 0L, windowSize).as("window_size"),
+      when(ok, contentSize).as("content_size"),
+      when(isSkip, skipSize).as("skip_size"),
+      when(isFrame, reserved === 0L)
+        .when(isSkip, lit(true)).as("well_formed"))
+  }
+
+  /** Deterministic planted zstd / skippable / raw payloads (the m18
+    * fixture): by `id % 3`, a zstd frame whose descriptor varies the
+    * WHOLE layout with the id (single-segment alternates, dictionary
+    * id absent/1-byte/2-byte, content size via the 1-byte, biased
+    * 2-byte, and 4-byte FCS forms, variable fake body), a skippable
+    * frame with an id-varied magic nibble and declared size, or the
+    * raw text bytes. Every fifth frame sets the RESERVED bit —
+    * spec-malformed on purpose. */
+  def plantedZstd(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val id = col(idCol)
+    def byteAt(c: org.apache.spark.sql.Column, shift: Long) =
+      pmod((c / lit(shift.toDouble)).cast("long"), lit(256L))
+    def le(c: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(j =>
+        format_string("%02X", byteAt(c, 1L << (8 * j)))): _*)
+    val g = expr(s"$idCol div 3")
+    val k = pmod(id, lit(3L))
+    val mal = pmod(id, lit(5L)) === 0L
+    val single = pmod(g, lit(2L))
+    val checksum = pmod(id, lit(2L))
+    val dictFlag = when(single === 1L, 0L).otherwise(pmod(g, lit(3L)))
+    val fcsFlag =
+      when(single === 1L, 0L).otherwise(lit(1L) + pmod(g, lit(2L)))
+    val wd = pmod(id, lit(64L))
+    val dictId = when(dictFlag === 1L, pmod(id, lit(200L)) + 1L)
+      .when(dictFlag === 2L, pmod(id, lit(60000L)) + 300L)
+    val cs = when(single === 1L, pmod(id, lit(200L)))
+      .when(fcsFlag === 1L, pmod(id, lit(60000L)) + 256L)
+      .otherwise(pmod(id, lit(100000L)) + 5000L)
+    val fhd = fcsFlag * 64L + single * 32L +
+      when(mal, 8L).otherwise(0L) + checksum * 4L + dictFlag
+    val frameHex = concat(
+      lit("28B52FFD"),
+      format_string("%02X", fhd),
+      when(single === 1L, lit("")).otherwise(format_string("%02X", wd)),
+      when(dictFlag === 1L, le(dictId, 1))
+        .when(dictFlag === 2L, le(dictId, 2)).otherwise(lit("")),
+      when(single === 1L, le(cs, 1))
+        .when(fcsFlag === 1L, le(cs - 256L, 2)).otherwise(le(cs, 4)),
+      expr(s"repeat('00', $idCol % 7 + 1)"))
+    val skipHex = concat(
+      format_string("%02X", lit(80L) + pmod(id, lit(16L))),
+      lit("2A4D18"),
+      le(pmod(id, lit(100000L)), 4),
+      expr(s"repeat('00', $idCol % 5)"))
+    df.select(
+      id.as("media_id"),
+      unhex(
+        when(k === 0L, frameHex)
+          .when(k === 1L, skipHex)
           .otherwise(hex(col(textCol).cast("binary")))).as("payload"))
   }
 

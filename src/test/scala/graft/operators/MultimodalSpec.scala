@@ -722,4 +722,45 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("zstdMeta survives hostile payloads: truncated frame, bare " +
+      "magic, reserved bit, biased 2-byte FCS decodes with +256") {
+    import spark.implicits._
+    def hexDf(rows: (Long, String)*) =
+      rows.toDF("media_id", "hx")
+        .select($"media_id", unhex($"hx").as("payload"))
+    val out = hexDf(
+      // 0: bare magic, nothing after — fields null, no crash
+      0L -> "28B52FFD",
+      // 1: magic + descriptor only (single-segment, FCS byte MISSING)
+      1L -> "28B52FFD20",
+      // 2: reserved bit set — frame, well_formed false, fields null
+      2L -> "28B52FFD2800",
+      // 3: non-single, fcsFlag=1 (2-byte biased): field 0x0102=258
+      //    -> content 514; dictFlag=0; wd=0x13
+      3L -> "28B52FFD40130201",
+      // 4: skippable 0x184D2A5A, size 0x00000105 = 261
+      4L -> "5A2A4D1805010000",
+      // 5: empty payload
+      5L -> "")
+      .withColumn("z", graft.operators.Multimodal.zstdMeta($"payload"))
+      .select($"media_id", $"z.kind", $"z.content_size",
+        $"z.window_size", $"z.skip_size", $"z.well_formed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(1) == "frame" && out(0L).isNullAt(2))
+    // truncated single-segment: kind stands, content null (conv(''))
+    assert(out(1L).getString(1) == "frame" && out(1L).isNullAt(2))
+    assert(out(2L).getString(1) == "frame" &&
+      !out(2L).getBoolean(5) && out(2L).isNullAt(2),
+      s"reserved bit must flag malformed: ${out(2L)}")
+    assert(out(3L).getString(1) == "frame" &&
+      out(3L).getLong(2) == 258L + 256L &&
+      out(3L).getBoolean(5),
+      s"2-byte FCS must add the +256 bias: ${out(3L)}")
+    // wd=0x13: exp=2+10=12, mantissa=3 -> 4096 + 512*3 = 5632
+    assert(out(3L).getLong(3) == 5632L, s"window: ${out(3L)}")
+    assert(out(4L).getString(1) == "skippable" &&
+      out(4L).getLong(4) == 261L && out(4L).getBoolean(5))
+    assert(out(5L).isNullAt(1) && out(5L).isNullAt(5))
+  }
 }
