@@ -4724,6 +4724,70 @@ object SparkEntry {
         .orderBy("version")
     }),
 
+    // CDC REPLICATION OFF THE COMMIT LOG (the q93 story on the
+    // multi-writer flavor — Delta CDF shape): changesSince emits
+    // appends as `_op=insert` rows and delete commits as `_op=delete`
+    // KEYS, each carrying its `_commit_version`; a replica built from
+    // NOTHING but the feed (applied in commit order: first insert
+    // bootstraps, later inserts upsert, deletes delete by key)
+    // converges to the source's live state, and a FULL-FEED REPLAY
+    // leaves it untouched (upserts of identical rows and deletes of
+    // absent keys are no-ops — idempotence without consumer state).
+    // Source and replica read back under one oracle.
+    "q134_commit_replication" -> ((s, d) => {
+      val root = scratch(s, "q134", d)
+      val log = CommitLog(s, s"$root/src").init()
+      val rep = s"$root/replica"
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      log.append(band(lo, lo + 2 * e)) // v1
+      log.append(band(lo + 2 * e + 1, hi)) // v2
+      log.deleteKeysMor( // v3: a band overlapping v1
+        band(lo, lo + e).select("o_orderkey"), Seq("o_orderkey"))
+      // v4: NEW keys (shifted past hi) — commit-log appends are
+      // multiset appends and its tombstones kill a key in EVERY file,
+      // so replication convergence demands inserts of fresh keys (the
+      // same contract Delta CDF consumers rely on: an insert is a new
+      // row, not a resurrection)
+      log.append(band(lo, lo + e / 2)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(hi + 1L))) // v4
+      def applyFeed(): Unit = {
+        val feed = log.changesSince(0L).localCheckpoint(true)
+        val versions = feed.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val batch = feed.filter(col("_commit_version") === v)
+          val op = batch.select("_op").head().getString(0)
+          val payload = batch.drop("_op", "_commit_version")
+          if (op == "delete")
+            RowOps.deleteKeys(s, rep,
+              payload.select("o_orderkey"), Seq("o_orderkey"))
+          else if (!new java.io.File(rep).exists())
+            payload.write.parquet(rep)
+          else RowOps.upsert(s, rep, payload, Seq("o_orderkey"))
+        }
+      }
+      applyFeed()
+      val afterFirst = s.read.parquet(rep).count()
+      applyFeed() // FULL replay: every change re-applied
+      assert(s.read.parquet(rep).count() == afterFirst,
+        "a full-feed replay must leave the replica untouched")
+      assert(s.read.parquet(rep).count() == log.read(None).count(),
+        "the replica must converge to the source's live state")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped(log.read(None), "source")
+        .unionByName(shaped(s.read.parquet(rep), "replica"))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -6724,6 +6788,23 @@ object SparkEntry {
         |  WHERE o_orderkey BETWEEN lo + 3*e AND lo + 4*e
         |UNION ALL
         |SELECT 'v3', * FROM src
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // live state = base minus the deleted band plus the shifted
+    // inserts, read back from both sides
+    "q134_commit_replication" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders),
+        |live AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |  WHERE NOT (o_orderkey BETWEEN lo AND lo + e)
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, o_custkey, o_totalprice
+        |  FROM orders, b
+        |  WHERE o_orderkey BETWEEN lo AND lo + e // 2)
+        |SELECT 'source' AS side, * FROM live
+        |UNION ALL
+        |SELECT 'replica', * FROM live
         |ORDER BY side, o_orderkey""".stripMargin,
 
     // row-preserving whatever the band: the full table reads back

@@ -535,6 +535,45 @@ final class CommitLog(spark: SparkSession, root: String) {
     }
   }
 
+  /** ROW-LEVEL CHANGE FEED — [[readSince]] extended with DELETE
+    * visibility (the Delta CDF shape on the multi-writer flavor):
+    * appends emit their rows tagged `_op = insert`, delete commits
+    * emit their tombstone KEYS tagged `_op = delete` (key columns
+    * only — other columns null through the allow-missing union),
+    * rewrites emit nothing (no new rows), every row carries its
+    * `_commit_version` so a consumer applies in commit order and
+    * keys idempotence by version. A replace in the range REFUSES —
+    * it re-homes rows the consumer already applied; re-baseline.
+    * Cost is O(files in the range's commits), never the lake. */
+  def changesSince(sinceVersion: Long, asOf: Option[Long] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val hi = asOf.getOrElse(latestVersion())
+    require(sinceVersion >= 0 && sinceVersion <= hi,
+      s"bad version range ($sinceVersion, $hi]")
+    val cs = (sinceVersion + 1 to hi).map(commit)
+    val breaking = cs.filter(_.kind == "replace")
+    require(breaking.isEmpty,
+      s"${breaking.map(c => s"replace v${c.version}").mkString(", ")} " +
+        "inside the range re-homes already-applied rows — re-baseline")
+    val parts = cs
+      .filter(c =>
+        (c.kind == "append" || c.kind == "delete") && c.files.nonEmpty)
+      .map { c =>
+        val op = if (c.kind == "delete") "delete" else "insert"
+        val schemaOf = c.schema
+          .map(st => c.files.map(_ -> st).toMap).getOrElse(Map.empty)
+        readConformed(c.files, schemaOf)
+          .withColumn("_op", lit(op))
+          .withColumn("_commit_version", lit(c.version))
+      }
+    if (parts.isEmpty)
+      read(None).limit(0)
+        .withColumn("_op", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** The commit log AS A STRUCTURED STREAM — one row per commit:
     * `(version, kind, files)`. Commit manifests are immutable files
     * made visible ATOMICALLY ([[tryCas]]), so Spark's file streaming
