@@ -28,6 +28,17 @@ class CommitLogSpec extends AnyFunSuite {
     val ids = log.read().select("id").as[Int].collect().sorted
     assert(ids.length == 80 && ids.distinct.length == 80,
       "every racing append's rows land exactly once")
+    // stats-in-the-log under REAL concurrency: each winner recorded
+    // spans for its own files inside its own commit, so the resolved
+    // span map covers the whole live set with no shared maintenance
+    val r = log.resolve(None)
+    assert(r.data.nonEmpty && r.data.forall(r.spanOf.contains),
+      s"racing commits must each carry their own spans " +
+        s"(${r.spanOf.size} of ${r.data.size} covered)")
+    // and the recorded timestamps are monotone across the race
+    val ts = (1L to 8L).map(log.commit(_).ts)
+    assert(ts == ts.sorted && ts.distinct.size == 8,
+      s"in-commit timestamps must be strictly monotone: $ts")
   }
 
   test("replace on a stale base conflicts; re-planned replace wins; " +
