@@ -406,11 +406,17 @@ object Multimodal {
     val dictId = when(dictFlag === 1L, dynB(dictPos))
       .when(dictFlag === 2L, dynLe(dictPos, 2))
       .when(dictFlag === 3L, dynLe(dictPos, 4))
+    // 8-byte FCS: a top byte >= 0x80 declares a content size above
+    // Long.MaxValue — unrepresentable, and under ANSI mode the LE
+    // reassembly would THROW ArithmeticException on such a (hostile /
+    // corrupt) payload. Guard before summing: unrepresentable -> null
+    // content_size, frame classification and the other fields stand.
     val contentSize =
       when(fcsFlag === 0L && single === 1L, dynB(fcsPos))
         .when(fcsFlag === 1L, dynLe(fcsPos, 2) + 256L)
         .when(fcsFlag === 2L, dynLe(fcsPos, 4))
-        .when(fcsFlag === 3L, dynLe(fcsPos, 8))
+        .when(fcsFlag === 3L && dynB(fcsPos + 7) < 128L,
+          dynLe(fcsPos, 8))
     val skipSize = b(4) + b(5) * 256L + b(6) * 65536L +
       b(7) * 16777216L
     struct(

@@ -763,4 +763,118 @@ class MultimodalSpec extends AnyFunSuite {
       out(4L).getLong(4) == 261L && out(4L).getBoolean(5))
     assert(out(5L).isNullAt(1) && out(5L).isNullAt(5))
   }
+
+  test("zstdMeta == JVM reference decode over 400 seeded-random " +
+      "payloads (descriptor-driven layout, truncation, ANSI-safe " +
+      "unrepresentable 8-byte FCS)") {
+    import spark.implicits._
+    // Independent reference decoder mirroring RFC 8878's header walk
+    // with explicit three-valued logic (None == SQL null), including
+    // the unrepresentable-FCS rule (8-byte form, top byte >= 0x80 ->
+    // null content_size instead of a Long overflow).
+    def ref(p0: Array[Byte]): (Option[String], Option[Boolean],
+        Option[Boolean], Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Boolean]) = {
+      val q = p0.take(18)
+      def b(i: Long): Option[Long] =
+        if (i >= 0 && i < q.length) Some(q(i.toInt) & 0xffL) else None
+      val isFrame = q.length >= 4 && (q(0) & 0xff) == 0x28 &&
+        (q(1) & 0xff) == 0xB5 && (q(2) & 0xff) == 0x2F &&
+        (q(3) & 0xff) == 0xFD
+      val isSkip = q.length >= 4 && ((q(0) >> 4) & 0xf) == 5 &&
+        (q(1) & 0xff) == 0x2A && (q(2) & 0xff) == 0x4D &&
+        (q(3) & 0xff) == 0x18
+      val fhd = b(4)
+      val fcsFlag = fhd.map(_ >> 6)
+      val single = fhd.map(v => (v >> 5) & 1)
+      val reserved = fhd.map(v => (v >> 3) & 1)
+      val checksum = fhd.map(v => (v >> 2) & 1)
+      val dictFlag = fhd.map(_ & 3)
+      val ok: Option[Boolean] =
+        if (!isFrame) Some(false) else reserved.map(_ == 0L)
+      val okT = ok.contains(true)
+      val dictPos = single.map(6L - _)
+      val dictLen = dictFlag.map {
+        case 0L => 0L; case 1L => 1L; case 2L => 2L; case _ => 4L }
+      val fcsPos = for { a <- dictPos; l <- dictLen } yield a + l
+      def dynB(pos: Option[Long], off: Long): Option[Long] =
+        pos.flatMap(x => b(x + off))
+      def dynLe(pos: Option[Long], n: Int): Option[Long] = {
+        val parts = (0 until n)
+          .map(j => dynB(pos, j).map(_ * (1L << (8 * j))))
+        if (parts.forall(_.isDefined)) Some(parts.map(_.get).sum)
+        else None
+      }
+      val wd = b(5)
+      val windowSize = wd.map { v =>
+        val wPow = math.pow(2.0, ((v >> 3) + 10).toDouble).toLong
+        wPow + (wPow / 8.0).toLong * (v % 8)
+      }
+      val dictId: Option[Long] = dictFlag match {
+        case Some(1L) => dynB(dictPos, 0)
+        case Some(2L) => dynLe(dictPos, 2)
+        case Some(3L) => dynLe(dictPos, 4)
+        case _        => None
+      }
+      val contentSize: Option[Long] = (fcsFlag, single) match {
+        case (Some(0L), Some(1L)) => dynB(fcsPos, 0)
+        case (Some(1L), _)        => dynLe(fcsPos, 2).map(_ + 256L)
+        case (Some(2L), _)        => dynLe(fcsPos, 4)
+        case (Some(3L), _) =>
+          if (dynB(fcsPos, 7).exists(_ < 128L)) dynLe(fcsPos, 8)
+          else None
+        case _ => None
+      }
+      val skipSize = for {
+        a <- b(4); x <- b(5); y <- b(6); z <- b(7)
+      } yield a + x * 256L + y * 65536L + z * 16777216L
+      val kind =
+        if (isFrame) Some("frame")
+        else if (isSkip) Some("skippable") else None
+      def ifOk[T](v: Option[T]): Option[T] = if (okT) v else None
+      (kind, ifOk(single.map(_ == 1L)), ifOk(checksum.map(_ == 1L)),
+        ifOk(dictId),
+        if (okT && single.contains(0L)) windowSize else None,
+        ifOk(contentSize),
+        if (isSkip) skipSize else None,
+        if (isFrame) reserved.map(_ == 0L)
+        else if (isSkip) Some(true) else None)
+    }
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    val payloads: Seq[(Long, Array[Byte])] = (0 until 400).map { i =>
+      val tail = Array.fill(rnd.nextInt(15))(rnd.nextInt(256).toByte)
+      val bytes = i % 4 match {
+        case 0 => // zstd frame magic + random descriptor/fields
+          Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte) ++ tail
+        case 1 => // skippable magic (random low nibble) + random size
+          Array(0x50 | rnd.nextInt(16), 0x2A, 0x4D, 0x18)
+            .map(_.toByte) ++ tail
+        case 2 => // frame magic + descriptor forcing the 8-byte FCS
+          Array(0x28, 0xB5, 0x2F, 0xFD,
+            0xC0 | (rnd.nextInt(8) << 2) | rnd.nextInt(4))
+            .map(_.toByte) ++ tail
+        case _ => // raw garbage, any length
+          Array.fill(rnd.nextInt(19))(rnd.nextInt(256).toByte)
+      }
+      (i.toLong, bytes)
+    }
+    val got = payloads.toDF("media_id", "payload")
+      .withColumn("z", graft.operators.Multimodal.zstdMeta($"payload"))
+      .select($"media_id", $"z.kind", $"z.single_segment",
+        $"z.has_checksum", $"z.dict_id", $"z.window_size",
+        $"z.content_size", $"z.skip_size", $"z.well_formed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    payloads.foreach { case (i, bytes) =>
+      val e = ref(bytes)
+      val r = got(i)
+      def os(j: Int) = if (r.isNullAt(j)) None else Some(r.getString(j))
+      def ob(j: Int) = if (r.isNullAt(j)) None else Some(r.getBoolean(j))
+      def ol(j: Int) = if (r.isNullAt(j)) None else Some(r.getLong(j))
+      val gotT = (os(1), ob(2), ob(3), ol(4), ol(5), ol(6), ol(7),
+        ob(8))
+      assert(gotT == e,
+        s"payload $i (${bytes.map("%02X".format(_)).mkString}): " +
+          s"got $gotT expected $e")
+    }
+  }
 }
