@@ -115,7 +115,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       txn: Option[(String, Long)] = None,
       schema: Option[StructType] = None,
       stats: Map[String, FileSpans] = Map.empty,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      schemaGroups: Map[String, StructType] = Map.empty)
 
   /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the
@@ -153,9 +154,27 @@ final class CommitLog(spark: SparkSession, root: String) {
         else None
       Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn,
         schemaOfNode(node), statsOfNode(node),
-        node.path("ts").asLong(0L))
+        node.path("ts").asLong(0L), schemaGroupsOfNode(node))
     }
   }
+
+  /** Parse a node's `schemaGroups` array (files sharing a schema share
+    * one entry — the checkpoint codec, also carried by RESTORE
+    * commits, whose re-referenced files keep their original per-file
+    * schemas). */
+  private def schemaGroupsOfNode(node: ObjectNode)
+      : Map[String, StructType] =
+    if (!node.has("schemaGroups")) Map.empty
+    else {
+      val m = scala.collection.mutable.Map[String, StructType]()
+      node.withArray("schemaGroups").forEach { gn =>
+        val g = gn.asInstanceOf[ObjectNode]
+        schemaOfNode(g).foreach { st =>
+          g.withArray("files").forEach(n => m(n.asText()) = st)
+        }
+      }
+      m.toMap
+    }
 
   /** Latest version whose recorded commit timestamp is <= `ts` — the
     * Delta `timestampAsOf` resolution rule. Recorded timestamps are
@@ -300,11 +319,23 @@ final class CommitLog(spark: SparkSession, root: String) {
         c.schema.map(st => c.files.map(_ -> st).toMap).getOrElse(Map.empty)
       c.kind match {
         case "delete" => ts = ts ++ c.files
-        case "rewrite" =>
+        // an UPSERT swaps its touched inputs for its merged outputs —
+        // the same in-place exchange as a rewrite (only the rows
+        // differ, which resolution never sees)
+        case "rewrite" | "upsert" =>
           val rm = c.removed.toSet
           data = data.filterNot(rm) ++ c.files
           sch = sch -- rm ++ recorded
           sp = sp -- rm ++ c.stats
+        // a RESTORE resets the whole state to its recorded target:
+        // `files` is the restored live set, `removed` carries the
+        // restored TOMBSTONE set, and the manifest brings the
+        // target's spans and per-file schema groups with it
+        case "restore" =>
+          data = c.files.toVector
+          ts = c.removed.toVector
+          sch = sch ++ c.schemaGroups
+          sp = sp ++ c.stats
         case _ =>
           data = data ++ c.files
           sch = sch ++ recorded
@@ -513,12 +544,14 @@ final class CommitLog(spark: SparkSession, root: String) {
       s"bad version range ($sinceVersion, $hi]")
     val cs = (sinceVersion + 1 to hi).map(commit)
     // replaces re-home existing rows; deletes change visibility of
-    // rows OUTSIDE the increment — either way "the rows committed in
-    // the range" stops being well-defined as a pure append stream.
+    // rows OUTSIDE the increment; upserts MUTATE rows in place and
+    // restores re-home visibility wholesale — all four break "the
+    // rows committed in the range" as a pure append stream.
     // REWRITES are fine: they add no rows (their packed outputs carry
     // exactly the compacted inputs' rows, and those inputs stay on
     // disk for the increment's own read) — skip them, deliver nothing
-    val breaking = cs.filter(c => c.kind == "replace" || c.kind == "delete")
+    val breaking = cs.filter(c => c.kind == "replace" ||
+      c.kind == "delete" || c.kind == "upsert" || c.kind == "restore")
     require(breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the increment — re-baseline on the mutated state")
@@ -552,9 +585,14 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(sinceVersion >= 0 && sinceVersion <= hi,
       s"bad version range ($sinceVersion, $hi]")
     val cs = (sinceVersion + 1 to hi).map(commit)
-    val breaking = cs.filter(_.kind == "replace")
+    // an upsert's merged outputs mix carried-over survivors with
+    // changed rows — not separable from metadata into change rows —
+    // and a restore re-homes visibility wholesale; both refuse like a
+    // replace (Delta CDF's own rule for non-decomposable commits)
+    val breaking = cs.filter(c => c.kind == "replace" ||
+      c.kind == "upsert" || c.kind == "restore")
     require(breaking.isEmpty,
-      s"${breaking.map(c => s"replace v${c.version}").mkString(", ")} " +
+      s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the range re-homes already-applied rows — re-baseline")
     val parts = cs
       .filter(c =>
@@ -664,6 +702,25 @@ final class CommitLog(spark: SparkSession, root: String) {
     names
   }
 
+  /** Serialize per-file schemas as GROUPS onto `node` (files sharing
+    * a schema share one entry — checkpoints and RESTORE commits use
+    * the same codec [[schemaGroupsOfNode]] reads). */
+  private def putSchemaGroups(node: ObjectNode,
+      schemaOf: Map[String, StructType]): Unit =
+    if (schemaOf.nonEmpty) {
+      val garr = node.putArray("schemaGroups")
+      schemaOf.toSeq.groupMap(x => SchemaTools.schemaToMap(x._2))(_._1)
+        .toSeq.sortBy(_._2.min)
+        .foreach { case (schemaMap, files) =>
+          val g = garr.addObject()
+          val fa = g.putArray("files")
+          files.sorted.foreach(fa.add)
+          val sn = g.putObject("schema")
+          schemaMap.toSeq.sortBy(_._1)
+            .foreach { case (n, t) => sn.put(n, t) }
+        }
+    }
+
   /** Serialize per-file spans onto `node` (commits and checkpoints
     * share the codec [[statsOfNode]] reads). */
   private def putStats(node: ObjectNode,
@@ -720,7 +777,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       removed: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       schema: Option[StructType] = None,
-      stats: Map[String, FileSpans] = Map.empty): Boolean = {
+      stats: Map[String, FileSpans] = Map.empty,
+      schemaGroups: Map[String, StructType] = Map.empty): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
     // commit timestamp, forced monotone across versions (the Delta
@@ -746,6 +804,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       SchemaTools.schemaToMap(st).toSeq.sortBy(_._1)
         .foreach { case (n, t) => sn.put(n, t) }
     }
+    putSchemaGroups(node, schemaGroups)
     putStats(node, stats)
     val vf = versionFile(v)
     // Commit visibility is ATOMIC: the full payload lands in a temp
@@ -947,6 +1006,166 @@ final class CommitLog(spark: SparkSession, root: String) {
     Some(v)
   }
 
+  /** Keyed copy-on-write MERGE as ONE atomic commit — Delta MERGE on
+    * the multi-writer flavor. Matched keys update, unmatched keys
+    * insert; only files that HOLD matched keys rewrite (span-pruned
+    * candidates, then a key semi-join picks the touched set), and the
+    * swap is a single `upsert` commit (removed = touched inputs,
+    * files = survivors ∪ batch) visible atomically like every commit.
+    * Time travel before it serves the pre-merge rows; incremental
+    * consumers must re-baseline across it ([[readSince]] and
+    * [[changesSince]] refuse — merged outputs mix carried-over
+    * survivors with changed rows, not separable from metadata).
+    *
+    * Concurrency is Delta's ConcurrentAppend/ConcurrentDelete logic,
+    * validated inside the CAS retry loop:
+    *  - planned inputs no longer live (a replace/rewrite/competing
+    *    upsert took them) — CONFLICT, re-plan;
+    *  - a commit landed after planning whose files' LOG-CARRIED spans
+    *    cannot prove disjointness from the batch's key range — its
+    *    rows may match the merge keys this merge never saw: CONFLICT.
+    *    Span-provably-disjoint appends commute and do not conflict
+    *    (the partition-disjointness rule, served by per-file spans).
+    *  - MOR `delete` commits commute: tombstone keys subtract at READ
+    *    time from whatever files are live, including this merge's
+    *    outputs — note the flip side, documented with
+    *    [[deleteKeysMor]]: a standing tombstone keeps subtracting a
+    *    re-inserted key until a replace/compaction clears the debt.
+    *
+    * A merge that matches NOTHING commits as a plain `append` (no
+    * inputs removed — increment consumers keep working), mirroring
+    * Delta's insert-only-merge append optimization. Returns
+    * (committed version, touched file count). `beforeCommit` is a
+    * test seam firing between staging and the first CAS attempt —
+    * how the conflict paths are exercised deterministically. */
+  def upsert(batch: DataFrame, keys: Seq[String],
+      beforeCommit: () => Unit = () => ()): (Long, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val marker = SchemaTools.readSchemaMarkerInfo(spark, root)
+    require(marker.forall(i => i.renames.isEmpty && i.dropped.isEmpty),
+      "upsert under active column mapping is unsupported — the batch's " +
+        "logical names would miss the files' physical columns")
+    val plannedV = latestVersion()
+    val r = resolve(Some(plannedV))
+    if (r.data.isEmpty) return (append(batch), 0)
+    val current = readConformed(r.data, r.schemaOf)
+    require(batch.columns.sorted.sameElements(current.columns.sorted),
+      s"upsert batch columns ${batch.columns.sorted.mkString(",")} " +
+        s"must match dataset columns ${current.columns.sorted.mkString(",")}")
+    val batchAligned = batch.select(current.columns.map(col): _*)
+    val batchKeys = batchAligned.select(keys.map(col): _*).distinct()
+    // batch key range on the first key (numeric only) — drives both
+    // candidate pruning and the concurrent-append disjointness proof
+    val keyBounds: Option[(String, Double, Double)] = {
+      val k = keys.head
+      batchAligned.schema(k).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          val row = batchAligned.agg(
+            min(col(k).cast("double")), max(col(k).cast("double"))).head()
+          if (row.isNullAt(0)) None
+          else Some((k, row.getDouble(0), row.getDouble(1)))
+        case _ => None
+      }
+    }
+    val candidates = keyBounds.flatMap { case (k, lo, hi) =>
+      prunedLive(s"$k >= $lo and $k <= $hi", r.data, r.spanOf)
+    }.getOrElse(r.data)
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val scan = readConformed(candidates, r.schemaOf)
+          .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+        val cond = keys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _)
+        scan.join(broadcast(batchKeys), cond, "left_semi")
+          .select("__file").distinct()
+          .collect().map(x => new Path(x.getString(0)).getName).toSeq
+      }
+    val out =
+      if (touched.isEmpty) batchAligned
+      else {
+        val touchedRows = SchemaTools.conformTo(
+          readConformed(touched, r.schemaOf), batchAligned.schema)
+        val cond =
+          keys.map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
+        touchedRows.join(broadcast(batchKeys), cond, "left_anti")
+          .unionByName(batchAligned)
+      }
+    val names = stage(out)
+    val spans = spansOf(names)
+    val kind = if (touched.isEmpty) "append" else "upsert"
+    val touchedSet = touched.toSet
+    beforeCommit()
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      if (touched.nonEmpty) {
+        val tip = latestVersion()
+        if (!touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
+          throw new java.util.ConcurrentModificationException(
+            "upsert planned on files a concurrent commit removed — " +
+              "re-plan on fresh state")
+        val unprovable = (plannedV + 1 to tip).map(commit)
+          .filter(c => c.kind == "append" || c.kind == "upsert")
+          .flatMap(c => c.files.map(f => c -> f))
+          .collectFirst { case (c, f) if !keyBounds.exists {
+              case (k, lo, hi) => c.stats.get(f)
+                .flatMap(_.cols.get(k)) match {
+                  case Some((Some(mn), Some(mx))) => mx < lo || mn > hi
+                  case _ => false
+                }
+            } => s"${c.kind} v${c.version}" }
+        unprovable.foreach(who =>
+          throw new java.util.ConcurrentModificationException(
+            s"$who landed rows not provably disjoint from the merge " +
+              "keys (ConcurrentAppend) — re-plan on fresh state"))
+      }
+      done = tryCas(v, kind, names, removed = touched,
+        schema = Some(out.schema), stats = spans)
+      if (!done) v = latestVersion() + 1
+    }
+    if (touched.nonEmpty) FileStats.invalidate(spark, root)
+    else maintainStats(names)
+    notifyCommit()
+    (v, touched.size)
+  }
+
+  /** RESTORE — Delta `RESTORE TABLE ... TO VERSION AS OF`: ONE commit
+    * that resets the live state to `toVersion`'s resolution while
+    * PRESERVING history (time travel still serves every retained
+    * version, including the just-abandoned tip). Metadata-only at any
+    * lake size: the commit re-references the target's data files —
+    * still on disk, because restore can only reach versions whose
+    * manifests are retained, and every file a retained manifest
+    * references is vacuum-protected — and carries the target's
+    * tombstone set, per-file schema groups, and spans, so tombstone
+    * subtraction, schema conformance, and file skipping all serve
+    * from this one manifest exactly as they did at `toVersion`.
+    * Concurrency is the replace rule: planned against the current
+    * tip, CONFLICTS if the log advanced. Incremental consumers
+    * re-baseline across it ([[readSince]]/[[changesSince]] refuse).
+    * `beforeCommit` is the same test seam as [[upsert]]'s. */
+  def restore(toVersion: Long,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val plannedV = latestVersion()
+    require(toVersion >= 1 && toVersion <= plannedV,
+      s"no committed version $toVersion to restore to")
+    val target = resolve(Some(toVersion))
+    beforeCommit()
+    val v = plannedV + 1
+    if (latestVersion() != plannedV ||
+        !tryCas(v, "restore", target.data, removed = target.tombstones,
+          stats = target.spanOf, schemaGroups = target.schemaOf))
+      throw new java.util.ConcurrentModificationException(
+        s"restore planned on v$plannedV but the log advanced to " +
+          s"v${latestVersion()} — re-plan on fresh state")
+    // sidecar rows may describe the abandoned tip's files; the
+    // restored spans ride the manifest, so readers stay pruned
+    FileStats.invalidate(spark, root)
+    notifyCommit()
+    v
+  }
+
   /** Highest batch id committed for `appId`, scanning the newest
     * checkpoint's folded `txns` plus the commits after it — the Delta
     * SetTransaction lookup that makes [[appendOnce]] idempotent across
@@ -1044,19 +1263,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     r.tombstones.foreach(tarr.add)
     // fold per-file schemas as groups, so evolution history survives
     // log truncation (files sharing a schema share one entry)
-    if (r.schemaOf.nonEmpty) {
-      val garr = node.putArray("schemaGroups")
-      r.schemaOf.toSeq.groupMap(x => SchemaTools.schemaToMap(x._2))(_._1)
-        .toSeq.sortBy(_._2.min)
-        .foreach { case (schemaMap, files) =>
-          val g = garr.addObject()
-          val fa = g.putArray("files")
-          files.sorted.foreach(fa.add)
-          val sn = g.putObject("schema")
-          schemaMap.toSeq.sortBy(_._1)
-            .foreach { case (n, t) => sn.put(n, t) }
-        }
-    }
+    putSchemaGroups(node, r.schemaOf)
     // fold log-carried per-file spans ([[FileSpans]]) — skipping must
     // survive log truncation exactly like schema history does
     putStats(node, r.spanOf)

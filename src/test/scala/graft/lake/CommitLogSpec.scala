@@ -419,4 +419,130 @@ class CommitLogSpec extends AnyFunSuite {
     log.dropColumn("amount")
     assert(log.read().columns.toSeq == Seq("id"))
   }
+
+  test("upsert rewrites only the key-holding files; untouched files " +
+      "stay byte-identical; pre-merge rows time-travel; increments " +
+      "refuse then resume; insert-only merge commits as an append") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogup")).init()
+    log.append(Seq.tabulate(10)(i => (i, i * 10, "a"))
+      .toDF("id", "x", "tag").repartition(1)) // v1: ids 0-9
+    log.append(Seq.tabulate(10)(i => (100 + i, i, "b"))
+      .toDF("id", "x", "tag").repartition(1)) // v2: ids 100-109
+    log.append(Seq.tabulate(10)(i => (200 + i, i, "c"))
+      .toDF("id", "x", "tag").repartition(1)) // v3: ids 200-209
+    val vPre = log.latestVersion()
+    val before = log.liveFiles(None)
+    def md5(name: String): String = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(log.filePaths(Seq(name)).head))
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    }
+    val sigBefore = before.map(n => n -> md5(n)).toMap
+    // update ids 100/105, insert 300-302: batch range [100, 302]
+    // overlaps v2 (matches) and v3 (no matches) but span-prunes v1
+    val batch = Seq((100, 1001, "B"), (105, 1005, "B"),
+      (300, 1, "d"), (301, 2, "d"), (302, 3, "d")).toDF("id", "x", "tag")
+    val (vUp, touched) = log.upsert(batch, Seq("id"))
+    assert(touched == 1,
+      s"only the 100-band file holds matched keys, touched=$touched")
+    val after = log.liveFiles(None)
+    val kept = before.filter(after.contains)
+    assert(kept.size == 2, s"two untouched files must survive: $kept")
+    kept.foreach(n => assert(md5(n) == sigBefore(n),
+      s"untouched $n must stay byte-identical"))
+    val got = log.read(None).select("id", "x").as[(Int, Int)]
+      .collect().toMap
+    assert(got.size == 33 && got(100) == 1001 && got(105) == 1005 &&
+      got(101) == 1 && got(300) == 1,
+      s"merge semantics: updates in place, inserts added: $got")
+    val pre = log.read(Some(vPre)).select("id", "x").as[(Int, Int)]
+      .collect().toMap
+    assert(pre.size == 30 && pre(100) == 0 && !pre.contains(300),
+      "time travel before the merge must serve the pre-merge rows")
+    intercept[IllegalArgumentException](log.readSince(vPre))
+    intercept[IllegalArgumentException](log.changesSince(vPre))
+    log.append(Seq((400, 1, "e")).toDF("id", "x", "tag"))
+    assert(log.readSince(vUp).select("id").as[Int].collect().toSeq
+      == Seq(400), "increments resume after re-baselining at the merge")
+    val (vIns, t2) =
+      log.upsert(Seq((500, 5, "f")).toDF("id", "x", "tag"), Seq("id"))
+    assert(t2 == 0 && log.commit(vIns).kind == "append",
+      "a merge matching nothing must commit as a plain append")
+    assert(log.readSince(vUp).count() == 2,
+      "the insert-only merge must stay increment-consumable")
+  }
+
+  test("upsert concurrency: an overlapping concurrent append " +
+      "conflicts (ConcurrentAppend); a span-provably-disjoint append " +
+      "commutes; stolen inputs conflict") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogup2")).init()
+    log.append(Seq.tabulate(20)(i => (i, i)).toDF("id", "x")
+      .repartition(1)) // v1
+    intercept[java.util.ConcurrentModificationException] {
+      log.upsert(Seq((5, 500)).toDF("id", "x"), Seq("id"),
+        beforeCommit =
+          () => { log.append(Seq((5, 555)).toDF("id", "x")); () })
+    }
+    // the disjoint sibling commutes: the concurrent file's span
+    // (id=1000) proves it cannot hold merge-key rows
+    val (_, t) = log.upsert(Seq((5, 500)).toDF("id", "x"), Seq("id"),
+      beforeCommit =
+        () => { log.append(Seq((1000, 1)).toDF("id", "x")); () })
+    assert(t >= 1, "the merge must still have touched the key files")
+    val m = log.read(None).select("id", "x").as[(Int, Int)].collect()
+    assert(m.count(_._1 == 5) == 1 && m.toMap.apply(5) == 500 &&
+      m.toMap.contains(1000),
+      s"merge + disjoint append must both land exactly once: " +
+        s"${m.sorted.toSeq}")
+    // a concurrent OPTIMIZE that packed the planned inputs steals them
+    intercept[java.util.ConcurrentModificationException] {
+      log.upsert(Seq((6, 600)).toDF("id", "x"), Seq("id"),
+        beforeCommit = () => { log.optimize(targetFiles = 1); () })
+    }
+  }
+
+  test("restore resets the live state in one metadata commit; history " +
+      "is preserved; target tombstones and spans ride the manifest; " +
+      "an advanced log conflicts; checkpoints fold it") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogrs")).init()
+    log.append(Seq.tabulate(10)(i => (i, "a")).toDF("id", "v")
+      .repartition(1)) // v1
+    log.append(Seq.tabulate(10)(i => (100 + i, "b")).toDF("id", "v")
+      .repartition(1)) // v2
+    log.deleteKeysMor(Seq(3, 104).toDF("id"), Seq("id")) // v3
+    log.append(Seq.tabulate(10)(i => (200 + i, "c")).toDF("id", "v")
+      .repartition(1)) // v4
+    assert(log.read(None).count() == 28)
+    val vR = log.restore(2L) // v5
+    assert(vR == 5L && log.latestVersion() == 5L,
+      "restore must be a NEW commit, not history rewriting")
+    assert(log.read(None).select("id").as[Int].collect().sorted.toSeq
+      == ((0 until 10) ++ (100 until 110)),
+      "the restored state must equal v2's exactly (delete undone)")
+    assert(log.read(Some(4L)).count() == 28,
+      "the abandoned tip must still time-travel")
+    log.restore(4L) // v6: a version AFTER the delete
+    val ids6 = log.read(None).select("id").as[Int].collect().sorted
+    assert(ids6.length == 28 && !ids6.contains(3) && !ids6.contains(104),
+      "restored tombstones must keep subtracting")
+    val cand = log.candidateDataFiles("id >= 200 and id <= 205")
+    assert(cand.isDefined &&
+      cand.get.size < log.liveFiles(None).size,
+      s"restored spans must prune immediately: ${cand.map(_.size)}")
+    intercept[IllegalArgumentException](log.readSince(4L))
+    log.append(Seq((900, "z")).toDF("id", "v")) // v7
+    assert(log.readSince(6L).select("id").as[Int].collect().toSeq
+      == Seq(900), "increments resume after the restore")
+    intercept[java.util.ConcurrentModificationException] {
+      log.restore(2L, beforeCommit =
+        () => { log.append(Seq((901, "z")).toDF("id", "v")); () })
+    }
+    val full = log.read(None).select("id").as[Int].collect().sorted
+    log.checkpoint(log.latestVersion())
+    log.expireBefore(log.latestVersion())
+    assert(log.read(None).select("id").as[Int].collect().sorted.toSeq
+      == full.toSeq,
+      "checkpoint + truncation across a restore must resolve the same")
+  }
 }
