@@ -4788,6 +4788,122 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // ROW-LEVEL MERGE on the multi-writer flavor (Delta MERGE):
+    // matched keys update, unmatched keys insert, only key-holding
+    // files rewrite (span-pruned candidates, then a key semi-join),
+    // and the swap is ONE atomic `upsert` commit. The asserts keep
+    // the 100 TB bounds: strict-subset file touch, time travel
+    // serving the pre-merge prices, increment consumers refusing
+    // across the merge and resuming after re-baselining. The
+    // ConcurrentAppend conflict matrix is CommitLogSpec's.
+    "q135_commitlog_upsert" -> ((s, d) => {
+      val root = scratch(s, "q135", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 8
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      log.append(band(lo, lo + 4 * e)
+        .repartitionByRange(4, col("o_orderkey"))) // v1
+      log.append(band(lo + 4 * e + 1, lo + 6 * e)
+        .repartitionByRange(2, col("o_orderkey"))) // v2
+      val vPre = log.latestVersion()
+      val filesBefore = log.liveFiles(None).size
+      val updates = band(lo, lo + e)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val inserts = band(lo + 6 * e + 1, lo + 7 * e)
+      val nUpd = updates.count()
+      val (vUp, touched) =
+        log.upsert(updates.unionByName(inserts), Seq("o_orderkey"))
+      assert(touched > 0 && touched < filesBefore,
+        s"merge must rewrite a strict subset: $touched of $filesBefore")
+      def bandSum(df: DataFrame) = df
+        .filter(col("o_orderkey").between(lo, lo + e))
+        .agg(sum("o_totalprice")).head().getDouble(0)
+      val preSum = bandSum(log.read(Some(vPre)))
+      val liveSum = bandSum(log.read(None))
+      assert(math.abs(liveSum - (preSum + 1000.0 * nUpd)) <
+        1e-9 * math.abs(liveSum),
+        "time travel must serve the pre-merge prices")
+      val refused =
+        try { log.readSince(vPre).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      assert(refused,
+        "an increment across the merge must refuse — re-baseline")
+      log.append(band(lo + 7 * e + 1, hi)) // post-merge tail
+      assert(log.readSince(vUp).count() ==
+        band(lo + 7 * e + 1, hi).count(),
+        "increments must resume cleanly after the merge")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped(log.read(None), "live")
+        .unionByName(shaped(log.read(Some(vPre)), "pre"))
+        .unionByName(shaped(log.readSince(vUp), "inc"))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // RESTORE on the commit log (Delta RESTORE TABLE ... TO VERSION):
+    // one metadata-only commit resets the live state to the target's
+    // resolution — a bad delete and a bad append are undone together
+    // without rewriting a byte of data — while history is PRESERVED
+    // (the abandoned tip still time-travels). The target's spans ride
+    // the restore manifest, so file skipping serves immediately;
+    // increment consumers refuse across it and resume after.
+    "q136_commitlog_restore" -> ((s, d) => {
+      val root = scratch(s, "q136", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      log.append(band(lo, lo + e)
+        .repartitionByRange(2, col("o_orderkey"))) // v1
+      log.append(band(lo + e + 1, lo + 2 * e)
+        .repartitionByRange(2, col("o_orderkey"))) // v2
+      val vTarget = log.latestVersion()
+      log.deleteKeysMor( // v3: the "bad delete"
+        band(lo, lo + e / 4).select("o_orderkey"), Seq("o_orderkey"))
+      log.append(band(lo + 2 * e + 1, lo + 3 * e)) // v4: "bad append"
+      val tipCount = log.read(None).count()
+      val vR = log.restore(vTarget) // v5
+      assert(vR == vTarget + 3 && log.latestVersion() == vR,
+        "restore must be a NEW commit, not history rewriting")
+      assert(log.read(None).count() == band(lo, lo + 2 * e).count(),
+        "the restored state must equal the target's exactly")
+      assert(log.read(Some(vR - 1)).count() == tipCount,
+        "the abandoned tip must still time-travel")
+      val cand = log.candidateDataFiles(
+        s"o_orderkey >= $lo and o_orderkey <= ${lo + e / 4}")
+      assert(cand.isDefined &&
+        cand.get.size < log.liveFiles(None).size,
+        s"restored spans must prune immediately: ${cand.map(_.size)}")
+      val refused =
+        try { log.readSince(vTarget).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      assert(refused,
+        "an increment across the restore must refuse — re-baseline")
+      log.append(band(lo + 3 * e + 1, hi)) // v6
+      assert(log.readSince(vR).count() ==
+        band(lo + 3 * e + 1, hi).count(),
+        "increments must resume cleanly after the restore")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped(log.read(None), "live")
+        .unionByName(shaped(log.read(Some(vR - 1)), "tip"))
+        .unionByName(shaped(log.readSince(vR), "inc"))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -6805,6 +6921,57 @@ object SparkEntry {
         |SELECT 'source' AS side, * FROM live
         |UNION ALL
         |SELECT 'replica', * FROM live
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // live = the whole key range with the merge applied (+1000 on the
+    // first eighth); pre = the two appended bands before the merge;
+    // inc = the post-merge tail append only
+    "q135_commitlog_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 8 AS e FROM src),
+        |live AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey <= lo + e
+        |      THEN o_totalprice + 1000.0 ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM src, b),
+        |pre AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey <= lo + 6 * e),
+        |inc AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey > lo + 7 * e)
+        |SELECT 'live' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM live
+        |UNION ALL
+        |SELECT 'pre', o_orderkey, o_custkey, o_totalprice FROM pre
+        |UNION ALL
+        |SELECT 'inc', o_orderkey, o_custkey, o_totalprice FROM inc
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // live = the restored first half plus the post-restore tail; tip =
+    // the abandoned pre-restore state (delete applied, bad append in);
+    // inc = the post-restore tail only
+    "q136_commitlog_restore" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM src),
+        |del AS (SELECT o_orderkey FROM src, b
+        |  WHERE o_orderkey BETWEEN lo AND lo + e // 4),
+        |live AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b
+        |  WHERE s.o_orderkey <= lo + 2 * e OR s.o_orderkey > lo + 3 * e),
+        |tip AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey <= lo + 3 * e
+        |    AND s.o_orderkey NOT IN (SELECT o_orderkey FROM del)),
+        |inc AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey > lo + 3 * e)
+        |SELECT 'live' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM live
+        |UNION ALL
+        |SELECT 'tip', o_orderkey, o_custkey, o_totalprice FROM tip
+        |UNION ALL
+        |SELECT 'inc', o_orderkey, o_custkey, o_totalprice FROM inc
         |ORDER BY side, o_orderkey""".stripMargin,
 
     // row-preserving whatever the band: the full table reads back
