@@ -4904,6 +4904,61 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // SHALLOW CLONE of a multi-writer dataset (Delta SHALLOW CLONE):
+    // the clone's founding commit RE-REFERENCES the source's live
+    // files — zero data bytes move, O(metadata) at any size (asserted:
+    // the clone's data dir is EMPTY right after cloning) — and carries
+    // the source's tombstones and spans, so subtraction and skipping
+    // serve immediately. Afterwards the two logs are independent: a
+    // clone-side merge never touches the source, a source-side append
+    // never reaches the clone.
+    "q137_commitlog_clone" -> ((s, d) => {
+      val root = scratch(s, "q137", d)
+      val log = CommitLog(s, s"$root/src").init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      log.append(band(lo, lo + 2 * e)
+        .repartitionByRange(3, col("o_orderkey"))) // v1
+      log.append(band(lo + 2 * e + 1, lo + 3 * e)) // v2
+      log.deleteKeysMor( // v3
+        band(lo, lo + e / 4).select("o_orderkey"), Seq("o_orderkey"))
+      val clone = log.cloneTo(s"$root/clone")
+      assert(Option(new java.io.File(s"$root/clone/data").listFiles)
+        .forall(_.isEmpty),
+        "a shallow clone must copy ZERO data files")
+      val srcCount = log.read(None).count()
+      assert(clone.read(None).count() == srcCount,
+        "the clone must serve the source state through the borrow")
+      val cand = clone.candidateDataFiles(
+        s"o_orderkey >= ${lo + 2 * e + 1} and o_orderkey <= ${lo + 3 * e}")
+      assert(cand.isDefined &&
+        cand.get.size < clone.liveFiles(None).size,
+        s"borrowed spans must prune on the clone: ${cand.map(_.size)}")
+      // clone-side MERGE (+500 on the second quarter) — source blind
+      val (_, touched) = clone.upsert(
+        band(lo + e + 1, lo + 2 * e)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(500.0)),
+        Seq("o_orderkey"))
+      assert(touched > 0 && log.read(None).count() == srcCount,
+        "a clone-side merge must leave the source untouched")
+      // source-side append — clone blind
+      log.append(band(lo + 3 * e + 1, hi))
+      assert(clone.read(None).count() == srcCount,
+        "a source-side append must leave the clone untouched")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped(log.read(None), "source")
+        .unionByName(shaped(clone.read(None), "clone"))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -6972,6 +7027,37 @@ object SparkEntry {
         |SELECT 'tip', o_orderkey, o_custkey, o_totalprice FROM tip
         |UNION ALL
         |SELECT 'inc', o_orderkey, o_custkey, o_totalprice FROM inc
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // source = the three appended quarters minus the delete, plus the
+    // post-clone tail; clone = the same base with the clone-side merge
+    // (+500 on the second quarter) and WITHOUT the source's tail
+    "q137_commitlog_clone" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM src),
+        |del AS (SELECT o_orderkey FROM src, b
+        |  WHERE o_orderkey BETWEEN lo AND lo + e // 4),
+        |base AS (SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey <= lo + 3 * e
+        |    AND s.o_orderkey NOT IN (SELECT o_orderkey FROM del)),
+        |source_side AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM base
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s, b WHERE s.o_orderkey > lo + 3 * e),
+        |clone_side AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey > (SELECT lo + e FROM b)
+        |        AND o_orderkey <= (SELECT lo + 2 * e FROM b)
+        |      THEN o_totalprice + 500.0 ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM base)
+        |SELECT 'source' AS side, o_orderkey, o_custkey, o_totalprice
+        |FROM source_side
+        |UNION ALL
+        |SELECT 'clone', o_orderkey, o_custkey, o_totalprice
+        |FROM clone_side
         |ORDER BY side, o_orderkey""".stripMargin,
 
     // row-preserving whatever the band: the full table reads back

@@ -98,39 +98,29 @@ final class CommitLog(spark: SparkSession, root: String) {
   /** Highest committed version, 0 if none. O(commits) listing. */
   def latestVersion(): Long = existingVersions().foldLeft(0L)(math.max)
 
-  /** Per-file column spans + row count carried IN a commit manifest
-    * (Delta's per-AddFile `stats` JSON): min/max as doubles (pruning
-    * needs comparability, not exactness — the residual predicate
-    * always re-applies), None spans for all-null columns. Stats in
-    * the LOG, not a shared sidecar, is what multi-writer skipping
-    * needs: each writer records spans for its own files inside its
-    * own atomic commit, so concurrent appends never contend on a
-    * shared manifest and a file is skippable the instant its commit
-    * is visible. */
-  final case class FileSpans(nRows: Long,
-      cols: Map[String, (Option[Double], Option[Double])])
+  import CommitLog.{Commit, FileSpans, Resolved}
 
-  final case class Commit(version: Long, kind: String,
-      files: Seq[String], removed: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None,
-      schema: Option[StructType] = None,
-      stats: Map[String, FileSpans] = Map.empty,
-      ts: Long = 0L,
-      schemaGroups: Map[String, StructType] = Map.empty)
+  private def baseMarker = new Path(root, "_base.json")
 
-  /** The fully-resolved state at a version: live DATA files, live
-    * TOMBSTONE files (merge-on-read delete keys committed through the
-    * log — kind `delete` — so deletes are versioned like everything
-    * else and time travel before a delete still sees the rows), and
-    * the per-file PHYSICAL schema each live file's commit recorded
-    * (SCHEMA EVOLUTION: the log is the schema registry — absent only
-    * for commits written before schemas were recorded). */
-  final case class Resolved(data: Seq[String], tombstones: Seq[String],
-      schemaOf: Map[String, StructType] = Map.empty,
-      spanOf: Map[String, FileSpans] = Map.empty)
+  /** Shallow-clone borrow table: (source data dir, borrowed names) —
+    * written once by [[cloneTo]] before the clone's first commit,
+    * immutable after (borrowed files can only LEAVE the live set;
+    * the borrow list never grows). */
+  private lazy val borrowed: (Option[Path], Set[String]) =
+    if (!fs.exists(baseMarker)) (None, Set.empty)
+    else {
+      val node = mapper.readTree(TimeFly.readText(fs, baseMarker))
+        .asInstanceOf[ObjectNode]
+      val names = scala.collection.mutable.Set[String]()
+      node.withArray("files").forEach(n => names += n.asText())
+      (Some(new Path(node.path("base").asText())), names.toSet)
+    }
 
-  private def dataPath(name: String): String =
-    new Path(dataDir, name).toString
+  private def dataPath(name: String): String = borrowed match {
+    case (Some(base), names) if names(name) =>
+      new Path(base, name).toString
+    case _ => new Path(dataDir, name).toString
+  }
 
   def commit(v: Long): Commit = {
     val txt = TimeFly.readText(fs, versionFile(v))
@@ -327,11 +317,11 @@ final class CommitLog(spark: SparkSession, root: String) {
           data = data.filterNot(rm) ++ c.files
           sch = sch -- rm ++ recorded
           sp = sp -- rm ++ c.stats
-        // a RESTORE resets the whole state to its recorded target:
-        // `files` is the restored live set, `removed` carries the
-        // restored TOMBSTONE set, and the manifest brings the
-        // target's spans and per-file schema groups with it
-        case "restore" =>
+        // a RESTORE (or a shallow CLONE's founding commit) resets the
+        // whole state to its recorded target: `files` is the live
+        // set, `removed` carries the TOMBSTONE set, and the manifest
+        // brings the target's spans and per-file schema groups with it
+        case "restore" | "clone" =>
           data = c.files.toVector
           ts = c.removed.toVector
           sch = sch ++ c.schemaGroups
@@ -551,7 +541,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     // exactly the compacted inputs' rows, and those inputs stay on
     // disk for the increment's own read) — skip them, deliver nothing
     val breaking = cs.filter(c => c.kind == "replace" ||
-      c.kind == "delete" || c.kind == "upsert" || c.kind == "restore")
+      c.kind == "delete" || c.kind == "upsert" ||
+      c.kind == "restore" || c.kind == "clone")
     require(breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the increment — re-baseline on the mutated state")
@@ -590,7 +581,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     // and a restore re-homes visibility wholesale; both refuse like a
     // replace (Delta CDF's own rule for non-decomposable commits)
     val breaking = cs.filter(c => c.kind == "replace" ||
-      c.kind == "upsert" || c.kind == "restore")
+      c.kind == "upsert" || c.kind == "restore" || c.kind == "clone")
     require(breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the range re-homes already-applied rows — re-baseline")
@@ -1166,6 +1157,54 @@ final class CommitLog(spark: SparkSession, root: String) {
     v
   }
 
+  /** SHALLOW CLONE — Delta `CREATE TABLE ... SHALLOW CLONE`: a new
+    * commit-log dataset at `destRoot` whose founding commit
+    * RE-REFERENCES this dataset's live files instead of copying them —
+    * O(metadata) whatever the data size; cloning a 100 TB table moves
+    * zero data bytes. The clone's `_base.json` records the borrow
+    * table (source data dir + borrowed names, immutable — borrowed
+    * files can only LEAVE the clone's live set), and every read path
+    * resolves borrowed names through it. The founding manifest carries
+    * the source's tombstones, per-file schema groups, and spans, so
+    * subtraction, conformance, and skipping serve on the clone exactly
+    * as on the source; an active column-mapping marker is copied.
+    *
+    * After the clone the two logs are INDEPENDENT: appends, merges,
+    * deletes, optimizes on either side never touch the other (clone
+    * writes stage into the clone's own `data/`; an OPTIMIZE localizes
+    * the clone by packing borrowed files into owned ones). The one
+    * documented coupling is Delta's own: a VACUUM on the SOURCE does
+    * not know about clones, so source-side vacuum after source commits
+    * drop a file can reclaim bytes a clone still borrows — pin the
+    * source (skip vacuum / retain) while shallow clones reference it,
+    * or localize clones first. */
+  def cloneTo(destRoot: String): CommitLog = {
+    val r = resolve(None)
+    val dest = CommitLog(spark, destRoot).init()
+    require(dest.latestVersion() == 0L,
+      s"clone destination $destRoot already has commits")
+    val marker = mapper.createObjectNode()
+    marker.put("base", dataDir.toString)
+    val arr = marker.putArray("files")
+    (r.data ++ r.tombstones).foreach(arr.add)
+    val out = fs.create(dest.baseMarker, true)
+    try out.write(mapper.writeValueAsBytes(marker))
+    finally out.close()
+    // column-mapping marker rides along (renames/drops stay applied)
+    val srcSchema = new Path(root, "_schema.json")
+    if (fs.exists(srcSchema)) {
+      val o = fs.create(new Path(destRoot, "_schema.json"), true)
+      try o.write(
+        TimeFly.readText(fs, srcSchema).getBytes("UTF-8"))
+      finally o.close()
+    }
+    if (!dest.tryCas(1L, "clone", r.data, removed = r.tombstones,
+        stats = r.spanOf, schemaGroups = r.schemaOf))
+      throw new java.util.ConcurrentModificationException(
+        s"clone destination $destRoot claimed v1 concurrently")
+    dest
+  }
+
   /** Highest batch id committed for `appId`, scanning the newest
     * checkpoint's folded `txns` plus the commits after it — the Delta
     * SetTransaction lookup that makes [[appendOnce]] idempotent across
@@ -1379,8 +1418,13 @@ final class CommitLog(spark: SparkSession, root: String) {
           node.withArray("tombstones").forEach(n => buf += n.asText())
           buf
         }.toSeq
-    val referenced = (existingVersions()
-      .flatMap(v => commit(v).files) ++ ckFiles).toSet
+    // restore/clone manifests carry their TOMBSTONE set in `removed`
+    // — those files are live references, not rewrite casualties
+    val referenced = (existingVersions().flatMap { v =>
+      val c = commit(v)
+      c.files ++ (if (c.kind == "restore" || c.kind == "clone")
+        c.removed else Nil)
+    } ++ ckFiles).toSet
     var removed = 0L
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { s =>
@@ -1419,6 +1463,37 @@ object CommitLog {
     * generous against any stage-to-commit gap while keeping crashed
     * writers' debris from accumulating for a week. */
   val RetentionMs: Long = 60L * 60 * 1000
+
+  /** Per-file column spans + row count carried IN a commit manifest
+    * (Delta's per-AddFile `stats` JSON): min/max as doubles (pruning
+    * needs comparability, not exactness — the residual predicate
+    * always re-applies), None spans for all-null columns. Stats in
+    * the LOG, not a shared sidecar, is what multi-writer skipping
+    * needs: each writer records spans for its own files inside its
+    * own atomic commit, so concurrent appends never contend on a
+    * shared manifest and a file is skippable the instant its commit
+    * is visible. */
+  final case class FileSpans(nRows: Long,
+      cols: Map[String, (Option[Double], Option[Double])])
+
+  final case class Commit(version: Long, kind: String,
+      files: Seq[String], removed: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None,
+      schema: Option[StructType] = None,
+      stats: Map[String, FileSpans] = Map.empty,
+      ts: Long = 0L,
+      schemaGroups: Map[String, StructType] = Map.empty)
+
+  /** The fully-resolved state at a version: live DATA files, live
+    * TOMBSTONE files (merge-on-read delete keys committed through the
+    * log — kind `delete` — so deletes are versioned like everything
+    * else and time travel before a delete still sees the rows), and
+    * the per-file PHYSICAL schema each live file's commit recorded
+    * (SCHEMA EVOLUTION: the log is the schema registry — absent only
+    * for commits written before schemas were recorded). */
+  final case class Resolved(data: Seq[String], tombstones: Seq[String],
+      schemaOf: Map[String, StructType] = Map.empty,
+      spanOf: Map[String, FileSpans] = Map.empty)
 
   def apply(spark: SparkSession, root: String): CommitLog =
     new CommitLog(spark, root)

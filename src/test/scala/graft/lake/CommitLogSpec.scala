@@ -545,4 +545,50 @@ class CommitLogSpec extends AnyFunSuite {
       == full.toSeq,
       "checkpoint + truncation across a restore must resolve the same")
   }
+
+  test("shallow clone re-references source files (zero data copied); " +
+      "divergence is independent both ways; optimize localizes; " +
+      "tombstones and spans ride the founding manifest") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogsrc")).init()
+    log.append(Seq.tabulate(10)(i => (i, "a")).toDF("id", "v")
+      .repartition(1)) // v1
+    log.append(Seq.tabulate(10)(i => (100 + i, "b")).toDF("id", "v")
+      .repartition(1)) // v2
+    log.deleteKeysMor(Seq(3).toDF("id"), Seq("id")) // v3
+    val destRoot = TestSpark.tempDir("clogdst")
+    val clone = log.cloneTo(destRoot)
+    val destData = new java.io.File(destRoot, "data")
+    assert(Option(destData.listFiles).forall(_.isEmpty),
+      "a shallow clone must copy zero data files")
+    def ids(l: CommitLog) =
+      l.read(None).select("id").as[Int].collect().sorted.toSeq
+    val expect = ((0 until 10) ++ (100 until 110)).filterNot(_ == 3)
+    assert(ids(clone) == expect,
+      "the clone must serve the source's state through the borrow")
+    val cand = clone.candidateDataFiles("id >= 100 and id <= 105")
+    assert(cand.isDefined &&
+      cand.get.size < clone.liveFiles(None).size,
+      s"borrowed spans must prune on the clone: ${cand.map(_.size)}")
+    // clone-side merge + append: the source never notices
+    clone.upsert(Seq((0, "Z"), (500, "n")).toDF("id", "v"), Seq("id"))
+    clone.append(Seq((600, "m")).toDF("id", "v"))
+    assert(ids(log) == expect &&
+      log.read(None).filter($"id" === 0).select("v").head()
+        .getString(0) == "a",
+      "clone divergence must leave the source untouched")
+    // source-side append: the clone never notices
+    log.append(Seq((700, "s")).toDF("id", "v"))
+    assert(!ids(clone).contains(700),
+      "source divergence must leave the clone untouched")
+    // OPTIMIZE localizes: all live files now owned by the clone
+    clone.optimize(targetFiles = 1)
+    assert(clone.liveFiles(None)
+      .forall(n => new java.io.File(destData, n).exists),
+      "optimize must pack borrowed files into owned ones")
+    val m = clone.read(None).select("id", "v").as[(Int, String)]
+      .collect().toMap
+    assert(m(0) == "Z" && m(500) == "n" && m(600) == "m" &&
+      !m.contains(3) && m(101) == "b",
+      s"localized clone must preserve merged content: $m")
+  }
 }
