@@ -4959,6 +4959,78 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // STREAMING CDC MERGE into the multi-writer log — the Delta
+    // `foreachBatch` + MERGE pattern made exactly-once at the COMMIT
+    // level: each micro-batch applies as one keyed copy-on-write
+    // upsert whose commit records (appId, batchId), so a TOTAL replay
+    // (fresh checkpoint redelivering every batch) lands NOTHING — no
+    // burned versions, no pointless rewrites — and the mark survives
+    // log truncation. Later batches re-key earlier rows, so the final
+    // table is keyed last-write-wins in arrival order (mtimes forced
+    // strictly increasing, one file per batch under
+    // maxFilesPerTrigger=1).
+    "q138_commitlog_stream_merge" -> ((s, d) => {
+      val root = scratch(s, "q138", d)
+      val srcDir = scratch(s, "q138src", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      val feeds = Seq(
+        band(lo, lo + 2 * e), // b0: the founding snapshot
+        band(lo + e + 1, lo + 3 * e) // b1: updates + inserts
+          .withColumn("o_totalprice",
+            col("o_totalprice") + lit(100.0)),
+        band(lo, lo + e) // b2: re-keys the first quarter again
+          .withColumn("o_totalprice",
+            col("o_totalprice") + lit(7.0)))
+      val hfs = new org.apache.hadoop.fs.Path(srcDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val t0 = System.currentTimeMillis()
+      feeds.zipWithIndex.foreach { case (df, i) =>
+        val dir = s"$srcDir/b$i"
+        df.coalesce(1).write.parquet(dir)
+        SchemaTools.listDataFiles(s, dir).foreach(f =>
+          hfs.setTimes(new org.apache.hadoop.fs.Path(f),
+            t0 + i * 60000L, -1))
+      }
+      val sch = s.read.parquet(s"$srcDir/b0").schema
+      def run(ckpt: String): Unit = {
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$srcDir/b*")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            log.upsertOnce(batch, Seq("o_orderkey"), "cdc", id)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run(s"$root/_ckpt1")
+      val vAfter = log.latestVersion()
+      assert(vAfter == 3L,
+        "three micro-batches must land as three merge commits")
+      run(s"$root/_ckpt2") // TOTAL replay through a fresh checkpoint
+      assert(log.latestVersion() == vAfter,
+        "a replayed CDC delivery must burn no versions")
+      log.checkpoint(vAfter)
+      log.expireBefore(vAfter)
+      assert(log.upsertOnce(feeds(2), Seq("o_orderkey"),
+        "cdc", 1L).isEmpty,
+        "the merge high-water mark must survive log truncation")
+      log.read(None)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -7059,6 +7131,22 @@ object SparkEntry {
         |SELECT 'clone', o_orderkey, o_custkey, o_totalprice
         |FROM clone_side
         |ORDER BY side, o_orderkey""".stripMargin,
+
+    // keyed last-write-wins in arrival order: the first quarter ends
+    // on b2's +7 over the ORIGINAL price, everything else the streamed
+    // +100 (b1) or the founding snapshot
+    "q138_commitlog_stream_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM src)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey <= lo + e THEN o_totalprice + 7.0
+        |    WHEN o_orderkey > lo + e AND o_orderkey <= lo + 3 * e
+        |      THEN o_totalprice + 100.0
+        |    ELSE o_totalprice END AS o_totalprice
+        |FROM src, b WHERE o_orderkey <= lo + 3 * e
+        |ORDER BY o_orderkey""".stripMargin,
 
     // row-preserving whatever the band: the full table reads back
     "q132_commitlog_optimize_where" ->

@@ -1030,7 +1030,26 @@ final class CommitLog(spark: SparkSession, root: String) {
     * test seam firing between staging and the first CAS attempt —
     * how the conflict paths are exercised deterministically. */
   def upsert(batch: DataFrame, keys: Seq[String],
-      beforeCommit: () => Unit = () => ()): (Long, Int) = {
+      beforeCommit: () => Unit = () => ()): (Long, Int) =
+    doUpsert(batch, keys, beforeCommit, None).get
+
+  /** IDEMPOTENT MERGE — [[upsert]] under the [[appendOnce]]
+    * txnAppId/txnVersion contract: the merge commit records
+    * `(appId, batchId)` and a batch at or below the app's high-water
+    * mark is SKIPPED (None). This is the Delta streaming-CDC
+    * pattern — `foreachBatch` + MERGE — made exactly-once at the
+    * COMMIT level: a keyed merge is already content-idempotent under
+    * replay, but the mark also keeps a replayed delivery from
+    * burning a version and rewriting files for nothing. */
+  def upsertOnce(batch: DataFrame, keys: Seq[String],
+      appId: String, batchId: Long): Option[(Long, Int)] = {
+    if (lastTxn(appId).exists(_ >= batchId)) return None
+    doUpsert(batch, keys, () => (), Some((appId, batchId)))
+  }
+
+  private def doUpsert(batch: DataFrame, keys: Seq[String],
+      beforeCommit: () => Unit,
+      txn: Option[(String, Long)]): Option[(Long, Int)] = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
     require(keys.nonEmpty, "upsert needs at least one key column")
     val marker = SchemaTools.readSchemaMarkerInfo(spark, root)
@@ -1039,7 +1058,11 @@ final class CommitLog(spark: SparkSession, root: String) {
         "logical names would miss the files' physical columns")
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
-    if (r.data.isEmpty) return (append(batch), 0)
+    if (r.data.isEmpty)
+      return txn match {
+        case None => Some((append(batch), 0))
+        case Some((a, b)) => appendOnce(batch, a, b).map((_, 0))
+      }
     val current = readConformed(r.data, r.schemaOf)
     require(batch.columns.sorted.sameElements(current.columns.sorted),
       s"upsert batch columns ${batch.columns.sorted.mkString(",")} " +
@@ -1090,6 +1113,11 @@ final class CommitLog(spark: SparkSession, root: String) {
     var v = latestVersion() + 1
     var done = false
     while (!done) {
+      // same-app race inside the retry loop: if a twin writer's
+      // (appId, batchId) landed first, skip instead of double-merging
+      txn.foreach { case (a, b) =>
+        if (lastTxn(a).exists(_ >= b)) return None
+      }
       if (touched.nonEmpty) {
         val tip = latestVersion()
         if (!touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
@@ -1111,14 +1139,14 @@ final class CommitLog(spark: SparkSession, root: String) {
             s"$who landed rows not provably disjoint from the merge " +
               "keys (ConcurrentAppend) — re-plan on fresh state"))
       }
-      done = tryCas(v, kind, names, removed = touched,
+      done = tryCas(v, kind, names, removed = touched, txn = txn,
         schema = Some(out.schema), stats = spans)
       if (!done) v = latestVersion() + 1
     }
     if (touched.nonEmpty) FileStats.invalidate(spark, root)
     else maintainStats(names)
     notifyCommit()
-    (v, touched.size)
+    Some((v, touched.size))
   }
 
   /** RESTORE — Delta `RESTORE TABLE ... TO VERSION AS OF`: ONE commit
