@@ -5031,6 +5031,60 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // SCREENED MERGE on the multi-writer flavor (expectations ∘
+    // upsert, the q123 contract moved onto the commit log): violators
+    // quarantine with their rule names and never reach the merge — a
+    // rejected UPDATE's key keeps its CURRENT row — while accepted
+    // rows land as ONE atomic merge commit with the usual bounds
+    // (strict-subset touch, pre-merge time travel).
+    "q139_commitlog_merge_screened" -> ((s, d) => {
+      val root = scratch(s, "q139", d)
+      val quar = scratch(s, "q139quar", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi0) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi0 - lo) / 2
+      log.append(src.filter(col("o_orderkey") <= mid)
+        .repartitionByRange(4, col("o_orderkey"))) // v1
+      log.append(src.filter(col("o_orderkey") > mid)
+        .repartitionByRange(4, col("o_orderkey"))) // v2
+      val vPre = log.latestVersion()
+      val filesBefore = log.liveFiles(None).size
+      val hi = lo + (hi0 - lo) / 8
+      val updates = src.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", lit(-1.0))
+      val inserts = src.filter(col("o_orderkey").between(lo, hi))
+        .select((col("o_orderkey") + lit(hi0) + lit(1L))
+            .as("o_orderkey"),
+          col("o_custkey"), lit(0.5).as("o_totalprice"))
+      val (res, nQ) = log.upsertScreened(
+        updates.unionByName(inserts), Seq("o_orderkey"),
+        Seq(Expectations.Rule("key_mod", "o_orderkey % 7 <> 0")), quar)
+      val (vUp, touched) = res.get
+      assert(vUp == vPre + 1 && nQ > 0,
+        "accepted rows must land as ONE merge commit, violators out")
+      assert(touched > 0 && touched < filesBefore,
+        s"screened merge must touch a strict subset: " +
+          s"$touched of $filesBefore")
+      assert(log.read(Some(vPre)).count() == src.count(),
+        "time travel before the screened merge must serve the source")
+      val quarRows = s.read.parquet(quar)
+      assert(quarRows.filter(col("o_orderkey") <= lit(hi)).count() > 0
+        && quarRows.filter(col("o_orderkey") > lit(hi0)).count() > 0,
+        "the fixture must quarantine updates AND inserts")
+      log.read(None)
+        .select(lit("lake").as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("").as("violated"))
+        .unionByName(quarRows.select(lit("quarantine").as("side"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("violated")))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // EXPECTATIONS ∘ MERGE (r7 Next #7): write-time rules composed
     // with the keyed upsert — a CDC feed is exactly where bad rows
     // arrive, and they must quarantine for triage, not corrupt the
@@ -7147,6 +7201,36 @@ object SparkEntry {
         |    ELSE o_totalprice END AS o_totalprice
         |FROM src, b WHERE o_orderkey <= lo + 3 * e
         |ORDER BY o_orderkey""".stripMargin,
+
+    // identical contract to q123, replayed against the commit log:
+    // accepted rows merge (updates in place, inserts added),
+    // violators (key % 7 == 0, both flanks) quarantine with the rule
+    // name, rejected updates keep their keys' original rows
+    "q139_commitlog_merge_screened" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi0,
+        |  min(o_orderkey) +
+        |    (max(o_orderkey) - min(o_orderkey)) // 8 AS hi FROM src),
+        |upd AS (SELECT o_orderkey, o_custkey,
+        |    CAST(-1.0 AS DOUBLE) AS o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
+        |ins AS (SELECT o_orderkey + hi0 + 1 AS o_orderkey, o_custkey,
+        |    CAST(0.5 AS DOUBLE) AS o_totalprice
+        |  FROM src, b WHERE o_orderkey BETWEEN lo AND hi),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |acc AS (SELECT * FROM batch WHERE o_orderkey % 7 <> 0),
+        |quar AS (SELECT * FROM batch WHERE o_orderkey % 7 = 0),
+        |fin AS (
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice FROM src s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM acc)
+        |  UNION ALL SELECT * FROM acc)
+        |SELECT 'lake' AS side, o_orderkey, o_custkey, o_totalprice,
+        |  '' AS violated FROM fin
+        |UNION ALL
+        |SELECT 'quarantine', o_orderkey, o_custkey, o_totalprice,
+        |  'key_mod' FROM quar
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     // row-preserving whatever the band: the full table reads back
     "q132_commitlog_optimize_where" ->

@@ -1185,6 +1185,33 @@ final class CommitLog(spark: SparkSession, root: String) {
     v
   }
 
+  /** SCREENED MERGE — [[appendScreened]]'s write-time expectations
+    * composed with [[upsert]] on the multi-writer flavor: rows proving
+    * every rule take the keyed copy-on-write merge as ONE commit,
+    * violators append to `quarantinePath` carrying their failed rule
+    * names. A CDC feed is exactly where bad rows arrive — a rejected
+    * UPDATE must leave its key's CURRENT row standing (it never
+    * reaches the merge), and an all-violations batch burns no
+    * version. Returns ((version, touched) if anything merged,
+    * quarantined count). */
+  def upsertScreened(
+      batch: DataFrame,
+      keys: Seq[String],
+      rules: Seq[Expectations.Rule],
+      quarantinePath: String): (Option[(Long, Int)], Long) = {
+    val (accepted, quarantined) = Expectations.screen(batch, rules)
+    val q = quarantined
+      .withColumn("violated",
+        org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.col("violated")))
+    val nQ = q.count()
+    if (nQ > 0)
+      q.write.mode("append").parquet(quarantinePath)
+    val v =
+      if (accepted.isEmpty) None else Some(upsert(accepted, keys))
+    (v, nQ)
+  }
+
   /** SHALLOW CLONE — Delta `CREATE TABLE ... SHALLOW CLONE`: a new
     * commit-log dataset at `destRoot` whose founding commit
     * RE-REFERENCES this dataset's live files instead of copying them —

@@ -502,6 +502,42 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertScreened: violators quarantine with rule names and a " +
+      "rejected update's key keeps its current row; an all-violations " +
+      "batch burns no version") {
+    val root = TestSpark.tempDir("clogus")
+    val quar = TestSpark.tempDir("clogusq")
+    val log = CommitLog(spark, root).init()
+    log.append(Seq.tabulate(10)(i => (i, i * 10)).toDF("id", "x")
+      .repartition(1)) // v1: ids 0-9, x = 10*id
+    val v1 = log.latestVersion()
+    // id=7 violates pos_x (x = -7); id=3 passes; id=100 is a clean insert
+    val batch = Seq((7, -7), (3, 333), (100, 1)).toDF("id", "x")
+    val rules = Seq(Expectations.Rule("pos_x", "x >= 0"))
+    val (res, nQ) = log.upsertScreened(batch, Seq("id"), rules, quar)
+    assert(nQ == 1 && res.isDefined, s"one violator, one merge: $res")
+    val got = log.read(None).select("id", "x").as[(Int, Int)]
+      .collect().toMap
+    assert(got(3) == 333 && got(100) == 1,
+      "accepted update and insert must land")
+    assert(got(7) == 70,
+      "a REJECTED update's key must keep its current row")
+    val q = spark.read.parquet(quar)
+      .select("id", "violated").as[(Int, String)].collect().toSeq
+    assert(q == Seq((7, "pos_x")),
+      s"the violator must quarantine with its rule name: $q")
+    // all-violations batch: no version burned, quarantine grows
+    val vBefore = log.latestVersion()
+    val (res2, nQ2) = log.upsertScreened(
+      Seq((1, -1), (2, -2)).toDF("id", "x"), Seq("id"), rules, quar)
+    assert(res2.isEmpty && nQ2 == 2 &&
+      log.latestVersion() == vBefore,
+      "an all-violations batch must burn no version")
+    assert(log.read(Some(v1)).select("x").as[Int].collect().sum
+      == (0 until 10).map(_ * 10).sum,
+      "pre-merge time travel must be intact")
+  }
+
   test("restore resets the live state in one metadata commit; history " +
       "is preserved; target tombstones and spans ride the manifest; " +
       "an advanced log conflicts; checkpoints fold it") {
