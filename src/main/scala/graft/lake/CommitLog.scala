@@ -1019,9 +1019,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     *    (the partition-disjointness rule, served by per-file spans).
     *  - MOR `delete` commits commute: tombstone keys subtract at READ
     *    time from whatever files are live, including this merge's
-    *    outputs — note the flip side, documented with
-    *    [[deleteKeysMor]]: a standing tombstone keeps subtracting a
-    *    re-inserted key until a replace/compaction clears the debt.
+    *    outputs. The flip side is enforced, not silent: a batch
+    *    writing a key a STANDING tombstone holds REFUSES — the
+    *    read-time subtract would erase the merged row the moment it
+    *    landed; void the debt (replace with the applied read) first.
     *
     * A merge that matches NOTHING commits as a plain `append` (no
     * inputs removed — increment consumers keep working), mirroring
@@ -1068,6 +1069,25 @@ final class CommitLog(spark: SparkSession, root: String) {
       s"upsert batch columns ${batch.columns.sorted.mkString(",")} " +
         s"must match dataset columns ${current.columns.sorted.mkString(",")}")
     val batchAligned = batch.select(current.columns.map(col): _*)
+    // standing MOR tombstones subtract BY KEY from whatever files are
+    // live (the documented standing-predicate semantic), so a merge
+    // writing a tombstoned key would land rows the very next read
+    // silently erases. Refuse loudly instead — void the debt first
+    // (a replace with the MOR-applied read resets the tombstone set).
+    // Disjoint-key merges commute with tombstones by construction:
+    // survivors re-home tombstoned rows, but the key subtract still
+    // holds wherever they live.
+    if (r.tombstones.nonEmpty) {
+      val ts = spark.read
+        .parquet(r.tombstones.map(dataPath): _*).distinct()
+      val clash = !batchAligned.join(broadcast(ts),
+        ts.columns.map(k => batchAligned(k) <=> ts(k)).reduce(_ && _),
+        "left_semi").isEmpty
+      require(!clash,
+        "merge writes keys held by standing MOR tombstones — the " +
+          "read-time key subtract would silently erase the merged " +
+          "rows; void the delete first (replace with the applied read)")
+    }
     val batchKeys = batchAligned.select(keys.map(col): _*).distinct()
     // batch key range on the first key (numeric only) — drives both
     // candidate pruning and the concurrent-append disjointness proof

@@ -502,6 +502,28 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert refuses a batch writing keys held by standing MOR " +
+      "tombstones; a disjoint-key merge commutes with the tombstone") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogts")).init()
+    log.append(Seq.tabulate(10)(i => (i, i * 10)).toDF("id", "x")
+      .repartition(1)) // v1: ids 0-9
+    log.deleteKeysMor(Seq(Tuple1(4)).toDF("id"), Seq("id")) // v2
+    // re-inserting the tombstoned key would be erased at read — refuse
+    val e = intercept[IllegalArgumentException] {
+      log.upsert(Seq((4, 444)).toDF("id", "x"), Seq("id"))
+    }
+    assert(e.getMessage.contains("tombstones"), e.getMessage)
+    // a disjoint-key merge commutes: the tombstoned row re-homes into
+    // the merged file but the key subtract still removes it at read
+    val (_, touched) =
+      log.upsert(Seq((5, 555), (20, 1)).toDF("id", "x"), Seq("id"))
+    assert(touched == 1)
+    val got = log.read(None).select("id", "x").as[(Int, Int)]
+      .collect().toMap
+    assert(!got.contains(4) && got(5) == 555 && got(20) == 1,
+      s"tombstone must keep subtracting across the merge: $got")
+  }
+
   test("upsertScreened: violators quarantine with rule names and a " +
       "rejected update's key keeps its current row; an all-violations " +
       "batch burns no version") {
