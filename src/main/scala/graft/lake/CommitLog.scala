@@ -1024,6 +1024,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     *    read-time subtract would erase the merged row the moment it
     *    landed; void the debt (replace with the applied read) first.
     *
+    * Under ACTIVE COLUMN MAPPING the batch and keys arrive under
+    * logical names and the merge runs on the frozen physical names
+    * (Delta MERGE on a column-mapped table): keys translate through
+    * the marker, renamed batch columns land under their physical
+    * names, dropped physical columns land as nulls — so the merged
+    * files keep the uniform physical schema and no history rewrites.
+    *
     * A merge that matches NOTHING commits as a plain `append` (no
     * inputs removed — increment consumers keep working), mirroring
     * Delta's insert-only-merge append optimization. Returns
@@ -1053,10 +1060,18 @@ final class CommitLog(spark: SparkSession, root: String) {
       txn: Option[(String, Long)]): Option[(Long, Int)] = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // Active column mapping: the batch and keys arrive under LOGICAL
+    // names, the merge runs on the files' frozen PHYSICAL names
+    // (Delta MERGE on a column-mapped table). Keys translate through
+    // the marker; the batch unapplies the renames and lands dropped
+    // physical columns as nulls via the ordinary drift conform — so
+    // merged files keep the uniform physical schema and zero history
+    // is rewritten.
     val marker = SchemaTools.readSchemaMarkerInfo(spark, root)
-    require(marker.forall(i => i.renames.isEmpty && i.dropped.isEmpty),
-      "upsert under active column mapping is unsupported — the batch's " +
-        "logical names would miss the files' physical columns")
+    val renames = marker.map(_.renames).getOrElse(Map.empty[String, String])
+    val droppedPhys = marker.map(_.dropped).getOrElse(Set.empty[String])
+    val physKeys = keys.map(k =>
+      renames.find(_._2 == k).map(_._1).getOrElse(k))
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
     if (r.data.isEmpty)
@@ -1065,10 +1080,14 @@ final class CommitLog(spark: SparkSession, root: String) {
         case Some((a, b)) => appendOnce(batch, a, b).map((_, 0))
       }
     val current = readConformed(r.data, r.schemaOf)
-    require(batch.columns.sorted.sameElements(current.columns.sorted),
+    val logicalCols = current.columns
+      .filterNot(droppedPhys.contains)
+      .map(c => renames.getOrElse(c, c))
+    require(batch.columns.sorted.sameElements(logicalCols.sorted),
       s"upsert batch columns ${batch.columns.sorted.mkString(",")} " +
-        s"must match dataset columns ${current.columns.sorted.mkString(",")}")
-    val batchAligned = batch.select(current.columns.map(col): _*)
+        s"must match dataset columns ${logicalCols.sorted.mkString(",")}")
+    val batchAligned = SchemaTools.conformTo(
+      SchemaTools.unapplyRenames(batch, renames), current.schema)
     // standing MOR tombstones subtract BY KEY from whatever files are
     // live (the documented standing-predicate semantic), so a merge
     // writing a tombstoned key would land rows the very next read
@@ -1088,11 +1107,11 @@ final class CommitLog(spark: SparkSession, root: String) {
           "read-time key subtract would silently erase the merged " +
           "rows; void the delete first (replace with the applied read)")
     }
-    val batchKeys = batchAligned.select(keys.map(col): _*).distinct()
+    val batchKeys = batchAligned.select(physKeys.map(col): _*).distinct()
     // batch key range on the first key (numeric only) — drives both
     // candidate pruning and the concurrent-append disjointness proof
     val keyBounds: Option[(String, Double, Double)] = {
-      val k = keys.head
+      val k = physKeys.head
       batchAligned.schema(k).dataType match {
         case _: org.apache.spark.sql.types.NumericType =>
           val row = batchAligned.agg(
@@ -1109,8 +1128,9 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (candidates.isEmpty) Nil
       else {
         val scan = readConformed(candidates, r.schemaOf)
-          .select(keys.map(col) :+ input_file_name().as("__file"): _*)
-        val cond = keys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _)
+          .select(physKeys.map(col) :+ input_file_name().as("__file"): _*)
+        val cond =
+          physKeys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _)
         scan.join(broadcast(batchKeys), cond, "left_semi")
           .select("__file").distinct()
           .collect().map(x => new Path(x.getString(0)).getName).toSeq
@@ -1120,8 +1140,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       else {
         val touchedRows = SchemaTools.conformTo(
           readConformed(touched, r.schemaOf), batchAligned.schema)
-        val cond =
-          keys.map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
+        val cond = physKeys
+          .map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
         touchedRows.join(broadcast(batchKeys), cond, "left_anti")
           .unionByName(batchAligned)
       }

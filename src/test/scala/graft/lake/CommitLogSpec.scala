@@ -502,6 +502,37 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert under active column mapping: logical batch and keys " +
+      "merge onto the frozen physical names; a dropped column lands " +
+      "as nulls; reads stay logical") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogmap")).init()
+    log.append(Seq((1, 10.0, "a"), (2, 20.0, "a"))
+      .toDF("id", "price", "tag").repartition(1)) // v1
+    log.append(Seq((10, 1.0, "b"), (11, 2.0, "b"))
+      .toDF("id", "price", "tag").repartition(1)) // v2
+    log.renameColumn("price", "amount")
+    log.dropColumn("tag")
+    // batch under LOGICAL names: update id=2, insert id=3
+    val (_, touched) = log.upsert(
+      Seq((2, 222.0), (3, 3.0)).toDF("id", "amount"), Seq("id"))
+    assert(touched == 1,
+      s"only the file holding id=2 must rewrite, touched=$touched")
+    val out = log.read(None).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "amount"),
+      s"reads stay logical: ${out.columns.toSeq}")
+    val got = out.as[(Int, Double)].collect().toMap
+    assert(got == Map(1 -> 10.0, 2 -> 222.0, 3 -> 3.0,
+      10 -> 1.0, 11 -> 2.0), s"merge under mapping: $got")
+    // the merged file physically carries price (frozen) and tag (null)
+    val phys = spark.read
+      .parquet(log.filePaths(log.liveFiles(None)): _*)
+    assert(phys.columns.sorted.toSeq == Seq("id", "price", "tag"),
+      s"physical schema stays frozen+uniform: ${phys.columns.toSeq}")
+    assert(phys.filter(col("id") === 3).select("tag")
+      .collect().head.isNullAt(0),
+      "the dropped column lands as null in merged rows")
+  }
+
   test("upsert refuses a batch writing keys held by standing MOR " +
       "tombstones; a disjoint-key merge commutes with the tombstone") {
     val log = CommitLog(spark, TestSpark.tempDir("clogts")).init()
