@@ -526,12 +526,15 @@ object TarInfoUtil {
   def info(bytes: Array[Byte], maxMembers: Int): InternalRow = {
     val L = bytes.length
     @inline def b(i: Int): Int = bytes(i) & 0xff
-    // octal-ASCII field: digits until NUL/space; null on any other byte
+    // octal-ASCII field: optional space/NUL LEFT padding (GNU tar and
+    // other common writers right-align size/mtime/chksum), then digits
+    // until a NUL/space terminator; null on any other byte
     def octal(off: Int, w: Int): java.lang.Long = {
       if (off < 0 || off + w > L) return null
       var v = 0L
       var i = off
       var seen = false
+      while (i < off + w && (b(i) == ' ' || b(i) == 0)) i += 1
       while (i < off + w) {
         val c = b(i)
         if (c >= '0' && c <= '7') { v = (v << 3) | (c - '0'); seen = true }

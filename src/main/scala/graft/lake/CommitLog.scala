@@ -1282,13 +1282,19 @@ final class CommitLog(spark: SparkSession, root: String) {
     marker.put("base", dataDir.toString)
     val arr = marker.putArray("files")
     (r.data ++ r.tombstones).foreach(arr.add)
-    val out = fs.create(dest.baseMarker, true)
+    // destination writes go through the DESTINATION's FileSystem —
+    // cloning across schemes (file:// source, hdfs:// dest) must not
+    // route dest paths through the source FS handle. The base marker
+    // is created no-overwrite: if another writer initialized destRoot
+    // between the latestVersion()==0 check and here, fail loudly
+    // instead of silently adopting a half-initialized clone.
+    val out = dest.fs.create(dest.baseMarker, false)
     try out.write(mapper.writeValueAsBytes(marker))
     finally out.close()
     // column-mapping marker rides along (renames/drops stay applied)
     val srcSchema = new Path(root, "_schema.json")
     if (fs.exists(srcSchema)) {
-      val o = fs.create(new Path(destRoot, "_schema.json"), true)
+      val o = dest.fs.create(new Path(destRoot, "_schema.json"), true)
       try o.write(
         TimeFly.readText(fs, srcSchema).getBytes("UTF-8"))
       finally o.close()
@@ -1466,8 +1472,16 @@ final class CommitLog(spark: SparkSession, root: String) {
     checkpoint(keepFrom)
     val (drop, keep) = existingVersions().partition(_ < keepFrom)
     val atKeep = resolve(Some(keepFrom))
+    // keep-side restore/clone manifests carry their TOMBSTONE set in
+    // `removed` — live references, exactly like [[vacuum]] treats them;
+    // omitting them would strand a tombstone a later restore re-references
+    // and break every read at the tip (or silently resurrect its rows)
     val reachable = (atKeep.data ++ atKeep.tombstones ++
-      keep.filter(_ > keepFrom).flatMap(commit(_).files)).toSet
+      keep.filter(_ > keepFrom).flatMap { v =>
+        val c = commit(v)
+        c.files ++ (if (c.kind == "restore" || c.kind == "clone")
+          c.removed else Nil)
+      }).toSet
     val stranded = drop.flatMap(commit(_).files).distinct
       .filterNot(reachable)
     stranded.foreach(f => fs.delete(new Path(dataDir, f), false))

@@ -680,4 +680,39 @@ class CommitLogSpec extends AnyFunSuite {
       !m.contains(3) && m(101) == "b",
       s"localized clone must preserve merged content: $m")
   }
+
+  test("expireBefore keeps tombstones a keep-side restore re-references " +
+      "(append, MOR delete, replace, restore-to-pre-replace, expire)") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogexr")).init()
+    log.append(Seq.tabulate(10)(i => (i, "a")).toDF("id", "v")
+      .repartition(1)) // v1
+    log.deleteKeysMor(Seq(3, 7).toDF("id"), Seq("id")) // v2: tombstone T
+    // v3: replace with something unrelated — clears the tombstone debt
+    log.replace(Seq((500, "r")).toDF("id", "v"), baseVersion = 2L)
+    // v4: restore to the pre-replace state — re-references v2's data
+    // files AND its tombstone in `removed`
+    log.restore(2L)
+    assert(log.read(None).select("id").as[Int].collect().sorted.toSeq
+      == Seq(0, 1, 2, 4, 5, 6, 8, 9))
+    // expire the prefix the restore's targets lived in: the tombstone
+    // is reachable ONLY through v4's `removed` — it must survive
+    val reclaimed = log.expireBefore(3L)
+    val ids = log.read(None).select("id").as[Int].collect().sorted
+    assert(ids.toSeq == Seq(0, 1, 2, 4, 5, 6, 8, 9),
+      s"restore-referenced tombstone must survive expiry (got $ids, " +
+        s"reclaimed $reclaimed)")
+  }
+
+  test("cloneTo refuses a destination whose base marker already exists " +
+      "(concurrent initializer) instead of silently overwriting") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogcg")).init()
+    log.append(Seq((1, "a")).toDF("id", "v"))
+    val destRoot = TestSpark.tempDir("clogcgd")
+    // simulate a half-initialized concurrent clone: marker, no commits
+    val f = new java.io.File(destRoot, "_base.json")
+    f.getParentFile.mkdirs()
+    val w = new java.io.FileWriter(f)
+    try w.write("{\"base\":\"elsewhere\",\"files\":[]}") finally w.close()
+    intercept[java.io.IOException](log.cloneTo(destRoot))
+  }
 }

@@ -877,4 +877,64 @@ class MultimodalSpec extends AnyFunSuite {
           s"got $gotT expected $e")
     }
   }
+
+  test("tarInfo accepts space-padded octal fields (GNU tar style): " +
+      "right-aligned size/mtime/chksum parse identically") {
+    // re-encode every header's numeric fields as leading-space-padded
+    // octal (what GNU tar and other common writers emit), recomputing
+    // the checksum over the modified header bytes
+    def spacePad(src: Array[Byte]): Array[Byte] = {
+      val out = src.clone()
+      def octAt(o: Int, w: Int): Long = {
+        var v = 0L; var i = o
+        while (i < o + w && out(i) >= '0' && out(i) <= '7') {
+          v = (v << 3) | (out(i) - '0'); i += 1
+        }
+        v
+      }
+      def putPadded(o: Int, w: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        var i = 0
+        while (i < w - 1 - s.length) { out(o + i) = ' '; i += 1 }
+        s.getBytes("US-ASCII").copyToArray(out, o + w - 1 - s.length)
+        out(o + w - 1) = 0
+      }
+      var off = 0
+      while (off + 512 <= out.length && out(off + 257) == 'u') {
+        val size = octAt(off + 124, 12)
+        putPadded(off + 124, 12, size)
+        putPadded(off + 136, 12, octAt(off + 136, 12))
+        var i = off + 148
+        while (i < off + 156) { out(i) = ' '; i += 1 }
+        var sum = 0L
+        i = off
+        while (i < off + 512) { sum += out(i) & 0xff; i += 1 }
+        val cs = java.lang.Long.toOctalString(sum)
+        var j = 0
+        while (j < 6 - cs.length) { out(off + 148 + j) = ' '; j += 1 }
+        cs.getBytes("US-ASCII")
+          .copyToArray(out, off + 148 + 6 - cs.length)
+        out(off + 154) = 0
+        out(off + 155) = ' '
+        off += 512 + 512 * ((size.toInt + 511) / 512)
+      }
+      out
+    }
+    // doc_id 0 -> the 3-member well-formed shard
+    val valid = Multimodal.plantedTar(Seq((0L, "t")).toDF("doc_id", "text"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val both = Seq((0L, valid), (1L, spacePad(valid)))
+      .toDF("media_id", "payload")
+      .withColumn("t", Multimodal.tarInfo($"payload"))
+      .select($"media_id", $"t.n_members", $"t.n_samples",
+        $"t.total_size", $"t.max_mtime", $"t.well_formed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val (orig, pad) = (both(0L), both(1L))
+    assert(pad.getBoolean(5),
+      "space-padded octal headers must still verify as well-formed")
+    (1 to 4).foreach(i => assert(orig.get(i) == pad.get(i),
+      s"field $i must parse identically under space padding: " +
+        s"${orig.get(i)} vs ${pad.get(i)}"))
+    assert(orig.getBoolean(5))
+  }
 }
