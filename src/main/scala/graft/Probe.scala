@@ -79,6 +79,50 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("morplan")) {
+      import spark.implicits._
+      import graft.lake._
+      val root = "/tmp/graft_morplan"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val log = CommitLog(spark, root).init()
+      log.append(Seq.tabulate(100)(i => (i, i)).toDF("id", "x")
+        .repartition(1))
+      log.deleteKeysMor(Seq.tabulate(50)(identity).toDF("id"), Seq("id"))
+      println(log.read(None).queryExecution.sparkPlan.treeString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("q140dbg")) {
+      import org.apache.spark.sql.functions._
+      import graft.lake._
+      val d = "/root/testdata/sf0.01"
+      val root = "/tmp/graft_q140dbg"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val src = Tables.lineitem(spark, d).select("l_orderkey",
+        "l_linenumber", "l_shipdate", "l_quantity")
+      val per = math.max(src.count() / 16L, 50L)
+      LakeWriter(spark, root, WriteMode.Overwrite,
+        maxRecordsPerFile = per)
+        .write(src.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+      println("[probe] schema: " +
+        spark.read.parquet(root).schema.simpleString)
+      FileStats.build(spark, root)
+      println("[probe] trusted: " + FileStats.trusted(spark, root))
+      println("[probe] stats schema: " + spark.read
+        .parquet(root + "/_stats").schema.simpleString)
+      val pred = "l_shipdate >= timestamp'1996-01-01 00:00:00' and " +
+        "l_shipdate < timestamp'1997-01-01 00:00:00'"
+      val b = FileStats.typedBounds(spark, pred)
+      println(s"[probe] typedBounds: $b")
+      println("[probe] cands: " + FileStats
+        .candidatesForColBounds(spark, root, b).map(_.size))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("bounds")) {
       val e = spark.sessionState.sqlParser
         .parseExpression("id BETWEEN 200 AND 299 AND v >= 0")

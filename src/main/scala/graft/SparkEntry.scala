@@ -5132,6 +5132,88 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // TIME-BAND FILE SKIPPING (r8 Next #1): `_stats` spans now cover
+    // timestamp/date/string columns, so the canonical lake probe — a
+    // time band — prunes the FILE LISTING itself. Layout: shipdate-
+    // sorted files (what any ingest-ordered or time-clustered lake
+    // has). In-query asserts are the operator contract: the band's
+    // candidates are a strict subset; the declarative reader scans
+    // only them (df.inputFiles IS the pruned index); a bare STRING
+    // literal band prunes identically to the typed-literal one (the
+    // way every ad-hoc probe is written); pruning never changes the
+    // answer
+    "q140_time_band_skipping" -> ((s, d) => {
+      val root = scratch(s, "q140", d)
+      val src = li(s, d).select("l_orderkey", "l_linenumber",
+        "l_shipdate", "l_quantity")
+      val per = math.max(src.count() / 16L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+      FileStats.build(s, root)
+      val nFiles = SchemaTools.listDataFiles(s, root).size
+      val pred = "l_shipdate >= timestamp'1996-01-01 00:00:00' and " +
+        "l_shipdate < timestamp'1997-01-01 00:00:00'"
+      val predStr = "l_shipdate >= '1996-01-01' and " +
+        "l_shipdate < '1997-01-01'"
+      val cand = FileStats.candidatesForColBounds(s, root,
+        FileStats.typedBounds(s, pred)).get
+      val candStr = FileStats.candidatesForColBounds(s, root,
+        FileStats.typedBounds(s, predStr)).get
+      assert(cand.nonEmpty && cand.size * 2 <= nFiles,
+        s"a 1-of-7-years band must prune most files: " +
+          s"${cand.size}/$nFiles")
+      assert(candStr.toSet == cand.toSet,
+        "string-literal and typed-literal bands must prune identically")
+      val got = LakeReader(s, root).filter(pred).load()
+      assert(got.inputFiles.length <= cand.size &&
+        got.inputFiles.length < nFiles,
+        s"declarative reader must scan only candidates: " +
+          s"${got.inputFiles.length} vs ${cand.size}/$nFiles")
+      assert(got.count() == s.read.parquet(root).filter(pred).count(),
+        "pruning must never change the answer")
+      got.groupBy(date_trunc("month", col("l_shipdate"))
+          .as("ship_month"))
+        .agg(sum(dec12(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("ship_month")
+    }),
+
+    // TIME-BAND SKIPPING ON THE COMMIT LOG (r8 Next #1, log-carried):
+    // every append records typed spans inside its own atomic manifest,
+    // so an events-table time probe prunes the file listing the moment
+    // each commit is visible — no sidecar, no shared maintenance —
+    // and the probe is written the way every ad-hoc one is: bare
+    // string literals. Asserts: a band inside the middle append's
+    // window lists a strict subset of live files; pruning never
+    // changes the answer
+    "q141_commitlog_time_band" -> ((s, d) => {
+      val root = scratch(s, "q141", d)
+      val log = CommitLog(s, root).init()
+      val src = ev(s, d).select("event_id", "ts", "event_type", "value")
+      def band(a: String, b: String) = src.filter(
+        col("ts") >= lit(a).cast("timestamp") &&
+          col("ts") < lit(b).cast("timestamp"))
+      log.append(band("2024-01-01", "2024-01-11")
+        .orderBy("ts").coalesce(1))
+      log.append(band("2024-01-11", "2024-01-21")
+        .orderBy("ts").coalesce(1))
+      log.append(band("2024-01-21", "2024-02-01")
+        .orderBy("ts").coalesce(1))
+      val pred = "ts >= '2024-01-12' and ts < '2024-01-19'"
+      val live = log.liveFiles(None)
+      val cand = log.candidateDataFiles(pred)
+      assert(cand.isDefined && cand.get.nonEmpty &&
+        cand.get.size < live.size,
+        s"the ts band must list a strict subset " +
+          s"(${cand.map(_.size)} of ${live.size})")
+      assert(log.readFiltered(pred).count() ==
+        log.read(None).filter(pred).count(),
+        "pruning must never change the answer")
+      log.readFiltered(pred)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     // COMMIT-LOG RETENTION: expire the prefix behind a checkpoint —
     // files stranded by the pre-boundary replace are reclaimed
     // (asserted by data-file count arithmetic), the live and boundary
@@ -6780,6 +6862,20 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q140_time_band_skipping" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q141_commitlog_time_band" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-19'
+        |ORDER BY event_id""".stripMargin,
 
     "q14_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -214,20 +214,27 @@ final class CommitLog(spark: SparkSession, root: String) {
 
   /** Parse a commit/checkpoint node's `stats` object:
     * `{file: {n: rows, cols: {name: [min, max]}}}`, JSON nulls for
-    * all-null spans. */
+    * all-null spans. Numeric sides parse as [[FileStats.NumV]], string
+    * sides (string-column prefix spans) as [[FileStats.StrV]] — logs
+    * written before typed spans carried numbers only and parse
+    * unchanged. */
   private def statsOfNode(node: ObjectNode): Map[String, FileSpans] =
     if (!node.has("stats")) Map.empty
     else {
       val m = scala.collection.mutable.Map[String, FileSpans]()
       node.path("stats").fields().forEachRemaining { e =>
         val fn = e.getValue.asInstanceOf[ObjectNode]
-        val cols = scala.collection.mutable
-          .Map[String, (Option[Double], Option[Double])]()
+        val cols = scala.collection.mutable.Map[String,
+          (Option[FileStats.SpanV], Option[FileStats.SpanV])]()
         if (fn.has("cols"))
           fn.path("cols").fields().forEachRemaining { c =>
             val arr = c.getValue
-            def side(i: Int): Option[Double] =
-              if (arr.path(i).isNull) None else Some(arr.path(i).asDouble())
+            def side(i: Int): Option[FileStats.SpanV] = {
+              val v = arr.path(i)
+              if (v.isNull || v.isMissingNode) None
+              else if (v.isTextual) Some(FileStats.StrV(v.asText()))
+              else Some(FileStats.NumV(v.asDouble()))
+            }
             cols(c.getKey) = (side(0), side(1))
           }
         m(e.getKey) = FileSpans(fn.path("n").asLong(), cols.toMap)
@@ -394,22 +401,29 @@ final class CommitLog(spark: SparkSession, root: String) {
     * can prune (no extractable range, or neither source has a span
     * for any file). */
   private def prunedLive(predicate: String, live: Seq[String],
+      spanOf: Map[String, FileSpans]): Option[Seq[String]] =
+    prunedLiveBounds(FileStats.typedBounds(spark, predicate), live,
+      spanOf)
+
+  /** [[prunedLive]] for already-typed bounds — the shape key-range
+    * pruning ([[doUpsert]]'s batch spread) probes with directly. */
+  private def prunedLiveBounds(bounds: Map[String, FileStats.ColBound],
+      live: Seq[String],
       spanOf: Map[String, FileSpans]): Option[Seq[String]] = {
-    val bounds = FileStats.rangeBounds(spark, predicate)
     if (bounds.isEmpty) return None
     val sidecar: Option[(Set[String], Set[String])] =
       if (!FileStats.trusted(spark, root)) None
       else for {
-        cands <- FileStats.candidatesForBounds(spark, root, bounds)
+        cands <- FileStats.candidatesForColBounds(spark, root, bounds)
         indexed <- FileStats.indexedFiles(spark, root)
       } yield (cands.map(f => new Path(f).getName).toSet,
         indexed.map(f => new Path(f).getName).toSet)
     if (spanOf.isEmpty && sidecar.isEmpty) return None
     def logKeeps(sp: FileSpans): Boolean =
-      bounds.forall { case (c, (lo, hi)) =>
+      bounds.forall { case (c, b) =>
         sp.cols.get(c) match {
-          case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
-          case _ => true // unindexed or all-null column: keep
+          case Some((mn, mx)) => FileStats.spanIntersects(mn, mx, b)
+          case None => true // unindexed column: keep
         }
       }
     Some(live.filter { n =>
@@ -479,9 +493,14 @@ final class CommitLog(spark: SparkSession, root: String) {
     val subtracted =
       if (r.tombstones.isEmpty) base
       else {
-        val ts = spark.read
-          .parquet(r.tombstones.map(dataPath): _*).distinct()
-        base.join(org.apache.spark.sql.functions.broadcast(ts),
+        val paths = r.tombstones.map(dataPath)
+        val ts = spark.read.parquet(paths: _*).distinct()
+        // broadcast only while the debt is small (applyTombstones
+        // folding bounds it by contract, but the contract must not be
+        // the only thing between a lazy user and a driver OOM)
+        base.join(
+          SchemaTools.broadcastIfUnder(spark, ts,
+            SchemaTools.bytesOf(spark, paths)),
           ts.columns.map(k => base(k) <=> ts(k)).reduce(_ && _),
           "left_anti")
       }
@@ -725,8 +744,12 @@ final class CommitLog(spark: SparkSession, root: String) {
           val cn = fn.putObject("cols")
           sp.cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
             val arr = cn.putArray(c)
-            mn.fold(arr.addNull())(arr.add)
-            mx.fold(arr.addNull())(arr.add)
+            def put(side: Option[FileStats.SpanV]): Unit = side match {
+              case None => arr.addNull()
+              case Some(FileStats.NumV(v)) => arr.add(v)
+              case Some(FileStats.StrV(v)) => arr.add(v)
+            }
+            put(mn); put(mx)
           }
         }
       }
@@ -734,31 +757,24 @@ final class CommitLog(spark: SparkSession, root: String) {
 
   /** Per-file spans for freshly-staged files — ONE bounded distributed
     * agg over just the batch (page-warm; same information Delta's
-    * writer tasks collect inline). Numeric columns only, doubles, the
+    * writer tasks collect inline). Typed: doubles for numeric /
+    * timestamp / date columns, bounded prefixes for strings — the
     * [[FileStats]] discipline. */
   private def spansOf(names: Seq[String]): Map[String, FileSpans] = {
     if (names.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
     val df = spark.read.parquet(names.map(dataPath): _*)
-    val numeric = df.schema.fields
-      .filter(_.dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType])
-      .map(_.name).toSeq
-    val aggs = numeric.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"${c}_min"),
-        max(col(c).cast("double")).as(s"${c}_max"))) :+
+    // even a schema with no indexable columns records n_rows per file
+    // (history() serves operation metrics from it)
+    val fields = FileStats.indexableFields(df.schema)
+    val aggs = FileStats.typedSpanAggs(fields) :+
       count(lit(1)).as("n_rows")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val cols = numeric.map { c =>
-          def side(f: String): Option[Double] = {
-            val i = r.fieldIndex(f)
-            if (r.isNullAt(i)) None else Some(r.getDouble(i))
-          }
-          c -> ((side(s"${c}_min"), side(s"${c}_max")))
-        }.toMap
+        val cols = fields
+          .map(f => f.name -> FileStats.decodeSpan(r, f)).toMap
         new Path(r.getString(r.fieldIndex("file"))).getName ->
           FileSpans(r.getLong(r.fieldIndex("n_rows")), cols)
       }.toMap
@@ -1058,7 +1074,7 @@ final class CommitLog(spark: SparkSession, root: String) {
   private def doUpsert(batch: DataFrame, keys: Seq[String],
       beforeCommit: () => Unit,
       txn: Option[(String, Long)]): Option[(Long, Int)] = {
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
     require(keys.nonEmpty, "upsert needs at least one key column")
     // Active column mapping: the batch and keys arrive under LOGICAL
     // names, the merge runs on the files' frozen PHYSICAL names
@@ -1097,9 +1113,11 @@ final class CommitLog(spark: SparkSession, root: String) {
     // survivors re-home tombstoned rows, but the key subtract still
     // holds wherever they live.
     if (r.tombstones.nonEmpty) {
-      val ts = spark.read
-        .parquet(r.tombstones.map(dataPath): _*).distinct()
-      val clash = !batchAligned.join(broadcast(ts),
+      val tsPaths = r.tombstones.map(dataPath)
+      val ts = spark.read.parquet(tsPaths: _*).distinct()
+      val clash = !batchAligned.join(
+        SchemaTools.broadcastIfUnder(spark, ts,
+          SchemaTools.bytesOf(spark, tsPaths)),
         ts.columns.map(k => batchAligned(k) <=> ts(k)).reduce(_ && _),
         "left_semi").isEmpty
       require(!clash,
@@ -1108,22 +1126,15 @@ final class CommitLog(spark: SparkSession, root: String) {
           "rows; void the delete first (replace with the applied read)")
     }
     val batchKeys = batchAligned.select(physKeys.map(col): _*).distinct()
-    // batch key range on the first key (numeric only) — drives both
-    // candidate pruning and the concurrent-append disjointness proof
-    val keyBounds: Option[(String, Double, Double)] = {
-      val k = physKeys.head
-      batchAligned.schema(k).dataType match {
-        case _: org.apache.spark.sql.types.NumericType =>
-          val row = batchAligned.agg(
-            min(col(k).cast("double")), max(col(k).cast("double"))).head()
-          if (row.isNullAt(0)) None
-          else Some((k, row.getDouble(0), row.getDouble(1)))
-        case _ => None
-      }
-    }
-    val candidates = keyBounds.flatMap { case (k, lo, hi) =>
-      prunedLive(s"$k >= $lo and $k <= $hi", r.data, r.spanOf)
-    }.getOrElse(r.data)
+    // the batch's typed key envelope on EVERY key column (numeric /
+    // timestamp / date as seconds-doubles, strings as prefix bounds) —
+    // drives both candidate pruning and the concurrent-commit
+    // disjointness proof, so string-keyed and multi-column-keyed
+    // merges prune and commute exactly like numeric ones
+    val keyBounds: Map[String, FileStats.ColBound] =
+      FileStats.frameBounds(batchAligned, physKeys)
+    val candidates =
+      prunedLiveBounds(keyBounds, r.data, r.spanOf).getOrElse(r.data)
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
       else {
@@ -1158,26 +1169,62 @@ final class CommitLog(spark: SparkSession, root: String) {
       txn.foreach { case (a, b) =>
         if (lastTxn(a).exists(_ >= b)) return None
       }
-      if (touched.nonEmpty) {
-        val tip = latestVersion()
-        if (!touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
+      val tip = latestVersion()
+      if (touched.nonEmpty &&
+          !touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
+        throw new java.util.ConcurrentModificationException(
+          "upsert planned on files a concurrent commit removed — " +
+            "re-plan on fresh state")
+      // Conflict scan over the window (plannedV, tip] — run for
+      // INSERT-ONLY merges too (Delta validates them the same way: a
+      // concurrent commit landing matched keys between planning and
+      // CAS would duplicate them):
+      //  - restore/clone re-home visibility wholesale — always a
+      //    conflict, their spans prove nothing about merge semantics;
+      //  - append/upsert/replace outputs commute iff every file's
+      //    log-carried span is provably disjoint from the batch's key
+      //    envelope on SOME key column;
+      //  - rewrites add no rows (their outputs carry exactly their
+      //    inputs' rows, all visible at plan time) — skipped;
+      //  - a MOR `delete` landing in the window holds keys that
+      //    subtract at read time: if any batch key clashes with its
+      //    tombstones, committing would land rows the next read
+      //    silently erases (the standing-tombstone guard, raced) —
+      //    conflict; disjoint deletes commute.
+      val window = (plannedV + 1 to tip).map(commit)
+      window.collectFirst {
+        case c if c.kind == "restore" || c.kind == "clone" =>
+          s"${c.kind} v${c.version} re-homed visibility"
+      }.orElse(window
+        .filter(c => c.kind == "append" || c.kind == "upsert" ||
+          c.kind == "replace")
+        .flatMap(c => c.files.map(f => c -> f))
+        .collectFirst { case (c, f) if !keyBounds.exists {
+            case (k, b) => c.stats.get(f)
+              .flatMap(_.cols.get(k)) match {
+                case Some((mn, mx)) =>
+                  !FileStats.spanIntersects(mn, mx, b)
+                case None => false
+              }
+          } => s"${c.kind} v${c.version} landed rows not provably " +
+            "disjoint from the merge keys (ConcurrentAppend)" })
+        .foreach(why =>
           throw new java.util.ConcurrentModificationException(
-            "upsert planned on files a concurrent commit removed — " +
-              "re-plan on fresh state")
-        val unprovable = (plannedV + 1 to tip).map(commit)
-          .filter(c => c.kind == "append" || c.kind == "upsert")
-          .flatMap(c => c.files.map(f => c -> f))
-          .collectFirst { case (c, f) if !keyBounds.exists {
-              case (k, lo, hi) => c.stats.get(f)
-                .flatMap(_.cols.get(k)) match {
-                  case Some((Some(mn), Some(mx))) => mx < lo || mn > hi
-                  case _ => false
-                }
-            } => s"${c.kind} v${c.version}" }
-        unprovable.foreach(who =>
+            s"$why — re-plan on fresh state"))
+      val newTombstones = window.filter(_.kind == "delete")
+        .flatMap(_.files)
+      if (newTombstones.nonEmpty) {
+        val tsPaths = newTombstones.map(dataPath)
+        val ts = spark.read.parquet(tsPaths: _*).distinct()
+        val clash = !batchAligned.join(
+          SchemaTools.broadcastIfUnder(spark, ts,
+            SchemaTools.bytesOf(spark, tsPaths)),
+          ts.columns.map(k => batchAligned(k) <=> ts(k)).reduce(_ && _),
+          "left_semi").isEmpty
+        if (clash)
           throw new java.util.ConcurrentModificationException(
-            s"$who landed rows not provably disjoint from the merge " +
-              "keys (ConcurrentAppend) — re-plan on fresh state"))
+            "a concurrent delete holds keys this merge writes " +
+              "(ConcurrentDelete) — re-plan on fresh state")
       }
       done = tryCas(v, kind, names, removed = touched, txn = txn,
         schema = Some(out.schema), stats = spans)
@@ -1574,16 +1621,18 @@ object CommitLog {
   val RetentionMs: Long = 60L * 60 * 1000
 
   /** Per-file column spans + row count carried IN a commit manifest
-    * (Delta's per-AddFile `stats` JSON): min/max as doubles (pruning
-    * needs comparability, not exactness — the residual predicate
-    * always re-applies), None spans for all-null columns. Stats in
+    * (Delta's per-AddFile `stats` JSON): typed min/max sides
+    * ([[FileStats.NumV]] doubles for numeric/timestamp/date columns,
+    * [[FileStats.StrV]] bounded prefixes for strings — pruning needs
+    * comparability, not exactness; the residual predicate always
+    * re-applies), None spans for all-null columns. Stats in
     * the LOG, not a shared sidecar, is what multi-writer skipping
     * needs: each writer records spans for its own files inside its
     * own atomic commit, so concurrent appends never contend on a
     * shared manifest and a file is skippable the instant its commit
     * is visible. */
   final case class FileSpans(nRows: Long,
-      cols: Map[String, (Option[Double], Option[Double])])
+      cols: Map[String, (Option[FileStats.SpanV], Option[FileStats.SpanV])])
 
   final case class Commit(version: Long, kind: String,
       files: Seq[String], removed: Seq[String] = Nil,

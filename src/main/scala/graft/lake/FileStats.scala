@@ -1,13 +1,13 @@
 package graft.lake
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, NumericType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** File-level min/max statistics manifest — the reader-side payoff of
   * clustered layouts: a `_stats/` sidecar mapping every data file to
-  * the [min, max] span of each numeric column, so a range predicate
+  * the [min, max] span of each indexable column, so a range predicate
   * reads ONLY the files whose span intersects it. Parquet row-group
   * stats already prune inside a file Spark has opened; this prunes at
   * the layer above — the FILE LISTING — which is what Delta/Iceberg
@@ -15,6 +15,23 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType,
   * (Compact `zorderBy`, q79) pay off: after clustering, every listed
   * column's per-file spans are narrow, so most files drop out of the
   * listing for selective predicates on ANY of them.
+  *
+  * Indexable types and their span representations (the Delta/Iceberg
+  * per-AddFile stats type set, reduced to two comparison domains):
+  *  - NUMERIC columns span as doubles (comparability, not exactness —
+  *    the residual filter always re-applies);
+  *  - TIMESTAMP and DATE columns span as epoch-SECONDS doubles (a
+  *    date's midnight in the session zone), so a time band — the
+  *    canonical probe on a time-series lake — prunes the listing
+  *    exactly like a numeric band;
+  *  - STRING columns span as bounded PREFIXES ([[StrPrefix]] code
+  *    points, the Delta string-truncation discipline). Conservatism
+  *    needs no pad/increment trick: a file is skipped on a lower
+  *    bound `lo` only when `truncate(lo) > max_prefix` (the probe
+  *    truncated to the same length — strictly above every string
+  *    sharing the stored prefix) and on an upper bound `hi` only when
+  *    `min_prefix > hi` (a prefix is <= its full string). String
+  *    order is Spark's binary UTF-8 order ([[utf8Cmp]]).
   *
   * The index is built EXPLICITLY ([[build]]) like the persisted ANN
   * indexes (e10/e11) — one distributed pass over the dataset, grouped
@@ -24,11 +41,79 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType,
   * rebuild after ingest, typically right after compaction/z-ordering.
   *
   * Pruning is CONSERVATIVE by construction: a file is skipped only
-  * when its span provably cannot intersect `[lo, hi]`. Files with an
+  * when its span provably cannot intersect the probe. Files with an
   * all-null column (null span) are never skipped, and the residual
   * filter is always re-applied — the stats only shrink the listing.
   */
 object FileStats {
+
+  /** String spans store at most this many code points (Delta truncates
+    * at 32; 64 keeps selectivity on URL-ish prefixes). */
+  val StrPrefix = 64
+
+  /** A span side carried by a commit manifest: one of the two
+    * comparison domains. JSON codec: [[NumV]] serializes as a number,
+    * [[StrV]] as a string — so pre-typed logs (numbers only) parse
+    * unchanged. */
+  sealed trait SpanV extends Serializable
+  final case class NumV(v: Double) extends SpanV
+  final case class StrV(v: String) extends SpanV
+
+  /** Per-column probe bounds in both domains. A conjunct contributes
+    * to the domain(s) its literal can conservatively reach: numeric /
+    * timestamp / date literals to the numeric side, string literals to
+    * the string side AND (when datetime-parsable) to the numeric side
+    * — day-floored for lower bounds, exact-instant for upper, so the
+    * interpretation is a superset whether the column is a timestamp
+    * (string casts to the instant) or a date (string casts to the
+    * day). Missing sides are unbounded. */
+  final case class ColBound(
+      loNum: Option[Double] = None, hiNum: Option[Double] = None,
+      loStr: Option[String] = None, hiStr: Option[String] = None) {
+    def isEmpty: Boolean =
+      loNum.isEmpty && hiNum.isEmpty && loStr.isEmpty && hiStr.isEmpty
+    def and(o: ColBound): ColBound = ColBound(
+      Seq(loNum, o.loNum).flatten.reduceOption(_ max _),
+      Seq(hiNum, o.hiNum).flatten.reduceOption(_ min _),
+      Seq(loStr, o.loStr).flatten.reduceOption((a, b) =>
+        if (utf8Cmp(a, b) >= 0) a else b),
+      Seq(hiStr, o.hiStr).flatten.reduceOption((a, b) =>
+        if (utf8Cmp(a, b) <= 0) a else b))
+  }
+
+  /** Spark's string comparison is binary over UTF-8 bytes — driver-side
+    * span logic must rank identically or pruning diverges from the
+    * residual filter. */
+  def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Probe-side truncation to the stored prefix length (code points —
+    * the same unit Spark's `substring` counts). */
+  def truncProbe(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      .substring(0, StrPrefix).toString
+
+  /** Whether a file span [mn, mx] can intersect `b` — the ONE keep/skip
+    * rule every pruning surface (sidecar, log-carried, merge
+    * disjointness) shares. Null/absent span sides keep; a bound side in
+    * the other domain than the span contributes nothing (conservative).
+    * The negation is a PROOF of disjointness ([[CommitLog]] uses it for
+    * the ConcurrentAppend commute check). */
+  def spanIntersects(mn: Option[SpanV], mx: Option[SpanV],
+      b: ColBound): Boolean = {
+    val loOk = mx match {
+      case Some(NumV(v)) => b.loNum.forall(v >= _)
+      case Some(StrV(v)) => b.loStr.forall(lo => utf8Cmp(truncProbe(lo), v) <= 0)
+      case None => true
+    }
+    val hiOk = mn match {
+      case Some(NumV(v)) => b.hiNum.forall(v <= _)
+      case Some(StrV(v)) => b.hiStr.forall(hi => utf8Cmp(v, hi) <= 0)
+      case None => true
+    }
+    loOk && hiOk
+  }
 
   private def dir(datasetPath: String) = new Path(datasetPath, "_stats")
   private def manifest(datasetPath: String) =
@@ -37,27 +122,69 @@ object FileStats {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def spanAggs(cols: Seq[String]) = cols.flatMap(c =>
-    Seq(min(col(c).cast("double")).as(s"${c}_min"),
-      max(col(c).cast("double")).as(s"${c}_max")))
+  /** The fields a stats pass can index, in schema order. */
+  def indexableFields(schema: StructType): Seq[StructField] =
+    schema.fields.filter(f => f.dataType match {
+      case _: NumericType | TimestampType | TimestampNTZType |
+           DateType | StringType => true
+      case _ => false
+    }).toSeq
+
+  /** The double-domain projection of a numeric/timestamp/date column
+    * (timestamps cast to fractional epoch seconds; dates through
+    * timestamp, i.e. session-zone midnight — the same instant a
+    * string literal's day-floor interpretation lands on). */
+  private def numProj(f: StructField): Column = f.dataType match {
+    // NTZ carries no zone: the cast to TimestampType pins its wall
+    // clock in the session zone (UTC everywhere in this engine), the
+    // same zone probe literals resolve in — build and probe agree by
+    // construction
+    case DateType | TimestampNTZType =>
+      col(f.name).cast("timestamp").cast("double")
+    case _ => col(f.name).cast("double")
+  }
+
+  /** min/max agg columns for `fields`, one `<c>_min`/`<c>_max` pair
+    * each in the field's span domain. */
+  def typedSpanAggs(fields: Seq[StructField]): Seq[Column] =
+    fields.flatMap { f =>
+      f.dataType match {
+        case StringType => Seq(
+          substring(min(col(f.name)), 1, StrPrefix).as(s"${f.name}_min"),
+          substring(max(col(f.name)), 1, StrPrefix).as(s"${f.name}_max"))
+        case _ =>
+          val c = numProj(f)
+          Seq(min(c).as(s"${f.name}_min"), max(c).as(s"${f.name}_max"))
+      }
+    }
+
+  /** Decode one field's span sides from an agg output row. */
+  def decodeSpan(r: Row, f: StructField)
+      : (Option[SpanV], Option[SpanV]) = {
+    def side(n: String): Option[SpanV] = {
+      val i = r.fieldIndex(n)
+      if (r.isNullAt(i)) None
+      else f.dataType match {
+        case StringType => Some(StrV(r.getString(i)))
+        case _ => Some(NumV(r.getDouble(i)))
+      }
+    }
+    (side(s"${f.name}_min"), side(s"${f.name}_max"))
+  }
 
   /** One distributed pass: (file, <col>_min, <col>_max ..., n_rows)
-    * for every numeric column (spans as doubles — pruning needs
-    * comparability, not exactness; conservative either way since
-    * parquet stores the exact values and the residual filter
-    * re-checks). `n_rows` rides along for free (the group is already
-    * per-file) and lets metadata tables ([[SchemaTools.partitionsTable]])
-    * serve row counts from the manifest instead of driver-side footer
-    * opens. */
+    * for every indexable column. `n_rows` rides along for free (the
+    * group is already per-file) and lets metadata tables
+    * ([[SchemaTools.partitionsTable]]) serve row counts from the
+    * manifest instead of driver-side footer opens. */
   def collect(spark: SparkSession, path: String): DataFrame =
     collectFrom(spark, SchemaTools.safeRead(spark, path), path)
 
   private def collectFrom(
       spark: SparkSession, df: DataFrame, path: String): DataFrame = {
-    val numeric = df.schema.fields
-      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-    require(numeric.nonEmpty, s"no numeric columns to index at $path")
-    val aggs = spanAggs(numeric) :+ count(lit(1)).as("n_rows")
+    val fields = indexableFields(df.schema)
+    require(fields.nonEmpty, s"no indexable columns at $path")
+    val aggs = typedSpanAggs(fields) :+ count(lit(1)).as("n_rows")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -82,7 +209,7 @@ object FileStats {
     * outright on a type-widened one). The frame must preserve
     * `input_file_name()` per row (grouped per-schema scans do); files
     * missing a column land null spans for it — kept conservatively by
-    * [[candidatesForBounds]]'s isNull arm. */
+    * the isNull arm of every probe. */
   def buildForDataFrame(
       spark: SparkSession, path: String, df: DataFrame): Unit =
     buildFrom(spark, df, path)
@@ -154,10 +281,10 @@ object FileStats {
     * the `_keys`/`_shingles` sidecars, so a standing manifest survives
     * continuous ingest without rebuild-per-batch. Gives up (full
     * invalidate) when the new files don't carry every indexed column
-    * with a numeric type — e.g. a hive-partitioned target, where the
-    * partition columns live in the directory names, not the files.
-    * Files with zero rows produce no stats row; skipping them loses
-    * nothing. */
+    * in the standing sidecar's span domain — e.g. a hive-partitioned
+    * target, where the partition columns live in the directory names,
+    * not the files. Files with zero rows produce no stats row;
+    * skipping them loses nothing. */
   def appendFiles(
       spark: SparkSession,
       path: String,
@@ -171,24 +298,39 @@ object FileStats {
     val indexed = statsSchema.fieldNames
       .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
     val df = spark.read.parquet(files: _*)
-    val covered = indexed.forall(c =>
+    // domain compatibility: a standing double span accepts any
+    // numeric/timestamp/date column; a standing string span accepts
+    // strings. A mismatch (or a missing column) invalidates — a
+    // wrong-domain span would mis-prune, and conservative means
+    // degrade to full scans, never guess.
+    def domainOk(c: String): Boolean =
       df.schema.fieldNames.contains(c) &&
-        df.schema(c).dataType.isInstanceOf[NumericType])
-    if (!covered) { invalidate(spark, path); return }
+        ((statsSchema(s"${c}_min").dataType, df.schema(c).dataType) match {
+          case (StringType, StringType) => true
+          case (StringType, _) => false
+          case (_, dt) => dt match {
+            case _: NumericType | TimestampType | DateType => true
+            case _ => false
+          }
+        })
+    if (!indexed.forall(domainOk)) { invalidate(spark, path); return }
     // n_rows computed unconditionally; the schema-conforming select
     // drops it for sidecars built before it existed
-    val aggs = spanAggs(indexed) :+ count(lit(1)).as("n_rows")
+    val fields = indexed.map(c => df.schema(c))
+    val aggs = typedSpanAggs(fields) :+ count(lit(1)).as("n_rows")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(statsSchema.fieldNames.map(col).toSeq: _*)
+      .select(statsSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
       .coalesce(1)
       .write.mode("append").parquet(d.toString)
     seal(spark, path)
   }
 
   /** The data files whose `[min, max]` span of `colName` intersects
-    * `[lo, hi]`, per the stats sidecar — None when no trusted sidecar
-    * exists or it doesn't cover the column. Null-span files survive. */
+    * `[lo, hi]` (numeric domain), per the stats sidecar — None when no
+    * trusted sidecar exists or it doesn't cover the column. Null-span
+    * files survive. */
   def candidateFiles(
       spark: SparkSession,
       path: String,
@@ -198,17 +340,33 @@ object FileStats {
   ): Option[Seq[String]] =
     candidatesForBounds(spark, path, Map(colName -> ((lo, hi))))
 
-  /** Multi-column candidate resolution in ONE stats read: files whose
-    * span intersects EVERY given `[lo, hi]` — the conjunction prunes on
-    * each covered column independently, which is exactly what a
-    * z-ordered layout (narrow per-file spans on every clustered column)
-    * is built to serve. Columns the manifest doesn't cover are ignored
-    * (their conjuncts stay residual-only); None when no trusted
-    * manifest exists or it covers none of the columns. */
+  /** Numeric-domain candidate resolution (kept for the pre-typed
+    * callers): files whose span intersects every `[lo, hi]`. */
   def candidatesForBounds(
       spark: SparkSession,
       path: String,
       bounds: Map[String, (Double, Double)]
+  ): Option[Seq[String]] =
+    candidatesForColBounds(spark, path, bounds.map { case (c, (lo, hi)) =>
+      c -> ColBound(
+        loNum = Some(lo).filter(_ != Double.NegativeInfinity),
+        hiNum = Some(hi).filter(_ != Double.PositiveInfinity))
+    })
+
+  /** Multi-column candidate resolution in ONE stats read: files whose
+    * span intersects EVERY given bound — the conjunction prunes on
+    * each covered column independently, which is exactly what a
+    * z-ordered layout (narrow per-file spans on every clustered column)
+    * is built to serve. Each column probes in the domain its sidecar
+    * span was stored in (doubles for numeric/timestamp/date, prefix
+    * strings for strings); bounds with no side in that domain — and
+    * columns the manifest doesn't cover — contribute nothing (their
+    * conjuncts stay residual-only). None when no trusted manifest
+    * exists or no covered column has a usable bound. */
+  def candidatesForColBounds(
+      spark: SparkSession,
+      path: String,
+      bounds: Map[String, ColBound]
   ): Option[Seq[String]] = {
     if (!trusted(spark, path)) return None
     val stats = spark.read.parquet(dir(path).toString)
@@ -217,34 +375,94 @@ object FileStats {
     val byLower = stats.columns.filter(_.endsWith("_min"))
       .map(c => c.stripSuffix("_min"))
       .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
-    val covered = bounds.flatMap { case (c, b) =>
-      byLower.get(c.toLowerCase(java.util.Locale.ROOT)).map(_ -> b)
+    val conds = bounds.toSeq.flatMap { case (c0, b) =>
+      byLower.get(c0.toLowerCase(java.util.Locale.ROOT)).flatMap { c =>
+        val mnC = col(s"${c}_min")
+        val mxC = col(s"${c}_max")
+        val sides: Seq[Column] =
+          stats.schema(s"${c}_min").dataType match {
+            case StringType =>
+              b.loStr.map(lo => mxC >= lit(truncProbe(lo))).toSeq ++
+                b.hiStr.map(hi => mnC <= lit(hi)).toSeq
+            case _ =>
+              b.loNum.map(lo => mxC >= lit(lo)).toSeq ++
+                b.hiNum.map(hi => mnC <= lit(hi)).toSeq
+          }
+        if (sides.isEmpty) None
+        else Some(mnC.isNull || mxC.isNull || sides.reduce(_ && _))
+      }
     }
-    if (covered.isEmpty) return None
-    val cond = covered.map { case (c, (lo, hi)) =>
-      col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
-        (col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
-    }.reduce(_ && _)
-    Some(stats.filter(cond).select("file")
+    if (conds.isEmpty) return None
+    Some(stats.filter(conds.reduce(_ && _)).select("file")
       .collect().map(_.getString(0)).toSeq)
   }
 
-  /** Per-column `[lo, hi]` bounds extractable from the TOP-LEVEL `AND`
-    * conjuncts of a SQL predicate string. Only necessary conditions are
-    * taken — every conjunct of a conjunction must hold, so pruning the
-    * file listing with ANY subset of them is conservative; `OR`s,
-    * function calls, and non-numeric comparisons simply contribute
-    * nothing and stay residual-only. Strict inequalities widen to their
-    * closed forms (again conservative: candidate supersets only). */
+  /** Typed per-column bounds for a frame's OWN values (one agg over
+    * `frame`): the probe shape key-range pruning wants — a merge
+    * batch's key spread, a delta batch's time window. Columns whose
+    * type has no span domain (or that are all-null) get no entry. */
+  def frameBounds(frame: DataFrame, cols: Seq[String])
+      : Map[String, ColBound] = {
+    val fields = cols.flatMap(c =>
+      indexableFields(frame.schema).find(_.name == c))
+    if (fields.isEmpty) return Map.empty
+    val aggs = typedSpanAggs(fields)
+    val r = frame.agg(aggs.head, aggs.tail: _*).head()
+    fields.flatMap { f =>
+      decodeSpan(r, f) match {
+        case (Some(NumV(lo)), Some(NumV(hi))) =>
+          Some(f.name -> ColBound(loNum = Some(lo), hiNum = Some(hi)))
+        case (Some(StrV(lo)), Some(StrV(hi))) =>
+          // the agg truncates like a span build: as a PROBE the
+          // truncated min stays a valid lower bound (prefix <= full)
+          // and the truncated max is re-truncated on comparison anyway
+          Some(f.name -> ColBound(loStr = Some(lo), hiStr = Some(hi)))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Numeric-domain projection of [[typedBounds]] (kept for the
+    * pre-typed callers; infinities mark unbounded sides). */
   def rangeBounds(
       spark: SparkSession,
       predicate: String
-  ): Map[String, (Double, Double)] = {
+  ): Map[String, (Double, Double)] =
+    typedBounds(spark, predicate).flatMap { case (c, b) =>
+      if (b.loNum.isEmpty && b.hiNum.isEmpty) None
+      else Some(c -> ((b.loNum.getOrElse(Double.NegativeInfinity),
+        b.hiNum.getOrElse(Double.PositiveInfinity))))
+    }
+
+  /** Per-column typed bounds extractable from the TOP-LEVEL `AND`
+    * conjuncts of a SQL predicate string. Only necessary conditions are
+    * taken — every conjunct of a conjunction must hold, so pruning the
+    * file listing with ANY subset of them is conservative; `OR`s,
+    * function calls, and unextractable comparisons simply contribute
+    * nothing and stay residual-only. Strict inequalities widen to their
+    * closed forms (again conservative: candidate supersets only).
+    *
+    * Literal domains: numeric literals bound the numeric side;
+    * `TIMESTAMP '...'`/`DATE '...'` literals (and string literals cast
+    * to those types) land as epoch seconds; bare string literals bound
+    * the string side AND — when they parse as a date/timestamp — the
+    * numeric side, day-FLOORED for lower bounds and exact-instant for
+    * upper bounds, so the bound is conservative whether the column
+    * resolves to a timestamp (string casts to the instant) or a date
+    * (string casts to the day, whose span is the day's midnight). */
+  def typedBounds(
+      spark: SparkSession,
+      predicate: String
+  ): Map[String, ColBound] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{And, Between, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{And, Between, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.unsafe.types.UTF8String
     val parsed =
       try spark.sessionState.sqlParser.parseExpression(predicate)
       catch { case scala.util.control.NonFatal(_) => return Map.empty }
+    val zone = DateTimeUtils.getZoneId(
+      spark.sessionState.conf.sessionLocalTimeZone)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case o => Seq(o)
@@ -253,64 +471,128 @@ object FileStats {
       case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.name)
       case _ => None
     }
-    def num(e: Expression): Option[Double] = e match {
+    // a literal's conservative interpretations: (numeric-lower,
+    // numeric-upper, string) — lower/upper differ only for
+    // datetime-parsable strings (day floor vs exact instant)
+    final case class LitV(numLo: Option[Double], numHi: Option[Double],
+        str: Option[String])
+    def secondsOfDays(days: Int): Double =
+      DateTimeUtils.daysToMicros(days, zone) / 1e6
+    def strLit(s: String): LitV = {
+      val u = UTF8String.fromString(s)
+      val ts = DateTimeUtils.stringToTimestamp(u, zone)
+      val day = DateTimeUtils.stringToDate(u)
+      val exact = ts.map(_ / 1e6).orElse(day.map(secondsOfDays))
+      val floor = day.map(secondsOfDays).orElse(ts.map(m =>
+        secondsOfDays(DateTimeUtils.microsToDays(m, zone))))
+      LitV(floor, exact, Some(s))
+    }
+    def litV(e: Expression): Option[LitV] = e match {
       case Literal(v, _: NumericType) =>
         scala.util.Try(v.toString.toDouble).toOption
+          .map(d => LitV(Some(d), Some(d), None))
+      case Literal(micros: Long, TimestampType) =>
+        val s = micros / 1e6
+        Some(LitV(Some(s), Some(s), None))
+      // an NTZ literal's micros are wall-clock; pin in the session
+      // zone — the same mapping [[numProj]] uses for NTZ spans
+      case Literal(micros: Long, TimestampNTZType) =>
+        val s = DateTimeUtils.instantToMicros(
+          DateTimeUtils.microsToLocalDateTime(micros).atZone(zone)
+            .toInstant) / 1e6
+        Some(LitV(Some(s), Some(s), None))
+      case Literal(days: Int, DateType) =>
+        val s = secondsOfDays(days)
+        Some(LitV(Some(s), Some(s), None))
+      case Literal(u: UTF8String, StringType) => Some(strLit(u.toString))
+      // explicit CAST('...' AS TIMESTAMP/DATE): the string rule is
+      // already conservative for both target types (day floor <= cast
+      // value <= exact instant). Other casts change the value
+      // (CAST(3.7 AS INT) = 3) and are NOT safe to see through.
+      case c: Cast => c.child match {
+        case l @ Literal(_, StringType)
+            if c.dataType == TimestampType ||
+              c.dataType == TimestampNTZType || c.dataType == DateType =>
+          litV(l).map(_.copy(str = None))
+        case _ => None
+      }
       case _ => None
     }
-    val neg = Double.NegativeInfinity
-    val pos = Double.PositiveInfinity
-    val acc = scala.collection.mutable.Map[String, (Double, Double)]()
-    def add(n: String, lo: Double, hi: Double): Unit = {
-      val (l0, h0) = acc.getOrElse(n, (neg, pos))
-      acc(n) = (math.max(l0, lo), math.min(h0, hi))
-    }
+    val acc = scala.collection.mutable.Map[String, ColBound]()
+    def addLo(n: String, v: LitV): Unit =
+      acc(n) = acc.getOrElse(n, ColBound())
+        .and(ColBound(loNum = v.numLo, loStr = v.str))
+    def addHi(n: String, v: LitV): Unit =
+      acc(n) = acc.getOrElse(n, ColBound())
+        .and(ColBound(hiNum = v.numHi, hiStr = v.str))
+    def addEq(n: String, v: LitV): Unit = { addLo(n, v); addHi(n, v) }
     // (name, value, colOnLeft) for `col OP lit` / `lit OP col`
-    def sides(a: Expression, b: Expression): Option[(String, Double, Boolean)] =
-      (nameOf(a), num(b)) match {
+    def sides(a: Expression, b: Expression)
+        : Option[(String, LitV, Boolean)] =
+      (nameOf(a), litV(b)) match {
         case (Some(n), Some(v)) => Some((n, v, true))
-        case _ => (nameOf(b), num(a)) match {
+        case _ => (nameOf(b), litV(a)) match {
           case (Some(n), Some(v)) => Some((n, v, false))
           case _ => None
         }
       }
     conjuncts(parsed).foreach {
       case GreaterThanOrEqual(a, b) => sides(a, b).foreach {
-        case (n, v, true) => add(n, v, pos)
-        case (n, v, false) => add(n, neg, v)
+        case (n, v, true) => addLo(n, v)
+        case (n, v, false) => addHi(n, v)
       }
       case GreaterThan(a, b) => sides(a, b).foreach {
-        case (n, v, true) => add(n, v, pos)
-        case (n, v, false) => add(n, neg, v)
+        case (n, v, true) => addLo(n, v)
+        case (n, v, false) => addHi(n, v)
       }
       case LessThanOrEqual(a, b) => sides(a, b).foreach {
-        case (n, v, true) => add(n, neg, v)
-        case (n, v, false) => add(n, v, pos)
+        case (n, v, true) => addHi(n, v)
+        case (n, v, false) => addLo(n, v)
       }
       case LessThan(a, b) => sides(a, b).foreach {
-        case (n, v, true) => add(n, neg, v)
-        case (n, v, false) => add(n, v, pos)
+        case (n, v, true) => addHi(n, v)
+        case (n, v, false) => addLo(n, v)
       }
       case EqualTo(a, b) => sides(a, b).foreach {
-        case (n, v, _) => add(n, v, v)
+        case (n, v, _) => addEq(n, v)
       }
       case Between(c, lo, hi, _) =>
-        for (n <- nameOf(c); l <- num(lo); h <- num(hi)) add(n, l, h)
+        for (n <- nameOf(c); l <- litV(lo); h <- litV(hi)) {
+          addLo(n, l); addHi(n, h)
+        }
       // the parser leaves `x BETWEEN a AND b` as an unresolved
       // "between" call; resolution would rewrite it to the conjunction
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
             Seq("between") && f.arguments.size == 3 =>
-        for (n <- nameOf(f.arguments(0)); l <- num(f.arguments(1));
-             h <- num(f.arguments(2))) add(n, l, h)
+        for (n <- nameOf(f.arguments(0)); l <- litV(f.arguments(1));
+             h <- litV(f.arguments(2))) {
+          addLo(n, l); addHi(n, h)
+        }
       case In(c, vs) if vs.nonEmpty =>
         nameOf(c).foreach { n =>
-          val ds = vs.flatMap(num)
-          if (ds.size == vs.size) add(n, ds.min, ds.max)
+          val ls = vs.flatMap(litV)
+          if (ls.size == vs.size) {
+            // the list's envelope: min of lower interps, max of upper
+            val numLo = ls.flatMap(_.numLo)
+            val numHi = ls.flatMap(_.numHi)
+            val strs = ls.flatMap(_.str)
+            val v = LitV(
+              if (numLo.size == ls.size) Some(numLo.min) else None,
+              if (numHi.size == ls.size) Some(numHi.max) else None,
+              None)
+            addLo(n, v); addHi(n, v)
+            if (strs.size == ls.size && strs.nonEmpty) {
+              val lo = strs.reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b)
+              val hi = strs.reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b)
+              addLo(n, LitV(None, None, Some(lo)))
+              addHi(n, LitV(None, None, Some(hi)))
+            }
+          }
         }
       case _ => ()
     }
-    acc.toMap
+    acc.filterNot(_._2.isEmpty).toMap
   }
 
   /** Range read with file skipping: scan only the candidate files and
@@ -338,7 +620,63 @@ object FileStats {
           col(colName) <= math.floor(hi).toLong
       case _ => col(colName) >= lo && col(colName) <= hi
     }
-    candidateFiles(spark, path, colName, lo, hi) match {
+    scanCandidates(spark, path, pred,
+      candidateFiles(spark, path, colName, lo, hi))
+  }
+
+  /** Typed band read — [[readRange]] for a probe in the column's OWN
+    * type (a timestamp window, a string range): prune the listing
+    * through [[frameBounds]]-style typed bounds and re-apply the exact
+    * typed predicate. `lo`/`hi` are literal values of (or comparable
+    * to) the column's type. */
+  def readBand(
+      spark: SparkSession,
+      path: String,
+      colName: String,
+      lo: Any,
+      hi: Any
+  ): DataFrame = {
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val b = boundOfTyped(spark, path, colName, lo, hi)
+    scanCandidates(spark, path, pred,
+      b.flatMap(bb =>
+        candidatesForColBounds(spark, path, Map(colName -> bb))))
+  }
+
+  /** A [[ColBound]] for typed endpoint values against `colName`'s span
+    * domain; None when the values can't be conservatively mapped. */
+  private def boundOfTyped(spark: SparkSession, path: String,
+      colName: String, lo: Any, hi: Any): Option[ColBound] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val zone = DateTimeUtils.getZoneId(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    def numOf(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case t: java.sql.Timestamp => Some(t.getTime / 1e3)
+      case i: java.time.Instant =>
+        Some(DateTimeUtils.instantToMicros(i) / 1e6)
+      case l: java.time.LocalDateTime =>
+        Some(DateTimeUtils.instantToMicros(
+          l.atZone(zone).toInstant) / 1e6)
+      case d: java.sql.Date =>
+        Some(DateTimeUtils.daysToMicros(
+          DateTimeUtils.fromJavaDate(d), zone) / 1e6)
+      case d: java.time.LocalDate =>
+        Some(DateTimeUtils.daysToMicros(d.toEpochDay.toInt, zone) / 1e6)
+      case _ => None
+    }
+    (lo, hi) match {
+      case (a: String, b: String) =>
+        Some(ColBound(loStr = Some(a), hiStr = Some(b)))
+      case _ =>
+        for (l <- numOf(lo); h <- numOf(hi))
+          yield ColBound(loNum = Some(l), hiNum = Some(h))
+    }
+  }
+
+  private def scanCandidates(spark: SparkSession, path: String,
+      pred: Column, cands: Option[Seq[String]]): DataFrame =
+    cands match {
       case Some(files) if files.isEmpty =>
         SchemaTools.safeRead(spark, path).filter(pred).limit(0)
       case Some(files) =>
@@ -353,5 +691,4 @@ object FileStats {
       case None =>
         SchemaTools.safeRead(spark, path).filter(pred)
     }
-  }
 }

@@ -70,7 +70,12 @@ final case class LakeReader(
       else RowOps.tombstoneKeys(spark, path) match {
         case None => base
         case Some(ts) =>
-          base.join(org.apache.spark.sql.functions.broadcast(ts),
+          // the key side broadcasts only while the debt is small —
+          // unbounded unfolded tombstones degrade to a shuffled
+          // anti-join, never a forced driver-sized broadcast
+          base.join(
+            SchemaTools.broadcastIfUnder(spark, ts,
+              RowOps.tombstoneBytes(spark, path)),
             ts.columns.map(k => base(k) <=> ts(k)).reduce(_ && _),
             "left_anti")
       }
@@ -104,9 +109,9 @@ final case class LakeReader(
     // unapplied merge-on-read tombstones: the pruned scan would serve
     // deleted rows — fall back to the full logical surface
     if (RowOps.tombstoneKeys(spark, path).nonEmpty) return None
-    val bounds = FileStats.rangeBounds(spark, predicate)
+    val bounds = FileStats.typedBounds(spark, predicate)
     if (bounds.isEmpty) return None
-    FileStats.candidatesForBounds(spark, path, bounds).map { files =>
+    FileStats.candidatesForColBounds(spark, path, bounds).map { files =>
       if (files.isEmpty) spark.read.parquet(path).limit(0)
       else
         spark.read

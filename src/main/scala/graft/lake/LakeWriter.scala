@@ -176,13 +176,24 @@ final case class LakeWriter(
     * per-batch existing-side scan from O(lake) into O(distinct keys). */
   private def deltaDiff(df: DataFrame, d: WriteMode.Delta): DataFrame = {
     if (!targetHasData) return df
-    deltaDiffAgainst(df, d, existingKeysSide(d))
+    val (existing, fromPath) = existingKeysSideTagged(d)
+    deltaDiffAgainst(df, d, existing, windowSpanServe = fromPath)
   }
 
   /** The frame the exact-key anti-join reads: the key-manifest sidecar
     * when one is trusted and compatible, else the full dataset. */
   private def existingKeysSide(d: WriteMode.Delta): DataFrame =
-    keySidecar.readFor(d).getOrElse(SchemaTools.safeRead(spark, path))
+    existingKeysSideTagged(d)._1
+
+  /** [[existingKeysSide]] plus whether the frame is the RAW PATH SCAN
+    * (no sidecar served) — the only case the delta window bound may be
+    * re-issued as a span-pruned listing instead of a filter. */
+  private def existingKeysSideTagged(
+      d: WriteMode.Delta): (DataFrame, Boolean) =
+    keySidecar.readFor(d) match {
+      case Some(keys) => (keys, false)
+      case None => (SchemaTools.safeRead(spark, path), true)
+    }
 
   private[lake] def keySidecar: KeySidecar = KeySidecar(spark, path)
 
@@ -196,7 +207,8 @@ final case class LakeWriter(
       df: DataFrame,
       d: WriteMode.Delta,
       existing0: DataFrame,
-      allowBroadcast: Boolean = true
+      allowBroadcast: Boolean = true,
+      windowSpanServe: Boolean = false
   ): DataFrame = {
     // Bucketed targets pass allowBroadcast = false: broadcasting the
     // existing side would discard its bucket distribution (and the
@@ -206,11 +218,20 @@ final case class LakeWriter(
     var existing = existing0
     // Bound the existing side to the incoming window (writer.py:227-240):
     // at scale this prunes the target scan to the affected partitions.
+    // When the existing side IS the raw path scan and a trusted
+    // `_stats` manifest covers the window column, the bound is served
+    // as a span-pruned FILE LISTING ([[FileStats.readBand]]) — the
+    // r8 Next #6 wiring: a time-banded delta append against a
+    // time-clustered lake reads only the window's files, not every
+    // footer the predicate would later discard row-groups from.
     d.onColumn.foreach { ts =>
       val Array(lo, hi) =
         df.agg(min(col(ts)), max(col(ts))).head().toSeq.toArray
       if (lo != null)
-        existing = existing.filter(col(ts) >= lit(lo) && col(ts) <= lit(hi))
+        existing =
+          if (windowSpanServe && FileStats.trusted(spark, path))
+            FileStats.readBand(spark, path, ts, lo, hi)
+          else existing.filter(col(ts) >= lit(lo) && col(ts) <= lit(hi))
     }
     def antiNullSafe(
         left: DataFrame,
@@ -253,16 +274,8 @@ final case class LakeWriter(
     * leave the choice to AQE. File bytes are compressed (zstd), so this
     * under-estimates in-memory size — acceptable because the keys side is
     * a distinct projection of a strict column subset of those files. */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = {
-    // Spark's own byte-string parser handles every legal suffix
-    // (k/m/g/t/p, optional trailing b); an unparsable value falls back
-    // to letting AQE decide rather than crashing the delta write.
-    val threshold = scala.util.Try(
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-    ).getOrElse(-1L)
-    if (threshold > 0 && targetBytes <= threshold) broadcast(df) else df
-  }
+  private def broadcastIfSmall(df: DataFrame): DataFrame =
+    SchemaTools.broadcastIfUnder(spark, df, targetBytes)
 
   /** Total on-disk bytes of the existing target dataset (driver-side file
     * status listing — bounded by file count, no data scan). Hidden
@@ -297,8 +310,9 @@ final case class LakeWriter(
       // standing shingle index: the scorer never re-reads the corpus
       // text — together with `_keys` the WHOLE gate runs off sidecars
       case Some((shOld, rows)) =>
-        val exact = deltaDiffAgainst(df, d.asDelta,
-          existingKeysSide(d.asDelta))
+        val (ek, fromPath) = existingKeysSideTagged(d.asDelta)
+        val exact = deltaDiffAgainst(df, d.asDelta, ek,
+          windowSpanServe = fromPath)
         val idc = "__dnd_id"
         def keyed(x: DataFrame) =
           if (d.subset.size == 1) x.withColumn(idc, col(d.subset.head))
@@ -527,8 +541,9 @@ final case class LakeWriter(
     }
     shingleSidecar.readFor(d) match {
       case Some((shOld, rows)) =>
-        val exact = deltaDiffAgainst(prepared, d.asDelta,
-          existingKeysSide(d.asDelta))
+        val (ek, fromPath) = existingKeysSideTagged(d.asDelta)
+        val exact = deltaDiffAgainst(prepared, d.asDelta, ek,
+          windowSpanServe = fromPath)
         val newKeyed = keyed(exact)
         graft.operators.Dedup
           .incrementalJaccardPairsFromShingles(
@@ -538,8 +553,9 @@ final case class LakeWriter(
           .select(col("id_new"), col("id_existing"), col("jaccard"))
       case None =>
         val existing = SchemaTools.safeRead(spark, path)
-        val exact = deltaDiffAgainst(prepared, d.asDelta,
-          existingKeysSide(d.asDelta))
+        val (ek, fromPath) = existingKeysSideTagged(d.asDelta)
+        val exact = deltaDiffAgainst(prepared, d.asDelta, ek,
+          windowSpanServe = fromPath)
         var bounded = existing
         d.asDelta.onColumn.foreach { ts =>
           val Array(lo, hi) =

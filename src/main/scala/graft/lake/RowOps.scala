@@ -101,34 +101,24 @@ object RowOps {
     Compact.recoverTmp(fs, tmp)
   }
 
-  /** `_stats` range prune on a single numeric key: candidate files
-    * whose span intersects the frame's [min, max] on that key. Falls
-    * back to `all` whenever the manifest can't serve (non-numeric key,
-    * composite keys, untrusted/missing manifest, empty frame). */
+  /** `_stats` range prune on the mutation keys: candidate files whose
+    * spans intersect the frame's typed per-key envelope
+    * ([[FileStats.frameBounds]] — numeric/timestamp/date as doubles,
+    * strings as prefix bounds; EVERY key column prunes independently).
+    * Falls back to `all` whenever the manifest can't serve (no
+    * span-domain key, all-null keys, untrusted/missing manifest). */
   private def pruneByKeyRange(
       spark: SparkSession,
       path: String,
       frame: DataFrame,
       keys: Seq[String],
       all: Seq[String]
-  ): Seq[String] =
-    if (keys.size != 1) all
-    else {
-      val k = keys.head
-      val numeric = frame.schema(k).dataType match {
-        case _: org.apache.spark.sql.types.NumericType => true
-        case _ => false
-      }
-      if (!numeric) all
-      else {
-        val r = frame
-          .agg(min(col(k)).cast("double"), max(col(k)).cast("double"))
-          .head()
-        if (r.isNullAt(0)) all
-        else FileStats.candidatesForBounds(spark, path,
-          Map(k -> ((r.getDouble(0), r.getDouble(1))))).getOrElse(all)
-      }
-    }
+  ): Seq[String] = {
+    val bounds = FileStats.frameBounds(frame, keys)
+    if (bounds.isEmpty) all
+    else FileStats.candidatesForColBounds(spark, path, bounds)
+      .getOrElse(all)
+  }
 
   /** Append `rows` (data columns + `_change_type`) to the dataset's
     * change feed under `_changes/commit_version=<version>`. The version
@@ -345,7 +335,8 @@ object RowOps {
     val all = SchemaTools.listDataFiles(spark, path)
     val hit = coalesce(expr(predicate), lit(false))
     val candidates = FileStats
-      .candidatesForBounds(spark, path, FileStats.rangeBounds(spark, predicate))
+      .candidatesForColBounds(spark, path,
+        FileStats.typedBounds(spark, predicate))
       .getOrElse(all)
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
@@ -465,15 +456,29 @@ object RowOps {
     else Some(spark.read.parquet(tdir.toString).distinct())
   }
 
+  /** On-disk bytes of the standing tombstone debt — what decides
+    * whether the read-time key subtract may broadcast. */
+  def tombstoneBytes(spark: SparkSession, path: String): Long = {
+    val tdir = new Path(path, "_tombstones")
+    if (!fsOf(spark, tdir).exists(tdir)) 0L
+    else SchemaTools.bytesOf(spark,
+      SchemaTools.listDataFiles(spark, tdir.toString))
+  }
+
   /** The merge-on-read view: data minus the tombstoned keys (null-safe
     * key equality, matching [[deleteKeys]]). With no tombstones this
-    * is the plain scan. */
+    * is the plain scan. The key side broadcasts only while the debt is
+    * small ([[SchemaTools.broadcastIfUnder]]); a user who accumulates
+    * unbounded tombstones without folding gets a shuffled anti-join,
+    * never a driver OOM. */
   def readMor(spark: SparkSession, path: String): DataFrame = {
     val data = spark.read.parquet(path)
     tombstoneKeys(spark, path) match {
       case None => data
       case Some(ts) =>
-        data.join(broadcast(ts),
+        data.join(
+          SchemaTools.broadcastIfUnder(spark, ts,
+            tombstoneBytes(spark, path)),
           ts.columns.map(k => data(k) <=> ts(k)).reduce(_ && _),
           "left_anti")
     }

@@ -101,6 +101,41 @@ object SchemaTools {
     )
   }
 
+  /** The session's broadcast-join byte threshold (Spark's own
+    * byte-string parser handles every legal suffix); <= 0 when
+    * broadcast is disabled or the value is unparsable — callers fall
+    * back to letting AQE decide rather than crashing. */
+  def broadcastThreshold(spark: SparkSession): Long =
+    scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    ).getOrElse(-1L)
+
+  /** Total on-disk bytes of `files` — a driver-side status listing,
+    * bounded by the file count (the same scale class as planning the
+    * scan that reads them). */
+  def bytesOf(spark: SparkSession, files: Seq[String]): Long = {
+    if (files.isEmpty) return 0L
+    val fs = new Path(files.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+  }
+
+  /** Broadcast `df` only when its source footprint (`bytes`,
+    * compressed on-disk — an UNDER-estimate, acceptable because the
+    * guarded frames are key projections of those files) fits the
+    * session threshold; above it, leave the join strategy to AQE —
+    * the guard that keeps an unbounded key set (a user who never
+    * folds MOR tombstone debt) from OOMing the driver with a forced
+    * broadcast. */
+  def broadcastIfUnder(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      bytes: Long): org.apache.spark.sql.DataFrame = {
+    val threshold = broadcastThreshold(spark)
+    if (threshold > 0 && bytes <= threshold)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   /** Recursively list data files under a path (parquet/csv/...). */
   def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)

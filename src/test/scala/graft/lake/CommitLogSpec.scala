@@ -502,6 +502,111 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("string-keyed merge: spans prune candidates and PROVE " +
+      "disjointness — a disjoint concurrent append commutes instead " +
+      "of always-conflicting; an overlapping one still conflicts") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogupstr")).init()
+    log.append((0 until 20).map(i => (f"a$i%03d", i))
+      .toDF("k", "x").repartition(1)) // v1: keys a000..a019
+    log.append((0 until 20).map(i => (f"m$i%03d", i))
+      .toDF("k", "x").repartition(1)) // v2: keys m000..m019
+    // the merge touches only the a-file: candidate pruning through
+    // string spans must leave the m-file alone
+    val (_, t) = log.upsert(Seq(("a005", 500)).toDF("k", "x"), Seq("k"),
+      beforeCommit =
+        // concurrent append of z-keys: its string span [z000, z004]
+        // is provably disjoint from the batch envelope — commutes
+        () => { log.append((0 until 5).map(i => (f"z$i%03d", i))
+          .toDF("k", "x")); () })
+    assert(t == 1,
+      s"string-keyed merge must touch ONLY the span-matched file: $t")
+    val m = log.read(None).select("k", "x").as[(String, Int)].collect()
+      .toMap
+    assert(m("a005") == 500 && m("z004") == 4 && m.size == 45,
+      "merge + disjoint string append must both land exactly once")
+    // a concurrent append whose span STRADDLES the merge key: no
+    // proof of disjointness possible -> conflict
+    intercept[java.util.ConcurrentModificationException] {
+      log.upsert(Seq(("m010", 1)).toDF("k", "x"), Seq("k"),
+        beforeCommit =
+          () => { log.append(Seq(("m005", 2), ("m015", 3))
+            .toDF("k", "x").repartition(1)); () })
+    }
+  }
+
+  test("multi-column keys: disjointness on the SECOND key column " +
+      "alone is enough to commute") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogup2k")).init()
+    log.append((0 until 10).map(i => (i % 2, i, s"r$i"))
+      .toDF("region", "seq", "v").repartition(1)) // v1: seq 0..9
+    // merge on (region, seq): the concurrent append overlaps on
+    // region (0/1) but its seq span [100, 104] is disjoint
+    val (_, t) = log.upsert(Seq((0, 4, "upd")).toDF("region", "seq", "v"),
+      Seq("region", "seq"),
+      beforeCommit =
+        () => { log.append((100 until 105).map(i => (i % 2, i, s"n$i"))
+          .toDF("region", "seq", "v")); () })
+    assert(t == 1)
+    val m = log.read(None).select("seq", "v").as[(Int, String)]
+      .collect().toMap
+    assert(m(4) == "upd" && m(104) == "n104" && m.size == 15)
+  }
+
+  test("insert-only merge validates the commit window too: a " +
+      "concurrent append landing a matching key conflicts instead of " +
+      "committing duplicate keys; a disjoint one commutes") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogins")).init()
+    log.append(Seq.tabulate(10)(i => (i, i)).toDF("id", "x")
+      .repartition(1)) // v1: ids 0..9
+    // id=50 matches nothing at plan time -> insert-only (append kind);
+    // the concurrent append lands id=50 FIRST — committing blind would
+    // duplicate the key, so it must conflict (Delta validates
+    // insert-only merges the same way)
+    intercept[java.util.ConcurrentModificationException] {
+      log.upsert(Seq((50, 1)).toDF("id", "x"), Seq("id"),
+        beforeCommit =
+          () => { log.append(Seq((50, 2)).toDF("id", "x")); () })
+    }
+    assert(log.read(None).filter($"id" === 50).count() == 1,
+      "only the concurrent append's row may stand")
+    // provably-disjoint concurrent append: insert-only merge commutes
+    val (v, t) = log.upsert(Seq((60, 6)).toDF("id", "x"), Seq("id"),
+      beforeCommit =
+        () => { log.append(Seq((200, 2)).toDF("id", "x")); () })
+    assert(t == 0 && log.commit(v).kind == "append")
+    assert(log.read(None).filter($"id".isin(60, 200)).count() == 2)
+    // a restore in the window re-homes visibility: always a conflict
+    intercept[java.util.ConcurrentModificationException] {
+      log.upsert(Seq((70, 7)).toDF("id", "x"), Seq("id"),
+        beforeCommit = () => { log.restore(1L); () })
+    }
+  }
+
+  test("a MOR delete landing in the merge's commit window conflicts " +
+      "when it holds a merge key (ConcurrentDelete); a disjoint " +
+      "delete commutes") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogdelw")).init()
+    log.append(Seq.tabulate(10)(i => (i, i)).toDF("id", "x")
+      .repartition(1)) // v1
+    // the racing delete tombstones id=5 — exactly the key the merge
+    // writes: committing would land a row the next read erases
+    intercept[java.util.ConcurrentModificationException] {
+      log.upsert(Seq((5, 500)).toDF("id", "x"), Seq("id"),
+        beforeCommit =
+          () => { log.deleteKeysMor(Seq(5).toDF("id"), Seq("id")); () })
+    }
+    // disjoint delete: commutes — the merge lands, the deleted key
+    // stays subtracted
+    val (_, t) = log.upsert(Seq((3, 300)).toDF("id", "x"), Seq("id"),
+      beforeCommit =
+        () => { log.deleteKeysMor(Seq(8).toDF("id"), Seq("id")); () })
+    assert(t == 1)
+    val m = log.read(None).select("id", "x").as[(Int, Int)].collect()
+      .toMap
+    assert(m(3) == 300 && !m.contains(8) && !m.contains(5),
+      s"merge and disjoint delete must both apply: $m")
+  }
+
   test("upsert under active column mapping: logical batch and keys " +
       "merge onto the frozen physical names; a dropped column lands " +
       "as nulls; reads stay logical") {
@@ -679,6 +784,33 @@ class CommitLogSpec extends AnyFunSuite {
     assert(m(0) == "Z" && m(500) == "n" && m(600) == "m" &&
       !m.contains(3) && m(101) == "b",
       s"localized clone must preserve merged content: $m")
+  }
+
+  test("tombstone subtraction broadcasts only while the debt is small; " +
+      "an above-threshold set keeps a shuffled anti-join (no forced " +
+      "BroadcastExchange) with identical rows") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogtsb")).init()
+    log.append(Seq.tabulate(100)(i => (i, i)).toDF("id", "x")
+      .repartition(1))
+    log.deleteKeysMor(Seq.tabulate(50)(identity).toDF("id"), Seq("id"))
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.exists {
+        case _: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => true
+        case _: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec => true
+        case _ => false
+      }
+    assert(hasBroadcast(log.read(None)),
+      "a small tombstone set must ship as a broadcast")
+    SchemaTools.withSessionConf(spark,
+        "spark.sql.autoBroadcastJoinThreshold", "1") {
+      val df = log.read(None)
+      assert(!hasBroadcast(df),
+        "an above-threshold tombstone set must not force a broadcast")
+      assert(df.count() == 50,
+        "the guarded plan must still subtract every tombstoned key")
+    }
   }
 
   test("expireBefore keeps tombstones a keep-side restore re-references " +

@@ -110,4 +110,138 @@ class FileStatsSpec extends AnyFunSuite {
       "new files can't cover the partition column's spans -> invalidate")
     assert(FileStats.readRange(spark, dir, "id", 95.0, 109.0).count() == 15)
   }
+
+  test("timestamp spans prune a time band — typed literals, bare string " +
+      "literals, and readBand with java.sql.Timestamp endpoints") {
+    val dir = TestSpark.tempDir("fstats_ts") + "/ds"
+    // 10 files, each a contiguous one-day band
+    spark.range(1000)
+      .select(col("id"),
+        (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+          + expr("make_interval(0,0,0,0,0,0, id * 864)")).as("ts"))
+      .orderBy("id").repartitionByRange(10, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    FileStats.build(spark, dir)
+    val all = SchemaTools.listDataFiles(spark, dir).size
+    // typed TIMESTAMP literals
+    val predTyped = "ts >= timestamp'2024-03-03 00:00:00' and " +
+      "ts < timestamp'2024-03-05 00:00:00'"
+    val bTyped = FileStats.typedBounds(spark, predTyped)
+    assert(bTyped.contains("ts") && bTyped("ts").loNum.isDefined &&
+      bTyped("ts").hiNum.isDefined, s"typed ts bounds: $bTyped")
+    val candTyped =
+      FileStats.candidatesForColBounds(spark, dir, bTyped).get
+    assert(candTyped.nonEmpty && candTyped.size * 2 <= all,
+      s"a 2-day band over 10 day-files must prune: ${candTyped.size}/$all")
+    // bare string literals (the way every ad-hoc probe is written)
+    val predStr = "ts >= '2024-03-03 00:00:00' and ts < '2024-03-05'"
+    val candStr = FileStats.candidatesForColBounds(spark, dir,
+      FileStats.typedBounds(spark, predStr)).get
+    assert(candStr.nonEmpty && candStr.size * 2 <= all,
+      s"string-literal ts band must prune: ${candStr.size}/$all")
+    // CAST('...' AS TIMESTAMP) sees through to the string rule
+    val candCast = FileStats.candidatesForColBounds(spark, dir,
+      FileStats.typedBounds(spark,
+        "ts >= cast('2024-03-03' as timestamp)")).get
+    assert(candCast.nonEmpty && candCast.size < all)
+    // band read == full filter
+    val lo = java.sql.Timestamp.valueOf("2024-03-03 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-03-04 23:59:59")
+    val got = FileStats.readBand(spark, dir, "ts", lo, hi)
+    assert(got.inputFiles.length < all, "readBand must scan pruned files")
+    val expect = spark.read.parquet(dir)
+      .filter(col("ts") >= lo && col("ts") <= hi)
+    assert(got.count() == expect.count() && got.count() > 0)
+  }
+
+  test("date spans land as session-zone midnight seconds; date and " +
+      "string literals prune conservatively and identically to the " +
+      "residual filter") {
+    val dir = TestSpark.tempDir("fstats_dt") + "/ds"
+    spark.range(300)
+      .select(col("id"),
+        expr("date_add(date'2024-01-01', cast(id / 10 as int))").as("d"))
+      .orderBy("id").repartitionByRange(6, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    FileStats.build(spark, dir)
+    val all = SchemaTools.listDataFiles(spark, dir).size
+    for (pred <- Seq(
+        "d >= date'2024-01-06' and d <= date'2024-01-10'",
+        "d >= '2024-01-06' and d <= '2024-01-10'",
+        // a datetime-valued string against a DATE column: the day
+        // floor keeps the lower bound conservative
+        "d >= '2024-01-06 13:00:00' and d <= '2024-01-10 02:00:00'")) {
+      val cand = FileStats.candidatesForColBounds(spark, dir,
+        FileStats.typedBounds(spark, pred)).get
+      assert(cand.nonEmpty && cand.size < all,
+        s"$pred must prune: ${cand.size}/$all")
+      val got = spark.read.parquet(cand: _*).filter(pred).count()
+      val expect = spark.read.parquet(dir).filter(pred).count()
+      assert(got == expect && got > 0,
+        s"$pred pruned read diverges: $got vs $expect")
+    }
+  }
+
+  test("string spans prune on prefix bounds; truncation stays " +
+      "conservative (never prunes a file whose tail could match)") {
+    val dir = TestSpark.tempDir("fstats_str") + "/ds"
+    // 4 files in distinct prefix bands, values LONGER than the stored
+    // prefix (so every span is truncated)
+    val rows = (0 until 400).map { i =>
+      val band = ('a' + i / 100).toChar
+      (i.toLong, band.toString * 80 + f"$i%03d")
+    }
+    rows.toDF("id", "s").orderBy("s").repartitionByRange(4, col("s"))
+      .write.mode("overwrite").parquet(dir)
+    FileStats.build(spark, dir)
+    val all = SchemaTools.listDataFiles(spark, dir).size
+    // a band entirely inside one prefix family
+    val pred = "s >= 'b' and s < 'c'"
+    val cand = FileStats.candidatesForColBounds(spark, dir,
+      FileStats.typedBounds(spark, pred)).get
+    assert(cand.nonEmpty && cand.size < all,
+      s"string band must prune: ${cand.size}/$all")
+    val got = spark.read.parquet(cand: _*).filter(pred).count()
+    assert(got == 100, s"string band pruned read lost rows: $got")
+    // conservatism at the truncation boundary: a probe sharing the
+    // full 64-char stored prefix must KEEP the file (the span cannot
+    // prove disjointness beyond the prefix)
+    val boundary = "s >= '" + "b" * 70 + "'"
+    val candB = FileStats.candidatesForColBounds(spark, dir,
+      FileStats.typedBounds(spark, boundary)).get
+    val expectB = spark.read.parquet(dir).filter(boundary).count()
+    val gotB =
+      if (candB.isEmpty) 0L
+      else spark.read.parquet(candB: _*).filter(boundary).count()
+    assert(gotB == expectB,
+      s"truncation must stay conservative: $gotB vs $expectB")
+    // and a probe strictly above every prefix prunes everything
+    assert(FileStats.candidatesForColBounds(spark, dir,
+      FileStats.typedBounds(spark, "s >= 'z'")).get.isEmpty)
+  }
+
+  test("mixed-domain conjunction prunes on every covered axis at once " +
+      "(numeric + timestamp + string in one predicate)") {
+    val dir = TestSpark.tempDir("fstats_mix") + "/ds"
+    spark.range(1000)
+      .select(col("id"),
+        (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+          + expr("make_interval(0,0,0,0,0,0, id * 864)")).as("ts"),
+        concat(lit("user_"), format_string("%04d", col("id"))).as("u"))
+      .orderBy("id").repartitionByRange(10, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    FileStats.build(spark, dir)
+    val all = SchemaTools.listDataFiles(spark, dir).size
+    val pred = "id >= 100 and id < 300 and ts >= '2024-03-02' and " +
+      "u < 'user_0250'"
+    val b = FileStats.typedBounds(spark, pred)
+    assert(b.keySet == Set("id", "ts", "u"), s"bounds: $b")
+    val cand = FileStats.candidatesForColBounds(spark, dir, b).get
+    // id allows files 1-2, ts floors at file 1, u caps at file 2:
+    // the conjunction must intersect to at most 2 of 10
+    assert(cand.nonEmpty && cand.size <= 2,
+      s"conjunction must intersect the axes: ${cand.size}/$all")
+    val got = spark.read.parquet(cand: _*).filter(pred).count()
+    assert(got == spark.read.parquet(dir).filter(pred).count() && got > 0)
+  }
 }

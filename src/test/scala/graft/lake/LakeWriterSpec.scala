@@ -596,4 +596,43 @@ class LakeWriterSpec extends AnyFunSuite {
         (4L, Some("d"), Some(2.5))).toDF("id", "v", "x"))
     assert(SchemaTools.readUnified(spark, dir).count() == 4)
   }
+
+  test("a time-banded delta append span-serves the existing-side scan: " +
+      "with a trusted _stats manifest it lists a strict subset of the " +
+      "target's files; the diff itself is unchanged") {
+    import org.apache.spark.sql.functions.{col, expr, lit, to_timestamp}
+    val dir = TestSpark.tempDir("lw_tsband") + "/ds"
+    // 8 files, each a contiguous ~day band
+    val base = spark.range(800).select(col("id"),
+      to_timestamp(lit("2024-06-01 00:00:00"))
+        .plus(expr("make_interval(0,0,0,0,0,0, id * 108)")).as("ts"))
+    LakeWriter(spark, dir, WriteMode.Overwrite, maxRecordsPerFile = 100)
+      .write(base.orderBy("ts"))
+    FileStats.build(spark, dir)
+    val nFiles = SchemaTools.listDataFiles(spark, dir).size
+    assert(nFiles >= 6, s"need a multi-file layout: $nFiles")
+    // the batch: half replayed rows from one band + new rows inside
+    // the same window
+    val batch = base.filter(col("id").between(300, 340))
+      .unionByName(spark.range(10000, 10005).select(col("id"),
+        to_timestamp(lit("2024-06-01 10:00:00")).as("ts")))
+    val w = LakeWriter(spark, dir,
+      WriteMode.Delta(Seq("id"), onColumn = Some("ts")))
+    val plan = w.planDelta(batch)
+    val targetScanned = plan.queryExecution.sparkPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths
+              .exists(_.toString.contains("lw_tsband")) =>
+          f.selectedPartitions.totalNumberOfFiles
+      }
+    assert(targetScanned.nonEmpty && targetScanned.forall(_ < nFiles),
+      s"existing side must scan a strict subset: $targetScanned " +
+        s"of $nFiles")
+    // and the diff is still exact: replayed rows drop, new rows land
+    assert(plan.select("id").as[Long].collect().sorted.toSeq ==
+      (10000L to 10004L))
+    w.write(batch)
+    assert(spark.read.parquet(dir).count() == 805)
+  }
 }

@@ -381,4 +381,31 @@ class RowOpsSpec extends AnyFunSuite {
     assert(st.filesTouched == 0, s"dead keys touch nothing: $st")
     assert(spark.read.parquet(dir).count() == 6)
   }
+
+  test("MOR tombstone subtraction (single-writer reader) broadcasts " +
+      "only under the threshold; above it the plan stays shuffled " +
+      "and the rows are identical") {
+    val dir = TestSpark.tempDir("rowmorb") + "/ds"
+    spark.range(100).selectExpr("id", "id * 2 AS v")
+      .repartition(1).write.parquet(dir)
+    RowOps.deleteKeysMor(spark, dir,
+      spark.range(40).selectExpr("id").toDF("id"), Seq("id"))
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.exists {
+        case _: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => true
+        case _: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec => true
+        case _ => false
+      }
+    assert(hasBroadcast(LakeReader(spark, dir).load()),
+      "small debt must broadcast through the declarative reader")
+    SchemaTools.withSessionConf(spark,
+        "spark.sql.autoBroadcastJoinThreshold", "1") {
+      val df = LakeReader(spark, dir).load()
+      assert(!hasBroadcast(df),
+        "above-threshold debt must not force a broadcast")
+      assert(df.count() == 60)
+    }
+  }
 }
