@@ -40,6 +40,40 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("parsedbg")) {
+      Seq(
+        "ALTER TABLE t147 ADD CONSTRAINT pos CHECK (o_totalprice > 0)",
+        "ALTER TABLE t147 DROP CONSTRAINT pos"
+      ).foreach { s =>
+        val p = spark.sessionState.sqlParser.parsePlan(s)
+        println(s"STMT: $s\nCLASS: ${p.getClass.getName}\nTREE:\n$p\n")
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("bloomdbg")) {
+      import org.apache.spark.sql.functions._
+      import graft.lake._
+      val root = "/tmp/bloomprobe_ds"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val log = CommitLog(spark, root).init()
+      def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id"), concat(lit("u-"), col("id") * 7919L).as("uid"))
+      log.append(batch(0, 500).repartition(4, pmod(col("id"), lit(4))))
+      log.buildStats(bloomCols = Seq("uid"), bloomBits = 1 << 13)
+      log.append(batch(500, 600).repartition(2, pmod(col("id"), lit(2))))
+      val key = s"u-${550L * 7919L}"
+      println(s"CANDIDATES: ${log.candidateDataFiles(s"uid = '$key'")}")
+      println("HOLDER: " + log.read(None).filter(col("uid") === key)
+        .select(input_file_name()).head().getString(0))
+      spark.read.parquet(s"$root/_stats").select("file", "uid_bloom")
+        .collect().foreach(r => println(s"STATS ${r.getString(0)} " +
+          s"blobLen=${Option(r.getAs[Array[Byte]](1)).map(_.length)}"))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("qerr")) {
       import org.apache.spark.sql.functions._
       import graft.operators.Similarity

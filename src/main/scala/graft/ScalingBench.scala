@@ -132,11 +132,14 @@ object ScalingBench {
       "e23_pooled_centroids", "e24_silhouette", "q110_stream_mv",
       "q111_mor_delete", "q112_dedup_in_place",
       "e26_pq_serve", "e27_hamming_serve", "q123_upsert_screened",
-      "q121_commitlog_reader_surface", "q106_partitions_table",
+      "q121_commitlog_reader_surface",
       "q125_commitlog_optimize", "q127_commitlog_evolve",
       "q128_commitlog_zorder", "m17_tar_meta", "e28_ivf_pq_residual",
       "q131_commit_stats_in_log", "q132_commitlog_optimize_where",
-      "d54_pagerank", "d55_classifier_score", "d56_ccnet_buckets")
+      "d54_pagerank", "d55_classifier_score", "d56_ccnet_buckets",
+      "q140_time_band_skipping", "q142_commitlog_partitioned",
+      "q144_sql_update", "q147_sql_constraints",
+      "e31_commitlog_pq_stream")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume
@@ -145,7 +148,60 @@ object ScalingBench {
       "d06_minhash_lsh[bands=16]" -> ((s, dir) =>
         graft.operators.Dedup.minhashLshPairs(
           Tables.documents(s, dir), "doc_id", "text",
-          numHashes = 64, bands = 16, threshold = 0.2))
+          numHashes = 64, bands = 16, threshold = 0.2)),
+      // the SERVED partitions metadata table alone — q106's oracle
+      // entry deliberately bundles fixture write + footer-sweep
+      // fallback + stats build (all linear in files by construction),
+      // which is what its old headline row measured; the design-
+      // relevant number is the manifest-served read, so THAT is the
+      // headline row. The standing fixture is built once (warmup pays
+      // it; FileStats.trusted gates a rebuild) and the timed reps
+      // measure the served path only. The dedicated section below
+      // still carries the sweep-vs-served separation with footer-open
+      // counts.
+      "q106_partitions_served" -> ((s, dir) => {
+        val root = s"/tmp/graft_scale_q106s_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!pfs.exists(p) || !graft.lake.FileStats.trusted(s, root)) {
+          if (pfs.exists(p)) pfs.delete(p, true)
+          s.read.parquet(s"$dir/orders.parquet")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .coalesce(1)
+            .write.partitionBy("o_orderstatus")
+            .option("maxRecordsPerFile", 500L)
+            .option("compression", "zstd")
+            .parquet(root)
+          graft.lake.FileStats.build(s, root)
+        }
+        graft.lake.SchemaTools.partitionsTable(s, root)
+      }),
+      // the SERVED bloom point-lookup alone — q145's oracle entry
+      // bundles the fixture write + bloom build (linear in data by
+      // construction); the design claim is the PROBE: metadata-scan
+      // the sidecar, keep bloom survivors, scan only them. Standing
+      // fixture built once per factor; timed reps measure the probe.
+      "q145_bloom_served" -> ((s, dir) => {
+        val root = s"/tmp/graft_scale_q145s_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!pfs.exists(p) || !graft.lake.FileStats.trusted(s, root)) {
+          if (pfs.exists(p)) pfs.delete(p, true)
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("doc_key",
+              concat(col("lang"), lit("-"), col("doc_id")))
+            .select("doc_id", "doc_key", "lang", "n_chars")
+            .repartition(32, pmod(col("doc_id") * 2654435761L, lit(32)))
+            .write.parquet(root)
+          graft.lake.FileStats.build(s, root,
+            bloomCols = Seq("doc_key", "doc_id"))
+        }
+        val key = s.read.parquet(root)
+          .filter(col("doc_id") === 42L).select("doc_key")
+          .head().getString(0)
+        graft.lake.LakeReader(s, root)
+          .filter(s"doc_key = '$key'").load()
+      })
     )
     def queryFn(q: String): (SparkSession, String) => DataFrame =
       variants.getOrElse(q, SparkEntry.queries(q))
@@ -578,10 +634,19 @@ object ScalingBench {
     sb.append("The d06[bands=16] row is the knob to pull when LSH candidate\n")
     sb.append("volume outgrows a given cluster: half the bands, fewer\n")
     sb.append("collisions, at a measured recall trade (DedupSpec bounds it).\n\n")
-    sb.append("q106's end-to-end row bundles its fixture write, the\n")
-    sb.append("footer-sweep FALLBACK, the stats build, and the served read;\n")
-    sb.append("the dedicated partitions-table section below separates the\n")
-    sb.append("deliberately-linear fallback from the flat served path.\n\n")
+    sb.append("q145_bloom_served times the bloom point-lookup PROBE against\n")
+    sb.append("a standing fixture (metadata-scan the sidecar, scan only\n")
+    sb.append("bloom survivors — the data actually read stays ~one file at\n")
+    sb.append("every factor); its oracle entry's fixture write + bloom\n")
+    sb.append("build are linear in data by construction. The lifecycle\n")
+    sb.append("rows (q142/q144/q147/e31) time whole transaction protocols\n")
+    sb.append("— multiple commits, validations, stream replays — whose\n")
+    sb.append("costs are linear in their batch sizes by design.\n\n")
+    sb.append("q106_partitions_served times the manifest-served metadata\n")
+    sb.append("read alone against a standing fixture (the design-relevant\n")
+    sb.append("number); the oracle entry's fixture write + footer-sweep\n")
+    sb.append("fallback + stats build are deliberately linear in files and\n")
+    sb.append("live in the dedicated partitions-table section below.\n\n")
     sb.append("The 8x column (top-three cost profile only) is the extra\n")
     sb.append("doubling that bounds the largest 4x ratio.\n\n")
     sb.append("| query | 1x (s) | 2x (s) | 4x (s) | 8x (s) | 2x/1x | 4x/1x | 8x/1x |\n")
@@ -727,10 +792,10 @@ object ScalingBench {
     }
 
     sb.append("\n## Partitions metadata table: sweep vs manifest-served\n\n")
-    sb.append("q106's end-to-end row above bundles the fixture write, the\n")
+    sb.append("q106's oracle entry bundles the fixture write, the\n")
     sb.append("footer-sweep fallback, the `_stats` build, AND the served\n")
-    sb.append("read — the first three are deliberately linear in files,\n")
-    sb.append("which is all its ratio measures. Separated, the design\n")
+    sb.append("read — the first three are deliberately linear in files.\n")
+    sb.append("Separated (served-only in the headline table), the design\n")
     sb.append("claim is visible: the fallback sweep opens every data\n")
     sb.append("file's footer (driver-side, linear in files — at a million\n")
     sb.append("files it is the first design to die), while the\n")

@@ -3259,6 +3259,71 @@ object SparkEntry {
         .orderBy("id1", "rank")
     }),
 
+    // THE SERVING-INDEX MAINTENANCE PLANES UNIFIED ON THE COMMIT LOG
+    // (r8 Next #7): e30 streamed into the SRP resident; the codes-only
+    // PQ resident now maintains the same way — readStreamCommits
+    // drives appendPqOnce, whose idempotence is the index's OWN id set
+    // (one keyed left_anti, no watermark state to crash out of sync) —
+    // so the redelivered bootstrap commit folds zero rows, a TOTAL
+    // checkpoint-loss replay folds zero rows, and the served ADC
+    // answer equals the direct e16 operator exactly
+    "e31_commitlog_pq_stream" -> ((s, d) => {
+      val root = scratch(s, "e31", d)
+      val log = CommitLog(s, s"$root/corpus").init()
+      val idx = s"$root/ann"
+      val e = emb(s, d)
+      val nCents = 32
+      val pivotIds = e
+        .orderBy(Similarity.pivotRank(col("vec_id")).asc,
+          col("vec_id").asc)
+        .limit(nCents).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      val isPivot = col("vec_id").isin(pivotIds: _*)
+      log.append(e.filter(isPivot)) // v1: codebook-training rows
+      AnnIndex.buildPq(s, idx, log.read(None), dim = 64,
+        nCents = nCents)
+      log.append(e.filter(!isPivot &&
+        pmod(col("vec_id"), lit(2L)) === 0L)) // v2
+      log.append(e.filter(!isPivot &&
+        pmod(col("vec_id"), lit(2L)) === 1L)) // v3
+      def indexed(): Long = s.read.parquet(s"$idx/index").count()
+      def runStream(ckpt: String): Unit = {
+        val q = log.readStreamCommits()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val commits = batch.select("version", "kind", "files")
+              .collect()
+              .map(r => (r.getLong(0), r.getString(1),
+                r.getSeq[String](2)))
+              .sortBy(_._1)
+            commits.foreach { case (v, kind, names) =>
+              require(kind == "append",
+                s"$kind v$v inside the stream — re-baseline the index")
+              AnnIndex.appendPqOnce(s, idx,
+                s.read.parquet(log.filePaths(names): _*))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runStream(s"$root/_ckpt1")
+      assert(indexed() == e.count(),
+        s"the stream must fold every committed vector once (incl. " +
+          s"folding the bootstrap commit to zero), got ${indexed()} " +
+          s"of ${e.count()}")
+      runStream(s"$root/_ckpt2") // TOTAL replay: fresh checkpoint
+      assert(indexed() == e.count(),
+        "a replayed delivery must fold nothing into the index")
+      assert(AnnIndex.trusted(s, idx),
+        "the maintained index must end trusted")
+      AnnIndex.servePq(s, idx, e.filter(col("vec_id") < 10), k = 5).get
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("id1", "rank")
+    }),
+
     // RESIDUAL IVF-PQ — true IVFADC (the FAISS IVFPQ default): the
     // corpus is quantized as coarse_centroid + PQ(residual), so the
     // shared codebook spends its centroids on fine structure instead
@@ -5178,6 +5243,61 @@ object SparkEntry {
         .orderBy("ship_month")
     }),
 
+    // BLOOM POINT-LOOKUP FILE SKIPPING: the probe min/max spans CANNOT
+    // serve — `key = <value>` on a high-cardinality key whose values
+    // INTERLEAVE across files (UUIDs, content hashes, hash-distributed
+    // ids), where every file's span covers nearly the whole domain.
+    // Opt-in per-file bloom filters in the `_stats` sidecar (the Delta
+    // bloom-index design) prune the listing for equality and IN
+    // probes, in both canonical domains (string keys and integral
+    // keys). In-query asserts: the hash-shuffled layout defeats span
+    // pruning (spans keep everything), blooms cut the same probe to
+    // the one file actually holding the key, the declarative reader
+    // scans only bloom survivors, an IN-list keeps at most its arity
+    // in files, an absent key proves out EVERY file, and pruning never
+    // changes the answer
+    "q145_bloom_point_lookup" -> ((s, d) => {
+      val root = scratch(s, "q145", d)
+      val src = docs(s, d)
+        .withColumn("doc_key",
+          concat(col("lang"), lit("-"), col("doc_id")))
+        .select("doc_id", "doc_key", "lang", "n_chars")
+      // hash-shuffle so every file's key span covers ~the full domain
+      src.repartition(16, pmod(col("doc_id") * 2654435761L, lit(16)))
+        .write.parquet(root)
+      FileStats.build(s, root, bloomCols = Seq("doc_key", "doc_id"))
+      val nFiles = SchemaTools.listDataFiles(s, root).size
+      val strPred = "doc_key = 'unused'"
+        .replace("unused", src.filter(col("doc_id") === 42L)
+          .select("doc_key").head().getString(0))
+      // span pruning alone keeps (nearly) everything on this layout
+      val spanOnly = FileStats.candidatesForColBounds(s, root,
+        FileStats.typedBounds(s, strPred)).get
+      assert(spanOnly.size * 2 > nFiles,
+        s"interleaved keys must defeat span pruning " +
+          s"(${spanOnly.size}/$nFiles) — else this probe needs no bloom")
+      val strCand = FileStats.candidatesForPredicate(s, root, strPred).get
+      assert(strCand.size == 1,
+        s"a string-key bloom probe must isolate the holding file: " +
+          s"${strCand.size}/$nFiles")
+      val inPred = "doc_id IN (5, 6, 7)"
+      val inCand = FileStats.candidatesForPredicate(s, root, inPred).get
+      assert(inCand.nonEmpty && inCand.size <= 3 && inCand.size < nFiles,
+        s"an IN probe keeps at most its arity in files: " +
+          s"${inCand.size}/$nFiles")
+      assert(FileStats.candidatesForPredicate(s, root,
+          "doc_key = 'zz-no-such-key'").get.isEmpty,
+        "an absent key must prove out every file")
+      val byKey = LakeReader(s, root).filter(strPred).load()
+      assert(byKey.inputFiles.length <= strCand.size,
+        "the declarative reader must scan only bloom survivors")
+      assert(byKey.count() ==
+        s.read.parquet(root).filter(strPred).count(),
+        "bloom pruning must never change the answer")
+      byKey.unionByName(LakeReader(s, root).filter(inPred).load())
+        .orderBy("doc_id")
+    }),
+
     // TIME-BAND SKIPPING ON THE COMMIT LOG (r8 Next #1, log-carried):
     // every append records typed spans inside its own atomic manifest,
     // so an events-table time probe prunes the file listing the moment
@@ -5212,6 +5332,226 @@ object SparkEntry {
       log.readFiltered(pred)
         .select("event_id", "ts", "event_type", "value")
         .orderBy("event_id")
+    }),
+
+    // HIVE-PARTITIONED COMMIT LOG (r8 Next #4): the multi-writer
+    // flavor holding the layout most real lakes use. Files nest under
+    // data/<k>=<v>/ with partition-qualified names in the manifests,
+    // and each file's partition VALUE rides its log-carried spans as
+    // an exact interval — so partition pruning at resolution IS span
+    // pruning, with zero new machinery. In-query asserts: a
+    // partition-value predicate lists ONLY that partition's committed
+    // files (strict subset); a keyed merge's rewritten inputs all
+    // live in the matched keys' partition; appends from two writers
+    // into different partitions land as independent commits
+    "q142_commitlog_partitioned" -> ((s, d) => {
+      val root = scratch(s, "q142", d)
+      val log = CommitLog(s, root).initPartitioned(Seq("o_orderstatus"))
+      val src = ord(s, d).select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderstatus")
+      // two writers, different partitions: independent commits v1/v2
+      log.append(src.filter(col("o_orderstatus") === "O"))
+      log.append(src.filter(col("o_orderstatus") =!= "O"))
+      assert(log.latestVersion() == 2L)
+      val live = log.liveFiles(None)
+      val cand = log.candidateDataFiles("o_orderstatus = 'F'")
+      assert(cand.exists(c => c.nonEmpty && c.size < live.size &&
+        c.forall(_.startsWith("o_orderstatus=F/"))),
+        s"partition predicate must list only F files: " +
+          s"${cand.map(_.take(3))} of ${live.size}")
+      val Array(lo, hi0) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      // keyed merge whose batch lives entirely in partition F
+      val updates = src
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey") <= lit(hi))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val (vUp, t) = log.upsert(updates, Seq("o_orderkey"))
+      assert(t > 0, "the band must touch at least one file")
+      val removed = log.commit(vUp).removed
+      assert(removed.nonEmpty &&
+        removed.forall(_.startsWith("o_orderstatus=F/")),
+        s"merge must rewrite only the matched partition: $removed")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      shaped(log.read(None), "live")
+        .unionByName(shaped(log.readFiltered("o_orderstatus = 'F'"), "f"))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // SQL DML ON MANAGED TABLES (r8 Next #5): a cataloged commit-log
+    // table mutated PURELY through SQL statements — INSERT INTO
+    // bootstraps it, MERGE applies a CDC batch (update-all/insert-all
+    // through the keyed copy-on-write upsert), DELETE WHERE rewrites
+    // only files holding matching rows — and read back through the
+    // same registered view with plain spark.sql. The dispatcher
+    // parses the statement, evaluates the query subtree through the
+    // analyzer (temp views resolve), and routes to the commit
+    // protocol, so every mutation is an atomic versioned commit
+    "q143_sql_dml" -> ((s, d) => {
+      val root = scratch(s, "q143", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t143")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q143_src")
+      lm.sql("INSERT INTO t143 SELECT * FROM q143_src")
+      val Array(lo, hi0) = s.sql(
+        "SELECT min(o_orderkey), max(o_orderkey) FROM q143_src").head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val hi = lo + (hi0 - lo) / 8
+      // CDC batch: +1000 on the first eighth, shifted inserts
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice + 1000.0
+           |  AS o_totalprice FROM q143_src WHERE o_orderkey <= $hi
+           |UNION ALL
+           |SELECT o_orderkey + ${hi0 + 1L}, o_custkey, 0.5
+           |FROM q143_src WHERE o_orderkey <= $hi""".stripMargin)
+        .createOrReplaceTempView("q143_cdc")
+      lm.sql("MERGE INTO t143 t USING q143_cdc s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      lm.sql("DELETE FROM t143 WHERE o_custkey % 10 = 3")
+      val log = lm.commitLog("t143")
+      assert(log.latestVersion() == 3L,
+        "INSERT, MERGE, DELETE must be exactly three commits")
+      assert(log.read(Some(2L)).count() > log.read(None).count(),
+        "time travel before the DELETE must serve the deleted rows")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t143 " +
+        "ORDER BY o_orderkey")
+    }),
+
+    // SQL UPDATE ON MANAGED TABLES (q143's missing verb): `UPDATE t
+    // SET c = expr, ... WHERE pred` dispatches to the copy-on-write
+    // CommitLog.updateWhere — span-pruned candidates, only files
+    // HOLDING matching rows rewrite, every assignment sees the
+    // PRE-update row (standard SQL: the o_totalprice expression reads
+    // the OLD o_custkey even though o_custkey is also assigned), and
+    // qualified references (t.c) resolve by stripping the target
+    // qualifier. Time travel serves the pre-update rows
+    "q144_sql_update" -> ((s, d) => {
+      val root = scratch(s, "q144", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t144")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus").createOrReplaceTempView("q144_src")
+      lm.sql("INSERT INTO t144 SELECT * FROM q144_src")
+      lm.sql("UPDATE t144 t SET " +
+        "t.o_totalprice = t.o_totalprice * 2.0 + t.o_custkey, " +
+        "t.o_custkey = t.o_custkey + 7 " +
+        "WHERE t.o_orderstatus = 'F' AND t.o_orderkey % 4 = 1")
+      val log = lm.commitLog("t144")
+      assert(log.latestVersion() == 2L,
+        "INSERT then UPDATE must be exactly two commits")
+      assert(log.commit(2L).removed.nonEmpty,
+        "the UPDATE must be a copy-on-write rewrite, not an append")
+      val pre = log.read(Some(1L))
+      assert(pre.count() == log.read(None).count(),
+        "UPDATE must not change the row count")
+      assert(
+        pre.agg(sum("o_totalprice")).head().getDouble(0) <
+          log.read(None).agg(sum("o_totalprice")).head().getDouble(0),
+        "time travel before the UPDATE must serve the old values")
+      // a no-match UPDATE burns no commit
+      lm.sql("UPDATE t144 SET o_totalprice = 0.0 " +
+        "WHERE o_orderstatus = 'no-such-status'")
+      assert(log.latestVersion() == 2L,
+        "a no-match UPDATE must not commit")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "o_orderstatus FROM t144 ORDER BY o_orderkey")
+    }),
+
+    // SQL TIME TRAVEL (SELECT-side): `FROM t VERSION AS OF n` and
+    // `TIMESTAMP AS OF <expr>` over a managed commit-log table — the
+    // dispatcher grafts the versioned read's analyzed plan under the
+    // table's alias inside the parsed statement, so travels, the live
+    // view, joins, and qualified references all compose in ONE
+    // statement. TIMESTAMP resolution is the Delta rule (latest
+    // commit at-or-before), probed here with commit v1's own recorded
+    // instant (strictly-monotone commit clocks make that exact)
+    "q146_sql_time_travel" -> ((s, d) => {
+      val root = scratch(s, "q146", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t146")
+      ord(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q146_src")
+      val Array(lo, hi) = s.sql(
+        "SELECT min(o_orderkey), max(o_orderkey) FROM q146_src").head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi - lo) / 2
+      lm.sql(s"INSERT INTO t146 SELECT * FROM q146_src " +
+        s"WHERE o_orderkey <= $mid")
+      lm.sql(s"INSERT INTO t146 SELECT * FROM q146_src " +
+        s"WHERE o_orderkey > $mid")
+      val log = lm.commitLog("t146")
+      assert(log.latestVersion() == 2L)
+      val t1 = log.commit(1L).ts
+      val out = lm.sql(
+        s"""SELECT 'v1' AS side, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           |    AS total
+           |FROM t146 VERSION AS OF 1
+           |UNION ALL
+           |SELECT 'ts', count(*),
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           |FROM t146 TIMESTAMP AS OF CAST($t1 / 1000.0 AS TIMESTAMP)
+           |UNION ALL
+           |SELECT 'live', count(*),
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           |FROM t146
+           |ORDER BY side""".stripMargin)
+      val byue = out.collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      assert(byue("v1") == byue("ts") && byue("v1") < byue("live"),
+        s"both travels must serve v1, strictly fewer than live: $byue")
+      out
+    }),
+
+    // CHECK CONSTRAINTS AS TABLE METADATA (Delta constraint parity):
+    // `ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)` commits a META
+    // entry to the log itself — transactional like every commit, so
+    // adding validates live data as of a planned version (refusing if
+    // any row violates), every data-adding writer re-reads the set
+    // inside its commit retry loop, checkpoints fold it, and history
+    // shows it as a zero-file operation. Violating writes REFUSE the
+    // whole batch (Delta CHECK semantics, not screening)
+    "q147_sql_constraints" -> ((s, d) => {
+      val root = scratch(s, "q147", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t147")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q147_src")
+      lm.sql("INSERT INTO t147 SELECT * FROM q147_src")
+      lm.sql("ALTER TABLE t147 ADD CONSTRAINT pos CHECK " +
+        "(o_totalprice > 0)")
+      val log = lm.commitLog("t147")
+      assert(log.constraints(None) == Map("pos" -> "(o_totalprice > 0)")
+        || log.constraints(None) == Map("pos" -> "o_totalprice > 0"),
+        s"the set must stand: ${log.constraints(None)}")
+      def mustRefuse(stmt: String): Unit = {
+        val refused =
+          try { lm.sql(stmt); false }
+          catch { case _: Exception => true }
+        assert(refused, s"must refuse: $stmt")
+      }
+      // a violating INSERT refuses the WHOLE batch
+      mustRefuse("INSERT INTO t147 VALUES (0, 0, -5.0)")
+      // adding a constraint live data violates refuses
+      mustRefuse("ALTER TABLE t147 ADD CONSTRAINT big CHECK " +
+        "(o_totalprice > 100000)")
+      // a proving batch lands
+      lm.sql("INSERT INTO t147 VALUES (-1, -1, 1.0)")
+      // drop, and the formerly-refused shape lands
+      lm.sql("ALTER TABLE t147 DROP CONSTRAINT pos")
+      assert(log.constraints(None).isEmpty)
+      lm.sql("INSERT INTO t147 VALUES (-2, -2, -5.0)")
+      // the meta commits are versioned operations: the set at the ADD
+      // is visible historically even after the DROP
+      assert(log.constraints(Some(2L)).contains("pos"))
+      s.sql("SELECT * FROM t147 ORDER BY o_orderkey")
     }),
 
     // COMMIT-LOG RETENTION: expire the prefix behind a checkpoint —
@@ -6876,6 +7216,75 @@ object SparkEntry {
       """SELECT event_id, ts, event_type, value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-19'
         |ORDER BY event_id""".stripMargin,
+
+    "q142_commitlog_partitioned" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 8 AS e FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey <= lo + e
+        |      THEN o_totalprice + 1000.0 ELSE o_totalprice END
+        |      AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders, b)
+        |SELECT 'live' AS side, * FROM merged
+        |UNION ALL
+        |SELECT 'f', * FROM merged WHERE o_orderstatus = 'F'
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    "q143_sql_dml" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 8 AS e FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey <= lo + e THEN o_totalprice + 1000.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders, b
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, o_custkey, 0.5
+        |  FROM orders, b WHERE o_orderkey <= lo + e)
+        |SELECT * FROM merged WHERE o_custkey % 10 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q147_sql_constraints" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |UNION ALL SELECT -1, -1, 1.0
+        |UNION ALL SELECT -2, -2, -5.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q146_sql_time_travel" ->
+      """WITH b AS (SELECT min(o_orderkey)
+        |    + (max(o_orderkey) - min(o_orderkey)) // 2 AS mid
+        |  FROM orders),
+        |v1 AS (SELECT o_totalprice FROM orders, b
+        |  WHERE o_orderkey <= mid)
+        |SELECT 'v1' AS side, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS total FROM v1
+        |UNION ALL
+        |SELECT 'ts', count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |FROM v1
+        |UNION ALL
+        |SELECT 'live', count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |FROM orders
+        |ORDER BY side""".stripMargin,
+
+    "q145_bloom_point_lookup" ->
+      """SELECT doc_id, lang || '-' || doc_id AS doc_key, lang, n_chars
+        |FROM documents WHERE doc_id = 42 OR doc_id IN (5, 6, 7)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q144_sql_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 4 = 1
+        |    THEN o_custkey + 7 ELSE o_custkey END AS o_custkey,
+        |  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 4 = 1
+        |    THEN o_totalprice * 2.0 + o_custkey
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q14_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
@@ -8867,6 +9276,7 @@ object SparkEntry {
     "e29_pq_residual_serve" -> e28Oracle,
     // streamed-and-replayed maintenance == the direct SRP operator
     "e30_commitlog_ann_stream" -> e03Oracle,
+    "e31_commitlog_pq_stream" -> e16Oracle,
     "e28_ivf_pq_residual" -> e28Oracle,
 
     // the sign pack replayed relationally: same OR fold (bit 64 needs

@@ -16,4 +16,21 @@ object GraftSqlBridge {
     * reliable-checkpoint path. */
   def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
     sc.checkpointDir = None
+
+  /** A DataFrame over a parsed LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`): what lets the SQL DML dispatcher evaluate the
+    * query/source subtree of an INSERT/MERGE statement through the
+    * full analyzer (temp views resolve) without re-extracting its
+    * text. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A frame's analyzed logical plan — what lets the SQL time-travel
+    * rewrite graft a versioned read as a subtree of a parsed statement
+    * (the analyzer accepts mixed resolved/unresolved trees). */
+  def analyzedPlan(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

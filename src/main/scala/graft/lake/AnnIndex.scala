@@ -444,6 +444,62 @@ object AnnIndex {
     seal(spark, root, mapper.writeValueAsString(meta))
   }
 
+  // ------------------------------------- idempotent delta folds -----
+
+  /** The e30 idempotence pattern, shared by every maintained resident:
+    * narrow the batch to ids the index does NOT already hold (one
+    * keyed left_anti against the index's own id set — no watermark
+    * file, no consumed-version mark, nothing to crash out of sync),
+    * then fold. What [[CommitLog.readStreamCommits]] consumers call so
+    * at-least-once commit delivery (checkpoint loss, replays) becomes
+    * exactly-once index maintenance. Returns newly-folded ids (0 on a
+    * full replay). */
+  private def foldOnce(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String,
+      indexIdCol: String,
+      fold: DataFrame => Unit
+  ): Long = {
+    val existing = spark.read.parquet(indexPath(root))
+      .select(col(indexIdCol).as(idCol)).distinct()
+    val fresh = batch
+      .join(existing, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0) fold(fresh)
+    n
+  }
+
+  /** Idempotent [[appendPq]] (commit-log stream maintenance). */
+  def appendPqOnce(
+      spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    foldOnce(spark, root, batch, idCol, "id2",
+      f => appendPq(spark, root, f, idCol, vecCol))
+
+  /** Idempotent [[appendIvf]]. */
+  def appendIvfOnce(
+      spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    foldOnce(spark, root, batch, idCol, "vec_id",
+      f => appendIvf(spark, root, f, idCol, vecCol))
+
+  /** Idempotent [[appendPqResidual]]. */
+  def appendPqResidualOnce(
+      spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    foldOnce(spark, root, batch, idCol, "id2",
+      f => appendPqResidual(spark, root, f, idCol, vecCol))
+
+  /** Idempotent [[appendHamming]]. */
+  def appendHammingOnce(
+      spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    foldOnce(spark, root, batch, idCol, "id2",
+      f => appendHamming(spark, root, f, idCol, vecCol))
+
   def serveHamming(
       spark: SparkSession,
       root: String,

@@ -72,6 +72,90 @@ final class CommitLog(spark: SparkSession, root: String) {
     this
   }
 
+  // ---- hive partitioning ---------------------------------------------------
+
+  private def partMarker = new Path(root, "_partitioning.json")
+
+  /** Initialize a HIVE-PARTITIONED table: data files land under
+    * `data/<k>=<v>/...`, commit manifests carry partition-qualified
+    * relative names, and each file's partition values fold into its
+    * log-carried spans as exact [v, v] intervals — so partition
+    * pruning at resolution, partition-granular OPTIMIZE WHERE, and
+    * partition-disjoint merge commutes all ride the EXISTING span
+    * machinery (the Delta partitionValues-per-AddFile design, encoded
+    * as spans). Partitioning is immutable table metadata: re-init
+    * with different columns refuses. */
+  def initPartitioned(cols: Seq[String]): CommitLog = {
+    require(cols.nonEmpty, "initPartitioned needs partition columns")
+    init()
+    if (fs.exists(partMarker))
+      require(partitionCols == cols,
+        s"table is already partitioned by ${partitionCols.mkString(",")}")
+    else {
+      val n = mapper.createObjectNode()
+      val a = n.putArray("cols")
+      cols.foreach(a.add)
+      val out = fs.create(partMarker, false)
+      try out.write(mapper.writeValueAsBytes(n)) finally out.close()
+    }
+    this
+  }
+
+  /** The table's partition columns (empty = unpartitioned). */
+  def partitionCols: Seq[String] =
+    if (!fs.exists(partMarker)) Nil
+    else {
+      val node = mapper.readTree(TimeFly.readText(fs, partMarker))
+        .asInstanceOf[ObjectNode]
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      node.withArray("cols").forEach(n => buf += n.asText())
+      buf.toSeq
+    }
+
+  /** `(col, raw value)` pairs parsed from a relative name's `k=v`
+    * path segments (hive layout; values unescaped the way Spark
+    * escaped them on write). */
+  private def partValuesOf(name: String): Seq[(String, String)] =
+    name.split('/').dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(seg.take(i) ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(i + 1)))
+    }
+
+  /** A partition value as an exact span in the column's domain —
+    * chosen by the recorded column type when known (a string-typed
+    * partition with numeric-looking values must span as a STRING or
+    * probes never match), numeric-parse heuristic otherwise; None for
+    * the hive null sentinel, which must stay unprunable. */
+  private def partSpan(v: String,
+      dt: Option[org.apache.spark.sql.types.DataType])
+      : Option[(Option[FileStats.SpanV], Option[FileStats.SpanV])] = {
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.unsafe.types.UTF8String
+    if (v == "__HIVE_DEFAULT_PARTITION__") return None
+    val sv: Option[FileStats.SpanV] = dt match {
+      case Some(StringType) => Some(FileStats.StrV(v))
+      case Some(_: NumericType) =>
+        scala.util.Try(v.toDouble).toOption.map(FileStats.NumV)
+      case Some(TimestampType | TimestampNTZType | DateType) =>
+        val zone = DateTimeUtils.getZoneId(
+          spark.sessionState.conf.sessionLocalTimeZone)
+        val u = UTF8String.fromString(v)
+        DateTimeUtils.stringToTimestamp(u, zone).map(_ / 1e6)
+          .orElse(DateTimeUtils.stringToDate(u)
+            .map(d => DateTimeUtils.daysToMicros(d, zone) / 1e6))
+          .map(FileStats.NumV)
+      case _ =>
+        Some(scala.util.Try(v.toDouble).toOption
+          .map[FileStats.SpanV](FileStats.NumV)
+          .getOrElse(FileStats.StrV(v)))
+    }
+    sv.map(s => (Some(s), Some(s)))
+  }
+
   // Fired after every commit this handle wins (LakeManager wires SQL
   // view refresh here, the CommitLog analog of TimeFly.onDataChange).
   private var commitHooks: List[() => Unit] = Nil
@@ -122,6 +206,24 @@ final class CommitLog(spark: SparkSession, root: String) {
     case _ => new Path(dataDir, name).toString
   }
 
+  /** An absolute scanned path (e.g. from `input_file_name()`) back to
+    * its committed name — partition-qualified relative path under
+    * `data/` (leaf name alone is ambiguous-free but WRONG as a
+    * manifest key on a partitioned table). A shallow clone's borrowed
+    * files scan from the SOURCE base dir, so their names relativize
+    * against it — the inverse of [[dataPath]] either way. */
+  private def relName(absolute: String): String = {
+    val uri = fs.makeQualified(new Path(absolute)).toUri
+    val underData = fs.makeQualified(dataDir).toUri.relativize(uri)
+    if (!underData.isAbsolute) underData.getPath
+    else borrowed._1 match {
+      case Some(base) =>
+        val underBase = fs.makeQualified(base).toUri.relativize(uri)
+        if (!underBase.isAbsolute) underBase.getPath else uri.getPath
+      case None => uri.getPath
+    }
+  }
+
   def commit(v: Long): Commit = {
     val txt = TimeFly.readText(fs, versionFile(v))
     if (txt.trim.isEmpty)
@@ -142,9 +244,17 @@ final class CommitLog(spark: SparkSession, root: String) {
           Some((node.path("txn").path("app").asText(),
             node.path("txn").path("batch").asLong()))
         else None
+      val cons: Option[Map[String, String]] =
+        if (!node.has("constraints")) None
+        else {
+          val m = scala.collection.mutable.Map[String, String]()
+          node.path("constraints").fields().forEachRemaining(e =>
+            m(e.getKey) = e.getValue.asText())
+          Some(m.toMap)
+        }
       Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn,
         schemaOfNode(node), statsOfNode(node),
-        node.path("ts").asLong(0L), schemaGroupsOfNode(node))
+        node.path("ts").asLong(0L), schemaGroupsOfNode(node), cons)
     }
   }
 
@@ -401,9 +511,29 @@ final class CommitLog(spark: SparkSession, root: String) {
     * can prune (no extractable range, or neither source has a span
     * for any file). */
   private def prunedLive(predicate: String, live: Seq[String],
-      spanOf: Map[String, FileSpans]): Option[Seq[String]] =
-    prunedLiveBounds(FileStats.typedBounds(spark, predicate), live,
-      spanOf)
+      spanOf: Map[String, FileSpans]): Option[Seq[String]] = {
+    val base = prunedLiveBounds(FileStats.typedBounds(spark, predicate),
+      live, spanOf)
+    // bloom point-lookup skipping INTERSECTS the span surface: blooms
+    // live in the sidecar only (a blob per file would bloat every
+    // commit manifest), so files the sidecar has no row for keep —
+    // both surfaces are conservative, so intersecting stays correct
+    // under every interleaving
+    val keep = FileStats.bloomCandidates(spark, root,
+      FileStats.eqProbes(spark, predicate))
+      .map(_.map(f => new Path(f).getName).toSet)
+    val idx = if (keep.isEmpty) None
+      else FileStats.indexedFiles(spark, root)
+        .map(_.map(f => new Path(f).getName).toSet)
+    (keep, idx) match {
+      case (Some(k), Some(i)) =>
+        Some(base.getOrElse(live).filter { n =>
+          val leaf = new Path(n).getName
+          !i.contains(leaf) || k.contains(leaf)
+        })
+      case _ => base
+    }
+  }
 
   /** [[prunedLive]] for already-typed bounds — the shape key-range
     * pruning ([[doUpsert]]'s batch spread) probes with directly. */
@@ -430,7 +560,12 @@ final class CommitLog(spark: SparkSession, root: String) {
       spanOf.get(n) match {
         case Some(sp) => logKeeps(sp)
         case None => sidecar match {
-          case Some((cand, idx)) => !idx.contains(n) || cand.contains(n)
+          // sidecar rows key by absolute path; compare LEAF names
+          // (task-file names are UUID-unique), which also keeps the
+          // match alive for partition-qualified relative names
+          case Some((cand, idx)) =>
+            val leaf = new Path(n).getName
+            !idx.contains(leaf) || cand.contains(leaf)
           case None => true
         }
       }
@@ -451,8 +586,25 @@ final class CommitLog(spark: SparkSession, root: String) {
     val known: Seq[(String, StructType)] =
       names.flatMap(n => schemaOf.get(n).map(n -> _))
     val unknown = names.filterNot(schemaOf.contains)
+    // on a partitioned table the partition columns live in PATHS:
+    // every scan carries basePath so explicit file lists still
+    // resolve them (recorded schemas already include the partition
+    // columns — Spark fills user-schema columns absent from footers
+    // from the partition values)
+    val partitioned = partitionCols.nonEmpty
+    def scan(schema: Option[StructType], files: Seq[String]): DataFrame = {
+      var r = spark.read
+      if (partitioned)
+        r = r.option("basePath", fs.makeQualified(dataDir).toString)
+      schema.foreach(st => r = r.schema(st))
+      r.parquet(files: _*)
+    }
     val discovered: Seq[(String, StructType)] =
       if (unknown.isEmpty) Nil
+      else if (partitioned)
+        // footer probes would miss the partition columns; one grouped
+        // inference scan recovers the full schema for the legacy files
+        unknown.map(n => n -> scan(None, Seq(dataPath(n))).schema)
       else SchemaTools.fileSchemas(spark, unknown.map(dataPath))
         .map { case (p, st) => new Path(p).getName -> st }
     val all = known ++ discovered
@@ -462,13 +614,12 @@ final class CommitLog(spark: SparkSession, root: String) {
       .sorted.mkString(",")
     val groups = all.groupBy { case (_, st) => key(st) }.values.toSeq
       .sortBy(g => key(g.head._2))
-    if (groups.size <= 1) spark.read.parquet(names.map(dataPath): _*)
+    if (groups.size <= 1) scan(None, names.map(dataPath))
     else {
       val unified = SchemaTools.unifySchemas(groups.map(_.head._2))
       groups.map { g =>
         SchemaTools.conformTo(
-          spark.read.schema(g.head._2)
-            .parquet(g.map(x => dataPath(x._1)): _*),
+          scan(Some(g.head._2), g.map(x => dataPath(x._1))),
           unified)
       }.reduce(_.unionByName(_))
     }
@@ -528,9 +679,11 @@ final class CommitLog(spark: SparkSession, root: String) {
       require(prior == keys.sorted,
         s"tombstones here already use keys ${prior.mkString(", ")}")
     }
+    // tombstone files are FLAT (key columns only — their schema IS
+    // the key list), whatever the table's data layout
     val names = stage(keyBatch
       .select(keys.map(org.apache.spark.sql.functions.col): _*)
-      .distinct())
+      .distinct(), flat = true)
     val spans = spansOf(names)
     var v = latestVersion() + 1
     while (!tryCas(v, "delete", names, stats = spans))
@@ -659,34 +812,49 @@ final class CommitLog(spark: SparkSession, root: String) {
   /** ADOPT an existing plain dataset into the commit-log flavor: its
     * data files MOVE into `data/` (renames, zero copy — adopting
     * 100 TB must not duplicate it) and land as commit v1, after which
-    * every writer goes through the protocol. Refuses a log that
-    * already has commits (adoption is a bootstrap, not a merge) and a
-    * hive-partitioned source (partition values live in paths the move
-    * would erase). */
+    * every writer goes through the protocol. A HIVE-PARTITIONED
+    * source adopts layout and all: files keep their `<k>=<v>/`
+    * relative paths, the partitioning marker records the columns, and
+    * every adopted file's partition values fold into its spans — the
+    * layout most real lakes use moves in without rewriting a byte.
+    * Refuses a log that already has commits (adoption is a bootstrap,
+    * not a merge). */
   def adopt(sourcePath: String): Long = {
     require(latestVersion() == 0L,
       "adopt bootstraps an empty log; this one has commits")
-    require(SchemaTools.inferPartitioning(spark, sourcePath) == "none",
-      "adopt supports unpartitioned sources")
+    val hive = SchemaTools.inferPartitioning(spark, sourcePath) == "hive"
     init()
     val files = SchemaTools.listDataFiles(spark, sourcePath)
     require(files.nonEmpty, s"nothing to adopt at $sourcePath")
+    val srcRoot = fs.makeQualified(new Path(sourcePath)).toUri
+    def relOf(f: String): String =
+      srcRoot.relativize(fs.makeQualified(new Path(f)).toUri).getPath
+    if (hive) {
+      val pcols = relOf(files.head).split('/').dropRight(1).toSeq
+        .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+      initPartitioned(pcols)
+    }
     // record the adopted schema when the source is known-homogeneous,
     // so post-adoption reads never pay a per-file footer probe; a
     // heterogeneous source's commit stays schema-less (the bounded
-    // legacy fallback) until an optimize heals it
+    // legacy fallback) until an optimize heals it. Partitioned
+    // sources record the FULL schema (partition columns included —
+    // Spark's own inference supplies their types).
     val adoptedSchema = SchemaTools.datasetSchemaInfo(spark, sourcePath)
-      .filter(_.homogeneous).map(_.schema)
+      .filter(_.homogeneous)
+      .map(_ => spark.read.parquet(sourcePath).schema)
     val names = files.map { f =>
-      val p = new Path(f)
-      fs.rename(p, new Path(dataDir, p.getName))
-      p.getName
+      val rel = if (hive) relOf(f) else new Path(f).getName
+      val dest = new Path(dataDir, rel)
+      if (rel.contains("/")) fs.mkdirs(dest.getParent)
+      fs.rename(new Path(f), dest)
+      rel
     }
     // spans only for a known-homogeneous source: a drifted source's
     // multi-file read could mis-resolve (the buildStats caveat), and
     // span-less adoption just reads unpruned until an optimize heals
     val adoptedStats =
-      if (adoptedSchema.isDefined) spansOf(names)
+      if (adoptedSchema.isDefined) spansOf(names, adoptedSchema)
       else Map.empty[String, FileSpans]
     if (!tryCas(1L, "append", names, schema = adoptedSchema,
         stats = adoptedStats))
@@ -697,16 +865,25 @@ final class CommitLog(spark: SparkSession, root: String) {
   }
 
   /** Stage `df`'s files into `data/` (invisible until committed) and
-    * return their names. */
-  private def stage(df: DataFrame): Seq[String] = {
+    * return their names — partition-qualified RELATIVE paths on a
+    * partitioned table (`p=1/part-....parquet`), bare file names
+    * otherwise. Task-file names are UUID-unique, so moves never
+    * collide whatever the partition layout. */
+  private def stage(df: DataFrame, flat: Boolean = false): Seq[String] = {
     val staging = new Path(root,
       s"_staged/${java.util.UUID.randomUUID().toString.take(12)}")
-    df.write.parquet(staging.toString)
+    val parts = if (flat) Nil else partitionCols
+    if (parts.isEmpty) df.write.parquet(staging.toString)
+    else df.write.partitionBy(parts: _*).parquet(staging.toString)
+    val stagedRoot = fs.makeQualified(staging).toUri
     val files = SchemaTools.listDataFiles(spark, staging.toString)
     val names = files.map { f =>
-      val p = new Path(f)
-      fs.rename(p, new Path(dataDir, p.getName))
-      p.getName
+      val p = fs.makeQualified(new Path(f))
+      val rel = stagedRoot.relativize(p.toUri).getPath
+      val dest = new Path(dataDir, rel)
+      if (rel.contains("/")) fs.mkdirs(dest.getParent)
+      fs.rename(p, dest)
+      rel
     }
     fs.delete(staging, true)
     names
@@ -760,7 +937,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     * writer tasks collect inline). Typed: doubles for numeric /
     * timestamp / date columns, bounded prefixes for strings — the
     * [[FileStats]] discipline. */
-  private def spansOf(names: Seq[String]): Map[String, FileSpans] = {
+  private def spansOf(names: Seq[String],
+      tableSchema: Option[StructType] = None): Map[String, FileSpans] = {
     if (names.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{count, input_file_name, lit}
     val df = spark.read.parquet(names.map(dataPath): _*)
@@ -769,14 +947,25 @@ final class CommitLog(spark: SparkSession, root: String) {
     val fields = FileStats.indexableFields(df.schema)
     val aggs = FileStats.typedSpanAggs(fields) :+
       count(lit(1)).as("n_rows")
+    // map each scanned absolute path back to its committed RELATIVE
+    // name. NOT by leaf: one partitionBy task writes the SAME leaf
+    // name into every partition dir it touches, so leaf keys collide
+    // across partitions.
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
+        val name = relName(r.getString(r.fieldIndex("file")))
+        // partition values ride as exact spans — the Delta
+        // partitionValues-per-AddFile design in span clothing, so
+        // partition pruning IS span pruning
         val cols = fields
-          .map(f => f.name -> FileStats.decodeSpan(r, f)).toMap
-        new Path(r.getString(r.fieldIndex("file"))).getName ->
-          FileSpans(r.getLong(r.fieldIndex("n_rows")), cols)
+          .map(f => f.name -> FileStats.decodeSpan(r, f)).toMap ++
+          partValuesOf(name).flatMap { case (k, v) =>
+            partSpan(v, tableSchema.flatMap(
+              _.find(_.name == k).map(_.dataType))).map(k -> _)
+          }
+        name -> FileSpans(r.getLong(r.fieldIndex("n_rows")), cols)
       }.toMap
   }
 
@@ -785,9 +974,14 @@ final class CommitLog(spark: SparkSession, root: String) {
       txn: Option[(String, Long)] = None,
       schema: Option[StructType] = None,
       stats: Map[String, FileSpans] = Map.empty,
-      schemaGroups: Map[String, StructType] = Map.empty): Boolean = {
+      schemaGroups: Map[String, StructType] = Map.empty,
+      constraints: Option[Map[String, String]] = None): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
+    constraints.foreach { cs =>
+      val cn = node.putObject("constraints")
+      cs.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
+    }
     // commit timestamp, forced monotone across versions (the Delta
     // in-commit-timestamp rule): a later version never records an
     // earlier instant, whatever this writer's wall clock says — one
@@ -855,11 +1049,17 @@ final class CommitLog(spark: SparkSession, root: String) {
     * version; returns it. */
   def append(df: DataFrame): Long = {
     val names = stage(df)
-    val spans = spansOf(names)
-    var v = latestVersion() + 1
-    while (!tryCas(v, "append", names, schema = Some(df.schema),
-        stats = spans))
+    val spans = spansOf(names, Some(df.schema))
+    var v = 0L
+    var done = false
+    while (!done) {
       v = latestVersion() + 1
+      // inside the loop: a CHECK constraint committed mid-race fails
+      // this writer's CAS and gates the retry
+      enforceConstraints(names)
+      done = tryCas(v, "append", names, schema = Some(df.schema),
+        stats = spans)
+    }
     maintainStats(names)
     notifyCommit()
     v
@@ -899,7 +1099,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     * wholesale). Correct under every interleaving because data files
     * are immutable: a per-file span can never go stale, and readers
     * keep unindexed files unconditionally. */
-  def buildStats(): Unit = {
+  def buildStats(bloomCols: Seq[String] = Nil,
+      bloomBits: Int = FileStats.DefaultBloomBits): Unit = {
     val r = resolve(None)
     require(r.data.nonEmpty, "nothing committed to index")
     // through the schema-aware grouped read: a plain multi-file read
@@ -907,8 +1108,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     // missing drifted columns, or throwing on a type-widened one.
     // Spans land on the conformed (promoted) values; files missing a
     // column get null spans and readers keep them conservatively.
+    // `bloomCols` adds per-file bloom filters for equality-probe
+    // skipping; [[append]]'s maintainStats keeps them current.
     FileStats.buildForDataFrame(spark, root,
-      readConformed(r.data, r.schemaOf))
+      readConformed(r.data, r.schemaOf), bloomCols, bloomBits)
   }
 
   /** Best-effort incremental span maintenance after a won commit:
@@ -929,8 +1132,11 @@ final class CommitLog(spark: SparkSession, root: String) {
     * appends). Old data files stay for time travel; vacuum reclaims. */
   def replace(df: DataFrame, baseVersion: Long): Long = {
     val names = stage(df)
-    val spans = spansOf(names)
+    val spans = spansOf(names, Some(df.schema))
     val v = baseVersion + 1
+    // single-attempt CAS: a constraint landing after baseVersion bumps
+    // the version and the replace conflicts anyway
+    enforceConstraints(names)
     if (latestVersion() != baseVersion ||
         !tryCas(v, "replace", names, schema = Some(df.schema),
           stats = spans))
@@ -994,7 +1200,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (zorderBy.nonEmpty) ZOrder.cluster(raw, zorderBy, targetFiles)
       else raw.repartition(targetFiles)
     val names = stage(packed)
-    val spans = spansOf(names)
+    val spans = spansOf(names, Some(raw.schema))
     val inputSet = inputs.toSet
     var v = latestVersion() + 1
     var done = false
@@ -1144,7 +1350,7 @@ final class CommitLog(spark: SparkSession, root: String) {
           physKeys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _)
         scan.join(broadcast(batchKeys), cond, "left_semi")
           .select("__file").distinct()
-          .collect().map(x => new Path(x.getString(0)).getName).toSeq
+          .collect().map(x => relName(x.getString(0))).toSeq
       }
     val out =
       if (touched.isEmpty) batchAligned
@@ -1157,7 +1363,7 @@ final class CommitLog(spark: SparkSession, root: String) {
           .unionByName(batchAligned)
       }
     val names = stage(out)
-    val spans = spansOf(names)
+    val spans = spansOf(names, Some(out.schema))
     val kind = if (touched.isEmpty) "append" else "upsert"
     val touchedSet = touched.toSet
     beforeCommit()
@@ -1226,6 +1432,7 @@ final class CommitLog(spark: SparkSession, root: String) {
             "a concurrent delete holds keys this merge writes " +
               "(ConcurrentDelete) — re-plan on fresh state")
       }
+      enforceConstraints(names)
       done = tryCas(v, kind, names, removed = touched, txn = txn,
         schema = Some(out.schema), stats = spans)
       if (!done) v = latestVersion() + 1
@@ -1234,6 +1441,264 @@ final class CommitLog(spark: SparkSession, root: String) {
     else maintainStats(names)
     notifyCommit()
     Some((v, touched.size))
+  }
+
+  /** Row-level DELETE WHERE as ONE atomic copy-on-write commit (the
+    * SQL DML surface's delete): span-pruned candidates, then only
+    * files actually HOLDING matching rows rewrite to their survivors —
+    * an `upsert`-kind commit (removed = touched, files = rewritten),
+    * so time travel serves the pre-delete rows and incremental
+    * consumers re-baseline across it. Deletes are snapshot-scoped
+    * (Delta's semantics): rows a concurrent append lands after
+    * planning survive — appends don't conflict; losing a planned
+    * input to a concurrent replace/rewrite does. Standing MOR
+    * tombstones commute (key subtraction holds wherever survivor rows
+    * land). NULL predicate rows are KEPT (SQL WHERE semantics).
+    * Returns (version, touched) — a no-match delete burns no commit
+    * (returns the planned version, 0). */
+  def deleteWhere(predicate: String): (Long, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
+    require(
+      !SchemaTools.readSchemaMarkerInfo(spark, root)
+        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
+      "deleteWhere under active column mapping is not supported — " +
+        "apply the mapping (replace with the mapped read) first")
+    val plannedV = latestVersion()
+    val r = resolve(Some(plannedV))
+    if (r.data.isEmpty) return (plannedV, 0)
+    val hit = coalesce(expr(predicate), lit(false))
+    val candidates = prunedLive(predicate, r.data, r.spanOf)
+      .getOrElse(r.data)
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else readConformed(candidates, r.schemaOf).filter(hit)
+        .select(input_file_name().as("__file")).distinct()
+        .collect().map(x => relName(x.getString(0))).toSeq
+    if (touched.isEmpty) return (plannedV, 0)
+    val out = readConformed(touched, r.schemaOf).filter(not(hit))
+    val names = stage(out)
+    val spans = spansOf(names, Some(out.schema))
+    val touchedSet = touched.toSet
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      if (!touchedSet.subsetOf(resolve(None).data.toSet))
+        throw new java.util.ConcurrentModificationException(
+          "deleteWhere planned on files a concurrent commit removed " +
+            "— re-plan on fresh state")
+      done = tryCas(v, "upsert", names, removed = touched,
+        schema = Some(out.schema), stats = spans)
+      if (!done) v = latestVersion() + 1
+    }
+    FileStats.invalidate(spark, root)
+    notifyCommit()
+    (v, touched.size)
+  }
+
+  /** Row-level UPDATE SET ... WHERE as ONE atomic copy-on-write commit
+    * (the SQL DML surface's update, `deleteWhere`'s sibling): span-
+    * pruned candidates, then only files actually HOLDING matching rows
+    * rewrite — matching rows get every assignment applied (cast back
+    * to the column's standing type: UPDATE never changes the schema),
+    * non-matching rows in touched files copy through byte-equal. The
+    * commit is `upsert`-kind (removed = touched, files = rewritten),
+    * so time travel serves pre-update rows and incremental consumers
+    * re-baseline. Snapshot-scoped like deleteWhere: concurrent appends
+    * commute (their rows weren't in the planned snapshot), losing a
+    * planned input to a concurrent replace/rewrite conflicts. NULL
+    * predicate rows are NOT updated (SQL WHERE semantics). `sets` maps
+    * existing column names to SQL expressions evaluated per-row
+    * against the pre-update row (standard UPDATE: all assignments see
+    * OLD values). No predicate = all rows. Returns (version, touched);
+    * a no-match update burns no commit. */
+  def updateWhere(sets: Seq[(String, String)],
+      predicate: Option[String]): (Long, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, when}
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    require(
+      !SchemaTools.readSchemaMarkerInfo(spark, root)
+        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
+      "updateWhere under active column mapping is not supported — " +
+        "apply the mapping (replace with the mapped read) first")
+    val plannedV = latestVersion()
+    val r = resolve(Some(plannedV))
+    if (r.data.isEmpty) return (plannedV, 0)
+    val hit = predicate
+      .map(p => coalesce(expr(p), lit(false))).getOrElse(lit(true))
+    val candidates = predicate
+      .flatMap(p => prunedLive(p, r.data, r.spanOf)).getOrElse(r.data)
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else readConformed(candidates, r.schemaOf).filter(hit)
+        .select(input_file_name().as("__file")).distinct()
+        .collect().map(x => relName(x.getString(0))).toSeq
+    if (touched.isEmpty) return (plannedV, 0)
+    val base = readConformed(touched, r.schemaOf)
+    val setOf = sets.toMap
+    require(sets.size == setOf.size,
+      s"duplicate assignment targets in ${sets.map(_._1).mkString(",")}")
+    val missing = setOf.keySet -- base.columns.toSet
+    require(missing.isEmpty,
+      s"UPDATE targets unknown columns: ${missing.mkString(", ")}")
+    // one simultaneous projection: every assignment value evaluates
+    // against the PRE-update row (SQL UPDATE semantics — `SET a = b,
+    // b = a` swaps), cast back to the standing column type
+    val out = base.select(base.schema.fields.map { f =>
+      setOf.get(f.name) match {
+        case Some(v) =>
+          when(hit, expr(v).cast(f.dataType))
+            .otherwise(org.apache.spark.sql.functions.col(f.name))
+            .as(f.name)
+        case None => org.apache.spark.sql.functions.col(f.name)
+      }
+    }.toSeq: _*)
+    val names = stage(out)
+    val spans = spansOf(names, Some(out.schema))
+    val touchedSet = touched.toSet
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      if (!touchedSet.subsetOf(resolve(None).data.toSet))
+        throw new java.util.ConcurrentModificationException(
+          "updateWhere planned on files a concurrent commit removed " +
+            "— re-plan on fresh state")
+      // assignments can violate CHECK constraints; gate per attempt
+      enforceConstraints(names)
+      done = tryCas(v, "upsert", names, removed = touched,
+        schema = Some(out.schema), stats = spans)
+      if (!done) v = latestVersion() + 1
+    }
+    FileStats.invalidate(spark, root)
+    notifyCommit()
+    (v, touched.size)
+  }
+
+  // ---- CHECK constraints (Delta table-constraint parity) -------------------
+  //
+  // Constraints are TABLE METADATA carried by the log itself: a `meta`
+  // commit's `constraints` object is the FULL named-predicate set after
+  // the change (last meta commit wins; checkpoints fold it, so the set
+  // survives log truncation). Making metadata changes COMMITS — not a
+  // shared marker file — is what makes them transactional: adding a
+  // constraint validates the live data as of a planned version and CAS-
+  // races data writers like any commit, and every data-adding writer
+  // re-reads the constraint set inside its own commit retry loop, so a
+  // constraint landing mid-flight gates the very next attempt. `meta`
+  // commits carry no files: resolution folds them as no-ops, readSince/
+  // changesSince deliver nothing for them, retention reachability is
+  // unaffected, and history() shows them as zero-file operations.
+  // RESTORE restores DATA state only — the constraint set persists
+  // across it (documented divergence kept deliberately: a restore must
+  // not silently re-legalize rows a newer constraint forbids).
+
+  /** Monotone hint that a meta commit exists SOMEWHERE in this log —
+    * what lets the per-commit enforcement check cost one `exists` call
+    * on the overwhelmingly common constraint-free table instead of a
+    * manifest scan per commit attempt. */
+  private def metaHint = new Path(commitsDir, "_has_meta")
+
+  /** The named CHECK constraint set at `asOf` (latest by default):
+    * checkpoint base, then the last `meta` commit at or below wins. */
+  def constraints(asOf: Option[Long] = None): Map[String, String] = {
+    if (!fs.exists(metaHint)) return Map.empty
+    val hi = asOf.getOrElse(latestVersion())
+    if (hi < 1) return Map.empty
+    val (base, from) = newestCheckpoint(hi) match {
+      case Some(cv) =>
+        val node = mapper
+          .readTree(TimeFly.readText(fs, checkpointFile(cv)))
+          .asInstanceOf[ObjectNode]
+        val m = scala.collection.mutable.Map[String, String]()
+        if (node.has("constraints"))
+          node.path("constraints").fields().forEachRemaining(e =>
+            m(e.getKey) = e.getValue.asText())
+        (m.toMap, cv + 1)
+      case None => (Map.empty[String, String], 1L)
+    }
+    (from to hi).map(commit).foldLeft(base) { (acc, c) =>
+      c.constraints.getOrElse(acc)
+    }
+  }
+
+  /** ADD CONSTRAINT name CHECK (predicate): refuses if the name stands
+    * or any LIVE row violates (the Delta rule — existing data must
+    * already satisfy a new constraint), then commits the updated set.
+    * Validation re-runs per CAS retry, so data landing mid-race is
+    * validated too. NULL predicate rows VIOLATE here (a constraint
+    * must prove, not fail to disprove). */
+  def addConstraint(name: String, predicate: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'), s"bad constraint name: $name")
+    // parse early: a predicate that cannot parse must refuse loudly
+    spark.sessionState.sqlParser.parseExpression(predicate)
+    var done = false
+    var v = 0L
+    while (!done) {
+      val plannedV = latestVersion()
+      val cur = constraints(Some(plannedV))
+      require(!cur.contains(name),
+        s"constraint $name already stands: ${cur(name)}")
+      val r = resolve(Some(plannedV))
+      if (r.data.nonEmpty) {
+        val bad = assembleRead(r, None)
+          .filter(not(coalesce(expr(predicate), lit(false))))
+          .limit(1).count()
+        require(bad == 0L,
+          s"cannot add CHECK $name: live data violates $predicate")
+      }
+      v = plannedV + 1
+      done = tryCas(v, "meta", Nil,
+        constraints = Some(cur + (name -> predicate)))
+    }
+    // hint AFTER the commit wins: readers that miss it only skip a
+    // set that provably doesn't exist yet
+    if (!fs.exists(metaHint)) {
+      val out = fs.create(metaHint, true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+    }
+    notifyCommit()
+    v
+  }
+
+  /** DROP CONSTRAINT name — one meta commit with the reduced set. */
+  def dropConstraint(name: String): Long = {
+    var done = false
+    var v = 0L
+    while (!done) {
+      val plannedV = latestVersion()
+      val cur = constraints(Some(plannedV))
+      require(cur.contains(name), s"no such constraint: $name")
+      v = plannedV + 1
+      done = tryCas(v, "meta", Nil, constraints = Some(cur - name))
+    }
+    notifyCommit()
+    v
+  }
+
+  /** Enforce the CURRENT constraint set over freshly-staged files —
+    * called inside every data-adding commit's retry loop, so the set
+    * read is at most one commit behind the CAS it gates (a meta commit
+    * interleaving between the check and the CAS bumps the version and
+    * forces this writer around the loop, where it re-checks). Free on
+    * constraint-free tables (one marker `exists`). Violation throws;
+    * the staged files become vacuum debris. */
+  private def enforceConstraints(names: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    if (names.isEmpty || !fs.exists(metaHint)) return
+    val cs = constraints(None)
+    if (cs.isEmpty) return
+    var r = spark.read
+    if (partitionCols.nonEmpty)
+      r = r.option("basePath", fs.makeQualified(dataDir).toString)
+    val df = r.parquet(names.map(dataPath): _*)
+    cs.toSeq.sortBy(_._1).foreach { case (n, p) =>
+      val bad = df.filter(not(coalesce(expr(p), lit(false))))
+        .limit(1).count()
+      if (bad > 0L)
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n violated by this write: $p")
+    }
   }
 
   /** RESTORE — Delta `RESTORE TABLE ... TO VERSION AS OF`: ONE commit
@@ -1321,6 +1786,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     * source (skip vacuum / retain) while shallow clones reference it,
     * or localize clones first. */
   def cloneTo(destRoot: String): CommitLog = {
+    require(partitionCols.isEmpty,
+      "shallow clone of a hive-partitioned table is not supported — " +
+        "borrowed partition paths cannot resolve under the clone's " +
+        "basePath; OPTIMIZE-localize or deep-copy instead")
     val r = resolve(None)
     val dest = CommitLog(spark, destRoot).init()
     require(dest.latestVersion() == 0L,
@@ -1392,11 +1861,12 @@ final class CommitLog(spark: SparkSession, root: String) {
       : Option[Long] = {
     if (lastTxn(appId).exists(_ >= batchId)) return None
     val names = stage(df)
-    val spans = spansOf(names)
+    val spans = spansOf(names, Some(df.schema))
     var v = latestVersion() + 1
     var done = false
     while (!done) {
       if (lastTxn(appId).exists(_ >= batchId)) return None
+      enforceConstraints(names)
       done = tryCas(v, "append", names, txn = Some((appId, batchId)),
         schema = Some(df.schema), stats = spans)
       if (!done) v = latestVersion() + 1
@@ -1475,6 +1945,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     if (marks.nonEmpty) {
       val tn = node.putObject("txns")
       marks.foreach { case (a, b) => tn.put(a, b) }
+    }
+    // fold the CHECK constraint set at v — table metadata must survive
+    // log truncation exactly like schema history and txn marks do
+    val cs = constraints(Some(v))
+    if (cs.nonEmpty) {
+      val cn = node.putObject("constraints")
+      cs.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
     }
     // same temp-then-rename visibility as commits: a reader sees the
     // whole checkpoint or none (none only costs a full log replay)
@@ -1582,14 +2059,22 @@ final class CommitLog(spark: SparkSession, root: String) {
         c.removed else Nil)
     } ++ ckFiles).toSet
     var removed = 0L
-    if (fs.exists(dataDir))
-      fs.listStatus(dataDir).foreach { s =>
-        if (s.isFile && !referenced.contains(s.getPath.getName) &&
-            expired(s)) {
-          fs.delete(s.getPath, false)
-          removed += 1
+    // recursive: partitioned tables nest data under data/<k>=<v>/,
+    // and the referenced set holds partition-qualified relative names
+    val dataRoot = fs.makeQualified(dataDir).toUri
+    def sweep(dir: Path): Unit =
+      fs.listStatus(dir).foreach { s =>
+        if (s.isDirectory) sweep(s.getPath)
+        else {
+          val rel = dataRoot
+            .relativize(fs.makeQualified(s.getPath).toUri).getPath
+          if (!referenced.contains(rel) && expired(s)) {
+            fs.delete(s.getPath, false)
+            removed += 1
+          }
         }
       }
+    if (fs.exists(dataDir)) sweep(dataDir)
     val staged = new Path(root, "_staged")
     if (fs.exists(staged))
       fs.listStatus(staged).foreach { s =>
@@ -1640,7 +2125,8 @@ object CommitLog {
       schema: Option[StructType] = None,
       stats: Map[String, FileSpans] = Map.empty,
       ts: Long = 0L,
-      schemaGroups: Map[String, StructType] = Map.empty)
+      schemaGroups: Map[String, StructType] = Map.empty,
+      constraints: Option[Map[String, String]] = None)
 
   /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the

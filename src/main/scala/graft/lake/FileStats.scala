@@ -51,6 +51,20 @@ object FileStats {
     * at 32; 64 keeps selectivity on URL-ish prefixes). */
   val StrPrefix = 64
 
+  /** Bloom hash count (Kirsch-Mitzenmacher double hashing — k derived
+    * positions from two base hashes). With bits ≈ 10× the file's
+    * distinct count, k=5 lands ~1% false-keep — Delta's bloom-index
+    * operating point. */
+  val BloomK = 5
+
+  /** Default bloom width per file per column: 2^17 bits = 16 KiB.
+    * Size for the layout: ~10 bits per DISTINCT value in a file keeps
+    * false-keeps ~1%; a 128 MiB file of ~1M unique keys wants
+    * `1 << 23`+ (1 MiB — the Delta bloom-index scale). Oversizing only
+    * costs sidecar bytes, undersizing only costs pruning (saturated
+    * blooms keep everything): never correctness. */
+  val DefaultBloomBits = 1 << 17
+
   /** A span side carried by a commit manifest: one of the two
     * comparison domains. JSON codec: [[NumV]] serializes as a number,
     * [[StrV]] as a string — so pre-typed logs (numbers only) parse
@@ -113,6 +127,244 @@ object FileStats {
       case None => true
     }
     loOk && hiOk
+  }
+
+  // ---- per-file bloom filters: point-lookup skipping ----------------------
+  //
+  // min/max spans serve RANGE probes, but the most selective probe on a
+  // 100 TB lake — `key = <one value>` on a high-cardinality key whose
+  // values INTERLEAVE across files (UUIDs, content hashes, any
+  // hash-distributed id) — gets nothing from them: every file's span
+  // covers nearly the whole domain. Delta solves this with bloom filter
+  // indexes; same design here: an opt-in `<col>_bloom` binary column in
+  // the sidecar, one fixed-width bloom per file, probed by equality/IN
+  // conjuncts. Conservative both ways: a bloom can only FALSELY KEEP
+  // (never falsely skip), absent/null blooms keep, and the residual
+  // filter always re-applies.
+  //
+  // Canonicalization discipline (what makes probe == build): values
+  // hash as `CAST(col AS STRING)`; blob byte 0 tags the column's
+  // comparison domain (0 = string, 1 = integral), and a probe literal
+  // contributes only when it maps canonically into that domain —
+  // a string literal probes a string column verbatim and an integral
+  // column through an exact-integer parse; an integral literal probes
+  // only integral columns (string columns compare NUMERICALLY against
+  // numeric literals in SQL, where '042' = 42 — a verbatim hash would
+  // falsely skip it). Fractional/other literals never probe. Bloom
+  // columns are restricted to string/integral types at build for the
+  // same reason (float formatting is not canonical).
+
+  /** Seed-mixed FNV-1a 64 over UTF-8 bytes with a murmur3 finalizer —
+    * self-contained (no engine hash dependency), deterministic across
+    * JVMs; build and probe share it by construction. */
+  private def bloomHash(bytes: Array[Byte], seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1
+    }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+
+  private def bloomPositions(value: String, bits: Int): Array[Int] = {
+    val b = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h1 = bloomHash(b, 1L)
+    val h2 = bloomHash(b, 2L)
+    Array.tabulate(BloomK)(i =>
+      java.lang.Math.floorMod(h1 + i.toLong * h2, bits.toLong).toInt)
+  }
+
+  /** Domain tag in blob byte 0. */
+  private val DomStr: Byte = 0
+  private val DomInt: Byte = 1
+
+  /** Membership against a domain-tagged blob for one canonical value
+    * (already in the blob's domain). */
+  private def bloomMightContain(blob: Array[Byte], value: String)
+      : Boolean = {
+    val bits = (blob.length - 1) * 8
+    if (bits <= 0) return true
+    bloomPositions(value, bits).forall { p =>
+      (blob(1 + (p >>> 3)) & (1 << (p & 7))) != 0
+    }
+  }
+
+  /** A probe literal's canonical value per domain: `str` for string
+    * columns (only string literals — numeric literals compare
+    * numerically against strings), `int` for integral columns (integral
+    * literals, or string literals that are exact integers). */
+  final case class EqProbe(str: Option[String], int: Option[String]) {
+    def forDomain(dom: Byte): Option[String] =
+      if (dom == DomStr) str else if (dom == DomInt) int else None
+  }
+
+  private val IntRe = "^-?\\d{1,19}$".r
+
+  private def canonInt(s: String): Option[String] =
+    IntRe.findFirstIn(s.trim)
+      .flatMap(t => scala.util.Try(t.toLong).toOption).map(_.toString)
+
+  /** The bloom-buildable types: canonical string casts. */
+  private def bloomDomainOf(dt: DataType): Option[Byte] = dt match {
+    case StringType => Some(DomStr)
+    case ByteType | ShortType | IntegerType | LongType => Some(DomInt)
+    case _ => None
+  }
+
+  /** Distributed per-file bloom aggregation: OR fixed-width bit arrays.
+    * Build-pass-only cost (one UDAF per bloom column in the same
+    * per-file agg the spans ride). */
+  private final class BloomAgg(bits: Int, dom: Byte)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = {
+      val a = new Array[Byte](1 + bits / 8); a(0) = dom; a
+    }
+    def reduce(buf: Array[Byte], v: String): Array[Byte] = {
+      if (v != null) {
+        val ps = bloomPositions(v, bits)
+        var i = 0
+        while (i < ps.length) {
+          val p = ps(i)
+          buf(1 + (p >>> 3)) =
+            (buf(1 + (p >>> 3)) | (1 << (p & 7))).toByte
+          i += 1
+        }
+      }
+      buf
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 1
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** `<col>_bloom` agg columns for the bloomable subset of `cols`;
+    * refuses non-string/integral columns loudly (a silently-skipped
+    * column would read as indexed-but-never-pruning). */
+  private def bloomAggCols(schema: StructType, cols: Seq[String],
+      bits: Int): Seq[Column] =
+    cols.map { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such bloom column: $c"))
+      val dom = bloomDomainOf(f.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom columns must be string or integral; $c is " +
+            f.dataType.simpleString))
+      udaf(new BloomAgg(bits, dom), org.apache.spark.sql.Encoders.STRING)
+        .apply(col(c).cast("string")).as(s"${c}_bloom")
+    }
+
+  /** Equality probes extractable from the predicate's top-level AND
+    * conjuncts: `col = lit` and `col IN (lits)` — each conjunct one
+    * any-of group (a file survives a group when ANY of its values
+    * might be present; it must survive EVERY group). Only literals
+    * with a canonical mapping into some bloom domain contribute. */
+  def eqProbes(spark: SparkSession, predicate: String)
+      : Map[String, Seq[Seq[EqProbe]]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, In, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(predicate)
+      catch { case scala.util.control.NonFatal(_) => return Map.empty }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.name)
+      case _ => None
+    }
+    def probeOf(e: Expression): Option[EqProbe] = e match {
+      case Literal(u: UTF8String, StringType) =>
+        val s = u.toString
+        Some(EqProbe(Some(s), canonInt(s)))
+      case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
+        Some(EqProbe(None, Some(v.toString)))
+      case _ => None
+    }
+    val acc =
+      scala.collection.mutable.Map[String, List[Seq[EqProbe]]]()
+    def add(n: String, g: Seq[EqProbe]): Unit =
+      acc(n) = g :: acc.getOrElse(n, Nil)
+    conjuncts(parsed).foreach {
+      case EqualTo(a, b) =>
+        (nameOf(a), probeOf(b)) match {
+          case (Some(n), Some(p)) => add(n, Seq(p))
+          case _ => (nameOf(b), probeOf(a)) match {
+            case (Some(n), Some(p)) => add(n, Seq(p))
+            case _ => ()
+          }
+        }
+      case In(c, vs) if vs.nonEmpty =>
+        nameOf(c).foreach { n =>
+          val ps = vs.map(probeOf)
+          // every IN member must probe, or the group is not a proof
+          if (ps.forall(_.isDefined)) add(n, ps.flatten)
+        }
+      case _ => ()
+    }
+    acc.view.mapValues(_.reverse.toSeq).toMap
+  }
+
+  /** Files surviving the bloom probes, among the sidecar's rows — the
+    * equality analog of [[candidatesForColBounds]]. None when no
+    * trusted manifest exists or no probed column carries a bloom.
+    * Null blobs keep; a probe value with no canonical form in the
+    * blob's domain keeps (no proof possible). */
+  def bloomCandidates(
+      spark: SparkSession,
+      path: String,
+      probes: Map[String, Seq[Seq[EqProbe]]]
+  ): Option[Seq[String]] = {
+    if (probes.isEmpty || !trusted(spark, path)) return None
+    val stats = spark.read.parquet(dir(path).toString)
+    val byLower = stats.columns.filter(_.endsWith("_bloom"))
+      .map(c => c.stripSuffix("_bloom"))
+      .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+    val conds = probes.toSeq.flatMap { case (c0, groups) =>
+      byLower.get(c0.toLowerCase(java.util.Locale.ROOT)).map { c =>
+        val keep = udf((blob: Array[Byte]) =>
+          blob == null || blob.length < 2 || groups.forall(g =>
+            g.exists(p => p.forDomain(blob(0)) match {
+              case Some(v) => bloomMightContain(blob, v)
+              case None => true
+            })))
+        keep(col(s"${c}_bloom"))
+      }
+    }
+    if (conds.isEmpty) return None
+    Some(stats.filter(conds.reduce(_ && _)).select("file")
+      .collect().map(_.getString(0)).toSeq)
+  }
+
+  /** The full pruning surface for a SQL predicate in ONE call: range
+    * spans ([[typedBounds]] × [[candidatesForColBounds]]) intersected
+    * with bloom point-lookup candidates ([[eqProbes]] ×
+    * [[bloomCandidates]]). None when neither surface can prune. */
+  def candidatesForPredicate(
+      spark: SparkSession,
+      path: String,
+      predicate: String
+  ): Option[Seq[String]] = {
+    val fromBounds =
+      candidatesForColBounds(spark, path, typedBounds(spark, predicate))
+    val fromBlooms =
+      bloomCandidates(spark, path, eqProbes(spark, predicate))
+    (fromBounds, fromBlooms) match {
+      case (Some(a), Some(b)) =>
+        val keep = b.toSet; Some(a.filter(keep))
+      case (a, b) => a.orElse(b)
+    }
   }
 
   private def dir(datasetPath: String) = new Path(datasetPath, "_stats")
@@ -181,26 +433,39 @@ object FileStats {
     collectFrom(spark, SchemaTools.safeRead(spark, path), path)
 
   private def collectFrom(
-      spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+      spark: SparkSession, df: DataFrame, path: String,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): DataFrame = {
     val fields = indexableFields(df.schema)
     require(fields.nonEmpty, s"no indexable columns at $path")
-    val aggs = typedSpanAggs(fields) :+ count(lit(1)).as("n_rows")
+    val aggs = typedSpanAggs(fields) ++
+      bloomAggCols(df.schema, bloomCols, bloomBits) :+
+      count(lit(1)).as("n_rows")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Materialize the stats sidecar (overwrites any previous one). */
-  def build(spark: SparkSession, path: String): Unit =
-    buildFrom(spark, SchemaTools.safeRead(spark, path), path)
+  /** Materialize the stats sidecar (overwrites any previous one).
+    * `bloomCols` opt selected string/integral columns into per-file
+    * bloom filters for equality-probe skipping (see the bloom section
+    * above); [[appendFiles]] maintains them incrementally like spans. */
+  def build(spark: SparkSession, path: String,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Unit =
+    buildFrom(spark, SchemaTools.safeRead(spark, path), path,
+      bloomCols, bloomBits)
 
   /** Build the sidecar for `path` over an EXPLICIT file list — the
     * commit-log flavor, where the live set is manifest-resolved rather
     * than a directory listing ([[CommitLog]] data files live under
     * `data/` next to non-data debris the listing must not see). */
   def buildForFiles(
-      spark: SparkSession, path: String, files: Seq[String]): Unit = {
+      spark: SparkSession, path: String, files: Seq[String],
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Unit = {
     require(files.nonEmpty, s"no files to index at $path")
-    buildFrom(spark, spark.read.parquet(files: _*), path)
+    buildFrom(spark, spark.read.parquet(files: _*), path,
+      bloomCols, bloomBits)
   }
 
   /** Build over a caller-assembled frame — the schema-evolved
@@ -211,15 +476,19 @@ object FileStats {
     * missing a column land null spans for it — kept conservatively by
     * the isNull arm of every probe. */
   def buildForDataFrame(
-      spark: SparkSession, path: String, df: DataFrame): Unit =
-    buildFrom(spark, df, path)
+      spark: SparkSession, path: String, df: DataFrame,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Unit =
+    buildFrom(spark, df, path, bloomCols, bloomBits)
 
   private def buildFrom(
-      spark: SparkSession, df: DataFrame, path: String): Unit = {
+      spark: SparkSession, df: DataFrame, path: String,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Unit = {
     val d = dir(path)
     val fs = fsOf(spark, d)
     val tmp = new Path(path, "_stats_tmp")
-    collectFrom(spark, df, path).coalesce(1)
+    collectFrom(spark, df, path, bloomCols, bloomBits).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(d)) fs.delete(d, true)
     fs.rename(tmp, d)
@@ -294,9 +563,12 @@ object FileStats {
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) return // nothing standing to maintain
     if (files.isEmpty) { seal(spark, path); return }
-    val statsSchema = spark.read.parquet(d.toString).schema
+    val standing = spark.read.parquet(d.toString)
+    val statsSchema = standing.schema
     val indexed = statsSchema.fieldNames
       .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
+    val bloomed = statsSchema.fieldNames
+      .filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom")).toSeq
     val df = spark.read.parquet(files: _*)
     // domain compatibility: a standing double span accepts any
     // numeric/timestamp/date column; a standing string span accepts
@@ -314,10 +586,35 @@ object FileStats {
           }
         })
     if (!indexed.forall(domainOk)) { invalidate(spark, path); return }
+    // standing blooms maintain with the SAME width and domain as the
+    // sidecar's existing blobs (derived from any non-null blob — all
+    // blobs of a column share them by construction). A column whose
+    // parameters can't be recovered, or whose type no longer maps to
+    // the recorded domain, invalidates: degrade, never mis-prune.
+    val bloomParams: Option[Seq[(String, Int, Byte)]] = {
+      val ps = bloomed.map { c =>
+        val blob = standing.select(col(s"${c}_bloom"))
+          .filter(col(s"${c}_bloom").isNotNull)
+          .head(1).headOption.map(_.getAs[Array[Byte]](0))
+        (blob, df.schema.fieldNames.contains(c)) match {
+          case (Some(b), true) if b.length >= 2 &&
+              bloomDomainOf(df.schema(c).dataType).contains(b(0)) =>
+            Some((c, (b.length - 1) * 8, b(0)))
+          case _ => None
+        }
+      }
+      if (ps.forall(_.isDefined)) Some(ps.flatten) else None
+    }
+    if (bloomParams.isEmpty && bloomed.nonEmpty) {
+      invalidate(spark, path); return
+    }
     // n_rows computed unconditionally; the schema-conforming select
     // drops it for sidecars built before it existed
     val fields = indexed.map(c => df.schema(c))
-    val aggs = typedSpanAggs(fields) :+ count(lit(1)).as("n_rows")
+    val aggs = typedSpanAggs(fields) ++
+      bloomParams.getOrElse(Nil).map { case (c, bits, _) =>
+        bloomAggCols(df.schema, Seq(c), bits).head
+      } :+ count(lit(1)).as("n_rows")
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .select(statsSchema.fields.map(f =>

@@ -185,6 +185,222 @@ final class LakeManager(spark: SparkSession, root: String) {
     * reference file is partially broken; this is the evident intent). */
   def reader(name: String, asOf: Option[String] = None): DataFrame =
     dataset(name).read(asOf)
+
+  /** SQL entry point covering WRITES on managed commit-log tables —
+    * the DML half the temp-view registration can't give. Statements
+    * whose target resolves to a cataloged commit-log dataset dispatch
+    * to the commit protocol (parse-and-dispatch — the statement's
+    * query/source subtree runs through the full analyzer, so temp
+    * views and registered tables resolve normally):
+    *
+    *  - `INSERT INTO t <query>`            -> [[CommitLog.append]]
+    *  - `INSERT OVERWRITE [TABLE] t <query>` -> [[CommitLog.replace]]
+    *  - `MERGE INTO t USING <src> ON t.k = s.k
+    *     WHEN MATCHED THEN UPDATE SET *
+    *     WHEN NOT MATCHED THEN INSERT *`   -> [[CommitLog.upsert]]
+    *  - `DELETE FROM t WHERE <pred>`       -> [[CommitLog.deleteWhere]]
+    *  - `UPDATE t SET c = <expr>, ... [WHERE <pred>]`
+    *                                       -> [[CommitLog.updateWhere]]
+    *  - `ALTER TABLE t ADD CONSTRAINT c CHECK (<pred>)` /
+    *    `DROP CONSTRAINT [IF EXISTS] c`    -> [[CommitLog.addConstraint]]
+    *  - `SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF <expr>`
+    *                                       -> versioned read (grafted
+    *                                          into the statement's plan)
+    *
+    * INSERT is positional against the table's column order (the SQL
+    * contract), with types conformed. MERGE accepts exactly the
+    * update-all/insert-all shape — conditional clause variants refuse
+    * loudly rather than silently approximating. Every mutation
+    * refreshes the table's SQL view through the commit hook, and the
+    * returned frame is the POST-mutation table read. Anything that is
+    * not DML on a managed table passes through to `spark.sql`. */
+  def sql(statement: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(statement)
+      catch { case scala.util.control.NonFatal(_) =>
+        return spark.sql(statement) }
+    def targetName(plan: LogicalPlan): Option[String] = plan match {
+      case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
+        Some(r.multipartIdentifier.head)
+      // ALTER TABLE statements parse their target as UnresolvedTable
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+          if t.multipartIdentifier.size == 1 =>
+        Some(t.multipartIdentifier.head)
+      case SubqueryAlias(_, child) => targetName(child)
+      // ADD CONSTRAINT parses its target under a `Filter NOT(check)`
+      // scaffold (the analyzer's own validation plan) — unwrap it
+      case Filter(_, child) => targetName(child)
+      case _ => None
+    }
+    def managedLog(plan: LogicalPlan): Option[CommitLog] =
+      targetName(plan).filter(n =>
+        tables.contains(n) && datasetKind(n) == "commitlog")
+        .map(commitLog)
+    // the names a target-table column reference may be qualified by:
+    // the table name itself or its alias (`UPDATE t AS x SET x.c = …`)
+    def targetQualifiers(plan: LogicalPlan): Set[String] = plan match {
+      case r: UnresolvedRelation => Set(r.multipartIdentifier.last)
+      case SubqueryAlias(id, child) =>
+        targetQualifiers(child) + id.name
+      case _ => Set.empty
+    }
+    // DELETE/UPDATE conditions and SET values re-evaluate against the
+    // BARE table frame, where `t.c` can't resolve — strip qualifiers
+    // that name the target table; foreign qualifiers stay and fail
+    // loudly downstream (no silent cross-table reference)
+    def unqualify(e: Expression, table: LogicalPlan): Expression = {
+      val quals = targetQualifiers(table)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      e.transform {
+        case a: UnresolvedAttribute if a.nameParts.size > 1 &&
+            quals(a.nameParts.dropRight(1).mkString(".")
+              .toLowerCase(java.util.Locale.ROOT)) =>
+          UnresolvedAttribute(Seq(a.nameParts.last))
+      }
+    }
+    def conformPositional(df: DataFrame, log: CommitLog): DataFrame =
+      // the first INSERT into a just-created table DEFINES the schema
+      if (log.latestVersion() == 0L) df
+      else {
+        val want = log.read(None).schema
+        require(df.columns.length == want.length,
+          s"INSERT arity ${df.columns.length} != table arity " +
+            s"${want.length}")
+        SchemaTools.conformTo(df.toDF(want.fieldNames.toSeq: _*), want)
+      }
+    parsed match {
+      case i: InsertIntoStatement =>
+        managedLog(i.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
+              "INSERT with PARTITION or a column list is not supported " +
+                "on managed commit-log tables")
+            val df = conformPositional(
+              org.apache.spark.sql.GraftSqlBridge.ofRows(spark, i.query),
+              log)
+            if (i.overwrite) log.replace(df, log.latestVersion())
+            else log.append(df)
+            log.read(None)
+        }
+      case m: MergeIntoTable =>
+        managedLog(m.targetTable) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            require(
+              m.matchedActions == Seq(UpdateStarAction(None)) &&
+                m.notMatchedActions == Seq(InsertStarAction(None)) &&
+                m.notMatchedBySourceActions.isEmpty,
+              "managed MERGE supports exactly WHEN MATCHED THEN " +
+                "UPDATE SET * / WHEN NOT MATCHED THEN INSERT *")
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case And(l, r) => conjuncts(l) ++ conjuncts(r)
+              case o => Seq(o)
+            }
+            val keys = conjuncts(m.mergeCondition).map {
+              case EqualTo(a: UnresolvedAttribute,
+                  b: UnresolvedAttribute)
+                  if a.nameParts.last == b.nameParts.last =>
+                a.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"unsupported merge condition conjunct: ${other.sql} " +
+                  "— use t.k = s.k equalities")
+            }
+            val src = org.apache.spark.sql.GraftSqlBridge
+              .ofRows(spark, m.sourceTable)
+            val want = log.read(None).columns
+            require(src.columns.sorted.sameElements(want.sorted),
+              s"merge source columns ${src.columns.sorted.mkString(",")} " +
+                s"must match table columns ${want.sorted.mkString(",")}")
+            log.upsert(src, keys)
+            log.read(None)
+        }
+      case d: DeleteFromTable =>
+        managedLog(d.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            log.deleteWhere(unqualify(d.condition, d.table).sql)
+            log.read(None)
+        }
+      case u: UpdateTable =>
+        managedLog(u.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            val sets = u.assignments.map { a =>
+              val tgt = a.key match {
+                case k: UnresolvedAttribute => k.nameParts.last
+                case other => throw new IllegalArgumentException(
+                  s"unsupported UPDATE target: ${other.sql}")
+              }
+              tgt -> unqualify(a.value, u.table).sql
+            }
+            log.updateWhere(sets,
+              u.condition.map(unqualify(_, u.table).sql))
+            log.read(None)
+        }
+      case a: AddCheckConstraint =>
+        managedLog(a.child) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            val c = a.checkConstraint
+            log.addConstraint(c.name,
+              unqualify(c.child, a.child).sql)
+            log.read(None)
+        }
+      case d: DropConstraint =>
+        managedLog(d.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            if (!(d.ifExists && !log.constraints(None).contains(d.name)))
+              log.dropConstraint(d.name)
+            log.read(None)
+        }
+      case other =>
+        // SELECT-side time travel: `FROM t VERSION AS OF n` /
+        // `TIMESTAMP AS OF <expr>` over a managed table rewrites to
+        // the versioned read's (already-analyzed) plan, aliased under
+        // the table name so qualified column references keep
+        // resolving. Anything untouched falls through verbatim.
+        import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+        var rewrote = false
+        val rewritten = other.transformUp {
+          case tt @ RelationTimeTravel(rel, tsExpr, version) =>
+            targetName(rel).filter(n =>
+              tables.contains(n) && datasetKind(n) == "commitlog") match {
+              case None => tt
+              case Some(n) =>
+                val log = commitLog(n)
+                val v = version match {
+                  case Some(s) =>
+                    require(s.forall(_.isDigit),
+                      s"VERSION AS OF wants a commit number, got $s")
+                    s.toLong
+                  case None =>
+                    // evaluate the TIMESTAMP AS OF expression through
+                    // one scalar query (constant by SQL contract),
+                    // then the Delta timestampAsOf resolution rule
+                    val ts = spark.sql(
+                      s"SELECT CAST(${tsExpr.get.sql} AS TIMESTAMP)")
+                      .head().getTimestamp(0)
+                    require(ts != null,
+                      s"TIMESTAMP AS OF ${tsExpr.get.sql} is not a " +
+                        "timestamp")
+                    log.versionAt(ts.getTime)
+                }
+                rewrote = true
+                SubqueryAlias(n,
+                  org.apache.spark.sql.GraftSqlBridge
+                    .analyzedPlan(log.read(Some(v))))
+            }
+        }
+        if (rewrote)
+          org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten)
+        else spark.sql(statement)
+    }
+  }
 }
 
 object LakeManager {

@@ -109,9 +109,8 @@ final case class LakeReader(
     // unapplied merge-on-read tombstones: the pruned scan would serve
     // deleted rows — fall back to the full logical surface
     if (RowOps.tombstoneKeys(spark, path).nonEmpty) return None
-    val bounds = FileStats.typedBounds(spark, predicate)
-    if (bounds.isEmpty) return None
-    FileStats.candidatesForColBounds(spark, path, bounds).map { files =>
+    // range spans AND bloom point-lookup probes, one combined listing
+    FileStats.candidatesForPredicate(spark, path, predicate).map { files =>
       if (files.isEmpty) spark.read.parquet(path).limit(0)
       else
         spark.read

@@ -186,11 +186,14 @@ class PlanSpec extends AnyFunSuite {
     //  - e26/e27: the PERSISTED serving flavors of e16/e17 — the same
     //    bounded query set broadcast against one linear pass, just over
     //    the stored codes/signature table instead of a re-encode
+    //  - e31: ends in the SAME servePq read as e26 (the stream-
+    //    maintained index serves identically by construction)
     // Everything else — including e01's exact all-pairs, which is now
     // block-keyed — must plan as equi joins.
     val allowed = Set("q55_cross_join_small", "e02_knn_topk",
       "e15_ann_recall", "e16_pq_adc", "e17_hamming_topk", "e22_maxsim",
-      "e25_ann_mor", "e26_pq_serve", "e27_hamming_serve")
+      "e25_ann_mor", "e26_pq_serve", "e27_hamming_serve",
+      "e31_commitlog_pq_stream")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

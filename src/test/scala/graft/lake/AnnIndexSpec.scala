@@ -224,4 +224,41 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.appendPqResidual(spark, root, corpus.limit(1))
     }
   }
+
+  test("idempotent fold family (the e30/e31 pattern on every " +
+      "resident): a redelivered batch folds zero, a partial overlap " +
+      "folds only fresh ids, served == built-once — Hamming and " +
+      "residual PQ") {
+    val corpus = vecs(0 until 60)
+    // Hamming resident
+    val h = TestSpark.tempDir("annoh") + "/ham"
+    AnnIndex.buildHamming(spark, h, corpus.filter(col("vec_id") < 20),
+      dim)
+    val b1 = corpus.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    assert(AnnIndex.appendHammingOnce(spark, h, b1) == 20L)
+    assert(AnnIndex.appendHammingOnce(spark, h, b1) == 0L,
+      "a redelivered batch must fold nothing")
+    // overlap: 30..59 where 30..39 are already held
+    assert(AnnIndex.appendHammingOnce(spark, h,
+      corpus.filter(col("vec_id") >= 30)) == 20L)
+    val once = TestSpark.tempDir("annoh2") + "/ham"
+    AnnIndex.buildHamming(spark, once, corpus, dim)
+    val queries = vecs(0 until 3)
+    def rows(root: String) =
+      AnnIndex.serveHamming(spark, root, queries, k = 3).get
+        .select("id1", "id2", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    assert(rows(h) == rows(once),
+      "stream-maintained == built-once, through replays and overlaps")
+    // residual PQ resident: same contract
+    val r = TestSpark.tempDir("annor") + "/res"
+    AnnIndex.buildPqResidual(spark, r,
+      corpus.filter(col("vec_id") < 30), dim = dim, m = 4,
+      nCents = 4, nCells = 2)
+    val b2 = corpus.filter(col("vec_id") >= 30)
+    assert(AnnIndex.appendPqResidualOnce(spark, r, b2) == 30L)
+    assert(AnnIndex.appendPqResidualOnce(spark, r, b2) == 0L)
+    assert(AnnIndex.appendPqResidualOnce(spark, r, corpus) == 0L,
+      "a TOTAL replay must fold nothing")
+  }
 }

@@ -813,6 +813,87 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-partitioned commit log: partition values ride as spans " +
+      "(a partition predicate lists only that partition's files), a " +
+      "keyed merge touches only matched partitions, MOR deletes and " +
+      "optimize keep the layout") {
+    val root = TestSpark.tempDir("clogpart")
+    val log = CommitLog(spark, root).initPartitioned(Seq("region"))
+    def batch(r: String, lo: Int, n: Int) =
+      (lo until lo + n).map(i => (i, s"v$i", r))
+        .toDF("id", "v", "region").repartition(1)
+    log.append(batch("eu", 0, 50)
+      .unionByName(batch("us", 100, 50))) // v1: two partitions
+    log.append(batch("ap", 200, 50)) // v2
+    // files live under data/region=<v>/
+    assert(log.liveFiles(None).forall(_.startsWith("region=")),
+      s"names must be partition-qualified: ${log.liveFiles(None)}")
+    // the read resolves partition columns from paths
+    val byRegion = log.read(None).groupBy("region").count()
+      .as[(String, Long)].collect().toMap
+    assert(byRegion == Map("eu" -> 50L, "us" -> 50L, "ap" -> 50L))
+    // partition-value predicate prunes to that partition's files
+    val live = log.liveFiles(None)
+    val cand = log.candidateDataFiles("region = 'us'")
+    assert(cand.exists(c => c.nonEmpty && c.size < live.size &&
+      c.forall(_.startsWith("region=us/"))),
+      s"partition predicate must list only region=us files: $cand")
+    assert(log.readFiltered("region = 'us'").count() == 50)
+    // keyed merge: batch keys all in 'eu' -> only eu files rewrite
+    val (_, touched) = log.upsert(
+      Seq((5, "UPD", "eu")).toDF("id", "v", "region"), Seq("id"))
+    assert(touched >= 1)
+    val euRows = log.read(None).filter($"region" === "eu")
+    assert(euRows.count() == 50 &&
+      euRows.filter($"id" === 5).select("v").as[String].head() == "UPD")
+    assert(log.read(None).count() == 150)
+    // merged outputs keep the partition layout
+    assert(log.liveFiles(None).forall(_.startsWith("region=")))
+    // a partition-disjoint concurrent append commutes with a merge
+    // (the partition-value span proves disjointness on `region`)
+    val (_, t2) = log.upsert(
+      Seq((6, "U2", "eu")).toDF("id", "v", "region"),
+      Seq("id", "region"),
+      beforeCommit =
+        () => { log.append(batch("sa", 300, 5)); () })
+    assert(t2 == 1 && log.read(None).count() == 155)
+    // MOR delete: flat tombstones subtract across partitions
+    log.deleteKeysMor(Seq(5, 105).toDF("id"), Seq("id"))
+    assert(log.read(None).count() == 153)
+    // OPTIMIZE keeps the partition layout and the rows
+    log.optimize(targetFiles = 1)
+    assert(log.liveFiles(None).forall(_.startsWith("region=")),
+      "packed files must stay partition-nested")
+    assert(log.read(None).count() == 153)
+    // vacuum recurses the partition dirs without eating live data
+    assert(log.vacuum(retentionMs = 0L) >= 0)
+    assert(log.read(None).count() == 153)
+  }
+
+  test("adopt moves a hive-partitioned plain dataset in place: layout " +
+      "preserved, partition pruning live from v1, zero data copied") {
+    val src = TestSpark.tempDir("clogadp") + "/src"
+    spark.range(300)
+      .select(col("id"), (col("id") % 3).cast("int").as("bucket"))
+      .repartition(1)
+      .write.partitionBy("bucket").mode("overwrite").parquet(src)
+    val root = TestSpark.tempDir("clogadp2")
+    val log = CommitLog(spark, root).init()
+    log.adopt(src)
+    assert(log.partitionCols == Seq("bucket"))
+    assert(log.read(None).count() == 300)
+    assert(log.read(None).filter($"bucket" === 1).count() == 100)
+    val live = log.liveFiles(None)
+    val cand = log.candidateDataFiles("bucket = 2")
+    assert(cand.exists(c => c.nonEmpty && c.size < live.size &&
+      c.forall(_.startsWith("bucket=2/"))),
+      s"adopted partition values must prune from v1: $cand")
+    // post-adoption writers keep the layout
+    log.append(Seq((900L, 0)).toDF("id", "bucket"))
+    assert(log.read(None).count() == 301 &&
+      log.liveFiles(None).forall(_.startsWith("bucket=")))
+  }
+
   test("expireBefore keeps tombstones a keep-side restore re-references " +
       "(append, MOR delete, replace, restore-to-pre-replace, expire)") {
     val log = CommitLog(spark, TestSpark.tempDir("clogexr")).init()
@@ -833,6 +914,113 @@ class CommitLogSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(0, 1, 2, 4, 5, 6, 8, 9),
       s"restore-referenced tombstone must survive expiry (got $ids, " +
         s"reclaimed $reclaimed)")
+  }
+
+  test("updateWhere: assignments see PRE-update values (a = b, b = a " +
+      "swaps), untouched files stay byte-identical, no-match burns no " +
+      "commit") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogup")).init()
+    log.append(Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "a", "b")
+      .repartition(1)) // v1
+    log.append(Seq((3L, 30L, 300L), (4L, 40L, 400L)).toDF("id", "a", "b")
+      .repartition(1)) // v2
+    val before = log.liveFiles(None).toSet
+    // swap a and b on ids 3,4 — only v2's file holds matching rows
+    val (v, touched) = log.updateWhere(
+      Seq("a" -> "b", "b" -> "a"), Some("id >= 3"))
+    assert(v == 3L && touched == 1,
+      s"only the file holding ids 3,4 rewrites (got touched=$touched)")
+    val after = log.liveFiles(None).toSet
+    assert((before -- after).size == 1 && (after -- before).size == 1,
+      "exactly one file swaps out for its rewrite")
+    val rows = log.read(None).orderBy("id")
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((10L, 100L), (20L, 200L), (300L, 30L), (400L, 40L)),
+      s"swap must read OLD values on both sides: $rows")
+    // type preservation: the cast lands back in the standing type
+    assert(log.read(None).schema("a").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // no-match: no commit burned
+    val (v2, t2) = log.updateWhere(Seq("a" -> "0"), Some("id > 999"))
+    assert(v2 == 3L && t2 == 0, "a no-match update must not commit")
+    // time travel serves the pre-update rows
+    assert(log.read(Some(2L)).filter(col("id") === 3L)
+      .select("a").as[Long].head() == 30L)
+  }
+
+  test("bloom sidecar on a commit-log table: buildStats(bloomCols) + " +
+      "append-maintained; candidateDataFiles isolates an equality " +
+      "probe to the holding file, absent keys prove out everything, " +
+      "answers never change") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogbl")).init()
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"), concat(lit("u-"), col("id") * 7919L).as("uid"))
+    // interleave uids across files within each commit
+    log.append(batch(0, 500).repartition(4, col("id")))
+    log.buildStats(bloomCols = Seq("uid"), bloomBits = 1 << 13)
+    log.append(batch(500, 600).repartition(2, col("id")))
+    val live = log.liveFiles(None)
+    // a key from the MAINTAINED batch: at most its holding file +
+    // bloom noise, strictly fewer than the live set
+    val c1 = log.candidateDataFiles(s"uid = 'u-${550L * 7919L}'")
+    assert(c1.exists(c => c.nonEmpty && c.size < live.size / 2),
+      s"bloom must prune the commit-log listing: ${c1.map(_.size)} " +
+        s"of ${live.size}")
+    assert(log.readFiltered(s"uid = 'u-${550L * 7919L}'").count() == 1)
+    val c0 = log.candidateDataFiles("uid = 'u-nope'")
+    assert(c0.exists(_.isEmpty), s"absent key must prove out: $c0")
+    assert(log.readFiltered("uid = 'u-nope'").count() == 0)
+  }
+
+  test("CHECK constraints: meta commits gate every data-adding path, " +
+      "survive checkpoint+truncation, stay non-breaking for readSince, " +
+      "and refuse to stand over violating live data") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogck")).init()
+    log.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt")) // v1
+    log.addConstraint("pos", "amt > 0") // v2 (meta)
+    assert(log.constraints(None) == Map("pos" -> "amt > 0"))
+    // a violating append refuses the WHOLE batch
+    intercept[IllegalArgumentException] {
+      log.append(Seq((3L, -1.0)).toDF("id", "amt"))
+    }
+    assert(log.latestVersion() == 2L, "a refused write burns no commit")
+    log.append(Seq((3L, 30.0)).toDF("id", "amt")) // v3
+    // an UPDATE whose assignment violates refuses
+    intercept[IllegalArgumentException] {
+      log.updateWhere(Seq("amt" -> "-amt"), Some("id = 3"))
+    }
+    // a violating MERGE batch refuses too
+    intercept[IllegalArgumentException] {
+      log.upsert(Seq((2L, -5.0)).toDF("id", "amt"), Seq("id"))
+    }
+    // meta commits are non-breaking, zero-row increments
+    assert(log.readSince(1L).select("id").as[Long].collect().sorted
+      .toSeq == Seq(3L))
+    // NULL predicate rows VIOLATE (a constraint must prove)
+    intercept[IllegalArgumentException] {
+      log.append(Seq((4L, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "amt"))
+    }
+    // the set survives checkpoint + log truncation
+    log.checkpoint(3L)
+    log.expireBefore(3L)
+    assert(log.constraints(None) == Map("pos" -> "amt > 0"))
+    intercept[IllegalArgumentException] {
+      log.append(Seq((5L, -2.0)).toDF("id", "amt"))
+    }
+    // history shows the meta op; drop re-opens the gate
+    log.dropConstraint("pos")
+    log.append(Seq((5L, -2.0)).toDF("id", "amt"))
+    assert(log.read(None).count() == 4)
+    // a constraint violated by LIVE data refuses to stand
+    intercept[IllegalArgumentException] {
+      log.addConstraint("pos2", "amt > 0")
+    }
+    // duplicate name refuses
+    log.addConstraint("cap", "amt < 100")
+    intercept[IllegalArgumentException] {
+      log.addConstraint("cap", "amt < 5")
+    }
   }
 
   test("cloneTo refuses a destination whose base marker already exists " +

@@ -244,4 +244,71 @@ class FileStatsSpec extends AnyFunSuite {
     val got = spark.read.parquet(cand: _*).filter(pred).count()
     assert(got == spark.read.parquet(dir).filter(pred).count() && got > 0)
   }
+
+  test("bloom probes never falsely skip across SQL coercions: a " +
+      "numeric literal against a string column ('042' = 42 is TRUE in " +
+      "SQL) keeps, an exact-integer string literal probes an integral " +
+      "column, fractional literals never probe") {
+    val dir = TestSpark.tempDir("fstats_bloom") + "/ds"
+    Seq(("042", 42L), ("7", 7L), ("xyz", 9L))
+      .toDF("s", "n").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    FileStats.build(spark, dir, bloomCols = Seq("s", "n"))
+    def cand(pred: String): Seq[String] =
+      FileStats.candidatesForPredicate(spark, dir, pred)
+        .getOrElse(SchemaTools.listDataFiles(spark, dir))
+    // SQL: '042' = 42 via numeric coercion — the int literal must NOT
+    // probe the string bloom (which only holds verbatim "042")
+    assert(cand("s = 42").nonEmpty,
+      "an int literal must not prove absence on a string column")
+    assert(spark.sql("SELECT '042' = 42").head().getBoolean(0),
+      "the coercion premise itself")
+    // a string literal that is an exact integer probes the INT column
+    // canonically ('07' -> 7)
+    assert(cand("n = '07'").nonEmpty && cand("n = '8'").isEmpty,
+      "string literals probe integral columns through exact parse")
+    // fractional literals never probe the bloom (42.0 DOES match the
+    // long row 42 in SQL — a "42.0"-keyed bloom probe would skip it)
+    assert(cand("n = 42.0").nonEmpty,
+      "fractional literals must not prove absence")
+    // verbatim string probes work both ways
+    assert(cand("s = '042'").nonEmpty && cand("s = 'absent'").isEmpty)
+  }
+
+  test("appendFiles maintains standing blooms at the same width and " +
+      "domain; a column that can no longer maintain invalidates " +
+      "rather than mis-prunes") {
+    val dir = TestSpark.tempDir("fstats_bmnt") + "/ds"
+    spark.range(100).select(col("id"),
+        concat(lit("k"), col("id")).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    FileStats.build(spark, dir, bloomCols = Seq("k"),
+      bloomBits = 1 << 12)
+    // additive batch: new file's bloom lands at the standing width
+    val extra = TestSpark.tempDir("fstats_bx")
+    spark.range(100, 200).select(col("id"),
+        concat(lit("k"), col("id")).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(extra)
+    val newFiles = SchemaTools.listDataFiles(spark, extra)
+    newFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val dest = new org.apache.hadoop.fs.Path(dir, p.getName)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .rename(p, dest)
+    }
+    FileStats.distrust(spark, dir)
+    FileStats.appendFiles(spark, dir,
+      newFiles.map(f => s"$dir/${new org.apache.hadoop.fs.Path(f).getName}"))
+    assert(FileStats.trusted(spark, dir))
+    // a key in the NEW batch resolves to exactly one candidate file
+    val c = FileStats.candidatesForPredicate(spark, dir, "k = 'k150'").get
+    assert(c.size == 1, s"maintained bloom must cover the new file: $c")
+    assert(FileStats.candidatesForPredicate(spark, dir,
+      "k = 'k9999'").get.isEmpty)
+    // the maintained blob kept the standing width+domain
+    val blobs = spark.read.parquet(s"$dir/_stats")
+      .select("k_bloom").collect().map(_.getAs[Array[Byte]](0))
+    assert(blobs.length == 2 &&
+      blobs.forall(b => b.length == 1 + (1 << 12) / 8 && b(0) == 0))
+  }
 }

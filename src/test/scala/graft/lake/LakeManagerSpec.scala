@@ -110,6 +110,97 @@ class LakeManagerSpec extends AnyFunSuite {
     lm.removeDataset("fresh_ds", deleteFiles = true)
   }
 
+  test("sql() DML on a managed commit-log table: INSERT INTO / " +
+      "OVERWRITE, MERGE (update-all/insert-all), DELETE WHERE — all " +
+      "through the commit protocol, view refreshed per mutation; " +
+      "non-DML and unmanaged targets pass through") {
+    val root = TestSpark.tempDir("lakesql")
+    val lm = LakeManager(spark, root).init()
+    lm.addCommitLog("acct")
+    // bootstrap through the API (the view registers on first commit)
+    lm.commitLog("acct").append(
+      Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "tag", "amt"))
+    assert(spark.sql("SELECT count(*) FROM acct").as[Long].head() == 2)
+    // INSERT INTO with an inline VALUES query
+    lm.sql("INSERT INTO acct VALUES (3, 'c', 30.0), (4, 'd', 40.0)")
+    assert(spark.sql("SELECT count(*) FROM acct").as[Long].head() == 4)
+    // INSERT INTO from a SELECT over a temp view
+    Seq((5, "e", 50.0)).toDF("id", "tag", "amt")
+      .createOrReplaceTempView("acct_incoming")
+    lm.sql("INSERT INTO acct SELECT * FROM acct_incoming")
+    assert(spark.sql("SELECT count(*) FROM acct").as[Long].head() == 5)
+    // MERGE: update id=1, insert id=9
+    Seq((1, "A!", 11.0), (9, "i", 90.0)).toDF("id", "tag", "amt")
+      .createOrReplaceTempView("acct_cdc")
+    lm.sql("MERGE INTO acct t USING acct_cdc s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val m = spark.sql("SELECT id, tag FROM acct")
+      .as[(Int, String)].collect().toMap
+    assert(m(1) == "A!" && m(9) == "i" && m.size == 6)
+    // UPDATE with qualified refs: the target qualifier strips, the
+    // assignment sees the pre-update row
+    lm.sql("UPDATE acct t SET t.amt = t.amt + 5.0, t.tag = 'up' " +
+      "WHERE t.id = 2")
+    assert(spark.sql("SELECT tag, amt FROM acct WHERE id = 2")
+      .as[(String, Double)].head() == (("up", 25.0)))
+    // DELETE WHERE: row-level copy-on-write commit (qualified too)
+    lm.sql("DELETE FROM acct WHERE acct.amt >= 40.0")
+    assert(spark.sql("SELECT id FROM acct ORDER BY id")
+      .as[Int].collect().toSeq == Seq(1, 2, 3))
+    // time travel still serves the pre-delete state
+    val log = lm.commitLog("acct")
+    assert(log.read(Some(log.latestVersion() - 1)).count() == 6)
+    // INSERT OVERWRITE replaces the live set
+    lm.sql("INSERT OVERWRITE acct VALUES (100, 'z', 1.0)")
+    assert(spark.sql("SELECT id FROM acct").as[Int].collect().toSeq
+      == Seq(100))
+    // a conditional MERGE clause refuses instead of approximating
+    intercept[IllegalArgumentException] {
+      lm.sql("MERGE INTO acct t USING acct_cdc s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    // non-DML passes through to spark.sql
+    assert(lm.sql("SELECT count(*) FROM acct").as[Long].head() == 1)
+    // DML on an unmanaged name passes through (and fails in Spark's
+    // own way, not ours)
+    intercept[Exception] {
+      lm.sql("INSERT INTO nosuch_table VALUES (1)")
+    }
+  }
+
+  test("sql() time travel: VERSION AS OF / TIMESTAMP AS OF rewrite to " +
+      "versioned reads; a travel joins the live view in one statement; " +
+      "qualified refs resolve; bad versions refuse") {
+    val root = TestSpark.tempDir("lakett")
+    val lm = LakeManager(spark, root).init()
+    lm.addCommitLog("tt")
+    lm.commitLog("tt").append(
+      Seq((1, 10.0), (2, 20.0)).toDF("id", "amt")) // v1
+    lm.sql("INSERT INTO tt VALUES (3, 30.0)") // v2
+    lm.sql("UPDATE tt SET amt = amt * 10 WHERE id = 1") // v3
+    assert(lm.sql("SELECT id FROM tt VERSION AS OF 2 ORDER BY id")
+      .as[Int].collect().toSeq == Seq(1, 2, 3))
+    assert(lm.sql(
+      "SELECT tt.amt FROM tt VERSION AS OF 1 WHERE tt.id = 1")
+      .as[Double].head() == 10.0)
+    // a travel JOINS the live view inside one statement
+    val drift = lm.sql(
+      """SELECT cur.id, cur.amt - old.amt AS delta
+        |FROM tt cur JOIN (SELECT * FROM tt VERSION AS OF 2) old
+        |  ON cur.id = old.id
+        |WHERE cur.amt <> old.amt""".stripMargin)
+      .as[(Int, Double)].collect().toSeq
+    assert(drift == Seq((1, 90.0)), s"got $drift")
+    // TIMESTAMP AS OF at v2's own recorded instant serves v2
+    val t2 = lm.commitLog("tt").commit(2L).ts
+    assert(lm.sql("SELECT count(*) FROM tt TIMESTAMP AS OF " +
+      s"CAST($t2 / 1000.0 AS TIMESTAMP)").as[Long].head() == 3L)
+    intercept[Exception] {
+      lm.sql("SELECT * FROM tt VERSION AS OF 99")
+    }
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()
