@@ -87,6 +87,20 @@ object Plans {
       "d35_cluster_best" -> ("cluster representative by quality: d09's " +
         "CC labels joined to per-doc scores, then ONE min(struct) agg " +
         "per cluster (map-side partials — no window over the corpus)"),
+      "q140_time_band_skipping" -> ("typed time-band skipping: the " +
+        "scan's file index holds only the span-intersecting files for a " +
+        "TIMESTAMP band (the canonical lake probe — r8's one `weak`), " +
+        "with the residual band still pushed to parquet"),
+      "q145_bloom_point_lookup" -> ("bloom point-lookup skipping: the " +
+        "declarative reader's scan lists ONLY bloom-surviving files for " +
+        "an equality probe min/max spans provably cannot serve " +
+        "(interleaved high-cardinality key); the equality residual is " +
+        "still pushed to parquet"),
+      "q149_dv_delete" -> ("positional deletion vectors: the read is " +
+        "scan -> one (file, pos) broadcast anti-join -> residual — " +
+        "DELETE cost moved from rewrite-every-touched-file to " +
+        "O(matched metadata), and the folded (post-OPTIMIZE) plan " +
+        "carries NO anti-join at all (marks retired)"),
       "d36_dsir_weights" -> ("DSIR weights: bucket-count tables are two " +
         "keyed aggs bounded by the bucket count (broadcast into the " +
         "scoring join); corpus grouped to (doc, bucket) width BEFORE " +

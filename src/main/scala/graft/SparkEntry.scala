@@ -5554,6 +5554,108 @@ object SparkEntry {
       s.sql("SELECT * FROM t147 ORDER BY o_orderkey")
     }),
 
+    // POSITIONAL DELETION VECTORS (Delta DV parity): DELETE WHERE with
+    // ZERO data-file writes — matching rows are marked by (file, row
+    // position) in a dv-* tombstone committed like any delete, so an
+    // arbitrary-predicate delete on a 100 TB table costs O(matched
+    // rows of metadata), not a rewrite of every touched file. Readers
+    // subtract marks with one (file, pos) anti-join; time travel
+    // before the mark serves the rows; re-deleting the same band is a
+    // no-op that burns no commit; OPTIMIZE is the fold (re-homed rows
+    // apply the marks). In-query asserts: the delete commit references
+    // ONLY dv files and removes nothing, every data file stays
+    // byte-identical (name + length), and the folded read equals the
+    // marked read
+    "q149_dv_delete" -> ((s, d) => {
+      val root = scratch(s, "q149", d)
+      val log = CommitLog(s, root).init()
+      val src = ord(s, d).select("o_orderkey", "o_custkey",
+        "o_totalprice")
+      log.append(src.repartition(4, col("o_orderkey"))) // v1
+      def dataFiles() = SchemaTools.listDataFiles(s, s"$root/data")
+        .filterNot(f => new org.apache.hadoop.fs.Path(f).getName
+          .startsWith("dv-"))
+        .map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getFileStatus(p)
+          (p.getName, st.getLen)
+        }.sortBy(_._1)
+      val before = dataFiles()
+      val (v2, marked) = log.deleteWhereMor("o_orderkey % 7 = 3")
+      assert(marked > 0, "the band must mark rows")
+      assert(dataFiles() == before,
+        "a positional delete must leave every data file byte-identical")
+      val c2 = log.commit(v2)
+      assert(c2.removed.isEmpty && c2.files.nonEmpty &&
+        c2.files.forall(_.startsWith("dv-")),
+        s"the delete commit must reference only dv files: $c2")
+      // re-delete of the same band: nothing fresh to mark, no commit
+      val (v2b, again) = log.deleteWhereMor("o_orderkey % 7 = 3")
+      assert(v2b == v2 && again == 0L,
+        "re-marking the same band must burn no commit")
+      // time travel before the mark serves the rows
+      assert(log.read(Some(1L)).count() == src.count())
+      val (_, m2) = log.deleteWhereMor("o_custkey % 5 = 2") // v3
+      assert(m2 > 0)
+      val markedRead = log.read(None)
+      val expect = src
+        .filter(!(col("o_orderkey") % 7 === 3) &&
+          !(col("o_custkey") % 5 === 2))
+      assert(markedRead.count() == expect.count(),
+        "the subtracted read must equal the predicate complement")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val mor = shaped(markedRead, "mor")
+      // OPTIMIZE folds the marks: re-homed rows apply them, the read
+      // is unchanged, and the rewritten layout carries no mark debt
+      log.optimize(targetFiles = 2)
+      val folded = shaped(log.read(None), "folded")
+      mor.unionByName(folded).orderBy("side", "o_orderkey")
+    }),
+
+    // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
+    // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
+    // commit machinery as CHECK constraints — property changes are
+    // transactional, versioned (the set at any historical version is
+    // readable), checkpoint-folded, and non-breaking for incremental
+    // consumers; `SHOW TBLPROPERTIES` reads the resolved set back
+    "q148_sql_tblproperties" -> ((s, d) => {
+      val root = scratch(s, "q148", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t148")
+      ord(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q148_src")
+      lm.sql("INSERT INTO t148 SELECT * FROM q148_src") // v1
+      lm.sql("ALTER TABLE t148 SET TBLPROPERTIES " +
+        "('team'='data-eng', 'pii'='false')") // v2
+      lm.sql("ALTER TABLE t148 SET TBLPROPERTIES ('pii'='true')") // v3
+      lm.sql("ALTER TABLE t148 UNSET TBLPROPERTIES ('team')") // v4
+      val log = lm.commitLog("t148")
+      assert(log.latestVersion() == 4L)
+      assert(log.properties(Some(2L)) ==
+        Map("team" -> "data-eng", "pii" -> "false"),
+        "the set at a historical version must be readable")
+      assert(log.properties(None) == Map("pii" -> "true"))
+      def mustRefuse(stmt: String): Unit = {
+        val refused =
+          try { lm.sql(stmt); false }
+          catch { case _: Exception => true }
+        assert(refused, s"must refuse: $stmt")
+      }
+      mustRefuse("ALTER TABLE t148 UNSET TBLPROPERTIES ('absent')")
+      lm.sql("ALTER TABLE t148 UNSET TBLPROPERTIES IF EXISTS ('absent')")
+      assert(log.latestVersion() == 4L,
+        "an IF EXISTS no-op must not burn a commit")
+      lm.sql("SHOW TBLPROPERTIES t148")
+        .select(concat(lit("prop:"), col("key")).as("k"),
+          col("value").as("v"))
+        .unionByName(s.sql(
+          "SELECT 'rows' AS k, CAST(count(*) AS STRING) AS v FROM t148"))
+        .orderBy("k")
+    }),
+
     // COMMIT-LOG RETENTION: expire the prefix behind a checkpoint —
     // files stranded by the pre-boundary replace are reclaimed
     // (asserted by data-file count arithmetic), the live and boundary
@@ -7245,6 +7347,21 @@ object SparkEntry {
         |  FROM orders, b WHERE o_orderkey <= lo + e)
         |SELECT * FROM merged WHERE o_custkey % 10 <> 3
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q149_dv_delete" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 3) AND NOT (o_custkey % 5 = 2))
+        |SELECT 'mor' AS side, * FROM kept
+        |UNION ALL
+        |SELECT 'folded', * FROM kept
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    "q148_sql_tblproperties" ->
+      """SELECT 'prop:pii' AS k, 'true' AS v
+        |UNION ALL
+        |SELECT 'rows', CAST(count(*) AS VARCHAR) FROM orders
+        |ORDER BY k""".stripMargin,
 
     "q147_sql_constraints" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

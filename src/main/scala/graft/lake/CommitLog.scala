@@ -244,17 +244,18 @@ final class CommitLog(spark: SparkSession, root: String) {
           Some((node.path("txn").path("app").asText(),
             node.path("txn").path("batch").asLong()))
         else None
-      val cons: Option[Map[String, String]] =
-        if (!node.has("constraints")) None
+      def obj(field: String): Option[Map[String, String]] =
+        if (!node.has(field)) None
         else {
           val m = scala.collection.mutable.Map[String, String]()
-          node.path("constraints").fields().forEachRemaining(e =>
+          node.path(field).fields().forEachRemaining(e =>
             m(e.getKey) = e.getValue.asText())
           Some(m.toMap)
         }
       Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn,
         schemaOfNode(node), statsOfNode(node),
-        node.path("ts").asLong(0L), schemaGroupsOfNode(node), cons)
+        node.path("ts").asLong(0L), schemaGroupsOfNode(node),
+        obj("constraints"), obj("props"))
     }
   }
 
@@ -428,10 +429,14 @@ final class CommitLog(spark: SparkSession, root: String) {
         case "delete" => ts = ts ++ c.files
         // an UPSERT swaps its touched inputs for its merged outputs —
         // the same in-place exchange as a rewrite (only the rows
-        // differ, which resolution never sees)
+        // differ, which resolution never sees). A rewrite may also
+        // RETIRE positional-delete tombstones whose every mark it
+        // just applied (listing them in `removed`) — dead marks must
+        // not subtract forever.
         case "rewrite" | "upsert" =>
           val rm = c.removed.toSet
           data = data.filterNot(rm) ++ c.files
+          ts = ts.filterNot(rm)
           sch = sch -- rm ++ recorded
           sp = sp -- rm ++ c.stats
         // a RESTORE (or a shallow CLONE's founding commit) resets the
@@ -581,8 +586,86 @@ final class CommitLog(spark: SparkSession, root: String) {
     * name. Metadata-only — the log IS the schema registry; a footer
     * probe happens ONLY for files whose commit predates schema
     * recording (bounded by that legacy file count, never the lake). */
+  // ---- positional deletion vectors --------------------------------------
+  //
+  // A second tombstone class alongside keyed MOR deletes: `delete`
+  // commits whose files are named `dv-*.parquet` carry (__dv_file,
+  // __dv_pos) rows — per-file ROW POSITIONS marked deleted (the Delta
+  // deletion-vector design, rows instead of bitmaps). Classification
+  // is by NAME, so no footer is opened to tell the classes apart.
+  // Positional marks are valid only for the exact file they name —
+  // files are immutable, so a mark can never mis-apply — but they do
+  // NOT survive a rewrite (positions change), so every path that
+  // re-homes rows (OPTIMIZE, merge, copy-on-write DELETE/UPDATE)
+  // applies standing marks to its inputs first, and concurrent
+  // dv-vs-rewrite races CONFLICT instead of resurrecting rows.
+
+  private def isDvName(n: String): Boolean =
+    new Path(n).getName.startsWith("dv-")
+
+  /** The absolute-path prefix a scan's `_metadata.file_path` carries
+    * for files under `data/` — LEARNED from one probe row (path
+    * rendering differs between Path.toString and the scanner's URI
+    * form; deriving it from observation is robust to both), cached
+    * per handle. */
+  @volatile private var dvPrefix: Option[String] = None
+  private def learnedPrefix(anyLive: String): String = {
+    dvPrefix.getOrElse {
+      val abs = spark.read.parquet(dataPath(anyLive))
+        .select(org.apache.spark.sql.functions.col("_metadata.file_path"))
+        .head().getString(0)
+      require(abs.endsWith(anyLive),
+        s"scan path $abs does not end with committed name $anyLive")
+      val p = abs.dropRight(anyLive.length)
+      dvPrefix = Some(p)
+      p
+    }
+  }
+
+  /** `(relative committed name, row position)` columns for a scan —
+    * the join key positional marks subtract on. Pure codegen string
+    * ops; the prefix is learned once. */
+  private def posCols(prefix: String)
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, length, lit, substring}
+    Seq(
+      col("_metadata.file_path")
+        .substr(lit(prefix.length + 1),
+          length(col("_metadata.file_path")))
+        .as("__file_name"),
+      col("_metadata.row_index").as("__row_pos"))
+  }
+
+  /** Subtract positional marks from a position-carrying frame and drop
+    * the position columns. */
+  private def minusDv(withPos: DataFrame, dvNames: Seq[String])
+      : DataFrame = {
+    if (dvNames.isEmpty)
+      return withPos.drop("__file_name", "__row_pos")
+    val paths = dvNames.map(dataPath)
+    val dvf = spark.read.parquet(paths: _*)
+    withPos.join(
+      SchemaTools.broadcastIfUnder(spark, dvf,
+        SchemaTools.bytesOf(spark, paths)),
+      withPos("__file_name") === dvf("__dv_file") &&
+        withPos("__row_pos") === dvf("__dv_pos"),
+      "left_anti")
+      .drop("__file_name", "__row_pos")
+  }
+
+  /** [[readConformed]] with standing positional marks applied — what
+    * every REWRITE path reads its inputs through (a re-homed row must
+    * not resurrect a positionally-deleted one). */
+  private def readApplied(names: Seq[String],
+      schemaOf: Map[String, StructType],
+      dvNames: Seq[String]): DataFrame =
+    if (dvNames.isEmpty || names.isEmpty)
+      readConformed(names, schemaOf)
+    else minusDv(readConformed(names, schemaOf, withPos = true), dvNames)
+
   private def readConformed(names: Seq[String],
-      schemaOf: Map[String, StructType]): DataFrame = {
+      schemaOf: Map[String, StructType],
+      withPos: Boolean = false): DataFrame = {
     val known: Seq[(String, StructType)] =
       names.flatMap(n => schemaOf.get(n).map(n -> _))
     val unknown = names.filterNot(schemaOf.contains)
@@ -614,13 +697,32 @@ final class CommitLog(spark: SparkSession, root: String) {
       .sorted.mkString(",")
     val groups = all.groupBy { case (_, st) => key(st) }.values.toSeq
       .sortBy(g => key(g.head._2))
-    if (groups.size <= 1) scan(None, names.map(dataPath))
+    // position columns ride each group scan (metadata columns must be
+    // selected off the SCAN, before any conform projection)
+    if (withPos)
+      require(names.forall(n => !borrowed._2(n)),
+        "position-carrying reads over borrowed (clone-referenced) " +
+          "files are not supported — localize the clone first")
+    def meta(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else df.select(
+        (df.columns.toSeq.map(org.apache.spark.sql.functions.col) ++
+          posCols(learnedPrefix(names.head))): _*)
+    if (groups.size <= 1) meta(scan(None, names.map(dataPath)))
     else {
       val unified = SchemaTools.unifySchemas(groups.map(_.head._2))
+      val keep =
+        if (!withPos) Seq.empty[String] else Seq("__file_name", "__row_pos")
       groups.map { g =>
-        SchemaTools.conformTo(
-          scan(Some(g.head._2), g.map(x => dataPath(x._1))),
-          unified)
+        val s = meta(scan(Some(g.head._2), g.map(x => dataPath(x._1))))
+        val have = s.columns.toSet
+        s.select((unified.fields.toSeq.map { f =>
+          if (have.contains(f.name))
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        } ++ keep.map(org.apache.spark.sql.functions.col)): _*)
       }.reduce(_.unionByName(_))
     }
   }
@@ -634,17 +736,23 @@ final class CommitLog(spark: SparkSession, root: String) {
     val scanNames = predicate.filter(_ => !mappingActive)
       .flatMap(p => prunedLive(p, r.data, r.spanOf))
       .getOrElse(r.data)
+    // the two tombstone classes subtract independently: keyed MOR
+    // deletes by key equality, positional deletion vectors by
+    // (file, row position) — the latter needs the scan to carry its
+    // positions, free when no marks stand
+    val (dvNames, keyedNames) = r.tombstones.partition(isDvName)
     val base =
       if (scanNames.isEmpty)
         // every file pruned out: keep the (unified) schema, zero rows
         readConformed(r.data, r.schemaOf).limit(0)
-      else readConformed(scanNames, r.schemaOf)
+      else readConformed(scanNames, r.schemaOf,
+        withPos = dvNames.nonEmpty)
     // tombstone keys are physical names: subtract BEFORE the mapping,
     // exactly like LakeReader.load
-    val subtracted =
-      if (r.tombstones.isEmpty) base
+    val keySubtracted =
+      if (keyedNames.isEmpty || scanNames.isEmpty) base
       else {
-        val paths = r.tombstones.map(dataPath)
+        val paths = keyedNames.map(dataPath)
         val ts = spark.read.parquet(paths: _*).distinct()
         // broadcast only while the debt is small (applyTombstones
         // folding bounds it by contract, but the contract must not be
@@ -655,6 +763,9 @@ final class CommitLog(spark: SparkSession, root: String) {
           ts.columns.map(k => base(k) <=> ts(k)).reduce(_ && _),
           "left_anti")
       }
+    val subtracted =
+      if (dvNames.isEmpty || scanNames.isEmpty) keySubtracted
+      else minusDv(keySubtracted, dvNames)
     val mapped = marker
       .map(i => SchemaTools.applyRenames(subtracted, i.renames)
         .drop(i.dropped.toSeq: _*))
@@ -672,7 +783,9 @@ final class CommitLog(spark: SparkSession, root: String) {
     * ONLY the key columns; their schema IS the key list. */
   def deleteKeysMor(keyBatch: DataFrame, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "deleteKeysMor needs at least one key column")
-    val existing = resolve(None).tombstones
+    // key-schema lock applies to the KEYED class only (positional
+    // `dv-*` marks are a separate class with their own fixed schema)
+    val existing = resolve(None).tombstones.filterNot(isDvName)
     if (existing.nonEmpty) {
       val prior =
         spark.read.parquet(dataPath(existing.head)).columns.sorted.toSeq
@@ -757,6 +870,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the range re-homes already-applied rows — re-baseline")
+    // positional marks are (file, row position) — meaningless to a
+    // key-driven replica; refuse like the other non-decomposable kinds
+    val dvDeletes = cs.filter(c =>
+      c.kind == "delete" && c.files.exists(isDvName))
+    require(dvDeletes.isEmpty,
+      s"positional delete ${dvDeletes.map(c => s"v${c.version}")
+        .mkString(", ")} inside the range has no key form — re-baseline")
     val parts = cs
       .filter(c =>
         (c.kind == "append" || c.kind == "delete") && c.files.nonEmpty)
@@ -975,12 +1095,17 @@ final class CommitLog(spark: SparkSession, root: String) {
       schema: Option[StructType] = None,
       stats: Map[String, FileSpans] = Map.empty,
       schemaGroups: Map[String, StructType] = Map.empty,
-      constraints: Option[Map[String, String]] = None): Boolean = {
+      constraints: Option[Map[String, String]] = None,
+      props: Option[Map[String, String]] = None): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
     constraints.foreach { cs =>
       val cn = node.putObject("constraints")
       cs.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
+    }
+    props.foreach { ps =>
+      val pn = node.putObject("props")
+      ps.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
     // commit timestamp, forced monotone across versions (the Delta
     // in-commit-timestamp rule): a later version never records an
@@ -1176,7 +1301,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       zorderBy: Seq[String] = Nil,
       where: Option[String] = None): Option[Long] = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    val r = resolve(None)
+    val plannedV = latestVersion()
+    val r = resolve(Some(plannedV))
     // OPTIMIZE WHERE (selective compaction): only files whose
     // log-carried spans MIGHT hold predicate-matching rows are
     // rewritten — whole files, never filtered rows, so the rewrite
@@ -1190,8 +1316,34 @@ final class CommitLog(spark: SparkSession, root: String) {
     if (inputs.size <= targetFiles && zorderBy.isEmpty) return None
     // schema-aware pack: drifted inputs conform to the unified schema,
     // so the rewrite ALSO heals heterogeneity (the packed files all
-    // carry the wide schema — exactly what a layout rewrite is for)
-    val raw = readConformed(inputs, r.schemaOf)
+    // carry the wide schema — exactly what a layout rewrite is for).
+    // Standing POSITIONAL marks apply here (OPTIMIZE is the DV fold):
+    // re-homed rows must not resurrect positionally-deleted ones;
+    // keyed tombstones deliberately do NOT apply (they keep
+    // subtracting from the packed files by key).
+    val dvStanding = r.tombstones.filter(isDvName)
+    val raw = readApplied(inputs, r.schemaOf, dvStanding)
+    // positional tombstones whose EVERY mark lands in this rewrite's
+    // inputs are fully applied by it — retire them in the same commit
+    // (listed in `removed`), or dead marks subtract on every read
+    // forever. A mark file also touching out-of-band files stays.
+    // "fully applied" = no mark on a LIVE file outside this pack
+    // (marks on files already dead can never subtract again — they
+    // don't block retirement)
+    val liveOutside = r.data.filterNot(inputs.toSet)
+    val deadDv: Seq[String] =
+      if (dvStanding.isEmpty) Nil
+      else if (liveOutside.isEmpty) dvStanding
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name, max}
+        spark.read.parquet(dvStanding.map(dataPath): _*)
+          .groupBy(input_file_name().as("__src"))
+          .agg(max(col("__dv_file").isin(liveOutside: _*))
+            .as("anyLiveOutside"))
+          .filter(!col("anyLiveOutside"))
+          .select("__src").collect()
+          .map(x => relName(x.getString(0))).toSeq
+      }
     // zorderBy: re-cluster along the Morton curve instead of a plain
     // repartition — the OPTIMIZE ZORDER BY composition; same rewrite
     // commit, but the packed layout now serves multi-axis span pruning
@@ -1205,12 +1357,26 @@ final class CommitLog(spark: SparkSession, root: String) {
     var v = latestVersion() + 1
     var done = false
     while (!done) {
-      val liveNow = resolve(None).data.toSet
+      val tip = latestVersion()
+      val liveNow = resolve(Some(tip)).data.toSet
       if (!inputSet.subsetOf(liveNow))
         throw new java.util.ConcurrentModificationException(
           "optimize planned on files a concurrent replace/rewrite " +
             "removed — re-plan on fresh state")
-      done = tryCas(v, "rewrite", names, removed = inputs,
+      // a concurrent positional delete marking the inputs: this pack
+      // read them before the marks — committing would resurrect the
+      // marked rows in the re-homed outputs
+      val newDv = (plannedV + 1 to tip).map(commit)
+        .filter(_.kind == "delete").flatMap(_.files).filter(isDvName)
+      if (newDv.nonEmpty &&
+          !spark.read.parquet(newDv.map(dataPath): _*)
+            .filter(org.apache.spark.sql.functions.col("__dv_file")
+              .isin(inputs: _*))
+            .isEmpty)
+        throw new java.util.ConcurrentModificationException(
+          "a concurrent positional delete marked files this rewrite " +
+            "re-homes — re-plan on fresh state")
+      done = tryCas(v, "rewrite", names, removed = inputs ++ deadDv,
         schema = Some(raw.schema), stats = spans)
       if (!done) v = latestVersion() + 1
     }
@@ -1318,8 +1484,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     // Disjoint-key merges commute with tombstones by construction:
     // survivors re-home tombstoned rows, but the key subtract still
     // holds wherever they live.
-    if (r.tombstones.nonEmpty) {
-      val tsPaths = r.tombstones.map(dataPath)
+    // (positional marks don't key-clash: the merge applies them to the
+    // files it rewrites via readApplied, and marks on untouched files
+    // subtract positions that still exist)
+    val standingKeyed = r.tombstones.filterNot(isDvName)
+    val standingDv = r.tombstones.filter(isDvName)
+    if (standingKeyed.nonEmpty) {
+      val tsPaths = standingKeyed.map(dataPath)
       val ts = spark.read.parquet(tsPaths: _*).distinct()
       val clash = !batchAligned.join(
         SchemaTools.broadcastIfUnder(spark, ts,
@@ -1355,8 +1526,11 @@ final class CommitLog(spark: SparkSession, root: String) {
     val out =
       if (touched.isEmpty) batchAligned
       else {
+        // positional marks APPLY here: the rewrite re-homes these rows,
+        // so positionally-deleted ones must not travel
         val touchedRows = SchemaTools.conformTo(
-          readConformed(touched, r.schemaOf), batchAligned.schema)
+          readApplied(touched, r.schemaOf, standingDv),
+          batchAligned.schema)
         val cond = physKeys
           .map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
         touchedRows.join(broadcast(batchKeys), cond, "left_anti")
@@ -1417,10 +1591,10 @@ final class CommitLog(spark: SparkSession, root: String) {
         .foreach(why =>
           throw new java.util.ConcurrentModificationException(
             s"$why — re-plan on fresh state"))
-      val newTombstones = window.filter(_.kind == "delete")
-        .flatMap(_.files)
-      if (newTombstones.nonEmpty) {
-        val tsPaths = newTombstones.map(dataPath)
+      val (newDv, newKeyed) = window.filter(_.kind == "delete")
+        .flatMap(_.files).partition(isDvName)
+      if (newKeyed.nonEmpty) {
+        val tsPaths = newKeyed.map(dataPath)
         val ts = spark.read.parquet(tsPaths: _*).distinct()
         val clash = !batchAligned.join(
           SchemaTools.broadcastIfUnder(spark, ts,
@@ -1432,6 +1606,17 @@ final class CommitLog(spark: SparkSession, root: String) {
             "a concurrent delete holds keys this merge writes " +
               "(ConcurrentDelete) — re-plan on fresh state")
       }
+      // a concurrent POSITIONAL delete marking files this merge is
+      // re-homing: the merge read its inputs before the marks — the
+      // re-homed rows would resurrect them. Marks on untouched files
+      // commute (their positions stay live).
+      if (newDv.nonEmpty && touched.nonEmpty &&
+          !spark.read.parquet(newDv.map(dataPath): _*)
+            .filter(col("__dv_file").isin(touched: _*))
+            .isEmpty)
+        throw new java.util.ConcurrentModificationException(
+          "a concurrent positional delete marked files this merge " +
+            "re-homes (ConcurrentDelete) — re-plan on fresh state")
       enforceConstraints(names)
       done = tryCas(v, kind, names, removed = touched, txn = txn,
         schema = Some(out.schema), stats = spans)
@@ -1475,17 +1660,21 @@ final class CommitLog(spark: SparkSession, root: String) {
         .select(input_file_name().as("__file")).distinct()
         .collect().map(x => relName(x.getString(0))).toSeq
     if (touched.isEmpty) return (plannedV, 0)
-    val out = readConformed(touched, r.schemaOf).filter(not(hit))
+    // standing positional marks apply to the rewritten survivors
+    val out = readApplied(touched, r.schemaOf,
+      r.tombstones.filter(isDvName)).filter(not(hit))
     val names = stage(out)
     val spans = spansOf(names, Some(out.schema))
     val touchedSet = touched.toSet
     var v = latestVersion() + 1
     var done = false
     while (!done) {
-      if (!touchedSet.subsetOf(resolve(None).data.toSet))
+      val tip = latestVersion()
+      if (!touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
         throw new java.util.ConcurrentModificationException(
           "deleteWhere planned on files a concurrent commit removed " +
             "— re-plan on fresh state")
+      conflictOnWindowDv(plannedV, tip, touched)
       done = tryCas(v, "upsert", names, removed = touched,
         schema = Some(out.schema), stats = spans)
       if (!done) v = latestVersion() + 1
@@ -1493,6 +1682,114 @@ final class CommitLog(spark: SparkSession, root: String) {
     FileStats.invalidate(spark, root)
     notifyCommit()
     (v, touched.size)
+  }
+
+  /** Row-level DELETE WHERE with ZERO data-file writes — positional
+    * deletion vectors (the Delta DV design): matching rows are marked
+    * by (file, row position) in a `dv-*.parquet` tombstone, committed
+    * as ONE `delete` commit. At 100 TB an arbitrary-predicate delete
+    * costs O(matched rows of metadata), not a rewrite of every touched
+    * file; readers subtract marks via one anti-join on (file, pos);
+    * time travel before the commit serves the rows. Marks are
+    * position-exact for IMMUTABLE files, so they can never mis-apply —
+    * but they do not survive re-homing, so every rewrite path applies
+    * standing marks to its inputs ([[readApplied]]) and a mark
+    * committing against files a concurrent rewrite removed CONFLICTS
+    * here (re-plan on fresh state: the positions are meaningless in
+    * the re-homed files). OPTIMIZE is the fold: rewritten files leave
+    * the live set and their marks become dead weight vacuum-class
+    * metadata. NULL predicate rows are KEPT (SQL WHERE). No-match
+    * burns no commit. Not supported under active column mapping or on
+    * clones with borrowed files (positions need this table's own scan
+    * prefix). */
+  def deleteWhereMor(predicate: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(
+      !SchemaTools.readSchemaMarkerInfo(spark, root)
+        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
+      "deleteWhereMor under active column mapping is not supported — " +
+        "apply the mapping (replace with the mapped read) first")
+    val plannedV = latestVersion()
+    val r = resolve(Some(plannedV))
+    if (r.data.isEmpty) return (plannedV, 0L)
+    val hit = coalesce(expr(predicate), lit(false))
+    val candidates = prunedLive(predicate, r.data, r.spanOf)
+      .getOrElse(r.data)
+    if (candidates.isEmpty) return (plannedV, 0L)
+    // positions of matching rows, EXCLUDING rows already marked (a
+    // re-delete of the same band must be a cheap no-op, not a
+    // duplicate mark pile)
+    val standing = r.tombstones.filter(isDvName)
+    val matched = minusDvKeepPos(
+      readConformed(candidates, r.schemaOf, withPos = true), standing)
+      .filter(hit)
+      .select(org.apache.spark.sql.functions.col("__file_name")
+          .as("__dv_file"),
+        org.apache.spark.sql.functions.col("__row_pos").as("__dv_pos"))
+    val names = stageDv(matched)
+    if (names.isEmpty) return (plannedV, 0L)
+    val spans = spansOf(names)
+    val nMarked = spans.values.map(_.nRows).sum
+    if (nMarked == 0L) return (plannedV, 0L)
+    val markedFiles = spark.read.parquet(names.map(dataPath): _*)
+      .select("__dv_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      if (!markedFiles.subsetOf(resolve(None).data.toSet))
+        throw new java.util.ConcurrentModificationException(
+          "deleteWhereMor marked positions in files a concurrent " +
+            "commit re-homed — re-plan on fresh state")
+      done = tryCas(v, "delete", names, stats = spans)
+      if (!done) v = latestVersion() + 1
+    }
+    notifyCommit()
+    (v, nMarked)
+  }
+
+  /** [[minusDv]] but KEEPING the position columns (the delete planner
+    * needs them after the subtraction). */
+  private def minusDvKeepPos(withPos: DataFrame, dvNames: Seq[String])
+      : DataFrame =
+    if (dvNames.isEmpty) withPos
+    else {
+      val paths = dvNames.map(dataPath)
+      val dvf = spark.read.parquet(paths: _*)
+      withPos.join(
+        SchemaTools.broadcastIfUnder(spark, dvf,
+          SchemaTools.bytesOf(spark, paths)),
+        withPos("__file_name") === dvf("__dv_file") &&
+          withPos("__row_pos") === dvf("__dv_pos"),
+        "left_anti")
+    }
+
+  /** Stage a (__dv_file, __dv_pos) frame as `dv-*` tombstone files —
+    * the name prefix IS the classification (no footer opened to tell
+    * positional marks from keyed tombstones). */
+  private def stageDv(marks: DataFrame): Seq[String] =
+    stage(marks.coalesce(1), flat = true).map { n =>
+      val dest = s"dv-$n"
+      fs.rename(new Path(dataDir, n), new Path(dataDir, dest))
+      dest
+    }
+
+  /** Throw if a positional-delete commit in `(plannedV, tip]` marks
+    * any of `rewriting` — the rewrite read those files before the
+    * marks, so committing would resurrect the marked rows. */
+  private def conflictOnWindowDv(plannedV: Long, tip: Long,
+      rewriting: Seq[String]): Unit = {
+    if (tip <= plannedV || rewriting.isEmpty) return
+    val newDv = (plannedV + 1 to tip).map(commit)
+      .filter(_.kind == "delete").flatMap(_.files).filter(isDvName)
+    if (newDv.nonEmpty &&
+        !spark.read.parquet(newDv.map(dataPath): _*)
+          .filter(org.apache.spark.sql.functions.col("__dv_file")
+            .isin(rewriting: _*))
+          .isEmpty)
+      throw new java.util.ConcurrentModificationException(
+        "a concurrent positional delete marked files this rewrite " +
+          "re-homes — re-plan on fresh state")
   }
 
   /** Row-level UPDATE SET ... WHERE as ONE atomic copy-on-write commit
@@ -1533,7 +1830,9 @@ final class CommitLog(spark: SparkSession, root: String) {
         .select(input_file_name().as("__file")).distinct()
         .collect().map(x => relName(x.getString(0))).toSeq
     if (touched.isEmpty) return (plannedV, 0)
-    val base = readConformed(touched, r.schemaOf)
+    // standing positional marks apply to the rewritten rows
+    val base = readApplied(touched, r.schemaOf,
+      r.tombstones.filter(isDvName))
     val setOf = sets.toMap
     require(sets.size == setOf.size,
       s"duplicate assignment targets in ${sets.map(_._1).mkString(",")}")
@@ -1558,10 +1857,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     var v = latestVersion() + 1
     var done = false
     while (!done) {
-      if (!touchedSet.subsetOf(resolve(None).data.toSet))
+      val tip = latestVersion()
+      if (!touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
         throw new java.util.ConcurrentModificationException(
           "updateWhere planned on files a concurrent commit removed " +
             "— re-plan on fresh state")
+      conflictOnWindowDv(plannedV, tip, touched)
       // assignments can violate CHECK constraints; gate per attempt
       enforceConstraints(names)
       done = tryCas(v, "upsert", names, removed = touched,
@@ -1597,9 +1898,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     * manifest scan per commit attempt. */
   private def metaHint = new Path(commitsDir, "_has_meta")
 
-  /** The named CHECK constraint set at `asOf` (latest by default):
-    * checkpoint base, then the last `meta` commit at or below wins. */
-  def constraints(asOf: Option[Long] = None): Map[String, String] = {
+  /** Resolve a meta payload at `asOf`: checkpoint base, then the last
+    * `meta` commit CARRYING that payload at or below wins (payloads
+    * are independent — a constraints-only meta leaves props alone). */
+  private def metaSet(field: String,
+      of: Commit => Option[Map[String, String]],
+      asOf: Option[Long]): Map[String, String] = {
     if (!fs.exists(metaHint)) return Map.empty
     val hi = asOf.getOrElse(latestVersion())
     if (hi < 1) return Map.empty
@@ -1609,16 +1913,68 @@ final class CommitLog(spark: SparkSession, root: String) {
           .readTree(TimeFly.readText(fs, checkpointFile(cv)))
           .asInstanceOf[ObjectNode]
         val m = scala.collection.mutable.Map[String, String]()
-        if (node.has("constraints"))
-          node.path("constraints").fields().forEachRemaining(e =>
+        if (node.has(field))
+          node.path(field).fields().forEachRemaining(e =>
             m(e.getKey) = e.getValue.asText())
         (m.toMap, cv + 1)
       case None => (Map.empty[String, String], 1L)
     }
     (from to hi).map(commit).foldLeft(base) { (acc, c) =>
-      c.constraints.getOrElse(acc)
+      of(c).getOrElse(acc)
     }
   }
+
+  /** The named CHECK constraint set at `asOf` (latest by default). */
+  def constraints(asOf: Option[Long] = None): Map[String, String] =
+    metaSet("constraints", _.constraints, asOf)
+
+  /** TABLE PROPERTIES at `asOf` — the Delta TBLPROPERTIES analog:
+    * free-form (key, value) metadata versioned by the same meta
+    * commits the constraint set rides, so property changes are
+    * transactional, historical, and truncation-surviving. */
+  def properties(asOf: Option[Long] = None): Map[String, String] =
+    metaSet("props", _.props, asOf)
+
+  /** SET TBLPROPERTIES: one meta commit with the merged map. */
+  def setProperties(kv: Map[String, String]): Long = {
+    require(kv.nonEmpty, "nothing to set")
+    var done = false
+    var v = 0L
+    while (!done) {
+      val plannedV = latestVersion()
+      v = plannedV + 1
+      done = tryCas(v, "meta", Nil,
+        props = Some(properties(Some(plannedV)) ++ kv))
+    }
+    ensureMetaHint()
+    notifyCommit()
+    v
+  }
+
+  /** UNSET TBLPROPERTIES [IF EXISTS]: one meta commit minus the keys. */
+  def unsetProperties(keys: Seq[String], ifExists: Boolean = false)
+      : Long = {
+    var done = false
+    var v = 0L
+    while (!done) {
+      val plannedV = latestVersion()
+      val cur = properties(Some(plannedV))
+      val missing = keys.filterNot(cur.contains)
+      require(ifExists || missing.isEmpty,
+        s"no such properties: ${missing.mkString(", ")}")
+      if ((cur -- keys) == cur) return plannedV // no-op burns no commit
+      v = plannedV + 1
+      done = tryCas(v, "meta", Nil, props = Some(cur -- keys))
+    }
+    notifyCommit()
+    v
+  }
+
+  private def ensureMetaHint(): Unit =
+    if (!fs.exists(metaHint)) {
+      val out = fs.create(metaHint, true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+    }
 
   /** ADD CONSTRAINT name CHECK (predicate): refuses if the name stands
     * or any LIVE row violates (the Delta rule — existing data must
@@ -1653,10 +2009,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     }
     // hint AFTER the commit wins: readers that miss it only skip a
     // set that provably doesn't exist yet
-    if (!fs.exists(metaHint)) {
-      val out = fs.create(metaHint, true)
-      try out.write("1".getBytes("UTF-8")) finally out.close()
-    }
+    ensureMetaHint()
     notifyCommit()
     v
   }
@@ -1791,6 +2144,10 @@ final class CommitLog(spark: SparkSession, root: String) {
         "borrowed partition paths cannot resolve under the clone's " +
         "basePath; OPTIMIZE-localize or deep-copy instead")
     val r = resolve(None)
+    require(!r.tombstones.exists(isDvName),
+      "shallow clone with standing positional deletes is not " +
+        "supported — positions are relative to this table's own scan " +
+        "prefix; OPTIMIZE (which applies the marks) first")
     val dest = CommitLog(spark, destRoot).init()
     require(dest.latestVersion() == 0L,
       s"clone destination $destRoot already has commits")
@@ -1946,12 +2303,18 @@ final class CommitLog(spark: SparkSession, root: String) {
       val tn = node.putObject("txns")
       marks.foreach { case (a, b) => tn.put(a, b) }
     }
-    // fold the CHECK constraint set at v — table metadata must survive
-    // log truncation exactly like schema history and txn marks do
+    // fold the CHECK constraint set and table properties at v — table
+    // metadata must survive log truncation exactly like schema history
+    // and txn marks do
     val cs = constraints(Some(v))
     if (cs.nonEmpty) {
       val cn = node.putObject("constraints")
       cs.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
+    }
+    val ps = properties(Some(v))
+    if (ps.nonEmpty) {
+      val pn = node.putObject("props")
+      ps.toSeq.sortBy(_._1).foreach { case (k, x) => pn.put(k, x) }
     }
     // same temp-then-rename visibility as commits: a reader sees the
     // whole checkpoint or none (none only costs a full log replay)
@@ -2126,7 +2489,8 @@ object CommitLog {
       stats: Map[String, FileSpans] = Map.empty,
       ts: Long = 0L,
       schemaGroups: Map[String, StructType] = Map.empty,
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      props: Option[Map[String, String]] = None)
 
   /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the

@@ -203,6 +203,8 @@ final class LakeManager(spark: SparkSession, root: String) {
     *                                       -> [[CommitLog.updateWhere]]
     *  - `ALTER TABLE t ADD CONSTRAINT c CHECK (<pred>)` /
     *    `DROP CONSTRAINT [IF EXISTS] c`    -> [[CommitLog.addConstraint]]
+    *  - `ALTER TABLE t SET TBLPROPERTIES (...)` / `UNSET TBLPROPERTIES`
+    *    / `SHOW TBLPROPERTIES t`           -> [[CommitLog.setProperties]]
     *  - `SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF <expr>`
     *                                       -> versioned read (grafted
     *                                          into the statement's plan)
@@ -225,8 +227,12 @@ final class LakeManager(spark: SparkSession, root: String) {
     def targetName(plan: LogicalPlan): Option[String] = plan match {
       case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
         Some(r.multipartIdentifier.head)
-      // ALTER TABLE statements parse their target as UnresolvedTable
+      // ALTER TABLE statements parse their target as UnresolvedTable;
+      // SHOW TBLPROPERTIES as UnresolvedTableOrView
       case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+          if t.multipartIdentifier.size == 1 =>
+        Some(t.multipartIdentifier.head)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
           if t.multipartIdentifier.size == 1 =>
         Some(t.multipartIdentifier.head)
       case SubqueryAlias(_, child) => targetName(child)
@@ -322,7 +328,14 @@ final class LakeManager(spark: SparkSession, root: String) {
         managedLog(d.table) match {
           case None => spark.sql(statement)
           case Some(log) =>
-            log.deleteWhere(unqualify(d.condition, d.table).sql)
+            val pred = unqualify(d.condition, d.table).sql
+            // the `delete.mode` table property picks the physical
+            // strategy: 'positional' = zero-rewrite deletion vectors,
+            // default = copy-on-write
+            if (log.properties(None).get("delete.mode")
+                .contains("positional"))
+              log.deleteWhereMor(pred)
+            else log.deleteWhere(pred)
             log.read(None)
         }
       case u: UpdateTable =>
@@ -357,6 +370,31 @@ final class LakeManager(spark: SparkSession, root: String) {
             if (!(d.ifExists && !log.constraints(None).contains(d.name)))
               log.dropConstraint(d.name)
             log.read(None)
+        }
+      case p: SetTableProperties =>
+        managedLog(p.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            log.setProperties(p.properties)
+            log.read(None)
+        }
+      case p: UnsetTableProperties =>
+        managedLog(p.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            log.unsetProperties(p.propertyKeys, p.ifExists)
+            log.read(None)
+        }
+      case p: ShowTableProperties =>
+        managedLog(p.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            import spark.implicits._
+            val all = log.properties(None).toSeq.sortBy(_._1)
+            p.propertyKey match {
+              case Some(k) => all.filter(_._1 == k).toDF("key", "value")
+              case None => all.toDF("key", "value")
+            }
         }
       case other =>
         // SELECT-side time travel: `FROM t VERSION AS OF n` /

@@ -1023,6 +1023,85 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("table properties: meta-commit versioned, independent of the " +
+      "constraint payload, checkpoint+truncation surviving") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogpr")).init()
+    log.append(Seq((1, 5.0)).toDF("id", "amt")) // v1
+    log.setProperties(Map("team" -> "a", "tier" -> "gold")) // v2
+    log.addConstraint("pos", "amt > 0") // v3 — constraints-only meta
+    // the constraints meta must NOT clobber the property set
+    assert(log.properties(None) ==
+      Map("team" -> "a", "tier" -> "gold"))
+    log.setProperties(Map("team" -> "b")) // v4 — merge semantics
+    assert(log.properties(None) == Map("team" -> "b", "tier" -> "gold"))
+    assert(log.properties(Some(2L)) ==
+      Map("team" -> "a", "tier" -> "gold"),
+      "historical property sets stay readable")
+    log.checkpoint(4L)
+    log.expireBefore(4L)
+    assert(log.properties(None) == Map("team" -> "b", "tier" -> "gold"))
+    assert(log.constraints(None) == Map("pos" -> "amt > 0"),
+      "both payloads fold through the checkpoint")
+    log.unsetProperties(Seq("tier"))
+    assert(log.properties(None) == Map("team" -> "b"))
+    intercept[IllegalArgumentException] {
+      log.unsetProperties(Seq("absent"))
+    }
+  }
+
+  test("positional deletion vectors: coexist with keyed tombstones, " +
+      "apply on every rewrite path (merge/update/delete/optimize), " +
+      "never resurrect, and the incompatible surfaces refuse") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogdv")).init()
+    log.append(spark.range(100)
+      .select(col("id"), (col("id") * 2).as("v"))
+      .repartition(2, col("id"))) // v1
+    // positional mark on a band + keyed tombstone on two ids: BOTH
+    // classes subtract from one read
+    val (_, marked) = log.deleteWhereMor("id % 10 = 7") // v2
+    assert(marked == 10L)
+    log.deleteKeysMor(Seq(4L, 8L).toDF("id"), Seq("id")) // v3
+    val ids = log.read(None).select("id").as[Long].collect().toSet
+    assert(ids.size == 88 && !ids(7L) && !ids(17L) && !ids(4L) && !ids(8L),
+      s"both tombstone classes must subtract: ${ids.size}")
+    // a keyed MERGE re-homes touched files: marked rows must not
+    // resurrect in the merged outputs, merged row lands
+    log.upsert(Seq((3L, 999L)).toDF("id", "v"), Seq("id")) // v4
+    val after = log.read(None)
+    assert(after.filter(col("id") === 7L).isEmpty,
+      "a merge must apply standing marks to the files it re-homes")
+    assert(after.filter(col("id") === 3L).select("v").as[Long]
+      .head() == 999L)
+    // copy-on-write UPDATE applies marks too
+    log.updateWhere(Seq("v" -> "v + 1"), Some("id = 5")) // v5
+    assert(log.read(None).filter(col("id") === 7L).isEmpty)
+    // marking rows in a file a rewrite just removed: the planner
+    // re-plans on fresh state, never marks dead positions
+    val (_, reMarked) = log.deleteWhereMor("id % 10 = 1") // v6
+    assert(reMarked == 10L)
+    assert(log.read(None).filter(col("id") % 10 === 1).isEmpty)
+    // refusals: changesSince has no key form for positional marks;
+    // shallow clone cannot re-prefix positions
+    intercept[IllegalArgumentException] { log.changesSince(0L) }
+    intercept[IllegalArgumentException] {
+      log.cloneTo(TestSpark.tempDir("clogdvc"))
+    }
+    // OPTIMIZE folds: read unchanged, marks reference only dead files
+    val expect = (0L until 100L)
+      .filter(i => i % 10 != 7 && i % 10 != 1 && i != 4L && i != 8L)
+      .toSet
+    assert(log.read(None).select("id").as[Long].collect().toSet
+      == expect)
+    log.optimize(targetFiles = 1)
+    assert(log.read(None).select("id").as[Long].collect().toSet
+      == expect, "the folded read must equal the marked read")
+    // and the fold RETIRES fully-applied marks: no dv tombstone left
+    // standing to anti-join on every future read
+    assert(!log.resolve(None).tombstones.exists(
+      _.startsWith("dv-")),
+      "optimize must retire positional marks it fully applied")
+  }
+
   test("cloneTo refuses a destination whose base marker already exists " +
       "(concurrent initializer) instead of silently overwriting") {
     val log = CommitLog(spark, TestSpark.tempDir("clogcg")).init()

@@ -201,6 +201,32 @@ class LakeManagerSpec extends AnyFunSuite {
     }
   }
 
+  test("the delete.mode table property routes SQL DELETE to positional " +
+      "deletion vectors: zero data files rewritten, marks subtract") {
+    val root = TestSpark.tempDir("lakedv")
+    val lm = LakeManager(spark, root).init()
+    lm.addCommitLog("dvt")
+    import org.apache.spark.sql.functions.col
+    lm.commitLog("dvt").append(
+      spark.range(50).select(col("id"), (col("id") * 3).as("v"))
+        .repartition(2, col("id")))
+    lm.sql("ALTER TABLE dvt SET TBLPROPERTIES " +
+      "('delete.mode'='positional')")
+    val filesBefore = SchemaTools
+      .listDataFiles(spark, s"$root/dvt/data")
+      .filterNot(f => new org.apache.hadoop.fs.Path(f).getName
+        .startsWith("dv-")).sorted
+    lm.sql("DELETE FROM dvt WHERE id % 5 = 0")
+    val filesAfter = SchemaTools
+      .listDataFiles(spark, s"$root/dvt/data")
+      .filterNot(f => new org.apache.hadoop.fs.Path(f).getName
+        .startsWith("dv-")).sorted
+    assert(filesAfter == filesBefore,
+      "positional SQL DELETE must write no data files")
+    assert(spark.sql("SELECT count(*) FROM dvt").as[Long].head() == 40L)
+    assert(lm.commitLog("dvt").commit(3L).files.forall(_.startsWith("dv-")))
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()
