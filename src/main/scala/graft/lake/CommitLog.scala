@@ -1712,6 +1712,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
     if (r.data.isEmpty) return (plannedV, 0L)
+    // refuse on ANY borrowed live file (not just matching candidates):
+    // once marks stand, EVERY read must carry positions, and borrowed
+    // files scan from the source's prefix — a mark landed here would
+    // make the whole table unreadable, not just this delete
+    require(r.data.forall(n => !borrowed._2(n)),
+      "deleteWhereMor on a clone with borrowed files is not " +
+        "supported — OPTIMIZE-localize first")
     val hit = coalesce(expr(predicate), lit(false))
     val candidates = prunedLive(predicate, r.data, r.spanOf)
       .getOrElse(r.data)
