@@ -92,6 +92,13 @@ final class CommitLog(spark: SparkSession, root: String) {
       require(partitionCols == cols,
         s"table is already partitioned by ${partitionCols.mkString(",")}")
     else {
+      // layout is decided at birth: flipping a populated FLAT table
+      // to partitioned would mix data/part-*.parquet with
+      // data/k=v/part-*.parquet and break partition discovery over
+      // the already-committed files
+      require(latestVersion() == 0L,
+        "cannot partition a table that already has commits — " +
+          "partitioning is decided at table creation (or via adopt)")
       val n = mapper.createObjectNode()
       val a = n.putArray("cols")
       cols.foreach(a.add)
@@ -211,17 +218,18 @@ final class CommitLog(spark: SparkSession, root: String) {
     * `data/` (leaf name alone is ambiguous-free but WRONG as a
     * manifest key on a partitioned table). A shallow clone's borrowed
     * files scan from the SOURCE base dir, so their names relativize
-    * against it — the inverse of [[dataPath]] either way. */
+    * against it — the inverse of [[dataPath]] either way. Scan paths
+    * arrive URL-ENCODED (see [[decodedPath]]); comparison happens in
+    * the decoded (on-disk) form committed names use. */
   private def relName(absolute: String): String = {
-    val uri = fs.makeQualified(new Path(absolute)).toUri
-    val underData = fs.makeQualified(dataDir).toUri.relativize(uri)
-    if (!underData.isAbsolute) underData.getPath
-    else borrowed._1 match {
-      case Some(base) =>
-        val underBase = fs.makeQualified(base).toUri.relativize(uri)
-        if (!underBase.isAbsolute) underBase.getPath else uri.getPath
-      case None => uri.getPath
+    val abs = decodedPath(absolute)
+    def under(dir: Path): Option[String] = {
+      val p = fs.makeQualified(dir).toUri.getPath + "/"
+      if (abs.startsWith(p)) Some(abs.drop(p.length)) else None
     }
+    under(dataDir)
+      .orElse(borrowed._1.flatMap(under))
+      .getOrElse(abs)
   }
 
   def commit(v: Long): Commit = {
@@ -603,36 +611,54 @@ final class CommitLog(spark: SparkSession, root: String) {
   private def isDvName(n: String): Boolean =
     new Path(n).getName.startsWith("dv-")
 
-  /** The absolute-path prefix a scan's `_metadata.file_path` carries
-    * for files under `data/` — LEARNED from one probe row (path
-    * rendering differs between Path.toString and the scanner's URI
-    * form; deriving it from observation is robust to both), cached
-    * per handle. */
+  /** A scan-reported absolute path (`input_file_name()` /
+    * `_metadata.file_path`) back to its ON-DISK form: Spark renders
+    * these URL-ENCODED (a partition value with a space scans as
+    * `%20`), while committed names come from FileSystem listings of
+    * the literal directory names — decode through `java.net.URI`
+    * (true percent-decoding; URLDecoder would corrupt literal `+`)
+    * so the two worlds compare in one canonical form. */
+  private def decodedPath(absolute: String): String =
+    scala.util.Try(new java.net.URI(absolute).getPath)
+      .getOrElse(new Path(absolute).toUri.getPath)
+
+  /** The decoded-path prefix a scan carries for files under `data/` —
+    * LEARNED from a probe row (rendering differs between
+    * Path.toString and the scanner's URI form; observing it is robust
+    * to both), skipping zero-row files, cached per handle. Empty
+    * string when no live file has a row — in which case no position
+    * ever materializes and the prefix is never consulted. */
   @volatile private var dvPrefix: Option[String] = None
-  private def learnedPrefix(anyLive: String): String = {
+  private def learnedPrefix(lives: Seq[String]): String = {
     dvPrefix.getOrElse {
-      val abs = spark.read.parquet(dataPath(anyLive))
-        .select(org.apache.spark.sql.functions.col("_metadata.file_path"))
-        .head().getString(0)
-      require(abs.endsWith(anyLive),
-        s"scan path $abs does not end with committed name $anyLive")
-      val p = abs.dropRight(anyLive.length)
-      dvPrefix = Some(p)
+      val p = lives.iterator.flatMap { n =>
+        spark.read.parquet(dataPath(n))
+          .select(org.apache.spark.sql.functions
+            .col("_metadata.file_path"))
+          .head(1).headOption.map { r =>
+            val abs = decodedPath(r.getString(0))
+            require(abs.endsWith(n),
+              s"scan path $abs does not end with committed name $n")
+            abs.dropRight(n.length)
+          }
+      }.nextOption().getOrElse("")
+      if (p.nonEmpty) dvPrefix = Some(p)
       p
     }
   }
 
   /** `(relative committed name, row position)` columns for a scan —
-    * the join key positional marks subtract on. Pure codegen string
-    * ops; the prefix is learned once. */
+    * the join key positional marks subtract on. The name passes
+    * through the same URI decoding as the driver side, so encoded
+    * partition values (`%20`) land as their on-disk forms. */
   private def posCols(prefix: String)
       : Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, length, lit, substring}
+    import org.apache.spark.sql.functions.{col, length, lit, udf}
+    val decode = udf((s: String) =>
+      scala.util.Try(new java.net.URI(s).getPath).getOrElse(s))
+    val dec = decode(col("_metadata.file_path"))
     Seq(
-      col("_metadata.file_path")
-        .substr(lit(prefix.length + 1),
-          length(col("_metadata.file_path")))
-        .as("__file_name"),
+      dec.substr(lit(prefix.length + 1), length(dec)).as("__file_name"),
       col("_metadata.row_index").as("__row_pos"))
   }
 
@@ -684,10 +710,20 @@ final class CommitLog(spark: SparkSession, root: String) {
     }
     val discovered: Seq[(String, StructType)] =
       if (unknown.isEmpty) Nil
-      else if (partitioned)
-        // footer probes would miss the partition columns; one grouped
-        // inference scan recovers the full schema for the legacy files
-        unknown.map(n => n -> scan(None, Seq(dataPath(n))).schema)
+      else if (partitioned) {
+        // footer probes miss the partition columns (they live in
+        // PATHS): take per-file footer schemas in ONE batched pass,
+        // then graft the partition columns' types from ONE discovery
+        // probe — not a per-file inference job each
+        val partFields = scan(None, Seq(dataPath(unknown.head))).schema
+          .filter(f => partitionCols.contains(f.name))
+        SchemaTools.fileSchemas(spark, unknown.map(dataPath))
+          .map { case (p, st) =>
+            relName(p) ->
+              StructType(st.fields ++
+                partFields.filterNot(f => st.fieldNames.contains(f.name)))
+          }
+      }
       else SchemaTools.fileSchemas(spark, unknown.map(dataPath))
         .map { case (p, st) => new Path(p).getName -> st }
     val all = known ++ discovered
@@ -707,7 +743,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (!withPos) df
       else df.select(
         (df.columns.toSeq.map(org.apache.spark.sql.functions.col) ++
-          posCols(learnedPrefix(names.head))): _*)
+          posCols(learnedPrefix(names))): _*)
     if (groups.size <= 1) meta(scan(None, names.map(dataPath)))
     else {
       val unified = SchemaTools.unifySchemas(groups.map(_.head._2))
@@ -1366,16 +1402,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       // a concurrent positional delete marking the inputs: this pack
       // read them before the marks — committing would resurrect the
       // marked rows in the re-homed outputs
-      val newDv = (plannedV + 1 to tip).map(commit)
-        .filter(_.kind == "delete").flatMap(_.files).filter(isDvName)
-      if (newDv.nonEmpty &&
-          !spark.read.parquet(newDv.map(dataPath): _*)
-            .filter(org.apache.spark.sql.functions.col("__dv_file")
-              .isin(inputs: _*))
-            .isEmpty)
-        throw new java.util.ConcurrentModificationException(
-          "a concurrent positional delete marked files this rewrite " +
-            "re-homes — re-plan on fresh state")
+      conflictOnWindowDv(plannedV, tip, inputs)
       done = tryCas(v, "rewrite", names, removed = inputs ++ deadDv,
         schema = Some(raw.schema), stats = spans)
       if (!done) v = latestVersion() + 1
@@ -1591,8 +1618,8 @@ final class CommitLog(spark: SparkSession, root: String) {
         .foreach(why =>
           throw new java.util.ConcurrentModificationException(
             s"$why — re-plan on fresh state"))
-      val (newDv, newKeyed) = window.filter(_.kind == "delete")
-        .flatMap(_.files).partition(isDvName)
+      val newKeyed = window.filter(_.kind == "delete")
+        .flatMap(_.files).filterNot(isDvName)
       if (newKeyed.nonEmpty) {
         val tsPaths = newKeyed.map(dataPath)
         val ts = spark.read.parquet(tsPaths: _*).distinct()
@@ -1610,13 +1637,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       // re-homing: the merge read its inputs before the marks — the
       // re-homed rows would resurrect them. Marks on untouched files
       // commute (their positions stay live).
-      if (newDv.nonEmpty && touched.nonEmpty &&
-          !spark.read.parquet(newDv.map(dataPath): _*)
-            .filter(col("__dv_file").isin(touched: _*))
-            .isEmpty)
-        throw new java.util.ConcurrentModificationException(
-          "a concurrent positional delete marked files this merge " +
-            "re-homes (ConcurrentDelete) — re-plan on fresh state")
+      conflictOnWindowDv(plannedV, tip, touched)
       enforceConstraints(names)
       done = tryCas(v, kind, names, removed = touched, txn = txn,
         schema = Some(out.schema), stats = spans)
@@ -1945,6 +1966,7 @@ final class CommitLog(spark: SparkSession, root: String) {
   /** SET TBLPROPERTIES: one meta commit with the merged map. */
   def setProperties(kv: Map[String, String]): Long = {
     require(kv.nonEmpty, "nothing to set")
+    ensureMetaHint() // before the CAS — see addConstraint
     var done = false
     var v = 0L
     while (!done) {
@@ -1953,7 +1975,6 @@ final class CommitLog(spark: SparkSession, root: String) {
       done = tryCas(v, "meta", Nil,
         props = Some(properties(Some(plannedV)) ++ kv))
     }
-    ensureMetaHint()
     notifyCommit()
     v
   }
@@ -1995,6 +2016,13 @@ final class CommitLog(spark: SparkSession, root: String) {
       c.isLetterOrDigit || c == '_'), s"bad constraint name: $name")
     // parse early: a predicate that cannot parse must refuse loudly
     spark.sessionState.sqlParser.parseExpression(predicate)
+    // hint BEFORE the CAS: the hint gates every reader's (and every
+    // data-writer's enforcement) meta scan, so it must exist by the
+    // time the commit is visible — hint-first means a crash between
+    // the two leaves a harmless hint over zero meta commits, never a
+    // committed-but-invisible constraint set (and never a racing
+    // append that skips enforcement of a just-landed constraint)
+    ensureMetaHint()
     var done = false
     var v = 0L
     while (!done) {
@@ -2014,9 +2042,6 @@ final class CommitLog(spark: SparkSession, root: String) {
       done = tryCas(v, "meta", Nil,
         constraints = Some(cur + (name -> predicate)))
     }
-    // hint AFTER the commit wins: readers that miss it only skip a
-    // set that provably doesn't exist yet
-    ensureMetaHint()
     notifyCommit()
     v
   }
@@ -2179,8 +2204,18 @@ final class CommitLog(spark: SparkSession, root: String) {
         TimeFly.readText(fs, srcSchema).getBytes("UTF-8"))
       finally o.close()
     }
+    // CHECK constraints and table properties travel with the clone
+    // (they are TABLE metadata, not history) — the founding commit
+    // carries both payloads, so a clone cannot accept writes the
+    // source's constraints forbid, and strategy properties like
+    // delete.mode keep governing the clone
+    val srcCons = constraints(None)
+    val srcProps = properties(None)
+    if (srcCons.nonEmpty || srcProps.nonEmpty) dest.ensureMetaHint()
     if (!dest.tryCas(1L, "clone", r.data, removed = r.tombstones,
-        stats = r.spanOf, schemaGroups = r.schemaOf))
+        stats = r.spanOf, schemaGroups = r.schemaOf,
+        constraints = Some(srcCons).filter(_.nonEmpty),
+        props = Some(srcProps).filter(_.nonEmpty)))
       throw new java.util.ConcurrentModificationException(
         s"clone destination $destRoot claimed v1 concurrently")
     dest

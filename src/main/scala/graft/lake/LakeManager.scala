@@ -342,11 +342,25 @@ final class LakeManager(spark: SparkSession, root: String) {
         managedLog(u.table) match {
           case None => spark.sql(statement)
           case Some(log) =>
+            // assignment targets: a bare column, or one qualified by
+            // the TARGET table/alias. Anything else (a struct field
+            // `s.x`, a foreign qualifier) refuses loudly — silently
+            // rebinding to a same-named top-level column would be a
+            // wrong write, and struct-field updates are unsupported
+            val quals = targetQualifiers(u.table)
+              .map(_.toLowerCase(java.util.Locale.ROOT))
             val sets = u.assignments.map { a =>
               val tgt = a.key match {
-                case k: UnresolvedAttribute => k.nameParts.last
+                case k: UnresolvedAttribute if k.nameParts.size == 1 =>
+                  k.nameParts.head
+                case k: UnresolvedAttribute if k.nameParts.size == 2 &&
+                    quals(k.nameParts.head
+                      .toLowerCase(java.util.Locale.ROOT)) =>
+                  k.nameParts.last
                 case other => throw new IllegalArgumentException(
-                  s"unsupported UPDATE target: ${other.sql}")
+                  s"unsupported UPDATE target: ${other.sql} — use a " +
+                    "bare or target-qualified COLUMN (struct fields " +
+                    "are not updatable here)")
               }
               tgt -> unqualify(a.value, u.table).sql
             }

@@ -1102,6 +1102,76 @@ class CommitLogSpec extends AnyFunSuite {
       "optimize must retire positional marks it fully applied")
   }
 
+  test("partition values with URI-special characters (spaces): scans " +
+      "report URL-encoded paths, committed names are on-disk literals " +
+      "— merge, DELETE WHERE, and positional deletes all round-trip") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogsp"))
+      .initPartitioned(Seq("city"))
+    log.append(Seq((1L, "New York", 10.0), (2L, "San Juan", 20.0),
+      (3L, "New York", 30.0)).toDF("id", "city", "amt"))
+    // keyed merge: touched-file detection maps scan paths back to
+    // partition-qualified committed names (the %20 trap)
+    val (_, t) = log.upsert(
+      Seq((1L, "New York", 11.0)).toDF("id", "city", "amt"), Seq("id"))
+    assert(t == 1, "the merge must find the holding file")
+    assert(log.read(None).filter(col("id") === 1L)
+      .select("amt").as[Double].head() == 11.0)
+    // copy-on-write DELETE WHERE
+    val (_, t2) = log.deleteWhere("id = 2")
+    assert(t2 == 1)
+    // positional delete + read-back through the position-carrying scan
+    val (_, marked) = log.deleteWhereMor("id = 3")
+    assert(marked == 1L)
+    assert(log.read(None).select("id").as[Long].collect().toSeq
+      == Seq(1L))
+    // and the partition predicate still prunes on the escaped layout
+    val live = log.liveFiles(None)
+    val cand = log.candidateDataFiles("city = 'New York'")
+    assert(cand.exists(c => c.nonEmpty &&
+      c.forall(_.startsWith("city=New York/"))), s"$cand of $live")
+  }
+
+  test("clone carries CHECK constraints and table properties; " +
+      "initPartitioned refuses a populated flat table") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogcm")).init()
+    log.append(Seq((1L, 10.0)).toDF("id", "amt"))
+    log.addConstraint("pos", "amt > 0")
+    log.setProperties(Map("delete.mode" -> "positional"))
+    val dest = TestSpark.tempDir("clogcmd")
+    val clone = log.cloneTo(dest)
+    assert(clone.constraints(None) == Map("pos" -> "amt > 0"),
+      "a clone must not accept writes the source's constraints forbid")
+    assert(clone.properties(None) ==
+      Map("delete.mode" -> "positional"))
+    intercept[IllegalArgumentException] {
+      clone.append(Seq((2L, -1.0)).toDF("id", "amt"))
+    }
+    // layout is decided at birth
+    intercept[IllegalArgumentException] {
+      log.initPartitioned(Seq("id"))
+    }
+  }
+
+  test("meta hint lands BEFORE the meta CAS: a fresh handle sees a " +
+      "just-added constraint, and zero-row data files do not break " +
+      "position-carrying reads") {
+    val root = TestSpark.tempDir("cloghint")
+    val log = CommitLog(spark, root).init()
+    log.append(Seq((1L, 5.0)).toDF("id", "amt"))
+    log.addConstraint("pos", "amt > 0")
+    // a fresh handle (no shared state) resolves the set
+    assert(CommitLog(spark, root).constraints(None)
+      == Map("pos" -> "amt > 0"))
+    // zero-row file in the live set + positional marks: the prefix
+    // probe must skip it instead of crashing the read
+    val empty = spark.range(0).select(col("id"),
+      (col("id") * 1.0).as("amt"))
+    log.append(empty.coalesce(1))
+    val (_, m) = log.deleteWhereMor("id = 1")
+    assert(m == 1L)
+    assert(log.read(None).count() == 0L)
+  }
+
   test("cloneTo refuses a destination whose base marker already exists " +
       "(concurrent initializer) instead of silently overwriting") {
     val log = CommitLog(spark, TestSpark.tempDir("clogcg")).init()

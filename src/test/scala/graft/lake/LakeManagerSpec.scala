@@ -144,6 +144,11 @@ class LakeManagerSpec extends AnyFunSuite {
       "WHERE t.id = 2")
     assert(spark.sql("SELECT tag, amt FROM acct WHERE id = 2")
       .as[(String, Double)].head() == (("up", 25.0)))
+    // a foreign-qualified or struct-shaped UPDATE target refuses
+    // instead of silently rebinding to a same-named top-level column
+    intercept[IllegalArgumentException] {
+      lm.sql("UPDATE acct SET bogus.amt = 0.0 WHERE id = 2")
+    }
     // DELETE WHERE: row-level copy-on-write commit (qualified too)
     lm.sql("DELETE FROM acct WHERE acct.amt >= 40.0")
     assert(spark.sql("SELECT id FROM acct ORDER BY id")
