@@ -2944,6 +2944,32 @@ object SparkEntry {
     // tombstoned ids can neither query nor return as neighbors
     // (asserted in-query); results equal brute force over the
     // survivors exactly
+    // ANN OVER THE POSITIONAL-DELETE SURVIVOR VIEW on the COMMIT LOG
+    // (e25's sibling, three r9 systems composed): the embedding corpus
+    // is a multi-writer table, vectors leave by deleteWhereMor —
+    // ZERO data files written (asserted: the delete commit references
+    // only dv files) — and similarity serves the subtracted read, so
+    // marked vectors neither query nor return. The 100 TB shape:
+    // retiring embeddings from a serving corpus is one metadata
+    // commit, not a rewrite of the vector store
+    "e32_ann_dv_survivors" -> ((s, d) => {
+      val root = scratch(s, "e32", d)
+      val log = CommitLog(s, root).init()
+      log.append(emb(s, d).repartition(4, col("vec_id")))
+      val (v2, marked) = log.deleteWhereMor("vec_id % 5 = 2")
+      assert(marked > 0)
+      val c2 = log.commit(v2)
+      assert(c2.removed.isEmpty && c2.files.forall(_.startsWith("dv-")),
+        "the retirement must write no data files")
+      val corpus = log.read(None)
+      val out = Similarity.bruteForceTopK(corpus,
+          corpus.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+      assert(out.filter(col("id2") % 5 === 2 || col("id1") % 5 === 2)
+        .count() == 0, "marked vectors must neither query nor return")
+      out.orderBy("id1", "rank")
+    }),
+
     "e25_ann_mor" -> ((s, d) => {
       val root = scratch(s, "e25", d)
       emb(s, d).write.parquet(root)
@@ -9522,6 +9548,33 @@ object SparkEntry {
         |  SELECT vec_id,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |  FROM embeddings WHERE vec_id % 4 <> 1),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |   sqrt(list_reduce(list_transform(emb, x -> x * x),
+        |        (acc, x) -> acc + x)) AS nrm
+        |  FROM v),
+        |p AS (
+        |  SELECT q.vec_id AS id1, c.vec_id AS id2,
+        |   list_reduce(list_transform(range(1, 65),
+        |     i -> q.emb[i] * c.emb[i]), (acc, x) -> acc + x) /
+        |   (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT id1, id2, sim, rank FROM (
+        |  SELECT id1, id2, sim,
+        |   CAST(row_number() OVER (PARTITION BY id1
+        |     ORDER BY sim DESC, id2 ASC) AS BIGINT) AS rank
+        |  FROM p) t
+        |WHERE rank <= 5 ORDER BY id1, rank""".stripMargin,
+
+    // e25's sibling over the commit-log DV-survivor view: the
+    // retirement is pure metadata, so the oracle is simply e02 over
+    // the rows the deletion vectors did not mark
+    "e32_ann_dv_survivors" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings WHERE vec_id % 5 <> 2),
         |n AS (
         |  SELECT vec_id, emb,
         |   sqrt(list_reduce(list_transform(emb, x -> x * x),

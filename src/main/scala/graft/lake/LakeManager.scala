@@ -208,6 +208,20 @@ final class LakeManager(spark: SparkSession, root: String) {
     *  - `SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF <expr>`
     *                                       -> versioned read (grafted
     *                                          into the statement's plan)
+    *  - `OPTIMIZE t [WHERE <pred>] [ZORDER BY (c, ...)]`
+    *                                       -> [[CommitLog.optimize]]
+    *                                          (returns one metrics row)
+    *  - `VACUUM t [RETAIN <n> HOURS]`      -> [[CommitLog.vacuum]]
+    *  - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF <e>`
+    *                                       -> [[CommitLog.restore]]
+    *  - `DESCRIBE HISTORY t`               -> [[CommitLog.history]]
+    *
+    * The maintenance verbs are Delta's SQL surface; Spark's parser
+    * does not know them, so they dispatch off a statement-shape match
+    * BEFORE the parser (exactly what a parser extension would do) and
+    * only when the target is a managed commit-log table — anything
+    * else falls through to `spark.sql` and fails with the stock parse
+    * error.
     *
     * INSERT is positional against the table's column order (the SQL
     * contract), with types conformed. MERGE accepts exactly the
@@ -220,6 +234,7 @@ final class LakeManager(spark: SparkSession, root: String) {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical._
+    maintenanceSql(statement).foreach(df => return df)
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(statement)
       catch { case scala.util.control.NonFatal(_) =>
