@@ -5577,6 +5577,17 @@ object SparkEntry {
       // the meta commits are versioned operations: the set at the ADD
       // is visible historically even after the DROP
       assert(log.constraints(Some(2L)).contains("pos"))
+      // NOT NULL invariants (Delta column invariants) ride the SAME
+      // meta machinery: SET validates live data first, a violating
+      // INSERT refuses the whole batch in the writer's CAS loop, and
+      // DROP re-legalizes the shape
+      lm.sql("ALTER TABLE t147 ALTER COLUMN o_custkey SET NOT NULL")
+      assert(log.notNullColumns(None) == Seq("o_custkey"),
+        s"the invariant must stand: ${log.notNullColumns(None)}")
+      mustRefuse("INSERT INTO t147 VALUES (-3, NULL, 2.0)")
+      lm.sql("ALTER TABLE t147 ALTER COLUMN o_custkey DROP NOT NULL")
+      assert(log.notNullColumns(None).isEmpty,
+        "DROP NOT NULL must clear the invariant")
       s.sql("SELECT * FROM t147 ORDER BY o_orderkey")
     }),
 
@@ -5639,6 +5650,70 @@ object SparkEntry {
       log.optimize(targetFiles = 2)
       val folded = shaped(log.read(None), "folded")
       mor.unionByName(folded).orderBy("side", "o_orderkey")
+    }),
+
+    // MAINTENANCE SQL SURFACE (Delta's OPTIMIZE/VACUUM/RESTORE/
+    // DESCRIBE HISTORY verbs, the r9 gap): one lifecycle driven
+    // PURELY through lake.sql(...) — appends and deletes as SQL DML,
+    // then OPTIMIZE ZORDER BY packs the live set (asserting its
+    // metrics row), a second DELETE is undone by RESTORE ... VERSION
+    // AS OF (asserting ITS metrics row), DESCRIBE HISTORY lists the
+    // six commits with their kinds, and VACUUM RETAIN 0 HOURS
+    // reclaims exactly a planted crashed-writer's staged debris while
+    // provably eating nothing any commit references (live and
+    // time-travel reads still serve afterwards)
+    "q150_sql_maintenance" -> ((s, d) => {
+      val root = scratch(s, "q150", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t150")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q150_src")
+      val Array(lo, hi) = s.sql(
+        "SELECT min(o_orderkey), max(o_orderkey) FROM q150_src").head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi - lo) / 2
+      lm.sql("INSERT INTO t150 SELECT /*+ REPARTITION(3) */ * " +
+        s"FROM q150_src WHERE o_orderkey <= $mid") // v1
+      lm.sql("INSERT INTO t150 SELECT /*+ REPARTITION(2) */ * " +
+        s"FROM q150_src WHERE o_orderkey > $mid") // v2
+      lm.sql("DELETE FROM t150 WHERE o_custkey % 10 = 3") // v3
+      val m = lm.sql("OPTIMIZE t150 ZORDER BY (o_orderkey)").head()
+      assert(m.getAs[Boolean]("rewrote") &&
+        m.getAs[Long]("version") == 4L &&
+        m.getAs[Long]("files_before") > 1L &&
+        m.getAs[Long]("files_after") == 1L,
+        s"OPTIMIZE metrics must report the v4 pack-to-one: $m")
+      lm.sql("DELETE FROM t150 WHERE o_orderkey % 7 = 3") // v5
+      val r = lm
+        .sql("RESTORE TABLE t150 TO VERSION AS OF 4").head()
+      assert(r.getAs[Long]("restored_version") == 4L &&
+        r.getAs[Long]("new_version") == 6L,
+        s"RESTORE metrics must report v4 -> v6: $r")
+      val hist = lm.sql("DESCRIBE HISTORY t150")
+        .orderBy("version").collect()
+      assert(hist.map(_.getAs[Long]("version")).sameElements(1L to 6L)
+        && hist.map(_.getAs[String]("kind")).sameElements(Seq(
+          "append", "append", "upsert", "rewrite", "upsert",
+          "restore")),
+        s"DESCRIBE HISTORY must list the six commits in kind order")
+      // a crashed writer's staged debris is the ONLY unreferenced
+      // byte in the table — RETAIN 0 HOURS reclaims it and nothing
+      // else (every committed file stays referenced and readable)
+      val staged = new org.apache.hadoop.fs.Path(
+        s"$root/t150/_staged/crashed-writer.parquet")
+      val fs = staged.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(staged, true)
+      out.write("debris".getBytes("UTF-8")); out.close()
+      val vac = lm.sql("VACUUM t150 RETAIN 0 HOURS").head()
+      assert(vac.getAs[Long]("files_deleted") == 1L,
+        s"VACUUM must reclaim exactly the staged debris: $vac")
+      val log = lm.commitLog("t150")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped(log.read(None), "live")
+        .unionByName(shaped(log.read(Some(5L)), "v5"))
+        .orderBy("side", "o_orderkey")
     }),
 
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
@@ -7381,6 +7456,15 @@ object SparkEntry {
         |SELECT 'mor' AS side, * FROM kept
         |UNION ALL
         |SELECT 'folded', * FROM kept
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    "q150_sql_maintenance" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_custkey % 10 <> 3)
+        |SELECT 'live' AS side, * FROM kept
+        |UNION ALL
+        |SELECT 'v5', * FROM kept WHERE o_orderkey % 7 <> 3
         |ORDER BY side, o_orderkey""".stripMargin,
 
     "q148_sql_tblproperties" ->

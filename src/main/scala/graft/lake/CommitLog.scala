@@ -628,6 +628,17 @@ final class CommitLog(spark: SparkSession, root: String) {
     * to both), skipping zero-row files, cached per handle. Empty
     * string when no live file has a row — in which case no position
     * ever materializes and the prefix is never consulted. */
+  /** Driver-side twin of the CODEGEN'D row-side decode in [[posCols]]:
+    * percent-decode a scan-rendered path with URI semantics. Built on
+    * URLDecoder (what Spark's `url_decode` compiles to) with `+`
+    * pre-escaped as `%2B` — form-decoding turns a bare `+` into a
+    * space, but scan paths are URI-encoded where `+` is a literal
+    * plus; the escape makes the two decoders agree byte-for-byte.
+    * Scheme is KEPT (unlike [[decodedPath]]) — the learned prefix
+    * absorbs it, so relative names come out identical. */
+  private def scanDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
   @volatile private var dvPrefix: Option[String] = None
   private def learnedPrefix(lives: Seq[String]): String = {
     dvPrefix.getOrElse {
@@ -636,7 +647,7 @@ final class CommitLog(spark: SparkSession, root: String) {
           .select(org.apache.spark.sql.functions
             .col("_metadata.file_path"))
           .head(1).headOption.map { r =>
-            val abs = decodedPath(r.getString(0))
+            val abs = scanDecode(r.getString(0))
             require(abs.endsWith(n),
               s"scan path $abs does not end with committed name $n")
             abs.dropRight(n.length)
@@ -649,14 +660,17 @@ final class CommitLog(spark: SparkSession, root: String) {
 
   /** `(relative committed name, row position)` columns for a scan —
     * the join key positional marks subtract on. The name passes
-    * through the same URI decoding as the driver side, so encoded
-    * partition values (`%20`) land as their on-disk forms. */
+    * through the same percent-decoding as the driver side
+    * ([[scanDecode]]), so encoded partition values (`%20`) land as
+    * their on-disk forms — and it does so in BUILTIN expressions
+    * (`replace` + `url_decode`), keeping the position-carrying scan
+    * whole-stage-codegen'd while marks stand (no ScalaUDF in the hot
+    * path). */
   private def posCols(prefix: String)
       : Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, length, lit, udf}
-    val decode = udf((s: String) =>
-      scala.util.Try(new java.net.URI(s).getPath).getOrElse(s))
-    val dec = decode(col("_metadata.file_path"))
+    import org.apache.spark.sql.functions.{col, length, lit, url_decode}
+    val dec = url_decode(org.apache.spark.sql.functions
+      .replace(col("_metadata.file_path"), lit("+"), lit("%2B")))
     Seq(
       dec.substr(lit(prefix.length + 1), length(dec)).as("__file_name"),
       col("_metadata.row_index").as("__row_pos"))
@@ -1867,6 +1881,25 @@ final class CommitLog(spark: SparkSession, root: String) {
     val missing = setOf.keySet -- base.columns.toSet
     require(missing.isEmpty,
       s"UPDATE targets unknown columns: ${missing.mkString(", ")}")
+    // standing KEYED tombstones subtract by key at read time; an
+    // assignment rewriting a tombstone KEY column would re-home a
+    // logically-deleted row under a key that escapes the read-time
+    // anti-join — silent resurrection. Mirror doUpsert's clash guard:
+    // refuse loudly, void the delete first (replace with the applied
+    // read). Non-key assignments commute: updated-but-deleted rows
+    // keep their key and the subtract still holds.
+    val standingKeyed = r.tombstones.filterNot(isDvName)
+    if (standingKeyed.nonEmpty) {
+      val tombstoneKeys = spark.read
+        .parquet(standingKeyed.map(dataPath): _*).columns.toSet
+      val hitKeys = setOf.keySet.intersect(tombstoneKeys)
+      require(hitKeys.isEmpty,
+        s"UPDATE assigns tombstone key column(s) " +
+          s"${hitKeys.mkString(", ")} while keyed MOR tombstones " +
+          "stand — rewritten rows would escape the read-time key " +
+          "subtract and resurrect deleted rows; void the delete " +
+          "first (replace with the applied read)")
+    }
     // one simultaneous projection: every assignment value evaluates
     // against the PRE-update row (SQL UPDATE semantics — `SET a = b,
     // b = a` swaps), cast back to the standing column type
@@ -2045,6 +2078,40 @@ final class CommitLog(spark: SparkSession, root: String) {
     notifyCommit()
     v
   }
+
+  /** NOT NULL invariants (Delta's per-column invariants): recorded
+    * through the SAME named-constraint meta commits CHECK rides — a
+    * reserved-name entry `__notnull_<col>` with predicate
+    * `<col> IS NOT NULL` — so they are transactional, versioned,
+    * checkpoint-folded, and enforced in every data-adding writer's
+    * CAS retry loop for free ([[enforceConstraints]]). Adding one
+    * validates the live data first (a standing null refuses, exactly
+    * like CHECK); a later write missing the column entirely fails
+    * loudly at enforcement (unresolvable predicate), never silently.
+    * Only identifier-shaped column names are addressable this way —
+    * the reserved-name encoding is the column's address. */
+  def setNotNull(column: String): Long = {
+    require(column.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"NOT NULL needs an identifier-shaped column name: $column")
+    if (latestVersion() > 0L) {
+      val cols = read(None).columns.toSet
+      require(cols.contains(column),
+        s"no such column for NOT NULL: $column " +
+          s"(have: ${cols.toSeq.sorted.mkString(", ")})")
+    }
+    addConstraint(CommitLog.NotNullPrefix + column,
+      s"`$column` IS NOT NULL")
+  }
+
+  /** Drop a standing NOT NULL invariant — one meta commit. */
+  def dropNotNull(column: String): Long =
+    dropConstraint(CommitLog.NotNullPrefix + column)
+
+  /** Columns under a NOT NULL invariant at `asOf`. */
+  def notNullColumns(asOf: Option[Long] = None): Seq[String] =
+    constraints(asOf).keys.toSeq
+      .filter(_.startsWith(CommitLog.NotNullPrefix))
+      .map(_.stripPrefix(CommitLog.NotNullPrefix)).sorted
 
   /** DROP CONSTRAINT name — one meta commit with the reduced set. */
   def dropConstraint(name: String): Long = {
@@ -2509,6 +2576,10 @@ object CommitLog {
     * generous against any stage-to-commit gap while keeping crashed
     * writers' debris from accumulating for a week. */
   val RetentionMs: Long = 60L * 60 * 1000
+
+  /** Reserved constraint-name prefix encoding a per-column NOT NULL
+    * invariant (see [[CommitLog.setNotNull]]). */
+  val NotNullPrefix: String = "__notnull_"
 
   /** Per-file column spans + row count carried IN a commit manifest
     * (Delta's per-AddFile `stats` JSON): typed min/max sides

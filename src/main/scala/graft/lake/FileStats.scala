@@ -251,7 +251,13 @@ object FileStats {
     * refuses non-string/integral columns loudly (a silently-skipped
     * column would read as indexed-but-never-pruning). */
   private def bloomAggCols(schema: StructType, cols: Seq[String],
-      bits: Int): Seq[Column] =
+      bits: Int): Seq[Column] = {
+    // BloomAgg.zero allocates 1 + bits/8 bytes while bloomPositions
+    // hashes modulo the REQUESTED bits, and probe-side widths re-derive
+    // as (blob.length - 1) * 8 — a non-multiple-of-8 width would build
+    // out-of-bounds and probe against diverged positions (false skips)
+    if (cols.nonEmpty) require(bits >= 8 && bits % 8 == 0,
+      s"bloomBits must be a positive multiple of 8, got $bits")
     cols.map { c =>
       val f = schema.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no such bloom column: $c"))
@@ -262,6 +268,7 @@ object FileStats {
       udaf(new BloomAgg(bits, dom), org.apache.spark.sql.Encoders.STRING)
         .apply(col(c).cast("string")).as(s"${c}_bloom")
     }
+  }
 
   /** Equality probes extractable from the predicate's top-level AND
     * conjuncts: `col = lit` and `col IN (lits)` — each conjunct one
@@ -324,25 +331,45 @@ object FileStats {
   def bloomCandidates(
       spark: SparkSession,
       path: String,
-      probes: Map[String, Seq[Seq[EqProbe]]]
+      probes: Map[String, Seq[Seq[EqProbe]]],
+      within: Option[Seq[String]] = None
   ): Option[Seq[String]] = {
     if (probes.isEmpty || !trusted(spark, path)) return None
-    val stats = spark.read.parquet(dir(path).toString)
-    val byLower = stats.columns.filter(_.endsWith("_bloom"))
+    if (within.exists(_.isEmpty)) return Some(Nil)
+    val all = spark.read.parquet(dir(path).toString)
+    val byLower = all.columns.filter(_.endsWith("_bloom"))
       .map(c => c.stripSuffix("_bloom"))
       .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
-    val conds = probes.toSeq.flatMap { case (c0, groups) =>
-      byLower.get(c0.toLowerCase(java.util.Locale.ROOT)).map { c =>
-        val keep = udf((blob: Array[Byte]) =>
-          blob == null || blob.length < 2 || groups.forall(g =>
-            g.exists(p => p.forDomain(blob(0)) match {
-              case Some(v) => bloomMightContain(blob, v)
-              case None => true
-            })))
-        keep(col(s"${c}_bloom"))
+    val probed: Seq[(String, Seq[Seq[EqProbe]])] =
+      probes.toSeq.flatMap { case (c0, groups) =>
+        byLower.get(c0.toLowerCase(java.util.Locale.ROOT))
+          .map(_ -> groups)
+      }
+    if (probed.isEmpty) return None
+    // read ONLY the probed blob columns (+ file) — parquet column
+    // pruning keeps every other column's blobs on disk — and ONLY
+    // the span-surviving rows: a small survivor set pushes into the
+    // scan as an IN filter (row-group skipping on the sharded
+    // manifest), a large one goes through a broadcast semi-join.
+    var stats = all.select(
+      (col("file") +: probed.map(p => col(s"${p._1}_bloom"))): _*)
+    within.foreach { w =>
+      if (w.size <= 1000) stats = stats.filter(col("file").isin(w: _*))
+      else {
+        import spark.implicits._
+        stats = stats.join(
+          broadcast(w.toDF("file")), Seq("file"), "left_semi")
       }
     }
-    if (conds.isEmpty) return None
+    val conds = probed.map { case (c, groups) =>
+      val keep = udf((blob: Array[Byte]) =>
+        blob == null || blob.length < 2 || groups.forall(g =>
+          g.exists(p => p.forDomain(blob(0)) match {
+            case Some(v) => bloomMightContain(blob, v)
+            case None => true
+          })))
+      keep(col(s"${c}_bloom"))
+    }
     Some(stats.filter(conds.reduce(_ && _)).select("file")
       .collect().map(_.getString(0)).toSeq)
   }
@@ -358,13 +385,12 @@ object FileStats {
   ): Option[Seq[String]] = {
     val fromBounds =
       candidatesForColBounds(spark, path, typedBounds(spark, predicate))
-    val fromBlooms =
-      bloomCandidates(spark, path, eqProbes(spark, predicate))
-    (fromBounds, fromBlooms) match {
-      case (Some(a), Some(b)) =>
-        val keep = b.toSet; Some(a.filter(keep))
-      case (a, b) => a.orElse(b)
-    }
+    // blooms probe ONLY the span-surviving rows (the `within` set):
+    // the result is already the intersection, and the probe's blob
+    // read shrinks with the spans' selectivity
+    val fromBlooms = bloomCandidates(
+      spark, path, eqProbes(spark, predicate), within = fromBounds)
+    fromBlooms.orElse(fromBounds)
   }
 
   private def dir(datasetPath: String) = new Path(datasetPath, "_stats")
@@ -488,12 +514,35 @@ object FileStats {
     val d = dir(path)
     val fs = fsOf(spark, d)
     val tmp = new Path(path, "_stats_tmp")
-    collectFrom(spark, df, path, bloomCols, bloomBits).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val stats = collectFrom(spark, df, path, bloomCols, bloomBits)
+    // span rows are tiny — one part file reads fastest. Bloom columns
+    // change the math: every row carries bloomCols × (1 + bits/8)
+    // blob bytes, so at the 1M-file design point a single-task write
+    // funnels gigabytes through one executor. Shard by file-name hash
+    // (repartition = each task writes its own shard, no driver
+    // funnel); probe reads parallelize across shards and readers just
+    // scan the directory either way.
+    val out =
+      if (bloomCols.isEmpty) stats.coalesce(1)
+      else {
+        val blobBytes = bloomCols.size.toLong * (1L + bloomBits / 8)
+        val nFiles =
+          math.max(1, scala.util.Try(df.inputFiles.length)
+            .getOrElse(0)).toLong
+        val shards = math.max(1L, math.min(1024L,
+          nFiles * blobBytes / TargetShardBytes + 1L)).toInt
+        stats.repartition(shards, col("file"))
+      }
+    out.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(d)) fs.delete(d, true)
     fs.rename(tmp, d)
     seal(spark, path)
   }
+
+  /** Bloom-carrying manifest shards target this size — big enough to
+    * amortize footers, small enough that no single task carries an
+    * unbounded blob payload. */
+  private val TargetShardBytes: Long = 64L << 20
 
   /** Every file the sidecar has a row for (by full path as recorded at
     * build time) — None without a trusted manifest. Data files are
@@ -581,7 +630,8 @@ object FileStats {
           case (StringType, StringType) => true
           case (StringType, _) => false
           case (_, dt) => dt match {
-            case _: NumericType | TimestampType | DateType => true
+            case _: NumericType | TimestampType | TimestampNTZType |
+                DateType => true
             case _ => false
           }
         })

@@ -186,6 +186,127 @@ final class LakeManager(spark: SparkSession, root: String) {
   def reader(name: String, asOf: Option[String] = None): DataFrame =
     dataset(name).read(asOf)
 
+  /** Resolve a (possibly lake-qualified) identifier path to a managed
+    * commit-log table name. Accepts `t` and `<lake>.t` where `<lake>`
+    * is this lake's configured name (case-insensitive, `_pydala.json`
+    * `pydala.name`); any other qualifier names a foreign catalog and
+    * is not ours to dispatch — the statement falls through to
+    * `spark.sql` untouched. A qualifier that MATCHES the lake name but
+    * whose last part is not a cataloged commit-log table refuses
+    * loudly: the user addressed this lake explicitly, so a silent
+    * fall-through would run the statement against some unrelated
+    * same-named Spark table. */
+  private def managedName(parts: Seq[String]): Option[String] = {
+    val lakeName = readCfg().withObject("/pydala").path("name")
+      .asText(new Path(root).getName)
+    val candidate = parts match {
+      case Seq(t) => Some((t, false))
+      case Seq(q, t) if q.equalsIgnoreCase(lakeName) => Some((t, true))
+      case _ => None
+    }
+    candidate.flatMap { case (t, explicit) =>
+      if (tables.contains(t) && datasetKind(t) == "commitlog") Some(t)
+      else if (explicit) throw new IllegalArgumentException(
+        s"$lakeName.$t names this lake but '$t' is not a managed " +
+          s"commit-log table (have: ${tables.mkString(", ")})")
+      else None
+    }
+  }
+
+  /** Statement-shape dispatch for the maintenance verbs — Delta's SQL
+    * surface that Spark's parser does not know, matched BEFORE the
+    * parser (exactly what a parser extension would do) and only when
+    * the target resolves to a managed commit-log table:
+    *
+    *  - `OPTIMIZE t [WHERE <pred>] [ZORDER BY (c, ...)]` →
+    *    [[CommitLog.optimize]]; returns ONE metrics row (version,
+    *    files_before, files_after, rewrote). Target file count comes
+    *    from the `optimize.target.files` table property (default 1).
+    *  - `VACUUM t [RETAIN <n> HOURS]` → [[CommitLog.vacuum]]; one row
+    *    (files_deleted). No RETAIN = the default retention window.
+    *  - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF e`
+    *    → [[CommitLog.restore]]; one row (restored_version,
+    *    new_version). Timestamps resolve through the same rule as
+    *    SELECT-side travel ([[CommitLog.versionAt]]).
+    *  - `DESC[RIBE] HISTORY t` → [[CommitLog.history]].
+    *
+    * None = not a maintenance shape on a managed table; the caller
+    * falls through to the stock parser (whose parse error is the
+    * right refusal for these verbs on foreign tables). A WHERE
+    * predicate containing the token `ZORDER BY` is ambiguous under
+    * shape matching and splits at the first occurrence — quote such
+    * literals or call [[CommitLog.optimize]] directly. */
+  private def maintenanceSql(statement: String): Option[DataFrame] = {
+    import spark.implicits._
+    def managed(token: String): Option[CommitLog] = {
+      val parts = token.split('.').toSeq.map { p =>
+        if (p.length >= 2 && p.startsWith("`") && p.endsWith("`"))
+          p.substring(1, p.length - 1)
+        else p
+      }
+      managedName(parts).map(commitLog)
+    }
+    // dotted path of plain or backquoted parts (a backquoted part
+    // containing a literal dot is not addressable through the
+    // maintenance verbs — use the programmatic API for such names)
+    val Part = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    val Ident = s"($Part(?:\\.$Part)*)"
+    val DescHist =
+      ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ident +
+        "\\s*;?\\s*$").r
+    val Vac =
+      ("(?is)^\\s*VACUUM\\s+" + Ident +
+        "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$").r
+    val Rest =
+      ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + Ident +
+        "\\s+(?:TO\\s+)?(?:VERSION\\s+AS\\s+OF\\s+(\\d+)" +
+        "|TIMESTAMP\\s+AS\\s+OF\\s+(.+?))\\s*;?\\s*$").r
+    val Opt =
+      ("(?is)^\\s*OPTIMIZE\\s+" + Ident +
+        "(?:\\s+WHERE\\s+(.+?))?" +
+        "(?:\\s+ZORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
+    statement match {
+      case DescHist(t) => managed(t).map(_.history())
+      case Vac(t, hours) => managed(t).map { log =>
+        val retainMs = Option(hours).map(_.toLong * 3600000L)
+          .getOrElse(CommitLog.RetentionMs)
+        Seq(log.vacuum(retainMs)).toDF("files_deleted")
+      }
+      case Rest(t, v, tsExpr) => managed(t).map { log =>
+        val toV =
+          if (v != null) v.toLong
+          else {
+            val ts = spark
+              .sql(s"SELECT CAST($tsExpr AS TIMESTAMP)")
+              .head().getTimestamp(0)
+            require(ts != null,
+              s"TIMESTAMP AS OF $tsExpr is not a timestamp")
+            log.versionAt(ts.getTime)
+          }
+        val newV = log.restore(toV)
+        Seq((toV, newV)).toDF("restored_version", "new_version")
+      }
+      case Opt(t, where, zorder) => managed(t).map { log =>
+        val zcols: Seq[String] = Option(zorder).toSeq.flatMap { z =>
+          z.trim.stripPrefix("(").stripSuffix(")").split(',').toSeq
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)
+        }
+        val target = log.properties(None)
+          .get("optimize.target.files").map(_.toInt).getOrElse(1)
+        val before = log.liveFiles(None).size
+        val rewrote =
+          log.optimize(targetFiles = target, zorderBy = zcols,
+            where = Option(where).map(_.trim))
+        Seq((rewrote.getOrElse(log.latestVersion()),
+          before.toLong, log.liveFiles(None).size.toLong,
+          rewrote.isDefined))
+          .toDF("version", "files_before", "files_after", "rewrote")
+      }
+      case _ => None
+    }
+  }
+
   /** SQL entry point covering WRITES on managed commit-log tables —
     * the DML half the temp-view registration can't give. Statements
     * whose target resolves to a cataloged commit-log dataset dispatch
@@ -203,6 +324,9 @@ final class LakeManager(spark: SparkSession, root: String) {
     *                                       -> [[CommitLog.updateWhere]]
     *  - `ALTER TABLE t ADD CONSTRAINT c CHECK (<pred>)` /
     *    `DROP CONSTRAINT [IF EXISTS] c`    -> [[CommitLog.addConstraint]]
+    *  - `ALTER TABLE t ALTER COLUMN c SET NOT NULL | DROP NOT NULL`
+    *                                       -> [[CommitLog.setNotNull]] /
+    *                                          [[CommitLog.dropNotNull]]
     *  - `ALTER TABLE t SET TBLPROPERTIES (...)` / `UNSET TBLPROPERTIES`
     *    / `SHOW TBLPROPERTIES t`           -> [[CommitLog.setProperties]]
     *  - `SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF <expr>`
@@ -239,27 +363,24 @@ final class LakeManager(spark: SparkSession, root: String) {
       try spark.sessionState.sqlParser.parsePlan(statement)
       catch { case scala.util.control.NonFatal(_) =>
         return spark.sql(statement) }
-    def targetName(plan: LogicalPlan): Option[String] = plan match {
-      case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
-        Some(r.multipartIdentifier.head)
+    def targetParts(plan: LogicalPlan): Option[Seq[String]] = plan match {
+      case r: UnresolvedRelation => Some(r.multipartIdentifier)
       // ALTER TABLE statements parse their target as UnresolvedTable;
       // SHOW TBLPROPERTIES as UnresolvedTableOrView
-      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-          if t.multipartIdentifier.size == 1 =>
-        Some(t.multipartIdentifier.head)
-      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
-          if t.multipartIdentifier.size == 1 =>
-        Some(t.multipartIdentifier.head)
-      case SubqueryAlias(_, child) => targetName(child)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        Some(t.multipartIdentifier)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        Some(t.multipartIdentifier)
+      case SubqueryAlias(_, child) => targetParts(child)
       // ADD CONSTRAINT parses its target under a `Filter NOT(check)`
       // scaffold (the analyzer's own validation plan) — unwrap it
-      case Filter(_, child) => targetName(child)
+      case Filter(_, child) => targetParts(child)
       case _ => None
     }
+    def targetName(plan: LogicalPlan): Option[String] =
+      targetParts(plan).flatMap(managedName)
     def managedLog(plan: LogicalPlan): Option[CommitLog] =
-      targetName(plan).filter(n =>
-        tables.contains(n) && datasetKind(n) == "commitlog")
-        .map(commitLog)
+      targetName(plan).map(commitLog)
     // the names a target-table column reference may be qualified by:
     // the table name itself or its alias (`UPDATE t AS x SET x.c = …`)
     def targetQualifiers(plan: LogicalPlan): Set[String] = plan match {
@@ -400,6 +521,30 @@ final class LakeManager(spark: SparkSession, root: String) {
               log.dropConstraint(d.name)
             log.read(None)
         }
+      case ac: AlterColumns =>
+        managedLog(ac.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            // the ONLY column alteration managed tables support is the
+            // nullability invariant (Delta's NOT NULL); type/comment/
+            // position/default changes refuse loudly rather than
+            // silently mutating a schema the commit log owns
+            ac.specs.foreach { sp =>
+              require(sp.newDataType.isEmpty && sp.newComment.isEmpty &&
+                sp.newPosition.isEmpty &&
+                sp.newDefaultExpression.isEmpty && !sp.dropDefault &&
+                sp.newNullability.isDefined,
+                "managed ALTER COLUMN supports exactly SET NOT NULL / " +
+                  "DROP NOT NULL")
+              require(sp.column.name.size == 1,
+                s"NOT NULL targets a top-level column, got " +
+                  sp.column.name.mkString("."))
+              if (sp.newNullability.get) // nullable=true drops it
+                log.dropNotNull(sp.column.name.head)
+              else log.setNotNull(sp.column.name.head)
+            }
+            log.read(None)
+        }
       case p: SetTableProperties =>
         managedLog(p.table) match {
           case None => spark.sql(statement)
@@ -435,8 +580,7 @@ final class LakeManager(spark: SparkSession, root: String) {
         var rewrote = false
         val rewritten = other.transformUp {
           case tt @ RelationTimeTravel(rel, tsExpr, version) =>
-            targetName(rel).filter(n =>
-              tables.contains(n) && datasetKind(n) == "commitlog") match {
+            targetName(rel) match {
               case None => tt
               case Some(n) =>
                 val log = commitLog(n)

@@ -188,12 +188,16 @@ class PlanSpec extends AnyFunSuite {
     //    the stored codes/signature table instead of a re-encode
     //  - e31: ends in the SAME servePq read as e26 (the stream-
     //    maintained index serves identically by construction)
+    //  - e32: e25's brute force over the POSITIONAL-DV survivor view —
+    //    the same bounded-broadcast contract (≤10 queries against one
+    //    corpus pass); the dv subtraction itself is a keyed anti-join
+    //    (asserted by the merge-on-read plan test above)
     // Everything else — including e01's exact all-pairs, which is now
     // block-keyed — must plan as equi joins.
     val allowed = Set("q55_cross_join_small", "e02_knn_topk",
       "e15_ann_recall", "e16_pq_adc", "e17_hamming_topk", "e22_maxsim",
       "e25_ann_mor", "e26_pq_serve", "e27_hamming_serve",
-      "e31_commitlog_pq_stream")
+      "e31_commitlog_pq_stream", "e32_ann_dv_survivors")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

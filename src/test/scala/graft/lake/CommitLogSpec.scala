@@ -948,6 +948,32 @@ class CommitLogSpec extends AnyFunSuite {
       .select("a").as[Long].head() == 30L)
   }
 
+  test("updateWhere under standing keyed tombstones: assigning a " +
+      "tombstone KEY column refuses (resurrection guard); non-key " +
+      "assignments commute with the subtract") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogut")).init()
+    log.append(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "a", "v").repartition(1)) // v1
+    log.deleteKeysMor(Seq(2L).toDF("id"), Seq("id")) // v2 keyed mark
+    assert(log.read(None).count() == 2L)
+    // rewriting the tombstone key column would re-home the logically
+    // deleted id=2 row under id=102 — outside the read-time key
+    // subtract. Refuse loudly, mirroring doUpsert's clash guard.
+    val refused = intercept[IllegalArgumentException](
+      log.updateWhere(Seq("id" -> "id + 100"), Some("a >= 10")))
+    assert(refused.getMessage.contains("tombstone key"),
+      s"wrong refusal: ${refused.getMessage}")
+    // non-key assignment: updated-but-deleted rows keep their key, so
+    // the subtract still holds — id=2 stays invisible, id 1,3 update
+    val (v, touched) = log.updateWhere(
+      Seq("a" -> "a + 1"), Some("a >= 10"))
+    assert(v == 3L && touched == 1)
+    val rows = log.read(None).orderBy("id")
+      .select("id", "a").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 11L), (3L, 31L)),
+      s"tombstoned row must stay subtracted through the update: $rows")
+  }
+
   test("bloom sidecar on a commit-log table: buildStats(bloomCols) + " +
       "append-maintained; candidateDataFiles isolates an equality " +
       "probe to the holding file, absent keys prove out everything, " +
@@ -970,6 +996,30 @@ class CommitLogSpec extends AnyFunSuite {
     val c0 = log.candidateDataFiles("uid = 'u-nope'")
     assert(c0.exists(_.isEmpty), s"absent key must prove out: $c0")
     assert(log.readFiltered("uid = 'u-nope'").count() == 0)
+  }
+
+  test("NOT NULL invariants: meta-commit recorded, writer-enforced in " +
+      "the CAS loop, versioned, droppable; standing nulls refuse the " +
+      "ADD; unknown columns refuse") {
+    val log = CommitLog(spark, TestSpark.tempDir("clognn")).init()
+    log.append(Seq((1L, Option(10L)), (2L, Option.empty[Long]))
+      .toDF("id", "a")) // v1
+    // live data holds a null `a` — the invariant must refuse to stand
+    assertThrows[IllegalArgumentException](log.setNotNull("a"))
+    assertThrows[IllegalArgumentException](log.setNotNull("nope"))
+    val v2 = log.setNotNull("id") // meta commit
+    assert(v2 == 2L && log.notNullColumns(None) == Seq("id"))
+    // a null-id batch refuses inside the writer's enforcement
+    assertThrows[IllegalArgumentException](
+      log.append(Seq((Option.empty[Long], Option(1L))).toDF("id", "a")))
+    log.append(Seq((Option(3L), Option.empty[Long])).toDF("id", "a")) // v3
+    assert(log.read(None).count() == 3L)
+    log.dropNotNull("id") // v4
+    assert(log.notNullColumns(None).isEmpty &&
+      log.notNullColumns(Some(3L)) == Seq("id"),
+      "the invariant set is versioned like any meta payload")
+    log.append(Seq((Option.empty[Long], Option(9L))).toDF("id", "a")) // v5
+    assert(log.read(None).filter(col("id").isNull).count() == 1L)
   }
 
   test("CHECK constraints: meta commits gate every data-adding path, " +

@@ -232,6 +232,57 @@ class LakeManagerSpec extends AnyFunSuite {
     assert(lm.commitLog("dvt").commit(3L).files.forall(_.startsWith("dv-")))
   }
 
+  test("maintenance SQL verbs dispatch on managed tables") {
+    val root = TestSpark.tempDir("lakem")
+    val lm = LakeManager(spark, root).init()
+    lm.addCommitLog("mt")
+    Seq.range(0, 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("mt_src")
+    lm.sql("INSERT INTO mt SELECT /*+ REPARTITION(4) */ * FROM mt_src")
+    lm.sql("INSERT INTO mt SELECT id + 100, v FROM mt_src")
+    val m = lm.sql("OPTIMIZE mt").head()
+    assert(m.getAs[Boolean]("rewrote") &&
+      m.getAs[Long]("files_after") == 1L &&
+      m.getAs[Long]("files_before") > 1L &&
+      m.getAs[Long]("version") == 3L)
+    val hist = lm.sql("DESCRIBE HISTORY mt").orderBy("version").collect()
+    assert(hist.length == 3 &&
+      hist.last.getAs[String]("kind") == "rewrite")
+    // OPTIMIZE over the just-packed table is a no-op metrics row
+    val m2 = lm.sql("OPTIMIZE mt").head()
+    assert(!m2.getAs[Boolean]("rewrote"),
+      "a no-op OPTIMIZE must not burn a commit")
+    val r = lm.sql("RESTORE mt TO VERSION AS OF 1").head()
+    assert(r.getAs[Long]("restored_version") == 1L &&
+      r.getAs[Long]("new_version") == 4L)
+    assert(spark.sql("SELECT count(*) FROM mt").as[Long].head() == 100L)
+    val vac = lm.sql("VACUUM mt RETAIN 1 HOURS").head()
+    assert(vac.getAs[Long]("files_deleted") == 0L,
+      "every committed file is referenced — nothing to reclaim")
+    // non-managed target: falls through to the stock parser's refusal
+    assertThrows[Exception](lm.sql("OPTIMIZE definitely_not_a_table"))
+  }
+
+  test("lake-qualified targets resolve; wrong member refuses loudly") {
+    val root = TestSpark.tempDir("lakeq")
+    val lm = LakeManager(spark, root).init()
+    val lakeName = new java.io.File(root).getName
+    lm.addCommitLog("qt")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("qt_src")
+    lm.sql(s"INSERT INTO `$lakeName`.qt SELECT * FROM qt_src")
+    lm.sql(s"DELETE FROM `$lakeName`.qt WHERE id = 2")
+    assert(spark.sql("SELECT count(*) FROM qt").as[Long].head() == 2L)
+    assert(lm.sql(s"DESCRIBE HISTORY `$lakeName`.qt").count() == 2L)
+    // a lake-qualified name whose member is NOT managed refuses
+    // loudly — the user addressed this lake explicitly, so silently
+    // running against some unrelated same-named table would be wrong
+    assertThrows[IllegalArgumentException](
+      lm.sql(s"DELETE FROM `$lakeName`.nope WHERE id = 1"))
+    assertThrows[IllegalArgumentException](
+      lm.sql(s"DESCRIBE HISTORY `$lakeName`.nope"))
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()
