@@ -28,6 +28,18 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("runq")) {
+      val sf = args.lift(2).getOrElse("/root/testdata/sf0.001")
+      val name = args(1)
+      try {
+        val df = SparkEntry.queries(name)(spark, sf)
+        println(s"rows=${df.count()}")
+      } catch {
+        case t: Throwable => t.printStackTrace()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("plans_r6")) {
       val sf = "/root/testdata/sf0.01"
       Seq("q77_delta_schema_drift", "d28_incremental_clusters").foreach {

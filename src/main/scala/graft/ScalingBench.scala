@@ -181,6 +181,36 @@ object ScalingBench {
       // construction); the design claim is the PROBE: metadata-scan
       // the sidecar, keep bloom survivors, scan only them. Standing
       // fixture built once per factor; timed reps measure the probe.
+      // the r10 sharded-manifest claim: file count AND total blob
+      // payload grow with the factor (32f files x a 1 MiB-wide bloom
+      // per file — the width Delta recommends at lake scale), yet the
+      // PROBE stays flat because (a) the manifest is sharded by
+      // file-name hash (parallel, no single-file read) and (b) the
+      // probe reads blobs ONLY for span-surviving rows (the predicate
+      // carries a doc_id band that range-partitioned spans cut to a
+      // constant few files, pushed into the sidecar scan as an IN).
+      "q145_bloom_within" -> ((s, dir) => {
+        val factor = dir.replaceAll(".*_v2_(\\d+)x.*", "$1").toInt
+        val root = s"/tmp/graft_scale_q145w_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!pfs.exists(p) || !graft.lake.FileStats.trusted(s, root)) {
+          if (pfs.exists(p)) pfs.delete(p, true)
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("doc_key",
+              concat(col("lang"), lit("-"), col("doc_id")))
+            .select("doc_id", "doc_key", "lang", "n_chars")
+            .repartitionByRange(32 * factor, col("doc_id"))
+            .write.parquet(root)
+          graft.lake.FileStats.build(s, root,
+            bloomCols = Seq("doc_key"), bloomBits = 1 << 23)
+        }
+        val key = s.read.parquet(root)
+          .filter(col("doc_id") === 42L).select("doc_key")
+          .head().getString(0)
+        graft.lake.LakeReader(s, root)
+          .filter(s"doc_id <= 1000 and doc_key = '$key'").load()
+      }),
       "q145_bloom_served" -> ((s, dir) => {
         val root = s"/tmp/graft_scale_q145s_${math.abs(dir.hashCode)}"
         val p = new org.apache.hadoop.fs.Path(root)
@@ -638,7 +668,16 @@ object ScalingBench {
     sb.append("a standing fixture (metadata-scan the sidecar, scan only\n")
     sb.append("bloom survivors — the data actually read stays ~one file at\n")
     sb.append("every factor); its oracle entry's fixture write + bloom\n")
-    sb.append("build are linear in data by construction. The lifecycle\n")
+    sb.append("build are linear in data by construction.\n")
+    sb.append("q145_bloom_within is the r10 sharded-manifest claim: the\n")
+    sb.append("fixture holds 32 x factor files each carrying a 1 MiB bloom\n")
+    sb.append("blob (the width Delta recommends at lake scale — total blob\n")
+    sb.append("payload grows 32->128 MiB across factors), the manifest is\n")
+    sb.append("sharded by file-name hash instead of coalesce(1), and the\n")
+    sb.append("probe reads blobs ONLY for the span-surviving rows of its\n")
+    sb.append("doc_id band (pushed into the sidecar scan) — so the probe\n")
+    sb.append("should stay flat while files x blob-width grows.\n")
+    sb.append("The lifecycle\n")
     sb.append("rows (q142/q144/q147/e31) time whole transaction protocols\n")
     sb.append("— multiple commits, validations, stream replays — whose\n")
     sb.append("costs are linear in their batch sizes by design.\n\n")

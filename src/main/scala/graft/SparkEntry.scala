@@ -5716,6 +5716,63 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // SQL TABLE LIFECYCLE (the DDL half of the managed surface):
+    // CREATE TABLE ... USING commitlog with a declared schema — the
+    // declaration is REAL: a zero-row founding append records it, the
+    // first INSERT conforms positionally against it, a declared NOT
+    // NULL column lands as an enforced invariant, and TBLPROPERTIES
+    // ride a meta commit. CTAS creates-and-populates in one
+    // statement; IF NOT EXISTS is a no-op against a standing table;
+    // DROP TABLE PURGE removes catalog entry, SQL view, and files
+    "q151_sql_create_table" -> ((s, d) => {
+      val root = scratch(s, "q151", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t151 (o_orderkey BIGINT NOT NULL, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) USING commitlog " +
+        "TBLPROPERTIES ('team'='data-eng')")
+      val log = lm.commitLog("t151")
+      assert(log.notNullColumns(None) == Seq("o_orderkey"),
+        "the declared NOT NULL must stand as an invariant")
+      assert(log.properties(None) == Map("team" -> "data-eng"),
+        s"TBLPROPERTIES must ride the create: ${log.properties(None)}")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q151_src")
+      lm.sql("INSERT INTO t151 SELECT * FROM q151_src")
+      def mustRefuse(stmt: String): Unit = {
+        val refused =
+          try { lm.sql(stmt); false }
+          catch { case _: Exception => true }
+        assert(refused, s"must refuse: $stmt")
+      }
+      // the declared invariant gates SQL INSERTs from the start
+      mustRefuse("INSERT INTO t151 VALUES (NULL, 1, 1.0)")
+      // the declared schema is the conformance target: wrong arity
+      mustRefuse("INSERT INTO t151 VALUES (1, 2)")
+      // IF NOT EXISTS over a standing table is a no-op
+      val vBefore = log.latestVersion()
+      lm.sql("CREATE TABLE IF NOT EXISTS t151 (x BIGINT) " +
+        "USING commitlog")
+      assert(log.latestVersion() == vBefore &&
+        !lm.commitLog("t151").read(None).columns.contains("x"),
+        "IF NOT EXISTS must not touch the standing table")
+      mustRefuse("CREATE TABLE t151 (x BIGINT) USING commitlog")
+      // CTAS creates-and-populates; DROP PURGE removes it fully
+      lm.sql("CREATE TABLE t151b USING commitlog AS " +
+        "SELECT * FROM q151_src WHERE o_custkey % 2 = 0")
+      assert(lm.tables.contains("t151b") &&
+        s.sql("SELECT count(*) FROM t151b").head().getLong(0) > 0L)
+      lm.sql("DROP TABLE t151b PURGE")
+      assert(!lm.tables.contains("t151b"),
+        "DROP TABLE must deregister")
+      assert(!new org.apache.hadoop.fs.Path(s"$root/t151b")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$root/t151b")),
+        "PURGE must delete the files")
+      lm.sql("DROP TABLE IF EXISTS t151b") // no-op, no throw
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t151 " +
+        "ORDER BY o_orderkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -7457,6 +7514,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'folded', * FROM kept
         |ORDER BY side, o_orderkey""".stripMargin,
+
+    "q151_sql_create_table" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q150_sql_maintenance" ->
       """WITH kept AS (

@@ -331,6 +331,47 @@ final class CommitLog(spark: SparkSession, root: String) {
     }.toDF("version", "kind", "n_files", "n_rows", "n_removed", "ts")
   }
 
+  /** SHOW PARTITIONS — the distinct partition directories of the LIVE
+    * set, straight from manifest-carried relative names (zero file
+    * opens at any lake size). Refuses on a non-partitioned table
+    * (Spark's own contract for the statement). */
+  def partitionValues(): DataFrame = {
+    import spark.implicits._
+    require(partitionCols.nonEmpty,
+      "SHOW PARTITIONS is not allowed on a non-partitioned table")
+    resolve(None).data
+      .map(n => n.split('/').dropRight(1).mkString("/"))
+      .filter(_.nonEmpty).distinct.sorted
+      .toDF("partition")
+  }
+
+  /** DESCRIBE DETAIL — Delta's one-row table summary, served from
+    * manifests + file statuses alone (no data-file opens): location,
+    * current version, live file count and total bytes, row count when
+    * every live file's commit recorded spans (null for legacy logs),
+    * partition columns, standing tombstone count, table properties,
+    * and constraint names. O(live files) metadata — the cost class of
+    * any listing. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion()
+    val r = resolve(None)
+    val bytes = r.data.map(n =>
+      fs.getFileStatus(new Path(dataPath(n))).getLen).sum
+    val nRows: Option[Long] =
+      if (r.data.forall(r.spanOf.contains))
+        Some(r.data.map(r.spanOf(_).nRows).sum)
+      else None
+    Seq((
+      fs.makeQualified(new Path(root)).toString, v,
+      r.data.size.toLong, bytes, nRows,
+      partitionCols, r.tombstones.size.toLong,
+      properties(None), constraints(None).keys.toSeq.sorted
+    )).toDF("location", "version", "num_files", "size_bytes",
+      "num_rows", "partition_columns", "num_tombstones",
+      "properties", "constraints")
+  }
+
   /** Parse a commit/checkpoint node's `stats` object:
     * `{file: {n: rows, cols: {name: [min, max]}}}`, JSON nulls for
     * all-null spans. Numeric sides parse as [[FileStats.NumV]], string
@@ -476,8 +517,27 @@ final class CommitLog(spark: SparkSession, root: String) {
     * The multi-writer flavor is the one a 100 TB lake actually runs —
     * it must not lose the reader features the single-writer flavor
     * has. */
-  def read(asOf: Option[Long] = None): DataFrame =
-    assembleRead(resolve(asOf), None)
+  def read(asOf: Option[Long] = None): DataFrame = {
+    val r = resolve(asOf)
+    if (r.data.isEmpty) return emptySchemaFrame(asOf)
+    assembleRead(r, None)
+  }
+
+  /** An empty live set still has a SCHEMA when a retained commit
+    * recorded one — a declared CREATE TABLE's zero-row founding
+    * append, or a fully-deleted table. Serve it so positional INSERT
+    * conformance and SELECTs over the empty table keep working; a log
+    * with no recorded schema at all (or truncated past every
+    * schema-carrying manifest) degrades to the zero-column frame. */
+  private def emptySchemaFrame(asOf: Option[Long]): DataFrame = {
+    val hi = asOf.getOrElse(latestVersion())
+    existingVersions().filter(_ <= hi).sorted.reverseIterator
+      .flatMap(v => scala.util.Try(commit(v)).toOption.flatMap(_.schema))
+      .nextOption()
+      .map(s0 => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s0))
+      .getOrElse(spark.emptyDataFrame)
+  }
 
   /** [[read]] with a SQL predicate whose range conjuncts prune the
     * FILE LISTING. Spans come first from the LOG ITSELF — every

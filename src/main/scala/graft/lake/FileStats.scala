@@ -213,6 +213,13 @@ object FileStats {
     case _ => None
   }
 
+  /** The columns of `schema` a bloom filter can index (string /
+    * integral) — what `ANALYZE TABLE ... FOR ALL COLUMNS` resolves
+    * to. */
+  def bloomableFields(schema: StructType): Seq[String] =
+    schema.fields.toSeq
+      .filter(f => bloomDomainOf(f.dataType).isDefined).map(_.name)
+
   /** Distributed per-file bloom aggregation: OR fixed-width bit arrays.
     * Build-pass-only cost (one UDAF per bloom column in the same
     * per-file agg the spans ride). */

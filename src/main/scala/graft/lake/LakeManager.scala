@@ -196,9 +196,11 @@ final class LakeManager(spark: SparkSession, root: String) {
     * loudly: the user addressed this lake explicitly, so a silent
     * fall-through would run the statement against some unrelated
     * same-named Spark table. */
-  private def managedName(parts: Seq[String]): Option[String] = {
-    val lakeName = readCfg().withObject("/pydala").path("name")
+  private def lakeName: String =
+    readCfg().withObject("/pydala").path("name")
       .asText(new Path(root).getName)
+
+  private def managedName(parts: Seq[String]): Option[String] = {
     val candidate = parts match {
       case Seq(t) => Some((t, false))
       case Seq(q, t) if q.equalsIgnoreCase(lakeName) => Some((t, true))
@@ -211,6 +213,75 @@ final class LakeManager(spark: SparkSession, root: String) {
           s"commit-log table (have: ${tables.mkString(", ")})")
       else None
     }
+  }
+
+  /** `CREATE TABLE [IF NOT EXISTS] t [(cols)] USING commitlog
+    * [PARTITIONED BY (c, ...)] [TBLPROPERTIES (...)]` — and the CTAS
+    * flavor — create a managed commit-log dataset in THIS lake's
+    * catalog. Identity partitions map to the hive-partitioned flavor
+    * (other transforms refuse); declared `NOT NULL` columns land as
+    * invariants ([[CommitLog.setNotNull]]); TBLPROPERTIES as a meta
+    * commit; a declared schema is recorded by a zero-row founding
+    * append so the first INSERT conforms positionally against it.
+    * None (pass through to `spark.sql`) unless the USING clause names
+    * `commitlog`; a commitlog CREATE qualified to a FOREIGN catalog
+    * refuses loudly. */
+  private def createManaged(
+      nameChild: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      columns: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition],
+      data: Option[DataFrame],
+      ignoreIfExists: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec
+    val us = spec match {
+      case u: UnresolvedTableSpec => u
+      case _ => return None
+    }
+    if (!us.provider.exists(_.equalsIgnoreCase("commitlog")))
+      return None
+    val parts = nameChild match {
+      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        id.nameParts
+      case _ => return None
+    }
+    val t = parts match {
+      case Seq(x) => x
+      case Seq(q, x) if q.equalsIgnoreCase(lakeName) => x
+      case other => throw new IllegalArgumentException(
+        s"USING commitlog creates in THIS lake ($lakeName); cannot " +
+          s"create ${other.mkString(".")}")
+    }
+    require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"commit-log table names must be SQL identifiers: $t")
+    if (tables.contains(t)) {
+      if (ignoreIfExists) return Some(commitLog(t).read(None))
+      throw new IllegalArgumentException(s"table $t already exists")
+    }
+    val partCols: Seq[String] = partitioning.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val fn = t.references.head.fieldNames
+        require(fn.length == 1,
+          s"nested partition references are not supported: $t")
+        fn.head
+      case o => throw new IllegalArgumentException(
+        s"commitlog tables support identity partitioning only, got $o")
+    }
+    val log = addCommitLog(t)
+    if (partCols.nonEmpty) log.initPartitioned(partCols)
+    data match {
+      case Some(df) => log.append(df)
+      case None if columns.nonEmpty =>
+        val schema = org.apache.spark.sql.types.StructType(
+          columns.map(c => org.apache.spark.sql.types.StructField(
+            c.name, c.dataType, nullable = true)))
+        log.append(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      case None => ()
+    }
+    columns.filterNot(_.nullable).foreach(c => log.setNotNull(c.name))
+    if (us.properties.nonEmpty) log.setProperties(us.properties)
+    Some(log.read(None))
   }
 
   /** Statement-shape dispatch for the maintenance verbs — Delta's SQL
@@ -229,6 +300,8 @@ final class LakeManager(spark: SparkSession, root: String) {
     *    new_version). Timestamps resolve through the same rule as
     *    SELECT-side travel ([[CommitLog.versionAt]]).
     *  - `DESC[RIBE] HISTORY t` → [[CommitLog.history]].
+    *  - `DESC[RIBE] DETAIL t` → [[CommitLog.detail]] — the one-row
+    *    table summary, manifests + file statuses only.
     *
     * None = not a maintenance shape on a managed table; the caller
     * falls through to the stock parser (whose parse error is the
@@ -254,6 +327,9 @@ final class LakeManager(spark: SparkSession, root: String) {
     val DescHist =
       ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ident +
         "\\s*;?\\s*$").r
+    val DescDetail =
+      ("(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+" + Ident +
+        "\\s*;?\\s*$").r
     val Vac =
       ("(?is)^\\s*VACUUM\\s+" + Ident +
         "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$").r
@@ -267,6 +343,7 @@ final class LakeManager(spark: SparkSession, root: String) {
         "(?:\\s+ZORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
     statement match {
       case DescHist(t) => managed(t).map(_.history())
+      case DescDetail(t) => managed(t).map(_.detail())
       case Vac(t, hours) => managed(t).map { log =>
         val retainMs = Option(hours).map(_.toLong * 3600000L)
           .getOrElse(CommitLog.RetentionMs)
@@ -314,6 +391,11 @@ final class LakeManager(spark: SparkSession, root: String) {
     * query/source subtree runs through the full analyzer, so temp
     * views and registered tables resolve normally):
     *
+    *  - `CREATE TABLE [IF NOT EXISTS] t [(cols)] USING commitlog
+    *     [PARTITIONED BY (c,...)] [TBLPROPERTIES (...)]` / the CTAS
+    *     flavor / `DROP TABLE [IF EXISTS] t [PURGE]`
+    *                                       -> [[createManaged]] /
+    *                                          [[removeDataset]]
     *  - `INSERT INTO t <query>`            -> [[CommitLog.append]]
     *  - `INSERT OVERWRITE [TABLE] t <query>` -> [[CommitLog.replace]]
     *  - `MERGE INTO t USING <src> ON t.k = s.k
@@ -339,6 +421,11 @@ final class LakeManager(spark: SparkSession, root: String) {
     *  - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF <e>`
     *                                       -> [[CommitLog.restore]]
     *  - `DESCRIBE HISTORY t`               -> [[CommitLog.history]]
+    *  - `DESCRIBE DETAIL t`                -> [[CommitLog.detail]]
+    *  - `ANALYZE TABLE t COMPUTE STATISTICS [FOR [ALL] COLUMNS ...]`
+    *                                       -> [[CommitLog.buildStats]]
+    *                                          (FOR COLUMNS = blooms)
+    *  - `SHOW PARTITIONS t`                -> [[CommitLog.partitionValues]]
     *
     * The maintenance verbs are Delta's SQL surface; Spark's parser
     * does not know them, so they dispatch off a statement-shape match
@@ -520,6 +607,71 @@ final class LakeManager(spark: SparkSession, root: String) {
             if (!(d.ifExists && !log.constraints(None).contains(d.name)))
               log.dropConstraint(d.name)
             log.read(None)
+        }
+      case CreateTable(nameChild, cols, partTs, spec, ignore) =>
+        createManaged(nameChild, spec, partTs, cols, None, ignore)
+          .getOrElse(spark.sql(statement))
+      case CreateTableAsSelect(nameChild, partTs, query, spec, _,
+          ignore, _) =>
+        createManaged(nameChild, spec, partTs, Nil,
+          Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark, query)),
+          ignore)
+          .getOrElse(spark.sql(statement))
+      case dt: DropTable =>
+        val partsOpt = dt.child match {
+          case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            Some(id.nameParts)
+          case o => targetParts(o)
+        }
+        val resolved: Option[String] = partsOpt.flatMap { ps =>
+          try managedName(ps)
+          catch {
+            // DROP TABLE IF EXISTS lake.absent is a no-op, not the
+            // loud lake-qualified-non-member refusal
+            case _: IllegalArgumentException if dt.ifExists => None
+          }
+        }
+        resolved match {
+          case Some(t) =>
+            removeDataset(t, deleteFiles = dt.purge)
+            spark.emptyDataFrame
+          case None => spark.sql(statement)
+        }
+      case at: AnalyzeTable =>
+        managedLog(at.child) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            // COMPUTE STATISTICS = (re)build the `_stats` span
+            // sidecar over the live set; returns the DETAIL summary
+            require(at.partitionSpec.isEmpty,
+              "partition-scoped ANALYZE is not supported on managed " +
+                "commit-log tables")
+            log.buildStats()
+            log.detail()
+        }
+      case an: AnalyzeColumn =>
+        managedLog(an.child) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            // FOR COLUMNS = point-lookup (bloom) statistics for the
+            // named string/integral columns, spans for everything
+            // indexable as always; FOR ALL COLUMNS blooms every
+            // bloomable column
+            val cols =
+              if (an.allColumns)
+                FileStats.bloomableFields(log.read(None).schema)
+              else an.columnNames.getOrElse(Nil)
+            log.buildStats(bloomCols = cols)
+            log.detail()
+        }
+      case sp: ShowPartitions =>
+        managedLog(sp.child) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            require(sp.pattern.isEmpty,
+              "SHOW PARTITIONS patterns are not supported on managed " +
+                "commit-log tables")
+            log.partitionValues()
         }
       case ac: AlterColumns =>
         managedLog(ac.table) match {

@@ -259,6 +259,22 @@ class LakeManagerSpec extends AnyFunSuite {
     val vac = lm.sql("VACUUM mt RETAIN 1 HOURS").head()
     assert(vac.getAs[Long]("files_deleted") == 0L,
       "every committed file is referenced — nothing to reclaim")
+    // the WHERE arm parses through the shape dispatch too: the
+    // restored live set is v1's four round-robin files (every span
+    // covers the band), so the banded ZORDER pack rewrites them all
+    val m3 = lm.sql(
+      "OPTIMIZE mt WHERE id < 10 ZORDER BY (id)").head()
+    assert(m3.getAs[Boolean]("rewrote") &&
+      m3.getAs[Long]("files_after") == 1L &&
+      m3.getAs[Long]("files_before") == 4L,
+      s"OPTIMIZE WHERE ... ZORDER BY must dispatch: $m3")
+    // DESCRIBE DETAIL: the one-row summary off manifests alone
+    val det = lm.sql("DESCRIBE DETAIL mt").head()
+    assert(det.getAs[Long]("num_files") == 1L &&
+      det.getAs[Long]("num_rows") == 100L &&
+      det.getAs[Long]("size_bytes") > 0L &&
+      det.getAs[Long]("version") == lm.commitLog("mt").latestVersion(),
+      s"DESCRIBE DETAIL must summarize the live state: $det")
     // non-managed target: falls through to the stock parser's refusal
     assertThrows[Exception](lm.sql("OPTIMIZE definitely_not_a_table"))
   }
@@ -281,6 +297,44 @@ class LakeManagerSpec extends AnyFunSuite {
       lm.sql(s"DELETE FROM `$lakeName`.nope WHERE id = 1"))
     assertThrows[IllegalArgumentException](
       lm.sql(s"DESCRIBE HISTORY `$lakeName`.nope"))
+  }
+
+  test("CREATE TABLE ... USING commitlog PARTITIONED BY lands the " +
+      "hive flavor; non-commitlog USING passes through") {
+    val root = TestSpark.tempDir("lakect")
+    val lm = LakeManager(spark, root).init()
+    lm.sql("CREATE TABLE pt (k STRING, v BIGINT) USING commitlog " +
+      "PARTITIONED BY (k)")
+    Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("k", "v")
+      .createOrReplaceTempView("pt_src")
+    lm.sql("INSERT INTO pt SELECT * FROM pt_src")
+    assert(spark.sql("SELECT sum(v) FROM pt").as[Long].head() == 6L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/pt/data/k=a")),
+      "identity partitioning must land the hive layout")
+    // SHOW PARTITIONS serves the manifest-carried partition dirs
+    assert(lm.sql("SHOW PARTITIONS pt").orderBy("partition")
+      .collect().map(_.getString(0)).toSeq == Seq("k=a", "k=b"))
+    // ANALYZE TABLE builds the stats sidecar; FOR COLUMNS adds blooms
+    val an = lm.sql("ANALYZE TABLE pt COMPUTE STATISTICS " +
+      "FOR COLUMNS k").head()
+    assert(an.getAs[Long]("num_files") >= 2L,
+      s"ANALYZE must return the detail row: $an")
+    assert(graft.lake.FileStats.trusted(spark, s"$root/pt"),
+      "ANALYZE must land a trusted sidecar")
+    // declared NOT NULL gates from the very first INSERT
+    lm.sql("CREATE TABLE nn (id BIGINT NOT NULL) USING commitlog")
+    assertThrows[Exception](
+      lm.sql("INSERT INTO nn VALUES (CAST(NULL AS BIGINT))"))
+    lm.sql("INSERT INTO nn VALUES (7)")
+    assert(spark.sql("SELECT id FROM nn").as[Long].head() == 7L)
+    // a non-commitlog USING is not ours — stock Spark handles (and
+    // here refuses: no such catalog path), proving the pass-through
+    assertThrows[Exception](
+      lm.sql("CREATE TABLE pq (x INT) USING definitely_no_provider"))
+    assert(!lm.tables.contains("pq"))
   }
 
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
