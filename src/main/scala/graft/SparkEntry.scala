@@ -4879,6 +4879,72 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // DV-AWARE CHANGE FEED (r10 — closes the honest refusal): a
+    // POSITIONAL delete commit decomposes into full-row pre-images —
+    // the dv marks name exact (file, row position) rows, all still
+    // readable because data files are immutable — so CDC replication
+    // continues across zero-rewrite deletes instead of re-baselining.
+    // In-query asserts: the delete batch is exactly the marked rows
+    // with EVERY column populated (full pre-image, unlike the keyed
+    // feed's key-only rows), the replica built from NOTHING but the
+    // feed converges to the source, and a full-feed replay is a no-op
+    "q152_dv_change_feed" -> ((s, d) => {
+      val root = scratch(s, "q152", d)
+      val log = CommitLog(s, s"$root/src").init()
+      val rep = s"$root/replica"
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      def band(a: Long, b: Long) =
+        src.filter(col("o_orderkey").between(a, b))
+      log.append(band(lo, lo + 2 * e)
+        .repartition(3, col("o_custkey"))) // v1: interleaved files
+      val (v2, marked) = log.deleteWhereMor("o_orderkey % 7 = 3") // v2
+      assert(marked > 0)
+      log.append(band(lo, lo + e / 2)
+        .withColumn("o_orderkey",
+          col("o_orderkey") + lit(hi + 1L))) // v3: fresh keys
+      val feed = log.changesSince(0L).localCheckpoint(true)
+      val dels = feed.filter(col("_op") === "delete")
+      assert(dels.count() == marked,
+        s"the dv feed must emit exactly the marked rows: " +
+          s"${dels.count()} vs $marked")
+      assert(dels.filter(col("o_custkey").isNull ||
+        col("o_totalprice").isNull).count() == 0,
+        "dv delete rows must be FULL pre-images, not key-only rows")
+      def applyFeed(): Unit = {
+        val versions = feed.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val batch = feed.filter(col("_commit_version") === v)
+          val op = batch.select("_op").head().getString(0)
+          val payload = batch.drop("_op", "_commit_version")
+          if (op == "delete")
+            RowOps.deleteKeys(s, rep,
+              payload.select("o_orderkey"), Seq("o_orderkey"))
+          else if (!new java.io.File(rep).exists())
+            payload.write.parquet(rep)
+          else RowOps.upsert(s, rep, payload, Seq("o_orderkey"))
+        }
+      }
+      applyFeed()
+      val afterFirst = s.read.parquet(rep).count()
+      applyFeed() // FULL replay: every change re-applied
+      assert(s.read.parquet(rep).count() == afterFirst,
+        "a full-feed replay must leave the replica untouched")
+      assert(s.read.parquet(rep).count() == log.read(None).count(),
+        "the replica must converge to the DV-survivor live state")
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped(log.read(None), "source")
+        .unionByName(shaped(s.read.parquet(rep), "replica"))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // ROW-LEVEL MERGE on the multi-writer flavor (Delta MERGE):
     // matched keys update, unmatched keys insert, only key-holding
     // files rewrite (span-pruned candidates, then a key semi-join),
@@ -7882,6 +7948,21 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
+    "q152_dv_change_feed" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders),
+        |live AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |  WHERE o_orderkey <= lo + 2 * e AND o_orderkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, o_custkey, o_totalprice
+        |  FROM orders, b
+        |  WHERE o_orderkey BETWEEN lo AND lo + e // 2)
+        |SELECT 'source' AS side, * FROM live
+        |UNION ALL
+        |SELECT 'replica', * FROM live
+        |ORDER BY side, o_orderkey""".stripMargin,
+
     "q134_commit_replication" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
         |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders),

@@ -956,13 +956,18 @@ final class CommitLog(spark: SparkSession, root: String) {
 
   /** ROW-LEVEL CHANGE FEED — [[readSince]] extended with DELETE
     * visibility (the Delta CDF shape on the multi-writer flavor):
-    * appends emit their rows tagged `_op = insert`, delete commits
-    * emit their tombstone KEYS tagged `_op = delete` (key columns
-    * only — other columns null through the allow-missing union),
-    * rewrites emit nothing (no new rows), every row carries its
-    * `_commit_version` so a consumer applies in commit order and
-    * keys idempotence by version. A replace in the range REFUSES —
-    * it re-homes rows the consumer already applied; re-baseline.
+    * appends emit their rows tagged `_op = insert`, KEYED delete
+    * commits emit their tombstone KEYS tagged `_op = delete` (key
+    * columns only — other columns null through the allow-missing
+    * union), POSITIONAL delete commits emit their marked rows'
+    * FULL pre-images tagged `_op = delete` (r10 — the marks name
+    * exact (file, row position) pre-images, all still readable
+    * because data files are immutable; one guarded-broadcast
+    * semi-join per dv commit, O(marks)), rewrites emit nothing (no
+    * new rows), every row carries its `_commit_version` so a
+    * consumer applies in commit order and keys idempotence by
+    * version. A replace in the range REFUSES — it re-homes rows the
+    * consumer already applied; re-baseline.
     * Cost is O(files in the range's commits), never the lake. */
   def changesSince(sinceVersion: Long, asOf: Option[Long] = None)
       : DataFrame = {
@@ -980,23 +985,41 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the range re-homes already-applied rows — re-baseline")
-    // positional marks are (file, row position) — meaningless to a
-    // key-driven replica; refuse like the other non-decomposable kinds
-    val dvDeletes = cs.filter(c =>
-      c.kind == "delete" && c.files.exists(isDvName))
-    require(dvDeletes.isEmpty,
-      s"positional delete ${dvDeletes.map(c => s"v${c.version}")
-        .mkString(", ")} inside the range has no key form — re-baseline")
     val parts = cs
       .filter(c =>
         (c.kind == "append" || c.kind == "delete") && c.files.nonEmpty)
       .map { c =>
-        val op = if (c.kind == "delete") "delete" else "insert"
-        val schemaOf = c.schema
-          .map(st => c.files.map(_ -> st).toMap).getOrElse(Map.empty)
-        readConformed(c.files, schemaOf)
-          .withColumn("_op", lit(op))
-          .withColumn("_commit_version", lit(c.version))
+        if (c.kind == "delete" && c.files.exists(isDvName)) {
+          // positional delete commits DECOMPOSE (r10): the dv marks
+          // name exact (file, row position) pre-images, all still
+          // readable because data files are immutable — emit them as
+          // full-row `_op=delete` rows (Delta CDF's row shape; the
+          // replica applies them with whatever key it owns). One
+          // guarded-broadcast semi-join per dv commit, O(marks).
+          val dvPaths = c.files.map(dataPath)
+          val dvf = spark.read.parquet(dvPaths: _*)
+          val markedFiles = dvf.select("__dv_file").distinct()
+            .collect().map(_.getString(0)).toSeq
+          val r = resolve(Some(c.version))
+          val pre = readConformed(markedFiles, r.schemaOf,
+            withPos = true)
+          pre.join(
+            SchemaTools.broadcastIfUnder(spark, dvf,
+              SchemaTools.bytesOf(spark, dvPaths)),
+            pre("__file_name") === dvf("__dv_file") &&
+              pre("__row_pos") === dvf("__dv_pos"),
+            "left_semi")
+            .drop("__file_name", "__row_pos")
+            .withColumn("_op", lit("delete"))
+            .withColumn("_commit_version", lit(c.version))
+        } else {
+          val op = if (c.kind == "delete") "delete" else "insert"
+          val schemaOf = c.schema
+            .map(st => c.files.map(_ -> st).toMap).getOrElse(Map.empty)
+          readConformed(c.files, schemaOf)
+            .withColumn("_op", lit(op))
+            .withColumn("_commit_version", lit(c.version))
+        }
       }
     if (parts.isEmpty)
       read(None).limit(0)

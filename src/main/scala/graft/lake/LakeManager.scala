@@ -406,6 +406,10 @@ final class LakeManager(spark: SparkSession, root: String) {
     *                                       -> [[CommitLog.updateWhere]]
     *  - `ALTER TABLE t ADD CONSTRAINT c CHECK (<pred>)` /
     *    `DROP CONSTRAINT [IF EXISTS] c`    -> [[CommitLog.addConstraint]]
+    *  - `ALTER TABLE t ADD COLUMNS (c type, ...)` -> zero-row widening
+    *    append; `RENAME COLUMN a TO b` / `DROP COLUMN c` -> zero-
+    *    rewrite column mapping ([[CommitLog.renameColumn]]/
+    *    [[CommitLog.dropColumn]])
     *  - `ALTER TABLE t ALTER COLUMN c SET NOT NULL | DROP NOT NULL`
     *                                       -> [[CommitLog.setNotNull]] /
     *                                          [[CommitLog.dropNotNull]]
@@ -494,7 +498,21 @@ final class LakeManager(spark: SparkSession, root: String) {
       // the first INSERT into a just-created table DEFINES the schema
       if (log.latestVersion() == 0L) df
       else {
-        val want = log.read(None).schema
+        val unified = log.read(None).schema
+        // drifted tables read in alphabetical order, but ADD COLUMNS
+        // records the DECLARED order as a property — positional
+        // INSERT targets that order when present (SQL contract)
+        val want = log.properties()
+          .get(LakeManager.ColumnOrderProp) match {
+            case Some(order) =>
+              val declared = order.split(",").toSeq
+                .filter(unified.fieldNames.contains)
+              val rest = unified.fieldNames.toSeq
+                .filterNot(declared.contains)
+              org.apache.spark.sql.types.StructType(
+                (declared ++ rest).map(unified(_)))
+            case None => unified
+          }
         require(df.columns.length == want.length,
           s"INSERT arity ${df.columns.length} != table arity " +
             s"${want.length}")
@@ -673,6 +691,82 @@ final class LakeManager(spark: SparkSession, root: String) {
                 "commit-log tables")
             log.partitionValues()
         }
+      case rc: RenameColumn =>
+        managedLog(rc.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            require(rc.column.name.size == 1,
+              s"RENAME COLUMN targets a top-level column, got " +
+                rc.column.name.mkString("."))
+            log.renameColumn(rc.column.name.head, rc.newName)
+            LakeManager.remapColumnOrder(log,
+              _.map(c => if (c == rc.column.name.head) rc.newName
+                else c))
+            log.read(None)
+        }
+      case dc: DropColumns =>
+        managedLog(dc.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            val have = log.read(None).columns.toSet
+            dc.columnsToDrop.foreach { f =>
+              require(f.name.size == 1,
+                s"DROP COLUMN targets a top-level column, got " +
+                  f.name.mkString("."))
+              if (!(dc.ifExists && !have(f.name.head))) {
+                log.dropColumn(f.name.head)
+                LakeManager.remapColumnOrder(log,
+                  _.filterNot(_ == f.name.head))
+              }
+            }
+            log.read(None)
+        }
+      case acols: AddColumns =>
+        targetName(acols.table) match {
+          case None => spark.sql(statement)
+          case Some(name) =>
+            val log = commitLog(name)
+            // schema WIDENING as a zero-row append: the commit records
+            // the widened schema, the drift machinery promotes the
+            // union for readers, and positional INSERT conformance
+            // picks it up — no data rewritten. Simple additions only:
+            // nested paths, NOT NULL (standing rows would violate it
+            // — backfill then SET NOT NULL), and active column mapping
+            // (logical additions over renamed physicals would fork the
+            // registry) refuse loudly.
+            require(
+              !SchemaTools.readSchemaMarkerInfo(spark,
+                  new Path(root, name).toString)
+                .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
+              "ADD COLUMNS under active column mapping is not " +
+                "supported — apply the mapping first")
+            val cur = log.read(None).schema
+            acols.columnsToAdd.foreach { qc =>
+              require(qc.path.isEmpty,
+                s"ADD COLUMNS supports top-level columns only")
+              require(qc.nullable,
+                s"ADD COLUMNS ${qc.colName} NOT NULL would be " +
+                  "violated by every standing row — add it nullable, " +
+                  "backfill, then ALTER COLUMN ... SET NOT NULL")
+              require(!cur.fieldNames.contains(qc.colName),
+                s"column ${qc.colName} already exists")
+            }
+            val widened = org.apache.spark.sql.types.StructType(
+              cur.fields ++ acols.columnsToAdd.map(qc =>
+                org.apache.spark.sql.types.StructField(
+                  qc.colName, qc.dataType, nullable = true)))
+            log.append(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              widened))
+            // the drift union reads in ALPHABETICAL order (the
+            // deterministic drift contract), but SQL's positional
+            // INSERT contract is the DECLARED order — record it as a
+            // versioned table property that conformPositional honors
+            log.setProperties(Map(
+              LakeManager.ColumnOrderProp ->
+                widened.fieldNames.mkString(",")))
+            log.read(None)
+        }
       case ac: AlterColumns =>
         managedLog(ac.table) match {
           case None => spark.sql(statement)
@@ -769,4 +863,20 @@ final class LakeManager(spark: SparkSession, root: String) {
 object LakeManager {
   def apply(spark: SparkSession, root: String): LakeManager =
     new LakeManager(spark, root)
+
+  /** Table property holding the DECLARED column order (set by ADD
+    * COLUMNS, remapped by RENAME/DROP COLUMN) — the order positional
+    * INSERT conforms against once drift makes the read order
+    * alphabetical. */
+  val ColumnOrderProp = "graft.column.order"
+
+  /** Rewrite [[ColumnOrderProp]] through `f` if it is set; no meta
+    * commit is burned when the property is absent or unchanged. */
+  private[lake] def remapColumnOrder(log: CommitLog,
+      f: Seq[String] => Seq[String]): Unit =
+    log.properties().get(ColumnOrderProp).foreach { order =>
+      val next = f(order.split(",").toSeq).mkString(",")
+      if (next != order)
+        log.setProperties(Map(ColumnOrderProp -> next))
+    }
 }

@@ -337,6 +337,38 @@ class LakeManagerSpec extends AnyFunSuite {
     assert(!lm.tables.contains("pq"))
   }
 
+  test("ALTER TABLE column DDL: ADD COLUMNS widens by a zero-row " +
+      "append, RENAME/DROP COLUMN map logically with zero rewrite") {
+    val root = TestSpark.tempDir("lakecol")
+    val lm = LakeManager(spark, root).init()
+    lm.sql("CREATE TABLE ct (id BIGINT, v STRING) USING commitlog")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("ct_src")
+    lm.sql("INSERT INTO ct SELECT * FROM ct_src")
+    val filesBefore = lm.commitLog("ct").liveFiles(None).toSet
+    lm.sql("ALTER TABLE ct ADD COLUMNS (score DOUBLE)")
+    // widened: old rows read with a null score, and positional INSERT
+    // now expects three columns
+    val widened = lm.sql("SELECT id, v, score FROM ct ORDER BY id")
+    assert(widened.columns.toSeq == Seq("id", "v", "score") &&
+      widened.filter(widened("score").isNull).count() == 2L)
+    lm.sql("INSERT INTO ct VALUES (3, 'c', 0.5)")
+    assert(spark.sql("SELECT count(*) FROM ct").as[Long].head() == 3L)
+    // NOT NULL additions refuse (standing rows would violate)
+    assertThrows[IllegalArgumentException](
+      lm.sql("ALTER TABLE ct ADD COLUMNS (req BIGINT NOT NULL)"))
+    // rename + drop: logical, zero data files rewritten
+    lm.sql("ALTER TABLE ct RENAME COLUMN v TO label")
+    lm.sql("ALTER TABLE ct DROP COLUMN score")
+    val mapped = lm.commitLog("ct").read(None)
+    assert(mapped.columns.sorted.toSeq == Seq("id", "label"),
+      s"mapping must apply: ${mapped.columns.toSeq}")
+    assert(filesBefore.subsetOf(
+      lm.commitLog("ct").liveFiles(None).toSet),
+      "column mapping must rewrite zero data files")
+    lm.sql("ALTER TABLE ct DROP COLUMN IF EXISTS absent") // no-op
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()
