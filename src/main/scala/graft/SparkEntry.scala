@@ -4945,6 +4945,62 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // SQL CDC + TABLE LIFECYCLE VERBS (r10): `table_changes('t',
+    // start[, end])` — Delta's CDC TVF with INCLUSIVE version bounds
+    // — grafts the change feed into any SELECT; `TRUNCATE TABLE` is
+    // one zero-file replace commit (data files stay readable for
+    // time travel, no per-row work at any size); `SHOW CREATE TABLE`
+    // reconstructs the DDL from the log's own metadata. Everything
+    // here drives through lake.sql only. In-query asserts: the
+    // reconstructed DDL carries schema/properties/constraints, the
+    // positional-delete batch in the feed is full pre-images,
+    // TRUNCATE leaves zero live rows while the pre-truncate version
+    // still serves
+    "q153_sql_cdc_lifecycle" -> ((s, d) => {
+      val root = scratch(s, "q153", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t153 (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_totalprice DOUBLE) USING commitlog " +
+        "TBLPROPERTIES ('delete.mode'='positional')")
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      src.filter(col("o_orderkey") <= lo + e)
+        .createOrReplaceTempView("q153_a")
+      src.filter(col("o_orderkey") > lo + e &&
+          col("o_orderkey") <= lo + 2 * e)
+        .createOrReplaceTempView("q153_b")
+      lm.sql("INSERT INTO t153 SELECT * FROM q153_a")
+      lm.sql("INSERT INTO t153 SELECT * FROM q153_b")
+      lm.sql("DELETE FROM t153 WHERE o_orderkey % 3 = 0") // dv marks
+      val ddl = lm.sql("SHOW CREATE TABLE t153")
+        .head().getString(0)
+      assert(ddl.contains("o_orderkey BIGINT") &&
+        ddl.contains("USING commitlog") &&
+        ddl.contains("'delete.mode' = 'positional'"),
+        s"SHOW CREATE TABLE must reconstruct the DDL: $ddl")
+      val feed = lm.sql("SELECT _op, o_orderkey, o_custkey, " +
+        "o_totalprice FROM table_changes('t153', 1)")
+        .localCheckpoint(true)
+      assert(feed.filter(col("_op") === "delete")
+        .filter(col("o_custkey").isNull).count() == 0,
+        "positional-delete feed rows must be full pre-images")
+      val log = lm.commitLog("t153")
+      val preTruncate = log.latestVersion()
+      lm.sql("TRUNCATE TABLE t153")
+      assert(lm.sql("SELECT count(*) FROM t153")
+        .head().getLong(0) == 0L, "TRUNCATE must empty the live set")
+      assert(lm.sql(s"SELECT count(*) FROM t153 VERSION AS OF " +
+        s"$preTruncate").head().getLong(0) ==
+        feed.filter(col("_op") === "insert").count() -
+          feed.filter(col("_op") === "delete").count(),
+        "the pre-truncate version must still serve")
+      feed.orderBy("_op", "o_orderkey")
+    }),
+
     // ROW-LEVEL MERGE on the multi-writer flavor (Delta MERGE):
     // matched keys update, unmatched keys insert, only key-holding
     // files rewrite (span-pruned candidates, then a key semi-join),
@@ -7948,6 +8004,19 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
+    // the feed: every band row tagged insert, plus the %3 band rows
+    // tagged delete as full pre-images
+    "q153_sql_cdc_lifecycle" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders),
+        |band AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |  WHERE o_orderkey <= lo + 2 * e)
+        |SELECT 'delete' AS _op, * FROM band WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'insert' AS _op, * FROM band
+        |ORDER BY _op, o_orderkey""".stripMargin,
+
     "q152_dv_change_feed" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
         |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders),

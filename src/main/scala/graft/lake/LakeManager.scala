@@ -430,6 +430,14 @@ final class LakeManager(spark: SparkSession, root: String) {
     *                                       -> [[CommitLog.buildStats]]
     *                                          (FOR COLUMNS = blooms)
     *  - `SHOW PARTITIONS t`                -> [[CommitLog.partitionValues]]
+    *  - `TRUNCATE TABLE t`                 -> one zero-file replace
+    *                                          commit (files stay for
+    *                                          time travel)
+    *  - `SHOW CREATE TABLE t`              -> reconstructed DDL (one
+    *                                          `createtab_stmt` row)
+    *  - `SELECT ... FROM table_changes('t', start[, end])` -> the CDC
+    *    feed ([[CommitLog.changesSince]]; INCLUSIVE version bounds,
+    *    Delta's TVF contract)
     *
     * The maintenance verbs are Delta's SQL surface; Spark's parser
     * does not know them, so they dispatch off a statement-shape match
@@ -816,15 +824,88 @@ final class LakeManager(spark: SparkSession, root: String) {
               case None => all.toDF("key", "value")
             }
         }
+      case t: TruncateTable =>
+        managedLog(t.table) match {
+          case None => spark.sql(statement)
+          case Some(log) =>
+            // TRUNCATE = one replace commit carrying zero files: data
+            // files stay on disk for time travel (VACUUM retires them
+            // past retention), exactly Delta's TRUNCATE-equivalent
+            // `DELETE FROM t` fast path — no per-row work at any size
+            log.replace(log.read(None).limit(0), log.latestVersion())
+            log.read(None)
+        }
+      case sct: ShowCreateTable =>
+        targetName(sct.child) match {
+          case None => spark.sql(statement)
+          case Some(name) =>
+            val log = commitLog(name)
+            val nn = log.notNullColumns().toSet
+            val cols = log.read(None).schema.fields.map(f =>
+              s"  ${f.name} ${f.dataType.sql}" +
+                (if (nn(f.name)) " NOT NULL" else "")).mkString(",\n")
+            val parts =
+              if (log.partitionCols.isEmpty) ""
+              else log.partitionCols
+                .mkString("\nPARTITIONED BY (", ", ", ")")
+            val props = log.properties()
+            val propsClause =
+              if (props.isEmpty) ""
+              else props.toSeq.sorted
+                .map { case (k, v) => s"  '$k' = '$v'" }
+                .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
+            val cons = log.constraints().toSeq.sorted.map {
+              case (c, p) =>
+                s";\nALTER TABLE $name ADD CONSTRAINT $c CHECK ($p)"
+            }.mkString
+            val ddl = s"CREATE TABLE $name (\n$cols)\n" +
+              s"USING commitlog$parts$propsClause$cons"
+            import spark.implicits._
+            Seq(ddl).toDF("createtab_stmt")
+        }
       case other =>
         // SELECT-side time travel: `FROM t VERSION AS OF n` /
         // `TIMESTAMP AS OF <expr>` over a managed table rewrites to
         // the versioned read's (already-analyzed) plan, aliased under
         // the table name so qualified column references keep
-        // resolving. Anything untouched falls through verbatim.
-        import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+        // resolving. `FROM table_changes('t', start[, end])` (the
+        // Delta CDC TVF, INCLUSIVE version bounds) rewrites to
+        // [[CommitLog.changesSince]]'s plan the same way. Anything
+        // untouched falls through verbatim.
+        import org.apache.spark.sql.catalyst.analysis.{
+          RelationTimeTravel, UnresolvedTableValuedFunction}
         var rewrote = false
         val rewritten = other.transformUp {
+          case tvf @ UnresolvedTableValuedFunction(fname, fargs, _)
+              if fname.map(_.toLowerCase(java.util.Locale.ROOT))
+                == Seq("table_changes") =>
+            require(fargs.size == 2 || fargs.size == 3,
+              "table_changes wants (table, startVersion[, endVersion])")
+            val tblArg = fargs.head.eval() match {
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                s.toString
+              case o => require(false,
+                s"table_changes wants a table-name string, got $o"); ""
+            }
+            def ver(e: Expression, what: String): Long = e.eval() match {
+              case i: Int => i.toLong
+              case l: Long => l
+              case o =>
+                require(false,
+                  s"table_changes wants an integer $what, got $o"); 0L
+            }
+            managedName(tblArg.split('.').toSeq) match {
+              case None => tvf // not ours — the stock analyzer refuses
+              case Some(n) =>
+                val start = ver(fargs(1), "startVersion")
+                require(start >= 1,
+                  s"startVersion must be >= 1, got $start")
+                val end = fargs.lift(2).map(ver(_, "endVersion"))
+                rewrote = true
+                SubqueryAlias(n,
+                  org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+                    commitLog(n).changesSince(start - 1, end)))
+            }
           case tt @ RelationTimeTravel(rel, tsExpr, version) =>
             targetName(rel) match {
               case None => tt

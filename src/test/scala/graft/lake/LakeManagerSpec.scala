@@ -369,6 +369,44 @@ class LakeManagerSpec extends AnyFunSuite {
     lm.sql("ALTER TABLE ct DROP COLUMN IF EXISTS absent") // no-op
   }
 
+  test("TRUNCATE TABLE, SHOW CREATE TABLE, and the table_changes CDC " +
+      "TVF dispatch on managed tables") {
+    val root = TestSpark.tempDir("lakesql2")
+    val lm = LakeManager(spark, root).init()
+    lm.sql("CREATE TABLE tc (id BIGINT, v STRING) USING commitlog " +
+      "TBLPROPERTIES ('team' = 'graft', " +
+      "'delete.mode' = 'positional')")
+    lm.sql("ALTER TABLE tc ADD CONSTRAINT pos CHECK (id > 0)")
+    lm.sql("INSERT INTO tc VALUES (1, 'a'), (2, 'b')")    // v: +1
+    lm.sql("INSERT INTO tc VALUES (3, 'c')")              // v: +1
+    lm.sql("DELETE FROM tc WHERE id = 1")                 // v: +1
+    // table_changes: INCLUSIVE version bounds, insert + delete ops
+    val feed = lm.sql("SELECT _op, id FROM table_changes('tc', 1) " +
+      "ORDER BY _op, id")
+    val ops = feed.as[(String, Long)].collect().toSeq
+    assert(ops.count(_._1 == "insert") == 3 &&
+      ops.count(_._1 == "delete") == 1)
+    // bounded range excludes the delete
+    val hi = lm.commitLog("tc").latestVersion()
+    val bounded = lm.sql(
+      s"SELECT _op FROM table_changes('tc', 1, ${hi - 1})")
+    assert(bounded.as[String].collect().forall(_ == "insert"))
+    // SHOW CREATE TABLE reconstructs schema, properties, constraint
+    val ddl = lm.sql("SHOW CREATE TABLE tc")
+      .select("createtab_stmt").as[String].head()
+    assert(ddl.contains("CREATE TABLE tc") &&
+      ddl.contains("id BIGINT") && ddl.contains("USING commitlog") &&
+      ddl.contains("'team' = 'graft'") &&
+      ddl.contains("ADD CONSTRAINT pos CHECK"))
+    // TRUNCATE: zero live rows, one replace commit, history intact
+    lm.sql("TRUNCATE TABLE tc")
+    assert(spark.sql("SELECT count(*) FROM tc").as[Long].head() == 0L)
+    val log = lm.commitLog("tc")
+    assert(log.read(Some(log.latestVersion() - 1)).count() == 2L)
+    // unmanaged targets pass through to Spark's own errors
+    intercept[Exception](lm.sql("TRUNCATE TABLE nosuch_t"))
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()
