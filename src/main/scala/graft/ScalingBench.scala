@@ -139,7 +139,9 @@ object ScalingBench {
       "d54_pagerank", "d55_classifier_score", "d56_ccnet_buckets",
       "q140_time_band_skipping", "q142_commitlog_partitioned",
       "q144_sql_update", "q147_sql_constraints",
-      "e31_commitlog_pq_stream", "q149_dv_delete")
+      "e31_commitlog_pq_stream", "q149_dv_delete",
+      "q152_dv_change_feed", "q153_sql_cdc_lifecycle",
+      "e33_stream_source")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume

@@ -2970,6 +2970,70 @@ object SparkEntry {
       out.orderBy("id1", "rank")
     }),
 
+    // STRUCTURED STREAMING SOURCE over the commit log (r10 — the
+    // Delta streaming-source analog): `readStream.format("commitlog")`
+    // with offsets = commit versions, so exactly-once falls out of
+    // the checkpointed offset log + atomic commit visibility; each
+    // micro-batch plans only its own range's files (trigger cost =
+    // the increment, never the lake). Two AvailableNow drains against
+    // ONE checkpoint: the first delivers the standing history, the
+    // second delivers EXACTLY the commits that landed between drains
+    // (a positional delete streaming as full pre-images + a fresh
+    // append) with zero re-delivery. In-query asserts: the streamed
+    // set equals the batch change feed exactly (two-way anti-join),
+    // maxVersionsPerTrigger splits the backlog into per-commit
+    // micro-batches
+    "e33_stream_source" -> ((s, d) => {
+      val root = scratch(s, "e33", d)
+      val log = CommitLog(s, s"$root/t").init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      log.append(src.filter(col("o_orderkey") <= lo + e)
+        .repartition(2, col("o_custkey")))                    // v1
+      log.append(src.filter(col("o_orderkey") > lo + e &&
+        col("o_orderkey") <= lo + 2 * e))                     // v2
+      val out = s"$root/out"
+      val ckpt = s"$root/ckpt"
+      def drain(): Unit = {
+        val q = s.readStream.format("commitlog")
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .load(s"$root/t")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // history: v1+v2 inserts, one micro-batch per commit
+      val afterFirst = s.read.parquet(out).count()
+      val (_, marked) = log.deleteWhereMor("o_orderkey % 3 = 0") // v3
+      assert(marked > 0)
+      log.append(src.filter(col("o_orderkey") > lo + 2 * e &&
+        col("o_orderkey") <= lo + 3 * e))                     // v4
+      drain() // increment only: the delete pre-images + band C
+      val streamed = s.read.parquet(out).localCheckpoint(true)
+      assert(streamed.filter(col("_op") === "insert").count() ==
+        afterFirst + streamed.filter(col("_commit_version") === 4L)
+          .count(),
+        "the second drain must re-deliver nothing")
+      // the streamed set IS the batch change feed (both directions)
+      val batchFeed = log.changesSince(0L)
+      assert(streamed.join(batchFeed,
+          streamed.columns.toSeq, "left_anti").count() == 0 &&
+        batchFeed.join(streamed,
+          streamed.columns.toSeq, "left_anti").count() == 0,
+        "streamed and batch change feeds must agree exactly")
+      streamed.select("_op", "o_orderkey", "o_custkey",
+          "o_totalprice")
+        .orderBy("_op", "o_orderkey")
+    }),
+
     "e25_ann_mor" -> ((s, d) => {
       val root = scratch(s, "e25", d)
       emb(s, d).write.parquet(root)
@@ -8004,6 +8068,24 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
+    // the streamed feed == the batch feed: bands A+B+C tagged insert,
+    // the %3 rows of A+B tagged delete (C lands after the delete)
+    "e33_stream_source" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders),
+        |ab AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |  WHERE o_orderkey <= lo + 2 * e),
+        |c AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |  WHERE o_orderkey > lo + 2 * e AND o_orderkey <= lo + 3 * e)
+        |SELECT 'delete' AS _op, * FROM ab WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'insert' AS _op, * FROM ab
+        |UNION ALL
+        |SELECT 'insert' AS _op, * FROM c
+        |ORDER BY _op, o_orderkey""".stripMargin,
+
     // the feed: every band row tagged insert, plus the %3 band rows
     // tagged delete as full pre-images
     "q153_sql_cdc_lifecycle" ->

@@ -27,6 +27,17 @@ object GraftSqlBridge {
       : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A STREAMING-flagged frame over a batch plan's executed RDD
+    * (`internalCreateDataFrame` is `private[sql]`) — the V1 streaming
+    * Source contract requires `getBatch` to return `isStreaming`
+    * frames; the batch plan resolves (file pruning) at wrap time,
+    * rows evaluate lazily when the micro-batch runs. */
+  def streamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** A frame's analyzed logical plan — what lets the SQL time-travel
     * rewrite graft a versioned read as a subtree of a parsed statement
     * (the analyzer accepts mixed resolved/unresolved trees). */

@@ -921,9 +921,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     * commit in the range is an APPEND — a replace re-homes existing
     * rows into new files and breaks increment semantics, so consumers
     * must re-baseline past one (the same rule every file-diff CDC
-    * documents); this refuses loudly instead of double-counting. */
-  def readSince(sinceVersion: Long, asOf: Option[Long] = None)
-      : DataFrame = {
+    * documents); this refuses loudly instead of double-counting.
+    * `skipBreaking` (Delta's ignoreChanges contract) opts out of the
+    * refusal: upsert commits deliver their merged output files as
+    * plain rows (consumers accept re-delivery of carried survivors),
+    * delete/replace/restore/clone commits deliver nothing. */
+  def readSince(sinceVersion: Long, asOf: Option[Long] = None,
+      skipBreaking: Boolean = false): DataFrame = {
     val hi = asOf.getOrElse(latestVersion())
     require(sinceVersion >= 0 && sinceVersion <= hi,
       s"bad version range ($sinceVersion, $hi]")
@@ -934,14 +938,18 @@ final class CommitLog(spark: SparkSession, root: String) {
     // rows committed in the range" as a pure append stream.
     // REWRITES are fine: they add no rows (their packed outputs carry
     // exactly the compacted inputs' rows, and those inputs stay on
-    // disk for the increment's own read) — skip them, deliver nothing
+    // disk for the increment's own read) — skip them, deliver nothing.
+    // `skipBreaking` (Delta's ignoreChanges contract) delivers the
+    // breaking commits' NEW files as plain rows instead of refusing —
+    // the consumer opts into possible re-delivery/missed deletes.
     val breaking = cs.filter(c => c.kind == "replace" ||
       c.kind == "delete" || c.kind == "upsert" ||
       c.kind == "restore" || c.kind == "clone")
-    require(breaking.isEmpty,
+    require(skipBreaking || breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
         "inside the increment — re-baseline on the mutated state")
-    val delivered = cs.filter(_.kind != "rewrite")
+    val delivered = cs.filter(c => c.kind == "append" ||
+      (skipBreaking && c.kind == "upsert"))
     val files = delivered.flatMap(_.files)
     if (files.isEmpty) read(None).limit(0)
     else {
@@ -967,15 +975,23 @@ final class CommitLog(spark: SparkSession, root: String) {
     * new rows), every row carries its `_commit_version` so a
     * consumer applies in commit order and keys idempotence by
     * version. A replace in the range REFUSES — it re-homes rows the
-    * consumer already applied; re-baseline.
+    * consumer already applied; re-baseline — unless `skipBreaking`
+    * (the streaming source's skipChangeCommits) opts into dropping
+    * such commits from the feed.
     * Cost is O(files in the range's commits), never the lake. */
-  def changesSince(sinceVersion: Long, asOf: Option[Long] = None)
-      : DataFrame = {
+  def changesSince(sinceVersion: Long, asOf: Option[Long] = None,
+      skipBreaking: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val hi = asOf.getOrElse(latestVersion())
     require(sinceVersion >= 0 && sinceVersion <= hi,
       s"bad version range ($sinceVersion, $hi]")
-    val cs = (sinceVersion + 1 to hi).map(commit)
+    val cs0 = (sinceVersion + 1 to hi).map(commit)
+    // `skipBreaking` (the streaming source's skipChangeCommits): drop
+    // the non-decomposable commits from the feed instead of refusing —
+    // the consumer opts into missing their changes
+    val cs = if (!skipBreaking) cs0
+      else cs0.filterNot(c => c.kind == "replace" ||
+        c.kind == "upsert" || c.kind == "restore" || c.kind == "clone")
     // an upsert's merged outputs mix carried-over survivors with
     // changed rows — not separable from metadata into change rows —
     // and a restore re-homes visibility wholesale; both refuse like a

@@ -1,0 +1,114 @@
+package graft.lake
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LakeStreamSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // parquet file sink: the recovery-capable sink (memory is not), so
+  // restarts against the SAME checkpoint prove exactly-once
+  private def drain(df: org.apache.spark.sql.DataFrame,
+      out: String, ckpt: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def readOut(out: String): org.apache.spark.sql.DataFrame = {
+    val files = SchemaTools.listDataFiles(spark, out)
+      .filter(_.endsWith(".parquet"))
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(out)
+  }
+
+  test("readStream over a commit-log table: offsets are commit " +
+      "versions, a checkpointed restart resumes exactly-once, " +
+      "maxVersionsPerTrigger splits the backlog, rewrites deliver " +
+      "nothing") {
+    val root = TestSpark.tempDir("lss")
+    val out = TestSpark.tempDir("lss_out")
+    val ckpt = TestSpark.tempDir("lss_ckpt")
+    val log = CommitLog(spark, s"$root/t").init()
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    log.append(Seq((3L, "c")).toDF("id", "v"))            // v2
+    def src = spark.readStream.format("commitlog")
+      .option("maxVersionsPerTrigger", "1")
+      .load(s"$root/t")
+    drain(src, out, ckpt)
+    assert(readOut(out).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // one commit per micro-batch: two batches in the offset log
+    val offsets = new java.io.File(s"$ckpt/offsets").list()
+      .count(_.forall(_.isDigit))
+    assert(offsets >= 2,
+      s"maxVersionsPerTrigger=1 over 2 commits must split: $offsets")
+    // appends after the drain; the restarted query on the SAME
+    // checkpoint delivers exactly the missed increment — ids stay
+    // unique through the restart (exactly-once)
+    log.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v")) // v3
+    drain(src, out, ckpt)
+    assert(readOut(out).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "the restart must deliver v3 once and re-deliver nothing")
+    // a rewrite (OPTIMIZE) delivers nothing: same rows after drain
+    log.optimize()
+    drain(src, out, ckpt)
+    assert(readOut(out).count() == 5L,
+      "a compaction rewrite must not re-deliver rows")
+  }
+
+  test("readChangeFeed streams the CDC shape (positional deletes as " +
+      "full pre-images); upserts fail the stream unless " +
+      "ignoreChanges; startingVersion=latest skips history") {
+    val root = TestSpark.tempDir("lss2")
+    val log = CommitLog(spark, s"$root/t").init()
+    log.append(spark.range(10)
+      .select(col("id"), (col("id") * 2).as("v"))) // v1
+    log.deleteWhereMor("id % 5 = 0")               // v2: dv marks
+    def feed = spark.readStream.format("commitlog")
+      .option("readChangeFeed", "true")
+      .load(s"$root/t")
+    val out1 = TestSpark.tempDir("lss2_out1")
+    val ck1 = TestSpark.tempDir("lss2_ck1")
+    drain(feed, out1, ck1)
+    val got = readOut(out1)
+    assert(got.filter(col("_op") === "insert").count() == 10L)
+    val dels = got.filter(col("_op") === "delete")
+    assert(dels.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 5L) &&
+      dels.filter(col("v").isNull).count() == 0,
+      "positional deletes must stream as full pre-images")
+    assert(got.select("_commit_version").distinct().count() == 2L)
+    // an upsert is non-decomposable: the next drain refuses...
+    log.upsert(Seq((1L, 99L)).toDF("id", "v"), Seq("id")) // v3
+    intercept[Exception] {
+      drain(feed, out1, ck1)
+    }
+    // ...unless ignoreChanges (skipChangeCommits) opts out
+    val tolerant = spark.readStream.format("commitlog")
+      .option("readChangeFeed", "true")
+      .option("ignoreChanges", "true")
+      .load(s"$root/t")
+    val out3 = TestSpark.tempDir("lss2_out3")
+    drain(tolerant, out3, TestSpark.tempDir("lss2_ck3"))
+    assert(readOut(out3)
+      .filter(col("_op") === "insert").count() == 10L)
+    // startingVersion=latest: nothing until a NEW commit lands
+    def fromNow = spark.readStream.format("commitlog")
+      .option("startingVersion", "latest").load(s"$root/t")
+    val out4 = TestSpark.tempDir("lss2_out4")
+    val ck4 = TestSpark.tempDir("lss2_ck4")
+    drain(fromNow, out4, ck4)
+    assert(readOut(out4).count() == 0L)
+    log.append(Seq((100L, 0L)).toDF("id", "v"))
+    drain(fromNow, out4, ck4)
+    assert(readOut(out4).select("id").as[Long]
+      .collect().toSeq == Seq(100L))
+  }
+}
