@@ -141,7 +141,7 @@ object ScalingBench {
       "q144_sql_update", "q147_sql_constraints",
       "e31_commitlog_pq_stream", "q149_dv_delete",
       "q152_dv_change_feed", "q153_sql_cdc_lifecycle",
-      "e33_stream_source")
+      "e33_stream_source", "e34_stream_replication")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume

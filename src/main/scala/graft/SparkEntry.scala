@@ -3034,6 +3034,63 @@ object SparkEntry {
         .orderBy("_op", "o_orderkey")
     }),
 
+    // LAKE-TO-LAKE STREAMING REPLICATION (r10): source AND sink are
+    // commit-log tables — `readStream.format("commitlog")` into
+    // `writeStream.format("commitlog")`. Each micro-batch lands as
+    // ONE (appId, batchId)-marked commit (appendOnce), so a replayed
+    // batch SKIPS: exactly-once end-to-end with no dedup state beyond
+    // the manifests both sides already keep. In-query asserts: the
+    // replica equals the source live set both directions, every
+    // replica commit carries its txn mark, and the second drain
+    // (after new source commits) adds exactly the increment
+    "e34_stream_replication" -> ((s, d) => {
+      val root = scratch(s, "e34", d)
+      val srcLog = CommitLog(s, s"$root/src").init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      srcLog.append(src.filter(col("o_orderkey") <= lo + e)
+        .repartition(2, col("o_custkey")))                    // v1
+      srcLog.append(src.filter(col("o_orderkey") > lo + e &&
+        col("o_orderkey") <= lo + 2 * e))                     // v2
+      val ckpt = s"$root/ckpt"
+      def replicate(): Unit = {
+        val q = s.readStream.format("commitlog")
+          .option("maxVersionsPerTrigger", "1")
+          .load(s"$root/src")
+          .writeStream.format("commitlog")
+          .option("path", s"$root/dst")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      replicate()
+      val dst = CommitLog(s, s"$root/dst")
+      val afterFirst = dst.read(None).count()
+      assert((1L to dst.latestVersion())
+        .forall(v => dst.commit(v).txn.isDefined),
+        "every replica commit must carry its (appId, batchId) mark")
+      srcLog.append(src.filter(col("o_orderkey") > lo + 2 * e &&
+        col("o_orderkey") <= lo + 3 * e))                    // v3
+      replicate() // increment only: replayed batches skip
+      val rep = dst.read(None).localCheckpoint(true)
+      val live = srcLog.read(None)
+      assert(rep.count() == afterFirst +
+        src.filter(col("o_orderkey") > lo + 2 * e &&
+          col("o_orderkey") <= lo + 3 * e).count(),
+        "the second drain must add exactly the increment")
+      assert(rep.join(live, rep.columns.toSeq, "left_anti")
+        .count() == 0 &&
+        live.join(rep, rep.columns.toSeq, "left_anti").count() == 0,
+        "the replica must equal the source live set")
+      rep.orderBy("o_orderkey")
+    }),
+
     "e25_ann_mor" -> ((s, d) => {
       val root = scratch(s, "e25", d)
       emb(s, d).write.parquet(root)
@@ -8068,6 +8125,14 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
+    // the replica: every row of bands A+B+C exactly once
+    "e34_stream_replication" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        |WHERE o_orderkey <= lo + 3 * e
+        |ORDER BY o_orderkey""".stripMargin,
+
     // the streamed feed == the batch feed: bands A+B+C tagged insert,
     // the %3 rows of A+B tagged delete (C lands after the delete)
     "e33_stream_source" ->

@@ -38,6 +38,17 @@ object GraftSqlBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** A PLAIN batch frame over a sink-delivered micro-batch: the
+    * DataFrame a V1 Sink's addBatch receives is backed by the
+    * streaming IncrementalExecution and must not be re-planned by
+    * batch writers — re-wrap its executed RDD (the FileStreamSink
+    * discipline). */
+  def sinkBatchFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** A frame's analyzed logical plan — what lets the SQL time-travel
     * rewrite graft a versioned read as a subtree of a parsed statement
     * (the analyzer accepts mixed resolved/unresolved trees). */

@@ -113,14 +113,70 @@ final class LakeStreamSource(
   override def stop(): Unit = ()
 }
 
-/** `format("commitlog")` provider (also addressable by class name).
-  * The path option names the table ROOT (the directory holding
-  * `_commits/`); schema comes from the live table unless the caller
-  * declares one (required for an empty log). */
+/** STREAMING SINK half of the pair — `writeStream.format(
+  * "commitlog")`: each micro-batch lands as ONE commit through
+  * [[CommitLog.appendOnce]] with `(appId, batchId)` recorded in the
+  * manifest, so a replayed batch (restart, retry, at-least-once
+  * upstream) SKIPS instead of landing twice — the Delta
+  * txnAppId/txnVersion contract, end-to-end exactly-once when the
+  * source replays deterministically. OutputMode:
+  *  - Append: `appendOnce` per batch
+  *  - Complete: `replace` per batch (each batch carries the full
+  *    result — rewriting the live set IS the idempotence)
+  * `txnAppId` option scopes the high-water mark when several queries
+  * write one table (defaults to the sink path — single-writer). */
+final class LakeStreamSink(
+    sqlContext: SQLContext,
+    root: String,
+    appId: String,
+    complete: Boolean)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val log = CommitLog(sqlContext.sparkSession, root).init()
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : Unit = {
+    val batch = org.apache.spark.sql.GraftSqlBridge
+      .sinkBatchFrame(data.toDF())
+    if (complete) log.replace(batch, log.latestVersion())
+    else log.appendOnce(batch, appId, batchId)
+  }
+}
+
+/** `format("commitlog")` provider (also addressable by class name) —
+  * source AND sink. The path option names the table ROOT (the
+  * directory holding `_commits/`); source schema comes from the live
+  * table unless the caller declares one (required for an empty
+  * log). */
 final class LakeStreamProvider
-  extends StreamSourceProvider with DataSourceRegister {
+  extends StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "commitlog"
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "the commitlog sink wants .option(\"path\", <table root>)"))
+    require(partitionColumns.isEmpty,
+      "partition the TABLE (initPartitioned), not the sink")
+    val complete = outputMode ==
+      org.apache.spark.sql.streaming.OutputMode.Complete()
+    require(complete || outputMode ==
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the commitlog sink supports Append and Complete, " +
+        s"got $outputMode")
+    new LakeStreamSink(sqlContext, root,
+      parameters.getOrElse("txnAppId", s"commitlog-sink@$root"),
+      complete)
+  }
 
   private def feedCols = Seq(
     StructField("_op", StringType, nullable = false),

@@ -63,6 +63,64 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       "a compaction rewrite must not re-deliver rows")
   }
 
+  test("commitlog sink: lake-to-lake streaming replication is " +
+      "exactly-once (txn-marked commits skip on replay), Complete " +
+      "mode replaces per batch") {
+    val root = TestSpark.tempDir("lsk")
+    val ckpt = TestSpark.tempDir("lsk_ck")
+    val srcLog = CommitLog(spark, s"$root/src").init()
+    srcLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    srcLog.append(Seq((3L, "c")).toDF("id", "v"))            // v2
+    def replicate(): Unit = {
+      val q = spark.readStream.format("commitlog")
+        .option("maxVersionsPerTrigger", "1")
+        .load(s"$root/src")
+        .writeStream.format("commitlog")
+        .option("path", s"$root/dst")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replicate()
+    val dst = CommitLog(spark, s"$root/dst")
+    assert(dst.read(None).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // per-commit micro-batches -> per-batch txn-marked commits
+    assert(dst.latestVersion() == 2L &&
+      (1L to 2L).forall(v => dst.commit(v).txn.isDefined),
+      "each micro-batch must land as one txn-marked commit")
+    // restart replicates ONLY the new commit; replayed batches skip
+    srcLog.append(Seq((4L, "d")).toDF("id", "v"))            // v3
+    replicate()
+    assert(dst.read(None).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "replication must be exactly-once across restarts")
+    // a replayed batch against the standing high-water mark is a skip
+    assert(dst.appendOnce(Seq((9L, "x")).toDF("id", "v"),
+      s"commitlog-sink@$root/dst", 0L).isEmpty,
+      "an at-or-below-mark batch must skip")
+    // Complete mode: each batch replaces the live set
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    mem.addData((10L, "z"))
+    val q2 = mem.toDF().toDF("id", "v")
+      .groupBy("id").count()
+      .writeStream.format("commitlog")
+      .option("path", s"$root/agg")
+      .option("checkpointLocation", TestSpark.tempDir("lsk_ck2"))
+      .outputMode("complete").start()
+    try {
+      q2.processAllAvailable()
+      mem.addData((10L, "y"), (11L, "w"))
+      q2.processAllAvailable()
+      val agg = CommitLog(spark, s"$root/agg").read(None)
+      assert(agg.as[(Long, Long)].collect().toMap ==
+        Map(10L -> 2L, 11L -> 1L),
+        "Complete mode must serve the full current aggregate")
+    } finally q2.stop()
+  }
+
   test("readChangeFeed streams the CDC shape (positional deletes as " +
       "full pre-images); upserts fail the stream unless " +
       "ignoreChanges; startingVersion=latest skips history") {
