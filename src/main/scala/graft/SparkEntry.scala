@@ -5122,6 +5122,44 @@ object SparkEntry {
       feed.orderBy("_op", "o_orderkey")
     }),
 
+    // SQL SHALLOW CLONE (r10): `CREATE TABLE c SHALLOW CLONE b` — the
+    // zero-copy clone through pure SQL. The founding commit
+    // RE-REFERENCES the source's live files (O(metadata) at any data
+    // size — cloning a 100 TB table moves zero bytes), then the two
+    // logs are INDEPENDENT: the base's copy-on-write DELETE and the
+    // clone's INSERT never touch each other. In-query asserts: the
+    // clone owns ZERO data files at clone time (borrow-table serving),
+    // and after divergence the base lost its band while the clone
+    // kept it and gained its own
+    "q154_sql_shallow_clone" -> ((s, d) => {
+      val root = scratch(s, "q154", d)
+      val lm = LakeManager(s, root).init()
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      src.filter(col("o_orderkey") <= lo + 2 * e)
+        .createOrReplaceTempView("q154_ab")
+      src.filter(col("o_orderkey") > lo + 2 * e &&
+          col("o_orderkey") <= lo + 3 * e)
+        .createOrReplaceTempView("q154_c")
+      lm.sql("CREATE TABLE b154 USING commitlog AS " +
+        "SELECT * FROM q154_ab")
+      lm.sql("CREATE TABLE c154 SHALLOW CLONE b154")
+      assert(lake.SchemaTools
+        .listDataFiles(s, s"$root/c154/data").isEmpty,
+        "a shallow clone must own zero data files at clone time")
+      lm.sql("DELETE FROM b154 WHERE o_orderkey % 3 = 0")
+      lm.sql("INSERT INTO c154 SELECT * FROM q154_c")
+      def shaped(name: String) =
+        lm.sql(s"SELECT '$name' AS side, o_orderkey, o_custkey, " +
+          s"o_totalprice FROM ${name}154")
+      shaped("b").unionByName(shaped("c"))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // ROW-LEVEL MERGE on the multi-writer flavor (Delta MERGE):
     // matched keys update, unmatched keys insert, only key-holding
     // files rewrite (span-pruned candidates, then a key semi-join),
@@ -8125,6 +8163,22 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
+    // base = bands A+B minus the %3 band; clone = bands A+B plus C
+    "q154_sql_shallow_clone" ->
+      """WITH bnd AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders),
+        |ab AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders, bnd WHERE o_orderkey <= lo + 2 * e),
+        |c AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders, bnd
+        |  WHERE o_orderkey > lo + 2 * e AND o_orderkey <= lo + 3 * e)
+        |SELECT 'b' AS side, * FROM ab WHERE o_orderkey % 3 <> 0
+        |UNION ALL SELECT 'c' AS side, * FROM ab
+        |UNION ALL SELECT 'c' AS side, * FROM c
+        |ORDER BY side, o_orderkey""".stripMargin,
+
     // the replica: every row of bands A+B+C exactly once
     "e34_stream_replication" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo,

@@ -341,7 +341,46 @@ final class LakeManager(spark: SparkSession, root: String) {
       ("(?is)^\\s*OPTIMIZE\\s+" + Ident +
         "(?:\\s+WHERE\\s+(.+?))?" +
         "(?:\\s+ZORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
+    val Clone =
+      ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" +
+        Ident + "\\s+SHALLOW\\s+CLONE\\s+" + Ident +
+        "\\s*;?\\s*$").r
+    def simpleName(token: String): String = {
+      val parts = token.split('.').toSeq.map { p =>
+        if (p.length >= 2 && p.startsWith("`") && p.endsWith("`"))
+          p.substring(1, p.length - 1)
+        else p
+      }
+      val t = parts match {
+        case Seq(x) => x
+        case Seq(q, x) if q.equalsIgnoreCase(lakeName) => x
+        case other => throw new IllegalArgumentException(
+          s"SHALLOW CLONE creates in THIS lake ($lakeName); cannot " +
+            s"create ${other.mkString(".")}")
+      }
+      require(t.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"commit-log table names must be SQL identifiers: $t")
+      t
+    }
     statement match {
+      // zero-copy table clone (Delta's CREATE TABLE ... SHALLOW
+      // CLONE): the clone's founding commit RE-REFERENCES the
+      // source's live files — O(metadata) at any data size; the two
+      // logs are independent afterwards ([[CommitLog.cloneTo]])
+      case Clone(ine, destTok, srcTok) =>
+        managed(srcTok).map { srcLog =>
+          val dest = simpleName(destTok)
+          if (tables.contains(dest)) {
+            require(ine != null,
+              s"table $dest already exists")
+            commitLog(dest).read(None)
+          } else {
+            srcLog.cloneTo(new Path(root, dest).toString)
+            val log = addCommitLog(dest)
+            registerCommitView(dest)
+            log.read(None)
+          }
+        }
       case DescHist(t) => managed(t).map(_.history())
       case DescDetail(t) => managed(t).map(_.detail())
       case Vac(t, hours) => managed(t).map { log =>
@@ -430,6 +469,10 @@ final class LakeManager(spark: SparkSession, root: String) {
     *                                       -> [[CommitLog.buildStats]]
     *                                          (FOR COLUMNS = blooms)
     *  - `SHOW PARTITIONS t`                -> [[CommitLog.partitionValues]]
+    *  - `CREATE TABLE [IF NOT EXISTS] t2 SHALLOW CLONE t1` -> zero-
+    *    copy clone ([[CommitLog.cloneTo]]): the founding commit
+    *    re-references the source's live files, O(metadata) at any
+    *    data size
     *  - `TRUNCATE TABLE t`                 -> one zero-file replace
     *                                          commit (files stay for
     *                                          time travel)

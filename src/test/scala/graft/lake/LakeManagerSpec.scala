@@ -407,6 +407,38 @@ class LakeManagerSpec extends AnyFunSuite {
     intercept[Exception](lm.sql("TRUNCATE TABLE nosuch_t"))
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE: zero-copy, registered, " +
+      "independent afterwards; IF NOT EXISTS no-op; unmanaged " +
+      "source passes through") {
+    val root = TestSpark.tempDir("lakeclone")
+    val lm = LakeManager(spark, root).init()
+    lm.sql("CREATE TABLE base (id BIGINT, v STRING) USING commitlog")
+    lm.sql("INSERT INTO base VALUES (1, 'a'), (2, 'b')")
+    lm.sql("CREATE TABLE copy1 SHALLOW CLONE base")
+    assert(lm.tables.contains("copy1"))
+    assert(spark.sql("SELECT id FROM copy1 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // zero-copy: the clone's data dir holds no data files yet
+    assert(SchemaTools.listDataFiles(spark, s"$root/copy1/data")
+      .isEmpty, "a shallow clone must copy no data bytes")
+    // independent: writes to either side never touch the other
+    lm.sql("INSERT INTO copy1 VALUES (3, 'c')")
+    lm.sql("DELETE FROM base WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM base").as[Long].head()
+      == 1L)
+    assert(spark.sql("SELECT count(*) FROM copy1").as[Long].head()
+      == 3L)
+    // IF NOT EXISTS over a standing clone is a no-op
+    lm.sql("CREATE TABLE IF NOT EXISTS copy1 SHALLOW CLONE base")
+    assert(spark.sql("SELECT count(*) FROM copy1").as[Long].head()
+      == 3L)
+    assertThrows[IllegalArgumentException](
+      lm.sql("CREATE TABLE copy1 SHALLOW CLONE base"))
+    // an unmanaged source falls through to Spark's own parse error
+    intercept[Exception](
+      lm.sql("CREATE TABLE c2 SHALLOW CLONE nosuch_src"))
+  }
+
   test("dataset() exposes TimeFly: snapshot via the catalog handle") {
     val root = TestSpark.tempDir("lake2")
     val lm = LakeManager(spark, root).init()
