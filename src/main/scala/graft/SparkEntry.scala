@@ -5160,6 +5160,48 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // SQL TYPE WIDENING (r10 — Delta type widening): `ALTER TABLE t
+    // ALTER COLUMN c TYPE BIGINT` records the widened type by a
+    // zero-row append — no data rewritten; the drift union promotes
+    // every reader and positional INSERT conformance follows the
+    // DECLARED order pinned as a table property. In-query asserts:
+    // the beyond-INT batch REFUSES before the widening (ANSI
+    // overflow), inserts cleanly after it, and the ALTER touches
+    // zero data files
+    "q155_sql_type_widening" -> ((s, d) => {
+      val root = scratch(s, "q155", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t155 (o_orderkey INT, o_custkey INT, " +
+        "o_totalprice DOUBLE) USING commitlog")
+      val src = ord(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      src.filter(col("o_orderkey") <= lo + e)
+        .createOrReplaceTempView("q155_a")
+      src.filter(col("o_orderkey") > lo + e &&
+          col("o_orderkey") <= lo + 2 * e)
+        .withColumn("o_orderkey",
+          col("o_orderkey") + lit(5000000000L)) // beyond INT range
+        .createOrReplaceTempView("q155_b")
+      lm.sql("INSERT INTO t155 SELECT * FROM q155_a")
+      val refused =
+        try { lm.sql("INSERT INTO t155 SELECT * FROM q155_b"); false }
+        catch { case _: Exception => true }
+      assert(refused,
+        "a beyond-INT batch must refuse before the widening")
+      val log = lm.commitLog("t155")
+      val filesBefore = log.liveFiles(None).toSet
+      lm.sql("ALTER TABLE t155 ALTER COLUMN o_orderkey TYPE BIGINT")
+      assert(filesBefore.subsetOf(log.liveFiles(None).toSet),
+        "type widening must rewrite zero data files")
+      lm.sql("INSERT INTO t155 SELECT * FROM q155_b") // now legal
+      lm.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t155 " +
+        "ORDER BY o_orderkey")
+    }),
+
     // ROW-LEVEL MERGE on the multi-writer flavor (Delta MERGE):
     // matched keys update, unmatched keys insert, only key-holding
     // files rewrite (span-pruned candidates, then a key semi-join),
@@ -8163,6 +8205,21 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
+    // band A as-is plus band B shifted beyond INT range; custkey
+    // stays INT on both sides
+    "q155_sql_type_widening" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(o_custkey AS INTEGER) AS o_custkey, o_totalprice
+        |FROM orders, b WHERE o_orderkey <= lo + e
+        |UNION ALL
+        |SELECT o_orderkey + 5000000000,
+        |  CAST(o_custkey AS INTEGER), o_totalprice
+        |FROM orders, b
+        |WHERE o_orderkey > lo + e AND o_orderkey <= lo + 2 * e
+        |ORDER BY o_orderkey""".stripMargin,
+
     // base = bands A+B minus the %3 band; clone = bands A+B plus C
     "q154_sql_shallow_clone" ->
       """WITH bnd AS (SELECT min(o_orderkey) AS lo,

@@ -452,6 +452,9 @@ final class LakeManager(spark: SparkSession, root: String) {
     *  - `ALTER TABLE t ALTER COLUMN c SET NOT NULL | DROP NOT NULL`
     *                                       -> [[CommitLog.setNotNull]] /
     *                                          [[CommitLog.dropNotNull]]
+    *  - `ALTER TABLE t ALTER COLUMN c TYPE <t>` -> type WIDENING
+    *    along the promotion ladder (zero-row append; narrowing and
+    *    incompatible changes refuse)
     *  - `ALTER TABLE t SET TBLPROPERTIES (...)` / `UNSET TBLPROPERTIES`
     *    / `SHOW TBLPROPERTIES t`           -> [[CommitLog.setProperties]]
     *  - `SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF <expr>`
@@ -819,26 +822,69 @@ final class LakeManager(spark: SparkSession, root: String) {
             log.read(None)
         }
       case ac: AlterColumns =>
-        managedLog(ac.table) match {
+        targetName(ac.table) match {
           case None => spark.sql(statement)
-          case Some(log) =>
-            // the ONLY column alteration managed tables support is the
-            // nullability invariant (Delta's NOT NULL); type/comment/
-            // position/default changes refuse loudly rather than
-            // silently mutating a schema the commit log owns
+          case Some(tname) =>
+            val log = commitLog(tname)
+            // managed column alterations: the nullability invariant
+            // (Delta's NOT NULL) and TYPE WIDENING along the promotion
+            // ladder (Delta type widening: a zero-row append records
+            // the widened type, the drift machinery promotes every
+            // reader — no data rewritten; narrowing and incompatible
+            // changes refuse loudly). Comment/position/default changes
+            // refuse rather than silently mutating a schema the commit
+            // log owns.
             ac.specs.foreach { sp =>
-              require(sp.newDataType.isEmpty && sp.newComment.isEmpty &&
+              require(sp.newComment.isEmpty &&
                 sp.newPosition.isEmpty &&
                 sp.newDefaultExpression.isEmpty && !sp.dropDefault &&
-                sp.newNullability.isDefined,
+                (sp.newNullability.isDefined != sp.newDataType.isDefined),
                 "managed ALTER COLUMN supports exactly SET NOT NULL / " +
-                  "DROP NOT NULL")
+                  "DROP NOT NULL / TYPE <widened-type>")
               require(sp.column.name.size == 1,
-                s"NOT NULL targets a top-level column, got " +
+                s"ALTER COLUMN targets a top-level column, got " +
                   sp.column.name.mkString("."))
-              if (sp.newNullability.get) // nullable=true drops it
-                log.dropNotNull(sp.column.name.head)
-              else log.setNotNull(sp.column.name.head)
+              val cname = sp.column.name.head
+              sp.newDataType match {
+                case Some(want) =>
+                  require(
+                    !SchemaTools.readSchemaMarkerInfo(spark,
+                        new Path(root, tname).toString)
+                      .exists(i => i.renames.nonEmpty ||
+                        i.dropped.nonEmpty),
+                    "ALTER COLUMN TYPE under active column mapping " +
+                      "is not supported — apply the mapping first")
+                  val cur = log.read(None).schema
+                  require(cur.fieldNames.contains(cname),
+                    s"no such column: $cname")
+                  val curT = cur(cname).dataType
+                  require(SchemaTools.promote(curT, want) == want,
+                    s"ALTER COLUMN $cname TYPE ${want.sql} would " +
+                      s"NARROW ${curT.sql} — only promotions along " +
+                      "the drift ladder are supported")
+                  if (curT != want) {
+                    val widened = org.apache.spark.sql.types.StructType(
+                      cur.fields.map(f =>
+                        if (f.name == cname) f.copy(dataType = want)
+                        else f))
+                    log.append(spark.createDataFrame(
+                      new java.util.ArrayList[
+                        org.apache.spark.sql.Row](), widened))
+                    // the widening append activates the drift union
+                    // (alphabetical read order) — pin the declared
+                    // order for positional INSERT, keeping any order
+                    // an earlier ADD COLUMNS already recorded
+                    if (!log.properties()
+                        .contains(LakeManager.ColumnOrderProp))
+                      log.setProperties(Map(
+                        LakeManager.ColumnOrderProp ->
+                          cur.fieldNames.mkString(",")))
+                  }
+                case None =>
+                  if (sp.newNullability.get) // nullable=true drops it
+                    log.dropNotNull(cname)
+                  else log.setNotNull(cname)
+              }
             }
             log.read(None)
         }

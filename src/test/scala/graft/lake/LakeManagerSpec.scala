@@ -369,6 +369,39 @@ class LakeManagerSpec extends AnyFunSuite {
     lm.sql("ALTER TABLE ct DROP COLUMN IF EXISTS absent") // no-op
   }
 
+  test("ALTER COLUMN TYPE widens along the promotion ladder by a " +
+      "zero-row append; narrowing and incompatible changes refuse") {
+    val root = TestSpark.tempDir("lakewiden")
+    val lm = LakeManager(spark, root).init()
+    lm.sql("CREATE TABLE wt (n INT, x DOUBLE, s STRING) " +
+      "USING commitlog")
+    lm.sql("INSERT INTO wt VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    val filesBefore = lm.commitLog("wt").liveFiles(None).toSet
+    lm.sql("ALTER TABLE wt ALTER COLUMN n TYPE BIGINT")
+    val widened = lm.commitLog("wt").read(None)
+    assert(widened.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"n must widen to BIGINT: ${widened.schema("n").dataType}")
+    assert(filesBefore.subsetOf(
+      lm.commitLog("wt").liveFiles(None).toSet),
+      "type widening must rewrite zero data files")
+    // a value beyond INT range now inserts
+    lm.sql("INSERT INTO wt VALUES (3000000000, 3.5, 'c')")
+    assert(spark.sql("SELECT max(n) FROM wt").as[Long].head() ==
+      3000000000L)
+    // same-type ALTER is a no-op (burns no commit)
+    val v = lm.commitLog("wt").latestVersion()
+    lm.sql("ALTER TABLE wt ALTER COLUMN n TYPE BIGINT")
+    assert(lm.commitLog("wt").latestVersion() == v)
+    // narrowing and incompatible changes refuse
+    assertThrows[IllegalArgumentException](
+      lm.sql("ALTER TABLE wt ALTER COLUMN x TYPE INT"))
+    assertThrows[IllegalArgumentException](
+      lm.sql("ALTER TABLE wt ALTER COLUMN s TYPE BIGINT"))
+    assertThrows[IllegalArgumentException](
+      lm.sql("ALTER TABLE wt ALTER COLUMN nosuch TYPE BIGINT"))
+  }
+
   test("TRUNCATE TABLE, SHOW CREATE TABLE, and the table_changes CDC " +
       "TVF dispatch on managed tables") {
     val root = TestSpark.tempDir("lakesql2")
