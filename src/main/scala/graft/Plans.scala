@@ -257,6 +257,32 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name — $why\n\n```\n$plan```\n")
     }
+
+    // r10: the DV-decomposed change feed (the q152/e33 core) — the
+    // returned frames of those queries are their final side-tagged
+    // unions, so dump the OPERATOR's own plan: per dv commit, the
+    // marked files' position-carrying scan semi-joins the broadcast
+    // (file, pos) marks to produce full pre-images; the append
+    // commits contribute plain scans under the union
+    {
+      import org.apache.spark.sql.functions.col
+      val root = "/tmp/graft_plans_cdc"
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root))
+      val log = graft.lake.CommitLog(spark, root).init()
+      log.append(spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(3, col("o_custkey")))
+      log.deleteWhereMor("o_orderkey % 7 = 3")
+      val feed = log.changesSince(0L)
+      val plan = feed.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append("\n## changesSince over a positional delete " +
+        "(q152/e33/q153 core) — append commits scan plainly; the dv " +
+        "commit is scan(marked files, with positions) -> broadcast " +
+        "(file,pos) SEMI join -> full pre-images tagged delete\n\n" +
+        s"```\n$plan```\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] wrote $out")
     spark.stop()
