@@ -1234,4 +1234,56 @@ class CommitLogSpec extends AnyFunSuite {
     try w.write("{\"base\":\"elsewhere\",\"files\":[]}") finally w.close()
     intercept[java.io.IOException](log.cloneTo(destRoot))
   }
+
+  test("randomized convergence: a replica folded from changesSince " +
+      "equals the live read across seeded random append / keyed-MOR " +
+      "delete / positional-delete sequences") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val log = CommitLog(spark,
+        TestSpark.tempDir(s"csconv$trial")).init()
+      var nextId = 0L
+      def appendBatch(): Unit = {
+        val n = 20 + rnd.nextInt(30)
+        val rows = (0 until n).map { _ =>
+          val id = nextId; nextId += 1; (id, rnd.nextInt(100).toLong)
+        }
+        log.append(rows.toDF("id", "v")
+          .repartition(1 + rnd.nextInt(3)))
+      }
+      appendBatch()
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => appendBatch()
+          case 1 =>
+            val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            val keys = log.read(None)
+              .filter(s"id % $m = $r").select("id")
+            // ids are NEVER re-issued, so keyed tombstones cannot
+            // collide with later appends (the standing-tombstone
+            // subtract applies to all time, by design)
+            if (keys.count() > 0) log.deleteKeysMor(keys, Seq("id"))
+          case 2 =>
+            val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            log.deleteWhereMor(s"v % $m = $r")
+        }
+      }
+      // fold the feed version by version: insert rows land, delete
+      // rows (keyed key-only AND positional full pre-images) remove
+      val replica = scala.collection.mutable.Map[Long, Long]()
+      val feed = log.changesSince(0L)
+        .select("_commit_version", "_op", "id", "v").collect()
+        .sortBy(_.getLong(0))
+      feed.foreach { row =>
+        val id = row.getLong(2)
+        if (row.getString(1) == "insert") replica(id) = row.getLong(3)
+        else replica.remove(id)
+      }
+      val live = log.read(None).select("id", "v")
+        .as[(Long, Long)].collect().toMap
+      assert(replica.toMap == live,
+        s"trial $trial: replica diverged (replica=${replica.size}, " +
+          s"live=${live.size})")
+    }
+  }
 }
