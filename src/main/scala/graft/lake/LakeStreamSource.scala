@@ -123,14 +123,21 @@ final class LakeStreamSource(
   *  - Append: `appendOnce` per batch
   *  - Complete: `replace` per batch (each batch carries the full
   *    result — rewriting the live set IS the idempotence)
+  *  - Update + `.option("mergeKeys", "k1,k2")`: keyed `upsertOnce`
+  *    per batch — the streaming MATERIALIZED-VIEW maintenance shape
+  *    (update-mode windowed aggs land as row-level merges), with the
+  *    same txn mark so a replayed batch burns no version
   * `txnAppId` option scopes the high-water mark when several queries
   * write one table (defaults to the sink path — single-writer). */
 final class LakeStreamSink(
     sqlContext: SQLContext,
     root: String,
     appId: String,
-    complete: Boolean)
+    mode: org.apache.spark.sql.streaming.OutputMode,
+    mergeKeys: Seq[String])
   extends org.apache.spark.sql.execution.streaming.Sink {
+
+  import org.apache.spark.sql.streaming.OutputMode
 
   private val log = CommitLog(sqlContext.sparkSession, root).init()
 
@@ -139,8 +146,15 @@ final class LakeStreamSink(
       : Unit = {
     val batch = org.apache.spark.sql.GraftSqlBridge
       .sinkBatchFrame(data.toDF())
-    if (complete) log.replace(batch, log.latestVersion())
-    else log.appendOnce(batch, appId, batchId)
+    mode match {
+      case m if m == OutputMode.Complete() =>
+        log.replace(batch, log.latestVersion())
+      case m if m == OutputMode.Update() =>
+        if (log.latestVersion() == 0L)
+          log.appendOnce(batch, appId, batchId)
+        else log.upsertOnce(batch, mergeKeys, appId, batchId)
+      case _ => log.appendOnce(batch, appId, batchId)
+    }
   }
 }
 
@@ -167,15 +181,20 @@ final class LakeStreamProvider
         "the commitlog sink wants .option(\"path\", <table root>)"))
     require(partitionColumns.isEmpty,
       "partition the TABLE (initPartitioned), not the sink")
-    val complete = outputMode ==
-      org.apache.spark.sql.streaming.OutputMode.Complete()
-    require(complete || outputMode ==
-      org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"the commitlog sink supports Append and Complete, " +
+    import org.apache.spark.sql.streaming.OutputMode
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    require(Seq(OutputMode.Append(), OutputMode.Complete(),
+        OutputMode.Update()).contains(outputMode),
+      s"the commitlog sink supports Append/Complete/Update, " +
         s"got $outputMode")
+    require((outputMode == OutputMode.Update()) == mergeKeys.nonEmpty,
+      "Update mode needs .option(\"mergeKeys\", \"k1,k2\") — and " +
+        "mergeKeys only makes sense in Update mode")
     new LakeStreamSink(sqlContext, root,
       parameters.getOrElse("txnAppId", s"commitlog-sink@$root"),
-      complete)
+      outputMode, mergeKeys)
   }
 
   private def feedCols = Seq(

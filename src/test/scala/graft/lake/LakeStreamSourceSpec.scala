@@ -121,6 +121,45 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("commitlog sink Update mode + mergeKeys: update-mode windowed " +
+      "aggs land as keyed txn-marked merges — the streaming " +
+      "materialized view equals the complete aggregation") {
+    val root = TestSpark.tempDir("lsu")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "x")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("x")
+        .as("total"))
+      .writeStream.format("commitlog")
+      .option("path", s"$root/mv")
+      .option("mergeKeys", "k")
+      .option("checkpointLocation", TestSpark.tempDir("lsu_ck"))
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 10L), (2L, 5L))
+      q.processAllAvailable()
+      mem.addData((1L, 7L), (3L, 1L)) // k=1 updates, k=3 inserts
+      q.processAllAvailable()
+      val mv = CommitLog(spark, s"$root/mv").read(None)
+        .as[(Long, Long)].collect().toMap
+      assert(mv == Map(1L -> 17L, 2L -> 5L, 3L -> 1L),
+        s"the maintained view must equal the complete agg: $mv")
+      // every commit carries its txn mark (replays would skip)
+      val log = CommitLog(spark, s"$root/mv")
+      assert((1L to log.latestVersion())
+        .forall(v => log.commit(v).txn.isDefined))
+    } finally q.stop()
+    // mergeKeys without update mode (and vice versa) refuse
+    intercept[Exception] {
+      mem.toDF().toDF("k", "x").writeStream.format("commitlog")
+        .option("path", s"$root/bad")
+        .option("mergeKeys", "k")
+        .option("checkpointLocation", TestSpark.tempDir("lsu_ck2"))
+        .outputMode("append").start()
+    }
+  }
+
   test("readChangeFeed streams the CDC shape (positional deletes as " +
       "full pre-images); upserts fail the stream unless " +
       "ignoreChanges; startingVersion=latest skips history") {
