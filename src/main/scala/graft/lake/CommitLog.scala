@@ -2600,7 +2600,17 @@ final class CommitLog(spark: SparkSession, root: String) {
     * retention window (mtime-based, default [[CommitLog.RetentionMs]]
     * — far longer than any stage-to-commit gap). Pass `0` only when
     * no writer can be in flight (tests, decommission). */
-  def vacuum(retentionMs: Long = CommitLog.RetentionMs): Long = {
+  def vacuum(retentionMs: Long = CommitLog.RetentionMs): Long =
+    vacuumSweep(retentionMs, delete = true).size.toLong
+
+  /** `VACUUM ... DRY RUN`: the paths the sweep WOULD delete, deleting
+    * nothing — the Delta dry-run contract for auditing retention
+    * before committing to it. */
+  def vacuumDryRun(retentionMs: Long = CommitLog.RetentionMs)
+      : Seq[String] = vacuumSweep(retentionMs, delete = false)
+
+  private def vacuumSweep(retentionMs: Long, delete: Boolean)
+      : Seq[String] = {
     val cutoff = System.currentTimeMillis() - retentionMs
     def expired(s: org.apache.hadoop.fs.FileStatus): Boolean =
       s.getModificationTime <= cutoff
@@ -2629,7 +2639,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       c.files ++ (if (c.kind == "restore" || c.kind == "clone")
         c.removed else Nil)
     } ++ ckFiles).toSet
-    var removed = 0L
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
     // recursive: partitioned tables nest data under data/<k>=<v>/,
     // and the referenced set holds partition-qualified relative names
     val dataRoot = fs.makeQualified(dataDir).toUri
@@ -2640,8 +2650,8 @@ final class CommitLog(spark: SparkSession, root: String) {
           val rel = dataRoot
             .relativize(fs.makeQualified(s.getPath).toUri).getPath
           if (!referenced.contains(rel) && expired(s)) {
-            fs.delete(s.getPath, false)
-            removed += 1
+            if (delete) fs.delete(s.getPath, false)
+            removed += s.getPath.toString
           }
         }
       }
@@ -2650,8 +2660,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     if (fs.exists(staged))
       fs.listStatus(staged).foreach { s =>
         if (expired(s)) {
-          fs.delete(s.getPath, true)
-          removed += 1
+          if (delete) fs.delete(s.getPath, true)
+          removed += s.getPath.toString
         }
       }
     // commit temp files a crashed writer left behind (never visible as
@@ -2660,11 +2670,11 @@ final class CommitLog(spark: SparkSession, root: String) {
       fs.listStatus(commitsDir).foreach { s =>
         if (s.isFile && s.getPath.getName.startsWith(".tmp-") &&
             expired(s)) {
-          fs.delete(s.getPath, false)
-          removed += 1
+          if (delete) fs.delete(s.getPath, false)
+          removed += s.getPath.toString
         }
       }
-    removed
+    removed.toSeq
   }
 }
 

@@ -332,7 +332,8 @@ final class LakeManager(spark: SparkSession, root: String) {
         "\\s*;?\\s*$").r
     val Vac =
       ("(?is)^\\s*VACUUM\\s+" + Ident +
-        "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$").r
+        "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?" +
+        "(?:\\s+(DRY\\s+RUN))?\\s*;?\\s*$").r
     val Rest =
       ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + Ident +
         "\\s+(?:TO\\s+)?(?:VERSION\\s+AS\\s+OF\\s+(\\d+)" +
@@ -383,10 +384,12 @@ final class LakeManager(spark: SparkSession, root: String) {
         }
       case DescHist(t) => managed(t).map(_.history())
       case DescDetail(t) => managed(t).map(_.detail())
-      case Vac(t, hours) => managed(t).map { log =>
+      case Vac(t, hours, dry) => managed(t).map { log =>
         val retainMs = Option(hours).map(_.toLong * 3600000L)
           .getOrElse(CommitLog.RetentionMs)
-        Seq(log.vacuum(retainMs)).toDF("files_deleted")
+        if (dry != null) // the paths the sweep WOULD delete, untouched
+          log.vacuumDryRun(retainMs).toDF("path")
+        else Seq(log.vacuum(retainMs)).toDF("files_deleted")
       }
       case Rest(t, v, tsExpr) => managed(t).map { log =>
         val toV =
@@ -463,7 +466,9 @@ final class LakeManager(spark: SparkSession, root: String) {
     *  - `OPTIMIZE t [WHERE <pred>] [ZORDER BY (c, ...)]`
     *                                       -> [[CommitLog.optimize]]
     *                                          (returns one metrics row)
-    *  - `VACUUM t [RETAIN <n> HOURS]`      -> [[CommitLog.vacuum]]
+    *  - `VACUUM t [RETAIN <n> HOURS] [DRY RUN]`
+    *                                       -> [[CommitLog.vacuum]] /
+    *                                          [[CommitLog.vacuumDryRun]]
     *  - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF <e>`
     *                                       -> [[CommitLog.restore]]
     *  - `DESCRIBE HISTORY t`               -> [[CommitLog.history]]

@@ -259,6 +259,21 @@ class LakeManagerSpec extends AnyFunSuite {
     val vac = lm.sql("VACUUM mt RETAIN 1 HOURS").head()
     assert(vac.getAs[Long]("files_deleted") == 0L,
       "every committed file is referenced — nothing to reclaim")
+    // DRY RUN reports the would-delete set without touching anything:
+    // plant unreferenced debris, see it listed, confirm it survives
+    val debris = new java.io.File(s"$root/mt/data/zz-debris.parquet")
+    val out = new java.io.FileOutputStream(debris)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    debris.setLastModified(System.currentTimeMillis() - 7200000L)
+    val dry = lm.sql("VACUUM mt RETAIN 1 HOURS DRY RUN")
+      .as[String].collect()
+    assert(dry.exists(_.endsWith("zz-debris.parquet")) &&
+      debris.exists(),
+      s"DRY RUN must list the debris and delete nothing: " +
+        s"${dry.toSeq}")
+    assert(lm.sql("VACUUM mt RETAIN 1 HOURS").head()
+      .getAs[Long]("files_deleted") == 1L && !debris.exists(),
+      "the real sweep must then reclaim exactly the debris")
     // the WHERE arm parses through the shape dispatch too: the
     // restored live set is v1's four round-robin files (every span
     // covers the band), so the banded ZORDER pack rewrites them all
