@@ -63,6 +63,26 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       "a compaction rewrite must not re-deliver rows")
   }
 
+  test("readStream over a hive-partitioned commit-log table: " +
+      "partition columns stream with their path-carried values") {
+    val root = TestSpark.tempDir("lssp")
+    val log = CommitLog(spark, s"$root/t").init()
+      .initPartitioned(Seq("region"))
+    log.append(Seq((1L, "eu"), (2L, "us")).toDF("id", "region")) // v1
+    log.append(Seq((3L, "eu")).toDF("id", "region"))             // v2
+    val out = TestSpark.tempDir("lssp_out")
+    val q = spark.readStream.format("commitlog").load(s"$root/t")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", TestSpark.tempDir("lssp_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "eu"), (2L, "us"), (3L, "eu")),
+      s"partition values must ride the stream: $got")
+  }
+
   test("commitlog sink: lake-to-lake streaming replication is " +
       "exactly-once (txn-marked commits skip on replay), Complete " +
       "mode replaces per batch") {
