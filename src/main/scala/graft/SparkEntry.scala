@@ -5122,6 +5122,26 @@ object SparkEntry {
       feed.orderBy("_op", "o_orderkey")
     }),
 
+    // SQL-TEXT KERNEL SURFACE (r10): `SqlFunctions.register` installs
+    // the native codegen kernels as session SQL functions — the same
+    // catalyst nodes the Column API builds, so SQL-text and Column
+    // queries are plan-identical (no UDF wrapping). The portable hash
+    // family is the oracle: DuckDB replays the identical charFold
+    // arithmetic and the shingle window count relationally
+    "q156_sql_functions" -> ((s, d) => {
+      graft.functions.SqlFunctions.register(s)
+      docs(s, d).createOrReplaceTempView("q156_docs")
+      val out = s.sql(
+        "SELECT doc_id, graft_charfold(text, 131) AS fp131, " +
+          "graft_charfold(text, 137) AS fp137, " +
+          "size(graft_shingles(split(text, ' '), 3)) AS n_windows " +
+          "FROM q156_docs ORDER BY doc_id")
+      assert(!out.queryExecution.executedPlan.toString
+        .contains("ScalaUDF"),
+        "registered kernels must not wrap as UDFs")
+      out
+    }),
+
     // SQL SHALLOW CLONE (r10): `CREATE TABLE c SHALLOW CLONE b` — the
     // zero-copy clone through pure SQL. The founding commit
     // RE-REFERENCES the source's live files (O(metadata) at any data
@@ -8205,6 +8225,16 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
+    // the DuckDB twin replays the identical fold arithmetic; the
+    // window count is relational
+    "q156_sql_functions" ->
+      s"""SELECT doc_id,
+         | ${sqlCharFold("text", 131)} AS fp131,
+         | ${sqlCharFold("text", 137)} AS fp137,
+         | CAST(greatest(len(string_split(text, ' ')) - 2, 0)
+         |   AS INTEGER) AS n_windows
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     // band A as-is plus band B shifted beyond INT range; custkey
     // stays INT on both sides
     "q155_sql_type_widening" ->

@@ -49,6 +49,16 @@ object GraftSqlBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Register an expression builder as a session temp SQL function
+    * (`sessionState`/`functionRegistry` are `private[sql]`) — what
+    * exposes the native codegen kernels (charFold, simhash, dot) to
+    * plain `spark.sql` text. */
+  def registerSqlFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState
+      .functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** A frame's analyzed logical plan — what lets the SQL time-travel
     * rewrite graft a versioned read as a subtree of a parsed statement
     * (the analyzer accepts mixed resolved/unresolved trees). */
