@@ -5142,6 +5142,47 @@ object SparkEntry {
       out
     }),
 
+    // FILES METADATA TVF (r10 — the Iceberg `files` table):
+    // `FROM table_files('t'[, version])` serves one row per live
+    // file off manifests + file statuses alone — zero data-file
+    // opens at any table size. In-query asserts: every data file
+    // reports rendered span bounds, and the historical version's
+    // file set is smaller. The oracle checks the aggregate the
+    // metadata must reproduce exactly: file count by construction,
+    // row total == the inserted band
+    "q157_sql_table_files" -> ((s, d) => {
+      val root = scratch(s, "q157", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t157 (o_orderkey BIGINT, o_totalprice " +
+        "DOUBLE) USING commitlog")
+      val src = ord(s, d).select("o_orderkey", "o_totalprice")
+      val Array(lo, hi) = src
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val e = (hi - lo) / 4
+      src.filter(col("o_orderkey") <= lo + e).coalesce(1)
+        .createOrReplaceTempView("q157_a")
+      src.filter(col("o_orderkey") > lo + e &&
+          col("o_orderkey") <= lo + 2 * e).coalesce(1)
+        .createOrReplaceTempView("q157_b")
+      lm.sql("INSERT INTO t157 SELECT * FROM q157_a") // 1 file
+      lm.sql("INSERT INTO t157 SELECT * FROM q157_b") // 1 file
+      val perFile = lm.sql("SELECT * FROM table_files('t157') " +
+        "WHERE num_rows >= 0").collect()
+      assert(perFile.forall(r =>
+        r.getAs[Map[String, String]]("bounds").get("o_orderkey")
+          .exists(_.matches("\\[\\d+, \\d+\\]"))),
+        "every data file must render its o_orderkey span")
+      val hiV = lm.commitLog("t157").latestVersion()
+      assert(lm.sql(s"SELECT count(*) FROM table_files('t157', " +
+        s"${hiV - 1})").head().getLong(0) <
+        lm.sql("SELECT count(*) FROM table_files('t157')")
+          .head().getLong(0),
+        "the historical file set must be smaller")
+      lm.sql("SELECT count(*) AS n_files, sum(num_rows) AS n_rows " +
+        "FROM table_files('t157') WHERE num_rows >= 0")
+    }),
+
     // SQL SHALLOW CLONE (r10): `CREATE TABLE c SHALLOW CLONE b` — the
     // zero-copy clone through pure SQL. The founding commit
     // RE-REFERENCES the source's live files (O(metadata) at any data
@@ -8225,6 +8266,14 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
+    // two coalesced inserts = two data files; rows = bands A+B
+    "q157_sql_table_files" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS n_files,
+        |  (SELECT count(*) FROM orders, b
+        |   WHERE o_orderkey <= lo + 2 * e) AS n_rows""".stripMargin,
+
     // the DuckDB twin replays the identical fold arithmetic; the
     // window count is relational
     "q156_sql_functions" ->

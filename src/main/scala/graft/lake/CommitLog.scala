@@ -2600,6 +2600,35 @@ final class CommitLog(spark: SparkSession, root: String) {
     * retention window (mtime-based, default [[CommitLog.RetentionMs]]
     * — far longer than any stage-to-commit gap). Pass `0` only when
     * no writer can be in flight (tests, decommission). */
+  /** FILES metadata table — one row per LIVE data file, served from
+    * manifests + file statuses alone (the Iceberg `files` table
+    * analog): relative name, on-disk bytes, manifest-carried row
+    * count, and per-column span bounds rendered `[lo, hi]`.
+    * O(live files) driver-side metadata in the [[detail]] cost
+    * class; ZERO data-file opens at any table size. */
+  def filesDetail(asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val r = resolve(asOf)
+    def render(v: FileStats.SpanV): String = v match {
+      case FileStats.NumV(d) =>
+        if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+        else d.toString
+      case FileStats.StrV(s) => s
+    }
+    r.data.map { name =>
+      val p = new Path(dataPath(name))
+      val size =
+        scala.util.Try(fs.getFileStatus(p).getLen).getOrElse(-1L)
+      val sp = r.spanOf.get(name)
+      val bounds: Map[String, String] = sp.map(_.cols.collect {
+        case (c, (mn, mx)) if mn.isDefined || mx.isDefined =>
+          c -> (s"[${mn.map(render).getOrElse("")}, " +
+            s"${mx.map(render).getOrElse("")}]")
+      }.toMap).getOrElse(Map.empty)
+      (name, size, sp.map(_.nRows).getOrElse(-1L), bounds)
+    }.toDF("file", "size_bytes", "num_rows", "bounds")
+  }
+
   def vacuum(retentionMs: Long = CommitLog.RetentionMs): Long =
     vacuumSweep(retentionMs, delete = true).size.toLong
 

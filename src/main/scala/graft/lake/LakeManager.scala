@@ -489,6 +489,9 @@ final class LakeManager(spark: SparkSession, root: String) {
     *  - `SELECT ... FROM table_changes('t', start[, end])` -> the CDC
     *    feed ([[CommitLog.changesSince]]; INCLUSIVE version bounds,
     *    Delta's TVF contract)
+    *  - `SELECT ... FROM table_files('t'[, version])` -> the FILES
+    *    metadata table ([[CommitLog.filesDetail]]; manifests + file
+    *    statuses only)
     *
     * The maintenance verbs are Delta's SQL surface; Spark's parser
     * does not know them, so they dispatch off a statement-shape match
@@ -970,6 +973,34 @@ final class LakeManager(spark: SparkSession, root: String) {
           RelationTimeTravel, UnresolvedTableValuedFunction}
         var rewrote = false
         val rewritten = other.transformUp {
+          case tvf @ UnresolvedTableValuedFunction(fname, fargs, _)
+              if fname.map(_.toLowerCase(java.util.Locale.ROOT))
+                == Seq("table_files") =>
+            // FILES metadata TVF (the Iceberg `files` table):
+            // `FROM table_files('t'[, version])` — manifests + file
+            // statuses only, zero data-file opens
+            require(fargs.size == 1 || fargs.size == 2,
+              "table_files wants (table[, version])")
+            val tbl = fargs.head.eval() match {
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                s.toString
+              case o => require(false,
+                s"table_files wants a table-name string, got $o"); ""
+            }
+            managedName(tbl.split('.').toSeq) match {
+              case None => tvf
+              case Some(n) =>
+                val asOf = fargs.lift(1).map(_.eval() match {
+                  case i: Int => i.toLong
+                  case l: Long => l
+                  case o => throw new IllegalArgumentException(
+                    s"table_files wants an integer version, got $o")
+                })
+                rewrote = true
+                SubqueryAlias(n,
+                  org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+                    commitLog(n).filesDetail(asOf)))
+            }
           case tvf @ UnresolvedTableValuedFunction(fname, fargs, _)
               if fname.map(_.toLowerCase(java.util.Locale.ROOT))
                 == Seq("table_changes") =>

@@ -455,6 +455,40 @@ class LakeManagerSpec extends AnyFunSuite {
     intercept[Exception](lm.sql("TRUNCATE TABLE nosuch_t"))
   }
 
+  test("table_files TVF: one row per live file off manifests alone, " +
+      "span bounds rendered, historical versions served") {
+    val root = TestSpark.tempDir("lakefiles")
+    val lm = LakeManager(spark, root).init()
+    lm.sql("CREATE TABLE ft (id BIGINT, v STRING) USING commitlog")
+    lm.sql("INSERT INTO ft SELECT id, CAST(id AS STRING) " +
+      "FROM range(0, 100)")                       // v2
+    lm.sql("INSERT INTO ft VALUES (500, 'x')")    // v3
+    val files = lm.sql("SELECT file, size_bytes, num_rows, bounds " +
+      "FROM table_files('ft')").collect()
+    assert(files.nonEmpty &&
+      files.forall(_.getAs[Long]("size_bytes") > 0L),
+      "every live file must report its on-disk bytes")
+    // the founding zero-row file predates stats: num_rows = -1
+    // (unknown); every data-carrying file reports manifest rows
+    assert(files.map(_.getAs[Long]("num_rows"))
+      .filter(_ >= 0L).sum == 101L)
+    // span bounds render as [lo, hi] strings per column on every
+    // data-carrying file
+    val idBounds = files.filter(_.getAs[Long]("num_rows") > 0L)
+      .map(_.getAs[Map[String, String]]("bounds").get("id"))
+    assert(idBounds.nonEmpty &&
+      idBounds.forall(_.exists(_.matches("\\[\\d+, \\d+\\]"))),
+      s"id bounds must render: ${idBounds.toSeq}")
+    // the versioned form serves the historical file set
+    val v2 = lm.sql("SELECT count(*) FROM table_files('ft', 2)")
+      .head().getLong(0)
+    assert(v2 < files.length,
+      "the v2 file set must be smaller than live")
+    // an aggregate composes over the TVF like any table
+    assert(lm.sql("SELECT sum(num_rows) FROM table_files('ft') " +
+      "WHERE num_rows >= 0").head().getLong(0) == 101L)
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE: zero-copy, registered, " +
       "independent afterwards; IF NOT EXISTS no-op; unmanaged " +
       "source passes through") {
