@@ -141,7 +141,9 @@ object ScalingBench {
       "q144_sql_update", "q147_sql_constraints",
       "e31_commitlog_pq_stream", "q149_dv_delete",
       "q152_dv_change_feed", "q153_sql_cdc_lifecycle",
-      "e33_stream_source", "e34_stream_replication")
+      "e33_stream_source", "e34_stream_replication",
+      "q154_sql_shallow_clone", "q155_sql_type_widening",
+      "q156_sql_functions", "q157_sql_table_files")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume

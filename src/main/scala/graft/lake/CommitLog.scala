@@ -2461,11 +2461,18 @@ final class CommitLog(spark: SparkSession, root: String) {
     * `data/` holds tombstones and uncommitted debris too). */
   private def ensureSchemaMarker(): Unit =
     if (SchemaTools.readSchemaMarkerInfo(spark, root).isEmpty) {
-      val live = resolve(None).data
-      require(live.nonEmpty, "nothing committed to map columns over")
+      val r = resolve(None)
+      require(r.data.nonEmpty, "nothing committed to map columns over")
+      // UNIFY per-file schemas (manifest-recorded where present,
+      // footer read otherwise) — a plain multi-file scan resolves
+      // against ONE sampled footer and silently MISSES columns a
+      // drifted subset carries (e.g. a zero-row widening append), so
+      // the marker would drop them from the mapping registry
+      val schemas = r.data.map(n => r.schemaOf.getOrElse(n,
+        spark.read.parquet(dataPath(n)).schema)).distinct
       SchemaTools.writeSchemaMarker(spark, root,
-        spark.read.parquet(live.map(dataPath): _*).schema,
-        homogeneous = true)
+        SchemaTools.unifySchemas(schemas),
+        homogeneous = schemas.size <= 1)
     }
 
   /** Fold the log prefix up to `v` into a CHECKPOINT (the Delta

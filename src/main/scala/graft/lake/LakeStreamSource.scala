@@ -34,9 +34,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Batches conform to the schema DECLARED at stream start (drift
   * inside the stream lands as casts/null-fill, never a mid-stream
   * schema change — Spark's own streaming contract). Reference
-  * surface: pydatalake serves increments only by snapshot diffing
-  * (src/pydala/dataset.py); the streaming source is the Spark-native
-  * extension the brief's §2.13 stretch names. */
+  * surface: pydatalake has no streaming reader — its closest
+  * incremental surfaces are snapshot diffing
+  * (`src/pydala/dataset/timefly.py:73-78` timestamp-named snapshots)
+  * and the delta write mode's anti-diff
+  * (`src/pydala/dataset/writer.py:185-256`); the streaming source is
+  * the Spark-native extension SURVEY §2.13 names. */
 final class LakeStreamSource(
     sqlContext: SQLContext,
     root: String,
