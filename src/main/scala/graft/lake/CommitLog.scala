@@ -189,6 +189,12 @@ final class CommitLog(spark: SparkSession, root: String) {
   /** Highest committed version, 0 if none. O(commits) listing. */
   def latestVersion(): Long = existingVersions().foldLeft(0L)(math.max)
 
+  /** Lowest RETAINED version, 0 if none — after [[expireBefore]]
+    * truncation this is > 1, and increments below it are gone with
+    * their manifests (folded into the checkpoint). O(commits). */
+  def earliestVersion(): Long =
+    existingVersions().headOption.getOrElse(0L)
+
   import CommitLog.{Commit, FileSpans, Resolved}
 
   private def baseMarker = new Path(root, "_base.json")

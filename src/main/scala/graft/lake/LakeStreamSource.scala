@@ -272,6 +272,15 @@ final class LakeStreamProvider
         v.toLong - 1 // inclusive start -> exclusive base
       case None => 0L
     }
+    // a truncated log (expireBefore) has no manifests below its
+    // earliest retained version — increments there are gone (folded
+    // into the checkpoint), so refuse LOUDLY instead of crashing on
+    // the first missing manifest mid-stream
+    val earliest = log.earliestVersion()
+    require(earliest <= 1L || startBase >= earliest - 1,
+      s"history before v$earliest is truncated — stream with " +
+        s"startingVersion >= $earliest (or 'latest'), or re-baseline " +
+        "from a full read")
     new LakeStreamSource(
       sqlContext, root,
       resolveSchema(sqlContext, schema, parameters),

@@ -83,6 +83,31 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       s"partition values must ride the stream: $got")
   }
 
+  test("a truncated log refuses a fresh stream below its earliest " +
+      "retained version; startingVersion at the boundary streams") {
+    val root = TestSpark.tempDir("lsst")
+    val log = CommitLog(spark, s"$root/t").init()
+    log.append(Seq((1L, "a")).toDF("id", "v")) // v1
+    log.append(Seq((2L, "b")).toDF("id", "v")) // v2
+    log.append(Seq((3L, "c")).toDF("id", "v")) // v3
+    log.expireBefore(3L) // checkpoint at v3, drop v1/v2 manifests
+    intercept[Exception] {
+      spark.readStream.format("commitlog").load(s"$root/t")
+        .writeStream.format("parquet")
+        .option("path", TestSpark.tempDir("lsst_o1"))
+        .option("checkpointLocation", TestSpark.tempDir("lsst_c1"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val out = TestSpark.tempDir("lsst_o2")
+    spark.readStream.format("commitlog")
+      .option("startingVersion", "3").load(s"$root/t")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", TestSpark.tempDir("lsst_c2"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(readOut(out).select("id").as[Long].collect().toSeq ==
+      Seq(3L), "the boundary stream must deliver the retained tail")
+  }
+
   test("commitlog sink: lake-to-lake streaming replication is " +
       "exactly-once (txn-marked commits skip on replay), Complete " +
       "mode replaces per batch") {
