@@ -5162,8 +5162,12 @@ object SparkEntry {
       val e = (hi - lo) / 4
       src.filter(col("o_orderkey") <= lo + e).coalesce(1)
         .createOrReplaceTempView("q157_a")
-      src.filter(col("o_orderkey") > lo + e &&
-          col("o_orderkey") <= lo + 2 * e).coalesce(1)
+      // second file = band A's keys shifted past hi — never empty
+      // whatever the key domain's gaps (shifted-union fixtures leave
+      // (lo+e, lo+2e] hollow), so the historical-set assert holds
+      src.filter(col("o_orderkey") <= lo + e)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(hi + 1L))
+        .coalesce(1)
         .createOrReplaceTempView("q157_b")
       lm.sql("INSERT INTO t157 SELECT * FROM q157_a") // 1 file
       lm.sql("INSERT INTO t157 SELECT * FROM q157_b") // 1 file
@@ -5242,10 +5246,13 @@ object SparkEntry {
       val e = (hi - lo) / 4
       src.filter(col("o_orderkey") <= lo + e)
         .createOrReplaceTempView("q155_a")
-      src.filter(col("o_orderkey") > lo + e &&
-          col("o_orderkey") <= lo + 2 * e)
+      // band B = band A's OWN keys shifted beyond INT range — never
+      // empty whatever the key domain's gaps (ScalingBench's shifted
+      // unions leave (lo+e, lo+2e] hollow), so the refusal assert
+      // always has rows to refuse on
+      src.filter(col("o_orderkey") <= lo + e)
         .withColumn("o_orderkey",
-          col("o_orderkey") + lit(5000000000L)) // beyond INT range
+          col("o_orderkey") + lit(5000000000L))
         .createOrReplaceTempView("q155_b")
       lm.sql("INSERT INTO t155 SELECT * FROM q155_a")
       val refused =
@@ -8266,13 +8273,13 @@ object SparkEntry {
 
     // live state = base minus the deleted band plus the shifted
     // inserts, read back from both sides
-    // two coalesced inserts = two data files; rows = bands A+B
+    // two coalesced inserts = two data files; rows = band A twice
     "q157_sql_table_files" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo,
         |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders)
         |SELECT CAST(2 AS BIGINT) AS n_files,
-        |  (SELECT count(*) FROM orders, b
-        |   WHERE o_orderkey <= lo + 2 * e) AS n_rows""".stripMargin,
+        |  2 * (SELECT count(*) FROM orders, b
+        |   WHERE o_orderkey <= lo + e) AS n_rows""".stripMargin,
 
     // the DuckDB twin replays the identical fold arithmetic; the
     // window count is relational
@@ -8284,8 +8291,8 @@ object SparkEntry {
          |   AS INTEGER) AS n_windows
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // band A as-is plus band B shifted beyond INT range; custkey
-    // stays INT on both sides
+    // band A as-is plus band A's keys shifted beyond INT range;
+    // custkey stays INT on both sides
     "q155_sql_type_widening" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo,
         |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders)
@@ -8295,8 +8302,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 5000000000,
         |  CAST(o_custkey AS INTEGER), o_totalprice
-        |FROM orders, b
-        |WHERE o_orderkey > lo + e AND o_orderkey <= lo + 2 * e
+        |FROM orders, b WHERE o_orderkey <= lo + e
         |ORDER BY o_orderkey""".stripMargin,
 
     // base = bands A+B minus the %3 band; clone = bands A+B plus C
