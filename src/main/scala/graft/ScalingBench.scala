@@ -682,9 +682,14 @@ object ScalingBench {
     sb.append("doc_id band (pushed into the sidecar scan) — so the probe\n")
     sb.append("should stay flat while files x blob-width grows.\n")
     sb.append("The lifecycle\n")
-    sb.append("rows (q142/q144/q147/e31) time whole transaction protocols\n")
-    sb.append("— multiple commits, validations, stream replays — whose\n")
-    sb.append("costs are linear in their batch sizes by design.\n\n")
+    sb.append("rows (q142/q144/q147/e31, and the r10 CDC/streaming/DDL\n")
+    sb.append("rows q152-q157/e33/e34) time whole transaction protocols\n")
+    sb.append("— multiple commits, validations, stream replays, full\n")
+    sb.append("AvailableNow streaming queries — whose costs are linear\n")
+    sb.append("in their batch sizes by design; their sub-data-factor\n")
+    sb.append("ratios show fixed per-commit/stream-startup cost\n")
+    sb.append("dominating — the shape that holds when the increment,\n")
+    sb.append("not the lake, sets trigger cost.\n\n")
     sb.append("q106_partitions_served times the manifest-served metadata\n")
     sb.append("read alone against a standing fixture (the design-relevant\n")
     sb.append("number); the oracle entry's fixture write + footer-sweep\n")
