@@ -6164,6 +6164,45 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // [CREATE OR] REPLACE TABLE (Delta's semantics): a STANDING
+    // managed table's live set swaps by ONE `replace` commit, so
+    // HISTORY SURVIVES — time travel before the replace still
+    // serves; OR CREATE over nothing standing is a plain CREATE;
+    // bare REPLACE refuses a missing table with the remedy
+    "q158_sql_replace_table" -> ((s, d) => {
+      val root = scratch(s, "q158", d)
+      val lm = LakeManager(s, root).init()
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q158_src")
+      // OR CREATE over nothing standing = plain CREATE
+      lm.sql("CREATE OR REPLACE TABLE t158 USING commitlog AS " +
+        "SELECT * FROM q158_src WHERE o_custkey % 2 = 0")
+      val log = lm.commitLog("t158")
+      val vFirst = log.latestVersion()
+      // the swap is ONE replace commit on the standing log — not a
+      // drop+create (which would orphan history and readers)
+      lm.sql("CREATE OR REPLACE TABLE t158 USING commitlog AS " +
+        "SELECT * FROM q158_src WHERE o_custkey % 2 = 1")
+      assert(log.latestVersion() == vFirst + 1 &&
+        log.commit(log.latestVersion()).kind == "replace",
+        "the swap must be ONE replace commit")
+      val refused =
+        try {
+          lm.sql("REPLACE TABLE nosuch158 USING commitlog AS " +
+            "SELECT * FROM q158_src")
+          false
+        } catch { case _: Exception => true }
+      assert(refused, "bare REPLACE must refuse a missing table")
+      // live = post-replace (odd custkeys); before = pre-replace
+      // travel (even custkeys) — history survived the swap
+      def shaped(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped(log.read(None), "live")
+        .unionByName(shaped(log.read(Some(vFirst)), "before"))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -7909,6 +7948,14 @@ object SparkEntry {
     "q151_sql_create_table" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q158_sql_replace_table" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT 'before' AS side, * FROM src WHERE o_custkey % 2 = 0
+        |UNION ALL
+        |SELECT 'live', * FROM src WHERE o_custkey % 2 = 1
+        |ORDER BY side, o_orderkey""".stripMargin,
 
     "q150_sql_maintenance" ->
       """WITH kept AS (

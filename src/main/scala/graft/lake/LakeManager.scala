@@ -284,6 +284,69 @@ final class LakeManager(spark: SparkSession, root: String) {
     Some(log.read(None))
   }
 
+  /** An empty frame over a declared column list (the bare REPLACE
+    * TABLE flavor's payload); None when no columns were declared. */
+  private def colsFrame(
+      columns: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .ColumnDefinition]): Option[DataFrame] =
+    if (columns.isEmpty) None
+    else Some(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        columns.map(c => org.apache.spark.sql.types.StructField(
+          c.name, c.dataType, nullable = true)))))
+
+  /** `[CREATE OR] REPLACE TABLE ... USING commitlog [AS <query>]` —
+    * Delta's semantics: a STANDING managed table's live set swaps by
+    * ONE `replace` commit (history survives — time travel before the
+    * replace still serves); a missing table refuses unless OR
+    * CREATE, which creates it fresh. Non-commitlog/foreign targets
+    * pass through to `spark.sql`. */
+  private def replaceManaged(
+      nameChild: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      columns: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition],
+      data: Option[DataFrame],
+      orCreate: Boolean,
+      statement: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec
+    val commitlogSpec = spec match {
+      case u: UnresolvedTableSpec =>
+        u.provider.exists(_.equalsIgnoreCase("commitlog"))
+      case _ => false
+    }
+    val nameOpt = nameChild match {
+      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        managedName(id.nameParts)
+          .orElse(if (commitlogSpec && id.nameParts.size == 1)
+            Some(id.nameParts.head) else None)
+      case _ => None
+    }
+    nameOpt match {
+      case Some(t) if tables.contains(t) =>
+        require(partitioning.isEmpty,
+          "REPLACE TABLE keeps the standing table's partitioning — " +
+            "re-declaring it is not supported")
+        val log = commitLog(t)
+        val payload = data.orElse(colsFrame(columns)).getOrElse(
+          throw new IllegalArgumentException(
+            "REPLACE TABLE on a managed table wants columns or AS " +
+              "<query>"))
+        log.replace(payload, log.latestVersion())
+        log.read(None)
+      case Some(_) if orCreate =>
+        // OR CREATE over nothing standing = plain CREATE
+        createManaged(nameChild, spec, partitioning, columns, data,
+          ignoreIfExists = false)
+          .getOrElse(spark.sql(statement))
+      case Some(t) =>
+        throw new IllegalArgumentException(
+          s"no table $t to replace — use CREATE OR REPLACE")
+      case _ => spark.sql(statement)
+    }
+  }
+
   /** Statement-shape dispatch for the maintenance verbs — Delta's SQL
     * surface that Spark's parser does not know, matched BEFORE the
     * parser (exactly what a parser extension would do) and only when
@@ -438,6 +501,9 @@ final class LakeManager(spark: SparkSession, root: String) {
     *     flavor / `DROP TABLE [IF EXISTS] t [PURGE]`
     *                                       -> [[createManaged]] /
     *                                          [[removeDataset]]
+    *  - `[CREATE OR] REPLACE TABLE t USING commitlog [(cols)]
+    *    [AS <query>]`                      -> one `replace` commit on
+    *    a standing table (HISTORY SURVIVES); OR CREATE creates fresh
     *  - `INSERT INTO t <query>`            -> [[CommitLog.append]]
     *  - `INSERT OVERWRITE [TABLE] t <query>` -> [[CommitLog.replace]]
     *  - `MERGE INTO t USING <src> ON t.k = s.k
@@ -697,6 +763,19 @@ final class LakeManager(spark: SparkSession, root: String) {
           Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark, query)),
           ignore)
           .getOrElse(spark.sql(statement))
+      // [CREATE OR] REPLACE TABLE — Delta's semantics: the standing
+      // table's live set is replaced by ONE `replace` commit, so
+      // HISTORY SURVIVES (time travel before the replace still
+      // serves); a missing table refuses unless OR CREATE/OR REPLACE
+      // created it fresh
+      case ReplaceTableAsSelect(nameChild, partTs, query, spec,
+          _, orCreate, _) =>
+        replaceManaged(nameChild, spec, partTs, Nil,
+          Some(org.apache.spark.sql.GraftSqlBridge
+            .ofRows(spark, query)), orCreate, statement)
+      case ReplaceTable(nameChild, cols, partTs, spec, orCreate) =>
+        replaceManaged(nameChild, spec, partTs, cols, None,
+          orCreate, statement)
       case dt: DropTable =>
         val partsOpt = dt.child match {
           case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>

@@ -455,6 +455,43 @@ class LakeManagerSpec extends AnyFunSuite {
     intercept[Exception](lm.sql("TRUNCATE TABLE nosuch_t"))
   }
 
+  test("CREATE OR REPLACE TABLE: one replace commit, history " +
+      "survives; bare REPLACE refuses a missing table") {
+    val root = TestSpark.tempDir("lakerep")
+    val lm = LakeManager(spark, root).init()
+    // OR CREATE over nothing standing = plain CREATE
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("rep_src1")
+    lm.sql("CREATE OR REPLACE TABLE rt USING commitlog AS " +
+      "SELECT * FROM rep_src1")
+    assert(spark.sql("SELECT count(*) FROM rt").as[Long].head() == 2L)
+    val vBefore = lm.commitLog("rt").latestVersion()
+    // standing table: the swap is ONE replace commit
+    Seq((9L, "z")).toDF("id", "v").createOrReplaceTempView("rep_src2")
+    lm.sql("CREATE OR REPLACE TABLE rt USING commitlog AS " +
+      "SELECT * FROM rep_src2")
+    val log = lm.commitLog("rt")
+    assert(spark.sql("SELECT id FROM rt").as[Long].collect().toSeq
+      == Seq(9L))
+    assert(log.latestVersion() == vBefore + 1 &&
+      log.commit(log.latestVersion()).kind == "replace",
+      "the swap must be one replace commit")
+    // history SURVIVES: time travel before the replace still serves
+    assert(log.read(Some(vBefore)).count() == 2L)
+    // bare REPLACE on a missing table refuses with the remedy
+    intercept[IllegalArgumentException] {
+      lm.sql("REPLACE TABLE nosuch_rt USING commitlog AS " +
+        "SELECT * FROM rep_src2")
+    }
+    // bare REPLACE with a declared column list empties the live set
+    // under the declared schema
+    lm.sql("REPLACE TABLE rt (id BIGINT, v STRING, w DOUBLE) " +
+      "USING commitlog")
+    assert(spark.sql("SELECT count(*) FROM rt").as[Long].head() == 0L)
+    lm.sql("INSERT INTO rt VALUES (5, 'e', 1.5)")
+    assert(spark.sql("SELECT w FROM rt").as[Double].head() == 1.5)
+  }
+
   test("table_files TVF: one row per live file off manifests alone, " +
       "span bounds rendered, historical versions served") {
     val root = TestSpark.tempDir("lakefiles")
