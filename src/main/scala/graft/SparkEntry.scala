@@ -6203,6 +6203,66 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // GENERALIZED MERGE (the full Delta grammar, one atomic commit
+    // each): conditional WHEN MATCHED DELETE/UPDATE routed by a CDC
+    // op column, conditional WHEN NOT MATCHED INSERT (an op the
+    // clauses don't claim is DISCARDED), then a keep-set sync whose
+    // WHEN NOT MATCHED BY SOURCE clauses delete surrogate rows and
+    // zero the rest. Matched/insert work prunes to the source's key
+    // envelope; NMBS examines every live row (Delta's shape too).
+    // Both merges are ONE commit; the post-CDC state time-travels.
+    "q159_sql_merge_full" -> ((s, d) => {
+      val root = scratch(s, "q159", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t159")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q159_src")
+      lm.sql("INSERT INTO t159 SELECT * FROM q159_src") // v1
+      // CDC batch: D deletes, U updates, I inserts under surrogate
+      // keys; op 'X' must fall through every clause and be discarded
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
+        FROM q159_src WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, 'U'
+        FROM q159_src WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT o_orderkey + 1000000, o_custkey, o_totalprice, 'I'
+        FROM q159_src WHERE o_orderkey % 3 = 2
+        UNION ALL
+        SELECT o_orderkey + 2000000, o_custkey, o_totalprice, 'X'
+        FROM q159_src WHERE o_orderkey % 3 = 2""")
+        .createOrReplaceTempView("q159_cdc")
+      lm.sql("MERGE INTO t159 t USING q159_cdc s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET " +
+        "o_totalprice = s.o_totalprice + 10.0 " +
+        "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT " +
+        "(o_orderkey, o_custkey, o_totalprice) " +
+        "VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)") // v2
+      val log = lm.commitLog("t159")
+      val vCdc = log.latestVersion()
+      assert(vCdc == 2L, "the CDC apply must be ONE commit")
+      // keep-set sync: only the U-updated keys stay listed; unlisted
+      // rows face the NMBS clauses (first-true wins)
+      s.sql("SELECT o_orderkey FROM q159_src WHERE o_orderkey % 3 = 1")
+        .createOrReplaceTempView("q159_keep")
+      lm.sql("MERGE INTO t159 t USING q159_keep s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey >= 1000000 " +
+        "THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET " +
+        "o_totalprice = 0.0") // v3
+      assert(log.latestVersion() == 3L,
+        "the keep-set sync must be ONE commit")
+      def shaped159(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      shaped159(log.read(Some(vCdc)), "cdc")
+        .unionByName(shaped159(log.read(None), "sync"))
+        .orderBy("side", "o_orderkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -7955,6 +8015,24 @@ object SparkEntry {
         |SELECT 'before' AS side, * FROM src WHERE o_custkey % 2 = 0
         |UNION ALL
         |SELECT 'live', * FROM src WHERE o_custkey % 2 = 1
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    "q159_sql_merge_full" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |cdc AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 3 = 2)
+        |SELECT 'cdc' AS side, * FROM cdc
+        |UNION ALL
+        |SELECT 'sync', o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice ELSE 0.0 END
+        |FROM cdc WHERE o_orderkey < 1000000
         |ORDER BY side, o_orderkey""".stripMargin,
 
     "q150_sql_maintenance" ->

@@ -1768,6 +1768,321 @@ final class CommitLog(spark: SparkSession, root: String) {
     Some((v, touched.size))
   }
 
+  /** Generalized MERGE — the full Delta grammar as ONE atomic commit:
+    * conditional WHEN MATCHED UPDATE/DELETE, conditional WHEN NOT
+    * MATCHED INSERT, WHEN NOT MATCHED BY SOURCE UPDATE/DELETE,
+    * first-true clause wins ([[CommitLog.MergeClause]]). [[upsert]]
+    * stays the fast path for the unconditional update-all/insert-all
+    * shape; this executor covers everything else: CDC apply with an
+    * op column (D/U/I routed per clause), conditional upserts with
+    * deletes, and full-sync mirrors that retire target rows the
+    * source no longer carries.
+    *
+    * 100 TB shape: matched and insert work prunes to the source's
+    * typed key envelope exactly like [[upsert]] — candidates from
+    * spans, the source broadcast into the touch scan, and only files
+    * holding an AFFECTED row (a matched row some clause actually
+    * fires on, conditions evaluated) rewrite. NOT MATCHED BY SOURCE
+    * is inherently a full-table examination (Delta's is too): every
+    * live row must prove a source match or face the clauses, so the
+    * scan covers all live files (clause-condition spans prune when
+    * they can) and only files where a clause fires rewrite. The
+    * source is the SMALL side everywhere (a CDC batch, not a second
+    * lake) — it broadcasts.
+    *
+    * Delta-parity semantics: a target row matched by more than one
+    * source row REFUSES when matched clauses exist
+    * (nondeterministic — dedup the source); updates cast back to the
+    * standing column type (merge never changes the schema); NOT NULL
+    * / CHECK invariants gate the rewritten output like every writer.
+    * Matching runs null-safe (`<=>`, [[upsert]]'s discipline).
+    * Concurrency: conflicts exactly like [[upsert]] (key-envelope
+    * disjointness proves appends commute), EXCEPT under NOT MATCHED
+    * BY SOURCE where ANY concurrent data commit conflicts — this
+    * merge examined every target row; rows landing after planning
+    * were not examined. A concurrent keyed delete in the window
+    * conflicts conservatively (written keys are not enumerable
+    * pre-commit), as does a merge while keyed MOR tombstones stand
+    * (void the delete first). Returns (version, touched files); a
+    * merge that changes nothing burns no commit. */
+  def merge(
+      source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[CommitLog.MergeClause],
+      notMatched: Seq[CommitLog.MergeClause],
+      notMatchedBySource: Seq[CommitLog.MergeClause]): (Long, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, when}
+    import CommitLog.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "merge needs at least one WHEN clause")
+    matched.foreach(c => require(!c.op.isInstanceOf[MergeInsert],
+      "WHEN MATCHED supports UPDATE/DELETE, not INSERT"))
+    notMatched.foreach(c => require(c.op.isInstanceOf[MergeInsert],
+      "WHEN NOT MATCHED supports INSERT only"))
+    notMatchedBySource.foreach(c =>
+      require(!c.op.isInstanceOf[MergeInsert],
+        "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE, not INSERT"))
+    require(
+      !SchemaTools.readSchemaMarkerInfo(spark, root)
+        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
+      "generalized merge under active column mapping is not " +
+        "supported — apply the mapping (replace with the mapped read) " +
+        "first, or use the unconditional upsert")
+    val plannedV = latestVersion()
+    val r = resolve(Some(plannedV))
+    val standingDv = r.tombstones.filter(isDvName)
+    require(r.tombstones.forall(isDvName),
+      "generalized merge while keyed MOR tombstones stand is not " +
+        "supported — the read-time key subtract could silently erase " +
+        "merged rows; void the delete first (replace with the applied " +
+        "read), or use the unconditional upsert")
+    val tSchema: StructType =
+      if (r.data.nonEmpty) readConformed(r.data, r.schemaOf).schema
+      else read(Some(plannedV)).schema
+    require(tSchema.nonEmpty,
+      "merge into an empty schemaless table — append/INSERT first to " +
+        "establish the schema")
+    val tCols = tSchema.fieldNames.toSeq
+    require(!tCols.exists(_.startsWith("__s_")),
+      "target columns may not carry the reserved __s_ prefix")
+    val sCols = source.columns.toSeq
+    require(keys.forall(tCols.contains) && keys.forall(sCols.contains),
+      s"merge keys ${keys.mkString(",")} must exist on both sides")
+    // assignment targets must be standing columns — no schema
+    // evolution here (Delta's default; ADD COLUMNS first)
+    (matched ++ notMatchedBySource).foreach(_.op match {
+      case MergeUpdate(sets) => sets.foreach { case (c, _) =>
+        require(tCols.contains(c), s"SET targets unknown column $c") }
+      case _ => ()
+    })
+    notMatched.foreach(_.op match {
+      case MergeInsert(values) => values.foreach { case (c, _) =>
+        require(tCols.contains(c), s"INSERT targets unknown column $c") }
+      case _ => ()
+    })
+    val src = source.select(sCols.map(c => col(c).as(s"__s_$c")): _*)
+    val srcKeys = source.select(keys.map(col): _*)
+    val batchKeys = srcKeys.distinct()
+    val keyBounds: Map[String, FileStats.ColBound] =
+      FileStats.frameBounds(source, keys)
+    val keyCandidates: Seq[String] =
+      if (r.data.isEmpty) Nil
+      else prunedLiveBounds(keyBounds, r.data, r.spanOf).getOrElse(r.data)
+    val emptyT = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), tSchema)
+    // a target row matched by >1 source rows is nondeterministic when
+    // any matched clause could fire — Delta refuses; so do we (the
+    // check is one agg over the small source + one semi-join against
+    // the pruned candidate keys)
+    if (matched.nonEmpty && keyCandidates.nonEmpty) {
+      val dupKeys = srcKeys.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).drop("count")
+      if (!dupKeys.isEmpty) {
+        val scanK = readConformed(keyCandidates, r.schemaOf)
+          .select(keys.map(col): _*)
+        val clash = !scanK.join(broadcast(dupKeys),
+          keys.map(k => scanK(k) <=> dupKeys(k)).reduce(_ && _),
+          "left_semi").isEmpty
+        require(!clash,
+          "multiple source rows match the same target row — " +
+            "nondeterministic merge; dedup the source on the keys")
+      }
+    }
+    // files holding an AFFECTED matched row: key-match AND some
+    // matched clause's condition true (no condition = always true)
+    val matchedOr: org.apache.spark.sql.Column = matched
+      .map(_.condition.map(expr).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val filesWithHits: Seq[String] =
+      if (matched.isEmpty || keyCandidates.isEmpty) Nil
+      else {
+        val scan = readConformed(keyCandidates, r.schemaOf)
+          .withColumn("__file", input_file_name())
+        scan.join(broadcast(src),
+            keys.map(k => scan(k) <=> src(s"__s_$k")).reduce(_ && _))
+          .filter(coalesce(matchedOr, lit(false)))
+          .select("__file").distinct()
+          .collect().map(x => relName(x.getString(0))).toSeq
+      }
+    // NOT MATCHED BY SOURCE: every live row must prove a source match
+    // or face the clauses — scan all live files (condition spans
+    // prune when every clause is conditional), rewrite only where a
+    // clause fires
+    val nmbsOr: org.apache.spark.sql.Column = notMatchedBySource
+      .map(_.condition.map(expr).getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val nmbsTouched: Seq[String] =
+      if (notMatchedBySource.isEmpty || r.data.isEmpty) Nil
+      else {
+        val cands =
+          if (notMatchedBySource.exists(_.condition.isEmpty)) r.data
+          else prunedLive(notMatchedBySource
+              .map(c => s"(${c.condition.get})").mkString(" OR "),
+            r.data, r.spanOf).getOrElse(r.data)
+        if (cands.isEmpty) Nil
+        else {
+          val scan = readConformed(cands, r.schemaOf)
+            .withColumn("__file", input_file_name())
+          scan.join(broadcast(batchKeys),
+              keys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _),
+              "left_anti")
+            .filter(coalesce(nmbsOr, lit(false)))
+            .select("__file").distinct()
+            .collect().map(x => relName(x.getString(0))).toSeq
+        }
+      }
+    val touched = (filesWithHits ++ nmbsTouched).distinct
+    // first-true-wins action tag per row ('m0'/'n0'/'i0'... or 'keep')
+    def actTag(clauses: Seq[MergeClause], p: String)
+        : org.apache.spark.sql.Column =
+      clauses.zipWithIndex
+        .foldRight(lit("keep"): org.apache.spark.sql.Column) {
+          case ((cl, i), acc) =>
+            when(cl.condition.map(expr).getOrElse(lit(true)),
+              lit(s"$p$i")).otherwise(acc)
+        }
+    val deleteTags: Seq[String] =
+      matched.zipWithIndex.collect {
+        case (MergeClause(_, MergeDelete), i) => s"m$i" } ++
+      notMatchedBySource.zipWithIndex.collect {
+        case (MergeClause(_, MergeDelete), i) => s"n$i" }
+    val survivors: DataFrame =
+      if (touched.isEmpty) emptyT
+      else {
+        val touchedRows = SchemaTools.conformTo(
+          readApplied(touched, r.schemaOf, standingDv), tSchema)
+        // with no matched clauses only the MATCH FLAG matters, so the
+        // join side is the deduped key set — a duplicate-keyed source
+        // must not duplicate kept target rows
+        val joinRight =
+          if (matched.nonEmpty) src.withColumn("__s_match", lit(true))
+          else batchKeys
+            .select(keys.map(k => col(k).as(s"__s_$k")): _*)
+            .withColumn("__s_match", lit(true))
+        val joined = touchedRows.join(broadcast(joinRight),
+          keys.map(k => touchedRows(k) <=> joinRight(s"__s_$k"))
+            .reduce(_ && _),
+          "left_outer")
+        val tagged = joined.withColumn("__act",
+          when(col("__s_match").isNotNull, actTag(matched, "m"))
+            .otherwise(actTag(notMatchedBySource, "n")))
+        val kept =
+          if (deleteTags.isEmpty) tagged
+          else tagged.filter(!col("__act").isin(deleteTags: _*))
+        val updates: Seq[(String, Map[String, String])] =
+          matched.zipWithIndex.collect {
+            case (MergeClause(_, MergeUpdate(sets)), i) =>
+              s"m$i" -> sets.toMap } ++
+          notMatchedBySource.zipWithIndex.collect {
+            case (MergeClause(_, MergeUpdate(sets)), i) =>
+              s"n$i" -> sets.toMap }
+        kept.select(tSchema.map { f =>
+          updates.foldRight(col(f.name)) { case ((tag, sets), acc) =>
+            sets.get(f.name) match {
+              case Some(sql) => when(col("__act") === tag,
+                expr(sql).cast(f.dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(f.name)
+        }.toSeq: _*)
+      }
+    val inserts: DataFrame =
+      if (notMatched.isEmpty) emptyT
+      else {
+        // source rows with NO live match: anti-join against the key
+        // columns of the span-surviving candidate files (files outside
+        // the envelope provably hold no matching key). The scan prunes
+        // to just the key columns; the small source is the build side.
+        val srcOnly =
+          if (keyCandidates.isEmpty) src
+          else {
+            val scanK = readConformed(keyCandidates, r.schemaOf)
+              .select(keys.map(col): _*)
+            src.join(scanK,
+              keys.map(k => src(s"__s_$k") <=> scanK(k)).reduce(_ && _),
+              "left_anti")
+          }
+        val taggedI = srcOnly.withColumn("__act", actTag(notMatched, "i"))
+          .filter(col("__act") =!= "keep")
+        val values: Seq[(String, Map[String, String])] =
+          notMatched.zipWithIndex.map { case (cl, i) =>
+            s"i$i" -> (cl.op match {
+              case MergeInsert(vs) => vs.toMap
+              case _ => Map.empty[String, String]
+            })
+          }
+        taggedI.select(tSchema.map { f =>
+          values.foldRight(
+              lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+            case ((tag, vs), acc) => vs.get(f.name) match {
+              case Some(sql) => when(col("__act") === tag,
+                expr(sql).cast(f.dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(f.name)
+        }.toSeq: _*)
+      }
+    val out = survivors.unionByName(inserts)
+    val names = stage(out)
+    val spans = spansOf(names, Some(tSchema))
+    if (touched.isEmpty && spans.values.map(_.nRows).sum == 0L) {
+      // nothing changed: burn no commit, sweep the staged empties
+      names.foreach(n => fs.delete(new Path(dataDir, n), false))
+      return (plannedV, 0)
+    }
+    val kind = if (touched.isEmpty) "append" else "upsert"
+    val touchedSet = touched.toSet
+    val strict = notMatchedBySource.nonEmpty
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      val tip = latestVersion()
+      if (touched.nonEmpty &&
+          !touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
+        throw new java.util.ConcurrentModificationException(
+          "merge planned on files a concurrent commit removed — " +
+            "re-plan on fresh state")
+      val window = (plannedV + 1 to tip).map(commit)
+      window.collectFirst {
+        case c if c.kind == "restore" || c.kind == "clone" =>
+          s"${c.kind} v${c.version} re-homed visibility"
+        case c if strict && (c.kind == "append" || c.kind == "upsert" ||
+            c.kind == "replace") =>
+          s"${c.kind} v${c.version} landed rows this merge's NOT " +
+            "MATCHED BY SOURCE examination never saw"
+      }.orElse(window
+        .filter(c => c.kind == "append" || c.kind == "upsert" ||
+          c.kind == "replace")
+        .flatMap(c => c.files.map(f => c -> f))
+        .collectFirst { case (c, f) if !keyBounds.exists {
+            case (k, b) => c.stats.get(f).flatMap(_.cols.get(k)) match {
+              case Some((mn, mx)) =>
+                !FileStats.spanIntersects(mn, mx, b)
+              case None => false
+            }
+          } => s"${c.kind} v${c.version} landed rows not provably " +
+            "disjoint from the merge keys (ConcurrentAppend)" })
+        .foreach(why =>
+          throw new java.util.ConcurrentModificationException(
+            s"$why — re-plan on fresh state"))
+      if (window.exists(c => c.kind == "delete" &&
+          c.files.exists(f => !isDvName(f))))
+        throw new java.util.ConcurrentModificationException(
+          "a concurrent keyed delete landed in the merge window " +
+            "(ConcurrentDelete) — re-plan on fresh state")
+      conflictOnWindowDv(plannedV, tip, touched)
+      enforceConstraints(names)
+      done = tryCas(v, kind, names, removed = touched,
+        schema = Some(out.schema), stats = spans)
+      if (!done) v = latestVersion() + 1
+    }
+    if (touched.nonEmpty) FileStats.invalidate(spark, root)
+    else maintainStats(names)
+    notifyCommit()
+    (v, touched.size)
+  }
+
   /** Row-level DELETE WHERE as ONE atomic copy-on-write commit (the
     * SQL DML surface's delete): span-pruned candidates, then only
     * files actually HOLDING matching rows rewrite to their survivors —
@@ -2731,6 +3046,33 @@ object CommitLog {
   /** Reserved constraint-name prefix encoding a per-column NOT NULL
     * invariant (see [[CommitLog.setNotNull]]). */
   val NotNullPrefix: String = "__notnull_"
+
+  /** One WHEN-clause action of a generalized [[CommitLog!.merge]]
+    * (the full Delta MERGE grammar). Condition and value SQL
+    * evaluates over a frame carrying the TARGET row's columns under
+    * their own names and the SOURCE row's columns as `__s_<name>`
+    * (the SQL dispatch rewrites `s.c` references to that form):
+    *  - WHEN MATCHED clauses take [[MergeUpdate]] / [[MergeDelete]];
+    *    both target and `__s_` references are legal
+    *  - WHEN NOT MATCHED clauses take [[MergeInsert]]; `__s_`
+    *    references only (there is no target row)
+    *  - WHEN NOT MATCHED BY SOURCE clauses take [[MergeUpdate]] /
+    *    [[MergeDelete]]; target references only (there is no source
+    *    row — a `__s_` reference would read NULL) */
+  sealed trait MergeOp
+  case object MergeDelete extends MergeOp
+  /** `sets`: target column -> value SQL; unassigned columns keep
+    * their standing value. */
+  final case class MergeUpdate(sets: Seq[(String, String)])
+    extends MergeOp
+  /** `values`: target column -> value SQL; unassigned columns land
+    * NULL (subject to standing NOT NULL invariants). */
+  final case class MergeInsert(values: Seq[(String, String)])
+    extends MergeOp
+  /** First-true-condition-wins; a clause with no condition always
+    * fires; a row matching no clause keeps (target side) or drops
+    * (source side) — Delta's resolution order. */
+  final case class MergeClause(condition: Option[String], op: MergeOp)
 
   /** Per-file column spans + row count carried IN a commit manifest
     * (Delta's per-AddFile `stats` JSON): typed min/max sides

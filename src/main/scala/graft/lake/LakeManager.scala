@@ -665,12 +665,6 @@ final class LakeManager(spark: SparkSession, root: String) {
         managedLog(m.targetTable) match {
           case None => spark.sql(statement)
           case Some(log) =>
-            require(
-              m.matchedActions == Seq(UpdateStarAction(None)) &&
-                m.notMatchedActions == Seq(InsertStarAction(None)) &&
-                m.notMatchedBySourceActions.isEmpty,
-              "managed MERGE supports exactly WHEN MATCHED THEN " +
-                "UPDATE SET * / WHEN NOT MATCHED THEN INSERT *")
             def conjuncts(e: Expression): Seq[Expression] = e match {
               case And(l, r) => conjuncts(l) ++ conjuncts(r)
               case o => Seq(o)
@@ -686,11 +680,119 @@ final class LakeManager(spark: SparkSession, root: String) {
             }
             val src = org.apache.spark.sql.GraftSqlBridge
               .ofRows(spark, m.sourceTable)
-            val want = log.read(None).columns
-            require(src.columns.sorted.sameElements(want.sorted),
-              s"merge source columns ${src.columns.sorted.mkString(",")} " +
-                s"must match table columns ${want.sorted.mkString(",")}")
-            log.upsert(src, keys)
+            if (m.matchedActions == Seq(UpdateStarAction(None)) &&
+                m.notMatchedActions == Seq(InsertStarAction(None)) &&
+                m.notMatchedBySourceActions.isEmpty) {
+              // the unconditional update-all/insert-all pair is the
+              // classic upsert — keep its fast path (exact column
+              // match, key-envelope-pruned copy-on-write)
+              val want = log.read(None).columns
+              require(src.columns.sorted.sameElements(want.sorted),
+                s"merge source columns " +
+                  s"${src.columns.sorted.mkString(",")} must match " +
+                  s"table columns ${want.sorted.mkString(",")}")
+              log.upsert(src, keys)
+            } else {
+              // FULL Delta MERGE grammar -> [[CommitLog.merge]].
+              // References rewrite to the executor's frame: target
+              // columns under their own names, source columns as
+              // `__s_<name>`. Scopes enforce Delta's reference rules:
+              // matched clauses see both sides; NOT MATCHED sees
+              // source only (bare names resolve source-first); NOT
+              // MATCHED BY SOURCE sees target only (a source
+              // reference would read NULL — refuse loudly).
+              val tCols = log.read(None).columns.toSeq
+              val sCols = src.columns.toSeq
+              val tQuals = targetQualifiers(m.targetTable)
+                .map(_.toLowerCase(java.util.Locale.ROOT))
+              val sQuals = targetQualifiers(m.sourceTable)
+                .map(_.toLowerCase(java.util.Locale.ROOT))
+              def rewrite(e: Expression, scope: String): String = {
+                val out = e.transform {
+                  case a: UnresolvedAttribute =>
+                    val n = a.nameParts.last
+                    val q = if (a.nameParts.size > 1)
+                      Some(a.nameParts.dropRight(1).mkString(".")
+                        .toLowerCase(java.util.Locale.ROOT))
+                    else None
+                    q match {
+                      case Some(qq) if tQuals(qq) =>
+                        require(scope != "notMatched",
+                          s"NOT MATCHED clauses cannot reference the " +
+                            s"target (${a.sql}) — there is no target " +
+                            "row for an unmatched source row")
+                        UnresolvedAttribute(Seq(n))
+                      case Some(qq) if sQuals(qq) =>
+                        require(scope != "nmbs",
+                          s"NOT MATCHED BY SOURCE clauses cannot " +
+                            s"reference the source (${a.sql}) — there " +
+                            "is no source row")
+                        UnresolvedAttribute(Seq(s"__s_$n"))
+                      case Some(_) => a // foreign — fails loudly later
+                      case None => scope match {
+                        case "notMatched" =>
+                          if (sCols.contains(n))
+                            UnresolvedAttribute(Seq(s"__s_$n"))
+                          else a
+                        case "nmbs" => a // target frame only
+                        case _ => // matched: target-first, then source
+                          if (tCols.contains(n)) a
+                          else if (sCols.contains(n))
+                            UnresolvedAttribute(Seq(s"__s_$n"))
+                          else a
+                      }
+                    }
+                }
+                out.sql
+              }
+              def star(verb: String): Seq[(String, String)] = {
+                val missing = tCols.filterNot(sCols.contains)
+                require(missing.isEmpty,
+                  s"$verb * needs the source to carry every target " +
+                    s"column; missing ${missing.mkString(",")}")
+                tCols.map(c => c -> s"`__s_$c`")
+              }
+              def assigns(as: Seq[Assignment], scope: String)
+                  : Seq[(String, String)] =
+                as.map { a =>
+                  val tgt = a.key match {
+                    case k: UnresolvedAttribute
+                        if k.nameParts.size == 1 =>
+                      k.nameParts.head
+                    case k: UnresolvedAttribute
+                        if k.nameParts.size == 2 &&
+                          tQuals(k.nameParts.head
+                            .toLowerCase(java.util.Locale.ROOT)) =>
+                      k.nameParts.last
+                    case other => throw new IllegalArgumentException(
+                      s"unsupported assignment target: ${other.sql} " +
+                        "— use a bare or target-qualified column")
+                  }
+                  tgt -> rewrite(a.value, scope)
+                }
+              def clause(action: MergeAction, scope: String)
+                  : CommitLog.MergeClause = {
+                val cond = action.condition.map(rewrite(_, scope))
+                val op = action match {
+                  case _: DeleteAction => CommitLog.MergeDelete
+                  case u: UpdateAction =>
+                    CommitLog.MergeUpdate(assigns(u.assignments, scope))
+                  case _: UpdateStarAction =>
+                    CommitLog.MergeUpdate(star("UPDATE SET"))
+                  case i: InsertAction =>
+                    CommitLog.MergeInsert(assigns(i.assignments, scope))
+                  case _: InsertStarAction =>
+                    CommitLog.MergeInsert(star("INSERT"))
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported merge action: $other")
+                }
+                CommitLog.MergeClause(cond, op)
+              }
+              log.merge(src, keys,
+                m.matchedActions.map(clause(_, "matched")),
+                m.notMatchedActions.map(clause(_, "notMatched")),
+                m.notMatchedBySourceActions.map(clause(_, "nmbs")))
+            }
             log.read(None)
         }
       case d: DeleteFromTable =>

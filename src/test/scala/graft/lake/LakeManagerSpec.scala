@@ -160,11 +160,13 @@ class LakeManagerSpec extends AnyFunSuite {
     lm.sql("INSERT OVERWRITE acct VALUES (100, 'z', 1.0)")
     assert(spark.sql("SELECT id FROM acct").as[Int].collect().toSeq
       == Seq(100))
-    // a conditional MERGE clause refuses instead of approximating
-    intercept[IllegalArgumentException] {
-      lm.sql("MERGE INTO acct t USING acct_cdc s ON t.id = s.id " +
-        "WHEN MATCHED THEN DELETE")
-    }
+    // WHEN MATCHED THEN DELETE routes through the generalized merge
+    // executor (it used to refuse) — no match here, so it's a no-op
+    // that burns no commit
+    val vPreMerge = lm.commitLog("acct").latestVersion()
+    lm.sql("MERGE INTO acct t USING acct_cdc s ON t.id = s.id " +
+      "WHEN MATCHED THEN DELETE")
+    assert(lm.commitLog("acct").latestVersion() == vPreMerge)
     // non-DML passes through to spark.sql
     assert(lm.sql("SELECT count(*) FROM acct").as[Long].head() == 1)
     // DML on an unmanaged name passes through (and fails in Spark's
@@ -490,6 +492,87 @@ class LakeManagerSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM rt").as[Long].head() == 0L)
     lm.sql("INSERT INTO rt VALUES (5, 'e', 1.5)")
     assert(spark.sql("SELECT w FROM rt").as[Double].head() == 1.5)
+  }
+
+  test("generalized MERGE: conditional matched D/U, conditional " +
+      "insert, NOT MATCHED BY SOURCE, first-true ordering, refusals") {
+    val root = TestSpark.tempDir("lakemerge")
+    val lm = LakeManager(spark, root).init()
+    lm.addCommitLog("mt")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("id", "v", "price")
+      .createOrReplaceTempView("mg_base")
+    lm.sql("INSERT INTO mt SELECT * FROM mg_base")
+    // CDC batch: delete 1, update 2 (price from source), insert 9;
+    // op 'X' row must fall through every clause and be DISCARDED
+    Seq((1L, "A", 0.0, "D"), (2L, "B", 99.0, "U"),
+      (9L, "i", 9.0, "I"), (8L, "x", 8.0, "X"))
+      .toDF("id", "v", "price", "op")
+      .createOrReplaceTempView("mg_cdc")
+    lm.sql("MERGE INTO mt t USING mg_cdc s ON t.id = s.id " +
+      "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+      "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET price = s.price, " +
+      "v = s.v " +
+      "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, v, price) " +
+      "VALUES (s.id, s.v, s.price)")
+    assert(spark.sql("SELECT id, v, price FROM mt ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0),
+        (9L, "i", 9.0)))
+    // first-true ordering: both conditions true for id=2 — the FIRST
+    // clause must win (price doubles, not the -1 of the second)
+    Seq(2L).toDF("id").createOrReplaceTempView("mg_two")
+    lm.sql("MERGE INTO mt t USING mg_two s ON t.id = s.id " +
+      "WHEN MATCHED AND t.price > 0 THEN UPDATE SET " +
+      "price = t.price * 2 " +
+      "WHEN MATCHED THEN UPDATE SET price = -1.0")
+    assert(spark.sql("SELECT price FROM mt WHERE id = 2")
+      .as[Double].head() == 198.0)
+    // NOT MATCHED BY SOURCE: keep-set sync — unlisted rows face the
+    // clauses (conditional delete, unconditional cap)
+    Seq(2L, 9L).toDF("id").createOrReplaceTempView("mg_keep")
+    lm.sql("MERGE INTO mt t USING mg_keep s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE AND t.v = 'c' THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET price = 0.0")
+    assert(spark.sql("SELECT id, price FROM mt ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((2L, 198.0), (4L, 0.0), (9L, 9.0)))
+    val log = lm.commitLog("mt")
+    // every mutation above was ONE commit of upsert kind
+    assert((2L to 4L).map(log.commit(_).kind).toSet == Set("upsert"))
+    // insert-only generalized merge commits as APPEND kind
+    Seq((7L, "g", 7.0, "I")).toDF("id", "v", "price", "op")
+      .createOrReplaceTempView("mg_ins")
+    lm.sql("MERGE INTO mt t USING mg_ins s ON t.id = s.id " +
+      "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, v, price) " +
+      "VALUES (s.id, s.v, s.price)")
+    assert(log.commit(log.latestVersion()).kind == "append")
+    // a merge that changes nothing burns NO commit
+    val vBefore = log.latestVersion()
+    Seq((8L, "x", 8.0, "X")).toDF("id", "v", "price", "op")
+      .createOrReplaceTempView("mg_noop")
+    lm.sql("MERGE INTO mt t USING mg_noop s ON t.id = s.id " +
+      "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, v, price) " +
+      "VALUES (s.id, s.v, s.price)")
+    assert(log.latestVersion() == vBefore,
+      "a no-op merge must not burn a commit")
+    // refusal: duplicate source keys matching one target row
+    Seq((4L, 1.0), (4L, 2.0)).toDF("id", "price")
+      .createOrReplaceTempView("mg_dup")
+    intercept[Exception] {
+      lm.sql("MERGE INTO mt t USING mg_dup s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET price = s.price")
+    }
+    // refusal: source reference inside NOT MATCHED BY SOURCE
+    intercept[Exception] {
+      lm.sql("MERGE INTO mt t USING mg_keep s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET price = s.id")
+    }
+    // refusal: SET on a column the table does not carry
+    intercept[Exception] {
+      lm.sql("MERGE INTO mt t USING mg_two s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET nope = 1")
+    }
   }
 
   test("table_files TVF: one row per live file off manifests alone, " +
