@@ -6263,6 +6263,43 @@ object SparkEntry {
         .orderBy("side", "o_orderkey")
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION (Delta's clause, parsed by Spark's
+    // own grammar): star expansion assigns every SOURCE column, the
+    // source-only o_totalprice APPENDS to the schema as one commit —
+    // untouched rows read NULL through the log's per-commit schema
+    // registry (zero rewrite of unaffected files; the q127 conform
+    // machinery), and the pre-evolution version still serves the old
+    // two-column shape (asserted)
+    "q160_sql_merge_evolution" -> ((s, d) => {
+      val root = scratch(s, "q160", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t160")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q160_src")
+      lm.sql("INSERT INTO t160 SELECT o_orderkey, o_custkey " +
+        "FROM q160_src") // v1: two columns
+      // evolving CDC: even keys match (update-star brings the new
+      // column), odd keys arrive as surrogate inserts carrying it
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM q160_src WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+        FROM q160_src WHERE o_orderkey % 2 = 1""")
+        .createOrReplaceTempView("q160_cdc")
+      lm.sql("MERGE WITH SCHEMA EVOLUTION INTO t160 t " +
+        "USING q160_cdc s ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *") // v2
+      val log = lm.commitLog("t160")
+      assert(log.read(Some(1L)).columns.toSeq ==
+        Seq("o_orderkey", "o_custkey"),
+        "history must keep the pre-evolution schema")
+      assert(log.latestVersion() == 2L,
+        "the evolving merge must be ONE commit")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t160 " +
+        "ORDER BY o_orderkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8016,6 +8053,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'live', * FROM src WHERE o_custkey % 2 = 1
         |ORDER BY side, o_orderkey""".stripMargin,
+
+    "q160_sql_merge_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END
+        |    AS o_totalprice
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+        |FROM base WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q159_sql_merge_full" ->
       """WITH base AS (

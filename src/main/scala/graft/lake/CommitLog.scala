@@ -1793,8 +1793,16 @@ final class CommitLog(spark: SparkSession, root: String) {
     * Delta-parity semantics: a target row matched by more than one
     * source row REFUSES when matched clauses exist
     * (nondeterministic — dedup the source); updates cast back to the
-    * standing column type (merge never changes the schema); NOT NULL
-    * / CHECK invariants gate the rewritten output like every writer.
+    * standing column type; NOT NULL / CHECK invariants gate the
+    * rewritten output like every writer. With `evolve` (Delta's
+    * `WITH SCHEMA EVOLUTION`) source columns ABSENT from the target
+    * append to the schema (source type, nullable) — untouched rows
+    * read NULL for them through the log's per-commit schema registry,
+    * zero rewrite of unaffected files; a source column whose NAME the
+    * target already carries never changes the standing type (values
+    * cast back — widen with ALTER COLUMN TYPE first). Without
+    * `evolve` an assignment targeting an unknown column refuses
+    * (Delta's default; ADD COLUMNS first).
     * Matching runs null-safe (`<=>`, [[upsert]]'s discipline).
     * Concurrency: conflicts exactly like [[upsert]] (key-envelope
     * disjointness proves appends commute), EXCEPT under NOT MATCHED
@@ -1810,7 +1818,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       keys: Seq[String],
       matched: Seq[CommitLog.MergeClause],
       notMatched: Seq[CommitLog.MergeClause],
-      notMatchedBySource: Seq[CommitLog.MergeClause]): (Long, Int) = {
+      notMatchedBySource: Seq[CommitLog.MergeClause],
+      evolve: Boolean = false): (Long, Int) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, when}
     import CommitLog.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -1844,21 +1853,34 @@ final class CommitLog(spark: SparkSession, root: String) {
       "merge into an empty schemaless table — append/INSERT first to " +
         "establish the schema")
     val tCols = tSchema.fieldNames.toSeq
-    require(!tCols.exists(_.startsWith("__s_")),
-      "target columns may not carry the reserved __s_ prefix")
     val sCols = source.columns.toSeq
     require(keys.forall(tCols.contains) && keys.forall(sCols.contains),
       s"merge keys ${keys.mkString(",")} must exist on both sides")
-    // assignment targets must be standing columns — no schema
-    // evolution here (Delta's default; ADD COLUMNS first)
+    // schema evolution: source columns the target lacks append to the
+    // schema (source type, nullable) — the output schema rides the
+    // commit, and the log's per-commit schema registry conforms every
+    // untouched file at read time (NULL for the new columns)
+    val eSchema: StructType =
+      if (!evolve) tSchema
+      else StructType(tSchema.fields ++ source.schema.fields.toSeq
+        .filterNot(f => tCols.contains(f.name))
+        .map(f => org.apache.spark.sql.types.StructField(
+          f.name, f.dataType, nullable = true)))
+    val eCols = eSchema.fieldNames.toSeq
+    require(!eCols.exists(_.startsWith("__s_")),
+      "target columns may not carry the reserved __s_ prefix")
+    // assignment targets must be standing (or evolution-added)
+    // columns — Delta's default refuses unknowns (ADD COLUMNS first)
     (matched ++ notMatchedBySource).foreach(_.op match {
       case MergeUpdate(sets) => sets.foreach { case (c, _) =>
-        require(tCols.contains(c), s"SET targets unknown column $c") }
+        require(eCols.contains(c), s"SET targets unknown column $c" +
+          (if (evolve) "" else " (no WITH SCHEMA EVOLUTION)")) }
       case _ => ()
     })
     notMatched.foreach(_.op match {
       case MergeInsert(values) => values.foreach { case (c, _) =>
-        require(tCols.contains(c), s"INSERT targets unknown column $c") }
+        require(eCols.contains(c), s"INSERT targets unknown column $c" +
+          (if (evolve) "" else " (no WITH SCHEMA EVOLUTION)")) }
       case _ => ()
     })
     val src = source.select(sCols.map(c => col(c).as(s"__s_$c")): _*)
@@ -1870,7 +1892,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (r.data.isEmpty) Nil
       else prunedLiveBounds(keyBounds, r.data, r.spanOf).getOrElse(r.data)
     val emptyT = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), tSchema)
+      new java.util.ArrayList[org.apache.spark.sql.Row](), eSchema)
     // a target row matched by >1 source rows is nondeterministic when
     // any matched clause could fire — Delta refuses; so do we (the
     // check is one agg over the small source + one semi-join against
@@ -1951,7 +1973,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (touched.isEmpty) emptyT
       else {
         val touchedRows = SchemaTools.conformTo(
-          readApplied(touched, r.schemaOf, standingDv), tSchema)
+          readApplied(touched, r.schemaOf, standingDv), eSchema)
         // with no matched clauses only the MATCH FLAG matters, so the
         // join side is the deduped key set — a duplicate-keyed source
         // must not duplicate kept target rows
@@ -1977,7 +1999,7 @@ final class CommitLog(spark: SparkSession, root: String) {
           notMatchedBySource.zipWithIndex.collect {
             case (MergeClause(_, MergeUpdate(sets)), i) =>
               s"n$i" -> sets.toMap }
-        kept.select(tSchema.map { f =>
+        kept.select(eSchema.map { f =>
           updates.foldRight(col(f.name)) { case ((tag, sets), acc) =>
             sets.get(f.name) match {
               case Some(sql) => when(col("__act") === tag,
@@ -2012,7 +2034,7 @@ final class CommitLog(spark: SparkSession, root: String) {
               case _ => Map.empty[String, String]
             })
           }
-        taggedI.select(tSchema.map { f =>
+        taggedI.select(eSchema.map { f =>
           values.foldRight(
               lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
             case ((tag, vs), acc) => vs.get(f.name) match {
@@ -2025,7 +2047,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       }
     val out = survivors.unionByName(inserts)
     val names = stage(out)
-    val spans = spansOf(names, Some(tSchema))
+    val spans = spansOf(names, Some(eSchema))
     if (touched.isEmpty && spans.values.map(_.nRows).sum == 0L) {
       // nothing changed: burn no commit, sweep the staged empties
       names.foreach(n => fs.delete(new Path(dataDir, n), false))

@@ -682,7 +682,8 @@ final class LakeManager(spark: SparkSession, root: String) {
               .ofRows(spark, m.sourceTable)
             if (m.matchedActions == Seq(UpdateStarAction(None)) &&
                 m.notMatchedActions == Seq(InsertStarAction(None)) &&
-                m.notMatchedBySourceActions.isEmpty) {
+                m.notMatchedBySourceActions.isEmpty &&
+                !m.withSchemaEvolution) {
               // the unconditional update-all/insert-all pair is the
               // classic upsert — keep its fast path (exact column
               // match, key-envelope-pruned copy-on-write)
@@ -745,13 +746,21 @@ final class LakeManager(spark: SparkSession, root: String) {
                 }
                 out.sql
               }
-              def star(verb: String): Seq[(String, String)] = {
-                val missing = tCols.filterNot(sCols.contains)
-                require(missing.isEmpty,
-                  s"$verb * needs the source to carry every target " +
-                    s"column; missing ${missing.mkString(",")}")
-                tCols.map(c => c -> s"`__s_$c`")
-              }
+              // star under WITH SCHEMA EVOLUTION assigns every SOURCE
+              // column (Delta's expansion): shared columns take the
+              // source value, source-only columns evolve onto the
+              // schema, target-only columns keep standing values
+              def star(verb: String): Seq[(String, String)] =
+                if (m.withSchemaEvolution) {
+                  sCols.map(c => c -> s"`__s_$c`")
+                } else {
+                  val missing = tCols.filterNot(sCols.contains)
+                  require(missing.isEmpty,
+                    s"$verb * needs the source to carry every target " +
+                      s"column; missing ${missing.mkString(",")} (or " +
+                      "use MERGE WITH SCHEMA EVOLUTION)")
+                  tCols.map(c => c -> s"`__s_$c`")
+                }
               def assigns(as: Seq[Assignment], scope: String)
                   : Seq[(String, String)] =
                 as.map { a =>
@@ -791,7 +800,8 @@ final class LakeManager(spark: SparkSession, root: String) {
               log.merge(src, keys,
                 m.matchedActions.map(clause(_, "matched")),
                 m.notMatchedActions.map(clause(_, "notMatched")),
-                m.notMatchedBySourceActions.map(clause(_, "nmbs")))
+                m.notMatchedBySourceActions.map(clause(_, "nmbs")),
+                evolve = m.withSchemaEvolution)
             }
             log.read(None)
         }

@@ -575,6 +575,60 @@ class LakeManagerSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns append to " +
+      "the schema, untouched rows read NULL, history keeps the old " +
+      "shape; without the clause the same merge refuses") {
+    val root = TestSpark.tempDir("lakemergeevo")
+    val lm = LakeManager(spark, root).init()
+    lm.addCommitLog("me")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("me_base")
+    lm.sql("INSERT INTO me SELECT * FROM me_base") // v1
+    Seq((2L, "B", 0.9), (9L, "i", 0.1)).toDF("id", "v", "score")
+      .createOrReplaceTempView("me_cdc")
+    // star expansion under evolution: shared columns take the source
+    // value, `score` evolves onto the schema
+    lm.sql("MERGE WITH SCHEMA EVOLUTION INTO me t USING me_cdc s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *") // v2
+    assert(spark.sql("SELECT id, v, score FROM me ORDER BY id")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "B", Some(0.9)), (3L, "c", None),
+        (9L, "i", Some(0.1))),
+      "untouched rows must read NULL for the evolved column")
+    val log = lm.commitLog("me")
+    // the pre-evolution version still reads the OLD shape
+    assert(log.read(Some(1L)).columns.toSeq == Seq("id", "v"),
+      "history must keep the pre-evolution schema")
+    // only the files holding an affected row rewrote: id=1/id=3's
+    // file conforms at read time, no rewrite
+    assert(log.commit(2L).kind == "upsert")
+    // explicit-assignment evolution: the new column must exist on the
+    // SOURCE (Delta's rule) — a name in neither schema refuses
+    intercept[Exception] {
+      lm.sql("MERGE WITH SCHEMA EVOLUTION INTO me t USING me_cdc s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET phantom = 1.0")
+    }
+    // the same star merge WITHOUT the clause refuses (source misses
+    // no target column here, so build one that does)
+    Seq((3L, "C", 0.5, "x")).toDF("id", "v", "score", "extra2")
+      .createOrReplaceTempView("me_cdc2")
+    intercept[Exception] {
+      lm.sql("MERGE INTO me t USING me_cdc2 s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET extra2x = s.extra2")
+    }
+    // conditional evolved-column assignment through the general path
+    lm.sql("MERGE WITH SCHEMA EVOLUTION INTO me t USING me_cdc2 s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND t.v = 'c' THEN UPDATE SET extra2 = s.extra2")
+    assert(spark.sql("SELECT extra2 FROM me WHERE id = 3")
+      .as[String].head() == "x")
+    assert(spark.sql("SELECT count(*) FROM me WHERE extra2 IS NULL")
+      .as[Long].head() == 3L)
+  }
+
   test("table_files TVF: one row per live file off manifests alone, " +
       "span bounds rendered, historical versions served") {
     val root = TestSpark.tempDir("lakefiles")
