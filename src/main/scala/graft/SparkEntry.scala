@@ -6300,6 +6300,46 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // COPY INTO (Databricks' idempotent ingest verb, Delta's file-
+    // identity dedup): files load EXACTLY ONCE by (path, size, mtime)
+    // — the second statement sees batch1 already recorded and loads
+    // only batch2's files; a full rerun loads nothing and burns NO
+    // commit. The loaded-file registry is a per-run parquet manifest
+    // referenced from the commit by a namespaced table property —
+    // transactional, versioned, checkpoint-folded; dedup is one
+    // left_anti join of the candidate listing against the manifests.
+    "q161_sql_copy_into" -> ((s, d) => {
+      val root = scratch(s, "q161", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t161")
+      val src = s"$root/_staging"
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 0)
+        .repartition(3).write.parquet(s"$src/batch1")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 1)
+        .repartition(2).write.parquet(s"$src/batch2")
+      def copy(): (Long, Long) = {
+        val r = lm.sql(s"COPY INTO t161 FROM '$src' " +
+          "FILEFORMAT = PARQUET").head()
+        (r.getLong(1), r.getLong(0)) // (files, rows)
+      }
+      val first = lm.sql(s"COPY INTO t161 FROM '$src' " +
+        "FILEFORMAT = PARQUET PATTERN = 'batch1/*.parquet'").head()
+      assert(first.getLong(1) == 3L, "batch1 is three files")
+      val (f2, _) = copy()
+      assert(f2 == 2L,
+        "the full-source copy must load ONLY batch2 (batch1 is " +
+          s"already recorded); loaded $f2")
+      val log = lm.commitLog("t161")
+      val vDone = log.latestVersion()
+      val (f3, r3) = copy()
+      assert(f3 == 0L && r3 == 0L && log.latestVersion() == vDone,
+        "a fully-loaded source must load nothing and burn no commit")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t161 " +
+        "ORDER BY o_orderkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8053,6 +8093,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'live', * FROM src WHERE o_custkey % 2 = 1
         |ORDER BY side, o_orderkey""".stripMargin,
+
+    "q161_sql_copy_into" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q160_sql_merge_evolution" ->
       """WITH base AS (

@@ -1345,6 +1345,143 @@ final class CommitLog(spark: SparkSession, root: String) {
     v
   }
 
+  /** COPY INTO — idempotent file ingest (Databricks' verb, Delta's
+    * file-identity dedup design): load the files under `srcPath`
+    * into the table EXACTLY ONCE. Identity is (path, size, mtime);
+    * files already recorded as loaded are skipped, so re-running the
+    * same statement after a partial ingest, a crash, or on a schedule
+    * never duplicates rows. `force` reloads regardless (Delta's
+    * COPY_OPTIONS force — duplicates by design) while still recording
+    * identities.
+    *
+    * The loaded-file registry is a per-run PARQUET manifest under
+    * `_copy/` (one row per source file), written before the CAS and
+    * referenced from the commit by a namespaced table property
+    * ([[CommitLog.CopyRunPrefix]]`<version>` -> run dir) — so the
+    * registry is transactional (an orphan manifest whose commit never
+    * landed counts nothing), versioned, and checkpoint-folded with
+    * the rest of the property set. At scale: the dedup is one
+    * left_anti join of the candidate listing against the distributed
+    * union read of the manifests — never a driver-side set of all
+    * history, and each run's manifest is O(files in that run).
+    *
+    * Schema: an empty table adopts the source schema; a standing
+    * schema requires the same column NAMES (values cast to standing
+    * types); `mergeSchema` appends source-only columns instead
+    * (the [[merge]] evolution rule). NOT NULL / CHECK invariants gate
+    * the load like every writer. Concurrency: the commit is a plain
+    * append (appends commute); a concurrent copy run landing in the
+    * CAS window re-derives the loaded set and re-plans, so two racing
+    * copies of the same files still load them once. RESTORE keeps the
+    * registry (it restores DATA state only) — reload after a restore
+    * with `force`.
+    *
+    * Returns (version, files loaded, rows loaded); a fully-loaded
+    * source burns NO commit. */
+  def copyInto(
+      srcPath: String,
+      format: String = "parquet",
+      pattern: Option[String] = None,
+      force: Boolean = false,
+      formatOptions: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): (Long, Long, Long) = {
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
+    require(Seq("parquet", "csv", "json").contains(fmt),
+      s"unsupported FILEFORMAT $fmt (PARQUET/CSV/JSON)")
+    val srcP = new Path(srcPath)
+    val sfs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(srcP), s"COPY INTO source $srcPath does not exist")
+    val candidates: Seq[org.apache.hadoop.fs.FileStatus] = pattern match {
+      case Some(g) => Option(sfs.globStatus(new Path(srcP, g)))
+        .map(_.toSeq).getOrElse(Nil).filter(_.isFile)
+      case None => SchemaTools.listDataFiles(spark, srcPath)
+        .map(f => sfs.getFileStatus(new Path(f)))
+    }
+    val plannedV = latestVersion()
+    if (candidates.isEmpty) return (plannedV, 0L, 0L)
+    import spark.implicits._
+    val candDF = candidates
+      .map(st => (st.getPath.toString, st.getLen,
+        st.getModificationTime))
+      .toDF("src_path", "src_size", "src_mtime")
+    val idCols = Seq("src_path", "src_size", "src_mtime")
+    def loadedDF(asOf: Long): Option[DataFrame] = {
+      val runs = properties(Some(asOf)).collect {
+        case (k, dir) if k.startsWith(CommitLog.CopyRunPrefix) => dir
+      }.toSeq
+      if (runs.isEmpty) None
+      else Some(spark.read.parquet(
+        runs.map(d => new Path(root, d).toString): _*))
+    }
+    val toLoadDF =
+      if (force) candDF
+      else loadedDF(plannedV)
+        .map(l => candDF.join(l, idCols, "left_anti")).getOrElse(candDF)
+    val toLoad = toLoadDF.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (toLoad.isEmpty) return (plannedV, 0L, 0L)
+    val raw = spark.read.options(formatOptions).format(fmt)
+      .load(toLoad.map(_._1): _*)
+    val r = resolve(Some(plannedV))
+    val tSchema: StructType =
+      if (r.data.nonEmpty) readConformed(r.data, r.schemaOf).schema
+      else read(Some(plannedV)).schema
+    val out =
+      if (tSchema.isEmpty) raw // founding load adopts the source shape
+      else if (mergeSchema)
+        SchemaTools.conformTo(raw, StructType(tSchema.fields ++
+          raw.schema.fields.toSeq
+            .filterNot(f => tSchema.fieldNames.contains(f.name))))
+      else {
+        require(raw.columns.toSet == tSchema.fieldNames.toSet,
+          s"source columns ${raw.columns.sorted.mkString(",")} must " +
+            s"match table columns " +
+            s"${tSchema.fieldNames.sorted.mkString(",")} " +
+            "(or COPY_OPTIONS ('mergeSchema'='true'))")
+        SchemaTools.conformTo(raw, tSchema)
+      }
+    // the run manifest lands BEFORE the CAS; only a committed pointer
+    // makes it authoritative, so a crash here leaves harmless debris
+    val runDir = s"_copy/run-${java.util.UUID.randomUUID().toString.take(12)}"
+    toLoad.toSeq.toDF(idCols: _*).repartition(1)
+      .write.parquet(new Path(root, runDir).toString)
+    val names = stage(out)
+    val spans = spansOf(names, Some(out.schema))
+    val rows = spans.values.map(_.nRows).sum
+    def sweep(): Unit = {
+      names.foreach(n => fs.delete(new Path(dataDir, n), false))
+      fs.delete(new Path(root, runDir), true)
+    }
+    ensureMetaHint() // the props fold must see this commit
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      val tip = latestVersion()
+      // another props-carrying commit in the window may be a copy run
+      // over the same files — re-derive; if our plan shrank, re-plan
+      if ((plannedV + 1 to tip).map(commit).exists(_.props.isDefined) &&
+          !force) {
+        val still = loadedDF(tip)
+          .map(l => toLoadDF.join(l, idCols, "left_anti").count())
+          .getOrElse(toLoad.length.toLong)
+        if (still != toLoad.length.toLong) {
+          sweep()
+          return copyInto(srcPath, format, pattern, force,
+            formatOptions, mergeSchema)
+        }
+      }
+      enforceConstraints(names)
+      val runKey = s"${CommitLog.CopyRunPrefix}$v"
+      done = tryCas(v, "append", names, schema = Some(out.schema),
+        stats = spans,
+        props = Some(properties(Some(tip)) + (runKey -> runDir)))
+      if (!done) v = latestVersion() + 1
+    }
+    maintainStats(names)
+    notifyCommit()
+    (v, toLoad.length.toLong, rows)
+  }
+
   /** SCREENED append — write-time expectations on the multi-writer
     * path (the q89/q123 gate, composed with the commit protocol): rows
     * proving every rule commit through the normal CAS retry loop,
@@ -3068,6 +3205,13 @@ object CommitLog {
   /** Reserved constraint-name prefix encoding a per-column NOT NULL
     * invariant (see [[CommitLog.setNotNull]]). */
   val NotNullPrefix: String = "__notnull_"
+
+  /** Table-property namespace recording COPY INTO runs: each key is
+    * `graft.copy.run.<version>` and the value is the run's identity-
+    * manifest directory (relative to the table root). Namespaced so
+    * user TBLPROPERTIES never collide; visible in SHOW TBLPROPERTIES
+    * the way Delta surfaces its own `delta.*` bookkeeping. */
+  val CopyRunPrefix: String = "graft.copy.run."
 
   /** One WHEN-clause action of a generalized [[CommitLog!.merge]]
     * (the full Delta MERGE grammar). Condition and value SQL

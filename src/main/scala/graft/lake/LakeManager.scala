@@ -409,6 +409,25 @@ final class LakeManager(spark: SparkSession, root: String) {
       ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" +
         Ident + "\\s+SHALLOW\\s+CLONE\\s+" + Ident +
         "\\s*;?\\s*$").r
+    val Copy =
+      ("(?is)^\\s*COPY\\s+INTO\\s+" + Ident +
+        "\\s+FROM\\s+'([^']+)'" +
+        "\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+)" +
+        "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
+        "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
+        "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?" +
+        "\\s*;?\\s*$").r
+    // 'k' = 'v' pairs inside FORMAT_OPTIONS / COPY_OPTIONS
+    def optMap(s: String): Map[String, String] =
+      if (s == null || s.trim.isEmpty) Map.empty
+      else {
+        val Pair = "\\s*'([^']*)'\\s*=\\s*'([^']*)'\\s*".r
+        s.split(',').toSeq.map {
+          case Pair(k, v) => k -> v
+          case other => throw new IllegalArgumentException(
+            s"malformed option (want 'k' = 'v'): $other")
+        }.toMap
+      }
     def simpleName(token: String): String = {
       val parts = token.split('.').toSeq.map { p =>
         if (p.length >= 2 && p.startsWith("`") && p.endsWith("`"))
@@ -444,6 +463,20 @@ final class LakeManager(spark: SparkSession, root: String) {
             registerCommitView(dest)
             log.read(None)
           }
+        }
+      // idempotent file ingest (Databricks' COPY INTO): files load
+      // exactly once by (path, size, mtime) identity; rerunning the
+      // statement after a crash or on a schedule never duplicates
+      case Copy(t, path, fmt, pat, fopts, copts) =>
+        managed(t).map { log =>
+          val co = optMap(copts)
+          val (v, nf, nr) = log.copyInto(path, fmt, Option(pat),
+            force = co.get("force").exists(_.equalsIgnoreCase("true")),
+            formatOptions = optMap(fopts),
+            mergeSchema =
+              co.get("mergeSchema").exists(_.equalsIgnoreCase("true")))
+          Seq((nr, nf, v))
+            .toDF("num_inserted_rows", "num_files_loaded", "version")
         }
       case DescHist(t) => managed(t).map(_.history())
       case DescDetail(t) => managed(t).map(_.detail())
@@ -550,6 +583,11 @@ final class LakeManager(spark: SparkSession, root: String) {
     *  - `TRUNCATE TABLE t`                 -> one zero-file replace
     *                                          commit (files stay for
     *                                          time travel)
+    *  - `COPY INTO t FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
+    *     [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v',...)]
+    *     [COPY_OPTIONS ('force'='true'|'mergeSchema'='true')]`
+    *                                       -> [[CommitLog.copyInto]]
+    *                                          (exactly-once file ingest)
     *  - `SHOW CREATE TABLE t`              -> reconstructed DDL (one
     *                                          `createtab_stmt` row)
     *  - `SELECT ... FROM table_changes('t', start[, end])` -> the CDC

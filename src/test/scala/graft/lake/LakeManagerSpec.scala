@@ -629,6 +629,66 @@ class LakeManagerSpec extends AnyFunSuite {
       .as[Long].head() == 3L)
   }
 
+  test("COPY INTO: exactly-once by file identity — rerun loads " +
+      "nothing and burns no commit, a new file loads alone, force " +
+      "duplicates, PATTERN filters, mergeSchema evolves") {
+    val root = TestSpark.tempDir("lakecopy")
+    val lm = LakeManager(spark, root).init()
+    lm.addCommitLog("ct")
+    val srcDir = TestSpark.tempDir("lakecopysrc")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(2).write.parquet(s"$srcDir/batch1")
+    def copy(extra: String = ""): (Long, Long) = {
+      val r = lm.sql("COPY INTO ct FROM '" + srcDir +
+        "' FILEFORMAT = PARQUET" + extra).head()
+      (r.getLong(1), r.getLong(0)) // (files, rows)
+    }
+    assert(copy() == ((2L, 2L)))
+    val log = lm.commitLog("ct")
+    val v1 = log.latestVersion()
+    // rerun: nothing to load, NO commit burned
+    assert(copy() == ((0L, 0L)) && log.latestVersion() == v1)
+    // a new file arrives: only IT loads
+    Seq((3L, "c")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/batch2")
+    assert(copy() == ((1L, 1L)))
+    assert(spark.sql("SELECT id FROM ct ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // PATTERN: only batch2 files are candidates — already loaded
+    assert(copy(" PATTERN = 'batch2/*.parquet'") == ((0L, 0L)))
+    // force reloads every candidate (duplicates by design)
+    val (ff, fr) = copy(" PATTERN = 'batch2/*.parquet' " +
+      "COPY_OPTIONS ('force' = 'true')")
+    assert((ff, fr) == ((1L, 1L)))
+    assert(spark.sql("SELECT count(*) FROM ct WHERE id = 3")
+      .as[Long].head() == 2L)
+    // schema mismatch refuses; mergeSchema evolves instead
+    val srcDir2 = s"${TestSpark.tempDir("lakecopysrc2")}/files"
+    Seq((9L, "z", 0.5)).toDF("id", "v", "w")
+      .coalesce(1).write.parquet(srcDir2)
+    intercept[Exception] {
+      lm.sql(s"COPY INTO ct FROM '$srcDir2' FILEFORMAT = PARQUET")
+    }
+    lm.sql(s"COPY INTO ct FROM '$srcDir2' FILEFORMAT = PARQUET " +
+      "COPY_OPTIONS ('mergeSchema' = 'true')")
+    assert(spark.sql("SELECT w FROM ct WHERE id = 9")
+      .as[Double].head() == 0.5)
+    assert(spark.sql("SELECT count(*) FROM ct WHERE w IS NULL")
+      .as[Long].head() == 4L)
+    // the registry rides SHOW TBLPROPERTIES, namespaced
+    assert(lm.sql("SHOW TBLPROPERTIES ct").as[(String, String)]
+      .collect().count(_._1.startsWith("graft.copy.run.")) == 4)
+    // CSV with FORMAT_OPTIONS
+    val srcCsv = s"${TestSpark.tempDir("lakecopycsv")}/files"
+    lm.addCommitLog("ctc")
+    Seq((1L, "x")).toDF("id", "v")
+      .coalesce(1).write.option("header", "true").csv(srcCsv)
+    lm.sql("COPY INTO ctc FROM '" + srcCsv + "' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')")
+    assert(spark.sql("SELECT id, v FROM ctc")
+      .as[(Long, String)].head() == ((1L, "x")))
+  }
+
   test("table_files TVF: one row per live file off manifests alone, " +
       "span bounds rendered, historical versions served") {
     val root = TestSpark.tempDir("lakefiles")
