@@ -6340,6 +6340,41 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // IDENTITY + GENERATED COLUMNS (Delta's auto columns, Spark's own
+    // CREATE TABLE grammar): `row_id` allocates off a HIGH-WATER MARK
+    // that rides the SAME commit as the rows (two sequential batches
+    // continue the sequence — start 100, step 3), and `bucket`
+    // computes from its expression on every insert. Allocation is one
+    // per-partition-offset index pass (no global sort); a sorted
+    // INSERT makes the assignment order deterministic, which is what
+    // the oracle pins. The SQL surface refuses explicit ALWAYS
+    // values, UPDATEs to auto columns or their inputs, and MERGE.
+    "q162_sql_identity_generated" -> ((s, d) => {
+      val root = scratch(s, "q162", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t162 (" +
+        "row_id BIGINT GENERATED ALWAYS AS IDENTITY " +
+        "(START WITH 100 INCREMENT BY 3), " +
+        "o_orderkey BIGINT, o_totalprice DOUBLE, " +
+        "bucket INT GENERATED ALWAYS AS " +
+        "(CAST(o_orderkey % 10 AS INT))) USING commitlog")
+      ord(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q162_src")
+      lm.sql("INSERT INTO t162 SELECT o_orderkey, o_totalprice " +
+        "FROM q162_src WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey")
+      lm.sql("INSERT INTO t162 SELECT o_orderkey, o_totalprice " +
+        "FROM q162_src WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey")
+      val log = lm.commitLog("t162")
+      // the mark advanced once per batch, atomically with its rows
+      assert(log.properties(None)
+        .contains("graft.identity.hwm.row_id"),
+        "the high-water mark must ride the table properties")
+      assert(s.sql("SELECT count(DISTINCT row_id) = count(*) FROM t162")
+        .head().getBoolean(0), "identity values must be unique")
+      s.sql("SELECT row_id, o_orderkey, o_totalprice, bucket " +
+        "FROM t162 ORDER BY row_id")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8097,6 +8132,25 @@ object SparkEntry {
     "q161_sql_copy_into" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q162_sql_identity_generated" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |e AS (SELECT o_orderkey, o_totalprice,
+        |        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+        |      FROM src WHERE o_orderkey % 2 = 0),
+        |o AS (SELECT o_orderkey, o_totalprice,
+        |        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+        |      FROM src WHERE o_orderkey % 2 = 1),
+        |u AS (
+        |  SELECT 100 + 3 * rn AS row_id, o_orderkey, o_totalprice
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 100 + 3 * (SELECT count(*) FROM e) + 3 * rn,
+        |    o_orderkey, o_totalprice
+        |  FROM o)
+        |SELECT row_id, o_orderkey, o_totalprice,
+        |  CAST(o_orderkey % 10 AS INT) AS bucket
+        |FROM u ORDER BY row_id""".stripMargin,
 
     "q160_sql_merge_evolution" ->
       """WITH base AS (

@@ -1345,6 +1345,153 @@ final class CommitLog(spark: SparkSession, root: String) {
     v
   }
 
+  /** Standing AUTO-COLUMN declarations: (identity specs by column —
+    * (start, step, allowExplicitInsert) — and generated-column
+    * expressions by column). Declared at CREATE TABLE, carried as
+    * namespaced table properties ([[CommitLog.IdentityColPrefix]] /
+    * [[CommitLog.GeneratedColPrefix]]). */
+  def autoColumns(asOf: Option[Long] = None)
+      : (Map[String, (Long, Long, Boolean)], Map[String, String]) = {
+    val ps = properties(asOf)
+    val ids = ps.collect {
+      case (k, v) if k.startsWith(CommitLog.IdentityColPrefix) =>
+        val Array(st, sp, ex) = v.split(',')
+        k.stripPrefix(CommitLog.IdentityColPrefix) ->
+          ((st.toLong, sp.toLong, ex.toBoolean))
+    }
+    val gens = ps.collect {
+      case (k, v) if k.startsWith(CommitLog.GeneratedColPrefix) =>
+        k.stripPrefix(CommitLog.GeneratedColPrefix) -> v
+    }
+    (ids, gens)
+  }
+
+  /** One stable global row index per input row — per-partition counts
+    * then per-partition offsets (zipWithIndex's scheme: one small
+    * count job + one pass; NO global sort, no single-partition
+    * window). The identity allocator's index source. */
+  private def zipIndex(df: DataFrame): DataFrame = {
+    val schema = df.schema.add("__idx",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Append resolving AUTO COLUMNS (Delta's identity / generated
+    * column write path):
+    *  - a GENERATED column absent from the input computes from its
+    *    expression; provided values must MATCH the expression or the
+    *    batch refuses (Delta validates, never silently overwrites)
+    *  - an IDENTITY column absent from the input allocates
+    *    `hwm + step, hwm + 2*step, ...` off the table's high-water
+    *    mark; explicit values refuse under GENERATED ALWAYS and are
+    *    accepted under BY DEFAULT (the hwm advances past their max so
+    *    later allocations never collide)
+    * The hwm update rides the SAME commit as the rows (one CAS), so
+    * two concurrent writers allocating from the same mark cannot both
+    * win — the loser re-reads the advanced mark and re-allocates.
+    * Values are unique and batch-monotone, NOT gap-free across
+    * batches (Delta's contract). Input rows missing other columns
+    * null-fill like every conforming writer; a table with no auto
+    * columns degrades to a plain [[append]]. */
+  def appendResolvingDefaults(input: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit, max => fmax}
+    val (ids, gens) = autoColumns()
+    if (ids.isEmpty && gens.isEmpty) return append(input)
+    val tSchema = read(None).schema
+    require(tSchema.nonEmpty,
+      "auto columns need a declared schema (CREATE TABLE first)")
+    val have = input.columns.toSet
+    var df = input
+    gens.foreach { case (c, g) =>
+      val f = tSchema(c)
+      if (!have.contains(c))
+        df = df.withColumn(c, expr(g).cast(f.dataType))
+      else require(
+        df.filter(!(col(c) <=> expr(g).cast(f.dataType))).isEmpty,
+        s"provided values for generated column $c do not satisfy " +
+          s"its expression ($g) — omit the column or fix the values")
+    }
+    val explicit = ids.keys.filter(have.contains).toSeq.sorted
+    explicit.foreach { c => require(ids(c)._3,
+      s"column $c is GENERATED ALWAYS AS IDENTITY — explicit values " +
+        "refuse (declare GENERATED BY DEFAULT AS IDENTITY to allow)") }
+    val toAlloc = ids.keys.filterNot(have.contains).toSeq.sorted
+    // batch facts computed ONCE (rows never change across CAS retries):
+    // the row count the allocator advances by, and each explicit
+    // column's max for the hwm bump
+    // extreme explicit value IN THE STEP DIRECTION (max for ascending
+    // identities, min for descending) — what the hwm must clear
+    val explicitExt: Map[String, Option[Long]] =
+      if (explicit.isEmpty) Map.empty
+      else {
+        val aggs = explicit.map { c =>
+          if (ids(c)._2 > 0) fmax(col(c))
+          else org.apache.spark.sql.functions.min(col(c))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        explicit.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(i)) None
+                else Some(row.get(i).toString.toLong)) }.toMap
+      }
+    val n: Long = if (toAlloc.isEmpty) 0L else df.count()
+    def hwmKey(c: String) = s"${CommitLog.IdentityHwmPrefix}$c"
+    def hwmOf(ps: Map[String, String], c: String): Long =
+      ps.get(hwmKey(c)).map(_.toLong)
+        .getOrElse(ids(c)._1 - ids(c)._2)
+    ensureMetaHint() // the props fold must see the hwm commit
+    var staged: Seq[String] = Nil
+    var stagedBases: Map[String, Long] = null
+    var spans: Map[String, CommitLog.FileSpans] = Map.empty
+    var outSchema: StructType = null
+    def sweep(): Unit =
+      staged.foreach(nm => fs.delete(new Path(dataDir, nm), false))
+    var v = 0L
+    var done = false
+    while (!done) {
+      val tip = latestVersion()
+      val ps = properties(Some(tip))
+      val bases = toAlloc.map(c => c -> hwmOf(ps, c)).toMap
+      if (staged.isEmpty || bases != stagedBases) {
+        // (re)allocate off the CURRENT marks and stage — a lost race
+        // that moved a mark invalidates previously staged ids
+        sweep()
+        var out = df
+        if (toAlloc.nonEmpty) {
+          out = zipIndex(out)
+          toAlloc.foreach { c =>
+            val (_, step, _) = ids(c)
+            out = out.withColumn(c,
+              (lit(bases(c)) + (col("__idx") + 1L) * step)
+                .cast(tSchema(c).dataType))
+          }
+          out = out.drop("__idx")
+        }
+        out = SchemaTools.conformTo(out, tSchema)
+        staged = stage(out)
+        stagedBases = bases
+        spans = spansOf(staged, Some(out.schema))
+        outSchema = out.schema
+      }
+      enforceConstraints(staged)
+      val newMarks: Map[String, String] =
+        toAlloc.map { c =>
+          hwmKey(c) -> (bases(c) + ids(c)._2 * n).toString }.toMap ++
+        explicit.collect { case c
+            if explicitExt(c).exists(e =>
+              if (ids(c)._2 > 0) e > hwmOf(ps, c)
+              else e < hwmOf(ps, c)) =>
+          hwmKey(c) -> explicitExt(c).get.toString }
+      v = tip + 1
+      done = tryCas(v, "append", staged, schema = Some(outSchema),
+        stats = spans, props = Some(ps ++ newMarks))
+    }
+    maintainStats(staged)
+    notifyCommit()
+    v
+  }
+
   /** COPY INTO — idempotent file ingest (Databricks' verb, Delta's
     * file-identity dedup design): load the files under `srcPath`
     * into the table EXACTLY ONCE. Identity is (path, size, mtime);
@@ -3205,6 +3352,21 @@ object CommitLog {
   /** Reserved constraint-name prefix encoding a per-column NOT NULL
     * invariant (see [[CommitLog.setNotNull]]). */
   val NotNullPrefix: String = "__notnull_"
+
+  /** Table-property namespaces for AUTO COLUMNS (Delta's identity and
+    * generated columns), recorded by CREATE TABLE as meta properties
+    * so the declarations are transactional, versioned, and
+    * checkpoint-folded like constraints:
+    *  - `graft.identity.col.<name>` -> "start,step,allowExplicit"
+    *    (the parsed `GENERATED ALWAYS|BY DEFAULT AS IDENTITY` spec)
+    *  - `graft.identity.hwm.<name>` -> last allocated value — the
+    *    high-water mark rides the SAME commit as the rows it covers,
+    *    so concurrent writers CAS-race the allocation and never hand
+    *    out a value twice
+    *  - `graft.generated.col.<name>` -> generation expression SQL */
+  val IdentityColPrefix: String = "graft.identity.col."
+  val IdentityHwmPrefix: String = "graft.identity.hwm."
+  val GeneratedColPrefix: String = "graft.generated.col."
 
   /** Table-property namespace recording COPY INTO runs: each key is
     * `graft.copy.run.<version>` and the value is the run's identity-

@@ -280,7 +280,28 @@ final class LakeManager(spark: SparkSession, root: String) {
       case None => ()
     }
     columns.filterNot(_.nullable).foreach(c => log.setNotNull(c.name))
-    if (us.properties.nonEmpty) log.setProperties(us.properties)
+    // identity / generated column declarations ride as namespaced
+    // meta properties — versioned and checkpoint-folded like the
+    // NOT NULL invariants above ([[CommitLog.appendResolvingDefaults]])
+    val autoProps: Map[String, String] = columns.flatMap { c =>
+      val idp = c.identityColumnSpec.map { s =>
+        require(Seq[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.ByteType).contains(c.dataType),
+          s"identity column ${c.name} must be an integral type")
+        require(s.getStep != 0L,
+          s"identity column ${c.name}: INCREMENT BY 0 is not a step")
+        s"${CommitLog.IdentityColPrefix}${c.name}" ->
+          s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}"
+      }
+      val gp = c.generationExpression.map(g =>
+        s"${CommitLog.GeneratedColPrefix}${c.name}" -> g)
+      idp.toSeq ++ gp.toSeq
+    }.toMap
+    val allProps = us.properties ++ autoProps
+    if (allProps.nonEmpty) log.setProperties(allProps)
     Some(log.read(None))
   }
 
@@ -692,11 +713,38 @@ final class LakeManager(spark: SparkSession, root: String) {
             require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
               "INSERT with PARTITION or a column list is not supported " +
                 "on managed commit-log tables")
-            val df = conformPositional(
-              org.apache.spark.sql.GraftSqlBridge.ofRows(spark, i.query),
-              log)
-            if (i.overwrite) log.replace(df, log.latestVersion())
-            else log.append(df)
+            val q = org.apache.spark.sql.GraftSqlBridge
+              .ofRows(spark, i.query)
+            val (ids, gens) = log.autoColumns()
+            val auto = ids.keySet ++ gens.keySet
+            if (auto.isEmpty) {
+              val df = conformPositional(q, log)
+              if (i.overwrite) log.replace(df, log.latestVersion())
+              else log.append(df)
+            } else {
+              // positional against the NON-AUTO columns in declared
+              // order (the SQL contract: you don't supply identity /
+              // generated values); full-arity binds explicit values,
+              // which the resolver validates per its rules
+              require(!i.overwrite,
+                "INSERT OVERWRITE on a table with identity/generated " +
+                  "columns is not supported — TRUNCATE then INSERT")
+              val tSchema = log.read(None).schema
+              val manual = tSchema.filterNot(f => auto.contains(f.name))
+              val bound =
+                if (q.columns.length == manual.length)
+                  SchemaTools.conformTo(
+                    q.toDF(manual.map(_.name).toSeq: _*),
+                    org.apache.spark.sql.types.StructType(manual))
+                else if (q.columns.length == tSchema.length)
+                  SchemaTools.conformTo(
+                    q.toDF(tSchema.fieldNames.toSeq: _*), tSchema)
+                else throw new IllegalArgumentException(
+                  s"INSERT arity ${q.columns.length} matches neither " +
+                    s"the non-auto columns (${manual.length}) nor the " +
+                    s"full table (${tSchema.length})")
+              log.appendResolvingDefaults(bound)
+            }
             log.read(None)
         }
       case m: MergeIntoTable =>
@@ -716,6 +764,11 @@ final class LakeManager(spark: SparkSession, root: String) {
                 s"unsupported merge condition conjunct: ${other.sql} " +
                   "— use t.k = s.k equalities")
             }
+            val (mIds, mGens) = log.autoColumns()
+            require(mIds.isEmpty && mGens.isEmpty,
+              "MERGE into a table with identity/generated columns is " +
+                "not supported (Delta's historical restriction) — " +
+                "route the change through INSERT/UPDATE/DELETE")
             val src = org.apache.spark.sql.GraftSqlBridge
               .ofRows(spark, m.sourceTable)
             if (m.matchedActions == Seq(UpdateStarAction(None)) &&
@@ -883,6 +936,21 @@ final class LakeManager(spark: SparkSession, root: String) {
               }
               tgt -> unqualify(a.value, u.table).sql
             }
+            val (uIds, uGens) = log.autoColumns()
+            // a generated column's inputs are locked too: updating
+            // them would leave the generated value stale (recompute-
+            // on-update is not implemented; Delta recomputes)
+            val genRefs: Set[String] = uGens.values.flatMap { g =>
+              spark.sessionState.sqlParser.parseExpression(g).collect {
+                case a: UnresolvedAttribute => a.nameParts.last }
+            }.toSet
+            sets.foreach { case (c, _) =>
+              require(!uIds.contains(c) && !uGens.contains(c),
+                s"cannot UPDATE ${if (uIds.contains(c)) "identity"
+                  else "generated"} column $c")
+              require(!genRefs.contains(c),
+                s"cannot UPDATE $c — a generated column derives from " +
+                  "it (the generated value would go stale)") }
             log.updateWhere(sets,
               u.condition.map(unqualify(_, u.table).sql))
             log.read(None)

@@ -689,6 +689,60 @@ class LakeManagerSpec extends AnyFunSuite {
       .as[(Long, String)].head() == ((1L, "x")))
   }
 
+  test("identity + generated columns: CREATE declares, INSERT " +
+      "allocates off the high-water mark, BY DEFAULT accepts explicit " +
+      "and advances past it, ALWAYS and stale-making writes refuse") {
+    val root = TestSpark.tempDir("lakeauto")
+    val lm = LakeManager(spark, root).init()
+    lm.sql("CREATE TABLE au (id BIGINT GENERATED ALWAYS AS IDENTITY " +
+      "(START WITH 10 INCREMENT BY 2), v STRING, " +
+      "vlen INT GENERATED ALWAYS AS (length(v))) USING commitlog")
+    // non-auto arity: just v — ids allocate 10, 12; vlen computes
+    lm.sql("INSERT INTO au VALUES ('aa'), ('b')")
+    lm.sql("INSERT INTO au VALUES ('ccc')") // next mark: 14
+    assert(spark.sql("SELECT id, v, vlen FROM au ORDER BY id")
+      .as[(Long, String, Int)].collect().toSeq ==
+      Seq((10L, "aa", 2), (12L, "b", 1), (14L, "ccc", 3)))
+    // GENERATED ALWAYS identity refuses explicit values (full arity)
+    intercept[Exception] {
+      lm.sql("INSERT INTO au VALUES (99, 'x', 1)")
+    }
+    // UPDATE refuses the identity column, the generated column, AND
+    // the generated column's INPUT (the value would go stale)
+    intercept[Exception] { lm.sql("UPDATE au SET id = 1 WHERE id = 10") }
+    intercept[Exception] { lm.sql("UPDATE au SET vlen = 9") }
+    intercept[Exception] { lm.sql("UPDATE au SET v = 'zzz'") }
+    // MERGE refuses wholesale (Delta's historical restriction)
+    Seq((10L, "q")).toDF("id", "v").createOrReplaceTempView("au_src")
+    intercept[Exception] {
+      lm.sql("MERGE INTO au t USING au_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    // BY DEFAULT: explicit values accepted, the mark advances past
+    // their max so later allocations never collide
+    lm.sql("CREATE TABLE au2 (id BIGINT GENERATED BY DEFAULT AS " +
+      "IDENTITY, v STRING) USING commitlog")
+    lm.sql("INSERT INTO au2 VALUES (100, 'xyz')") // full arity, explicit
+    lm.sql("INSERT INTO au2 VALUES ('q')") // allocates PAST 100
+    assert(spark.sql("SELECT id FROM au2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(100L, 101L))
+    // generated validation under full arity: matching passes, a
+    // mismatch refuses (au2b has no identity so full arity works)
+    lm.sql("CREATE TABLE au2b (v STRING, " +
+      "vlen INT GENERATED ALWAYS AS (length(v))) USING commitlog")
+    lm.sql("INSERT INTO au2b VALUES ('xyz', 3)")
+    intercept[Exception] {
+      lm.sql("INSERT INTO au2b VALUES ('xyz', 99)")
+    }
+    assert(spark.sql("SELECT count(*) FROM au2b").as[Long].head() == 1L)
+    // descending identity: START WITH 0 INCREMENT BY -5
+    lm.sql("CREATE TABLE au3 (id BIGINT GENERATED ALWAYS AS IDENTITY " +
+      "(START WITH 0 INCREMENT BY -5), v STRING) USING commitlog")
+    lm.sql("INSERT INTO au3 VALUES ('a'), ('b')")
+    assert(spark.sql("SELECT id FROM au3 ORDER BY id DESC")
+      .as[Long].collect().toSeq == Seq(0L, -5L))
+  }
+
   test("table_files TVF: one row per live file off manifests alone, " +
       "span bounds rendered, historical versions served") {
     val root = TestSpark.tempDir("lakefiles")
