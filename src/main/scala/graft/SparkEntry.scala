@@ -6357,7 +6357,8 @@ object SparkEntry {
         "(START WITH 100 INCREMENT BY 3), " +
         "o_orderkey BIGINT, o_totalprice DOUBLE, " +
         "bucket INT GENERATED ALWAYS AS " +
-        "(CAST(o_orderkey % 10 AS INT))) USING commitlog")
+        "(CAST(o_orderkey % 10 AS INT)), " +
+        "src STRING DEFAULT 'tpch') USING commitlog")
       ord(s, d).select("o_orderkey", "o_totalprice")
         .createOrReplaceTempView("q162_src")
       lm.sql("INSERT INTO t162 SELECT o_orderkey, o_totalprice " +
@@ -6371,7 +6372,7 @@ object SparkEntry {
         "the high-water mark must ride the table properties")
       assert(s.sql("SELECT count(DISTINCT row_id) = count(*) FROM t162")
         .head().getBoolean(0), "identity values must be unique")
-      s.sql("SELECT row_id, o_orderkey, o_totalprice, bucket " +
+      s.sql("SELECT row_id, o_orderkey, o_totalprice, bucket, src " +
         "FROM t162 ORDER BY row_id")
     }),
 
@@ -8149,7 +8150,7 @@ object SparkEntry {
         |    o_orderkey, o_totalprice
         |  FROM o)
         |SELECT row_id, o_orderkey, o_totalprice,
-        |  CAST(o_orderkey % 10 AS INT) AS bucket
+        |  CAST(o_orderkey % 10 AS INT) AS bucket, 'tpch' AS src
         |FROM u ORDER BY row_id""".stripMargin,
 
     "q160_sql_merge_evolution" ->

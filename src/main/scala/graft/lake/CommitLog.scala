@@ -1366,6 +1366,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     (ids, gens)
   }
 
+  /** Standing DEFAULT column values (column -> value SQL). */
+  def defaultColumns(asOf: Option[Long] = None): Map[String, String] =
+    properties(asOf).collect {
+      case (k, v) if k.startsWith(CommitLog.DefaultColPrefix) =>
+        k.stripPrefix(CommitLog.DefaultColPrefix) -> v
+    }
+
   /** One stable global row index per input row — per-partition counts
     * then per-partition offsets (zipWithIndex's scheme: one small
     * count job + one pass; NO global sort, no single-partition
@@ -1398,12 +1405,20 @@ final class CommitLog(spark: SparkSession, root: String) {
   def appendResolvingDefaults(input: DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, max => fmax}
     val (ids, gens) = autoColumns()
-    if (ids.isEmpty && gens.isEmpty) return append(input)
+    val defs = defaultColumns()
+    if (ids.isEmpty && gens.isEmpty && defs.isEmpty)
+      return append(input)
     val tSchema = read(None).schema
     require(tSchema.nonEmpty,
       "auto columns need a declared schema (CREATE TABLE first)")
     val have = input.columns.toSet
     var df = input
+    // DEFAULT values: fill when omitted; explicit values (incl. NULL)
+    // win, never validated
+    defs.foreach { case (c, sql) =>
+      if (!have.contains(c))
+        df = df.withColumn(c, expr(sql).cast(tSchema(c).dataType))
+    }
     gens.foreach { case (c, g) =>
       val f = tSchema(c)
       if (!have.contains(c))
@@ -2318,9 +2333,14 @@ final class CommitLog(spark: SparkSession, root: String) {
               case _ => Map.empty[String, String]
             })
           }
+        // a column no firing clause assigns takes its DEFAULT when
+        // one is declared (the SQL INSERT contract), NULL otherwise
+        val defs = defaultColumns(Some(plannedV))
         taggedI.select(eSchema.map { f =>
-          values.foldRight(
-              lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+          val fallback: org.apache.spark.sql.Column =
+            defs.get(f.name).map(expr(_).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))
+          values.foldRight(fallback) {
             case ((tag, vs), acc) => vs.get(f.name) match {
               case Some(sql) => when(col("__act") === tag,
                 expr(sql).cast(f.dataType)).otherwise(acc)
@@ -3367,6 +3387,12 @@ object CommitLog {
   val IdentityColPrefix: String = "graft.identity.col."
   val IdentityHwmPrefix: String = "graft.identity.hwm."
   val GeneratedColPrefix: String = "graft.generated.col."
+
+  /** Table-property namespace for DEFAULT column values
+    * (`c INT DEFAULT 5`): `graft.default.col.<name>` -> value SQL.
+    * Applied at INSERT when the column is omitted; explicit values
+    * (including NULL) win — defaults never validate or overwrite. */
+  val DefaultColPrefix: String = "graft.default.col."
 
   /** Table-property namespace recording COPY INTO runs: each key is
     * `graft.copy.run.<version>` and the value is the run's identity-

@@ -298,7 +298,9 @@ final class LakeManager(spark: SparkSession, root: String) {
       }
       val gp = c.generationExpression.map(g =>
         s"${CommitLog.GeneratedColPrefix}${c.name}" -> g)
-      idp.toSeq ++ gp.toSeq
+      val dp = c.defaultValue.map(d =>
+        s"${CommitLog.DefaultColPrefix}${c.name}" -> d.originalSQL)
+      idp.toSeq ++ gp.toSeq ++ dp.toSeq
     }.toMap
     val allProps = us.properties ++ autoProps
     if (allProps.nonEmpty) log.setProperties(allProps)
@@ -716,7 +718,8 @@ final class LakeManager(spark: SparkSession, root: String) {
             val q = org.apache.spark.sql.GraftSqlBridge
               .ofRows(spark, i.query)
             val (ids, gens) = log.autoColumns()
-            val auto = ids.keySet ++ gens.keySet
+            val auto = ids.keySet ++ gens.keySet ++
+              log.defaultColumns().keySet
             if (auto.isEmpty) {
               val df = conformPositional(q, log)
               if (i.overwrite) log.replace(df, log.latestVersion())
@@ -727,8 +730,9 @@ final class LakeManager(spark: SparkSession, root: String) {
               // generated values); full-arity binds explicit values,
               // which the resolver validates per its rules
               require(!i.overwrite,
-                "INSERT OVERWRITE on a table with identity/generated " +
-                  "columns is not supported — TRUNCATE then INSERT")
+                "INSERT OVERWRITE on a table with identity/generated/" +
+                  "default columns is not supported — TRUNCATE then " +
+                  "INSERT")
               val tSchema = log.read(None).schema
               val manual = tSchema.filterNot(f => auto.contains(f.name))
               val bound =

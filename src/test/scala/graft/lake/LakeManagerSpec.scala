@@ -741,6 +741,21 @@ class LakeManagerSpec extends AnyFunSuite {
     lm.sql("INSERT INTO au3 VALUES ('a'), ('b')")
     assert(spark.sql("SELECT id FROM au3 ORDER BY id DESC")
       .as[Long].collect().toSeq == Seq(0L, -5L))
+    // DEFAULT values: fill when omitted, explicit wins, UPDATE free,
+    // and a generalized-merge INSERT clause falls back to the default
+    lm.sql("CREATE TABLE au4 (id BIGINT, v STRING DEFAULT 'none', " +
+      "w DOUBLE DEFAULT 0.5) USING commitlog")
+    lm.sql("INSERT INTO au4 VALUES (1)")
+    lm.sql("INSERT INTO au4 VALUES (2, 'x', 9.0)")
+    assert(spark.sql("SELECT id, v, w FROM au4 ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "none", 0.5), (2L, "x", 9.0)))
+    lm.sql("UPDATE au4 SET v = 'up' WHERE id = 1") // defaults not locked
+    Seq(5L).toDF("id").createOrReplaceTempView("au4_src")
+    lm.sql("MERGE INTO au4 t USING au4_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)")
+    assert(spark.sql("SELECT v, w FROM au4 WHERE id = 5")
+      .as[(String, Double)].head() == (("none", 0.5)))
   }
 
   test("table_files TVF: one row per live file off manifests alone, " +
