@@ -143,7 +143,9 @@ object ScalingBench {
       "q152_dv_change_feed", "q153_sql_cdc_lifecycle",
       "e33_stream_source", "e34_stream_replication",
       "q154_sql_shallow_clone", "q155_sql_type_widening",
-      "q156_sql_functions", "q157_sql_table_files")
+      "q156_sql_functions", "q157_sql_table_files",
+      "q159_sql_merge_full", "q160_sql_merge_evolution",
+      "q161_sql_copy_into", "q162_sql_identity_generated")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume

@@ -1373,6 +1373,26 @@ final class CommitLog(spark: SparkSession, root: String) {
         k.stripPrefix(CommitLog.DefaultColPrefix) -> v
     }
 
+  /** SYNC IDENTITY (Delta's `ALTER TABLE .. ALTER COLUMN .. SYNC
+    * IDENTITY`): re-derive the high-water mark from the DATA — the
+    * extreme standing value in the step direction, or back to the
+    * declared start on an empty table. The recovery verb after a
+    * RESTORE (the mark survives restores, leaving a gap) or bulk
+    * explicit loads. Run it quiesced: a writer allocating between the
+    * scan and the meta commit can re-advance past the synced mark.
+    * Returns the meta-commit version. */
+  def syncIdentity(c: String): Long = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val (ids, _) = autoColumns()
+    require(ids.contains(c), s"$c is not an identity column")
+    val (_, step, _) = ids(c)
+    val key = s"${CommitLog.IdentityHwmPrefix}$c"
+    val row = read(None)
+      .agg(if (step > 0) fmax(col(c)) else fmin(col(c))).head()
+    if (row.isNullAt(0)) unsetProperties(Seq(key), ifExists = true)
+    else setProperties(Map(key -> row.get(0).toString))
+  }
+
   /** One stable global row index per input row — per-partition counts
     * then per-partition offsets (zipWithIndex's scheme: one small
     * count job + one pass; NO global sort, no single-partition

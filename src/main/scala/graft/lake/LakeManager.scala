@@ -432,6 +432,10 @@ final class LakeManager(spark: SparkSession, root: String) {
       ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" +
         Ident + "\\s+SHALLOW\\s+CLONE\\s+" + Ident +
         "\\s*;?\\s*$").r
+    val SyncId =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ident +
+        "\\s+ALTER\\s+COLUMN\\s+(" + Part + ")\\s+SYNC\\s+IDENTITY" +
+        "\\s*;?\\s*$").r
     val Copy =
       ("(?is)^\\s*COPY\\s+INTO\\s+" + Ident +
         "\\s+FROM\\s+'([^']+)'" +
@@ -501,6 +505,13 @@ final class LakeManager(spark: SparkSession, root: String) {
           Seq((nr, nf, v))
             .toDF("num_inserted_rows", "num_files_loaded", "version")
         }
+      // re-derive an identity high-water mark from the data (the
+      // post-RESTORE / post-bulk-load recovery verb)
+      case SyncId(t, c) => managed(t).map { log =>
+        val cname = c.stripPrefix("`").stripSuffix("`")
+        val v = log.syncIdentity(cname)
+        Seq((cname, v)).toDF("column", "version")
+      }
       case DescHist(t) => managed(t).map(_.history())
       case DescDetail(t) => managed(t).map(_.detail())
       case Vac(t, hours, dry) => managed(t).map { log =>

@@ -756,6 +756,21 @@ class LakeManagerSpec extends AnyFunSuite {
       "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)")
     assert(spark.sql("SELECT v, w FROM au4 WHERE id = 5")
       .as[(String, Double)].head() == (("none", 0.5)))
+    // SYNC IDENTITY re-derives the mark from data: deleting the top
+    // row and syncing makes the next allocation reuse its value
+    lm.sql("DELETE FROM au2 WHERE id = 101")
+    lm.sql("ALTER TABLE au2 ALTER COLUMN id SYNC IDENTITY")
+    lm.sql("INSERT INTO au2 VALUES ('r')")
+    assert(spark.sql("SELECT id FROM au2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(100L, 101L))
+    // and on an EMPTY table it resets to the declared start
+    lm.sql("DELETE FROM au2 WHERE true")
+    lm.sql("ALTER TABLE au2 ALTER COLUMN id SYNC IDENTITY")
+    lm.sql("INSERT INTO au2 VALUES ('s')")
+    assert(spark.sql("SELECT id FROM au2").as[Long].head() == 1L)
+    intercept[Exception] {
+      lm.sql("ALTER TABLE au2 ALTER COLUMN v SYNC IDENTITY")
+    }
   }
 
   test("table_files TVF: one row per live file off manifests alone, " +
