@@ -1286,4 +1286,60 @@ class CommitLogSpec extends AnyFunSuite {
           s"live=${live.size})")
     }
   }
+
+  test("copyInto race: four writers copying the SAME source land " +
+      "every file exactly once between them") {
+    val root = TestSpark.tempDir("clogcopyrace")
+    val log = CommitLog(spark, root).init()
+    val src = s"${TestSpark.tempDir("clogcopyracesrc")}/files"
+    Seq.tabulate(40)(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartition(8).write.parquet(src)
+    val loaded = new java.util.concurrent.atomic.AtomicLong(0L)
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        val (_, nf, _) = log.copyInto(src)
+        loaded.addAndGet(nf)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(loaded.get() == 8L,
+      s"the racing copies must load the 8 files ONCE between them, " +
+        s"loaded ${loaded.get()}")
+    val ids = log.read(None).select("id").as[Long].collect().sorted
+    assert(ids.length == 40 && ids.distinct.length == 40,
+      "every source row lands exactly once")
+    // and a fresh copy after the race is a no-op
+    assert(log.copyInto(src)._2 == 0L)
+  }
+
+  test("identity allocation race: four writers draw from the same " +
+      "high-water mark without collisions, the block is contiguous") {
+    val root = TestSpark.tempDir("clogidrace")
+    val log = CommitLog(spark, root).init()
+    // declared schema + identity spec, the way CREATE TABLE records it
+    log.append(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))))
+    log.setProperties(Map(
+      s"${CommitLog.IdentityColPrefix}id" -> "1000,2,false"))
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        log.appendResolvingDefaults(
+          Seq.tabulate(10)(j => s"w$w-$j").toDF("v"))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val ids = log.read(None).select("id").as[Long].collect().sorted
+    assert(ids.length == 40 && ids.distinct.length == 40,
+      "racing allocations must never collide")
+    assert(ids.toSeq == (0 until 40).map(i => 1000L + 2L * i),
+      s"the merged block is contiguous from the start: " +
+        s"${ids.take(5).mkString(",")}...")
+  }
 }
