@@ -3377,6 +3377,41 @@ final class CommitLog(spark: SparkSession, root: String) {
           removed += s.getPath.toString
         }
       }
+    // COPY INTO run manifests whose commit never landed (the manifest
+    // writes BEFORE the CAS — see [[copyInto]]): a run dir is live iff
+    // some retained commit's props OR a checkpoint's folded props
+    // reference it; everything else past retention is crash debris
+    val copyDir = new Path(root, "_copy")
+    if (fs.exists(copyDir)) {
+      val ckProps: Seq[String] =
+        if (!fs.exists(commitsDir)) Nil
+        else fs.listStatus(commitsDir).iterator
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.endsWith(".checkpoint.json"))
+          .map(n => n.substring(1, n.length - 16).toLong)
+          .flatMap { cv =>
+            val node = mapper
+              .readTree(TimeFly.readText(fs, checkpointFile(cv)))
+              .asInstanceOf[ObjectNode]
+            val buf = scala.collection.mutable.ArrayBuffer[String]()
+            if (node.has("props"))
+              node.path("props").fields().forEachRemaining(e =>
+                if (e.getKey.startsWith(CommitLog.CopyRunPrefix))
+                  buf += e.getValue.asText())
+            buf
+          }.toSeq
+      val liveRuns: Set[String] =
+        (existingVersions().flatMap(v => commit(v).props.toSeq.flatMap(
+          _.collect { case (k, d)
+              if k.startsWith(CommitLog.CopyRunPrefix) => d })) ++
+          ckProps).map(d => d.stripPrefix("_copy/")).toSet
+      fs.listStatus(copyDir).foreach { s =>
+        if (!liveRuns.contains(s.getPath.getName) && expired(s)) {
+          if (delete) fs.delete(s.getPath, true)
+          removed += s.getPath.toString
+        }
+      }
+    }
     removed.toSeq
   }
 }

@@ -678,6 +678,20 @@ class LakeManagerSpec extends AnyFunSuite {
     // the registry rides SHOW TBLPROPERTIES, namespaced
     assert(lm.sql("SHOW TBLPROPERTIES ct").as[(String, String)]
       .collect().count(_._1.startsWith("graft.copy.run.")) == 4)
+    // vacuum sweeps ORPHAN run manifests (a manifest written before a
+    // CAS that never landed) and keeps the referenced ones — the
+    // registry survives, so a re-copy is still a no-op
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$root/ct/_copy/run-orphan")
+    val cfs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.mkdirs(orphan)
+    log.vacuum(0L)
+    assert(!cfs.exists(orphan), "the orphan manifest must sweep")
+    assert(cfs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/ct/_copy")).length == 4,
+      "referenced manifests must survive the sweep")
+    assert(copy() == ((0L, 0L)),
+      "the registry must survive the vacuum")
     // CSV with FORMAT_OPTIONS
     val srcCsv = s"${TestSpark.tempDir("lakecopycsv")}/files"
     lm.addCommitLog("ctc")
