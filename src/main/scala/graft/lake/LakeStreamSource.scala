@@ -22,6 +22,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * trigger cost scales with the INCREMENT, not table size. Options:
   *  - `startingVersion` (default 1): first commit delivered —
   *    `latest` starts past the current tip (Delta's own keyword)
+  *  - `startingTimestamp`: first commit at or after the instant
+  *    (exclusive with startingVersion; an instant predating the
+  *    first commit streams from the start — Delta's contract)
   *  - `maxVersionsPerTrigger`: cap commits per micro-batch (the
   *    maxFilesPerTrigger analog; offsets stay monotone, the backlog
   *    drains across triggers)
@@ -240,6 +243,9 @@ final class LakeStreamProvider
     val changeFeed =
       parameters.get("readChangeFeed").exists(_.toBoolean)
     val log = CommitLog(sqlContext.sparkSession, root)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are exclusive")
     val startBase = parameters.get("startingVersion") match {
       case Some("latest") =>
         // resolve ONCE per stream, not per restart: the base persists
@@ -270,7 +276,18 @@ final class LakeStreamProvider
           s"startingVersion wants a commit number >= 1 or 'latest', " +
             s"got $v")
         v.toLong - 1 // inclusive start -> exclusive base
-      case None => 0L
+      case None =>
+        // startingTimestamp (Delta's option): first commit AT OR
+        // AFTER the instant — versionAt gives latest-at-or-before,
+        // so the exclusive base is exactly that
+        parameters.get("startingTimestamp") match {
+          case Some(ts) =>
+            val t = java.sql.Timestamp.valueOf(
+              ts.replace("T", " ").stripSuffix("Z"))
+            // an instant predating the first commit = from the start
+            scala.util.Try(log.versionAt(t.getTime)).getOrElse(0L)
+          case None => 0L
+        }
     }
     // a truncated log (expireBefore) has no manifests below its
     // earliest retained version — increments there are gone (folded

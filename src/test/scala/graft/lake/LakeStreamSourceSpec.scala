@@ -83,6 +83,41 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       s"partition values must ride the stream: $got")
   }
 
+  test("startingTimestamp: first commit at or after the instant " +
+      "streams; a pre-table instant streams from the start; " +
+      "combining with startingVersion refuses") {
+    val root = TestSpark.tempDir("lsst")
+    val log = CommitLog(spark, s"$root/t").init()
+    log.append(Seq((1L, "a")).toDF("id", "v")) // v1
+    log.append(Seq((2L, "b")).toDF("id", "v")) // v2
+    val t1 = log.commit(1L).ts
+    def drainFrom(tsOpt: String, tag: String): Seq[Long] = {
+      val out = TestSpark.tempDir(s"lsst_out_$tag")
+      val q = spark.readStream.format("commitlog")
+        .option("startingTimestamp", tsOpt)
+        .load(s"$root/t")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", TestSpark.tempDir(s"lsst_ck_$tag"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    }
+    // instant = v1's commit time -> base v1 (exclusive) -> v2 only
+    assert(drainFrom(new java.sql.Timestamp(t1).toString, "mid")
+      == Seq(2L))
+    // an instant predating the table -> everything
+    assert(drainFrom("1990-01-01 00:00:00", "pre") == Seq(1L, 2L))
+    intercept[Exception] {
+      spark.readStream.format("commitlog")
+        .option("startingTimestamp", "1990-01-01 00:00:00")
+        .option("startingVersion", "1")
+        .load(s"$root/t")
+        .writeStream.format("noop")
+        .option("checkpointLocation", TestSpark.tempDir("lsst_ck_x"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
+
   test("a truncated log refuses a fresh stream below its earliest " +
       "retained version; startingVersion at the boundary streams") {
     val root = TestSpark.tempDir("lsst")
