@@ -1573,6 +1573,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     val srcP = new Path(srcPath)
     val sfs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(sfs.exists(srcP), s"COPY INTO source $srcPath does not exist")
+    // identity marks and generated-column validation do not ride the
+    // copy path — silent mark corruption is worse than a refusal
+    val (cIds, cGens) = autoColumns()
+    require(cIds.isEmpty && cGens.isEmpty,
+      "COPY INTO a table with identity/generated columns is not " +
+        "supported — load through INSERT INTO ... SELECT")
     val candidates: Seq[org.apache.hadoop.fs.FileStatus] = pattern match {
       case Some(g) => Option(sfs.globStatus(new Path(srcP, g)))
         .map(_.toSeq).getOrElse(Nil).filter(_.isFile)

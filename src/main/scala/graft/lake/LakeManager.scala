@@ -351,6 +351,11 @@ final class LakeManager(spark: SparkSession, root: String) {
         require(partitioning.isEmpty,
           "REPLACE TABLE keeps the standing table's partitioning — " +
             "re-declaring it is not supported")
+        require(columns.forall(c => c.identityColumnSpec.isEmpty &&
+            c.generationExpression.isEmpty && c.defaultValue.isEmpty),
+          "REPLACE TABLE keeps the standing table's column " +
+            "declarations — identity/generated/DEFAULT " +
+            "re-declarations are not supported (DROP and CREATE)")
         val log = commitLog(t)
         val payload = data.orElse(colsFrame(columns)).getOrElse(
           throw new IllegalArgumentException(
