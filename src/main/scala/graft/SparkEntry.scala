@@ -6124,8 +6124,11 @@ object SparkEntry {
       val log = lm.commitLog("t151")
       assert(log.notNullColumns(None) == Seq("o_orderkey"),
         "the declared NOT NULL must stand as an invariant")
-      assert(log.properties(None) == Map("team" -> "data-eng"),
-        s"TBLPROPERTIES must ride the create: ${log.properties(None)}")
+      assert(log.properties(None).get("team").contains("data-eng") &&
+        log.properties(None).get("graft.column.order")
+          .contains("o_orderkey,o_custkey,o_totalprice"),
+        s"TBLPROPERTIES and the declared order must ride the " +
+          s"create: ${log.properties(None)}")
       ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
         .createOrReplaceTempView("q151_src")
       lm.sql("INSERT INTO t151 SELECT * FROM q151_src")
@@ -6374,6 +6377,38 @@ object SparkEntry {
         .head().getBoolean(0), "identity values must be unique")
       s.sql("SELECT row_id, o_orderkey, o_totalprice, bucket, src " +
         "FROM t162 ORDER BY row_id")
+    }),
+
+    // DEEP CLONE (Delta's bare CLONE): an independent PHYSICAL copy —
+    // file bytes copy DISTRIBUTED (one task per file), the founding
+    // commit references the copies. Works on exactly the shapes the
+    // zero-copy clone refuses: a hive-partitioned layout with
+    // standing positional deletes (copies are byte-identical, so dv
+    // positions stay valid; partition names resolve under the clone's
+    // own basePath). The source diverges AFTER the clone — the clone
+    // must not see it (asserted by the oracle: pre-divergence state).
+    "q163_sql_deep_clone" -> ((s, d) => {
+      val root = scratch(s, "q163", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t163 (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, bucket STRING) USING commitlog " +
+        "PARTITIONED BY (bucket) " +
+        "TBLPROPERTIES ('delete.mode'='positional')")
+      ord(s, d).select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q163_src")
+      lm.sql("INSERT INTO t163 SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderkey % 4 AS STRING) FROM q163_src")
+      lm.sql("DELETE FROM t163 WHERE o_orderkey % 7 = 3") // dv marks
+      lm.sql("CREATE TABLE t163c CLONE t163")
+      // source diverges after the fork; the clone is unaffected
+      lm.sql("DELETE FROM t163 WHERE o_orderkey % 2 = 0")
+      assert(!new org.apache.hadoop.fs.Path(s"$root/t163c/_base.json")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(
+          s"$root/t163c/_base.json")),
+        "a deep clone borrows nothing")
+      s.sql("SELECT o_orderkey, o_totalprice, bucket FROM t163c " +
+        "ORDER BY o_orderkey")
     }),
 
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
@@ -8132,6 +8167,12 @@ object SparkEntry {
 
     "q161_sql_copy_into" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q163_sql_deep_clone" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+        |FROM orders WHERE o_orderkey % 7 <> 3
         |ORDER BY o_orderkey""".stripMargin,
 
     "q162_sql_identity_generated" ->

@@ -824,7 +824,27 @@ final class CommitLog(spark: SparkSession, root: String) {
       else df.select(
         (df.columns.toSeq.map(org.apache.spark.sql.functions.col) ++
           posCols(learnedPrefix(names))): _*)
-    if (groups.size <= 1) meta(scan(None, names.map(dataPath)))
+    if (groups.size <= 1) {
+      val s = meta(scan(None, names.map(dataPath)))
+      // partition VALUES live in paths, so their types come from
+      // Spark's path inference (bucket=0 reads back int) — cast them
+      // to the RECORDED types when a committed schema carries them
+      // (numeric-string partition values must round-trip as declared)
+      val declaredParts: Map[String, org.apache.spark.sql.types.DataType] =
+        known.headOption.map(_._2.fields
+          .filter(f => partitionCols.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+      val fix = s.schema.fields.filter(f =>
+        declaredParts.get(f.name).exists(_ != f.dataType))
+      if (!partitioned || fix.isEmpty) s
+      else s.select(s.columns.toSeq.map { c =>
+        declaredParts.get(c) match {
+          case Some(t) => org.apache.spark.sql.functions
+            .col(c).cast(t).as(c)
+          case None => org.apache.spark.sql.functions.col(c)
+        }
+      }: _*)
+    }
     else {
       val unified = SchemaTools.unifySchemas(groups.map(_.head._2))
       val keep =
@@ -3048,6 +3068,72 @@ final class CommitLog(spark: SparkSession, root: String) {
     // carries both payloads, so a clone cannot accept writes the
     // source's constraints forbid, and strategy properties like
     // delete.mode keep governing the clone
+    val srcCons = constraints(None)
+    val srcProps = properties(None)
+    if (srcCons.nonEmpty || srcProps.nonEmpty) dest.ensureMetaHint()
+    if (!dest.tryCas(1L, "clone", r.data, removed = r.tombstones,
+        stats = r.spanOf, schemaGroups = r.schemaOf,
+        constraints = Some(srcCons).filter(_.nonEmpty),
+        props = Some(srcProps).filter(_.nonEmpty)))
+      throw new java.util.ConcurrentModificationException(
+        s"clone destination $destRoot claimed v1 concurrently")
+    dest
+  }
+
+  /** DEEP CLONE (Delta's `CREATE TABLE .. CLONE` without SHALLOW): an
+    * independent PHYSICAL copy. File bytes copy DISTRIBUTED — one
+    * task per file through the executors' own FileSystem clients (the
+    * Hadoop conf rides a broadcast of its key/value pairs; the driver
+    * never streams data) — then the founding commit references the
+    * copies under the clone's own data dir. Covers exactly the
+    * layouts the zero-copy clone must refuse: hive-partitioned tables
+    * (partition-qualified relative names copy verbatim and resolve
+    * under the clone's basePath) and standing positional deletes
+    * (dv mark files copy too — positions stay valid because every
+    * copied data file is byte-identical). CHECK constraints and table
+    * properties travel like the shallow clone's; spans and per-file
+    * schema groups carry over unchanged (same names, same bytes).
+    * O(data) by nature — the verb for a true fork; [[cloneTo]] is the
+    * cheap dev branch. */
+  def deepCloneTo(destRoot: String): CommitLog = {
+    val r = resolve(None)
+    val dest = CommitLog(spark, destRoot).init()
+    require(dest.latestVersion() == 0L,
+      s"clone destination $destRoot already has commits")
+    if (partitionCols.nonEmpty) dest.initPartitioned(partitionCols)
+    val names = (r.data ++ r.tombstones).distinct
+    if (names.nonEmpty) {
+      val pairs = names.map(n => (dataPath(n), n))
+      val destData = dest.dataDir.toString
+      // hadoop conf as plain pairs — Configuration itself is not
+      // serializable, and executors must keep scheme/credential conf
+      val confPairs = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+        buf.toSeq
+      }
+      val bConf = spark.sparkContext.broadcast(confPairs)
+      spark.sparkContext
+        .parallelize(pairs, math.max(1, math.min(pairs.size,
+          spark.sparkContext.defaultParallelism * 2)))
+        .foreach { case (from, rel) =>
+          val hc = new org.apache.hadoop.conf.Configuration(false)
+          bConf.value.foreach { case (k, v) => hc.set(k, v) }
+          val fp = new Path(from)
+          val tp = new Path(s"$destData/$rel")
+          org.apache.hadoop.fs.FileUtil.copy(
+            fp.getFileSystem(hc), fp, tp.getFileSystem(hc), tp,
+            false, true, hc)
+        }
+    }
+    // column-mapping marker rides along (renames/drops stay applied)
+    val srcSchema2 = new Path(root, "_schema.json")
+    if (fs.exists(srcSchema2)) {
+      val o = dest.fs.create(new Path(destRoot, "_schema.json"), true)
+      try o.write(TimeFly.readText(fs, srcSchema2).getBytes("UTF-8"))
+      finally o.close()
+    }
     val srcCons = constraints(None)
     val srcProps = properties(None)
     if (srcCons.nonEmpty || srcProps.nonEmpty) dest.ensureMetaHint()

@@ -302,7 +302,14 @@ final class LakeManager(spark: SparkSession, root: String) {
         s"${CommitLog.DefaultColPrefix}${c.name}" -> d.originalSQL)
       idp.toSeq ++ gp.toSeq ++ dp.toSeq
     }.toMap
-    val allProps = us.properties ++ autoProps
+    // the DECLARED order is the positional-INSERT contract; record it
+    // like ADD COLUMNS does — the empty partitioned frame would
+    // otherwise serve partition-first order and rotate the binding
+    val orderProp: Map[String, String] =
+      if (columns.isEmpty) Map.empty
+      else Map(LakeManager.ColumnOrderProp ->
+        columns.map(_.name).mkString(","))
+    val allProps = us.properties ++ autoProps ++ orderProp
     if (allProps.nonEmpty) log.setProperties(allProps)
     Some(log.read(None))
   }
@@ -435,7 +442,7 @@ final class LakeManager(spark: SparkSession, root: String) {
         "(?:\\s+ZORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
     val Clone =
       ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" +
-        Ident + "\\s+SHALLOW\\s+CLONE\\s+" + Ident +
+        Ident + "\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+" + Ident +
         "\\s*;?\\s*$").r
     val SyncId =
       ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ident +
@@ -482,7 +489,7 @@ final class LakeManager(spark: SparkSession, root: String) {
       // CLONE): the clone's founding commit RE-REFERENCES the
       // source's live files — O(metadata) at any data size; the two
       // logs are independent afterwards ([[CommitLog.cloneTo]])
-      case Clone(ine, destTok, srcTok) =>
+      case Clone(ine, destTok, flavor, srcTok) =>
         managed(srcTok).map { srcLog =>
           val dest = simpleName(destTok)
           if (tables.contains(dest)) {
@@ -490,7 +497,12 @@ final class LakeManager(spark: SparkSession, root: String) {
               s"table $dest already exists")
             commitLog(dest).read(None)
           } else {
-            srcLog.cloneTo(new Path(root, dest).toString)
+            // bare CLONE = DEEP (Delta's default): an independent
+            // physical copy; SHALLOW is the zero-copy dev branch
+            if (flavor != null && flavor.equalsIgnoreCase("shallow"))
+              srcLog.cloneTo(new Path(root, dest).toString)
+            else
+              srcLog.deepCloneTo(new Path(root, dest).toString)
             val log = addCommitLog(dest)
             registerCommitView(dest)
             log.read(None)

@@ -787,6 +787,44 @@ class LakeManagerSpec extends AnyFunSuite {
     }
   }
 
+  test("DEEP CLONE: an independent physical copy that works where " +
+      "shallow refuses (partitioned layout + standing positional " +
+      "deletes); the two tables diverge freely afterwards") {
+    val root = TestSpark.tempDir("lakedeepclone")
+    val lm = LakeManager(spark, root).init()
+    lm.sql("CREATE TABLE dc (id BIGINT, region STRING) " +
+      "USING commitlog PARTITIONED BY (region) " +
+      "TBLPROPERTIES ('delete.mode'='positional')")
+    lm.sql("INSERT INTO dc VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+    lm.sql("DELETE FROM dc WHERE id = 2") // a standing dv mark
+    // shallow refuses this shape; bare CLONE (deep) works
+    intercept[Exception] {
+      lm.sql("CREATE TABLE dc_s SHALLOW CLONE dc")
+    }
+    lm.sql("CREATE TABLE dc2 CLONE dc")
+    assert(spark.sql("SELECT id FROM dc2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L),
+      "the clone serves the dv-applied view")
+    // properties traveled; the copies are PHYSICAL (no borrow marker)
+    assert(lm.commitLog("dc2").properties(None)
+      .get("delete.mode").contains("positional"))
+    val cfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!cfs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/dc2/_base.json")),
+      "a deep clone borrows nothing")
+    // divergence: writes on either side do not leak to the other
+    lm.sql("INSERT INTO dc2 VALUES (9, 'eu')")
+    lm.sql("DELETE FROM dc WHERE id = 1")
+    assert(spark.sql("SELECT id FROM dc ORDER BY id")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(spark.sql("SELECT id FROM dc2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L, 9L))
+    // partition pruning works under the clone's own basePath
+    assert(spark.sql("SELECT id FROM dc2 WHERE region = 'us'")
+      .as[Long].collect().isEmpty)
+  }
+
   test("table_files TVF: one row per live file off manifests alone, " +
       "span bounds rendered, historical versions served") {
     val root = TestSpark.tempDir("lakefiles")
