@@ -1690,6 +1690,45 @@ final class CommitLog(spark: SparkSession, root: String) {
     (v, toLoad.length.toLong, rows)
   }
 
+  /** Fold the COPY INTO registry: merge every run manifest into ONE
+    * (distinct identities) and swap all `graft.copy.run.*` properties
+    * for a single pointer in one meta commit. A year of hourly loads
+    * is ~8,760 props keys and manifests — the fold keeps the property
+    * map and the probe's file listing O(1) in run count while the
+    * identity ROWS stay a distributed parquet read. Retired manifests
+    * become unreferenced and vacuum sweeps them after retention. Runs
+    * race-safe: a copy landing mid-fold fails the CAS and the fold
+    * re-reads (its runs join the merge). No-op below two runs. */
+  def compactCopyRegistry(): Option[Long] = {
+    var staged: Option[(String, Set[String])] = None
+    def sweepStaged(): Unit = staged.foreach { case (d, _) =>
+      fs.delete(new Path(root, d), true) }
+    var v = 0L
+    var done = false
+    while (!done) {
+      val plannedV = latestVersion()
+      val ps = properties(Some(plannedV))
+      val runs = ps.filter(_._1.startsWith(CommitLog.CopyRunPrefix))
+      if (runs.size <= 1) { sweepStaged(); return None }
+      if (!staged.exists(_._2 == runs.values.toSet)) {
+        sweepStaged()
+        val dir =
+          s"_copy/run-${java.util.UUID.randomUUID().toString.take(12)}"
+        spark.read.parquet(
+            runs.values.toSeq.map(d => new Path(root, d).toString): _*)
+          .distinct().repartition(1)
+          .write.parquet(new Path(root, dir).toString)
+        staged = Some((dir, runs.values.toSet))
+      }
+      v = plannedV + 1
+      done = tryCas(v, "meta", Nil, props = Some(
+        (ps -- runs.keys) +
+          (s"${CommitLog.CopyRunPrefix}$v" -> staged.get._1)))
+    }
+    notifyCommit()
+    Some(v)
+  }
+
   /** SCREENED append — write-time expectations on the multi-writer
     * path (the q89/q123 gate, composed with the commit protocol): rows
     * proving every rule commit through the normal CAS retry loop,

@@ -692,6 +692,15 @@ class LakeManagerSpec extends AnyFunSuite {
       "referenced manifests must survive the sweep")
     assert(copy() == ((0L, 0L)),
       "the registry must survive the vacuum")
+    // registry compaction: many run keys fold to ONE meta commit +
+    // one merged manifest; idempotence survives (re-copy still no-op)
+    assert(log.compactCopyRegistry().isDefined)
+    assert(log.properties(None).keys
+      .count(_.startsWith("graft.copy.run.")) == 1,
+      "the fold must leave one registry pointer")
+    assert(copy() == ((0L, 0L)),
+      "idempotence must survive the registry fold")
+    assert(log.compactCopyRegistry().isEmpty, "a second fold is a no-op")
     // CSV with FORMAT_OPTIONS
     val srcCsv = s"${TestSpark.tempDir("lakecopycsv")}/files"
     lm.addCommitLog("ctc")
