@@ -1152,10 +1152,16 @@ final class LakeManager(spark: SparkSession, root: String) {
             // the drift union reads in ALPHABETICAL order (the
             // deterministic drift contract), but SQL's positional
             // INSERT contract is the DECLARED order — record it as a
-            // versioned table property that conformPositional honors
+            // versioned table property that conformPositional honors.
+            // A DEFAULT on an added column rides the same meta commit
+            // (standing rows read NULL — Delta's rule; the default
+            // applies to inserts from here on)
             log.setProperties(Map(
               LakeManager.ColumnOrderProp ->
-                widened.fieldNames.mkString(",")))
+                widened.fieldNames.mkString(",")) ++
+              acols.columnsToAdd.flatMap(qc => qc.default.map(d =>
+                s"${CommitLog.DefaultColPrefix}${qc.colName}" ->
+                  d.originalSQL)))
             log.read(None)
         }
       case ac: AlterColumns =>
@@ -1172,17 +1178,30 @@ final class LakeManager(spark: SparkSession, root: String) {
             // refuse rather than silently mutating a schema the commit
             // log owns.
             ac.specs.foreach { sp =>
+              val defaultChange =
+                sp.newDefaultExpression.isDefined || sp.dropDefault
               require(sp.newComment.isEmpty &&
                 sp.newPosition.isEmpty &&
-                sp.newDefaultExpression.isEmpty && !sp.dropDefault &&
-                (sp.newNullability.isDefined != sp.newDataType.isDefined),
+                (Seq(sp.newNullability.isDefined,
+                  sp.newDataType.isDefined,
+                  defaultChange).count(identity) == 1),
                 "managed ALTER COLUMN supports exactly SET NOT NULL / " +
-                  "DROP NOT NULL / TYPE <widened-type>")
+                  "DROP NOT NULL / TYPE <widened-type> / SET DEFAULT " +
+                  "<expr> / DROP DEFAULT")
               require(sp.column.name.size == 1,
                 s"ALTER COLUMN targets a top-level column, got " +
                   sp.column.name.mkString("."))
               val cname = sp.column.name.head
-              sp.newDataType match {
+              if (defaultChange) {
+                require(log.read(None).columns.contains(cname),
+                  s"no such column $cname")
+                val dkey = s"${CommitLog.DefaultColPrefix}$cname"
+                if (sp.dropDefault)
+                  log.unsetProperties(Seq(dkey), ifExists = true)
+                else log.setProperties(Map(
+                  dkey -> sp.newDefaultExpression.get.originalSQL))
+              }
+              else sp.newDataType match {
                 case Some(want) =>
                   require(
                     !SchemaTools.readSchemaMarkerInfo(spark,

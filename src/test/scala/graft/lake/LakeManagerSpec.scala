@@ -779,6 +779,26 @@ class LakeManagerSpec extends AnyFunSuite {
       "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)")
     assert(spark.sql("SELECT v, w FROM au4 WHERE id = 5")
       .as[(String, Double)].head() == (("none", 0.5)))
+    // DEFAULT lifecycle through ALTER: ADD COLUMNS with a DEFAULT
+    // (standing rows read NULL, new inserts take it), SET DEFAULT
+    // re-points it, DROP DEFAULT reverts to NULL-fill
+    lm.sql("ALTER TABLE au4 ADD COLUMNS (tier STRING DEFAULT 'bronze')")
+    assert(spark.sql("SELECT tier FROM au4 WHERE id = 1")
+      .as[Option[String]].head().isEmpty,
+      "standing rows read NULL for an added defaulted column")
+    lm.sql("INSERT INTO au4 VALUES (6)")
+    assert(spark.sql("SELECT v, tier FROM au4 WHERE id = 6")
+      .as[(String, String)].head() == (("none", "bronze")))
+    lm.sql("ALTER TABLE au4 ALTER COLUMN tier SET DEFAULT 'silver'")
+    lm.sql("INSERT INTO au4 VALUES (7)")
+    assert(spark.sql("SELECT tier FROM au4 WHERE id = 7")
+      .as[String].head() == "silver")
+    lm.sql("ALTER TABLE au4 ALTER COLUMN tier DROP DEFAULT")
+    // tier is a plain column again: it joins the positional binding
+    lm.sql("INSERT INTO au4 VALUES (8, NULL)")
+    assert(spark.sql("SELECT tier FROM au4 WHERE id = 8")
+      .as[Option[String]].head().isEmpty,
+      "DROP DEFAULT reverts to explicit/NULL")
     // SYNC IDENTITY re-derives the mark from data: deleting the top
     // row and syncing makes the next allocation reuse its value
     lm.sql("DELETE FROM au2 WHERE id = 101")
