@@ -6411,6 +6411,36 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // PARTITION BY A GENERATED COLUMN — the canonical Delta layout
+    // for time-partitioned lakes: writers insert (event_id, ts) and
+    // the declared `day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))`
+    // computes in the resolver and lands as the hive partition, so
+    // ingest NEVER hand-maintains the bucket and a one-day filter
+    // prunes to that day's files (asserted: strict-subset scan).
+    "q164_sql_generated_partition" -> ((s, d) => {
+      val root = scratch(s, "q164", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t164 (event_id BIGINT, ts TIMESTAMP, " +
+        "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+        "USING commitlog PARTITIONED BY (day)")
+      Tables.events(s, d).select("event_id", "ts")
+        .createOrReplaceTempView("q164_src")
+      lm.sql("INSERT INTO t164 SELECT event_id, ts FROM q164_src")
+      val log = lm.commitLog("t164")
+      val total = log.liveFiles(None).size
+      val oneDay = s.sql(
+        "SELECT CAST(min(ts) AS DATE) FROM q164_src").head().getDate(0)
+      val pruned = scannedFiles(
+        s.sql(s"SELECT * FROM t164 WHERE day = DATE'$oneDay'"))
+      assert(pruned > 0 && pruned < total,
+        s"a one-day filter must scan a strict subset of the " +
+          s"partitioned layout: $pruned of $total")
+      // DATE round-trips as TIMESTAMP in the final frame (driver
+      // canonicalization treats raw date32 as opaque objects)
+      s.sql("SELECT event_id, CAST(day AS TIMESTAMP) AS day " +
+        "FROM t164 ORDER BY event_id, day")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8168,6 +8198,10 @@ object SparkEntry {
     "q161_sql_copy_into" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q164_sql_generated_partition" ->
+      """SELECT event_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
+        |FROM events ORDER BY event_id, day""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,
