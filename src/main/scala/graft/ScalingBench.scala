@@ -145,7 +145,8 @@ object ScalingBench {
       "q154_sql_shallow_clone", "q155_sql_type_widening",
       "q156_sql_functions", "q157_sql_table_files",
       "q159_sql_merge_full", "q160_sql_merge_evolution",
-      "q161_sql_copy_into", "q162_sql_identity_generated")
+      "q161_sql_copy_into", "q162_sql_identity_generated",
+      "q163_sql_deep_clone", "q164_sql_generated_partition")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume
@@ -252,7 +253,16 @@ object ScalingBench {
     // which at these run lengths swamps the scaling signal
     def timeBest(q: String, dir: String): Double =
       math.min(timeOne(q, dir), timeOne(q, dir))
-    val allQueries = queries ++ variants.keys.toSeq.sorted
+    // optional arg: comma-separated subset — a fast incremental pass
+    // for newly added queries; rows merge into SCALING.md by hand
+    val subset: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(',').toSet) else None
+    val allQueries = (queries ++ variants.keys.toSeq.sorted)
+      .filter(q => subset.forall(_.contains(q)))
+    subset.foreach { s =>
+      val unknown = s -- queries.toSet -- variants.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    }
     // warmup round at 1x so JIT lands outside the measurements
     allQueries.foreach(q => timeOne(q, dirs.head._2))
 
@@ -264,9 +274,22 @@ object ScalingBench {
     // covers JIT but not the 8x files' first read; without this the 8x
     // cells carry cold page-cache IO the other factors' min-of-2 hides
     // (measured: d09's 8x cell read 10 s contaminated vs ~4.8 s steady).
-    deepQueries.foreach(q => timeOne(q, deepDir))
+    val deepRun = deepQueries.filter(q => subset.forall(_.contains(q)))
+    deepRun.foreach(q => timeOne(q, deepDir))
     val deep: Map[String, Double] =
-      deepQueries.map(q => q -> timeBest(q, deepDir)).toMap
+      deepRun.map(q => q -> timeBest(q, deepDir)).toMap
+
+    if (subset.isDefined) {
+      // incremental pass: print table rows to merge into SCALING.md
+      // by hand — never overwrite the full file from a partial run
+      rows.foreach { case (q, t1, t2, t4) =>
+        println(f"| $q | $t1%.2f | $t2%.2f | $t4%.2f | — " +
+          f"| ${t2 / t1}%.1f | ${t4 / t1}%.1f | — |")
+      }
+      deep.foreach { case (q, t8) => println(f"[8x] $q $t8%.2f s") }
+      spark.stop()
+      return
+    }
 
     // Ingest-gate scaling (r5 VERDICT #6): FIXED batch, growing lake —
     // the claim "scored delta cost scales with the batch, not the lake"
