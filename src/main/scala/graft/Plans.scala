@@ -283,6 +283,33 @@ object Plans {
         "(file,pos) SEMI join -> full pre-images tagged delete\n\n" +
         s"```\n$plan```\n")
     }
+    // r10: partition pruning on a GENERATED partition column (the
+    // q164 layout) — writers insert (event_id, ts); `day` computes in
+    // the resolver and lands as the hive partition, so the one-day
+    // filter's scan lists only that day's files
+    {
+      val root = "/tmp/graft_plans_genpart"
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root))
+      val lm = graft.lake.LakeManager(spark, root).init()
+      lm.sql("CREATE TABLE gp (event_id BIGINT, ts TIMESTAMP, " +
+        "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+        "USING commitlog PARTITIONED BY (day)")
+      Tables.events(spark, sf).select("event_id", "ts")
+        .createOrReplaceTempView("gp_src")
+      lm.sql("INSERT INTO gp SELECT event_id, ts FROM gp_src")
+      val oneDay = spark.sql(
+        "SELECT CAST(min(ts) AS DATE) FROM gp_src").head().getDate(0)
+      val pruned = spark.sql(
+        s"SELECT event_id FROM gp WHERE day = DATE'$oneDay'")
+      val plan = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append("\n## generated-partition pruning (q164) — the " +
+        "one-day filter scans ONLY that day's partition directory; " +
+        "the day column never appears in the data files (it computes " +
+        "at write, lives in paths)\n\n" +
+        s"```\n$plan```\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] wrote $out")
     spark.stop()

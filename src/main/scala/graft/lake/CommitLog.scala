@@ -1978,6 +1978,12 @@ final class CommitLog(spark: SparkSession, root: String) {
       txn: Option[(String, Long)]): Option[(Long, Int)] = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // Delta's historical restriction, enforced at the API too (the
+    // SQL dispatch refuses earlier): merged-in explicit identity
+    // values would bypass the high-water mark
+    require(autoColumns()._1.isEmpty,
+      "upsert into a table with identity columns is not supported — " +
+        "route the change through INSERT/UPDATE/DELETE")
     // Active column mapping: the batch and keys arrive under LOGICAL
     // names, the merge runs on the files' frozen PHYSICAL names
     // (Delta MERGE on a column-mapped table). Keys translate through
@@ -2209,6 +2215,9 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "merge needs at least one WHEN clause")
+    require(autoColumns()._1.isEmpty,
+      "merge into a table with identity columns is not supported — " +
+        "route the change through INSERT/UPDATE/DELETE")
     matched.foreach(c => require(!c.op.isInstanceOf[MergeInsert],
       "WHEN MATCHED supports UPDATE/DELETE, not INSERT"))
     notMatched.foreach(c => require(c.op.isInstanceOf[MergeInsert],
