@@ -708,7 +708,11 @@ object ScalingBench {
     sb.append("should stay flat while files x blob-width grows.\n")
     sb.append("The lifecycle\n")
     sb.append("rows (q142/q144/q147/e31, and the r10 CDC/streaming/DDL\n")
-    sb.append("rows q152-q157/e33/e34) time whole transaction protocols\n")
+    sb.append("rows q152-q157/e33/e34, and the late-r10 write-surface\n")
+    sb.append("rows q159-q164: full-grammar MERGE, schema-evolving\n")
+    sb.append("merge, COPY INTO, identity/generated/DEFAULT columns,\n")
+    sb.append("deep clone, generated-partition layout) time whole\n")
+    sb.append("transaction protocols\n")
     sb.append("— multiple commits, validations, stream replays, full\n")
     sb.append("AvailableNow streaming queries — whose costs are linear\n")
     sb.append("in their batch sizes by design; their sub-data-factor\n")
