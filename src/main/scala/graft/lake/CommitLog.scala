@@ -1413,16 +1413,39 @@ final class CommitLog(spark: SparkSession, root: String) {
     else setProperties(Map(key -> row.get(0).toString))
   }
 
-  /** One stable global row index per input row — per-partition counts
-    * then per-partition offsets (zipWithIndex's scheme: one small
-    * count job + one pass; NO global sort, no single-partition
-    * window). The identity allocator's index source. */
+  /** One stable global row index per input row — zipWithIndex's
+    * scheme (per-partition counts, then per-partition offsets) kept
+    * entirely in the DataFrame plane: `monotonically_increasing_id`
+    * is `(partition << 33) + row-in-partition`, so the low 33 bits
+    * are the in-partition index and one tiny count-per-partition agg
+    * (rows = task count, collected) gives the offsets, broadcast back
+    * as a join. No global sort, no single-partition window, no
+    * RDD ser/deser round-trip — the whole pass stays codegen'd.
+    * Caveats it inherits from zipWithIndex: one extra computation of
+    * the input, and indexes are stable only as deterministic as the
+    * input's partitioning (the allocator re-derives on CAS retry
+    * anyway). Partitions stay under 2^33 rows (Spark's own m_i_i
+    * envelope). */
   private def zipIndex(df: DataFrame): DataFrame = {
-    val schema = df.schema.add("__idx",
-      org.apache.spark.sql.types.LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit,
+      monotonically_increasing_id, spark_partition_id}
+    val marked = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__inpart", monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)))
+    val counts = marked.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n) }
+    val offDf = spark.createDataFrame(
+      counts.zip(offsets.dropRight(1).map(_._2)).toSeq
+        .map { case ((pid, _), off) => (pid, off) })
+      .toDF("__pid", "__off")
+    marked.join(broadcast(offDf), "__pid")
+      .withColumn("__idx", col("__off") + col("__inpart"))
+      .drop("__pid", "__inpart", "__off")
   }
 
   /** Append resolving AUTO COLUMNS (Delta's identity / generated
