@@ -6441,6 +6441,52 @@ object SparkEntry {
         "FROM t164 ORDER BY event_id, day")
     }),
 
+    // GENERALIZED MERGE UNDER ACTIVE COLUMN MAPPING: after a logical
+    // RENAME COLUMN (zero rewrite), every clause — conditions,
+    // assignments, insert values — speaks the NEW name; the executor
+    // translates once to the files' frozen physical names (the
+    // upsert discipline) and the merge runs mapping-oblivious.
+    // Rewritten files keep the uniform physical schema; the oracle is
+    // the full post-merge logical view.
+    "q165_sql_merge_mapped" -> ((s, d) => {
+      val root = scratch(s, "q165", d)
+      val lm = LakeManager(s, root).init()
+      lm.addCommitLog("t165")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q165_src")
+      lm.sql("INSERT INTO t165 SELECT * FROM q165_src") // v1
+      lm.sql("ALTER TABLE t165 RENAME COLUMN o_totalprice TO price")
+      // CDC keyed on DISTINCT orderkeys (the testdata carries dup
+      // keys; a dup-keyed source must refuse, so aggregate first)
+      s.sql("""SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+          CAST(NULL AS DOUBLE) AS price, 'D' AS op
+        FROM q165_src WHERE o_orderkey % 7 = 3 GROUP BY o_orderkey
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+          'U'
+        FROM q165_src
+        WHERE o_orderkey % 7 <> 3 AND o_orderkey % 2 = 0
+        GROUP BY o_orderkey
+        UNION ALL
+        SELECT o_orderkey + 1000000, max(o_custkey),
+          max(o_totalprice), 'I'
+        FROM q165_src WHERE o_orderkey % 7 = 3 GROUP BY o_orderkey""")
+        .createOrReplaceTempView("q165_cdc")
+      val vPre = lm.commitLog("t165").latestVersion()
+      lm.sql("MERGE INTO t165 t USING q165_cdc s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET " +
+        "price = t.price * 2 " +
+        "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT " +
+        "(o_orderkey, o_custkey, price) " +
+        "VALUES (s.o_orderkey, s.o_custkey, s.price)")
+      assert(lm.commitLog("t165").latestVersion() == vPre + 1,
+        "the mapped merge must be ONE commit")
+      s.sql("SELECT o_orderkey, o_custkey, price FROM t165 " +
+        "ORDER BY o_orderkey, o_custkey, price")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8202,6 +8248,19 @@ object SparkEntry {
     "q164_sql_generated_partition" ->
       """SELECT event_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
         |FROM events ORDER BY event_id, day""".stripMargin,
+
+    "q165_sql_merge_mapped" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS price
+        |FROM base WHERE o_orderkey % 7 <> 3
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, max(o_custkey),
+        |  max(o_totalprice)
+        |FROM base WHERE o_orderkey % 7 = 3 GROUP BY o_orderkey
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

@@ -2233,7 +2233,6 @@ final class CommitLog(spark: SparkSession, root: String) {
       notMatched: Seq[CommitLog.MergeClause],
       notMatchedBySource: Seq[CommitLog.MergeClause],
       evolve: Boolean = false): (Long, Int) = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, when}
     import CommitLog.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
     require(keys.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty ||
@@ -2248,12 +2247,69 @@ final class CommitLog(spark: SparkSession, root: String) {
     notMatchedBySource.foreach(c =>
       require(!c.op.isInstanceOf[MergeInsert],
         "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE, not INSERT"))
-    require(
-      !SchemaTools.readSchemaMarkerInfo(spark, root)
-        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
-      "generalized merge under active column mapping is not " +
-        "supported — apply the mapping (replace with the mapped read) " +
-        "first, or use the unconditional upsert")
+    // Active column mapping (Delta MERGE on a column-mapped table):
+    // callers speak LOGICAL names, the executor runs on the files'
+    // frozen PHYSICAL names ([[doUpsert]]'s discipline). Translate
+    // ONCE up front — keys, source columns, clause targets, and every
+    // condition/value expression — and the executor below is
+    // mapping-oblivious. Dropped physical columns are unaddressable
+    // (logical namespace) and land NULL on inserted rows via the
+    // ordinary fallback; rewritten files keep the uniform physical
+    // schema, zero history rewrites.
+    val mMarker = SchemaTools.readSchemaMarkerInfo(spark, root)
+    val toPhys: Map[String, String] = mMarker
+      .map(_.renames.map(_.swap)).getOrElse(Map.empty)
+    val mDropped: Set[String] =
+      mMarker.map(_.dropped).getOrElse(Set.empty)
+    def physName(c: String): String = toPhys.getOrElse(c, c)
+    def physSql(sql: String): String =
+      if (toPhys.isEmpty) sql
+      else spark.sessionState.sqlParser.parseExpression(sql).transform {
+        // target refs arrive bare-logical; source refs arrive as
+        // __s_<logical> (the SQL dispatch's frame) — both remap
+        case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute
+            if a.nameParts.size == 1 &&
+              toPhys.contains(a.nameParts.head) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(toPhys(a.nameParts.head)))
+        case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute
+            if a.nameParts.size == 1 &&
+              a.nameParts.head.startsWith("__s_") &&
+              toPhys.contains(a.nameParts.head.stripPrefix("__s_")) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("__s_" + toPhys(a.nameParts.head.stripPrefix("__s_"))))
+      }.sql
+    def physClause(c: MergeClause): MergeClause = MergeClause(
+      c.condition.map(physSql),
+      c.op match {
+        case MergeUpdate(sets) => MergeUpdate(
+          sets.map { case (t, v) => physName(t) -> physSql(v) })
+        case MergeInsert(vs) => MergeInsert(
+          vs.map { case (t, v) => physName(t) -> physSql(v) })
+        case MergeDelete => MergeDelete
+      })
+    val pSource = toPhys.foldLeft(source) { case (df, (lg, ph)) =>
+      if (df.columns.contains(lg)) df.withColumnRenamed(lg, ph) else df }
+    require(!pSource.columns.exists(mDropped.contains),
+      "source column names collide with DROPPED physical columns — " +
+        "rename the source side")
+    mergePhysical(pSource, keys.map(physName),
+      matched.map(physClause), notMatched.map(physClause),
+      notMatchedBySource.map(physClause), evolve)
+  }
+
+  /** [[merge]]'s executor, entirely in PHYSICAL column space. */
+  private def mergePhysical(
+      source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[CommitLog.MergeClause],
+      notMatched: Seq[CommitLog.MergeClause],
+      notMatchedBySource: Seq[CommitLog.MergeClause],
+      evolve: Boolean): (Long, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, when}
+    import CommitLog.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
     val standingDv = r.tombstones.filter(isDvName)

