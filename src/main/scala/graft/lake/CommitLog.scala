@@ -2261,26 +2261,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       .map(_.renames.map(_.swap)).getOrElse(Map.empty)
     val mDropped: Set[String] =
       mMarker.map(_.dropped).getOrElse(Set.empty)
-    def physName(c: String): String = toPhys.getOrElse(c, c)
-    def physSql(sql: String): String =
-      if (toPhys.isEmpty) sql
-      else spark.sessionState.sqlParser.parseExpression(sql).transform {
-        // target refs arrive bare-logical; source refs arrive as
-        // __s_<logical> (the SQL dispatch's frame) — both remap
-        case a: org.apache.spark.sql.catalyst.analysis
-            .UnresolvedAttribute
-            if a.nameParts.size == 1 &&
-              toPhys.contains(a.nameParts.head) =>
-          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-            Seq(toPhys(a.nameParts.head)))
-        case a: org.apache.spark.sql.catalyst.analysis
-            .UnresolvedAttribute
-            if a.nameParts.size == 1 &&
-              a.nameParts.head.startsWith("__s_") &&
-              toPhys.contains(a.nameParts.head.stripPrefix("__s_")) =>
-          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-            Seq("__s_" + toPhys(a.nameParts.head.stripPrefix("__s_"))))
-      }.sql
+    def physName(c: String): String = physicalName(c)
+    def physSql(sql: String): String = toPhysicalSql(sql)
     def physClause(c: MergeClause): MergeClause = MergeClause(
       c.condition.map(physSql),
       c.op match {
@@ -2298,6 +2280,42 @@ final class CommitLog(spark: SparkSession, root: String) {
     mergePhysical(pSource, keys.map(physName),
       matched.map(physClause), notMatched.map(physClause),
       notMatchedBySource.map(physClause), evolve)
+  }
+
+  /** LOGICAL column name -> the files' frozen PHYSICAL name under
+    * active column mapping (identity without one). */
+  private def physicalName(c: String): String =
+    SchemaTools.readSchemaMarkerInfo(spark, root)
+      .map(_.renames.map(_.swap)).getOrElse(Map.empty)
+      .getOrElse(c, c)
+
+  /** Translate a LOGICAL-name expression/predicate to PHYSICAL names
+    * under active column mapping (identity without one): bare
+    * single-part references remap, and `__s_<logical>` source refs
+    * (the SQL MERGE dispatch's frame) remap inside the prefix. The
+    * shared front door that lets every row-level writer — merge,
+    * deleteWhere, deleteWhereMor, updateWhere — run mapping-oblivious
+    * on the physical frames. */
+  private def toPhysicalSql(sql: String): String = {
+    val toPhys: Map[String, String] =
+      SchemaTools.readSchemaMarkerInfo(spark, root)
+        .map(_.renames.map(_.swap)).getOrElse(Map.empty)
+    if (toPhys.isEmpty) return sql
+    spark.sessionState.sqlParser.parseExpression(sql).transform {
+      case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute
+          if a.nameParts.size == 1 &&
+            toPhys.contains(a.nameParts.head) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(toPhys(a.nameParts.head)))
+      case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute
+          if a.nameParts.size == 1 &&
+            a.nameParts.head.startsWith("__s_") &&
+            toPhys.contains(a.nameParts.head.stripPrefix("__s_")) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq("__s_" + toPhys(a.nameParts.head.stripPrefix("__s_"))))
+    }.sql
   }
 
   /** [[merge]]'s executor, entirely in PHYSICAL column space. */
@@ -2595,13 +2613,11 @@ final class CommitLog(spark: SparkSession, root: String) {
     * land). NULL predicate rows are KEPT (SQL WHERE semantics).
     * Returns (version, touched) — a no-match delete burns no commit
     * (returns the planned version, 0). */
-  def deleteWhere(predicate: String): (Long, Int) = {
+  def deleteWhere(rawPredicate: String): (Long, Int) = {
     import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
-    require(
-      !SchemaTools.readSchemaMarkerInfo(spark, root)
-        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
-      "deleteWhere under active column mapping is not supported — " +
-        "apply the mapping (replace with the mapped read) first")
+    // callers speak LOGICAL names; the copy-on-write runs on the
+    // files' frozen physical names ([[toPhysicalSql]])
+    val predicate = toPhysicalSql(rawPredicate)
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
     if (r.data.isEmpty) return (plannedV, 0)
@@ -2656,13 +2672,11 @@ final class CommitLog(spark: SparkSession, root: String) {
     * burns no commit. Not supported under active column mapping or on
     * clones with borrowed files (positions need this table's own scan
     * prefix). */
-  def deleteWhereMor(predicate: String): (Long, Long) = {
+  def deleteWhereMor(rawPredicate: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
-    require(
-      !SchemaTools.readSchemaMarkerInfo(spark, root)
-        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
-      "deleteWhereMor under active column mapping is not supported — " +
-        "apply the mapping (replace with the mapped read) first")
+    // callers speak LOGICAL names; marks are positional, so mapping
+    // only needs the predicate translated ([[toPhysicalSql]])
+    val predicate = toPhysicalSql(rawPredicate)
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
     if (r.data.isEmpty) return (plannedV, 0L)
@@ -2769,15 +2783,15 @@ final class CommitLog(spark: SparkSession, root: String) {
     * against the pre-update row (standard UPDATE: all assignments see
     * OLD values). No predicate = all rows. Returns (version, touched);
     * a no-match update burns no commit. */
-  def updateWhere(sets: Seq[(String, String)],
-      predicate: Option[String]): (Long, Int) = {
+  def updateWhere(rawSets: Seq[(String, String)],
+      rawPredicate: Option[String]): (Long, Int) = {
     import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, when}
-    require(sets.nonEmpty, "UPDATE needs at least one assignment")
-    require(
-      !SchemaTools.readSchemaMarkerInfo(spark, root)
-        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
-      "updateWhere under active column mapping is not supported — " +
-        "apply the mapping (replace with the mapped read) first")
+    require(rawSets.nonEmpty, "UPDATE needs at least one assignment")
+    // callers speak LOGICAL names; targets, value expressions, and
+    // the predicate translate to physical ([[toPhysicalSql]])
+    val sets = rawSets.map { case (t, v) =>
+      physicalName(t) -> toPhysicalSql(v) }
+    val predicate = rawPredicate.map(toPhysicalSql)
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
     if (r.data.isEmpty) return (plannedV, 0)

@@ -674,6 +674,13 @@ class LakeManagerSpec extends AnyFunSuite {
       .as[Double].head() == 0.5)
     assert(spark.sql("SELECT count(*) FROM mm WHERE score IS NULL")
       .as[Long].head() == 1L)
+    // UPDATE and DELETE translate through the same front door
+    lm.sql("UPDATE mm SET price = price + 1.0 WHERE price = 0.0")
+    assert(spark.sql("SELECT price FROM mm WHERE id = 1")
+      .as[Double].head() == 1.0)
+    lm.sql("DELETE FROM mm WHERE price > 20.0")
+    assert(spark.sql("SELECT id FROM mm ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L))
   }
 
   test("COPY INTO: exactly-once by file identity — rerun loads " +
