@@ -6483,6 +6483,10 @@ object SparkEntry {
         "VALUES (s.o_orderkey, s.o_custkey, s.price)")
       assert(lm.commitLog("t165").latestVersion() == vPre + 1,
         "the mapped merge must be ONE commit")
+      // the lifted row-level writers speak the logical name too
+      lm.sql("UPDATE t165 SET price = price + 0.5 " +
+        "WHERE o_orderkey % 10 = 1")
+      lm.sql("DELETE FROM t165 WHERE price < 1000.0")
       s.sql("SELECT o_orderkey, o_custkey, price FROM t165 " +
         "ORDER BY o_orderkey, o_custkey, price")
     }),
@@ -8251,15 +8255,22 @@ object SparkEntry {
 
     "q165_sql_merge_mapped" ->
       """WITH base AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
-        |SELECT o_orderkey, o_custkey,
-        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
-        |       ELSE o_totalprice END AS price
-        |FROM base WHERE o_orderkey % 7 <> 3
-        |UNION ALL
-        |SELECT o_orderkey + 1000000, max(o_custkey),
-        |  max(o_totalprice)
-        |FROM base WHERE o_orderkey % 7 = 3 GROUP BY o_orderkey
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS price
+        |  FROM base WHERE o_orderkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, max(o_custkey),
+        |    max(o_totalprice)
+        |  FROM base WHERE o_orderkey % 7 = 3 GROUP BY o_orderkey),
+        |updated AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN price + 0.5
+        |         ELSE price END AS price
+        |  FROM merged)
+        |SELECT * FROM updated WHERE price >= 1000.0
         |ORDER BY 1, 2, 3""".stripMargin,
 
     "q163_sql_deep_clone" ->
