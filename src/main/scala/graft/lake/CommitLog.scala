@@ -1344,10 +1344,29 @@ final class CommitLog(spark: SparkSession, root: String) {
     claimed
   }
 
+  /** Align a LOGICAL-named frame to the files' frozen PHYSICAL schema
+    * under active column mapping ([[doUpsert]]'s discipline): unapply
+    * the renames, land dropped physical columns as nulls — so every
+    * append keeps the uniform physical schema and a read never sees
+    * the same logical name twice. Identity without a mapping. */
+  private def alignToPhysical(df: DataFrame): DataFrame =
+    SchemaTools.readSchemaMarkerInfo(spark, root) match {
+      case Some(i) if i.renames.nonEmpty || i.dropped.nonEmpty =>
+        val r = resolve(None)
+        if (r.data.isEmpty) df
+        else SchemaTools.conformTo(
+          SchemaTools.unapplyRenames(df, i.renames),
+          readConformed(r.data, r.schemaOf).schema)
+      case _ => df
+    }
+
   /** Append `df` under the commit protocol. Appends commute, so the
     * CAS-retry loop always terminates with this writer owning some
-    * version; returns it. */
-  def append(df: DataFrame): Long = {
+    * version; returns it. Callers speak LOGICAL names — under active
+    * column mapping the batch aligns to the physical schema first
+    * ([[alignToPhysical]]). */
+  def append(input: DataFrame): Long = {
+    val df = alignToPhysical(input)
     val names = stage(df)
     val spans = spansOf(names, Some(df.schema))
     var v = 0L
@@ -1546,7 +1565,7 @@ final class CommitLog(spark: SparkSession, root: String) {
           }
           out = out.drop("__idx")
         }
-        out = SchemaTools.conformTo(out, tSchema)
+        out = alignToPhysical(SchemaTools.conformTo(out, tSchema))
         staged = stage(out)
         stagedBases = bases
         spans = spansOf(staged, Some(out.schema))
@@ -3345,6 +3364,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     * for [[SchemaTools.renameColumn]] column mapping. The `_schema.json`
     * marker lives at the log root; [[read]] applies it. */
   def renameColumn(from: String, to: String): Unit = {
+    guardDeclared(from, "rename")
     ensureSchemaMarker()
     SchemaTools.renameColumn(spark, root, from, to)
   }
@@ -3352,8 +3372,28 @@ final class CommitLog(spark: SparkSession, root: String) {
   /** Drop a column logically (zero rewrite) — [[SchemaTools.dropColumn]]
     * on the log root. */
   def dropColumn(name: String): Unit = {
+    guardDeclared(name, "drop")
     ensureSchemaMarker()
     SchemaTools.dropColumn(spark, root, name)
+  }
+
+  /** Identity/generated/DEFAULT declarations (and generated-column
+    * INPUTS) are name-keyed properties — a logical rename or drop
+    * would silently dangle them, so refuse loudly. */
+  private def guardDeclared(c: String, verb: String): Unit = {
+    val (ids, gens) = autoColumns()
+    val defs = defaultColumns()
+    val declared = ids.keySet ++ gens.keySet ++ defs.keySet
+    require(!declared.contains(c),
+      s"cannot $verb $c — an identity/generated/DEFAULT declaration " +
+        "is keyed by that name (retire the declaration first)")
+    val genInputs: Set[String] = gens.values.flatMap { g =>
+      spark.sessionState.sqlParser.parseExpression(g).collect {
+        case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.nameParts.last }
+    }.toSet
+    require(!genInputs.contains(c),
+      s"cannot $verb $c — a generated column derives from it")
   }
 
   /** The mapping ops need a marker recording the PHYSICAL schema;

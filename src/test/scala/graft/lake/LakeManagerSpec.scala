@@ -384,6 +384,13 @@ class LakeManagerSpec extends AnyFunSuite {
       lm.commitLog("ct").liveFiles(None).toSet),
       "column mapping must rewrite zero data files")
     lm.sql("ALTER TABLE ct DROP COLUMN IF EXISTS absent") // no-op
+    // INSERT after the mapping: positional against the LOGICAL shape,
+    // batch unapplies the renames so files keep the physical schema
+    lm.sql("INSERT INTO ct VALUES (9, 'z')")
+    assert(spark.sql("SELECT label FROM ct WHERE id = 9")
+      .as[String].head() == "z")
+    assert(spark.sql("SELECT id FROM ct ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 9L))
   }
 
   test("ALTER COLUMN TYPE widens along the promotion ladder by a " +
