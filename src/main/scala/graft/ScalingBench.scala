@@ -146,7 +146,8 @@ object ScalingBench {
       "q156_sql_functions", "q157_sql_table_files",
       "q159_sql_merge_full", "q160_sql_merge_evolution",
       "q161_sql_copy_into", "q162_sql_identity_generated",
-      "q163_sql_deep_clone", "q164_sql_generated_partition")
+      "q163_sql_deep_clone", "q164_sql_generated_partition",
+      "q165_sql_merge_mapped")
 
     // knob-sensitivity variant: d06 with half the LSH bands — fewer
     // band-collision candidates, the lever to pull if candidate volume
