@@ -2428,7 +2428,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     val filesWithHits: Seq[String] =
       if (matched.isEmpty || keyCandidates.isEmpty) Nil
       else {
-        val scan = readConformed(keyCandidates, r.schemaOf)
+        // conform to the EVOLVED schema so a clause condition naming
+        // an evolution-added target column reads NULL, not an
+        // unresolved-column error (input_file_name survives the
+        // projection — it is per-row scan metadata)
+        val scan = SchemaTools.conformTo(
+            readConformed(keyCandidates, r.schemaOf), eSchema)
           .withColumn("__file", input_file_name())
         scan.join(broadcast(src),
             keys.map(k => scan(k) <=> src(s"__s_$k")).reduce(_ && _))
@@ -2453,7 +2458,8 @@ final class CommitLog(spark: SparkSession, root: String) {
             r.data, r.spanOf).getOrElse(r.data)
         if (cands.isEmpty) Nil
         else {
-          val scan = readConformed(cands, r.schemaOf)
+          val scan = SchemaTools.conformTo(
+              readConformed(cands, r.schemaOf), eSchema)
             .withColumn("__file", input_file_name())
           scan.join(broadcast(batchKeys),
               keys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _),

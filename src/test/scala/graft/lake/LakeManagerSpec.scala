@@ -634,6 +634,17 @@ class LakeManagerSpec extends AnyFunSuite {
       .as[String].head() == "x")
     assert(spark.sql("SELECT count(*) FROM me WHERE extra2 IS NULL")
       .as[Long].head() == 3L)
+    // a matched CONDITION may name the evolution-added column on the
+    // TARGET side mid-evolution: standing rows read NULL for it
+    lm.sql("CREATE TABLE me2 (id BIGINT, v STRING) USING commitlog")
+    lm.sql("INSERT INTO me2 VALUES (1, 'a'), (2, 'b')")
+    Seq((1L, 7.0)).toDF("id", "w").createOrReplaceTempView("me2_cdc")
+    lm.sql("MERGE WITH SCHEMA EVOLUTION INTO me2 t USING me2_cdc s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND t.w IS NULL THEN UPDATE SET w = s.w")
+    assert(spark.sql("SELECT w FROM me2 ORDER BY id")
+      .as[Option[Double]].collect().toSeq ==
+      Seq(Some(7.0), None))
   }
 
   test("generalized MERGE under active column mapping: every clause " +
