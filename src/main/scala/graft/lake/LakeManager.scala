@@ -1286,14 +1286,33 @@ final class LakeManager(spark: SparkSession, root: String) {
           case Some(name) =>
             val log = commitLog(name)
             val nn = log.notNullColumns().toSet
+            val (ids, gens) = log.autoColumns()
+            val defs = log.defaultColumns()
+            def decl(c: String): String =
+              ids.get(c).map { case (st, sp, ex) =>
+                s" GENERATED ${if (ex) "BY DEFAULT" else "ALWAYS"} " +
+                  s"AS IDENTITY (START WITH $st INCREMENT BY $sp)"
+              }.orElse(gens.get(c).map(g =>
+                s" GENERATED ALWAYS AS ($g)"))
+                .orElse(defs.get(c).map(d => s" DEFAULT $d"))
+                .getOrElse("")
             val cols = log.read(None).schema.fields.map(f =>
-              s"  ${f.name} ${f.dataType.sql}" +
+              s"  ${f.name} ${f.dataType.sql}${decl(f.name)}" +
                 (if (nn(f.name)) " NOT NULL" else "")).mkString(",\n")
             val parts =
               if (log.partitionCols.isEmpty) ""
               else log.partitionCols
                 .mkString("\nPARTITIONED BY (", ", ", ")")
-            val props = log.properties()
+            // engine bookkeeping stays out of the reconstructed DDL —
+            // identity/generated/DEFAULT render as column clauses
+            // above, and re-running the DDL must not replay registry
+            // pointers or high-water marks as plain properties
+            val internal = Seq(CommitLog.IdentityColPrefix,
+              CommitLog.IdentityHwmPrefix, CommitLog.GeneratedColPrefix,
+              CommitLog.DefaultColPrefix, CommitLog.CopyRunPrefix,
+              LakeManager.ColumnOrderProp)
+            val props = log.properties().filterNot { case (k, _) =>
+              internal.exists(k.startsWith) }
             val propsClause =
               if (props.isEmpty) ""
               else props.toSeq.sorted

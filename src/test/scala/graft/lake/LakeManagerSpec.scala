@@ -886,6 +886,15 @@ class LakeManagerSpec extends AnyFunSuite {
     intercept[Exception] {
       lm.sql("ALTER TABLE au2 ALTER COLUMN v SYNC IDENTITY")
     }
+    // SHOW CREATE TABLE renders the declarations as COLUMN clauses
+    // and keeps engine bookkeeping out of TBLPROPERTIES
+    val ddl = lm.sql("SHOW CREATE TABLE au").as[String].head()
+    assert(ddl.contains("GENERATED ALWAYS AS IDENTITY " +
+      "(START WITH 10 INCREMENT BY 2)") &&
+      ddl.contains("GENERATED ALWAYS AS (length(v))") &&
+      !ddl.contains("graft."), s"declarations must render: $ddl")
+    val ddl4 = lm.sql("SHOW CREATE TABLE au4").as[String].head()
+    assert(ddl4.contains("DEFAULT 'none'"), ddl4)
   }
 
   test("DEEP CLONE: an independent physical copy that works where " +
