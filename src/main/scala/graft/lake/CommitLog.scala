@@ -3236,6 +3236,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     // delete.mode keep governing the clone
     val srcCons = constraints(None)
     val srcProps = properties(None)
+    copyCopyRegistry(srcProps, destRoot, dest)
     if (srcCons.nonEmpty || srcProps.nonEmpty) dest.ensureMetaHint()
     if (!dest.tryCas(1L, "clone", r.data, removed = r.tombstones,
         stats = r.spanOf, schemaGroups = r.schemaOf,
@@ -3245,6 +3246,25 @@ final class CommitLog(spark: SparkSession, root: String) {
         s"clone destination $destRoot claimed v1 concurrently")
     dest
   }
+
+  /** The COPY INTO registry travels with a clone (Delta carries the
+    * ingest dedup state): the referenced run manifests are tiny
+    * METADATA — copying them keeps the shallow clone's zero-DATA-copy
+    * claim intact, and a COPY INTO against the clone still skips
+    * already-ingested files instead of failing on a dangling
+    * pointer. */
+  private def copyCopyRegistry(srcProps: Map[String, String],
+      destRoot: String, dest: CommitLog): Unit =
+    srcProps.collect {
+      case (k, d) if k.startsWith(CommitLog.CopyRunPrefix) => d
+    }.foreach { d =>
+      val from = new Path(root, d)
+      val to = new Path(destRoot, d)
+      if (fs.exists(from))
+        org.apache.hadoop.fs.FileUtil.copy(fs, from,
+          to.getFileSystem(spark.sparkContext.hadoopConfiguration), to,
+          false, true, spark.sparkContext.hadoopConfiguration)
+    }
 
   /** DEEP CLONE (Delta's `CREATE TABLE .. CLONE` without SHALLOW): an
     * independent PHYSICAL copy. File bytes copy DISTRIBUTED — one
@@ -3302,6 +3322,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     }
     val srcCons = constraints(None)
     val srcProps = properties(None)
+    copyCopyRegistry(srcProps, destRoot, dest)
     if (srcCons.nonEmpty || srcProps.nonEmpty) dest.ensureMetaHint()
     if (!dest.tryCas(1L, "clone", r.data, removed = r.tombstones,
         stats = r.spanOf, schemaGroups = r.schemaOf,

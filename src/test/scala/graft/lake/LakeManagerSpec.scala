@@ -773,6 +773,14 @@ class LakeManagerSpec extends AnyFunSuite {
     assert(copy() == ((0L, 0L)),
       "idempotence must survive the registry fold")
     assert(log.compactCopyRegistry().isEmpty, "a second fold is a no-op")
+    // the registry travels with clones (tiny metadata — the shallow
+    // clone still copies zero DATA): a COPY INTO against the clone
+    // skips already-ingested files instead of failing or reloading
+    lm.sql("CREATE TABLE ctclone SHALLOW CLONE ct")
+    val rc = lm.sql(s"COPY INTO ctclone FROM '$srcDir' " +
+      "FILEFORMAT = PARQUET").head()
+    assert(rc.getLong(1) == 0L,
+      "the cloned registry must skip already-ingested files")
     // CSV with FORMAT_OPTIONS
     val srcCsv = s"${TestSpark.tempDir("lakecopycsv")}/files"
     lm.addCommitLog("ctc")
