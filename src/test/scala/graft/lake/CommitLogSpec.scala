@@ -1287,6 +1287,80 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized generalized merge agrees with a row-by-row model " +
+      "(first-true clause, D/U/I routing, NMBS, discard)") {
+    import CommitLog.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(4242 + trial)
+      val root = TestSpark.tempDir(s"clogmergeprop$trial")
+      val log = CommitLog(spark, root).init()
+      // unique-keyed target (the model is a Map); two appends so the
+      // merge crosses file boundaries
+      val tRows: Map[Long, (Long, Long)] = // id -> (v, grp)
+        (0L to 30L).filter(_ => rnd.nextBoolean())
+          .map(id => id -> ((rnd.nextInt(100).toLong,
+            rnd.nextInt(4).toLong))).toMap
+      val (ta, tb) = tRows.toSeq.partition(_._1 % 2 == 0)
+      def frame(rows: Seq[(Long, (Long, Long))]) =
+        rows.map { case (id, (v, g)) => (id, v, g) }
+          .toDF("id", "v", "grp")
+      if (ta.nonEmpty) log.append(frame(ta))
+      if (tb.nonEmpty) log.append(frame(tb))
+      if (tRows.isEmpty) log.append(frame(Seq(99L -> ((1L, 1L)))))
+      val live: Map[Long, (Long, Long)] =
+        if (tRows.nonEmpty) tRows else Map(99L -> ((1L, 1L)))
+      // distinct-keyed source with an op column and a value
+      val sRows: Map[Long, (String, Long)] = // id -> (op, sv)
+        (0L to 40L).filter(_ => rnd.nextBoolean())
+          .map(id => id -> ((Seq("D", "U", "I", "X")(rnd.nextInt(4)),
+            rnd.nextInt(50).toLong))).toMap
+      val src = sRows.toSeq.map { case (id, (op, sv)) => (id, op, sv) }
+        .toDF("id", "op", "sv")
+      // random clause battery (conditions reference both sides)
+      val matched = Seq(
+        MergeClause(Some("__s_op = 'D'"), MergeDelete),
+        MergeClause(Some("__s_op = 'U'"),
+          MergeUpdate(Seq("v" -> "__s_sv + v")))) ++
+        (if (rnd.nextBoolean())
+          Seq(MergeClause(Some("grp = 0"),
+            MergeUpdate(Seq("v" -> "-1")))) else Nil)
+      val notMatched = Seq(MergeClause(Some("__s_op = 'I'"),
+        MergeInsert(Seq("id" -> "__s_id", "v" -> "__s_sv",
+          "grp" -> "9"))))
+      val nmbs =
+        if (rnd.nextBoolean())
+          Seq(MergeClause(Some("grp = 1"), MergeDelete),
+            MergeClause(None, MergeUpdate(Seq("v" -> "0"))))
+        else Nil
+      log.merge(src, Seq("id"), matched, notMatched, nmbs)
+      // the MODEL: first-true per row over plain Scala maps
+      val expected = scala.collection.mutable.Map[Long, (Long, Long)]()
+      live.foreach { case (id, (v, g)) =>
+        sRows.get(id) match {
+          case Some((op, sv)) => // matched: first true clause wins
+            if (op == "D") ()
+            else if (op == "U") expected(id) = (sv + v, g)
+            else if (matched.size == 3 && g == 0)
+              expected(id) = (-1L, g)
+            else expected(id) = (v, g) // no clause fired: keep
+          case None => // not matched by source
+            if (nmbs.isEmpty) expected(id) = (v, g)
+            else if (g == 1) () // first clause: delete
+            else expected(id) = (0L, g)
+        }
+      }
+      sRows.foreach { case (id, (op, sv)) =>
+        if (!live.contains(id) && op == "I") expected(id) = (sv, 9L)
+      } // 'X' unmatched rows discard
+      val got = log.read(None).select("id", "v", "grp")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, v, g) => id -> ((v, g)) }.toMap
+      assert(got == expected.toMap,
+        s"trial $trial diverged: got=${got.toSeq.sorted.take(8)} " +
+          s"expected=${expected.toSeq.sorted.take(8)}")
+    }
+  }
+
   test("copyInto race: four writers copying the SAME source land " +
       "every file exactly once between them") {
     val root = TestSpark.tempDir("clogcopyrace")
