@@ -1361,6 +1361,57 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized copyInto agrees with a loaded-set model across " +
+      "interleaved adds, copies, registry folds, and vacuums") {
+    for (trial <- 1 to 4) {
+      val rnd = new scala.util.Random(777 + trial)
+      val root = TestSpark.tempDir(s"clogcopyfuzz$trial")
+      val log = CommitLog(spark, root).init()
+      val src = s"${TestSpark.tempDir(s"clogcopyfuzzsrc$trial")}/files"
+      var nextId = 0L
+      var batch = 0
+      // model: every id written to the source exactly once; the table
+      // must hold exactly the ids of files present at SOME copy
+      val inSource = scala.collection.mutable.ArrayBuffer[Long]()
+      val loaded = scala.collection.mutable.ArrayBuffer[Long]()
+      def addFiles(): Unit = {
+        val n = 1 + rnd.nextInt(4)
+        val ids = (nextId until nextId + n).toSeq
+        nextId += n
+        batch += 1
+        ids.map(i => (i, s"r$i")).toDF("id", "v")
+          .repartition(1 + rnd.nextInt(2))
+          .write.parquet(s"$src/b$batch")
+        inSource ++= ids
+      }
+      addFiles()
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => addFiles()
+          case 1 =>
+            val before = loaded.size
+            log.copyInto(src)
+            loaded.clear(); loaded ++= inSource
+            val got = log.read(None).select("id").as[Long]
+              .collect().sorted.toSeq
+            assert(got == loaded.sorted.toSeq,
+              s"trial $trial: copy diverged at $before -> " +
+                s"${loaded.size}")
+          case 2 => log.compactCopyRegistry()
+          case 3 => log.vacuum(0L)
+        }
+      }
+      // final copy: everything still outstanding loads exactly once
+      log.copyInto(src)
+      val got = log.read(None).select("id").as[Long]
+        .collect().sorted.toSeq
+      assert(got == inSource.sorted.toSeq && got.distinct == got,
+        s"trial $trial: final state diverged")
+      // and the registry proves it: one more copy is a no-op
+      assert(log.copyInto(src)._2 == 0L)
+    }
+  }
+
   test("copyInto race: four writers copying the SAME source land " +
       "every file exactly once between them") {
     val root = TestSpark.tempDir("clogcopyrace")
