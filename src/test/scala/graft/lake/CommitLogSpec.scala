@@ -1438,6 +1438,58 @@ class CommitLogSpec extends AnyFunSuite {
     assert(log.copyInto(src)._2 == 0L)
   }
 
+  test("randomized identity lifecycle keeps live ids distinct across " +
+      "allocations, explicit BY DEFAULT inserts, deletes, and syncs") {
+    for (trial <- 1 to 4) {
+      val rnd = new scala.util.Random(1313 + trial)
+      val root = TestSpark.tempDir(s"clogidfuzz$trial")
+      val log = CommitLog(spark, root).init()
+      log.append(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType)))))
+      // BY DEFAULT: explicit values legal; start 0 step 2, explicit
+      // ids drawn from a DISJOINT negative range so live-distinctness
+      // is the invariant under every interleaving
+      log.setProperties(Map(
+        s"${CommitLog.IdentityColPrefix}id" -> "0,2,true"))
+      var nextExplicit = -1L
+      def check(tag: String): Unit = {
+        val ids = log.read(None).select("id").as[Long].collect()
+        assert(ids.distinct.length == ids.length,
+          s"trial $trial after $tag: live ids collide " +
+            s"(${ids.length - ids.distinct.length} dups)")
+      }
+      (1 to 10).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 | 1 => // auto-allocating insert
+            val k = 1 + rnd.nextInt(5)
+            log.appendResolvingDefaults(
+              Seq.tabulate(k)(j => s"a$step-$j").toDF("v"))
+          case 2 => // explicit insert from the reserved range
+            val k = 1 + rnd.nextInt(3)
+            val ids = (0 until k).map(_ => { nextExplicit -= 2
+              nextExplicit })
+            log.appendResolvingDefaults(
+              ids.map(i => (i, s"e$i")).toDF("id", "v"))
+          case 3 =>
+            val m = 2 + rnd.nextInt(4)
+            log.deleteWhere(s"pmod(id, $m) = ${rnd.nextInt(m)}")
+          case 4 =>
+            log.syncIdentity("id")
+        }
+        check(s"step $step")
+      }
+      // the mark survives everything monotone enough to keep the
+      // NEXT allocation collision-free too
+      log.appendResolvingDefaults(Seq("final").toDF("v"))
+      check("final")
+    }
+  }
+
   test("identity allocation race: four writers draw from the same " +
       "high-water mark without collisions, the block is contiguous") {
     val root = TestSpark.tempDir("clogidrace")
