@@ -1445,9 +1445,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     * input's partitioning (the allocator re-derives on CAS retry
     * anyway). Partitions stay under 2^33 rows (Spark's own m_i_i
     * envelope). */
-  private def zipIndex(df: DataFrame): DataFrame = {
+  private def zipIndex(df: DataFrame): (DataFrame, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit,
-      monotonically_increasing_id, spark_partition_id}
+      monotonically_increasing_id, raise_error, spark_partition_id,
+      when}
     val marked = df
       .withColumn("__pid", spark_partition_id())
       .withColumn("__inpart", monotonically_increasing_id()
@@ -1462,9 +1463,21 @@ final class CommitLog(spark: SparkSession, root: String) {
       counts.zip(offsets.dropRight(1).map(_._2)).toSeq
         .map { case ((pid, _), off) => (pid, off) })
       .toDF("__pid", "__off")
-    marked.join(broadcast(offDf), "__pid")
-      .withColumn("__idx", col("__off") + col("__inpart"))
+    // LEFT join + loud per-row guard: the input recomputes between
+    // the counts job and this join, and a partitioning that shifted
+    // (AQE re-coalescing, a non-deterministic upstream) must FAIL,
+    // not silently drop the rows whose partition id the counts pass
+    // never saw
+    val out = marked.join(broadcast(offDf), Seq("__pid"), "left")
+      .withColumn("__idx",
+        when(col("__off").isNotNull, col("__off") + col("__inpart"))
+          .otherwise(raise_error(lit(
+            "identity allocation: input partitioning shifted between " +
+              "the counts pass and the index pass — re-run the " +
+              "INSERT (materialize a non-deterministic source first)"))
+            .cast(org.apache.spark.sql.types.LongType)))
       .drop("__pid", "__inpart", "__off")
+    (out, counts.map(_._2).sum)
   }
 
   /** Append resolving AUTO COLUMNS (Delta's identity / generated
@@ -1532,7 +1545,9 @@ final class CommitLog(spark: SparkSession, root: String) {
           c -> (if (row.isNullAt(i)) None
                 else Some(row.get(i).toString.toLong)) }.toMap
       }
-    val n: Long = if (toAlloc.isEmpty) 0L else df.count()
+    // batch row count rides out of zipIndex's own counts pass — no
+    // separate count job over the (possibly expensive) input
+    var n: Long = 0L
     def hwmKey(c: String) = s"${CommitLog.IdentityHwmPrefix}$c"
     def hwmOf(ps: Map[String, String], c: String): Long =
       ps.get(hwmKey(c)).map(_.toLong)
@@ -1556,7 +1571,9 @@ final class CommitLog(spark: SparkSession, root: String) {
         sweep()
         var out = df
         if (toAlloc.nonEmpty) {
-          out = zipIndex(out)
+          val (indexed, total) = zipIndex(out)
+          out = indexed
+          n = total
           toAlloc.foreach { c =>
             val (_, step, _) = ids(c)
             out = out.withColumn(c,
@@ -1641,6 +1658,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(cIds.isEmpty && cGens.isEmpty,
       "COPY INTO a table with identity/generated columns is not " +
         "supported — load through INSERT INTO ... SELECT")
+    // the copy path matches source files against the PHYSICAL schema;
+    // a logical mapping would silently duplicate renamed columns
+    require(!SchemaTools.readSchemaMarkerInfo(spark, root)
+        .exists(i => i.renames.nonEmpty || i.dropped.nonEmpty),
+      "COPY INTO under active column mapping is not supported — " +
+        "load through INSERT INTO ... SELECT")
     val candidates: Seq[org.apache.hadoop.fs.FileStatus] = pattern match {
       case Some(g) => Option(sfs.globStatus(new Path(srcP, g)))
         .map(_.toSeq).getOrElse(Nil).filter(_.isFile)
@@ -2256,9 +2279,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "merge needs at least one WHEN clause")
-    require(autoColumns()._1.isEmpty,
-      "merge into a table with identity columns is not supported — " +
-        "route the change through INSERT/UPDATE/DELETE")
+    // Delta's historical restriction, enforced at the API like the
+    // upsert guard: merged-in identity values would bypass the mark,
+    // and merge neither recomputes nor validates generated columns
+    val (mAutoIds, mAutoGens) = autoColumns()
+    require(mAutoIds.isEmpty && mAutoGens.isEmpty,
+      "merge into a table with identity/generated columns is not " +
+        "supported — route the change through INSERT/UPDATE/DELETE")
     matched.foreach(c => require(!c.op.isInstanceOf[MergeInsert],
       "WHEN MATCHED supports UPDATE/DELETE, not INSERT"))
     notMatched.foreach(c => require(c.op.isInstanceOf[MergeInsert],
@@ -2694,9 +2721,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     * the re-homed files). OPTIMIZE is the fold: rewritten files leave
     * the live set and their marks become dead weight vacuum-class
     * metadata. NULL predicate rows are KEPT (SQL WHERE). No-match
-    * burns no commit. Not supported under active column mapping or on
-    * clones with borrowed files (positions need this table's own scan
-    * prefix). */
+    * burns no commit. The predicate speaks LOGICAL names (active
+    * column mapping translates through [[toPhysicalSql]]); not
+    * supported on clones with borrowed files (positions need this
+    * table's own scan prefix). */
   def deleteWhereMor(rawPredicate: String): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     // callers speak LOGICAL names; marks are positional, so mapping

@@ -456,16 +456,21 @@ final class LakeManager(spark: SparkSession, root: String) {
         "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
         "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?" +
         "\\s*;?\\s*$").r
-    // 'k' = 'v' pairs inside FORMAT_OPTIONS / COPY_OPTIONS
+    // 'k' = 'v' pairs inside FORMAT_OPTIONS / COPY_OPTIONS — matched
+    // as quoted pairs, NOT split on commas (a CSV 'sep' = ',' is the
+    // canonical value holding one); leftover non-separator text
+    // refuses loudly
     def optMap(s: String): Map[String, String] =
       if (s == null || s.trim.isEmpty) Map.empty
       else {
-        val Pair = "\\s*'([^']*)'\\s*=\\s*'([^']*)'\\s*".r
-        s.split(',').toSeq.map {
-          case Pair(k, v) => k -> v
-          case other => throw new IllegalArgumentException(
-            s"malformed option (want 'k' = 'v'): $other")
-        }.toMap
+        val Pair = "'([^']*)'\\s*=\\s*'([^']*)'".r
+        val pairs = Pair.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2)).toSeq
+        val leftover = Pair.replaceAllIn(s, "")
+          .replaceAll("[\\s,]", "")
+        require(pairs.nonEmpty && leftover.isEmpty,
+          s"malformed options (want 'k' = 'v', ...): $s")
+        pairs.toMap
       }
     def simpleName(token: String): String = {
       val parts = token.split('.').toSeq.map { p =>
@@ -761,7 +766,22 @@ final class LakeManager(spark: SparkSession, root: String) {
                 "INSERT OVERWRITE on a table with identity/generated/" +
                   "default columns is not supported — TRUNCATE then " +
                   "INSERT")
-              val tSchema = log.read(None).schema
+              // bind against the DECLARED order (the same
+              // ColumnOrderProp discipline conformPositional honors) —
+              // the raw read order is partition-first on an empty
+              // partitioned frame and alphabetical under drift
+              val unified = log.read(None).schema
+              val tSchema = log.properties()
+                .get(LakeManager.ColumnOrderProp) match {
+                  case Some(order) =>
+                    val declared = order.split(",").toSeq
+                      .filter(unified.fieldNames.contains)
+                    val rest = unified.fieldNames.toSeq
+                      .filterNot(declared.contains)
+                    org.apache.spark.sql.types.StructType(
+                      (declared ++ rest).map(unified(_)))
+                  case None => unified
+                }
               val manual = tSchema.filterNot(f => auto.contains(f.name))
               val bound =
                 if (q.columns.length == manual.length)

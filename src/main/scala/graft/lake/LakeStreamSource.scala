@@ -282,10 +282,26 @@ final class LakeStreamProvider
         // so the exclusive base is exactly that
         parameters.get("startingTimestamp") match {
           case Some(ts) =>
-            val t = java.sql.Timestamp.valueOf(
-              ts.replace("T", " ").stripSuffix("Z"))
-            // an instant predating the first commit = from the start
-            scala.util.Try(log.versionAt(t.getTime)).getOrElse(0L)
+            // 'Z'-suffixed instants are UTC (Instant.parse); naive
+            // strings are JVM-local wall clock (Delta's convention)
+            val millis =
+              if (ts.endsWith("Z"))
+                java.time.Instant.parse(
+                  if (ts.contains("T")) ts else ts.replace(" ", "T"))
+                  .toEpochMilli
+              else java.sql.Timestamp.valueOf(ts.replace("T", " "))
+                .getTime
+            // first commit AT OR AFTER the instant delivers: the
+            // exclusive base is the latest commit STRICTLY BEFORE it.
+            // An instant at or before the earliest retained commit
+            // streams from the start — everything else propagates
+            // (a malformed timestamp or broken manifest must not
+            // silently replay the whole table)
+            val lo = log.earliestVersion()
+            if (log.latestVersion() == 0L ||
+                log.commit(math.max(lo, 1L)).ts >= millis)
+              math.max(lo - 1L, 0L)
+            else log.versionAt(millis - 1L)
           case None => 0L
         }
     }

@@ -894,6 +894,15 @@ class LakeManagerSpec extends AnyFunSuite {
     intercept[Exception] {
       lm.sql("ALTER TABLE au2 ALTER COLUMN v SYNC IDENTITY")
     }
+    // declared-order binding with a DEFAULT column on a PARTITIONED
+    // table: the empty frame reads partition-first, but the binding
+    // must be the DECLARED order (a rotated bind would write 1 into
+    // the partition column)
+    lm.sql("CREATE TABLE au5 (a BIGINT, b STRING DEFAULT 'x', " +
+      "p STRING) USING commitlog PARTITIONED BY (p)")
+    lm.sql("INSERT INTO au5 VALUES (1, 'east')")
+    assert(spark.sql("SELECT a, b, p FROM au5")
+      .as[(Long, String, String)].head() == ((1L, "x", "east")))
     // SHOW CREATE TABLE renders the declarations as COLUMN clauses
     // and keeps engine bookkeeping out of TBLPROPERTIES
     val ddl = lm.sql("SHOW CREATE TABLE au").as[String].head()

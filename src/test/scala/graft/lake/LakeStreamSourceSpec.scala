@@ -102,11 +102,18 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       q.awaitTermination()
       spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
     }
-    // instant = v1's commit time -> base v1 (exclusive) -> v2 only
+    // instant = v1's commit time -> v1 is AT the instant, so it
+    // delivers (at-or-after, Delta's contract)
     assert(drainFrom(new java.sql.Timestamp(t1).toString, "mid")
+      == Seq(1L, 2L))
+    // one millisecond later -> strictly after v1 -> v2 only
+    assert(drainFrom(new java.sql.Timestamp(t1 + 1).toString, "mid2")
       == Seq(2L))
     // an instant predating the table -> everything
     assert(drainFrom("1990-01-01 00:00:00", "pre") == Seq(1L, 2L))
+    // UTC instants parse as UTC ('Z' suffix), not local wall clock
+    assert(drainFrom(java.time.Instant.ofEpochMilli(t1 + 1).toString,
+      "utc") == Seq(2L))
     intercept[Exception] {
       spark.readStream.format("commitlog")
         .option("startingTimestamp", "1990-01-01 00:00:00")
