@@ -743,11 +743,14 @@ final class CommitLog(spark: SparkSession, root: String) {
   }
 
   /** Subtract positional marks from a position-carrying frame and drop
-    * the position columns. */
-  private def minusDv(withPos: DataFrame, dvNames: Seq[String])
-      : DataFrame = {
+    * the position columns (`keepFile` retains `__file_name` for probes
+    * that need per-row file identity on the APPLIED rows). */
+  private def minusDv(withPos: DataFrame, dvNames: Seq[String],
+      keepFile: Boolean = false): DataFrame = {
+    val posCols = if (keepFile) Seq("__row_pos")
+      else Seq("__file_name", "__row_pos")
     if (dvNames.isEmpty)
-      return withPos.drop("__file_name", "__row_pos")
+      return withPos.drop(posCols: _*)
     val paths = dvNames.map(dataPath)
     val dvf = spark.read.parquet(paths: _*)
     withPos.join(
@@ -756,7 +759,60 @@ final class CommitLog(spark: SparkSession, root: String) {
       withPos("__file_name") === dvf("__dv_file") &&
         withPos("__row_pos") === dvf("__dv_pos"),
       "left_anti")
-      .drop("__file_name", "__row_pos")
+      .drop(posCols: _*)
+  }
+
+  /** Candidate scan carrying per-row file identity as `__file`, with
+    * standing positional marks SUBTRACTED. Probes that decide which
+    * files a row-level writer touches — and whether source keys match
+    * live target rows at all — must see only LIVE rows: an unapplied
+    * scan lets a dv-deleted row spuriously "match", which suppresses a
+    * WHEN NOT MATCHED insert (the row is then neither inserted nor
+    * updated — silent data loss), trips the duplicate-source-key
+    * refusal on rows that no longer exist, and marks files touched
+    * whose only hits are deleted. `__file` is the RELATIVE committed
+    * name when marks stand (the position-carrying read decodes it);
+    * otherwise the absolute scan path — [[relFileOf]] normalizes. */
+  private def appliedWithFile(names: Seq[String],
+      schemaOf: Map[String, StructType],
+      dvNames: Seq[String]): DataFrame =
+    if (dvNames.isEmpty)
+      readConformed(names, schemaOf).withColumn("__file",
+        org.apache.spark.sql.functions.input_file_name())
+    else
+      minusDv(readConformed(names, schemaOf, withPos = true), dvNames,
+        keepFile = true).withColumnRenamed("__file_name", "__file")
+
+  /** Normalize a `__file` value from [[appliedWithFile]] to the
+    * relative committed name. */
+  private def relFileOf(dvNames: Seq[String])(s: String): String =
+    if (dvNames.isEmpty) relName(s) else s
+
+  /** Size-discipline an arbitrary merge/upsert source frame. When the
+    * optimizer's estimate already fits the session broadcast
+    * threshold, the frame passes through untouched (downstream joins
+    * broadcast it). Otherwise — large OR unknown-size — it is staged
+    * ONCE to a lake temp dir and re-read, so (a) every downstream join
+    * guard sees the REAL on-disk byte count instead of a guess (a
+    * multi-GB CDC/backfill source must plan as a shuffled join, never
+    * a forced driver broadcast), and (b) the merge's several passes
+    * over the source scan a materialized columnar file instead of
+    * recomputing an arbitrary upstream plan each time. Returns
+    * (frame, bytes, tempDirToSweep) — the caller sweeps the temp dir
+    * in a `finally`. */
+  private def sizedSource(df: DataFrame): (DataFrame, Long, Option[Path]) = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val threshold = SchemaTools.broadcastThreshold(spark)
+    if (threshold > 0 && est <= BigInt(threshold))
+      (df, est.toLong, None)
+    else {
+      val tmp = new Path(root,
+        s"_staged/src_${java.util.UUID.randomUUID().toString.take(12)}")
+      df.write.parquet(tmp.toString)
+      val files = SchemaTools.listDataFiles(spark, tmp.toString)
+      (spark.read.parquet(tmp.toString),
+        SchemaTools.bytesOf(spark, files), Some(tmp))
+    }
   }
 
   /** [[readConformed]] with standing positional marks applied — what
@@ -2041,7 +2097,7 @@ final class CommitLog(spark: SparkSession, root: String) {
   private def doUpsert(batch: DataFrame, keys: Seq[String],
       beforeCommit: () => Unit,
       txn: Option[(String, Long)]): Option[(Long, Int)] = {
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "upsert needs at least one key column")
     // Delta's historical restriction, enforced at the API too (the
     // SQL dispatch refuses earlier): merged-in explicit identity
@@ -2075,8 +2131,17 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(batch.columns.sorted.sameElements(logicalCols.sorted),
       s"upsert batch columns ${batch.columns.sorted.mkString(",")} " +
         s"must match dataset columns ${logicalCols.sorted.mkString(",")}")
-    val batchAligned = SchemaTools.conformTo(
-      SchemaTools.unapplyRenames(batch, renames), current.schema)
+    // an arbitrary upsert batch gets the same size discipline as the
+    // merge source: stage-and-size above the broadcast threshold, so
+    // a multi-GB batch plans shuffled joins instead of forcing a
+    // driver broadcast (and the several passes below scan a
+    // materialized file, not an arbitrary recomputed plan)
+    val (batchAligned, batchBytes, batchTmp) = sizedSource(
+      SchemaTools.conformTo(
+        SchemaTools.unapplyRenames(batch, renames), current.schema))
+    def bcast(df: DataFrame): DataFrame =
+      SchemaTools.broadcastIfUnder(spark, df, batchBytes)
+    try {
     // standing MOR tombstones subtract BY KEY from whatever files are
     // live (the documented standing-predicate semantic), so a merge
     // writing a tombstoned key would land rows the very next read
@@ -2116,13 +2181,15 @@ final class CommitLog(spark: SparkSession, root: String) {
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
       else {
-        val scan = readConformed(candidates, r.schemaOf)
-          .select(physKeys.map(col) :+ input_file_name().as("__file"): _*)
+        // dv-applied: a file whose only key hits are positionally-
+        // deleted rows must not rewrite
+        val scan = appliedWithFile(candidates, r.schemaOf, standingDv)
+          .select(physKeys.map(col) :+ col("__file"): _*)
         val cond =
           physKeys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _)
-        scan.join(broadcast(batchKeys), cond, "left_semi")
+        scan.join(bcast(batchKeys), cond, "left_semi")
           .select("__file").distinct()
-          .collect().map(x => relName(x.getString(0))).toSeq
+          .collect().map(x => relFileOf(standingDv)(x.getString(0))).toSeq
       }
     val out =
       if (touched.isEmpty) batchAligned
@@ -2134,7 +2201,7 @@ final class CommitLog(spark: SparkSession, root: String) {
           batchAligned.schema)
         val cond = physKeys
           .map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
-        touchedRows.join(broadcast(batchKeys), cond, "left_anti")
+        touchedRows.join(bcast(batchKeys), cond, "left_anti")
           .unionByName(batchAligned)
       }
     val names = stage(out)
@@ -2221,6 +2288,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     else maintainStats(names)
     notifyCommit()
     Some((v, touched.size))
+    } finally batchTmp.foreach(p => fs.delete(p, true))
   }
 
   /** Generalized MERGE — the full Delta grammar as ONE atomic commit:
@@ -2242,8 +2310,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     * live row must prove a source match or face the clauses, so the
     * scan covers all live files (clause-condition spans prune when
     * they can) and only files where a clause fires rewrite. The
-    * source is the SMALL side everywhere (a CDC batch, not a second
-    * lake) — it broadcasts.
+    * source may be ANY size: under the session broadcast threshold it
+    * broadcasts into every probe; above it (or when the optimizer
+    * can't size it) it is staged once to a lake temp file and every
+    * source-side join plans as an ordinary shuffled join on its real
+    * byte count ([[sizedSource]]) — a multi-GB CDC/backfill source
+    * never forces a driver broadcast.
     *
     * Delta-parity semantics: a target row matched by more than one
     * source row REFUSES when matched clauses exist
@@ -2364,16 +2436,26 @@ final class CommitLog(spark: SparkSession, root: String) {
     }.sql
   }
 
-  /** [[merge]]'s executor, entirely in PHYSICAL column space. */
+  /** [[merge]]'s executor, entirely in PHYSICAL column space.
+    *
+    * Source-size discipline: the source is an ARBITRARY frame (a CDC
+    * feed or backfill can be multi-GB at scale), so it is routed
+    * through [[sizedSource]] and every source-side join below uses
+    * `broadcastIfUnder` with the real byte count — an oversized source
+    * plans as a shuffled join instead of forcing a driver broadcast. */
   private def mergePhysical(
-      source: DataFrame,
+      source0: DataFrame,
       keys: Seq[String],
       matched: Seq[CommitLog.MergeClause],
       notMatched: Seq[CommitLog.MergeClause],
       notMatchedBySource: Seq[CommitLog.MergeClause],
       evolve: Boolean): (Long, Int) = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     import CommitLog.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
+    val (source, srcBytes, srcTmp) = sizedSource(source0)
+    def bcast(df: DataFrame): DataFrame =
+      SchemaTools.broadcastIfUnder(spark, df, srcBytes)
+    try {
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
     val standingDv = r.tombstones.filter(isDvName)
@@ -2437,9 +2519,11 @@ final class CommitLog(spark: SparkSession, root: String) {
       val dupKeys = srcKeys.groupBy(keys.map(col): _*)
         .count().filter(col("count") > 1).drop("count")
       if (!dupKeys.isEmpty) {
-        val scanK = readConformed(keyCandidates, r.schemaOf)
+        // dv-APPLIED key scan: a positionally-deleted row is not a
+        // target row — it must not trip the nondeterminism refusal
+        val scanK = readApplied(keyCandidates, r.schemaOf, standingDv)
           .select(keys.map(col): _*)
-        val clash = !scanK.join(broadcast(dupKeys),
+        val clash = !scanK.join(bcast(dupKeys),
           keys.map(k => scanK(k) <=> dupKeys(k)).reduce(_ && _),
           "left_semi").isEmpty
         require(!clash,
@@ -2452,21 +2536,29 @@ final class CommitLog(spark: SparkSession, root: String) {
     val matchedOr: org.apache.spark.sql.Column = matched
       .map(_.condition.map(expr).getOrElse(lit(true)))
       .reduceOption(_ || _).getOrElse(lit(false))
+    // dv-applied scan with per-row file identity, conformed to the
+    // EVOLVED schema so a clause condition naming an evolution-added
+    // target column reads NULL, not an unresolved-column error
+    def evolvedScanWithFile(names: Seq[String]): DataFrame = {
+      val s0 = appliedWithFile(names, r.schemaOf, standingDv)
+      val have = s0.schema.fieldNames.toSet
+      s0.select((eSchema.fields.toSeq.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ col("__file")): _*)
+    }
+    val toRel = relFileOf(standingDv) _
     val filesWithHits: Seq[String] =
       if (matched.isEmpty || keyCandidates.isEmpty) Nil
       else {
-        // conform to the EVOLVED schema so a clause condition naming
-        // an evolution-added target column reads NULL, not an
-        // unresolved-column error (input_file_name survives the
-        // projection — it is per-row scan metadata)
-        val scan = SchemaTools.conformTo(
-            readConformed(keyCandidates, r.schemaOf), eSchema)
-          .withColumn("__file", input_file_name())
-        scan.join(broadcast(src),
+        // only LIVE rows count as hits: a file whose only key matches
+        // are dv-deleted rows must not rewrite
+        val scan = evolvedScanWithFile(keyCandidates)
+        scan.join(bcast(src),
             keys.map(k => scan(k) <=> src(s"__s_$k")).reduce(_ && _))
           .filter(coalesce(matchedOr, lit(false)))
           .select("__file").distinct()
-          .collect().map(x => relName(x.getString(0))).toSeq
+          .collect().map(x => toRel(x.getString(0))).toSeq
       }
     // NOT MATCHED BY SOURCE: every live row must prove a source match
     // or face the clauses — scan all live files (condition spans
@@ -2485,15 +2577,15 @@ final class CommitLog(spark: SparkSession, root: String) {
             r.data, r.spanOf).getOrElse(r.data)
         if (cands.isEmpty) Nil
         else {
-          val scan = SchemaTools.conformTo(
-              readConformed(cands, r.schemaOf), eSchema)
-            .withColumn("__file", input_file_name())
-          scan.join(broadcast(batchKeys),
+          // dv-applied for the same reason as filesWithHits: a
+          // deleted row is not a live row facing the NMBS clauses
+          val scan = evolvedScanWithFile(cands)
+          scan.join(bcast(batchKeys),
               keys.map(k => scan(k) <=> batchKeys(k)).reduce(_ && _),
               "left_anti")
             .filter(coalesce(nmbsOr, lit(false)))
             .select("__file").distinct()
-            .collect().map(x => relName(x.getString(0))).toSeq
+            .collect().map(x => toRel(x.getString(0))).toSeq
         }
       }
     val touched = (filesWithHits ++ nmbsTouched).distinct
@@ -2524,7 +2616,7 @@ final class CommitLog(spark: SparkSession, root: String) {
           else batchKeys
             .select(keys.map(k => col(k).as(s"__s_$k")): _*)
             .withColumn("__s_match", lit(true))
-        val joined = touchedRows.join(broadcast(joinRight),
+        val joined = touchedRows.join(bcast(joinRight),
           keys.map(k => touchedRows(k) <=> joinRight(s"__s_$k"))
             .reduce(_ && _),
           "left_outer")
@@ -2556,12 +2648,14 @@ final class CommitLog(spark: SparkSession, root: String) {
       else {
         // source rows with NO live match: anti-join against the key
         // columns of the span-surviving candidate files (files outside
-        // the envelope provably hold no matching key). The scan prunes
-        // to just the key columns; the small source is the build side.
+        // the envelope provably hold no matching key). The probe is
+        // dv-APPLIED — a positionally-deleted target row must NOT
+        // suppress the insert (Delta applies deletion vectors before
+        // matching), or the source row is neither inserted nor updated.
         val srcOnly =
           if (keyCandidates.isEmpty) src
           else {
-            val scanK = readConformed(keyCandidates, r.schemaOf)
+            val scanK = readApplied(keyCandidates, r.schemaOf, standingDv)
               .select(keys.map(col): _*)
             src.join(scanK,
               keys.map(k => src(s"__s_$k") <=> scanK(k)).reduce(_ && _),
@@ -2650,6 +2744,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     else maintainStats(names)
     notifyCommit()
     (v, touched.size)
+    } finally srcTmp.foreach(p => fs.delete(p, true))
   }
 
   /** Row-level DELETE WHERE as ONE atomic copy-on-write commit (the

@@ -672,12 +672,24 @@ object FileStats {
       bloomParams.getOrElse(Nil).map { case (c, bits, _) =>
         bloomAggCols(df.schema, Seq(c), bits).head
       } :+ count(lit(1)).as("n_rows")
-    df.groupBy(input_file_name().as("file"))
+    val delta = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .select(statsSchema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-      .coalesce(1)
-      .write.mode("append").parquet(d.toString)
+    // same sharding math as [[buildFrom]]: span-only rows are tiny
+    // (one part file reads fastest), but bloom-carrying rows funnel
+    // blobs — a large bloom-carrying backfill append must not push
+    // gigabytes through one task
+    val out =
+      if (bloomed.isEmpty) delta.coalesce(1)
+      else {
+        val blobBytes = bloomParams.getOrElse(Nil)
+          .map { case (_, bits, _) => 1L + bits / 8 }.sum
+        val shards = math.max(1L, math.min(1024L,
+          files.length.toLong * blobBytes / TargetShardBytes + 1L)).toInt
+        delta.repartition(shards, col("file"))
+      }
+    out.write.mode("append").parquet(d.toString)
     seal(spark, path)
   }
 

@@ -453,8 +453,11 @@ final class LakeManager(spark: SparkSession, root: String) {
         "\\s+FROM\\s+'([^']+)'" +
         "\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+)" +
         "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
-        "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
-        "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?" +
+        // option bodies are quoted-string-aware: a ')' INSIDE a quoted
+        // value (a CSV quote, a regex-ish pattern) must not truncate
+        // the group and silently fall through to the stock parser
+        "(?:\\s+FORMAT_OPTIONS\\s*\\(((?:'[^']*'|[^')])*)\\))?" +
+        "(?:\\s+COPY_OPTIONS\\s*\\(((?:'[^']*'|[^')])*)\\))?" +
         "\\s*;?\\s*$").r
     // 'k' = 'v' pairs inside FORMAT_OPTIONS / COPY_OPTIONS — matched
     // as quoted pairs, NOT split on commas (a CSV 'sep' = ',' is the

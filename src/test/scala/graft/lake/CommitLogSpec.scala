@@ -1519,4 +1519,113 @@ class CommitLogSpec extends AnyFunSuite {
       s"the merged block is contiguous from the start: " +
         s"${ids.take(5).mkString(",")}...")
   }
+
+  test("merge sees only LIVE rows through standing dv marks: NOT " +
+      "MATCHED re-inserts a positionally-deleted key, files whose only " +
+      "hits are deleted don't rewrite, dead dup-keys don't refuse") {
+    import graft.lake.CommitLog.{MergeClause, MergeInsert, MergeUpdate}
+    val log = CommitLog(spark, TestSpark.tempDir("clogmdv")).init()
+    // two files: f1 holds ids 0..9, f2 holds ids 10..19
+    log.append(spark.range(0, 10)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(1)) // v1
+    log.append(spark.range(10, 20)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(1)) // v2
+    val (_, m) = log.deleteWhereMor("id IN (3, 12)") // v3: dv marks
+    assert(m == 2L)
+    // source: 3 and 12 are dv-deleted (must INSERT — Delta applies
+    // deletion vectors before matching), 5 is live (must UPDATE)
+    val src = Seq((3L, 300L), (12L, 1200L), (5L, 500L)).toDF("id", "sv")
+    val (_, touched) = log.merge(src, Seq("id"),
+      matched = Seq(MergeClause(None, MergeUpdate(Seq("v" -> "__s_sv")))),
+      notMatched = Seq(MergeClause(None,
+        MergeInsert(Seq("id" -> "__s_id", "v" -> "__s_sv")))),
+      notMatchedBySource = Nil)
+    // only f1 (id=5's file) rewrites: f2's sole key hit (12) is dead
+    assert(touched == 1,
+      s"a file whose only key hits are dv-deleted must not rewrite: $touched")
+    val got = log.read(None).select("id", "v").as[(Long, Long)]
+      .collect().toMap
+    assert(got(3L) == 300L, "dv-deleted key must re-insert, not vanish")
+    assert(got(12L) == 1200L, "dv-deleted key must re-insert, not vanish")
+    assert(got(5L) == 500L)
+    assert(got.size == 20, s"0..19 all live again: ${got.keys.toSeq.sorted}")
+    // dup SOURCE keys on a dv-deleted target row must not trip the
+    // nondeterminism refusal (no LIVE row matches) — both rows insert
+    log.deleteWhereMor("id = 7") // v5
+    log.merge(Seq((7L, 70L), (7L, 71L)).toDF("id", "sv"), Seq("id"),
+      matched = Seq(MergeClause(None, MergeUpdate(Seq("v" -> "__s_sv")))),
+      notMatched = Seq(MergeClause(None,
+        MergeInsert(Seq("id" -> "__s_id", "v" -> "__s_sv")))),
+      notMatchedBySource = Nil)
+    assert(log.read(None).filter(col("id") === 7L).select("v")
+      .as[Long].collect().toSet == Set(70L, 71L))
+    // ...while dup keys on a LIVE row still refuse
+    intercept[IllegalArgumentException] {
+      log.merge(Seq((5L, 1L), (5L, 2L)).toDF("id", "sv"), Seq("id"),
+        matched = Seq(MergeClause(None, MergeUpdate(Seq("v" -> "__s_sv")))),
+        notMatched = Nil, notMatchedBySource = Nil)
+    }
+  }
+
+  test("an oversized merge source never forces a broadcast: above the " +
+      "session threshold it stages once and every source-side join " +
+      "plans shuffled; the merge still answers correctly") {
+    import graft.lake.CommitLog.{MergeClause, MergeInsert, MergeUpdate}
+    // isolated session: a tiny broadcast threshold must not leak into
+    // other suites' plans
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    val sq = s2.implicits
+    import sq._
+    val root = TestSpark.tempDir("clogbigsrc")
+    val log = CommitLog(s2, root).init()
+    log.append(s2.range(0, 1000)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(1))
+    // capture every executed plan that reads the STAGED source file —
+    // those are exactly the merge's source-side joins
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s2.listenerManager.register(listener)
+    try {
+      // ~50k rows of (id, sv): far over 1 KiB on disk, so sizedSource
+      // must stage it and the guards must NOT broadcast it
+      val src = s2.range(0, 50000)
+        .select(col("id"), (col("id") + 100000).as("sv"))
+      val (_, touched) = log.merge(src, Seq("id"),
+        matched = Seq(MergeClause(None, MergeUpdate(Seq("v" -> "__s_sv")))),
+        notMatched = Seq(MergeClause(None,
+          MergeInsert(Seq("id" -> "__s_id", "v" -> "__s_sv")))),
+        notMatchedBySource = Nil)
+      assert(touched == 1)
+      // the listener fires asynchronously on the bus — poll
+      def staged() = plans.toArray(Array.empty[String])
+        .filter(_.contains("_staged/src_"))
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (staged().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val srcPlans = staged()
+      assert(srcPlans.nonEmpty,
+        "an over-threshold source must stage to the lake temp dir")
+      val bcasts = srcPlans.filter(p =>
+        p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"))
+      assert(bcasts.isEmpty,
+        s"no source-side join may broadcast an oversized source:\n" +
+          bcasts.headOption.getOrElse(""))
+      // and the answer is right: all 1000 updated, 49000 inserted
+      val r = log.read(None).select("id", "v").as[(Long, Long)].collect()
+      assert(r.length == 50000)
+      assert(r.forall { case (id, v) => v == id + 100000 })
+      // the staged temp file was swept after the merge
+      assert(SchemaTools.listDataFiles(s2, s"$root/_staged").isEmpty,
+        "sizedSource temp dirs must not accumulate")
+    } finally s2.listenerManager.unregister(listener)
+  }
 }
