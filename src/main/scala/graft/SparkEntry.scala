@@ -6351,7 +6351,8 @@ object SparkEntry {
     // per-partition-offset index pass (no global sort); a sorted
     // INSERT makes the assignment order deterministic, which is what
     // the oracle pins. The SQL surface refuses explicit ALWAYS
-    // values, UPDATEs to auto columns or their inputs, and MERGE.
+    // values, UPDATEs to auto columns or their inputs, and MERGE on
+    // GENERATED columns (identity-only tables merge — q166).
     "q162_sql_identity_generated" -> ((s, d) => {
       val root = scratch(s, "q162", d)
       val lm = LakeManager(s, root).init()
@@ -6489,6 +6490,52 @@ object SparkEntry {
       lm.sql("DELETE FROM t165 WHERE price < 1000.0")
       s.sql("SELECT o_orderkey, o_custkey, price FROM t165 " +
         "ORDER BY o_orderkey, o_custkey, price")
+    }),
+
+    // MERGE INTO AN IDENTITY TABLE (Delta's current rule, lifted from
+    // the historical refusal): WHEN NOT MATCHED inserts ALLOCATE off
+    // the high-water mark, the mark advance riding the SAME CAS as
+    // the merge commit (a racing writer re-reads and re-allocates);
+    // matched rows keep their standing ids; SET / explicit-ALWAYS
+    // INSERT values refuse. Which insert row draws which id is
+    // partitioning-dependent (Delta's contract too), so the oracle
+    // pins per-row DATA plus the deterministic AGGREGATE identity
+    // facts: unique and contiguous (count distinct = max-min+1 = n).
+    "q166_sql_merge_identity" -> ((s, d) => {
+      val root = scratch(s, "q166", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t166 (" +
+        "row_id BIGINT GENERATED ALWAYS AS IDENTITY " +
+        "(START WITH 100 INCREMENT BY 1), " +
+        "o_orderkey BIGINT, o_totalprice DOUBLE) USING commitlog")
+      ord(s, d).groupBy("o_orderkey")
+        .agg(max(col("o_totalprice")).as("o_totalprice"))
+        .createOrReplaceTempView("q166_src")
+      lm.sql("INSERT INTO t166 SELECT o_orderkey, o_totalprice " +
+        "FROM q166_src WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey")
+      val log = lm.commitLog("t166")
+      val vPre = log.latestVersion()
+      lm.sql("MERGE INTO t166 t USING q166_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET " +
+        "o_totalprice = s.o_totalprice + 1.0 " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) " +
+        "VALUES (s.o_orderkey, s.o_totalprice)") // allocates
+      assert(log.latestVersion() == vPre + 1L,
+        "merge + identity allocation must be ONE commit")
+      val n = log.read(None).count()
+      assert(log.properties(None)("graft.identity.hwm.row_id").toLong
+        == 100L + n - 1L, "the mark must ride the merge commit")
+      val t = log.read(None)
+      val rows = t.select(lit("row").as("part"),
+        col("o_orderkey").cast("double").as("a"),
+        col("o_totalprice").cast("double").as("b"))
+      val ids = t.agg(
+          countDistinct(col("row_id")).cast("double").as("a"),
+          (max(col("row_id")) - min(col("row_id")) + 1L)
+            .cast("double").as("b"))
+        .select(lit("ids").as("part"), col("a"), col("b"))
+      rows.unionByName(ids).orderBy("part", "a", "b")
     }),
 
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
@@ -8272,6 +8319,22 @@ object SparkEntry {
         |  FROM merged)
         |SELECT * FROM updated WHERE price >= 1000.0
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q166_sql_merge_identity" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, max(o_totalprice) AS o_totalprice
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM src)
+        |SELECT 'row' AS part, CAST(o_orderkey AS DOUBLE) AS a,
+        |  CAST(o_totalprice AS DOUBLE) AS b FROM t
+        |UNION ALL
+        |SELECT 'ids', CAST(count(*) AS DOUBLE),
+        |  CAST(count(*) AS DOUBLE) FROM t
+        |ORDER BY part, a, b""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

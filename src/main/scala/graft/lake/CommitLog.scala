@@ -2351,12 +2351,14 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "merge needs at least one WHEN clause")
-    // Delta's historical restriction, enforced at the API like the
-    // upsert guard: merged-in identity values would bypass the mark,
-    // and merge neither recomputes nor validates generated columns
-    val (mAutoIds, mAutoGens) = autoColumns()
-    require(mAutoIds.isEmpty && mAutoGens.isEmpty,
-      "merge into a table with identity/generated columns is not " +
+    // generated columns stay refused (merge neither recomputes nor
+    // validates their expressions); IDENTITY columns are supported —
+    // Delta's current rule: allocation rides the WHEN NOT MATCHED
+    // insert branch off the same high-water CAS as INSERT, and SET /
+    // explicit-ALWAYS insert values refuse ([[mergePhysical]] guards)
+    val (_, mAutoGens) = autoColumns()
+    require(mAutoGens.isEmpty,
+      "merge into a table with generated columns is not " +
         "supported — route the change through INSERT/UPDATE/DELETE")
     matched.foreach(c => require(!c.op.isInstanceOf[MergeInsert],
       "WHEN MATCHED supports UPDATE/DELETE, not INSERT"))
@@ -2501,6 +2503,39 @@ final class CommitLog(spark: SparkSession, root: String) {
           (if (evolve) "" else " (no WITH SCHEMA EVOLUTION)")) }
       case _ => ()
     })
+    // IDENTITY under MERGE (Delta's current rule): SET may never
+    // target an identity column; INSERT may assign one explicitly only
+    // under GENERATED BY DEFAULT — and then EVERY insert clause must
+    // assign it (mixed explicit/allocated rows in one statement would
+    // interleave with the mark nondeterministically); unassigned
+    // identity columns ALLOCATE off the table's high-water mark, the
+    // mark advance riding the same CAS as the merge commit.
+    val idCols: Map[String, (Long, Long, Boolean)] =
+      autoColumns(Some(plannedV))._1
+    (matched ++ notMatchedBySource).foreach(_.op match {
+      case MergeUpdate(sets) => sets.foreach { case (c, _) =>
+        require(!idCols.contains(c),
+          s"cannot UPDATE identity column $c") }
+      case _ => ()
+    })
+    val insertAssigned: Set[String] = notMatched.flatMap(_.op match {
+      case MergeInsert(vs) => vs.map(_._1)
+      case _ => Nil
+    }).toSet
+    val idExplicit = idCols.keys.filter(insertAssigned.contains)
+      .toSeq.sorted
+    idExplicit.foreach { c =>
+      require(idCols(c)._3,
+        s"column $c is GENERATED ALWAYS AS IDENTITY — explicit INSERT " +
+          "values refuse (declare GENERATED BY DEFAULT to allow)")
+      require(notMatched.forall(_.op match {
+        case MergeInsert(vs) => vs.exists(_._1 == c)
+        case _ => true
+      }), s"identity column $c must be assigned by every insert " +
+        "clause or by none")
+    }
+    val idToAlloc = idCols.keys.filterNot(insertAssigned.contains)
+      .toSeq.sorted
     val src = source.select(sCols.map(c => col(c).as(s"__s_$c")): _*)
     val srcKeys = source.select(keys.map(col): _*)
     val batchKeys = srcKeys.distinct()
@@ -2686,9 +2721,59 @@ final class CommitLog(spark: SparkSession, root: String) {
           }.as(f.name)
         }.toSeq: _*)
       }
-    val out = survivors.unionByName(inserts)
-    val names = stage(out)
-    val spans = spansOf(names, Some(eSchema))
+    // hwm bookkeeping ([[appendResolvingDefaults]]'s discipline):
+    // bases re-read per CAS attempt; a lost race that moved a mark
+    // re-allocates and re-stages, so racing merges never collide
+    def hwmKey(c: String) = s"${CommitLog.IdentityHwmPrefix}$c"
+    def hwmOf(ps: Map[String, String], c: String): Long =
+      ps.get(hwmKey(c)).map(_.toLong)
+        .getOrElse(idCols(c)._1 - idCols(c)._2)
+    val needAlloc = notMatched.nonEmpty && idToAlloc.nonEmpty
+    // extreme EXPLICIT inserted value in the step direction — what the
+    // mark must clear so later allocations never collide (computed
+    // once; insert rows never change across CAS retries)
+    val explicitExt: Map[String, Option[Long]] =
+      if (idExplicit.isEmpty || notMatched.isEmpty) Map.empty
+      else {
+        val aggs = idExplicit.map { c =>
+          if (idCols(c)._2 > 0)
+            org.apache.spark.sql.functions.max(col(c))
+          else org.apache.spark.sql.functions.min(col(c))
+        }
+        val row = inserts.agg(aggs.head, aggs.tail: _*).head()
+        idExplicit.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(i)) None
+                else Some(row.get(i).toString.toLong)) }.toMap
+      }
+    if (idCols.nonEmpty) ensureMetaHint()
+    var names: Seq[String] = Nil
+    var spans: Map[String, CommitLog.FileSpans] = Map.empty
+    var outSchema: StructType = eSchema
+    var stagedBases: Map[String, Long] = null
+    var allocN: Long = 0L
+    def restage(bases: Map[String, Long]): Unit = {
+      names.foreach(n => fs.delete(new Path(dataDir, n), false))
+      var ins = inserts
+      if (needAlloc) {
+        val (indexed, total) = zipIndex(inserts)
+        allocN = total
+        ins = indexed
+        idToAlloc.foreach { c =>
+          val (_, step, _) = idCols(c)
+          ins = ins.withColumn(c,
+            (lit(bases(c)) + (col("__idx") + 1L) * step)
+              .cast(eSchema(c).dataType))
+        }
+        ins = ins.drop("__idx")
+      }
+      val out = survivors.unionByName(ins)
+      names = stage(out)
+      stagedBases = bases
+      spans = spansOf(names, Some(out.schema))
+      outSchema = out.schema
+    }
+    restage(idToAlloc
+      .map(c => c -> hwmOf(properties(Some(plannedV)), c)).toMap)
     if (touched.isEmpty && spans.values.map(_.nRows).sum == 0L) {
       // nothing changed: burn no commit, sweep the staged empties
       names.foreach(n => fs.delete(new Path(dataDir, n), false))
@@ -2701,6 +2786,9 @@ final class CommitLog(spark: SparkSession, root: String) {
     var done = false
     while (!done) {
       val tip = latestVersion()
+      val ps = properties(Some(tip))
+      val bases = idToAlloc.map(c => c -> hwmOf(ps, c)).toMap
+      if (bases != stagedBases) restage(bases)
       if (touched.nonEmpty &&
           !touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
         throw new java.util.ConcurrentModificationException(
@@ -2736,8 +2824,18 @@ final class CommitLog(spark: SparkSession, root: String) {
             "(ConcurrentDelete) — re-plan on fresh state")
       conflictOnWindowDv(plannedV, tip, touched)
       enforceConstraints(names)
+      val newMarks: Map[String, String] =
+        (if (allocN > 0) idToAlloc.map { c =>
+          hwmKey(c) -> (bases(c) + idCols(c)._2 * allocN).toString
+        }.toMap else Map.empty[String, String]) ++
+        idExplicit.collect { case c
+            if explicitExt(c).exists(e =>
+              if (idCols(c)._2 > 0) e > hwmOf(ps, c)
+              else e < hwmOf(ps, c)) =>
+          hwmKey(c) -> explicitExt(c).get.toString }
       done = tryCas(v, kind, names, removed = touched,
-        schema = Some(out.schema), stats = spans)
+        schema = Some(outSchema), stats = spans,
+        props = if (idCols.isEmpty) None else Some(ps ++ newMarks))
       if (!done) v = latestVersion() + 1
     }
     if (touched.nonEmpty) FileStats.invalidate(spark, root)

@@ -819,14 +819,20 @@ final class LakeManager(spark: SparkSession, root: String) {
                 s"unsupported merge condition conjunct: ${other.sql} " +
                   "— use t.k = s.k equalities")
             }
+            // generated columns stay refused (merge neither recomputes
+            // nor validates them); IDENTITY tables route through the
+            // generalized executor, which allocates for NOT MATCHED
+            // inserts off the high-water CAS and refuses SET /
+            // explicit-ALWAYS values (Delta's current rule)
             val (mIds, mGens) = log.autoColumns()
-            require(mIds.isEmpty && mGens.isEmpty,
-              "MERGE into a table with identity/generated columns is " +
-                "not supported (Delta's historical restriction) — " +
+            require(mGens.isEmpty,
+              "MERGE into a table with generated columns is " +
+                "not supported — " +
                 "route the change through INSERT/UPDATE/DELETE")
             val src = org.apache.spark.sql.GraftSqlBridge
               .ofRows(spark, m.sourceTable)
-            if (m.matchedActions == Seq(UpdateStarAction(None)) &&
+            if (mIds.isEmpty &&
+                m.matchedActions == Seq(UpdateStarAction(None)) &&
                 m.notMatchedActions == Seq(InsertStarAction(None)) &&
                 m.notMatchedBySourceActions.isEmpty &&
                 !m.withSchemaEvolution) {

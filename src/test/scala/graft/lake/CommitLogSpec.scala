@@ -1520,6 +1520,84 @@ class CommitLogSpec extends AnyFunSuite {
         s"${ids.take(5).mkString(",")}...")
   }
 
+  test("MERGE allocates identity for NOT MATCHED inserts off the same " +
+      "high-water CAS: racing merges never collide, matched rows keep " +
+      "their ids, and SET / explicit-ALWAYS INSERT values refuse") {
+    import graft.lake.CommitLog.{MergeClause, MergeInsert, MergeUpdate}
+    val log = CommitLog(spark, TestSpark.tempDir("clogmid")).init()
+    log.append(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))))
+    log.setProperties(Map(
+      s"${CommitLog.IdentityColPrefix}id" -> "100,1,false"))
+    log.appendResolvingDefaults(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // ids 100, 101
+    log.merge(Seq((1L, "A"), (3L, "c"), (4L, "d")).toDF("k", "v"),
+      Seq("k"),
+      matched = Seq(MergeClause(None, MergeUpdate(Seq("v" -> "__s_v")))),
+      notMatched = Seq(MergeClause(None,
+        MergeInsert(Seq("k" -> "__s_k", "v" -> "__s_v")))),
+      notMatchedBySource = Nil)
+    val rows = log.read(None).select("id", "k", "v")
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byK = rows.map(r => r._2 -> r).toMap
+    assert(byK(1L)._3 == "A" && byK(1L)._1 == 100L,
+      "a matched UPDATE must keep the standing identity value")
+    assert(byK(2L)._1 == 101L)
+    assert(Set(byK(3L)._1, byK(4L)._1) == Set(102L, 103L),
+      s"inserts allocate past the mark: ${rows.mkString(",")}")
+    // racing merges with disjoint insert keys: allocation rides the
+    // CAS, so a lost race re-reads the advanced mark and re-allocates
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        var ok = false
+        while (!ok) {
+          try {
+            log.merge(
+              Seq.tabulate(5)(j => (1000L * (w + 1) + j, s"w$w-$j"))
+                .toDF("k", "v"),
+              Seq("k"),
+              matched = Seq(MergeClause(None,
+                MergeUpdate(Seq("v" -> "__s_v")))),
+              notMatched = Seq(MergeClause(None,
+                MergeInsert(Seq("k" -> "__s_k", "v" -> "__s_v")))),
+              notMatchedBySource = Nil)
+            ok = true
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val ids = log.read(None).select("id").as[Long].collect()
+    assert(ids.length == 24 && ids.distinct.length == 24,
+      s"racing merge allocations must never collide: " +
+        s"${ids.sorted.mkString(",")}")
+    assert(ids.max == 100L + 23L, "the block stays contiguous")
+    // refusals: SET on an identity column; explicit INSERT under ALWAYS
+    intercept[IllegalArgumentException] {
+      log.merge(Seq((1L, "x")).toDF("k", "v"), Seq("k"),
+        matched = Seq(MergeClause(None, MergeUpdate(Seq("id" -> "0")))),
+        notMatched = Nil, notMatchedBySource = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      log.merge(Seq((77L, "x")).toDF("k", "v"), Seq("k"),
+        matched = Nil,
+        notMatched = Seq(MergeClause(None, MergeInsert(
+          Seq("id" -> "-1", "k" -> "__s_k", "v" -> "__s_v")))),
+        notMatchedBySource = Nil)
+    }
+  }
+
   test("merge sees only LIVE rows through standing dv marks: NOT " +
       "MATCHED re-inserts a positionally-deleted key, files whose only " +
       "hits are deleted don't rewrite, dead dup-keys don't refuse") {
