@@ -52,6 +52,61 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("cdfdbg")) {
+      import org.apache.spark.sql.functions._
+      import graft.lake._
+      val d = "/root/testdata/sf0.01"
+      val root = "/tmp/cdfdbg_lake"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val lm = LakeManager(spark, root).init()
+      lm.sql("CREATE TABLE t167 (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_totalprice DOUBLE) USING commitlog " +
+        "TBLPROPERTIES ('cdf.enabled'='true')")
+      Tables.orders(spark, d).groupBy("o_orderkey")
+        .agg(max(col("o_custkey")).as("o_custkey"),
+          max(col("o_totalprice")).as("o_totalprice"))
+        .createOrReplaceTempView("q167_src")
+      lm.sql("INSERT INTO t167 SELECT * FROM q167_src")
+      val log = lm.commitLog("t167")
+      val v0 = log.latestVersion()
+      spark.sql("""SELECT o_orderkey, o_custkey, o_totalprice,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'D'
+               WHEN o_orderkey % 3 = 1 THEN 'U' END AS op
+        FROM q167_src WHERE o_orderkey % 3 < 2
+        UNION ALL
+        SELECT o_orderkey + 1000000, o_custkey, o_totalprice, 'I'
+        FROM q167_src WHERE o_orderkey % 3 = 2""")
+        .createOrReplaceTempView("q167_cdc")
+      lm.sql("MERGE INTO t167 t USING q167_cdc s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET " +
+        "o_totalprice = s.o_totalprice + 5.0 " +
+        "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT " +
+        "(o_orderkey, o_custkey, o_totalprice) " +
+        "VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)")
+      val feed = lm.sql(s"SELECT * FROM table_changes('t167', $v0)")
+        .localCheckpoint(true)
+      println("FEED op counts:")
+      feed.groupBy("_op").count().show()
+      val retired = feed
+        .filter(col("_op").isin("delete", "update_preimage"))
+        .select("o_orderkey")
+      val applied = feed
+        .filter(col("_op").isin("insert", "update_postimage"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val replica = log.read(Some(v0))
+        .join(retired, Seq("o_orderkey"), "left_anti")
+        .unionByName(applied)
+      println("replica minus live:")
+      replica.exceptAll(log.read(None)).show(20, false)
+      println("live minus replica:")
+      log.read(None).exceptAll(replica).show(20, false)
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("parsedbg")) {
       Seq(
         "ALTER TABLE t147 ADD CONSTRAINT pos CHECK (o_totalprice > 0)",

@@ -6538,6 +6538,79 @@ object SparkEntry {
       rows.unionByName(ids).orderBy("part", "a", "b")
     }),
 
+    // CHANGE DATA FEED OVER MERGE (Delta's enableChangeDataFeed):
+    // with the opt-in table property, a generalized MERGE persists its
+    // EXACT change rows (insert / update_preimage / update_postimage /
+    // delete) as _change_data files in the SAME commit, so
+    // table_changes() decomposes the merge instead of refusing —
+    // in-query assert: a replica folded from the feed (delete/
+    // preimage keys retire, postimage/insert rows apply) equals the
+    // live read. Off the property, mutating commits still refuse
+    // (asserted) — the scale-honest default stays.
+    "q167_sql_cdf_merge" -> ((s, d) => {
+      val root = scratch(s, "q167", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t167 (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_totalprice DOUBLE) USING commitlog " +
+        "TBLPROPERTIES ('cdf.enabled'='true')")
+      ord(s, d).groupBy("o_orderkey")
+        .agg(max(col("o_custkey")).as("o_custkey"),
+          max(col("o_totalprice")).as("o_totalprice"))
+        .createOrReplaceTempView("q167_src")
+      lm.sql("INSERT INTO t167 SELECT * FROM q167_src")
+      val log = lm.commitLog("t167")
+      val v0 = log.latestVersion()
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'D'
+               WHEN o_orderkey % 3 = 1 THEN 'U' END AS op
+        FROM q167_src WHERE o_orderkey % 3 < 2
+        UNION ALL
+        SELECT o_orderkey + 1000000, o_custkey, o_totalprice, 'I'
+        FROM q167_src WHERE o_orderkey % 3 = 2""")
+        .createOrReplaceTempView("q167_cdc")
+      lm.sql("MERGE INTO t167 t USING q167_cdc s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET " +
+        "o_totalprice = s.o_totalprice + 5.0 " +
+        "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT " +
+        "(o_orderkey, o_custkey, o_totalprice) " +
+        "VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)")
+      assert(log.latestVersion() == v0 + 1,
+        "merge + change-data persistence must be ONE commit")
+      // table_changes bounds are INCLUSIVE (Delta's TVF contract) —
+      // the feed starts at the merge commit, not the base load
+      val feed = lm.sql(
+        s"SELECT * FROM table_changes('t167', ${v0 + 1})")
+        .localCheckpoint(true)
+      // replica fold: retired keys drop, new images apply
+      val retired = feed
+        .filter(col("_op").isin("delete", "update_preimage"))
+        .select("o_orderkey")
+      val applied = feed
+        .filter(col("_op").isin("insert", "update_postimage"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val replica = log.read(Some(v0))
+        .join(retired, Seq("o_orderkey"), "left_anti")
+        .unionByName(applied)
+      assert(replica.exceptAll(log.read(None)).isEmpty &&
+        log.read(None).exceptAll(replica).isEmpty,
+        "the CDF-folded replica must converge to the live read")
+      // without the property the feed still refuses mutating commits
+      lm.sql("CREATE TABLE t167b (k BIGINT, v BIGINT) USING commitlog")
+      lm.sql("INSERT INTO t167b VALUES (1, 10)")
+      lm.sql("UPDATE t167b SET v = 11 WHERE k = 1")
+      val refused =
+        try { lm.sql("SELECT * FROM table_changes('t167b', 1)")
+          .collect(); false }
+        catch { case _: Exception => true }
+      assert(refused,
+        "without cdf.enabled a mutating commit must refuse the feed")
+      feed.select(col("_op"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+        .orderBy("_op", "o_orderkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8335,6 +8408,25 @@ object SparkEntry {
         |SELECT 'ids', CAST(count(*) AS DOUBLE),
         |  CAST(count(*) AS DOUBLE) FROM t
         |ORDER BY part, a, b""".stripMargin,
+
+    "q167_sql_cdf_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, max(o_custkey) AS o_custkey,
+        |    max(o_totalprice) AS o_totalprice
+        |  FROM orders GROUP BY 1)
+        |SELECT 'delete' AS _op, o_orderkey, o_custkey, o_totalprice
+        |FROM src WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'update_preimage', o_orderkey, o_custkey, o_totalprice
+        |FROM src WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT 'update_postimage', o_orderkey, o_custkey,
+        |  o_totalprice + 5.0
+        |FROM src WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + 1000000, o_custkey, o_totalprice
+        |FROM src WHERE o_orderkey % 3 = 2
+        |ORDER BY _op, o_orderkey""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

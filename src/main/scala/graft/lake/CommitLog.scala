@@ -65,6 +65,7 @@ final class CommitLog(spark: SparkSession, root: String) {
   private val mapper = new ObjectMapper()
   private def commitsDir = new Path(root, "_commits")
   private def dataDir = new Path(root, "data")
+  private def changeDataDir = new Path(root, "_change_data")
 
   def init(): CommitLog = {
     fs.mkdirs(commitsDir)
@@ -266,10 +267,13 @@ final class CommitLog(spark: SparkSession, root: String) {
             m(e.getKey) = e.getValue.asText())
           Some(m.toMap)
         }
+      val chg = scala.collection.mutable.ArrayBuffer[String]()
+      if (node.has("changeFiles"))
+        node.withArray("changeFiles").forEach(n => chg += n.asText())
       Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn,
         schemaOfNode(node), statsOfNode(node),
         node.path("ts").asLong(0L), schemaGroupsOfNode(node),
-        obj("constraints"), obj("props"))
+        obj("constraints"), obj("props"), chg.toSeq)
     }
   }
 
@@ -788,6 +792,30 @@ final class CommitLog(spark: SparkSession, root: String) {
   private def relFileOf(dvNames: Seq[String])(s: String): String =
     if (dvNames.isEmpty) relName(s) else s
 
+  /** Whether the table has the CHANGE DATA FEED enabled at `asOf`
+    * ([[CommitLog.CdfEnabledKey]]). */
+  private def cdfEnabled(asOf: Option[Long]): Boolean =
+    properties(asOf).get(CommitLog.CdfEnabledKey).contains("true")
+
+  /** Stage CDF change rows into `_change_data/` (Delta's change-file
+    * analog): written BEFORE the CAS and referenced from the commit's
+    * `changeFiles`, so an orphan from a lost race counts nothing.
+    * Returns the relative names under `_change_data/`. */
+  private def stageChangeData(df: DataFrame): Seq[String] = {
+    val staging = new Path(root,
+      s"_staged/${java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.parquet(staging.toString)
+    val files = SchemaTools.listDataFiles(spark, staging.toString)
+    fs.mkdirs(changeDataDir)
+    val run = java.util.UUID.randomUUID().toString.take(12)
+    files.zipWithIndex.map { case (f, i) =>
+      val name = s"cdf-$run-$i.parquet"
+      fs.rename(fs.makeQualified(new Path(f)),
+        new Path(changeDataDir, name))
+      name
+    }
+  }
+
   /** Size-discipline an arbitrary merge/upsert source frame. When the
     * optimizer's estimate already fits the session broadcast
     * threshold, the frame passes through untouched (downstream joins
@@ -1071,22 +1099,36 @@ final class CommitLog(spark: SparkSession, root: String) {
     // `skipBreaking` (the streaming source's skipChangeCommits): drop
     // the non-decomposable commits from the feed instead of refusing —
     // the consumer opts into missing their changes
-    val cs = if (!skipBreaking) cs0
-      else cs0.filterNot(c => c.kind == "replace" ||
-        c.kind == "upsert" || c.kind == "restore" || c.kind == "clone")
+    def nonDecomposable(c: CommitLog.Commit): Boolean =
+      c.kind == "replace" || c.kind == "restore" || c.kind == "clone" ||
+        (c.kind == "upsert" && c.changeFiles.isEmpty)
+    val cs = if (!skipBreaking) cs0 else cs0.filterNot(nonDecomposable)
     // an upsert's merged outputs mix carried-over survivors with
-    // changed rows — not separable from metadata into change rows —
+    // changed rows — not separable from METADATA into change rows —
     // and a restore re-homes visibility wholesale; both refuse like a
-    // replace (Delta CDF's own rule for non-decomposable commits)
-    val breaking = cs.filter(c => c.kind == "replace" ||
-      c.kind == "upsert" || c.kind == "restore" || c.kind == "clone")
+    // replace (Delta CDF's own rule for non-decomposable commits).
+    // EXCEPT: with the change feed enabled ([[CommitLog.CdfEnabledKey]])
+    // merge/upsert commits persisted their exact change rows at commit
+    // time, so they decompose from their `_change_data` files.
+    val breaking = cs.filter(nonDecomposable)
     require(breaking.isEmpty,
       s"${breaking.map(c => s"${c.kind} v${c.version}").mkString(", ")} " +
-        "inside the range re-homes already-applied rows — re-baseline")
+        "inside the range re-homes already-applied rows — re-baseline " +
+        s"(or enable '${CommitLog.CdfEnabledKey}' so future mutating " +
+        "commits persist change rows)")
     val parts = cs
       .filter(c =>
-        (c.kind == "append" || c.kind == "delete") && c.files.nonEmpty)
+        ((c.kind == "append" || c.kind == "delete") && c.files.nonEmpty)
+          || (c.kind == "upsert" && c.changeFiles.nonEmpty))
       .map { c =>
+        if (c.kind == "upsert") {
+          // CDF change files carry their own schema + `_op` (insert /
+          // update_preimage / update_postimage / delete) — read as
+          // written; drift across the range unions allow-missing
+          spark.read.parquet(c.changeFiles
+              .map(n => new Path(changeDataDir, n).toString): _*)
+            .withColumn("_commit_version", lit(c.version))
+        } else
         if (c.kind == "delete" && c.files.exists(isDvName)) {
           // positional delete commits DECOMPOSE (r10): the dv marks
           // name exact (file, row position) pre-images, all still
@@ -1327,9 +1369,14 @@ final class CommitLog(spark: SparkSession, root: String) {
       stats: Map[String, FileSpans] = Map.empty,
       schemaGroups: Map[String, StructType] = Map.empty,
       constraints: Option[Map[String, String]] = None,
-      props: Option[Map[String, String]] = None): Boolean = {
+      props: Option[Map[String, String]] = None,
+      changeFiles: Seq[String] = Nil): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
+    if (changeFiles.nonEmpty) {
+      val cfArr = node.putArray("changeFiles")
+      changeFiles.foreach(cfArr.add)
+    }
     constraints.foreach { cs =>
       val cn = node.putObject("constraints")
       cs.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
@@ -2191,6 +2238,11 @@ final class CommitLog(spark: SparkSession, root: String) {
           .select("__file").distinct()
           .collect().map(x => relFileOf(standingDv)(x.getString(0))).toSeq
       }
+    // CHANGE DATA FEED (opt-in, [[CommitLog.CdfEnabledKey]]): a
+    // mutating upsert persists its exact change rows in the same
+    // commit so the feed decomposes instead of refusing
+    val cdfOn = touched.nonEmpty && cdfEnabled(Some(plannedV))
+    var cdfChanges: Option[DataFrame] = None
     val out =
       if (touched.isEmpty) batchAligned
       else {
@@ -2201,9 +2253,28 @@ final class CommitLog(spark: SparkSession, root: String) {
           batchAligned.schema)
         val cond = physKeys
           .map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
+        if (cdfOn) {
+          import org.apache.spark.sql.functions.lit
+          // replaced rows are the pre-images; batch rows split into
+          // post-images (a pre-image exists for the key) and inserts
+          val pre = touchedRows.join(bcast(batchKeys), cond, "left_semi")
+          val preKeys = pre.select(physKeys.map(col): _*).distinct()
+          def keyCond = physKeys
+            .map(k => batchAligned(k) <=> preKeys(k)).reduce(_ && _)
+          cdfChanges = Some(
+            pre.withColumn("_op", lit("update_preimage"))
+              .unionByName(batchAligned
+                .join(preKeys, keyCond, "left_semi")
+                .withColumn("_op", lit("update_postimage")))
+              .unionByName(batchAligned
+                .join(preKeys, keyCond, "left_anti")
+                .withColumn("_op", lit("insert"))))
+        }
         touchedRows.join(bcast(batchKeys), cond, "left_anti")
           .unionByName(batchAligned)
       }
+    val changeNames: Seq[String] =
+      cdfChanges.map(stageChangeData).getOrElse(Nil)
     val names = stage(out)
     val spans = spansOf(names, Some(out.schema))
     val kind = if (touched.isEmpty) "append" else "upsert"
@@ -2281,7 +2352,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       conflictOnWindowDv(plannedV, tip, touched)
       enforceConstraints(names)
       done = tryCas(v, kind, names, removed = touched, txn = txn,
-        schema = Some(out.schema), stats = spans)
+        schema = Some(out.schema), stats = spans,
+        changeFiles = changeNames)
       if (!done) v = latestVersion() + 1
     }
     if (touched.nonEmpty) FileStats.invalidate(spark, root)
@@ -2638,8 +2710,19 @@ final class CommitLog(spark: SparkSession, root: String) {
         case (MergeClause(_, MergeDelete), i) => s"m$i" } ++
       notMatchedBySource.zipWithIndex.collect {
         case (MergeClause(_, MergeDelete), i) => s"n$i" }
-    val survivors: DataFrame =
-      if (touched.isEmpty) emptyT
+    // CHANGE DATA FEED (opt-in, Delta's change files): the merge
+    // already computes exact pre/post images — when the table property
+    // is on and this is a mutating (upsert-kind) commit, persist them
+    // as `_change_data/` rows in the SAME commit so the feed
+    // decomposes instead of refusing
+    val cdfOn = touched.nonEmpty && cdfEnabled(Some(plannedV))
+    val updateTags: Seq[String] =
+      matched.zipWithIndex.collect {
+        case (MergeClause(_, MergeUpdate(_)), i) => s"m$i" } ++
+      notMatchedBySource.zipWithIndex.collect {
+        case (MergeClause(_, MergeUpdate(_)), i) => s"n$i" }
+    val (survivors, cdfSurvChanges): (DataFrame, Option[DataFrame]) =
+      if (touched.isEmpty) (emptyT, None)
       else {
         val touchedRows = SchemaTools.conformTo(
           readApplied(touched, r.schemaOf, standingDv), eSchema)
@@ -2668,7 +2751,9 @@ final class CommitLog(spark: SparkSession, root: String) {
           notMatchedBySource.zipWithIndex.collect {
             case (MergeClause(_, MergeUpdate(sets)), i) =>
               s"n$i" -> sets.toMap }
-        kept.select(eSchema.map { f =>
+        // post-values projected with __act riding, so the CDF split
+        // (updated rows vs carried rows) reuses the same projection
+        val projected = kept.select(eSchema.map { f =>
           updates.foldRight(col(f.name)) { case ((tag, sets), acc) =>
             sets.get(f.name) match {
               case Some(sql) => when(col("__act") === tag,
@@ -2676,7 +2761,27 @@ final class CommitLog(spark: SparkSession, root: String) {
               case None => acc
             }
           }.as(f.name)
-        }.toSeq: _*)
+        }.toSeq :+ col("__act"): _*)
+        val changes =
+          if (!cdfOn) None
+          else {
+            val eCols2 = eSchema.map(f => col(f.name)).toSeq
+            def inTags(tags: Seq[String]): org.apache.spark.sql.Column =
+              if (tags.isEmpty) lit(false)
+              else col("__act").isin(tags: _*)
+            val pre = tagged.filter(inTags(updateTags))
+              .select(eCols2: _*)
+              .withColumn("_op", lit("update_preimage"))
+            val post = projected
+              .filter(inTags(updateTags))
+              .drop("__act")
+              .withColumn("_op", lit("update_postimage"))
+            val dels = tagged.filter(inTags(deleteTags))
+              .select(eCols2: _*)
+              .withColumn("_op", lit("delete"))
+            Some(pre.unionByName(post).unionByName(dels))
+          }
+        (projected.drop("__act"), changes)
       }
     val inserts: DataFrame =
       if (notMatched.isEmpty) emptyT
@@ -2747,12 +2852,15 @@ final class CommitLog(spark: SparkSession, root: String) {
       }
     if (idCols.nonEmpty) ensureMetaHint()
     var names: Seq[String] = Nil
+    var changeNames: Seq[String] = Nil
     var spans: Map[String, CommitLog.FileSpans] = Map.empty
     var outSchema: StructType = eSchema
     var stagedBases: Map[String, Long] = null
     var allocN: Long = 0L
     def restage(bases: Map[String, Long]): Unit = {
       names.foreach(n => fs.delete(new Path(dataDir, n), false))
+      changeNames.foreach(n =>
+        fs.delete(new Path(changeDataDir, n), false))
       var ins = inserts
       if (needAlloc) {
         val (indexed, total) = zipIndex(inserts)
@@ -2768,6 +2876,13 @@ final class CommitLog(spark: SparkSession, root: String) {
       }
       val out = survivors.unionByName(ins)
       names = stage(out)
+      if (cdfOn) {
+        // CDF rows ride the commit: inserts carry their final values
+        // (allocated identities included), so they stage here too
+        val insChg = ins.withColumn("_op", lit("insert"))
+        changeNames = stageChangeData(
+          cdfSurvChanges.map(_.unionByName(insChg)).getOrElse(insChg))
+      }
       stagedBases = bases
       spans = spansOf(names, Some(out.schema))
       outSchema = out.schema
@@ -2835,7 +2950,8 @@ final class CommitLog(spark: SparkSession, root: String) {
           hwmKey(c) -> explicitExt(c).get.toString }
       done = tryCas(v, kind, names, removed = touched,
         schema = Some(outSchema), stats = spans,
-        props = if (idCols.isEmpty) None else Some(ps ++ newMarks))
+        props = if (idCols.isEmpty) None else Some(ps ++ newMarks),
+        changeFiles = changeNames)
       if (!done) v = latestVersion() + 1
     }
     if (touched.nonEmpty) FileStats.invalidate(spark, root)
@@ -2867,17 +2983,28 @@ final class CommitLog(spark: SparkSession, root: String) {
     val r = resolve(Some(plannedV))
     if (r.data.isEmpty) return (plannedV, 0)
     val hit = coalesce(expr(predicate), lit(false))
+    val standingDv = r.tombstones.filter(isDvName)
     val candidates = prunedLive(predicate, r.data, r.spanOf)
       .getOrElse(r.data)
+    // dv-applied probe: a file whose only predicate hits are
+    // positionally-deleted rows must not rewrite
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
-      else readConformed(candidates, r.schemaOf).filter(hit)
-        .select(input_file_name().as("__file")).distinct()
-        .collect().map(x => relName(x.getString(0))).toSeq
+      else appliedWithFile(candidates, r.schemaOf, standingDv)
+        .filter(hit)
+        .select("__file").distinct()
+        .collect().map(x => relFileOf(standingDv)(x.getString(0))).toSeq
     if (touched.isEmpty) return (plannedV, 0)
     // standing positional marks apply to the rewritten survivors
-    val out = readApplied(touched, r.schemaOf,
-      r.tombstones.filter(isDvName)).filter(not(hit))
+    val out = readApplied(touched, r.schemaOf, standingDv)
+      .filter(not(hit))
+    // CHANGE DATA FEED (opt-in): the deleted rows' pre-images ride the
+    // commit as `_op = delete` change rows
+    val changeNames: Seq[String] =
+      if (!cdfEnabled(Some(plannedV))) Nil
+      else stageChangeData(
+        readApplied(touched, r.schemaOf, standingDv).filter(hit)
+          .withColumn("_op", lit("delete")))
     val names = stage(out)
     val spans = spansOf(names, Some(out.schema))
     val touchedSet = touched.toSet
@@ -2891,7 +3018,8 @@ final class CommitLog(spark: SparkSession, root: String) {
             "— re-plan on fresh state")
       conflictOnWindowDv(plannedV, tip, touched)
       done = tryCas(v, "upsert", names, removed = touched,
-        schema = Some(out.schema), stats = spans)
+        schema = Some(out.schema), stats = spans,
+        changeFiles = changeNames)
       if (!done) v = latestVersion() + 1
     }
     FileStats.invalidate(spark, root)
@@ -3045,15 +3173,18 @@ final class CommitLog(spark: SparkSession, root: String) {
       .map(p => coalesce(expr(p), lit(false))).getOrElse(lit(true))
     val candidates = predicate
       .flatMap(p => prunedLive(p, r.data, r.spanOf)).getOrElse(r.data)
+    val standingDv = r.tombstones.filter(isDvName)
+    // dv-applied probe: a file whose only predicate hits are
+    // positionally-deleted rows must not rewrite
     val touched: Seq[String] =
       if (candidates.isEmpty) Nil
-      else readConformed(candidates, r.schemaOf).filter(hit)
-        .select(input_file_name().as("__file")).distinct()
-        .collect().map(x => relName(x.getString(0))).toSeq
+      else appliedWithFile(candidates, r.schemaOf, standingDv)
+        .filter(hit)
+        .select("__file").distinct()
+        .collect().map(x => relFileOf(standingDv)(x.getString(0))).toSeq
     if (touched.isEmpty) return (plannedV, 0)
     // standing positional marks apply to the rewritten rows
-    val base = readApplied(touched, r.schemaOf,
-      r.tombstones.filter(isDvName))
+    val base = readApplied(touched, r.schemaOf, standingDv)
     val setOf = sets.toMap
     require(sets.size == setOf.size,
       s"duplicate assignment targets in ${sets.map(_._1).mkString(",")}")
@@ -3091,6 +3222,22 @@ final class CommitLog(spark: SparkSession, root: String) {
         case None => org.apache.spark.sql.functions.col(f.name)
       }
     }.toSeq: _*)
+    // CHANGE DATA FEED (opt-in): exact pre/post images of the rows the
+    // predicate hits ride the commit. Post-images project from the
+    // PRE-update rows (the predicate may reference assigned columns,
+    // so filtering the updated frame would select the wrong rows).
+    val changeNames: Seq[String] =
+      if (!cdfEnabled(Some(plannedV))) Nil
+      else {
+        val hitRows = base.filter(hit)
+        val pre = hitRows.withColumn("_op", lit("update_preimage"))
+        val post = hitRows.select(base.schema.fields.map { f =>
+          setOf.get(f.name)
+            .map(v => expr(v).cast(f.dataType).as(f.name))
+            .getOrElse(org.apache.spark.sql.functions.col(f.name))
+        }.toSeq: _*).withColumn("_op", lit("update_postimage"))
+        stageChangeData(pre.unionByName(post))
+      }
     val names = stage(out)
     val spans = spansOf(names, Some(out.schema))
     val touchedSet = touched.toSet
@@ -3106,7 +3253,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       // assignments can violate CHECK constraints; gate per attempt
       enforceConstraints(names)
       done = tryCas(v, "upsert", names, removed = touched,
-        schema = Some(out.schema), stats = spans)
+        schema = Some(out.schema), stats = spans,
+        changeFiles = changeNames)
       if (!done) v = latestVersion() + 1
     }
     FileStats.invalidate(spark, root)
@@ -3775,6 +3923,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     val stranded = drop.flatMap(commit(_).files).distinct
       .filterNot(reachable)
     stranded.foreach(f => fs.delete(new Path(dataDir, f), false))
+    // expired commits' CDF change files die with their commits — no
+    // later version re-references change data (it is per-commit)
+    drop.flatMap(commit(_).changeFiles).distinct
+      .foreach(n => fs.delete(new Path(changeDataDir, n), false))
     drop.foreach { v =>
       fs.delete(versionFile(v), false)
       fs.delete(checkpointFile(v), false)
@@ -3960,6 +4112,15 @@ object CommitLog {
     *    so concurrent writers CAS-race the allocation and never hand
     *    out a value twice
     *  - `graft.generated.col.<name>` -> generation expression SQL */
+  /** Opt-in CHANGE DATA FEED (Delta's `delta.enableChangeDataFeed`):
+    * when `"true"`, merge/upsert commits persist their exact change
+    * rows (`_op` ∈ insert / update_preimage / update_postimage /
+    * delete) as `_change_data/` files written in the SAME commit, so
+    * [[CommitLog.changesSince]] decomposes them instead of refusing.
+    * Off (the default), such commits stay non-decomposable and the
+    * feed refuses loudly — the scale-honest fallback. */
+  val CdfEnabledKey: String = "cdf.enabled"
+
   val IdentityColPrefix: String = "graft.identity.col."
   val IdentityHwmPrefix: String = "graft.identity.hwm."
   val GeneratedColPrefix: String = "graft.generated.col."
@@ -4026,7 +4187,8 @@ object CommitLog {
       ts: Long = 0L,
       schemaGroups: Map[String, StructType] = Map.empty,
       constraints: Option[Map[String, String]] = None,
-      props: Option[Map[String, String]] = None)
+      props: Option[Map[String, String]] = None,
+      changeFiles: Seq[String] = Nil)
 
   /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the

@@ -1645,6 +1645,74 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("change data feed (opt-in): merge and upsert commits persist " +
+      "exact change rows, the feed decomposes them, and a replica " +
+      "folded from it converges; without the property they refuse") {
+    import graft.lake.CommitLog.{MergeClause, MergeDelete, MergeInsert,
+      MergeUpdate}
+    val log = CommitLog(spark, TestSpark.tempDir("clogcdf")).init()
+    log.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+    log.setProperties(Map(CommitLog.CdfEnabledKey -> "true"))
+    val v0 = log.latestVersion()
+    // generalized merge: delete 1, update 2, insert 4 — one commit
+    log.merge(
+      Seq((1L, 0L, "D"), (2L, 21L, "U"), (4L, 40L, "I"))
+        .toDF("id", "sv", "op"),
+      Seq("id"),
+      matched = Seq(
+        MergeClause(Some("__s_op = 'D'"), MergeDelete),
+        MergeClause(Some("__s_op = 'U'"),
+          MergeUpdate(Seq("v" -> "__s_sv")))),
+      notMatched = Seq(MergeClause(Some("__s_op = 'I'"),
+        MergeInsert(Seq("id" -> "__s_id", "v" -> "__s_sv")))),
+      notMatchedBySource = Nil)
+    // keyed upsert: replace 3, insert 5 — one commit
+    log.upsert(Seq((3L, 31L), (5L, 50L)).toDF("id", "v"), Seq("id"))
+    val feed = log.changesSince(v0)
+      .select("_commit_version", "_op", "id", "v")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val vM = v0 + 1
+    val vU = v0 + 2
+    assert(feed == Set(
+      (vM, "delete", 1L, 10L),
+      (vM, "update_preimage", 2L, 20L),
+      (vM, "update_postimage", 2L, 21L),
+      (vM, "insert", 4L, 40L),
+      (vU, "update_preimage", 3L, 30L),
+      (vU, "update_postimage", 3L, 31L),
+      (vU, "insert", 5L, 50L)), s"exact change rows: $feed")
+    // replica fold (delete removes, postimage/insert upsert by key)
+    val replica = scala.collection.mutable.Map(
+      1L -> 10L, 2L -> 20L, 3L -> 30L)
+    feed.toSeq.sortBy(_._1).foreach {
+      case (_, "delete", id, _) => replica.remove(id)
+      case (_, op, id, v) if op == "insert" || op == "update_postimage" =>
+        replica(id) = v
+      case _ => ()
+    }
+    assert(replica.toMap == log.read(None).select("id", "v")
+      .as[(Long, Long)].collect().toMap,
+      "a replica folded from the feed must converge to the live read")
+    // copy-on-write DELETE WHERE / UPDATE WHERE decompose too; the
+    // UPDATE's predicate references the assigned column, so the
+    // post-image must project from PRE-update rows
+    val v1 = log.latestVersion()
+    log.deleteWhere("id = 4")
+    log.updateWhere(Seq("v" -> "v + 9"), Some("v <= 31"))
+    val feed2 = log.changesSince(v1)
+      .select("_op", "id", "v").as[(String, Long, Long)].collect().toSet
+    assert(feed2 == Set(
+      ("delete", 4L, 40L),
+      ("update_preimage", 2L, 21L), ("update_postimage", 2L, 30L),
+      ("update_preimage", 3L, 31L), ("update_postimage", 3L, 40L)),
+      s"row-level DML change rows: $feed2")
+    // without the property, a mutating commit still refuses the feed
+    val log2 = CommitLog(spark, TestSpark.tempDir("clogcdf2")).init()
+    log2.append(Seq((1L, 10L)).toDF("id", "v"))
+    log2.upsert(Seq((1L, 11L)).toDF("id", "v"), Seq("id"))
+    intercept[IllegalArgumentException] { log2.changesSince(0L) }
+  }
+
   test("an oversized merge source never forces a broadcast: above the " +
       "session threshold it stages once and every source-side join " +
       "plans shuffled; the merge still answers correctly") {
