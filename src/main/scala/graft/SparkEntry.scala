@@ -6611,6 +6611,50 @@ object SparkEntry {
         .orderBy("_op", "o_orderkey")
     }),
 
+    // COPY INTO FROM CSV WITH SCHEMA EVOLUTION: the ingest verb's
+    // format dispatch beyond parquet — CSV text values CAST to the
+    // standing column types, FORMAT_OPTIONS pass through to the
+    // reader (incl. a quoted value CONTAINING ')' — the statement
+    // must still shape-match, not fall through to the stock parser),
+    // and COPY_OPTIONS ('mergeSchema'='true') appends the second
+    // batch's source-only column exactly like MERGE evolution
+    // (untouched rows read NULL). File-identity idempotence asserted:
+    // the rerun loads nothing and burns no commit.
+    "q168_sql_copy_csv" -> ((s, d) => {
+      val root = scratch(s, "q168", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t168 (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE) USING commitlog")
+      val src = s"$root/_csv_src"
+      val base = ord(s, d).groupBy("o_orderkey")
+        .agg(max(col("o_totalprice")).as("o_totalprice"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .coalesce(1).write.option("header", "true").csv(s"$src/b1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_comment",
+          when(col("o_orderkey") % 100 === 1, lit("(n/a)"))
+            .otherwise(concat(lit("c("), col("o_orderkey"), lit(")"))))
+        .coalesce(1).write.option("header", "true").csv(s"$src/b2")
+      val r1 = lm.sql(s"COPY INTO t168 FROM '$src' FILEFORMAT = CSV " +
+        "PATTERN = 'b1/*.csv' FORMAT_OPTIONS ('header' = 'true')")
+        .head()
+      assert(r1.getLong(1) == 1L, "batch1 is one CSV file")
+      // ')' inside a quoted option value + schema evolution in one go
+      lm.sql(s"COPY INTO t168 FROM '$src' FILEFORMAT = CSV " +
+        "PATTERN = 'b2/*.csv' " +
+        "FORMAT_OPTIONS ('header' = 'true', 'nullValue' = '(n/a)') " +
+        "COPY_OPTIONS ('mergeSchema' = 'true')")
+      val log = lm.commitLog("t168")
+      val vDone = log.latestVersion()
+      val r3 = lm.sql(s"COPY INTO t168 FROM '$src' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true') " +
+        "COPY_OPTIONS ('mergeSchema' = 'true')").head()
+      assert(r3.getLong(1) == 0L && log.latestVersion() == vDone,
+        "a fully-loaded source must load nothing and burn no commit")
+      s.sql("SELECT o_orderkey, o_totalprice, o_comment FROM t168 " +
+        "ORDER BY o_orderkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8427,6 +8471,20 @@ object SparkEntry {
         |SELECT 'insert', o_orderkey + 1000000, o_custkey, o_totalprice
         |FROM src WHERE o_orderkey % 3 = 2
         |ORDER BY _op, o_orderkey""".stripMargin,
+
+    "q168_sql_copy_csv" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, max(o_totalprice) AS o_totalprice
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_comment
+        |FROM src WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 100 = 1 THEN NULL
+        |       ELSE 'c(' || o_orderkey || ')' END
+        |FROM src WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,
