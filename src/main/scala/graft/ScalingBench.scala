@@ -109,6 +109,145 @@ object ScalingBench {
       Files.createFile(Paths.get(s"$deepDir/_done"))
     }
 
+    // r11 evidence sections (run with arg "r11"; rows merge into
+    // SCALING.md by hand like every incremental pass):
+    //  A. merge SOURCE scaling — fixed target, source grows past the
+    //     broadcast threshold: the guard must FLIP to staged+shuffled
+    //     (never a forced driver broadcast) and stay ~linear in the
+    //     source.
+    //  B. incremental bloom-manifest append — appendFiles sharding:
+    //     a bloom-carrying delta append's cost tracks the DELTA and
+    //     its blob payload spreads across shards, not one task.
+    //  C. metadata verbs on a deep log — 10k synthetic commits, live
+    //     set constant: table_files rides the checkpoint fold (flat);
+    //     DESCRIBE HISTORY is O(commits) BY CONTRACT (it lists them),
+    //     measured to bound the constant.
+    if (args.headOption.contains("r11")) {
+      val thr = graft.lake.SchemaTools.broadcastThreshold(spark)
+      println(s"broadcast threshold = $thr bytes")
+      // ---- A: merge source scaling --------------------------------
+      val tgtSrc = spark.read.parquet(s"${dirs.head._2}/orders.parquet")
+        .groupBy("o_orderkey")
+        .agg(max(col("o_totalprice")).as("o_totalprice"))
+      println("| source | rows | bytes | mode | merge (s) |")
+      println("|---|---|---|---|---|")
+      for (sf <- Seq(0.25, 1.0, 2.0, 4.0)) {
+        val root = s"/tmp/graft_scale_mrgsrc_${(sf * 100).toInt}"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        val log = graft.lake.CommitLog(spark, root).init()
+        log.append(tgtSrc.repartitionByRange(32, col("o_orderkey")))
+        // source: sf x target keys, half updating / half novel, with a
+        // 128-char incompressible payload so on-disk bytes scale and
+        // the 4x arm decisively exceeds the threshold
+        val n = (150000 * sf).toLong
+        val srcDir = s"$root/_bench_src"
+        spark.range(n).select(
+            (col("id") * 2L).as("o_orderkey"),
+            (col("id") % 1000).cast("double").as("p"),
+            sha2(concat(col("id").cast("string"), lit("pad")), 512)
+              .as("pad"))
+          .write.parquet(srcDir)
+        val srcDf = spark.read.parquet(srcDir)
+        val bytes = graft.lake.SchemaTools.bytesOf(spark,
+          graft.lake.SchemaTools.listDataFiles(spark, srcDir))
+        val mode = if (bytes <= thr) "broadcast" else "staged+shuffle"
+        val t0 = System.nanoTime()
+        log.merge(srcDf, Seq("o_orderkey"),
+          matched = Seq(graft.lake.CommitLog.MergeClause(None,
+            graft.lake.CommitLog.MergeUpdate(
+              Seq("o_totalprice" -> "__s_p")))),
+          notMatched = Seq(graft.lake.CommitLog.MergeClause(None,
+            graft.lake.CommitLog.MergeInsert(
+              Seq("o_orderkey" -> "__s_o_orderkey",
+                "o_totalprice" -> "__s_p")))),
+          notMatchedBySource = Nil)
+        val tm = (System.nanoTime() - t0) / 1e9
+        println(f"| ${sf}x | $n | $bytes | $mode | $tm%.2f |")
+      }
+      // ---- B: incremental bloom append ----------------------------
+      println("\n| delta files | rows | manifest shards added | append (s) |")
+      println("|---|---|---|---|")
+      for (f <- Seq(1, 2, 4)) {
+        val root = s"/tmp/graft_scale_bloomapp_${f}x"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        spark.range(100000)
+          .select(col("id").as("doc_id"),
+            concat(lit("k-"), col("id")).as("doc_key"))
+          .repartitionByRange(32, col("doc_id"))
+          .write.parquet(root)
+        graft.lake.FileStats.build(spark, root,
+          bloomCols = Seq("doc_key"), bloomBits = 1 << 23) // 1 MiB blobs
+        val statsDir = s"$root/_stats"
+        val before = graft.lake.SchemaTools
+          .listDataFiles(spark, statsDir).size
+        // bloom-carrying backfill append: 32*f new files
+        spark.range(1000000, 1000000 + 50000L * f)
+          .select(col("id").as("doc_id"),
+            concat(lit("k-"), col("id")).as("doc_key"))
+          .repartitionByRange(32 * f, col("doc_id"))
+          .write.mode("append").parquet(root)
+        val newFiles = graft.lake.SchemaTools.listDataFiles(spark, root)
+          .filter(_.endsWith(".parquet"))
+          .filterNot(graft.lake.FileStats
+            .indexedFiles(spark, root).get.toSet)
+        val t0 = System.nanoTime()
+        graft.lake.FileStats.appendFiles(spark, root, newFiles)
+        val ta = (System.nanoTime() - t0) / 1e9
+        val after = graft.lake.SchemaTools
+          .listDataFiles(spark, statsDir).size
+        println(f"| ${newFiles.size} | ${50000L * f} | ${after - before} " +
+          f"| $ta%.2f |")
+      }
+      // ---- C: metadata verbs on a deep log ------------------------
+      println("\n| commits | history (s) | table_files (s) | " +
+        "vacuum dry run (s) |")
+      println("|---|---|---|---|")
+      for (nCommits <- Seq(312, 1250, 5000, 10000)) {
+        val root = s"/tmp/graft_scale_deeplog_$nCommits"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        val log = graft.lake.CommitLog(spark, root).init()
+        // two real files the synthetic history alternates between, so
+        // the LIVE set stays constant while the log deepens 32x
+        val one = spark.range(100).select(col("id"),
+          (col("id") * 2).as("v"))
+        log.append(one.coalesce(1)) // v1 -> file A
+        log.append(one.coalesce(1)) // v2 -> file B
+        val fa = log.commit(1L).files.head
+        val fb = log.commit(2L).files.head
+        val cdir = new org.apache.hadoop.fs.Path(root, "_commits")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        var ts = log.commit(2L).ts
+        (3 to nCommits).foreach { v =>
+          val (add, rm) = if (v % 2 == 0) (fa, fb) else (fb, fa)
+          ts += 1
+          val node = om.createObjectNode()
+          node.put("kind", "upsert"); node.put("ts", ts)
+          node.putArray("files").add(add)
+          node.putArray("removed").add(rm)
+          val out = pfs.create(new org.apache.hadoop.fs.Path(cdir,
+            f"v$v%020d.json"), true)
+          try out.write(om.writeValueAsBytes(node)) finally out.close()
+        }
+        log.checkpoint(nCommits.toLong) // the fold under test
+        def t(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tH = t(log.history().collect())
+        val tF = t(log.filesDetail(None).collect())
+        val tV = t(log.vacuumDryRun())
+        println(f"| $nCommits | $tH%.2f | $tF%.2f | $tV%.2f |")
+      }
+      spark.stop()
+      return
+    }
+
     // cheap representatives + every query from the top of the r2 cost
     // profile (d04/d09/d13/e03/e04/q35) — the expensive ones are exactly
     // where a hidden quadratic would hide

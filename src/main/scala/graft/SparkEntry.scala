@@ -6655,6 +6655,54 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // LIQUID CLUSTERING (Delta's CLUSTER BY): the keys ride CREATE
+    // TABLE as metadata (not a partitioning), and bare OPTIMIZE
+    // re-clusters INCREMENTALLY — the first run z-orders everything,
+    // the steady-state run burns no commit, and after new data lands
+    // only THOSE files rewrite (asserted off the commit log: the
+    // incremental rewrite's removed set == the files added since the
+    // last run). At 100 TB each OPTIMIZE costs the new data since the
+    // last run, never the lake; the z-ordered layout serves multi-axis
+    // span pruning (asserted: a clustering-key band scans a strict
+    // subset of live files).
+    "q169_sql_cluster_by" -> ((s, d) => {
+      val root = scratch(s, "q169", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t169 (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) USING commitlog " +
+        "CLUSTER BY (o_custkey, o_totalprice) " +
+        "TBLPROPERTIES ('optimize.target.files'='8')")
+      val log = lm.commitLog("t169")
+      assert(log.clusterKeys() == Seq("o_custkey", "o_totalprice"),
+        "CLUSTER BY must record the keys as table metadata")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q169_src")
+      lm.sql("INSERT INTO t169 SELECT * FROM q169_src " +
+        "WHERE o_orderkey % 2 = 0")
+      val r1 = lm.sql("OPTIMIZE t169").head()
+      assert(r1.getBoolean(3), "the first OPTIMIZE clusters everything")
+      val vSteady = log.latestVersion()
+      val r2 = lm.sql("OPTIMIZE t169").head()
+      assert(!r2.getBoolean(3) && log.latestVersion() == vSteady,
+        "steady state re-cluster must be a no-op burning no commit")
+      val clusteredSet = log.liveFiles(None).toSet
+      lm.sql("INSERT INTO t169 SELECT * FROM q169_src " +
+        "WHERE o_orderkey % 2 = 1")
+      val newFiles = log.liveFiles(None).toSet -- clusteredSet
+      val r3 = lm.sql("OPTIMIZE t169").head()
+      assert(r3.getBoolean(3))
+      assert(log.commit(r3.getLong(0)).removed.toSet == newFiles,
+        "incremental re-cluster touches ONLY the new files")
+      // the clustered layout prunes a clustering-key band
+      val live = log.liveFiles(None)
+      val band = log.candidateDataFiles("o_custkey <= 100")
+      assert(band.exists(c => c.size < live.size),
+        s"a clustering-key band must scan a strict subset: " +
+          s"${band.map(_.size)} of ${live.size}")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t169 " +
+        "ORDER BY o_orderkey, o_custkey, o_totalprice")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8485,6 +8533,10 @@ object SparkEntry {
         |       ELSE 'c(' || o_orderkey || ')' END
         |FROM src WHERE o_orderkey % 2 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q169_sql_cluster_by" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

@@ -273,7 +273,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       Commit(v, node.path("kind").asText(), buf.toSeq, rm.toSeq, txn,
         schemaOfNode(node), statsOfNode(node),
         node.path("ts").asLong(0L), schemaGroupsOfNode(node),
-        obj("constraints"), obj("props"), chg.toSeq)
+        obj("constraints"), obj("props"), chg.toSeq,
+        node.path("clustered").asBoolean(false))
     }
   }
 
@@ -1370,13 +1371,15 @@ final class CommitLog(spark: SparkSession, root: String) {
       schemaGroups: Map[String, StructType] = Map.empty,
       constraints: Option[Map[String, String]] = None,
       props: Option[Map[String, String]] = None,
-      changeFiles: Seq[String] = Nil): Boolean = {
+      changeFiles: Seq[String] = Nil,
+      clustered: Boolean = false): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
     if (changeFiles.nonEmpty) {
       val cfArr = node.putArray("changeFiles")
       changeFiles.foreach(cfArr.add)
     }
+    if (clustered) node.put("clustered", true)
     constraints.foreach { cs =>
       val cn = node.putObject("constraints")
       cs.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
@@ -2006,7 +2009,9 @@ final class CommitLog(spark: SparkSession, root: String) {
     * (never burn a commit on a no-op). */
   def optimize(targetFiles: Int = 1,
       zorderBy: Seq[String] = Nil,
-      where: Option[String] = None): Option[Long] = {
+      where: Option[String] = None,
+      onlyFiles: Option[Set[String]] = None,
+      markClustered: Boolean = false): Option[Long] = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
@@ -2016,10 +2021,17 @@ final class CommitLog(spark: SparkSession, root: String) {
     // stays row-preserving; files outside the band are untouched
     // (Delta's OPTIMIZE WHERE, with spans standing in for partition
     // predicates). Unprunable predicates degrade to a full pack.
-    val inputs = where match {
+    // `onlyFiles` restricts further (the liquid-clustering caller's
+    // unclustered set).
+    val inputs0 = where match {
       case None => r.data
       case Some(p) => prunedLive(p, r.data, r.spanOf).getOrElse(r.data)
     }
+    val inputs = onlyFiles match {
+      case None => inputs0
+      case Some(fs0) => inputs0.filter(fs0)
+    }
+    if (inputs.isEmpty) return None
     if (inputs.size <= targetFiles && zorderBy.isEmpty) return None
     // schema-aware pack: drifted inputs conform to the unified schema,
     // so the rewrite ALSO heals heterogeneity (the packed files all
@@ -2075,12 +2087,47 @@ final class CommitLog(spark: SparkSession, root: String) {
       // marked rows in the re-homed outputs
       conflictOnWindowDv(plannedV, tip, inputs)
       done = tryCas(v, "rewrite", names, removed = inputs ++ deadDv,
-        schema = Some(raw.schema), stats = spans)
+        schema = Some(raw.schema), stats = spans,
+        clustered = markClustered)
       if (!done) v = latestVersion() + 1
     }
     FileStats.invalidate(spark, root)
     notifyCommit()
     Some(v)
+  }
+
+  /** The table's declared clustering keys
+    * ([[CommitLog.ClusterByKey]]), empty when none. */
+  def clusterKeys(asOf: Option[Long] = None): Seq[String] =
+    properties(asOf).get(CommitLog.ClusterByKey)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  /** Liquid-clustering OPTIMIZE (Delta's CLUSTER BY surface): rewrite
+    * ONLY the live files that are not yet clustered on the declared
+    * keys, z-ordering them, and mark the rewrite commit `clustered` —
+    * so the NEXT run sees its outputs as already clustered and an
+    * incremental re-cluster touches only data that landed since.
+    * Clustered-ness derives from the commit LOG (a file is clustered
+    * iff the commit that ADDED it carries the marker — O(commits)
+    * metadata, zero data reads); files whose adding commit was expired
+    * by retention count as unclustered once, conservatively. Steady
+    * state on a 100 TB table: each run's cost is the new data since
+    * the last run, never the lake. Returns None when everything
+    * already clusters. */
+  def optimizeCluster(targetFiles: Int = 1): Option[Long] = {
+    val keys = clusterKeys()
+    require(keys.nonEmpty,
+      s"no clustering keys declared — set '${CommitLog.ClusterByKey}' " +
+        "(CREATE TABLE ... CLUSTER BY)")
+    val plannedV = latestVersion()
+    val clustered: Set[String] = existingVersions()
+      .filter(_ <= plannedV).map(commit)
+      .filter(_.clustered).flatMap(_.files).toSet
+    val un = resolve(Some(plannedV)).data.filterNot(clustered).toSet
+    if (un.isEmpty) return None
+    optimize(targetFiles, zorderBy = keys, onlyFiles = Some(un),
+      markClustered = true)
   }
 
   /** Keyed copy-on-write MERGE as ONE atomic commit — Delta MERGE on
@@ -4121,6 +4168,12 @@ object CommitLog {
     * feed refuses loudly — the scale-honest fallback. */
   val CdfEnabledKey: String = "cdf.enabled"
 
+  /** Declared clustering keys (Delta's CLUSTER BY / liquid
+    * clustering): comma-separated column names; [[CommitLog
+    * .optimizeCluster]] incrementally z-orders unclustered files on
+    * them. */
+  val ClusterByKey: String = "graft.cluster.by"
+
   val IdentityColPrefix: String = "graft.identity.col."
   val IdentityHwmPrefix: String = "graft.identity.hwm."
   val GeneratedColPrefix: String = "graft.generated.col."
@@ -4188,7 +4241,8 @@ object CommitLog {
       schemaGroups: Map[String, StructType] = Map.empty,
       constraints: Option[Map[String, String]] = None,
       props: Option[Map[String, String]] = None,
-      changeFiles: Seq[String] = Nil)
+      changeFiles: Seq[String] = Nil,
+      clustered: Boolean = false)
 
   /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the

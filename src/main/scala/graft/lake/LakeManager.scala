@@ -258,7 +258,21 @@ final class LakeManager(spark: SparkSession, root: String) {
       if (ignoreIfExists) return Some(commitLog(t).read(None))
       throw new IllegalArgumentException(s"table $t already exists")
     }
-    val partCols: Seq[String] = partitioning.map {
+    // CLUSTER BY (Delta's liquid clustering) is NOT a partitioning:
+    // the keys record as table metadata and OPTIMIZE incrementally
+    // z-orders unclustered files on them ([[CommitLog.optimizeCluster]])
+    val clusterCols: Seq[String] = partitioning.collect {
+      case org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(cols) =>
+        cols.map { c =>
+          require(c.fieldNames.length == 1,
+            s"nested clustering references are not supported: $c")
+          c.fieldNames.head
+        }
+    }.flatten
+    val partCols: Seq[String] = partitioning.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions
+        .ClusterByTransform]).map {
       case t if t.name == "identity" && t.references.length == 1 =>
         val fn = t.references.head.fieldNames
         require(fn.length == 1,
@@ -309,7 +323,10 @@ final class LakeManager(spark: SparkSession, root: String) {
       if (columns.isEmpty) Map.empty
       else Map(LakeManager.ColumnOrderProp ->
         columns.map(_.name).mkString(","))
-    val allProps = us.properties ++ autoProps ++ orderProp
+    val clusterProp: Map[String, String] =
+      if (clusterCols.isEmpty) Map.empty
+      else Map(CommitLog.ClusterByKey -> clusterCols.mkString(","))
+    val allProps = us.properties ++ autoProps ++ orderProp ++ clusterProp
     if (allProps.nonEmpty) log.setProperties(allProps)
     Some(log.read(None))
   }
@@ -569,8 +586,14 @@ final class LakeManager(spark: SparkSession, root: String) {
         val target = log.properties(None)
           .get("optimize.target.files").map(_.toInt).getOrElse(1)
         val before = log.liveFiles(None).size
+        // bare OPTIMIZE on a CLUSTER BY table re-clusters
+        // incrementally (Delta's liquid-clustering behavior): only
+        // files not yet clustered on the declared keys rewrite
         val rewrote =
-          log.optimize(targetFiles = target, zorderBy = zcols,
+          if (zcols.isEmpty && where == null &&
+              log.clusterKeys().nonEmpty)
+            log.optimizeCluster(targetFiles = target)
+          else log.optimize(targetFiles = target, zorderBy = zcols,
             where = Option(where).map(_.trim))
         Seq((rewrote.getOrElse(log.latestVersion()),
           before.toLong, log.liveFiles(None).size.toLong,

@@ -1645,6 +1645,31 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("liquid clustering: OPTIMIZE on a CLUSTER BY table re-clusters " +
+      "incrementally — only files landed since the last run rewrite, " +
+      "steady state is a no-op") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogliq")).init()
+    log.append(spark.range(0, 1000)
+      .select(col("id"), (col("id") * 3).as("v")).repartition(4))
+    log.setProperties(Map(CommitLog.ClusterByKey -> "id"))
+    val v1 = log.optimizeCluster(targetFiles = 2)
+    assert(v1.isDefined, "first run clusters the standing files")
+    assert(log.commit(v1.get).clustered,
+      "the rewrite commit must carry the clustered marker")
+    assert(log.optimizeCluster(targetFiles = 2).isEmpty,
+      "steady state: everything already clustered, no commit burned")
+    val clusteredSet = log.liveFiles(None).toSet
+    log.append(spark.range(1000, 1500)
+      .select(col("id"), (col("id") * 3).as("v")).repartition(3))
+    val newFiles = log.liveFiles(None).toSet -- clusteredSet
+    val v2 = log.optimizeCluster(targetFiles = 2)
+    assert(v2.isDefined)
+    assert(log.commit(v2.get).removed.toSet == newFiles,
+      "incremental: ONLY the files landed since the last run rewrite")
+    assert(log.read(None).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 1500L), "re-clustering preserves every row")
+  }
+
   test("change data feed (opt-in): merge and upsert commits persist " +
       "exact change rows, the feed decomposes them, and a replica " +
       "folded from it converges; without the property they refuse") {
