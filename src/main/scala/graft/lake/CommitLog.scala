@@ -1085,10 +1085,15 @@ final class CommitLog(spark: SparkSession, root: String) {
     * semi-join per dv commit, O(marks)), rewrites emit nothing (no
     * new rows), every row carries its `_commit_version` so a
     * consumer applies in commit order and keys idempotence by
-    * version. A replace in the range REFUSES — it re-homes rows the
-    * consumer already applied; re-baseline — unless `skipBreaking`
-    * (the streaming source's skipChangeCommits) opts into dropping
-    * such commits from the feed.
+    * version. MERGE/upsert/UPDATE/DELETE-WHERE commits on a table
+    * with the change data feed enabled ([[CommitLog.CdfEnabledKey]])
+    * decompose from their persisted `_change_data` rows (`_op` also
+    * spans update_preimage / update_postimage — Delta CDF's row
+    * shape). A replace in the range — or a mutating commit WITHOUT
+    * persisted change rows — REFUSES (it re-homes rows the consumer
+    * already applied; re-baseline), unless `skipBreaking` (the
+    * streaming source's skipChangeCommits) opts into dropping such
+    * commits from the feed.
     * Cost is O(files in the range's commits), never the lake. */
   def changesSince(sinceVersion: Long, asOf: Option[Long] = None,
       skipBreaking: Boolean = false): DataFrame = {
@@ -2139,7 +2144,17 @@ final class CommitLog(spark: SparkSession, root: String) {
     * Time travel before it serves the pre-merge rows; incremental
     * consumers must re-baseline across it ([[readSince]] and
     * [[changesSince]] refuse — merged outputs mix carried-over
-    * survivors with changed rows, not separable from metadata).
+    * survivors with changed rows, not separable from metadata —
+    * UNLESS the change data feed is on ([[CommitLog.CdfEnabledKey]]),
+    * in which case the exact change rows persist with the commit and
+    * the feed decomposes it).
+    *
+    * The batch may be ANY size: under the session broadcast threshold
+    * it broadcasts into the touch/rewrite joins; above it (or when
+    * the optimizer can't size it) it stages once to a lake temp file
+    * and the joins plan shuffled on the real byte count
+    * ([[sizedSource]]) — a multi-GB batch never forces a driver
+    * broadcast.
     *
     * Concurrency is Delta's ConcurrentAppend/ConcurrentDelete logic,
     * validated inside the CAS retry loop:

@@ -295,4 +295,34 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     assert(readOut(out4).select("id").as[Long]
       .collect().toSeq == Seq(100L))
   }
+
+  test("readChangeFeed streams ACROSS a merge when the change data " +
+      "feed is on: the commit's persisted change rows deliver instead " +
+      "of failing the stream") {
+    import graft.lake.CommitLog.{MergeClause, MergeInsert, MergeUpdate}
+    val root = TestSpark.tempDir("lsscdf")
+    val log = CommitLog(spark, s"$root/t").init()
+    log.append(spark.range(5)
+      .select(col("id"), (col("id") * 2).as("v"))) // v1
+    log.setProperties(Map(CommitLog.CdfEnabledKey -> "true")) // v2
+    log.merge(Seq((1L, 100L), (9L, 900L)).toDF("id", "sv"), Seq("id"),
+      matched = Seq(MergeClause(None, MergeUpdate(Seq("v" -> "__s_sv")))),
+      notMatched = Seq(MergeClause(None,
+        MergeInsert(Seq("id" -> "__s_id", "v" -> "__s_sv")))),
+      notMatchedBySource = Nil) // v3: upsert-kind WITH change files
+    val feed = spark.readStream.format("commitlog")
+      .option("readChangeFeed", "true")
+      .load(s"$root/t")
+    val out = TestSpark.tempDir("lsscdf_out")
+    drain(feed, out, TestSpark.tempDir("lsscdf_ck"))
+    val got = readOut(out)
+    assert(got.filter(col("_op") === "insert")
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 9L))
+    assert(got.filter(col("_op") === "update_preimage")
+      .select("id", "v").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 2L)))
+    assert(got.filter(col("_op") === "update_postimage")
+      .select("id", "v").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 100L)))
+  }
 }
