@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{AnnIndex, ArrowIpc, CommitLog, Compact, Expectations, FileStats, HiddenPartitions, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{AnnIndex, ArrowIpc, CommitLog, Compact, DynamicPruning, Expectations, FileStats, HiddenPartitions, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -6703,6 +6703,55 @@ object SparkEntry {
         "ORDER BY o_orderkey, o_custkey, o_totalprice")
     }),
 
+    // DYNAMIC FILE PRUNING FOR JOINS (Databricks DFP / Spark DPP,
+    // re-expressed over the `_stats` sidecar so it serves
+    // UNPARTITIONED key-clustered layouts): the fact⋈dim predicate
+    // only exists at RUN time — the dim rows surviving their own
+    // filter — so static skipping gets nothing. DynamicPruning
+    // realizes the dim's join-key domain (min/max + the exact value
+    // set under a cap) and prunes the fact's FILE LISTING through the
+    // same span+bloom surface ad-hoc predicates use, then re-applies
+    // the domain as a row residual (parquet row-group pruning inside
+    // survivors). At 100 TB this is THE star-schema scan: a dim
+    // filter selecting 3 of 15k keys reads ~1 of N key-clustered
+    // fact files instead of all of them. In-query asserts: the
+    // pruned scan reads a strict minority of files; pruning never
+    // changes the join answer
+    "q170_dynamic_file_pruning" -> ((s, d) => {
+      val root = scratch(s, "q170", d)
+      val src = li(s, d).select("l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+      val per = math.max(src.count() / 16L, 50L)
+      LakeWriter(s, root, WriteMode.Overwrite, maxRecordsPerFile = per)
+        .write(src.orderBy("l_orderkey", "l_linenumber"))
+      FileStats.build(s, root, bloomCols = Seq("l_orderkey"))
+      val nFiles = SchemaTools.listDataFiles(s, root).size
+      // the dim filter is NOT on the fact column: it realizes at run
+      // time to exactly {0, 997, 1994} ∩ keyspace — 2-3 keys at any sf
+      val dim = ord(s, d)
+        .filter("o_orderkey % 997 = 0 AND o_orderkey < 3000")
+        .select("o_orderkey", "o_totalprice")
+      val pruned = DynamicPruning.prunedFactScan(
+        s, root, dim, Seq("l_orderkey" -> "o_orderkey"))
+      assert(pruned.inputFiles.length * 2 < nFiles,
+        s"3 keys must prune to a strict minority of files: " +
+          s"${pruned.inputFiles.length}/$nFiles")
+      val joined = DynamicPruning.joinPruned(
+        s, root, dim, Seq("l_orderkey" -> "o_orderkey"))
+      assert(joined.count() ==
+        s.read.parquet(root).join(dim,
+          col("l_orderkey") === col("o_orderkey")).count(),
+        "dynamic pruning must never change the join answer")
+      joined.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec12(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec12(col("l_extendedprice"))).cast("double")
+            .as("sum_price"),
+          max(dec12(col("o_totalprice"))).cast("double")
+            .as("o_total"))
+        .orderBy("l_orderkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8537,6 +8586,18 @@ object SparkEntry {
     "q169_sql_cluster_by" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin,
+
+    "q170_dynamic_file_pruning" ->
+      """SELECT l.l_orderkey AS l_orderkey, count(*) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(max(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS o_total
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 997 = 0 AND o.o_orderkey < 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

@@ -202,7 +202,7 @@ object FileStats {
 
   private val IntRe = "^-?\\d{1,19}$".r
 
-  private def canonInt(s: String): Option[String] =
+  private[lake] def canonInt(s: String): Option[String] =
     IntRe.findFirstIn(s.trim)
       .flatMap(t => scala.util.Try(t.toLong).toOption).map(_.toString)
 

@@ -98,27 +98,36 @@ final case class LakeReader(
     * drifted datasets, untrusted manifests, or filters with no
     * extractable range — the caller falls back to the plain scan. */
   private def statsPrunedScan(predicate: String): Option[DataFrame] = {
-    if (format != "parquet" || unifySchemas || nanosAsLong) return None
-    if (!FileStats.trusted(spark, path)) return None
-    // heterogeneous files need the unifier; renamed columns would make
-    // the predicate's logical names miss the manifest's physical spans
-    if (SchemaTools.readSchemaMarkerInfo(spark, path)
-        .exists(i => !i.homogeneous || i.renames.nonEmpty ||
-          i.dropped.nonEmpty))
-      return None
-    // unapplied merge-on-read tombstones: the pruned scan would serve
-    // deleted rows — fall back to the full logical surface
-    if (RowOps.tombstoneKeys(spark, path).nonEmpty) return None
+    if (!listingPrunable) return None
     // range spans AND bloom point-lookup probes, one combined listing
-    FileStats.candidatesForPredicate(spark, path, predicate).map { files =>
-      if (files.isEmpty) spark.read.parquet(path).limit(0)
-      else
-        spark.read
-          .schema(spark.read.parquet(path).schema)
-          .option("basePath", path)
-          .parquet(files: _*)
-    }
+    FileStats.candidatesForPredicate(spark, path, predicate)
+      .map(scanFiles)
   }
+
+  /** Whether pruning this dataset's FILE LISTING is sound: parquet,
+    * schema-homogeneous, unmapped (renames would make logical names
+    * miss the manifest's physical spans), tombstone-free (a pruned
+    * scan skips the merge-on-read subtraction and would serve deleted
+    * rows), with a trusted manifest. [[DynamicPruning]] shares this
+    * guard with the static predicate path. */
+  private[lake] def listingPrunable: Boolean =
+    format == "parquet" && !unifySchemas && !nanosAsLong &&
+      FileStats.trusted(spark, path) &&
+      !SchemaTools.readSchemaMarkerInfo(spark, path)
+        .exists(i => !i.homogeneous || i.renames.nonEmpty ||
+          i.dropped.nonEmpty) &&
+      RowOps.tombstoneKeys(spark, path).isEmpty
+
+  /** Scan exactly `files` under this dataset's schema + basePath; an
+    * empty candidate set keeps the schema (zero-file proof, not an
+    * error). Sound only under [[listingPrunable]]. */
+  private[lake] def scanFiles(files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.read.parquet(path).limit(0)
+    else
+      spark.read
+        .schema(spark.read.parquet(path).schema)
+        .option("basePath", path)
+        .parquet(files: _*)
 
   private def loadBase(): DataFrame = {
     format match {
