@@ -6752,6 +6752,68 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
+    // MATERIALIZED VIEW WITH INCREMENTAL REFRESH (the Databricks MV
+    // discipline over this engine's change data feed): the view is a
+    // commit-log table + metadata; REFRESH reads table_changes past
+    // the sync point, recomputes ONLY the group keys that moved (a
+    // semi-join-pruned source scan), and one generalized merge
+    // upserts changed groups / inserts new ones / retires vanished
+    // ones atomically. Refresh cost ∝ changed keys, never view or
+    // source size — the 100 TB contract for derived tables.
+    // Recompute-by-key needs no algebraic inverse, so ANY aggregate
+    // maintains (not just abelian folds). In-query asserts: the
+    // refresh names exactly the moved groups (a strict minority);
+    // the refreshed view equals a full recompute; a second refresh
+    // is a no-op burning no commit
+    "q171_sql_materialized_view" -> ((s, d) => {
+      val root = scratch(s, "q171", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t171s (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_totalprice DOUBLE) USING commitlog " +
+        s"TBLPROPERTIES ('${CommitLog.CdfEnabledKey}'='true')")
+      ord(s, d).groupBy("o_orderkey")
+        .agg(max("o_custkey").as("o_custkey"),
+          max("o_totalprice").as("o_totalprice"))
+        .createOrReplaceTempView("q171_src")
+      lm.sql("INSERT INTO t171s SELECT * FROM q171_src")
+      lm.sql("CREATE MATERIALIZED VIEW t171mv AS " +
+        "SELECT o_custkey, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        "AS total FROM t171s GROUP BY o_custkey")
+      val mvLog = lm.commitLog("t171mv")
+      def recompute() = lm.sql("SELECT o_custkey, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        "AS total FROM t171s GROUP BY o_custkey")
+      // three flavors of source movement: copy-on-write UPDATE,
+      // DELETE (groups where every row vanishes retire), and a MERGE
+      // landing brand-new groups — all decompose through the CDF
+      lm.sql("UPDATE t171s SET o_totalprice = o_totalprice + 10.0 " +
+        "WHERE o_custkey % 7 = 1")
+      lm.sql("DELETE FROM t171s WHERE o_custkey % 7 = 2")
+      lm.sql("MERGE INTO t171s USING (SELECT o_orderkey + 1000000 " +
+        "AS o_orderkey, o_custkey + 100000 AS o_custkey, " +
+        "o_totalprice FROM q171_src WHERE o_custkey % 7 = 3) s " +
+        "ON t171s.o_orderkey = s.o_orderkey " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, " +
+        "o_totalprice) VALUES (s.o_orderkey, s.o_custkey, " +
+        "s.o_totalprice)")
+      val m = lm.sql("REFRESH MATERIALIZED VIEW t171mv").head()
+      assert(m.getBoolean(3), "the refresh must fold the window")
+      val total = recompute().count()
+      assert(m.getLong(2) > 0 && m.getLong(2) * 2 < total,
+        s"only the moved groups recompute: ${m.getLong(2)}/$total")
+      val mv = lm.commitLog("t171mv").read(None)
+      assert(mv.count() == total &&
+        mv.unionByName(recompute()).distinct().count() == total,
+        "the refreshed view must equal a full recompute")
+      val vAfter = mvLog.latestVersion()
+      val m2 = lm.sql("REFRESH MATERIALIZED VIEW t171mv").head()
+      assert(!m2.getBoolean(3) && mvLog.latestVersion() == vAfter,
+        "a second refresh is a no-op burning no commit")
+      lm.sql("SELECT o_custkey, n, total FROM t171mv " +
+        "ORDER BY o_custkey")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8598,6 +8660,23 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderkey % 997 = 0 AND o.o_orderkey < 3000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q171_sql_materialized_view" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, max(o_custkey) AS o_custkey,
+        |    max(o_totalprice) AS o_totalprice
+        |  FROM orders GROUP BY 1),
+        |mut AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_custkey % 7 = 1 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS p
+        |  FROM src WHERE o_custkey % 7 <> 2
+        |  UNION ALL
+        |  SELECT o_custkey + 100000, o_totalprice
+        |  FROM src WHERE o_custkey % 7 = 3)
+        |SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM mut GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

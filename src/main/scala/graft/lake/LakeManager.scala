@@ -426,14 +426,16 @@ final class LakeManager(spark: SparkSession, root: String) {
     * literals or call [[CommitLog.optimize]] directly. */
   private def maintenanceSql(statement: String): Option[DataFrame] = {
     import spark.implicits._
-    def managed(token: String): Option[CommitLog] = {
+    def managedTableName(token: String): Option[String] = {
       val parts = token.split('.').toSeq.map { p =>
         if (p.length >= 2 && p.startsWith("`") && p.endsWith("`"))
           p.substring(1, p.length - 1)
         else p
       }
-      managedName(parts).map(commitLog)
+      managedName(parts)
     }
+    def managed(token: String): Option[CommitLog] =
+      managedTableName(token).map(commitLog)
     // dotted path of plain or backquoted parts (a backquoted part
     // containing a literal dot is not addressable through the
     // maintenance verbs — use the programmatic API for such names)
@@ -476,6 +478,13 @@ final class LakeManager(spark: SparkSession, root: String) {
         "(?:\\s+FORMAT_OPTIONS\\s*\\(((?:'[^']*'|[^')])*)\\))?" +
         "(?:\\s+COPY_OPTIONS\\s*\\(((?:'[^']*'|[^')])*)\\))?" +
         "\\s*;?\\s*$").r
+    val CreateMv =
+      ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
+        "(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" + Ident +
+        "\\s+AS\\s+(SELECT\\s.+?)\\s*;?\\s*$").r
+    val RefreshMv =
+      ("(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" + Ident +
+        "(?:\\s+(FULL))?\\s*;?\\s*$").r
     // 'k' = 'v' pairs inside FORMAT_OPTIONS / COPY_OPTIONS — matched
     // as quoted pairs, NOT split on commas (a CSV 'sep' = ',' is the
     // canonical value holding one); leftover non-separator text
@@ -547,6 +556,59 @@ final class LakeManager(spark: SparkSession, root: String) {
           Seq((nr, nf, v))
             .toDF("num_inserted_rows", "num_files_loaded", "version")
         }
+      // materialized aggregate view + incremental refresh off the
+      // change feed (the Databricks MV surface; see
+      // [[createMaterializedView]]). The body parses through Spark's
+      // OWN parser — the Aggregate node supplies keys, aggregate
+      // expressions (rendered back to SQL for the metadata), and the
+      // source relation; anything but the one maintainable shape
+      // (bare-column keys, aliased aggregates, one managed source)
+      // refuses loudly
+      case CreateMv(ine, nameTok, body) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
+        val mvName = simpleName(nameTok)
+        if (tables.contains(mvName)) {
+          require(ine != null, s"table $mvName already exists")
+          Some(commitLog(mvName).read(None))
+        } else spark.sessionState.sqlParser.parsePlan(body) match {
+          case Aggregate(groupExprs, aggExprs, child, _) =>
+            def rel(p: LogicalPlan): Option[Seq[String]] = p match {
+              case r: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedRelation => Some(r.multipartIdentifier)
+              case SubqueryAlias(_, c) => rel(c)
+              case _ => None
+            }
+            rel(child).flatMap(managedName).map { src =>
+              val keys = groupExprs.map {
+                case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+                  a.name
+                case o => throw new IllegalArgumentException(
+                  "materialized views group by bare source columns " +
+                    s"only, got: ${o.sql}")
+              }
+              val aggs = aggExprs.flatMap {
+                case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+                  require(keys.contains(a.name),
+                    s"non-aggregate select item must be a group key: " +
+                      a.name)
+                  None
+                case al: Alias => Some(al.child.sql -> al.name)
+                case o => throw new IllegalArgumentException(
+                  s"alias every aggregate (… AS name): ${o.sql}")
+              }
+              createMaterializedView(mvName, src, keys, aggs)
+              commitLog(mvName).read(None)
+            }
+          case _ => throw new IllegalArgumentException(
+            "materialized views take the one incrementally-" +
+              "maintainable shape: SELECT <keys, aggs> FROM " +
+              "<managed table> GROUP BY <keys>")
+        }
+      case RefreshMv(t, full) =>
+        managedTableName(t).map(n =>
+          refreshMaterializedView(n, full = full != null))
       // re-derive an identity high-water mark from the data (the
       // post-RESTORE / post-bulk-load recovery verb)
       case SyncId(t, c) => managed(t).map { log =>
@@ -1483,6 +1545,148 @@ final class LakeManager(spark: SparkSession, root: String) {
         else spark.sql(statement)
     }
   }
+
+  // ---- materialized views: incremental refresh over the change feed ----
+
+  private def mvCompute(df: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val cols = aggs.map { case (e, a) => expr(e).as(a) }
+    df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  private def mvAggsJson(aggs: Seq[(String, String)]): String = {
+    val arr = mapper.createArrayNode()
+    aggs.foreach { case (e, a) =>
+      val o = arr.addObject(); o.put("expr", e); o.put("alias", a)
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  private def mvAggsParse(s: String): Seq[(String, String)] = {
+    val n = mapper.readTree(s)
+    (0 until n.size).map(i =>
+      (n.get(i).get("expr").asText, n.get(i).get("alias").asText))
+  }
+
+  /** Create a materialized AGGREGATE view of a managed commit-log
+    * table (the Databricks materialized-view discipline): the view is
+    * its own commit-log table holding `SELECT keys, aggs FROM source
+    * GROUP BY keys` plus metadata properties
+    * ([[LakeManager.MvSourceProp]]…). [[refreshMaterializedView]]
+    * advances it INCREMENTALLY: the source's change feed names the
+    * group keys whose inputs moved, ONLY those groups recompute (a
+    * semi-join-pruned scan of the source), and one generalized merge
+    * upserts changed groups, inserts new ones, and retires vanished
+    * ones atomically — refresh cost scales with the CHANGED keys,
+    * never with the view or the source. Recompute-by-key needs no
+    * algebraic inverse, so ANY Spark aggregate expression is
+    * maintainable (min/max/avg/count-distinct, not just the abelian
+    * folds CDC delta-folding could serve). Returns the source version
+    * the view is founded at. */
+  def createMaterializedView(name: String, source: String,
+      keys: Seq[String], aggs: Seq[(String, String)]): Long = {
+    require(keys.nonEmpty, "a materialized view needs group keys")
+    require(aggs.nonEmpty, "a materialized view needs aggregates")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"commit-log table names must be SQL identifiers: $name")
+    val aliases = aggs.map(_._2)
+    aliases.foreach(a => require(a.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"aggregate aliases must be SQL identifiers: $a"))
+    require((keys ++ aliases).map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct.size == keys.size + aliases.size,
+      "group keys and aggregate aliases must be distinct")
+    require(tables.contains(source) && datasetKind(source) == "commitlog",
+      s"the source must be a managed commit-log table: $source")
+    require(!tables.contains(name), s"table $name already exists")
+    val srcLog = commitLog(source)
+    // founding order matters for crash-consistency: capture the tip
+    // FIRST, then compute over a read that can only see <= tip rows
+    // plus concurrently-landing commits — a concurrent commit between
+    // tip and the read makes the founding state NEWER than `synced`,
+    // and the first refresh's recompute-by-key converges it (the same
+    // at-least-once idempotence every refresh leans on)
+    val tip = srcLog.latestVersion()
+    val log = addCommitLog(name)
+    log.append(mvCompute(srcLog.read(None), keys, aggs))
+    log.setProperties(Map(
+      LakeManager.MvSourceProp -> source,
+      LakeManager.MvKeysProp -> keys.mkString(","),
+      LakeManager.MvAggsProp -> mvAggsJson(aggs),
+      LakeManager.MvSyncedProp -> tip.toString))
+    tip
+  }
+
+  /** Incrementally refresh a materialized view: fold every source
+    * commit past the view's sync point by recomputing ONLY the group
+    * keys the change feed names (see [[createMaterializedView]]).
+    * `full = true` recomputes everything as one replace commit — the
+    * re-baseline path for when the feed refuses (a replace/restore/
+    * clone in the window, or a merge/upsert without the change data
+    * feed enabled on the source). Returns one metrics row
+    * (from_version, to_version, changed_keys, refreshed); a refresh
+    * with nothing to fold burns no commit. Crash-safe by idempotence:
+    * the sync-point property advances AFTER the data merge, and
+    * re-running the window recomputes the same per-key values. */
+  def refreshMaterializedView(name: String, full: Boolean = false)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val log = commitLog(name)
+    val props = log.properties(None)
+    val source = props.getOrElse(LakeManager.MvSourceProp,
+      throw new IllegalArgumentException(
+        s"$name is not a materialized view"))
+    val keys = props(LakeManager.MvKeysProp).split(',').toSeq
+    val aggs = mvAggsParse(props(LakeManager.MvAggsProp))
+    val aliases = aggs.map(_._2)
+    val synced = props(LakeManager.MvSyncedProp).toLong
+    val srcLog = commitLog(source)
+    val tip = srcLog.latestVersion()
+    def metrics(changed: Long, refreshed: Boolean) =
+      Seq((synced, tip, changed, refreshed))
+        .toDF("from_version", "to_version", "changed_keys", "refreshed")
+    if (tip <= synced && !full) return metrics(0L, refreshed = false)
+    if (full) {
+      log.replace(mvCompute(srcLog.read(None), keys, aggs),
+        log.latestVersion())
+      log.setProperties(Map(LakeManager.MvSyncedProp -> tip.toString))
+      return metrics(-1L, refreshed = true)
+    }
+    val changes = srcLog.changesSince(synced, Some(tip))
+    val changedKeys = changes.select(keys.map(col): _*).distinct()
+    val live = srcLog.read(None)
+    // recompute ONLY the moved groups; null-safe like merge matching
+    val affected = live.join(changedKeys,
+      keys.map(k => live(k) <=> changedKeys(k)).reduce(_ && _),
+      "left_semi")
+    val recomputed = mvCompute(affected, keys, aggs)
+      .withColumn("_present", lit(true))
+    val mergeSrc = changedKeys.alias("ck")
+      .join(recomputed.alias("rc"),
+        keys.map(k => col(s"ck.$k") <=> col(s"rc.$k")).reduce(_ && _),
+        "left")
+      .select(keys.map(k => col(s"ck.$k").as(k)) ++
+        aliases.map(a => col(s"rc.$a").as(a)) :+
+        coalesce(col("rc._present"), lit(false)).as("_present"): _*)
+    import CommitLog.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
+    log.merge(
+      mergeSrc, keys,
+      matched = Seq(
+        // a moved group still holding rows re-lands its recomputed
+        // aggregates; one whose rows all vanished retires
+        MergeClause(Some("__s__present"),
+          MergeUpdate(aliases.map(a => a -> s"__s_$a"))),
+        MergeClause(None, MergeDelete)),
+      notMatched = Seq(
+        // a brand-new group inserts; a group that appeared and
+        // vanished entirely inside the window matches no clause
+        MergeClause(Some("__s__present"),
+          MergeInsert((keys ++ aliases).map(c => c -> s"__s_$c")))),
+      notMatchedBySource = Nil)
+    log.setProperties(Map(LakeManager.MvSyncedProp -> tip.toString))
+    metrics(changedKeys.count(), refreshed = true)
+  }
 }
 
 object LakeManager {
@@ -1494,6 +1698,16 @@ object LakeManager {
     * INSERT conforms against once drift makes the read order
     * alphabetical. */
   val ColumnOrderProp = "graft.column.order"
+
+  /** Materialized-view metadata, carried as table properties on the
+    * view's OWN commit log (transactional, versioned, clone-portable
+    * like every property): the source table, the group keys, the
+    * aggregate expressions (JSON `[{expr, alias}]`), and the last
+    * source version folded in. */
+  val MvSourceProp = "graft.mv.source"
+  val MvKeysProp = "graft.mv.keys"
+  val MvAggsProp = "graft.mv.aggs"
+  val MvSyncedProp = "graft.mv.synced"
 
   /** Rewrite [[ColumnOrderProp]] through `f` if it is set; no meta
     * commit is burned when the property is absent or unchanged. */

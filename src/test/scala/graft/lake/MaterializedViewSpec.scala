@@ -1,0 +1,113 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MaterializedViewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lake(prefix: String): LakeManager =
+    LakeManager(spark, TestSpark.tempDir(prefix) + "/lake").init()
+
+  private def sorted(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString(""))
+
+  private def fullRecompute(lm: LakeManager): Seq[Seq[Any]] =
+    sorted(lm.sql("SELECT k, count(*) AS n, " +
+      "CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+      "FROM base GROUP BY k"))
+
+  private def setup(prefix: String): LakeManager = {
+    val lm = lake(prefix)
+    lm.sql("CREATE TABLE base (k BIGINT, v DOUBLE) USING commitlog " +
+      s"TBLPROPERTIES ('${CommitLog.CdfEnabledKey}'='true')")
+    spark.range(100)
+      .select((col("id") % 10).as("k"), (col("id") * 1.5).as("v"))
+      .createOrReplaceTempView("mv_src")
+    lm.sql("INSERT INTO base SELECT * FROM mv_src")
+    lm.sql("CREATE MATERIALIZED VIEW agg AS " +
+      "SELECT k, count(*) AS n, " +
+      "CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+      "FROM base GROUP BY k")
+    lm
+  }
+
+  test("create materializes the aggregate; refresh with nothing to " +
+      "fold is a no-op burning no commit") {
+    val lm = setup("mv_create")
+    assert(sorted(lm.commitLog("agg").read(None)) == fullRecompute(lm))
+    val before = lm.commitLog("agg").latestVersion()
+    val m = lm.sql("REFRESH MATERIALIZED VIEW agg").head()
+    assert(!m.getBoolean(3), "nothing to fold => refreshed=false")
+    assert(lm.commitLog("agg").latestVersion() == before,
+      "a no-op refresh must burn no commit")
+  }
+
+  test("incremental refresh converges updates, deletes, inserts, and " +
+      "retires vanished groups; only changed keys recompute") {
+    val lm = setup("mv_refresh")
+    lm.sql("UPDATE base SET v = v + 100 WHERE k = 3")
+    lm.sql("DELETE FROM base WHERE k = 7") // group 7 vanishes
+    spark.range(100, 110)
+      .select(lit(55L).as("k"), (col("id") * 2.0).as("v"))
+      .createOrReplaceTempView("mv_new")
+    lm.sql("INSERT INTO base SELECT * FROM mv_new") // new group 55
+    lm.sql("MERGE INTO base USING " +
+      "(SELECT 0 AS k, 999.0 AS v) s ON base.k = s.k " +
+      "WHEN MATCHED AND base.v < 10 THEN UPDATE SET v = s.v")
+    val m = lm.sql("REFRESH MATERIALIZED VIEW agg").head()
+    assert(m.getBoolean(3))
+    // k in {0,3,7,55} moved; 10 standing groups + the new one
+    assert(m.getLong(2) == 4,
+      s"exactly the 4 moved groups recompute: ${m.getLong(2)}")
+    assert(sorted(lm.commitLog("agg").read(None)) == fullRecompute(lm))
+    assert(lm.commitLog("agg").read(None)
+      .filter(col("k") === 7).isEmpty, "a vanished group retires")
+    assert(lm.commitLog("agg").read(None)
+      .filter(col("k") === 55).count() == 1, "a new group inserts")
+  }
+
+  test("a non-decomposable window refuses; REFRESH FULL re-baselines") {
+    val lm = setup("mv_full")
+    // replace re-homes every row: the feed cannot decompose it
+    lm.commitLog("base").replace(
+      spark.range(50).select((col("id") % 5).as("k"),
+        (col("id") * 3.0).as("v")),
+      lm.commitLog("base").latestVersion())
+    val refused =
+      try { lm.sql("REFRESH MATERIALIZED VIEW agg"); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("re-baseline") }
+    assert(refused, "a replace inside the window must refuse")
+    val m = lm.sql("REFRESH MATERIALIZED VIEW agg FULL").head()
+    assert(m.getBoolean(3))
+    assert(sorted(lm.commitLog("agg").read(None)) == fullRecompute(lm))
+    // and the incremental path works again past the re-baseline
+    lm.sql("DELETE FROM base WHERE k = 2")
+    val m2 = lm.sql("REFRESH MATERIALIZED VIEW agg").head()
+    assert(m2.getBoolean(3) && m2.getLong(2) == 1)
+    assert(sorted(lm.commitLog("agg").read(None)) == fullRecompute(lm))
+  }
+
+  test("shape refusals: unaliased aggregates, expression keys, " +
+      "non-aggregate bodies, refresh of a non-view") {
+    val lm = setup("mv_refuse")
+    def refuses(stmt: String): Unit = {
+      val r = try { lm.sql(stmt); false } catch { case _: Exception => true }
+      assert(r, s"must refuse: $stmt")
+    }
+    refuses("CREATE MATERIALIZED VIEW bad1 AS " +
+      "SELECT k, count(*) FROM base GROUP BY k")
+    refuses("CREATE MATERIALIZED VIEW bad2 AS " +
+      "SELECT k % 2 AS kk, count(*) AS n FROM base GROUP BY k % 2")
+    refuses("CREATE MATERIALIZED VIEW bad3 AS SELECT k, v FROM base")
+    refuses("REFRESH MATERIALIZED VIEW base")
+    // IF NOT EXISTS on an existing view is a read, not an error
+    assert(lm.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS agg AS " +
+      "SELECT k, count(*) AS n FROM base GROUP BY k").count() == 10)
+  }
+}
