@@ -2398,6 +2398,25 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // BM25 retrieval: the inverted-index access path as keyed joins —
+    // postings/df/doc-length from two combined groupBys, query terms
+    // probe postings ON TERM (only their lists are touched), score =
+    // fineLog2 idf × a one-integer-division tf normalization (avgdl
+    // cleared of its division), summed as exact integers so the
+    // ranking is hash-verifiable cross-engine. Queries are the first
+    // 5 tokens of every doc_id%250==7 doc (the synthetic corpus
+    // shares a small vocabulary, so these behave like real keyword
+    // queries: many candidate docs, ranked by tf/length/idf)
+    "d57_bm25_retrieval" -> ((s, d) => {
+      val all = docs(s, d)
+      val queries = all.filter(col("doc_id") % 250 === 7)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+            .as("qtext"))
+      operators.Retrieval.bm25TopK(all, queries, k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // surgical decontamination: leaked 8-token spans cut out of every
     // training doc (vs d20/d25's whole-doc drop) — held-out window
     // hashes broadcast into a semi-join, token-level reassembly only
@@ -9895,6 +9914,52 @@ object SparkEntry {
         |   ELSE 'tail' END AS bucket
         |FROM s JOIN documents d ON s.doc_id = d.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "d57_bm25_retrieval" -> {
+      def fine(e: String): String =
+        s"(256 * (length(bin($e)) - 1) + " +
+          s"CAST(floor(CAST(($e) * 256 AS DOUBLE) / " +
+          s"power(2, length(bin($e)) - 1)) AS BIGINT) - 256)"
+      s"""WITH t AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         | FROM documents),
+         |tf AS (
+         | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         | FROM t GROUP BY 1, 2),
+         |dl AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         | FROM t GROUP BY 1),
+         |dfq AS (
+         | SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         | GROUP BY 1),
+         |tot AS (
+         | SELECT CAST(sum(dl) AS BIGINT) AS l,
+         |   CAST(count(*) AS BIGINT) AS n FROM dl),
+         |qt AS (
+         | SELECT DISTINCT doc_id AS qid, u AS term FROM (
+         |  SELECT doc_id,
+         |    unnest(array_slice(string_split(text, ' '), 1, 5)) AS u
+         |  FROM documents WHERE doc_id % 250 = 7)),
+         |sc AS (
+         | SELECT qt.qid, tf.doc_id,
+         |  (${fine("tot.n")} - ${fine("dfq.df")}) *
+         |   ((tf.tf * 22 * 1048576 * tot.l) //
+         |    (tf.tf * 10 * tot.l + 3 * tot.l + 9 * dl.dl * tot.n)) AS c
+         | FROM qt
+         | JOIN tf USING (term)
+         | JOIN dl ON tf.doc_id = dl.doc_id
+         | JOIN dfq ON tf.term = dfq.term, tot),
+         |s AS (
+         | SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+         | FROM sc GROUP BY 1, 2)
+         |SELECT qid, doc_id, score_q,
+         | CAST(row_number() OVER (PARTITION BY qid
+         |   ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rank
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |   ORDER BY score_q DESC, doc_id ASC) <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
 
     // first occurrence per repeated window = row_number = 1 over
     // (doc, pos) — the same ordering min(struct) picks on the Spark side

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Sparse lexical retrieval over a document corpus: distributed BM25
+  * with exact fixed-point scoring.
+  *
+  * 100 TB shape — every stage is a keyed shuffle or a map-side
+  * combine, nothing all-pairs:
+  *  - postings (doc, term, tf) and per-doc lengths are one tokenize +
+  *    two combined groupBys over the corpus;
+  *  - document frequencies aggregate the postings, keyed on term;
+  *  - the query side joins postings ON TERM — the probe set is the
+  *    handful of query terms, so the join touches only their postings
+  *    lists (at scale: partition/bucket the postings by term and this
+  *    is an index lookup, the inverted-index access path);
+  *  - per-(query, doc) scores are one more keyed agg; top-k is a
+  *    rank-limited window (Spark's WindowGroupLimit pushes the limit
+  *    below the shuffle).
+  * The only driver-side scalars are the corpus totals (N, L).
+  *
+  * Scoring is BM25 (k1 = 1.2, b = 0.75) in EXACT INTEGER fixed point,
+  * the [[Quality.fineLog2]] discipline: libm `ln` and cross-row double
+  * summation both drift across engines, so the idf is fineLog2
+  * (1/256-bit units) and the tf normalization — a rational function of
+  * (tf, dl) once avgdl = L/N is cleared of its division —
+  *
+  *   tf_norm = tf·(k1+1) / (tf + k1·(1−b+b·dl·N/L))
+  *           = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)      (×10L, k1/b exact)
+  *
+  * quantizes as one INTEGER division scaled by 2^20. Contributions and
+  * their per-(query, doc) sums are integers: order-free, bit-identical
+  * on any engine. Bounds: 22·tf·L·2^20 must stay under 2^63 — corpora
+  * past ~8e9 total tokens should shard the build or drop to double
+  * scoring (ranking quality needs no bit-exactness; the fixed point is
+  * what makes the result HASH-VERIFIABLE). */
+object Retrieval {
+
+  /** Top-k BM25 results per query: (qid, doc id, score_q, rank).
+    * `queries` rows are (qidCol, qtextCol); query terms deduplicate
+    * (classic BM25 ignores query-side tf). Ties rank by ascending doc
+    * id, so the cut is total and deterministic. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    // tf rows are unique per (doc, term): df is a count, not a distinct
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = dl.agg(sum(col("dl")).as("l"), count(lit(1)).as("n"))
+      .head()
+    val l = totals.getLong(0)
+    val n = totals.getLong(1)
+    val qterms = queries.select(col(qidCol),
+      explode(TextFunctions.tokens(col(qtextCol))).as("term")).distinct()
+    // restrict postings to query terms FIRST: the term join is the
+    // index access path, everything after it is per-candidate work
+    val postings = qterms
+      .join(tf, "term")
+      .join(dl, idCol)
+      .join(dfT, "term")
+    val scored = postings
+      .withColumn("idf_q8",
+        Quality.fineLog2(lit(n)) - Quality.fineLog2(col("df")))
+      .withColumn("tf_num", col("tf") * lit(22L * 1048576L * l))
+      .withColumn("tf_den",
+        col("tf") * lit(10L * l) + lit(3L * l) + col("dl") * lit(9L * n))
+      .withColumn("c", col("idf_q8") * expr("tf_num div tf_den"))
+    scored.groupBy(qidCol, idCol)
+      .agg(sum(col("c")).as("score_q"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(qidCol)
+          .orderBy(col("score_q").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score_q"), col("rank"))
+  }
+}
