@@ -52,6 +52,69 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("mvrw")) {
+      import org.apache.spark.sql.functions._
+      import graft.lake._
+      val d = "/root/testdata/sf0.001"
+      val root = "/tmp/mvrw_lake"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val lm = LakeManager(spark, root).init()
+      lm.sql("CREATE TABLE tsrc (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_totalprice DOUBLE) USING commitlog " +
+        "TBLPROPERTIES ('cdf.enabled'='true')")
+      Tables.orders(spark, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(2000).createOrReplaceTempView("mv_src")
+      lm.sql("INSERT INTO tsrc SELECT * FROM mv_src")
+      lm.sql("CREATE MATERIALIZED VIEW tmv AS " +
+        "SELECT o_custkey, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        "AS total FROM tsrc GROUP BY o_custkey")
+      val q = "SELECT o_custkey, count(*) AS cnt, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        "AS t FROM tsrc GROUP BY o_custkey"
+      def files(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      val r1 = lm.sql(q)
+      println("fresh rewrite files: " +
+        files(r1).map(_.split("/tmp/mvrw_lake/").last).distinct.take(5))
+      println("rows=" + r1.count())
+      val direct = spark.sql(q.replace("tsrc", "mv_src"))
+      println("match=" + (r1.unionByName(direct).distinct().count()
+        == direct.count()))
+      // stale: a new source commit must stop the rewrite
+      lm.sql("DELETE FROM tsrc WHERE o_custkey % 5 = 0")
+      val r2 = lm.sql(q)
+      println("stale files: " +
+        files(r2).map(_.split("/tmp/mvrw_lake/").last).distinct.take(3))
+      // refresh resumes it
+      lm.sql("REFRESH MATERIALIZED VIEW tmv")
+      val r3 = lm.sql(q)
+      println("refreshed files: " +
+        files(r3).map(_.split("/tmp/mvrw_lake/").last).distinct.take(3))
+      // conf off
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      val r4 = lm.sql(q)
+      println("conf-off files: " +
+        files(r4).map(_.split("/tmp/mvrw_lake/").last).distinct.take(3))
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      // HAVING falls through
+      val r5 = lm.sql(q + " HAVING count(*) > 1")
+      println("having files: " +
+        files(r5).map(_.split("/tmp/mvrw_lake/").last).distinct.take(3))
+      println("having rows=" + r5.count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("cdfdbg")) {
       import org.apache.spark.sql.functions._
       import graft.lake._

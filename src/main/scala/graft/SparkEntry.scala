@@ -6800,7 +6800,10 @@ object SparkEntry {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) " +
         "AS total FROM t171s GROUP BY o_custkey")
       val mvLog = lm.commitLog("t171mv")
-      def recompute() = lm.sql("SELECT o_custkey, count(*) AS n, " +
+      // recompute through spark.sql over the registered temp view —
+      // NOT lm.sql, whose MV query rewrite would answer a fresh-MV-
+      // matching aggregate FROM the view and make the check circular
+      def recompute() = s.sql("SELECT o_custkey, count(*) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) " +
         "AS total FROM t171s GROUP BY o_custkey")
       // three flavors of source movement: copy-on-write UPDATE,
@@ -6831,6 +6834,55 @@ object SparkEntry {
         "a second refresh is a no-op burning no commit")
       lm.sql("SELECT o_custkey, n, total FROM t171mv " +
         "ORDER BY o_custkey")
+    }),
+
+    // MV QUERY REWRITE (the classic materialized-view answering
+    // discipline, syntactic-match flavor): an aggregate over the
+    // SOURCE whose GROUP BY keys and (aliased) aggregate expressions
+    // match a FRESH view answers from the view's files — O(groups)
+    // scanned instead of O(rows), the 100 TB dashboard-query path.
+    // Soundness is freshness: one metadata read compares the view's
+    // sync point to the source tip; a stale view NEVER serves (the
+    // direct plan runs, seeing the unfolded mutation), and REFRESH
+    // resumes the rewrite. In-query asserts pin all three plan
+    // shapes by the files the analyzed plan reads.
+    "q172_mv_query_rewrite" -> ((s, d) => {
+      val root = scratch(s, "q172", d)
+      val lm = LakeManager(s, root).init()
+      def reads(df: DataFrame): Seq[String] =
+        df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => l.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location.inputFiles.toSeq
+            case _ => Nil
+          }
+        }.flatten
+      lm.sql("CREATE TABLE t172s (l_returnflag STRING, " +
+        "l_linestatus STRING, l_quantity DOUBLE) USING commitlog " +
+        s"TBLPROPERTIES ('${CommitLog.CdfEnabledKey}'='true')")
+      li(s, d).select("l_returnflag", "l_linestatus", "l_quantity")
+        .createOrReplaceTempView("q172_src")
+      lm.sql("INSERT INTO t172s SELECT * FROM q172_src")
+      lm.sql("CREATE MATERIALIZED VIEW t172mv AS " +
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) " +
+        "AS sum_qty FROM t172s GROUP BY l_returnflag, l_linestatus")
+      val q = "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) " +
+        "AS sum_qty FROM t172s GROUP BY l_returnflag, l_linestatus"
+      val fresh = reads(lm.sql(q))
+      assert(fresh.nonEmpty && fresh.forall(_.contains("/t172mv/")),
+        s"a fresh view must serve the matching aggregate: $fresh")
+      lm.sql("DELETE FROM t172s WHERE l_quantity < 5")
+      val stale = reads(lm.sql(q))
+      assert(stale.nonEmpty && stale.forall(_.contains("/t172s/")),
+        s"a stale view must never serve: $stale")
+      lm.sql("REFRESH MATERIALIZED VIEW t172mv")
+      val back = lm.sql(q)
+      assert(reads(back).forall(_.contains("/t172mv/")),
+        "refresh must resume the rewrite")
+      back.orderBy("l_returnflag", "l_linestatus")
     }),
 
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
@@ -8696,6 +8748,13 @@ object SparkEntry {
         |SELECT o_custkey, count(*) AS n,
         |  CAST(sum(CAST(p AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM mut GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q172_mv_query_rewrite" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem WHERE NOT (l_quantity < 5)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

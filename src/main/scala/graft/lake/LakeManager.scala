@@ -1451,9 +1451,30 @@ final class LakeManager(spark: SparkSession, root: String) {
         // [[CommitLog.changesSince]]'s plan the same way. Anything
         // untouched falls through verbatim.
         import org.apache.spark.sql.catalyst.analysis.{
-          RelationTimeTravel, UnresolvedTableValuedFunction}
+          RelationTimeTravel, UnresolvedFunction, UnresolvedHaving,
+          UnresolvedTableValuedFunction}
         var rewrote = false
+        // aggregates whose PARENT re-resolves aggregate functions
+        // (HAVING, or an ORDER BY / filter carrying function calls)
+        // keep their direct plan — the MV-substituted Project could
+        // not host that re-resolution (conservative, never wrong)
+        val mvUnsafe = scala.collection.mutable.ArrayBuffer[LogicalPlan]()
+        other.foreach {
+          case h: UnresolvedHaving => mvUnsafe += h.child
+          case s: Sort if s.child.isInstanceOf[Aggregate] &&
+              s.order.exists(_.exists(_.isInstanceOf[UnresolvedFunction])) =>
+            mvUnsafe += s.child
+          case f: Filter if f.child.isInstanceOf[Aggregate] &&
+              f.condition.exists(_.isInstanceOf[UnresolvedFunction]) =>
+            mvUnsafe += f.child
+          case _ =>
+        }
         val rewritten = other.transformUp {
+          case agg: Aggregate if !mvUnsafe.exists(_ eq agg) =>
+            tryMvRewrite(agg) match {
+              case Some(p) => rewrote = true; p
+              case None => agg
+            }
           case tvf @ UnresolvedTableValuedFunction(fname, fargs, _)
               if fname.map(_.toLowerCase(java.util.Locale.ROOT))
                 == Seq("table_files") =>
@@ -1686,6 +1707,110 @@ final class LakeManager(spark: SparkSession, root: String) {
       notMatchedBySource = Nil)
     log.setProperties(Map(LakeManager.MvSyncedProp -> tip.toString))
     metrics(changedKeys.count(), refreshed = true)
+  }
+
+  /** Transparent aggregate rewrite onto a FRESH materialized view
+    * (the classic MV query-rewrite discipline, syntactic-match
+    * flavor): a parsed `Aggregate` whose child is the bare managed
+    * source relation, whose GROUP BY keys set-equal a view's keys,
+    * and whose every select item is either a group key or an ALIASED
+    * expression structurally equal (case-normalized, at the parsed
+    * level — no resolution needed) to one of the view's stored
+    * aggregate expressions, answers from the view's files instead of
+    * the source's — O(groups) scanned instead of O(rows). SOUND only
+    * when the view is synced to the source TIP (one metadata read;
+    * a stale view never serves), and only for inner aggregate shapes
+    * (a WHERE on the source, a HAVING/ORDER BY carrying aggregate
+    * functions above, or an unaliased aggregate fall through to the
+    * direct plan untouched — conservative, never wrong). Disable per
+    * session with `spark.graft.mv.rewrite=false`. Candidate discovery
+    * reads each cataloged table's properties — metadata-plane, like
+    * Delta's own table-property resolution. */
+  private def tryMvRewrite(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import java.util.Locale
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction,
+      UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Expression, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Project, SubqueryAlias}
+    if (!spark.conf.get("spark.graft.mv.rewrite", "true").toBoolean)
+      return None
+    def lc(s: String) = s.toLowerCase(Locale.ROOT)
+    def relName(p: LogicalPlan): Option[String] = p match {
+      case r: UnresolvedRelation =>
+        scala.util.Try(managedName(r.multipartIdentifier))
+          .toOption.flatten
+      case SubqueryAlias(_, c) => relName(c)
+      case _ => None
+    }
+    val source = relName(agg.child).getOrElse(return None)
+    val keyNames = agg.groupingExpressions.map {
+      case a: UnresolvedAttribute => lc(a.nameParts.last)
+      case _ => return None
+    }
+    if (keyNames.isEmpty || keyNames.distinct.size != keyNames.size)
+      return None
+    val keySet = keyNames.toSet
+    def norm(e: Expression): Expression = e.transformUp {
+      case a: UnresolvedAttribute =>
+        UnresolvedAttribute(Seq(lc(a.nameParts.last)))
+      case f: UnresolvedFunction =>
+        f.copy(nameParts = f.nameParts.map(lc))
+    }
+    val srcTip = commitLog(source).latestVersion()
+    tables.iterator
+      .filter(v => v != source && datasetKind(v) == "commitlog")
+      .flatMap { v =>
+        val props = commitLog(v).properties(None)
+        val fresh = for {
+          s <- props.get(LakeManager.MvSourceProp) if s == source
+          k <- props.get(LakeManager.MvKeysProp)
+          viewKeys = k.split(',').toSeq
+          if viewKeys.size == keyNames.size &&
+            viewKeys.map(lc).toSet == keySet
+          aggsJson <- props.get(LakeManager.MvAggsProp)
+          synced <- props.get(LakeManager.MvSyncedProp)
+          if synced.toLong == srcTip
+        } yield mvAggsParse(aggsJson)
+        fresh.flatMap { stored =>
+          val storedNorm = stored.map { case (e, a) =>
+            norm(spark.sessionState.sqlParser.parseExpression(e)) ->
+              lc(a)
+          }
+          // every select item maps to a view column, or no rewrite
+          val mapped: Option[Seq[(String, Option[String])]] =
+            scala.util.Try(agg.aggregateExpressions.map {
+              case UnresolvedAlias(a: UnresolvedAttribute, _)
+                  if keySet(lc(a.nameParts.last)) =>
+                (lc(a.nameParts.last), None)
+              case a: UnresolvedAttribute
+                  if keySet(lc(a.nameParts.last)) =>
+                (lc(a.nameParts.last), None)
+              case al: Alias =>
+                val n = norm(al.child)
+                storedNorm.find(_._1 == n) match {
+                  case Some((_, mvCol)) => (mvCol, Some(al.name))
+                  case None => throw new NoSuchElementException
+                }
+              case _ => throw new NoSuchElementException
+            }).toOption
+          mapped.map { outs =>
+            val analyzed = org.apache.spark.sql.GraftSqlBridge
+              .analyzedPlan(commitLog(v).read(None))
+            val byName =
+              analyzed.output.map(a => lc(a.name) -> a).toMap
+            Project(outs.map {
+              case (mvCol, None) => byName(mvCol): NamedExpression
+              case (mvCol, Some(outName)) =>
+                Alias(byName(mvCol), outName)()
+            }, analyzed): LogicalPlan
+          }
+        }
+      }.nextOption()
   }
 }
 

@@ -16,8 +16,11 @@ class MaterializedViewSpec extends AnyFunSuite {
     df.collect().map(_.toSeq).toSeq
       .sortBy(_.mkString(""))
 
+  // recompute through spark.sql over the registered temp view — NOT
+  // lm.sql, which would transparently answer a fresh-MV-matching
+  // aggregate FROM the view (tryMvRewrite) and make this circular
   private def fullRecompute(lm: LakeManager): Seq[Seq[Any]] =
-    sorted(lm.sql("SELECT k, count(*) AS n, " +
+    sorted(spark.sql("SELECT k, count(*) AS n, " +
       "CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total " +
       "FROM base GROUP BY k"))
 
@@ -109,5 +112,67 @@ class MaterializedViewSpec extends AnyFunSuite {
     // IF NOT EXISTS on an existing view is a read, not an error
     assert(lm.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS agg AS " +
       "SELECT k, count(*) AS n FROM base GROUP BY k").count() == 10)
+  }
+
+  // ---- transparent query rewrite onto a fresh view ----
+
+  private def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+
+  private val rwQuery = "SELECT k, count(*) AS c2, " +
+    "CAST(sum(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS t2 " +
+    "FROM base GROUP BY k"
+
+  test("a matching aggregate over a FRESH view answers from the " +
+      "view's files (renamed aliases, reordered and subset select)") {
+    val lm = setup("mv_rw")
+    val r = lm.sql(rwQuery)
+    val f = scanned(r)
+    assert(f.nonEmpty && f.forall(_.contains("/agg/")),
+      s"the rewritten plan must read only the view: $f")
+    assert(sorted(r.select("k", "c2", "t2")) ==
+      sorted(spark.sql(rwQuery).select("k", "c2", "t2")),
+      "the rewritten answer must equal the direct aggregate")
+    // a SUBSET of the stored aggregates, keys omitted from the select
+    val sub = lm.sql("SELECT CAST(sum(CAST(v AS DECIMAL(12,2))) AS " +
+      "DOUBLE) AS only_total FROM base GROUP BY k")
+    assert(scanned(sub).forall(_.contains("/agg/")) &&
+      sub.count() == 10)
+  }
+
+  test("stale view, HAVING, non-matching aggregate, and conf-off " +
+      "all keep the direct source plan — and refresh resumes it") {
+    val lm = setup("mv_rw_guard")
+    assert(scanned(lm.sql(rwQuery)).forall(_.contains("/agg/")))
+    // stale: one more source commit stops the rewrite immediately
+    lm.sql("DELETE FROM base WHERE k = 4")
+    val stale = lm.sql(rwQuery)
+    assert(scanned(stale).forall(_.contains("/base/")),
+      "a stale view must never serve")
+    assert(stale.filter(col("k") === 4).isEmpty,
+      "the direct plan sees the delete the view has not folded")
+    lm.sql("REFRESH MATERIALIZED VIEW agg")
+    assert(scanned(lm.sql(rwQuery)).forall(_.contains("/agg/")),
+      "refresh resumes the rewrite")
+    // HAVING re-resolves aggregates above — conservative fall-through
+    assert(scanned(lm.sql(rwQuery + " HAVING count(*) > 0"))
+      .forall(_.contains("/base/")))
+    // an aggregate the view does not store
+    assert(scanned(lm.sql("SELECT k, CAST(avg(v) AS DOUBLE) AS a " +
+      "FROM base GROUP BY k")).forall(_.contains("/base/")))
+    // a WHERE below the aggregate
+    assert(scanned(lm.sql("SELECT k, count(*) AS c2 FROM base " +
+      "WHERE v > 1 GROUP BY k")).forall(_.contains("/base/")))
+    // session kill switch
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(scanned(lm.sql(rwQuery)).forall(_.contains("/base/")))
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
   }
 }
