@@ -115,6 +115,53 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("parse")) {
+      val p = spark.sessionState.sqlParser.parsePlan(
+        "SELECT count(*) AS n, min(l_orderkey) AS mnk FROM tma")
+      println(p.treeString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("metaagg")) {
+      import graft.lake._
+      val d = "/root/testdata/sf0.001"
+      val root = "/tmp/metaagg_lake"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val lm = LakeManager(spark, root).init()
+      lm.sql("CREATE TABLE tma (l_orderkey BIGINT, l_quantity DOUBLE)" +
+        " USING commitlog")
+      Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+        .createOrReplaceTempView("ma_src")
+      lm.sql("INSERT INTO tma SELECT * FROM ma_src")
+      val q = "SELECT count(*) AS n, min(l_orderkey) AS mnk, " +
+        "max(l_orderkey) AS mxk, min(l_quantity) AS mnq, " +
+        "max(l_quantity) AS mxq FROM tma"
+      def scans(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => l
+        }.size
+      val r1 = lm.sql(q)
+      println(s"meta scans=${scans(r1)} row=${r1.head()}")
+      println("direct row=" + spark.sql(q.replace("tma", "ma_src")).head())
+      // copy-on-write delete: spans ride the rewritten files, still meta
+      lm.sql("DELETE FROM tma WHERE l_quantity < 10")
+      val r2 = lm.sql(q)
+      println(s"after cow delete scans=${scans(r2)} row=${r2.head()}")
+      // MoR marks: exactness unprovable -> direct plan
+      lm.sql("ALTER TABLE tma SET TBLPROPERTIES " +
+        "('delete.mode'='positional')")
+      lm.sql("DELETE FROM tma WHERE l_quantity > 45")
+      val r3 = lm.sql(q)
+      println(s"after mor delete scans=${scans(r3)} row=${r3.head()}")
+      // count(DISTINCT) and avg decline
+      val r4 = lm.sql("SELECT count(DISTINCT l_orderkey) AS n FROM tma")
+      println(s"distinct scans=${scans(r4)}")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("cdfdbg")) {
       import org.apache.spark.sql.functions._
       import graft.lake._

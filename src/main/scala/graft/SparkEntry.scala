@@ -5190,9 +5190,11 @@ object SparkEntry {
         .createOrReplaceTempView("q157_b")
       lm.sql("INSERT INTO t157 SELECT * FROM q157_a") // 1 file
       lm.sql("INSERT INTO t157 SELECT * FROM q157_b") // 1 file
+      // data-CARRYING files only: the founding anchor file now
+      // reports an explicit num_rows = 0 (and carries no spans)
       val perFile = lm.sql("SELECT * FROM table_files('t157') " +
-        "WHERE num_rows >= 0").collect()
-      assert(perFile.forall(r =>
+        "WHERE num_rows > 0").collect()
+      assert(perFile.nonEmpty && perFile.forall(r =>
         r.getAs[Map[String, String]]("bounds").get("o_orderkey")
           .exists(_.matches("\\[\\d+, \\d+\\]"))),
         "every data file must render its o_orderkey span")
@@ -5203,7 +5205,7 @@ object SparkEntry {
           .head().getLong(0),
         "the historical file set must be smaller")
       lm.sql("SELECT count(*) AS n_files, sum(num_rows) AS n_rows " +
-        "FROM table_files('t157') WHERE num_rows >= 0")
+        "FROM table_files('t157') WHERE num_rows > 0")
     }),
 
     // SQL SHALLOW CLONE (r10): `CREATE TABLE c SHALLOW CLONE b` — the
@@ -6883,6 +6885,52 @@ object SparkEntry {
       assert(reads(back).forall(_.contains("/t172mv/")),
         "refresh must resume the rewrite")
       back.orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // METADATA-ONLY AGGREGATES (Delta's metadata-only query
+    // optimization): `SELECT count(*)/min/max FROM t` answers from
+    // the commit manifests' per-file stats — one manifest fold, a
+    // one-row plan with ZERO scan relations. O(files) metadata
+    // instead of O(rows) data at 100 TB. Sound by construction:
+    // serves only when exactness is provable (numeric spans on every
+    // file, no merge-on-read marks); copy-on-write rewrites carry
+    // fresh spans so DELETE stays metadata-served, while standing
+    // positional marks decline to the direct plan (asserted per
+    // phase via the files the analyzed plan reads).
+    "q173_metadata_only_agg" -> ((s, d) => {
+      val root = scratch(s, "q173", d)
+      val lm = LakeManager(s, root).init()
+      def scans(df: DataFrame): Int =
+        df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => l
+        }.size
+      lm.sql("CREATE TABLE t173 (l_orderkey BIGINT, " +
+        "l_quantity DOUBLE) USING commitlog")
+      li(s, d).select("l_orderkey", "l_quantity")
+        .createOrReplaceTempView("q173_src")
+      lm.sql("INSERT INTO t173 SELECT * FROM q173_src")
+      val q = "SELECT count(*) AS n, min(l_orderkey) AS mnk, " +
+        "max(l_orderkey) AS mxk, min(l_quantity) AS mnq, " +
+        "max(l_quantity) AS mxq FROM t173"
+      val all = lm.sql(q)
+      assert(scans(all) == 0,
+        "the metadata plan must contain no scan relation")
+      lm.sql("DELETE FROM t173 WHERE l_quantity < 10")
+      val cow = lm.sql(q)
+      assert(scans(cow) == 0,
+        "copy-on-write rewrites carry fresh spans: still metadata")
+      lm.sql("ALTER TABLE t173 SET TBLPROPERTIES " +
+        "('delete.mode'='positional')")
+      lm.sql("DELETE FROM t173 WHERE l_quantity > 45")
+      val mor = lm.sql(q)
+      assert(scans(mor) > 0,
+        "standing positional marks must decline to the direct plan")
+      all.withColumn("phase", lit("all"))
+        .unionByName(cow.withColumn("phase", lit("cow")))
+        .unionByName(mor.withColumn("phase", lit("mor")))
+        .select("phase", "n", "mnk", "mxk", "mnq", "mxq")
+        .orderBy("phase")
     }),
 
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
@@ -8755,6 +8803,22 @@ object SparkEntry {
         |    AS sum_qty
         |FROM lineitem WHERE NOT (l_quantity < 5)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q173_metadata_only_agg" ->
+      """SELECT 'all' AS phase, count(*) AS n,
+        |  min(l_orderkey) AS mnk, max(l_orderkey) AS mxk,
+        |  min(l_quantity) AS mnq, max(l_quantity) AS mxq
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'cow', count(*), min(l_orderkey), max(l_orderkey),
+        |  min(l_quantity), max(l_quantity)
+        |FROM lineitem WHERE NOT (l_quantity < 10)
+        |UNION ALL
+        |SELECT 'mor', count(*), min(l_orderkey), max(l_orderkey),
+        |  min(l_quantity), max(l_quantity)
+        |FROM lineitem
+        |WHERE NOT (l_quantity < 10) AND NOT (l_quantity > 45)
+        |ORDER BY phase""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

@@ -1350,7 +1350,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     // name. NOT by leaf: one partitionBy task writes the SAME leaf
     // name into every partition dir it touches, so leaf keys collide
     // across partitions.
-    df.groupBy(input_file_name().as("file"))
+    val m = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
@@ -1366,6 +1366,11 @@ final class CommitLog(spark: SparkSession, root: String) {
           }
         name -> FileSpans(r.getLong(r.fieldIndex("n_rows")), cols)
       }.toMap
+    // a ZERO-ROW file (CREATE TABLE's schema anchor, a fully-filtered
+    // write) yields no group above — record it explicitly so row
+    // counts stay exact (history metrics, metadata-only count(*))
+    m ++ names.filterNot(m.contains)
+      .map(_ -> FileSpans(0L, Map.empty)).toMap
   }
 
   private def tryCas(v: Long, kind: String, names: Seq[String],
@@ -4036,6 +4041,39 @@ final class CommitLog(spark: SparkSession, root: String) {
       }.toMap).getOrElse(Map.empty)
       (name, size, sp.map(_.nRows).getOrElse(-1L), bounds)
     }.toDF("file", "size_bytes", "num_rows", "bounds")
+  }
+
+  /** Metadata-only global aggregates over the LIVE state (Delta's
+    * metadata-only query optimization): exact `count(*)` plus numeric
+    * `min`/`max` for `cols`, served from the commit manifests'
+    * per-file stats — O(files) metadata, ZERO data-file opens.
+    * Returns None unless the answer is provably exact: no standing
+    * tombstones (merge-on-read marks change row visibility the
+    * manifests cannot price), every live file carrying spans, and
+    * every requested column carrying a NUMERIC span entry in every
+    * file (string spans are truncated prefixes — comparable for
+    * pruning, not exact extremes — so they decline). All-null files
+    * contribute no bound (min/max ignore nulls); a column null in
+    * every row answers (None, None) = SQL NULL. */
+  def metadataAgg(cols: Seq[String])
+      : Option[(Long, Map[String, (Option[Double], Option[Double])])] = {
+    val r = resolve(None)
+    if (r.tombstones.nonEmpty) return None
+    if (!r.data.forall(r.spanOf.contains)) return None
+    val n = r.data.map(r.spanOf(_).nRows).sum
+    val mm = cols.map { c =>
+      // zero-row files carry no column spans and contribute nothing
+      val sides = r.data.map(r.spanOf).filter(_.nRows > 0L).map {
+        sp => sp.cols.getOrElse(c, return None)
+      }
+      def num(s: Option[FileStats.SpanV]): Option[Double] = s.map {
+        case FileStats.NumV(v) => v
+        case _: FileStats.StrV => return None
+      }
+      c -> ((sides.flatMap(s => num(s._1)).minOption,
+        sides.flatMap(s => num(s._2)).maxOption))
+    }.toMap
+    Some((n, mm))
   }
 
   def vacuum(retentionMs: Long = CommitLog.RetentionMs): Long =

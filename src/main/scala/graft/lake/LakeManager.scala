@@ -1461,10 +1461,12 @@ final class LakeManager(spark: SparkSession, root: String) {
         val mvUnsafe = scala.collection.mutable.ArrayBuffer[LogicalPlan]()
         other.foreach {
           case h: UnresolvedHaving => mvUnsafe += h.child
-          case s: Sort if s.child.isInstanceOf[Aggregate] &&
+          case s: Sort if (s.child.isInstanceOf[Aggregate] ||
+                s.child.isInstanceOf[Project]) &&
               s.order.exists(_.exists(_.isInstanceOf[UnresolvedFunction])) =>
             mvUnsafe += s.child
-          case f: Filter if f.child.isInstanceOf[Aggregate] &&
+          case f: Filter if (f.child.isInstanceOf[Aggregate] ||
+                f.child.isInstanceOf[Project]) &&
               f.condition.exists(_.isInstanceOf[UnresolvedFunction]) =>
             mvUnsafe += f.child
           case _ =>
@@ -1474,6 +1476,14 @@ final class LakeManager(spark: SparkSession, root: String) {
             tryMvRewrite(agg) match {
               case Some(p) => rewrote = true; p
               case None => agg
+            }
+          // a GLOBAL aggregate parses as Project (the analyzer
+          // converts to Aggregate later) — match count/min/max
+          // select lists over a bare managed relation here
+          case proj: Project if !mvUnsafe.exists(_ eq proj) =>
+            tryMetadataAgg(proj.projectList, proj.child) match {
+              case Some(p) => rewrote = true; p
+              case None => proj
             }
           case tvf @ UnresolvedTableValuedFunction(fname, fargs, _)
               if fname.map(_.toLowerCase(java.util.Locale.ROOT))
@@ -1811,6 +1821,118 @@ final class LakeManager(spark: SparkSession, root: String) {
           }
         }
       }.nextOption()
+  }
+
+  /** Metadata-only answering of a GLOBAL aggregate (Delta's
+    * metadata-only query optimization): `SELECT count(*) AS …,
+    * min(c) AS …, max(c) AS … FROM t` with no GROUP BY, no WHERE,
+    * and every item aliased answers from [[CommitLog.metadataAgg]] —
+    * one manifest fold, zero data-file opens, a one-row plan with no
+    * scan at all. Declines (the direct plan runs) whenever exactness
+    * is not provable: standing merge-on-read marks, a file without
+    * spans, a non-numeric or span-less column, DISTINCT/FILTER
+    * modifiers, or an integral extreme outside double-exact range
+    * (|v| ≥ 2^53). Disable per session with
+    * `spark.graft.metadata.agg=false`. */
+  private def tryMetadataAgg(
+      items: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import java.util.Locale
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation,
+      UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, OneRowRelation, Project, SubqueryAlias}
+    import org.apache.spark.sql.types._
+    if (!spark.conf.get("spark.graft.metadata.agg", "true").toBoolean)
+      return None
+    def lc(s: String) = s.toLowerCase(Locale.ROOT)
+    def relName(p: LogicalPlan): Option[String] = p match {
+      case r: UnresolvedRelation =>
+        scala.util.Try(managedName(r.multipartIdentifier))
+          .toOption.flatten
+      case SubqueryAlias(_, c) => relName(c)
+      case _ => None
+    }
+    val source = relName(child).getOrElse(return None)
+    // (alias, None) = count(*); (alias, Some((fn, col))) = min/max
+    sealed trait Want
+    case object WantCount extends Want
+    case class WantExtreme(isMin: Boolean, col: String) extends Want
+    val wants: Seq[(String, Want)] = items.map {
+      case al: Alias => al.child match {
+        case f: UnresolvedFunction
+            if !f.isDistinct && f.filter.isEmpty =>
+          (lc(f.nameParts.last), f.arguments) match {
+            case ("count", Seq(Literal(1, IntegerType))) =>
+              al.name -> (WantCount: Want)
+            case ("count", Seq(_: UnresolvedStar)) =>
+              al.name -> (WantCount: Want)
+            case ("min", Seq(a: UnresolvedAttribute)) =>
+              al.name -> WantExtreme(isMin = true, lc(a.nameParts.last))
+            case ("max", Seq(a: UnresolvedAttribute)) =>
+              al.name -> WantExtreme(isMin = false, lc(a.nameParts.last))
+            case _ => return None
+          }
+        case _ => return None
+      }
+      case _ => return None
+    }
+    if (wants.isEmpty) return None
+    // nested defs cannot `return None` from the method — a local
+    // control exception declines from any depth
+    final class Decline extends RuntimeException
+    def decline: Nothing = throw new Decline
+    try {
+      val log = commitLog(source)
+      val schema = log.read(None).schema
+      def fieldOf(c: String): org.apache.spark.sql.types.StructField =
+        schema.find(f => lc(f.name) == c).getOrElse(decline)
+      val extremeCols = wants.collect {
+        case (_, WantExtreme(_, c)) => c }.distinct
+      // numeric span domains only: exact doubles. Strings are prefix
+      // spans; date/timestamp/decimal decline (encoding round-trips)
+      val typed = extremeCols.map { c =>
+        val f = fieldOf(c)
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+              FloatType | DoubleType => c -> ((f.name, f.dataType))
+          case _ => decline
+        }
+      }.toMap
+      val (n, mm) =
+        log.metadataAgg(typed.values.map(_._1).toSeq)
+          .getOrElse(decline)
+      val byPhys = mm.map { case (k, v) => lc(k) -> v }
+      def lit(v: Option[Double], dt: DataType): Literal = v match {
+        case None => Literal.create(null, dt)
+        case Some(d) => dt match {
+          case DoubleType => Literal(d)
+          case FloatType => Literal(d.toFloat)
+          case _ =>
+            // integral: decline unless double-exact
+            if (!(d.isWhole && math.abs(d) < 9.007199254740992e15))
+              decline
+            dt match {
+              case LongType => Literal(d.toLong)
+              case IntegerType => Literal(d.toInt)
+              case ShortType => Literal(d.toShort)
+              case ByteType => Literal(d.toByte)
+              case _ => decline
+            }
+        }
+      }
+      val outs: Seq[NamedExpression] = wants.map {
+        case (name, WantCount) => Alias(Literal(n), name)()
+        case (name, WantExtreme(isMin, c)) =>
+          val (mn, mx) = byPhys(c)
+          Alias(lit(if (isMin) mn else mx, typed(c)._2), name)()
+      }
+      Some(Project(outs, OneRowRelation()))
+    } catch { case _: Decline => None }
   }
 }
 

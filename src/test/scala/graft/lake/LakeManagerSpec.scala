@@ -965,8 +965,9 @@ class LakeManagerSpec extends AnyFunSuite {
     assert(files.nonEmpty &&
       files.forall(_.getAs[Long]("size_bytes") > 0L),
       "every live file must report its on-disk bytes")
-    // the founding zero-row file predates stats: num_rows = -1
-    // (unknown); every data-carrying file reports manifest rows
+    // the founding zero-row file records an explicit 0 (spansOf
+    // emits FileSpans(0) for empty files — exact counts feed the
+    // metadata-only aggregate path); data files report manifest rows
     assert(files.map(_.getAs[Long]("num_rows"))
       .filter(_ >= 0L).sum == 101L)
     // span bounds render as [lo, hi] strings per column on every
