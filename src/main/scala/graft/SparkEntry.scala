@@ -2417,6 +2417,29 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // HYBRID RETRIEVAL (sparse + dense, RRF-fused): BM25 and exact
+    // cosine each produce an independent top-20 candidate list (the
+    // arms touch disjoint data — postings vs the vector corpus), then
+    // one (query, doc)-keyed full-outer join fuses them with
+    // Reciprocal Rank Fusion in integer fixed point
+    // (2^40 div (60 + rank)), so the fused ranking stays
+    // hash-verifiable cross-engine like d57's. Fusion cost ∝ query
+    // batch × poolK, never corpus size. The dense arm excludes the
+    // query vector itself (bruteForceTopK's id1 != id2); the sparse
+    // arm may rank the query's own document — the fusion prices the
+    // asymmetry honestly
+    "d58_hybrid_rrf" -> ((s, d) => {
+      val all = docs(s, d)
+      val queries = all.filter(col("doc_id") % 250 === 7)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+            .as("qtext"))
+      val qv = emb(s, d).filter(col("vec_id") % 250 === 7)
+      operators.Retrieval.hybridRrfTopK(all, emb(s, d), queries, qv,
+          k = 10, poolK = 20)
+        .orderBy("qid", "rank")
+    }),
+
     // surgical decontamination: leaked 8-token spans cut out of every
     // training doc (vs d20/d25's whole-doc drop) — held-out window
     // hashes broadcast into a semi-join, token-level reassembly only
@@ -10081,6 +10104,90 @@ object SparkEntry {
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY qid
          |   ORDER BY score_q DESC, doc_id ASC) <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
+
+    // d57's BM25 at poolK=20 + e01's double-cast cosine arm, fused
+    // with the same integer RRF arithmetic (2^40 div (60 + rank))
+    "d58_hybrid_rrf" -> {
+      def fine(e: String): String =
+        s"(256 * (length(bin($e)) - 1) + " +
+          s"CAST(floor(CAST(($e) * 256 AS DOUBLE) / " +
+          s"power(2, length(bin($e)) - 1)) AS BIGINT) - 256)"
+      s"""WITH t AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         | FROM documents),
+         |tf AS (
+         | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         | FROM t GROUP BY 1, 2),
+         |dl AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         | FROM t GROUP BY 1),
+         |dfq AS (
+         | SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         | GROUP BY 1),
+         |tot AS (
+         | SELECT CAST(sum(dl) AS BIGINT) AS l,
+         |   CAST(count(*) AS BIGINT) AS n FROM dl),
+         |qt AS (
+         | SELECT DISTINCT doc_id AS qid, u AS term FROM (
+         |  SELECT doc_id,
+         |    unnest(array_slice(string_split(text, ' '), 1, 5)) AS u
+         |  FROM documents WHERE doc_id % 250 = 7)),
+         |sc AS (
+         | SELECT qt.qid, tf.doc_id,
+         |  (${fine("tot.n")} - ${fine("dfq.df")}) *
+         |   ((tf.tf * 22 * 1048576 * tot.l) //
+         |    (tf.tf * 10 * tot.l + 3 * tot.l + 9 * dl.dl * tot.n)) AS c
+         | FROM qt
+         | JOIN tf USING (term)
+         | JOIN dl ON tf.doc_id = dl.doc_id
+         | JOIN dfq ON tf.term = dfq.term, tot),
+         |s AS (
+         | SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+         | FROM sc GROUP BY 1, 2),
+         |bm AS (
+         | SELECT qid, doc_id AS did,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS r_bm25
+         | FROM s
+         | QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id ASC) <= 20),
+         |v AS (
+         | SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         | FROM embeddings),
+         |nn AS (
+         | SELECT vec_id, emb,
+         |  sqrt(list_reduce(list_transform(emb, x -> x * x),
+         |       (acc, x) -> acc + x)) AS nrm
+         | FROM v),
+         |dn AS (
+         | SELECT id1 AS qid, id2 AS did,
+         |  CAST(row_number() OVER (PARTITION BY id1
+         |    ORDER BY sim DESC, id2 ASC) AS BIGINT) AS r_dense
+         | FROM (
+         |  SELECT q.vec_id AS id1, cc.vec_id AS id2,
+         |   list_reduce(list_transform(range(1, 65),
+         |     i -> q.emb[i] * cc.emb[i]), (acc, x) -> acc + x) /
+         |   (q.nrm * cc.nrm) AS sim
+         |  FROM nn q JOIN nn cc
+         |   ON q.vec_id % 250 = 7 AND q.vec_id <> cc.vec_id)
+         | QUALIFY row_number() OVER (PARTITION BY id1
+         |    ORDER BY sim DESC, id2 ASC) <= 20),
+         |f AS (
+         | SELECT coalesce(bm.qid, dn.qid) AS qid,
+         |  coalesce(bm.did, dn.did) AS did, bm.r_bm25, dn.r_dense,
+         |  coalesce(1099511627776 // (60 + bm.r_bm25), 0) +
+         |  coalesce(1099511627776 // (60 + dn.r_dense), 0) AS rrf_q
+         | FROM bm FULL OUTER JOIN dn
+         |  ON bm.qid = dn.qid AND bm.did = dn.did)
+         |SELECT qid, did AS doc_id, r_bm25, r_dense, rrf_q,
+         | CAST(row_number() OVER (PARTITION BY qid
+         |   ORDER BY rrf_q DESC, did ASC) AS BIGINT) AS rank
+         |FROM f
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |   ORDER BY rrf_q DESC, did ASC) <= 10
          |ORDER BY qid, rank""".stripMargin
     },
 

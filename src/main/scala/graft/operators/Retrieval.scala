@@ -81,4 +81,51 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("score_q"), col("rank"))
   }
+
+  /** Hybrid retrieval: a sparse (BM25) and a dense (exact cosine)
+    * candidate list per query, fused by Reciprocal Rank Fusion —
+    * the standard two-tower + lexical serving recipe. Each arm
+    * produces its top-`poolK` list independently (the arms touch
+    * disjoint data: postings for BM25, the vector corpus for cosine),
+    * then one (query, doc)-keyed FULL OUTER join fuses them:
+    *
+    *   rrf_q = Σ_arms  2^40 div (kRrf + rank_arm)     (0 if unranked)
+    *
+    * — RRF's 1/(K+rank) in exact integer fixed point, so the fused
+    * ordering is order-free and hash-verifiable like [[bm25TopK]]'s.
+    * 100 TB shape: both arms are already keyed/top-k-limited, and the
+    * fusion join carries at most 2·poolK rows per query — fusion cost
+    * scales with the query batch, never the corpus. Ties rank by
+    * ascending doc id. Docs and vectors join by shared id (`idCol`
+    * values = `vecIdCol` values), the usual doc-keyed embedding
+    * store. */
+  def hybridRrfTopK(docs: DataFrame, corpus: DataFrame,
+      queries: DataFrame, qvecs: DataFrame, k: Int, poolK: Int = 20,
+      kRrf: Int = 60, idCol: String = "doc_id",
+      textCol: String = "text", qidCol: String = "qid",
+      qtextCol: String = "qtext", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && poolK >= k, "need poolK >= k > 0")
+    val c = 1L << 40
+    val bm = bm25TopK(docs, queries, poolK, idCol, textCol,
+        qidCol, qtextCol)
+      .select(col(qidCol).cast("long").as("__qid"),
+        col(idCol).cast("long").as("__did"),
+        col("rank").as("r_bm25"))
+    val dn = Similarity.bruteForceTopK(corpus, qvecs, vecIdCol,
+        vecCol, poolK)
+      .select(col("id1").cast("long").as("__qid"),
+        col("id2").cast("long").as("__did"),
+        col("rank").cast("long").as("r_dense"))
+    bm.join(dn, Seq("__qid", "__did"), "full_outer")
+      .withColumn("rrf_q",
+        coalesce(expr(s"$c div ($kRrf + r_bm25)"), lit(0L)) +
+          coalesce(expr(s"$c div ($kRrf + r_dense)"), lit(0L)))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("__qid")
+          .orderBy(col("rrf_q").desc, col("__did").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col("__did").as(idCol),
+        col("r_bm25"), col("r_dense"), col("rrf_q"), col("rank"))
+  }
 }

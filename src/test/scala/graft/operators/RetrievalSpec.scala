@@ -46,4 +46,41 @@ class RetrievalSpec extends AnyFunSuite {
     val q = Seq((5L, "zzz absent")).toDF("qid", "qtext")
     assert(Retrieval.bm25TopK(docs, q, k = 3).isEmpty)
   }
+
+  test("RRF fusion: a doc ranked by both arms beats single-arm docs, " +
+      "a missing arm contributes exactly zero, the integer fixed " +
+      "point matches 2^40 div (60 + rank), and k cuts") {
+    // corpus of 4 docs; query 1 holds 'rare' (BM25 ranks docs 1, 2)
+    // and its vector points at docs 2, 3 (cosine ranks 2 then 3):
+    // doc 2 is the only both-arms doc and must fuse first
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.8f, 0.3f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, "rare")).toDF("qid", "qtext")
+    val qv = vecs.filter($"vec_id" === 1L)
+    val got = Retrieval.hybridRrfTopK(docs, vecs, q, qv,
+      k = 3, poolK = 3).orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 1L, 3L),
+      s"both-arms doc 2 must fuse first: ${got.mkString(",")}")
+    val c = 1L << 40
+    val byDoc = got.map(r => r.getLong(1) ->
+      (Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4))).toMap
+    // doc 2: bm25 rank 2 (tf 1, longer doc), dense rank 1
+    assert(byDoc(2L) == ((Some(2L), Some(1L),
+      c / 62 + c / 61)))
+    // doc 1: bm25 rank 1 only (it IS the query vector — excluded
+    // from the dense arm); dense contributes zero
+    assert(byDoc(1L) == ((Some(1L), None, c / 61)))
+    // doc 3: dense rank 2 only (no 'rare' term)
+    assert(byDoc(3L) == ((None, Some(2L), c / 62)))
+    // k cut: doc 4 (dense rank 3) exists but k=3 keeps higher rrf
+    val all = Retrieval.hybridRrfTopK(docs, vecs, q, qv,
+      k = 4, poolK = 4).collect()
+    assert(all.length == 4 && all.map(_.getLong(1)).contains(4L))
+  }
 }
