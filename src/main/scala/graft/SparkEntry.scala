@@ -6956,6 +6956,66 @@ object SparkEntry {
         .orderBy("phase")
     }),
 
+    // DELETION-VECTOR PURGE (Delta's `REORG TABLE ... APPLY (PURGE)`):
+    // positional deletes leave zero-rewrite dv marks that EVERY read
+    // subtracts; the purge verb folds that standing read debt —
+    // rewrite ONLY the files carrying marks (the dead rows drop
+    // physically) and retire the fully-applied dv tombstones in the
+    // SAME commit. At 100 TB the rewrite cost is the marked fraction,
+    // never the lake. In-query asserts: unmarked files survive the
+    // purge UNTOUCHED (same names live before/after), the standing dv
+    // set drops to zero, reads are identical across the purge, and a
+    // steady-state rerun burns no commit
+    "q174_sql_reorg_purge" -> ((s, d) => {
+      val root = scratch(s, "q174", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t174 (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) USING commitlog " +
+        "TBLPROPERTIES ('delete.mode'='positional')")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q174_src")
+      // four mod-class batches: the delete's predicate only matches
+      // rows in ONE class, so only that batch's files take marks
+      (0 to 3).foreach(m => lm.sql(
+        s"INSERT INTO t174 SELECT * FROM q174_src WHERE o_orderkey % 4 = $m"))
+      val log = lm.commitLog("t174")
+      lm.sql("DELETE FROM t174 WHERE o_orderkey % 4 = 1 " +
+        "AND o_custkey % 3 = 0")
+      val r0 = log.resolve(None)
+      assert(r0.tombstones.nonEmpty,
+        "positional delete must leave standing dv marks")
+      val markedBefore = s.read
+        .parquet(r0.tombstones.map(n => s"$root/t174/data/$n"): _*)
+        .select("__dv_file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val preRows = s.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM t174")
+        .localCheckpoint(true)
+      val liveBefore = log.liveFiles(None).toSet
+      val rr = lm.sql("REORG TABLE t174 APPLY (PURGE)").head()
+      assert(rr.getBoolean(3), "a standing mark set must rewrite")
+      val r1 = log.resolve(None)
+      assert(r1.tombstones.isEmpty,
+        "the purge must retire every fully-applied dv tombstone")
+      val removed = log.commit(rr.getLong(0)).removed
+        .filterNot(r0.tombstones.toSet).toSet
+      assert(removed == markedBefore,
+        s"the purge must rewrite exactly the marked files: " +
+          s"$removed vs $markedBefore")
+      assert((liveBefore -- markedBefore).subsetOf(
+        log.liveFiles(None).toSet),
+        "unmarked files must survive the purge untouched")
+      assert(preRows.exceptAll(s.sql(
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM t174"))
+        .isEmpty, "reads must be identical across the purge")
+      val vAfter = log.latestVersion()
+      val rr2 = lm.sql("REORG TABLE t174 APPLY (PURGE)").head()
+      assert(!rr2.getBoolean(3) && log.latestVersion() == vAfter,
+        "a mark-free rerun must be a no-op burning no commit")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t174 " +
+        "ORDER BY o_orderkey, o_custkey, o_totalprice")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8842,6 +8902,11 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_quantity < 10) AND NOT (l_quantity > 45)
         |ORDER BY phase""".stripMargin,
+
+    "q174_sql_reorg_purge" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE NOT (o_orderkey % 4 = 1 AND o_custkey % 3 = 0)
+        |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

@@ -2021,7 +2021,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       zorderBy: Seq[String] = Nil,
       where: Option[String] = None,
       onlyFiles: Option[Set[String]] = None,
-      markClustered: Boolean = false): Option[Long] = {
+      markClustered: Boolean = false,
+      force: Boolean = false): Option[Long] = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val plannedV = latestVersion()
     val r = resolve(Some(plannedV))
@@ -2042,7 +2043,10 @@ final class CommitLog(spark: SparkSession, root: String) {
       case Some(fs0) => inputs0.filter(fs0)
     }
     if (inputs.isEmpty) return None
-    if (inputs.size <= targetFiles && zorderBy.isEmpty) return None
+    // `force` (the REORG PURGE caller): the rewrite IS the point —
+    // a single marked file must still rewrite to drop its dead rows
+    if (inputs.size <= targetFiles && zorderBy.isEmpty && !force)
+      return None
     // schema-aware pack: drifted inputs conform to the unified schema,
     // so the rewrite ALSO heals heterogeneity (the packed files all
     // carry the wide schema — exactly what a layout rewrite is for).
@@ -2138,6 +2142,43 @@ final class CommitLog(spark: SparkSession, root: String) {
     if (un.isEmpty) return None
     optimize(targetFiles, zorderBy = keys, onlyFiles = Some(un),
       markClustered = true)
+  }
+
+  /** REORG TABLE ... APPLY (PURGE) — Delta's deletion-vector purge
+    * verb: physically rewrite ONLY the live files carrying standing
+    * positional marks (the rewrite reads through the marks, so the
+    * dead rows drop), and retire every fully-applied `dv-*` tombstone
+    * in the SAME commit ([[optimize]]'s dead-dv fold). Unmarked files
+    * are untouched — at 100 TB the cost is the marked fraction, never
+    * the lake. `targetFiles` <= 0 keeps the marked files' own count
+    * (pure purge, layout preserved); positive bin-packs like
+    * OPTIMIZE. Reads are unchanged before/after by construction
+    * (marks subtracted at read time before, physically absent after).
+    * Returns None when no marks stand; dv files whose every mark
+    * points at already-dead files retire via a metadata-only commit
+    * (no data rewrite — they can never subtract again). */
+  def reorgPurge(targetFiles: Int = 0): Option[Long] = {
+    val r = resolve(None)
+    val dv = r.tombstones.filter(isDvName)
+    if (dv.isEmpty) return None
+    val liveSet = r.data.toSet
+    val marked = spark.read.parquet(dv.map(dataPath): _*)
+      .select("__dv_file").distinct()
+      .collect().map(_.getString(0)).filter(liveSet).toSeq
+    if (marked.isEmpty) {
+      // every mark targets a dead file — nothing to rewrite, but the
+      // dv files still join into every read: retire them outright
+      var v = latestVersion() + 1
+      var done = false
+      while (!done) {
+        done = tryCas(v, "rewrite", Nil, removed = dv)
+        if (!done) v = latestVersion() + 1
+      }
+      notifyCommit()
+      return Some(v)
+    }
+    optimize(if (targetFiles > 0) targetFiles else marked.size,
+      onlyFiles = Some(marked.toSet), force = true)
   }
 
   /** Keyed copy-on-write MERGE as ONE atomic commit — Delta MERGE on

@@ -414,6 +414,8 @@ final class LakeManager(spark: SparkSession, root: String) {
     *    → [[CommitLog.restore]]; one row (restored_version,
     *    new_version). Timestamps resolve through the same rule as
     *    SELECT-side travel ([[CommitLog.versionAt]]).
+    *  - `REORG TABLE t APPLY (PURGE)` → [[CommitLog.reorgPurge]]:
+    *    rewrite only the dv-marked files, retire the applied marks.
     *  - `DESC[RIBE] HISTORY t` → [[CommitLog.history]].
     *  - `DESC[RIBE] DETAIL t` → [[CommitLog.detail]] — the one-row
     *    table summary, manifests + file statuses only.
@@ -459,6 +461,9 @@ final class LakeManager(spark: SparkSession, root: String) {
       ("(?is)^\\s*OPTIMIZE\\s+" + Ident +
         "(?:\\s+WHERE\\s+(.+?))?" +
         "(?:\\s+ZORDER\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
+    val Reorg =
+      ("(?is)^\\s*REORG\\s+TABLE\\s+" + Ident +
+        "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
     val Clone =
       ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" +
         Ident + "\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+" + Ident +
@@ -638,6 +643,16 @@ final class LakeManager(spark: SparkSession, root: String) {
           }
         val newV = log.restore(toV)
         Seq((toV, newV)).toDF("restored_version", "new_version")
+      }
+      // deletion-vector purge (Delta's REORG TABLE ... APPLY (PURGE)):
+      // rewrite ONLY the files carrying standing positional marks and
+      // retire the fully-applied dv tombstones in the same commit
+      case Reorg(t) => managed(t).map { log =>
+        val before = log.liveFiles(None).size
+        val v = log.reorgPurge()
+        Seq((v.getOrElse(log.latestVersion()), before.toLong,
+          log.liveFiles(None).size.toLong, v.isDefined))
+          .toDF("version", "files_before", "files_after", "rewrote")
       }
       case Opt(t, where, zorder) => managed(t).map { log =>
         val zcols: Seq[String] = Option(zorder).toSeq.flatMap { z =>

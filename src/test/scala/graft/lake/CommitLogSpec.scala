@@ -1670,6 +1670,50 @@ class CommitLogSpec extends AnyFunSuite {
       == (0L until 1500L), "re-clustering preserves every row")
   }
 
+  test("REORG APPLY (PURGE): only dv-marked files rewrite, the marks " +
+      "retire in the same commit, reads are unchanged, and a mark-free " +
+      "rerun is a no-op") {
+    val purgeRoot = TestSpark.tempDir("clogpurge")
+    val log = CommitLog(spark, purgeRoot).init()
+    // three files with disjoint id bands
+    log.append(spark.range(0, 100)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(1)) // v1
+    log.append(spark.range(100, 200)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(1)) // v2
+    log.append(spark.range(200, 300)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(1)) // v3
+    assert(log.reorgPurge().isEmpty, "no marks -> no-op, no commit")
+    val (_, m) = log.deleteWhereMor("id >= 120 AND id < 180") // v4
+    assert(m == 60L)
+    val before = log.read(None).select("id").as[Long].collect().sorted
+    val liveBefore = log.liveFiles(None)
+    assert(liveBefore.size == 3)
+    val vOpt = log.reorgPurge()
+    assert(vOpt.isDefined, "standing marks must force the rewrite " +
+      "even for a single marked file")
+    val c = log.commit(vOpt.get)
+    // removed = the ONE marked file + the dv tombstone, nothing else
+    val (dvRemoved, dataRemoved) =
+      c.removed.partition(_.startsWith("dv-"))
+    assert(dataRemoved.size == 1,
+      s"only the marked file rewrites: $dataRemoved")
+    assert(dvRemoved.size == 1, "the applied dv tombstone retires")
+    assert(log.resolve(None).tombstones.isEmpty,
+      "no standing marks after the purge")
+    assert(liveBefore.filterNot(dataRemoved.toSet).forall(
+      log.liveFiles(None).contains), "unmarked files survive untouched")
+    assert(log.read(None).select("id").as[Long].collect().sorted
+      .sameElements(before), "reads identical across the purge")
+    // physical: the purged output holds only survivors (no read-time
+    // subtract needed) — scan the raw files directly
+    val raw = spark.read.parquet(log.liveFiles(None)
+      .map(n => s"$purgeRoot/data/$n"): _*)
+    assert(raw.count() == 240L, "dead rows physically dropped")
+    val vAfter = log.latestVersion()
+    assert(log.reorgPurge().isEmpty && log.latestVersion() == vAfter,
+      "a mark-free rerun burns no commit")
+  }
+
   test("change data feed (opt-in): merge and upsert commits persist " +
       "exact change rows, the feed decomposes them, and a replica " +
       "folded from it converges; without the property they refuse") {
