@@ -7016,6 +7016,73 @@ object SparkEntry {
         "ORDER BY o_orderkey, o_custkey, o_totalprice")
     }),
 
+    // MERGE ON A GENERATED-COLUMN TABLE (Delta's rule, closing this
+    // engine's last MERGE refusal): the generation expression
+    // RECOMPUTES on update-fired rows (over their POST-update values)
+    // and on inserted rows (after clause values land); explicit
+    // SET/INSERT assignments of the generated column refuse; star
+    // expansion (`UPDATE SET *` / `INSERT *`) excludes generated
+    // columns, so a source without them merges cleanly. Carried rows
+    // keep their standing bytes — at 100 TB the recompute cost rides
+    // only the rewritten files. In-query asserts: the generation
+    // invariant holds on every row after both merges, updates flip
+    // tiers, and the explicit-SET refusal fires
+    "q175_sql_merge_generated" -> ((s, d) => {
+      val root = scratch(s, "q175", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t175 (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, tier STRING GENERATED ALWAYS AS " +
+        "(CASE WHEN o_totalprice >= 150000 THEN 'high' ELSE 'low' " +
+        "END)) USING commitlog")
+      ord(s, d).groupBy("o_orderkey")
+        .agg(max(col("o_totalprice")).as("o_totalprice"))
+        .createOrReplaceTempView("q175_base")
+      lm.sql("INSERT INTO t175 SELECT o_orderkey, o_totalprice " +
+        "FROM q175_base")
+      s.sql("""SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+          FROM q175_base WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT -o_orderkey - 1, CAST(200000.0 AS DOUBLE)
+          FROM q175_base WHERE o_orderkey % 7 = 1""")
+        .createOrReplaceTempView("q175_chg")
+      lm.sql("MERGE INTO t175 t USING q175_chg c " +
+        "ON t.o_orderkey = c.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = c.o_totalprice " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) " +
+        "VALUES (c.o_orderkey, c.o_totalprice)")
+      def violations(): Long = s.sql("SELECT count(*) FROM t175 " +
+        "WHERE tier <> CASE WHEN o_totalprice >= 150000 THEN 'high' " +
+        "ELSE 'low' END").head().getLong(0)
+      assert(violations() == 0L,
+        "the generation invariant must hold after the merge")
+      assert(s.sql("SELECT count(*) FROM t175 WHERE o_orderkey >= 0 " +
+        "AND o_orderkey % 5 = 0 AND tier = 'high'").head().getLong(0)
+        > 0L, "doubled prices must flip some rows to the high tier")
+      val refused =
+        try {
+          lm.sql("MERGE INTO t175 t USING q175_chg c " +
+            "ON t.o_orderkey = c.o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET tier = 'x'")
+          false
+        } catch { case _: Exception => true }
+      assert(refused, "explicit SET of a generated column must refuse")
+      // star expansion excludes the generated column: this source
+      // carries only (key, price) and both star actions work
+      s.sql("""SELECT o_orderkey, o_totalprice * 3 AS o_totalprice
+          FROM q175_base WHERE o_orderkey % 9 = 2
+          UNION ALL
+          SELECT CAST(-999 AS BIGINT), CAST(1.0 AS DOUBLE)""")
+        .createOrReplaceTempView("q175_chg2")
+      lm.sql("MERGE INTO t175 t USING q175_chg2 c " +
+        "ON t.o_orderkey = c.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(violations() == 0L,
+        "the invariant must hold after the star merge too")
+      s.sql("SELECT o_orderkey, o_totalprice, tier FROM t175 " +
+        "ORDER BY o_orderkey, o_totalprice")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8907,6 +8974,28 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE NOT (o_orderkey % 4 = 1 AND o_custkey % 3 = 0)
         |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin,
+
+    "q175_sql_merge_generated" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, max(o_totalprice) AS p FROM orders
+        |  GROUP BY 1),
+        |m1 AS (
+        |  SELECT o_orderkey, p AS bp,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN p * 2 ELSE p END AS p
+        |  FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, CAST(NULL AS DOUBLE), 200000.0
+        |  FROM base WHERE o_orderkey % 7 = 1),
+        |m2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey >= 0 AND o_orderkey % 9 = 2
+        |         THEN bp * 3 ELSE p END AS p
+        |  FROM m1
+        |  UNION ALL
+        |  SELECT -999, 1.0)
+        |SELECT o_orderkey, p AS o_totalprice,
+        |  CASE WHEN p >= 150000 THEN 'high' ELSE 'low' END AS tier
+        |FROM m2 ORDER BY o_orderkey, o_totalprice""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

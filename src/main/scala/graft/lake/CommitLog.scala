@@ -2531,15 +2531,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "merge needs at least one WHEN clause")
-    // generated columns stay refused (merge neither recomputes nor
-    // validates their expressions); IDENTITY columns are supported —
-    // Delta's current rule: allocation rides the WHEN NOT MATCHED
-    // insert branch off the same high-water CAS as INSERT, and SET /
-    // explicit-ALWAYS insert values refuse ([[mergePhysical]] guards)
-    val (_, mAutoGens) = autoColumns()
-    require(mAutoGens.isEmpty,
-      "merge into a table with generated columns is not " +
-        "supported — route the change through INSERT/UPDATE/DELETE")
+    // IDENTITY columns: allocation rides the WHEN NOT MATCHED insert
+    // branch off the same high-water CAS as INSERT, and SET /
+    // explicit-ALWAYS insert values refuse. GENERATED columns:
+    // recomputed from their expressions on update-fired and inserted
+    // rows; explicit SET/INSERT assignments refuse (Delta's rule —
+    // [[mergePhysical]] guards both).
     matched.foreach(c => require(!c.op.isInstanceOf[MergeInsert],
       "WHEN MATCHED supports UPDATE/DELETE, not INSERT"))
     notMatched.foreach(c => require(c.op.isInstanceOf[MergeInsert],
@@ -2681,6 +2678,31 @@ final class CommitLog(spark: SparkSession, root: String) {
       case MergeInsert(values) => values.foreach { case (c, _) =>
         require(eCols.contains(c), s"INSERT targets unknown column $c" +
           (if (evolve) "" else " (no WITH SCHEMA EVOLUTION)")) }
+      case _ => ()
+    })
+    // GENERATED columns under MERGE (Delta's rule): explicit SET /
+    // INSERT assignments refuse; update-fired rows RECOMPUTE the
+    // expression over their post-update values (a second projection —
+    // the generation expression must see NEW inputs, not the pre-SET
+    // row), carried rows keep their standing bytes, and inserted rows
+    // compute it after clause values (and identity allocation) land.
+    // Names and expressions translate to PHYSICAL space under active
+    // column mapping like every clause.
+    val genCols: Map[String, String] =
+      autoColumns(Some(plannedV))._2.map { case (c, g) =>
+        physicalName(c) -> toPhysicalSql(g) }
+    (matched ++ notMatchedBySource).foreach(_.op match {
+      case MergeUpdate(sets) => sets.foreach { case (c, _) =>
+        require(!genCols.contains(c),
+          s"cannot UPDATE generated column $c — it recomputes from " +
+            "its expression") }
+      case _ => ()
+    })
+    notMatched.foreach(_.op match {
+      case MergeInsert(vs) => vs.foreach { case (c, _) =>
+        require(!genCols.contains(c),
+          s"cannot INSERT an explicit value for generated column $c " +
+            "— it computes from its expression") }
       case _ => ()
     })
     // IDENTITY under MERGE (Delta's current rule): SET may never
@@ -2861,7 +2883,7 @@ final class CommitLog(spark: SparkSession, root: String) {
               s"n$i" -> sets.toMap }
         // post-values projected with __act riding, so the CDF split
         // (updated rows vs carried rows) reuses the same projection
-        val projected = kept.select(eSchema.map { f =>
+        val projected0 = kept.select(eSchema.map { f =>
           updates.foldRight(col(f.name)) { case ((tag, sets), acc) =>
             sets.get(f.name) match {
               case Some(sql) => when(col("__act") === tag,
@@ -2870,6 +2892,20 @@ final class CommitLog(spark: SparkSession, root: String) {
             }
           }.as(f.name)
         }.toSeq :+ col("__act"): _*)
+        // generated columns recompute over the POST-update row (a
+        // second projection — the expression must see NEW input
+        // values); carried rows keep their standing bytes (the
+        // append-time invariant already holds on them)
+        val projected =
+          if (genCols.isEmpty || updateTags.isEmpty) projected0
+          else projected0.select(eSchema.map { f =>
+            genCols.get(f.name) match {
+              case Some(g) => when(col("__act").isin(updateTags: _*),
+                  expr(g).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }.toSeq :+ col("__act"): _*)
         val changes =
           if (!cdfOn) None
           else {
@@ -2981,6 +3017,12 @@ final class CommitLog(spark: SparkSession, root: String) {
               .cast(eSchema(c).dataType))
         }
         ins = ins.drop("__idx")
+      }
+      // generated columns compute AFTER clause values and identity
+      // allocation land — an expression referencing an allocated
+      // identity column sees the final value
+      genCols.foreach { case (c, g) =>
+        ins = ins.withColumn(c, expr(g).cast(eSchema(c).dataType))
       }
       val out = survivors.unionByName(ins)
       names = stage(out)

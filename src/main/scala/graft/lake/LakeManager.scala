@@ -919,19 +919,18 @@ final class LakeManager(spark: SparkSession, root: String) {
                 s"unsupported merge condition conjunct: ${other.sql} " +
                   "— use t.k = s.k equalities")
             }
-            // generated columns stay refused (merge neither recomputes
-            // nor validates them); IDENTITY tables route through the
-            // generalized executor, which allocates for NOT MATCHED
-            // inserts off the high-water CAS and refuses SET /
-            // explicit-ALWAYS values (Delta's current rule)
+            // IDENTITY and GENERATED tables route through the
+            // generalized executor: it allocates identity for NOT
+            // MATCHED inserts off the high-water CAS (refusing SET /
+            // explicit-ALWAYS values — Delta's current rule) and
+            // RECOMPUTES generated columns on update-fired and
+            // inserted rows (refusing explicit assignments); star
+            // expansion excludes generated columns the same way
+            // Delta's does
             val (mIds, mGens) = log.autoColumns()
-            require(mGens.isEmpty,
-              "MERGE into a table with generated columns is " +
-                "not supported — " +
-                "route the change through INSERT/UPDATE/DELETE")
             val src = org.apache.spark.sql.GraftSqlBridge
               .ofRows(spark, m.sourceTable)
-            if (mIds.isEmpty &&
+            if (mIds.isEmpty && mGens.isEmpty &&
                 m.matchedActions == Seq(UpdateStarAction(None)) &&
                 m.notMatchedActions == Seq(InsertStarAction(None)) &&
                 m.notMatchedBySourceActions.isEmpty &&
@@ -1001,17 +1000,23 @@ final class LakeManager(spark: SparkSession, root: String) {
               // star under WITH SCHEMA EVOLUTION assigns every SOURCE
               // column (Delta's expansion): shared columns take the
               // source value, source-only columns evolve onto the
-              // schema, target-only columns keep standing values
+              // schema, target-only columns keep standing values.
+              // GENERATED columns are excluded either way (Delta's
+              // rule) — the executor recomputes them from their
+              // expressions, so star neither requires nor assigns them
               def star(verb: String): Seq[(String, String)] =
                 if (m.withSchemaEvolution) {
-                  sCols.map(c => c -> s"`__s_$c`")
+                  sCols.filterNot(mGens.contains)
+                    .map(c => c -> s"`__s_$c`")
                 } else {
                   val missing = tCols.filterNot(sCols.contains)
+                    .filterNot(mGens.contains)
                   require(missing.isEmpty,
                     s"$verb * needs the source to carry every target " +
                       s"column; missing ${missing.mkString(",")} (or " +
                       "use MERGE WITH SCHEMA EVOLUTION)")
-                  tCols.map(c => c -> s"`__s_$c`")
+                  tCols.filterNot(mGens.contains)
+                    .map(c => c -> s"`__s_$c`")
                 }
               def assigns(as: Seq[Assignment], scope: String)
                   : Seq[(String, String)] =

@@ -1598,6 +1598,74 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE on a generated-column table recomputes the expression " +
+      "on update (post-SET values) and insert rows — including after " +
+      "identity allocation — and explicit assignments refuse") {
+    import graft.lake.CommitLog.{MergeClause, MergeInsert, MergeUpdate}
+    val log = CommitLog(spark, TestSpark.tempDir("cloggen")).init()
+    log.append(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amt",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.LongType)))))
+    log.setProperties(Map(
+      s"${CommitLog.IdentityColPrefix}id" -> "10,2,false",
+      // band references the ALLOCATED identity (id % 2 — step 2 keeps
+      // it deterministic): if the insert recompute ran before
+      // allocation the id term would be NULL and band would land NULL,
+      // so a correct band PROVES the allocate-then-compute ordering
+      s"${CommitLog.GeneratedColPrefix}band" ->
+        "CAST(amt AS BIGINT) % 10 + id % 2"))
+    // seed via an insert-only merge — the very path under test
+    log.merge(Seq((1L, 23.0), (2L, 35.0)).toDF("k", "amt"), Seq("k"),
+      matched = Nil,
+      notMatched = Seq(MergeClause(None,
+        MergeInsert(Seq("k" -> "__s_k", "amt" -> "__s_amt")))),
+      notMatchedBySource = Nil)
+    val pre = log.read(None).select("k", "band").as[(Long, Long)]
+      .collect().toMap
+    assert(pre == Map(1L -> 3L, 2L -> 5L), s"$pre")
+    // update k=1 (amt 23 -> 47: band must recompute over the POST
+    // value), insert k=3 (id allocates 14, amt 9 -> band 9)
+    log.merge(Seq((1L, 47.0), (3L, 9.0)).toDF("k", "amt"), Seq("k"),
+      matched = Seq(MergeClause(None,
+        MergeUpdate(Seq("amt" -> "__s_amt")))),
+      notMatched = Seq(MergeClause(None,
+        MergeInsert(Seq("k" -> "__s_k", "amt" -> "__s_amt")))),
+      notMatchedBySource = Nil)
+    val rows = log.read(None).select("id", "k", "amt", "band")
+      .as[(Long, Long, Double, Long)].collect().map(r => r._2 -> r)
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows.values.map(_._1).toSet == Set(10L, 12L, 14L),
+      s"identity allocations stay distinct: $rows")
+    assert(rows(1L)._3 == 47.0 && rows(1L)._4 == 7L,
+      s"update must recompute over post-SET values: ${rows(1L)}")
+    assert(rows(2L)._3 == 35.0 && rows(2L)._4 == 5L,
+      "carried rows keep their standing values")
+    assert(rows(3L)._1 == 14L && rows(3L)._4 == 9L,
+      s"insert computes after identity allocation: ${rows(3L)}")
+    // refusals: SET / explicit INSERT of the generated column
+    intercept[IllegalArgumentException] {
+      log.merge(Seq((1L, 1.0)).toDF("k", "amt"), Seq("k"),
+        matched = Seq(MergeClause(None, MergeUpdate(Seq("band" -> "0")))),
+        notMatched = Nil, notMatchedBySource = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      log.merge(Seq((9L, 1.0)).toDF("k", "amt"), Seq("k"),
+        matched = Nil,
+        notMatched = Seq(MergeClause(None, MergeInsert(
+          Seq("k" -> "__s_k", "amt" -> "__s_amt", "band" -> "0")))),
+        notMatchedBySource = Nil)
+    }
+  }
+
   test("merge sees only LIVE rows through standing dv marks: NOT " +
       "MATCHED re-inserts a positionally-deleted key, files whose only " +
       "hits are deleted don't rewrite, dead dup-keys don't refuse") {
