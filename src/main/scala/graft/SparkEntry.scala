@@ -7083,6 +7083,53 @@ object SparkEntry {
         "ORDER BY o_orderkey, o_totalprice")
     }),
 
+    // REPLACE WHERE (Delta's predicate-scoped atomic overwrite — the
+    // backfill verb): delete the band + land the recomputed rows as
+    // ONE commit, so readers see either the old day or the new day,
+    // never a mix and never a gap. Only files actually HOLDING
+    // matching rows rewrite to their survivors (span-pruned, dv-aware
+    // probe); at 100 TB re-deriving one day costs that day's files.
+    // Batch rows OUTSIDE the band refuse — the verb is a band swap,
+    // not a general write. In-query asserts: files untouched by the
+    // band survive byte-identical (same live names), the out-of-band
+    // batch refuses, and the swap is atomic (one commit)
+    "q176_sql_replace_where" -> ((s, d) => {
+      val root = scratch(s, "q176", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t176 (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) USING commitlog")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q176_src")
+      (0 to 3).foreach(m => lm.sql(
+        s"INSERT INTO t176 SELECT * FROM q176_src WHERE o_orderkey % 4 = $m"))
+      val log = lm.commitLog("t176")
+      val liveBefore = log.liveFiles(None).toSet
+      val vBefore = log.latestVersion()
+      // the recomputed band: fewer rows (a REPLACE, not an update),
+      // prices re-derived
+      val rr = lm.sql("INSERT INTO t176 REPLACE WHERE o_orderkey % 4 = 1 " +
+        "SELECT o_orderkey, o_custkey, " +
+        "o_totalprice + 500000 AS o_totalprice " +
+        "FROM q176_src WHERE o_orderkey % 4 = 1 AND o_custkey % 2 = 0")
+        .head()
+      assert(log.latestVersion() == vBefore + 1,
+        "the band swap must be ONE atomic commit")
+      val removed = log.commit(rr.getLong(0)).removed.toSet
+      assert(removed.nonEmpty && rr.getLong(1) == removed.size.toLong)
+      assert((liveBefore -- removed).subsetOf(log.liveFiles(None).toSet),
+        "files outside the band must survive untouched")
+      val refused =
+        try {
+          lm.sql("INSERT INTO t176 REPLACE WHERE o_orderkey % 4 = 1 " +
+            "SELECT o_orderkey, o_custkey, o_totalprice " +
+            "FROM q176_src WHERE o_orderkey % 4 = 2")
+          false
+        } catch { case _: Exception => true }
+      assert(refused, "batch rows outside the band must refuse")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t176 " +
+        "ORDER BY o_orderkey, o_custkey, o_totalprice")
+    }),
+
     // TABLE PROPERTIES AS META COMMITS (Delta TBLPROPERTIES parity):
     // `ALTER TABLE ... SET/UNSET TBLPROPERTIES` ride the same meta-
     // commit machinery as CHECK constraints — property changes are
@@ -8996,6 +9043,14 @@ object SparkEntry {
         |SELECT o_orderkey, p AS o_totalprice,
         |  CASE WHEN p >= 150000 THEN 'high' ELSE 'low' END AS tier
         |FROM m2 ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "q176_sql_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 4 <> 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 500000
+        |FROM orders WHERE o_orderkey % 4 = 1 AND o_custkey % 2 = 0
+        |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin,
 
     "q163_sql_deep_clone" ->
       """SELECT o_orderkey, o_totalprice,

@@ -3177,6 +3177,109 @@ final class CommitLog(spark: SparkSession, root: String) {
     (v, touched.size)
   }
 
+  /** REPLACE WHERE — Delta's predicate-scoped atomic overwrite
+    * (`INSERT INTO t REPLACE WHERE p <query>` / the DataFrame writer's
+    * `replaceWhere` option): delete every row matching the predicate
+    * AND land the batch, as ONE commit. Every batch row must satisfy
+    * the predicate (Delta's constraint — the verb is a band swap, not
+    * a merge; violating rows refuse loudly). Scale shape: span-pruned
+    * candidates, then only files actually HOLDING matching rows
+    * rewrite to their survivors (dv-applied probe — deleteWhere's
+    * discipline), unmatched files untouched, the batch staged
+    * alongside — replacing one day of a 100 TB event lake costs that
+    * day's files, never the lake. The batch conforms to the standing
+    * schema; callers speak LOGICAL names under active column mapping.
+    * CDF (opt-in): deleted pre-images + inserted rows ride the
+    * commit. Standing KEYED tombstones refuse (the read-time key
+    * subtract could silently erase landed batch rows — void the
+    * delete first); positional marks apply to the rewritten
+    * survivors. A no-match replace with an empty batch burns no
+    * commit. Auto-column tables refuse (allocation/generation does
+    * not ride this verb — route through INSERT + DELETE). Returns
+    * (version, touched files). */
+  def replaceWhere(batch: DataFrame, rawPredicate: String)
+      : (Long, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val (ids, gens) = autoColumns()
+    require(ids.isEmpty && gens.isEmpty,
+      "REPLACE WHERE on a table with identity/generated columns is " +
+        "not supported — route the change through INSERT + DELETE")
+    val predicate = toPhysicalSql(rawPredicate)
+    val plannedV = latestVersion()
+    val r = resolve(Some(plannedV))
+    val standingDv = r.tombstones.filter(isDvName)
+    require(r.tombstones.forall(isDvName),
+      "REPLACE WHERE while keyed MOR tombstones stand is not " +
+        "supported — the read-time key subtract could silently erase " +
+        "landed batch rows; void the delete first")
+    val hit = coalesce(expr(predicate), lit(false))
+    // batch under the mapping + drift discipline of every writer
+    val marker = SchemaTools.readSchemaMarkerInfo(spark, root)
+    val renames = marker.map(_.renames).getOrElse(Map.empty[String, String])
+    val tSchema: StructType =
+      if (r.data.nonEmpty) readConformed(r.data, r.schemaOf).schema
+      else read(Some(plannedV)).schema
+    val b0 = SchemaTools.unapplyRenames(batch, renames)
+    val b = if (tSchema.nonEmpty) SchemaTools.conformTo(b0, tSchema)
+            else b0
+    require(b.filter(not(hit)).isEmpty,
+      "REPLACE WHERE batch rows must ALL satisfy the predicate — " +
+        "rows outside the band would silently widen the replace " +
+        "(write them with INSERT)")
+    val candidates =
+      if (r.data.isEmpty) Nil
+      else prunedLive(predicate, r.data, r.spanOf).getOrElse(r.data)
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else appliedWithFile(candidates, r.schemaOf, standingDv)
+        .filter(hit)
+        .select("__file").distinct()
+        .collect().map(x => relFileOf(standingDv)(x.getString(0))).toSeq
+    val out = touched match {
+      case Nil => b
+      case t => readApplied(t, r.schemaOf, standingDv)
+        .filter(not(hit)).unionByName(b)
+    }
+    val names = stage(out)
+    val spans = spansOf(names, Some(out.schema))
+    if (touched.isEmpty && spans.values.map(_.nRows).sum == 0L) {
+      names.foreach(n => fs.delete(new Path(dataDir, n), false))
+      return (plannedV, 0)
+    }
+    val changeNames: Seq[String] =
+      if (!cdfEnabled(Some(plannedV))) Nil
+      else {
+        val ins = b.withColumn("_op", lit("insert"))
+        stageChangeData(
+          if (touched.isEmpty) ins
+          else readApplied(touched, r.schemaOf, standingDv)
+            .filter(hit).withColumn("_op", lit("delete"))
+            .unionByName(ins))
+      }
+    val kind = if (touched.isEmpty) "append" else "upsert"
+    val touchedSet = touched.toSet
+    var v = latestVersion() + 1
+    var done = false
+    while (!done) {
+      val tip = latestVersion()
+      if (touched.nonEmpty &&
+          !touchedSet.subsetOf(resolve(Some(tip)).data.toSet))
+        throw new java.util.ConcurrentModificationException(
+          "replaceWhere planned on files a concurrent commit removed " +
+            "— re-plan on fresh state")
+      conflictOnWindowDv(plannedV, tip, touched)
+      enforceConstraints(names)
+      done = tryCas(v, kind, names, removed = touched,
+        schema = Some(out.schema), stats = spans,
+        changeFiles = changeNames)
+      if (!done) v = latestVersion() + 1
+    }
+    if (touched.nonEmpty) FileStats.invalidate(spark, root)
+    else maintainStats(names)
+    notifyCommit()
+    (v, touched.size)
+  }
+
   /** Row-level DELETE WHERE with ZERO data-file writes — positional
     * deletion vectors (the Delta DV design): matching rows are marked
     * by (file, row position) in a `dv-*.parquet` tombstone, committed

@@ -416,6 +416,10 @@ final class LakeManager(spark: SparkSession, root: String) {
     *    SELECT-side travel ([[CommitLog.versionAt]]).
     *  - `REORG TABLE t APPLY (PURGE)` → [[CommitLog.reorgPurge]]:
     *    rewrite only the dv-marked files, retire the applied marks.
+    *  - `INSERT INTO t REPLACE WHERE <pred> <query>` →
+    *    [[CommitLog.replaceWhere]]: atomic band swap (the predicate
+    *    ends at the first SELECT token — subquery predicates split
+    *    wrong; use the programmatic API for those).
     *  - `DESC[RIBE] HISTORY t` → [[CommitLog.history]].
     *  - `DESC[RIBE] DETAIL t` → [[CommitLog.detail]] — the one-row
     *    table summary, manifests + file statuses only.
@@ -464,6 +468,12 @@ final class LakeManager(spark: SparkSession, root: String) {
     val Reorg =
       ("(?is)^\\s*REORG\\s+TABLE\\s+" + Ident +
         "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
+    // the predicate ends at the first SELECT keyword (non-greedy) — a
+    // predicate CONTAINING a subquery splits wrong under shape
+    // matching; call CommitLog.replaceWhere directly for those
+    val RepWhere =
+      ("(?is)^\\s*INSERT\\s+INTO\\s+" + Ident +
+        "\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+(SELECT\\s.+?)\\s*;?\\s*$").r
     val Clone =
       ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" +
         Ident + "\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+" + Ident +
@@ -643,6 +653,14 @@ final class LakeManager(spark: SparkSession, root: String) {
           }
         val newV = log.restore(toV)
         Seq((toV, newV)).toDF("restored_version", "new_version")
+      }
+      // predicate-scoped atomic overwrite (Delta's INSERT INTO ...
+      // REPLACE WHERE): delete the band + land the query's rows as
+      // ONE commit; batch rows outside the band refuse
+      case RepWhere(t, pred, query) => managed(t).map { log =>
+        val (v, touched) = log.replaceWhere(spark.sql(query), pred.trim)
+        Seq((v, touched.toLong))
+          .toDF("version", "num_affected_files")
       }
       // deletion-vector purge (Delta's REORG TABLE ... APPLY (PURGE)):
       // rewrite ONLY the files carrying standing positional marks and

@@ -1782,6 +1782,45 @@ class CommitLogSpec extends AnyFunSuite {
       "a mark-free rerun burns no commit")
   }
 
+  test("replaceWhere: atomic band swap — only holding files rewrite, " +
+      "out-of-band batch rows refuse, CDF rows ride the commit, and " +
+      "a no-match empty replace burns no commit") {
+    val log = CommitLog(spark, TestSpark.tempDir("clogrw")).init()
+    def band(a: Long, b: Long, v: Long) = spark.range(a, b)
+      .select(col("id"), lit(v).as("v")).coalesce(1)
+    log.append(band(0, 100, 1L))    // v1
+    log.append(band(100, 200, 1L))  // v2
+    log.append(band(200, 300, 1L))  // v3
+    log.setProperties(Map(CommitLog.CdfEnabledKey -> "true")) // v4
+    val preV = log.latestVersion()
+    val (v5, touched) = log.replaceWhere(
+      band(100, 150, -1L), "id >= 100 AND id < 200")
+    assert(touched == 1, s"only the holding file rewrites: $touched")
+    assert(v5 == preV + 1, "the swap is ONE atomic commit")
+    val got = log.read(None).select("id", "v").as[(Long, Long)]
+      .collect().toMap
+    assert(got.size == 250 && got(120L) == -1L && !got.contains(160L)
+      && got(50L) == 1L && got(250L) == 1L,
+      "replaced band carries ONLY the batch rows")
+    // CDF: 100 deleted pre-images + 50 inserts rode the commit
+    val feed = log.changesSince(v5 - 1)
+    assert(feed.filter(col("_op") === "delete").count() == 100L)
+    assert(feed.filter(col("_op") === "insert").count() == 50L)
+    // out-of-band batch rows refuse
+    intercept[IllegalArgumentException] {
+      log.replaceWhere(band(0, 10, -2L), "id >= 100 AND id < 200")
+    }
+    // a no-match empty replace burns no commit
+    val vq = log.latestVersion()
+    assert(log.replaceWhere(
+      band(5000, 5000, 0L), "id >= 5000") == ((vq, 0)))
+    assert(log.latestVersion() == vq)
+    // a no-match NON-empty replace lands as a plain append
+    val (va, t2) = log.replaceWhere(band(1000, 1010, 7L), "id >= 1000")
+    assert(t2 == 0 && log.commit(va).kind == "append")
+    assert(log.read(None).count() == 260L)
+  }
+
   test("change data feed (opt-in): merge and upsert commits persist " +
       "exact change rows, the feed decomposes them, and a replica " +
       "folded from it converges; without the property they refuse") {
