@@ -3133,6 +3133,74 @@ object SparkEntry {
       rep.orderBy("o_orderkey")
     }),
 
+    // STREAMED MV MAINTENANCE: the commit-log stream source DRIVES
+    // incremental materialized-view refresh — each micro-batch (one
+    // source commit) triggers refreshMaterializedView, which folds
+    // the change feed's moved keys only. Exactly-once by IDEMPOTENCE,
+    // not offsets: the refresh recomputes per-key and advances a
+    // sync-point property, so a replayed trigger converges instead of
+    // double-applying, and a drain with nothing new burns no MV
+    // commit. At 100 TB this is the standing pipeline: mutation cost
+    // on the source, refresh cost on the CHANGED keys, never the
+    // view or the lake. In-query asserts: the view equals a
+    // from-scratch recompute after cow DELETE + UPDATE + append all
+    // fold through; an idle re-drain leaves the view's version
+    // untouched
+    "e35_stream_mv_maintenance" -> ((s, d) => {
+      val root = scratch(s, "e35", d)
+      val lm = LakeManager(s, root).init()
+      lm.sql("CREATE TABLE t35e (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) USING commitlog " +
+        "TBLPROPERTIES ('cdf.enabled'='true')")
+      ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("e35_src")
+      lm.sql("INSERT INTO t35e SELECT * FROM e35_src " +
+        "WHERE o_orderkey % 3 = 0")
+      lm.sql("INSERT INTO t35e SELECT * FROM e35_src " +
+        "WHERE o_orderkey % 3 = 1")
+      lm.sql("CREATE MATERIALIZED VIEW mv35 AS " +
+        "SELECT o_custkey, count(*) AS n, max(o_totalprice) AS mx " +
+        "FROM t35e GROUP BY o_custkey")
+      val ckpt = s"$root/ckpt"
+      def drain(): Unit = {
+        val q = s.readStream.format("commitlog")
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .load(s"$root/t35e")
+          .writeStream
+          .foreachBatch((_: DataFrame, _: Long) => {
+            lm.refreshMaterializedView("mv35"); ()
+          })
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // founding history replays: refreshes no-op (synced=tip)
+      lm.sql("INSERT INTO t35e SELECT * FROM e35_src " +
+        "WHERE o_orderkey % 3 = 2")
+      lm.sql("DELETE FROM t35e WHERE o_orderkey % 5 = 0")
+      lm.sql("UPDATE t35e SET o_totalprice = o_totalprice + 1000 " +
+        "WHERE o_custkey % 7 = 0")
+      drain() // the mutations fold through, changed keys only
+      val mvLog = lm.commitLog("mv35")
+      val srcLog = lm.commitLog("t35e")
+      assert(mvLog.properties(None)(LakeManager.MvSyncedProp).toLong ==
+        srcLog.latestVersion(), "the view must sync to the source tip")
+      val vIdle = mvLog.latestVersion()
+      drain() // nothing new: idempotent no-op
+      assert(mvLog.latestVersion() == vIdle,
+        "an idle re-drain must burn no MV commit")
+      val expect = s.sql("SELECT o_custkey, count(*) AS n, " +
+        "max(o_totalprice) AS mx FROM t35e GROUP BY o_custkey")
+      val got = mvLog.read(None).select("o_custkey", "n", "mx")
+      assert(got.exceptAll(expect).isEmpty &&
+        expect.exceptAll(got).isEmpty,
+        "the streamed view must equal a from-scratch recompute")
+      got.orderBy("o_custkey")
+    }),
+
     "e25_ann_mor" -> ((s, d) => {
       val root = scratch(s, "e25", d)
       emb(s, d).write.parquet(root)
@@ -9519,6 +9587,17 @@ object SparkEntry {
         |ORDER BY side, o_orderkey""".stripMargin,
 
     // the replica: every row of bands A+B+C exactly once
+    // final source state: all three mod-3 bands (= every order),
+    // minus the %5 delete, with the %7-custkey price bump applied
+    "e35_stream_mv_maintenance" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT o_custkey, count(*) AS n, max(p) AS mx
+        |FROM f GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "e34_stream_replication" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo,
         |  (max(o_orderkey) - min(o_orderkey)) // 4 AS e FROM orders)
