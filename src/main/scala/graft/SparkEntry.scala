@@ -7147,6 +7147,14 @@ object SparkEntry {
         "WHEN NOT MATCHED THEN INSERT *")
       assert(violations() == 0L,
         "the invariant must hold after the star merge too")
+      // UPDATE on a generation INPUT recomputes the generated column
+      // (Delta's rule — the engine, never the user, maintains it)
+      lm.sql("UPDATE t175 SET o_totalprice = 999999 " +
+        "WHERE o_orderkey = -999")
+      assert(s.sql("SELECT tier FROM t175 WHERE o_orderkey = -999")
+        .head().getString(0) == "high",
+        "the UPDATE must recompute the generated tier")
+      assert(violations() == 0L)
       s.sql("SELECT o_orderkey, o_totalprice, tier FROM t175 " +
         "ORDER BY o_orderkey, o_totalprice")
     }),
@@ -9107,7 +9115,7 @@ object SparkEntry {
         |         THEN bp * 3 ELSE p END AS p
         |  FROM m1
         |  UNION ALL
-        |  SELECT -999, 1.0)
+        |  SELECT -999, 999999.0)
         |SELECT o_orderkey, p AS o_totalprice,
         |  CASE WHEN p >= 150000 THEN 'high' ELSE 'low' END AS tier
         |FROM m2 ORDER BY o_orderkey, o_totalprice""".stripMargin,

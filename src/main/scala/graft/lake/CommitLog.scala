@@ -1630,11 +1630,15 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (!have.contains(c))
         df = df.withColumn(c, expr(sql).cast(tSchema(c).dataType))
     }
+    // PRESENT generated values validate up front (never silently
+    // overwritten — Delta's rule); ABSENT ones compute inside the
+    // staging loop AFTER identity allocation, so a generation
+    // expression may reference an identity column and see its
+    // allocated value (the merge insert branch's ordering)
+    val absentGens = gens.filterNot { case (c, _) => have.contains(c) }
     gens.foreach { case (c, g) =>
       val f = tSchema(c)
-      if (!have.contains(c))
-        df = df.withColumn(c, expr(g).cast(f.dataType))
-      else require(
+      if (have.contains(c)) require(
         df.filter(!(col(c) <=> expr(g).cast(f.dataType))).isEmpty,
         s"provided values for generated column $c do not satisfy " +
           s"its expression ($g) — omit the column or fix the values")
@@ -1697,6 +1701,9 @@ final class CommitLog(spark: SparkSession, root: String) {
                 .cast(tSchema(c).dataType))
           }
           out = out.drop("__idx")
+        }
+        absentGens.foreach { case (c, g) =>
+          out = out.withColumn(c, expr(g).cast(tSchema(c).dataType))
         }
         out = alignToPhysical(SchemaTools.conformTo(out, tSchema))
         staged = stage(out)
@@ -3444,6 +3451,19 @@ final class CommitLog(spark: SparkSession, root: String) {
     val missing = setOf.keySet -- base.columns.toSet
     require(missing.isEmpty,
       s"UPDATE targets unknown columns: ${missing.mkString(", ")}")
+    // AUTO columns (Delta's UPDATE rules): identity and generated
+    // columns may never be assigned; generated columns RECOMPUTE over
+    // the post-update row when any of their inputs move (a second
+    // projection below), so updating a generation input is supported
+    val (uIds, uGensRaw) = autoColumns(Some(plannedV))
+    val genCols: Map[String, String] = uGensRaw.map { case (c, g) =>
+      physicalName(c) -> toPhysicalSql(g) }
+    setOf.keySet.foreach { c =>
+      require(!uIds.contains(c), s"cannot UPDATE identity column $c")
+      require(!genCols.contains(c),
+        s"cannot UPDATE generated column $c — it recomputes from " +
+          "its expression")
+    }
     // standing KEYED tombstones subtract by key at read time; an
     // assignment rewriting a tombstone KEY column would re-home a
     // logically-deleted row under a key that escapes the read-time
@@ -3465,30 +3485,56 @@ final class CommitLog(spark: SparkSession, root: String) {
     }
     // one simultaneous projection: every assignment value evaluates
     // against the PRE-update row (SQL UPDATE semantics — `SET a = b,
-    // b = a` swaps), cast back to the standing column type
-    val out = base.select(base.schema.fields.map { f =>
+    // b = a` swaps), cast back to the standing column type. The hit
+    // flag is CARRIED (an assignment may rewrite a predicate column,
+    // so re-evaluating the predicate post-update would select the
+    // wrong rows for the generated-column recompute).
+    val flagged = base.withColumn("__hit", hit)
+    val out0 = flagged.select(base.schema.fields.map { f =>
       setOf.get(f.name) match {
         case Some(v) =>
-          when(hit, expr(v).cast(f.dataType))
+          when(org.apache.spark.sql.functions.col("__hit"),
+            expr(v).cast(f.dataType))
             .otherwise(org.apache.spark.sql.functions.col(f.name))
             .as(f.name)
         case None => org.apache.spark.sql.functions.col(f.name)
       }
-    }.toSeq: _*)
+    }.toSeq :+ org.apache.spark.sql.functions.col("__hit"): _*)
+    // generated columns recompute over the POST-update row on hit
+    // rows; carried rows keep their standing bytes
+    val out = (if (genCols.isEmpty) out0
+      else out0.select(base.schema.fields.map { f =>
+        genCols.get(f.name) match {
+          case Some(g) =>
+            when(org.apache.spark.sql.functions.col("__hit"),
+              expr(g).cast(f.dataType))
+              .otherwise(org.apache.spark.sql.functions.col(f.name))
+              .as(f.name)
+          case None => org.apache.spark.sql.functions.col(f.name)
+        }
+      }.toSeq :+ org.apache.spark.sql.functions.col("__hit"): _*))
+      .drop("__hit")
     // CHANGE DATA FEED (opt-in): exact pre/post images of the rows the
     // predicate hits ride the commit. Post-images project from the
     // PRE-update rows (the predicate may reference assigned columns,
-    // so filtering the updated frame would select the wrong rows).
+    // so filtering the updated frame would select the wrong rows) and
+    // carry the recomputed generated values.
     val changeNames: Seq[String] =
       if (!cdfEnabled(Some(plannedV))) Nil
       else {
         val hitRows = base.filter(hit)
         val pre = hitRows.withColumn("_op", lit("update_preimage"))
-        val post = hitRows.select(base.schema.fields.map { f =>
+        val post0 = hitRows.select(base.schema.fields.map { f =>
           setOf.get(f.name)
             .map(v => expr(v).cast(f.dataType).as(f.name))
             .getOrElse(org.apache.spark.sql.functions.col(f.name))
-        }.toSeq: _*).withColumn("_op", lit("update_postimage"))
+        }.toSeq: _*)
+        val post = (if (genCols.isEmpty) post0
+          else post0.select(base.schema.fields.map { f =>
+            genCols.get(f.name)
+              .map(g => expr(g).cast(f.dataType).as(f.name))
+              .getOrElse(org.apache.spark.sql.functions.col(f.name))
+          }.toSeq: _*)).withColumn("_op", lit("update_postimage"))
         stageChangeData(pre.unionByName(post))
       }
     val names = stage(out)

@@ -1120,21 +1120,10 @@ final class LakeManager(spark: SparkSession, root: String) {
               }
               tgt -> unqualify(a.value, u.table).sql
             }
-            val (uIds, uGens) = log.autoColumns()
-            // a generated column's inputs are locked too: updating
-            // them would leave the generated value stale (recompute-
-            // on-update is not implemented; Delta recomputes)
-            val genRefs: Set[String] = uGens.values.flatMap { g =>
-              spark.sessionState.sqlParser.parseExpression(g).collect {
-                case a: UnresolvedAttribute => a.nameParts.last }
-            }.toSet
-            sets.foreach { case (c, _) =>
-              require(!uIds.contains(c) && !uGens.contains(c),
-                s"cannot UPDATE ${if (uIds.contains(c)) "identity"
-                  else "generated"} column $c")
-              require(!genRefs.contains(c),
-                s"cannot UPDATE $c — a generated column derives from " +
-                  "it (the generated value would go stale)") }
+            // identity/generated targets refuse INSIDE updateWhere
+            // (the API boundary); updating a generation INPUT is
+            // supported — the executor recomputes the generated
+            // column over the post-update row (Delta's rule)
             log.updateWhere(sets,
               u.condition.map(unqualify(_, u.table).sql))
             log.read(None)

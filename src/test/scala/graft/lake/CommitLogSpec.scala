@@ -1782,6 +1782,48 @@ class CommitLogSpec extends AnyFunSuite {
       "a mark-free rerun burns no commit")
   }
 
+  test("UPDATE on a generation input recomputes the generated column " +
+      "over the post-update row; direct SET of identity/generated " +
+      "refuses; appends compute generated columns after identity " +
+      "allocation") {
+    val log = CommitLog(spark, TestSpark.tempDir("cloggupd")).init()
+    log.append(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amt",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.LongType)))))
+    log.setProperties(Map(
+      s"${CommitLog.IdentityColPrefix}id" -> "100,2,false",
+      // references BOTH a data column and the allocated identity —
+      // the append path must allocate FIRST, then compute
+      s"${CommitLog.GeneratedColPrefix}band" ->
+        "CAST(amt AS BIGINT) % 10 + id % 2"))
+    log.appendResolvingDefaults(
+      Seq((1L, 23.0), (2L, 35.0)).toDF("k", "amt"))
+    assert(log.read(None).select("k", "band").as[(Long, Long)]
+      .collect().toMap == Map(1L -> 3L, 2L -> 5L),
+      "append computes generated values after identity allocation")
+    // updating the generation INPUT recomputes band on hit rows only
+    log.updateWhere(Seq("amt" -> "amt + 24"), Some("k = 1"))
+    val got = log.read(None).select("k", "amt", "band")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 47.0, 7L)),
+      s"the generated column must recompute post-update: ${got(1L)}")
+    assert(got(2L) == ((2L, 35.0, 5L)), "carried rows keep their bytes")
+    intercept[IllegalArgumentException] {
+      log.updateWhere(Seq("band" -> "0"), Some("k = 1"))
+    }
+    intercept[IllegalArgumentException] {
+      log.updateWhere(Seq("id" -> "0"), Some("k = 1"))
+    }
+  }
+
   test("replaceWhere: atomic band swap — only holding files rewrite, " +
       "out-of-band batch rows refuse, CDF rows ride the commit, and " +
       "a no-match empty replace burns no commit") {
