@@ -6811,6 +6811,16 @@ object SparkEntry {
       assert(band.exists(c => c.size < live.size),
         s"a clustering-key band must scan a strict subset: " +
           s"${band.map(_.size)} of ${live.size}")
+      // ALTER ... CLUSTER BY: key-aware markers invalidate the old
+      // layout, so the next bare OPTIMIZE re-clusters EVERYTHING
+      lm.sql("ALTER TABLE t169 CLUSTER BY (o_orderkey)")
+      val allLive = log.liveFiles(None).toSet
+      val r4 = lm.sql("OPTIMIZE t169").head()
+      assert(r4.getBoolean(3) &&
+        log.commit(r4.getLong(0)).removed.toSet == allLive,
+        "new keys must re-cluster every file laid out under the old")
+      val r5 = lm.sql("OPTIMIZE t169").head()
+      assert(!r5.getBoolean(3), "steady state under the new keys")
       s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t169 " +
         "ORDER BY o_orderkey, o_custkey, o_totalprice")
     }),

@@ -274,7 +274,9 @@ final class CommitLog(spark: SparkSession, root: String) {
         schemaOfNode(node), statsOfNode(node),
         node.path("ts").asLong(0L), schemaGroupsOfNode(node),
         obj("constraints"), obj("props"), chg.toSeq,
-        node.path("clustered").asBoolean(false))
+        node.path("clustered").asBoolean(false),
+        if (node.has("clusterKeys"))
+          Some(node.path("clusterKeys").asText()) else None)
     }
   }
 
@@ -1382,14 +1384,17 @@ final class CommitLog(spark: SparkSession, root: String) {
       constraints: Option[Map[String, String]] = None,
       props: Option[Map[String, String]] = None,
       changeFiles: Seq[String] = Nil,
-      clustered: Boolean = false): Boolean = {
+      clusteredKeys: Option[String] = None): Boolean = {
     val node = mapper.createObjectNode()
     node.put("kind", kind)
     if (changeFiles.nonEmpty) {
       val cfArr = node.putArray("changeFiles")
       changeFiles.foreach(cfArr.add)
     }
-    if (clustered) node.put("clustered", true)
+    clusteredKeys.foreach { ks =>
+      node.put("clustered", true)
+      node.put("clusterKeys", ks)
+    }
     constraints.foreach { cs =>
       val cn = node.putObject("constraints")
       cs.toSeq.sortBy(_._1).foreach { case (n, p) => cn.put(n, p) }
@@ -2109,7 +2114,8 @@ final class CommitLog(spark: SparkSession, root: String) {
       conflictOnWindowDv(plannedV, tip, inputs)
       done = tryCas(v, "rewrite", names, removed = inputs ++ deadDv,
         schema = Some(raw.schema), stats = spans,
-        clustered = markClustered)
+        clusteredKeys =
+          if (markClustered) Some(zorderBy.mkString(",")) else None)
       if (!done) v = latestVersion() + 1
     }
     FileStats.invalidate(spark, root)
@@ -2142,9 +2148,15 @@ final class CommitLog(spark: SparkSession, root: String) {
       s"no clustering keys declared — set '${CommitLog.ClusterByKey}' " +
         "(CREATE TABLE ... CLUSTER BY)")
     val plannedV = latestVersion()
+    val want = keys.mkString(",")
+    // key-AWARE clustered-ness: a file counts clustered only if its
+    // adding commit ordered by the CURRENT keys — after ALTER ...
+    // CLUSTER BY the old layout's files re-cluster (legacy markers
+    // without recorded keys count as current, conservatively)
     val clustered: Set[String] = existingVersions()
       .filter(_ <= plannedV).map(commit)
-      .filter(_.clustered).flatMap(_.files).toSet
+      .filter(c => c.clustered && c.clusterKeys.forall(_ == want))
+      .flatMap(_.files).toSet
     val un = resolve(Some(plannedV)).data.filterNot(clustered).toSet
     if (un.isEmpty) return None
     optimize(targetFiles, zorderBy = keys, onlyFiles = Some(un),
@@ -4527,7 +4539,12 @@ object CommitLog {
       constraints: Option[Map[String, String]] = None,
       props: Option[Map[String, String]] = None,
       changeFiles: Seq[String] = Nil,
-      clustered: Boolean = false)
+      clustered: Boolean = false,
+      // the clustering KEYS the rewrite ordered by (CSV) — a file is
+      // clustered iff its adding commit's keys match the CURRENT
+      // declaration, so ALTER ... CLUSTER BY invalidates old layouts;
+      // None on legacy markers = assume the current keys
+      clusterKeys: Option[String] = None)
 
   /** The fully-resolved state at a version: live DATA files, live
     * TOMBSTONE files (merge-on-read delete keys committed through the

@@ -482,6 +482,9 @@ final class LakeManager(spark: SparkSession, root: String) {
       ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ident +
         "\\s+ALTER\\s+COLUMN\\s+(" + Part + ")\\s+SYNC\\s+IDENTITY" +
         "\\s*;?\\s*$").r
+    val AlterCluster =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ident +
+        "\\s+CLUSTER\\s+BY\\s+(?:\\(([^)]*)\\)|NONE)\\s*;?\\s*$").r
     val Copy =
       ("(?is)^\\s*COPY\\s+INTO\\s+" + Ident +
         "\\s+FROM\\s+'([^']+)'" +
@@ -626,6 +629,21 @@ final class LakeManager(spark: SparkSession, root: String) {
           refreshMaterializedView(n, full = full != null))
       // re-derive an identity high-water mark from the data (the
       // post-RESTORE / post-bulk-load recovery verb)
+      // change (or drop) the liquid-clustering keys — Delta's ALTER
+      // TABLE ... CLUSTER BY. The clustered-ness markers are
+      // key-aware, so the next bare OPTIMIZE re-clusters every file
+      // laid out under the OLD keys and nothing else
+      case AlterCluster(t, cols) => managed(t).map { log =>
+        val ks = Option(cols).toSeq.flatMap(_.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty))
+        val v =
+          if (ks.isEmpty) log.unsetProperties(
+            Seq(CommitLog.ClusterByKey), ifExists = true)
+          else log.setProperties(
+            Map(CommitLog.ClusterByKey -> ks.mkString(",")))
+        Seq((ks.mkString(","), v)).toDF("cluster_by", "version")
+      }
       case SyncId(t, c) => managed(t).map { log =>
         val cname = c.stripPrefix("`").stripSuffix("`")
         val v = log.syncIdentity(cname)

@@ -1736,6 +1736,18 @@ class CommitLogSpec extends AnyFunSuite {
       "incremental: ONLY the files landed since the last run rewrite")
     assert(log.read(None).select("id").as[Long].collect().sorted.toSeq
       == (0L until 1500L), "re-clustering preserves every row")
+    // key-aware markers: changing the clustering keys invalidates the
+    // OLD layout — the next run re-clusters every live file
+    log.setProperties(Map(CommitLog.ClusterByKey -> "v"))
+    val allLive = log.liveFiles(None).toSet
+    val v3 = log.optimizeCluster(targetFiles = 2)
+    assert(v3.isDefined &&
+      log.commit(v3.get).removed.toSet == allLive,
+      "new keys must re-cluster everything laid out under the old keys")
+    assert(log.commit(v3.get).clusterKeys.contains("v"),
+      "the rewrite records the keys it ordered by")
+    assert(log.optimizeCluster(targetFiles = 2).isEmpty,
+      "steady state under the new keys")
   }
 
   test("REORG APPLY (PURGE): only dv-marked files rewrite, the marks " +
