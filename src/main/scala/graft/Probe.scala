@@ -17,6 +17,31 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    if (args.headOption.contains("repwprof")) {
+      import org.apache.spark.sql.functions._
+      val root = "/tmp/graft_probe_repw"
+      val pp = new org.apache.hadoop.fs.Path(root)
+      val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (pfs.exists(pp)) pfs.delete(pp, true)
+      val log = graft.lake.CommitLog(spark, root).init()
+      val nf = 256
+      def t(tag: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime(); body
+        println(f"[prof] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      t("append")(log.append(spark.range(nf * 4000L)
+        .select(col("id"), (col("id") % 97).cast("double").as("v"))
+        .repartitionByRange(nf, col("id"))))
+      val cand = log.candidateDataFiles("id < 16000")
+      println(s"[prof] candidates = ${cand.map(_.size)}")
+      val batch = spark.range(8000)
+        .select(col("id"), lit(-1.0).as("v"))
+      t("replaceWhere")(log.replaceWhere(batch, "id < 16000"))
+      t("replaceWhere2")(log.replaceWhere(batch, "id < 16000"))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("plan")) {
       val sf = "/root/testdata/sf0.01"
       args.drop(1).foreach { name =>

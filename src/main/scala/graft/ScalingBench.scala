@@ -248,6 +248,57 @@ object ScalingBench {
       return
     }
 
+    // r11 late-session evidence (arg "r11b"):
+    //  D. REORG PURGE — live set FIXED, marked fraction grows: the
+    //     rewrite must track the marked files, never the lake.
+    //  E. REPLACE WHERE — band FIXED, table grows: span pruning keeps
+    //     the touched set (and the cost) flat while the lake 4x-es.
+    if (args.headOption.contains("r11b")) {
+      // ---- D: REORG PURGE scaling ---------------------------------
+      println("| marked files | of live | rewritten | purge (s) |")
+      println("|---|---|---|---|")
+      for (m <- Seq(4, 8, 16)) {
+        val root = s"/tmp/graft_scale_purge_$m"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        val log = graft.lake.CommitLog(spark, root).init()
+        log.append(spark.range(64L * 4000)
+          .select(col("id"), (col("id") % 97).cast("double").as("v"))
+          .repartitionByRange(64, col("id")))
+        // marks land only in the first ~m range-banded files
+        log.deleteWhereMor(s"id < ${m * 4000L} AND id % 5 = 0")
+        val t0 = System.nanoTime()
+        val v = log.reorgPurge()
+        val tp = (System.nanoTime() - t0) / 1e9
+        val rw = v.map(ver => log.commit(ver).removed
+          .count(!_.startsWith("dv-"))).getOrElse(0)
+        println(f"| $m | 64 | $rw | $tp%.2f |")
+      }
+      // ---- E: REPLACE WHERE scaling -------------------------------
+      println("\n| table files | rows | touched | replace (s) |")
+      println("|---|---|---|---|")
+      for (f <- Seq(1, 2, 4)) {
+        val root = s"/tmp/graft_scale_repw_${f}x"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        val log = graft.lake.CommitLog(spark, root).init()
+        val nf = 64 * f
+        log.append(spark.range(nf * 4000L)
+          .select(col("id"), (col("id") % 97).cast("double").as("v"))
+          .repartitionByRange(nf, col("id")))
+        val batch = spark.range(8000)
+          .select(col("id"), lit(-1.0).as("v"))
+        val t0 = System.nanoTime()
+        val (_, touched) = log.replaceWhere(batch, "id < 16000")
+        val tr = (System.nanoTime() - t0) / 1e9
+        println(f"| $nf | ${nf * 4000L} | $touched | $tr%.2f |")
+      }
+      spark.stop()
+      return
+    }
+
     // cheap representatives + every query from the top of the r2 cost
     // profile (d04/d09/d13/e03/e04/q35) — the expensive ones are exactly
     // where a hidden quadratic would hide
