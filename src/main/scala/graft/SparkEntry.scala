@@ -2440,6 +2440,35 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // POSITIONAL PHRASE SEARCH: exact consecutive-term match over a
+    // positional inverted index — the IR operator bag-of-words BM25
+    // can't express. Each phrase term selects its postings FIRST (the
+    // index access path; at scale a term-bucketed postings table
+    // makes this a lookup, never a corpus scan), then the lists fold
+    // by (doc, start-offset) equi-joins — shuffles sized by the
+    // rarest term's postings, no cross at any phrase length. The
+    // probe phrase is the corpus's TOP BIGRAM, derived by the same
+    // deterministic rule on both sides (count desc, phrase asc), so
+    // even the query itself is hash-verified
+    "d59_phrase_search" -> ((s, d) => {
+      val all = docs(s, d)
+      val post = operators.Retrieval.positionalPostings(all)
+      val a = post.select(col("doc_id"), col("pos"),
+        col("term").as("t0"))
+      val b = post.select(col("doc_id").as("__did"),
+        (col("pos") - 1).as("pos"), col("term").as("t1"))
+      val phrase = a.join(b,
+          a("doc_id") === b("__did") && a("pos") === b("pos"))
+        .select(concat_ws(" ", col("t0"), col("t1")).as("phrase"))
+        .groupBy("phrase").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("phrase").asc)
+        .limit(1).head().getString(0)
+      operators.Retrieval.phraseSearch(all, phrase.split(' ').toSeq)
+        .withColumn("phrase", lit(phrase))
+        .select("doc_id", "phrase", "n_matches")
+        .orderBy("doc_id")
+    }),
+
     // surgical decontamination: leaked 8-token spans cut out of every
     // training doc (vs d20/d25's whole-doc drop) — held-out window
     // hashes broadcast into a semi-join, token-level reassembly only
@@ -10153,6 +10182,26 @@ object SparkEntry {
         |          ELSE least(nxt - pos, 8) END) AS DOUBLE) /
         |   CAST(max(n_tokens) AS DOUBLE) AS dup_ratio
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d59_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos,
+        |    unnest(tk) AS term
+        |  FROM toks),
+        |bg AS (
+        |  SELECT a.term || ' ' || b.term AS phrase, count(*) AS c
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1 ORDER BY c DESC, phrase ASC LIMIT 1),
+        |pt AS (SELECT phrase, string_split(phrase, ' ') AS ts FROM bg)
+        |SELECT a.doc_id, pt.phrase AS phrase,
+        |  CAST(count(*) AS BIGINT) AS n_matches
+        |FROM pt CROSS JOIN pos a JOIN pos b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = pt.ts[1] AND b.term = pt.ts[2]
+        |GROUP BY 1, 2 ORDER BY a.doc_id""".stripMargin,
 
     "d22_rarity_score" ->
       """WITH toks AS (

@@ -82,6 +82,44 @@ object Retrieval {
       .select(col(qidCol), col(idCol), col("score_q"), col("rank"))
   }
 
+  /** Positional postings: one row per (doc, position, term) — the
+    * building block of a POSITIONAL inverted index. At scale the
+    * postings persist as a lake table partitioned/bucketed by term;
+    * here the term filter in [[phraseSearch]] stands in for that
+    * index probe. */
+  def positionalPostings(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "term")))
+
+  /** Exact PHRASE SEARCH over positional postings — the classic IR
+    * operator sparse term-match can't express: a document matches
+    * where the phrase's terms occur at CONSECUTIVE positions. Plan
+    * shape: each phrase term SELECTS its postings list first (the
+    * inverted-index access path — at 100 TB a term-bucketed postings
+    * table makes this an index lookup, never a corpus scan), then the
+    * lists fold together by equi-joins on (doc, start-offset
+    * position) — keyed shuffles sized by the RAREST terms' postings,
+    * no cross product at any phrase length. Returns one row per
+    * matching doc: (idCol, n_matches = distinct start positions). */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val post = positionalPostings(docs, idCol, textCol)
+    val p0 = post.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos").as("__p0"))
+    val matched = phrase.zipWithIndex.drop(1)
+      .foldLeft(p0) { case (acc, (t, i)) =>
+        val pi = post.filter(col("term") === t)
+          .select(col(idCol).as(s"__id_$i"), col("pos").as(s"__p_$i"))
+        acc.join(pi, acc(idCol) === pi(s"__id_$i") &&
+            pi(s"__p_$i") === acc("__p0") + i)
+          .drop(s"__id_$i", s"__p_$i")
+      }
+    matched.groupBy(idCol).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Hybrid retrieval: a sparse (BM25) and a dense (exact cosine)
     * candidate list per query, fused by Reciprocal Rank Fusion —
     * the standard two-tower + lexical serving recipe. Each arm

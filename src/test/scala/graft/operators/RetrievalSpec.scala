@@ -83,4 +83,24 @@ class RetrievalSpec extends AnyFunSuite {
       k = 4, poolK = 4).collect()
     assert(all.length == 4 && all.map(_.getLong(1)).contains(4L))
   }
+
+  test("phraseSearch matches CONSECUTIVE positions only, counts " +
+      "every start, and generalizes past bigrams") {
+    val pd = Seq(
+      (1L, "a b c a b c"),   // 'b c' twice, 'a b c' twice
+      (2L, "a c b"),         // terms present, order wrong
+      (3L, "b c b c b"),     // 'b c' twice, overlapping b's
+      (4L, "x y z")
+    ).toDF("doc_id", "text")
+    def run(p: String*): Map[Long, Long] =
+      Retrieval.phraseSearch(pd, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("b", "c") == Map(1L -> 2L, 3L -> 2L),
+      "adjacent-only: doc 2 holds both terms but never consecutively")
+    assert(run("a", "b", "c") == Map(1L -> 2L),
+      "trigram folds one more positional join")
+    assert(run("b") == Map(1L -> 2L, 2L -> 1L, 3L -> 3L),
+      "single term degenerates to term frequency")
+    assert(run("q", "z").isEmpty, "absent head term matches nothing")
+  }
 }
