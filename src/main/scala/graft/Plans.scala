@@ -244,7 +244,16 @@ object Plans {
       "d56_ccnet_buckets" -> ("CCNet buckets: the d32 LM score " +
         "(keyed joins against the reference count tables) + one " +
         "ntile window PARTITIONED BY language — parallel across " +
-        "languages, never a global sort")
+        "languages, never a global sort"),
+      "d59_phrase_search" -> ("phrase search: each phrase term " +
+        "FILTERS its postings first (the inverted-index access " +
+        "path), then the lists fold by (doc, start-offset) " +
+        "equi-joins — keyed shuffles sized by the rarest term, no " +
+        "cross product at any phrase length"),
+      "d57_bm25_retrieval" -> ("BM25: postings/lengths/df are " +
+        "combined groupBys; the query side joins postings ON TERM " +
+        "(index access), scoring is integer fixed-point projections, " +
+        "top-k a WindowGroupLimit-limited rank")
     )
 
     val sb = new StringBuilder
