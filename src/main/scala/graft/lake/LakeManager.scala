@@ -1462,6 +1462,12 @@ final class LakeManager(spark: SparkSession, root: String) {
               if (log.partitionCols.isEmpty) ""
               else log.partitionCols
                 .mkString("\nPARTITIONED BY (", ", ", ")")
+            // clustering keys render as their DDL clause (Delta's
+            // SHOW CREATE does the same), not as a raw property
+            val clusterBy =
+              if (log.clusterKeys().isEmpty) ""
+              else log.clusterKeys()
+                .mkString("\nCLUSTER BY (", ", ", ")")
             // engine bookkeeping stays out of the reconstructed DDL —
             // identity/generated/DEFAULT render as column clauses
             // above, and re-running the DDL must not replay registry
@@ -1469,6 +1475,7 @@ final class LakeManager(spark: SparkSession, root: String) {
             val internal = Seq(CommitLog.IdentityColPrefix,
               CommitLog.IdentityHwmPrefix, CommitLog.GeneratedColPrefix,
               CommitLog.DefaultColPrefix, CommitLog.CopyRunPrefix,
+              CommitLog.ClusterByKey,
               LakeManager.ColumnOrderProp)
             val props = log.properties().filterNot { case (k, _) =>
               internal.exists(k.startsWith) }
@@ -1482,7 +1489,7 @@ final class LakeManager(spark: SparkSession, root: String) {
                 s";\nALTER TABLE $name ADD CONSTRAINT $c CHECK ($p)"
             }.mkString
             val ddl = s"CREATE TABLE $name (\n$cols)\n" +
-              s"USING commitlog$parts$propsClause$cons"
+              s"USING commitlog$parts$clusterBy$propsClause$cons"
             import spark.implicits._
             Seq(ddl).toDF("createtab_stmt")
         }

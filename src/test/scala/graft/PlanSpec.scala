@@ -192,12 +192,17 @@ class PlanSpec extends AnyFunSuite {
     //    the same bounded-broadcast contract (≤10 queries against one
     //    corpus pass); the dv subtraction itself is a keyed anti-join
     //    (asserted by the merge-on-read plan test above)
+    //  - d58: hybrid retrieval's DENSE arm IS e02's brute-force
+    //    baseline (the bounded query set broadcast against one corpus
+    //    pass); the sparse arm's joins are term-keyed and the RRF
+    //    fusion join is (qid, doc)-keyed
     // Everything else — including e01's exact all-pairs, which is now
     // block-keyed — must plan as equi joins.
     val allowed = Set("q55_cross_join_small", "e02_knn_topk",
       "e15_ann_recall", "e16_pq_adc", "e17_hamming_topk", "e22_maxsim",
       "e25_ann_mor", "e26_pq_serve", "e27_hamming_serve",
-      "e31_commitlog_pq_stream", "e32_ann_dv_survivors")
+      "e31_commitlog_pq_stream", "e32_ann_dv_survivors",
+      "d58_hybrid_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

@@ -1875,6 +1875,37 @@ class CommitLogSpec extends AnyFunSuite {
     assert(log.read(None).count() == 260L)
   }
 
+  test("replaceWhere on a hive-partitioned table touches only the " +
+      "band's partitions; the change feed skips a purge rewrite and " +
+      "a replica folded across it converges") {
+    // partition-granular band swap: partition values ride spans, so
+    // the probe never opens out-of-band partitions' files
+    val plog = CommitLog(spark, TestSpark.tempDir("clogrwp"))
+      .initPartitioned(Seq("day"))
+    plog.append(Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0),
+      (4L, "d3", 4.0)).toDF("id", "day", "amt"))
+    val (_, touched) = plog.replaceWhere(
+      Seq((9L, "d2", 9.0)).toDF("id", "day", "amt"), "day = 'd2'")
+    assert(touched == 1, s"only d2's file rewrites: $touched")
+    assert(plog.liveFiles(None).count(_.startsWith("day=d1/")) > 0,
+      "d1 partition files survive untouched")
+    assert(plog.read(None).filter(col("day") === "d2")
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+    // feed across a purge: the dv delete emits its rows, the purge
+    // rewrite emits NOTHING (row-preserving in the logical view)
+    val root2 = TestSpark.tempDir("clogpfd")
+    val log2 = CommitLog(spark, root2).init()
+    log2.append(spark.range(0, 100)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(1)) // v1
+    log2.deleteWhereMor("id % 4 = 1")                          // v2
+    val vPurge = log2.reorgPurge().get                         // v3
+    val feed = log2.changesSince(0L)
+    assert(feed.filter(col("_commit_version") === vPurge).isEmpty,
+      "a purge rewrite must emit no change rows")
+    assert(feed.filter(col("_op") === "delete").count() == 25L)
+    assert(feed.filter(col("_op") === "insert").count() == 100L)
+  }
+
   test("change data feed (opt-in): merge and upsert commits persist " +
       "exact change rows, the feed decomposes them, and a replica " +
       "folded from it converges; without the property they refuse") {

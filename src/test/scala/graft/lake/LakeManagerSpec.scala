@@ -810,16 +810,26 @@ class LakeManagerSpec extends AnyFunSuite {
     intercept[Exception] {
       lm.sql("INSERT INTO au VALUES (99, 'x', 1)")
     }
-    // UPDATE refuses the identity column, the generated column, AND
-    // the generated column's INPUT (the value would go stale)
+    // UPDATE refuses the identity column and the generated column
+    // itself; updating a generation INPUT is supported — the engine
+    // RECOMPUTES the generated value over the post-update row
     intercept[Exception] { lm.sql("UPDATE au SET id = 1 WHERE id = 10") }
     intercept[Exception] { lm.sql("UPDATE au SET vlen = 9") }
-    intercept[Exception] { lm.sql("UPDATE au SET v = 'zzz'") }
-    // MERGE refuses wholesale (Delta's historical restriction)
+    lm.sql("UPDATE au SET v = 'zzzz' WHERE id = 10")
+    assert(spark.sql("SELECT v, vlen FROM au WHERE id = 10")
+      .as[(String, Int)].head() == (("zzzz", 4)),
+      "the generated column must recompute over the post-update row")
+    // MERGE on a generated table is supported (Delta's current rule):
+    // clauses run, generated values recompute; SET of the generated
+    // column refuses
     Seq((10L, "q")).toDF("id", "v").createOrReplaceTempView("au_src")
+    lm.sql("MERGE INTO au t USING au_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN DELETE")
+    assert(spark.sql("SELECT count(*) FROM au WHERE id = 10")
+      .as[Long].head() == 0L, "the matched row deletes")
     intercept[Exception] {
       lm.sql("MERGE INTO au t USING au_src s ON t.id = s.id " +
-        "WHEN MATCHED THEN DELETE")
+        "WHEN MATCHED THEN UPDATE SET vlen = 9")
     }
     // BY DEFAULT: explicit values accepted, the mark advances past
     // their max so later allocations never collide
