@@ -1635,19 +1635,14 @@ final class CommitLog(spark: SparkSession, root: String) {
       if (!have.contains(c))
         df = df.withColumn(c, expr(sql).cast(tSchema(c).dataType))
     }
-    // PRESENT generated values validate up front (never silently
-    // overwritten — Delta's rule); ABSENT ones compute inside the
+    // PRESENT generated values VALIDATE (never silently overwritten —
+    // Delta's rule); ABSENT ones compute. Both happen inside the
     // staging loop AFTER identity allocation, so a generation
     // expression may reference an identity column and see its
-    // allocated value (the merge insert branch's ordering)
-    val absentGens = gens.filterNot { case (c, _) => have.contains(c) }
-    gens.foreach { case (c, g) =>
-      val f = tSchema(c)
-      if (have.contains(c)) require(
-        df.filter(!(col(c) <=> expr(g).cast(f.dataType))).isEmpty,
-        s"provided values for generated column $c do not satisfy " +
-          s"its expression ($g) — omit the column or fix the values")
-    }
+    // allocated value (the merge insert branch's ordering) whether
+    // the generated column was provided or not.
+    val (presentGens, absentGens) =
+      gens.partition { case (c, _) => have.contains(c) }
     val explicit = ids.keys.filter(have.contains).toSeq.sorted
     explicit.foreach { c => require(ids(c)._3,
       s"column $c is GENERATED ALWAYS AS IDENTITY — explicit values " +
@@ -1709,6 +1704,12 @@ final class CommitLog(spark: SparkSession, root: String) {
         }
         absentGens.foreach { case (c, g) =>
           out = out.withColumn(c, expr(g).cast(tSchema(c).dataType))
+        }
+        presentGens.foreach { case (c, g) =>
+          require(out.filter(
+            !(col(c) <=> expr(g).cast(tSchema(c).dataType))).isEmpty,
+            s"provided values for generated column $c do not satisfy " +
+              s"its expression ($g) — omit the column or fix the values")
         }
         out = alignToPhysical(SchemaTools.conformTo(out, tSchema))
         staged = stage(out)
@@ -2151,11 +2152,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     val want = keys.mkString(",")
     // key-AWARE clustered-ness: a file counts clustered only if its
     // adding commit ordered by the CURRENT keys — after ALTER ...
-    // CLUSTER BY the old layout's files re-cluster (legacy markers
-    // without recorded keys count as current, conservatively)
+    // CLUSTER BY the old layout's files re-cluster. Legacy markers
+    // without recorded keys count UNclustered (one extra re-cluster,
+    // never a stale layout served forever — the same conservative
+    // rule as retention-expired adding commits).
     val clustered: Set[String] = existingVersions()
       .filter(_ <= plannedV).map(commit)
-      .filter(c => c.clustered && c.clusterKeys.forall(_ == want))
+      .filter(c => c.clustered && c.clusterKeys.contains(want))
       .flatMap(_.files).toSet
     val un = resolve(Some(plannedV)).data.filterNot(clustered).toSet
     if (un.isEmpty) return None
@@ -2173,9 +2176,13 @@ final class CommitLog(spark: SparkSession, root: String) {
     * (pure purge, layout preserved); positive bin-packs like
     * OPTIMIZE. Reads are unchanged before/after by construction
     * (marks subtracted at read time before, physically absent after).
-    * Returns None when no marks stand; dv files whose every mark
-    * points at already-dead files retire via a metadata-only commit
-    * (no data rewrite — they can never subtract again). */
+    * On a CLUSTER BY table the purged output re-clusters on the
+    * declared keys and carries the clustered marker, so the purge
+    * neither degrades the layout nor triggers a second rewrite from
+    * the next OPTIMIZE. Returns None when no marks stand; dv files
+    * whose every mark points at already-dead files retire via a
+    * metadata-only commit (no data rewrite — they can never subtract
+    * again). */
   def reorgPurge(targetFiles: Int = 0): Option[Long] = {
     val r = resolve(None)
     val dv = r.tombstones.filter(isDvName)
@@ -2187,17 +2194,30 @@ final class CommitLog(spark: SparkSession, root: String) {
     if (marked.isEmpty) {
       // every mark targets a dead file — nothing to rewrite, but the
       // dv files still join into every read: retire them outright
+      val dvSet = dv.toSet
       var v = latestVersion() + 1
       var done = false
       while (!done) {
+        // a concurrent commit may have retired (or re-homed) some of
+        // these tombstones already — a double-remove manifest would
+        // corrupt history/vacuum accounting
+        if (!dvSet.subsetOf(resolve(None).tombstones.toSet))
+          throw new java.util.ConcurrentModificationException(
+            "reorgPurge planned on tombstones a concurrent commit " +
+              "retired — re-plan on fresh state")
         done = tryCas(v, "rewrite", Nil, removed = dv)
         if (!done) v = latestVersion() + 1
       }
       notifyCommit()
       return Some(v)
     }
+    // clustering-aware: on a CLUSTER BY table the purged rows re-sort
+    // on the declared keys and the outputs mark clustered (optimize's
+    // inner CAS loop re-validates input liveness per retry)
+    val keys = clusterKeys()
     optimize(if (targetFiles > 0) targetFiles else marked.size,
-      onlyFiles = Some(marked.toSet), force = true)
+      zorderBy = keys, onlyFiles = Some(marked.toSet), force = true,
+      markClustered = keys.nonEmpty)
   }
 
   /** Keyed copy-on-write MERGE as ONE atomic commit — Delta MERGE on
@@ -3216,8 +3236,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     * commit. Auto-column tables refuse (allocation/generation does
     * not ride this verb — route through INSERT + DELETE). Returns
     * (version, touched files). */
-  def replaceWhere(batch: DataFrame, rawPredicate: String)
-      : (Long, Int) = {
+  def replaceWhere(batch: DataFrame, rawPredicate: String,
+      beforeCommit: () => Unit = () => ()): (Long, Int) = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val (ids, gens) = autoColumns()
     require(ids.isEmpty && gens.isEmpty,
@@ -3232,13 +3252,30 @@ final class CommitLog(spark: SparkSession, root: String) {
         "supported — the read-time key subtract could silently erase " +
         "landed batch rows; void the delete first")
     val hit = coalesce(expr(predicate), lit(false))
-    // batch under the mapping + drift discipline of every writer
+    // batch columns must COVER the standing data columns (DEFAULT
+    // columns may be omitted — they fill like INSERT's) — a silent
+    // by-name null-fill of a missing or mis-aliased column would be
+    // wrong data, not drift evolution; renames translate like every
+    // writer under active column mapping
     val marker = SchemaTools.readSchemaMarkerInfo(spark, root)
     val renames = marker.map(_.renames).getOrElse(Map.empty[String, String])
     val tSchema: StructType =
       if (r.data.nonEmpty) readConformed(r.data, r.schemaOf).schema
       else read(Some(plannedV)).schema
-    val b0 = SchemaTools.unapplyRenames(batch, renames)
+    var b0 = SchemaTools.unapplyRenames(batch, renames)
+    val defs = defaultColumns(Some(plannedV))
+    if (tSchema.nonEmpty) {
+      defs.foreach { case (c, sql) =>
+        if (!b0.columns.contains(c) && tSchema.fieldNames.contains(c))
+          b0 = b0.withColumn(c, expr(sql).cast(tSchema(c).dataType))
+      }
+      val missing = tSchema.fieldNames.toSet -- b0.columns.toSet
+      require(missing.isEmpty,
+        s"REPLACE WHERE batch is missing target column(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} — alias every " +
+          "computed column to its target name (a silent null-fill " +
+          "would be wrong data, not evolution)")
+    }
     val b = if (tSchema.nonEmpty) SchemaTools.conformTo(b0, tSchema)
             else b0
     require(b.filter(not(hit)).isEmpty,
@@ -3277,6 +3314,7 @@ final class CommitLog(spark: SparkSession, root: String) {
       }
     val kind = if (touched.isEmpty) "append" else "upsert"
     val touchedSet = touched.toSet
+    beforeCommit() // test seam: staged, first CAS attempt not yet made
     var v = latestVersion() + 1
     var done = false
     while (!done) {
@@ -3286,6 +3324,39 @@ final class CommitLog(spark: SparkSession, root: String) {
         throw new java.util.ConcurrentModificationException(
           "replaceWhere planned on files a concurrent commit removed " +
             "— re-plan on fresh state")
+      // the band swap examined EVERY in-band row at planning time: a
+      // concurrent data commit whose files' spans cannot PROVE zero
+      // in-band rows landed rows this replace never saw — committing
+      // would mix them with the replacement batch (the documented
+      // old-day-or-new-day atomicity). Provably out-of-band commits
+      // commute; restore/clone re-home visibility wholesale; a keyed
+      // delete's written keys are not enumerable pre-commit —
+      // conservative conflict (merge's discipline).
+      val window = (plannedV + 1 to tip).map(commit)
+      window.collectFirst {
+        case c if c.kind == "restore" || c.kind == "clone" =>
+          s"${c.kind} v${c.version} re-homed visibility"
+        case c if c.kind == "delete" && c.files.exists(f => !isDvName(f)) =>
+          s"keyed delete v${c.version} landed in the window " +
+            "(ConcurrentDelete)"
+      }.orElse {
+        val newFiles = window
+          .filter(c => c.kind == "append" || c.kind == "upsert" ||
+            c.kind == "replace")
+          .flatMap(c => c.files.map(f => c -> f))
+        val spanOfW: Map[String, FileSpans] = newFiles.map {
+          case (c, f) => f -> c.stats.getOrElse(f,
+            CommitLog.FileSpans(-1L, Map.empty))
+        }.toMap
+        if (newFiles.isEmpty) None
+        else prunedLive(predicate, newFiles.map(_._2), spanOfW) match {
+          case Some(cands) if cands.isEmpty => None // provably out-of-band
+          case _ => Some("a concurrent commit landed rows not " +
+            "provably outside the replaced band (ConcurrentAppend)")
+        }
+      }.foreach(why =>
+        throw new java.util.ConcurrentModificationException(
+          s"$why — re-plan on fresh state"))
       conflictOnWindowDv(plannedV, tip, touched)
       enforceConstraints(names)
       done = tryCas(v, kind, names, removed = touched,
@@ -4543,7 +4614,7 @@ object CommitLog {
       // the clustering KEYS the rewrite ordered by (CSV) — a file is
       // clustered iff its adding commit's keys match the CURRENT
       // declaration, so ALTER ... CLUSTER BY invalidates old layouts;
-      // None on legacy markers = assume the current keys
+      // None on legacy markers = counts unclustered (conservative)
       clusterKeys: Option[String] = None)
 
   /** The fully-resolved state at a version: live DATA files, live

@@ -637,6 +637,14 @@ final class LakeManager(spark: SparkSession, root: String) {
         val ks = Option(cols).toSeq.flatMap(_.split(',').toSeq
           .map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty))
+        // validate HERE (Delta does): a typo'd key failing only at
+        // the next scheduled OPTIMIZE would point nowhere near the
+        // ALTER that caused it
+        val standing = log.read(None).columns.toSet
+        val unknown = ks.filterNot(standing.contains)
+        require(standing.isEmpty || unknown.isEmpty,
+          s"CLUSTER BY names unknown column(s): " +
+            s"${unknown.mkString(", ")}")
         val v =
           if (ks.isEmpty) log.unsetProperties(
             Seq(CommitLog.ClusterByKey), ifExists = true)
@@ -674,9 +682,38 @@ final class LakeManager(spark: SparkSession, root: String) {
       }
       // predicate-scoped atomic overwrite (Delta's INSERT INTO ...
       // REPLACE WHERE): delete the band + land the query's rows as
-      // ONE commit; batch rows outside the band refuse
+      // ONE commit; batch rows outside the band refuse. The query
+      // binds POSITIONALLY against the table's declared column order
+      // (the SQL INSERT contract — by-name binding would silently
+      // null-fill an unaliased computed column); DEFAULT columns may
+      // be omitted (reduced arity), filled by the executor.
       case RepWhere(t, pred, query) => managed(t).map { log =>
-        val (v, touched) = log.replaceWhere(spark.sql(query), pred.trim)
+        val q0 = spark.sql(query)
+        val unified = log.read(None).schema
+        val q =
+          if (unified.isEmpty) q0
+          else {
+            val order: Seq[String] = log.properties()
+              .get(LakeManager.ColumnOrderProp) match {
+                case Some(o) =>
+                  val declared = o.split(",").toSeq
+                    .filter(unified.fieldNames.contains)
+                  declared ++
+                    unified.fieldNames.toSeq.filterNot(declared.contains)
+                case None => unified.fieldNames.toSeq
+              }
+            val defs = log.defaultColumns().keySet
+            val nonDefault = order.filterNot(defs.contains)
+            val target =
+              if (q0.columns.length == order.length) order
+              else if (q0.columns.length == nonDefault.length) nonDefault
+              else throw new IllegalArgumentException(
+                s"REPLACE WHERE arity ${q0.columns.length} matches " +
+                  s"neither the table arity (${order.length}) nor its " +
+                  s"non-DEFAULT arity (${nonDefault.length})")
+            q0.toDF(target: _*)
+          }
+        val (v, touched) = log.replaceWhere(q, pred.trim)
         Seq((v, touched.toLong))
           .toDF("version", "num_affected_files")
       }

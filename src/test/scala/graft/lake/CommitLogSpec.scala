@@ -1873,6 +1873,27 @@ class CommitLogSpec extends AnyFunSuite {
     val (va, t2) = log.replaceWhere(band(1000, 1010, 7L), "id >= 1000")
     assert(t2 == 0 && log.commit(va).kind == "append")
     assert(log.read(None).count() == 260L)
+    // a batch MISSING a target column refuses (a silent by-name
+    // null-fill would be wrong data, not drift)
+    intercept[IllegalArgumentException] {
+      log.replaceWhere(spark.range(2000, 2005).select(col("id")),
+        "id >= 2000")
+    }
+    // ConcurrentAppend atomicity: a commit landing IN-BAND rows
+    // between planning and CAS conflicts; provably out-of-band
+    // commits commute
+    intercept[java.util.ConcurrentModificationException] {
+      log.replaceWhere(band(200, 210, -5L), "id >= 200 AND id < 300",
+        beforeCommit = () => log.append(band(250, 260, 8L)))
+    }
+    val before = log.read(None).count()
+    log.replaceWhere(band(200, 211, -6L), "id >= 200 AND id < 300",
+      beforeCommit = () => log.append(band(90000, 90010, 9L)))
+    // band 200-300 held 110 rows (100 original + the 10 the failed
+    // attempt's concurrent append landed); swap to 11 + the 10
+    // out-of-band concurrent rows
+    assert(log.read(None).count() == before - 110L + 11L + 10L,
+      "an out-of-band concurrent append commutes with the band swap")
   }
 
   test("replaceWhere on a hive-partitioned table touches only the " +
