@@ -299,6 +299,72 @@ object ScalingBench {
       return
     }
 
+    // r11 late evidence (arg "r11c"):
+    //  F. MV incremental refresh — cost must track the CHANGED keys,
+    //     never the view or the source (fixed 200k-row source across
+    //     50k groups; k keys move per arm).
+    //  G. dynamic file pruning — a fixed 3-key dim filter must keep
+    //     the fact's PRUNED file count (and join time) flat while the
+    //     fact table 4x-es.
+    if (args.headOption.contains("r11c")) {
+      // ---- F: MV refresh tracks changed keys ----------------------
+      // arm 0 is an UNTIMED warmup (JIT/codegen for the whole
+      // create+refresh machinery dominates a first cold run)
+      println("| changed keys | of keys | refresh (s) |")
+      println("|---|---|---|")
+      for (k <- Seq(0, 10, 100, 1000)) {
+        val root = s"/tmp/graft_scale_mv_$k"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        val lm = graft.lake.LakeManager(spark, root).init()
+        val log = lm.addCommitLog("srct")
+        log.append(spark.range(200000)
+          .select((col("id") % 50000).as("k"),
+            (col("id") % 997).cast("double").as("v"))
+          .repartition(16))
+        lm.createMaterializedView("mvt", "srct", Seq("k"),
+          Seq("count(*)" -> "n", "max(v)" -> "mx"))
+        // k keys move (fresh appends — the feed decomposes appends
+        // natively); everything else is untouched
+        log.append(spark.range(math.max(k, 1).toLong)
+          .select(col("id").as("k"), lit(9999.0).as("v")).coalesce(1))
+        val t0 = System.nanoTime()
+        lm.refreshMaterializedView("mvt").collect()
+        val tr = (System.nanoTime() - t0) / 1e9
+        if (k > 0) println(f"| $k | 50000 | $tr%.2f |")
+      }
+      // ---- G: DFP flat as the fact grows --------------------------
+      println("\n| fact files | rows | files scanned | join (s) |")
+      println("|---|---|---|---|")
+      for (f <- Seq(1, 2, 4)) {
+        val root = s"/tmp/graft_scale_dfp_${f}x"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        val nf = 64 * f
+        spark.range(nf * 8000L)
+          .select(col("id").as("fk"), (col("id") % 97).cast("double")
+            .as("amt"))
+          .repartitionByRange(nf, col("fk"))
+          .write.parquet(root)
+        graft.lake.FileStats.build(spark, root, bloomCols = Seq("fk"))
+        val dim = spark.range(3)
+          .select((col("id") * 100000L + 7L).as("dk"),
+            lit(1.0).as("w"))
+        val t0 = System.nanoTime()
+        val pruned = graft.lake.DynamicPruning.prunedFactScan(
+          spark, root, dim, Seq("fk" -> "dk"))
+        val nScanned = pruned.inputFiles.length
+        graft.lake.DynamicPruning.joinPruned(
+          spark, root, dim, Seq("fk" -> "dk")).count()
+        val tj = (System.nanoTime() - t0) / 1e9
+        println(f"| $nf | ${nf * 8000L} | $nScanned | $tj%.2f |")
+      }
+      spark.stop()
+      return
+    }
+
     // cheap representatives + every query from the top of the r2 cost
     // profile (d04/d09/d13/e03/e04/q35) — the expensive ones are exactly
     // where a hidden quadratic would hide
