@@ -811,12 +811,14 @@ final class CommitLog(spark: SparkSession, root: String) {
     val files = SchemaTools.listDataFiles(spark, staging.toString)
     fs.mkdirs(changeDataDir)
     val run = java.util.UUID.randomUUID().toString.take(12)
-    files.zipWithIndex.map { case (f, i) =>
+    val out = files.zipWithIndex.map { case (f, i) =>
       val name = s"cdf-$run-$i.parquet"
       fs.rename(fs.makeQualified(new Path(f)),
         new Path(changeDataDir, name))
       name
     }
+    fs.delete(staging, true) // sweep the emptied staging dir ([[stage]])
+    out
   }
 
   /** Size-discipline an arbitrary merge/upsert source frame. When the
@@ -2400,6 +2402,11 @@ final class CommitLog(spark: SparkSession, root: String) {
           batchAligned.schema)
         val cond = physKeys
           .map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
+        // with CDF on the batch stages TWICE (merged data + change
+        // rows) — pin one materialization when sizedSource left it
+        // unstaged, so the persisted feed always equals what landed
+        val bA = if (cdfOn && batchTmp.isEmpty)
+          batchAligned.localCheckpoint(true) else batchAligned
         if (cdfOn) {
           import org.apache.spark.sql.functions.lit
           // replaced rows are the pre-images; batch rows split into
@@ -2407,18 +2414,18 @@ final class CommitLog(spark: SparkSession, root: String) {
           val pre = touchedRows.join(bcast(batchKeys), cond, "left_semi")
           val preKeys = pre.select(physKeys.map(col): _*).distinct()
           def keyCond = physKeys
-            .map(k => batchAligned(k) <=> preKeys(k)).reduce(_ && _)
+            .map(k => bA(k) <=> preKeys(k)).reduce(_ && _)
           cdfChanges = Some(
             pre.withColumn("_op", lit("update_preimage"))
-              .unionByName(batchAligned
+              .unionByName(bA
                 .join(preKeys, keyCond, "left_semi")
                 .withColumn("_op", lit("update_postimage")))
-              .unionByName(batchAligned
+              .unionByName(bA
                 .join(preKeys, keyCond, "left_anti")
                 .withColumn("_op", lit("insert"))))
         }
         touchedRows.join(bcast(batchKeys), cond, "left_anti")
-          .unionByName(batchAligned)
+          .unionByName(bA)
       }
     val changeNames: Seq[String] =
       cdfChanges.map(stageChangeData).getOrElse(Nil)
@@ -2935,7 +2942,7 @@ final class CommitLog(spark: SparkSession, root: String) {
         // second projection — the expression must see NEW input
         // values); carried rows keep their standing bytes (the
         // append-time invariant already holds on them)
-        val projected =
+        val projected1 =
           if (genCols.isEmpty || updateTags.isEmpty) projected0
           else projected0.select(eSchema.map { f =>
             genCols.get(f.name) match {
@@ -2945,6 +2952,12 @@ final class CommitLog(spark: SparkSession, root: String) {
               case None => col(f.name)
             }
           }.toSeq :+ col("__act"): _*)
+        // with CDF on, the SAME frame feeds both the staged survivors
+        // and the staged post-images — pin it to ONE materialization
+        // so a nondeterministic SET expression (or AQE re-plan) can
+        // never make the persisted feed disagree with the table
+        val projected =
+          if (cdfOn) projected1.localCheckpoint(true) else projected1
         val changes =
           if (!cdfOn) None
           else {
@@ -3063,6 +3076,10 @@ final class CommitLog(spark: SparkSession, root: String) {
       genCols.foreach { case (c, g) =>
         ins = ins.withColumn(c, expr(g).cast(eSchema(c).dataType))
       }
+      // CDF: the inserted rows stage TWICE (data + change rows) —
+      // pin one materialization so allocated identities / any
+      // nondeterminism land identically in both
+      if (cdfOn) ins = ins.localCheckpoint(true)
       val out = survivors.unionByName(ins)
       names = stage(out)
       if (cdfOn) {
@@ -3276,8 +3293,12 @@ final class CommitLog(spark: SparkSession, root: String) {
           "computed column to its target name (a silent null-fill " +
           "would be wrong data, not evolution)")
     }
-    val b = if (tSchema.nonEmpty) SchemaTools.conformTo(b0, tSchema)
-            else b0
+    // pinned to ONE materialization: the batch is evaluated by the
+    // band-invariant check, the staged output, and (with CDF) the
+    // insert change rows — a nondeterministic query must not pass
+    // validation with one sample and land another
+    val b = (if (tSchema.nonEmpty) SchemaTools.conformTo(b0, tSchema)
+             else b0).localCheckpoint(true)
     require(b.filter(not(hit)).isEmpty,
       "REPLACE WHERE batch rows must ALL satisfy the predicate — " +
         "rows outside the band would silently widen the replace " +
@@ -3585,7 +3606,7 @@ final class CommitLog(spark: SparkSession, root: String) {
     }.toSeq :+ org.apache.spark.sql.functions.col("__hit"): _*)
     // generated columns recompute over the POST-update row on hit
     // rows; carried rows keep their standing bytes
-    val out = (if (genCols.isEmpty) out0
+    val outHit0 = (if (genCols.isEmpty) out0
       else out0.select(base.schema.fields.map { f =>
         genCols.get(f.name) match {
           case Some(g) =>
@@ -3596,28 +3617,27 @@ final class CommitLog(spark: SparkSession, root: String) {
           case None => org.apache.spark.sql.functions.col(f.name)
         }
       }.toSeq :+ org.apache.spark.sql.functions.col("__hit"): _*))
-      .drop("__hit")
-    // CHANGE DATA FEED (opt-in): exact pre/post images of the rows the
-    // predicate hits ride the commit. Post-images project from the
-    // PRE-update rows (the predicate may reference assigned columns,
-    // so filtering the updated frame would select the wrong rows) and
-    // carry the recomputed generated values.
+    // with CDF on, the SAME post-update frame feeds the staged files
+    // AND the post-images (carried __hit selects them without
+    // re-evaluating the predicate over post values) — pinned to one
+    // materialization so a nondeterministic SET can never make the
+    // persisted feed disagree with the table
+    val cdfOn = cdfEnabled(Some(plannedV))
+    val outHit =
+      if (cdfOn) outHit0.localCheckpoint(true) else outHit0
+    val out = outHit.drop("__hit")
+    // CHANGE DATA FEED (opt-in): exact pre/post images of the rows
+    // the predicate hits ride the commit; pre-images read the
+    // immutable pre-update files
     val changeNames: Seq[String] =
-      if (!cdfEnabled(Some(plannedV))) Nil
+      if (!cdfOn) Nil
       else {
-        val hitRows = base.filter(hit)
-        val pre = hitRows.withColumn("_op", lit("update_preimage"))
-        val post0 = hitRows.select(base.schema.fields.map { f =>
-          setOf.get(f.name)
-            .map(v => expr(v).cast(f.dataType).as(f.name))
-            .getOrElse(org.apache.spark.sql.functions.col(f.name))
-        }.toSeq: _*)
-        val post = (if (genCols.isEmpty) post0
-          else post0.select(base.schema.fields.map { f =>
-            genCols.get(f.name)
-              .map(g => expr(g).cast(f.dataType).as(f.name))
-              .getOrElse(org.apache.spark.sql.functions.col(f.name))
-          }.toSeq: _*)).withColumn("_op", lit("update_postimage"))
+        val pre = base.filter(hit)
+          .withColumn("_op", lit("update_preimage"))
+        val post = outHit
+          .filter(org.apache.spark.sql.functions.col("__hit"))
+          .drop("__hit")
+          .withColumn("_op", lit("update_postimage"))
         stageChangeData(pre.unionByName(post))
       }
     val names = stage(out)
@@ -4377,9 +4397,15 @@ final class CommitLog(spark: SparkSession, root: String) {
     if (!r.data.forall(r.spanOf.contains)) return None
     val n = r.data.map(r.spanOf(_).nRows).sum
     val mm = cols.map { c =>
+      // callers speak LOGICAL names; the manifests' spans are keyed
+      // by the files' frozen PHYSICAL names — under active column
+      // mapping (rename chains!) probing the logical name directly
+      // could read a DIFFERENT column's spans and serve a wrong
+      // extreme with zero scan
+      val pc = physicalName(c)
       // zero-row files carry no column spans and contribute nothing
       val sides = r.data.map(r.spanOf).filter(_.nRows > 0L).map {
-        sp => sp.cols.getOrElse(c, return None)
+        sp => sp.cols.getOrElse(pc, return None)
       }
       def num(s: Option[FileStats.SpanV]): Option[Double] = s.map {
         case FileStats.NumV(v) => v
@@ -4496,6 +4522,21 @@ final class CommitLog(spark: SparkSession, root: String) {
       fs.listStatus(copyDir).foreach { s =>
         if (!liveRuns.contains(s.getPath.getName) && expired(s)) {
           if (delete) fs.delete(s.getPath, true)
+          removed += s.getPath.toString
+        }
+      }
+    }
+    // change-data files staged by a mutation whose CAS never landed
+    // (conflict thrown / constraint refused after staging): a change
+    // file is live iff some retained commit's changeFiles references
+    // it — orphans past retention are crash debris like _staged
+    if (fs.exists(changeDataDir)) {
+      val liveChange: Set[String] = existingVersions()
+        .flatMap(v => commit(v).changeFiles).toSet
+      fs.listStatus(changeDataDir).foreach { s =>
+        if (s.isFile && !liveChange.contains(s.getPath.getName) &&
+            expired(s)) {
+          if (delete) fs.delete(s.getPath, false)
           removed += s.getPath.toString
         }
       }

@@ -270,6 +270,25 @@ final class LakeManager(spark: SparkSession, root: String) {
           c.fieldNames.head
         }
     }.flatten
+    // validate at DECLARATION time (the ALTER path's rule): a typo'd
+    // key failing only at the first scheduled OPTIMIZE would point
+    // nowhere near the CREATE that caused it. Case-insensitive;
+    // recorded with the declared column's exact case. CTAS (no
+    // declared columns) validates against the query's columns.
+    val declNames: Seq[String] =
+      if (columns.nonEmpty) columns.map(_.name)
+      else data.map(_.columns.toSeq).getOrElse(Nil)
+    val clusterColsResolved: Seq[String] =
+      if (clusterCols.isEmpty || declNames.isEmpty) clusterCols
+      else {
+        val byLc = declNames
+          .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+        clusterCols.map { k =>
+          byLc.getOrElse(k.toLowerCase(java.util.Locale.ROOT),
+            throw new IllegalArgumentException(
+              s"CLUSTER BY names unknown column: $k"))
+        }
+      }
     val partCols: Seq[String] = partitioning.filterNot(
       _.isInstanceOf[org.apache.spark.sql.connector.expressions
         .ClusterByTransform]).map {
@@ -324,8 +343,9 @@ final class LakeManager(spark: SparkSession, root: String) {
       else Map(LakeManager.ColumnOrderProp ->
         columns.map(_.name).mkString(","))
     val clusterProp: Map[String, String] =
-      if (clusterCols.isEmpty) Map.empty
-      else Map(CommitLog.ClusterByKey -> clusterCols.mkString(","))
+      if (clusterColsResolved.isEmpty) Map.empty
+      else Map(CommitLog.ClusterByKey ->
+        clusterColsResolved.mkString(","))
     val allProps = us.properties ++ autoProps ++ orderProp ++ clusterProp
     if (allProps.nonEmpty) log.setProperties(allProps)
     Some(log.read(None))
@@ -639,18 +659,26 @@ final class LakeManager(spark: SparkSession, root: String) {
           .filter(_.nonEmpty))
         // validate HERE (Delta does): a typo'd key failing only at
         // the next scheduled OPTIMIZE would point nowhere near the
-        // ALTER that caused it
-        val standing = log.read(None).columns.toSet
-        val unknown = ks.filterNot(standing.contains)
+        // ALTER that caused it. Case-insensitive like SQL resolution;
+        // the recorded key keeps the standing column's exact case so
+        // downstream expr() references resolve.
+        val standing = log.read(None).columns.toSeq
+        val byLc = standing
+          .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+        val unknown = ks.filterNot(k =>
+          byLc.contains(k.toLowerCase(java.util.Locale.ROOT)))
         require(standing.isEmpty || unknown.isEmpty,
           s"CLUSTER BY names unknown column(s): " +
             s"${unknown.mkString(", ")}")
+        val ksResolved =
+          if (standing.isEmpty) ks
+          else ks.map(k => byLc(k.toLowerCase(java.util.Locale.ROOT)))
         val v =
-          if (ks.isEmpty) log.unsetProperties(
+          if (ksResolved.isEmpty) log.unsetProperties(
             Seq(CommitLog.ClusterByKey), ifExists = true)
           else log.setProperties(
-            Map(CommitLog.ClusterByKey -> ks.mkString(",")))
-        Seq((ks.mkString(","), v)).toDF("cluster_by", "version")
+            Map(CommitLog.ClusterByKey -> ksResolved.mkString(",")))
+        Seq((ksResolved.mkString(","), v)).toDF("cluster_by", "version")
       }
       case SyncId(t, c) => managed(t).map { log =>
         val cname = c.stripPrefix("`").stripSuffix("`")
@@ -1774,7 +1802,12 @@ final class LakeManager(spark: SparkSession, root: String) {
       return metrics(-1L, refreshed = true)
     }
     val changes = srcLog.changesSince(synced, Some(tip))
+    // pinned ONCE: the changed-key set feeds the affected-scan
+    // semi-join, the merge source, and the metrics count — without
+    // the checkpoint each consumer would re-execute the whole
+    // change-feed read + distinct
     val changedKeys = changes.select(keys.map(col): _*).distinct()
+      .localCheckpoint(true)
     val live = srcLog.read(None)
     // recompute ONLY the moved groups; null-safe like merge matching
     val affected = live.join(changedKeys,
@@ -1825,6 +1858,21 @@ final class LakeManager(spark: SparkSession, root: String) {
     * session with `spark.graft.mv.rewrite=false`. Candidate discovery
     * reads each cataloged table's properties — metadata-plane, like
     * Delta's own table-property resolution. */
+  /** The managed-table name under a (possibly aliased) bare relation
+    * — the shared eligibility probe for the MV query rewrite and the
+    * metadata-only aggregate paths (one definition, so their
+    * unwrapping rules can never diverge). */
+  private def managedRelName(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[String] = p match {
+    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      scala.util.Try(managedName(r.multipartIdentifier))
+        .toOption.flatten
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(_, c) => managedRelName(c)
+    case _ => None
+  }
+
   private def tryMvRewrite(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
@@ -1839,13 +1887,7 @@ final class LakeManager(spark: SparkSession, root: String) {
     if (!spark.conf.get("spark.graft.mv.rewrite", "true").toBoolean)
       return None
     def lc(s: String) = s.toLowerCase(Locale.ROOT)
-    def relName(p: LogicalPlan): Option[String] = p match {
-      case r: UnresolvedRelation =>
-        scala.util.Try(managedName(r.multipartIdentifier))
-          .toOption.flatten
-      case SubqueryAlias(_, c) => relName(c)
-      case _ => None
-    }
+    def relName(p: LogicalPlan): Option[String] = managedRelName(p)
     val source = relName(agg.child).getOrElse(return None)
     val keyNames = agg.groupingExpressions.map {
       case a: UnresolvedAttribute => lc(a.nameParts.last)
@@ -1939,13 +1981,7 @@ final class LakeManager(spark: SparkSession, root: String) {
     if (!spark.conf.get("spark.graft.metadata.agg", "true").toBoolean)
       return None
     def lc(s: String) = s.toLowerCase(Locale.ROOT)
-    def relName(p: LogicalPlan): Option[String] = p match {
-      case r: UnresolvedRelation =>
-        scala.util.Try(managedName(r.multipartIdentifier))
-          .toOption.flatten
-      case SubqueryAlias(_, c) => relName(c)
-      case _ => None
-    }
+    def relName(p: LogicalPlan): Option[String] = managedRelName(p)
     val source = relName(child).getOrElse(return None)
     // (alias, None) = count(*); (alias, Some((fn, col))) = min/max
     sealed trait Want

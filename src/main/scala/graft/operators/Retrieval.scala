@@ -56,6 +56,18 @@ object Retrieval {
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val totals = dl.agg(sum(col("dl")).as("l"), count(lit(1)).as("n"))
       .head()
+    // empty corpus (or all-empty texts): no postings, no scores — the
+    // retrieval contract is an empty result, not an NPE on null sum
+    if (totals.isNullAt(0))
+      return docs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          queries.schema(qidCol),
+          docs.schema(idCol),
+          org.apache.spark.sql.types.StructField("score_q",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType))))
     val l = totals.getLong(0)
     val n = totals.getLong(1)
     val qterms = queries.select(col(qidCol),
@@ -144,6 +156,12 @@ object Retrieval {
       qtextCol: String = "qtext", vecIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && poolK >= k, "need poolK >= k > 0")
+    // ids fuse through a LONG-keyed join: a non-numeric id would cast
+    // to NULL and silently match nothing — refuse instead
+    Seq(docs.schema(idCol), queries.schema(qidCol),
+      corpus.schema(vecIdCol)).foreach(f => require(
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"hybrid fusion needs numeric ids; ${f.name} is ${f.dataType}"))
     val c = 1L << 40
     val bm = bm25TopK(docs, queries, poolK, idCol, textCol,
         qidCol, qtextCol)
