@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.lake.{AnnIndex, ArrowIpc, CommitLog, Compact, DynamicPruning, Expectations, FileStats, HiddenPartitions, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TimeFly, WriteMode}
+import graft.lake.{AnnIndex, ArrowIpc, CommitLog, Compact, DynamicPruning, Expectations, FileStats, HiddenPartitions, LakeManager, LakeReader, LakeWriter, Pipeline, Repartition, RowOps, SchemaTools, SortSpec, TextIndex, TimeFly, WriteMode}
 import graft.operators.{Dedup, Multimodal, Pack, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2464,6 +2464,60 @@ object SparkEntry {
         .orderBy(col("c").desc, col("phrase").asc)
         .limit(1).head().getString(0)
       operators.Retrieval.phraseSearch(all, phrase.split(' ').toSeq)
+        .withColumn("phrase", lit(phrase))
+        .select("doc_id", "phrase", "n_matches")
+        .orderBy("doc_id")
+    }),
+
+    // PERSISTED inverted index, BM25-served: d57 rebuilt its postings
+    // per call — here the positional index is a lake-resident table
+    // (term-hash-bucketed, so a query term reads 1/nBuckets of the
+    // index) bootstrapped from two thirds of the corpus and
+    // delta-folded for the rest via the idempotent appendOnce (the
+    // lengths table's doc-id set IS the idempotence mark: the asserted
+    // replay folds zero). Serving probes postings ON (bucket, term),
+    // re-aggregates tf from the probed rows, and scores through the
+    // SAME integer fixed-point path as d57 — the oracle is d57's, so
+    // index-served == direct is hash-gated
+    "d60_bm25_indexed" -> ((s, d) => {
+      val root = scratch(s, "d60", d)
+      val all = docs(s, d)
+      TextIndex.build(s, root, all.filter(col("doc_id") % 3 =!= 2),
+        nBuckets = 16)
+      TextIndex.appendOnce(s, root, all.filter(col("doc_id") % 3 === 2))
+      val replay =
+        TextIndex.appendOnce(s, root, all.filter(col("doc_id") % 3 === 2))
+      require(replay == 0L, s"replayed fold must be a no-op: $replay")
+      val queries = all.filter(col("doc_id") % 250 === 7)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+            .as("qtext"))
+      TextIndex.serveBm25(s, root, queries, k = 5).get
+        .orderBy("qid", "rank")
+    }),
+
+    // PERSISTED inverted index, phrase-served: d59's consecutive-term
+    // fold over the same lake-resident positional postings. Even the
+    // probe phrase (the corpus top bigram) mines FROM THE INDEX — the
+    // self-join on (doc, pos+1) never touches the raw corpus — and
+    // the serve path prunes the partition listing with the phrase
+    // terms' literal buckets. Oracle is d59's: identity is the gate
+    "d61_phrase_indexed" -> ((s, d) => {
+      val root = scratch(s, "d61", d)
+      val all = docs(s, d)
+      TextIndex.build(s, root, all, nBuckets = 16)
+      val post = s.read.parquet(s"$root/index")
+      val a = post.select(col("doc_id"), col("pos"),
+        col("term").as("t0"))
+      val b = post.select(col("doc_id").as("__did"),
+        (col("pos") - 1).as("pos"), col("term").as("t1"))
+      val phrase = a.join(b,
+          a("doc_id") === b("__did") && a("pos") === b("pos"))
+        .select(concat_ws(" ", col("t0"), col("t1")).as("phrase"))
+        .groupBy("phrase").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("phrase").asc)
+        .limit(1).head().getString(0)
+      TextIndex.servePhrase(s, root, phrase.split(' ').toSeq).get
         .withColumn("phrase", lit(phrase))
         .select("doc_id", "phrase", "n_matches")
         .orderBy("doc_id")
@@ -8846,6 +8900,72 @@ object SparkEntry {
 
   // ---- oracles -------------------------------------------------------------
 
+  private def d59Oracle: String =
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos,
+        |    unnest(tk) AS term
+        |  FROM toks),
+        |bg AS (
+        |  SELECT a.term || ' ' || b.term AS phrase, count(*) AS c
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1 ORDER BY c DESC, phrase ASC LIMIT 1),
+        |pt AS (SELECT phrase, string_split(phrase, ' ') AS ts FROM bg)
+        |SELECT a.doc_id, pt.phrase AS phrase,
+        |  CAST(count(*) AS BIGINT) AS n_matches
+        |FROM pt CROSS JOIN pos a JOIN pos b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = pt.ts[1] AND b.term = pt.ts[2]
+        |GROUP BY 1, 2 ORDER BY a.doc_id""".stripMargin
+
+  private def d57Oracle: String = {
+    def fine(e: String): String =
+      s"(256 * (length(bin($e)) - 1) + " +
+        s"CAST(floor(CAST(($e) * 256 AS DOUBLE) / " +
+        s"power(2, length(bin($e)) - 1)) AS BIGINT) - 256)"
+    s"""WITH t AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         | FROM documents),
+         |tf AS (
+         | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         | FROM t GROUP BY 1, 2),
+         |dl AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         | FROM t GROUP BY 1),
+         |dfq AS (
+         | SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         | GROUP BY 1),
+         |tot AS (
+         | SELECT CAST(sum(dl) AS BIGINT) AS l,
+         |   CAST(count(*) AS BIGINT) AS n FROM dl),
+         |qt AS (
+         | SELECT DISTINCT doc_id AS qid, u AS term FROM (
+         |  SELECT doc_id,
+         |    unnest(array_slice(string_split(text, ' '), 1, 5)) AS u
+         |  FROM documents WHERE doc_id % 250 = 7)),
+         |sc AS (
+         | SELECT qt.qid, tf.doc_id,
+         |  (${fine("tot.n")} - ${fine("dfq.df")}) *
+         |   ((tf.tf * 22 * 1048576 * tot.l) //
+         |    (tf.tf * 10 * tot.l + 3 * tot.l + 9 * dl.dl * tot.n)) AS c
+         | FROM qt
+         | JOIN tf USING (term)
+         | JOIN dl ON tf.doc_id = dl.doc_id
+         | JOIN dfq ON tf.term = dfq.term, tot),
+         |s AS (
+         | SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+         | FROM sc GROUP BY 1, 2)
+         |SELECT qid, doc_id, score_q,
+         | CAST(row_number() OVER (PARTITION BY qid
+         |   ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rank
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |   ORDER BY score_q DESC, doc_id ASC) <= 5
+         |ORDER BY qid, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -10183,25 +10303,10 @@ object SparkEntry {
         |   CAST(max(n_tokens) AS DOUBLE) AS dup_ratio
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "d59_phrase_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |pos AS (
-        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos,
-        |    unnest(tk) AS term
-        |  FROM toks),
-        |bg AS (
-        |  SELECT a.term || ' ' || b.term AS phrase, count(*) AS c
-        |  FROM pos a JOIN pos b
-        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  GROUP BY 1 ORDER BY c DESC, phrase ASC LIMIT 1),
-        |pt AS (SELECT phrase, string_split(phrase, ' ') AS ts FROM bg)
-        |SELECT a.doc_id, pt.phrase AS phrase,
-        |  CAST(count(*) AS BIGINT) AS n_matches
-        |FROM pt CROSS JOIN pos a JOIN pos b
-        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |WHERE a.term = pt.ts[1] AND b.term = pt.ts[2]
-        |GROUP BY 1, 2 ORDER BY a.doc_id""".stripMargin,
+    "d59_phrase_search" -> d59Oracle,
+    // index-served phrase search (d61) = d59 served from the persisted
+    // positional index; same oracle, so identity is the gate
+    "d61_phrase_indexed" -> d59Oracle,
 
     "d22_rarity_score" ->
       """WITH toks AS (
@@ -10416,51 +10521,11 @@ object SparkEntry {
         |FROM s JOIN documents d ON s.doc_id = d.doc_id
         |ORDER BY s.doc_id""".stripMargin,
 
-    "d57_bm25_retrieval" -> {
-      def fine(e: String): String =
-        s"(256 * (length(bin($e)) - 1) + " +
-          s"CAST(floor(CAST(($e) * 256 AS DOUBLE) / " +
-          s"power(2, length(bin($e)) - 1)) AS BIGINT) - 256)"
-      s"""WITH t AS (
-         | SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         | FROM documents),
-         |tf AS (
-         | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         | FROM t GROUP BY 1, 2),
-         |dl AS (
-         | SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-         | FROM t GROUP BY 1),
-         |dfq AS (
-         | SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
-         | GROUP BY 1),
-         |tot AS (
-         | SELECT CAST(sum(dl) AS BIGINT) AS l,
-         |   CAST(count(*) AS BIGINT) AS n FROM dl),
-         |qt AS (
-         | SELECT DISTINCT doc_id AS qid, u AS term FROM (
-         |  SELECT doc_id,
-         |    unnest(array_slice(string_split(text, ' '), 1, 5)) AS u
-         |  FROM documents WHERE doc_id % 250 = 7)),
-         |sc AS (
-         | SELECT qt.qid, tf.doc_id,
-         |  (${fine("tot.n")} - ${fine("dfq.df")}) *
-         |   ((tf.tf * 22 * 1048576 * tot.l) //
-         |    (tf.tf * 10 * tot.l + 3 * tot.l + 9 * dl.dl * tot.n)) AS c
-         | FROM qt
-         | JOIN tf USING (term)
-         | JOIN dl ON tf.doc_id = dl.doc_id
-         | JOIN dfq ON tf.term = dfq.term, tot),
-         |s AS (
-         | SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_q
-         | FROM sc GROUP BY 1, 2)
-         |SELECT qid, doc_id, score_q,
-         | CAST(row_number() OVER (PARTITION BY qid
-         |   ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rank
-         |FROM s
-         |QUALIFY row_number() OVER (PARTITION BY qid
-         |   ORDER BY score_q DESC, doc_id ASC) <= 5
-         |ORDER BY qid, rank""".stripMargin
-    },
+    "d57_bm25_retrieval" -> d57Oracle,
+    // index-served BM25 (d60) answers the SAME question as the direct
+    // operator — the oracle is d57's, so "hash-identical to d57" is
+    // literally the gate
+    "d60_bm25_indexed" -> d57Oracle,
 
     // d57's BM25 at poolK=20 + e01's double-cast cosine arm, fused
     // with the same integer RRF arithmetic (2^40 div (60 + rank))

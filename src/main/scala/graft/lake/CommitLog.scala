@@ -239,7 +239,50 @@ final class CommitLog(spark: SparkSession, root: String) {
       .getOrElse(abs)
   }
 
-  def commit(v: Long): Commit = {
+  // ------------------------------------------------------------------
+  // Per-version memoization. A committed version is IMMUTABLE: commit
+  // files land atomically (temp-then-link CAS), versions are dense
+  // (every claim is latestVersion()+1, so a version below an existing
+  // one can never appear later), and retention only deletes a prefix
+  // whose state the covering checkpoint preserves. So everything keyed
+  // by a concrete version — the parsed manifest, the resolved live
+  // set, the meta payloads — caches safely for the instance's life.
+  // Without this, every SQL verb's metadata checks (CDF property,
+  // cluster keys, constraints, identity bases) re-replayed the log
+  // from the newest checkpoint PER CHECK — pure repeated I/O that
+  // compounded with each added feature. Caches are size-bounded
+  // (coarse clear-on-full; a miss only costs one replay tail, which
+  // the auto-checkpoint cadence keeps short).
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Commit]()
+  private val resolveCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Resolved]()
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      Map[String, String]]()
+  private def bounded[K, V](m: java.util.concurrent.ConcurrentHashMap[
+      K, V], cap: Int, k: K, compute: => V): V = {
+    val hit = m.get(k)
+    if (hit != null) hit
+    else {
+      val v = compute
+      if (m.size >= cap) m.clear()
+      m.put(k, v)
+      v
+    }
+  }
+
+  /** Drop every memoized parse/resolution. Only needed when a test
+    * shim rewrites a committed manifest IN PLACE — something the
+    * commit protocol itself never does. */
+  private[lake] def invalidateCaches(): Unit = {
+    commitCache.clear(); resolveCache.clear(); metaCache.clear()
+  }
+
+  def commit(v: Long): Commit =
+    bounded(commitCache, 8192, v, loadCommit(v))
+
+  private def loadCommit(v: Long): Commit = {
     val txt = TimeFly.readText(fs, versionFile(v))
     if (txt.trim.isEmpty)
       // cannot happen under the atomic temp-then-link protocol (a
@@ -441,6 +484,10 @@ final class CommitLog(spark: SparkSession, root: String) {
     * way. */
   def resolve(asOf: Option[Long] = None): Resolved = {
     val hi = asOf.getOrElse(latestVersion())
+    bounded(resolveCache, 64, hi, resolveAt(hi))
+  }
+
+  private def resolveAt(hi: Long): Resolved = {
     val (baseData, baseTs, baseSch, baseSp, from) =
       newestCheckpoint(hi) match {
         case Some(cv) =>
@@ -1464,7 +1511,26 @@ final class CommitLog(spark: SparkSession, root: String) {
     // link leaves the temp in place; a failed rename does too — either
     // way the slot's visibility is already decided, so sweep quietly
     if (fs.exists(tmp)) fs.delete(tmp, false)
+    if (claimed) maybeAutoCheckpoint(v)
     claimed
+  }
+
+  /** Automatic checkpoint cadence (the Delta `checkpointInterval`
+    * rule): after this handle wins version `v`, fold the log when `v`
+    * crosses a multiple of `graft.checkpoint.interval` (default 10;
+    * `0` disables). Keeps every reader's replay tail bounded without
+    * anyone calling [[checkpoint]] by hand. Failures are swallowed —
+    * a checkpoint is a performance fact, never a correctness one, and
+    * it must never fail the commit that triggered it. Racing writers
+    * may both checkpoint the same region; last rename wins and both
+    * payloads are identical (resolution at an immutable version). */
+  private def maybeAutoCheckpoint(v: Long): Unit = {
+    val interval = scala.util.Try(properties(Some(v))
+      .getOrElse("graft.checkpoint.interval", "10").trim.toInt)
+      .getOrElse(10)
+    if (interval > 0 && v % interval == 0)
+      try checkpoint(v)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Align a LOGICAL-named frame to the files' frozen PHYSICAL schema
@@ -3697,6 +3763,12 @@ final class CommitLog(spark: SparkSession, root: String) {
     if (!fs.exists(metaHint)) return Map.empty
     val hi = asOf.getOrElse(latestVersion())
     if (hi < 1) return Map.empty
+    bounded(metaCache, 1024, (field, hi), metaSetAt(field, of, hi))
+  }
+
+  private def metaSetAt(field: String,
+      of: Commit => Option[Map[String, String]],
+      hi: Long): Map[String, String] = {
     val (base, from) = newestCheckpoint(hi) match {
       case Some(cv) =>
         val node = mapper

@@ -47,11 +47,26 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text",
       qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
-    require(k > 0, "k must be positive")
     val tok = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    bm25FromPostings(tf, dl, queries, k, idCol, qidCol, qtextCol)
+  }
+
+  /** BM25 from PRE-MATERIALIZED postings — the serve path of the
+    * persisted inverted index ([[graft.lake.TextIndex]]): `tf` rows
+    * are (idCol, term, tf), `dl` rows (idCol, dl), exactly what one
+    * tokenize pass produces (and what the index stores), so direct
+    * and index-served scoring share every instruction after the scan.
+    * `tf` may arrive already RESTRICTED to the query terms (the index
+    * probe) — document frequency is counted per term AFTER the
+    * query-term join either way, and a term's postings list is always
+    * complete, so the df a restricted tf yields is the global df. */
+  def bm25FromPostings(tf: DataFrame, dl: DataFrame,
+      queries: DataFrame, k: Int, idCol: String = "doc_id",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    require(k > 0, "k must be positive")
     // tf rows are unique per (doc, term): df is a count, not a distinct
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val totals = dl.agg(sum(col("dl")).as("l"), count(lit(1)).as("n"))
@@ -59,11 +74,11 @@ object Retrieval {
     // empty corpus (or all-empty texts): no postings, no scores — the
     // retrieval contract is an empty result, not an NPE on null sum
     if (totals.isNullAt(0))
-      return docs.sparkSession.createDataFrame(
+      return tf.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           queries.schema(qidCol),
-          docs.schema(idCol),
+          tf.schema(idCol),
           org.apache.spark.sql.types.StructField("score_q",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("rank",
@@ -116,9 +131,19 @@ object Retrieval {
     * no cross product at any phrase length. Returns one row per
     * matching doc: (idCol, n_matches = distinct start positions). */
   def phraseSearch(docs: DataFrame, phrase: Seq[String],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    phraseSearchFromPostings(
+      positionalPostings(docs, idCol, textCol), phrase, idCol)
+
+  /** [[phraseSearch]] over PRE-MATERIALIZED positional postings
+    * (idCol, pos, term) — the serve path of the persisted inverted
+    * index. The caller may pass postings already pruned to the
+    * phrase's terms (the index probe); each per-term filter below
+    * selects its own list either way, so pruned and full inputs fold
+    * identically. */
+  def phraseSearchFromPostings(post: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
     require(phrase.nonEmpty, "phrase needs at least one term")
-    val post = positionalPostings(docs, idCol, textCol)
     val p0 = post.filter(col("term") === phrase.head)
       .select(col(idCol), col("pos").as("__p0"))
     val matched = phrase.zipWithIndex.drop(1)

@@ -105,6 +105,42 @@ class CommitLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { log.checkpoint(99L) }
   }
 
+  test("auto-checkpoint cadence: checkpoints land every 10th commit " +
+      "by default, a fresh handle replays only the tail, the interval " +
+      "property retunes/disables it, and restore/vacuum behave") {
+    val dir = TestSpark.tempDir("clogac")
+    val log = CommitLog(spark, dir).init()
+    (1 to 23).foreach(i => log.append(Seq((i, s"r$i")).toDF("id", "v")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ckpts(): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_commits"))
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".checkpoint.json"))
+        .map(n => n.substring(1, n.length - 16).toLong).toSeq.sorted
+    assert(ckpts() == Seq(10L, 20L),
+      s"default cadence folds every 10th commit: ${ckpts()}")
+    // resolution through auto-checkpoints == full replay, cold handle
+    val cold = CommitLog(spark, dir)
+    assert(cold.read().count() == 23L)
+    assert(cold.read(Some(15L)).count() == 15L)
+    // retuning: interval=5 folds the next multiple of 5
+    log.setProperties(Map("graft.checkpoint.interval" -> "5")) // v24
+    log.append(Seq((24, "x")).toDF("id", "v")) // v25 -> fold
+    assert(ckpts().contains(25L), s"retuned cadence: ${ckpts()}")
+    // 0 disables: versions 26..30 fold nothing new
+    log.setProperties(Map("graft.checkpoint.interval" -> "0")) // v26
+    (1 to 4).foreach(i => log.append(Seq((30 + i, "y")).toDF("id", "v")))
+    assert(ckpts().filter(_ > 25L).isEmpty,
+      s"interval=0 must disable the cadence: ${ckpts()}")
+    // lifecycle on a cadence-folded log: restore + vacuum still behave
+    log.restore(23L) // v31
+    assert(log.read().count() == 23L)
+    assert(log.vacuum(retentionMs = 0L) >= 0L)
+    assert(log.read().count() == 23L,
+      "vacuum after restore on an auto-checkpointed log keeps rows")
+  }
+
   test("retention on an append-only prefix reclaims nothing, keeps " +
       "every row reachable through the checkpoint, and survives vacuum") {
     val log = CommitLog(spark, TestSpark.tempDir("clog5")).init()
@@ -361,6 +397,7 @@ class CommitLogSpec extends AnyFunSuite {
     fs.delete(vf, false)
     val out = fs.create(vf, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    log.invalidateCaches() // the shim broke manifest immutability
     val cand2 = log.candidateDataFiles("id >= 21 and id <= 22")
     assert(cand2.exists(_.size == 2),
       "the legacy file must be kept alongside the span-matched one: " +
