@@ -42,6 +42,64 @@ object Probe {
       return
     }
 
+    if (args.headOption.contains("gateprof")) {
+      import org.apache.spark.sql.functions._
+      import graft.lake.{LakeWriter, SchemaTools, WriteMode}
+      val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      val root = "/tmp/graft_probe_gate"
+      val pp = new org.apache.hadoop.fs.Path(root)
+      val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (pfs.exists(pp)) pfs.delete(pp, true)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val starts = new java.util.concurrent.ConcurrentHashMap[
+        Int, (Long, String)]()
+      val lines = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit = {
+            jobs.incrementAndGet()
+            val cs = Option(j.properties)
+              .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+            starts.put(j.jobId, (j.time, cs)); ()
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd)
+              : Unit = {
+            Option(starts.remove(j.jobId)).foreach { case (t0, cs) =>
+              lines.add(f"job ${j.jobId}%3d ${(j.time - t0) / 1e3}%6.2f s  $cs")
+            }; ()
+          }
+        })
+      val all = Tables.documents(spark, d)
+        .filter(pmod(col("doc_id"), lit(4L)) === 0L)
+      def m20(r: Long*) = pmod(col("doc_id"), lit(20L)).isin(r: _*)
+      def t(tag: String)(body: => Unit): Unit = {
+        lines.clear()
+        val j0 = jobs.get(); val t0 = System.nanoTime(); body
+        println(f"[prof] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"jobs=${jobs.get() - j0}")
+        Thread.sleep(200)
+        lines.forEach(l => println(s"[prof]   $l"))
+      }
+      val gate = WriteMode.DeltaNearDup(Seq("doc_id"), "text",
+        threshold = 0.2)
+      t("seed")(LakeWriter(spark, root, WriteMode.Overwrite)
+        .write(all.filter(m20(4, 8))))
+      t("gate_b0")(LakeWriter(spark, root, gate)
+        .write(all.filter(m20(0))))
+      t("gate_b1")(LakeWriter(spark, root, gate)
+        .write(all.filter(m20(12))))
+      t("gate_b2")(LakeWriter(spark, root, gate)
+        .write(all.filter(m20(16))))
+      t("gate_replay")(LakeWriter(spark, root, gate)
+        .write(all.filter(m20(12))))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("plan")) {
       val sf = "/root/testdata/sf0.01"
       args.drop(1).foreach { name =>

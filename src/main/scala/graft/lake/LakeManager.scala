@@ -1881,14 +1881,24 @@ final class LakeManager(spark: SparkSession, root: String) {
       UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction,
       UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.{
-      Alias, Expression, NamedExpression}
+      Alias, Expression, NamedExpression, SubqueryExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{
-      LogicalPlan, Project, SubqueryAlias}
+      Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col => fcol}
     if (!spark.conf.get("spark.graft.mv.rewrite", "true").toBoolean)
       return None
     def lc(s: String) = s.toLowerCase(Locale.ROOT)
     def relName(p: LogicalPlan): Option[String] = managedRelName(p)
-    val source = relName(agg.child).getOrElse(return None)
+    // a WHERE between the aggregate and the relation is rewritable
+    // when it touches only GROUP-LEVEL columns (view keys): a
+    // row-level filter on key columns selects whole groups, so it
+    // commutes with the view's pre-aggregation
+    val (cond, relPlan) = agg.child match {
+      case f: Filter => (Some(f.condition), f.child)
+      case c => (None, c)
+    }
+    val source = relName(relPlan).getOrElse(return None)
     val keyNames = agg.groupingExpressions.map {
       case a: UnresolvedAttribute => lc(a.nameParts.last)
       case _ => return None
@@ -1902,6 +1912,19 @@ final class LakeManager(spark: SparkSession, root: String) {
       case f: UnresolvedFunction =>
         f.copy(nameParts = f.nameParts.map(lc))
     }
+    // predicate eligibility: named function calls (could be
+    // nondeterministic — rand()) and subqueries fall through;
+    // comparisons/boolean/arithmetic parse to concrete expression
+    // classes and pass
+    val condNorm = cond.map(norm)
+    if (condNorm.exists(_.exists {
+        case _: UnresolvedFunction => true
+        case _: SubqueryExpression => true
+        case _ => false
+      })) return None
+    val condAttrs = condNorm.map(_.collect {
+      case a: UnresolvedAttribute => a.nameParts.last
+    }.toSet).getOrElse(Set.empty)
     val srcTip = commitLog(source).latestVersion()
     tables.iterator
       .filter(v => v != source && datasetKind(v) == "commitlog")
@@ -1911,44 +1934,96 @@ final class LakeManager(spark: SparkSession, root: String) {
           s <- props.get(LakeManager.MvSourceProp) if s == source
           k <- props.get(LakeManager.MvKeysProp)
           viewKeys = k.split(',').toSeq
-          if viewKeys.size == keyNames.size &&
-            viewKeys.map(lc).toSet == keySet
+          // ROLLUP rewrite: query keys may be a (non-strict) SUBSET
+          // of the view's — missing keys re-aggregate the view's
+          // groups, sound for the decomposable folds mapped below
+          if keySet.subsetOf(viewKeys.map(lc).toSet)
+          if condAttrs.subsetOf(viewKeys.map(lc).toSet)
           aggsJson <- props.get(LakeManager.MvAggsProp)
           synced <- props.get(LakeManager.MvSyncedProp)
           if synced.toLong == srcTip
-        } yield mvAggsParse(aggsJson)
-        fresh.flatMap { stored =>
+        } yield (viewKeys.map(lc), mvAggsParse(aggsJson))
+        fresh.flatMap { case (viewKeysLc, stored) =>
+          val exact = viewKeysLc.toSet == keySet
           val storedNorm = stored.map { case (e, a) =>
             norm(spark.sessionState.sqlParser.parseExpression(e)) ->
               lc(a)
           }
-          // every select item maps to a view column, or no rewrite
-          val mapped: Option[Seq[(String, Option[String])]] =
+          // every select item maps to a view column (exact-key match:
+          // group rows ARE view rows, direct projection) or — on a
+          // key subset — to a RE-AGGREGATION of one: sum-of-sums,
+          // sum-of-counts, min-of-mins, max-of-maxes (the classic
+          // rollup algebra; avg and count-distinct are not
+          // decomposable from the stored value alone and fall
+          // through). (mvCol, out alias, re-agg fn or None for keys)
+          val mapped: Option[Seq[(String, String, Option[String])]] =
             scala.util.Try(agg.aggregateExpressions.map {
               case UnresolvedAlias(a: UnresolvedAttribute, _)
                   if keySet(lc(a.nameParts.last)) =>
-                (lc(a.nameParts.last), None)
+                (lc(a.nameParts.last), a.nameParts.last, None)
               case a: UnresolvedAttribute
                   if keySet(lc(a.nameParts.last)) =>
-                (lc(a.nameParts.last), None)
+                (lc(a.nameParts.last), a.nameParts.last, None)
               case al: Alias =>
                 val n = norm(al.child)
                 storedNorm.find(_._1 == n) match {
-                  case Some((_, mvCol)) => (mvCol, Some(al.name))
+                  case Some((_, mvCol)) if exact =>
+                    (mvCol, al.name, None)
+                  case Some((_, mvCol)) =>
+                    val fn = n match {
+                      case f: UnresolvedFunction => lc(f.nameParts.last)
+                      case _ => throw new NoSuchElementException
+                    }
+                    val reAgg = fn match {
+                      case "count" | "sum" => "sum"
+                      case "min" => "min"
+                      case "max" => "max"
+                      case _ => throw new NoSuchElementException
+                    }
+                    (mvCol, al.name, Some(reAgg))
                   case None => throw new NoSuchElementException
                 }
               case _ => throw new NoSuchElementException
             }).toOption
           mapped.map { outs =>
-            val analyzed = org.apache.spark.sql.GraftSqlBridge
-              .analyzedPlan(commitLog(v).read(None))
-            val byName =
-              analyzed.output.map(a => lc(a.name) -> a).toMap
-            Project(outs.map {
-              case (mvCol, None) => byName(mvCol): NamedExpression
-              case (mvCol, Some(outName)) =>
-                Alias(byName(mvCol), outName)()
-            }, analyzed): LogicalPlan
+            val viewDf0 = commitLog(v).read(None)
+            val viewDf = condNorm match {
+              case Some(c) => viewDf0.filter(
+                org.apache.spark.sql.GraftSqlBridge.column(c))
+              case None => viewDf0
+            }
+            val out =
+              if (exact)
+                viewDf.select(outs.map { case (mvCol, outName, _) =>
+                  fcol(mvCol).as(outName)
+                }: _*)
+              else {
+                val aggCols = outs.collect {
+                  case (mvCol, outName, Some("sum")) =>
+                    org.apache.spark.sql.functions.sum(fcol(mvCol))
+                      .as(outName)
+                  case (mvCol, outName, Some("min")) =>
+                    org.apache.spark.sql.functions.min(fcol(mvCol))
+                      .as(outName)
+                  case (mvCol, outName, Some("max")) =>
+                    org.apache.spark.sql.functions.max(fcol(mvCol))
+                      .as(outName)
+                }
+                if (aggCols.isEmpty)
+                  // keys-only rollup (SELECT k FROM t GROUP BY k):
+                  // the view's distinct key projection
+                  viewDf.select(outs.map { case (c, outName, _) =>
+                    fcol(c).as(outName)
+                  }: _*).distinct()
+                else viewDf.groupBy(keyNames.map(fcol): _*)
+                  .agg(aggCols.head, aggCols.tail: _*)
+                  // restore the query's select order and key aliases
+                  .select(outs.map { case (c, outName, reAgg) =>
+                    fcol(if (reAgg.isEmpty) c else outName).as(outName)
+                  }: _*)
+              }
+            org.apache.spark.sql.GraftSqlBridge.analyzedPlan(out)
+              : LogicalPlan
           }
         }
       }.nextOption()

@@ -175,4 +175,64 @@ class MaterializedViewSpec extends AnyFunSuite {
     try assert(scanned(lm.sql(rwQuery)).forall(_.contains("/base/")))
     finally spark.conf.set("spark.graft.mv.rewrite", "true")
   }
+
+  test("rollup rewrite: a key-subset aggregate re-aggregates the " +
+      "view (sum/count/min/max), keys-only goes distinct, avg falls " +
+      "through, and a GROUP-KEY WHERE pushes onto the view") {
+    val lm = lake("mv_rollup")
+    lm.sql("CREATE TABLE base2 (k1 BIGINT, k2 BIGINT, v BIGINT, " +
+      "w DOUBLE) USING commitlog " +
+      s"TBLPROPERTIES ('${CommitLog.CdfEnabledKey}'='true')")
+    spark.range(200)
+      .select((col("id") % 8).as("k1"), (col("id") % 5).as("k2"),
+        col("id").as("v"), (col("id") * 0.5).as("w"))
+      .createOrReplaceTempView("mv_src2")
+    lm.sql("INSERT INTO base2 SELECT * FROM mv_src2")
+    lm.sql("CREATE MATERIALIZED VIEW agg2 AS " +
+      "SELECT k1, k2, count(*) AS n, sum(v) AS sv, " +
+      "min(w) AS mnw, max(w) AS mxw FROM base2 GROUP BY k1, k2")
+    def direct(q: String): Seq[Seq[Any]] =
+      sorted(spark.sql(q.replace("base2", "mv_src2")))
+    // subset keys: every stored fold re-aggregates
+    val q1 = "SELECT k1, count(*) AS n2, sum(v) AS sv2, " +
+      "min(w) AS mn2, max(w) AS mx2 FROM base2 GROUP BY k1"
+    val r1 = lm.sql(q1)
+    assert(scanned(r1).nonEmpty &&
+      scanned(r1).forall(_.contains("/agg2/")),
+      s"rollup must serve from the view: ${scanned(r1)}")
+    assert(sorted(r1) == direct(q1),
+      "sum-of-sums/min-of-mins must equal the direct rollup")
+    // keys-only rollup = the view's distinct key projection
+    val q2 = "SELECT k1 FROM base2 GROUP BY k1"
+    val r2 = lm.sql(q2)
+    assert(scanned(r2).forall(_.contains("/agg2/")) &&
+      sorted(r2) == direct(q2))
+    // avg is not decomposable from the stored value: source plan
+    assert(scanned(lm.sql("SELECT k1, CAST(avg(w) AS DOUBLE) AS a " +
+      "FROM base2 GROUP BY k1")).forall(_.contains("/base2/")))
+    // exact keys + key WHERE: filter the view, project
+    val q3 = "SELECT k1, k2, sum(v) AS sv2 FROM base2 " +
+      "WHERE k1 < 4 GROUP BY k1, k2"
+    val r3 = lm.sql(q3)
+    assert(scanned(r3).forall(_.contains("/agg2/")) &&
+      sorted(r3) == direct(q3))
+    // subset keys + arithmetic key WHERE: filter, re-aggregate
+    val q4 = "SELECT k2, count(*) AS n2, sum(v) AS sv2 FROM base2 " +
+      "WHERE k1 % 2 = 1 GROUP BY k2"
+    val r4 = lm.sql(q4)
+    assert(scanned(r4).forall(_.contains("/agg2/")) &&
+      sorted(r4) == direct(q4))
+    // a non-key WHERE filters rows INSIDE groups: source plan
+    assert(scanned(lm.sql("SELECT k2, count(*) AS n2 FROM base2 " +
+      "WHERE v % 3 = 0 GROUP BY k2")).forall(_.contains("/base2/")))
+    // a function call in the WHERE (could be nondeterministic): source
+    assert(scanned(lm.sql("SELECT k2, count(*) AS n2 FROM base2 " +
+      "WHERE abs(k1) < 4 GROUP BY k2")).forall(_.contains("/base2/")))
+    // freshness still gates the rollup path
+    lm.sql("DELETE FROM base2 WHERE k1 = 0 AND k2 = 0 AND v = 40")
+    assert(scanned(lm.sql(q1)).forall(_.contains("/base2/")),
+      "a stale view must not serve the rollup either")
+    lm.sql("REFRESH MATERIALIZED VIEW agg2")
+    assert(scanned(lm.sql(q1)).forall(_.contains("/agg2/")))
+  }
 }
