@@ -253,7 +253,79 @@ object Plans {
       "d57_bm25_retrieval" -> ("BM25: postings/lengths/df are " +
         "combined groupBys; the query side joins postings ON TERM " +
         "(index access), scoring is integer fixed-point projections, " +
-        "top-k a WindowGroupLimit-limited rank")
+        "top-k a WindowGroupLimit-limited rank"),
+      "d58_hybrid_rrf" -> ("hybrid retrieval: BM25 and dense-cosine " +
+        "arms are independent top-k pipelines over disjoint data; " +
+        "the RRF fusion is ONE (query, doc)-keyed full-outer join " +
+        "over <= 2*poolK rows per query — fusion cost scales with " +
+        "the query batch, never the corpus"),
+      "q166_sql_merge_identity" -> ("identity-column MERGE: inserted " +
+        "rows mint ids from a per-commit reserved range (one " +
+        "metadata CAS, no global sequence shuffle); the merge itself " +
+        "keeps the sized-source broadcast/staged discipline"),
+      "q167_sql_cdf_merge" -> ("CDF-enabled merge lifecycle: the " +
+        "final read is the merged table; change rows persisted AT " +
+        "COMMIT from the merge's own localCheckpoint-pinned frames — " +
+        "the feed adds one write to the commit, zero re-derivation " +
+        "scans"),
+      "q168_sql_copy_csv" -> ("COPY INTO (CSV): load history is a " +
+        "keyed left_anti against the prior runs' (path, size, mtime) " +
+        "table — idempotence costs one metadata join, never a " +
+        "re-read of loaded data"),
+      "q169_sql_cluster_by" -> ("liquid clustering: incremental " +
+        "OPTIMIZE rewrites only files added since the last run " +
+        "(commit-log diff); the clustered layout serves multi-axis " +
+        "span pruning on the clustering keys"),
+      "q170_dynamic_file_pruning" -> ("dim-driven dynamic file " +
+        "pruning: the dim's join-key domain realizes as one map-side " +
+        "agg + capped collect_set, prunes the fact's file listing " +
+        "through spans/blooms BEFORE the scan — the join then reads " +
+        "a strict minority of fact files (asserted in-query)"),
+      "q171_sql_materialized_view" -> ("incremental MV refresh: " +
+        "change feed names the moved keys, a semi-join prunes the " +
+        "source recompute to those groups, one generalized merge " +
+        "lands them — refresh cost tracks changed keys"),
+      "q172_mv_query_rewrite" -> ("transparent MV rewrite: the " +
+        "matching aggregate's plan is a PROJECTION over the view's " +
+        "files — ZERO source files in the scan (asserted in-query " +
+        "and by PlanSpec)"),
+      "q173_metadata_only_agg" -> ("metadata-only aggregates: " +
+        "count/min/max answer from the manifest fold — a one-row " +
+        "plan with no scan relation at all while exactness is " +
+        "provable"),
+      "q174_sql_reorg_purge" -> ("REORG PURGE: the rewrite set is " +
+        "exactly the dv-marked files; unmarked files never open — " +
+        "purge cost is the marked fraction, never the lake"),
+      "q175_sql_merge_generated" -> ("generated-column MERGE: " +
+        "recomputes ride the merge projection (no second pass); " +
+        "constraint checks evaluate on the merged frame only"),
+      "q176_sql_replace_where" -> ("REPLACE WHERE: the replaced band " +
+        "resolves via span pruning to the band-holding files; the " +
+        "swap is one commit with a ConcurrentAppend window check"),
+      "e35_stream_mv_maintenance" -> ("streamed MV maintenance: the " +
+        "commit-log stream delivers whole commits; each micro-batch " +
+        "drives the SAME incremental refresh (changed-key semi-join " +
+        "+ merge), exactly-once by idempotence"),
+      "d60_bm25_indexed" -> ("index-served BM25: the probe joins the " +
+        "PERSISTED term-hash-bucketed postings ON (bucket, term) — " +
+        "only the query terms' buckets read; tf re-aggregates from " +
+        "probed rows; scoring shares d57's integer fixed-point path"),
+      "d61_phrase_indexed" -> ("index-served phrase search: literal " +
+        "bucket filters prune the postings partition listing at " +
+        "PLANNING time; the consecutive-position fold is d59's, " +
+        "sized by the rarest term's postings"),
+      "q177_mv_refresh_through_merge" -> ("MV refresh THROUGH a " +
+        "merge: the CDF change files decompose the upsert, the " +
+        "refresh merge rewrites only the view files holding moved " +
+        "groups (strict-subset asserted in-query)"),
+      "q179_mv_rollup_rewrite" -> ("MV rollup rewrite: a key-subset " +
+        "aggregate re-aggregates the view's groups (sum-of-sums " +
+        "algebra) — O(view groups) scanned instead of O(source " +
+        "rows); avg falls through"),
+      "q180_mv_predicate_rewrite" -> ("MV predicate pushdown: a " +
+        "group-key WHERE filters the VIEW's rows (group-level " +
+        "selection commutes with pre-aggregation), composed with the " +
+        "rollup re-aggregation")
     )
 
     val sb = new StringBuilder

@@ -122,6 +122,114 @@ object ScalingBench {
     //     set constant: table_files rides the checkpoint fold (flat);
     //     DESCRIBE HISTORY is O(commits) BY CONTRACT (it lists them),
     //     measured to bound the constant.
+    // r12 evidence sections (arg "r12"):
+    //  F. metadata verbs under the AUTO-CHECKPOINT cadence + memoized
+    //     resolution — commit cost flat as the log deepens (no manual
+    //     checkpoint call anywhere); a COLD handle's first verb bundle
+    //     flat in total commits (replay bounded by the cadence); a WARM
+    //     handle's repeated per-verb metadata checks ~free (the r11
+    //     `weak`: each check re-replayed the log).
+    //  G. persisted inverted index — build linear in the corpus;
+    //     serving from the index vs re-tokenizing the corpus per call
+    //     (the d57/d59 rebuild cost the index retires).
+    if (args.headOption.contains("r12")) {
+      // ---- F: deep log, cadence on, memoized verb path ------------
+      println("| commits | first-50 commit mean (ms) | " +
+        "last-50 commit mean (ms) | cold verb bundle (s) | " +
+        "200 warm checks (s) | auto ckpts |")
+      println("|---|---|---|---|---|---|")
+      for (n <- Seq(100, 400, 1600)) {
+        val root = s"/tmp/graft_scale_cadence_$n"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        val log = graft.lake.CommitLog(spark, root).init()
+        log.append(spark.range(1000)
+          .select(col("id"), (col("id") % 7).cast("double").as("v"))
+          .coalesce(1))
+        val times = scala.collection.mutable.ArrayBuffer[Double]()
+        (0 until n).foreach { i =>
+          val t0 = System.nanoTime()
+          log.setProperties(Map("graft.bench.toggle" -> (i % 2).toString))
+          times += (System.nanoTime() - t0) / 1e6
+        }
+        val first = times.take(50).sum / 50
+        val last = times.takeRight(50).sum / 50
+        val t1 = System.nanoTime()
+        val cold = graft.lake.CommitLog(spark, root)
+        cold.properties(None)
+        cold.read(None).count()
+        cold.filesDetail(None).collect()
+        val tCold = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        (1 to 200).foreach { _ =>
+          cold.properties(None); cold.resolve(None)
+          cold.constraints(None)
+        }
+        val tWarm = (System.nanoTime() - t2) / 1e9
+        val ckpts = pfs.listStatus(
+            new org.apache.hadoop.fs.Path(root, "_commits"))
+          .count(_.getPath.getName.endsWith(".checkpoint.json"))
+        println(f"| $n | $first%.1f | $last%.1f | $tCold%.2f " +
+          f"| $tWarm%.2f | $ckpts |")
+      }
+      // ---- G: persisted inverted index scaling --------------------
+      println("\n| docs | corpus rows | build (s) | bm25 direct (s) " +
+        "| bm25 indexed (s) | phrase direct (s) | phrase indexed (s) |")
+      println("|---|---|---|---|---|---|---|")
+      def t(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body
+        (System.nanoTime() - t0) / 1e9
+      }
+      // fixed common phrase: the 1x corpus's top bigram — its copy-0
+      // occurrences repeat identically at every factor
+      val phrase = {
+        val post = graft.operators.Retrieval.positionalPostings(
+          spark.read.parquet(s"${dirs.head._2}/documents.parquet"))
+        val a = post.select(col("doc_id"), col("pos"),
+          col("term").as("t0"))
+        val b = post.select(col("doc_id").as("__did"),
+          (col("pos") - 1).as("pos"), col("term").as("t1"))
+        a.join(b, a("doc_id") === b("__did") && a("pos") === b("pos"))
+          .groupBy("t0", "t1").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t0").asc, col("t1").asc)
+          .limit(1).head() match {
+            case r => Seq(r.getString(0), r.getString(1))
+          }
+      }
+      println(s"phrase probe = ${phrase.mkString(" ")}")
+      for ((f, dir) <- dirs :+ (8 -> deepDir)) {
+        val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+        val rows = docsDf.count()
+        val root = s"/tmp/graft_scale_textidx_$f"
+        val pp = new org.apache.hadoop.fs.Path(root)
+        val pfs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (pfs.exists(pp)) pfs.delete(pp, true)
+        val tB = t(graft.lake.TextIndex.build(spark, root, docsDf))
+        // FIXED probe set from the unshifted copy (present at every
+        // factor): serving cost must track the probed postings, not
+        // the corpus
+        val queries = docsDf
+          .filter(col("doc_id") % 250 === 7 && col("doc_id") < Shift)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+              .as("qtext"))
+          .localCheckpoint(true)
+        val tD = t(graft.operators.Retrieval
+          .bm25TopK(docsDf, queries, 5).count())
+        val tI = t(graft.lake.TextIndex
+          .serveBm25(spark, root, queries, 5).get.count())
+        val tPd = t(graft.operators.Retrieval
+          .phraseSearch(docsDf, phrase).count())
+        val tPi = t(graft.lake.TextIndex
+          .servePhrase(spark, root, phrase).get.count())
+        println(f"| ${f}x | $rows | $tB%.2f | $tD%.2f | $tI%.2f " +
+          f"| $tPd%.2f | $tPi%.2f |")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("r11")) {
       val thr = graft.lake.SchemaTools.broadcastThreshold(spark)
       println(s"broadcast threshold = $thr bytes")

@@ -7350,14 +7350,18 @@ object SparkEntry {
       finally s.conf.set(coalesceKey, prevCoalesce)
       val mvLog = lm.commitLog("t177mv")
       val liveBefore = mvLog.liveFiles(None).toSet
-      assert(liveBefore.size > 4,
+      assert(liveBefore.size > 1,
         s"fixture wants a multi-file view: ${liveBefore.size}")
-      // matched UPDATE + novel INSERT in ONE merge — the upsert kind
+      // matched UPDATE + novel INSERT in ONE merge — the upsert kind.
+      // Exactly TWO groups move (the min custkey re-prices, one new
+      // group lands), so the strict-subset file-touch assertion below
+      // holds at any session partitioning
       lm.sql("MERGE INTO t177s USING (SELECT o_orderkey, o_custkey, " +
         "o_totalprice + 5.0 AS o_totalprice FROM q177_src " +
-        "WHERE o_custkey % 97 = 11 " +
-        "UNION ALL SELECT o_orderkey + 9000000, o_custkey + 900000, " +
-        "1.25 FROM q177_src WHERE o_custkey % 97 = 13) s " +
+        "WHERE o_custkey = (SELECT min(o_custkey) FROM q177_src) " +
+        "UNION ALL SELECT o_orderkey + 9000000, CAST(900001 AS " +
+        "BIGINT), 1.25 FROM q177_src " +
+        "WHERE o_custkey = (SELECT max(o_custkey) FROM q177_src)) s " +
         "ON t177s.o_orderkey = s.o_orderkey " +
         "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice " +
         "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, " +
@@ -9452,8 +9456,8 @@ object SparkEntry {
         |  CAST(sum(CAST(p AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM mut GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // the view after the CDF-decomposed merge: matched rows re-price
-    // (+5.0), novel rows land as new groups at 1.25
+    // the view after the CDF-decomposed merge: the min-custkey group
+    // re-prices (+5.0), one novel group (900001) lands at 1.25
     "q177_mv_refresh_through_merge" ->
       """WITH src AS (
         |  SELECT o_orderkey, max(o_custkey) AS o_custkey,
@@ -9461,12 +9465,13 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |mut AS (
         |  SELECT o_custkey,
-        |    CASE WHEN o_custkey % 97 = 11 THEN o_totalprice + 5.0
+        |    CASE WHEN o_custkey = (SELECT min(o_custkey) FROM src)
+        |         THEN o_totalprice + 5.0
         |         ELSE o_totalprice END AS p
         |  FROM src
         |  UNION ALL
-        |  SELECT o_custkey + 900000, 1.25
-        |  FROM src WHERE o_custkey % 97 = 13)
+        |  SELECT CAST(900001 AS BIGINT), 1.25
+        |  FROM src WHERE o_custkey = (SELECT max(o_custkey) FROM src))
         |SELECT o_custkey, count(*) AS n,
         |  CAST(sum(CAST(p AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM mut GROUP BY 1 ORDER BY 1""".stripMargin,

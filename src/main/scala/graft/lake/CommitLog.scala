@@ -187,8 +187,29 @@ final class CommitLog(spark: SparkSession, root: String) {
       .map(n => n.substring(1, n.length - 5).toLong)
       .toSeq.sorted
 
-  /** Highest committed version, 0 if none. O(commits) listing. */
-  def latestVersion(): Long = existingVersions().foldLeft(0L)(math.max)
+  /** Last tip this handle observed (-1 = never). Versions are DENSE
+    * under the CAS — every claim is latestVersion()+1 and visibility
+    * is atomic, so a version below an existing one can never appear
+    * later — which makes forward PROBING from a previously-true tip
+    * exact. Retention only deletes a prefix; a hinted tip that was
+    * itself expired away (possible in a long-lived handle) fails the
+    * existence check below and reseeds from one full listing. */
+  @volatile private var tipHint: Long = -1L
+
+  /** Highest committed version, 0 if none. O(new commits) amortized:
+    * probe forward from the last observed tip instead of listing the
+    * whole commits directory per call — the listing made every
+    * metadata check O(commits) on deep logs even with resolution
+    * memoized. */
+  def latestVersion(): Long = {
+    var t = tipHint
+    if (t < 0 || (t > 0 && !fs.exists(versionFile(t))))
+      t = existingVersions().foldLeft(0L)(math.max)
+    var n = t + 1
+    while (fs.exists(versionFile(n))) { t = n; n += 1 }
+    tipHint = t
+    t
+  }
 
   /** Lowest RETAINED version, 0 if none — after [[expireBefore]]
     * truncation this is > 1, and increments below it are gone with
@@ -277,6 +298,8 @@ final class CommitLog(spark: SparkSession, root: String) {
     * commit protocol itself never does. */
   private[lake] def invalidateCaches(): Unit = {
     commitCache.clear(); resolveCache.clear(); metaCache.clear()
+    tipHint = -1L
+    ckptHint = -1L
   }
 
   def commit(v: Long): Commit =
@@ -1455,9 +1478,14 @@ final class CommitLog(spark: SparkSession, root: String) {
     // commit timestamp, forced monotone across versions (the Delta
     // in-commit-timestamp rule): a later version never records an
     // earlier instant, whatever this writer's wall clock says — one
-    // O(1) read of the previous retained manifest
-    val prevTs = existingVersions().filter(_ < v).lastOption
-      .map(pv => commit(pv).ts).getOrElse(0L)
+    // O(1) read of the previous retained manifest (v-1 by density;
+    // the listing only when retention already expired it)
+    val prevTs = {
+      val pv = v - 1
+      if (pv >= 1 && fs.exists(versionFile(pv))) commit(pv).ts
+      else existingVersions().filter(_ < v).lastOption
+        .map(p => commit(p).ts).getOrElse(0L)
+    }
     node.put("ts", math.max(clock(), prevTs + 1))
     val arr = node.putArray("files")
     names.foreach(arr.add)
@@ -4350,13 +4378,35 @@ final class CommitLog(spark: SparkSession, root: String) {
     val cf = checkpointFile(v)
     if (fs.exists(cf)) fs.delete(cf, false)
     fs.rename(tmp, cf)
+    if (v > ckptHint) ckptHint = v
   }
 
   private def checkpointFile(v: Long) =
     new Path(commitsDir, f"v$v%020d.checkpoint.json")
 
-  /** Newest checkpoint at or below `v`, if any. */
-  private def newestCheckpoint(v: Long): Option[Long] =
+  /** Newest checkpoint this handle has observed (-1 = never). ANY
+    * checkpoint at or below the target version is resolution-sound
+    * (older just means a longer replay tail), so serving a hinted
+    * one instead of re-listing the commits directory per cache miss
+    * is a pure perf fact — bounded by re-listing whenever the hinted
+    * tail would exceed 64 commits (covers read-only handles on logs
+    * other writers checkpoint). */
+  @volatile private var ckptHint: Long = -1L
+
+  /** Newest checkpoint at or below `v`, if any — hinted (O(1) stat)
+    * with a bounded-staleness fallback to the full listing. */
+  private def newestCheckpoint(v: Long): Option[Long] = {
+    val h = ckptHint
+    if (h >= 1 && h <= v && v - h <= 64 &&
+        fs.exists(checkpointFile(h))) Some(h)
+    else {
+      val r = listNewestCheckpoint(v)
+      r.foreach(cv => if (cv > ckptHint) ckptHint = cv)
+      r
+    }
+  }
+
+  private def listNewestCheckpoint(v: Long): Option[Long] =
     if (!fs.exists(commitsDir)) None
     else fs.listStatus(commitsDir).iterator
       .map(_.getPath.getName)

@@ -164,6 +164,54 @@ class PlanSpec extends AnyFunSuite {
       s"a tombstone batch must never sort-merge against the data:\n$p")
   }
 
+  test("q170 core: dim-driven dynamic file pruning lists a strict " +
+      "minority of fact files and never changes the join answer") {
+    // run the driver query itself (its in-query asserts re-check the
+    // answer), then assert the RETURNED plan's fact scan reads the
+    // pruned listing — the file set, not just a count
+    val df = SparkEntry.queries("q170_dynamic_file_pruning")(spark, sf)
+    val factFiles = df.inputFiles.filter(_.contains("graft_q170_"))
+    assert(factFiles.nonEmpty, "expected a pruned fact scan")
+    val root = new org.apache.hadoop.fs.Path(factFiles.head)
+      .getParent.toString
+    val all = graft.lake.SchemaTools.listDataFiles(spark, root).size
+    assert(factFiles.length * 2 < all,
+      s"the joined plan must scan the PRUNED listing: " +
+        s"${factFiles.length}/$all")
+  }
+
+  test("q172: the MV-rewritten aggregate reads ONLY view files — " +
+      "zero source files in the scan") {
+    val df = SparkEntry.queries("q172_mv_query_rewrite")(spark, sf)
+    val files = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => l.relation match {
+        case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.inputFiles.toSeq
+        case _ => Nil
+      }
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("/t172mv/")) &&
+      !files.exists(_.contains("/t172s/")),
+      s"rewritten plan must scan the view only: $files")
+  }
+
+  test("d60: index-served BM25 probes the persisted postings on " +
+      "(bucket, term) — keyed joins, corpus tf/df/lengths all from " +
+      "the index tables") {
+    val df = SparkEntry.queries("d60_bm25_indexed")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"index probe must stay keyed:\n$p")
+    // the corpus-statistics side comes from the persisted index; the
+    // only documents.parquet read left is the QUERY batch itself
+    val idx = df.inputFiles.filter(_.contains("graft_d60_"))
+    assert(idx.exists(_.contains("/index/")) &&
+      idx.exists(_.contains("/lengths/")),
+      s"serve must read postings + lengths from the index: $idx")
+  }
+
   test("no query in the library plans a cartesian or nested-loop join") {
     // The only queries whose SEMANTICS are a bounded cross product:
     //  - q55: the cross-join operator itself (5x25 by contract)
