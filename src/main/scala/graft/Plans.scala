@@ -314,6 +314,11 @@ object Plans {
         "bucket filters prune the postings partition listing at " +
         "PLANNING time; the consecutive-position fold is d59's, " +
         "sized by the rarest term's postings"),
+      "d62_text_index_stream" -> ("stream-maintained text index: the " +
+        "commit-log stream delivers whole commits, each folded " +
+        "through the idempotent appendOnce (one keyed left_anti " +
+        "against the lengths id-set); the served plan is d60's — " +
+        "maintenance never changes the serve shape"),
       "q177_mv_refresh_through_merge" -> ("MV refresh THROUGH a " +
         "merge: the CDF change files decompose the upsert, the " +
         "refresh merge rewrites only the view files holding moved " +

@@ -2539,6 +2539,68 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // STREAMED text-index maintenance (the e30/e35 discipline on the
+    // inverted index): the corpus is a commit-log table, the index
+    // bootstraps from v1, and the commit-log STREAM folds each later
+    // commit's docs through the idempotent appendOnce — exactly-once
+    // under at-least-once delivery because the lengths table's own
+    // doc-id set is the idempotence mark (a TOTAL replay on a fresh
+    // checkpoint folds nothing, asserted). Serving the maintained
+    // index is hash-gated against d57's oracle: stream-maintained ==
+    // built-once == direct
+    "d62_text_index_stream" -> ((s, d) => {
+      val root = scratch(s, "d62", d)
+      val log = CommitLog(s, s"$root/corpus").init()
+      val idx = s"$root/text"
+      val all = docs(s, d)
+      def m3(r: Long) = pmod(col("doc_id"), lit(3L)) === lit(r)
+      log.append(all.filter(m3(0))) // v1
+      TextIndex.build(s, idx, log.read(None), nBuckets = 16)
+      log.append(all.filter(m3(1))) // v2
+      log.append(all.filter(m3(2))) // v3
+      def indexedDocs(): Long =
+        s.read.parquet(s"$idx/lengths").count()
+      val tokenized = operators.Retrieval.positionalPostings(all)
+        .select("doc_id").distinct().count()
+      def runStream(ckpt: String): Unit = {
+        val q = log.readStreamCommits()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val commits = batch.select("version", "kind", "files")
+              .collect()
+              .map(r => (r.getLong(0), r.getString(1),
+                r.getSeq[String](2)))
+              .sortBy(_._1)
+            commits.foreach { case (v, kind, names) =>
+              require(kind == "append",
+                s"$kind v$v inside the stream — re-baseline the index")
+              TextIndex.appendOnce(s, idx,
+                s.read.parquet(log.filePaths(names): _*))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runStream(s"$root/_ckpt1")
+      assert(indexedDocs() == tokenized,
+        s"the stream must fold every committed doc once: " +
+          s"${indexedDocs()} of $tokenized")
+      runStream(s"$root/_ckpt2") // TOTAL replay: fresh checkpoint
+      assert(indexedDocs() == tokenized,
+        "a replayed delivery must fold nothing into the index")
+      assert(TextIndex.trusted(s, idx),
+        "the maintained index must end trusted")
+      val queries = all.filter(col("doc_id") % 250 === 7)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+            .as("qtext"))
+      TextIndex.serveBm25(s, idx, queries, k = 5).get
+        .orderBy("qid", "rank")
+    }),
+
     // surgical decontamination: leaked 8-token spans cut out of every
     // training doc (vs d20/d25's whole-doc drop) — held-out window
     // hashes broadcast into a semi-join, token-level reassembly only
@@ -10807,6 +10869,8 @@ object SparkEntry {
     // operator — the oracle is d57's, so "hash-identical to d57" is
     // literally the gate
     "d60_bm25_indexed" -> d57Oracle,
+    // stream-maintained == built-once == direct: same oracle again
+    "d62_text_index_stream" -> d57Oracle,
 
     // d57's BM25 at poolK=20 + e01's double-cast cosine arm, fused
     // with the same integer RRF arithmetic (2^40 div (60 + rank))
